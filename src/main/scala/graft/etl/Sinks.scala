@@ -1,0 +1,59 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Table sinks + DDL (SURVEY.md §2.5 K1-K5).
+  *
+  * The reference's `WRITE_TRUNCATE`/`WRITE_APPEND` + `CREATE_IF_NEEDED`
+  * (`/root/reference/dataflow_transform.py:180-189`, `:204-214`) map to
+  * SaveMode.Overwrite/Append against catalog tables backed by parquet.
+  *
+  * Scale: writes go through the distributed commit protocol; pass
+  * `partitionBy` (e.g. the date column) so downstream reads get partition
+  * pruning — configuration, not new operators (SURVEY.md §4.3).
+  */
+object Sinks {
+
+  /** K1 — truncate-and-load with create-if-needed. */
+  def overwriteTable(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).saveAsTable(table)
+  }
+
+  /** K2/K3 — append (audit rows; INSERT INTO final). */
+  def appendTable(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Append).saveAsTable(table)
+
+  /** Path-based parquet sink for warehouse-less runs. */
+  def writeParquet(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite,
+                   partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** K5 — `CREATE DATABASE IF NOT EXISTS` (`dataflow.py:452-460`). */
+  def ensureDatabase(spark: SparkSession, db: String): Unit =
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+
+  /** K4 — idempotent typed empty-table creation (`airflow.py:57-84`,
+    * `exists_ok=True`).
+    */
+  def ensureTable(spark: SparkSession, table: String, schema: StructType): Unit =
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $table (${schema.toDDL}) USING parquet")
+
+  /** The declared-but-uninstantiated `BigQueryCheckOperator`
+    * (`airflow.py:7`; SURVEY.md §2.8): a post-load SQL assertion — the first
+    * cell of the first row must be truthy.
+    */
+  def check(spark: SparkSession, sql: String): Boolean = {
+    val rows = spark.sql(sql).limit(1).collect()
+    rows.nonEmpty && (rows.head.get(0) match {
+      case null => false
+      case b: Boolean => b
+      case n: Number => n.longValue() != 0L
+      case s: String => s.nonEmpty
+      case _ => true
+    })
+  }
+}

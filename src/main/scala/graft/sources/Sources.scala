@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Multi-format file sources mirroring the reference's read surface
+  * (SURVEY.md §2.1) with its extension-dispatch routing
+  * (`/root/reference/dataflow.py:189-199`).
+  *
+  * All readers are Spark file sources: distributed, splittable, with
+  * predicate/column pushdown — the "download the whole file in the worker"
+  * pattern of the reference's validation plane (`dataflow.py:184`) never
+  * appears.
+  */
+object Sources {
+
+  /** S1/S2 — header-skipping CSV scan with per-row parse capture. PERMISSIVE
+    * mode + corrupt-record column reproduces `parse_csv_line → None` row
+    * semantics (`dataflow_transform.py:14-30`) instead of failing the scan.
+    */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+          multiLine: Boolean = false): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("multiLine", multiLine.toString) // allow_quoted_newlines, airflow.py:98
+      .schema(schema)
+      .csv(path)
+
+  /** S3 — the ELT bulk load: schema autodetect (`airflow.py:93`), quoted
+    * newlines allowed, jagged rows fatal (`allow_jagged_rows=False`,
+    * `airflow.py:99` → FAILFAST).
+    */
+  def csvAutodetect(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .option("multiLine", "true")
+      .option("mode", "FAILFAST")
+      .csv(path)
+
+  /** S5 — whole-file JSON (object or array of objects) and JSONL.
+    * `multiLine=true` ⇔ the reference's `json.loads` of a full file
+    * (`dataflow.py:209-234`); default mode reads line-delimited
+    * (`dataflow.py:269-285`).
+    */
+  def json(spark: SparkSession, path: String, wholeFile: Boolean = false): DataFrame =
+    spark.read.option("multiLine", wholeFile.toString).json(path)
+
+  /** S6 — plain text, non-blank lines (`dataflow.py:287-294`). */
+  def text(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path).filter(length(trim(col("value"))) > 0)
+
+  /** Extension dispatch (`dataflow.py:191-199`): route a path to the right
+    * reader. Unknown extensions raise, as the reference does.
+    */
+  def resolve(spark: SparkSession, path: String, csvSchema: StructType): DataFrame = {
+    val lower = path.toLowerCase
+    if (lower.endsWith(".csv")) csv(spark, path, csvSchema)
+    else if (lower.endsWith(".jsonl") || lower.endsWith(".ndjson")) json(spark, path)
+    else if (lower.endsWith(".json")) json(spark, path, wholeFile = true)
+    else if (lower.endsWith(".txt") || lower.endsWith(".text")) text(spark, path)
+    else throw new IllegalArgumentException(s"Unsupported file format: $path")
+  }
+}

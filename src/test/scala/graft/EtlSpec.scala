@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl._
+import graft.sources.Sources
+
+/** Golden tests for the reference-surface ETL (SURVEY.md §5.2): the fixture
+  * CSV carries one row per reject branch of dataflow_transform.py:32-61.
+  */
+class EtlSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val fixture = "src/test/resources/covid_daily.csv"
+
+  private def raw = Sources.csv(spark, fixture, Schemas.covidRaw)
+
+  test("transform keeps exactly the rows the reference keeps") {
+    val clean = CovidTransform.clean(raw)
+    val rows = clean.orderBy("entity").collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("Afghanistan", "Albania", "Algeria", "Bahrain", "Belgium"))
+  }
+
+  test("int(float(x)) truncation: 12.9 -> 12; trim applied") {
+    val clean = CovidTransform.clean(raw)
+    val algeria = clean.filter(col("entity") === "Algeria").head()
+    assert(algeria.getLong(algeria.fieldIndex("total_confirmed_deaths")) == 12L)
+    // " Albania " trimmed to "Albania" (entity equality above already proves it)
+    val bahrain = clean.filter(col("entity") === "Bahrain").head()
+    assert(bahrain.getLong(bahrain.fieldIndex("total_confirmed_deaths")) == -3L)
+  }
+
+  test("rejects carry reasons, one per reject branch") {
+    val rejects = CovidTransform.rejects(raw)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(rejects.size == 7)
+    assert(rejects(null) == "missing_required_field") // empty entity
+    assert(rejects("Andorra") == "missing_required_field") // empty Day
+    assert(rejects("Angola") == "missing_required_field") // empty deaths
+    assert(rejects("Argentina") == "invalid_date") // 2020-3-28, len != 10
+    assert(rejects("Armenia") == "invalid_date") // wrong format
+    assert(rejects("Australia") == "invalid_date") // month 13
+    assert(rejects("Austria") == "invalid_numeric") // abc
+  }
+
+  test("validation gate: one-pass report with warn counts, not failed") {
+    val report = Validation.run(raw, Validation.covidCsvRules)
+    assert(report.totalRecords == 12)
+    assert(!report.failed)
+    assert(report.violations("required_entity") == 1)
+    assert(report.violations("required_Day") == 1)
+    assert(report.violations("required_total_confirmed_deaths") == 1)
+    assert(report.violations("numeric_total_confirmed_deaths") == 1) // abc
+    assert(report.violations("date_Day") == 3) // 2020-3-28, 03-29-2020, 2020-13-29
+  }
+
+  test("validation gate fails on empty input") {
+    val empty = raw.filter(lit(false))
+    assert(Validation.run(empty, Validation.covidCsvRules).failed)
+  }
+
+  test("covid pipeline end-to-end: tables + observed count + audit row") {
+    spark.sql("DROP TABLE IF EXISTS transformed_table")
+    spark.sql("DROP TABLE IF EXISTS audit_log")
+    val summary = Jobs.covidPipeline(spark, fixture, "transformed_table", "audit_log")
+    assert(summary.recordCount == 5)
+    assert(spark.table("transformed_table").count() == 5)
+    val audit = spark.table("audit_log").collect()
+    assert(audit.length == 1)
+    val a = audit.head
+    assert(a.getString(a.fieldIndex("file_name")) == "covid_daily.csv")
+    assert(a.getLong(a.fieldIndex("record_count")) == 5L)
+    assert(a.getString(a.fieldIndex("pipeline_status")) == "completed")
+    // second run appends a second audit row but truncates the main table
+    Jobs.covidPipeline(spark, fixture, "transformed_table", "audit_log")
+    assert(spark.table("transformed_table").count() == 5)
+    assert(spark.table("audit_log").count() == 2)
+  }
+
+  test("ELT pipeline: autodetect load + INSERT INTO ... WHERE deaths > 0") {
+    Sinks.ensureDatabase(spark, "covid")
+    spark.sql("DROP TABLE IF EXISTS covid.stg_covid_data")
+    spark.sql("DROP TABLE IF EXISTS covid.final_covid_data")
+    val n = Jobs.eltPipeline(spark, fixture, "covid")
+    // deaths parseable and > 0: 40, 21.0, 12.9, 10, 5, 7, 8, 9 -> 8 rows
+    assert(n == 8)
+    // lenient dialect: Algeria keeps 12.9 (FLOAT), no truncation
+    val algeria = spark.table("covid.final_covid_data")
+      .filter(col("entity") === "Algeria").head()
+    assert(algeria.getDouble(algeria.fieldIndex("total_confirmed_deaths")) == 12.9)
+  }
+
+  test("streaming ingest: AvailableNow drains files exactly once") {
+    val dir = Files.createTempDirectory("graft-stream-in")
+    val out = Files.createTempDirectory("graft-stream-out").resolve("data").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    Files.copy(Paths.get(fixture), dir.resolve("covid_daily.csv"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val n1 = streaming.StreamingIngest.runAvailableNow(spark, dir.toString, out, ckpt)
+    assert(n1 == 5)
+    assert(spark.read.parquet(out).count() == 5)
+    // re-run with no new files: checkpoint ensures nothing is reprocessed
+    val n2 = streaming.StreamingIngest.runAvailableNow(spark, dir.toString, out, ckpt)
+    assert(n2 == 0)
+    // a newly arriving file is picked up incrementally
+    Files.copy(Paths.get(fixture), dir.resolve("covid_daily_2.csv"))
+    val n3 = streaming.StreamingIngest.runAvailableNow(spark, dir.toString, out, ckpt)
+    assert(n3 == 5)
+    assert(spark.read.parquet(out).count() == 10)
+  }
+
+  test("source resolver dispatches by extension") {
+    val tmp = Files.createTempDirectory("graft-src")
+    val txt = tmp.resolve("notes.txt")
+    Files.writeString(txt, "line one\n\n  \nline two\n")
+    assert(Sources.resolve(spark, txt.toString, Schemas.covidRaw).count() == 2)
+    val jsonl = tmp.resolve("records.jsonl")
+    Files.writeString(jsonl, """{"id":1,"name":"a","value":2.5}""" + "\n" +
+      """{"id":2,"name":"b","value":3.5}""" + "\n")
+    assert(Sources.resolve(spark, jsonl.toString, Schemas.covidRaw).count() == 2)
+    val json = tmp.resolve("records.json")
+    Files.writeString(json, """[{"id":1,"name":"a","value":1.0},{"id":2,"name":"b","value":2.0}]""")
+    assert(Sources.resolve(spark, json.toString, Schemas.covidRaw).count() == 2)
+    intercept[IllegalArgumentException] {
+      Sources.resolve(spark, "file.parquet.xyz", Schemas.covidRaw)
+    }
+  }
+
+  test("post-load check operator semantics") {
+    assert(Sinks.check(spark, "SELECT 1"))
+    assert(!Sinks.check(spark, "SELECT COUNT(*) FROM range(10) WHERE id > 100"))
+  }
+}
