@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting. All pure
+  * Catalyst built-in compositions — no UDFs, fully codegen'd, so a 100 TB
+  * corpus pays one columnar scan and zero serialization boundaries.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (the baseline tokenizer). */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, 0).otherwise(size(tokens(c))).cast("long")
+
+  /** BPE-ish word/number/symbol tokenizer: runs of letters, runs of digits,
+    * or single non-space symbols — the usual pre-tokenization regex.
+    */
+  def subwordTokens(c: Column): Column =
+    regexp_extract_all(c, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
+
+  def subwordCount(c: Column): Column = size(subwordTokens(c)).cast("long")
+
+  // --- quality scoring -----------------------------------------------------
+
+  private val defaultStopwords = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "that", "this")
+
+  /** Fraction of tokens that are stopwords (non-distinct count, so the SQL
+    * oracle's `list_filter(... IN ...)` reproduces it exactly).
+    */
+  def stopwordRatio(c: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val toks = tokens(lower(c))
+    when(size(toks) === 0, 0.0)
+      .otherwise(size(filter(toks, t => t.isInCollection(stopwords)))
+        .cast("double") / size(toks))
+  }
+
+  def stopwordList: Seq[String] = defaultStopwords
+
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, 0.0).otherwise(
+      (length(c) - length(regexp_replace(c, "[\\p{Punct}]", ""))).cast("double") / length(c))
+
+  def meanTokenLength(c: Column): Column = {
+    val toks = tokens(c)
+    when(size(toks) === 0, 0.0)
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  /** Composite heuristic quality score in [0,1]: length in a sane band,
+    * some stopwords present (fluent prose), punctuation not dominating,
+    * tokens not degenerate. The shape of Gopher/C4-style quality filters.
+    */
+  def qualityScore(c: Column): Column = {
+    val lenOk = when(length(c).between(50, 20000), 1.0).otherwise(0.0)
+    val stopOk = when(stopwordRatio(c) >= 0.01, 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio(c) <= 0.2, 1.0).otherwise(0.0)
+    val tokOk = when(meanTokenLength(c).between(2.0, 12.0), 1.0).otherwise(0.0)
+    (lenOk * 0.3 + stopOk * 0.3 + punctOk * 0.2 + tokOk * 0.2)
+  }
+
+  // --- language identification --------------------------------------------
+
+  /** Per-language marker sets for the stopword-overlap heuristic. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es" -> Seq("el", "la", "los", "de", "que", "y", "es", "un"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que"))
+
+  /** Language ID by marker-token overlap + CJK script detection. Ties break
+    * deterministically (lexicographically larger language code wins via
+    * struct ordering). An n-gram profile model would slot in the same way —
+    * per-row, no shuffle.
+    */
+  def langId(c: Column): Column = {
+    val toks = tokens(lower(c))
+    val scored = langMarkers.map { case (lang, markers) =>
+      struct(size(array_intersect(toks, typedLit(markers))).as("score"),
+        lit(lang).as("lang"))
+    }
+    when(c.rlike("[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}]"), "zh")
+      .otherwise(
+        when(greatest(scored: _*).getField("score") > 0,
+          greatest(scored: _*).getField("lang"))
+          .otherwise("unknown"))
+  }
+
+  // --- fingerprinting ------------------------------------------------------
+
+  /** Canonical text form for exact-dup detection: lowercase, collapse
+    * whitespace, trim.
+    */
+  def normalized(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Content fingerprint = md5 of the normalized text (md5 so the DuckDB
+    * oracle can reproduce it bit-for-bit).
+    */
+  def fingerprintMd5(c: Column): Column = md5(normalized(c).cast("binary"))
+
+  /** Rolling-hash document fingerprint: minimum 64-bit hash over character
+    * shingles — a winnowing-style single-value sketch.
+    */
+  def rollingFingerprint(c: Column, shingle: Int = 8): Column = {
+    val sh = charShingles(normalized(c), shingle)
+    when(size(sh) === 0, xxhash64(normalized(c)))
+      .otherwise(array_min(transform(sh, s => xxhash64(s))))
+  }
+
+  /** 1..stop as an array; EMPTY when stop < 1 (Spark's `sequence(1, 0)`
+    * counts DOWN to `[1, 0]`, which would fabricate elements).
+    */
+  private[ops] def indices1(stop: Column): Column =
+    when(stop < 1, typedLit(Seq.empty[Int])).otherwise(sequence(lit(1), stop))
+
+  /** All character n-grams of `c` (positions are 1-based `substring`). */
+  def charShingles(c: Column, n: Int): Column =
+    transform(indices1(length(c) - (n - 1)), i => c.substr(i, lit(n)))
+
+  /** Token n-gram shingles joined with a space. */
+  def tokenShingles(c: Column, n: Int): Column = {
+    val toks = tokens(normalized(c))
+    transform(indices1(size(toks) - (n - 1)),
+      i => array_join(slice(toks, i, lit(n)), " "))
+  }
+}

@@ -1,0 +1,277 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Training-data pipeline operator inventory (the north-star extensions
+  * beyond the reference surface, BASELINE.json): deduplication, similarity
+  * search, text analysis, multimodal columns — each over the `documents` /
+  * `embeddings` fixture tables, each with a DuckDB oracle where the
+  * computation is SQL-expressible (hash-based sketches use xxhash64, which
+  * DuckDB lacks → driver records the weaker rows-only check for those).
+  */
+object TrainingQueries {
+
+  private val stops = TextOps.stopwordList.map(s => s"'$s'").mkString(", ")
+
+  // normalized text, DuckDB spelling (regexp_replace needs the 'g' flag)
+  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private val toksSql = s"string_split_regex(trim(text), '\\s+')"
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // ------------------------------------------------------------------
+    // Exact dedup: one shuffle on the md5-of-normalized-text fingerprint.
+    QuerySpec(
+      "q20_dedup_exact",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(TextOps.fingerprintMd5(col("text"))).as("n_distinct"))
+          .withColumn("n_dups", col("n_docs") - col("n_distinct"))
+          .orderBy("source"),
+      Some(s"""SELECT source, COUNT(*) AS n_docs,
+              |  COUNT(DISTINCT md5($normSql)) AS n_distinct,
+              |  COUNT(*) - COUNT(DISTINCT md5($normSql)) AS n_dups
+              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Token counting: whitespace tokens + BPE-ish subword pre-tokens.
+    QuerySpec(
+      "q21_token_stats",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("source"),
+            TextOps.tokenCount(col("text")).as("n_toks"),
+            TextOps.subwordCount(col("text")).as("n_sub"))
+          .groupBy(col("source"))
+          .agg(
+            sum(col("n_toks")).cast("long").as("total_tokens"),
+            (sum(col("n_toks")).cast("double") / count(lit(1))).as("avg_tokens"),
+            max(col("n_toks")).as("max_tokens"),
+            sum(col("n_sub")).cast("long").as("total_subwords"))
+          .orderBy("source"),
+      Some(s"""SELECT source,
+              |  CAST(SUM(len($toksSql)) AS BIGINT) AS total_tokens,
+              |  CAST(SUM(len($toksSql)) AS DOUBLE)/COUNT(*) AS avg_tokens,
+              |  CAST(MAX(len($toksSql)) AS BIGINT) AS max_tokens,
+              |  CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) AS BIGINT) AS total_subwords
+              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Per-document quality metrics (Gopher/C4-style heuristic filters).
+    QuerySpec(
+      "q22_quality_scores",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            TextOps.tokenCount(col("text")).as("n_tokens"),
+            round(TextOps.stopwordRatio(col("text")), 4).as("stop_ratio"),
+            round(TextOps.meanTokenLength(col("text")), 4).as("mean_tok_len"),
+            round(TextOps.qualityScore(col("text")), 2).as("quality"))
+          .orderBy("doc_id"),
+      Some(s"""WITH m AS (
+              |  SELECT doc_id, text, $toksSql AS toks,
+              |    LENGTH(text) AS n_chars,
+              |    len($toksSql) AS n_tokens,
+              |    len(list_filter($toksSql, x -> lower(x) IN ($stops))) AS n_stop,
+              |    LENGTH(text) - LENGTH(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS n_punct,
+              |    CAST(list_sum(list_transform($toksSql, x -> LENGTH(x))) AS DOUBLE) AS tok_chars
+              |  FROM documents
+              |)
+              |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+              |  ROUND(CAST(n_stop AS DOUBLE)/n_tokens, 4) AS stop_ratio,
+              |  ROUND(tok_chars/n_tokens, 4) AS mean_tok_len,
+              |  ROUND(
+              |    (CASE WHEN n_chars BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END)*0.3 +
+              |    (CASE WHEN CAST(n_stop AS DOUBLE)/n_tokens >= 0.01 THEN 1.0 ELSE 0.0 END)*0.3 +
+              |    (CASE WHEN CAST(n_punct AS DOUBLE)/n_chars <= 0.2 THEN 1.0 ELSE 0.0 END)*0.2 +
+              |    (CASE WHEN tok_chars/n_tokens BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)*0.2,
+              |  2) AS quality
+              |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Content fingerprinting (md5 of normalized text — oracle-reproducible).
+    QuerySpec(
+      "q23_fingerprint",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextOps.fingerprintMd5(col("text")).as("fp"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, md5($normSql) AS fp
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Language ID: marker-stopword overlap + CJK script detection, counted
+    // per predicted language. Tie-break = lexicographically larger code, on
+    // both sides.
+    QuerySpec(
+      "q24_langid",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(TextOps.langId(col("text")).as("predicted_lang"))
+          .groupBy(col("predicted_lang"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("predicted_lang"),
+      Some("""WITH sc AS (
+             |  SELECT text,
+             |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      x -> x IN ('the','and','of','to','is','in','that','it'))) AS s_en,
+             |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS s_de,
+             |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      x -> x IN ('el','la','los','de','que','y','es','un'))) AS s_es,
+             |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      x -> x IN ('le','la','les','et','est','un','une','que'))) AS s_fr
+             |  FROM documents
+             |), p AS (
+             |  SELECT CASE
+             |    WHEN regexp_matches(text, '[\p{Han}\p{Hiragana}\p{Katakana}]') THEN 'zh'
+             |    WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_en THEN 'fr'
+             |    WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_de AND s_es >= s_en THEN 'es'
+             |    WHEN s_en > 0 AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+             |    WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es AND s_de >= s_en THEN 'de'
+             |    ELSE 'unknown' END AS predicted_lang
+             |  FROM sc
+             |)
+             |SELECT predicted_lang, COUNT(*) AS n FROM p
+             |GROUP BY predicted_lang ORDER BY predicted_lang""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // MinHash+LSH near-dup pairs (xxhash64 sketch — no SQL oracle; driver
+    // records the rows-only check). Deterministic: fixed hash seeds.
+    QuerySpec(
+      "q25_minhash_near_dup",
+      (s, dir) =>
+        Dedup.minhashNearDupPairs(
+          Tables.documents(s, dir), "doc_id", "text",
+          numHashes = 32, shingleSize = 3, bands = 16, minJaccard = 0.3)
+          .orderBy("id_a", "id_b"),
+      None),
+
+    // ------------------------------------------------------------------
+    // SimHash 64-bit sketches (no SQL oracle — xxhash64).
+    QuerySpec(
+      "q26_simhash",
+      (s, dir) =>
+        Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
+          .orderBy("doc_id"),
+      None),
+
+    // ------------------------------------------------------------------
+    // Exact n-gram Jaccard over shingle-sharing candidates with the
+    // document-frequency skew guard (no SQL oracle: candidate generation
+    // uses hash buckets).
+    QuerySpec(
+      "q27_ngram_jaccard",
+      (s, dir) =>
+        Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          shingleSize = 3, minJaccard = 0.2, maxDocFreq = 1000L)
+          .orderBy("id_a", "id_b"),
+      None),
+
+    // ------------------------------------------------------------------
+    // Brute-force cosine top-k vs one query embedding — the ANN baseline.
+    // All element math in DOUBLE with left-to-right accumulation on both
+    // engines.
+    QuerySpec(
+      "q28_cosine_topk",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val query = emb.filter(col("vec_id") === 0L)
+          .select(Similarity.asDouble(col("embedding")).as("query_vec"))
+        Similarity.bruteTopK(emb.filter(col("vec_id") =!= 0L), "vec_id", "embedding", query, 20)
+          .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+      },
+      Some("""SELECT e.vec_id,
+             |  ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cosine
+             |FROM embeddings e,
+             |  (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+             |WHERE e.vec_id <> 0
+             |ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, e.vec_id
+             |LIMIT 20""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Embedding statistics: L2 norms per label.
+    QuerySpec(
+      "q29_embedding_norms",
+      (s, dir) =>
+        Tables.embeddings(s, dir)
+          .select(col("label"),
+            Similarity.norm(Similarity.asDouble(col("embedding"))).as("l2"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"), round(avg(col("l2")), 6).as("avg_norm"))
+          .orderBy("label"),
+      Some("""SELECT label, COUNT(*) AS n,
+             |  ROUND(AVG(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))), 6) AS avg_norm
+             |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // LSH-bucketed ANN (the 100 TB path: bucket join, not cross product).
+    // Deterministic hyperplanes (seed 42) — rows-only check.
+    QuerySpec(
+      "q30_ann_lsh",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 10L)
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        Similarity.annTopK(emb, "vec_id", "embedding", queries, "query_id", "query_vec",
+          k = 10, nBits = 8, nTables = 4, seed = 42L)
+          .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"),
+            col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    // ------------------------------------------------------------------
+    // Embedding-cosine near-duplicate pairs (LSH candidates + exact verify).
+    QuerySpec(
+      "q31_cosine_near_dup",
+      (s, dir) =>
+        Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+          minCosine = 0.4, nBits = 4, nTables = 8, seed = 42L)
+          .orderBy("id_a", "id_b"),
+      None),
+
+    // ------------------------------------------------------------------
+    // Multimodal plumbing: opaque binary payload + typed metadata, batch
+    // feature extraction via mapPartitions (decode kernel stubbed — the
+    // Spark-side schema/batching is the tested part).
+    QuerySpec(
+      "q32_media_features",
+      (s, dir) => {
+        val media = Multimodal.packDocuments(Tables.documents(s, dir))
+        Multimodal.extractFeatures(s, media).toDF()
+          .select(col("media_id"), col("format"),
+            round(aggregate(col("features"), lit(0.0d), (a, x) => a + x.cast("double")), 4)
+              .as("feature_sum"))
+          .orderBy("media_id")
+      },
+      None),
+
+    // ------------------------------------------------------------------
+    // Frame sampling over binary payloads (1→N generator + window counts):
+    // the oracle checks the frame arithmetic from byte lengths.
+    QuerySpec(
+      "q33_frame_sample",
+      (s, dir) => {
+        val media = Multimodal.packDocuments(Tables.documents(s, dir))
+        Multimodal.sampleFrames(media, frameBytes = 64, stride = 4)
+          .groupBy(col("media_id"))
+          .agg(count(lit(1)).as("n_frames"), sum(col("frame_size")).cast("long").as("bytes_sampled"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(octet_length(encode(text)) // 256 AS BIGINT) AS n_frames,
+             |  CAST((octet_length(encode(text)) // 256) * 64 AS BIGINT) AS bytes_sampled
+             |FROM documents
+             |WHERE octet_length(encode(text)) >= 256
+             |ORDER BY doc_id""".stripMargin))
+  )
+}

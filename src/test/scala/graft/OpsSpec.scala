@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  import org.apache.spark.sql.Row
+
+  test("tokenCount and shingles handle empty and short text") {
+    import spark.implicits._
+    val df = Seq("", " ", "a", "one two three four").toDF("text")
+    val counts = df.select(TextOps.tokenCount(col("text"))).collect().map(_.getLong(0))
+    assert(counts.toSeq == Seq(0L, 0L, 1L, 4L))
+    val sh = df.select(TextOps.tokenShingles(col("text"), 3)).collect().map(_.getSeq[String](0))
+    assert(sh(0).isEmpty && sh(1).isEmpty && sh(2).isEmpty)
+    assert(sh(3) == Seq("one two three", "two three four"))
+    val ch = df.select(TextOps.charShingles(col("text"), 2)).collect().map(_.getSeq[String](0))
+    assert(ch(2).isEmpty) // "a" shorter than shingle
+    assert(ch(3).head == "on")
+  }
+
+  test("langId detects markers and CJK, deterministic tie-break") {
+    import spark.implicits._
+    val df = Seq(
+      "the cat sat on the mat and it is warm",
+      "der hund ist nicht zu hause und das ist gut",
+      "el perro es un animal que vive en la casa y es feliz",
+      "le chat est une belle bete et il est la",
+      "你好世界",
+      "zzz qqq www").toDF("text")
+    val got = df.select(TextOps.langId(col("text"))).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("en", "de", "es", "fr", "zh", "unknown"))
+  }
+
+  test("exact dedup groups identical normalized texts") {
+    import spark.implicits._
+    val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other")).toDF("id", "text")
+    val out = Dedup.exact(df, "id", "text").orderBy("id").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 2L) // survivor id 1, 2 copies
+  }
+
+  test("minhash finds a planted near-duplicate pair") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val df = Seq(
+      (1L, base),
+      (2L, base + " phi"), // near-identical
+      (3L, "completely different words entirely unrelated content here now " +
+        "red green blue yellow purple orange cyan magenta black white")).toDF("id", "text")
+    val pairs = Dedup.minhashNearDupPairs(df, "id", "text",
+      numHashes = 32, shingleSize = 3, bands = 16, minJaccard = 0.3).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("simhash: identical docs equal, near docs close, distinct docs far") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark is a distributed engine for large scale data processing"),
+      (2L, "spark is a distributed engine for large scale data processing"),
+      (3L, "spark is a distributed engine for very large scale data processing"),
+      (4L, "cats purr and dogs bark while birds sing in the morning sun")).toDF("id", "text")
+    val m = Dedup.simhash(df, "id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    assert(java.lang.Long.bitCount(m(1L) ^ m(3L)) <= 16)
+    assert(java.lang.Long.bitCount(m(1L) ^ m(4L)) > 16)
+  }
+
+  test("ngram jaccard exact pairs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g x"),
+      (3L, "p q r s t u v w")).toDF("id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, "id", "text", shingleSize = 2,
+      minJaccard = 0.3, maxDocFreq = 100L).collect()
+    // shingles(1) = {ab,bc,cd,de,ef,fg,gh}, shingles(2) = {...gx}: 6 common of 8
+    assert(pairs.length == 1)
+    assert(pairs.head.getDouble(2) == 0.75)
+  }
+
+  test("cosine: orthogonal 0, identical 1") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      (Seq(1.0f, 0.0f), Seq(2.0f, 0.0f))).toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(math.abs(got(0)) < 1e-12 && math.abs(got(1) - 1.0) < 1e-12)
+  }
+
+  test("brute topk self-similarity sanity on fixtures") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 1L)
+      .select(Similarity.asDouble(col("embedding")).as("query_vec"))
+    val top = Similarity.bruteTopK(emb, "vec_id", "embedding", q, 5).collect()
+    assert(top.head.getLong(0) == 1L) // the query itself ranks first
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+    assert(top.map(_.getDouble(1)).sliding(2).forall(p => p(0) >= p(1))) // sorted desc
+  }
+
+  test("ann lsh recall vs brute force on fixtures") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val ann = Similarity.annTopK(emb, "vec_id", "embedding", queries,
+      "query_id", "query_vec", k = 10, nBits = 4, nTables = 8).collect()
+    assert(ann.nonEmpty)
+    // every returned neighbor must not be the query itself and ranks ordered
+    assert(ann.forall(_.getLong(1) != 0L))
+    assert(ann.map(_.getInt(3)).toSeq == (1 to ann.length))
+  }
+
+  test("multimodal: features preserve partition batching and schema") {
+    val media = Multimodal.packDocuments(Tables.documents(spark, sf))
+    val feats = Multimodal.extractFeatures(spark, media)
+    val row = feats.head()
+    assert(row.features.length == 8)
+    assert(feats.count() == 500)
+    val frames = Multimodal.sampleFrames(media, 64, 4)
+    // frame arithmetic: every frame is exactly 64 bytes
+    assert(frames.agg(min(col("frame_size")), max(col("frame_size")))
+      .head().toSeq == Seq(64L, 64L))
+  }
+}
