@@ -25,6 +25,7 @@ object JobRunner {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.functions.ArrayMath.register(s)
     s
   }
 

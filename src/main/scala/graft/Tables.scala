@@ -18,8 +18,12 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Raw scan of one fixture table. */
+  /** Raw scan of one fixture table. Also ensures graft's native functions
+    * are registered on the session (idempotent), since every query builder
+    * enters through here.
+    */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    graft.functions.ArrayMath.register(spark)
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
   }

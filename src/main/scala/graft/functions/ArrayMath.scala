@@ -1,0 +1,175 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native array math for the similarity operators.
+  *
+  * The built-in spelling — `aggregate(zip_with(a, b, _*_), 0d, _+_)` — is a
+  * higher-order function: Catalyst evaluates the lambda per element with
+  * boxed values and breaks whole-stage codegen around it. On the near-dup
+  * verify path that cost is paid once per CANDIDATE PAIR, which is the hot
+  * loop of the whole operator. `DotProduct` is the same left-to-right
+  * accumulation (bit-identical results, so oracle parity is unaffected) as
+  * a tight unboxed codegen'd loop.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "dot_product"
+}
+
+/** Position-wise equality count over two array<bigint> columns — the
+  * MinHash similarity estimate (#equal minhashes / k) evaluated once per
+  * candidate pair, i.e. the hot loop of LSH near-dup detection. Same
+  * codegen rationale as [[DotProduct]].
+  */
+case class ArrayEqualCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0L
+    var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) c += 1; i += 1 }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $c = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "array_equal_count"
+}
+
+object ArrayMath {
+
+  val fnName = "graft_dot_product"
+  val eqCountName = "graft_array_eq_count"
+
+  val shingleName = "graft_shingle_hashes"
+  val minhashName = "graft_minhash_signature"
+  val simhashName = "graft_simhash64"
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** Idempotent per-session registration (Spark 4's Column API has no
+    * public Expression wrapper, so the expressions are exposed through the
+    * function registry + `call_function`).
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      fnName, exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      eqCountName, exprs => ArrayEqualCount(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      shingleName, exprs => ShingleHashes(exprs(0), intLit(exprs(1), "shingle size")), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      minhashName, exprs => MinHashSignature(exprs(0), intLit(exprs(1), "numHashes")), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      simhashName, exprs => SimHash64(exprs(0)), "scala_udf")
+  }
+
+  /** Codegen'd dot product over two array<double> columns. Caller must have
+    * run [[register]] on the session (all graft entry points do).
+    */
+  def dot(a: Column, b: Column): Column = call_function(fnName, a, b)
+
+  /** Codegen'd position-wise equality count over two array<bigint> columns. */
+  def arrayEqCount(a: Column, b: Column): Column = call_function(eqCountName, a, b)
+
+  /** array<string> tokens → array<bigint> n-gram hashes (no shingle strings
+    * are ever materialized).
+    */
+  def shingleHashes(tokens: Column, n: Int): Column =
+    call_function(shingleName, tokens, org.apache.spark.sql.functions.lit(n))
+
+  /** array<bigint> shingle hashes → MinHash signature of length k. */
+  def minhashSignature(hashes: Column, k: Int): Column =
+    call_function(minhashName, hashes, org.apache.spark.sql.functions.lit(k))
+
+  /** array<bigint> token hashes → 64-bit SimHash. */
+  def simhash64(hashes: Column): Column = call_function(simhashName, hashes)
+}

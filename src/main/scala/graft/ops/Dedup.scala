@@ -30,19 +30,21 @@ object Dedup {
       .drop("__fp")
   }
 
-  /** MinHash signature: k independent 64-bit min-hashes over distinct token
-    * shingles. One explode + one groupBy (shuffle on id) — signature
-    * computation is linear in corpus size.
+  /** MinHash signature: k-minima over n-gram hashes, computed by the native
+    * kernels (graft.functions.{ShingleHashes, MinHashSignature}) in ONE
+    * projection per document — no shingle strings, no explode, no groupBy,
+    * NO SHUFFLE. At corpus scale signature computation is embarrassingly
+    * parallel; only candidate banding shuffles. Documents with no shingles
+    * (fewer than n tokens) are excluded, matching set semantics.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 32, shingleSize: Int = 3): DataFrame = {
-    val shingled = df
-      .select(col(idCol), explode(TextOps.tokenShingles(col(textCol), shingleSize)).as("__sh"))
-      .dropDuplicates(idCol, "__sh")
-    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("__sh"))).as(s"__mh$i"))
-    shingled.groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(i => col(s"__mh$i")): _*).as("signature"))
+    import graft.functions.ArrayMath
+    df.select(col(idCol),
+        ArrayMath.shingleHashes(
+          TextOps.tokens(TextOps.normalized(col(textCol))), shingleSize).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col(idCol), ArrayMath.minhashSignature(col("__sh"), numHashes).as("signature"))
   }
 
   /** LSH banding: b bands of r rows each (k = b*r); a pair collides if any
@@ -56,46 +58,45 @@ object Dedup {
     val rows = numHashes / bands
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
 
-    val banded = sigs.select(col(idCol), col("signature"),
+    // skinny banding: only (id, band, bucket) shuffles for candidate
+    // generation; the 32-long signatures are joined back after pair dedup
+    // (AQE broadcasts the signature table when small)
+    val banded = sigs.select(col(idCol),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           xxhash64(lit(b), slice(col("signature"), b * rows + 1, rows)).as("bucket"))
       }: _*)).as("__b"))
-      .select(col(idCol), col("signature"), col("__b.band"), col("__b.bucket"))
+      .select(col(idCol), col("__b.band"), col("__b.bucket"))
 
-    val a = banded.select(col(idCol).as("id_a"), col("signature").as("sig_a"),
-      col("band"), col("bucket"))
-    val b = banded.select(col(idCol).as("id_b"), col("signature").as("sig_b"),
-      col("band"), col("bucket"))
-    val est = aggregate(
-      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1.0).otherwise(0.0)),
-      lit(0.0), (acc, x) => acc + x) / numHashes
-
-    a.join(b, Seq("band", "bucket"))
+    val candidates = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col(idCol).as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b") // a pair may collide in several bands
+
+    // codegen'd equality count (graft.functions.ArrayEqualCount) — this
+    // runs once per candidate pair, the hot loop of the operator
+    val est = graft.functions.ArrayMath.arrayEqCount(col("sig_a"), col("sig_b"))
+      .cast("double") / numHashes
+    candidates
+      .join(sigs.select(col(idCol).as("id_a"), col("signature").as("sig_a")), "id_a")
+      .join(sigs.select(col(idCol).as("id_b"), col("signature").as("sig_b")), "id_b")
       .withColumn("est_jaccard", est)
       .filter(col("est_jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
   /** 64-bit SimHash over whitespace tokens: per-bit signed counts of token
-    * hashes, sign → bit. Explode + one 64-column groupBy agg — all codegen.
+    * hashes, sign → bit (graft.functions.SimHash64 kernel). One projection
+    * per document — no explode, no shuffle.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokenized = df.select(col(idCol),
-      explode(TextOps.tokens(TextOps.normalized(col(textCol)))).as("__tok"))
-      .withColumn("__h", xxhash64(col("__tok")))
-    val bitAggs = (0 until 64).map { i =>
-      sum(when(expr(s"(__h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"__b$i")
-    }
-    val packed = (0 until 64).map { i =>
-      when(col(s"__b$i") > 0, expr(s"shiftleft(1L, $i)")).otherwise(0L)
-    }.reduce(_.bitwiseOR(_))
-    tokenized.groupBy(col(idCol))
-      .agg(bitAggs.head, bitAggs.tail: _*)
-      .select(col(idCol), packed.as("simhash"))
+    import graft.functions.ArrayMath
+    df.select(col(idCol),
+      ArrayMath.simhash64(
+        ArrayMath.shingleHashes(
+          TextOps.tokens(TextOps.normalized(col(textCol))), 1)).as("simhash"))
   }
 
   /** SimHash near-dups: Hamming distance ≤ maxDistance, candidates from
@@ -130,10 +131,15 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, minJaccard: Double = 0.3,
                         maxDocFreq: Long = 1000L): DataFrame = {
-    val shingled = df
-      .select(col(idCol).as("id"), explode(TextOps.tokenShingles(col(textCol), shingleSize)).as("sh"))
-      .distinct()
-    val sizes = shingled.groupBy("id").agg(count(lit(1)).as("sz"))
+    import graft.functions.ArrayMath
+    // shingle IDENTITY is its 64-bit hash (collisions negligible): the join
+    // shuffles longs, not strings; per-doc set semantics via array_distinct
+    // (no distinct shuffle); set sizes computed in the same projection
+    val hashed = df.select(col(idCol).as("id"),
+      array_distinct(ArrayMath.shingleHashes(
+        TextOps.tokens(TextOps.normalized(col(textCol))), shingleSize)).as("__shs"))
+    val shingled = hashed.select(col("id"), explode(col("__shs")).as("sh"))
+    val sizes = hashed.select(col("id"), size(col("__shs")).cast("long").as("sz"))
     val rare = shingled.join(
       shingled.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq),
       "sh")

@@ -5,14 +5,21 @@ import org.apache.spark.sql.functions._
 
 /** Embedding similarity search over an `array<float>` column.
   *
-  * Baseline: brute-force cosine top-k — a single scan with a codegen'd
-  * per-row dot product, then TakeOrderedAndProject (per-partition top-k +
-  * driver merge; no global sort).
+  * Baseline: brute-force cosine top-k — a single scan with a per-row dot
+  * product, then TakeOrderedAndProject (per-partition top-k + driver merge;
+  * no global sort).
   *
   * Scale path: random-hyperplane LSH (sign of projections, fixed seed):
   * bucket join on the bit signature replaces the cross product; multiple
   * tables (OR-amplification) recover recall. An IVF variant is the same
   * plan shape with learned centroids instead of random planes.
+  *
+  * Plan-shape rules that hold from 2k vectors to 100 TB:
+  *   - candidate pairs travel as SKINNY (id, id) rows — vector payloads are
+  *     joined back only after pair dedup (AQE broadcasts the vector table
+  *     when it is small; shuffle-joins it when it is not);
+  *   - vectors are L2-normalized once, so every pairwise cosine is a single
+  *     dot product instead of dot + two norms.
   */
 object Similarity {
 
@@ -21,8 +28,12 @@ object Similarity {
     */
   def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd native dot product (graft.functions.DotProduct) — identical
+    * left-to-right accumulation to the HOF spelling
+    * `aggregate(zip_with(a,b,_*_),0d,_+_)`, but a tight unboxed loop.
+    * Sessions entering through Tables/JobRunner/tests are pre-registered.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.ArrayMath.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -30,6 +41,12 @@ object Similarity {
     val ad = asDouble(a); val bd = asDouble(b)
     dot(ad, bd) / (norm(ad) * norm(bd))
   }
+
+  /** id + L2-normalized double vector (`__vn`), computed once per row. */
+  private def unitVectors(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), asDouble(col(vecCol)).as("__vd"))
+      .withColumn("__norm", norm(col("__vd")))
+      .select(col(idCol), transform(col("__vd"), x => x / col("__norm")).as("__vn"))
 
   /** Brute-force cosine top-k of `corpus` vs one query vector (given as a
     * 1-row DataFrame `(query_vec)` — broadcast, so the corpus never moves).
@@ -50,41 +67,46 @@ object Similarity {
   /** Pack the sign bits of `nBits` projections into one long bucket id. */
   def lshSignature(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      when(dot(asDouble(vec), typedLit(p.toSeq)) > 0.0, expr(s"shiftleft(1L, $i)"))
+      when(dot(vec, typedLit(p.toSeq)) > 0.0, expr(s"shiftleft(1L, $i)"))
         .otherwise(0L)
     }.reduce(_.bitwiseOR(_))
 
-  /** LSH-bucketed ANN: top-k per query, searching only hash-colliding
-    * buckets across `nTables` independent tables. Shuffles on (table,
-    * bucket) — never the cross product. Queries are the small side and are
-    * broadcast.
-    */
   /** All `nTables` (table, bucket) signatures from ONE scan: an explode over
-    * per-table signatures, so the corpus is read once regardless of table
-    * count.
+    * per-table signatures, so the input is read once regardless of table
+    * count. Emits only (id, __table, __bucket) — deliberately skinny.
     */
-  private def withBuckets(df: DataFrame, vecCol: String, dim: Int, nBits: Int,
-                          nTables: Int, seed: Long): DataFrame =
-    df.select(col("*"),
+  private def buckets(unit: DataFrame, idCol: String, dim: Int, nBits: Int,
+                      nTables: Int, seed: Long): DataFrame =
+    unit.select(col(idCol),
       explode(array((0 until nTables).map { t =>
         struct(lit(t).as("__table"),
-          lshSignature(col(vecCol), hyperplanes(dim, nBits, seed + t)).as("__bucket"))
+          lshSignature(col("__vn"), hyperplanes(dim, nBits, seed + t)).as("__bucket"))
       }: _*)).as("__tb"))
-      .select(df.columns.map(col).toIndexedSeq :+ col("__tb.__table") :+ col("__tb.__bucket"): _*)
+      .select(col(idCol), col("__tb.__table").as("__table"), col("__tb.__bucket").as("__bucket"))
 
+  /** LSH-bucketed ANN: top-k per query, searching only hash-colliding
+    * buckets across `nTables` independent tables. Shuffles on (table,
+    * bucket) — never the cross product.
+    */
   def annTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, queryIdCol: String, queryVecCol: String,
               k: Int, nBits: Int = 12, nTables: Int = 4, seed: Long = 42L): DataFrame = {
     val dim = 64 // fixture embedding dimensionality; parameterize when varied
-    val corpusAll = withBuckets(corpus, vecCol, dim, nBits, nTables, seed)
-    val queriesAll = withBuckets(queries, queryVecCol, dim, nBits, nTables, seed)
+    val corpusUnit = unitVectors(corpus, idCol, vecCol)
+    val queryUnit = unitVectors(queries, queryIdCol, queryVecCol)
+    val candidates = buckets(corpusUnit, idCol, dim, nBits, nTables, seed)
+      .join(broadcast(buckets(queryUnit, queryIdCol, dim, nBits, nTables, seed)),
+        Seq("__table", "__bucket"))
+      .filter(col(idCol) =!= col(queryIdCol))
+      .select(col(queryIdCol), col(idCol))
+      .dropDuplicates(queryIdCol, idCol) // same pair can collide in several tables
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(queryIdCol)).orderBy(col("cosine").desc, col(idCol))
-    corpusAll.join(broadcast(queriesAll), Seq("__table", "__bucket"))
-      .filter(col(idCol) =!= col(queryIdCol))
-      .select(col(queryIdCol), col(idCol),
-        cosine(col(vecCol), col(queryVecCol)).as("cosine"))
-      .dropDuplicates(queryIdCol, idCol) // same pair can collide in several tables
+    candidates
+      .join(corpusUnit.withColumnRenamed("__vn", "__vn_c"), idCol)
+      .join(broadcast(queryUnit.withColumnRenamed("__vn", "__vn_q")), queryIdCol)
+      .withColumn("cosine", dot(col("__vn_c"), col("__vn_q")))
+      .select(col(queryIdCol), col(idCol), col("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -96,16 +118,18 @@ object Similarity {
                          minCosine: Double = 0.95, nBits: Int = 10,
                          nTables: Int = 4, seed: Long = 42L): DataFrame = {
     val dim = 64
-    val banded = withBuckets(df.select(col(idCol), col(vecCol)), vecCol,
-      dim, nBits, nTables, seed)
-    val a = banded.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
-      col("__table"), col("__bucket"))
-    val b = banded.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
-      col("__table"), col("__bucket"))
-    a.join(b, Seq("__table", "__bucket"))
+    val unit = unitVectors(df, idCol, vecCol)
+    val banded = buckets(unit, idCol, dim, nBits, nTables, seed)
+    val candidates = banded.select(col("__table"), col("__bucket"), col(idCol).as("id_a"))
+      .join(banded.select(col("__table"), col("__bucket"), col(idCol).as("id_b")),
+        Seq("__table", "__bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
+    candidates
+      .join(unit.select(col(idCol).as("id_a"), col("__vn").as("__vn_a")), "id_a")
+      .join(unit.select(col(idCol).as("id_b"), col("__vn").as("__vn_b")), "id_b")
+      .withColumn("cosine", dot(col("__vn_a"), col("__vn_b")))
       .filter(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }

@@ -353,7 +353,8 @@ object RelationalQueries {
       (s, dir) =>
         Tables.events(s, dir)
           .select(col("event_type"),
-            expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k"))
+            from_json(col("props"), "k BIGINT", Map.empty[String, String])
+              .getField("k").as("k"))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("sum_k"),
             max(col("k")).as("max_k"))

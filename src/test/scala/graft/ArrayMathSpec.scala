@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.ArrayMath
+
+/** The native DotProduct expression must be bit-identical to the HOF
+  * spelling (same left-to-right accumulation) — that equivalence is what
+  * keeps the DuckDB oracles valid.
+  */
+class ArrayMathSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  test("native dot == HOF dot bit-for-bit on seeded random vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val rows = Seq.fill(50)((
+      List.fill(64)(rnd.nextGaussian() * 1000),
+      List.fill(64)(rnd.nextGaussian() * 1000)))
+    val got = rows.toDF("a", "b")
+      .select(ArrayMath.dot(col("a"), col("b")).as("native"),
+        hofDot(col("a"), col("b")).as("hof"))
+      .collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("null and mismatched-length behavior") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0), Seq(3.0))).toDF("a", "b")
+    assert(df.select(ArrayMath.dot(col("a"), col("b"))).head().getDouble(0) == 3.0)
+    val withNull = df.select(ArrayMath.dot(lit(null).cast("array<double>"), col("b")))
+    assert(withNull.head().isNullAt(0))
+  }
+
+  test("rejects non-double arrays at analysis time") {
+    import spark.implicits._
+    val df = Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
+    intercept[Exception] {
+      df.select(ArrayMath.dot(col("a"), col("b"))).head()
+    }
+  }
+}

@@ -15,6 +15,7 @@ object SparkTestSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.functions.ArrayMath.register(s)
     s
   }
 }
