@@ -27,11 +27,16 @@ object CovidTransform {
 
   private def emptyish(c: Column): Column = c.isNull || trim(c) === ""
 
-  /** Parse results as columns; null ⇒ that field failed its parse/check. */
+  /** Parse results as columns; null ⇒ that field failed its parse/check.
+    * Both casts are try_cast: the outer one turns NaN/Infinity doubles into
+    * rejects (Python's int(float("NaN")) raises ⇒ row dropped), where an
+    * ANSI cast would throw CAST_OVERFLOW at runtime.
+    */
   private def deathsParsed: Column =
     when(emptyish(col("total_confirmed_deaths")), lit(null))
-      .otherwise(expr("try_cast(trim(total_confirmed_deaths) AS DOUBLE)"))
-      .cast("long") // double→long truncates toward zero == Python int(float(x))
+      .otherwise(expr(
+        // double→long truncates toward zero == Python int(float(x))
+        "try_cast(try_cast(trim(total_confirmed_deaths) AS DOUBLE) AS BIGINT)"))
 
   private def dayParsed: Column =
     when(!col("Day").rlike("^\\d{4}-\\d{2}-\\d{2}$"), lit(null))

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming aggregations (SURVEY.md §2.9 extension surface —
+  * the reference has only file-arrival batching; these are the stock
+  * Structured Streaming operators a general engine owes its users):
+  * watermarked tumbling windows, session windows, and arbitrary keyed state
+  * via flatMapGroupsWithState.
+  *
+  * Every transform here takes a DataFrame with an event-time `ts` TIMESTAMP
+  * column (the `events` fixture after Tables.events conversion) and works
+  * identically over `read` (batch backfill) and `readStream` (live) inputs
+  * — the same code path serves both, which is the Spark-native replacement
+  * for maintaining separate batch/streaming pipelines.
+  */
+object StreamingAggregates {
+
+  /** Watermarked tumbling-window counts/sums per event type. The 1-hour
+    * watermark bounds state: at 100 TB/day ingest the state store holds
+    * only open windows, and late events beyond the watermark are dropped
+    * deterministically.
+    */
+  def hourlyTypeAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Event-time session windows (30 min gap) per user. */
+  def userSessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("user_id"), col("n_events"))
+
+  final case class UserEvent(user_id: Long, event_type: String, value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Arbitrary keyed state: running per-user totals maintained across
+    * micro-batches with flatMapGroupsWithState (update mode). State is one
+    * small record per user — the scalable shape for per-entity counters.
+    */
+  def runningUserTotals(spark: SparkSession, events: DataFrame): Dataset[UserRunning] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("event_type"), col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[UserRunning]) => {
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          var n = prev.n_events
+          var total = prev.total_value
+          batch.foreach { e => n += 1; total += e.value }
+          val next = UserRunning(userId, n, total)
+          state.update(next)
+          Iterator(next)
+        })
+  }
+}
