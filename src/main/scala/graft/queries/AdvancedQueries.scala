@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Second relational batch: multi-dimensional aggregation (rollup / cube /
+  * grouping sets), set operators, subqueries (IN / scalar), window-argmax,
+  * exact percentiles. Some run through `spark.sql` over temp views to
+  * exercise the SQL parse→analyze→optimize→execute lifecycle end-to-end
+  * (the reference's one real SQL entry point, SURVEY.md §3.3).
+  */
+object AdvancedQueries {
+
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // ------------------------------------------------------------------
+    // ROLLUP: hierarchical subtotals; grouping nulls disambiguated with
+    // COALESCE sentinels so null-ordering dialects can't disagree.
+    QuerySpec(
+      "q34_rollup",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+            col("n"), col("sum_qty"))
+          .orderBy("rf", "ls"),
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+             |  COALESCE(l_linestatus, 'ALL') AS ls,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY rf, ls""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // CUBE: all grouping combinations.
+    QuerySpec(
+      "q35_cube",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+          .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("n"), col("revenue"))
+          .orderBy("status", "priority"),
+      Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+             |  COALESCE(o_orderpriority, 'ALL') AS priority,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+             |ORDER BY status, priority""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // INTERSECT / EXCEPT set operators.
+    QuerySpec(
+      "q36_intersect",
+      (s, dir) =>
+        Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+          .intersect(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+          .orderBy("nationkey"),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |INTERSECT
+             |SELECT s_nationkey AS nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin)),
+
+    QuerySpec(
+      "q37_except",
+      (s, dir) =>
+        Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+          .except(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+          .orderBy("nationkey"),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |EXCEPT
+             |SELECT s_nationkey AS nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // IN-subquery (planned as a left-semi join).
+    QuerySpec(
+      "q38_in_subquery",
+      (s, dir) => {
+        val rich = Tables.customer(s, dir)
+          .filter(col("c_acctbal") > 9000.0).select(col("c_custkey"))
+        Tables.orders(s, dir)
+          .join(rich, col("o_custkey") === col("c_custkey"), "left_semi")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Scalar subquery through the FULL spark.sql lifecycle (parse →
+    // analyze → optimize → execute over a temp view).
+    QuerySpec(
+      "q39_scalar_subquery",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+        s.sql(
+          """SELECT o_orderkey, o_totalprice FROM graft_orders
+            |WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM graft_orders)
+            |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // GROUPING SETS via spark.sql.
+    QuerySpec(
+      "q40_grouping_sets",
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+        s.sql(
+          """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+            |  COALESCE(l_linestatus, 'ALL') AS ls,
+            |  COUNT(*) AS n
+            |FROM graft_lineitem
+            |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+            |ORDER BY rf, ls""".stripMargin)
+      },
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+             |  COALESCE(l_linestatus, 'ALL') AS ls,
+             |  COUNT(*) AS n
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+             |ORDER BY rf, ls""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Argmax per group via window (deterministic tie-break on both sides).
+    QuerySpec(
+      "q41_argmax_order",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o_orderpriority"), col("o_orderkey").as("best_order"),
+            col("o_totalprice").as("best_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, o_orderkey AS best_order, o_totalprice AS best_price
+             |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+             |        ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+             |WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Exact interpolated percentiles per group.
+    QuerySpec(
+      "q42_percentiles",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+            count(lit(1)).as("n"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+             |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+             |  COUNT(*) AS n
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+  )
+}
