@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions._
+
+/** SparkSessionExtensions entry point: installs graft's native functions
+  * into any session at build time —
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)  // or
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  *
+  * making them usable from plain SQL (`SELECT graft_dot_product(a, b)`) in
+  * e.g. a Thrift server, not just through the Scala API. The runtime
+  * registration in [[graft.functions.ArrayMath.register]] remains for
+  * sessions graft does not construct.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[ArrayMath.type].getName, null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier(ArrayMath.fnName),
+      info(ArrayMath.fnName, "_FUNC_(a, b) - codegen'd dot product of two array<double>"),
+      exprs => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier(ArrayMath.eqCountName),
+      info(ArrayMath.eqCountName, "_FUNC_(a, b) - position-wise equality count of two array<bigint>"),
+      exprs => ArrayEqualCount(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier(ArrayMath.shingleName),
+      info(ArrayMath.shingleName, "_FUNC_(tokens, n) - 64-bit hashes of token n-grams"),
+      exprs => ShingleHashes(exprs(0), litInt(exprs(1)))))
+    e.injectFunction((FunctionIdentifier(ArrayMath.minhashName),
+      info(ArrayMath.minhashName, "_FUNC_(hashes, k) - k-minima MinHash signature"),
+      exprs => MinHashSignature(exprs(0), litInt(exprs(1)))))
+    e.injectFunction((FunctionIdentifier(ArrayMath.simhashName),
+      info(ArrayMath.simhashName, "_FUNC_(hashes) - 64-bit SimHash"),
+      exprs => SimHash64(exprs(0))))
+  }
+
+  private def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"argument must be an integer literal, got $other")
+    }
+}

@@ -1,0 +1,87 @@
+package graft.etl
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** File-level pre-flight checks (SURVEY.md §2.7, first table rows): the
+  * reference downloads whole files into the orchestrator worker to check
+  * them (`/root/reference/dataflow.py:158-186`); here the checks are
+  * metadata-only Hadoop FS calls (exists, size, mtime) plus a bounded
+  * head-sample UTF-8 probe — O(files), not O(bytes), so a 100 TB input
+  * glob costs a listing, and full-content validation happens distributed
+  * in [[Validation]] instead.
+  */
+object FileChecks {
+
+  final case class FileReport(
+      path: String,
+      exists: Boolean,
+      sizeBytes: Long,
+      empty: Boolean,
+      largeWarn: Boolean,   // > maxSizeBytes (reference: 100 MB warn)
+      staleWarn: Boolean,   // older than maxAgeDays (reference: 7 days)
+      utf8Ok: Boolean)
+
+  final case class Summary(files: Seq[FileReport]) {
+    def failed: Boolean = files.exists(f => !f.exists || f.empty || !f.utf8Ok)
+    def warnings: Seq[FileReport] = files.filter(f => f.largeWarn || f.staleWarn)
+    def totalBytes: Long = files.map(_.sizeBytes).sum
+  }
+
+  def check(spark: SparkSession, glob: String,
+            maxSizeBytes: Long = 100L * 1024 * 1024,
+            maxAgeDays: Int = 7,
+            utf8SampleBytes: Int = 64 * 1024,
+            nowMs: Long = System.currentTimeMillis()): Summary = {
+    val path = new Path(glob)
+    val fs = FileSystem.get(path.toUri, spark.sparkContext.hadoopConfiguration)
+    val statuses = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Nil)
+    if (statuses.isEmpty)
+      return Summary(Seq(FileReport(glob, exists = false, 0L, empty = true,
+        largeWarn = false, staleWarn = false, utf8Ok = false)))
+    Summary(statuses.map { st =>
+      val size = st.getLen
+      val ageMs = nowMs - st.getModificationTime
+      FileReport(
+        st.getPath.toString,
+        exists = true,
+        sizeBytes = size,
+        empty = size == 0L,
+        largeWarn = size > maxSizeBytes,
+        staleWarn = ageMs > maxAgeDays.toLong * 24 * 3600 * 1000,
+        utf8Ok = size == 0L || utf8Head(fs, st.getPath, math.min(size, utf8SampleBytes.toLong).toInt))
+    })
+  }
+
+  /** Strict UTF-8 decode of the first `n` bytes (truncated trailing
+    * multi-byte sequences tolerated). The reference decodes ENTIRE files in
+    * the worker (`dataflow.py:182-186`); a bounded head probe catches the
+    * same wrong-encoding mistakes at O(1) cost.
+    */
+  private def utf8Head(fs: FileSystem, p: Path, n: Int): Boolean = {
+    val buf = new Array[Byte](n)
+    val in = fs.open(p)
+    try {
+      var off = 0
+      while (off < n) {
+        val r = in.read(buf, off, n - off)
+        if (r < 0) return decodeUtf8(buf, off, trimTail = false)
+        off += r
+      }
+      decodeUtf8(buf, off, trimTail = true)
+    } finally in.close()
+  }
+
+  private def decodeUtf8(buf: Array[Byte], len: Int, trimTail: Boolean): Boolean = {
+    // drop up to 3 trailing continuation/lead bytes of a cut-off sequence
+    var end = len
+    if (trimTail) {
+      var drop = 0
+      while (drop < 3 && end > 0 && (buf(end - 1) & 0xC0) == 0x80) { end -= 1; drop += 1 }
+      if (end > 0 && (buf(end - 1) & 0xC0) == 0xC0) end -= 1
+    }
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+    try { dec.decode(java.nio.ByteBuffer.wrap(buf, 0, end)); true }
+    catch { case _: java.nio.charset.CharacterCodingException => false }
+  }
+}

@@ -26,6 +26,15 @@ object Jobs {
     */
   def covidPipeline(spark: SparkSession, inputCsv: String, outputTable: String,
                     auditTable: String, runId: String = "local-run"): RunSummary = {
+    // Stage 0: file-level pre-flight (exists/empty/utf8; size/age warns) —
+    // metadata-only, replaces the reference's whole-file download checks
+    val fileGate = FileChecks.check(spark, inputCsv)
+    if (fileGate.failed)
+      throw new IllegalStateException(
+        s"file checks failed for $inputCsv: " +
+          fileGate.files.filter(f => !f.exists || f.empty || !f.utf8Ok)
+            .map(_.path).mkString(","))
+
     // Stage 1: data-quality gate (replaces dataflow.py:62-134)
     val raw = Sources.csv(spark, inputCsv, Schemas.covidRaw)
     val report = Validation.run(raw, Validation.covidCsvRules)

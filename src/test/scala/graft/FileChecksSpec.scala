@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.FileChecks
+
+class FileChecksSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("exists/empty/size/age/utf8 checks over a glob") {
+    val dir = Files.createTempDirectory("graft-filechecks")
+    Files.writeString(dir.resolve("good.csv"), "a,b\n1,2\n")
+    Files.write(dir.resolve("empty.csv"), Array.empty[Byte])
+    Files.write(dir.resolve("binary.csv"), Array[Byte](0xC3.toByte, 0x28, 0x41, 0x42))
+    val s = FileChecks.check(spark, s"$dir/*.csv")
+    assert(s.files.size == 3)
+    val byName = s.files.map(f => f.path.split('/').last -> f).toMap
+    assert(byName("good.csv").utf8Ok && !byName("good.csv").empty)
+    assert(byName("empty.csv").empty)
+    assert(!byName("binary.csv").utf8Ok) // 0xC3 0x28 is invalid UTF-8
+    assert(s.failed)
+  }
+
+  test("missing glob reports not-exists and fails") {
+    val s = FileChecks.check(spark, "/tmp/definitely-not-here-*.csv")
+    assert(!s.files.head.exists && s.failed)
+  }
+
+  test("stale and large warnings honor thresholds") {
+    val dir = Files.createTempDirectory("graft-filechecks2")
+    val f = dir.resolve("old.csv")
+    Files.writeString(f, "x\n1\n")
+    val now = System.currentTimeMillis()
+    Files.setLastModifiedTime(f,
+      java.nio.file.attribute.FileTime.fromMillis(now - 10L * 24 * 3600 * 1000))
+    val s = FileChecks.check(spark, s"$dir/*.csv", maxSizeBytes = 1L, maxAgeDays = 7, nowMs = now)
+    assert(s.files.head.largeWarn && s.files.head.staleWarn)
+    assert(!s.failed) // warnings do not fail the gate
+  }
+
+  test("GraftExtensions makes native functions available in plain SQL") {
+    val base = SparkTestSession.spark // ensure context exists
+    // getOrCreate returns the active session (ignoring withExtensions), so
+    // clear active/default first to force a NEW session whose state is
+    // built from the extensions, then restore the shared one.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master(base.sparkContext.master)
+        .appName("graft-ext-test")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne base)
+      val r = s2.sql(
+        "SELECT graft_dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+          "graft_simhash64(graft_shingle_hashes(array('a','b','c'), 1)) AS sh")
+        .head()
+      assert(r.getDouble(0) == 11.0)
+      assert(r.getLong(1) != 0L)
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+}
