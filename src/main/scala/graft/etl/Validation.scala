@@ -61,7 +61,7 @@ object Validation {
       "yyyy-MM-dd HH:mm:ss.SSSSSS", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
       "yyyy-MM-dd")
     val anyParses = formats
-      .map(f => expr(s"try_to_timestamp($c, '$f')").isNotNull)
+      .map(f => try_to_timestamp(col(c), lit(f)).isNotNull)
       .reduce(_ || _)
     Rule(s"timestamp_$c", col(c).isNotNull && !anyParses, severity)
   }

@@ -154,6 +154,74 @@ object AdvancedQueries {
              |WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // As-of join (an operator Spark lacks natively; graft.ops.AsOfJoin is
+    // the one-shuffle union+window composition): for each purchase, the
+    // most recent prior-or-equal signup of the same user. Oracle uses
+    // DuckDB's native ASOF LEFT JOIN.
+    QuerySpec(
+      "q43_asof_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr("ts_ns div 1000").as("ts_us"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts_us"))
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts_us").as("signup_us"))
+        graft.ops.AsOfJoin.backward(purchases, signups, "user_id",
+          "ts_us", "signup_us", Seq("signup_us"))
+          .select(col("event_id"), col("user_id"), col("ts_us"), col("signup_us"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+             |  epoch_us(s.ts) AS signup_us
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+             |  ON p.user_id = s.user_id AND p.ts >= s.ts
+             |ORDER BY p.event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Exact distinct counting per group (the sketch-free baseline;
+    // approx_count_distinct is the drop-in at 100 TB but is not
+    // oracle-comparable across engines).
+    QuerySpec(
+      "q44_count_distinct",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_users"),
+            count(lit(1)).as("n_events"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+             |  COUNT(*) AS n_events
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Window function family: lag/lead/ntile/first over a deterministic
+    // per-customer order sequence.
+    QuerySpec(
+      "q45_window_family",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderkey"),
+            lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+            lead(col("o_orderkey"), 1).over(w).as("next_order"),
+            ntile(4).over(w).as("quartile"),
+            first(col("o_orderkey")).over(w).as("first_order"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  LAG(o_orderkey, 1) OVER w AS prev_order,
+             |  LEAD(o_orderkey, 1) OVER w AS next_order,
+             |  NTILE(4) OVER w AS quartile,
+             |  FIRST_VALUE(o_orderkey) OVER w AS first_order
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Exact interpolated percentiles per group.
     QuerySpec(
       "q42_percentiles",

@@ -129,6 +129,27 @@ class EtlSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-format timestamp rule accepts the 5 reference formats") {
+    import spark.implicits._
+    val df = Seq("2020-03-01 10:00:00", "2020-03-01T10:00:00",
+      "2020-03-01 10:00:00.123456", "2020-03-01T10:00:00.123456",
+      "2020-03-01", "01/03/2020", "garbage", null)
+      .toDF("ts_str")
+    val rule = Validation.timestampAnyFormat("ts_str")
+    val report = Validation.run(df, Seq(rule))
+    assert(report.totalRecords == 8)
+    assert(report.violations("timestamp_ts_str") == 2) // 01/03/2020, garbage
+  }
+
+  test("Sql entry point runs text SQL over registered fixture views") {
+    val run = Sql.session(spark, "/root/testdata/sf0.001")
+    assert(run("SELECT COUNT(*) AS n FROM lineitem").head().getLong(0) == 6000L)
+    val joined = run(
+      """SELECT r_name, COUNT(*) AS n FROM nation
+        |JOIN region ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name""".stripMargin)
+    assert(joined.count() == 5)
+  }
+
   test("post-load check operator semantics") {
     assert(Sinks.check(spark, "SELECT 1"))
     assert(!Sinks.check(spark, "SELECT COUNT(*) FROM range(10) WHERE id > 100"))

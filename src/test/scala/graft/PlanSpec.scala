@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: the properties that make these queries
+  * scale are asserted, not assumed. If a refactor un-pushes a filter or
+  * turns a broadcast join into a shuffle join, these fail.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executedPlan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def formatted(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q02: predicate and projection pushed into the parquet scan") {
+    val plan = formatted("q02_filter_project")
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("GreaterThan(o_totalprice,150000.0)"), plan)
+    // pruned read schema: only the 3 selected columns
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>"), plan)
+  }
+
+  test("q01: date filter pushed; no unnecessary columns read") {
+    val plan = formatted("q01_pricing_summary")
+    assert(plan.contains("LessThanOrEqual(l_shipdate"), plan)
+    assert(!plan.contains("l_orderkey"), "q01 must not read l_orderkey\n" + plan)
+  }
+
+  test("q04: all four dimension joins broadcast") {
+    val plan = executedPlan("q04_revenue_by_nation")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q05: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val plan = executedPlan("q05_topk_orders")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q25/q26: sketch computation has no shuffle before banding") {
+    // signature/sketch stage must be a pure projection over the scan:
+    // the simhash query (no banding) must contain NO shuffle exchange at all
+    // except the final presentation sort
+    val plan = executedPlan("q26_simhash")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 0, s"simhash must not hash-shuffle\n$plan")
+  }
+
+  test("native expressions stay inside whole-stage codegen") {
+    import spark.implicits._
+    // NB: array<float>→double via transform() is a HOF and would break the
+    // codegen span by itself, and a local Seq constant-folds away; build
+    // array<double> with array() over a parquet scan so the projection is
+    // real, and require the fused `*(N)` / WholeStageCodegen marker
+    val df = Tables.lineitem(spark, sf)
+      .select(graft.functions.ArrayMath.dot(
+        array(col("l_quantity"), col("l_extendedprice")),
+        array(col("l_discount"), col("l_tax"))).as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.matches("(?s).*\\*\\(\\d+\\) Project.*"),
+      plan)
+  }
+}
