@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the learned-centroid
+  * counterpart of the random-hyperplane LSH in [[Similarity]].
+  *
+  * Index build = distributed k-means over the embedding column, entirely in
+  * DataFrame operations: assignment is a per-row argmax over centroid dot
+  * products (a greatest-of-structs expression, fully codegen'd) and the
+  * centroid update is a posexplode + groupBy(cid, dim) mean. Only the k×dim
+  * centroid matrix ever reaches the driver — corpus vectors never move.
+  * Search probes the `nProbe` nearest inverted lists, so the join shuffles
+  * on centroid id instead of forming the cross product.
+  *
+  * Determinism: centroid init picks the k corpus vectors with the smallest
+  * mixed id hash (a seeded deterministic sample), so the index is
+  * reproducible across runs and partitionings.
+  */
+object Ivf {
+
+  /** argmax over centroids of dot(unit vec, unit centroid) via the
+    * greatest(struct(score, cid)) trick — one codegen'd expression.
+    */
+  private def nearestCentroid(vn: Column, centroids: Array[(Int, Array[Double])]): Column =
+    greatest(centroids.map { case (cid, c) =>
+      struct(Similarity.dot(vn, typedLit(c.toSeq)).as("score"), lit(cid).as("cid"))
+    }: _*).getField("cid")
+
+  private def unitVectors(df: DataFrame, vecCol: String): DataFrame = {
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    df.withColumn("__vd", vd)
+      .withColumn("__norm", sqrt(Similarity.dot(col("__vd"), col("__vd"))))
+      .withColumn("__vn", transform(col("__vd"), x => x / col("__norm")))
+      .drop("__vd", "__norm")
+  }
+
+  /** Spherical k-means on the unit sphere. Returns (cid, centroid) with
+    * centroids L2-normalized.
+    */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                     k: Int, iters: Int = 3, seed: Long = 42L): Array[(Int, Array[Double])] = {
+    val unit = unitVectors(corpus, vecCol).select(col(idCol), col("__vn"))
+
+    // deterministic seeded sample: k smallest mixed-id hashes
+    var centroids: Array[(Int, Array[Double])] = unit
+      .withColumn("__r", xxhash64(lit(seed), col(idCol)))
+      .orderBy(col("__r"))
+      .limit(k)
+      .select(col("__vn"))
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
+
+    (1 to iters).foreach { _ =>
+      val assigned = unit.withColumn("__cid", nearestCentroid(col("__vn"), centroids))
+      val sums = assigned
+        .select(col("__cid"), posexplode(col("__vn")))
+        .groupBy(col("__cid"), col("pos"))
+        .agg(sum(col("col")).as("s"))
+        .collect() // k × dim rows — centroid-matrix sized, not corpus sized
+      val byCid = sums.groupBy(_.getInt(0))
+      centroids = centroids.map { case (cid, old) =>
+        byCid.get(cid) match {
+          case None => (cid, old) // empty cluster keeps its centroid
+          case Some(rows) =>
+            val dim = rows.map(_.getInt(1)).max + 1
+            val v = new Array[Double](dim)
+            rows.foreach(r => v(r.getInt(1)) = r.getDouble(2))
+            val n = math.sqrt(v.map(x => x * x).sum)
+            (cid, if (n == 0.0) old else v.map(_ / n))
+        }
+      }
+    }
+    centroids
+  }
+
+  /** IVF top-k search: probe the `nProbe` nearest lists per query. */
+  def topK(corpus: DataFrame, idCol: String, vecCol: String,
+           queries: DataFrame, queryIdCol: String, queryVecCol: String,
+           k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+           iters: Int = 3, seed: Long = 42L): DataFrame = {
+    val centroids = trainCentroids(corpus, idCol, vecCol, nCentroids, iters, seed)
+
+    val corpusAssigned = unitVectors(corpus, vecCol)
+      .select(col(idCol), col("__vn"),
+        nearestCentroid(col("__vn"), centroids).as("__cid"))
+
+    // per query: rank all centroids, keep nProbe best lists
+    val qUnit = unitVectors(queries, queryVecCol)
+      .select(col(queryIdCol), col("__vn").as("__qn"))
+    val scored = qUnit.select(col(queryIdCol), col("__qn"),
+      explode(array(centroids.map { case (cid, c) =>
+        struct((-Similarity.dot(col("__qn"), typedLit(c.toSeq))).as("negScore"),
+          lit(cid).as("__cid"))
+      }: _*)).as("__s"))
+    val wq = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__s.negScore"), col("__s.__cid"))
+    val probes = scored
+      .withColumn("__pr", row_number().over(wq))
+      .filter(col("__pr") <= nProbe)
+      .select(col(queryIdCol), col("__qn"), col("__s.__cid").as("__cid"))
+
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("cosine").desc, col(idCol))
+    corpusAssigned.join(broadcast(probes), "__cid")
+      .filter(col(idCol) =!= col(queryIdCol))
+      .select(col(queryIdCol), col(idCol),
+        Similarity.dot(col("__vn"), col("__qn")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

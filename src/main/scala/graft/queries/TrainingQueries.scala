@@ -240,6 +240,39 @@ object TrainingQueries {
       None),
 
     // ------------------------------------------------------------------
+    // IVF ANN (learned-centroid scale path; spherical k-means trained in
+    // DataFrame ops, probes nProbe inverted lists). Deterministic seeded
+    // init — rows-only check (iterative index, not SQL-expressible).
+    QuerySpec(
+      "q46_ann_ivf",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 10L)
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        graft.ops.Ivf.topK(emb, "vec_id", "embedding", queries, "query_id", "query_vec",
+          k = 10, nCentroids = 16, nProbe = 4)
+          .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"),
+            col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    // ------------------------------------------------------------------
+    // Sketch aggregates (HLL++ distinct, approximate quantiles) — the
+    // 100 TB drop-ins for q44/q42. Algorithms differ across engines, so
+    // rows-only check; ApproxSpec asserts tolerance vs exact.
+    QuerySpec(
+      "q47_approx_sketches",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(
+            approx_count_distinct(col("user_id")).as("approx_users"),
+            percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"))
+          .orderBy("event_type"),
+      None),
+
+    // ------------------------------------------------------------------
     // Multimodal plumbing: opaque binary payload + typed metadata, batch
     // feature extraction via mapPartitions (decode kernel stubbed — the
     // Spark-side schema/batching is the tested part).

