@@ -53,6 +53,23 @@ object FileChecks {
     })
   }
 
+  /** Move processed inputs to an archive directory (the reference's
+    * move-to-processed step, `README.md:67`/`:132`) — an FS rename, so on
+    * object stores it must run AFTER the source checkpoint commits (the
+    * streaming ingest's exactly-once guarantee does not depend on it).
+    */
+  def archive(spark: SparkSession, glob: String, processedDir: String): Seq[String] = {
+    val path = new Path(glob)
+    val fs = FileSystem.get(path.toUri, spark.sparkContext.hadoopConfiguration)
+    val dest = new Path(processedDir)
+    if (!fs.exists(dest)) fs.mkdirs(dest)
+    Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Nil).map { st =>
+      val target = new Path(dest, st.getPath.getName)
+      fs.rename(st.getPath, target)
+      target.toString
+    }
+  }
+
   /** Strict UTF-8 decode of the first `n` bytes (truncated trailing
     * multi-byte sequences tolerated). The reference decodes ENTIRE files in
     * the worker (`dataflow.py:182-186`); a bounded head probe catches the

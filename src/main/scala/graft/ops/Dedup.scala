@@ -87,6 +87,20 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
+  /** End-to-end near-dedup: drop every document that has a near-duplicate
+    * with a smaller id (the standard greedy survivor rule — for a chain
+    * A~B~C with A<B<C, A survives). One anti-join against the candidate
+    * pairs; composes exact + MinHash stages.
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                         numHashes: Int = 32, shingleSize: Int = 3,
+                         bands: Int = 16, minJaccard: Double = 0.8): DataFrame = {
+    val pairs = minhashNearDupPairs(df, idCol, textCol, numHashes, shingleSize,
+      bands, minJaccard)
+    df.join(pairs.select(col("id_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash over whitespace tokens: per-bit signed counts of token
     * hashes, sign → bit (graft.functions.SimHash64 kernel). One projection
     * per document — no explode, no shuffle.

@@ -41,6 +41,16 @@ class FileChecksSpec extends AnyFunSuite {
     assert(!s.failed) // warnings do not fail the gate
   }
 
+  test("archive moves processed files to the processed dir") {
+    val dir = Files.createTempDirectory("graft-archive")
+    Files.writeString(dir.resolve("a.csv"), "x\n1\n")
+    Files.writeString(dir.resolve("b.csv"), "x\n2\n")
+    val moved = FileChecks.archive(spark, s"$dir/*.csv", s"$dir/processed")
+    assert(moved.size == 2)
+    assert(!Files.exists(dir.resolve("a.csv")))
+    assert(Files.exists(Paths.get(s"$dir/processed/a.csv")))
+  }
+
   test("GraftExtensions makes native functions available in plain SQL") {
     val base = SparkTestSession.spark // ensure context exists
     // getOrCreate returns the active session (ignoring withExtensions), so

@@ -59,6 +59,19 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("dropNearDuplicates keeps smallest-id survivor per cluster") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val df = Seq(
+      (1L, base), (2L, base), (3L, base + " phi"),
+      (4L, "entirely different content with many other words here now " +
+        "red green blue yellow purple orange cyan magenta black white")).toDF("id", "text")
+    val kept = Dedup.dropNearDuplicates(df, "id", "text", minJaccard = 0.5)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 4L))
+  }
+
   test("simhash: identical docs equal, near docs close, distinct docs far") {
     import spark.implicits._
     val df = Seq(
