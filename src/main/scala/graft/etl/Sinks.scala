@@ -15,15 +15,44 @@ import org.apache.spark.sql.types.StructType
   */
 object Sinks {
 
-  /** K1 — truncate-and-load with create-if-needed. */
+  /** The session catalog is in-memory: a table written by a PREVIOUS JVM
+    * leaves its warehouse location on disk but no catalog entry, and a
+    * naive saveAsTable then fails with LOCATION_ALREADY_EXISTS. Resolve
+    * per the intended save mode: re-register the orphan as a table (append
+    * keeps history) or remove it (truncate).
+    */
+  private def defaultPath(spark: SparkSession, table: String) = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    new org.apache.hadoop.fs.Path(spark.sessionState.catalog.defaultTablePath(ident))
+  }
+
+  private def adoptOrphanLocation(spark: SparkSession, table: String, keep: Boolean): Unit = {
+    if (!spark.catalog.tableExists(table)) {
+      val path = defaultPath(spark, table)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) {
+        if (keep) spark.sql(s"CREATE TABLE $table USING parquet LOCATION '$path'")
+        else fs.delete(path, true)
+      }
+    }
+  }
+
+  /** K1 — truncate-and-load with create-if-needed (`WRITE_TRUNCATE`:
+    * a stale location from an earlier run is removed, as truncate implies).
+    */
   def overwriteTable(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Unit = {
+    adoptOrphanLocation(df.sparkSession, table, keep = false)
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).saveAsTable(table)
   }
 
-  /** K2/K3 — append (audit rows; INSERT INTO final). */
-  def appendTable(df: DataFrame, table: String): Unit =
+  /** K2/K3 — append (audit rows; INSERT INTO final). A location from an
+    * earlier run is re-registered first so history accumulates across runs.
+    */
+  def appendTable(df: DataFrame, table: String): Unit = {
+    adoptOrphanLocation(df.sparkSession, table, keep = true)
     df.write.mode(SaveMode.Append).saveAsTable(table)
+  }
 
   /** Path-based parquet sink for warehouse-less runs. */
   def writeParquet(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite,

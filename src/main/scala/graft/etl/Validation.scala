@@ -72,6 +72,14 @@ object Validation {
   def missingColumns(df: DataFrame, expected: Seq[String]): Seq[String] =
     expected.filterNot(df.columns.toSet)
 
+  /** Per-file record counts (SURVEY.md §2.3 A4): one distributed pass,
+    * grouped by source file, with the basename derived in-plan
+    * (`element_at(split(input_file_name(),'/'),-1)` — §2.6).
+    */
+  def perFileCounts(df: DataFrame): DataFrame =
+    df.groupBy(element_at(split(input_file_name(), "/"), -1).as("file_name"))
+      .agg(count(lit(1)).as("record_count"))
+
   /** Run every rule in one aggregation pass. */
   def run(df: DataFrame, rules: Seq[Rule]): Report = {
     val aggs = count(lit(1)).as("__total") +:

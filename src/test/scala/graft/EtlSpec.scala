@@ -150,6 +150,35 @@ class EtlSpec extends AnyFunSuite {
     assert(joined.count() == 5)
   }
 
+  test("CleanOps: trailing colons / special chars removed; status split partitions") {
+    import spark.implicits._
+    val df = Seq(("Pizza Palace::", "delivered"), ("Bob's Burgers!!:", "pending"),
+      ("Clean Name", "delivered")).toDF("restaurant", "status")
+    val cleaned = CleanOps.cleanColumns(df, Seq("restaurant"))
+      .collect().map(_.getString(0))
+    assert(cleaned.toSeq == Seq("Pizza Palace", "Bobs Burgers", "Clean Name"))
+    val (delivered, other) = CleanOps.splitByStatus(df, "status", "delivered")
+    assert(delivered.count() == 2 && other.count() == 1)
+    assert(delivered.count() + other.count() == df.count())
+  }
+
+  test("per-file counts derive basenames in-plan") {
+    val counts = Validation.perFileCounts(
+      spark.read.option("header", "true").csv(fixture)).collect()
+    assert(counts.length == 1)
+    assert(counts.head.getString(0) == "covid_daily.csv")
+    assert(counts.head.getLong(1) == 12L)
+  }
+
+  test("typed Aggregator (udaf): Welford variance matches var_samp") {
+    functions.Aggregators.register(spark)
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val row = li.agg(
+      functions.Aggregators.varWelford(col("l_quantity")).as("w"),
+      var_samp(col("l_quantity")).as("v")).head()
+    assert(math.abs(row.getDouble(0) - row.getDouble(1)) < 1e-6)
+  }
+
   test("post-load check operator semantics") {
     assert(Sinks.check(spark, "SELECT 1"))
     assert(!Sinks.check(spark, "SELECT COUNT(*) FROM range(10) WHERE id > 100"))
