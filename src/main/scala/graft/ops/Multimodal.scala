@@ -33,7 +33,7 @@ object Multimodal {
         lit("text/plain").as("format"),
         lit(0).as("width"),
         lit(0).as("height"),
-        length(col("text").cast("binary")).cast("long").as("nBytes")).as("meta"))
+        coalesce(length(col("text").cast("binary")).cast("long"), lit(0L)).as("nBytes")).as("meta"))
 
   /** STUB decode kernel: deterministic fake "decoder" hashing byte windows
     * into an 8-float feature vector. Replace the body with the real codec
@@ -57,7 +57,10 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       // production: initialize the decoder ONCE here, per partition
-      rows.map(r => MediaFeatures(r.media_id, r.meta.format, decodeStub(r.bytes)))
+      rows.map { r =>
+        val payload = if (r.bytes == null) Array.empty[Byte] else r.bytes
+        MediaFeatures(r.media_id, r.meta.format, decodeStub(payload))
+      }
     }
   }
 

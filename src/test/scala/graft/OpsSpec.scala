@@ -130,6 +130,28 @@ class OpsSpec extends AnyFunSuite {
     assert(ann.map(_.getInt(3)).toSeq == (1 to ann.length))
   }
 
+  test("dedup/similarity ops survive empty and degenerate inputs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("id", "text")
+    assert(Dedup.exact(empty, "id", "text").count() == 0)
+    assert(Dedup.minhashNearDupPairs(empty, "id", "text").count() == 0)
+    assert(Dedup.simhash(empty, "id", "text").count() == 0)
+    assert(Dedup.ngramJaccardPairs(empty, "id", "text").count() == 0)
+    // shorter than the shingle size -> no signature row, no pairs
+    val short = Seq((1L, "one two"), (2L, "one two")).toDF("id", "text")
+    assert(Dedup.minhashSignatures(short, "id", "text", 16, 3).count() == 0)
+    assert(Dedup.minhashNearDupPairs(short, "id", "text", 16, 3, 8, 0.1).count() == 0)
+    // null text is a reject, not a crash
+    val withNull = Seq((1L, null), (2L, "a real document right here")).toDF("id", "text")
+    assert(TextOps.tokens(col("text")) != null)
+    assert(withNull.select(TextOps.tokenCount(col("text"))).collect()
+      .map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSet == Set(-1L, 5L))
+    val m = graft.ops.Multimodal.extractFeatures(spark,
+      graft.ops.Multimodal.packDocuments(
+        withNull.withColumnRenamed("id", "doc_id")))
+    assert(m.count() == 2) // null payload -> empty features, no NPE
+  }
+
   test("multimodal: features preserve partition batching and schema") {
     val media = Multimodal.packDocuments(Tables.documents(spark, sf))
     val feats = Multimodal.extractFeatures(spark, media)
