@@ -127,6 +127,7 @@ object ArrayMath {
   val shingleName = "graft_shingle_hashes"
   val minhashName = "graft_minhash_signature"
   val simhashName = "graft_simhash64"
+  val textStatsName = "graft_text_stats"
 
   private def intLit(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
@@ -150,6 +151,8 @@ object ArrayMath {
       minhashName, exprs => MinHashSignature(exprs(0), intLit(exprs(1), "numHashes")), "scala_udf")
     reg.createOrReplaceTempFunction(
       simhashName, exprs => SimHash64(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      textStatsName, exprs => TextStats(exprs(0)), "scala_udf")
   }
 
   /** Codegen'd dot product over two array<double> columns. Caller must have
@@ -172,4 +175,7 @@ object ArrayMath {
 
   /** array<bigint> token hashes → 64-bit SimHash. */
   def simhash64(hashes: Column): Column = call_function(simhashName, hashes)
+
+  /** string → struct of one-pass text statistics (see [[TextStats]]). */
+  def textStats(text: Column): Column = call_function(textStatsName, text)
 }

@@ -65,16 +65,26 @@ object TrainingQueries {
 
     // ------------------------------------------------------------------
     // Per-document quality metrics (Gopher/C4-style heuristic filters).
+    // All counts come from ONE pass of the native TextStats kernel; the
+    // derived ratios are bit-identical to the HOF spelling (integer counts
+    // first, same divisions) — equivalence is asserted in TextStatsSpec.
     QuerySpec(
       "q22_quality_scores",
       (s, dir) =>
         Tables.documents(s, dir)
+          .select(col("doc_id"), length(col("text")).as("__nc"),
+            graft.functions.ArrayMath.textStats(col("text")).as("__st"))
           .select(
             col("doc_id"),
-            TextOps.tokenCount(col("text")).as("n_tokens"),
-            round(TextOps.stopwordRatio(col("text")), 4).as("stop_ratio"),
-            round(TextOps.meanTokenLength(col("text")), 4).as("mean_tok_len"),
-            round(TextOps.qualityScore(col("text")), 2).as("quality"))
+            col("__st.n_tokens").as("n_tokens"),
+            round(col("__st.n_stop").cast("double") / col("__st.n_tokens"), 4).as("stop_ratio"),
+            round(col("__st.tok_chars").cast("double") / col("__st.n_tokens"), 4).as("mean_tok_len"),
+            round(
+              when(col("__nc").between(50, 20000), 1.0).otherwise(0.0) * 0.3 +
+              when(col("__st.n_stop").cast("double") / col("__st.n_tokens") >= 0.01, 1.0).otherwise(0.0) * 0.3 +
+              when(col("__st.n_punct").cast("double") / col("__nc") <= 0.2, 1.0).otherwise(0.0) * 0.2 +
+              when((col("__st.tok_chars").cast("double") / col("__st.n_tokens")).between(2.0, 12.0), 1.0).otherwise(0.0) * 0.2,
+              2).as("quality"))
           .orderBy("doc_id"),
       Some(s"""WITH m AS (
               |  SELECT doc_id, text, $toksSql AS toks,
@@ -113,12 +123,25 @@ object TrainingQueries {
     // both sides.
     QuerySpec(
       "q24_langid",
-      (s, dir) =>
+      (s, dir) => {
+        // marker counts from the one-pass kernel; same greatest-of-structs
+        // tie-break as TextOps.langId (lexicographically larger code wins)
+        val st = graft.functions.ArrayMath.textStats(col("text"))
+        val scored = Seq("en" -> "s_en", "de" -> "s_de", "es" -> "s_es", "fr" -> "s_fr")
+          .map { case (lang, f) =>
+            struct(col(s"__st.$f").as("score"), lit(lang).as("lang"))
+          }
+        val best = greatest(scored: _*)
         Tables.documents(s, dir)
-          .select(TextOps.langId(col("text")).as("predicted_lang"))
+          .select(col("text"), st.as("__st"))
+          .select(
+            when(col("text").rlike("[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}]"), "zh")
+              .otherwise(when(best.getField("score") > 0, best.getField("lang"))
+                .otherwise("unknown")).as("predicted_lang"))
           .groupBy(col("predicted_lang"))
           .agg(count(lit(1)).as("n"))
-          .orderBy("predicted_lang"),
+          .orderBy("predicted_lang")
+      },
       Some("""WITH sc AS (
              |  SELECT text,
              |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.ArrayMath
+import graft.ops.TextOps
+
+/** The one-pass TextStats kernel must agree with the declarative HOF
+  * spellings on real fixture documents — that equivalence is what lets
+  * q22/q24 keep their DuckDB oracles after the kernel switch.
+  */
+class TextStatsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("kernel counts == HOF counts on all fixture documents") {
+    val docs = Tables.documents(spark, sf)
+    val cmp = docs.select(
+      ArrayMath.textStats(col("text")).as("st"),
+      TextOps.tokenCount(col("text")).as("hof_tokens"),
+      size(filter(TextOps.tokens(lower(col("text"))),
+        t => t.isInCollection(TextOps.stopwordList))).cast("long").as("hof_stop"),
+      aggregate(TextOps.tokens(col("text")), lit(0L),
+        (acc, t) => acc + length(t)).as("hof_tok_chars"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[\\p{Punct}]", ""))).cast("long").as("hof_punct"))
+    val bad = cmp.filter(
+      col("st.n_tokens") =!= col("hof_tokens") ||
+        col("st.n_stop") =!= col("hof_stop") ||
+        col("st.tok_chars") =!= col("hof_tok_chars") ||
+        col("st.n_punct") =!= col("hof_punct"))
+    assert(bad.isEmpty, bad.collect().take(3).mkString("\n"))
+  }
+
+  test("kernel handles whitespace runs, empty, unicode") {
+    import spark.implicits._
+    val df = Seq("  the   cat  ", "", "héllo wörld!", "a\tb\nc").toDF("text")
+    val rows = df.select(ArrayMath.textStats(col("text")).as("st"))
+      .select("st.n_tokens", "st.n_stop", "st.n_punct").collect()
+    assert(rows(0).getLong(0) == 2 && rows(0).getLong(1) == 1) // "the" is a stopword
+    assert(rows(1).getLong(0) == 0)
+    assert(rows(2).getLong(0) == 2 && rows(2).getLong(2) == 1) // one '!'
+    assert(rows(3).getLong(0) == 3)
+  }
+
+  test("kernel-based langId query agrees with TextOps.langId") {
+    val viaOps = Tables.documents(spark, sf)
+      .select(TextOps.langId(col("text")).as("predicted_lang"))
+      .groupBy("predicted_lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaKernel = SparkEntry.queries("q24_langid")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaKernel == viaOps)
+  }
+}
