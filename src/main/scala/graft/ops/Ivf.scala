@@ -42,8 +42,15 @@ object Ivf {
     */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                      k: Int, iters: Int = 3, seed: Long = 42L): Array[(Int, Array[Double])] = {
-    val unit = unitVectors(corpus, vecCol).select(col(idCol), col("__vn"))
+    // iterative algorithm: cache the normalized vectors once instead of
+    // recomputing scan+normalize every Lloyd iteration
+    val unit = unitVectors(corpus, vecCol).select(col(idCol), col("__vn")).persist()
+    try trainOnUnit(unit, idCol, k, iters, seed)
+    finally { unit.unpersist(false); () }
+  }
 
+  private def trainOnUnit(unit: DataFrame, idCol: String, k: Int, iters: Int,
+                          seed: Long): Array[(Int, Array[Double])] = {
     // deterministic seeded sample: k smallest mixed-id hashes
     var centroids: Array[(Int, Array[Double])] = unit
       .withColumn("__r", xxhash64(lit(seed), col(idCol)))
@@ -82,9 +89,13 @@ object Ivf {
            queries: DataFrame, queryIdCol: String, queryVecCol: String,
            k: Int, nCentroids: Int = 16, nProbe: Int = 4,
            iters: Int = 3, seed: Long = 42L): DataFrame = {
-    val centroids = trainCentroids(corpus, idCol, vecCol, nCentroids, iters, seed)
+    // one cached normalization shared by training AND the final assignment
+    // (left persisted: the returned plan still reads it; storage is evicted
+    // LRU once the caller's action completes)
+    val unit = unitVectors(corpus, vecCol).select(col(idCol), col("__vn")).persist()
+    val centroids = trainOnUnit(unit, idCol, nCentroids, iters, seed)
 
-    val corpusAssigned = unitVectors(corpus, vecCol)
+    val corpusAssigned = unit
       .select(col(idCol), col("__vn"),
         nearestCentroid(col("__vn"), centroids).as("__cid"))
 
