@@ -222,6 +222,63 @@ object AdvancedQueries {
              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // Date part extraction + calendar grouping.
+    QuerySpec(
+      "q48_monthly_orders",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+            month(col("o_orderdate")).cast("long").as("mo"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+          .orderBy("yr", "mo"),
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // LIKE pattern filters (pushed to the scan as StringContains /
+    // StringStartsWith).
+    QuerySpec(
+      "q49_like_filter",
+      (s, dir) =>
+        Tables.part(s, dir)
+          .filter(col("p_name").like("%widget%") && col("p_type").like("PROMO%"))
+          .select(col("p_partkey"), col("p_name"), col("p_type"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_name, p_type FROM part
+             |WHERE p_name LIKE '%widget%' AND p_type LIKE 'PROMO%'
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Nested aggregation: average per-customer spend by nation (agg over
+    // an agg — the classic two-level rollup re-aggregation).
+    QuerySpec(
+      "q50_avg_customer_spend",
+      (s, dir) => {
+        val perCustomer = Tables.orders(s, dir)
+          .groupBy(col("o_custkey"))
+          .agg(dsum(col("o_totalprice")).as("spend"))
+        val c = Tables.customer(s, dir)
+        perCustomer
+          .join(broadcast(c), perCustomer("o_custkey") === c("c_custkey"))
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_customers"),
+            (dsum(col("spend"), 4) / count(lit(1))).as("avg_spend"))
+          .orderBy("c_nationkey")
+      },
+      Some("""WITH per_customer AS (
+             |  SELECT o_custkey,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+             |  FROM orders GROUP BY o_custkey
+             |)
+             |SELECT c_nationkey, COUNT(*) AS n_customers,
+             |  CAST(SUM(CAST(spend AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*) AS avg_spend
+             |FROM per_customer JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Exact interpolated percentiles per group.
     QuerySpec(
       "q42_percentiles",
