@@ -137,38 +137,103 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** Exact n-gram Jaccard over shingle-sharing candidates. `maxDocFreq`
-    * drops shingles present in more than that many documents before the
-    * candidate join — the skew guard that keeps one ubiquitous shingle from
-    * exploding into a quadratic hot partition at corpus scale.
+  /** EXACT n-gram Jaccard similarity join: returns every pair with
+    * Jaccard(shingles(a), shingles(b)) >= minJaccard — no approximation.
+    * (Round 1 shipped a lossy document-frequency cap here; both plans below
+    * replace it with LOSSLESS pruning. Correctness is asserted against
+    * brute-force all-pairs in OpsSpec for both, and the q27 DuckDB oracle
+    * checks the full output at sf0.01.)
+    *
+    * Two exact plans, chosen by `skewGuard`:
+    *
+    * DEFAULT (skewGuard = false) — inverted-index pair counting: explode
+    * distinct shingle hashes, self-join on the shingle, count rows per
+    * (id_a, id_b) — that count IS |A∩B|, so no second verification pass
+    * and nothing but skinny (long, long) rows ever shuffles. A length
+    * filter (J >= t ⟹ t·|A| <= |B| and t·|B| <= |A|) prunes size-
+    * mismatched pairs at the join. Cost is Σ_shingle C(df,2) join rows —
+    * optimal when document frequencies are bounded (natural-text 3-gram
+    * corpora), quadratic in df if some shingle is ubiquitous.
+    *
+    * SKEW GUARD (skewGuard = true) — AllPairs/PPJoin prefix filtering
+    * (Bayardo et al. WWW'07, Xiao et al. WWW'08): order every document's
+    * shingles by GLOBAL document frequency ascending (ties by hash); if
+    * J(A,B) >= t then |A∩B| >= ⌈t·|A|⌉, and the globally smallest common
+    * shingle must sit within the first |A| - ⌈t·|A|⌉ + 1 shingles of A
+    * (all other common shingles order after it) — symmetrically for B —
+    * so indexing ONLY each document's prefix finds every qualifying pair
+    * (provably lossless). df-ascending order makes this skew-PROOF: a
+    * ubiquitous shingle orders last and enters a document's prefix only
+    * if all the document's other shingles are even more frequent, so the
+    * C(df,2) hot key cannot form. Candidates are then verified with one
+    * hash-set intersection per pair against the full shingle sets. Costs
+    * one extra global df pass + per-pair array verification — use it when
+    * the corpus may contain boilerplate/ubiquitous shingles (the 100 TB
+    * web-crawl case); for still-larger corpora, prefilter with
+    * [[minhashNearDupPairs]] (approximate, recall < 1).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, minJaccard: Double = 0.3,
-                        maxDocFreq: Long = 1000L): DataFrame = {
+                        skewGuard: Boolean = false): DataFrame = {
     import graft.functions.ArrayMath
-    // shingle IDENTITY is its 64-bit hash (collisions negligible): the join
-    // shuffles longs, not strings; per-doc set semantics via array_distinct
-    // (no distinct shuffle); set sizes computed in the same projection
+    require(minJaccard > 0.0, "minJaccard must be > 0 (length/prefix filters degenerate at 0)")
+    // shingle IDENTITY is its 64-bit hash (collisions negligible): joins
+    // shuffle longs, not strings; per-doc set semantics via array_distinct
     val hashed = df.select(col(idCol).as("id"),
       array_distinct(ArrayMath.shingleHashes(
         TextOps.tokens(TextOps.normalized(col(textCol))), shingleSize)).as("__shs"))
-    val shingled = hashed.select(col("id"), explode(col("__shs")).as("sh"))
-    val sizes = hashed.select(col("id"), size(col("__shs")).cast("long").as("sz"))
-    val rare = shingled.join(
-      shingled.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq),
-      "sh")
-    val common = rare.select(col("id").as("id_a"), col("sh"))
-      .join(rare.select(col("id").as("id_b"), col("sh")), "sh")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
-    // sizes is one row per document — scales with the corpus, so a plain
-    // shuffle join (AQE will still broadcast it when it is actually small)
-    common
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+      .filter(size(col("__shs")) > 0)
+
+    // ⌈t·m⌉ computed float-safely DOWNWARD: fp error in t*m can push ceil
+    // one integer too HIGH (e.g. 0.2*15 = 3.0000000000000004 → 4), which
+    // would over-prune and lose pairs; -1 keeps α <= true ⌈t·m⌉, so both
+    // filters only ever get LOOSER (lossless, a few extra candidates)
+    def alphaSafe(m: Column): Column =
+      greatest(lit(1L), ceil(lit(minJaccard) * m) - 1L)
+
+    def jaccardOut(pairs: DataFrame): DataFrame = pairs
+      .withColumn("jaccard", col("__common").cast("double") /
+        (col("__sz_a") + col("__sz_b") - col("__common")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+
+    if (!skewGuard) {
+      val full = hashed.select(col("id"), size(col("__shs")).as("__sz"),
+        explode(col("__shs")).as("sh"))
+      val counted = full.select(col("sh"), col("id").as("id_a"), col("__sz").as("__sz_a"))
+        .join(full.select(col("sh"), col("id").as("id_b"), col("__sz").as("__sz_b")), "sh")
+        .filter(col("id_a") < col("id_b"))
+        .filter(col("__sz_b") >= alphaSafe(col("__sz_a")) &&
+          col("__sz_a") >= alphaSafe(col("__sz_b")))
+        .groupBy(col("id_a"), col("id_b"), col("__sz_a"), col("__sz_b"))
+        .agg(count(lit(1)).as("__common"))
+      jaccardOut(counted)
+    } else {
+      val full = hashed.select(col("id"), explode(col("__shs")).as("sh"))
+      val dfreq = full.groupBy("sh").agg(count(lit(1)).as("__df"))
+      // per-doc prefix = the (sz - α + 1) globally rarest shingles; built
+      // with one groupBy + per-row sort of (df, sh) structs — no window
+      val prefix = full.join(dfreq, "sh")
+        .groupBy("id")
+        .agg(sort_array(collect_list(struct(col("__df"), col("sh")))).as("__ord"))
+        .withColumn("__sz", size(col("__ord")))
+        .select(col("id"), col("__sz"),
+          explode(expr("transform(slice(__ord, 1, cast(__sz - greatest(1L, " +
+            s"ceil($minJaccard * __sz) - 1L) + 1L as int)), x -> x.sh)")).as("sh"))
+      val candidates = prefix.select(col("sh"), col("id").as("id_a"), col("__sz").as("__sz_a"))
+        .join(prefix.select(col("sh"), col("id").as("id_b"), col("__sz").as("__sz_b")), "sh")
+        .filter(col("id_a") < col("id_b"))
+        .filter(col("__sz_b") >= alphaSafe(col("__sz_a")) &&
+          col("__sz_a") >= alphaSafe(col("__sz_b")))
+        .select(col("id_a"), col("id_b"), col("__sz_a"), col("__sz_b"))
+        .dropDuplicates("id_a", "id_b")
+      // exact verification: one hash-set intersection per candidate pair
+      val verified = candidates
+        .join(hashed.select(col("id").as("id_a"), col("__shs").as("__shs_a")), "id_a")
+        .join(hashed.select(col("id").as("id_b"), col("__shs").as("__shs_b")), "id_b")
+        .withColumn("__common", size(array_intersect(col("__shs_a"), col("__shs_b"))))
+        .select(col("id_a"), col("id_b"), col("__sz_a"), col("__sz_b"), col("__common"))
+      jaccardOut(verified)
+    }
   }
 }

@@ -89,13 +89,17 @@ object Ivf {
            queries: DataFrame, queryIdCol: String, queryVecCol: String,
            k: Int, nCentroids: Int = 16, nProbe: Int = 4,
            iters: Int = 3, seed: Long = 42L): DataFrame = {
-    // one cached normalization shared by training AND the final assignment
-    // (left persisted: the returned plan still reads it; storage is evicted
-    // LRU once the caller's action completes)
-    val unit = unitVectors(corpus, vecCol).select(col(idCol), col("__vn")).persist()
-    val centroids = trainOnUnit(unit, idCol, nCentroids, iters, seed)
+    // the cache exists only for the training iterations (each Lloyd step
+    // re-reads the normalized vectors); it is released as soon as the
+    // centroid matrix is on the driver, so repeated topK calls leave no
+    // lingering storage. The returned search plan recomputes normalization
+    // inside its single corpus scan — one cheap projection, no second pass.
+    val cached = unitVectors(corpus, vecCol).select(col(idCol), col("__vn")).persist()
+    val centroids =
+      try trainOnUnit(cached, idCol, nCentroids, iters, seed)
+      finally { cached.unpersist(false); () }
 
-    val corpusAssigned = unit
+    val corpusAssigned = unitVectors(corpus, vecCol)
       .select(col(idCol), col("__vn"),
         nearestCentroid(col("__vn"), centroids).as("__cid"))
 

@@ -58,6 +58,41 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
 
+  /** Embedding dimensionality read from the first row — one tiny job, never
+    * a full scan. Callers pass an explicit dim to skip it.
+    */
+  private[ops] def inferDim(df: DataFrame, vecCol: String): Int = {
+    val rows = df.select(size(col(vecCol))).limit(1).collect()
+    // empty corpus → every downstream plan is empty; any positive dim works
+    if (rows.isEmpty || rows(0).isNullAt(0) || rows(0).getInt(0) < 1) 1
+    else rows(0).getInt(0)
+  }
+
+  /** EXACT cosine near-duplicate pairs: every (id_a < id_b) with
+    * cosine >= minCosine. The all-pairs join is inherently O(n²) — this is
+    * the oracle-grade flavor (and the correctness reference the LSH variant
+    * is measured against); at corpus scale use [[cosineNearDupPairs]],
+    * whose precision (exactly 1.0) and recall (θ-dependent) are measured
+    * against this op's results in OpsSpec.
+    *
+    * Arithmetic spelling: cosine = dot(a,b) / (norm(a) * norm(b)) with
+    * left-to-right double accumulation — bit-identical to DuckDB's
+    * list_cosine_similarity (proven by q28's hash-matching oracle), so the
+    * >= threshold decisions agree exactly across engines. Norms are
+    * computed once per row, not once per pair.
+    */
+  def cosineNearDupPairsExact(df: DataFrame, idCol: String, vecCol: String,
+                              minCosine: Double): DataFrame = {
+    val vd = df.select(col(idCol), asDouble(col(vecCol)).as("__vd"))
+      .withColumn("__n", norm(col("__vd")))
+    val a = vd.select(col(idCol).as("id_a"), col("__vd").as("__va"), col("__n").as("__na"))
+    val b = vd.select(col(idCol).as("id_b"), col("__vd").as("__vb"), col("__n").as("__nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Deterministic random hyperplanes (Gaussian, fixed seed). */
   def hyperplanes(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
@@ -90,12 +125,14 @@ object Similarity {
     */
   def annTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, queryIdCol: String, queryVecCol: String,
-              k: Int, nBits: Int = 12, nTables: Int = 4, seed: Long = 42L): DataFrame = {
-    val dim = 64 // fixture embedding dimensionality; parameterize when varied
+              k: Int, nBits: Int = 12, nTables: Int = 4, seed: Long = 42L,
+              dim: Int = 0): DataFrame = {
+    // dim <= 0 → infer from the corpus (one first-row job)
+    val d = if (dim > 0) dim else inferDim(corpus, vecCol)
     val corpusUnit = unitVectors(corpus, idCol, vecCol)
     val queryUnit = unitVectors(queries, queryIdCol, queryVecCol)
-    val candidates = buckets(corpusUnit, idCol, dim, nBits, nTables, seed)
-      .join(broadcast(buckets(queryUnit, queryIdCol, dim, nBits, nTables, seed)),
+    val candidates = buckets(corpusUnit, idCol, d, nBits, nTables, seed)
+      .join(broadcast(buckets(queryUnit, queryIdCol, d, nBits, nTables, seed)),
         Seq("__table", "__bucket"))
       .filter(col(idCol) =!= col(queryIdCol))
       .select(col(queryIdCol), col(idCol))
@@ -116,10 +153,11 @@ object Similarity {
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          minCosine: Double = 0.95, nBits: Int = 10,
-                         nTables: Int = 4, seed: Long = 42L): DataFrame = {
-    val dim = 64
+                         nTables: Int = 4, seed: Long = 42L,
+                         dim: Int = 0): DataFrame = {
+    val d = if (dim > 0) dim else inferDim(df, vecCol)
     val unit = unitVectors(df, idCol, vecCol)
-    val banded = buckets(unit, idCol, dim, nBits, nTables, seed)
+    val banded = buckets(unit, idCol, d, nBits, nTables, seed)
     val candidates = banded.select(col("__table"), col("__bucket"), col(idCol).as("id_a"))
       .join(banded.select(col("__table"), col("__bucket"), col(idCol).as("id_b")),
         Seq("__table", "__bucket"))

@@ -41,6 +41,47 @@ class IvfSpec extends AnyFunSuite {
     assert(ivf.nonEmpty)
   }
 
+  test("q46/q30 declared params clear a 0.9 recall floor at sf0.01") {
+    // the fixture embeddings are uniform-random — the ANN worst case
+    // (recall ≈ candidate coverage); these floors pin the declared
+    // parameterization of q46 (IVF nc=8 np=6 → 0.92 measured) and q30
+    // (LSH nBits=3 nTables=12 → 0.94 measured). Deterministic: seeded.
+    val sf01 = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, sf01)
+    val k = 10
+    val queries = emb.filter(col("vec_id") < 10L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val truth = (0L until 10L).flatMap { q =>
+      val qv = emb.filter(col("vec_id") === q)
+        .select(Similarity.asDouble(col("embedding")).as("query_vec"))
+      Similarity.bruteTopK(emb.filter(col("vec_id") =!= q), "vec_id", "embedding", qv, k)
+        .collect().map(r => (q, r.getLong(0)))
+    }.toSet
+
+    val ivf = Ivf.topK(emb, "vec_id", "embedding", queries, "query_id", "query_vec",
+      k = k, nCentroids = 8, nProbe = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfRecall = (ivf & truth).size.toDouble / truth.size
+    assert(ivfRecall >= 0.9, s"IVF recall $ivfRecall below q46 floor")
+
+    val lsh = Similarity.annTopK(emb, "vec_id", "embedding", queries,
+      "query_id", "query_vec", k = k, nBits = 3, nTables = 12, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshRecall = (lsh & truth).size.toDouble / truth.size
+    assert(lshRecall >= 0.9, s"LSH recall $lshRecall below q30 floor")
+  }
+
+  test("Ivf.topK leaves no lingering cached RDDs after its action") {
+    val emb = Tables.embeddings(spark, sf)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val queries = emb.filter(col("vec_id") < 3L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    Ivf.topK(emb, "vec_id", "embedding", queries, "query_id", "query_vec",
+      k = 5, nCentroids = 4, nProbe = 2).count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
+  }
+
   test("approx sketches within tolerance of exact") {
     val ev = Tables.events(spark, sf)
     val approx = SparkEntry.queries("q47_approx_sketches")(spark, sf)

@@ -93,10 +93,76 @@ class OpsSpec extends AnyFunSuite {
       (2L, "a b c d e f g x"),
       (3L, "p q r s t u v w")).toDF("id", "text")
     val pairs = Dedup.ngramJaccardPairs(df, "id", "text", shingleSize = 2,
-      minJaccard = 0.3, maxDocFreq = 100L).collect()
+      minJaccard = 0.3).collect()
     // shingles(1) = {ab,bc,cd,de,ef,fg,gh}, shingles(2) = {...gx}: 6 common of 8
     assert(pairs.length == 1)
     assert(pairs.head.getDouble(2) == 0.75)
+  }
+
+  test("ngram jaccard prefix filter is LOSSLESS vs brute-force all-pairs") {
+    // the q27 guarantee: the AllPairs/PPJoin prefix+length pruning must
+    // return EXACTLY the all-pairs result (recall 1.0, precision 1.0)
+    import graft.functions.ArrayMath
+    val docs = Tables.documents(spark, sf)
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleSize = 3, minJaccard = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val gotGuarded = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleSize = 3, minJaccard = 0.2, skewGuard = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val hashed = docs.select(col("doc_id").as("id"),
+      array_distinct(ArrayMath.shingleHashes(
+        TextOps.tokens(TextOps.normalized(col("text"))), 3)).as("shs"))
+      .filter(size(col("shs")) > 0)
+    val brute = hashed.select(col("id").as("id_a"), col("shs").as("sa"))
+      .join(hashed.select(col("id").as("id_b"), col("shs").as("sb")),
+        col("id_a") < col("id_b"))
+      .withColumn("c", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("j", col("c").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("c")).cast("double"))
+      .filter(col("j") >= 0.2)
+      .select(col("id_a"), col("id_b"), round(col("j"), 4).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(brute.nonEmpty) // fixture plants near-duplicates
+    assert(got == brute)
+    assert(gotGuarded == brute) // df-ordered prefix path is equally lossless
+  }
+
+  test("cosine LSH near-dup: precision 1.0, recall floor vs exact (q31 vs q56)") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Similarity.cosineNearDupPairsExact(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      minCosine = 0.4, nBits = 4, nTables = 8, seed = 42L)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // every emitted pair is exact-verified → precision is exactly 1.0
+    assert(lsh.subsetOf(exact))
+    // threshold 0.4 is the LSH stress case (θ≈66°): per-pair hit probability
+    // is 1-(1-p^nBits)^nTables with p = 1-θ/π ≈ 0.63 → ≈0.75 expected. The
+    // floor asserts the banding isn't broken; recall ≈ 1 for true near-dup
+    // thresholds (≥0.95, θ≤18°) — see the planted-duplicate test below.
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.65, s"LSH recall $recall below theoretical floor")
+  }
+
+  test("similarity ops infer non-64 embedding dim from the data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 50L).map(i => (i, Seq.fill(16)(rnd.nextFloat() - 0.5f)))
+    // plant an exact duplicate of vec 0 as id 50 → must surface as a pair
+    val df = (base :+ (50L, base.head._2)).toDF("vec_id", "embedding")
+    val dup = Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
+      minCosine = 0.999, nBits = 4, nTables = 6, seed = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dup.contains((0L, 50L)))
+    val qs = df.filter(col("vec_id") === 50L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val ann = Similarity.annTopK(df, "vec_id", "embedding", qs,
+      "query_id", "query_vec", k = 3, nBits = 4, nTables = 6, seed = 1L)
+      .orderBy("rank").collect()
+    assert(ann.nonEmpty && ann.head.getLong(1) == 0L) // nearest = the duplicate
+    assert(math.abs(ann.head.getDouble(2) - 1.0) < 1e-9)
   }
 
   test("cosine: orthogonal 0, identical 1") {
