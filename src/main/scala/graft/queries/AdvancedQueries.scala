@@ -279,6 +279,132 @@ object AdvancedQueries {
              |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // LEFT OUTER join: every customer, with urgent-order stats where they
+    // exist (NULL-extended otherwise — COALESCE'd to sentinels so the
+    // hash-compare is null-free). Shuffle join on o_custkey after the
+    // orders side is PRE-AGGREGATED (the join input shrinks from 1.5M
+    // orders to ≤1 row per customer before it shuffles).
+    QuerySpec(
+      "q51_left_outer_join",
+      (s, dir) => {
+        val urgent = Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("__n"), dsum(col("o_totalprice")).as("__spend"))
+        Tables.customer(s, dir)
+          .join(urgent, col("c_custkey") === col("o_custkey"), "left_outer")
+          .select(col("c_custkey"),
+            coalesce(col("__n"), lit(0L)).as("n_urgent"),
+            coalesce(col("__spend"), lit(0.0)).as("urgent_spend"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH urgent AS (
+             |  SELECT o_custkey, COUNT(*) AS n,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+             |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+             |)
+             |SELECT c_custkey, COALESCE(n, 0) AS n_urgent,
+             |  COALESCE(spend, 0.0) AS urgent_spend
+             |FROM customer LEFT OUTER JOIN urgent ON c_custkey = o_custkey
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // RIGHT OUTER join: per-supplier returned-lineitem stats RIGHT JOIN
+    // supplier — suppliers with no returns appear NULL-extended.
+    QuerySpec(
+      "q52_right_outer_join",
+      (s, dir) => {
+        val returns = Tables.lineitem(s, dir)
+          .filter(col("l_returnflag") === "R")
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("__n"), dsum(col("l_extendedprice")).as("__value"))
+        returns
+          .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"), "right_outer")
+          .select(col("s_suppkey"),
+            coalesce(col("__n"), lit(0L)).as("n_returned"),
+            coalesce(col("__value"), lit(0.0)).as("returned_value"))
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH returns AS (
+             |  SELECT l_suppkey, COUNT(*) AS n,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value
+             |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_suppkey
+             |)
+             |SELECT s_suppkey, COALESCE(n, 0) AS n_returned,
+             |  COALESCE(value, 0.0) AS returned_value
+             |FROM returns RIGHT OUTER JOIN supplier ON l_suppkey = s_suppkey
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // FULL OUTER join: reconcile two disjointly-filtered per-customer
+    // aggregates — unmatched rows surface from BOTH sides.
+    QuerySpec(
+      "q53_full_outer_join",
+      (s, dir) => {
+        val orders = Tables.orders(s, dir)
+        val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+          .groupBy(col("o_custkey").as("cust_u")).agg(count(lit(1)).as("__nu"))
+        val low = orders.filter(col("o_orderpriority") === "5-LOW")
+          .groupBy(col("o_custkey").as("cust_l")).agg(count(lit(1)).as("__nl"))
+        urgent.join(low, col("cust_u") === col("cust_l"), "full_outer")
+          .select(coalesce(col("cust_u"), col("cust_l")).as("custkey"),
+            coalesce(col("__nu"), lit(0L)).as("n_urgent"),
+            coalesce(col("__nl"), lit(0L)).as("n_low"))
+          .orderBy("custkey")
+      },
+      Some("""WITH urgent AS (
+             |  SELECT o_custkey AS cust_u, COUNT(*) AS nu FROM orders
+             |  WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+             |), low AS (
+             |  SELECT o_custkey AS cust_l, COUNT(*) AS nl FROM orders
+             |  WHERE o_orderpriority = '5-LOW' GROUP BY 1
+             |)
+             |SELECT COALESCE(cust_u, cust_l) AS custkey,
+             |  COALESCE(nu, 0) AS n_urgent, COALESCE(nl, 0) AS n_low
+             |FROM urgent FULL OUTER JOIN low ON cust_u = cust_l
+             |ORDER BY custkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Correlated EXISTS through the full spark.sql lifecycle (Catalyst's
+    // RewritePredicateSubquery plans it as a left-semi join — asserted in
+    // PlanSpec).
+    QuerySpec(
+      "q54_exists",
+      (s, dir) => {
+        Tables.supplier(s, dir).createOrReplaceTempView("graft_supplier")
+        Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+        s.sql(
+          """SELECT s_suppkey, s_name FROM graft_supplier s
+            |WHERE EXISTS (SELECT 1 FROM graft_lineitem l
+            |              WHERE l.l_suppkey = s.s_suppkey AND l.l_discount > 0.09)
+            |ORDER BY s_suppkey""".stripMargin)
+      },
+      Some("""SELECT s_suppkey, s_name FROM supplier s
+             |WHERE EXISTS (SELECT 1 FROM lineitem l
+             |              WHERE l.l_suppkey = s.s_suppkey AND l.l_discount > 0.09)
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Correlated NOT EXISTS (planned as a left-anti join).
+    QuerySpec(
+      "q55_not_exists",
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("graft_customer")
+        Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+        s.sql(
+          """SELECT c_custkey, c_name FROM graft_customer c
+            |WHERE NOT EXISTS (SELECT 1 FROM graft_orders o
+            |                  WHERE o.o_custkey = c.c_custkey
+            |                    AND o.o_totalprice > 300000.0)
+            |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |                  WHERE o.o_custkey = c.c_custkey
+             |                    AND o.o_totalprice > 300000.0)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Exact interpolated percentiles per group.
     QuerySpec(
       "q42_percentiles",

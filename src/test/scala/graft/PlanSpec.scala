@@ -55,6 +55,25 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 0, s"simhash must not hash-shuffle\n$plan")
   }
 
+  test("q54/q55: correlated (NOT) EXISTS planned as semi/anti joins") {
+    // Catalyst's RewritePredicateSubquery must decorrelate — a scale killer
+    // would be a nested-loop re-execution per outer row
+    val existsPlan = executedPlan("q54_exists")
+    assert(existsPlan.contains("LeftSemi"), existsPlan)
+    val notExistsPlan = executedPlan("q55_not_exists")
+    assert(notExistsPlan.contains("LeftAnti"), notExistsPlan)
+  }
+
+  test("q51: orders pre-aggregated BEFORE the outer join") {
+    // the aggregate must sit below the join in the executed plan: joining
+    // raw orders first would shuffle 100x the rows at scale
+    val plan = executedPlan("q51_left_outer_join")
+    val joinIdx = plan.indexOf("Join")
+    val aggBelow = plan.indexOf("HashAggregate", joinIdx)
+    assert(joinIdx >= 0 && aggBelow > joinIdx,
+      s"expected HashAggregate below the join\n$plan")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import spark.implicits._
     // NB: array<float>→double via transform() is a HOF and would break the
