@@ -29,6 +29,19 @@ object JobRunner {
     s
   }
 
+  /** Timeout-bounded wait for the job's input before any stage runs — the
+    * reference DAG's first task is a file-existence sensor
+    * (`airflow.py:48-55`, poke 60 s / timeout 300 s) and every downstream
+    * stage depends on it. Poke/timeout configurable via
+    * SPARK_GRAFT_POKE_MS / SPARK_GRAFT_SENSE_TIMEOUT_MS; an existing input
+    * satisfies the first poke immediately, so local runs never sleep.
+    */
+  def senseInput(spark: SparkSession, glob: String): Int = {
+    val pokeMs = sys.env.getOrElse("SPARK_GRAFT_POKE_MS", "60000").toLong
+    val timeoutMs = sys.env.getOrElse("SPARK_GRAFT_SENSE_TIMEOUT_MS", "300000").toLong
+    etl.FileChecks.sense(spark, glob, pokeMs, timeoutMs)
+  }
+
   /** Retry wrapper (reference: 2 retries / 5 min; delay configurable so
     * tests and local runs don't sleep).
     */
@@ -51,6 +64,7 @@ object JobRunner {
     args.toList match {
       case "covid" :: input :: outTable :: auditTable :: Nil =>
         val spark = session(runId)
+        senseInput(spark, input)
         val summary = withRetries() {
           etl.Jobs.covidPipeline(spark, input, outTable, auditTable, runId)
         }
@@ -59,6 +73,7 @@ object JobRunner {
         spark.stop()
       case "elt" :: input :: db :: Nil =>
         val spark = session(runId)
+        senseInput(spark, input)
         val n = withRetries() { etl.Jobs.eltPipeline(spark, input, db) }
         println(s"""{"job":"elt","runId":"$runId","finalRows":$n}""")
         spark.stop()

@@ -53,6 +53,39 @@ object FileChecks {
     })
   }
 
+  /** Airflow's sensor-timeout task failure (`airflow.py:51-53`). */
+  final class SensorTimeoutException(msg: String) extends RuntimeException(msg)
+
+  /** Poke-loop file sensor — parity with the reference's
+    * `GCSObjectExistenceSensor(poke_interval=60, timeout=300)`
+    * (`/root/reference/airflow.py:48-55`): re-check `glob` for a match every
+    * `pokeIntervalMs` until one appears (returns the number of pokes) or
+    * `timeoutMs` elapses (throws [[SensorTimeoutException]] — the sensor
+    * timing out fails the task, as in Airflow). The clock and sleep are
+    * injectable so tests can drive the loop without wall-clock sleeping.
+    * Driver-side metadata polling only — no executor is occupied while
+    * waiting, matching Airflow's worker-slot (non-deferrable) sensor.
+    */
+  def sense(spark: SparkSession, glob: String,
+            pokeIntervalMs: Long = 60000L,
+            timeoutMs: Long = 300000L,
+            clock: () => Long = () => System.currentTimeMillis(),
+            sleep: Long => Unit = Thread.sleep): Int = {
+    val path = new Path(glob)
+    val fs = FileSystem.get(path.toUri, spark.sparkContext.hadoopConfiguration)
+    val start = clock()
+    var pokes = 0
+    while (true) {
+      pokes += 1
+      if (Option(fs.globStatus(path)).exists(_.nonEmpty)) return pokes
+      if (clock() - start >= timeoutMs)
+        throw new SensorTimeoutException(
+          s"sensor timed out after ${timeoutMs}ms ($pokes pokes) waiting for $glob")
+      sleep(pokeIntervalMs)
+    }
+    pokes // unreachable
+  }
+
   /** Move processed inputs to an archive directory (the reference's
     * move-to-processed step, `README.md:67`/`:132`) — an FS rename, so on
     * object stores it must run AFTER the source checkpoint commits (the

@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   *   - SimHash: 64-bit sign-sketch per document, near-dups = small Hamming
   *     distance, candidates via 16-bit chunk banding (Charikar'02 /
   *     Manku et al. WWW'07 pattern);
-  *   - n-gram Jaccard: exact pairwise similarity but only over
-  *     LSH/shingle-sharing candidates, with a document-frequency cap so one
-  *     ubiquitous shingle can't create a quadratic hot key (skew guard).
+  *   - n-gram Jaccard: EXACT similarity join with lossless pruning; a
+  *     max-df probe auto-routes skewed corpora (one ubiquitous shingle
+  *     would make the inverted-index plan quadratic on a hot key) to a
+  *     df-ordered AllPairs/PPJoin prefix-filter plan that is skew-proof.
   */
 object Dedup {
 
@@ -144,9 +145,15 @@ object Dedup {
     * brute-force all-pairs in OpsSpec for both, and the q27 DuckDB oracle
     * checks the full output at sf0.01.)
     *
-    * Two exact plans, chosen by `skewGuard`:
+    * Two exact plans, chosen by `skewGuard` — `None` (the default)
+    * auto-selects with a cheap max-df probe: one map-side-combined
+    * aggregation pass finds the highest shingle document frequency; if it
+    * exceeds `skewMaxDf` the corpus can form a quadratic hot key in the
+    * inverted-index plan, so the skew-proof prefix plan is used instead.
+    * Both plans are exact, so auto-selection affects cost only, never
+    * results.
     *
-    * DEFAULT (skewGuard = false) — inverted-index pair counting: explode
+    * PLAIN (skewGuard = Some(false)) — inverted-index pair counting: explode
     * distinct shingle hashes, self-join on the shingle, count rows per
     * (id_a, id_b) — that count IS |A∩B|, so no second verification pass
     * and nothing but skinny (long, long) rows ever shuffles. A length
@@ -155,7 +162,7 @@ object Dedup {
     * optimal when document frequencies are bounded (natural-text 3-gram
     * corpora), quadratic in df if some shingle is ubiquitous.
     *
-    * SKEW GUARD (skewGuard = true) — AllPairs/PPJoin prefix filtering
+    * SKEW GUARD (skewGuard = Some(true)) — AllPairs/PPJoin prefix filtering
     * (Bayardo et al. WWW'07, Xiao et al. WWW'08): order every document's
     * shingles by GLOBAL document frequency ascending (ties by hash); if
     * J(A,B) >= t then |A∩B| >= ⌈t·|A|⌉, and the globally smallest common
@@ -174,7 +181,8 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, minJaccard: Double = 0.3,
-                        skewGuard: Boolean = false): DataFrame = {
+                        skewGuard: Option[Boolean] = None,
+                        skewMaxDf: Long = 1024L): DataFrame = {
     import graft.functions.ArrayMath
     require(minJaccard > 0.0, "minJaccard must be > 0 (length/prefix filters degenerate at 0)")
     // shingle IDENTITY is its 64-bit hash (collisions negligible): joins
@@ -183,6 +191,17 @@ object Dedup {
       array_distinct(ArrayMath.shingleHashes(
         TextOps.tokens(TextOps.normalized(col(textCol))), shingleSize)).as("__shs"))
       .filter(size(col("__shs")) > 0)
+
+    // Auto-route: the inverted-index plan emits C(df,2) join rows for a
+    // shingle seen in df documents — skewMaxDf=1024 caps the worst single
+    // shingle at ~0.5M rows. The probe is one partial-agg pass (shuffles
+    // only per-partition maxima), far cheaper than either plan's join.
+    val useGuard = skewGuard.getOrElse {
+      val r = hashed.select(explode(col("__shs")).as("sh"))
+        .groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+        .agg(max(col("__df"))).head()
+      !r.isNullAt(0) && r.getLong(0) > skewMaxDf
+    }
 
     // ⌈t·m⌉ computed float-safely DOWNWARD: fp error in t*m can push ceil
     // one integer too HIGH (e.g. 0.2*15 = 3.0000000000000004 → 4), which
@@ -197,7 +216,7 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
 
-    if (!skewGuard) {
+    if (!useGuard) {
       val full = hashed.select(col("id"), size(col("__shs")).as("__sz"),
         explode(col("__shs")).as("sh"))
       val counted = full.select(col("sh"), col("id").as("id_a"), col("__sz").as("__sz_a"))

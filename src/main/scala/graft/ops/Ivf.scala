@@ -39,14 +39,44 @@ object Ivf {
 
   /** Spherical k-means on the unit sphere. Returns (cid, centroid) with
     * centroids L2-normalized.
+    *
+    * Driver-traffic contract: each Lloyd iteration collects exactly the
+    * k×dim centroid-sum matrix (plus the initial k seed vectors) — total
+    * ≈ iters·k·dim·24 bytes. With the √N sizing rule ([[ivfPolicy]]) k
+    * grows with corpus size, so `maxTrainRows` caps the TRAINING corpus by
+    * a deterministic hash-sample (k-means quality depends on the sample's
+    * distribution, not the full corpus — standard IVF practice; FAISS
+    * trains on bounded samples the same way). The cap bounds both the
+    * per-iteration scan and, via ivfPolicy(sample size), the k×dim driver
+    * matrix, regardless of corpus scale. `maxTrainRows <= 0` trains on
+    * everything.
     */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                     k: Int, iters: Int = 3, seed: Long = 42L): Array[(Int, Array[Double])] = {
+                     k: Int, iters: Int = 3, seed: Long = 42L,
+                     maxTrainRows: Long = 100000L): Array[(Int, Array[Double])] = {
     // iterative algorithm: cache the normalized vectors once instead of
     // recomputing scan+normalize every Lloyd iteration
-    val unit = unitVectors(corpus, vecCol).select(col(idCol), col("__vn")).persist()
+    val unit = trainSample(
+      unitVectors(corpus, vecCol).select(col(idCol), col("__vn")), idCol,
+      maxTrainRows, seed).persist()
     try trainOnUnit(unit, idCol, k, iters, seed)
     finally { unit.unpersist(false); () }
+  }
+
+  /** Deterministic ≈`maxTrainRows`-row training sample: keep rows whose
+    * seeded id hash falls in 1/⌈n/max⌉ of the hash space. One count()
+    * (cheap metadata-ish scan) decides the rate; expectation ≤ maxTrainRows
+    * with binomial fluctuation — a cap on cost, not an exact sample size.
+    */
+  private def trainSample(unit: DataFrame, idCol: String,
+                          maxTrainRows: Long, seed: Long): DataFrame = {
+    if (maxTrainRows <= 0) return unit
+    val n = unit.count()
+    if (n <= maxTrainRows) unit
+    else {
+      val denom = (n + maxTrainRows - 1) / maxTrainRows
+      unit.filter(pmod(xxhash64(lit(seed + 1), col(idCol)), lit(denom)) === 0L)
+    }
   }
 
   private def trainOnUnit(unit: DataFrame, idCol: String, k: Int, iters: Int,
@@ -84,17 +114,50 @@ object Ivf {
     centroids
   }
 
-  /** IVF top-k search: probe the `nProbe` nearest lists per query. */
+  /** Corpus-size-derived IVF parameters (nCentroids, nProbe) — replaces
+    * fixture-tuned constants.
+    *
+    * Derivation: with k lists, per-row assignment costs O(k·dim) and each
+    * probed list holds ≈ N/k vectors, so total search work per query is
+    * k·dim + nProbe·(N/k)·dim; k = √N equalizes the two terms and both
+    * grow as √N — the classical IVF sizing (same rule FAISS documents for
+    * IndexIVFFlat). nProbe: on clustered (real) embedding corpora near
+    * neighbors concentrate in a few lists, so a constant probe fraction
+    * (k/8, ≥ 2) recovers high recall; on STRUCTURELESS corpora (uniform
+    * random — the fixture, and the ANN worst case) recall can be no better
+    * than scan coverage nProbe/k, so `structureless = true` probes
+    * ⌈targetRecall·k⌉ lists. Fixture queries use the structureless mode;
+    * real 100 TB corpora should not.
+    */
+  def ivfPolicy(corpusSize: Long, targetRecall: Double = 0.9,
+                structureless: Boolean = false): (Int, Int) = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0, "targetRecall must be in (0, 1]")
+    val n = math.max(1L, corpusSize).toDouble
+    val k = math.min(65536, math.max(4, math.round(math.sqrt(n)).toInt))
+    val probe =
+      if (structureless) math.min(k, math.ceil(targetRecall * k).toInt)
+      else math.min(k, math.max(2, k / 8))
+    (k, probe)
+  }
+
+  /** IVF top-k search: probe the `nProbe` nearest lists per query.
+    * `maxTrainRows` bounds the k-means training corpus (see
+    * [[trainCentroids]] for the driver-traffic contract); search always
+    * scans the FULL corpus — only centroid training is sampled.
+    */
   def topK(corpus: DataFrame, idCol: String, vecCol: String,
            queries: DataFrame, queryIdCol: String, queryVecCol: String,
            k: Int, nCentroids: Int = 16, nProbe: Int = 4,
-           iters: Int = 3, seed: Long = 42L): DataFrame = {
+           iters: Int = 3, seed: Long = 42L,
+           maxTrainRows: Long = 100000L): DataFrame = {
     // the cache exists only for the training iterations (each Lloyd step
     // re-reads the normalized vectors); it is released as soon as the
     // centroid matrix is on the driver, so repeated topK calls leave no
     // lingering storage. The returned search plan recomputes normalization
     // inside its single corpus scan — one cheap projection, no second pass.
-    val cached = unitVectors(corpus, vecCol).select(col(idCol), col("__vn")).persist()
+    val cached = trainSample(
+      unitVectors(corpus, vecCol).select(col(idCol), col("__vn")), idCol,
+      maxTrainRows, seed).persist()
     val centroids =
       try trainOnUnit(cached, idCol, nCentroids, iters, seed)
       finally { cached.unpersist(false); () }

@@ -35,18 +35,23 @@ object Multimodal {
         lit(0).as("height"),
         coalesce(length(col("text").cast("binary")).cast("long"), lit(0L)).as("nBytes")).as("meta"))
 
-  /** STUB decode kernel: deterministic fake "decoder" hashing byte windows
-    * into an 8-float feature vector. Replace the body with the real codec
+  /** STUB decode kernel: deterministic fake "decoder" folding the payload
+    * into an 8-float feature vector — lane j = (Σ of bytes at positions
+    * ≡ j mod 8) / 255, accumulated EXACTLY in integers and rounded to
+    * float once per lane. The exact-integer spelling makes the value
+    * reproducible in any engine (q32's DuckDB oracle recomputes it from
+    * the UTF-8 bytes), unlike per-byte float accumulation whose rounding
+    * order no SQL engine can replay. Replace the body with the real codec
     * call (same signature, same batching) in production.
     */
   private def decodeStub(bytes: Array[Byte]): Array[Float] = {
-    val out = new Array[Float](8)
+    val acc = new Array[Long](8)
     var i = 0
     while (i < bytes.length) {
-      out(i % 8) += (bytes(i) & 0xff) / 255.0f
+      acc(i % 8) += (bytes(i) & 0xff)
       i += 1
     }
-    out
+    acc.map(s => (s / 255.0).toFloat)
   }
 
   /** Batch feature extraction over the media column. `mapPartitions` is the

@@ -76,10 +76,13 @@ object Similarity {
     * against this op's results in OpsSpec.
     *
     * Arithmetic spelling: cosine = dot(a,b) / (norm(a) * norm(b)) with
-    * left-to-right double accumulation — bit-identical to DuckDB's
-    * list_cosine_similarity (proven by q28's hash-matching oracle), so the
-    * >= threshold decisions agree exactly across engines. Norms are
-    * computed once per row, not once per pair.
+    * left-to-right double accumulation — empirically matched to DuckDB
+    * v1.x's list_cosine_similarity at fixture scale (q28/q31 hash-matching
+    * oracles). Not a proof: DuckDB's internal evaluation order (e.g. sqrt
+    * of the norm product vs product of sqrts) is not controlled here, so a
+    * pair within ~1 ulp of the threshold or a .5 rounding boundary could
+    * diverge under a DuckDB float-evaluation change. Norms are computed
+    * once per row, not once per pair.
     */
   def cosineNearDupPairsExact(df: DataFrame, idCol: String, vecCol: String,
                               minCosine: Double): DataFrame = {
@@ -91,6 +94,43 @@ object Similarity {
       .withColumn("cosine", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Corpus-size-derived LSH parameters (nBits, nTables) — replaces
+    * fixture-tuned constants so a 100× scale-up keeps BOTH the recall
+    * target and bounded bucket sizes.
+    *
+    * Derivation:
+    *   - nBits = ⌈log2(N / targetBucket)⌉ keeps the expected bucket
+    *     occupancy ≈ targetBucket, so per-bucket candidate verification
+    *     stays O(targetBucket²) per bucket no matter how large N grows;
+    *   - a random hyperplane separates two vectors at angle θ with
+    *     probability θ/π (Charikar '02), so both land in the same bucket
+    *     of one table with p(θ)^nBits, p(θ) = 1 − θ/π, θ = acos(designCosine);
+    *   - OR-amplification over t tables finds a qualifying pair with
+    *     1 − (1 − p^nBits)^t ≥ targetRecall  ⟺
+    *     t ≥ ln(1 − targetRecall) / ln(1 − p^nBits).
+    *
+    * Per-query candidate coverage is ≤ nTables·targetBucket/N — it SHRINKS
+    * as the corpus grows. At fixture scale (N ≈ 500) the coverage fraction
+    * approaches 1 and LSH degenerates to near-brute-force; that is the
+    * regime where brute force is the right plan anyway, so fixture timings
+    * of the LSH queries must not be read as representative LSH speedup.
+    */
+  def lshPolicy(corpusSize: Long, designCosine: Double,
+                targetRecall: Double = 0.95, targetBucket: Long = 64L,
+                maxTables: Int = 64): (Int, Int) = {
+    require(designCosine > -1.0 && designCosine < 1.0, "designCosine must be in (-1, 1)")
+    require(targetRecall > 0.0 && targetRecall < 1.0, "targetRecall must be in (0, 1)")
+    val n = math.max(1L, corpusSize).toDouble
+    val nBits = math.max(1, math.ceil(math.log(n / targetBucket) / math.log(2.0)).toInt)
+    val p = 1.0 - math.acos(designCosine) / math.Pi
+    val pBucket = math.pow(p, nBits)
+    val nTables =
+      if (pBucket >= 1.0) 1
+      else math.min(maxTables, math.max(1,
+        math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - pBucket)).toInt))
+    (nBits, nTables)
   }
 
   /** Deterministic random hyperplanes (Gaussian, fixed seed). */

@@ -371,13 +371,20 @@ object AdvancedQueries {
     QuerySpec(
       "q54_exists",
       (s, dir) => {
-        Tables.supplier(s, dir).createOrReplaceTempView("graft_supplier")
-        Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
-        s.sql(
-          """SELECT s_suppkey, s_name FROM graft_supplier s
-            |WHERE EXISTS (SELECT 1 FROM graft_lineitem l
-            |              WHERE l.l_suppkey = s.s_suppkey AND l.l_discount > 0.09)
-            |ORDER BY s_suppkey""".stripMargin)
+        // per-call unique view names: two concurrent callers on one shared
+        // session must never read each other's registrations. sql() resolves
+        // the views at analysis time, so they are dropped immediately after.
+        val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+        Tables.supplier(s, dir).createOrReplaceTempView(s"graft_supplier_$tag")
+        Tables.lineitem(s, dir).createOrReplaceTempView(s"graft_lineitem_$tag")
+        val out = s.sql(
+          s"""SELECT s_suppkey, s_name FROM graft_supplier_$tag s
+             |WHERE EXISTS (SELECT 1 FROM graft_lineitem_$tag l
+             |              WHERE l.l_suppkey = s.s_suppkey AND l.l_discount > 0.09)
+             |ORDER BY s_suppkey""".stripMargin)
+        s.catalog.dropTempView(s"graft_supplier_$tag")
+        s.catalog.dropTempView(s"graft_lineitem_$tag")
+        out
       },
       Some("""SELECT s_suppkey, s_name FROM supplier s
              |WHERE EXISTS (SELECT 1 FROM lineitem l
@@ -389,14 +396,18 @@ object AdvancedQueries {
     QuerySpec(
       "q55_not_exists",
       (s, dir) => {
-        Tables.customer(s, dir).createOrReplaceTempView("graft_customer")
-        Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
-        s.sql(
-          """SELECT c_custkey, c_name FROM graft_customer c
-            |WHERE NOT EXISTS (SELECT 1 FROM graft_orders o
-            |                  WHERE o.o_custkey = c.c_custkey
-            |                    AND o.o_totalprice > 300000.0)
-            |ORDER BY c_custkey""".stripMargin)
+        val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+        Tables.customer(s, dir).createOrReplaceTempView(s"graft_customer_$tag")
+        Tables.orders(s, dir).createOrReplaceTempView(s"graft_orders_$tag")
+        val out = s.sql(
+          s"""SELECT c_custkey, c_name FROM graft_customer_$tag c
+             |WHERE NOT EXISTS (SELECT 1 FROM graft_orders_$tag o
+             |                  WHERE o.o_custkey = c.c_custkey
+             |                    AND o.o_totalprice > 300000.0)
+             |ORDER BY c_custkey""".stripMargin)
+        s.catalog.dropTempView(s"graft_customer_$tag")
+        s.catalog.dropTempView(s"graft_orders_$tag")
+        out
       },
       Some("""SELECT c_custkey, c_name FROM customer c
              |WHERE NOT EXISTS (SELECT 1 FROM orders o

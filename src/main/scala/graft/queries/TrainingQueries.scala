@@ -260,18 +260,27 @@ object TrainingQueries {
     // ------------------------------------------------------------------
     // LSH-bucketed ANN (the 100 TB path: bucket join, not cross product).
     // Deterministic hyperplanes (seed 42) — rows-only check; IvfSpec
-    // asserts recall >= 0.9 vs brute force at sf0.01 with these params.
-    // The fixture embeddings are uniform-random (structureless), the
-    // worst case for ANN: recall ≈ candidate coverage. Real embedding
-    // corpora cluster, so the same recall costs far fewer probes there.
+    // asserts recall >= 0.9 vs brute force at sf0.01 with policy params.
+    // nBits/nTables come from Similarity.lshPolicy (corpus-size rule, see
+    // its scaladoc) instead of fixture constants. NOTE on reading the
+    // bench number: at fixture N the policy's per-query candidate
+    // coverage (≤ nTables·targetBucket/N) is close to 1, so q30 timing is
+    // near-brute-force by design — coverage shrinks as N grows, and brute
+    // force IS the right plan at N this small. The fixture embeddings are
+    // uniform-random (structureless), the ANN worst case: recall ≈
+    // candidate coverage. Real embedding corpora cluster, so the same
+    // recall costs far fewer probes there.
     QuerySpec(
       "q30_ann_lsh",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
+        // one metadata-cheap count derives scale-appropriate parameters;
+        // designCosine 0.4 ≈ the top-10 neighbor cosine on this corpus
+        val (nBits, nTables) = Similarity.lshPolicy(emb.count(), designCosine = 0.4)
         val queries = emb.filter(col("vec_id") < 10L)
           .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
         Similarity.annTopK(emb, "vec_id", "embedding", queries, "query_id", "query_vec",
-          k = 10, nBits = 3, nTables = 12, seed = 42L)
+          k = 10, nBits = nBits, nTables = nTables, seed = 42L)
           .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"),
             col("rank"))
           .orderBy("query_id", "rank")
@@ -299,32 +308,42 @@ object TrainingQueries {
     // ------------------------------------------------------------------
     // LSH-bucketed cosine near-dup (the 100 TB path: bucket-join candidates
     // + exact verify). Precision is exactly 1.0 (subset of q31's exact
-    // result — asserted in OpsSpec); recall ≈ 0.75 at this deliberately
-    // low 0.4 threshold (θ≈66° stress case) and ≈ 1 at true near-dup
-    // thresholds (≥0.95). Rows-only check: bucketing is hash-seeded, not
-    // SQL-expressible.
+    // result — asserted in OpsSpec); the policy's table count targets 0.95
+    // pair recall even at this deliberately low 0.4 threshold (θ≈66°
+    // stress case); recall ≈ 1 at true near-dup thresholds (≥0.95).
+    // nBits/nTables from Similarity.lshPolicy — see q30's note on reading
+    // fixture-scale bench numbers. Rows-only check: bucketing is
+    // hash-seeded, not SQL-expressible.
     QuerySpec(
       "q56_cosine_near_dup_lsh",
-      (s, dir) =>
-        Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-          minCosine = 0.4, nBits = 4, nTables = 8, seed = 42L)
-          .orderBy("id_a", "id_b"),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val (nBits, nTables) = Similarity.lshPolicy(emb.count(), designCosine = 0.4)
+        Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+          minCosine = 0.4, nBits = nBits, nTables = nTables, seed = 42L)
+          .orderBy("id_a", "id_b")
+      },
       None),
 
     // ------------------------------------------------------------------
     // IVF ANN (learned-centroid scale path; spherical k-means trained in
     // DataFrame ops, probes nProbe inverted lists). Deterministic seeded
     // init — rows-only check (iterative index, not SQL-expressible);
-    // IvfSpec asserts recall >= 0.9 vs brute force at sf0.01 with these
-    // params (structureless uniform-random fixture — see q30's note).
+    // IvfSpec asserts recall >= 0.9 vs brute force at sf0.01 with policy
+    // params. nCentroids/nProbe from Ivf.ivfPolicy (√N rule, see its
+    // scaladoc) in structureless mode — the uniform-random fixture is the
+    // ANN worst case (recall ≈ scan coverage); real clustered corpora use
+    // the default mode and probe far fewer lists (see q30's note).
     QuerySpec(
       "q46_ann_ivf",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
+        val (nc, np) = graft.ops.Ivf.ivfPolicy(emb.count(), targetRecall = 0.9,
+          structureless = true)
         val queries = emb.filter(col("vec_id") < 10L)
           .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
         graft.ops.Ivf.topK(emb, "vec_id", "embedding", queries, "query_id", "query_vec",
-          k = 10, nCentroids = 8, nProbe = 6)
+          k = 10, nCentroids = nc, nProbe = np)
           .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"),
             col("rank"))
           .orderBy("query_id", "rank")
@@ -349,7 +368,13 @@ object TrainingQueries {
     // ------------------------------------------------------------------
     // Multimodal plumbing: opaque binary payload + typed metadata, batch
     // feature extraction via mapPartitions (decode kernel stubbed — the
-    // Spark-side schema/batching is the tested part).
+    // Spark-side schema/batching is the tested part). The stub folds
+    // bytes into 8 lanes with EXACT integer sums + one float rounding per
+    // lane (Multimodal.decodeStub), so the oracle can replay it from the
+    // UTF-8 bytes: hex-decode each byte, integer-sum per lane (exact),
+    // one CAST to REAL per lane (IEEE round-to-nearest, same as Java's
+    // double→float), then left-to-right double addition of the 8 lanes —
+    // the same order Spark's `aggregate` over the features array uses.
     QuerySpec(
       "q32_media_features",
       (s, dir) => {
@@ -360,7 +385,36 @@ object TrainingQueries {
               .as("feature_sum"))
           .orderBy("media_id")
       },
-      None),
+      Some("""WITH h AS (
+             |  SELECT doc_id, hex(encode(text)) AS hx,
+             |         COALESCE(octet_length(encode(text)), 0) AS n
+             |  FROM documents
+             |), b AS (
+             |  SELECT doc_id, i,
+             |    (strpos('0123456789ABCDEF', substr(hx, CAST(2*i-1 AS INT), 1)) - 1) * 16 +
+             |    (strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 1) AS byte
+             |  FROM (SELECT doc_id, hx, unnest(range(1, n + 1)) AS i FROM h)
+             |), lanes AS (
+             |  SELECT doc_id, (i-1) % 8 AS lane,
+             |    CAST(CAST(SUM(byte) AS DOUBLE) / 255.0 AS REAL) AS lf
+             |  FROM b GROUP BY doc_id, (i-1) % 8
+             |), f AS (
+             |  SELECT doc_id,
+             |    COALESCE(CAST(MAX(CASE WHEN lane=0 THEN lf END) AS DOUBLE), 0.0) AS l0,
+             |    COALESCE(CAST(MAX(CASE WHEN lane=1 THEN lf END) AS DOUBLE), 0.0) AS l1,
+             |    COALESCE(CAST(MAX(CASE WHEN lane=2 THEN lf END) AS DOUBLE), 0.0) AS l2,
+             |    COALESCE(CAST(MAX(CASE WHEN lane=3 THEN lf END) AS DOUBLE), 0.0) AS l3,
+             |    COALESCE(CAST(MAX(CASE WHEN lane=4 THEN lf END) AS DOUBLE), 0.0) AS l4,
+             |    COALESCE(CAST(MAX(CASE WHEN lane=5 THEN lf END) AS DOUBLE), 0.0) AS l5,
+             |    COALESCE(CAST(MAX(CASE WHEN lane=6 THEN lf END) AS DOUBLE), 0.0) AS l6,
+             |    COALESCE(CAST(MAX(CASE WHEN lane=7 THEN lf END) AS DOUBLE), 0.0) AS l7
+             |  FROM lanes GROUP BY doc_id
+             |)
+             |SELECT d.doc_id AS media_id, 'text/plain' AS format,
+             |  ROUND(((((((COALESCE(l0,0)+COALESCE(l1,0))+COALESCE(l2,0))+COALESCE(l3,0))
+             |    +COALESCE(l4,0))+COALESCE(l5,0))+COALESCE(l6,0))+COALESCE(l7,0), 4) AS feature_sum
+             |FROM documents d LEFT JOIN f USING (doc_id)
+             |ORDER BY media_id""".stripMargin)),
 
     // ------------------------------------------------------------------
     // Frame sampling over binary payloads (1→N generator + window counts):

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import scala.concurrent.duration.Duration
 
 import graft.ops.TextOps
 
@@ -34,33 +35,72 @@ object StreamingDedup {
   final case class SeenState(firstDocId: Long, nDuplicates: Long)
   final case class FirstSeen(doc_id: Long, fp: String, duplicateOfFirst: Boolean)
 
-  /** Unbounded first-seen dedup with explicit keyed state. Emits one row
-    * per incoming doc, flagged; downstream keeps `!duplicateOfFirst`.
+  /** Session configs that switch the state store to RocksDB — the backend
+    * for corpus-sized keyed state. The default HDFSBackedStateStoreProvider
+    * keeps EVERY version of EVERY key on the executor heap; RocksDB keeps
+    * state off-heap/on-disk with changelog checkpointing, so state size is
+    * bounded by local disk, not executor memory. Apply before starting the
+    * query: `rocksDbStateStore.foreach { case (k, v) => spark.conf.set(k, v) }`.
+    */
+  val rocksDbStateStore: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    // replay small changelogs instead of uploading full snapshots per batch
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
+
+  /** First-seen dedup with explicit keyed state. Emits one row per incoming
+    * doc, flagged; downstream keeps `!duplicateOfFirst`.
+    *
+    * State-growth contract: state is one ~24-byte record per DISTINCT
+    * fingerprint ever seen, so it grows with corpus vocabulary, not traffic.
+    *   - `ttl = None` (default): exact first-seen semantics forever —
+    *     state is unbounded by design. Run this flavor on the RocksDB
+    *     backend ([[rocksDbStateStore]]) so "unbounded" means local disk,
+    *     not executor heap.
+    *   - `ttl = Some(d)`: a processing-time TTL bounds state to
+    *     fingerprints active within the last `d`. A fingerprint idle longer
+    *     than `d` is evicted, and a LATER re-arrival of the same content is
+    *     re-emitted as first-seen — the deliberate trade for bounded state
+    *     (the same horizon trade `withinStreamExact` makes via watermark).
+    *     Run TTL queries with a real trigger interval (or AvailableNow):
+    *     processing-time timeouts make Spark schedule no-data micro-batches
+    *     continuously, so the default 0 ms trigger busy-loops the cluster.
     */
   def firstSeen(spark: SparkSession, docs: DataFrame,
-                idCol: String, textCol: String): Dataset[FirstSeen] = {
+                idCol: String, textCol: String,
+                ttl: Option[Duration] = None): Dataset[FirstSeen] = {
     import spark.implicits._
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     docs.select(col(idCol).as("doc_id"),
         TextOps.fingerprintMd5(col(textCol)).as("fp"),
         col(textCol).as("text"))
       .as[Doc]
       .groupByKey(_.fp)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (fp: String, batch: Iterator[Doc], state: GroupState[SeenState]) => {
-          val docsSorted = batch.toSeq.sortBy(_.doc_id)
-          state.getOption match {
-            case Some(s) =>
-              state.update(SeenState(s.firstDocId, s.nDuplicates + docsSorted.size))
-              docsSorted.iterator.map(d => FirstSeen(d.doc_id, fp, duplicateOfFirst = true))
-            case None =>
-              docsSorted.headOption match {
-                case None => Iterator.empty
-                case Some(first) =>
-                  state.update(SeenState(first.doc_id, docsSorted.size - 1L))
-                  Iterator(FirstSeen(first.doc_id, fp, duplicateOfFirst = false)) ++
-                    docsSorted.tail.iterator.map(d =>
-                      FirstSeen(d.doc_id, fp, duplicateOfFirst = true))
-              }
+          if (state.hasTimedOut) { // TTL expired with no new arrivals: evict
+            state.remove()
+            Iterator.empty
+          } else {
+            val docsSorted = batch.toSeq.sortBy(_.doc_id)
+            val out = state.getOption match {
+              case Some(s) =>
+                state.update(SeenState(s.firstDocId, s.nDuplicates + docsSorted.size))
+                docsSorted.iterator.map(d => FirstSeen(d.doc_id, fp, duplicateOfFirst = true))
+              case None =>
+                docsSorted.headOption match {
+                  case None => Iterator.empty
+                  case Some(first) =>
+                    state.update(SeenState(first.doc_id, docsSorted.size - 1L))
+                    Iterator(FirstSeen(first.doc_id, fp, duplicateOfFirst = false)) ++
+                      docsSorted.tail.iterator.map(d =>
+                        FirstSeen(d.doc_id, fp, duplicateOfFirst = true))
+                }
+            }
+            ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
+            out
           }
         })
   }

@@ -51,6 +51,43 @@ class FileChecksSpec extends AnyFunSuite {
     assert(Files.exists(Paths.get(s"$dir/processed/a.csv")))
   }
 
+  test("sense succeeds immediately when the input already exists") {
+    val dir = Files.createTempDirectory("graft-sense1")
+    Files.writeString(dir.resolve("in.csv"), "x\n1\n")
+    var slept = 0
+    val pokes = FileChecks.sense(spark, s"$dir/*.csv",
+      pokeIntervalMs = 60000L, timeoutMs = 300000L,
+      sleep = _ => slept += 1)
+    assert(pokes == 1 && slept == 0) // first poke hits, no sleeping
+  }
+
+  test("sense keeps poking until the file appears") {
+    val dir = Files.createTempDirectory("graft-sense2")
+    var now = 0L
+    var slept = 0
+    val pokes = FileChecks.sense(spark, s"$dir/*.csv",
+      pokeIntervalMs = 60000L, timeoutMs = 300000L,
+      clock = () => now,
+      sleep = ms => {
+        now += ms; slept += 1
+        if (slept == 2) Files.writeString(dir.resolve("late.csv"), "x\n1\n")
+      })
+    assert(pokes == 3 && slept == 2) // two misses, file lands, third poke hits
+  }
+
+  test("sense times out when the file never appears (Airflow timeout=300s parity)") {
+    val dir = Files.createTempDirectory("graft-sense3")
+    var now = 0L
+    val e = intercept[FileChecks.SensorTimeoutException] {
+      FileChecks.sense(spark, s"$dir/*.csv",
+        pokeIntervalMs = 60000L, timeoutMs = 300000L,
+        clock = () => now,
+        sleep = ms => now += ms)
+    }
+    // poke at t=0..240s all miss; at t=300s the timeout gate fires: 6 pokes
+    assert(e.getMessage.contains("6 pokes"))
+  }
+
   test("GraftExtensions makes native functions available in plain SQL") {
     val base = SparkTestSession.spark // ensure context exists
     // getOrCreate returns the active session (ignoring withExtensions), so

@@ -41,11 +41,69 @@ class IvfSpec extends AnyFunSuite {
     assert(ivf.nonEmpty)
   }
 
-  test("q46/q30 declared params clear a 0.9 recall floor at sf0.01") {
+  test("q46/q30 policy-derived params clear a 0.9 recall floor at sf0.01") {
     // the fixture embeddings are uniform-random — the ANN worst case
-    // (recall ≈ candidate coverage); these floors pin the declared
-    // parameterization of q46 (IVF nc=8 np=6 → 0.92 measured) and q30
-    // (LSH nBits=3 nTables=12 → 0.94 measured). Deterministic: seeded.
+    // (recall ≈ candidate coverage); these floors pin the POLICY-derived
+    // parameterization the queries now use (Ivf.ivfPolicy structureless
+    // mode for q46, Similarity.lshPolicy for q30), so a policy change
+    // that silently degrades recall fails here. Deterministic: seeded.
+    val sf01 = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, sf01)
+    val n = emb.count()
+    val k = 10
+    val queries = emb.filter(col("vec_id") < 10L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val truth = (0L until 10L).flatMap { q =>
+      val qv = emb.filter(col("vec_id") === q)
+        .select(Similarity.asDouble(col("embedding")).as("query_vec"))
+      Similarity.bruteTopK(emb.filter(col("vec_id") =!= q), "vec_id", "embedding", qv, k)
+        .collect().map(r => (q, r.getLong(0)))
+    }.toSet
+
+    val (nc, np) = Ivf.ivfPolicy(n, targetRecall = 0.9, structureless = true)
+    val ivf = Ivf.topK(emb, "vec_id", "embedding", queries, "query_id", "query_vec",
+      k = k, nCentroids = nc, nProbe = np)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfRecall = (ivf & truth).size.toDouble / truth.size
+    assert(ivfRecall >= 0.9, s"IVF recall $ivfRecall below q46 floor (nc=$nc np=$np)")
+
+    val (nBits, nTables) = Similarity.lshPolicy(n, designCosine = 0.4)
+    val lsh = Similarity.annTopK(emb, "vec_id", "embedding", queries,
+      "query_id", "query_vec", k = k, nBits = nBits, nTables = nTables, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshRecall = (lsh & truth).size.toDouble / truth.size
+    assert(lshRecall >= 0.9, s"LSH recall $lshRecall below q30 floor (nBits=$nBits nTables=$nTables)")
+    info(f"policy at N=$n: IVF (nc=$nc, np=$np) recall=$ivfRecall%.3f; " +
+      f"LSH (nBits=$nBits, nTables=$nTables) recall=$lshRecall%.3f")
+  }
+
+  test("lshPolicy/ivfPolicy scale sanely with corpus size") {
+    // buckets stay ~targetBucket-sized: nBits grows with log2(N)
+    val (b1, t1) = Similarity.lshPolicy(1000L, designCosine = 0.4)
+    val (b2, t2) = Similarity.lshPolicy(100000L, designCosine = 0.4)
+    val (b3, t3) = Similarity.lshPolicy(100L * 1000 * 1000, designCosine = 0.4)
+    assert(b1 < b2 && b2 < b3)
+    assert(t1 <= t2 && t2 <= t3) // more selective buckets need more tables
+    assert(t3 <= 64) // capped — beyond this, raise targetBucket instead
+    // IVF: k ~ sqrt(N); default (clustered) probe fraction is constant
+    val (k1, p1) = Ivf.ivfPolicy(10000L)
+    val (k2, p2) = Ivf.ivfPolicy(100L * 1000 * 1000)
+    assert(k1 == 100 && k2 == 10000)
+    assert(p1 == k1 / 8 && p2 == k2 / 8)
+    // structureless mode probes ~targetRecall of the lists
+    val (ks, ps) = Ivf.ivfPolicy(500L, targetRecall = 0.9, structureless = true)
+    assert(ks == 22 && ps == 20)
+    // degenerate corpora stay valid
+    val (kb, pb) = Ivf.ivfPolicy(1L)
+    assert(kb >= 1 && pb >= 1 && pb <= kb)
+    val (bb, tb) = Similarity.lshPolicy(1L, designCosine = 0.4)
+    assert(bb >= 1 && tb >= 1)
+  }
+
+  test("sampled training preserves search quality and determinism") {
+    // maxTrainRows=100 forces the hash-sample (corpus is 500): centroids
+    // come from ~1/5 of the corpus, search still scans everything. Quality
+    // contract: recall within noise of full-corpus training.
     val sf01 = "/root/testdata/sf0.01"
     val emb = Tables.embeddings(spark, sf01)
     val k = 10
@@ -57,18 +115,14 @@ class IvfSpec extends AnyFunSuite {
       Similarity.bruteTopK(emb.filter(col("vec_id") =!= q), "vec_id", "embedding", qv, k)
         .collect().map(r => (q, r.getLong(0)))
     }.toSet
-
-    val ivf = Ivf.topK(emb, "vec_id", "embedding", queries, "query_id", "query_vec",
-      k = k, nCentroids = 8, nProbe = 6)
+    val (nc, np) = Ivf.ivfPolicy(emb.count(), targetRecall = 0.9, structureless = true)
+    def run() = Ivf.topK(emb, "vec_id", "embedding", queries, "query_id", "query_vec",
+      k = k, nCentroids = nc, nProbe = np, maxTrainRows = 100L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivfRecall = (ivf & truth).size.toDouble / truth.size
-    assert(ivfRecall >= 0.9, s"IVF recall $ivfRecall below q46 floor")
-
-    val lsh = Similarity.annTopK(emb, "vec_id", "embedding", queries,
-      "query_id", "query_vec", k = k, nBits = 3, nTables = 12, seed = 42L)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lshRecall = (lsh & truth).size.toDouble / truth.size
-    assert(lshRecall >= 0.9, s"LSH recall $lshRecall below q30 floor")
+    val sampled = run()
+    val recall = (sampled & truth).size.toDouble / truth.size
+    assert(recall >= 0.85, s"sampled-training recall $recall below floor")
+    assert(run() == sampled, "hash-sampled training must be deterministic")
   }
 
   test("Ivf.topK leaves no lingering cached RDDs after its action") {

@@ -44,4 +44,79 @@ class StreamingDedupSpec extends AnyFunSuite {
     val survivors = rows.filter(!_._2).keys.toSeq.sorted
     assert(survivors == Seq(1L, 2L, 5L))
   }
+
+  test("firstSeen runs on the RocksDB state store backend") {
+    import spark.implicits._
+    val prior = StreamingDedup.rocksDbStateStore.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    StreamingDedup.rocksDbStateStore.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dir = Files.createTempDirectory("graft-sdedup-rocks")
+      Seq((1L, "rocks doc one"), (2L, "rocks doc one"), (3L, "rocks doc two"))
+        .toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(dir.toString)
+      val stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(dir.toString)
+      val q = StreamingDedup.firstSeen(spark, stream, "doc_id", "text")
+        .writeStream.outputMode("append").format("memory").queryName("sdedup_rocks").start()
+      q.processAllAvailable()
+      // cross-batch state must survive on the RocksDB backend too
+      Seq((4L, "rocks doc two")).toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(dir.toString)
+      q.processAllAvailable()
+      // confirm the query actually ran RocksDB, not the HDFS default
+      val usedProvider = q.lastProgress.stateOperators.headOption
+        .map(_.customMetrics.keySet.toString).getOrElse("")
+      q.stop()
+      val rows = spark.table("sdedup_rocks").collect()
+        .map(r => (r.getLong(0), r.getBoolean(2))).toMap
+      assert(rows == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true))
+      assert(usedProvider.contains("rocksdb"), s"expected rocksdb metrics, got $usedProvider")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("firstSeen with TTL evicts idle fingerprints (bounded-state contract)") {
+    // ProcessingTimeTimeout makes the engine construct batches continuously
+    // (shouldRunAnotherBatch is always true), so NONE of the draining waits
+    // (processAllAvailable / AvailableNow+awaitTermination) ever return for
+    // this query shape. The test runs a long-lived query on a real trigger
+    // interval and POLLS the memory sink; timeout eviction happens in the
+    // automatic no-data batches between arrivals.
+    import spark.implicits._
+    import scala.concurrent.duration._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft-sdedup-ttl")
+    Seq((1L, "ttl doc alpha")).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(dir.toString)
+    val stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(dir.toString)
+    val q = StreamingDedup.firstSeen(spark, stream, "doc_id", "text", ttl = Some(3.seconds))
+      .writeStream.outputMode("append").format("memory").queryName("sdedup_ttl")
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.table("sdedup_ttl").count() < n) {
+        assert(System.currentTimeMillis() < deadline, s"timed out waiting for $n output rows")
+        Thread.sleep(100)
+      }
+    }
+    try {
+      awaitRows(1)
+      // within the TTL: same content is still a duplicate (state retained)
+      Seq((2L, "ttl doc alpha")).toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(dir.toString)
+      awaitRows(2)
+      Thread.sleep(5000) // let the 3 s TTL lapse; no-data batches evict alpha
+      // alpha re-arrives AFTER eviction: re-emitted as first-seen
+      Seq((3L, "ttl doc alpha")).toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(dir.toString)
+      awaitRows(3)
+    } finally q.stop()
+    val rows = spark.table("sdedup_ttl").collect()
+      .map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(rows(1L) == false)
+    assert(rows(2L) == true, "re-arrival within the TTL must still be a duplicate")
+    assert(rows(3L) == false, "evicted fingerprint must be first-seen again after TTL")
+  }
 }
