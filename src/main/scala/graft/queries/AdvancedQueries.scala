@@ -431,6 +431,93 @@ object AdvancedQueries {
              |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
              |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
              |  COUNT(*) AS n
-             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // PIVOT: long→wide with EXPLICIT pivot values — passing the value list
+    // skips the extra distinct-scan job Spark otherwise runs to discover
+    // them (the 100 TB rule: never scan the fact table to learn a 3-value
+    // enum). Oracle spells the same thing as conditional aggregation.
+    QuerySpec(
+      "q57_pivot",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("rev"))
+          .select(col("o_orderpriority"),
+            coalesce(col("F_n"), lit(0L)).as("f_n"),
+            coalesce(col("F_rev"), lit(0.0)).as("f_rev"),
+            coalesce(col("O_n"), lit(0L)).as("o_n"),
+            coalesce(col("O_rev"), lit(0.0)).as("o_rev"),
+            coalesce(col("P_n"), lit(0L)).as("p_n"),
+            coalesce(col("P_rev"), lit(0.0)).as("p_rev"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS f_n,
+             |  COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'F'
+             |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS f_rev,
+             |  CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS o_n,
+             |  COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'O'
+             |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS o_rev,
+             |  CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS p_n,
+             |  COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'P'
+             |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS p_rev
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // UNPIVOT (melt): wide→long over the four lineitem measures, then a
+    // per-metric aggregate. One scan, no shuffle for the melt itself
+    // (Expand node); sums routed through DECIMAL for order-independence.
+    QuerySpec(
+      "q58_unpivot",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+          .unpivot(
+            Array.empty[org.apache.spark.sql.Column],
+            Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+            "metric", "value")
+          .groupBy(col("metric"))
+          .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("total"))
+          .orderBy("metric"),
+      Some("""WITH m AS (
+             |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+             |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+             |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+             |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+             |)
+             |SELECT metric, COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+             |FROM m GROUP BY metric ORDER BY metric""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // LATERAL VIEW explode (1→N in SQL): token frequencies over the
+    // documents corpus through the full SQL lifecycle; the DuckDB oracle
+    // uses its LATERAL unnest spelling of the same plan. Per-call unique
+    // view name (see q54).
+    QuerySpec(
+      "q59_lateral_explode",
+      (s, dir) => {
+        val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+        Tables.documents(s, dir).createOrReplaceTempView("graft_docs_" + tag)
+        val out = s.sql(
+          """SELECT token, COUNT(*) AS n
+            |FROM graft_docs_""".stripMargin + tag +
+          """
+            |LATERAL VIEW explode(split(trim(regexp_replace(lower(text), '\\s+', ' ')), ' ')) t AS token
+            |WHERE length(token) >= 4
+            |GROUP BY token
+            |HAVING COUNT(*) >= 20
+            |ORDER BY n DESC, token""".stripMargin)
+        s.catalog.dropTempView("graft_docs_" + tag)
+        out
+      },
+      Some("""SELECT t.token AS token, COUNT(*) AS n
+             |FROM documents, LATERAL unnest(string_split(
+             |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t(token)
+             |WHERE length(t.token) >= 4
+             |GROUP BY t.token HAVING COUNT(*) >= 20
+             |ORDER BY n DESC, token""".stripMargin))
   )
 }

@@ -74,6 +74,31 @@ class PlanSpec extends AnyFunSuite {
       s"expected HashAggregate below the join\n$plan")
   }
 
+  test("q57: explicit pivot values avoid the distinct-discovery job") {
+    // pivot WITHOUT values runs an eager collect to discover them; with an
+    // explicit list the plan is a single aggregate over one scan
+    val plan = executedPlan("q57_pivot")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"pivot must read orders exactly once\n$plan")
+  }
+
+  test("q58: unpivot plans as Expand over one scan, no join/shuffle melt") {
+    val plan = executedPlan("q58_unpivot")
+    assert(plan.contains("Expand"), plan)
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"unpivot must read lineitem exactly once (not UNION-of-scans)\n$plan")
+  }
+
+  test("q59: lateral explode plans as Generate, aggregation map-side combined") {
+    val plan = executedPlan("q59_lateral_explode")
+    assert(plan.contains("Generate explode"), plan)
+    // partial aggregation must run below the exchange (map-side combine)
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    val partialAggIdx = plan.indexOf("HashAggregate", exchangeIdx)
+    assert(exchangeIdx >= 0 && partialAggIdx > exchangeIdx,
+      s"expected partial HashAggregate below the exchange\n$plan")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import spark.implicits._
     // NB: array<float>→double via transform() is a HOF and would break the
