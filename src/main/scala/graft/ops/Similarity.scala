@@ -116,20 +116,31 @@ object Similarity {
     * approaches 1 and LSH degenerates to near-brute-force; that is the
     * regime where brute force is the right plan anyway, so fixture timings
     * of the LSH queries must not be read as representative LSH speedup.
+    *
+    * `multiProbe = true` models 1-bit-flip probing (Lv et al., VLDB '07):
+    * one table also finds a pair if EXACTLY ONE of its nBits planes
+    * disagrees, so the per-table hit probability rises from p^b to
+    * p^b + b·p^(b-1)·(1-p) and far fewer tables reach the same recall —
+    * the standard production fix when the plain-OR table count hits the
+    * cap (each probed table costs b+1 bucket lookups instead of 1, but
+    * signature computation and index size shrink by the table ratio).
     */
   def lshPolicy(corpusSize: Long, designCosine: Double,
                 targetRecall: Double = 0.95, targetBucket: Long = 64L,
-                maxTables: Int = 64): (Int, Int) = {
+                maxTables: Int = 64, multiProbe: Boolean = false): (Int, Int) = {
     require(designCosine > -1.0 && designCosine < 1.0, "designCosine must be in (-1, 1)")
     require(targetRecall > 0.0 && targetRecall < 1.0, "targetRecall must be in (0, 1)")
     val n = math.max(1L, corpusSize).toDouble
     val nBits = math.max(1, math.ceil(math.log(n / targetBucket) / math.log(2.0)).toInt)
     val p = 1.0 - math.acos(designCosine) / math.Pi
-    val pBucket = math.pow(p, nBits)
+    val pExact = math.pow(p, nBits)
+    val pTable =
+      if (multiProbe) pExact + nBits * math.pow(p, nBits - 1) * (1.0 - p)
+      else pExact
     val nTables =
-      if (pBucket >= 1.0) 1
+      if (pTable >= 1.0) 1
       else math.min(maxTables, math.max(1,
-        math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - pBucket)).toInt))
+        math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - pTable)).toInt))
     (nBits, nTables)
   }
 
@@ -159,20 +170,39 @@ object Similarity {
       }: _*)).as("__tb"))
       .select(col(idCol), col("__tb.__table").as("__table"), col("__tb.__bucket").as("__bucket"))
 
+  /** Multi-probe expansion (Lv et al., VLDB '07, specialized to 1-bit
+    * flips): each (table, bucket) row additionally probes the nBits
+    * neighboring buckets that differ in exactly one hyperplane sign.
+    * Applied to ONE side of a bucket join only — a pair whose signatures
+    * differ in exactly bit j still collides because the probing side
+    * visits the other side's bucket. Output stays skinny; duplicates from
+    * overlapping probes are removed by the callers' pair dedup.
+    */
+  private def withOneBitProbes(banded: DataFrame, nBits: Int): DataFrame =
+    banded.select(col(banded.columns.head), col("__table"),
+      explode(array(col("__bucket") +:
+        (0 until nBits).map(j => col("__bucket").bitwiseXOR(lit(1L << j))): _*))
+        .as("__bucket"))
+
   /** LSH-bucketed ANN: top-k per query, searching only hash-colliding
     * buckets across `nTables` independent tables. Shuffles on (table,
-    * bucket) — never the cross product.
+    * bucket) — never the cross product. `multiProbe` additionally probes
+    * the nBits 1-bit-flip neighbor buckets from the QUERY side (queries
+    * are few; the corpus index stays one entry per table) — pair
+    * [[lshPolicy]]'s multiProbe mode for the matching table count.
     */
   def annTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, queryIdCol: String, queryVecCol: String,
               k: Int, nBits: Int = 12, nTables: Int = 4, seed: Long = 42L,
-              dim: Int = 0): DataFrame = {
+              dim: Int = 0, multiProbe: Boolean = false): DataFrame = {
     // dim <= 0 → infer from the corpus (one first-row job)
     val d = if (dim > 0) dim else inferDim(corpus, vecCol)
     val corpusUnit = unitVectors(corpus, idCol, vecCol)
     val queryUnit = unitVectors(queries, queryIdCol, queryVecCol)
+    val qBuckets0 = buckets(queryUnit, queryIdCol, d, nBits, nTables, seed)
+    val qBuckets = if (multiProbe) withOneBitProbes(qBuckets0, nBits) else qBuckets0
     val candidates = buckets(corpusUnit, idCol, d, nBits, nTables, seed)
-      .join(broadcast(buckets(queryUnit, queryIdCol, d, nBits, nTables, seed)),
+      .join(broadcast(qBuckets),
         Seq("__table", "__bucket"))
       .filter(col(idCol) =!= col(queryIdCol))
       .select(col(queryIdCol), col(idCol))
@@ -190,15 +220,20 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs (the embedding flavor of dedup):
     * candidates from LSH bucket collisions, verified with exact cosine.
+    * `multiProbe` probes 1-bit-flip neighbor buckets from one join side
+    * (symmetric pairs need the expansion only once) — pair with
+    * [[lshPolicy]]'s multiProbe mode.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          minCosine: Double = 0.95, nBits: Int = 10,
                          nTables: Int = 4, seed: Long = 42L,
-                         dim: Int = 0): DataFrame = {
+                         dim: Int = 0, multiProbe: Boolean = false): DataFrame = {
     val d = if (dim > 0) dim else inferDim(df, vecCol)
     val unit = unitVectors(df, idCol, vecCol)
     val banded = buckets(unit, idCol, d, nBits, nTables, seed)
-    val candidates = banded.select(col("__table"), col("__bucket"), col(idCol).as("id_a"))
+    val bandedA = banded.select(col(idCol).as("id_a"), col("__table"), col("__bucket"))
+    val probeA = if (multiProbe) withOneBitProbes(bandedA, nBits) else bandedA
+    val candidates = probeA
       .join(banded.select(col("__table"), col("__bucket"), col(idCol).as("id_b")),
         Seq("__table", "__bucket"))
       .filter(col("id_a") < col("id_b"))

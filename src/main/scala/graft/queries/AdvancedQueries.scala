@@ -518,6 +518,41 @@ object AdvancedQueries {
              |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t(token)
              |WHERE length(t.token) >= 4
              |GROUP BY t.token HAVING COUNT(*) >= 20
-             |ORDER BY n DESC, token""".stripMargin))
+             |ORDER BY n DESC, token""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // RANGE window frame (value-based, not row-based): trailing 7-day
+    // moving revenue over DAILY aggregates. The window input is O(distinct
+    // dates) — it does NOT grow with data volume, so the unpartitioned
+    // window (single-task sort) is fine even at 100 TB; the heavy
+    // reduction happened in the groupBy before it. Window sums routed
+    // through DECIMAL on both engines: Spark accumulates the frame
+    // running-style, DuckDB uses a segment tree — different double
+    // addition orders would diverge, decimal is order-free.
+    QuerySpec(
+      "q60_range_window",
+      (s, dir) => {
+        val daily = Tables.orders(s, dir)
+          .groupBy(to_date(col("o_orderdate")).as("d"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev_dec"),
+            count(lit(1)).as("n"))
+        val w = Window.orderBy(col("dnum")).rangeBetween(-6, 0)
+        daily
+          .withColumn("dnum", datediff(col("d"), lit("1970-01-01")))
+          .withColumn("rev_7d", sum(col("rev_dec")).over(w).cast("double"))
+          .select(date_format(col("d"), "yyyy-MM-dd").as("day"), col("n"),
+            col("rev_dec").cast("double").as("rev"), col("rev_7d"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS d,
+             |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev,
+             |         COUNT(*) AS n
+             |  FROM orders GROUP BY 1
+             |)
+             |SELECT strftime(d, '%Y-%m-%d') AS day, n, CAST(rev AS DOUBLE) AS rev,
+             |  CAST(SUM(rev) OVER (ORDER BY d
+             |    RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d
+             |FROM daily ORDER BY day""".stripMargin))
   )
 }

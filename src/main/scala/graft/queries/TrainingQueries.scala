@@ -275,12 +275,15 @@ object TrainingQueries {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         // one metadata-cheap count derives scale-appropriate parameters;
-        // designCosine 0.4 ≈ the top-10 neighbor cosine on this corpus
-        val (nBits, nTables) = Similarity.lshPolicy(emb.count(), designCosine = 0.4)
+        // designCosine 0.4 ≈ the top-10 neighbor cosine on this corpus.
+        // multiProbe: 1-bit-flip probing reaches the same 0.95 recall
+        // target with ~4x fewer tables (see lshPolicy scaladoc)
+        val (nBits, nTables) = Similarity.lshPolicy(emb.count(), designCosine = 0.4,
+          multiProbe = true)
         val queries = emb.filter(col("vec_id") < 10L)
           .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
         Similarity.annTopK(emb, "vec_id", "embedding", queries, "query_id", "query_vec",
-          k = 10, nBits = nBits, nTables = nTables, seed = 42L)
+          k = 10, nBits = nBits, nTables = nTables, seed = 42L, multiProbe = true)
           .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"),
             col("rank"))
           .orderBy("query_id", "rank")
@@ -318,9 +321,11 @@ object TrainingQueries {
       "q56_cosine_near_dup_lsh",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val (nBits, nTables) = Similarity.lshPolicy(emb.count(), designCosine = 0.4)
+        val (nBits, nTables) = Similarity.lshPolicy(emb.count(), designCosine = 0.4,
+          multiProbe = true)
         Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
-          minCosine = 0.4, nBits = nBits, nTables = nTables, seed = 42L)
+          minCosine = 0.4, nBits = nBits, nTables = nTables, seed = 42L,
+          multiProbe = true)
           .orderBy("id_a", "id_b")
       },
       None),

@@ -67,14 +67,36 @@ class IvfSpec extends AnyFunSuite {
     val ivfRecall = (ivf & truth).size.toDouble / truth.size
     assert(ivfRecall >= 0.9, s"IVF recall $ivfRecall below q46 floor (nc=$nc np=$np)")
 
-    val (nBits, nTables) = Similarity.lshPolicy(n, designCosine = 0.4)
+    val (nBits, nTables) = Similarity.lshPolicy(n, designCosine = 0.4, multiProbe = true)
     val lsh = Similarity.annTopK(emb, "vec_id", "embedding", queries,
-      "query_id", "query_vec", k = k, nBits = nBits, nTables = nTables, seed = 42L)
+      "query_id", "query_vec", k = k, nBits = nBits, nTables = nTables, seed = 42L,
+      multiProbe = true)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lshRecall = (lsh & truth).size.toDouble / truth.size
     assert(lshRecall >= 0.9, s"LSH recall $lshRecall below q30 floor (nBits=$nBits nTables=$nTables)")
     info(f"policy at N=$n: IVF (nc=$nc, np=$np) recall=$ivfRecall%.3f; " +
-      f"LSH (nBits=$nBits, nTables=$nTables) recall=$lshRecall%.3f")
+      f"multi-probe LSH (nBits=$nBits, nTables=$nTables) recall=$lshRecall%.3f")
+  }
+
+  test("multi-probe LSH matches single-probe recall with ~4x fewer tables") {
+    val sf01 = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, sf01)
+    val n = emb.count()
+    val (bS, tSingle) = Similarity.lshPolicy(n, designCosine = 0.4)
+    val (bM, tMulti) = Similarity.lshPolicy(n, designCosine = 0.4, multiProbe = true)
+    assert(bS == bM, "probing strategy must not change the bucket granularity")
+    assert(tMulti * 2 <= tSingle,
+      s"multi-probe should need far fewer tables ($tMulti vs $tSingle)")
+    // and the q56 pair flavor stays precision-1.0 (exact verify) under probing
+    val exact = Similarity.cosineNearDupPairsExact(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mp = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      minCosine = 0.4, nBits = bM, nTables = tMulti, seed = 42L, multiProbe = true)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mp.subsetOf(exact))
+    val recall = mp.size.toDouble / exact.size
+    assert(recall >= 0.8, s"multi-probe pair recall $recall below floor")
+    info(f"multi-probe pairs: recall=$recall%.3f with $tMulti tables (single-probe policy: $tSingle)")
   }
 
   test("lshPolicy/ivfPolicy scale sanely with corpus size") {
