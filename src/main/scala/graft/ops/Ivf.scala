@@ -140,20 +140,26 @@ object Ivf {
     (k, probe)
   }
 
-  /** IVF top-k search: probe the `nProbe` nearest lists per query.
-    * `maxTrainRows` bounds the k-means training corpus (see
-    * [[trainCentroids]] for the driver-traffic contract); search always
-    * scans the FULL corpus — only centroid training is sampled.
+  /** A built IVF index: the trained centroid matrix plus the corpus with
+    * its list assignment (`idCol`, `__vn` unit vector, `__cid` list id).
+    * Build once, search many — training never reruns per query batch.
     */
-  def topK(corpus: DataFrame, idCol: String, vecCol: String,
-           queries: DataFrame, queryIdCol: String, queryVecCol: String,
-           k: Int, nCentroids: Int = 16, nProbe: Int = 4,
-           iters: Int = 3, seed: Long = 42L,
-           maxTrainRows: Long = 100000L): DataFrame = {
+  final case class IvfIndex(idCol: String,
+                            centroids: Array[(Int, Array[Double])],
+                            assigned: DataFrame)
+
+  /** Train centroids and assign every corpus vector to its inverted list.
+    * `maxTrainRows` bounds the k-means training corpus (see
+    * [[trainCentroids]] for the driver-traffic contract); assignment (and
+    * search) always covers the FULL corpus — only training is sampled.
+    */
+  def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                 nCentroids: Int = 16, iters: Int = 3, seed: Long = 42L,
+                 maxTrainRows: Long = 100000L): IvfIndex = {
     // the cache exists only for the training iterations (each Lloyd step
     // re-reads the normalized vectors); it is released as soon as the
-    // centroid matrix is on the driver, so repeated topK calls leave no
-    // lingering storage. The returned search plan recomputes normalization
+    // centroid matrix is on the driver, so repeated builds leave no
+    // lingering storage. The assignment plan recomputes normalization
     // inside its single corpus scan — one cheap projection, no second pass.
     val cached = trainSample(
       unitVectors(corpus, vecCol).select(col(idCol), col("__vn")), idCol,
@@ -161,11 +167,46 @@ object Ivf {
     val centroids =
       try trainOnUnit(cached, idCol, nCentroids, iters, seed)
       finally { cached.unpersist(false); () }
-
-    val corpusAssigned = unitVectors(corpus, vecCol)
+    val assigned = unitVectors(corpus, vecCol)
       .select(col(idCol), col("__vn"),
         nearestCentroid(col("__vn"), centroids).as("__cid"))
+    IvfIndex(idCol, centroids, assigned)
+  }
 
+  /** Persist an index: inverted lists as parquet PARTITIONED BY list id —
+    * a probe that touches nProbe lists prunes to nProbe directories (and
+    * the probe join is a broadcast, so dynamic partition pruning applies) —
+    * plus the k×dim centroid matrix alongside. The 100 TB serving layout:
+    * search I/O is proportional to the lists probed, not the corpus.
+    */
+  def saveIndex(index: IvfIndex, path: String): Unit = {
+    index.assigned.write.mode("overwrite").partitionBy("__cid")
+      .parquet(path + "/lists")
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.toSeq.map { case (cid, c) => (cid, c.toSeq) }
+      .toDF("cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+  }
+
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                idCol: String): IvfIndex = {
+    val centroids = spark.read.parquet(path + "/centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    IvfIndex(idCol, centroids, spark.read.parquet(path + "/lists"))
+  }
+
+  /** IVF top-k search over a built index: probe the `nProbe` nearest lists
+    * per query. No training happens here — reuse one [[buildIndex]] result
+    * across query batches.
+    */
+  def searchIndex(index: IvfIndex, queries: DataFrame,
+                  queryIdCol: String, queryVecCol: String,
+                  k: Int, nProbe: Int = 4): DataFrame = {
+    val idCol = index.idCol
+    val centroids = index.centroids
     // per query: rank all centroids, keep nProbe best lists
     val qUnit = unitVectors(queries, queryVecCol)
       .select(col(queryIdCol), col("__vn").as("__qn"))
@@ -182,11 +223,24 @@ object Ivf {
       .select(col(queryIdCol), col("__qn"), col("__s.__cid").as("__cid"))
 
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("cosine").desc, col(idCol))
-    corpusAssigned.join(broadcast(probes), "__cid")
+    index.assigned.join(broadcast(probes), "__cid")
       .filter(col(idCol) =!= col(queryIdCol))
       .select(col(queryIdCol), col(idCol),
         Similarity.dot(col("__vn"), col("__qn")).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** One-shot convenience: build + search. For repeated query batches use
+    * [[buildIndex]] once and [[searchIndex]] per batch (or [[saveIndex]] /
+    * [[loadIndex]] across jobs).
+    */
+  def topK(corpus: DataFrame, idCol: String, vecCol: String,
+           queries: DataFrame, queryIdCol: String, queryVecCol: String,
+           k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+           iters: Int = 3, seed: Long = 42L,
+           maxTrainRows: Long = 100000L): DataFrame =
+    searchIndex(
+      buildIndex(corpus, idCol, vecCol, nCentroids, iters, seed, maxTrainRows),
+      queries, queryIdCol, queryVecCol, k, nProbe)
 }

@@ -147,6 +147,33 @@ class IvfSpec extends AnyFunSuite {
     assert(run() == sampled, "hash-sampled training must be deterministic")
   }
 
+  test("index lifecycle: build once / search many / save+load round-trip") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 5L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def results(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+
+    val index = Ivf.buildIndex(emb, "vec_id", "embedding", nCentroids = 8)
+    val r1 = results(Ivf.searchIndex(index, queries, "query_id", "query_vec", k = 5, nProbe = 4))
+    val r2 = results(Ivf.searchIndex(index, queries, "query_id", "query_vec", k = 5, nProbe = 4))
+    assert(r1 == r2 && r1.nonEmpty, "one index must serve repeated batches identically")
+    // one-shot topK with the same params = build+search composed
+    val oneShot = results(Ivf.topK(emb, "vec_id", "embedding", queries,
+      "query_id", "query_vec", k = 5, nCentroids = 8, nProbe = 4))
+    assert(oneShot == r1)
+
+    // persisted layout: lists partitioned by __cid + centroid matrix
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+    Ivf.saveIndex(index, dir)
+    assert(new java.io.File(dir + "/lists").listFiles()
+      .exists(_.getName.startsWith("__cid=")), "lists must be partitioned by list id")
+    val loaded = Ivf.loadIndex(spark, dir, "vec_id")
+    assert(loaded.centroids.map(_._2.toSeq).toSeq == index.centroids.map(_._2.toSeq).toSeq)
+    val r3 = results(Ivf.searchIndex(loaded, queries, "query_id", "query_vec", k = 5, nProbe = 4))
+    assert(r3 == r1, "a reloaded index must search identically")
+  }
+
   test("Ivf.topK leaves no lingering cached RDDs after its action") {
     val emb = Tables.embeddings(spark, sf)
     val before = spark.sparkContext.getPersistentRDDs.keySet
