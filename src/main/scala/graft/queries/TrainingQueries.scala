@@ -438,6 +438,41 @@ object TrainingQueries {
              |  CAST((octet_length(encode(text)) // 256) * 64 AS BIGINT) AS bytes_sampled
              |FROM documents
              |WHERE octet_length(encode(text)) >= 256
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Symmetric int8 embedding quantization (ops.Quantize — the 4x
+    // storage/IO reduction for corpus-scale vector stores). The oracle is
+    // deliberately ORDER-INDEPENDENT: the integer code checksum and the
+    // order-free max reconstruction error pin the exact codes without any
+    // float accumulation-order exposure. HOFs here are interpreted (not
+    // codegen'd) — acceptable for a per-vector projection; the search hot
+    // path stays on the native DotProduct kernel.
+    QuerySpec(
+      "q61_quantize_int8",
+      (s, dir) =>
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            aggregate(graft.ops.Quantize.int8Codes(col("embedding")), lit(0L),
+              (a, x) => a + x.cast("long")).as("code_sum"),
+            round(graft.ops.Quantize.int8Scale(col("embedding")), 6).as("scale"),
+            round(graft.ops.Quantize.maxAbsError(col("embedding")), 8).as("max_abs_err"))
+          .orderBy("vec_id"),
+      Some("""WITH v AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS e,
+             |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS s
+             |  FROM embeddings
+             |), q AS (
+             |  SELECT vec_id, s, e,
+             |    list_transform(e, x -> CASE WHEN s = 0 THEN 0
+             |      ELSE CAST(round(x / s * 127) AS BIGINT) END) AS codes
+             |  FROM v
+             |)
+             |SELECT vec_id,
+             |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+             |  ROUND(s, 6) AS scale,
+             |  ROUND(list_max(list_transform(e, (x, i) ->
+             |    abs(x - codes[i] * s / 127.0))), 8) AS max_abs_err
+             |FROM q ORDER BY vec_id""".stripMargin))
   )
 }
