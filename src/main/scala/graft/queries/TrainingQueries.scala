@@ -473,6 +473,102 @@ object TrainingQueries {
              |  ROUND(s, 6) AS scale,
              |  ROUND(list_max(list_transform(e, (x, i) ->
              |    abs(x - codes[i] * s / 127.0))), 8) AS max_abs_err
-             |FROM q ORDER BY vec_id""".stripMargin))
+             |FROM q ORDER BY vec_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // END-TO-END curation pipeline — the composition a training-data run
+    // actually executes: quality gate (q22 formula) → language filter
+    // (q24 formula) → exact-dup survivors (smallest id per fingerprint) →
+    // n-gram-Jaccard near-dup drop (greedy smaller-id survivor, exact
+    // pairs at t=0.5) → per-source doc/token budget. Every stage is the
+    // SAME expression its standalone query uses, so the whole composition
+    // is oracle-checked end to end. Threshold 0.65 sits between the
+    // achievable quality levels (…0.6, 0.7…) so double-vs-decimal literal
+    // arithmetic can't flip a boundary doc across engines.
+    QuerySpec(
+      "q62_curation_pipeline",
+      (s, dir) => {
+        val st = graft.functions.ArrayMath.textStats(col("text"))
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("text"),
+            length(col("text")).as("__nc"), st.as("__st"))
+        val quality =
+          when(col("__nc").between(50, 20000), 1.0).otherwise(0.0) * 0.3 +
+          when(col("__st.n_stop").cast("double") / col("__st.n_tokens") >= 0.01, 1.0).otherwise(0.0) * 0.3 +
+          when(col("__st.n_punct").cast("double") / col("__nc") <= 0.2, 1.0).otherwise(0.0) * 0.2 +
+          when((col("__st.tok_chars").cast("double") / col("__st.n_tokens")).between(2.0, 12.0), 1.0).otherwise(0.0) * 0.2
+        val scored = Seq("en" -> "s_en", "de" -> "s_de", "es" -> "s_es", "fr" -> "s_fr")
+          .map { case (lang, f) => struct(col(s"__st.$f").as("score"), lit(lang).as("lang")) }
+        val best = greatest(scored: _*)
+        val lang = when(col("text").rlike("[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}]"), "zh")
+          .otherwise(when(best.getField("score") > 0, best.getField("lang"))
+            .otherwise("unknown"))
+        val kept = docs.filter(quality >= 0.65 && lang === "en")
+        val w = Window.partitionBy(TextOps.fingerprintMd5(col("text"))).orderBy(col("doc_id"))
+        val surv = kept.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val dropIds = Dedup.ngramJaccardPairs(surv, "doc_id", "text",
+          shingleSize = 3, minJaccard = 0.5)
+          .select(col("id_b").as("doc_id")).distinct()
+        surv.join(dropIds, Seq("doc_id"), "left_anti")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("__st.n_tokens")).cast("long").as("total_tokens"))
+          .orderBy("source")
+      },
+      Some(s"""WITH m AS (
+              |  SELECT doc_id, source, text,
+              |    LENGTH(text) AS n_chars,
+              |    len($toksSql) AS n_tokens,
+              |    len(list_filter($toksSql, x -> lower(x) IN ($stops))) AS n_stop,
+              |    LENGTH(text) - LENGTH(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS n_punct,
+              |    CAST(list_sum(list_transform($toksSql, x -> LENGTH(x))) AS DOUBLE) AS tok_chars,
+              |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+              |      x -> x IN ('the','and','of','to','is','in','that','it'))) AS s_en,
+              |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+              |      x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS s_de,
+              |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+              |      x -> x IN ('el','la','los','de','que','y','es','un'))) AS s_es,
+              |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+              |      x -> x IN ('le','la','les','et','est','un','une','que'))) AS s_fr
+              |  FROM documents
+              |), kept AS (
+              |  SELECT doc_id, source, text, n_tokens FROM m
+              |  WHERE ((CASE WHEN n_chars BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END)*0.3 +
+              |         (CASE WHEN CAST(n_stop AS DOUBLE)/n_tokens >= 0.01 THEN 1.0 ELSE 0.0 END)*0.3 +
+              |         (CASE WHEN CAST(n_punct AS DOUBLE)/n_chars <= 0.2 THEN 1.0 ELSE 0.0 END)*0.2 +
+              |         (CASE WHEN tok_chars/n_tokens BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)*0.2) >= 0.65
+              |    AND (CASE
+              |      WHEN regexp_matches(text, '[\\p{Han}\\p{Hiragana}\\p{Katakana}]') THEN 'zh'
+              |      WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_en THEN 'fr'
+              |      WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_de AND s_es >= s_en THEN 'es'
+              |      WHEN s_en > 0 AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+              |      WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es AND s_de >= s_en THEN 'de'
+              |      ELSE 'unknown' END) = 'en'
+              |), surv AS (
+              |  SELECT doc_id, source, text, n_tokens FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY md5($normSql) ORDER BY doc_id) AS rn
+              |    FROM kept
+              |  ) WHERE rn = 1
+              |), t AS (
+              |  SELECT doc_id, string_split($normSql, ' ') AS toks FROM surv
+              |), sh AS (
+              |  SELECT doc_id, unnest(list_distinct(
+              |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)])) AS sgl
+              |  FROM t
+              |), sz AS (
+              |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+              |), pr AS (
+              |  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+              |  FROM sh a JOIN sh b ON a.sgl = b.sgl AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2
+              |), drops AS (
+              |  SELECT DISTINCT ib FROM pr
+              |  JOIN sz x ON x.doc_id = pr.ia JOIN sz y ON y.doc_id = pr.ib
+              |  WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.5
+              |)
+              |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+              |FROM surv WHERE doc_id NOT IN (SELECT ib FROM drops)
+              |GROUP BY source ORDER BY source""".stripMargin))
   )
 }
