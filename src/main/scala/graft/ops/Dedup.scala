@@ -102,6 +102,101 @@ object Dedup {
       Seq(idCol), "left_anti")
   }
 
+  /** Connected components over near-duplicate pairs — the transitive
+    * closure that cluster-level dedup needs (greedy survivor rules keep one
+    * doc per LOCAL minimum; components keep exactly one per cluster).
+    *
+    * Alternating large-star / small-star algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14): converges in
+    * O(log² n) rounds regardless of component diameter — the property that
+    * matters at 100 TB, where naive label propagation needs
+    * O(diameter) rounds and duplicate chains (A~B~C~…) make the diameter
+    * unbounded. Each round is two groupBy-min shuffles over skinny
+    * (long, long) edges; lineage is truncated every round with
+    * localCheckpoint so the plan stays flat.
+    *
+    *   - large-star: every node > u links to min(N(u) ∪ {u})
+    *   - small-star: every node ≤ u links to min(N(u) ∪ {u})
+    *
+    * Both preserve connectivity; at the fixpoint the edge set is a star
+    * per component, every member pointing at the component minimum.
+    *
+    * @param pairs DataFrame of undirected edges (two long id columns)
+    * @return (id, component, cluster_size) — one row per NODE OF A PAIR;
+    *         singleton documents never enter `pairs` and need no row
+    * @throws IllegalStateException if not converged in maxIter rounds
+    *         (the O(log² n) bound makes 30 rounds ≈ 2^5 nodes-squared safe)
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 30): DataFrame = {
+    val spark = pairs.sparkSession
+    if (pairs.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long)].toDF("id", "component", "cluster_size")
+    }
+
+    def canon(e: DataFrame): DataFrame =
+      e.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      canon(nbrs.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val directed = canon(e) // (u, v) with u > v
+      val mins = directed.groupBy("u").agg(min(col("v")).as("m"))
+      val joined = directed.join(mins, "u")
+      canon(joined.select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v"))))
+    }
+
+    var edges = canon(pairs.select(col(aCol).cast("long").as("u"),
+      col(bCol).cast("long").as("v"))).localCheckpoint(true)
+    var prev = (-1L, -1L)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      val r = edges.select(xxhash64(col("u"), col("v")).as("h"))
+        .agg(count(lit(1)), expr("bit_xor(h)")).head()
+      val sig = (r.getLong(0), r.getLong(1))
+      done = sig == prev
+      prev = sig
+      iter += 1
+    }
+    if (!done) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds")
+
+    // fixpoint edges are stars (member, componentMin); centers label themselves
+    val labels = edges.select(col("u").as("id"), col("v").as("component"))
+      .union(edges.select(col("v").as("id"), col("v").as("component")).distinct())
+    val sizes = labels.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "component").select(col("id"), col("component"), col("cluster_size"))
+  }
+
+  /** Cluster-aware near-dedup: exactly ONE survivor (the minimum id) per
+    * connected component of the near-duplicate graph. Strictly stronger
+    * than [[dropNearDuplicates]]'s greedy rule, which keeps every LOCAL
+    * minimum — e.g. for edges {(1,5), (3,5)} greedy keeps 1 AND 3 (3 is
+    * never the larger id of a pair), components keep only 1.
+    */
+  def dropNearDuplicateClusters(df: DataFrame, idCol: String, textCol: String,
+                                numHashes: Int = 32, shingleSize: Int = 3,
+                                bands: Int = 16, minJaccard: Double = 0.8): DataFrame = {
+    val pairs = minhashNearDupPairs(df, idCol, textCol, numHashes, shingleSize,
+      bands, minJaccard)
+    val drop = connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash over whitespace tokens: per-bit signed counts of token
     * hashes, sign → bit (graft.functions.SimHash64 kernel). One projection
     * per document — no explode, no shuffle.

@@ -569,6 +569,51 @@ object TrainingQueries {
               |)
               |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
               |FROM surv WHERE doc_id NOT IN (SELECT ib FROM drops)
-              |GROUP BY source ORDER BY source""".stripMargin))
+              |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Connected components over the exact q27 near-dup graph — cluster-level
+    // dedup's transitive closure. Spark runs the O(log² n) alternating
+    // large-star/small-star algorithm (Dedup.connectedComponents); the
+    // oracle computes the same closure by recursive CTE reachability and
+    // labels each node with the minimum reachable id. Both sides agree on
+    // (member, component, cluster size) exactly — integers only, no floats.
+    QuerySpec(
+      "q63_dedup_clusters",
+      (s, dir) => {
+        val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          shingleSize = 3, minJaccard = 0.2)
+        Dedup.connectedComponents(pairs, "id_a", "id_b")
+          .select(col("id").as("doc_id"), col("component"), col("cluster_size"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE t AS (
+              |  SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents
+              |), sh AS (
+              |  SELECT doc_id, unnest(list_distinct(
+              |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)])) AS s
+              |  FROM t
+              |), sz AS (
+              |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+              |), inter AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+              |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2
+              |), e AS (
+              |  SELECT id_a AS a, id_b AS b FROM inter i
+              |  JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
+              |  WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.2
+              |), u AS (
+              |  SELECT a, b FROM e UNION SELECT b, a FROM e
+              |), reach(a, b) AS (
+              |  SELECT DISTINCT a, a FROM u
+              |  UNION
+              |  SELECT reach.a, u.b FROM reach JOIN u ON reach.b = u.a
+              |), lbl AS (
+              |  SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a
+              |)
+              |SELECT doc_id, component,
+              |  CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size
+              |FROM lbl ORDER BY doc_id""".stripMargin))
   )
 }

@@ -72,6 +72,40 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 4L))
   }
 
+  test("connected components: transitive closure, multi-cluster, convergence") {
+    import spark.implicits._
+    // chain 1~2~3 (transitivity), local-minimum cluster {(10,50),(30,50)}
+    // (greedy keeps 10 AND 30; components keep only 10), isolated pair (7,8)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 50L), (30L, 50L), (7L, 8L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(cc.toSeq == Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (7L, 7L, 2L), (8L, 7L, 2L),
+      (10L, 10L, 3L), (30L, 10L, 3L), (50L, 10L, 3L)))
+
+    // a long chain converges (log² n rounds, not diameter): 0~1~2~…~63
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val chainCc = Dedup.connectedComponents(chain, "id_a", "id_b").collect()
+    assert(chainCc.length == 64 && chainCc.forall(_.getLong(1) == 0L))
+
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b").isEmpty)
+  }
+
+  test("cluster dedup keeps exactly one survivor per component") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    // three mutual near-dups (ids 5, 9, 2 — survivor must be 2) + distinct doc
+    val docs = Seq(
+      (5L, base), (9L, base + " again"), (2L, base + " now"),
+      (11L, "completely different text about spark query engines and parquet files")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicateClusters(docs, "doc_id", "text", minJaccard = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(2L, 11L))
+  }
+
   test("simhash: identical docs equal, near docs close, distinct docs far") {
     import spark.implicits._
     val df = Seq(
