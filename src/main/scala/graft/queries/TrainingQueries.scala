@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextOps}
 
 /** Training-data pipeline operator inventory (the north-star extensions
   * beyond the reference surface, BASELINE.json): deduplication, similarity
@@ -614,6 +614,91 @@ object TrainingQueries {
               |)
               |SELECT doc_id, component,
               |  CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size
-              |FROM lbl ORDER BY doc_id""".stripMargin))
+              |FROM lbl ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Deterministic train/val/test split (Curation.assignSplit): bucket =
+    // first 8 md5 hex chars of the id as an int mod 10000 — reproducible
+    // on any engine, stable under re-partitioning and incremental data.
+    // Zero-shuffle projection + one agg on (source, split).
+    QuerySpec(
+      "q64_split_assign",
+      (s, dir) =>
+        Curation.assignSplit(Tables.documents(s, dir), "doc_id")
+          .groupBy(col("source"), col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextOps.tokenCount(col("text"))).as("total_tokens"))
+          .orderBy("source", "split"),
+      Some(s"""WITH b AS (
+              |  SELECT source, text,
+              |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS bk
+              |  FROM documents
+              |)
+              |SELECT source,
+              |  CASE WHEN bk < 8000 THEN 'train' WHEN bk < 9000 THEN 'val' ELSE 'test' END AS split,
+              |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(CASE WHEN LENGTH(trim(text)) = 0 THEN 0
+              |    ELSE len($toksSql) END) AS BIGINT) AS total_tokens
+              |FROM b GROUP BY 1, 2 ORDER BY source, split""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Sequence-packing statistics (concat-and-chunk at 2048 tokens):
+    // documents concatenated in id order per source, sliced into fixed
+    // windows; reports sequences produced and documents split at chunk
+    // boundaries. One window cumsum + one agg; all-integer arithmetic.
+    QuerySpec(
+      "q65_sequence_pack",
+      (s, dir) =>
+        Curation.packingStats(Tables.documents(s, dir), "doc_id", "text",
+          groupCol = "source", seqLen = 2048)
+          .orderBy("source"),
+      Some(s"""WITH m AS (
+              |  SELECT source, doc_id,
+              |    CASE WHEN LENGTH(trim(text)) = 0 THEN 0 ELSE len($toksSql) END AS t
+              |  FROM documents
+              |), c AS (
+              |  SELECT source, t,
+              |    SUM(t) OVER (PARTITION BY source ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+              |  FROM m
+              |)
+              |SELECT source,
+              |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(t) AS BIGINT) AS total_tokens,
+              |  CAST((SUM(t) + 2047) // 2048 AS BIGINT) AS n_sequences,
+              |  CAST(SUM(CASE WHEN t > 0 AND (e - t) // 2048 != (e - 1) // 2048
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_split
+              |FROM c GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Eval-set decontamination (Curation.contaminatedDocs): training docs
+    // sharing any distinct 3-gram shingle with the held-out set
+    // (doc_id % 20 = 0). Skinny (id, shingleHash) join; the distinct eval
+    // shingle set broadcasts. Counts of distinct shared shingles coincide
+    // between hash and string shingles (q27's collision argument).
+    QuerySpec(
+      "q66_decontaminate",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Curation.contaminatedDocs(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", shingleSize = 3)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents
+              |), sh AS (
+              |  SELECT doc_id, unnest(list_distinct(
+              |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)])) AS s
+              |  FROM t
+              |), ev AS (
+              |  SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0
+              |)
+              |SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+              |FROM sh JOIN ev ON sh.s = ev.s
+              |WHERE sh.doc_id % 20 != 0
+              |GROUP BY sh.doc_id
+              |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Curation
+
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("hashBucket is deterministic, uniform-ish, and repartition-stable") {
+    import spark.implicits._
+    val ids = (1L to 2000L).toDF("id")
+    val b1 = ids.select(col("id"), Curation.hashBucket(col("id"), 100).as("b"))
+    val b2 = ids.repartition(13).select(col("id"), Curation.hashBucket(col("id"), 100).as("b"))
+    assert(b1.except(b2).isEmpty && b2.except(b1).isEmpty)
+    // all buckets in range; occupancy roughly uniform (no bucket > 3x mean)
+    val counts = b1.groupBy("b").count().collect()
+    assert(counts.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 100))
+    assert(counts.map(_.getLong(1)).max < 60) // mean 20, binomial tail
+    // known value: md5("123") starts 202cb962 = 539801954
+    val v = Seq(123L).toDF("id")
+      .select(Curation.hashBucket(col("id"), 10000)).head().getLong(0)
+    assert(v == 539801954L % 10000)
+  }
+
+  test("assignSplit covers all rows with correct thresholds and ratios") {
+    import spark.implicits._
+    val ids = (1L to 5000L).toDF("doc_id")
+    val split = Curation.assignSplit(ids, "doc_id")
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 5000L)
+    // 80/10/10 within sampling tolerance
+    assert(counts("train") > 3800 && counts("train") < 4200)
+    assert(counts("val") > 350 && counts("val") < 650)
+    assert(counts("test") > 350 && counts("test") < 650)
+    // adding rows never reassigns existing ids
+    val bigger = Curation.assignSplit((1L to 6000L).toDF("doc_id"), "doc_id")
+      .filter(col("doc_id") <= 5000)
+    assert(split.except(bigger).isEmpty && bigger.except(split).isEmpty)
+  }
+
+  test("deterministicSample fraction is honored and nested samples are subsets") {
+    import spark.implicits._
+    val ids = (1L to 5000L).toDF("doc_id")
+    val s10 = Curation.deterministicSample(ids, "doc_id", 0.1)
+    val s50 = Curation.deterministicSample(ids, "doc_id", 0.5)
+    val n10 = s10.count(); val n50 = s50.count()
+    assert(n10 > 350 && n10 < 650 && n50 > 2300 && n50 < 2700)
+    // bucket < t is monotone in t: the 10% sample is inside the 50% sample
+    assert(s10.except(s50).isEmpty)
+    assert(Curation.deterministicSample(ids, "doc_id", 0.0).isEmpty)
+    assert(Curation.deterministicSample(ids, "doc_id", 1.0).count() == 5000L)
+  }
+
+  test("packingStats: exact integer arithmetic on a hand-computed corpus") {
+    import spark.implicits._
+    // seqLen 10; group g: docs of 4, 8, 5, 3 tokens → cum 4, 12, 17, 20
+    //   doc2 spans [4,12) → crosses 10 → split; doc3 [12,17) no; doc4 [17,20) no
+    //   sequences = ceil(20/10) = 2
+    val mk = (n: Int) => (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, "g", mk(4)), (2L, "g", mk(8)), (3L, "g", mk(5)), (4L, "g", mk(3)),
+      (5L, "h", mk(25)), // single doc spanning 3 sequences: crosses 10 and 20
+      (6L, "i", ""))     // empty doc: 0 tokens, 0 sequences, never "split"
+      .toDF("doc_id", "source", "text")
+    val got = Curation.packingStats(docs, "doc_id", "text", "source", 10)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("g", 4L, 20L, 2L, 1L),
+      ("h", 1L, 25L, 3L, 1L),
+      ("i", 1L, 0L, 0L, 0L)))
+  }
+
+  test("contaminatedDocs finds exactly the overlapping docs with exact counts") {
+    import spark.implicits._
+    val evalDf = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma zeta eta"),        // shares 'alpha beta gamma' = 1 shingle
+      (2L, "beta gamma delta epsilon theta"),   // shares 2 shingles
+      (3L, "totally unrelated text right here") // clean
+    ).toDF("doc_id", "text")
+    val got = Curation.contaminatedDocs(train, evalDf, "doc_id", "text", shingleSize = 3)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 1L), (2L, 2L)))
+    // minShared threshold filters
+    val strict = Curation.contaminatedDocs(train, evalDf, "doc_id", "text", 3, minShared = 2L)
+      .collect().map(_.getLong(0))
+    assert(strict.toSeq == Seq(2L))
+  }
+}
