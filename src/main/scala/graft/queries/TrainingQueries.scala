@@ -450,14 +450,22 @@ object TrainingQueries {
     // path stays on the native DotProduct kernel.
     QuerySpec(
       "q61_quantize_int8",
-      (s, dir) =>
+      (s, dir) => {
+        import graft.ops.Quantize
+        // staged projections: scale and codes are computed ONCE per row and
+        // referenced as columns — inlining them into the HOF lambdas would
+        // re-evaluate the array_max per ELEMENT (d² work; measured 7.5 s vs
+        // ~0.5 s on this bench query)
         Tables.embeddings(s, dir)
+          .withColumn("__s", Quantize.int8Scale(col("embedding")))
+          .withColumn("__codes", Quantize.int8CodesFromScale(col("embedding"), col("__s")))
           .select(col("vec_id"),
-            aggregate(graft.ops.Quantize.int8Codes(col("embedding")), lit(0L),
-              (a, x) => a + x.cast("long")).as("code_sum"),
-            round(graft.ops.Quantize.int8Scale(col("embedding")), 6).as("scale"),
-            round(graft.ops.Quantize.maxAbsError(col("embedding")), 8).as("max_abs_err"))
-          .orderBy("vec_id"),
+            aggregate(col("__codes"), lit(0L), (a, x) => a + x.cast("long")).as("code_sum"),
+            round(col("__s"), 6).as("scale"),
+            round(Quantize.maxAbsErrorFromParts(col("embedding"), col("__codes"), col("__s")), 8)
+              .as("max_abs_err"))
+          .orderBy("vec_id")
+      },
       Some("""WITH v AS (
              |  SELECT vec_id, embedding::DOUBLE[] AS e,
              |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS s

@@ -40,6 +40,33 @@ object StreamingAggregates {
       .select(col("session_window.start").as("sess_start"),
         col("session_window.end").as("sess_end"), col("user_id"), col("n_events"))
 
+  /** Stream-stream event-time interval join: pair each left event with the
+    * same user's right events that happen within `withinMinutes` AFTER it.
+    * Both sides carry watermarks and the join condition bounds event time in
+    * BOTH directions — exactly what Structured Streaming needs to compute a
+    * state-eviction horizon for each side (without the range bound, both
+    * join states grow forever). State per side ≈ watermark-window of rows,
+    * independent of total stream length — the 100 TB-per-day safe shape.
+    *
+    * Same code path runs over batch DataFrames (batch backfill ==
+    * streaming, asserted in StreamingAggSpec).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   withinMinutes: Int = 30): DataFrame = {
+    val l = left.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts").as("l_ts"),
+        col("event_type").as("l_type"), col("value").as("l_value"))
+    val r = right.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_type").as("r_type"), col("value").as("r_value"))
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select(col("user_id"), col("l_ts"), col("l_type"), col("l_value"),
+        col("r_ts"), col("r_type"), col("r_value"))
+  }
+
   final case class UserEvent(user_id: Long, event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

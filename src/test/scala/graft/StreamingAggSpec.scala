@@ -66,6 +66,26 @@ class StreamingAggSpec extends AnyFunSuite {
     assert(streaming.filter(col("n_events") < 1).isEmpty)
   }
 
+  test("stream-stream interval join: streaming == batch, both sides stateful") {
+    val ev = streamEvents
+    val streaming = runToMemory(
+      StreamingAggregates.intervalJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase")),
+      "interval_join_stream", "append")
+    val batchEv = Tables.events(spark, sf)
+    val batch = StreamingAggregates.intervalJoin(
+      batchEv.filter(col("event_type") === "click"),
+      batchEv.filter(col("event_type") === "purchase"))
+    val b = batch.collect().map(_.toSeq).toSet
+    val s = streaming.collect().map(_.toSeq).toSet
+    assert(s.nonEmpty)
+    // every streamed pair is a true batch pair; watermark may hold back
+    // only pairs near the stream's end
+    assert(s.subsetOf(b))
+    assert(s.size >= (b.size * 0.8).toInt)
+  }
+
   test("flatMapGroupsWithState running totals match batch totals") {
     val streaming = runToMemory(
       StreamingAggregates.runningUserTotals(spark, streamEvents).toDF(),
