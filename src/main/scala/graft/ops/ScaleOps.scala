@@ -49,4 +49,27 @@ object ScaleOps {
       .write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCol)
       .parquet(path)
+
+  /** Contiguous global ids 0..n-1 in sort-key order WITHOUT the global-sort
+    * bottleneck: a `row_number() OVER (ORDER BY …)` window funnels 100 TB
+    * through ONE task; this instead range-repartitions (each partition owns
+    * a disjoint key range), sorts locally, and lets zipWithIndex assign
+    * offsets — one lightweight count job (per-partition counts to the
+    * driver, a few longs) plus one map pass. For UNIQUE sort keys the
+    * assignment is identical to the single-task window on any cluster
+    * layout, because the global order is fully determined by the keys.
+    */
+  def contiguousIds(df: DataFrame, sortCols: Seq[String],
+                    numPartitions: Int, idName: String = "global_id"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val arranged = df
+      .repartitionByRange(numPartitions, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+    val schema = arranged.schema.add(idName, LongType, nullable = false)
+    val withId = arranged.rdd.zipWithIndex().map { case (row, idx) =>
+      Row.fromSeq(row.toSeq :+ idx)
+    }
+    arranged.sparkSession.createDataFrame(withId, schema)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -128,5 +129,35 @@ object TextOps {
     val toks = tokens(normalized(c))
     transform(indices1(size(toks) - (n - 1)),
       i => array_join(slice(toks, i, lit(n)), " "))
+  }
+
+  /** TF-IDF top-k terms per document (tf · ln(N/df), the plain unsmoothed
+    * form). Distributed shape: one explode → tf groupBy (doc, term);
+    * document frequency re-aggregated FROM the tf table (already one row
+    * per (doc, term), so no count-distinct shuffle); term-keyed join; the
+    * corpus size joins as a broadcast 1-row aggregate (no driver action
+    * inside the plan). Top-k by a per-document window — partitioned, never
+    * a global sort.
+    *
+    * Determinism: ranking uses the UNROUNDED score (ties broken by term);
+    * equal (tf, df) pairs give bit-identical doubles on any IEEE engine,
+    * and ln here is empirically bit-identical between the JVM and DuckDB
+    * at fixture scale (probed over all N/df ratios) — the q67 oracle
+    * rounds only for display.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5): DataFrame = {
+    val total = df.agg(count(lit(1)).cast("double").as("__n"))
+    val toks = df.select(col(idCol), explode(tokens(normalized(col(textCol)))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("__score", col("tf") * log(col("__n") / col("df")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(idCol), col("term"), round(col("__score"), 6).as("score"))
   }
 }

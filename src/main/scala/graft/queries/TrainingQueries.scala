@@ -707,6 +707,51 @@ object TrainingQueries {
               |FROM sh JOIN ev ON sh.s = ev.s
               |WHERE sh.doc_id % 20 != 0
               |GROUP BY sh.doc_id
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // TF-IDF top-5 terms per document (tf · ln(N/df)). Ranking by the
+    // UNROUNDED score with term tie-break; ln(N/df) probed bit-identical
+    // JVM-vs-DuckDB across every achievable ratio at this scale, products
+    // and divisions IEEE-exact, so the window picks identical term sets.
+    QuerySpec(
+      "q67_tfidf_top_terms",
+      (s, dir) =>
+        TextOps.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 5)
+          .orderBy("doc_id", "term"),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS term FROM documents
+              |), tf AS (
+              |  SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2
+              |), dfq AS (
+              |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+              |), n AS (
+              |  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+              |), sc AS (
+              |  SELECT tf.doc_id, tf.term,
+              |    tf.tf * ln(n.n / dfq.df) AS score_raw,
+              |    row_number() OVER (PARTITION BY tf.doc_id
+              |      ORDER BY tf.tf * ln(n.n / dfq.df) DESC, tf.term) AS rn
+              |  FROM tf JOIN dfq USING (term) CROSS JOIN n
+              |)
+              |SELECT doc_id, term, ROUND(score_raw, 6) AS score
+              |FROM sc WHERE rn <= 5 ORDER BY doc_id, term""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Contiguous global id assignment in doc_id order — the scalable
+    // replacement for a global row_number window (which funnels the corpus
+    // through one task). Range partition + local sort + zipWithIndex
+    // offsets; for unique keys the result equals the single-task window on
+    // any cluster layout, which is exactly what the oracle asserts.
+    QuerySpec(
+      "q68_global_ids",
+      (s, dir) =>
+        graft.ops.ScaleOps.contiguousIds(
+          Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          sortCols = Seq("doc_id"), numPartitions = 8)
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, source,
+             |  CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS global_id
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

@@ -75,6 +75,46 @@ class CurationSpec extends AnyFunSuite {
       ("i", 1L, 0L, 0L, 0L)))
   }
 
+  test("tfidfTopTerms: hand-computed scores, k cutoff, deterministic ties") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    // 4 docs; "rare" appears in 1 doc (idf=ln 4), "both" in 2 (ln 2),
+    // "all" in every doc (idf=0)
+    val docs = Seq(
+      (1L, "rare both all"),
+      (2L, "both all common common"),
+      (3L, "all common zeta"),
+      (4L, "all common zeta")).toDF("doc_id", "text")
+    val got = TextOps.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "term").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val ln = (x: Double) => math.log(x)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // df: rare=1, both=2, common=3, zeta=2, all=4 (idf ln(4/df); all → 0)
+    // doc1: rare=ln4 > both=ln2 > all=0          → {both, rare}
+    // doc2: both=ln2 > common=2·ln(4/3) > all=0  → {both, common}
+    // doc3/4: zeta=ln2 > common=ln(4/3) > all=0  → {common, zeta}
+    assert(got.toSeq == Seq(
+      (1L, "both", r6(ln(2))), (1L, "rare", r6(ln(4))),
+      (2L, "both", r6(ln(2))), (2L, "common", r6(2 * ln(4.0 / 3))),
+      (3L, "common", r6(ln(4.0 / 3))), (3L, "zeta", r6(ln(2))),
+      (4L, "common", r6(ln(4.0 / 3))), (4L, "zeta", r6(ln(2)))))
+  }
+
+  test("contiguousIds: dense 0..n-1, key-ordered, invariant to input layout") {
+    import spark.implicits._
+    import graft.ops.ScaleOps
+    val base = (1L to 997L).map(i => (i * 7 % 1009, s"v$i")) // unique keys, shuffled
+    val a = ScaleOps.contiguousIds(base.toDF("k", "v"), Seq("k"), numPartitions = 7)
+    val b = ScaleOps.contiguousIds(
+      base.reverse.toDF("k", "v").repartition(13), Seq("k"), numPartitions = 3)
+    val ga = a.orderBy("k").collect().map(r => (r.getLong(0), r.getLong(2)))
+    val gb = b.orderBy("k").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(ga.toSeq == gb.toSeq)                       // layout-invariant
+    assert(ga.map(_._2).toSeq == (0L until 997L))      // dense, in key order
+    assert(ga.map(_._1).toSeq == ga.map(_._1).sorted.toSeq)
+  }
+
   test("contaminatedDocs finds exactly the overlapping docs with exact counts") {
     import spark.implicits._
     val evalDf = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")

@@ -99,6 +99,32 @@ class PlanSpec extends AnyFunSuite {
       s"expected partial HashAggregate below the exchange\n$plan")
   }
 
+  test("q64: split assignment is a pure projection — one agg shuffle only") {
+    val plan = executedPlan("q64_split_assign")
+    // md5-bucket labeling must not shuffle; the only exchanges are the
+    // (source, split) aggregation and the presentation sort
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 1, s"expected <=1 hash exchange, got $hashEx\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q66: decontamination joins against a broadcast eval shingle set") {
+    val plan = executedPlan("q66_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval shingle set must broadcast\n$plan")
+  }
+
+  test("q67: tf-idf corpus size joins as broadcast, top-k window is partitioned") {
+    val plan = executedPlan("q67_tfidf_top_terms")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"1-row corpus count must broadcast\n$plan")
+    // the window must be partitioned by doc (never a global empty-partition
+    // sort), and Spark's rank-limit pushdown must kick in so each partition
+    // keeps only k rows before the full window evaluates
+    assert(plan.contains("windowspecdefinition(doc_id"), plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import spark.implicits._
     // NB: array<float>→double via transform() is a HOF and would break the
