@@ -50,6 +50,18 @@ object ScaleOps {
       .partitionBy(partitionCol)
       .parquet(path)
 
+  /** SCD1 merge (MERGE INTO … WHEN MATCHED UPDATE, WHEN NOT MATCHED
+    * INSERT, for whole rows): updates win on key collision, unmatched base
+    * rows survive, unmatched updates insert. One left-anti join — when the
+    * update batch is small relative to the base (the overwhelmingly common
+    * incremental case) AQE broadcasts it, so the 100 TB base is scanned
+    * once with NO base-side shuffle; the alternative full-outer-join
+    * formulation shuffles BOTH sides on the key.
+    */
+  def upsert(base: DataFrame, updates: DataFrame, keyCols: Seq[String]): DataFrame =
+    base.join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(updates)
+
   /** Contiguous global ids 0..n-1 in sort-key order WITHOUT the global-sort
     * bottleneck: a `row_number() OVER (ORDER BY …)` window funnels 100 TB
     * through ONE task; this instead range-repartitions (each partition owns

@@ -553,6 +553,44 @@ object AdvancedQueries {
              |SELECT strftime(d, '%Y-%m-%d') AS day, n, CAST(rev AS DOUBLE) AS rev,
              |  CAST(SUM(rev) OVER (ORDER BY d
              |    RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d
-             |FROM daily ORDER BY day""".stripMargin))
+             |FROM daily ORDER BY day""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // SCD1 merge/upsert (ScaleOps.upsert): updates win on key collision,
+    // new keys insert, untouched base rows survive — the MERGE INTO
+    // semantics an incremental refresh needs. One left-anti join (AQE
+    // broadcasts the small update batch; the base never shuffles). The
+    // update/insert batches are derived deterministically from orders
+    // itself; price arithmetic is a single IEEE add (exact on any engine)
+    // and the final sums route through DECIMAL.
+    QuerySpec(
+      "q69_merge_upsert",
+      (s, dir) => {
+        val orders = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val updates = orders.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        val inserts = orders.filter(col("o_orderkey") % 97 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+        graft.ops.ScaleOps.upsert(orders, updates.unionByName(inserts), Seq("o_orderkey"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH upd AS (
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+             |  FROM orders WHERE o_orderkey % 10 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+             |  FROM orders WHERE o_orderkey % 97 = 0
+             |), merged AS (
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+             |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+             |  UNION ALL
+             |  SELECT * FROM upd
+             |)
+             |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

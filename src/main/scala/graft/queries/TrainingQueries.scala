@@ -752,6 +752,52 @@ object TrainingQueries {
           .orderBy("doc_id"),
       Some("""SELECT doc_id, source,
              |  CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS global_id
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Incremental dedup (Dedup.dedupAgainstCorpus): the nightly-ingest
+    // shape — an incoming batch (doc_id % 5 = 0) filtered against the
+    // existing corpus by exact fingerprint anti-join, then cross-set exact
+    // n-gram Jaccard (new↔old pairs only; cost scales with the batch, not
+    // the corpus). Output = surviving incoming ids.
+    QuerySpec(
+      "q70_incremental_dedup",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.dedupAgainstCorpus(
+          docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", shingleSize = 3, minJaccard = 0.5)
+          .select(col("doc_id")).orderBy("doc_id")
+      },
+      Some(s"""WITH inc AS (
+              |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+              |), corp AS (
+              |  SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0
+              |), ex AS (
+              |  SELECT doc_id, text FROM inc
+              |  WHERE md5($normSql) NOT IN (SELECT DISTINCT md5($normSql) FROM corp)
+              |), shi AS (
+              |  SELECT doc_id, unnest(list_distinct(
+              |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)])) AS s
+              |  FROM (SELECT doc_id, string_split($normSql, ' ') AS toks FROM ex)
+              |), shc AS (
+              |  SELECT doc_id, unnest(list_distinct(
+              |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)])) AS s
+              |  FROM (SELECT doc_id, string_split($normSql, ' ') AS toks FROM corp)
+              |), szi AS (
+              |  SELECT doc_id, COUNT(*) AS n FROM shi GROUP BY 1
+              |), szc AS (
+              |  SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY 1
+              |), pr AS (
+              |  SELECT i.doc_id AS di, c.doc_id AS dc, COUNT(*) AS cm
+              |  FROM shi i JOIN shc c ON i.s = c.s GROUP BY 1, 2
+              |), drops AS (
+              |  SELECT DISTINCT di FROM pr
+              |  JOIN szi x ON x.doc_id = pr.di JOIN szc y ON y.doc_id = pr.dc
+              |  WHERE CAST(cm AS DOUBLE) / (x.n + y.n - cm) >= 0.5
+              |)
+              |SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT di FROM drops)
+              |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -72,6 +72,40 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 4L))
   }
 
+  test("dedupAgainstCorpus: exact and near cross-set drops, batch-only cost") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val corpus = Seq(
+      (1L, base),
+      (2L, "an entirely different story about databases and distributed query engines")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, base),                       // exact dup of corpus doc 1 → dropped
+      (11L, base + " tonight my friend"),// near dup (J vs doc1 ≥ 0.5) → dropped
+      (12L, "fresh unseen content with no overlap whatsoever in any shingle today"),
+      (13L, base)                        // exact dup → dropped (within-batch dup of 10 irrelevant)
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainstCorpus(incoming, corpus, "doc_id", "text",
+      shingleSize = 3, minJaccard = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(12L))
+    // empty incoming and empty corpus behave
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.dedupAgainstCorpus(none, corpus, "doc_id", "text").isEmpty)
+    assert(Dedup.dedupAgainstCorpus(incoming, none, "doc_id", "text").count() == 4L)
+  }
+
+  test("upsert: updates win, inserts add, untouched rows survive") {
+    import spark.implicits._
+    import graft.ops.ScaleOps
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "s", "v")
+    val updates = Seq((2L, "b2", 99.0), (4L, "d", 40.0)).toDF("k", "s", "v")
+    val merged = ScaleOps.upsert(base, updates, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(merged.toSeq == Seq((1L, "a", 10.0), (2L, "b2", 99.0),
+      (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
   test("connected components: transitive closure, multi-cluster, convergence") {
     import spark.implicits._
     // chain 1~2~3 (transitivity), local-minimum cluster {(10,50),(30,50)}
