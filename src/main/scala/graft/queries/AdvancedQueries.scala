@@ -591,6 +591,57 @@ object AdvancedQueries {
              |)
              |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-             |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // ANALYZE-style numeric profile (Profile.numericProfile): one
+    // aggregation statement for all columns — Spark plans the multiple
+    // exact distinct-counts with a single Expand over one scan, not k jobs.
+    QuerySpec(
+      "q71_profile",
+      (s, dir) =>
+        graft.ops.Profile.numericProfile(Tables.lineitem(s, dir),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+          .orderBy("col_name"),
+      Some("""SELECT * FROM (
+             |  SELECT 'l_quantity' AS col_name, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS n_null,
+             |    CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+             |    CAST(MIN(l_quantity) AS DOUBLE) AS min_v, CAST(MAX(l_quantity) AS DOUBLE) AS max_v
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_extendedprice', CAST(COUNT(*) AS BIGINT),
+             |    CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT),
+             |    CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+             |    CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE)
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_discount', CAST(COUNT(*) AS BIGINT),
+             |    CAST(COUNT(*) - COUNT(l_discount) AS BIGINT),
+             |    CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+             |    CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE)
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_tax', CAST(COUNT(*) AS BIGINT),
+             |    CAST(COUNT(*) - COUNT(l_tax) AS BIGINT),
+             |    CAST(COUNT(DISTINCT l_tax) AS BIGINT),
+             |    CAST(MIN(l_tax) AS DOUBLE), CAST(MAX(l_tax) AS DOUBLE)
+             |  FROM lineitem
+             |) ORDER BY col_name""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Fixed-bin histogram of order totals (Profile.fixedHistogram):
+    // floor((x-lo)/width) clamped — pure projection + one agg; fixed edges
+    // make the binning an exact IEEE computation on any engine.
+    QuerySpec(
+      "q72_histogram",
+      (s, dir) =>
+        graft.ops.Profile.fixedHistogram(Tables.orders(s, dir),
+          "o_totalprice", lo = 0.0, width = 25000.0, nBins = 24)
+          .orderBy("bin"),
+      Some("""SELECT GREATEST(0, LEAST(CAST(FLOOR((o_totalprice - 0.0) / 25000.0) AS BIGINT), 23)) AS bin,
+             |  CAST(COUNT(*) AS BIGINT) AS n
+             |FROM orders WHERE o_totalprice IS NOT NULL
+             |GROUP BY 1 ORDER BY bin""".stripMargin))
   )
 }

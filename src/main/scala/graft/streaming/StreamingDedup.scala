@@ -31,6 +31,23 @@ object StreamingDedup {
       .dropDuplicates("__fp")
       .drop("__fp")
 
+  /** Native bounded-state dedup (Spark 3.5+ `dropDuplicatesWithinWatermark`):
+    * unlike plain `dropDuplicates`, the state store evicts a fingerprint
+    * once the watermark passes its first arrival + delay even though the
+    * event-time column is NOT part of the dedup key — the missing piece
+    * that makes watermark-bounded content dedup actually bounded. Any two
+    * docs with equal fingerprints arriving within the delay of each other
+    * dedup exactly; re-arrivals beyond the horizon re-emit (the same trade
+    * [[firstSeen]]'s TTL flavor makes, but with event-time semantics and
+    * stock state cleanup).
+    */
+  def withinWatermark(docs: DataFrame, textCol: String, tsCol: String,
+                      delay: String = "1 hour"): DataFrame =
+    docs.withColumn("__fp", TextOps.fingerprintMd5(col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   final case class Doc(doc_id: Long, fp: String, text: String)
   final case class SeenState(firstDocId: Long, nDuplicates: Long)
   final case class FirstSeen(doc_id: Long, fp: String, duplicateOfFirst: Boolean)

@@ -125,6 +125,19 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("q69: upsert anti-join broadcasts the update batch; base never shuffles for the merge") {
+    val plan = executedPlan("q69_merge_upsert")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast left-anti join\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q70: incremental dedup — corpus fingerprints broadcast for the exact stage") {
+    val plan = executedPlan("q70_incremental_dedup")
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.contains("BroadcastHashJoin"), s"fingerprint anti-join should broadcast\n$plan")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import spark.implicits._
     // NB: array<float>→double via transform() is a HOF and would break the

@@ -45,6 +45,29 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(survivors == Seq(1L, 2L, 5L))
   }
 
+  test("withinWatermark dedups by content with event-time-bounded state") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-wmdedup")
+    // duplicates within the watermark horizon; distinct content kept
+    Seq(
+      (1L, "2024-01-01 10:00:00", "same content here"),
+      (2L, "2024-01-01 10:10:00", "same  CONTENT   here"), // dup of 1 (normalized)
+      (3L, "2024-01-01 10:20:00", "different content entirely"))
+      .toDF("doc_id", "ts_s", "text")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP").parquet(dir.toString)
+    val q = StreamingDedup.withinWatermark(stream, "text", "ts", "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wm_dedup").start()
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("wm_dedup").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
   test("firstSeen runs on the RocksDB state store backend") {
     import spark.implicits._
     val prior = StreamingDedup.rocksDbStateStore.keys
