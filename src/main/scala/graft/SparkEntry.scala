@@ -2,14 +2,15 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AdvancedQueries, QuerySpec, RelationalQueries, TrainingQueries}
+import graft.queries.{AdvancedQueries, PipelineQueries, QuerySpec, RelationalQueries, TrainingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   /** Full declared inventory: one QuerySpec per implemented operator. */
   def specs: Seq[QuerySpec] =
-    RelationalQueries.all ++ TrainingQueries.all ++ AdvancedQueries.all
+    RelationalQueries.all ++ TrainingQueries.all ++ AdvancedQueries.all ++
+      PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

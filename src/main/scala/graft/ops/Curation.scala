@@ -92,6 +92,80 @@ object Curation {
         sum(when(straddles, 1L).otherwise(0L)).as("n_docs_split"))
   }
 
+  /** Corpus-level boilerplate removal: drop every text unit (token, line —
+    * whatever `delim` splits on) that occurs in more than `maxDocFrac` of
+    * all documents, preserving the order and multiplicity of everything
+    * kept. The cross-document generalization of per-doc cleaning: headers,
+    * nav bars, license banners, and template filler are exactly the units
+    * whose *document* frequency is pathological.
+    *
+    * Scale shape: df-counting explodes DISTINCT units per doc (no
+    * count-distinct shuffle — distinctness is per-row array work) and
+    * aggregates once on the unit key. The frequent set is then collapsed to
+    * ONE array row and broadcast: its size is bounded by
+    * (avg distinct units per doc) / maxDocFrac — independent of corpus row
+    * count, since Σ df ≤ docs × avg-units and each frequent unit costs
+    * ≥ maxDocFrac·N of that budget. The rewrite itself is a per-row `filter`
+    * HOF against the broadcast array: no join fan-out, no second shuffle.
+    */
+  def pruneFrequentUnits(df: DataFrame, idCol: String, textCol: String,
+                         delim: String = " ",
+                         maxDocFrac: Double = 0.5): DataFrame = {
+    require(maxDocFrac > 0 && maxDocFrac <= 1, "maxDocFrac in (0,1]")
+    val units = split(col(textCol), java.util.regex.Pattern.quote(delim))
+    val total = df.agg(count(lit(1)).as("__n")) // joins as a broadcast row —
+    val frequent = df                           // no driver action in the plan
+      .select(explode(array_distinct(units)).as("__u"))
+      .groupBy(col("__u")).agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(total))
+      .filter(col("__df") > lit(maxDocFrac) * col("__n"))
+      .agg(sort_array(collect_list(col("__u"))).as("__freq"))
+    df.crossJoin(broadcast(frequent))
+      .select(col(idCol),
+        array_join(filter(units, u => !array_contains(col("__freq"), u)), delim)
+          .as("text_clean"))
+  }
+
+  /** Deterministic mixture sampling: downsample each domain so the kept
+    * corpus approaches `budgetFrac` of the total with domain shares
+    * proportional to `weights` — the "data mixing" step that rebalances
+    * web/books/code/… before training. Domains absent from `weights` are
+    * dropped. A domain short of its target keeps everything (fraction
+    * clamps at 1; no oversampling).
+    *
+    * Per-domain keep fraction: f_d = min(1, w_d·budgetFrac·N / n_d) with
+    * w_d normalized. Row selection is [[hashBucket]] < ⌊f_d·nBuckets⌋ —
+    * reproducible across runs/engines/partitionings, and incremental like
+    * every hash-gated selection here.
+    *
+    * Plan: one tiny groupBy for domain counts (|domains| rows) broadcast
+    * back onto the corpus; the filter is then a pure projection. Floor (not
+    * round) keeps the threshold engine-agnostic at .5 boundaries.
+    */
+  def sampleToMixture(df: DataFrame, idCol: String, domainCol: String,
+                      weights: Seq[(String, Double)], budgetFrac: Double,
+                      nBuckets: Int = 10000): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "positive weights")
+    require(budgetFrac > 0 && budgetFrac <= 1, "budgetFrac in (0,1]")
+    val wTotal = weights.map(_._2).sum
+    val wCol = weights.tail.foldLeft(
+      when(col(domainCol) === weights.head._1, weights.head._2 / wTotal)) {
+      case (acc, (d, w)) => acc.when(col(domainCol) === d, w / wTotal)
+    }.otherwise(lit(null))
+    val counts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("__n_dom"))
+      .withColumn("__n_tot", sum(col("__n_dom")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    df.join(broadcast(counts), domainCol)
+      .withColumn("__w", wCol)
+      .filter(col("__w").isNotNull)
+      .withColumn("__thresh",
+        floor(least(lit(1.0),
+          col("__w") * budgetFrac * col("__n_tot") / col("__n_dom")) * nBuckets))
+      .filter(hashBucket(col(idCol), nBuckets) < col("__thresh"))
+      .drop("__n_dom", "__n_tot", "__w", "__thresh")
+  }
+
   /** Eval-set decontamination: find training documents sharing at least
     * minShared distinct n-gram shingles with ANY document of the eval set —
     * the standard guard against benchmark leakage into training data.

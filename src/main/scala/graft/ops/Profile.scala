@@ -36,6 +36,56 @@ object Profile {
       .select(col("__s.*"))
   }
 
+  /** Pairwise Pearson correlation over `cols`, ONE aggregation pass.
+    *
+    * Why not `corr()`: built-in corr accumulates doubles, so the result
+    * depends on partition order — fine for analytics, fatal for an
+    * engine-reproducibility contract. Here every sum (Σx, Σx², Σxy) runs in
+    * DECIMAL (exact, commutative — any partial-agg order gives the same
+    * value), and only the final closed form
+    *   (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²ᵗᵒᵗ) · √(n·Σy² − Σy²ᵗᵒᵗ))
+    * runs in IEEE doubles — a fixed expression tree both engines evaluate
+    * identically from identical inputs.
+    *
+    * Plan: k + k + C(k,2) decimal sums in one HashAggregate over one scan
+    * (no Expand — nothing is distinct), then a driver-free explode of the
+    * C(k,2) pair structs. Rows with a NULL in either column of a pair drop
+    * from that pair's sums (matching SQL corr semantics) via per-pair
+    * conditional aggregation.
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String],
+                        scale: Int = 4): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val dec = s"decimal(18,$scale)"
+    def d(c: String): Column = col(c).cast(dec)
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.zipWithIndex.flatMap { case ((x, y), p) =>
+      val both = col(x).isNotNull && col(y).isNotNull
+      Seq(
+        count(when(both, 1)).as(s"__n_$p"),
+        sum(when(both, d(x))).as(s"__sx_$p"),
+        sum(when(both, d(y))).as(s"__sy_$p"),
+        sum(when(both, d(x) * d(x))).as(s"__sxx_$p"),
+        sum(when(both, d(y) * d(y))).as(s"__syy_$p"),
+        sum(when(both, d(x) * d(y))).as(s"__sxy_$p"))
+    }
+    val agged = df.agg(aggs.head, aggs.tail: _*)
+    val pairStructs = pairs.zipWithIndex.map { case ((x, y), p) =>
+      val n = col(s"__n_$p").cast("double")
+      def dbl(pre: String) = col(s"__${pre}_$p").cast("double")
+      val num = n * dbl("sxy") - dbl("sx") * dbl("sy")
+      val den = sqrt(n * dbl("sxx") - dbl("sx") * dbl("sx")) *
+        sqrt(n * dbl("syy") - dbl("sy") * dbl("sy"))
+      struct(lit(x).as("col_x"), lit(y).as("col_y"),
+        col(s"__n_$p").as("n"),
+        when(den === 0.0, lit(null).cast("double"))
+          .otherwise(round(num / den, 6)).as("corr"))
+    }
+    agged.select(explode(array(pairStructs: _*)).as("__s")).select(col("__s.*"))
+  }
+
   /** Fixed-bin histogram: bin i covers [lo + i·width, lo + (i+1)·width),
     * values ≥ the last edge clamp into the final bin, values < lo into bin
     * 0. Fixed (not data-derived) edges keep the computation one pure

@@ -92,6 +92,70 @@ object TextOps {
           .otherwise("unknown"))
   }
 
+  // --- PII redaction -------------------------------------------------------
+
+  /** Patterns restricted to syntax shared by Java regex (Spark) and RE2
+    * (DuckDB's regexp engine): no lookaround, no backreferences — so the
+    * DuckDB oracle replays the exact same matches.
+    */
+  private[ops] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[ops] val ipRe    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[ops] val phoneRe = "\\+?\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** Redact emails, IPv4 addresses, and NNN-NNN-NNNN phone numbers with
+    * typed placeholder tags — the standard PII scrub pass a training-data
+    * pipeline runs before anything else sees the text. Order matters: emails
+    * first (their local parts may contain digit runs), then IPs (4 dotted
+    * octets, which the dot-separated phone form would otherwise half-eat),
+    * then phones. Pure `regexp_replace` chain — codegen'd, replaces ALL
+    * occurrences (Spark default; DuckDB needs the 'g' flag).
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailRe, "<EMAIL>"),
+        ipRe, "<IP>"),
+      phoneRe, "<PHONE>")
+
+  /** Per-kind PII hit counts (before redaction) — the audit metric side of
+    * [[redactPii]]. Counted on the same chain order the redaction uses, so
+    * counts and redactions always agree.
+    */
+  def piiCounts(c: Column): (Column, Column, Column) = {
+    val afterEmail = regexp_replace(c, emailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, ipRe, "<IP>")
+    (size(regexp_extract_all(c, lit(emailRe), lit(0))).cast("long"),
+      size(regexp_extract_all(afterEmail, lit(ipRe), lit(0))).cast("long"),
+      size(regexp_extract_all(afterIp, lit(phoneRe), lit(0))).cast("long"))
+  }
+
+  // --- repetition / degeneracy metrics ------------------------------------
+
+  /** Fraction of tokens that are repeats of an earlier token:
+    * `1 − distinct/total`. 0 for empty docs. Exact integer counts + one
+    * IEEE division — bit-reproducible on any engine.
+    */
+  def dupTokenFraction(c: Column): Column = {
+    val toks = tokens(normalized(c))
+    when(size(toks) === 0, 0.0)
+      .otherwise(lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
+  }
+
+  /** Share of all token n-grams taken by the single most frequent one — the
+    * Gopher-style "top n-gram fraction" degeneracy signal (looping text
+    * scores near 1). Per-row HOF composition: distinct n-grams × count via
+    * `filter`; O(u·n) per document where u = distinct n-grams — bounded by
+    * document length, never by corpus size, so rows stay independent and
+    * the operator is a pure codegen-free projection with no shuffle.
+    */
+  def topNgramFraction(c: Column, n: Int = 2): Column = {
+    val grams = tokenShingles(c, n)
+    when(size(grams) === 0, 0.0)
+      .otherwise(
+        array_max(transform(array_distinct(grams),
+          g => size(filter(grams, x => x === g)))).cast("double") / size(grams))
+  }
+
   // --- fingerprinting ------------------------------------------------------
 
   /** Canonical text form for exact-dup detection: lowercase, collapse

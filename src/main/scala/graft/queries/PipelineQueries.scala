@@ -1,0 +1,235 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Curation, Profile, TextOps}
+
+/** Third pipeline batch: corpus hygiene and profiling operators a
+  * large-scale training-data pipeline runs before/alongside dedup —
+  * boilerplate pruning, PII redaction, repetition/degeneracy metrics,
+  * mixture sampling, and engine-reproducible correlation profiling.
+  *
+  * Same hash-stability conventions as [[RelationalQueries]]: identical
+  * aliases both sides, decimal-routed sums, deterministic total order.
+  */
+object PipelineQueries {
+
+  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  /** DuckDB replica of [[Curation.hashBucket]] (see q64). */
+  private def bucketSql(id: String, n: Int) =
+    s"CAST(('0x' || substring(md5(CAST($id AS VARCHAR)), 1, 8)) AS BIGINT) % $n"
+
+  // DuckDB replicas of the PII regexes (same RE2/Java-safe syntax;
+  // single-quoted SQL strings pass backslashes through literally).
+  private val emailSql = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipSql = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val phoneSql = "\\+?\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** Generated oracle for q77: per-pair conditional DECIMAL sums in one
+    * aggregate CTE, then one UNION ALL branch per pair computing the same
+    * closed form the Spark plan uses (identical expression structure →
+    * identical IEEE result).
+    */
+  private def corrOracle(cols: Seq[String]): String = {
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val sums = pairs.zipWithIndex.flatMap { case ((x, y), p) =>
+      val both = s"$x IS NOT NULL AND $y IS NOT NULL"
+      def dec(e: String) = s"CAST($e AS DECIMAL(18,4))"
+      // Widened (losslessly) to 19 digits for products: DuckDB multiplies
+      // DECIMAL(18,·) in int64 (overflows); (19,4)×(19,4)→(38,8) runs in
+      // int128. The value is identical — only the storage width changes.
+      def decw(e: String) = s"CAST(${dec(e)} AS DECIMAL(19,4))"
+      Seq(
+        s"COUNT(CASE WHEN $both THEN 1 END) AS n_$p",
+        s"SUM(CASE WHEN $both THEN ${dec(x)} END) AS sx_$p",
+        s"SUM(CASE WHEN $both THEN ${dec(y)} END) AS sy_$p",
+        s"SUM(CASE WHEN $both THEN ${decw(x)} * ${decw(x)} END) AS sxx_$p",
+        s"SUM(CASE WHEN $both THEN ${decw(y)} * ${decw(y)} END) AS syy_$p",
+        s"SUM(CASE WHEN $both THEN ${decw(x)} * ${decw(y)} END) AS sxy_$p")
+    }.mkString(",\n    ")
+    val branches = pairs.zipWithIndex.map { case ((x, y), p) =>
+      val n = s"CAST(n_$p AS DOUBLE)"
+      def d(pre: String) = s"CAST(${pre}_$p AS DOUBLE)"
+      val num = s"$n * ${d("sxy")} - ${d("sx")} * ${d("sy")}"
+      val den = s"sqrt($n * ${d("sxx")} - ${d("sx")} * ${d("sx")}) * " +
+        s"sqrt($n * ${d("syy")} - ${d("sy")} * ${d("sy")})"
+      s"""SELECT '$x' AS col_x, '$y' AS col_y, CAST(n_$p AS BIGINT) AS n,
+         |  CASE WHEN ($den) = 0 THEN NULL
+         |       ELSE round(($num) / ($den), 6) END AS corr FROM s""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH s AS (
+       |  SELECT
+       |    $sums
+       |  FROM lineitem
+       |)
+       |SELECT * FROM (
+       |  $branches
+       |) ORDER BY col_x, col_y""".stripMargin
+  }
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // ------------------------------------------------------------------
+    // Corpus-level boilerplate pruning: tokens present in more than
+    // maxDocFrac of all documents are template filler by definition; drop
+    // them from every document, preserving order/multiplicity of the rest.
+    // Threshold 0.78 bisects this synthetic corpus's near-uniform df band
+    // (30 of 31 vocab tokens sit at df 0.75-0.80) so the prune is
+    // non-degenerate: ~half the vocab goes, ~half stays. Frequent set
+    // collapses to ONE broadcast array row (size bounded by
+    // avg-distinct-units/frac, independent of corpus rows); rewrite is a
+    // per-row filter HOF — no join fan-out. COALESCE on the oracle side:
+    // DuckDB's array_to_string([]) is NULL where Spark's array_join is ''.
+    QuerySpec(
+      "q73_prune_boilerplate",
+      (s, dir) =>
+        Curation.pruneFrequentUnits(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), TextOps.normalized(col("text")).as("text")),
+          "doc_id", "text", delim = " ", maxDocFrac = 0.78)
+          .orderBy("doc_id"),
+      Some(s"""WITH docs AS (
+              |  SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents
+              |), dfreq AS (
+              |  SELECT u AS tok, COUNT(*) AS df
+              |  FROM (SELECT doc_id, unnest(list_distinct(toks)) AS u FROM docs)
+              |  GROUP BY 1
+              |), freq AS (
+              |  SELECT COALESCE(list(tok ORDER BY tok), []) AS fl
+              |  FROM dfreq WHERE df > 0.78 * (SELECT COUNT(*) FROM docs)
+              |)
+              |SELECT d.doc_id,
+              |  COALESCE(array_to_string(list_filter(d.toks, t -> NOT list_contains(f.fl, t)), ' '), '') AS text_clean
+              |FROM docs d, freq f ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // PII detection + redaction. The fixture corpus carries no PII, so the
+    // query plants deterministic emails/phones/IPs derived from doc_id on a
+    // subset of rows (mod-gated, so presence varies), then audits and
+    // redacts — the oracle replays the same planting and the same RE2-safe
+    // regex chain. Pure regexp projection: codegen'd, zero shuffles.
+    QuerySpec(
+      "q74_redact_pii",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .withColumn("__pii", concat(
+            when(col("doc_id") % 3 === 0,
+              concat(lit("user"), col("doc_id"), lit("@example.com ")))
+              .otherwise(""),
+            when(col("doc_id") % 4 === 0,
+              concat(lit("call 555-123-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" ")))
+              .otherwise(""),
+            when(col("doc_id") % 5 === 0,
+              concat(lit("host 192.168."),
+                (col("doc_id") % 256).cast("string"), lit(".9 ")))
+              .otherwise(""),
+            col("text")))
+          .select(col("doc_id") +: {
+            val (e, i, p) = TextOps.piiCounts(col("__pii"))
+            Seq(e.as("n_emails"), i.as("n_ips"), p.as("n_phones"),
+              TextOps.redactPii(col("__pii")).as("text_redacted"))
+          }: _*)
+          .orderBy("doc_id"),
+      Some(s"""WITH planted AS (
+              |  SELECT doc_id,
+              |    concat(
+              |      CASE WHEN doc_id % 3 = 0 THEN concat('user', doc_id, '@example.com ') ELSE '' END,
+              |      CASE WHEN doc_id % 4 = 0 THEN concat('call 555-123-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' ') ELSE '' END,
+              |      CASE WHEN doc_id % 5 = 0 THEN concat('host 192.168.', CAST(doc_id % 256 AS VARCHAR), '.9 ') ELSE '' END,
+              |      text) AS pii
+              |  FROM documents
+              |), steps AS (
+              |  SELECT doc_id, pii,
+              |    regexp_replace(pii, '$emailSql', '<EMAIL>', 'g') AS after_email,
+              |    regexp_replace(regexp_replace(pii, '$emailSql', '<EMAIL>', 'g'), '$ipSql', '<IP>', 'g') AS after_ip
+              |  FROM planted
+              |)
+              |SELECT doc_id,
+              |  CAST(len(regexp_extract_all(pii, '$emailSql')) AS BIGINT) AS n_emails,
+              |  CAST(len(regexp_extract_all(after_email, '$ipSql')) AS BIGINT) AS n_ips,
+              |  CAST(len(regexp_extract_all(after_ip, '$phoneSql')) AS BIGINT) AS n_phones,
+              |  regexp_replace(after_ip, '$phoneSql', '<PHONE>', 'g') AS text_redacted
+              |FROM steps ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Repetition/degeneracy metrics (Gopher-style): duplicate-token
+    // fraction and top-bigram share per document. Exact integer counts +
+    // one IEEE division each — bit-reproducible; per-row HOFs only, so the
+    // operator is a pure projection (cost bounded by document length,
+    // never corpus size).
+    QuerySpec(
+      "q75_repetition",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            TextOps.dupTokenFraction(col("text")).as("dup_token_frac"),
+            TextOps.topNgramFraction(col("text"), 2).as("top_bigram_frac"))
+          .orderBy("doc_id"),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents
+              |), b AS (
+              |  SELECT doc_id, toks,
+              |    list_transform(range(1, len(toks)),
+              |      i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1)) AS grams
+              |  FROM t
+              |)
+              |SELECT doc_id,
+              |  CASE WHEN len(toks) = 0 THEN 0.0
+              |       ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END AS dup_token_frac,
+              |  CASE WHEN len(grams) = 0 THEN 0.0
+              |       ELSE CAST(list_max(list_transform(list_distinct(grams),
+              |              g -> len(list_filter(grams, x -> x = g)))) AS DOUBLE) / len(grams) END AS top_bigram_frac
+              |FROM b ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Mixture sampling: rebalance sources toward target weights under a
+    // 50% token budget — weighted sources keep min(1, w·β·N/n_d) of their
+    // rows via the deterministic hash gate; unweighted sources drop.
+    // One |domains|-row aggregate broadcast back; the filter is a pure
+    // projection. Reports per-source survivors (stable under re-runs).
+    QuerySpec(
+      "q76_mixture_sample",
+      (s, dir) =>
+        Curation.sampleToMixture(Tables.documents(s, dir), "doc_id", "source",
+          weights = Seq("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1),
+          budgetFrac = 0.5)
+          .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+          .orderBy("source"),
+      Some(s"""WITH c AS (
+              |  SELECT source, COUNT(*) AS n_dom FROM documents GROUP BY 1
+              |), t AS (
+              |  SELECT SUM(n_dom) AS n_tot FROM c
+              |), f AS (
+              |  SELECT c.source,
+              |    FLOOR(LEAST(1.0,
+              |      (CASE c.source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3
+              |                     WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.1 END)
+              |      * 0.5 * t.n_tot / c.n_dom) * 10000) AS thresh
+              |  FROM c, t
+              |  WHERE c.source IN ('src0', 'src1', 'src2', 'src3')
+              |)
+              |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept
+              |FROM documents d JOIN f ON d.source = f.source
+              |WHERE ${bucketSql("d.doc_id", 10000)} < f.thresh
+              |GROUP BY 1 ORDER BY d.source""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Engine-reproducible Pearson correlation matrix over the lineitem
+    // numeric columns: every sum runs in DECIMAL (exact + commutative →
+    // partial-agg order can't change the value), only the final closed
+    // form runs in doubles. One HashAggregate over one scan.
+    QuerySpec(
+      "q77_correlation",
+      (s, dir) =>
+        Profile.correlationMatrix(Tables.lineitem(s, dir),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+          .orderBy("col_x", "col_y"),
+      Some(corrOracle(
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))))
+  )
+}

@@ -131,4 +131,58 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(_.getLong(0))
     assert(strict.toSeq == Seq(2L))
   }
+
+  test("pruneFrequentUnits drops cross-doc boilerplate lines, keeps order") {
+    import spark.implicits._
+    val banner = "ACME corp all rights reserved"
+    val nav = "home | products | contact"
+    val docs = Seq(
+      (1L, s"$banner\nunique first body\n$nav\nmore first"),
+      (2L, s"$banner\nsecond body here\n$nav"),
+      (3L, s"$banner\nthird text\nthird extra\n$banner"), // banner twice
+      (4L, "entirely original document")).toDF("doc_id", "text")
+    val got = Curation.pruneFrequentUnits(docs, "doc_id", "text",
+      delim = "\n", maxDocFrac = 0.5)
+      .orderBy("doc_id").collect().map(_.getString(1))
+    // banner in 3/4 docs (>0.5) goes — BOTH copies in doc 3; nav in 2/4
+    // docs (not >0.5) stays; intra-doc order preserved.
+    assert(got(0) == s"unique first body\n$nav\nmore first")
+    assert(got(1) == s"second body here\n$nav")
+    assert(got(2) == "third text\nthird extra")
+    assert(got(3) == "entirely original document")
+  }
+
+  test("pruneFrequentUnits with nothing frequent is the identity") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "c d"), (3L, "e f")).toDF("doc_id", "text")
+    val got = Curation.pruneFrequentUnits(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(got.toSeq == Seq("a b", "c d", "e f"))
+  }
+
+  test("sampleToMixture hits targets, clamps short domains, drops unweighted") {
+    import spark.implicits._
+    // web: 8000 rows, books: 1500, code: 500, junk: 1000 (unweighted)
+    val df = ((1L to 8000L).map(i => (i, "web")) ++
+      (8001L to 9500L).map(i => (i, "books")) ++
+      (9501L to 10000L).map(i => (i, "code")) ++
+      (10001L to 11000L).map(i => (i, "junk"))).toDF("id", "dom")
+    val kept = Curation.sampleToMixture(df, "id", "dom",
+      weights = Seq("web" -> 0.5, "books" -> 0.3, "code" -> 0.2),
+      budgetFrac = 0.25)
+    val counts = kept.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!counts.contains("junk"))
+    // total corpus 11000, budget 2750: web target 1375/8000 ≈ 17.2%,
+    // books target 825/1500 = 55%, code target 550/500 → clamps to all 500.
+    assert(counts("code") == 500L)
+    assert(math.abs(counts("web") - 1375L) < 150, counts.toString)
+    assert(math.abs(counts("books") - 825L) < 120, counts.toString)
+    // deterministic: re-running selects the identical rows
+    val again = Curation.sampleToMixture(df.repartition(17), "id", "dom",
+      weights = Seq("web" -> 0.5, "books" -> 0.3, "code" -> 0.2),
+      budgetFrac = 0.25)
+    assert(kept.select("id").except(again.select("id")).isEmpty)
+    assert(again.select("id").except(kept.select("id")).isEmpty)
+  }
 }

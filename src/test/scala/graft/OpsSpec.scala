@@ -353,4 +353,43 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.agg(min(col("frame_size")), max(col("frame_size")))
       .head().toSeq == Seq(64L, 64L))
   }
+
+  test("redactPii replaces all three kinds everywhere, chain order safe") {
+    import spark.implicits._
+    val df = Seq(
+      "write a.b+x@mail-host.co.uk or b@c.io today",    // 2 emails
+      "server 10.0.255.7 then 192.168.1.1 up",          // 2 IPs
+      "call 555-123-4567 or +1 555.987.6543 now",       // 2 phones (+1 kept: \\+? binds to 555)
+      "mixed u@v.org at 8.8.8.8 ring 555-000-1111",     // one of each
+      "none here just text 12345 and 1.5 ratios").toDF("text")
+    val got = df.select(TextOps.redactPii(col("text"))).collect().map(_.getString(0))
+    assert(got(0) == "write <EMAIL> or <EMAIL> today")
+    assert(got(1) == "server <IP> then <IP> up")
+    assert(got(2) == "call <PHONE> or +1 <PHONE> now")
+    assert(got(3) == "mixed <EMAIL> at <IP> ring <PHONE>")
+    assert(got(4) == "none here just text 12345 and 1.5 ratios")
+    // IPs are NOT half-eaten by the dot-separated phone pattern
+    assert(!got(1).contains("<PHONE>"))
+    val counts = df.select(TextOps.piiCounts(col("text")) match {
+      case (e, i, p) => struct(e.as("e"), i.as("i"), p.as("p"))
+    }).collect().map(r => (r.getStruct(0).getLong(0),
+      r.getStruct(0).getLong(1), r.getStruct(0).getLong(2)))
+    assert(counts.toSeq == Seq((2L, 0L, 0L), (0L, 2L, 0L), (0L, 0L, 2L),
+      (1L, 1L, 1L), (0L, 0L, 0L)))
+  }
+
+  test("repetition metrics: hand-computed fractions, empty-safe") {
+    import spark.implicits._
+    val df = Seq(
+      "a a b",          // dup fraction 1 - 2/3
+      "a b a b a",      // bigrams: ab ba ab ba → top 2/4
+      "x x x x",        // bigrams all "x x" → top 1.0
+      "all tokens differ fully",
+      "").toDF("text")
+    val dup = df.select(TextOps.dupTokenFraction(col("text"))).collect().map(_.getDouble(0))
+    assert(math.abs(dup(0) - (1.0 - 2.0 / 3)) < 1e-15)
+    assert(dup(3) == 0.0 && dup(4) == 0.0)
+    val top = df.select(TextOps.topNgramFraction(col("text"), 2)).collect().map(_.getDouble(0))
+    assert(top(1) == 0.5 && top(2) == 1.0 && top(4) == 0.0)
+  }
 }

@@ -138,6 +138,27 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"fingerprint anti-join should broadcast\n$plan")
   }
 
+  test("q73: frequent set broadcasts; exactly one shuffle (the df groupBy)") {
+    val plan = executedPlan("q73_prune_boilerplate")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"one-row frequent array should cross-join as broadcast\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 1, s"boilerplate prune needs only the df-count shuffle, got $shuffles\n$plan")
+  }
+
+  test("q77: one scan, one aggregate, no Expand (sums are not distinct)") {
+    val plan = executedPlan("q77_correlation")
+    assert(!plan.contains("Expand"), s"plain sums must not expand rows\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"correlation matrix must read lineitem once, got $scans\n$plan")
+  }
+
+  test("q76: mixture thresholds broadcast back onto the corpus") {
+    val plan = executedPlan("q76_mixture_sample")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"domain-count join should broadcast\n$plan")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import spark.implicits._
     // NB: array<float>→double via transform() is a HOF and would break the

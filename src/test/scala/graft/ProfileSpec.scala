@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Profile
+
+class ProfileSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("numericProfile: counts, nulls, distincts, min/max per column") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 10.0), (2.0, 10.0), (2.0, null), (3.0, 30.0))
+      .toDF("x", "y")
+    val rows = Profile.numericProfile(df, Seq("x", "y"))
+      .orderBy("col_name").collect()
+    val x = rows(0); val y = rows(1)
+    assert(x.getString(0) == "x" && x.getLong(1) == 4 && x.getLong(2) == 0 &&
+      x.getLong(3) == 3 && x.getDouble(4) == 1.0 && x.getDouble(5) == 3.0)
+    assert(y.getString(0) == "y" && y.getLong(1) == 4 && y.getLong(2) == 1 &&
+      y.getLong(3) == 2 && y.getDouble(4) == 10.0 && y.getDouble(5) == 30.0)
+  }
+
+  test("fixedHistogram: clamping at both edges, nulls dropped") {
+    import spark.implicits._
+    val df = Seq[java.lang.Double](-5.0, 0.0, 9.9, 10.0, 25.0, 99.0, null)
+      .toDF("v")
+    val got = Profile.fixedHistogram(df, "v", lo = 0.0, width = 10.0, nBins = 3)
+      .orderBy("bin").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // -5 clamps to bin 0; 0, 9.9 → bin 0; 10 → bin 1; 25, 99 clamp → bin 2
+    assert(got == Map(0L -> 3L, 1L -> 1L, 2L -> 2L))
+  }
+
+  test("correlationMatrix matches built-in corr and hits exact endpoints") {
+    import spark.implicits._
+    val df = (1 to 200).map { i =>
+      val x = i.toDouble
+      (x, 2.0 * x + 1.0, -x, math.sin(x) * 100.0, 7.0)
+    }.toDF("x", "lin", "neg", "noise", "const")
+    val got = Profile.correlationMatrix(df, Seq("x", "lin", "neg", "noise", "const"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) null else java.lang.Double.valueOf(r.getDouble(3))))
+      .toMap
+    assert(got(("x", "lin")) == 1.0)   // exact affine → exactly 1 after round(6)
+    assert(got(("x", "neg")) == -1.0)
+    assert(got(("x", "const")) == null) // zero variance → undefined
+    val builtin = df.select(corr("x", "noise")).head().getDouble(0)
+    assert(math.abs(got(("x", "noise")) - builtin) < 1e-5,
+      s"decimal-exact corr ${got(("x", "noise"))} vs built-in $builtin")
+  }
+
+  test("correlationMatrix drops null rows per pair (SQL corr semantics)") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Double, java.lang.Double, java.lang.Double)](
+      (1.0, 1.0, 5.0), (2.0, 2.0, null), (3.0, 3.0, 9.0), (4.0, 4.0, 13.0))
+      .toDF("a", "b", "c")
+    val rows = Profile.correlationMatrix(df, Seq("a", "b", "c")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows(("a", "b")) == 4)  // no nulls in (a,b)
+    assert(rows(("a", "c")) == 3)  // the null c row drops only from c pairs
+  }
+
+  test("correlationMatrix is partition-order independent (decimal sums)") {
+    import spark.implicits._
+    val df = (1 to 2000).map(i => (i * 0.37, math.cos(i.toDouble) * 50))
+      .toDF("x", "y")
+    val a = Profile.correlationMatrix(df.repartition(1), Seq("x", "y"))
+      .head().getDouble(3)
+    val b = Profile.correlationMatrix(df.repartition(32), Seq("x", "y"))
+      .head().getDouble(3)
+    assert(a == b, s"corr must be bit-identical across partitionings: $a vs $b")
+  }
+}
