@@ -230,6 +230,125 @@ object PipelineQueries {
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
           .orderBy("col_x", "col_y"),
       Some(corrOracle(
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))))
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")))),
+
+    // ------------------------------------------------------------------
+    // Ordered conversion funnel over the event stream: users who viewed,
+    // then clicked strictly after their first view, then purchased
+    // strictly after that click. Each stage is one user-keyed aggregate
+    // joined to the (shrinking) previous stage — co-keyed shuffles, no
+    // windows over the full stream, no driver state. All comparisons on
+    // exact integer micros (ts_ns div 1000 == DuckDB's truncating
+    // nano→micro parquet read — verified, including the .999 edge).
+    QuerySpec(
+      "q78_funnel",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            expr("ts_ns div 1000").as("us"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("us")).as("t1"))
+        val c = e.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("us") > col("t1"))
+          .groupBy("user_id").agg(min(col("us")).as("t2"))
+        val p = e.filter(col("event_type") === "purchase")
+          .join(c, "user_id").filter(col("us") > col("t2"))
+          .groupBy("user_id").agg(min(col("us")).as("t3"))
+        def stage(df: org.apache.spark.sql.DataFrame, name: String) =
+          df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+        stage(v, "1_view").union(stage(c, "2_click")).union(stage(p, "3_purchase"))
+          .orderBy("stage")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+             |), v AS (
+             |  SELECT user_id, MIN(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1
+             |), c AS (
+             |  SELECT e.user_id, MIN(us) AS t2 FROM e JOIN v USING (user_id)
+             |  WHERE event_type = 'click' AND us > t1 GROUP BY 1
+             |), p AS (
+             |  SELECT e.user_id, MIN(us) AS t3 FROM e JOIN c USING (user_id)
+             |  WHERE event_type = 'purchase' AND us > t2 GROUP BY 1
+             |)
+             |SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+             |UNION ALL SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
+             |UNION ALL SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p
+             |ORDER BY stage""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Cohort retention: users grouped by first-signup day; distinct
+    // active users per (cohort day, day offset 0..7). Day arithmetic is
+    // timezone-free integer division of exact micros (no to_date — a
+    // session-TZ dependency the oracle couldn't replay). Shape: two
+    // user-keyed aggregates + one join; count_distinct at the end is over
+    // the already-deduped (user, day) pairs.
+    QuerySpec(
+      "q79_retention",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            expr("(ts_ns div 1000) div 86400000000").as("day"))
+        val cohort = e.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+        val active = e.select(col("user_id"), col("day")).distinct()
+        active.join(cohort, "user_id")
+          .withColumn("offset", col("day") - col("cohort_day"))
+          .filter(col("offset").between(0, 7))
+          .groupBy("cohort_day", "offset")
+          .agg(count_distinct(col("user_id")).as("n_users"))
+          .orderBy("cohort_day", "offset")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type, epoch_us(ts) // 86400000000 AS day FROM events
+             |), cohort AS (
+             |  SELECT user_id, MIN(day) AS cohort_day FROM e
+             |  WHERE event_type = 'signup' GROUP BY 1
+             |), active AS (
+             |  SELECT DISTINCT user_id, day FROM e
+             |)
+             |SELECT c.cohort_day, a.day - c.cohort_day AS "offset",
+             |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+             |FROM active a JOIN cohort c USING (user_id)
+             |WHERE a.day - c.cohort_day BETWEEN 0 AND 7
+             |GROUP BY 1, 2 ORDER BY cohort_day, "offset"""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Recursive CTE (Spark 4.1 WITH RECURSIVE → UnionLoop): walk the
+    // implicit heap hierarchy over supplier (parent(k) = (k−1) div 2,
+    // root 0) and profile each level. Exercises the iterative-query
+    // surface end-to-end in BOTH engines' SQL front ends; per-level work
+    // is one join against the previous level only.
+    QuerySpec(
+      "q80_recursive_hierarchy",
+      (s, dir) => {
+        val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+        Tables.supplier(s, dir).createOrReplaceTempView(s"graft_supplier_$tag")
+        val out = s.sql(
+          s"""WITH RECURSIVE tree AS (
+             |  SELECT s_suppkey AS k, 0 AS depth
+             |  FROM graft_supplier_$tag WHERE s_suppkey = 0
+             |  UNION ALL
+             |  SELECT s.s_suppkey, t.depth + 1
+             |  FROM graft_supplier_$tag s JOIN tree t
+             |    ON (s.s_suppkey - 1) div 2 = t.k AND s.s_suppkey > 0
+             |)
+             |SELECT CAST(depth AS BIGINT) AS depth,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(MIN(k) AS BIGINT) AS min_key, CAST(MAX(k) AS BIGINT) AS max_key
+             |FROM tree GROUP BY depth ORDER BY depth""".stripMargin)
+        s.catalog.dropTempView(s"graft_supplier_$tag")
+        out
+      },
+      Some("""WITH RECURSIVE tree AS (
+             |  SELECT s_suppkey AS k, 0 AS depth FROM supplier WHERE s_suppkey = 0
+             |  UNION ALL
+             |  SELECT s.s_suppkey, t.depth + 1
+             |  FROM supplier s JOIN tree t
+             |    ON (s.s_suppkey - 1) // 2 = t.k AND s.s_suppkey > 0
+             |)
+             |SELECT CAST(depth AS BIGINT) AS depth,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(MIN(k) AS BIGINT) AS min_key, CAST(MAX(k) AS BIGINT) AS max_key
+             |FROM tree GROUP BY depth ORDER BY depth""".stripMargin))
   )
 }

@@ -159,6 +159,25 @@ class PlanSpec extends AnyFunSuite {
       s"domain-count join should broadcast\n$plan")
   }
 
+  test("q80: WITH RECURSIVE executes as UnionLoop (iterative, not unrolled)") {
+    val plan = executedPlan("q80_recursive_hierarchy")
+    assert(plan.contains("UnionLoop"), s"expected recursive UnionLoop node\n$plan")
+  }
+
+  test("q78/q79: funnel counts monotone; every cohort retains itself at offset 0") {
+    val funnel = SparkEntry.queries("q78_funnel")(spark, sf)
+      .orderBy("stage").collect().map(_.getLong(1))
+    assert(funnel(0) >= funnel(1) && funnel(1) >= funnel(2),
+      s"funnel stages must shrink: ${funnel.toSeq}")
+    val ret = SparkEntry.queries("q79_retention")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cohorts = ret.map(_._1).distinct
+    // a signup event is itself activity on the cohort day
+    assert(cohorts.forall(c => ret.exists(t => t._1 == c && t._2 == 0L)),
+      "every cohort must have an offset-0 row")
+    assert(ret.forall(t => t._2 >= 0 && t._2 <= 7))
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import spark.implicits._
     // NB: array<float>→double via transform() is a HOF and would break the
