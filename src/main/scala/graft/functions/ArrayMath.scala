@@ -119,10 +119,83 @@ case class ArrayEqualCount(left: Expression, right: Expression)
   override def prettyName: String = "array_equal_count"
 }
 
+/** |A ∩ B| for two SORTED array<bigint> columns by linear merge — the exact
+  * n-gram Jaccard verify loop. The built-in spelling
+  * `size(array_intersect(a, b))` allocates an OpenHashSet AND a result
+  * array per row just to take its length; at ~1M candidate pairs per
+  * verify stage that allocation is the hot loop. The merge is O(|A|+|B|)
+  * with zero allocation and stays inside whole-stage codegen.
+  *
+  * Caller contract: both arrays ascending-sorted, duplicate-free (the
+  * verify path builds them with array_distinct + sort_array). Unsorted
+  * input gives an undercount — enforced by construction, asserted in tests.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $i = 0; int $j = 0;
+         |long $c = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "sorted_intersect_count"
+}
+
 object ArrayMath {
 
   val fnName = "graft_dot_product"
   val eqCountName = "graft_array_eq_count"
+  val sortedIntersectName = "graft_sorted_intersect_count"
 
   val shingleName = "graft_shingle_hashes"
   val minhashName = "graft_minhash_signature"
@@ -146,6 +219,8 @@ object ArrayMath {
     reg.createOrReplaceTempFunction(
       eqCountName, exprs => ArrayEqualCount(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
+      sortedIntersectName, exprs => SortedIntersectCount(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
       shingleName, exprs => ShingleHashes(exprs(0), intLit(exprs(1), "shingle size")), "scala_udf")
     reg.createOrReplaceTempFunction(
       minhashName, exprs => MinHashSignature(exprs(0), intLit(exprs(1), "numHashes")), "scala_udf")
@@ -162,6 +237,10 @@ object ArrayMath {
 
   /** Codegen'd position-wise equality count over two array<bigint> columns. */
   def arrayEqCount(a: Column, b: Column): Column = call_function(eqCountName, a, b)
+
+  /** Codegen'd |A ∩ B| over two SORTED duplicate-free array<bigint> columns. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    call_function(sortedIntersectName, a, b)
 
   /** array<string> tokens → array<bigint> n-gram hashes (no shingle strings
     * are ever materialized).

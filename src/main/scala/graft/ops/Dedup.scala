@@ -191,13 +191,17 @@ object Dedup {
       e.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
         .filter(col("u") =!= col("v")).distinct()
 
+    // Large-star output is NOT deduped here: small-star always runs next
+    // and its canon() distinct subsumes it — one fewer shuffle per round.
     def largeStar(e: DataFrame): DataFrame = {
       val nbrs = e.select(col("u"), col("v"))
         .union(e.select(col("v").as("u"), col("u").as("v")))
       val mins = nbrs.groupBy("u")
         .agg(least(min(col("v")), first(col("u"))).as("m"))
-      canon(nbrs.join(mins, "u").filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v")))
+      nbrs.join(mins, "u").filter(col("v") > col("u"))
+        .select(greatest(col("v"), col("m")).as("u"),
+          least(col("v"), col("m")).as("v"))
+        .filter(col("u") =!= col("v"))
     }
 
     def smallStar(e: DataFrame): DataFrame = {
@@ -333,10 +337,12 @@ object Dedup {
     import graft.functions.ArrayMath
     require(minJaccard > 0.0, "minJaccard must be > 0 (length/prefix filters degenerate at 0)")
     // shingle IDENTITY is its 64-bit hash (collisions negligible): joins
-    // shuffle longs, not strings; per-doc set semantics via array_distinct
+    // shuffle longs, not strings; per-doc set semantics via array_distinct.
+    // Sorted so the guarded plan's verify can merge-count intersections
+    // (SortedIntersectCount) instead of hashing per candidate pair.
     val hashed = df.select(col(idCol).as("id"),
-      array_distinct(ArrayMath.shingleHashes(
-        TextOps.tokens(TextOps.normalized(col(textCol))), shingleSize)).as("__shs"))
+      sort_array(array_distinct(ArrayMath.shingleHashes(
+        TextOps.tokens(TextOps.normalized(col(textCol))), shingleSize))).as("__shs"))
       .filter(size(col("__shs")) > 0)
 
     // Auto-route: the inverted-index plan emits C(df,2) join rows for a
@@ -393,11 +399,13 @@ object Dedup {
           col("__sz_a") >= alphaSafe(col("__sz_b")))
         .select(col("id_a"), col("id_b"), col("__sz_a"), col("__sz_b"))
         .dropDuplicates("id_a", "id_b")
-      // exact verification: one hash-set intersection per candidate pair
+      // exact verification: one zero-allocation merge-count per candidate
+      // pair (arrays are sorted+distinct by construction above)
       val verified = candidates
         .join(hashed.select(col("id").as("id_a"), col("__shs").as("__shs_a")), "id_a")
         .join(hashed.select(col("id").as("id_b"), col("__shs").as("__shs_b")), "id_b")
-        .withColumn("__common", size(array_intersect(col("__shs_a"), col("__shs_b"))))
+        .withColumn("__common",
+          ArrayMath.sortedIntersectCount(col("__shs_a"), col("__shs_b")))
         .select(col("id_a"), col("id_b"), col("__sz_a"), col("__sz_b"), col("__common"))
       jaccardOut(verified)
     }

@@ -46,4 +46,27 @@ class ArrayMathSpec extends AnyFunSuite {
       df.select(ArrayMath.dot(col("a"), col("b"))).head()
     }
   }
+
+  test("sortedIntersectCount == size(array_intersect) on random sorted sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11L)
+    val rows = Seq.fill(200)((
+      rnd.shuffle((0L to 500L).toList).take(rnd.nextInt(60) + 1).distinct.sorted,
+      rnd.shuffle((0L to 500L).toList).take(rnd.nextInt(60) + 1).distinct.sorted))
+    val got = rows.toDF("a", "b")
+      .select(ArrayMath.sortedIntersectCount(col("a"), col("b")).as("native"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("builtin"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // edges: disjoint, identical, empty, null
+    val edge = Seq(
+      (Seq(1L, 2L), Seq(3L, 4L), 0L),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L), 3L),
+      (Seq.empty[Long], Seq(1L), 0L)).toDF("a", "b", "want")
+    edge.select(ArrayMath.sortedIntersectCount(col("a"), col("b")), col("want"))
+      .collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    val withNull = Seq((Seq(1L), Option.empty[Seq[Long]])).toDF("a", "b")
+      .select(ArrayMath.sortedIntersectCount(col("a"), col("b")))
+    assert(withNull.head().isNullAt(0))
+  }
 }

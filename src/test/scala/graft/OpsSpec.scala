@@ -204,7 +204,7 @@ class OpsSpec extends AnyFunSuite {
     val benign = (1L to 20L).map(i =>
       (i, s"unique$i words$i here$i now$i only$i ever$i")).toDF("id", "text")
     def usesPrefixPlan(df: org.apache.spark.sql.DataFrame): Boolean =
-      df.queryExecution.analyzed.toString.contains("array_intersect")
+      df.queryExecution.analyzed.toString.contains("sorted_intersect_count")
     val s = Dedup.ngramJaccardPairs(skewed, "id", "text", shingleSize = 2,
       minJaccard = 0.3, skewMaxDf = 10L)
     val b = Dedup.ngramJaccardPairs(benign, "id", "text", shingleSize = 2,
