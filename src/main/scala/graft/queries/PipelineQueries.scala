@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -349,6 +350,65 @@ object PipelineQueries {
              |SELECT CAST(depth AS BIGINT) AS depth,
              |  CAST(COUNT(*) AS BIGINT) AS n,
              |  CAST(MIN(k) AS BIGINT) AS min_key, CAST(MAX(k) AS BIGINT) AS max_key
-             |FROM tree GROUP BY depth ORDER BY depth""".stripMargin))
+             |FROM tree GROUP BY depth ORDER BY depth""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Heavy-hitter diagnostics: the top-k keys by frequency with their
+    // share of all rows — what you run BEFORE picking a partitioning to
+    // find the keys that will hot-spot a shuffle. One groupBy + top-k via
+    // TakeOrderedAndProject (never a global sort); the total joins as a
+    // broadcast one-row aggregate. Exact integer counts; share is one IEEE
+    // division.
+    QuerySpec(
+      "q81_heavy_hitters",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val total = e.agg(count(lit(1)).as("__tot"))
+        e.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(total))
+          .select(col("user_id"), col("n"),
+            round(col("n").cast("double") / col("__tot"), 6).as("share"))
+          .orderBy(col("n").desc, col("user_id")).limit(20)
+      },
+      Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             |  round(CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM events), 6) AS share
+             |FROM events GROUP BY user_id
+             |ORDER BY n DESC, user_id LIMIT 20""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Vocabulary coverage (Zipf curve): corpus token frequencies ranked,
+    // with cumulative share — the statistic tokenizer/vocab-size decisions
+    // read. The window cumsum runs over the VOCABULARY (post-aggregation),
+    // not the corpus: its single-partition sort is |vocab|-sized, which is
+    // the quantity that stays small when the corpus grows 100×. Cumulative
+    // share divides exact BIGINT cumsums — deterministic on any engine.
+    QuerySpec(
+      "q82_vocab_coverage",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(explode(TextOps.tokens(TextOps.normalized(col("text")))).as("token"))
+        val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+        val total = counts.agg(sum(col("n")).as("__tot"))
+        val w = Window.orderBy(col("n").desc, col("token"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        counts.crossJoin(broadcast(total))
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("n").desc, col("token"))))
+          .withColumn("cum_share",
+            round(sum(col("n")).over(w).cast("double") / col("__tot"), 6))
+          .select(col("rank"), col("token"), col("n"), col("cum_share"))
+          .orderBy("rank")
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT unnest(string_split($normSql, ' ')) AS token FROM documents
+              |), counts AS (
+              |  SELECT token, COUNT(*) AS n FROM toks GROUP BY 1
+              |)
+              |SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS INTEGER) AS rank,
+              |  token, CAST(n AS BIGINT) AS n,
+              |  round(CAST(SUM(n) OVER (ORDER BY n DESC, token
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+              |    / (SELECT SUM(n) FROM counts), 6) AS cum_share
+              |FROM counts ORDER BY rank""".stripMargin))
   )
 }

@@ -44,4 +44,58 @@ object StreamingIngest {
     q.awaitTermination()
     written.get()
   }
+
+  /** Incremental dedup-append sink: each micro-batch is deduped within
+    * itself (first row per key in `orderCol` order), anti-joined against
+    * the keys already in the target, and APPENDED — the insert-only upsert
+    * that continuous ingest needs, expressed safely on plain parquet
+    * (append never rewrites files, so concurrent readers are fine; no
+    * atomic-overwrite gymnastics).
+    *
+    * Update-in-place upserts (SCD1 over a stream) need a table format with
+    * transactional file replacement (Delta/Iceberg) — deliberately out of
+    * scope for a plain-parquet sink; batch-mode SCD1 is
+    * [[graft.ops.ScaleOps.upsert]].
+    *
+    * Scale shape: the anti-join reads ONLY the key column from the target
+    * (column pruning reaches the parquet scan), so per-batch cost is
+    * |batch| × (target key scan), not a full-table rewrite. The
+    * exactly-once story is the file-source checkpoint (per-file progress)
+    * + key-level idempotence of the anti-join: a replayed batch re-drops
+    * its already-appended keys.
+    *
+    * Blocks until all currently-available input is drained (AvailableNow).
+    * Returns rows appended across this invocation.
+    */
+  def dedupAppendSink(spark: SparkSession, stream: DataFrame, keyCol: String,
+                      orderCol: String, targetDir: String,
+                      checkpointDir: String): Long = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val appended = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+        val batchDeduped = batch
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val fresh =
+          if (new java.io.File(targetDir).exists()) {
+            val existingKeys = spark.read.parquet(targetDir).select(col(keyCol))
+            batchDeduped.join(existingKeys, Seq(keyCol), "left_anti")
+          } else batchDeduped
+        fresh.persist() // one computation for the count AND the append
+        try {
+          val n = fresh.count()
+          if (n > 0) fresh.write.mode(SaveMode.Append).parquet(targetDir)
+          appended.addAndGet(n)
+        } finally fresh.unpersist()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    appended.get()
+  }
 }

@@ -68,6 +68,39 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 3L))
   }
 
+  test("dedupAppendSink: incremental insert-only upsert to parquet") {
+    import spark.implicits._
+    import graft.streaming.StreamingIngest
+    val in = Files.createTempDirectory("graft-dsink-in")
+    val target = Files.createTempDirectory("graft-dsink-t").resolve("tbl")
+    val ckpt = Files.createTempDirectory("graft-dsink-c")
+
+    // wave 1: key 10 twice (order by version — v2 wins in-batch), key 20
+    Seq((10L, 1L, "ten-v1"), (10L, 0L, "ten-v0"), (20L, 0L, "twenty"))
+      .toDF("k", "version", "payload").coalesce(1)
+      .write.mode("append").parquet(in.toString)
+    val n1 = StreamingIngest.dedupAppendSink(spark,
+      spark.readStream.schema("k LONG, version LONG, payload STRING")
+        .parquet(in.toString),
+      "k", "version", target.toString, ckpt.toString)
+    assert(n1 == 2L)
+
+    // wave 2: key 10 again (already in target -> dropped), new key 30
+    Seq((10L, 5L, "ten-v5"), (30L, 0L, "thirty"))
+      .toDF("k", "version", "payload").coalesce(1)
+      .write.mode("append").parquet(in.toString)
+    val n2 = StreamingIngest.dedupAppendSink(spark,
+      spark.readStream.schema("k LONG, version LONG, payload STRING")
+        .parquet(in.toString),
+      "k", "version", target.toString, ckpt.toString)
+    assert(n2 == 1L)
+
+    val got = spark.read.parquet(target.toString).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // first-arrival-wins across waves; min-version wins within a batch
+    assert(got == Map(10L -> "ten-v0", 20L -> "twenty", 30L -> "thirty"))
+  }
+
   test("firstSeen runs on the RocksDB state store backend") {
     import spark.implicits._
     val prior = StreamingDedup.rocksDbStateStore.keys
