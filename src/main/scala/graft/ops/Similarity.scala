@@ -246,4 +246,49 @@ object Similarity {
       .filter(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
+
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al., 2023,
+    * arXiv:2303.09540): partition the embedding space with spherical
+    * k-means ([[Ivf.buildIndex]]), then compare exactly — pairwise unit-dot
+    * — WITHIN each cluster only. The candidate count drops from C(N,2) to
+    * Σ C(|cluster|,2) ≈ N²/k; with [[Ivf.ivfPolicy]]'s √N sizing that is
+    * ~N^1.5 — the standard way semantic dedup reaches billion-vector scale.
+    *
+    * The honest trade (inherent to SemDeDup, not this implementation):
+    * near-duplicate pairs that k-means splits across clusters are MISSED —
+    * recall < 1 against [[cosineNearDupPairsExact]], certified with a
+    * measured floor in `IvfSpec`. Every pair REPORTED is exact (the
+    * within-cluster cosine is not approximated), so precision is 1 by
+    * construction.
+    *
+    * Scale shape: one k-means build (driver sees k×dim only), one
+    * cluster-keyed self-join of (id, unit-vector) rows, codegen'd dot per
+    * within-cluster pair. No all-pairs stage anywhere.
+    */
+  def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                           nClusters: Int = 16, minCosine: Double = 0.95,
+                           iters: Int = 3, seed: Long = 42L): DataFrame = {
+    val idx = Ivf.buildIndex(df, idCol, vecCol, nClusters, iters, seed)
+    val lists = idx.assigned.select(col("__cid"), col(idCol), col("__vn"))
+    lists.select(col("__cid"), col(idCol).as("id_a"), col("__vn").as("__vn_a"))
+      .join(lists.select(col("__cid"), col(idCol).as("id_b"), col("__vn").as("__vn_b")),
+        "__cid")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", dot(col("__vn_a"), col("__vn_b")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** Greedy SemDeDup survivor set: drop the larger id of every semantic
+    * near-dup pair (one anti-join; every drop is justified by an exact
+    * pair). The embedding-space analogue of [[Dedup.dropNearDuplicates]].
+    */
+  def dropSemanticDuplicates(df: DataFrame, idCol: String, vecCol: String,
+                             nClusters: Int = 16, minCosine: Double = 0.95,
+                             iters: Int = 3, seed: Long = 42L): DataFrame = {
+    val drops = semanticNearDupPairs(df, idCol, vecCol, nClusters, minCosine,
+      iters, seed)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(drops, Seq(idCol), "left_anti")
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Curation, Profile, TextOps}
+import graft.ops.{Curation, Profile, Similarity, TextOps}
 
 /** Third pipeline batch: corpus hygiene and profiling operators a
   * large-scale training-data pipeline runs before/alongside dedup —
@@ -409,6 +409,21 @@ object PipelineQueries {
               |  round(CAST(SUM(n) OVER (ORDER BY n DESC, token
               |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
               |    / (SELECT SUM(n) FROM counts), 6) AS cum_share
-              |FROM counts ORDER BY rank""".stripMargin))
+              |FROM counts ORDER BY rank""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // SemDeDup semantic dedup (rows-only: spherical k-means is iterative
+    // and seeded — not SQL-expressible; certified in IvfSpec: planted
+    // true near-dups recall 1.0, precision exact by construction, stress
+    // floor documented). Survivors after greedy within-cluster drop at
+    // the fixture's q31 stress threshold.
+    QuerySpec(
+      "q83_semantic_dedup",
+      (s, dir) =>
+        Similarity.dropSemanticDuplicates(Tables.embeddings(s, dir),
+          "vec_id", "embedding", nClusters = 32, minCosine = 0.4)
+          .select(col("vec_id"), col("label"))
+          .orderBy("vec_id"),
+      None)
   )
 }

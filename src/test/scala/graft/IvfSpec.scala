@@ -185,6 +185,56 @@ class IvfSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
   }
 
+  test("semantic dedup: planted true near-dups all found, precision exact") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    // plant a perturbed copy of 20 vectors (cosine vs source ≈ 0.999 —
+    // the regime SemDeDup is specified for)
+    val rnd = new scala.util.Random(5L)
+    val sources = emb.filter(col("vec_id") < 20L)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val planted = sources.map { case (id, v) =>
+      (id + 10000L, v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f).toSeq)
+    }.toSeq.toDF("vec_id", "embedding")
+    val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(planted)
+
+    val pairs = Similarity.semanticNearDupPairs(corpus, "vec_id", "embedding",
+      nClusters = 16, minCosine = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recall on TRUE near-duplicates: a copy at cosine ~0.999 lands in its
+    // source's cluster (same nearest centroid) — all 20 planted pairs found
+    val plantedPairs = sources.map { case (id, _) => (id, id + 10000L) }.toSet
+    assert(plantedPairs.subsetOf(pairs),
+      s"missed planted pairs: ${plantedPairs -- pairs}")
+    // precision: every reported pair is exactly >= the threshold
+    val exact = Similarity.cosineNearDupPairsExact(corpus, "vec_id", "embedding",
+      minCosine = 0.95).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.subsetOf(exact), "semantic pairs must be exact-verified")
+    // greedy drop removes exactly the larger id of each pair
+    val survivors = Similarity.dropSemanticDuplicates(corpus, "vec_id", "embedding",
+      nClusters = 16, minCosine = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(pairs.forall { case (_, b) => !survivors.contains(b) })
+    assert(survivors.size == 520 - pairs.map(_._2).size)
+  }
+
+  test("semantic dedup stress floor: moderate-similarity recall documented") {
+    // at the q31 stress threshold (0.4 — NOT near-duplicates, just
+    // moderately similar random vectors) cross-cluster splits are expected;
+    // the floor documents the measured trade (0.37-0.46 at k∈{8..32})
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Similarity.cosineNearDupPairsExact(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = Similarity.semanticNearDupPairs(emb, "vec_id", "embedding",
+      nClusters = 32, minCosine = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem.subsetOf(exact))
+    val recall = sem.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.3, f"stress recall $recall%.3f below documented floor")
+  }
+
   test("approx sketches within tolerance of exact") {
     val ev = Tables.events(spark, sf)
     val approx = SparkEntry.queries("q47_approx_sketches")(spark, sf)
