@@ -143,17 +143,38 @@ object TextOps {
 
   /** Share of all token n-grams taken by the single most frequent one — the
     * Gopher-style "top n-gram fraction" degeneracy signal (looping text
-    * scores near 1). Per-row HOF composition: distinct n-grams × count via
-    * `filter`; O(u·n) per document where u = distinct n-grams — bounded by
-    * document length, never by corpus size, so rows stay independent and
-    * the operator is a pure codegen-free projection with no shuffle.
+    * scores near 1).
+    *
+    * Shape matters here, twice over. (1) HOFs are interpreted, and any
+    * expression nested INSIDE a lambda re-evaluates per element — a naive
+    * "for each distinct gram, filter-count the grams" spelling re-derives
+    * the whole shingle array u·n times per row (caught live: it pinned a
+    * core for minutes at sf0.1). (2) Even building shingle STRINGS via
+    * [[tokenShingles]] pays the same tax, because its `slice(toks, i, n)`
+    * sits inside a lambda. So grams are the codegen'd
+    * [[graft.functions.ShingleHashes]] longs (one native pass, no lambda),
+    * and the max multiplicity is the longest equal-run of the SORTED hash
+    * array — one O(n) `aggregate` whose input sits outside every lambda.
+    * Gram identity by 64-bit hash is this repo's established convention
+    * (q27's exact Jaccard rides on it); equal strings ↔ equal hashes at
+    * negligible (~n²/2⁻⁶⁴) collision odds.
     */
   def topNgramFraction(c: Column, n: Int = 2): Column = {
-    val grams = tokenShingles(c, n)
+    import graft.functions.ArrayMath
+    val grams = ArrayMath.shingleHashes(tokens(normalized(c)), n)
+    val best = aggregate(
+      array_sort(grams),
+      struct(lit(0L).as("best"), lit(0L).as("run"),
+        lit(null).cast("long").as("prev")),
+      (acc, x) => {
+        val newRun = when(acc.getField("prev").isNotNull &&
+          acc.getField("prev") === x, acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(greatest(acc.getField("best"), newRun).as("best"),
+          newRun.as("run"), x.as("prev"))
+      },
+      acc => acc.getField("best"))
     when(size(grams) === 0, 0.0)
-      .otherwise(
-        array_max(transform(array_distinct(grams),
-          g => size(filter(grams, x => x === g)))).cast("double") / size(grams))
+      .otherwise(best.cast("double") / size(grams))
   }
 
   // --- fingerprinting ------------------------------------------------------
@@ -188,7 +209,15 @@ object TextOps {
   def charShingles(c: Column, n: Int): Column =
     transform(indices1(length(c) - (n - 1)), i => c.substr(i, lit(n)))
 
-  /** Token n-gram shingles joined with a space. */
+  /** Token n-gram shingles joined with a space.
+    *
+    * COST NOTE: `slice(toks, i, n)` sits inside the transform lambda, and
+    * interpreted HOFs re-evaluate lambda-nested expressions per element —
+    * so the tokenization re-runs once per shingle (O(len²) per row). Fine
+    * for tests and short fields; corpus-scale paths must use the codegen'd
+    * [[graft.functions.ShingleHashes]] (single pass) instead, as every
+    * dedup/decontamination/repetition operator here does.
+    */
   def tokenShingles(c: Column, n: Int): Column = {
     val toks = tokens(normalized(c))
     transform(indices1(size(toks) - (n - 1)),
