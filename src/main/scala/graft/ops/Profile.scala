@@ -57,21 +57,38 @@ object Profile {
                         scale: Int = 4): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
     val dec = s"decimal(18,$scale)"
-    def d(c: String): Column = col(c).cast(dec)
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.size
     } yield (cols(i), cols(j))
+    // Pre-project every decimal value ONCE per row — k casts, k squares,
+    // C(k,2) cross products — and let the aggregates be plain masked sums
+    // over these columns. The naive spelling (cast/multiply inside every
+    // conditional aggregate) does 3·C(k,2) decimal multiplies per row;
+    // decimal multiplication at precision 37 is BigDecimal-backed and
+    // dominated this operator's runtime (measured 9.5 s → see q77). The
+    // per-pair null masks still select from the SHARED products, so the
+    // pairwise-deletion semantics are unchanged.
+    def dcol(c: String) = s"__d_$c"
+    def sqcol(c: String) = s"__sq_$c"
+    def xcol(p: Int) = s"__xp_$p"
+    val projected = df.select(
+      cols.map(c => col(c).isNotNull.as(s"__nn_$c")) ++
+        cols.map(c => col(c).cast(dec).as(dcol(c))) ++
+        cols.map(c => (col(c).cast(dec) * col(c).cast(dec)).as(sqcol(c))) ++
+        pairs.zipWithIndex.map { case ((x, y), p) =>
+          (col(x).cast(dec) * col(y).cast(dec)).as(xcol(p))
+        }: _*)
     val aggs = pairs.zipWithIndex.flatMap { case ((x, y), p) =>
-      val both = col(x).isNotNull && col(y).isNotNull
+      val both = col(s"__nn_$x") && col(s"__nn_$y")
       Seq(
         count(when(both, 1)).as(s"__n_$p"),
-        sum(when(both, d(x))).as(s"__sx_$p"),
-        sum(when(both, d(y))).as(s"__sy_$p"),
-        sum(when(both, d(x) * d(x))).as(s"__sxx_$p"),
-        sum(when(both, d(y) * d(y))).as(s"__syy_$p"),
-        sum(when(both, d(x) * d(y))).as(s"__sxy_$p"))
+        sum(when(both, col(dcol(x)))).as(s"__sx_$p"),
+        sum(when(both, col(dcol(y)))).as(s"__sy_$p"),
+        sum(when(both, col(sqcol(x)))).as(s"__sxx_$p"),
+        sum(when(both, col(sqcol(y)))).as(s"__syy_$p"),
+        sum(when(both, col(xcol(p)))).as(s"__sxy_$p"))
     }
-    val agged = df.agg(aggs.head, aggs.tail: _*)
+    val agged = projected.agg(aggs.head, aggs.tail: _*)
     val pairStructs = pairs.zipWithIndex.map { case ((x, y), p) =>
       val n = col(s"__n_$p").cast("double")
       def dbl(pre: String) = col(s"__${pre}_$p").cast("double")
