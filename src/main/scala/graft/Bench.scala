@@ -47,7 +47,7 @@ object Bench {
     // k-means-backed queries — iterative multi-job builds whose wall time
     // jitters with scheduling (measured ±15-27% between clean runs in r3).
     val noisy = Set("q13_trunc_cast", "q34_rollup", "q35_cube",
-      "q46_ann_ivf", "q83_semantic_dedup")
+      "q46_ann_ivf", "q80_recursive_hierarchy", "q83_semantic_dedup")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     runNoop(names.head) // warm-up, untimed
