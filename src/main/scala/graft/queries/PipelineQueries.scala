@@ -424,6 +424,44 @@ object PipelineQueries {
           "vec_id", "embedding", nClusters = 32, minCosine = 0.4)
           .select(col("vec_id"), col("label"))
           .orderBy("vec_id"),
-      None)
+      None),
+
+    // ------------------------------------------------------------------
+    // Keyless range join via interval binning (ops.RangeJoin): every
+    // error event opens a 10-minute incident window; count the events of
+    // any user landing in each window (excluding the opener). A bare
+    // BETWEEN join would plan as BroadcastNestedLoopJoin — O(n·m); the
+    // binned plan equi-joins on the time bin and verifies exact bounds,
+    // paying only per-bin density. All bounds are exact integer micros.
+    QuerySpec(
+      "q84_range_join",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"),
+            expr("ts_ns div 1000").as("us"))
+        val windows = e.filter(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("us").as("w_start"),
+            (col("us") + 600000000L).as("w_end"))
+        val hits = graft.ops.RangeJoin.pointsInRanges(
+          e.select(col("event_id"), col("us")), "us",
+          windows, "w_start", "w_end", binWidth = 600000000L)
+          .filter(col("event_id") =!= col("err_id"))
+          .groupBy(col("err_id")).agg(count(lit(1)).as("n_events"))
+        windows.join(hits, Seq("err_id"), "left")
+          .select(col("err_id"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"))
+          .orderBy("err_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, event_type, epoch_us(ts) AS us FROM events
+             |), w AS (
+             |  SELECT event_id AS err_id, us AS w_start, us + 600000000 AS w_end
+             |  FROM e WHERE event_type = 'error'
+             |)
+             |SELECT w.err_id,
+             |  CAST(COUNT(CASE WHEN ev.event_id IS NOT NULL THEN 1 END) AS BIGINT) AS n_events
+             |FROM w LEFT JOIN e ev
+             |  ON ev.us >= w.w_start AND ev.us < w.w_end AND ev.event_id <> w.err_id
+             |GROUP BY w.err_id ORDER BY err_id""".stripMargin))
   )
 }

@@ -378,6 +378,28 @@ class OpsSpec extends AnyFunSuite {
       (1L, 1L, 1L), (0L, 0L, 0L)))
   }
 
+  test("range join: exact bounds at bin edges, multi-bin ranges, empties") {
+    import spark.implicits._
+    import graft.ops.RangeJoin
+    val points = Seq((1L, 0L), (2L, 99L), (3L, 100L), (4L, 250L), (5L, 999L))
+      .toDF("pid", "t")
+    val ranges = Seq(
+      (10L, 0L, 100L),    // [0,100): catches t=0, 99 — NOT 100 (half-open)
+      (11L, 100L, 101L),  // single-point range catches exactly t=100
+      (12L, 50L, 950L),   // spans many bins; catches 99, 100, 250
+      (13L, 500L, 500L),  // empty range -> no matches
+      (14L, 990L, 2000L)) // catches 999
+      .toDF("rid", "s", "e")
+    // binWidth much smaller than some ranges AND larger than others
+    val got = RangeJoin.pointsInRanges(points, "t", ranges, "s", "e", 64L)
+      .select("rid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 1L), (10L, 2L), (11L, 3L),
+      (12L, 2L), (12L, 3L), (12L, 4L), (14L, 5L)))
+    // each match appears exactly once (point in exactly one bin)
+    val n = RangeJoin.pointsInRanges(points, "t", ranges, "s", "e", 64L).count()
+    assert(n == 7L)
+  }
+
   test("repetition metrics: hand-computed fractions, empty-safe") {
     import spark.implicits._
     val df = Seq(

@@ -178,6 +178,13 @@ class PlanSpec extends AnyFunSuite {
     assert(ret.forall(t => t._2 >= 0 && t._2 <= 7))
   }
 
+  test("q84: binned range join is an equi join, never a nested-loop cross") {
+    val plan = executedPlan("q84_range_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range join must bin to an equi join\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import spark.implicits._
     // NB: array<float>→double via transform() is a HOF and would break the
