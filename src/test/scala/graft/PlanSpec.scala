@@ -178,6 +178,22 @@ class PlanSpec extends AnyFunSuite {
     assert(ret.forall(t => t._2 >= 0 && t._2 <= 7))
   }
 
+  test("q74/q75: PII redaction and repetition metrics are pure projections") {
+    for (q <- Seq("q74_redact_pii", "q75_repetition")) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$q must not shuffle (per-row work only)\n$plan")
+      assert(!plan.contains("Join"), s"$q must not join\n$plan")
+    }
+  }
+
+  test("q81: heavy hitters plan as TakeOrderedAndProject over one agg") {
+    val plan = executedPlan("q81_heavy_hitters")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 2, s"events scanned once for counts + once for total, got $scans\n$plan")
+  }
+
   test("q84: binned range join is an equi join, never a nested-loop cross") {
     val plan = executedPlan("q84_range_join")
     assert(!plan.contains("BroadcastNestedLoopJoin"),
