@@ -154,6 +154,24 @@ class OpsSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(m(1L) ^ m(4L)) > 16)
   }
 
+  test("simhash banding is COMPLETE for d<=3 vs brute-force Hamming (q26 cert)") {
+    import spark.implicits._
+    // pigeonhole: 4 chunks of 16 bits, <=3 differing bits -> at least one
+    // chunk equal, so banding must find EVERY such pair. Verified against
+    // all-pairs brute force on the fixture corpus (500 docs, 125k pairs).
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val sigs = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    val banded = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDistance = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute,
+      s"banding must be exactly the brute-force set; missing=${brute -- banded} extra=${banded -- brute}")
+  }
+
   test("ngram jaccard exact pairs") {
     import spark.implicits._
     val df = Seq(
