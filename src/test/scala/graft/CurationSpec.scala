@@ -160,6 +160,16 @@ class CurationSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("a b", "c d", "e f"))
   }
 
+  test("pruneFrequentUnits and sampleToMixture survive degenerate inputs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Curation.pruneFrequentUnits(empty, "doc_id", "text").isEmpty)
+    // corpus whose every domain is unweighted -> everything drops
+    val docs = Seq((1L, "x"), (2L, "y")).toDF("id", "dom")
+    assert(Curation.sampleToMixture(docs, "id", "dom",
+      weights = Seq("absent" -> 1.0), budgetFrac = 0.5).isEmpty)
+  }
+
   test("sampleToMixture hits targets, clamps short domains, drops unweighted") {
     import spark.implicits._
     // web: 8000 rows, books: 1500, code: 500, junk: 1000 (unweighted)

@@ -396,6 +396,25 @@ class OpsSpec extends AnyFunSuite {
       (1L, 1L, 1L), (0L, 0L, 0L)))
   }
 
+  test("range join == naive BETWEEN join on seeded random data, any bin width") {
+    import spark.implicits._
+    import graft.ops.RangeJoin
+    val rnd = new scala.util.Random(23L)
+    val points = (1L to 300L).map(i => (i, rnd.nextInt(10000).toLong)).toDF("pid", "t")
+    val ranges = (1L to 80L).map { i =>
+      val s = rnd.nextInt(10000).toLong
+      (i, s, s + rnd.nextInt(800).toLong) // includes empty ranges (len 0)
+    }.toDF("rid", "s", "e")
+    val naive = points.join(ranges, col("t") >= col("s") && col("t") < col("e"))
+      .select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (w <- Seq(1L, 7L, 64L, 1000L, 100000L)) {
+      val binned = RangeJoin.pointsInRanges(points, "t", ranges, "s", "e", w)
+        .select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(binned.toSet == naive && binned.length == naive.size,
+        s"bin width $w: mismatch or duplicate matches")
+    }
+  }
+
   test("range join: exact bounds at bin edges, multi-bin ranges, empties") {
     import spark.implicits._
     import graft.ops.RangeJoin
