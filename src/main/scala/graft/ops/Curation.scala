@@ -166,6 +166,44 @@ object Curation {
       .drop("__n_dom", "__n_tot", "__w", "__thresh")
   }
 
+  /** Fixed-size token chunking with overlap — the window split RAG/
+    * pretraining prep runs before embedding or packing. Chunk i covers
+    * tokens [i·step, i·step + chunkTokens) with step = chunkTokens −
+    * overlap; the last chunk may be shorter; a doc shorter than one chunk
+    * yields exactly one chunk.
+    *
+    * A start offset is emitted only while it still contributes a NEW token
+    * (start + overlap < n): a trailing window whose content lies entirely
+    * inside its predecessor's overlap is redundant and skipped — so the
+    * start bound is n − overlap − 1, inclusive.
+    *
+    * Plan: the token array is materialized ONCE per row into a column and
+    * the per-chunk `slice` reads that attribute — never re-tokenizes (the
+    * interpreted-HOF nesting trap documented on [[TextOps.tokenShingles]]).
+    * One Generate (explode of the start offsets), zero shuffles, zero
+    * joins: scales as a pure projection.
+    *
+    * @return (idCol, chunk_id, n_tokens, chunk_text) — one row per chunk
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      "need chunkTokens > overlap >= 0")
+    val step = chunkTokens - overlap
+    val toked = df.select(col(idCol),
+      TextOps.tokens(TextOps.normalized(col(textCol))).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+    toked
+      .withColumn("__start",
+        explode(sequence(lit(0),
+          greatest(lit(0), col("__n") - (overlap + 1)), lit(step))))
+      .select(col(idCol),
+        (col("__start") / step).cast("long").as("chunk_id"),
+        least(lit(chunkTokens), col("__n") - col("__start")).cast("long").as("n_tokens"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
+
   /** Eval-set decontamination: find training documents sharing at least
     * minShared distinct n-gram shingles with ANY document of the eval set —
     * the standard guard against benchmark leakage into training data.

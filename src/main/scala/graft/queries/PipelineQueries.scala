@@ -462,6 +462,28 @@ object PipelineQueries {
              |  CAST(COUNT(CASE WHEN ev.event_id IS NOT NULL THEN 1 END) AS BIGINT) AS n_events
              |FROM w LEFT JOIN e ev
              |  ON ev.us >= w.w_start AND ev.us < w.w_end AND ev.event_id <> w.err_id
-             |GROUP BY w.err_id ORDER BY err_id""".stripMargin))
+             |GROUP BY w.err_id ORDER BY err_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Document chunking (Curation.chunkDocuments): 32-token windows with
+    // 8-token overlap (step 24) — the RAG/pretraining window split. Token
+    // array materialized once per row; one Generate, zero shuffles.
+    QuerySpec(
+      "q85_chunking",
+      (s, dir) =>
+        Curation.chunkDocuments(Tables.documents(s, dir), "doc_id", "text",
+          chunkTokens = 32, overlap = 8)
+          .orderBy("doc_id", "chunk_id"),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents
+              |), st AS (
+              |  SELECT doc_id, toks, len(toks) AS n,
+              |    unnest(range(0, greatest(len(toks) - 8, 1), 24)) AS start
+              |  FROM t
+              |)
+              |SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_id,
+              |  CAST(LEAST(32, n - start) AS BIGINT) AS n_tokens,
+              |  array_to_string(array_slice(toks, start + 1, start + 32), ' ') AS chunk_text
+              |FROM st ORDER BY doc_id, chunk_id""".stripMargin))
   )
 }

@@ -160,6 +160,31 @@ class CurationSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("a b", "c d", "e f"))
   }
 
+  test("chunkDocuments: boundaries, overlap continuity, short docs") {
+    import spark.implicits._
+    val toks10 = (1 to 10).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, toks10),          // 10 tokens, chunk 4 overlap 1 (step 3): starts 0,3,6
+      (2L, "a b"),           // shorter than one chunk -> single chunk
+      (3L, "x y z w")).toDF("doc_id", "text") // exactly one chunk (4 tokens)
+    val got = Curation.chunkDocuments(docs, "doc_id", "text",
+      chunkTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // start 9 is NOT emitted: its only token (t10) sits inside chunk 2's
+    // coverage — redundant-trailing-window rule
+    assert(got.filter(_._1 == 1L).map(_._4).toSeq == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(got.filter(_._1 == 1L).map(_._3).toSeq == Seq(4L, 4L, 4L))
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 2L, "a b")))
+    assert(got.filter(_._1 == 3L).map(_._4).toSeq == Seq("x y z w"))
+    // every token is covered; consecutive chunks share exactly `overlap`
+    val chunks1 = got.filter(_._1 == 1L).map(_._4.split(" ").toSeq).toSeq
+    chunks1.sliding(2).foreach { pair =>
+      assert(pair.head.takeRight(1) == pair.last.take(1)) // overlap 1
+    }
+  }
+
   test("pruneFrequentUnits and sampleToMixture survive degenerate inputs") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
