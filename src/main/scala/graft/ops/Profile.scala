@@ -103,6 +103,37 @@ object Profile {
     agged.select(explode(array(pairStructs: _*)).as("__s")).select(col("__s.*"))
   }
 
+  /** Per-group z-score outliers: rows whose value deviates more than
+    * `zThreshold` population standard deviations from their group mean —
+    * the basic anomaly gate a pipeline runs on metric streams.
+    *
+    * Engine-reproducible like [[correlationMatrix]]: group Σx and Σx² run
+    * in DECIMAL (order-independent), the final mean/std/z are a fixed IEEE
+    * expression tree. The group stats broadcast back onto the rows (tiny
+    * |groups|-row aggregate), so the detector is one aggregate + one
+    * projection — no window over the full stream, no second shuffle of
+    * the data.
+    */
+  def zscoreOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                     zThreshold: Double = 3.0, scale: Int = 4): DataFrame = {
+    require(zThreshold > 0, "zThreshold must be positive")
+    val dec = s"decimal(18,$scale)"
+    val v = col(valueCol).cast(dec)
+    val stats = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), sum(v).as("__s"), sum(v * v).as("__ss"))
+      .withColumn("__mean", col("__s").cast("double") / col("__n"))
+      .withColumn("__var",
+        col("__ss").cast("double") / col("__n") - col("__mean") * col("__mean"))
+      .select(col(groupCol), col("__n"), col("__mean"),
+        sqrt(greatest(col("__var"), lit(0.0))).as("__std"))
+    df.join(broadcast(stats), groupCol)
+      .filter(col("__std") > 0.0 &&
+        abs(col(valueCol) - col("__mean")) > lit(zThreshold) * col("__std"))
+      .withColumn("z", round((col(valueCol) - col("__mean")) / col("__std"), 4))
+      .drop("__n", "__mean", "__std")
+  }
+
   /** Fixed-bin histogram: bin i covers [lo + i·width, lo + (i+1)·width),
     * values ≥ the last edge clamp into the final bin, values < lo into bin
     * 0. Fixed (not data-derived) edges keep the computation one pure

@@ -484,6 +484,41 @@ object PipelineQueries {
               |SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_id,
               |  CAST(LEAST(32, n - start) AS BIGINT) AS n_tokens,
               |  array_to_string(array_slice(toks, start + 1, start + 32), ' ') AS chunk_text
-              |FROM st ORDER BY doc_id, chunk_id""".stripMargin))
+              |FROM st ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Z-score anomaly gate (Profile.zscoreOutliers): prices deviating
+    // more than z from their return-flag group mean. Group Σx/Σx² in
+    // DECIMAL (order-independent), stats broadcast back — one aggregate +
+    // one projection. z=1.5 because the synthetic fixture is bounded-
+    // uniform (max |z| ≈ 1.9): the threshold exercises the gate, the
+    // semantics are threshold-independent. Oracle widens decimal products
+    // to (19,4) — DuckDB multiplies DECIMAL(18,·) in int64 and overflows.
+    QuerySpec(
+      "q86_zscore_outliers",
+      (s, dir) =>
+        Profile.zscoreOutliers(
+          Tables.lineitem(s, dir)
+            .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_returnflag"), col("l_extendedprice")),
+          "l_returnflag", "l_extendedprice", zThreshold = 1.5)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            col("l_extendedprice"), col("z"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""WITH s AS (
+             |  SELECT l_returnflag AS g, COUNT(*) AS n,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS mean,
+             |    sqrt(GREATEST(
+             |      CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS DECIMAL(19,4))
+             |             * CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS DECIMAL(19,4))) AS DOUBLE) / COUNT(*)
+             |      - (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
+             |        * (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)), 0.0)) AS std
+             |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+             |)
+             |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_extendedprice,
+             |  round((l.l_extendedprice - s.mean) / s.std, 4) AS z
+             |FROM lineitem l JOIN s ON l.l_returnflag = s.g
+             |WHERE s.std > 0 AND abs(l.l_extendedprice - s.mean) > 1.5 * s.std
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin))
   )
 }

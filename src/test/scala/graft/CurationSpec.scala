@@ -185,6 +185,26 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("chunkDocuments reconstruction: dropping each chunk's overlap prefix rebuilds the doc") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31L)
+    val docs = (1L to 40L).map { i =>
+      (i, (1 to (rnd.nextInt(120) + 1)).map(t => s"w$t").mkString(" "))
+    }.toDF("doc_id", "text")
+    for ((chunk, ov) <- Seq((16, 0), (16, 4), (7, 6), (5, 1))) {
+      val rebuilt = Curation.chunkDocuments(docs, "doc_id", "text", chunk, ov)
+        .orderBy("doc_id", "chunk_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues { rows =>
+          rows.sortBy(_.getLong(1)).zipWithIndex.flatMap { case (r, i) =>
+            val toks = r.getString(3).split(" ").toSeq
+            if (i == 0) toks else toks.drop(ov)
+          }.mkString(" ")
+        }.toMap
+      val original = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rebuilt == original, s"chunk=$chunk overlap=$ov lost or duplicated tokens")
+    }
+  }
+
   test("pruneFrequentUnits and sampleToMixture survive degenerate inputs") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")

@@ -62,6 +62,21 @@ class ProfileSpec extends AnyFunSuite {
     assert(rows(("a", "c")) == 3)  // the null c row drops only from c pairs
   }
 
+  test("zscoreOutliers flags exactly the planted spike; constant groups are silent") {
+    import spark.implicits._
+    import graft.ops.Profile
+    // group a: 100 values at 10±1 plus one spike at 1000 — only the spike
+    // exceeds 3 sigma. group b: constant -> std 0 -> nothing flagged even
+    // though every |v-mean| is 0 (guard against 0/0).
+    val rows = (1 to 100).map(i => ("a", 10.0 + (i % 3 - 1))) ++
+      Seq(("a", 1000.0)) ++ (1 to 50).map(_ => ("b", 7.0))
+    val df = rows.toDF("g", "v")
+    val got = Profile.zscoreOutliers(df, "g", "v", zThreshold = 3.0).collect()
+    assert(got.length == 1)
+    assert(got.head.getString(0) == "a" && got.head.getDouble(1) == 1000.0)
+    assert(got.head.getDouble(2) > 3.0) // z itself reported
+  }
+
   test("correlationMatrix is partition-order independent (decimal sums)") {
     import spark.implicits._
     val df = (1 to 2000).map(i => (i * 0.37, math.cos(i.toDouble) * 50))
