@@ -266,9 +266,15 @@ object Similarity {
     * within-cluster pair. No all-pairs stage anywhere.
     */
   def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                           nClusters: Int = 16, minCosine: Double = 0.95,
+                           nClusters: Int = 0, minCosine: Double = 0.95,
                            iters: Int = 3, seed: Long = 42L): DataFrame = {
-    val idx = Ivf.buildIndex(df, idCol, vecCol, nClusters, iters, seed)
+    // nClusters <= 0 → derive from corpus size via the √N rule
+    // ([[Ivf.ivfPolicy]]): k ≈ √N keeps expected within-cluster candidate
+    // work at N²/k ≈ N^1.5 as the corpus grows — the same policy the ANN
+    // queries use, so semantic dedup needs no hand tuning either.
+    val k = if (nClusters > 0) nClusters
+      else Ivf.ivfPolicy(df.count())._1
+    val idx = Ivf.buildIndex(df, idCol, vecCol, k, iters, seed)
     val lists = idx.assigned.select(col("__cid"), col(idCol), col("__vn"))
     lists.select(col("__cid"), col(idCol).as("id_a"), col("__vn").as("__vn_a"))
       .join(lists.select(col("__cid"), col(idCol).as("id_b"), col("__vn").as("__vn_b")),
@@ -284,7 +290,7 @@ object Similarity {
     * pair). The embedding-space analogue of [[Dedup.dropNearDuplicates]].
     */
   def dropSemanticDuplicates(df: DataFrame, idCol: String, vecCol: String,
-                             nClusters: Int = 16, minCosine: Double = 0.95,
+                             nClusters: Int = 0, minCosine: Double = 0.95,
                              iters: Int = 3, seed: Long = 42L): DataFrame = {
     val drops = semanticNearDupPairs(df, idCol, vecCol, nClusters, minCosine,
       iters, seed)

@@ -416,12 +416,13 @@ object PipelineQueries {
     // and seeded — not SQL-expressible; certified in IvfSpec: planted
     // true near-dups recall 1.0, precision exact by construction, stress
     // floor documented). Survivors after greedy within-cluster drop at
-    // the fixture's q31 stress threshold.
+    // the fixture's q31 stress threshold; cluster count comes from the
+    // √N ivfPolicy — no fixture-tuned constant.
     QuerySpec(
       "q83_semantic_dedup",
       (s, dir) =>
         Similarity.dropSemanticDuplicates(Tables.embeddings(s, dir),
-          "vec_id", "embedding", nClusters = 32, minCosine = 0.4)
+          "vec_id", "embedding", minCosine = 0.4)
           .select(col("vec_id"), col("label"))
           .orderBy("vec_id"),
       None),
