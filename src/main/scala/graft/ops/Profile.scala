@@ -8,21 +8,31 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
-  /** Per-column numeric profile: row count, nulls, exact distinct count,
+  /** Per-column numeric profile: row count, nulls, distinct count,
     * min/max — one row per profiled column.
     *
-    * Plan shape: ONE aggregation statement for all columns. Spark plans the
-    * k distinct aggregates with a single Expand (each input row fans to k
-    * tagged rows, map-side combined), so the input is scanned once —
-    * instead of k separate jobs. min/max/count piggyback on the same pass.
-    * The result is k tiny structs exploded into rows on the driver side of
-    * the agg — no second shuffle.
+    * Plan shape: ONE aggregation statement for all columns. With exact
+    * distincts Spark plans the k distinct aggregates with a single Expand
+    * (each input row fans to k tagged rows, map-side combined), so the
+    * input is scanned once — instead of k separate jobs. min/max/count
+    * piggyback on the same pass. The result is k tiny structs exploded
+    * into rows on the driver side of the agg — no second shuffle.
+    *
+    * `approxDistinct = true` is the 100 TB path: HyperLogLog++ sketches
+    * (±~2.3% rsd) replace the distinct aggregation entirely — no Expand
+    * (input rows are NOT fanned ×k), no per-value distinct state, constant
+    * memory per column. Exact mode is the oracle-checkable default; the
+    * approx flavor is for profiling high-cardinality columns at corpus
+    * scale, where exact distinct state is the dominant cost.
     */
-  def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def numericProfile(df: DataFrame, cols: Seq[String],
+                     approxDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "at least one column")
+    def nd(c: String): Column =
+      if (approxDistinct) approx_count_distinct(col(c)) else count_distinct(col(c))
     val aggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"__cnt_$c"),
-        count_distinct(col(c)).as(s"__nd_$c"),
+        nd(c).as(s"__nd_$c"),
         min(col(c)).cast("double").as(s"__min_$c"),
         max(col(c)).cast("double").as(s"__max_$c"))
     } :+ count(lit(1)).as("__n")

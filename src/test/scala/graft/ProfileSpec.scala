@@ -22,6 +22,26 @@ class ProfileSpec extends AnyFunSuite {
       y.getLong(3) == 2 && y.getDouble(4) == 10.0 && y.getDouble(5) == 30.0)
   }
 
+  test("numericProfile approx mode: no Expand, distincts within HLL tolerance") {
+    import graft.ops.Profile
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_partkey")
+    val exact = Profile.numericProfile(li, cols).orderBy("col_name").collect()
+    val approx = Profile.numericProfile(li, cols, approxDistinct = true)
+      .orderBy("col_name").collect()
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(e.getString(0) == a.getString(0))
+      assert(e.getLong(1) == a.getLong(1) && e.getLong(2) == a.getLong(2))
+      assert(e.getDouble(4) == a.getDouble(4) && e.getDouble(5) == a.getDouble(5))
+      val (ne, na) = (e.getLong(3), a.getLong(3))
+      assert(math.abs(na - ne) <= math.max(2L, (ne * 0.1).toLong),
+        s"${e.getString(0)}: approx $na vs exact $ne")
+    }
+    val plan = Profile.numericProfile(li, cols, approxDistinct = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"approx mode must not fan rows\n$plan")
+  }
+
   test("fixedHistogram: clamping at both edges, nulls dropped") {
     import spark.implicits._
     val df = Seq[java.lang.Double](-5.0, 0.0, 9.9, 10.0, 25.0, 99.0, null)
