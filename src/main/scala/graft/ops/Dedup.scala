@@ -182,10 +182,6 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 30): DataFrame = {
     val spark = pairs.sparkSession
-    if (pairs.isEmpty) {
-      import spark.implicits._
-      return Seq.empty[(Long, Long, Long)].toDF("id", "component", "cluster_size")
-    }
 
     def canon(e: DataFrame): DataFrame =
       e.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
@@ -214,6 +210,13 @@ object Dedup {
 
     var edges = canon(pairs.select(col(aCol).cast("long").as("u"),
       col(bCol).cast("long").as("v"))).localCheckpoint(true)
+    // Guard on the CANONICALIZED edges, not the raw pairs: an input of
+    // only self-loops (a==b) canonicalizes to nothing, and the convergence
+    // probe's bit_xor over zero rows is NULL (getLong would NPE).
+    if (edges.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long)].toDF("id", "component", "cluster_size")
+    }
     var prev = (-1L, -1L)
     var iter = 0
     var done = false

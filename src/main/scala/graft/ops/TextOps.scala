@@ -100,7 +100,11 @@ object TextOps {
     */
   private[ops] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private[ops] val ipRe    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  private[ops] val phoneRe = "\\+?\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  // Leading anchor: without it a longer digit run like "1234-567-8901"
+  // matches from its 2nd digit, redacting a bogus suffix and leaving a
+  // stray lead digit. `(?:\+|\b)` rather than a plain `\b` because '+' is
+  // a non-word char ("\b\+" never matches after a space).
+  private[ops] val phoneRe = "(?:\\+|\\b)\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
 
   /** Redact emails, IPv4 addresses, and NNN-NNN-NNNN phone numbers with
     * typed placeholder tags — the standard PII scrub pass a training-data

@@ -26,7 +26,7 @@ object PipelineQueries {
   // single-quoted SQL strings pass backslashes through literally).
   private val emailSql = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val ipSql = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  private val phoneSql = "\\+?\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  private val phoneSql = "(?:\\+|\\b)\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
 
   /** Generated oracle for q77: per-pair conditional DECIMAL sums in one
     * aggregate CTE, then one UNION ALL branch per pair computing the same

@@ -81,8 +81,15 @@ object StreamingIngest {
         val batchDeduped = batch
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
+        // Probe via Hadoop FS, not java.io.File: the target can live on any
+        // filesystem Spark can write (hdfs://, s3a://, ...), where a local
+        // File.exists() is always false and would silently skip the
+        // anti-join — breaking the key-level idempotence contract.
+        val targetPath = new org.apache.hadoop.fs.Path(targetDir)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          targetPath.toUri, spark.sparkContext.hadoopConfiguration)
         val fresh =
-          if (new java.io.File(targetDir).exists()) {
+          if (fs.exists(targetPath)) {
             val existingKeys = spark.read.parquet(targetDir).select(col(keyCol))
             batchDeduped.join(existingKeys, Seq(keyCol), "left_anti")
           } else batchDeduped
