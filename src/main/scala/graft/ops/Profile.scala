@@ -117,25 +117,43 @@ object Profile {
     * `zThreshold` population standard deviations from their group mean —
     * the basic anomaly gate a pipeline runs on metric streams.
     *
-    * Engine-reproducible like [[correlationMatrix]]: group Σx and Σx² run
-    * in DECIMAL (order-independent), the final mean/std/z are a fixed IEEE
-    * expression tree. The group stats broadcast back onto the rows (tiny
-    * |groups|-row aggregate), so the detector is one aggregate + one
-    * projection — no window over the full stream, no second shuffle of
-    * the data.
+    * Engine-reproducible like [[correlationMatrix]]: all group sums run in
+    * DECIMAL (order-independent), the final mean/std/z are a fixed IEEE
+    * expression tree.
+    *
+    * Numerics: the naive one-pass E[x²]−mean² cancels catastrophically
+    * when |mean| ≫ std (a 1e8-magnitude metric with unit spread loses ALL
+    * variance digits in doubles — every row silently classified
+    * non-outlier, exactly the regime an anomaly gate exists for). Instead
+    * the moments are computed on SHIFTED values d = x − min(group): now
+    * E[d²] and (E[d])² are the same order of magnitude (both ~range²), so
+    * the subtraction loses at most a couple of bits. The shift also keeps
+    * Σd² small — no decimal overflow risk from squaring large raw values.
+    * Cost: one extra aggregate pass for the per-group min (both passes are
+    * map-side-combined shuffles of |groups|-sized partials; the group min
+    * broadcasts back, so the full data still never shuffles).
     */
   def zscoreOutliers(df: DataFrame, groupCol: String, valueCol: String,
                      zThreshold: Double = 3.0, scale: Int = 4): DataFrame = {
     require(zThreshold > 0, "zThreshold must be positive")
     val dec = s"decimal(18,$scale)"
-    val v = col(valueCol).cast(dec)
-    val stats = df.filter(col(valueCol).isNotNull)
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).cast(dec).as("__x"))
+    // pass 1: per-group shift (decimal min — exact, order-independent)
+    val shifts = vals.groupBy(col(groupCol)).agg(min(col("__x")).as("__shift"))
+    // pass 2: decimal moments of d = x − shift; d ≥ 0 and bounded by the
+    // group range, so d² stays far from decimal(38) overflow
+    val d = (col("__x") - col("__shift")).cast(dec)
+    val stats = vals.join(broadcast(shifts), Seq(groupCol))
+      .select(col(groupCol), col("__shift"), d.as("__d"))
       .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("__n"), sum(v).as("__s"), sum(v * v).as("__ss"))
-      .withColumn("__mean", col("__s").cast("double") / col("__n"))
+      .agg(count(lit(1)).as("__n"), max(col("__shift")).as("__shift"),
+        sum(col("__d")).as("__sd"), sum(col("__d") * col("__d")).as("__ssd"))
+      .withColumn("__meanD", col("__sd").cast("double") / col("__n"))
       .withColumn("__var",
-        col("__ss").cast("double") / col("__n") - col("__mean") * col("__mean"))
-      .select(col(groupCol), col("__n"), col("__mean"),
+        col("__ssd").cast("double") / col("__n") - col("__meanD") * col("__meanD"))
+      .select(col(groupCol), col("__n"),
+        (col("__shift").cast("double") + col("__meanD")).as("__mean"),
         sqrt(greatest(col("__var"), lit(0.0))).as("__std"))
     df.join(broadcast(stats), groupCol)
       .filter(col("__std") > 0.0 &&

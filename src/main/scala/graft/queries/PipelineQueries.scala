@@ -489,9 +489,10 @@ object PipelineQueries {
 
     // ------------------------------------------------------------------
     // Z-score anomaly gate (Profile.zscoreOutliers): prices deviating
-    // more than z from their return-flag group mean. Group Σx/Σx² in
-    // DECIMAL (order-independent), stats broadcast back — one aggregate +
-    // one projection. z=1.5 because the synthetic fixture is bounded-
+    // more than z from their return-flag group mean. Moments are computed
+    // on SHIFTED values d = x − min(group) in DECIMAL (order-independent,
+    // cancellation-safe — see Profile.zscoreOutliers scaladoc), stats
+    // broadcast back. z=1.5 because the synthetic fixture is bounded-
     // uniform (max |z| ≈ 1.9): the threshold exercises the gate, the
     // semantics are threshold-independent. Oracle widens decimal products
     // to (19,4) — DuckDB multiplies DECIMAL(18,·) in int64 and overflows.
@@ -506,15 +507,22 @@ object PipelineQueries {
           .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
             col("l_extendedprice"), col("z"))
           .orderBy("l_orderkey", "l_linenumber"),
-      Some("""WITH s AS (
-             |  SELECT l_returnflag AS g, COUNT(*) AS n,
-             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS mean,
-             |    sqrt(GREATEST(
-             |      CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS DECIMAL(19,4))
-             |             * CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS DECIMAL(19,4))) AS DOUBLE) / COUNT(*)
-             |      - (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
-             |        * (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)), 0.0)) AS std
-             |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+      Some("""WITH v AS (
+             |  SELECT l_returnflag AS g, CAST(l_extendedprice AS DECIMAL(18,4)) AS x
+             |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+             |), m AS (
+             |  SELECT g, MIN(x) AS shift FROM v GROUP BY 1
+             |), s0 AS (
+             |  SELECT v.g, COUNT(*) AS n, MIN(m.shift) AS shift,
+             |    SUM(CAST(v.x - m.shift AS DECIMAL(18,4))) AS sd,
+             |    SUM(CAST(CAST(v.x - m.shift AS DECIMAL(18,4)) AS DECIMAL(19,4))
+             |      * CAST(CAST(v.x - m.shift AS DECIMAL(18,4)) AS DECIMAL(19,4))) AS ssd
+             |  FROM v JOIN m ON v.g = m.g GROUP BY 1
+             |), s AS (
+             |  SELECT g, CAST(shift AS DOUBLE) + CAST(sd AS DOUBLE) / n AS mean,
+             |    sqrt(GREATEST(CAST(ssd AS DOUBLE) / n
+             |      - (CAST(sd AS DOUBLE) / n) * (CAST(sd AS DOUBLE) / n), 0.0)) AS std
+             |  FROM s0
              |)
              |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_extendedprice,
              |  round((l.l_extendedprice - s.mean) / s.std, 4) AS z

@@ -97,6 +97,36 @@ class ProfileSpec extends AnyFunSuite {
     assert(got.head.getDouble(2) > 3.0) // z itself reported
   }
 
+  test("zscoreOutliers catches spikes when |mean|/std ~ 1e8 (no cancellation)") {
+    import spark.implicits._
+    import graft.ops.Profile
+    // 1e8-magnitude stream with ±0.001 spread and one +10 spike. The naive
+    // E[x²]−mean² in doubles has ulp(1e16) = 2, i.e. the entire ~1e-6
+    // variance is below the subtraction's noise floor — the old formula
+    // clamped var to 0 and silently reported NO outliers. The shifted
+    // moments must still catch the spike.
+    val base = 1e8
+    val rows = (1 to 300).map(i => ("m", base + ((i % 3) - 1) * 0.001)) ++
+      Seq(("m", base + 10.0))
+    val got = Profile.zscoreOutliers(rows.toDF("g", "v"), "g", "v",
+      zThreshold = 3.0).collect()
+    assert(got.length == 1, s"expected exactly the spike, got ${got.length} rows")
+    assert(got.head.getDouble(1) == base + 10.0)
+    assert(got.head.getDouble(2) > 3.0)
+  }
+
+  test("zscoreOutliers is partition-order independent (decimal sums)") {
+    import graft.ops.Profile
+    import spark.implicits._
+    val df = (1 to 5000).map(i => ("g", 1e8 + math.sin(i.toDouble)))
+      .toDF("g", "v")
+    val a = Profile.zscoreOutliers(df.repartition(1), "g", "v", zThreshold = 1.0)
+      .orderBy("v").collect().map(_.getDouble(2)).toSeq
+    val b = Profile.zscoreOutliers(df.repartition(32), "g", "v", zThreshold = 1.0)
+      .orderBy("v").collect().map(_.getDouble(2)).toSeq
+    assert(a == b, "z-scores must be bit-identical across partitionings")
+  }
+
   test("correlationMatrix is partition-order independent (decimal sums)") {
     import spark.implicits._
     val df = (1 to 2000).map(i => (i * 0.37, math.cos(i.toDouble) * 50))
