@@ -57,10 +57,53 @@ object ScaleOps {
     * incremental case) AQE broadcasts it, so the 100 TB base is scanned
     * once with NO base-side shuffle; the alternative full-outer-join
     * formulation shuffles BOTH sides on the key.
+    *
+    * MERGE edge semantics (SQL MERGE errors on them; silent variants
+    * corrupt the table):
+    *   - NULL keys in `updates` always fail: a null key matches nothing in
+    *     the anti-join (SQL null semantics), so such a row would re-insert
+    *     on EVERY run — rejected with a distributed `assert_true` (no
+    *     driver-side scan of the batch).
+    *   - Duplicate keys in `updates`: with `orderCol = Some(c)` the row
+    *     with the LARGEST `c` wins per key (last-wins by version/timestamp;
+    *     deterministic when (keyCols, c) is unique). With `orderCol = None`
+    *     uniqueness is a runtime-ENFORCED precondition — a duplicate has no
+    *     well-defined winner, so the batch fails rather than appending two
+    *     rows for one key (what the naive union would do). Both checks
+    *     cost one window pass over the (small, broadcast-bound) update
+    *     batch — never over the base.
     */
-  def upsert(base: DataFrame, updates: DataFrame, keyCols: Seq[String]): DataFrame =
-    base.join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
-      .unionByName(updates)
+  def upsert(base: DataFrame, updates: DataFrame, keyCols: Seq[String],
+             orderCol: Option[String] = None): DataFrame = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    import org.apache.spark.sql.expressions.Window
+    // assert_true wrapped in a coalesce-to-true filter: evaluates per row
+    // (throws on violation), passes every surviving row — and, unlike a
+    // projected-then-dropped check column, cannot be pruned away.
+    val keysNotNull = keyCols.map(col(_).isNotNull).reduce(_ && _)
+    val nullChecked = updates.filter(coalesce(
+      assert_true(keysNotNull, concat_ws("", lit("upsert: NULL in key ("),
+        lit(keyCols.mkString(", ")),
+        lit(") — a null key never matches MERGE ON and would re-insert every run"))),
+      lit(true)))
+    val winners = orderCol match {
+      case Some(c) =>
+        val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(c).desc)
+        nullChecked.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      case None =>
+        val w = Window.partitionBy(keyCols.map(col): _*)
+        nullChecked.withColumn("__kn", count(lit(1)).over(w))
+          .filter(coalesce(
+            assert_true(col("__kn") === 1, concat_ws("",
+              lit("upsert: duplicate key ("), concat_ws(", ", keyCols.map(col): _*),
+              lit(") in updates with no orderCol — pass orderCol to pick a winner"))),
+            lit(true)))
+          .drop("__kn")
+    }
+    base.join(winners.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(winners)
+  }
 
   /** Contiguous global ids 0..n-1 in sort-key order WITHOUT the global-sort
     * bottleneck: a `row_number() OVER (ORDER BY …)` window funnels 100 TB

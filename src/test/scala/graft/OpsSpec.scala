@@ -106,6 +106,35 @@ class OpsSpec extends AnyFunSuite {
       (3L, "c", 30.0), (4L, "d", 40.0)))
   }
 
+  test("upsert: duplicate update keys — orderCol picks last-wins, no orderCol fails") {
+    import spark.implicits._
+    import graft.ops.ScaleOps
+    val base = Seq((1L, "a", 10.0)).toDF("k", "s", "v")
+    // two updates for k=1 at versions 10.0 < 11.0: v=11.0 must win, and
+    // exactly ONE row for the key must come out (MERGE, not append-both)
+    val dup = Seq((1L, "v10", 10.0), (1L, "v11", 11.0)).toDF("k", "s", "v")
+    val merged = ScaleOps.upsert(base, dup, Seq("k"), orderCol = Some("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(merged.toSeq == Seq((1L, "v11", 11.0)))
+    // without an orderCol there is no well-defined winner: the batch fails
+    // instead of silently appending two rows for one key
+    val ex = intercept[Exception] {
+      ScaleOps.upsert(base, dup, Seq("k")).collect()
+    }
+    assert(ex.getMessage != null || ex.getCause != null) // job fails, not silent
+  }
+
+  test("upsert: NULL update key is rejected (would re-insert every run)") {
+    import spark.implicits._
+    import graft.ops.ScaleOps
+    val base = Seq((1L, "a")).toDF("k", "s")
+    val nullKey = Seq[(java.lang.Long, String)]((null, "oops"), (2L, "b"))
+      .toDF("k", "s")
+    intercept[Exception] {
+      ScaleOps.upsert(base, nullKey, Seq("k")).collect()
+    }
+  }
+
   test("connected components: transitive closure, multi-cluster, convergence") {
     import spark.implicits._
     // chain 1~2~3 (transitivity), local-minimum cluster {(10,50),(30,50)}
