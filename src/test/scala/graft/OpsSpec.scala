@@ -152,6 +152,12 @@ class OpsSpec extends AnyFunSuite {
     val chainCc = Dedup.connectedComponents(chain, "id_a", "id_b").collect()
     assert(chainCc.length == 64 && chainCc.forall(_.getLong(1) == 0L))
 
+    // ALL-self-loop input: canonicalization (a<b) drops every edge, which
+    // must behave like empty input — not NPE on a null reduce (regression
+    // for the canonicalized-empty guard)
+    val selfLoops = Seq((5L, 5L), (9L, 9L)).toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(selfLoops, "id_a", "id_b").isEmpty)
+
     assert(Dedup.connectedComponents(
       Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b").isEmpty)
   }
@@ -406,7 +412,7 @@ class OpsSpec extends AnyFunSuite {
     val df = Seq(
       "write a.b+x@mail-host.co.uk or b@c.io today",    // 2 emails
       "server 10.0.255.7 then 192.168.1.1 up",          // 2 IPs
-      "call 555-123-4567 or +1 555.987.6543 now",       // 2 phones (+1 kept: \\+? binds to 555)
+      "call 555-123-4567 or +1 555.987.6543 now",       // 2 phones ((?:\+|\b) anchors at 555)
       "mixed u@v.org at 8.8.8.8 ring 555-000-1111",     // one of each
       "none here just text 12345 and 1.5 ratios").toDF("text")
     val got = df.select(TextOps.redactPii(col("text"))).collect().map(_.getString(0))
@@ -417,6 +423,11 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4) == "none here just text 12345 and 1.5 ratios")
     // IPs are NOT half-eaten by the dot-separated phone pattern
     assert(!got(1).contains("<PHONE>"))
+    // the (?:\+|\b) leading anchor must NOT fire mid-digit-run: a 3-3-4
+    // tail inside a longer number is not a phone
+    val tail = Seq("ref 1234-567-8901 code").toDF("text")
+      .select(TextOps.redactPii(col("text"))).head().getString(0)
+    assert(tail == "ref 1234-567-8901 code", s"digit-run tail was redacted: $tail")
     val counts = df.select(TextOps.piiCounts(col("text")) match {
       case (e, i, p) => struct(e.as("e"), i.as("i"), p.as("p"))
     }).collect().map(r => (r.getStruct(0).getLong(0),
