@@ -41,6 +41,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier(ArrayMath.simhashName),
       info(ArrayMath.simhashName, "_FUNC_(hashes) - 64-bit SimHash"),
       exprs => SimHash64(exprs(0))))
+    e.injectFunction((FunctionIdentifier(ArrayMath.nearestCentroidName),
+      info(ArrayMath.nearestCentroidName,
+        "_FUNC_(vec, matrix) - argmax centroid row id by dot product"),
+      exprs => NearestCentroidId(exprs(0), litMatrix(exprs(1)))))
+    e.injectFunction((FunctionIdentifier(ArrayMath.topCentroidsName),
+      info(ArrayMath.topCentroidsName,
+        "_FUNC_(vec, matrix, nProbe) - nProbe best centroid row ids, best first"),
+      exprs => TopCentroidIds(exprs(0), litMatrix(exprs(1)), litInt(exprs(2)))))
+  }
+
+  private def litMatrix(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Array[Array[Double]] = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    e.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) if e.foldable =>
+        e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toObjectArray(ArrayType(DoubleType))
+          .map(_.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray())
+      case _ => throw new IllegalArgumentException(
+        "centroid matrix must be a foldable array<array<double>> literal")
+    }
   }
 
   private def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =

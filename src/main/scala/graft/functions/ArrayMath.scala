@@ -201,12 +201,29 @@ object ArrayMath {
   val minhashName = "graft_minhash_signature"
   val simhashName = "graft_simhash64"
   val textStatsName = "graft_text_stats"
+  val nearestCentroidName = "graft_nearest_centroid"
+  val topCentroidsName = "graft_top_centroids"
 
   private def intLit(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
   }
+
+  /** Extract a foldable array<array<double>> argument (the centroid matrix)
+    * into a plain JVM matrix at FUNCTION-RESOLUTION time: the plan then
+    * carries one reference object instead of k×dim literal doubles.
+    */
+  private def matrixLit(e: Expression, what: String): Array[Array[Double]] =
+    e.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) if e.foldable =>
+        e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+          .asInstanceOf[ArrayData]
+          .toObjectArray(ArrayType(DoubleType))
+          .map(_.asInstanceOf[ArrayData].toDoubleArray())
+      case _ => throw new IllegalArgumentException(
+        s"$what must be a foldable array<array<double>> literal, got $e")
+    }
 
   /** Idempotent per-session registration (Spark 4's Column API has no
     * public Expression wrapper, so the expressions are exposed through the
@@ -228,6 +245,15 @@ object ArrayMath {
       simhashName, exprs => SimHash64(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction(
       textStatsName, exprs => TextStats(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      nearestCentroidName,
+      exprs => NearestCentroidId(exprs(0), matrixLit(exprs(1), "centroid matrix")),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
+      topCentroidsName,
+      exprs => TopCentroidIds(exprs(0), matrixLit(exprs(1), "centroid matrix"),
+        intLit(exprs(2), "nProbe")),
+      "scala_udf")
   }
 
   /** Codegen'd dot product over two array<double> columns. Caller must have
@@ -257,4 +283,18 @@ object ArrayMath {
 
   /** string → struct of one-pass text statistics (see [[TextStats]]). */
   def textStats(text: Column): Column = call_function(textStatsName, text)
+
+  /** argmax centroid id for a vector against a literal centroid matrix
+    * (see [[NearestCentroidId]]). `centroidMatrix` must be a
+    * `typedLit(Seq[Seq[Double]])`-style foldable literal.
+    */
+  def nearestCentroidId(vec: Column, centroidMatrix: Column): Column =
+    call_function(nearestCentroidName, vec, centroidMatrix)
+
+  /** The nProbe best centroid ids for a vector, best first (see
+    * [[TopCentroidIds]]).
+    */
+  def topCentroidIds(vec: Column, centroidMatrix: Column, nProbe: Int): Column =
+    call_function(topCentroidsName, vec, centroidMatrix,
+      org.apache.spark.sql.functions.lit(nProbe))
 }

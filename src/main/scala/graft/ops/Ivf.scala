@@ -9,11 +9,15 @@ import org.apache.spark.sql.functions._
   *
   * Index build = distributed k-means over the embedding column, entirely in
   * DataFrame operations: assignment is a per-row argmax over centroid dot
-  * products (a greatest-of-structs expression, fully codegen'd) and the
-  * centroid update is a posexplode + groupBy(cid, dim) mean. Only the k×dim
-  * centroid matrix ever reaches the driver — corpus vectors never move.
-  * Search probes the `nProbe` nearest inverted lists, so the join shuffles
-  * on centroid id instead of forming the cross product.
+  * products (a native codegen'd loop over the centroid matrix, carried as
+  * ONE plan reference object — see [[graft.functions.NearestCentroidId]];
+  * plan/codegen size is O(1) in k, so k scales into the 1e4–1e6 range
+  * instead of the few hundred the old k-branch greatest(struct) unroll
+  * allowed) and the centroid update is a posexplode + groupBy(cid, dim)
+  * mean. Only the k×dim centroid matrix ever reaches the driver — corpus
+  * vectors never move. Search probes the `nProbe` nearest inverted lists,
+  * so the join shuffles on centroid id instead of forming the cross
+  * product.
   *
   * Determinism: centroid init picks the k corpus vectors with the smallest
   * mixed id hash (a seeded deterministic sample), so the index is
@@ -21,13 +25,22 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  /** argmax over centroids of dot(unit vec, unit centroid) via the
-    * greatest(struct(score, cid)) trick — one codegen'd expression.
+  /** The centroid matrix as ONE array<array<double>> literal, row index =
+    * centroid id (build/load keep ids contiguous; enforced here because the
+    * native expressions return ROW indexes as ids).
+    */
+  private def centroidMatrix(centroids: Array[(Int, Array[Double])]): Column = {
+    val sorted = centroids.sortBy(_._1)
+    require(sorted.iterator.zipWithIndex.forall { case ((cid, _), i) => cid == i },
+      "centroid ids must be contiguous 0..k-1")
+    typedLit(sorted.map(_._2.toSeq).toSeq)
+  }
+
+  /** argmax over centroids of dot(unit vec, unit centroid) — native loop
+    * expression, plan size independent of k.
     */
   private def nearestCentroid(vn: Column, centroids: Array[(Int, Array[Double])]): Column =
-    greatest(centroids.map { case (cid, c) =>
-      struct(Similarity.dot(vn, typedLit(c.toSeq)).as("score"), lit(cid).as("cid"))
-    }: _*).getField("cid")
+    graft.functions.ArrayMath.nearestCentroidId(vn, centroidMatrix(centroids))
 
   private def unitVectors(df: DataFrame, vecCol: String): DataFrame = {
     val vd = transform(col(vecCol), x => x.cast("double"))
@@ -152,6 +165,11 @@ object Ivf {
     * `maxTrainRows` bounds the k-means training corpus (see
     * [[trainCentroids]] for the driver-traffic contract); assignment (and
     * search) always covers the FULL corpus — only training is sampled.
+    *
+    * Sizing at large k: now that assignment cost is a native loop (no plan
+    * ceiling), k follows [[ivfPolicy]]'s √N rule into the 1e4–1e6 range;
+    * keep `maxTrainRows` ≳ 30·k so each centroid trains on a meaningful
+    * sample (the default 1e5 is right for k ≲ 3000).
     */
   def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
                  nCentroids: Int = 16, iters: Int = 3, seed: Long = 42L,
@@ -207,20 +225,16 @@ object Ivf {
                   k: Int, nProbe: Int = 4): DataFrame = {
     val idCol = index.idCol
     val centroids = index.centroids
-    // per query: rank all centroids, keep nProbe best lists
+    // per query: rank all centroids, keep nProbe best lists — one native
+    // top-nProbe expression per query row (no k-row fanout, no window
+    // shuffle; probe order = score desc, ties toward the smaller cid,
+    // matching the old (negScore, cid) ranking)
     val qUnit = unitVectors(queries, queryVecCol)
       .select(col(queryIdCol), col("__vn").as("__qn"))
-    val scored = qUnit.select(col(queryIdCol), col("__qn"),
-      explode(array(centroids.map { case (cid, c) =>
-        struct((-Similarity.dot(col("__qn"), typedLit(c.toSeq))).as("negScore"),
-          lit(cid).as("__cid"))
-      }: _*)).as("__s"))
-    val wq = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("__s.negScore"), col("__s.__cid"))
-    val probes = scored
-      .withColumn("__pr", row_number().over(wq))
-      .filter(col("__pr") <= nProbe)
-      .select(col(queryIdCol), col("__qn"), col("__s.__cid").as("__cid"))
+    val probes = qUnit.select(col(queryIdCol), col("__qn"),
+      explode(graft.functions.ArrayMath.topCentroidIds(
+        col("__qn"), centroidMatrix(centroids),
+        math.min(nProbe, centroids.length))).as("__cid"))
 
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("cosine").desc, col(idCol))
     index.assigned.join(broadcast(probes), "__cid")

@@ -31,6 +31,37 @@ class ArrayMathSpec extends AnyFunSuite {
     }
   }
 
+  test("nearest/top centroid expressions match the greatest(struct) spelling") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11L)
+    val k = 37
+    val dim = 16
+    val cents = Array.fill(k)(Array.fill(dim)(rnd.nextGaussian()))
+    val matrix = typedLit(cents.map(_.toSeq).toSeq)
+    val df = Seq.fill(100)(List.fill(dim)(rnd.nextGaussian())).toDF("v")
+    // old spelling: argmax via greatest of (score, cid) structs — NOTE its
+    // tie-break is the larger cid; scores here are continuous so tie-free
+    val oldArgmax = greatest(cents.zipWithIndex.map { case (c, cid) =>
+      struct(ArrayMath.dot(col("v"), typedLit(c.toSeq)).as("score"),
+        lit(cid).as("cid"))
+    }: _*).getField("cid")
+    val rows = df.select(
+      ArrayMath.nearestCentroidId(col("v"), matrix).as("native"),
+      oldArgmax.as("old"),
+      ArrayMath.topCentroidIds(col("v"), matrix, 5).as("top5")).collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1), "argmax disagrees with unrolled spelling")
+      val top = r.getSeq[Int](2)
+      assert(top.length == 5 && top.head == r.getInt(0),
+        "probe list must lead with the argmax centroid")
+      assert(top.distinct.length == 5)
+    }
+    // nulls propagate
+    val nul = df.limit(1).select(
+      ArrayMath.nearestCentroidId(lit(null).cast("array<double>"), matrix)).head()
+    assert(nul.isNullAt(0))
+  }
+
   test("null and mismatched-length behavior") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 2.0), Seq(3.0))).toDF("a", "b")

@@ -174,6 +174,32 @@ class IvfSpec extends AnyFunSuite {
     assert(r3 == r1, "a reloaded index must search identically")
   }
 
+  test("k=2000 build: plan size is O(1) in k and search finds a planted twin") {
+    import spark.implicits._
+    // the old greatest(struct(typedLit)) unroll hit Janino/plan-size walls
+    // at a few hundred centroids; the native expression must build and run
+    // at k=2000 with a plan that does not grow with k
+    val rnd = new scala.util.Random(7L)
+    val base = (0L until 3000L).map(i =>
+      (i, List.fill(8)(rnd.nextGaussian().toFloat)))
+    val corpus = (base :+ (99999L, base(17)._2)).toDF("vec_id", "embedding")
+    val index = Ivf.buildIndex(corpus, "vec_id", "embedding",
+      nCentroids = 2000, iters = 1, maxTrainRows = 0L)
+    val planStr = index.assigned.queryExecution.analyzed.toString
+    assert(planStr.length < 20000,
+      s"assignment plan grew with k (len=${planStr.length}) — matrix leaked into the plan")
+    assert(index.assigned.count() == 3001)
+    assert(index.assigned.select("__cid").distinct().count() > 500,
+      "assignments collapsed into few lists")
+    // vec 17's exact twin shares its list; top-1 at nProbe=1 must find it
+    val queries = corpus.filter(col("vec_id") === 17L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val top = Ivf.searchIndex(index, queries, "query_id", "query_vec",
+      k = 1, nProbe = 1).collect()
+    assert(top.length == 1 && top.head.getLong(1) == 99999L,
+      s"planted twin not found: ${top.mkString(",")}")
+  }
+
   test("Ivf.topK leaves no lingering cached RDDs after its action") {
     val emb = Tables.embeddings(spark, sf)
     val before = spark.sparkContext.getPersistentRDDs.keySet
