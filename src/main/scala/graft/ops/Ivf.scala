@@ -216,6 +216,42 @@ object Ivf {
     IvfIndex(idCol, centroids, spark.read.parquet(path + "/lists"))
   }
 
+  /** Incremental maintenance (in-memory flavor): assign a new batch to an
+    * EXISTING index's centroids — no retraining, no touch of the already-
+    * assigned corpus. The batch pays one scan + the argmax projection;
+    * search over the result sees vectors from every wave.
+    *
+    * Centroids are deliberately frozen: retraining would reassign the whole
+    * corpus (a full rebuild). The price is drift — if the incoming
+    * distribution shifts, new vectors crowd into few lists and probe cost
+    * rises. Rebuild policy: when max-list/median-list size exceeds ~8×
+    * (check via `index.assigned.groupBy("__cid").count()`), rebuild with
+    * [[buildIndex]].
+    */
+  def assignToExisting(index: IvfIndex, batch: DataFrame, vecCol: String): IvfIndex = {
+    val assigned = unitVectors(batch, vecCol)
+      .select(col(index.idCol), col("__vn"),
+        nearestCentroid(col("__vn"), index.centroids).as("__cid"))
+    index.copy(assigned = index.assigned.unionByName(assigned))
+  }
+
+  /** Incremental maintenance (persisted flavor): append a batch into a
+    * [[saveIndex]] layout. Assignment runs against the SAVED centroid
+    * matrix; the new list rows land in their `__cid=` partitions as
+    * appended files — existing files are never rewritten, so concurrent
+    * probes stay correct (parquet append is add-only). Cost is O(|batch|),
+    * independent of how much the index already holds. Same drift contract
+    * as [[assignToExisting]].
+    */
+  def appendToIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    batch: DataFrame, idCol: String, vecCol: String): Unit = {
+    val index = loadIndex(spark, path, idCol)
+    unitVectors(batch, vecCol)
+      .select(col(idCol), col("__vn"),
+        nearestCentroid(col("__vn"), index.centroids).as("__cid"))
+      .write.mode("append").partitionBy("__cid").parquet(path + "/lists")
+  }
+
   /** IVF top-k search over a built index: probe the `nProbe` nearest lists
     * per query. No training happens here — reuse one [[buildIndex]] result
     * across query batches.

@@ -174,6 +174,38 @@ class IvfSpec extends AnyFunSuite {
     assert(r3 == r1, "a reloaded index must search identically")
   }
 
+  test("incremental maintenance: append waves without retraining, search sees both") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    // wave 1: corpus < 400; wave 2: the rest, PLUS an exact twin of vec 3
+    val wave1 = emb.filter(col("vec_id") < 400L)
+    val twin = emb.filter(col("vec_id") === 3L)
+      .select((col("vec_id") + 70000L).as("vec_id"), col("embedding"))
+    val wave2 = emb.filter(col("vec_id") >= 400L).unionByName(twin)
+
+    // in-memory flavor
+    val idx1 = Ivf.buildIndex(wave1, "vec_id", "embedding", nCentroids = 8)
+    val idx2 = Ivf.assignToExisting(idx1, wave2, "embedding")
+    assert(idx2.centroids.map(_._2.toSeq).toSeq == idx1.centroids.map(_._2.toSeq).toSeq,
+      "appending must not retrain")
+    val queries = emb.filter(col("vec_id") === 3L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val got = Ivf.searchIndex(idx2, queries, "query_id", "query_vec", k = 3, nProbe = 8)
+      .collect().map(_.getLong(1)).toSet
+    assert(got.contains(70003L), s"wave-2 twin missing from $got")
+    assert(got.exists(_ < 400L), "wave-1 neighbors must still be served")
+
+    // persisted flavor: same result through the saveIndex layout
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-incr").toString
+    Ivf.saveIndex(idx1, dir)
+    Ivf.appendToIndex(spark, dir, wave2, "vec_id", "embedding")
+    val loaded = Ivf.loadIndex(spark, dir, "vec_id")
+    assert(loaded.assigned.count() == emb.count() + 1)
+    val got2 = Ivf.searchIndex(loaded, queries, "query_id", "query_vec", k = 3, nProbe = 8)
+      .collect().map(_.getLong(1)).toSet
+    assert(got2 == got, "persisted append must search like the in-memory union")
+  }
+
   test("k=2000 build: plan size is O(1) in k and search finds a planted twin") {
     import spark.implicits._
     // the old greatest(struct(typedLit)) unroll hit Janino/plan-size walls
