@@ -45,6 +45,28 @@ object StreamingIngest {
     written.get()
   }
 
+  /** Partition-column name of the sink's bucketed layout. */
+  val bucketCol = "__kb"
+
+  private def hadoopFs(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p, org.apache.hadoop.fs.FileSystem.get(
+      p.toUri, spark.sparkContext.hadoopConfiguration))
+  }
+
+  /** True iff the target holds actual DATA files (not just a pre-created
+    * directory or a crashed first batch's `_temporary` leftovers — a bare
+    * `exists()` probe made `spark.read.parquet` throw "unable to infer
+    * schema" forever in those states).
+    */
+  private def targetHasData(fs: org.apache.hadoop.fs.FileSystem,
+                            targetPath: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(targetPath) && fs.globStatus(
+      new org.apache.hadoop.fs.Path(targetPath, s"$bucketCol=*/*")).exists { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+
   /** Incremental dedup-append sink: each micro-batch is deduped within
     * itself (first row per key in `orderCol` order), anti-joined against
     * the keys already in the target, and APPENDED — the insert-only upsert
@@ -57,52 +79,126 @@ object StreamingIngest {
     * scope for a plain-parquet sink; batch-mode SCD1 is
     * [[graft.ops.ScaleOps.upsert]].
     *
-    * Scale shape: the anti-join reads ONLY the key column from the target
-    * (column pruning reaches the parquet scan), so per-batch cost is
-    * |batch| × (target key scan), not a full-table rewrite. The
-    * exactly-once story is the file-source checkpoint (per-file progress)
-    * + key-level idempotence of the anti-join: a replayed batch re-drops
-    * its already-appended keys.
+    * Scale shape — per-batch cost must NOT grow with target history:
+    *   - The target is laid out as parquet PARTITIONED BY
+    *     `__kb = pmod(xxhash64(key), nBuckets)`. The anti-join reads only
+    *     the key column of the buckets the BATCH's keys hash into
+    *     (partition pruning skips every other bucket at file-listing time),
+    *     so a micro-batch with b distinct buckets scans b/nBuckets of the
+    *     corpus keys instead of all of them. Size `nBuckets` ≈ corpus
+    *     keys / 4M so a pruned bucket's key column stays a few tens of MB.
+    *   - A committed-batch marker (`_graft_commits/<batchId>`) makes a
+    *     REPLAYED micro-batch (restart after the append but after the
+    *     marker write) skip entirely; a replay that crashed BETWEEN append
+    *     and marker still re-drops its keys through the anti-join. Together
+    *     with the file-source checkpoint this is exactly-once at key level.
+    *
+    * The sink OWNS the target layout from birth (create target and
+    * checkpoint together); readers see the extra `__kb` partition column
+    * and can ignore it — or reuse it for pruned key joins. Maintenance:
+    * [[compactDedupTarget]] folds accumulated small files per bucket.
     *
     * Blocks until all currently-available input is drained (AvailableNow).
     * Returns rows appended across this invocation.
     */
   def dedupAppendSink(spark: SparkSession, stream: DataFrame, keyCol: String,
                       orderCol: String, targetDir: String,
-                      checkpointDir: String): Long = {
+                      checkpointDir: String, nBuckets: Int = 256): Long = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
+    require(nBuckets > 0, "nBuckets must be positive")
     val appended = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
-        val batchDeduped = batch
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // Probe via Hadoop FS, not java.io.File: the target can live on any
         // filesystem Spark can write (hdfs://, s3a://, ...), where a local
         // File.exists() is always false and would silently skip the
         // anti-join — breaking the key-level idempotence contract.
-        val targetPath = new org.apache.hadoop.fs.Path(targetDir)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          targetPath.toUri, spark.sparkContext.hadoopConfiguration)
-        val fresh =
-          if (fs.exists(targetPath)) {
-            val existingKeys = spark.read.parquet(targetDir).select(col(keyCol))
-            batchDeduped.join(existingKeys, Seq(keyCol), "left_anti")
-          } else batchDeduped
-        fresh.persist() // one computation for the count AND the append
-        try {
-          val n = fresh.count()
-          if (n > 0) fresh.write.mode(SaveMode.Append).parquet(targetDir)
-          appended.addAndGet(n)
-        } finally fresh.unpersist()
+        val (targetPath, fs) = hadoopFs(spark, targetDir)
+        val commitsDir = new org.apache.hadoop.fs.Path(targetPath, "_graft_commits")
+        val marker = new org.apache.hadoop.fs.Path(commitsDir, batchId.toString)
+        if (!fs.exists(marker)) {
+          val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+          val batchDeduped = batch
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+            .withColumn(bucketCol, pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong)))
+            .persist() // bucket discovery + anti-join read it once each
+          try {
+            val fresh =
+              if (targetHasData(fs, targetPath)) {
+                // ≤ nBuckets small longs — bounded driver traffic by design
+                val bucketsHit = batchDeduped.select(bucketCol).distinct()
+                  .collect().map(_.getLong(0)).toSeq
+                val existingKeys = spark.read.parquet(targetDir)
+                  .where(col(bucketCol).isin(bucketsHit: _*)) // partition-pruned
+                  .select(col(keyCol))
+                batchDeduped.join(existingKeys, Seq(keyCol), "left_anti")
+              } else batchDeduped
+            fresh.persist() // one computation for the count AND the append
+            try {
+              val n = fresh.count()
+              if (n > 0) fresh.write.mode(SaveMode.Append)
+                .partitionBy(bucketCol).parquet(targetDir)
+              appended.addAndGet(n)
+            } finally fresh.unpersist()
+          } finally batchDeduped.unpersist()
+          fs.mkdirs(commitsDir)
+          fs.createNewFile(marker)
+        }
         ()
       }
       .start()
     q.awaitTermination()
     appended.get()
+  }
+
+  /** Offline small-file compaction for a [[dedupAppendSink]] target: every
+    * bucket whose data sits in more files than `ceil(bytes/targetFileBytes)`
+    * is read, re-written as that many files, and swapped in. Buckets are
+    * rewritten ONE AT A TIME — a reader sees each bucket either fully old
+    * or fully new (the swap is two renames; the in-between window is one
+    * missing bucket, which is why this is an offline maintenance op: run it
+    * without concurrent writers, like VACUUM). Rows and keys are unchanged
+    * — pure file-count reduction, so the sink's key-idempotence contract is
+    * unaffected. Returns the number of buckets compacted.
+    */
+  def compactDedupTarget(spark: SparkSession, targetDir: String,
+                         targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val (targetPath, fs) = hadoopFs(spark, targetDir)
+    if (!fs.exists(targetPath)) return 0
+    val bucketDirs = fs.globStatus(
+      new org.apache.hadoop.fs.Path(targetPath, s"$bucketCol=*"))
+      .filter(_.isDirectory)
+    var compacted = 0
+    bucketDirs.foreach { d =>
+      val dataFiles = fs.listStatus(d.getPath).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      val totalBytes = dataFiles.map(_.getLen).sum
+      val wantFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+      if (dataFiles.length > wantFiles) {
+        val tmp = new org.apache.hadoop.fs.Path(
+          targetPath, s"_graft_compact_tmp_${d.getPath.getName}")
+        val trash = new org.apache.hadoop.fs.Path(
+          targetPath, s"_graft_compact_old_${d.getPath.getName}")
+        // rewrite this bucket's rows (no partition column inside the files)
+        spark.read.parquet(d.getPath.toString)
+          .coalesce(wantFiles)
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false)
+        // swap: old bucket aside, tmp in. Crash between the renames leaves
+        // the bucket recoverable under _graft_compact_old_* (underscore-
+        // prefixed → invisible to partition discovery).
+        fs.rename(d.getPath, trash)
+        fs.rename(tmp, d.getPath)
+        fs.delete(trash, true)
+        compacted += 1
+      }
+    }
+    compacted
   }
 }

@@ -101,6 +101,153 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(got == Map(10L -> "ten-v0", 20L -> "twenty", 30L -> "thirty"))
   }
 
+  test("dedupAppendSink: per-batch target scan is bucket-pruned and does not grow with history") {
+    import spark.implicits._
+    import graft.streaming.StreamingIngest
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val in = Files.createTempDirectory("graft-dprune-in")
+    val target = Files.createTempDirectory("graft-dprune-t").resolve("tbl")
+    val ckpt = Files.createTempDirectory("graft-dprune-c")
+    val nBuckets = 16
+
+    // deterministic bucket arithmetic (same expression the sink uses)
+    def bucketOf(keys: Seq[Long]): Map[Long, Long] =
+      keys.toDF("k").select(col("k"),
+        pmod(xxhash64(col("k")), lit(nBuckets.toLong)).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probeKey = 1L
+    val probeBucket = bucketOf(Seq(probeKey))(probeKey)
+    // filler keys that provably do NOT share the probe key's bucket
+    val fillers = bucketOf((1000L until 1400L).toSeq)
+      .filter(_._2 != probeBucket).keys.toSeq.sorted.take(120)
+    assert(fillers.size == 120)
+
+    // capture the sink's ACTUAL target scans (selected-file counts after
+    // partition pruning) from the executed plans of the foreachBatch jobs.
+    // Plain .collect() stops at AdaptiveSparkPlanExec / QueryStageExec
+    // boundaries, so walk through them explicitly.
+    def targetScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val buf = scala.collection.mutable.ArrayBuffer[FileSourceScanExec]()
+      def go(n: org.apache.spark.sql.execution.SparkPlan): Unit = n match {
+        case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+        case q: QueryStageExec        => go(q.plan)
+        // the sink persists its frames — the target scan lives inside the
+        // cached relation's plan, not in the visible children
+        case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          go(c.relation.cachedPlan)
+        case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("graft-dprune-t")) =>
+          buf += s
+        case other => other.children.foreach(go)
+      }
+      go(p); buf.toSeq
+    }
+    val scanned = new java.util.concurrent.CopyOnWriteArrayList[Long]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             d: Long): Unit =
+        targetScans(qe.executedPlan).foreach(s => scanned.add(s.metrics("numFiles").value))
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    def sinkWave(keys: Seq[Long]): Long = {
+      keys.map(k => (k, 0L, s"p$k")).toDF("k", "version", "payload").coalesce(1)
+        .write.mode("append").parquet(in.toString)
+      StreamingIngest.dedupAppendSink(spark,
+        spark.readStream.schema("k LONG, version LONG, payload STRING")
+          .parquet(in.toString),
+        "k", "version", target.toString, ckpt.toString, nBuckets = nBuckets)
+    }
+    def drainListener(): Unit = { // listener bus is async — settle before reading
+      val deadline = System.currentTimeMillis() + 10000
+      var last = -1
+      while (System.currentTimeMillis() < deadline &&
+             (scanned.size() == 0 || scanned.size() != last)) {
+        last = scanned.size(); Thread.sleep(300)
+      }
+    }
+
+    assert(sinkWave(Seq(probeKey, 2L)) == 2L)          // seed probe bucket
+    assert(sinkWave(fillers.take(60)) == 60L)          // history, other buckets
+    spark.listenerManager.register(listener)
+    try {
+      assert(sinkWave(Seq(probeKey)) == 0L)            // pure dup — probe scan 1
+      drainListener()
+      val scanA = scanned.toArray.map(_.asInstanceOf[Long]).max
+      scanned.clear()
+      assert(sinkWave(fillers.drop(60)) == 60L)        // MORE history elsewhere
+      scanned.clear()
+      assert(sinkWave(Seq(probeKey)) == 0L)            // pure dup — probe scan 2
+      drainListener()
+      val scanB = scanned.toArray.map(_.asInstanceOf[Long]).max
+      // pruned: the dup batch reads its own bucket, not the whole corpus
+      val totalFiles = java.nio.file.Files.walk(target)
+        .filter(p => p.getFileName.toString.endsWith(".parquet")).count()
+      assert(scanA < totalFiles, s"scan $scanA should prune ($totalFiles total files)")
+      // and HISTORY GROWTH in other buckets does not grow the scan
+      assert(scanB == scanA,
+        s"per-batch scan grew with unrelated history: $scanA -> $scanB")
+    } finally spark.listenerManager.unregister(listener)
+    // correctness unchanged: first arrival still wins
+    val got = spark.read.parquet(target.toString).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(probeKey) == "p1" && got.size == 122)
+  }
+
+  test("dedupAppendSink survives a pre-created/crashed target dir (no data files)") {
+    import spark.implicits._
+    import graft.streaming.StreamingIngest
+    val in = Files.createTempDirectory("graft-dcrash-in")
+    val target = Files.createTempDirectory("graft-dcrash-t").resolve("tbl")
+    val ckpt = Files.createTempDirectory("graft-dcrash-c")
+    // simulate a crashed first batch: target exists but holds only
+    // _temporary litter — the old exists() probe then read-parquet'd an
+    // empty dir and failed the stream on every retry
+    java.nio.file.Files.createDirectories(target.resolve("_temporary/0"))
+    Seq((1L, 0L, "one")).toDF("k", "version", "payload").coalesce(1)
+      .write.mode("append").parquet(in.toString)
+    val n = StreamingIngest.dedupAppendSink(spark,
+      spark.readStream.schema("k LONG, version LONG, payload STRING")
+        .parquet(in.toString),
+      "k", "version", target.toString, ckpt.toString)
+    assert(n == 1L)
+    assert(spark.read.parquet(target.toString).count() == 1L)
+  }
+
+  test("compactDedupTarget folds per-bucket small files; idempotence intact") {
+    import spark.implicits._
+    import graft.streaming.StreamingIngest
+    val in = Files.createTempDirectory("graft-dcomp-in")
+    val target = Files.createTempDirectory("graft-dcomp-t").resolve("tbl")
+    val ckpt = Files.createTempDirectory("graft-dcomp-c")
+    def wave(keys: Seq[Long]): Long = {
+      keys.map(k => (k, 0L, s"p$k")).toDF("k", "version", "payload").coalesce(1)
+        .write.mode("append").parquet(in.toString)
+      StreamingIngest.dedupAppendSink(spark,
+        spark.readStream.schema("k LONG, version LONG, payload STRING")
+          .parquet(in.toString),
+        "k", "version", target.toString, ckpt.toString, nBuckets = 4)
+    }
+    // 6 waves over 4 buckets: buckets accumulate multiple small files
+    (0 until 6).foreach(i => assert(wave((i * 10L) until (i * 10L + 10L)) == 10L))
+    def dataFiles() = java.nio.file.Files.walk(target)
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).count()
+    val before = dataFiles()
+    val rowsBefore = spark.read.parquet(target.toString)
+      .collect().map(r => (r.getLong(0), r.getString(2))).sortBy(_._1).toSeq
+    val compacted = StreamingIngest.compactDedupTarget(spark, target.toString)
+    assert(compacted > 0, "multi-file buckets must compact")
+    val after = dataFiles()
+    assert(after < before, s"file count must drop: $before -> $after")
+    assert(after <= 4L, "each bucket should fold to one file at default sizing")
+    // rows byte-identical, and the sink still drops already-seen keys
+    val rowsAfter = spark.read.parquet(target.toString)
+      .collect().map(r => (r.getLong(0), r.getString(2))).sortBy(_._1).toSeq
+    assert(rowsAfter == rowsBefore)
+    assert(wave(Seq(5L, 15L, 25L)) == 0L, "dup keys must still be dropped after compaction")
+  }
+
   test("firstSeen runs on the RocksDB state store backend") {
     import spark.implicits._
     val prior = StreamingDedup.rocksDbStateStore.keys
