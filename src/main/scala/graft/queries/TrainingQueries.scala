@@ -357,18 +357,37 @@ object TrainingQueries {
 
     // ------------------------------------------------------------------
     // Sketch aggregates (HLL++ distinct, approximate quantiles) — the
-    // 100 TB drop-ins for q44/q42. Algorithms differ across engines, so
-    // rows-only check; ApproxSpec asserts tolerance vs exact.
+    // 100 TB drop-ins for q44/q42. Sketch VALUES differ across engines, so
+    // the oracle-visible output is (exact stats, in-band verdicts): the
+    // query still runs both sketches, then checks them against exact
+    // aggregates computed in the same pass — HLL++ at rsd=0.01 must land
+    // within ±5% (5σ) of the exact distinct count, and percentile_approx
+    // at accuracy=1000 (rank error ≤ 0.001) must land inside the exact
+    // [q0.49, q0.51] value band. DuckDB replays the exact columns and
+    // asserts the verdicts are all TRUE — a bounded-error oracle under the
+    // driver's hash compare. ApproxSpec additionally asserts tolerances.
     QuerySpec(
       "q47_approx_sketches",
       (s, dir) =>
         Tables.events(s, dir)
           .groupBy(col("event_type"))
           .agg(
-            approx_count_distinct(col("user_id")).as("approx_users"),
-            percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"))
+            approx_count_distinct(col("user_id"), rsd = 0.01).as("approx_users"),
+            percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"),
+            count_distinct(col("user_id")).as("exact_users"),
+            expr("percentile(value, 0.49)").as("__p49"),
+            expr("percentile(value, 0.51)").as("__p51"))
+          .select(col("event_type"), col("exact_users"),
+            (abs(col("approx_users") - col("exact_users"))
+              <= col("exact_users") * lit(0.05)).as("users_within_5pct"),
+            (col("approx_p50") >= col("__p49") && col("approx_p50") <= col("__p51"))
+              .as("p50_within_rank_band"))
           .orderBy("event_type"),
-      None),
+      Some("""SELECT event_type,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+             |  TRUE AS users_within_5pct,
+             |  TRUE AS p50_within_rank_band
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // ------------------------------------------------------------------
     // Multimodal plumbing: opaque binary payload + typed metadata, batch

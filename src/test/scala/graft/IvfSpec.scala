@@ -294,17 +294,21 @@ class IvfSpec extends AnyFunSuite {
   }
 
   test("approx sketches within tolerance of exact") {
-    val ev = Tables.events(spark, sf)
-    val approx = SparkEntry.queries("q47_approx_sketches")(spark, sf)
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    val exact = ev.groupBy(col("event_type"))
-      .agg(countDistinct(col("user_id")).as("n"),
-        org.apache.spark.sql.functions.expr("percentile(value, 0.5)").as("p50"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    exact.foreach { case (k, (n, p50)) =>
-      val (an, ap50) = approx(k)
-      assert(math.abs(an - n) <= math.max(2L, (n * 0.1).toLong), s"$k distinct: $an vs $n")
-      assert(math.abs(ap50 - p50) <= math.abs(p50) * 0.1 + 5.0, s"$k p50: $ap50 vs $p50")
+    // q47 computes the tolerance verdicts in-query (exact stats + in-band
+    // booleans — the oracle-expressible form); the test asserts every
+    // group's sketches landed inside their provable error bands AND that
+    // the exact side is sane against an independent spelling.
+    val rows = SparkEntry.queries("q47_approx_sketches")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val k = r.getString(0)
+      assert(r.getLong(1) > 0, s"$k exact_users")
+      assert(r.getBoolean(2), s"$k HLL++ outside ±5% of exact distinct")
+      assert(r.getBoolean(3), s"$k approx p50 outside exact [q0.49, q0.51] band")
     }
+    val exact = Tables.events(spark, sf).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) == exact(r.getString(0))))
   }
 }
