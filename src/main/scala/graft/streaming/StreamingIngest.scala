@@ -121,10 +121,17 @@ object StreamingIngest {
         val marker = new org.apache.hadoop.fs.Path(commitsDir, batchId.toString)
         if (!fs.exists(marker)) {
           val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+          // NULL keys: xxhash64(null) is null, and a plain equi anti-join
+          // never matches null = null — a null-keyed row would re-insert
+          // EVERY batch (the upsert null-key trap, streaming edition). So
+          // nulls get a fixed sentinel bucket and the anti-join compares
+          // null-safely: at most one null-keyed row ever lands in the
+          // target, like any other key.
           val batchDeduped = batch
             .withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1).drop("__rn")
-            .withColumn(bucketCol, pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong)))
+            .withColumn(bucketCol, coalesce(
+              pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong)), lit(0L)))
             .persist() // bucket discovery + anti-join read it once each
           try {
             val fresh =
@@ -134,8 +141,9 @@ object StreamingIngest {
                   .collect().map(_.getLong(0)).toSeq
                 val existingKeys = spark.read.parquet(targetDir)
                   .where(col(bucketCol).isin(bucketsHit: _*)) // partition-pruned
-                  .select(col(keyCol))
-                batchDeduped.join(existingKeys, Seq(keyCol), "left_anti")
+                  .select(col(keyCol).as("__existing_key"))
+                batchDeduped.join(existingKeys,
+                  batchDeduped(keyCol) <=> col("__existing_key"), "left_anti")
               } else batchDeduped
             fresh.persist() // one computation for the count AND the append
             try {

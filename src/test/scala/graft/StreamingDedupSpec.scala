@@ -195,6 +195,32 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(got(probeKey) == "p1" && got.size == 122)
   }
 
+  test("dedupAppendSink: null keys dedup like any other key") {
+    // xxhash64(null) is null and equi anti-joins never match null = null —
+    // without the sentinel bucket + null-safe join, a null-keyed row would
+    // re-insert every single batch
+    import spark.implicits._
+    import graft.streaming.StreamingIngest
+    val in = Files.createTempDirectory("graft-dnull-in")
+    val target = Files.createTempDirectory("graft-dnull-t").resolve("tbl")
+    val ckpt = Files.createTempDirectory("graft-dnull-c")
+    def wave(rows: Seq[(java.lang.Long, Long, String)]): Long = {
+      rows.toDF("k", "version", "payload").coalesce(1)
+        .write.mode("append").parquet(in.toString)
+      StreamingIngest.dedupAppendSink(spark,
+        spark.readStream.schema("k LONG, version LONG, payload STRING")
+          .parquet(in.toString),
+        "k", "version", target.toString, ckpt.toString, nBuckets = 4)
+    }
+    // wave 1: two null-keyed rows (in-batch dedup → first wins) + a real key
+    assert(wave(Seq((null, 0L, "n0"), (null, 1L, "n1"), (7L, 0L, "seven"))) == 2L)
+    // wave 2: another null-keyed row + a dup of 7 → both dropped
+    assert(wave(Seq((null, 2L, "n2"), (7L, 1L, "seven-again"))) == 0L)
+    val rows = spark.read.parquet(target.toString).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getString(2)).toMap
+    assert(rows == Map(-1L -> "n0", 7L -> "seven"))
+  }
+
   test("dedupAppendSink survives a pre-created/crashed target dir (no data files)") {
     import spark.implicits._
     import graft.streaming.StreamingIngest
