@@ -413,4 +413,57 @@ object Dedup {
       jaccardOut(verified)
     }
   }
+
+  /** Cross-document duplicated-SPAN statistics — passage-level dedup, the
+    * granularity below document near-dup (Lee et al. ACL'22,
+    * "Deduplicating Training Data Makes Language Models Better"): a
+    * boilerplate header or a copied passage inflates training data even
+    * when the surrounding documents are unique. Every n-token window is
+    * fingerprinted; a window is DUPLICATED if its fingerprint occurs in
+    * at least `minDocs` distinct documents (within-doc repetition is
+    * excluded by design — that signal is [[TextOps.dupTokenFraction]]).
+    * Returns one row per input doc: (idCol, n_windows, n_dup_windows,
+    * dup_fraction).
+    *
+    * Scale shape: the exploded (fingerprint, doc) stream is two skinny
+    * columns; doc frequency is a distinct + count on the fingerprint key
+    * (map-side combined), and the duplicated set joins back fingerprint-
+    * keyed — never all-pairs, no driver traffic. Windows are built from
+    * ONE materialized token array per row with an O(n) slice per
+    * position (NOT re-tokenizing inside the lambda — the q75 trap).
+    *
+    * `fingerprint` defaults to xxhash64 (8-byte shuffle keys — the scale
+    * path); pass e.g. md5 for cross-engine-replayable fingerprints (the
+    * q87 oracle does).
+    */
+  def crossDocSpans(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 8, minDocs: Int = 2,
+                    fingerprint: Column => Column = (c: Column) => xxhash64(c)): DataFrame = {
+    require(n >= 1, "span length must be >= 1")
+    require(minDocs >= 2, "cross-doc duplication needs minDocs >= 2")
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val docs = df.select(col(idCol),
+      greatest(size(toks) - (n - 1), lit(0)).cast("long").as("n_windows"),
+      toks.as("__toks"))
+    // sequence(1, 0) would generate DESCENDING [1, 0] — guard empty docs
+    val spans = docs
+      .filter(col("n_windows") >= 1)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), col("n_windows").cast("int")),
+        i => fingerprint(concat_ws(" ", slice(col("__toks"), i, lit(n)))))).as("__fp"))
+    val dupFps = spans.dropDuplicates(idCol, "__fp")
+      .groupBy(col("__fp")).agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select(col("__fp"))
+    val dupCounts = spans.join(dupFps, Seq("__fp"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_windows"))
+    docs.select(col(idCol), col("n_windows"))
+      .join(dupCounts, Seq(idCol), "left")
+      .select(col(idCol), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+      .withColumn("dup_fraction",
+        when(col("n_windows") >= 1,
+          round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
+          .otherwise(lit(0.0)))
+  }
 }

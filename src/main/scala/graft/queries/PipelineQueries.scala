@@ -528,6 +528,45 @@ object PipelineQueries {
              |  round((l.l_extendedprice - s.mean) / s.std, 4) AS z
              |FROM lineitem l JOIN s ON l.l_returnflag = s.g
              |WHERE s.std > 0 AND abs(l.l_extendedprice - s.mean) > 1.5 * s.std
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Cross-document duplicated spans (passage-level dedup, Lee et al.
+    // ACL'22): per doc, the fraction of 8-token windows whose fingerprint
+    // appears in >= 2 distinct documents. Catches copied passages and
+    // shared boilerplate that document-level near-dup misses. The op's
+    // scale path fingerprints with xxhash64 (8-byte shuffle keys); the
+    // query passes md5 so DuckDB can replay the identical fingerprints —
+    // same plan, engine-reproducible keys (the q25/q27 split, span
+    // edition). Only docs with at least one duplicated window are
+    // emitted (the interesting rows; keeps the output skinny).
+    QuerySpec(
+      "q87_span_dedup",
+      (s, dir) =>
+        graft.ops.Dedup.crossDocSpans(Tables.documents(s, dir),
+          "doc_id", "text", n = 8, minDocs = 2, fingerprint = md5 _)
+          .filter(col("n_dup_windows") >= 1)
+          .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+             |  FROM documents
+             |), s AS (
+             |  SELECT doc_id,
+             |    md5(array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) AS fp
+             |  FROM t, LATERAL unnest(range(1, len(toks) - 8 + 2)) AS r(i)
+             |  WHERE len(toks) >= 8
+             |), dfq AS (
+             |  SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM s)
+             |  GROUP BY fp HAVING COUNT(*) >= 2
+             |), d AS (
+             |  SELECT doc_id, COUNT(*) AS n_dup
+             |  FROM s WHERE fp IN (SELECT fp FROM dfq) GROUP BY doc_id
+             |)
+             |SELECT t.doc_id,
+             |  CAST(GREATEST(len(t.toks) - 7, 0) AS BIGINT) AS n_windows,
+             |  CAST(d.n_dup AS BIGINT) AS n_dup_windows,
+             |  round(CAST(d.n_dup AS DOUBLE) / (len(t.toks) - 7), 6) AS dup_fraction
+             |FROM t JOIN d USING (doc_id)
+             |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -491,4 +491,34 @@ class OpsSpec extends AnyFunSuite {
     val top = df.select(TextOps.topNgramFraction(col("text"), 2)).collect().map(_.getDouble(0))
     assert(top(1) == 0.5 && top(2) == 1.0 && top(4) == 0.0)
   }
+
+  test("crossDocSpans: shared passages counted, within-doc repeats excluded") {
+    import spark.implicits._
+    val passage = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val docs = Seq(
+      (1L, s"intro one two three $passage tail1 tail2"), // 14 toks, 7 windows
+      (2L, s"$passage different middle parts here now"), // 14 toks, 7 windows
+      (3L, ("unique content " * 8).trim),                // 16 toks, within-doc repeats ONLY
+      (4L, "short doc")                                  // < 8 toks, no windows
+    ).toDF("doc_id", "text")
+    val out = Dedup.crossDocSpans(docs, "doc_id", "text", n = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // docs 1 and 2 share exactly ONE 8-token window (the passage itself;
+    // every other window straddles differing context)
+    assert(out(1L) == ((7L, 1L, math.rint(1.0 / 7 * 1e6) / 1e6)))
+    assert(out(2L)._2 == 1L)
+    // doc 3's windows repeat only WITHIN the doc → not cross-doc duplicated
+    assert(out(3L) == ((9L, 0L, 0.0)))
+    // doc 4 has no windows at all
+    assert(out(4L) == ((0L, 0L, 0.0)))
+
+    // md5 and xxhash64 fingerprints agree on the counts (the oracle-parity
+    // flavor is the same computation with replayable keys)
+    val outMd5 = Dedup.crossDocSpans(docs, "doc_id", "text", n = 8,
+      fingerprint = org.apache.spark.sql.functions.md5 _)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(outMd5 == out.map { case (k, v) => k -> v._2 })
+  }
 }
