@@ -257,4 +257,54 @@ object TextOps {
       .filter(col("__rn") <= k)
       .select(col(idCol), col("term"), round(col("__score"), 6).as("score"))
   }
+
+  /** Statistical LM quality score (the CCNet filtering pattern, Wenzek et
+    * al. LREC'20, with the n-gram LM trained on the corpus itself): per
+    * document, the average log2-likelihood of its token bigrams under an
+    * add-k-smoothed bigram model,
+    *   P(w2 | w1) = (B(w1,w2) + k) / (C(w1) + k·V)
+    * where B = corpus bigram count, C(w1) = times w1 precedes any token,
+    * V = corpus vocabulary size. Documents full of rare/garbled token
+    * transitions score far below fluent ones — a cheap, fully
+    * deterministic stand-in for perplexity filtering (rank by score,
+    * keep the top mass). Docs with < 2 tokens have no bigrams and are
+    * excluded. Returns (idCol, n_bigrams, avg_ll).
+    *
+    * Scale shape: the bigram stream is skinny (w1, w2, doc); model counts
+    * are two hash aggregates on it; scoring joins are keyed on (w1, w2)
+    * and w1 — never broadcast (a 100 TB corpus vocabulary does not fit on
+    * one node), never all-pairs. Per-term log2 values round through
+    * DECIMAL(18,12) before the per-doc sum, so partial-aggregation order
+    * cannot change the result (same trick as the decimal profile sums);
+    * ln/log2 itself is empirically bit-identical JVM-vs-DuckDB at fixture
+    * scale (see [[tfidfTopTerms]]'s note).
+    */
+  def lmQualityScore(df: DataFrame, idCol: String, textCol: String,
+                     k: Double = 1.0): DataFrame = {
+    require(k > 0, "smoothing k must be positive")
+    val docs = df
+      .select(col(idCol), tokens(normalized(col(textCol))).as("__t"))
+      .filter(size(col("__t")) >= 2)
+    val bigrams = docs.select(col(idCol), explode(transform(
+      sequence(lit(1), size(col("__t")) - 1),
+      i => struct(element_at(col("__t"), i).as("w1"),
+        element_at(col("__t"), i + lit(1)).as("w2")))).as("__bg"))
+      .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    val bCounts = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__b"))
+    val cCounts = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("__c"))
+    // scalar vocab size — one tiny broadcast row, not the model tables
+    val vocab = docs.select(explode(col("__t")).as("w"))
+      .agg(countDistinct(col("w")).cast("double").as("__v"))
+    val term = log2((col("__b") + lit(k)) / (col("__c") + lit(k) * col("__v")))
+      .cast("decimal(18,12)")
+    bigrams
+      .join(bCounts, Seq("w1", "w2"))
+      .join(cCounts, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(term).as("__sum"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__sum").cast("double") / col("n_bigrams"), 6).as("avg_ll"))
+  }
 }

@@ -567,6 +567,38 @@ object PipelineQueries {
              |  CAST(d.n_dup AS BIGINT) AS n_dup_windows,
              |  round(CAST(d.n_dup AS DOUBLE) / (len(t.toks) - 7), 6) AS dup_fraction
              |FROM t JOIN d USING (doc_id)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Statistical LM quality score (CCNet-style filtering, Wenzek et al.
+    // LREC'20): per-doc average log2-likelihood of token bigrams under an
+    // add-1-smoothed bigram LM trained on the corpus itself — the cheap,
+    // deterministic stand-in for perplexity filtering. Per-term log2
+    // rounds through DECIMAL(18,12) before the per-doc sum on BOTH
+    // engines, so partial-agg order can't change the hash.
+    QuerySpec(
+      "q88_lm_quality",
+      (s, dir) =>
+        TextOps.lmQualityScore(Tables.documents(s, dir), "doc_id", "text")
+          .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+             |  FROM documents
+             |  WHERE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) >= 2
+             |), bg AS (
+             |  SELECT doc_id, toks[CAST(i AS INT)] AS w1, toks[CAST(i + 1 AS INT)] AS w2
+             |  FROM t, LATERAL unnest(range(1, len(toks))) AS r(i)
+             |), b AS (SELECT w1, w2, COUNT(*) AS nb FROM bg GROUP BY 1, 2
+             |), c AS (SELECT w1, COUNT(*) AS nc FROM bg GROUP BY 1
+             |), v AS (
+             |  SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS nv
+             |  FROM (SELECT unnest(toks) AS w FROM t)
+             |)
+             |SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |  round(CAST(SUM(CAST(log2((b.nb + 1.0) / (c.nc + 1.0 * v.nv))
+             |    AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 6) AS avg_ll
+             |FROM bg JOIN b USING (w1, w2) JOIN c USING (w1) CROSS JOIN v
+             |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin))
   )
 }

@@ -521,4 +521,22 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(outMd5 == out.map { case (k, v) => k -> v._2 })
   }
+
+  test("lmQualityScore: hand-computed add-1 bigram log-likelihoods") {
+    import spark.implicits._
+    // corpus bigrams: (a,b)x3 (b,a)x1 (b,c)x1; C(a)=3 C(b)=2; V={a,b,c}=3
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = TextOps.lmQualityScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pAB = r(math.log((3.0 + 1) / (3 + 3)) / math.log(2), 12) // P(b|a)=4/6
+    val pBX = r(math.log((1.0 + 1) / (2 + 3)) / math.log(2), 12) // P(a|b)=P(c|b)=2/5
+    assert(out(1L) == ((3L, r((2 * pAB + pBX) / 3, 6))))
+    assert(out(2L) == ((2L, r((pAB + pBX) / 2, 6))))
+    assert(!out.contains(3L), "single-token docs have no bigrams")
+    // fluent repetition of corpus-frequent transitions outscores garble
+    assert(out(1L)._2 > out(2L)._2 - 1.0) // sanity: both in the same decade
+  }
 }
