@@ -71,24 +71,37 @@ object Ivf {
     // recomputing scan+normalize every Lloyd iteration
     val unit = trainSample(
       unitVectors(corpus, vecCol).select(col(idCol), col("__vn")), idCol,
-      maxTrainRows, seed).persist()
+      effectiveTrainRows(maxTrainRows, k), seed).persist()
     try trainOnUnit(unit, idCol, k, iters, seed)
     finally { unit.unpersist(false); () }
   }
 
-  /** Deterministic ≈`maxTrainRows`-row training sample: keep rows whose
-    * seeded id hash falls in 1/⌈n/max⌉ of the hash space. One count()
-    * (cheap metadata-ish scan) decides the rate; expectation ≤ maxTrainRows
-    * with binomial fluctuation — a cap on cost, not an exact sample size.
+  /** Training-sample floor: k-means needs ≳30 rows per centroid (the FAISS
+    * clustering warning threshold) or centroids train on noise. The cap the
+    * caller asked for is silently raised to 30·k so `ivfPolicy`'s large k
+    * can never under-train; `maxTrainRows <= 0` still means "train on
+    * everything".
     */
-  private def trainSample(unit: DataFrame, idCol: String,
-                          maxTrainRows: Long, seed: Long): DataFrame = {
+  private[graft] def effectiveTrainRows(maxTrainRows: Long, k: Int): Long =
+    if (maxTrainRows <= 0) 0L else math.max(maxTrainRows, 30L * k)
+
+  /** Deterministic ≳`maxTrainRows`-row training sample: keep rows whose
+    * seeded id hash falls below rate·2^20 in a 2^20-slot hash space, with
+    * rate = ⌈max/n⌉ at millionth granularity. One count() (cheap
+    * metadata-ish scan) decides the rate; EXPECTATION ≥ maxTrainRows with
+    * binomial fluctuation (the old ⌊n/denom⌋ form could undershoot the
+    * floor by 2× when max < n < 2·max — rounding the rate UP keeps the
+    * 30·k guarantee honest).
+    */
+  private[graft] def trainSample(unit: DataFrame, idCol: String,
+                                 maxTrainRows: Long, seed: Long): DataFrame = {
     if (maxTrainRows <= 0) return unit
     val n = unit.count()
     if (n <= maxTrainRows) unit
     else {
-      val denom = (n + maxTrainRows - 1) / maxTrainRows
-      unit.filter(pmod(xxhash64(lit(seed + 1), col(idCol)), lit(denom)) === 0L)
+      val slots = 1000000L
+      val keep = (maxTrainRows * slots + n - 1) / n // ceil(rate * slots)
+      unit.filter(pmod(xxhash64(lit(seed + 1), col(idCol)), lit(slots)) < keep)
     }
   }
 
@@ -181,7 +194,7 @@ object Ivf {
     // inside its single corpus scan — one cheap projection, no second pass.
     val cached = trainSample(
       unitVectors(corpus, vecCol).select(col(idCol), col("__vn")), idCol,
-      maxTrainRows, seed).persist()
+      effectiveTrainRows(maxTrainRows, nCentroids), seed).persist()
     val centroids =
       try trainOnUnit(cached, idCol, nCentroids, iters, seed)
       finally { cached.unpersist(false); () }
@@ -196,10 +209,28 @@ object Ivf {
     * the probe join is a broadcast, so dynamic partition pruning applies) —
     * plus the k×dim centroid matrix alongside. The 100 TB serving layout:
     * search I/O is proportional to the lists probed, not the corpus.
+    *
+    * With `quantize = true` the lists hold symmetric-int8 codes plus one
+    * double scale per vector ([[Quantize]]) instead of the unit double
+    * array — ~8× fewer list bytes, so per-probe serving I/O drops by the
+    * same factor — and a `refine/` sidecar keeps the full-precision unit
+    * vectors (same `__cid` partitioning), which [[searchIndexQuantized]]
+    * reads ONLY for the re-rank candidate rows (the FAISS IVF + refine
+    * index shape).
     */
-  def saveIndex(index: IvfIndex, path: String): Unit = {
-    index.assigned.write.mode("overwrite").partitionBy("__cid")
-      .parquet(path + "/lists")
+  def saveIndex(index: IvfIndex, path: String, quantize: Boolean = false): Unit = {
+    if (quantize) {
+      index.assigned
+        .withColumn("__scale", Quantize.int8Scale(col("__vn")))
+        .withColumn("__code", Quantize.int8CodesFromScale(col("__vn"), col("__scale")))
+        .select(col(index.idCol), col("__scale"), col("__code"), col("__cid"))
+        .write.mode("overwrite").partitionBy("__cid").parquet(path + "/lists")
+      index.assigned.write.mode("overwrite").partitionBy("__cid")
+        .parquet(path + "/refine")
+    } else {
+      index.assigned.write.mode("overwrite").partitionBy("__cid")
+        .parquet(path + "/lists")
+    }
     val spark = index.assigned.sparkSession
     import spark.implicits._
     index.centroids.toSeq.map { case (cid, c) => (cid, c.toSeq) }
@@ -207,13 +238,22 @@ object Ivf {
       .coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
   }
 
+  /** Loads either layout. For a quantized index the full-precision vectors
+    * come from the `refine/` sidecar, so [[searchIndex]] over the loaded
+    * index is exact — use [[searchIndexQuantized]] to serve from the int8
+    * lists instead.
+    */
   def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                 idCol: String): IvfIndex = {
     val centroids = spark.read.parquet(path + "/centroids")
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    IvfIndex(idCol, centroids, spark.read.parquet(path + "/lists"))
+    val lists = spark.read.parquet(path + "/lists")
+    val assigned =
+      if (lists.columns.contains("__vn")) lists
+      else spark.read.parquet(path + "/refine")
+    IvfIndex(idCol, centroids, assigned)
   }
 
   /** Incremental maintenance (in-memory flavor): assign a new batch to an
@@ -260,21 +300,75 @@ object Ivf {
                   queryIdCol: String, queryVecCol: String,
                   k: Int, nProbe: Int = 4): DataFrame = {
     val idCol = index.idCol
-    val centroids = index.centroids
-    // per query: rank all centroids, keep nProbe best lists — one native
-    // top-nProbe expression per query row (no k-row fanout, no window
-    // shuffle; probe order = score desc, ties toward the smaller cid,
-    // matching the old (negScore, cid) ranking)
-    val qUnit = unitVectors(queries, queryVecCol)
-      .select(col(queryIdCol), col("__vn").as("__qn"))
-    val probes = qUnit.select(col(queryIdCol), col("__qn"),
-      explode(graft.functions.ArrayMath.topCentroidIds(
-        col("__qn"), centroidMatrix(centroids),
-        math.min(nProbe, centroids.length))).as("__cid"))
-
+    val probes = probeFrame(queries, queryIdCol, queryVecCol,
+      index.centroids, nProbe)
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("cosine").desc, col(idCol))
     index.assigned.join(broadcast(probes), "__cid")
       .filter(col(idCol) =!= col(queryIdCol))
+      .select(col(queryIdCol), col(idCol),
+        Similarity.dot(col("__vn"), col("__qn")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Per query: rank all centroids, keep nProbe best lists — one native
+    * top-nProbe expression per query row (no k-row fanout, no window
+    * shuffle; probe order = score desc, ties toward the smaller cid).
+    * Output: (queryIdCol, __qn unit query vector, __cid) — one row per
+    * (query, probed list).
+    */
+  private def probeFrame(queries: DataFrame, queryIdCol: String,
+                         queryVecCol: String,
+                         centroids: Array[(Int, Array[Double])],
+                         nProbe: Int): DataFrame = {
+    val qUnit = unitVectors(queries, queryVecCol)
+      .select(col(queryIdCol), col("__vn").as("__qn"))
+    qUnit.select(col(queryIdCol), col("__qn"),
+      explode(graft.functions.ArrayMath.topCentroidIds(
+        col("__qn"), centroidMatrix(centroids),
+        math.min(nProbe, centroids.length))).as("__cid"))
+  }
+
+  /** Top-k search directly over a `saveIndex(quantize = true)` layout — the
+    * 100 TB serving path. The probe scan reads ONLY the int8 codes + scale
+    * (~1/8 the bytes of the double lists; parquet column pruning keeps the
+    * refine sidecar untouched) and scores candidates on the quantized dot
+    * dot(x̂, q) = (scale/127)·Σ code_i·q_i — asymmetric: the query stays
+    * full precision, per-element corpus error ≤ scale/254. The top
+    * `rerankFactor·k` candidates per query are then re-ranked EXACTLY
+    * against the full-precision refine sidecar; the candidate set is
+    * |queries|·rerankFactor·k rows (skinny), broadcast into a join that
+    * partition-prunes the refine read to the probed lists.
+    */
+  def searchIndexQuantized(spark: org.apache.spark.sql.SparkSession, path: String,
+                           queries: DataFrame, queryIdCol: String, queryVecCol: String,
+                           idCol: String, k: Int, nProbe: Int = 4,
+                           rerankFactor: Int = 4): DataFrame = {
+    require(rerankFactor >= 1, "rerankFactor must be >= 1")
+    val centroids = spark.read.parquet(path + "/centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val lists = spark.read.parquet(path + "/lists")
+    require(lists.columns.contains("__code"),
+      s"$path/lists is not a quantized layout — saveIndex(quantize = true)")
+    val probes = probeFrame(queries, queryIdCol, queryVecCol, centroids, nProbe)
+
+    val approx = lists.join(broadcast(probes), "__cid")
+      .filter(col(idCol) =!= col(queryIdCol))
+      .select(col(queryIdCol), col("__qn"), col("__cid"), col(idCol),
+        (Similarity.dot(transform(col("__code"), _.cast("double")), col("__qn"))
+          * col("__scale") / 127.0).as("__approx"))
+    val wApprox = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__approx").desc, col(idCol))
+    val candidates = approx
+      .withColumn("__arank", row_number().over(wApprox))
+      .filter(col("__arank") <= rerankFactor.toLong * k)
+      .select(col(queryIdCol), col("__qn"), col("__cid"), col(idCol))
+
+    val refine = spark.read.parquet(path + "/refine")
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("cosine").desc, col(idCol))
+    refine.join(broadcast(candidates), Seq("__cid", idCol))
       .select(col(queryIdCol), col(idCol),
         Similarity.dot(col("__vn"), col("__qn")).as("cosine"))
       .withColumn("rank", row_number().over(w))

@@ -887,6 +887,34 @@ object TrainingQueries {
               |  WHERE CAST(cm AS DOUBLE) / (x.n + y.n - cm) >= 0.5
               |)
               |SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT di FROM drops)
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // IVF ANN served from the QUANTIZED persisted layout (int8 lists +
+    // full-precision re-rank — the 100 TB serving path; see
+    // Ivf.searchIndexQuantized): probes score on int8 codes (~1/8 the
+    // list bytes of q46's double path), the top rerankFactor·k candidates
+    // re-rank exactly against the refine sidecar. rerankFactor = 8 makes
+    // the int8 ranking cutoff a negligible recall term, so the verdict
+    // floor is the same coverage-limited 0.9 as q46. Banded oracle: exact
+    // top-3 per query (DuckDB-replayed) + recall@10 >= 0.9 verdict.
+    QuerySpec(
+      "q89_ann_ivf_int8",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val (nc, np) = graft.ops.Ivf.ivfPolicy(emb.count(), targetRecall = 0.9,
+          structureless = true)
+        val queries = emb.filter(col("vec_id") < 10L)
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        val index = graft.ops.Ivf.buildIndex(emb, "vec_id", "embedding",
+          nCentroids = nc)
+        val path = java.nio.file.Files.createTempDirectory("graft-q89-int8").toString
+        graft.ops.Ivf.saveIndex(index, path, quantize = true)
+        val ann = graft.ops.Ivf.searchIndexQuantized(s, path, queries,
+          "query_id", "query_vec", "vec_id", k = 10, nProbe = np, rerankFactor = 8)
+        annWithExactVerdict(emb, queries, ann, k = 10, exactK = 3,
+          recallFloor = 0.9, verdictCol = "int8_ivf_recall_ok")
+      },
+      Some(annOracleSql(exactK = 3, verdictCol = "int8_ivf_recall_ok")))
   )
 }

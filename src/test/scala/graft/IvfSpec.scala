@@ -174,6 +174,87 @@ class IvfSpec extends AnyFunSuite {
     assert(r3 == r1, "a reloaded index must search identically")
   }
 
+  test("quantized index: list bytes shrink >=4x, recall holds, re-rank is exact") {
+    val sf01 = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, sf01)
+    val k = 10
+    val index = Ivf.buildIndex(emb, "vec_id", "embedding", nCentroids = 8)
+    val dirQ = java.nio.file.Files.createTempDirectory("graft-ivf-int8").toString
+    val dirF = java.nio.file.Files.createTempDirectory("graft-ivf-full").toString
+    Ivf.saveIndex(index, dirQ, quantize = true)
+    Ivf.saveIndex(index, dirF)
+
+    // serving-I/O contract: the int8 lists must be >=4x smaller than the
+    // double lists (the refine sidecar is only read for re-rank candidates)
+    def bytes(dir: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length else 0L
+      walk(new java.io.File(dir))
+    }
+    val (bq, bf) = (bytes(dirQ + "/lists"), bytes(dirF + "/lists"))
+    assert(bf >= 4 * bq, s"quantized lists not >=4x smaller: full=$bf int8=$bq")
+
+    // recall vs brute force, probing every list: isolates the int8 ranking
+    // cutoff as the only loss — must clear the same 0.9 floor as q46
+    val queries = emb.filter(col("vec_id") < 10L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val truth = (0L until 10L).flatMap { q =>
+      val qv = emb.filter(col("vec_id") === q)
+        .select(Similarity.asDouble(col("embedding")).as("query_vec"))
+      Similarity.bruteTopK(emb.filter(col("vec_id") =!= q), "vec_id", "embedding", qv, k)
+        .collect().map(r => (q, r.getLong(0)))
+    }.toSet
+    val got = Ivf.searchIndexQuantized(spark, dirQ, queries,
+      "query_id", "query_vec", "vec_id", k = k, nProbe = 8)
+      .collect()
+    val gotPairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (gotPairs & truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"quantized-index recall $recall below floor")
+
+    // re-rank exactness: every returned cosine equals the full-precision
+    // cosine (quantization may only affect WHICH candidates reach re-rank,
+    // never the reported score)
+    val exactCos = Similarity
+      .cosineNearDupPairsExact(emb, "vec_id", "embedding", minCosine = -1.0)
+      .collect()
+      .flatMap { r =>
+        val (a, b, c) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        Seq((a, b) -> c, (b, a) -> c)
+      }.toMap
+    got.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(math.abs(r.getDouble(2) - exactCos(key)) < 1e-6,
+        s"re-ranked cosine for $key is not full precision")
+    }
+  }
+
+  test("q89 quantized-serving recall verdict holds at the gate SF (0.01)") {
+    // mirrors the driver's correctness run: the int8-served ANN must clear
+    // the same 0.9 recall@10 floor q46 pins for the full-precision path
+    val rows = SparkEntry.queries("q89_ann_ivf_int8")(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.length == 30, s"expected 10 queries x top-3, got ${rows.length}")
+    rows.foreach(r => assert(r.getBoolean(4), "int8 IVF recall@10 verdict is false"))
+  }
+
+  test("effectiveTrainRows enforces the 30*k floor; sampler meets it") {
+    import spark.implicits._
+    // policy k=5000 with the old default cap (1e5) must auto-raise to 150k
+    assert(Ivf.effectiveTrainRows(100000L, 5000) == 150000L)
+    assert(Ivf.effectiveTrainRows(100000L, 1000) == 100000L) // cap already ample
+    assert(Ivf.effectiveTrainRows(0L, 5000) == 0L) // "train on everything" wins
+    // the hash sampler's expectation must be >= the floor, not just <= 2x
+    // below it (the old ceil-denominator form kept only n/2 rows for
+    // max < n < 2*max): 160k corpus, 150k floor -> ~93.75% kept
+    val ids = spark.range(160000L).toDF("id")
+    val kept = Ivf.trainSample(ids, "id", 150000L, seed = 42L).count()
+    assert(kept >= 149000L && kept <= 160000L,
+      s"sampler kept $kept of 160000, expected >= ~150000")
+    // determinism
+    assert(Ivf.trainSample(ids, "id", 150000L, seed = 42L).count() == kept)
+  }
+
   test("incremental maintenance: append waves without retraining, search sees both") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
