@@ -173,6 +173,55 @@ object StreamingIngest {
     * — pure file-count reduction, so the sink's key-idempotence contract is
     * unaffected. Returns the number of buckets compacted.
     */
+  /** Offline bucket-count migration for a [[dedupAppendSink]] target — the
+    * missing third of the lifecycle (birth → [[compactDedupTarget]] →
+    * re-bucket): `nBuckets` is fixed when the sink first creates the
+    * target, so after 100× key growth each bucket's key column is 100×
+    * the size it was sized for and the anti-join's pruning win erodes.
+    * This rewrites the layout to `newBuckets` (re-hashing every key with
+    * the sink's own bucket expression, null-key sentinel included) so
+    * subsequent `dedupAppendSink(..., nBuckets = newBuckets)` calls prune
+    * against right-sized buckets again.
+    *
+    * Rows and keys are byte-identical — pure re-layout, the key-level
+    * idempotence contract is unaffected — and `_graft_commits` markers are
+    * left in place, so already-processed batch replays still skip. Like
+    * compaction this is an OFFLINE op (run without concurrent writers):
+    * the swap window briefly exposes a partially-moved layout; a crash
+    * mid-swap leaves the old buckets recoverable under
+    * `_graft_rebucket_old` (underscore-prefixed → invisible to partition
+    * discovery). Returns the number of rows in the re-bucketed target.
+    */
+  def rebucketDedupTarget(spark: SparkSession, targetDir: String,
+                          keyCol: String, newBuckets: Int): Long = {
+    import org.apache.spark.sql.functions._
+    require(newBuckets > 0, "newBuckets must be positive")
+    val (targetPath, fs) = hadoopFs(spark, targetDir)
+    if (!targetHasData(fs, targetPath)) return 0L
+    val tmp = new org.apache.hadoop.fs.Path(targetPath, "_graft_rebucket_tmp")
+    val old = new org.apache.hadoop.fs.Path(targetPath, "_graft_rebucket_old")
+    fs.delete(tmp, true) // litter from a crashed earlier attempt
+    spark.read.parquet(targetDir)
+      .drop(bucketCol)
+      .withColumn(bucketCol, coalesce(
+        pmod(xxhash64(col(keyCol)), lit(newBuckets.toLong)), lit(0L)))
+      .write.mode(SaveMode.Overwrite).partitionBy(bucketCol).parquet(tmp.toString)
+    val rows = spark.read.parquet(tmp.toString).count()
+    // swap: every old bucket dir aside, then lift the new ones out of tmp
+    fs.mkdirs(old)
+    fs.globStatus(new org.apache.hadoop.fs.Path(targetPath, s"$bucketCol=*"))
+      .filter(_.isDirectory)
+      .foreach(d => fs.rename(d.getPath,
+        new org.apache.hadoop.fs.Path(old, d.getPath.getName)))
+    fs.globStatus(new org.apache.hadoop.fs.Path(tmp, s"$bucketCol=*"))
+      .filter(_.isDirectory)
+      .foreach(d => fs.rename(d.getPath,
+        new org.apache.hadoop.fs.Path(targetPath, d.getPath.getName)))
+    fs.delete(tmp, true)
+    fs.delete(old, true)
+    rows
+  }
+
   def compactDedupTarget(spark: SparkSession, targetDir: String,
                          targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     val (targetPath, fs) = hadoopFs(spark, targetDir)

@@ -274,6 +274,57 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(wave(Seq(5L, 15L, 25L)) == 0L, "dup keys must still be dropped after compaction")
   }
 
+  test("rebucketDedupTarget migrates the layout; keys exact, idempotence and pruning intact") {
+    import spark.implicits._
+    import graft.streaming.StreamingIngest
+    val in = Files.createTempDirectory("graft-drb-in")
+    val target = Files.createTempDirectory("graft-drb-t").resolve("tbl")
+    val ckpt = Files.createTempDirectory("graft-drb-c")
+    def wave(rows: Seq[(java.lang.Long, Long, String)], nBuckets: Int): Long = {
+      rows.toDF("k", "version", "payload").coalesce(1)
+        .write.mode("append").parquet(in.toString)
+      StreamingIngest.dedupAppendSink(spark,
+        spark.readStream.schema("k LONG, version LONG, payload STRING")
+          .parquet(in.toString),
+        "k", "version", target.toString, ckpt.toString, nBuckets = nBuckets)
+    }
+    // birth at 4 buckets, including a null key (sentinel-bucket path)
+    val keyed = (0L until 80L).map(k => (java.lang.Long.valueOf(k), 0L, s"p$k"))
+    assert(wave(keyed :+ ((null: java.lang.Long, 0L, "null-payload")), 4) == 81L)
+    val before = spark.read.parquet(target.toString)
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(2)))
+      .sortBy(_._1).toSeq
+
+    val rows = StreamingIngest.rebucketDedupTarget(spark, target.toString, "k", 16)
+    assert(rows == 81L)
+
+    // rows/keys byte-identical across the migration
+    val after = spark.read.parquet(target.toString)
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(after == before)
+
+    // the new layout is partitioned by the 16-bucket hash — every row sits
+    // in exactly the dir the sink's bucket expression would compute, so the
+    // anti-join's partition pruning works unchanged at the new count
+    val placed = spark.read.parquet(target.toString)
+      .select(col("k"), col(StreamingIngest.bucketCol).cast("long").as("b"))
+      .withColumn("expect", coalesce(pmod(xxhash64(col("k")), lit(16L)), lit(0L)))
+      .filter(col("b") =!= col("expect")).count()
+    assert(placed == 0L, "rows landed outside their 16-bucket partition")
+    val dirs = java.nio.file.Files.list(target).iterator()
+    val kbDirs = scala.collection.mutable.Set[String]()
+    while (dirs.hasNext) { val p = dirs.next().getFileName.toString
+      if (p.startsWith(StreamingIngest.bucketCol + "=")) kbDirs += p }
+    assert(kbDirs.size > 4, s"expected >4 bucket dirs after rebucket, got $kbDirs")
+
+    // idempotence at the NEW bucket count: dups dropped, fresh keys land
+    assert(wave(Seq((java.lang.Long.valueOf(5L), 9L, "dup"),
+      (null: java.lang.Long, 9L, "null-dup")), 16) == 0L)
+    assert(wave(Seq((java.lang.Long.valueOf(500L), 0L, "fresh")), 16) == 1L)
+    assert(spark.read.parquet(target.toString).count() == 82L)
+  }
+
   test("firstSeen runs on the RocksDB state store backend") {
     import spark.implicits._
     val prior = StreamingDedup.rocksDbStateStore.keys
