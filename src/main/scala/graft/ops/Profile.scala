@@ -132,10 +132,20 @@ object Profile {
     * Cost: one extra aggregate pass for the per-group min (both passes are
     * map-side-combined shuffles of |groups|-sized partials; the group min
     * broadcasts back, so the full data still never shuffles).
+    *
+    * `broadcastStats` (default true) forces the two |groups|-sized stats
+    * frames to broadcast — right for the documented use (metric streams
+    * with bounded group cardinality). With PER-ENTITY groups in the tens
+    * of millions the forced broadcast becomes the failure point: pass
+    * false and the joins fall back to whatever AQE picks from the runtime
+    * sizes (shuffled hash / sort-merge), keyed on the same group column.
     */
   def zscoreOutliers(df: DataFrame, groupCol: String, valueCol: String,
-                     zThreshold: Double = 3.0, scale: Int = 4): DataFrame = {
+                     zThreshold: Double = 3.0, scale: Int = 4,
+                     broadcastStats: Boolean = true): DataFrame = {
     require(zThreshold > 0, "zThreshold must be positive")
+    def maybeBroadcast(stats: DataFrame) =
+      if (broadcastStats) broadcast(stats) else stats
     val dec = s"decimal(18,$scale)"
     val vals = df.filter(col(valueCol).isNotNull)
       .select(col(groupCol), col(valueCol).cast(dec).as("__x"))
@@ -144,7 +154,7 @@ object Profile {
     // pass 2: decimal moments of d = x − shift; d ≥ 0 and bounded by the
     // group range, so d² stays far from decimal(38) overflow
     val d = (col("__x") - col("__shift")).cast(dec)
-    val stats = vals.join(broadcast(shifts), Seq(groupCol))
+    val stats = vals.join(maybeBroadcast(shifts), Seq(groupCol))
       .select(col(groupCol), col("__shift"), d.as("__d"))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("__n"), max(col("__shift")).as("__shift"),
@@ -155,7 +165,7 @@ object Profile {
       .select(col(groupCol), col("__n"),
         (col("__shift").cast("double") + col("__meanD")).as("__mean"),
         sqrt(greatest(col("__var"), lit(0.0))).as("__std"))
-    df.join(broadcast(stats), groupCol)
+    df.join(maybeBroadcast(stats), groupCol)
       .filter(col("__std") > 0.0 &&
         abs(col(valueCol) - col("__mean")) > lit(zThreshold) * col("__std"))
       .withColumn("z", round((col(valueCol) - col("__mean")) / col("__std"), 4))

@@ -201,6 +201,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("zscore stats joins: forced broadcast is opt-out for high-cardinality groups") {
+    import spark.implicits._
+    // default broadcastStats=true pins the |groups|-sized stats frames to
+    // broadcast (right for bounded-cardinality metric streams) even when
+    // the planner would never pick it; broadcastStats=false must leave a
+    // shuffle-join path for per-entity groups in the tens of millions
+    val df = (0L until 1000L).map(i => (s"g${i % 50}", i.toDouble)).toDF("g", "v")
+    val conf = spark.conf
+    val old = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val forced = graft.ops.Profile.zscoreOutliers(df, "g", "v", zThreshold = 1.0)
+        .queryExecution.executedPlan.toString
+      assert(forced.contains("BroadcastHashJoin"), forced)
+      val free = graft.ops.Profile.zscoreOutliers(df, "g", "v", zThreshold = 1.0,
+        broadcastStats = false).queryExecution.executedPlan.toString
+      assert(!free.contains("BroadcastHashJoin"), free)
+      assert(free.contains("SortMergeJoin") || free.contains("ShuffledHashJoin"), free)
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import spark.implicits._
     // NB: array<float>→double via transform() is a HOF and would break the

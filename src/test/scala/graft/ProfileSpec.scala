@@ -115,6 +115,18 @@ class ProfileSpec extends AnyFunSuite {
     assert(got.head.getDouble(2) > 3.0)
   }
 
+  test("zscoreOutliers results are identical with and without the broadcast hint") {
+    import spark.implicits._
+    import graft.ops.Profile
+    val rows = (1 to 100).map(i => ("a", 10.0 + (i % 3 - 1))) ++
+      Seq(("a", 1000.0)) ++ (1 to 50).map(_ => ("b", 7.0))
+    val df = rows.toDF("g", "v")
+    def run(b: Boolean) = Profile.zscoreOutliers(df, "g", "v", zThreshold = 3.0,
+      broadcastStats = b).collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(run(true) == run(false))
+  }
+
   test("zscoreOutliers is partition-order independent (decimal sums)") {
     import graft.ops.Profile
     import spark.implicits._
