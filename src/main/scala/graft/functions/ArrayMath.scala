@@ -203,6 +203,7 @@ object ArrayMath {
   val textStatsName = "graft_text_stats"
   val nearestCentroidName = "graft_nearest_centroid"
   val topCentroidsName = "graft_top_centroids"
+  val imageMetaName = "graft_image_meta"
 
   private def intLit(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
@@ -254,6 +255,8 @@ object ArrayMath {
       exprs => TopCentroidIds(exprs(0), matrixLit(exprs(1), "centroid matrix"),
         intLit(exprs(2), "nProbe")),
       "scala_udf")
+    reg.createOrReplaceTempFunction(
+      imageMetaName, exprs => ImageMeta(exprs(0)), "scala_udf")
   }
 
   /** Codegen'd dot product over two array<double> columns. Caller must have
@@ -297,4 +300,10 @@ object ArrayMath {
   def topCentroidIds(vec: Column, centroidMatrix: Column, nProbe: Int): Column =
     call_function(topCentroidsName, vec, centroidMatrix,
       org.apache.spark.sql.functions.lit(nProbe))
+
+  /** binary → struct<format,width,height,channels,bit_depth> parsed from
+    * real PNG/JPEG container headers; NULL for unparseable payloads (see
+    * [[ImageMeta]]).
+    */
+  def imageMeta(bytes: Column): Column = call_function(imageMetaName, bytes)
 }

@@ -1,21 +1,69 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with a typed metadata struct, processed in PARTITION-SIZED BATCHES.
   *
-  * The Spark-side architecture is real and tested: schema, partitioning,
-  * batch iteration, and feature output shape are exactly what a production
-  * decode stage needs. The decode kernel itself is a clearly-marked STUB
-  * (this container has no image/audio libraries): `decodeStub` produces a
-  * deterministic fake feature vector from the bytes. In production the same
-  * `mapPartitions` boundary hosts the JNI/FFmpeg/Pillow-equivalent call —
-  * batch-at-a-time so codec initialization amortizes across a partition,
-  * which is the property that matters at 100 TB.
+  * Two decode tiers:
+  *   - [[imageMeta]] is REAL binary decoding — PNG IHDR / JPEG SOFn
+  *     container headers parsed from actual bytes by a native codegen
+  *     expression ([[graft.functions.ImageHeaderKernel]]); q32 runs it
+  *     over real constructed header bytes under a DuckDB oracle.
+  *   - Full pixel/sample decode ([[extractFeatures]]) keeps a
+  *     clearly-marked STUB kernel (this container has no codec
+  *     libraries): `decodeStub` produces a deterministic fake feature
+  *     vector. The Spark-side architecture around it is real and tested —
+  *     in production the same `mapPartitions` boundary hosts the
+  *     JNI/FFmpeg/Pillow-equivalent call, batch-at-a-time so codec
+  *     initialization amortizes across a partition, which is the property
+  *     that matters at 100 TB.
   */
 object Multimodal {
+
+  /** Parse real PNG/JPEG container headers from a binary column:
+    * struct<format,width,height,channels,bit_depth>, NULL when the payload
+    * is not a parseable image — corrupt media filters as data, it never
+    * throws. Native expression, stays inside whole-stage codegen.
+    */
+  def imageMeta(bytes: Column): Column = graft.functions.ArrayMath.imageMeta(bytes)
+
+  /** REAL PNG header bytes (signature + IHDR) assembled from dimension
+    * columns with codegen built-ins only (hex/lpad/concat/unhex) — the
+    * fixture-side encoder that lets a query round-trip [[imageMeta]] over
+    * genuine bytes with a SQL-replayable oracle. Channels pick the colour
+    * type: 1→greyscale, 2→grey+alpha, 3→truecolour, 4→truecolour+alpha.
+    */
+  def pngHeaderBytes(width: Column, height: Column, channels: Column): Column = {
+    val colorType = when(channels === 1, lit(0)).when(channels === 2, lit(4))
+      .when(channels === 3, lit(2)).otherwise(lit(6))
+    unhex(concat(
+      lit("89504E470D0A1A0A"), // signature
+      lit("0000000D49484452"), // IHDR chunk: length 13 + type
+      lpad(hex(width.cast("int")), 8, "0"),
+      lpad(hex(height.cast("int")), 8, "0"),
+      lit("08"), lpad(hex(colorType), 2, "0"),
+      lit("000000"))) // compression, filter, interlace
+  }
+
+  /** REAL JPEG header bytes: SOI, a COM segment (the parser must walk
+    * past it), a SOF0 frame header carrying the dimensions, EOI. Same
+    * built-ins-only contract as [[pngHeaderBytes]]. `nComponents` must be
+    * 1 (greyscale) or 3 (YCbCr) — the two layouts real encoders emit.
+    */
+  def jpegHeaderBytes(width: Column, height: Column, nComponents: Column): Column = {
+    val comps = when(nComponents === 1, lit("011100"))
+      .otherwise(lit("011100021101031101")) // (id, sampling, qtable) per comp
+    val segLen = when(nComponents === 1, lit("000B")).otherwise(lit("0011")) // 8 + 3*n
+    unhex(concat(
+      lit("FFD8"), lit("FFFE0004ABCD"), // SOI + 4-byte COM segment
+      lit("FFC0"), segLen, lit("08"), // SOF0, length, precision
+      lpad(hex(height.cast("int")), 4, "0"),
+      lpad(hex(width.cast("int")), 4, "0"),
+      lpad(hex(nComponents.cast("int")), 2, "0"),
+      comps, lit("FFD9")))
+  }
 
   /** media struct: raw bytes + typed metadata. */
   final case class MediaMeta(format: String, width: Int, height: Int, nBytes: Long)
@@ -39,10 +87,11 @@ object Multimodal {
     * into an 8-float feature vector — lane j = (Σ of bytes at positions
     * ≡ j mod 8) / 255, accumulated EXACTLY in integers and rounded to
     * float once per lane. The exact-integer spelling makes the value
-    * reproducible in any engine (q32's DuckDB oracle recomputes it from
-    * the UTF-8 bytes), unlike per-byte float accumulation whose rounding
-    * order no SQL engine can replay. Replace the body with the real codec
-    * call (same signature, same batching) in production.
+    * reproducible in any engine (OpsSpec recomputes it from the UTF-8
+    * bytes), unlike per-byte float accumulation whose rounding order no
+    * SQL engine can replay. Replace the body with the real codec call
+    * (same signature, same batching) in production. Real header-level
+    * decode is [[imageMeta]].
     */
   private def decodeStub(bytes: Array[Byte]): Array[Float] = {
     val acc = new Array[Long](8)

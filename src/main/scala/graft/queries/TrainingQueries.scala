@@ -470,45 +470,50 @@ object TrainingQueries {
     // double→float), then left-to-right double addition of the 8 lanes —
     // the same order Spark's `aggregate` over the features array uses.
     QuerySpec(
-      "q32_media_features",
+      "q32_image_headers",
       (s, dir) => {
-        val media = Multimodal.packDocuments(Tables.documents(s, dir))
-        Multimodal.extractFeatures(s, media).toDF()
-          .select(col("media_id"), col("format"),
-            round(aggregate(col("features"), lit(0.0d), (a, x) => a + x.cast("double")), 4)
-              .as("feature_sum"))
+        // REAL binary decode: every doc gets genuine PNG or JPEG header
+        // bytes (assembled from doc_id-derived dimensions with codegen
+        // built-ins — see Multimodal.pngHeaderBytes/jpegHeaderBytes), and
+        // the native ImageMeta expression parses width/height/channels/
+        // bit-depth back OUT of the byte stream (IHDR chunk / SOFn marker
+        // walk, COM segment skipped). The oracle recomputes the planted
+        // dimensions from doc_id arithmetic — any parser drift from the
+        // public layouts hash-mismatches.
+        val dims = Tables.documents(s, dir).select(col("doc_id"),
+          (col("doc_id") % 1000 + 1).cast("int").as("__w"),
+          ((col("doc_id") * 7) % 800 + 1).cast("int").as("__h"))
+        val media = dims.select(col("doc_id"),
+          when(col("doc_id") % 2 === 0,
+            Multimodal.jpegHeaderBytes(col("__w"), col("__h"),
+              when(col("doc_id") % 4 === 0, lit(1)).otherwise(lit(3))))
+          .otherwise(
+            Multimodal.pngHeaderBytes(col("__w"), col("__h"),
+              when(col("doc_id") % 3 === 0, lit(1))
+                .when(col("doc_id") % 3 === 1, lit(3))
+                .otherwise(lit(4))))
+          .as("bytes"))
+        media.select(col("doc_id").as("media_id"),
+          Multimodal.imageMeta(col("bytes")).as("__m"))
+          .select(col("media_id"),
+            col("__m.format").as("format"),
+            col("__m.width").cast("long").as("width"),
+            col("__m.height").cast("long").as("height"),
+            col("__m.channels").cast("long").as("channels"),
+            col("__m.bit_depth").cast("long").as("bit_depth"))
           .orderBy("media_id")
       },
-      Some("""WITH h AS (
-             |  SELECT doc_id, hex(encode(text)) AS hx,
-             |         COALESCE(octet_length(encode(text)), 0) AS n
-             |  FROM documents
-             |), b AS (
-             |  SELECT doc_id, i,
-             |    (strpos('0123456789ABCDEF', substr(hx, CAST(2*i-1 AS INT), 1)) - 1) * 16 +
-             |    (strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 1) AS byte
-             |  FROM (SELECT doc_id, hx, unnest(range(1, n + 1)) AS i FROM h)
-             |), lanes AS (
-             |  SELECT doc_id, (i-1) % 8 AS lane,
-             |    CAST(CAST(SUM(byte) AS DOUBLE) / 255.0 AS REAL) AS lf
-             |  FROM b GROUP BY doc_id, (i-1) % 8
-             |), f AS (
-             |  SELECT doc_id,
-             |    COALESCE(CAST(MAX(CASE WHEN lane=0 THEN lf END) AS DOUBLE), 0.0) AS l0,
-             |    COALESCE(CAST(MAX(CASE WHEN lane=1 THEN lf END) AS DOUBLE), 0.0) AS l1,
-             |    COALESCE(CAST(MAX(CASE WHEN lane=2 THEN lf END) AS DOUBLE), 0.0) AS l2,
-             |    COALESCE(CAST(MAX(CASE WHEN lane=3 THEN lf END) AS DOUBLE), 0.0) AS l3,
-             |    COALESCE(CAST(MAX(CASE WHEN lane=4 THEN lf END) AS DOUBLE), 0.0) AS l4,
-             |    COALESCE(CAST(MAX(CASE WHEN lane=5 THEN lf END) AS DOUBLE), 0.0) AS l5,
-             |    COALESCE(CAST(MAX(CASE WHEN lane=6 THEN lf END) AS DOUBLE), 0.0) AS l6,
-             |    COALESCE(CAST(MAX(CASE WHEN lane=7 THEN lf END) AS DOUBLE), 0.0) AS l7
-             |  FROM lanes GROUP BY doc_id
-             |)
-             |SELECT d.doc_id AS media_id, 'text/plain' AS format,
-             |  ROUND(((((((COALESCE(l0,0)+COALESCE(l1,0))+COALESCE(l2,0))+COALESCE(l3,0))
-             |    +COALESCE(l4,0))+COALESCE(l5,0))+COALESCE(l6,0))+COALESCE(l7,0), 4) AS feature_sum
-             |FROM documents d LEFT JOIN f USING (doc_id)
-             |ORDER BY media_id""".stripMargin)),
+      Some("""SELECT doc_id AS media_id,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'jpeg' ELSE 'png' END AS format,
+             |  doc_id % 1000 + 1 AS width,
+             |  (doc_id * 7) % 800 + 1 AS height,
+             |  CAST(CASE WHEN doc_id % 2 = 0
+             |    THEN (CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 3 END)
+             |    ELSE (CASE WHEN doc_id % 3 = 0 THEN 1
+             |               WHEN doc_id % 3 = 1 THEN 3 ELSE 4 END)
+             |  END AS BIGINT) AS channels,
+             |  CAST(8 AS BIGINT) AS bit_depth
+             |FROM documents ORDER BY media_id""".stripMargin)),
 
     // ------------------------------------------------------------------
     // Frame sampling over binary payloads (1→N generator + window counts):

@@ -407,6 +407,71 @@ class OpsSpec extends AnyFunSuite {
       .head().toSeq == Seq(64L, 64L))
   }
 
+  test("imageMeta parses a real PNG file's bytes (golden fixture)") {
+    import spark.implicits._
+    // canonical 1x1 RGBA PNG (the smallest real PNG in the wild) — real
+    // encoder output, not bytes assembled by our own helpers
+    val png = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8" +
+      "z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg==")
+    val got = Seq(Tuple1(png)).toDF("b")
+      .select(graft.ops.Multimodal.imageMeta(col("b")).as("m"))
+      .select("m.format", "m.width", "m.height", "m.channels", "m.bit_depth")
+      .head()
+    assert(got.toSeq == Seq("png", 1, 1, 4, 8))
+  }
+
+  test("imageMeta walks JPEG marker segments to SOF0; corrupt inputs are null") {
+    import spark.implicits._
+    def jpeg(segments: Array[Byte]*): Array[Byte] =
+      (Array[Byte](0xff.toByte, 0xd8.toByte) ++ segments.flatten) :+
+        0xff.toByte :+ 0xd9.toByte
+    // APP0 (JFIF) + a quant-table segment the walker must skip, then SOF0
+    val app0 = Array[Byte](0xff.toByte, 0xe0.toByte, 0, 16,
+      'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+    val dqt = Array[Byte](0xff.toByte, 0xdb.toByte, 0, 5, 0, 1, 2)
+    def sof0(w: Int, h: Int, nComp: Byte) = Array[Byte](
+      0xff.toByte, 0xff.toByte, // fill bytes are legal before a marker
+      0xff.toByte, 0xc0.toByte, 0, (8 + 3 * nComp).toByte, 8,
+      (h >> 8).toByte, h.toByte, (w >> 8).toByte, w.toByte, nComp) ++
+      Array.tabulate(3 * nComp)(i => if (i % 3 == 0) (i / 3 + 1).toByte else 0x11.toByte)
+    val cases = Seq(
+      jpeg(app0, dqt, sof0(640, 480, 3)),      // full walk
+      jpeg(sof0(70000 & 0xffff, 2, 1)),        // 16-bit wraparound stays in range
+      jpeg(app0),                              // EOI before any SOF -> null
+      jpeg(app0, dqt).dropRight(2),            // truncated mid-stream -> null
+      Array[Byte](0xff.toByte, 0xd8.toByte),   // bare SOI -> null
+      "not an image at all".getBytes("UTF-8"), // wrong magic -> null
+      Array.empty[Byte])
+    val got = cases.zipWithIndex.map { case (b, i) => (i, b) }.toDF("i", "b")
+      .select(col("i"), graft.ops.Multimodal.imageMeta(col("b")).as("m"))
+      .orderBy("i").collect()
+    assert(got(0).getStruct(1).toSeq == Seq("jpeg", 640, 480, 3, 8))
+    assert(got(1).getStruct(1).toSeq == Seq("jpeg", 70000 & 0xffff, 2, 1, 8))
+    (2 until cases.length).foreach(i => assert(got(i).isNullAt(1), s"case $i"))
+  }
+
+  test("image header encode helpers round-trip through the parser") {
+    import spark.implicits._
+    val dims = Seq((1, 1, 1), (1000, 800, 3), (65535, 2, 4), (640, 480, 2))
+      .toDF("w", "h", "ch")
+    val png = dims.select(col("w"), col("h"), col("ch"),
+      graft.ops.Multimodal.imageMeta(
+        graft.ops.Multimodal.pngHeaderBytes(col("w"), col("h"), col("ch"))).as("m"))
+      .collect()
+    png.foreach { r =>
+      assert(r.getStruct(3).toSeq ==
+        Seq("png", r.getInt(0), r.getInt(1), r.getInt(2), 8), r.toString) }
+    val jd = Seq((1, 1, 1), (1000, 800, 3), (65535, 9999, 1)).toDF("w", "h", "ch")
+    val jpg = jd.select(col("w"), col("h"), col("ch"),
+      graft.ops.Multimodal.imageMeta(
+        graft.ops.Multimodal.jpegHeaderBytes(col("w"), col("h"), col("ch"))).as("m"))
+      .collect()
+    jpg.foreach { r =>
+      assert(r.getStruct(3).toSeq ==
+        Seq("jpeg", r.getInt(0), r.getInt(1), r.getInt(2), 8), r.toString) }
+  }
+
   test("redactPii replaces all three kinds everywhere, chain order safe") {
     import spark.implicits._
     val df = Seq(
