@@ -174,6 +174,44 @@ class IvfSpec extends AnyFunSuite {
     assert(r3 == r1, "a reloaded index must search identically")
   }
 
+  test("clustered corpus: default ivfPolicy (k/8 probes) clears the 0.9 recall floor") {
+    // the parquet fixture is uniform-random — the ANN worst case, where
+    // q46 must fall back to structureless (probe-almost-everything) mode.
+    // Real embedding corpora are CLUSTERED; this pins the DEFAULT policy
+    // (constant k/8 probe fraction) on a seeded clustered corpus: 40
+    // Gaussian clusters, 5000 points, within-cluster cosine ~0.99 vs
+    // cross-cluster ~0 — the regime the ivfPolicy scaladoc claims.
+    import spark.implicits._
+    val rnd = new scala.util.Random(11L)
+    val dim = 32
+    val centers = Array.fill(40)(Array.fill(dim)(rnd.nextGaussian()))
+    val n = 5000
+    val rows = (0L until n.toLong).map { i =>
+      val c = centers((i % 40).toInt)
+      (i, c.map(x => (x + rnd.nextGaussian() * 0.15).toFloat).toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val k = 10
+    val queries = corpus.filter(col("vec_id") < 10L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val truth = (0L until 10L).flatMap { q =>
+      val qv = corpus.filter(col("vec_id") === q)
+        .select(Similarity.asDouble(col("embedding")).as("query_vec"))
+      Similarity.bruteTopK(corpus.filter(col("vec_id") =!= q), "vec_id", "embedding", qv, k)
+        .collect().map(r => (q, r.getLong(0)))
+    }.toSet
+
+    val (nc, np) = Ivf.ivfPolicy(n) // DEFAULT mode: clustered corpora
+    assert(np == math.max(2, nc / 8), "default policy must probe a k/8 fraction")
+    val got = Ivf.topK(corpus, "vec_id", "embedding", queries,
+      "query_id", "query_vec", k = k, nCentroids = nc, nProbe = np)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & truth).size.toDouble / truth.size
+    assert(recall >= 0.9,
+      f"default-policy recall $recall%.3f below 0.9 on clustered data (nc=$nc np=$np)")
+    info(f"clustered corpus: nc=$nc np=$np (coverage ${np.toDouble / nc}%.2f) recall=$recall%.3f")
+  }
+
   test("quantized index: list bytes shrink >=4x, recall holds, re-rank is exact") {
     val sf01 = "/root/testdata/sf0.01"
     val emb = Tables.embeddings(spark, sf01)
