@@ -587,6 +587,46 @@ class OpsSpec extends AnyFunSuite {
     assert(outMd5 == out.map { case (k, v) => k -> v._2 })
   }
 
+  test("crossDocSpans property: equals brute-force recount on random corpora") {
+    import spark.implicits._
+    // random small-vocab corpora (so spans genuinely collide across docs),
+    // recounted doc-by-doc in plain Scala over the window STRINGS — also
+    // certifies the xxhash64 fingerprints stand in for the strings at this
+    // scale. Same tokenization on both sides: lower, trim, split(\s+).
+    for ((seed, n, minDocs) <- Seq((1L, 3, 2), (2L, 2, 2), (3L, 8, 2), (4L, 3, 3))) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen",
+        "ibis", "jay", "kiwi", "lynx")
+      val docs = (0L until 60L).map { i =>
+        val len = rnd.nextInt(31) // 0..30 tokens; len 0 -> empty text
+        (i, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // brute force: window occurrence lists + cross-doc document frequency
+      val windows: Map[Long, Seq[String]] = docs.map { case (id, text) =>
+        val toks = text.trim.toLowerCase.split("\\s+").toSeq
+        id -> (if (toks.length >= n) toks.sliding(n).map(_.mkString(" ")).toSeq
+               else Seq.empty)
+      }.toMap
+      val docFreq = windows.toSeq
+        .flatMap { case (id, ws) => ws.distinct.map(w => (w, id)) }
+        .groupBy(_._1).map { case (w, xs) => w -> xs.size }
+      val expected = docs.map { case (id, _) =>
+        val ws = windows(id)
+        val dup = ws.count(w => docFreq(w) >= minDocs)
+        (id, ws.length.toLong, dup.toLong,
+          if (ws.nonEmpty) math.rint(dup.toDouble / ws.length * 1e6) / 1e6 else 0.0)
+      }.toSet
+
+      val got = Dedup.crossDocSpans(docs.toDF("doc_id", "text"), "doc_id", "text",
+        n = n, minDocs = minDocs)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == expected,
+        s"(seed=$seed n=$n minDocs=$minDocs) mismatch: " +
+          s"only-spark=${got -- expected} only-brute=${expected -- got}")
+    }
+  }
+
   test("lmQualityScore: hand-computed add-1 bigram log-likelihoods") {
     import spark.implicits._
     // corpus bigrams: (a,b)x3 (b,a)x1 (b,c)x1; C(a)=3 C(b)=2; V={a,b,c}=3
