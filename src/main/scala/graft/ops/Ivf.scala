@@ -286,10 +286,23 @@ object Ivf {
   def appendToIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     batch: DataFrame, idCol: String, vecCol: String): Unit = {
     val index = loadIndex(spark, path, idCol)
-    unitVectors(batch, vecCol)
+    val assigned = unitVectors(batch, vecCol)
       .select(col(idCol), col("__vn"),
         nearestCentroid(col("__vn"), index.centroids).as("__cid"))
-      .write.mode("append").partitionBy("__cid").parquet(path + "/lists")
+    // appends must match the saved layout: a quantized index gets int8
+    // codes in lists/ plus full vectors in refine/; mixing schemas within
+    // lists/ would break every later probe scan
+    val quantized = !spark.read.parquet(path + "/lists").columns.contains("__vn")
+    if (quantized) {
+      assigned
+        .withColumn("__scale", Quantize.int8Scale(col("__vn")))
+        .withColumn("__code", Quantize.int8CodesFromScale(col("__vn"), col("__scale")))
+        .select(col(idCol), col("__scale"), col("__code"), col("__cid"))
+        .write.mode("append").partitionBy("__cid").parquet(path + "/lists")
+      assigned.write.mode("append").partitionBy("__cid").parquet(path + "/refine")
+    } else {
+      assigned.write.mode("append").partitionBy("__cid").parquet(path + "/lists")
+    }
   }
 
   /** IVF top-k search over a built index: probe the `nProbe` nearest lists

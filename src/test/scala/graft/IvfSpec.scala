@@ -323,6 +323,21 @@ class IvfSpec extends AnyFunSuite {
     val got2 = Ivf.searchIndex(loaded, queries, "query_id", "query_vec", k = 3, nProbe = 8)
       .collect().map(_.getLong(1)).toSet
     assert(got2 == got, "persisted append must search like the in-memory union")
+
+    // QUANTIZED layout: appends must land as int8 codes in lists/ + full
+    // vectors in refine/ (a full-precision row in lists/ would corrupt
+    // every later probe scan)
+    val dirQ = java.nio.file.Files.createTempDirectory("graft-ivf-incr-q").toString
+    Ivf.saveIndex(idx1, dirQ, quantize = true)
+    Ivf.appendToIndex(spark, dirQ, wave2, "vec_id", "embedding")
+    val lists = spark.read.parquet(dirQ + "/lists")
+    assert(!lists.columns.contains("__vn"), "quantized lists must stay int8-only")
+    assert(lists.count() == emb.count() + 1)
+    assert(spark.read.parquet(dirQ + "/refine").count() == emb.count() + 1)
+    val got3 = Ivf.searchIndexQuantized(spark, dirQ, queries,
+      "query_id", "query_vec", "vec_id", k = 3, nProbe = 8)
+      .collect().map(_.getLong(1)).toSet
+    assert(got3.contains(70003L), s"appended twin missing from quantized search: $got3")
   }
 
   test("k=2000 build: plan size is O(1) in k and search finds a planted twin") {
