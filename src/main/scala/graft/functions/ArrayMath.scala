@@ -66,6 +66,61 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "dot_product"
 }
 
+/** dot(int8 codes, double vector) — the quantized-probe scoring loop of
+  * [[graft.ops.Ivf.searchIndexQuantized]]. The built-in spelling must
+  * first `transform(codes, cast to double)`, a higher-order function that
+  * allocates a converted array per ROW and breaks the codegen span right
+  * in the per-candidate hot loop; this is the same single pass with the
+  * widening done per ELEMENT in the multiply. Same left-to-right
+  * accumulation as [[DotProduct]], so scores are bit-identical to the
+  * HOF spelling.
+  */
+case class Int8DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.ByteType, _),
+            ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<tinyint>, array<double>), got " +
+          s"${l.catalogString} and ${r.catalogString}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getByte(i).toDouble * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ((double) $a.getByte($i)) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "int8_dot_product"
+}
+
 /** Position-wise equality count over two array<bigint> columns — the
   * MinHash similarity estimate (#equal minhashes / k) evaluated once per
   * candidate pair, i.e. the hot loop of LSH near-dup detection. Same
@@ -204,6 +259,7 @@ object ArrayMath {
   val nearestCentroidName = "graft_nearest_centroid"
   val topCentroidsName = "graft_top_centroids"
   val imageMetaName = "graft_image_meta"
+  val int8DotName = "graft_int8_dot"
 
   private def intLit(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
@@ -257,6 +313,8 @@ object ArrayMath {
       "scala_udf")
     reg.createOrReplaceTempFunction(
       imageMetaName, exprs => ImageMeta(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      int8DotName, exprs => Int8DotProduct(exprs(0), exprs(1)), "scala_udf")
   }
 
   /** Codegen'd dot product over two array<double> columns. Caller must have
@@ -306,4 +364,10 @@ object ArrayMath {
     * [[ImageMeta]]).
     */
   def imageMeta(bytes: Column): Column = call_function(imageMetaName, bytes)
+
+  /** Codegen'd dot(array<tinyint> codes, array<double>) — the quantized
+    * probe scoring loop (see [[Int8DotProduct]]).
+    */
+  def int8Dot(codes: Column, vec: Column): Column =
+    call_function(int8DotName, codes, vec)
 }

@@ -219,16 +219,22 @@ object Ivf {
     * index shape).
     */
   def saveIndex(index: IvfIndex, path: String, quantize: Boolean = false): Unit = {
+    // cluster each list into one task before the partitioned write:
+    // without this every task holds rows of ~every list and the store
+    // becomes tasks×k tiny files — the classic partitionBy small-file
+    // trap that breaks file listing long before 100 TB. (At extreme
+    // per-list sizes, follow with compaction/AQE-sized rewrites.)
+    val assigned = index.assigned.repartition(col("__cid"))
     if (quantize) {
-      index.assigned
+      assigned
         .withColumn("__scale", Quantize.int8Scale(col("__vn")))
         .withColumn("__code", Quantize.int8CodesFromScale(col("__vn"), col("__scale")))
         .select(col(index.idCol), col("__scale"), col("__code"), col("__cid"))
         .write.mode("overwrite").partitionBy("__cid").parquet(path + "/lists")
-      index.assigned.write.mode("overwrite").partitionBy("__cid")
+      assigned.write.mode("overwrite").partitionBy("__cid")
         .parquet(path + "/refine")
     } else {
-      index.assigned.write.mode("overwrite").partitionBy("__cid")
+      assigned.write.mode("overwrite").partitionBy("__cid")
         .parquet(path + "/lists")
     }
     val spark = index.assigned.sparkSession
@@ -289,6 +295,7 @@ object Ivf {
     val assigned = unitVectors(batch, vecCol)
       .select(col(idCol), col("__vn"),
         nearestCentroid(col("__vn"), index.centroids).as("__cid"))
+      .repartition(col("__cid")) // one appended file per touched list, not per task
     // appends must match the saved layout: a quantized index gets int8
     // codes in lists/ plus full vectors in refine/; mixing schemas within
     // lists/ would break every later probe scan
@@ -370,7 +377,7 @@ object Ivf {
     val approx = lists.join(broadcast(probes), "__cid")
       .filter(col(idCol) =!= col(queryIdCol))
       .select(col(queryIdCol), col("__qn"), col("__cid"), col(idCol),
-        (Similarity.dot(transform(col("__code"), _.cast("double")), col("__qn"))
+        (graft.functions.ArrayMath.int8Dot(col("__code"), col("__qn"))
           * col("__scale") / 127.0).as("__approx"))
     val wApprox = Window.partitionBy(col(queryIdCol))
       .orderBy(col("__approx").desc, col(idCol))

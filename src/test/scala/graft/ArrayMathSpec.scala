@@ -31,6 +31,27 @@ class ArrayMathSpec extends AnyFunSuite {
     }
   }
 
+  test("native int8 dot == HOF cast-then-dot bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13L)
+    val rows = Seq.fill(50)((
+      List.fill(64)((rnd.nextInt(255) - 127).toByte),
+      List.fill(64)(rnd.nextGaussian())))
+    val got = rows.toDF("c", "q")
+      .select(ArrayMath.int8Dot(col("c"), col("q")).as("native"),
+        hofDot(transform(col("c"), _.cast("double")), col("q")).as("hof"))
+      .collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // length mismatch truncates to the shorter side, like DotProduct
+    val short = Seq((List[Byte](127, -127), List(0.5, 0.25, 0.125)))
+      .toDF("c", "q")
+      .select(ArrayMath.int8Dot(col("c"), col("q"))).head().getDouble(0)
+    assert(short == 127 * 0.5 + (-127) * 0.25)
+  }
+
   test("nearest/top centroid expressions match the greatest(struct) spelling") {
     import spark.implicits._
     val rnd = new scala.util.Random(11L)
