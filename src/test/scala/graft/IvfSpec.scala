@@ -267,6 +267,50 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
+  test("quantized search scans only the probed lists (partition pruning)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val emb = Tables.embeddings(spark, sf)
+    val index = Ivf.buildIndex(emb, "vec_id", "embedding", nCentroids = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-dpp").toString
+    Ivf.saveIndex(index, dir, quantize = true)
+    def filesUnder(sub: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1L else 0L
+      walk(new java.io.File(dir + sub))
+    }
+    assert(filesUnder("/lists") >= 8L, "expected one+ file per list")
+
+    val queries = emb.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val res = Ivf.searchIndexQuantized(spark, dir, queries,
+      "query_id", "query_vec", "vec_id", k = 5, nProbe = 2)
+    res.collect() // execute so AQE finalizes and scan metrics populate
+
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan,
+                marker: String): Seq[FileSourceScanExec] = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val buf = scala.collection.mutable.ArrayBuffer[FileSourceScanExec]()
+      def go(n: org.apache.spark.sql.execution.SparkPlan): Unit = n match {
+        case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+        case q: QueryStageExec        => go(q.plan)
+        case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains(marker)) =>
+          buf += s
+        case other => other.children.foreach(go)
+      }
+      go(p); buf.toSeq
+    }
+    val plan = res.queryExecution.executedPlan
+    val lists = scansOf(plan, "graft-ivf-dpp").filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("lists")))
+    assert(lists.nonEmpty, "lists scan not found in executed plan")
+    val scanned = lists.map(_.metrics("numFiles").value).max
+    assert(scanned <= 2L * (filesUnder("/lists") / 8L).max(1L),
+      s"probe scan read $scanned files of ${filesUnder("/lists")} — 2 of 8 lists were probed, " +
+        "partition pruning is not happening")
+  }
+
   test("q89 quantized-serving recall verdict holds at the gate SF (0.01)") {
     // mirrors the driver's correctness run: the int8-served ANN must clear
     // the same 0.9 recall@10 floor q46 pins for the full-precision path
