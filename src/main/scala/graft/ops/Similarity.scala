@@ -297,4 +297,70 @@ object Similarity {
       .select(col("id_b").as(idCol)).distinct()
     df.join(drops, Seq(idCol), "left_anti")
   }
+
+  /** Embedding-space decontamination — the paraphrase-robust counterpart
+    * of n-gram decontamination ([[Curation.contaminatedDocs]], q66): a
+    * corpus row is CONTAMINATED when its max cosine against the
+    * eval/benchmark set clears `minCosine`. Near-duplicate embeddings
+    * survive paraphrase, reformatting, and light translation edits that
+    * defeat token-overlap checks — this is the second gate a serious
+    * pretraining pipeline runs over held-out benchmarks.
+    *
+    * Output: one row per corpus row — (idCol, max_eval_cosine rounded to
+    * 6, contaminated) with the verdict computed on the ROUNDED value, so
+    * an engine that replays the rounded cosine replays the boundary too.
+    * Rounding is safe for the max: round is monotone, so
+    * round(max cos) == max(round cos).
+    *
+    * Scale shape: the eval set ships to every task ONCE as a plan
+    * reference matrix (the IVF centroid-matrix mechanism — plan size O(1)
+    * in |eval|); the nearest eval item per corpus row is one native
+    * argmax loop and the reported cosine is ONE broadcast join on that
+    * argmax id. The corpus never shuffles; cost is |corpus|·|eval|·dim
+    * multiplies. Bound: |eval|·dim doubles per task (~80 MB at 1e5×100)
+    * — benchmark suites are thousands of rows, far under it; beyond the
+    * bound, run [[cosineNearDupPairs]] cross-set (LSH buckets) instead.
+    */
+  def semanticContamination(corpus: DataFrame, idCol: String, vecCol: String,
+                            eval: DataFrame, evalVecCol: String,
+                            minCosine: Double): DataFrame = {
+    val evalVecs = eval.select(asDouble(col(evalVecCol))).collect()
+      .map(_.getSeq[Double](0).toArray) // |eval| rows — driver-bounded by contract
+    require(evalVecs.nonEmpty, "eval set must not be empty")
+    // unit rows for the argmax (dot == cosine on the unit sphere; ties →
+    // smaller index, deterministic); the REPORTED cosine is recomputed in
+    // the q28/q31 oracle-matched dot/(na*nb) spelling
+    val evalUnit = evalVecs.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val evalDf = evalVecs.zipWithIndex.toSeq
+      .map { case (v, i) => (i, v.toSeq) }.toDF("__eid", "__ev")
+    val matrix = typedLit(evalUnit.map(_.toSeq).toSeq)
+    corpus.select(col(idCol), asDouble(col(vecCol)).as("__vd"))
+      .withColumn("__norm", norm(col("__vd")))
+      .withColumn("__eid", graft.functions.ArrayMath.nearestCentroidId(
+        transform(col("__vd"), x => x / col("__norm")), matrix))
+      .join(broadcast(evalDf), Seq("__eid"))
+      .select(col(idCol),
+        round(dot(col("__vd"), col("__ev")) /
+          (col("__norm") * sqrt(dot(col("__ev"), col("__ev")))), 6)
+          .as("max_eval_cosine"))
+      .withColumn("contaminated", col("max_eval_cosine") >= minCosine)
+  }
+
+  /** Survivors after [[semanticContamination]]: the corpus minus flagged
+    * rows, original schema kept. The flagged side is a skinny id column
+    * (usually tiny, corpus-sized in the worst case) — no broadcast hint,
+    * AQE picks from the runtime size.
+    */
+  def semanticDecontaminate(corpus: DataFrame, idCol: String, vecCol: String,
+                            eval: DataFrame, evalVecCol: String,
+                            minCosine: Double): DataFrame =
+    corpus.join(
+      semanticContamination(corpus, idCol, vecCol, eval, evalVecCol, minCosine)
+        .filter(col("contaminated")).select(col(idCol)),
+      Seq(idCol), "left_anti")
 }

@@ -920,6 +920,39 @@ object TrainingQueries {
         annWithExactVerdict(emb, queries, ann, k = 10, exactK = 3,
           recallFloor = 0.9, verdictCol = "int8_ivf_recall_ok")
       },
-      Some(annOracleSql(exactK = 3, verdictCol = "int8_ivf_recall_ok")))
+      Some(annOracleSql(exactK = 3, verdictCol = "int8_ivf_recall_ok"))),
+
+    // ------------------------------------------------------------------
+    // Embedding-space decontamination (Similarity.semanticContamination):
+    // the paraphrase-robust second gate next to q66's n-gram overlap —
+    // eval set = vec_id < 50, corpus = the rest, a corpus row is
+    // contaminated when its max cosine vs ANY eval row clears 0.4 (the
+    // q31 stress threshold, so both classes appear at fixture scale).
+    // Fully SQL-expressible: the oracle replays every (corpus, eval)
+    // cosine and takes the rounded max — a REAL hash oracle, unlike the
+    // banded ANN rows. Spark plan: eval ships as one plan-reference
+    // matrix, native argmax per corpus row, one broadcast join for the
+    // exact cosine — the corpus never shuffles.
+    QuerySpec(
+      "q90_semantic_decontaminate",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.semanticContamination(
+          emb.filter(col("vec_id") >= 50L), "vec_id", "embedding",
+          emb.filter(col("vec_id") < 50L), "embedding", minCosine = 0.4)
+          .orderBy("vec_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT embedding FROM embeddings WHERE vec_id < 50
+             |), mx AS (
+             |  SELECT c.vec_id,
+             |    MAX(ROUND(list_cosine_similarity(
+             |      c.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6)) AS max_eval_cosine
+             |  FROM embeddings c CROSS JOIN ev e
+             |  WHERE c.vec_id >= 50
+             |  GROUP BY c.vec_id
+             |)
+             |SELECT vec_id, max_eval_cosine, max_eval_cosine >= 0.4 AS contaminated
+             |FROM mx ORDER BY vec_id""".stripMargin))
   )
 }

@@ -407,6 +407,48 @@ class OpsSpec extends AnyFunSuite {
       .head().toSeq == Seq(64L, 64L))
   }
 
+  test("semanticContamination == brute-force max cosine; planted paraphrase flagged") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val eval = emb.filter(col("vec_id") < 20L)
+    // planted "paraphrase": eval vec 3 lightly perturbed (cosine ~0.999) —
+    // the regime token-overlap decontamination misses
+    val rnd = new scala.util.Random(3L)
+    val src = eval.filter(col("vec_id") === 3L).head().getSeq[Float](1)
+    val planted = Seq((8888L, src.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f)))
+      .toDF("vec_id", "embedding")
+    val corpus = emb.filter(col("vec_id") >= 20L).unionByName(planted)
+
+    val got = Similarity.semanticContamination(corpus, "vec_id", "embedding",
+      eval, "embedding", minCosine = 0.4)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(got.size == corpus.count())
+    assert(got(8888L)._2 && got(8888L)._1 > 0.99, s"planted paraphrase not flagged: ${got(8888L)}")
+
+    // brute force with the same dot/(na*nb) spelling, rounded HALF_UP at 6
+    val evalV = eval.collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val corpV = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    corpV.foreach { case (id, v) =>
+      val mx = evalV.map(e => BigDecimal(cos(v, e))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).max
+      assert(math.abs(got(id)._1 - mx) < 1e-9, s"doc $id: ${got(id)._1} vs brute $mx")
+      assert(got(id)._2 == (mx >= 0.4), s"doc $id flag mismatch at $mx")
+    }
+
+    // survivors = corpus minus flagged, schema preserved
+    val flagged = got.filter(_._2._2).keySet
+    val surv = Similarity.semanticDecontaminate(corpus, "vec_id", "embedding",
+      eval, "embedding", minCosine = 0.4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(surv == corpV.map(_._1).toSet -- flagged)
+  }
+
   test("imageMeta parses a real PNG file's bytes (golden fixture)") {
     import spark.implicits._
     // canonical 1x1 RGBA PNG (the smallest real PNG in the wild) — real
