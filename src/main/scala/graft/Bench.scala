@@ -51,15 +51,21 @@ object Bench {
     // clean runs in r3 while single-stage queries held ±15%).
     val noisy = Set("q13_trunc_cast", "q34_rollup", "q35_cube",
       "q27_ngram_jaccard", "q46_ann_ivf", "q59_lateral_explode",
-      "q63_dedup_clusters", "q80_recursive_hierarchy", "q83_semantic_dedup")
+      "q63_dedup_clusters", "q80_recursive_hierarchy", "q83_semantic_dedup",
+      "q89_ann_ivf_int8") // k-means build + 2-store index save per run
 
     // SPARK_GRAFT_ONLY=q59_lateral_explode,q60_... re-pins a subset with the
     // same methodology (warm-up + min-of-3) — for bisecting single-query
     // regressions without paying the full sweep
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    require(names.nonEmpty, "SPARK_GRAFT_ONLY matched no queries")
     runNoop(names.head) // warm-up, untimed
 
     val results = names.map { n =>

@@ -86,12 +86,12 @@ object Ivf {
     if (maxTrainRows <= 0) 0L else math.max(maxTrainRows, 30L * k)
 
   /** Deterministic ≳`maxTrainRows`-row training sample: keep rows whose
-    * seeded id hash falls below rate·2^20 in a 2^20-slot hash space, with
-    * rate = ⌈max/n⌉ at millionth granularity. One count() (cheap
-    * metadata-ish scan) decides the rate; EXPECTATION ≥ maxTrainRows with
-    * binomial fluctuation (the old ⌊n/denom⌋ form could undershoot the
-    * floor by 2× when max < n < 2·max — rounding the rate UP keeps the
-    * 30·k guarantee honest).
+    * seeded id hash is ≡ 0 mod ⌊n/max⌋. One count() (cheap metadata-ish
+    * scan) decides the rate. FLOORING the denominator keeps the
+    * expectation in [max, 2·max): never below the 30·k training floor
+    * (the old ⌈n/max⌉ form undershot it by up to 2× when max < n < 2·max),
+    * at most 2× the requested cap — a bounded cost overshoot, exact again
+    * as n/max grows. No granularity floor or overflow at any n.
     */
   private[graft] def trainSample(unit: DataFrame, idCol: String,
                                  maxTrainRows: Long, seed: Long): DataFrame = {
@@ -99,9 +99,8 @@ object Ivf {
     val n = unit.count()
     if (n <= maxTrainRows) unit
     else {
-      val slots = 1000000L
-      val keep = (maxTrainRows * slots + n - 1) / n // ceil(rate * slots)
-      unit.filter(pmod(xxhash64(lit(seed + 1), col(idCol)), lit(slots)) < keep)
+      val denom = math.max(1L, n / maxTrainRows)
+      unit.filter(pmod(xxhash64(lit(seed + 1), col(idCol)), lit(denom)) === 0L)
     }
   }
 
@@ -226,13 +225,20 @@ object Ivf {
     // per-list sizes, follow with compaction/AQE-sized rewrites.)
     val assigned = index.assigned.repartition(col("__cid"))
     if (quantize) {
-      assigned
-        .withColumn("__scale", Quantize.int8Scale(col("__vn")))
-        .withColumn("__code", Quantize.int8CodesFromScale(col("__vn"), col("__scale")))
-        .select(col(index.idCol), col("__scale"), col("__code"), col("__cid"))
-        .write.mode("overwrite").partitionBy("__cid").parquet(path + "/lists")
-      assigned.write.mode("overwrite").partitionBy("__cid")
-        .parquet(path + "/refine")
+      // two write actions over one assignment: persist so the corpus scan
+      // + O(k·dim) argmax run once, and so lists/ and refine/ can never
+      // diverge under a nondeterministic upstream (a row in one store but
+      // not the other would silently vanish from every re-ranked result)
+      assigned.persist()
+      try {
+        assigned
+          .withColumn("__scale", Quantize.int8Scale(col("__vn")))
+          .withColumn("__code", Quantize.int8CodesFromScale(col("__vn"), col("__scale")))
+          .select(col(index.idCol), col("__scale"), col("__code"), col("__cid"))
+          .write.mode("overwrite").partitionBy("__cid").parquet(path + "/lists")
+        assigned.write.mode("overwrite").partitionBy("__cid")
+          .parquet(path + "/refine")
+      } finally { assigned.unpersist(false); () }
     } else {
       assigned.write.mode("overwrite").partitionBy("__cid")
         .parquet(path + "/lists")
@@ -301,12 +307,17 @@ object Ivf {
     // lists/ would break every later probe scan
     val quantized = !spark.read.parquet(path + "/lists").columns.contains("__vn")
     if (quantized) {
-      assigned
-        .withColumn("__scale", Quantize.int8Scale(col("__vn")))
-        .withColumn("__code", Quantize.int8CodesFromScale(col("__vn"), col("__scale")))
-        .select(col(idCol), col("__scale"), col("__code"), col("__cid"))
-        .write.mode("append").partitionBy("__cid").parquet(path + "/lists")
-      assigned.write.mode("append").partitionBy("__cid").parquet(path + "/refine")
+      // same persist rationale as saveIndex: one batch scan, and lists/
+      // and refine/ must receive the identical row set
+      assigned.persist()
+      try {
+        assigned
+          .withColumn("__scale", Quantize.int8Scale(col("__vn")))
+          .withColumn("__code", Quantize.int8CodesFromScale(col("__vn"), col("__scale")))
+          .select(col(idCol), col("__scale"), col("__code"), col("__cid"))
+          .write.mode("append").partitionBy("__cid").parquet(path + "/lists")
+        assigned.write.mode("append").partitionBy("__cid").parquet(path + "/refine")
+      } finally { assigned.unpersist(false); () }
     } else {
       assigned.write.mode("append").partitionBy("__cid").parquet(path + "/lists")
     }

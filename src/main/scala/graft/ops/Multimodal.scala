@@ -51,19 +51,31 @@ object Multimodal {
     * past it), a SOF0 frame header carrying the dimensions, EOI. Same
     * built-ins-only contract as [[pngHeaderBytes]]. `nComponents` must be
     * 1 (greyscale) or 3 (YCbCr) — the two layouts real encoders emit.
+    * SOF dimension fields are 16-bit (the JPEG format limit) — out-of-
+    * range dimensions fail the job loudly instead of lpad silently
+    * truncating the hex into a wrong-but-parseable header.
     */
   def jpegHeaderBytes(width: Column, height: Column, nComponents: Column): Column = {
     val comps = when(nComponents === 1, lit("011100"))
       .otherwise(lit("011100021101031101")) // (id, sampling, qtable) per comp
     val segLen = when(nComponents === 1, lit("000B")).otherwise(lit("0011")) // 8 + 3*n
+    val w16 = assertInRange(width, 1, 65535, "jpeg width")
+    val h16 = assertInRange(height, 1, 65535, "jpeg height")
     unhex(concat(
       lit("FFD8"), lit("FFFE0004ABCD"), // SOI + 4-byte COM segment
       lit("FFC0"), segLen, lit("08"), // SOF0, length, precision
-      lpad(hex(height.cast("int")), 4, "0"),
-      lpad(hex(width.cast("int")), 4, "0"),
+      lpad(hex(h16.cast("int")), 4, "0"),
+      lpad(hex(w16.cast("int")), 4, "0"),
       lpad(hex(nComponents.cast("int")), 2, "0"),
       comps, lit("FFD9")))
   }
+
+  /** Distributed range guard: evaluates to `c`, fails the task when out
+    * of [lo, hi] — the assert_true pattern (no driver-side scan).
+    */
+  private def assertInRange(c: Column, lo: Int, hi: Int, what: String): Column =
+    when(assert_true(c.between(lo, hi),
+      lit(s"$what out of [$lo, $hi]")).isNull, c)
 
   /** media struct: raw bytes + typed metadata. */
   final case class MediaMeta(format: String, width: Int, height: Int, nBytes: Long)

@@ -310,7 +310,9 @@ object Similarity {
     * 6, contaminated) with the verdict computed on the ROUNDED value, so
     * an engine that replays the rounded cosine replays the boundary too.
     * Rounding is safe for the max: round is monotone, so
-    * round(max cos) == max(round cos).
+    * round(max cos) == max(round cos). Degenerate corpus rows (NULL or
+    * zero-norm vectors) are reported, not dropped: cosine NULL,
+    * contaminated false — route them to a quality gate, not this one.
     *
     * Scale shape: the eval set ships to every task ONCE as a plan
     * reference matrix (the IVF centroid-matrix mechanism — plan size O(1)
@@ -339,16 +341,24 @@ object Similarity {
     val evalDf = evalVecs.zipWithIndex.toSeq
       .map { case (v, i) => (i, v.toSeq) }.toDF("__eid", "__ev")
     val matrix = typedLit(evalUnit.map(_.toSeq).toSeq)
+    // one row per corpus row, degenerate vectors included: NULL and
+    // zero-norm vectors get a NULL __eid (the `when` guard also keeps the
+    // ANSI-mode divide-by-zero error out of the normalize), the LEFT join
+    // keeps the row, cosine stays NULL, and `contaminated` is coalesced
+    // to an explicit false rather than the row vanishing from the report
     corpus.select(col(idCol), asDouble(col(vecCol)).as("__vd"))
       .withColumn("__norm", norm(col("__vd")))
-      .withColumn("__eid", graft.functions.ArrayMath.nearestCentroidId(
-        transform(col("__vd"), x => x / col("__norm")), matrix))
-      .join(broadcast(evalDf), Seq("__eid"))
+      .withColumn("__eid", when(col("__norm") > 0,
+        graft.functions.ArrayMath.nearestCentroidId(
+          transform(col("__vd"), x => x / col("__norm")), matrix)))
+      .join(broadcast(evalDf), Seq("__eid"), "left")
       .select(col(idCol),
-        round(dot(col("__vd"), col("__ev")) /
-          (col("__norm") * sqrt(dot(col("__ev"), col("__ev")))), 6)
+        when(col("__norm") > 0 && dot(col("__ev"), col("__ev")) > 0,
+          round(dot(col("__vd"), col("__ev")) /
+            (col("__norm") * sqrt(dot(col("__ev"), col("__ev")))), 6))
           .as("max_eval_cosine"))
-      .withColumn("contaminated", col("max_eval_cosine") >= minCosine)
+      .withColumn("contaminated",
+        coalesce(col("max_eval_cosine") >= minCosine, lit(false)))
   }
 
   /** Survivors after [[semanticContamination]]: the corpus minus flagged

@@ -187,38 +187,71 @@ object StreamingIngest {
     * idempotence contract is unaffected — and `_graft_commits` markers are
     * left in place, so already-processed batch replays still skip. Like
     * compaction this is an OFFLINE op (run without concurrent writers):
-    * the swap window briefly exposes a partially-moved layout; a crash
-    * mid-swap leaves the old buckets recoverable under
-    * `_graft_rebucket_old` (underscore-prefixed → invisible to partition
-    * discovery). Returns the number of rows in the re-bucketed target.
+    * the swap window briefly exposes a partially-moved layout.
+    *
+    * Crash safety: the swap is a marker-fenced state machine and THE
+    * RECOVERY ACTION IS SIMPLY RUNNING THE OP AGAIN — on entry it rolls a
+    * crashed attempt back to the original layout (parked buckets under
+    * `_graft_rebucket_old` restored, half-lifted new buckets discarded,
+    * finished-but-uncleaned attempts completed) before migrating. Every
+    * rename is checked; no state loses rows. Returns the number of rows
+    * in the re-bucketed target.
     */
   def rebucketDedupTarget(spark: SparkSession, targetDir: String,
                           keyCol: String, newBuckets: Int): Long = {
     import org.apache.spark.sql.functions._
     require(newBuckets > 0, "newBuckets must be positive")
     val (targetPath, fs) = hadoopFs(spark, targetDir)
-    if (!targetHasData(fs, targetPath)) return 0L
     val tmp = new org.apache.hadoop.fs.Path(targetPath, "_graft_rebucket_tmp")
     val old = new org.apache.hadoop.fs.Path(targetPath, "_graft_rebucket_old")
-    fs.delete(tmp, true) // litter from a crashed earlier attempt
+    // parked = ALL original buckets are under old/ (lift may have started);
+    // commit = the lift completed (only cleanup remained)
+    val parked = new org.apache.hadoop.fs.Path(targetPath, "_graft_rebucket_parked")
+    val commit = new org.apache.hadoop.fs.Path(targetPath, "_graft_rebucket_commit")
+    def mustRename(src: org.apache.hadoop.fs.Path,
+                   dst: org.apache.hadoop.fs.Path): Unit =
+      require(fs.rename(src, dst), s"rename failed: $src -> $dst")
+    def bucketDirs(p: org.apache.hadoop.fs.Path) =
+      fs.globStatus(new org.apache.hadoop.fs.Path(p, s"$bucketCol=*"))
+        .filter(_.isDirectory)
+
+    // ---- recovery from a crashed earlier attempt (see scaladoc) ----
+    if (fs.exists(commit)) {
+      // lift completed; only cleanup was interrupted
+      fs.delete(old, true); fs.delete(parked, false)
+      fs.delete(commit, false); fs.delete(tmp, true)
+    } else if (fs.exists(old) || fs.exists(parked)) {
+      if (fs.exists(parked)) {
+        // every original bucket is parked — whatever __kb dirs sit in the
+        // target are half-lifted NEW dirs; discard them (tmp/old still
+        // hold everything) and fall through to the restore
+        bucketDirs(targetPath).foreach(d => fs.delete(d.getPath, true))
+      }
+      // phase-1 crash parks a SUBSET: restore exactly the parked dirs
+      // (a bucket dir is either parked or still in the target, never both)
+      if (fs.exists(old)) bucketDirs(old).foreach(d =>
+        mustRename(d.getPath, new org.apache.hadoop.fs.Path(targetPath, d.getPath.getName)))
+      fs.delete(old, true); fs.delete(parked, false)
+    }
+    fs.delete(tmp, true) // stale partial write, if any
+
+    if (!targetHasData(fs, targetPath)) return 0L
     spark.read.parquet(targetDir)
       .drop(bucketCol)
       .withColumn(bucketCol, coalesce(
         pmod(xxhash64(col(keyCol)), lit(newBuckets.toLong)), lit(0L)))
       .write.mode(SaveMode.Overwrite).partitionBy(bucketCol).parquet(tmp.toString)
     val rows = spark.read.parquet(tmp.toString).count()
-    // swap: every old bucket dir aside, then lift the new ones out of tmp
+    // swap: park every old bucket dir, fence, lift the new ones, fence
     fs.mkdirs(old)
-    fs.globStatus(new org.apache.hadoop.fs.Path(targetPath, s"$bucketCol=*"))
-      .filter(_.isDirectory)
-      .foreach(d => fs.rename(d.getPath,
-        new org.apache.hadoop.fs.Path(old, d.getPath.getName)))
-    fs.globStatus(new org.apache.hadoop.fs.Path(tmp, s"$bucketCol=*"))
-      .filter(_.isDirectory)
-      .foreach(d => fs.rename(d.getPath,
-        new org.apache.hadoop.fs.Path(targetPath, d.getPath.getName)))
-    fs.delete(tmp, true)
-    fs.delete(old, true)
+    bucketDirs(targetPath).foreach(d =>
+      mustRename(d.getPath, new org.apache.hadoop.fs.Path(old, d.getPath.getName)))
+    fs.createNewFile(parked)
+    bucketDirs(tmp).foreach(d =>
+      mustRename(d.getPath, new org.apache.hadoop.fs.Path(targetPath, d.getPath.getName)))
+    fs.createNewFile(commit)
+    fs.delete(old, true); fs.delete(parked, false)
+    fs.delete(commit, false); fs.delete(tmp, true)
     rows
   }
 

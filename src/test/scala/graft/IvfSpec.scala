@@ -326,15 +326,21 @@ class IvfSpec extends AnyFunSuite {
     assert(Ivf.effectiveTrainRows(100000L, 5000) == 150000L)
     assert(Ivf.effectiveTrainRows(100000L, 1000) == 100000L) // cap already ample
     assert(Ivf.effectiveTrainRows(0L, 5000) == 0L) // "train on everything" wins
-    // the hash sampler's expectation must be >= the floor, not just <= 2x
-    // below it (the old ceil-denominator form kept only n/2 rows for
-    // max < n < 2*max): 160k corpus, 150k floor -> ~93.75% kept
+    // the hash sampler's expectation must be >= the floor, not up to 2x
+    // below it (a ceil-denominator form keeps only n/2 rows for
+    // max < n < 2*max): 160k corpus, 150k floor -> floor-denom keeps all
     val ids = spark.range(160000L).toDF("id")
     val kept = Ivf.trainSample(ids, "id", 150000L, seed = 42L).count()
     assert(kept >= 149000L && kept <= 160000L,
       s"sampler kept $kept of 160000, expected >= ~150000")
     // determinism
     assert(Ivf.trainSample(ids, "id", 150000L, seed = 42L).count() == kept)
+    // large-n exactness: no granularity floor — 3.2M rows at a 100k cap
+    // keep ~1/32 of the corpus, not 10x the cap
+    val big = spark.range(3200000L).toDF("id")
+    val keptBig = Ivf.trainSample(big, "id", 100000L, seed = 42L).count()
+    assert(keptBig >= 95000L && keptBig <= 115000L,
+      s"sampler kept $keptBig of 3.2M at cap 100k")
   }
 
   test("incremental maintenance: append waves without retraining, search sees both") {

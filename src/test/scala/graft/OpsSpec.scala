@@ -447,6 +447,16 @@ class OpsSpec extends AnyFunSuite {
       eval, "embedding", minCosine = 0.4)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(surv == corpV.map(_._1).toSet -- flagged)
+
+    // degenerate rows are REPORTED (contaminated=false), never dropped
+    val weird = corpus.unionByName(Seq(
+      (7777L, null.asInstanceOf[Seq[Float]]),
+      (7778L, Seq.fill(64)(0.0f))).toDF("vec_id", "embedding"))
+    val rep = Similarity.semanticContamination(weird, "vec_id", "embedding",
+      eval, "embedding", minCosine = 0.4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(rep.size == got.size + 2, "degenerate rows missing from the report")
+    assert(!rep(7777L) && !rep(7778L))
   }
 
   test("imageMeta parses a real PNG file's bytes (golden fixture)") {

@@ -325,6 +325,63 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(spark.read.parquet(target.toString).count() == 82L)
   }
 
+  test("rebucketDedupTarget recovers crashed attempts: rerun restores, then migrates") {
+    import spark.implicits._
+    import graft.streaming.StreamingIngest
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    val in = Files.createTempDirectory("graft-drbc-in")
+    val target = Files.createTempDirectory("graft-drbc-t").resolve("tbl")
+    val ckpt = Files.createTempDirectory("graft-drbc-c")
+    (0L until 40L).map(k => (k, 0L, s"p$k")).toDF("k", "version", "payload")
+      .coalesce(1).write.mode("append").parquet(in.toString)
+    StreamingIngest.dedupAppendSink(spark,
+      spark.readStream.schema("k LONG, version LONG, payload STRING")
+        .parquet(in.toString),
+      "k", "version", target.toString, ckpt.toString, nBuckets = 4)
+    def keys() = spark.read.parquet(target.toString)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    val expect = keys()
+    assert(expect.size == 40)
+
+    // phase-1 crash: SOME buckets parked under _graft_rebucket_old, no
+    // fence marker — a rerun must move them back before migrating
+    val old = target.resolve("_graft_rebucket_old")
+    JFiles.createDirectories(old)
+    val parkedDirs = JFiles.list(target).iterator()
+    var moved = 0
+    while (parkedDirs.hasNext && moved < 2) {
+      val p = parkedDirs.next()
+      if (p.getFileName.toString.startsWith(StreamingIngest.bucketCol + "=")) {
+        JFiles.move(p, old.resolve(p.getFileName.toString)); moved += 1
+      }
+    }
+    assert(moved == 2)
+    assert(StreamingIngest.rebucketDedupTarget(spark, target.toString, "k", 8) == 40L)
+    assert(keys() == expect, "phase-1 crash recovery lost rows")
+
+    // phase-2 crash: ALL buckets parked + parked fence + half-lifted junk
+    // in the target — a rerun must discard the junk, restore, migrate
+    val dirs2 = JFiles.list(target).iterator()
+    JFiles.createDirectories(old)
+    while (dirs2.hasNext) {
+      val p = dirs2.next()
+      if (p.getFileName.toString.startsWith(StreamingIngest.bucketCol + "="))
+        JFiles.move(p, old.resolve(p.getFileName.toString))
+    }
+    JFiles.createFile(target.resolve("_graft_rebucket_parked"))
+    // half-lifted garbage dir that must NOT survive recovery
+    val junk = target.resolve(StreamingIngest.bucketCol + "=99")
+    JFiles.createDirectories(junk)
+    JFiles.copy(
+      JFiles.list(old.resolve(JFiles.list(old).iterator().next().getFileName.toString))
+        .iterator().next(),
+      junk.resolve("junk.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    assert(StreamingIngest.rebucketDedupTarget(spark, target.toString, "k", 16) == 40L)
+    assert(keys() == expect, "phase-2 crash recovery lost or duplicated rows")
+    assert(!JFiles.exists(target.resolve("_graft_rebucket_parked")))
+    assert(!JFiles.exists(old))
+  }
+
   test("firstSeen runs on the RocksDB state store backend") {
     import spark.implicits._
     val prior = StreamingDedup.rocksDbStateStore.keys
