@@ -50,4 +50,39 @@ object RangeJoin {
       .filter(col(pointTs) >= col(startCol) && col(pointTs) < col(endCol))
       .drop("__bin")
   }
+
+  /** Interval×interval OVERLAP join: every (left, right) pair whose
+    * half-open intervals intersect — `lStart < rEnd AND rStart < lEnd`.
+    * The naive spelling is a BroadcastNestedLoopJoin like the point case;
+    * here BOTH sides explode over the bins they cover and equi-join on
+    * bin.
+    *
+    * Exactly-once without a dedup pass: a pair sharing k bins would match
+    * k times, so the join keeps a pair ONLY in the bin containing the
+    * overlap's first instant `max(lStart, rStart)` — an instant inside
+    * both intervals, hence a bin both sides cover, and unique per pair.
+    * (The same ownership trick DB range-join implementations use; no
+    * distinct shuffle over the matched pairs.)
+    *
+    * Empty intervals (end <= start) cannot overlap anything and drop.
+    * Column names must be disjoint between the two inputs; binWidth as in
+    * [[pointsInRanges]] — ~ the typical interval length.
+    */
+  def intervalOverlaps(left: DataFrame, lStart: String, lEnd: String,
+                       right: DataFrame, rStart: String, rEnd: String,
+                       binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def binned(df: DataFrame, s: String, e: String) = df
+      .withColumn("__bins",
+        when(col(e) > col(s),
+          sequence(floor(col(s) / binWidth).cast("long"),
+            floor((col(e) - 1) / binWidth).cast("long")))
+          .otherwise(typedLit(Seq.empty[Long])))
+      .withColumn("__bin", explode(col("__bins"))).drop("__bins")
+    binned(left, lStart, lEnd).join(binned(right, rStart, rEnd), "__bin")
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .filter(floor(greatest(col(lStart), col(rStart)) / binWidth)
+        .cast("long") === col("__bin"))
+      .drop("__bin")
+  }
 }

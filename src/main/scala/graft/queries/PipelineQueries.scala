@@ -466,6 +466,42 @@ object PipelineQueries {
              |GROUP BY w.err_id ORDER BY err_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // Interval-overlap join (RangeJoin.intervalOverlaps): which error
+    // windows overlap each other — the interval×interval companion of
+    // q84's point-in-interval. Binning turns the quadratic overlap
+    // predicate into an equi join; the ownership predicate (pair kept
+    // only in the bin of max(start_a, start_b)) makes each pair match
+    // exactly once with NO dedup shuffle. Oracle replays the naive
+    // overlap self-join.
+    QuerySpec(
+      "q91_interval_overlap",
+      (s, dir) => {
+        val w = Tables.events(s, dir)
+          .filter(col("event_type") === "error")
+          .select(col("event_id"), expr("ts_ns div 1000").as("us"))
+          .select(col("event_id"), col("us").as("s"), (col("us") + 600000000L).as("e"))
+        val a = w.select(col("event_id").as("id_a"), col("s").as("a_start"),
+          col("e").as("a_end"))
+        val b = w.select(col("event_id").as("id_b"), col("s").as("b_start"),
+          col("e").as("b_end"))
+        graft.ops.RangeJoin.intervalOverlaps(a, "a_start", "a_end",
+          b, "b_start", "b_end", binWidth = 600000000L)
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            (least(col("a_end"), col("b_end")) -
+              greatest(col("a_start"), col("b_start"))).as("overlap_us"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH w AS (
+             |  SELECT event_id AS id, epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS e
+             |  FROM events WHERE event_type = 'error'
+             |)
+             |SELECT a.id AS id_a, b.id AS id_b,
+             |  least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+             |FROM w a JOIN w b ON a.id < b.id AND a.s < b.e AND b.s < a.e
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Document chunking (Curation.chunkDocuments): 32-token windows with
     // 8-token overlap (step 24) — the RAG/pretraining window split. Token
     // array materialized once per row; one Generate, zero shuffles.

@@ -572,6 +572,35 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("interval overlap join == naive overlap join, exactly once, any bin width") {
+    import spark.implicits._
+    import graft.ops.RangeJoin
+    val rnd = new scala.util.Random(29L)
+    def mk(n: Int, pre: String) = (1L to n.toLong).map { i =>
+      val s = rnd.nextInt(10000).toLong
+      (i, s, s + rnd.nextInt(900).toLong) // includes empty intervals
+    }.toDF(s"${pre}id", s"${pre}s", s"${pre}e")
+    val a = mk(120, "a")
+    val b = mk(90, "b")
+    val naive = a.join(b, col("as") < col("be") && col("bs") < col("ae"))
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty)
+    for (w <- Seq(1L, 13L, 256L, 5000L, 100000L)) {
+      val got = RangeJoin.intervalOverlaps(a, "as", "ae", b, "bs", "be", w)
+        .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSet == naive && got.length == naive.size,
+        s"bin width $w: mismatch or duplicated pairs " +
+          s"(got ${got.length}, want ${naive.size})")
+    }
+    // half-open semantics: touching intervals do NOT overlap; nested do
+    val x = Seq((1L, 100L, 200L)).toDF("aid", "as", "ae")
+    val y = Seq((10L, 200L, 300L), (11L, 120L, 130L), (12L, 0L, 100L))
+      .toDF("bid", "bs", "be")
+    val pairs = RangeJoin.intervalOverlaps(x, "as", "ae", y, "bs", "be", 50L)
+      .select("bid").collect().map(_.getLong(0)).toSet
+    assert(pairs == Set(11L), s"half-open overlap semantics violated: $pairs")
+  }
+
   test("range join: exact bounds at bin edges, multi-bin ranges, empties") {
     import spark.implicits._
     import graft.ops.RangeJoin
