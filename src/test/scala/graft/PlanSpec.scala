@@ -201,6 +201,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q91: interval overlap is an equi join, never a nested-loop cross") {
+    val plan = executedPlan("q91_interval_overlap")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"overlap join must bin to an equi join\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q90: eval ships as a reference object; corpus joins stay broadcast") {
+    val plan = executedPlan("q90_semantic_decontaminate")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not shuffle for the eval join\n$plan")
+    // the eval matrix must ride the plan as ONE reference object — a
+    // literal unroll would grow the plan with |eval|·dim
+    assert(plan.length < 20000, s"plan grew with |eval| (len=${plan.length})")
+  }
+
   test("zscore stats joins: forced broadcast is opt-out for high-cardinality groups") {
     import spark.implicits._
     // default broadcastStats=true pins the |groups|-sized stats frames to
