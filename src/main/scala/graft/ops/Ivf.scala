@@ -276,9 +276,8 @@ object Ivf {
     * Centroids are deliberately frozen: retraining would reassign the whole
     * corpus (a full rebuild). The price is drift — if the incoming
     * distribution shifts, new vectors crowd into few lists and probe cost
-    * rises. Rebuild policy: when max-list/median-list size exceeds ~8×
-    * (check via `index.assigned.groupBy("__cid").count()`), rebuild with
-    * [[buildIndex]].
+    * rises. Rebuild policy: when [[indexStats]]' skew (max-list /
+    * median-list) exceeds ~8, rebuild with [[buildIndex]].
     */
   def assignToExisting(index: IvfIndex, batch: DataFrame, vecCol: String): IvfIndex = {
     val assigned = unitVectors(batch, vecCol)
@@ -321,6 +320,28 @@ object Ivf {
     } else {
       assigned.write.mode("append").partitionBy("__cid").parquet(path + "/lists")
     }
+  }
+
+  /** Index health for the rebuild decision ([[assignToExisting]]'s drift
+    * contract): per-list row counts plus the skew summary — one row
+    * (n_lists, n_vectors, max_list, median_list, skew = max/median).
+    * Frozen centroids drift as the ingest distribution shifts; when skew
+    * exceeds ~8, probes of the crowded lists dominate search cost and a
+    * [[buildIndex]] rebuild is due. Cost: one aggregate over the
+    * assignment (k-sized result), no driver traffic beyond the 1-row
+    * summary.
+    */
+  def indexStats(index: IvfIndex): DataFrame = {
+    val counts = index.assigned.groupBy(col("__cid"))
+      .agg(count(lit(1)).as("n"))
+    counts.agg(
+      count(lit(1)).as("n_lists"),
+      sum(col("n")).as("n_vectors"),
+      max(col("n")).as("max_list"),
+      percentile_approx(col("n"), lit(0.5), lit(10000)).as("median_list"))
+      .withColumn("skew",
+        round(col("max_list").cast("double") /
+          greatest(col("median_list").cast("double"), lit(1.0)), 2))
   }
 
   /** IVF top-k search over a built index: probe the `nProbe` nearest lists

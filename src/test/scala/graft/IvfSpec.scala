@@ -416,6 +416,27 @@ class IvfSpec extends AnyFunSuite {
       s"planted twin not found: ${top.mkString(",")}")
   }
 
+  test("indexStats reports counts and skew for the rebuild decision") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val index = Ivf.buildIndex(emb, "vec_id", "embedding", nCentroids = 8)
+    val r = Ivf.indexStats(index).head()
+    assert(r.getLong(0) >= 2L && r.getLong(0) <= 8L) // n_lists
+    assert(r.getLong(1) == emb.count()) // every vector counted once
+    assert(r.getLong(2) >= r.getLong(3)) // max >= median
+    assert(r.getDouble(4) >= 1.0)
+    // deterministic drift: append 200 near-copies of one vector — they
+    // crowd into a single list, and the skew signal must say "rebuild"
+    val src = emb.filter(col("vec_id") === 7L).head().getSeq[Float](1)
+    val crowd = (0 until 200).map(i => (90000L + i, src.map(x => x * 1.0001f)))
+      .toDF("vec_id", "embedding")
+    val drifted = Ivf.assignToExisting(index, crowd, "embedding")
+    val rd = Ivf.indexStats(drifted).head()
+    assert(rd.getLong(1) == emb.count() + 200)
+    assert(rd.getDouble(4) > r.getDouble(4) * 2,
+      s"crowded wave did not raise skew: ${rd.getDouble(4)} vs ${r.getDouble(4)}")
+  }
+
   test("Ivf.topK leaves no lingering cached RDDs after its action") {
     val emb = Tables.embeddings(spark, sf)
     val before = spark.sparkContext.getPersistentRDDs.keySet
