@@ -441,6 +441,21 @@ object Dedup {
                     fingerprint: Column => Column = (c: Column) => xxhash64(c)): DataFrame = {
     require(n >= 1, "span length must be >= 1")
     require(minDocs >= 2, "cross-doc duplication needs minDocs >= 2")
+    val (docs, spans) = spanFrames(df, idCol, textCol, n, fingerprint)
+    val dupFps = spans.dropDuplicates(idCol, "__fp")
+      .groupBy(col("__fp")).agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select(col("__fp"))
+    spanReport(docs, spans, dupFps, idCol)
+  }
+
+  /** (docs, spans) frames shared by the span-dedup flavors: docs =
+    * (idCol, n_windows, __toks); spans = (idCol, __fp) with one row per
+    * window POSITION (within-doc repeats kept — distinct-doc counting
+    * happens at the df stage).
+    */
+  private def spanFrames(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, fingerprint: Column => Column): (DataFrame, DataFrame) = {
     val toks = split(trim(lower(col(textCol))), "\\s+")
     val docs = df.select(col(idCol),
       greatest(size(toks) - (n - 1), lit(0)).cast("long").as("n_windows"),
@@ -451,10 +466,11 @@ object Dedup {
       .select(col(idCol), explode(transform(
         sequence(lit(1), col("n_windows").cast("int")),
         i => fingerprint(concat_ws(" ", slice(col("__toks"), i, lit(n)))))).as("__fp"))
-    val dupFps = spans.dropDuplicates(idCol, "__fp")
-      .groupBy(col("__fp")).agg(count(lit(1)).as("__docs"))
-      .filter(col("__docs") >= minDocs)
-      .select(col("__fp"))
+    (docs, spans)
+  }
+
+  private def spanReport(docs: DataFrame, spans: DataFrame,
+                         dupFps: DataFrame, idCol: String): DataFrame = {
     val dupCounts = spans.join(dupFps, Seq("__fp"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_windows"))
     docs.select(col(idCol), col("n_windows"))
@@ -465,5 +481,45 @@ object Dedup {
         when(col("n_windows") >= 1,
           round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
           .otherwise(lit(0.0)))
+  }
+
+  /** Span-fingerprint index over a corpus: one (fingerprint, n_docs) row
+    * per distinct window fingerprint, n_docs = DISTINCT documents
+    * containing it. The skinny persisted artifact that makes the nightly
+    * span-dedup check incremental — build it once (or maintain it with
+    * appends), and [[crossDocSpansAgainstCorpus]] charges each new batch
+    * only its own size, the q70 shape at passage level. Two long-ish
+    * columns; parquet it wherever the corpus lives.
+    */
+  def spanIndex(corpus: DataFrame, idCol: String, textCol: String,
+                n: Int = 8,
+                fingerprint: Column => Column = (c: Column) => xxhash64(c)): DataFrame = {
+    require(n >= 1, "span length must be >= 1")
+    val (_, spans) = spanFrames(corpus, idCol, textCol, n, fingerprint)
+    spans.dropDuplicates(idCol, "__fp")
+      .groupBy(col("__fp")).agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Incremental [[crossDocSpans]]: per-BATCH-doc duplicated-window stats
+    * where a window is duplicated when its fingerprint occurs in at least
+    * `minDocs` distinct documents across batch ∪ indexed corpus (batch
+    * distinct-doc counts and the index's `n_docs` add — distinct-doc sets
+    * partition cleanly, so this EQUALS running [[crossDocSpans]] over the
+    * union and keeping the batch rows; asserted as a property in
+    * OpsSpec). Cost ∝ batch: the corpus contributes only through the
+    * prebuilt `index` ([[spanIndex]] output), joined fingerprint-keyed.
+    */
+  def crossDocSpansAgainstCorpus(batch: DataFrame, idCol: String, textCol: String,
+                                 index: DataFrame, n: Int = 8, minDocs: Int = 2,
+                                 fingerprint: Column => Column = (c: Column) => xxhash64(c)): DataFrame = {
+    require(n >= 1, "span length must be >= 1")
+    require(minDocs >= 2, "cross-doc duplication needs minDocs >= 2")
+    val (docs, spans) = spanFrames(batch, idCol, textCol, n, fingerprint)
+    val dupFps = spans.dropDuplicates(idCol, "__fp")
+      .groupBy(col("__fp")).agg(count(lit(1)).as("__bdocs"))
+      .join(index.select(col("__fp"), col("n_docs").as("__cdocs")), Seq("__fp"), "left")
+      .filter(col("__bdocs") + coalesce(col("__cdocs"), lit(0L)) >= minDocs)
+      .select(col("__fp"))
+    spanReport(docs, spans, dupFps, idCol)
   }
 }

@@ -606,6 +606,62 @@ object PipelineQueries {
              |ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // Incremental span dedup (Dedup.crossDocSpansAgainstCorpus): the
+    // nightly-ingest shape at PASSAGE level — new batch (doc_id % 5 = 0)
+    // checked against a prebuilt span-fingerprint index of the corpus
+    // (the rest); a batch window is duplicated when batch + corpus
+    // distinct-doc counts reach minDocs. Cost ∝ batch; equals q87 over
+    // the union restricted to batch docs (property-asserted in OpsSpec).
+    QuerySpec(
+      "q92_span_dedup_incremental",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val index = graft.ops.Dedup.spanIndex(
+          docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+          n = 8, fingerprint = md5 _)
+        graft.ops.Dedup.crossDocSpansAgainstCorpus(
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+          index, n = 8, minDocs = 2, fingerprint = md5 _)
+          .filter(col("n_dup_windows") >= 1)
+          .orderBy("doc_id")
+      },
+      Some("""WITH tb AS (
+             |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+             |  FROM documents WHERE doc_id % 5 = 0
+             |), sb AS (
+             |  SELECT doc_id,
+             |    md5(array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) AS fp
+             |  FROM tb, LATERAL unnest(range(1, len(toks) - 8 + 2)) AS r(i)
+             |  WHERE len(toks) >= 8
+             |), tc AS (
+             |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+             |  FROM documents WHERE doc_id % 5 != 0
+             |), sc AS (
+             |  SELECT doc_id,
+             |    md5(array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) AS fp
+             |  FROM tc, LATERAL unnest(range(1, len(toks) - 8 + 2)) AS r(i)
+             |  WHERE len(toks) >= 8
+             |), bdf AS (
+             |  SELECT fp, COUNT(*) AS nb FROM (SELECT DISTINCT doc_id, fp FROM sb)
+             |  GROUP BY fp
+             |), cdf AS (
+             |  SELECT fp, COUNT(*) AS nc FROM (SELECT DISTINCT doc_id, fp FROM sc)
+             |  GROUP BY fp
+             |), dfq AS (
+             |  SELECT bdf.fp FROM bdf LEFT JOIN cdf USING (fp)
+             |  WHERE bdf.nb + COALESCE(cdf.nc, 0) >= 2
+             |), d AS (
+             |  SELECT doc_id, COUNT(*) AS n_dup
+             |  FROM sb WHERE fp IN (SELECT fp FROM dfq) GROUP BY doc_id
+             |)
+             |SELECT tb.doc_id,
+             |  CAST(GREATEST(len(tb.toks) - 7, 0) AS BIGINT) AS n_windows,
+             |  CAST(d.n_dup AS BIGINT) AS n_dup_windows,
+             |  round(CAST(d.n_dup AS DOUBLE) / (len(tb.toks) - 7), 6) AS dup_fraction
+             |FROM tb JOIN d USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Statistical LM quality score (CCNet-style filtering, Wenzek et al.
     // LREC'20): per-doc average log2-likelihood of token bigrams under an
     // add-1-smoothed bigram LM trained on the corpus itself — the cheap,

@@ -708,6 +708,38 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental span dedup == full crossDocSpans on the union (batch rows)") {
+    import spark.implicits._
+    // the additivity claim in crossDocSpansAgainstCorpus's scaladoc,
+    // asserted on random corpora: batch-vs-index equals union-recompute
+    for (seed <- Seq(5L, 6L)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen")
+      val all = (0L until 50L).map { i =>
+        (i, Seq.fill(rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val batch = all.filter(col("doc_id") % 5 === 0)
+      val corpus = all.filter(col("doc_id") % 5 =!= 0)
+      val n = 3
+      val inc = Dedup.crossDocSpansAgainstCorpus(batch, "doc_id", "text",
+        Dedup.spanIndex(corpus, "doc_id", "text", n), n = n, minDocs = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val full = Dedup.crossDocSpans(all, "doc_id", "text", n = n, minDocs = 2)
+        .filter(col("doc_id") % 5 === 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(inc == full, s"seed=$seed: only-inc=${inc -- full} only-full=${full -- inc}")
+    }
+    // a batch doc sharing a passage ONLY with the corpus is still flagged
+    val passage = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq((1L, s"corpus head $passage corpus tail")).toDF("doc_id", "text")
+    val batch = Seq((10L, s"fresh start $passage fresh end"),
+      (11L, "nothing shared here at all with anyone ever")).toDF("doc_id", "text")
+    val got = Dedup.crossDocSpansAgainstCorpus(batch, "doc_id", "text",
+      Dedup.spanIndex(corpus, "doc_id", "text", 8), n = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(10L) == 1L && got(11L) == 0L)
+  }
+
   test("lmQualityScore: hand-computed add-1 bigram log-likelihoods") {
     import spark.implicits._
     // corpus bigrams: (a,b)x3 (b,a)x1 (b,c)x1; C(a)=3 C(b)=2; V={a,b,c}=3
