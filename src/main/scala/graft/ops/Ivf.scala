@@ -344,6 +344,34 @@ object Ivf {
           greatest(col("median_list").cast("double"), lit(1.0)), 2))
   }
 
+  /** Offline rebuild of a persisted index — the action [[indexStats]]'
+    * skew signal calls for. Reloads the full-precision vectors (the
+    * refine sidecar for a quantized layout, the lists otherwise),
+    * retrains centroids (default k: [[ivfPolicy]]'s √N on the CURRENT
+    * corpus size — growth since birth is priced in), reassigns every
+    * vector, and saves to `newPath` preserving the quantize mode.
+    *
+    * Deliberately rebuild-to-a-new-path: production ANN serving keeps
+    * versioned index directories and flips a pointer when the new build
+    * is complete — probes never see a half-rewritten store, and the old
+    * version remains for rollback. (In-place overwrite would also
+    * self-conflict: the new assignment plan reads the very files it
+    * would replace.) Returns the rebuilt in-memory index.
+    */
+  def rebuildIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                   newPath: String, idCol: String, nCentroids: Int = 0,
+                   iters: Int = 3, seed: Long = 42L,
+                   maxTrainRows: Long = 100000L): IvfIndex = {
+    require(newPath != path, "rebuild into a NEW versioned path, then flip")
+    val existing = loadIndex(spark, path, idCol)
+    val quantized = !spark.read.parquet(path + "/lists").columns.contains("__vn")
+    val corpus = existing.assigned.select(col(idCol), col("__vn"))
+    val k = if (nCentroids > 0) nCentroids else ivfPolicy(corpus.count())._1
+    val rebuilt = buildIndex(corpus, idCol, "__vn", k, iters, seed, maxTrainRows)
+    saveIndex(rebuilt, newPath, quantize = quantized)
+    rebuilt
+  }
+
   /** IVF top-k search over a built index: probe the `nProbe` nearest lists
     * per query. No training happens here — reuse one [[buildIndex]] result
     * across query batches.

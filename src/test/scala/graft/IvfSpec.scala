@@ -437,6 +437,43 @@ class IvfSpec extends AnyFunSuite {
       s"crowded wave did not raise skew: ${rd.getDouble(4)} vs ${r.getDouble(4)}")
   }
 
+  test("rebuildIndex: drifted persisted index rebuilds into a new version") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val v1 = java.nio.file.Files.createTempDirectory("graft-ivf-v1").toString
+    val v2 = java.nio.file.Files.createTempDirectory("graft-ivf-v2").toString + "/idx"
+    Ivf.saveIndex(Ivf.buildIndex(emb, "vec_id", "embedding", nCentroids = 8),
+      v1, quantize = true)
+    // drift: 200 vectors from a NOVEL region (one direction + spread wide
+    // enough for a retrain to split it over several centroids — frozen
+    // birth centroids funnel the whole region into ~one list), plus a
+    // twin of vec 3
+    val rnd = new scala.util.Random(17L)
+    val base = Array.fill(64)(rnd.nextGaussian())
+    val crowd = ((0 until 200).map { i =>
+      (90000L + i, base.map(x => (x + rnd.nextGaussian() * 0.5).toFloat).toSeq)
+    } :+ ((80000L, emb.filter(col("vec_id") === 3L).head().getSeq[Float](1))))
+      .toDF("vec_id", "embedding")
+    Ivf.appendToIndex(spark, v1, crowd, "vec_id", "embedding")
+    val skewBefore = Ivf.indexStats(Ivf.loadIndex(spark, v1, "vec_id"))
+      .head().getDouble(4)
+
+    val rebuilt = Ivf.rebuildIndex(spark, v1, v2, "vec_id", nCentroids = 16)
+    assert(rebuilt.centroids.length == 16)
+    val stats = Ivf.indexStats(Ivf.loadIndex(spark, v2, "vec_id")).head()
+    assert(stats.getLong(1) == emb.count() + 201, "rebuild must keep every vector")
+    assert(stats.getDouble(4) < skewBefore,
+      s"rebuild did not reduce skew: ${stats.getDouble(4)} vs $skewBefore")
+    // quantize mode preserved; the rebuilt store serves correctly
+    assert(spark.read.parquet(v2 + "/lists").columns.contains("__code"))
+    val queries = emb.filter(col("vec_id") === 3L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val got = Ivf.searchIndexQuantized(spark, v2, queries,
+      "query_id", "query_vec", "vec_id", k = 3, nProbe = 16)
+      .collect().map(_.getLong(1)).toSet
+    assert(got.contains(80000L), s"twin missing after rebuild: $got")
+  }
+
   test("Ivf.topK leaves no lingering cached RDDs after its action") {
     val emb = Tables.embeddings(spark, sf)
     val before = spark.sparkContext.getPersistentRDDs.keySet
