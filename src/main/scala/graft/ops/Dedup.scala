@@ -486,10 +486,13 @@ object Dedup {
   /** Span-fingerprint index over a corpus: one (fingerprint, n_docs) row
     * per distinct window fingerprint, n_docs = DISTINCT documents
     * containing it. The skinny persisted artifact that makes the nightly
-    * span-dedup check incremental — build it once (or maintain it with
-    * appends), and [[crossDocSpansAgainstCorpus]] charges each new batch
-    * only its own size, the q70 shape at passage level. Two long-ish
-    * columns; parquet it wherever the corpus lives.
+    * span-dedup check incremental — build it once (or maintain it by
+    * appending each ingested wave's spanIndex; the consumer re-aggregates
+    * per fingerprint, so multi-row fingerprints are fine as long as each
+    * DOCUMENT appears in exactly one appended wave), and
+    * [[crossDocSpansAgainstCorpus]] charges each new batch only its own
+    * size, the q70 shape at passage level. Two long-ish columns; parquet
+    * it wherever the corpus lives.
     */
   def spanIndex(corpus: DataFrame, idCol: String, textCol: String,
                 n: Int = 8,
@@ -515,9 +518,13 @@ object Dedup {
     require(n >= 1, "span length must be >= 1")
     require(minDocs >= 2, "cross-doc duplication needs minDocs >= 2")
     val (docs, spans) = spanFrames(batch, idCol, textCol, n, fingerprint)
+    // re-aggregate the index first: an append-maintained index can hold
+    // several rows per fingerprint (one per appended wave), and the
+    // threshold must see their SUM, not any single fragment row
+    val corpusDf = index.groupBy(col("__fp")).agg(sum(col("n_docs")).as("__cdocs"))
     val dupFps = spans.dropDuplicates(idCol, "__fp")
       .groupBy(col("__fp")).agg(count(lit(1)).as("__bdocs"))
-      .join(index.select(col("__fp"), col("n_docs").as("__cdocs")), Seq("__fp"), "left")
+      .join(corpusDf, Seq("__fp"), "left")
       .filter(col("__bdocs") + coalesce(col("__cdocs"), lit(0L)) >= minDocs)
       .select(col("__fp"))
     spanReport(docs, spans, dupFps, idCol)

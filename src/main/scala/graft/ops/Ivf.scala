@@ -250,6 +250,12 @@ object Ivf {
       .coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
   }
 
+  /** True when `path` holds a `saveIndex(quantize = true)` layout (int8
+    * lists + refine sidecar). One lists-schema read.
+    */
+  def isQuantized(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    !spark.read.parquet(path + "/lists").columns.contains("__vn")
+
   /** Loads either layout. For a quantized index the full-precision vectors
     * come from the `refine/` sidecar, so [[searchIndex]] over the loaded
     * index is exact — use [[searchIndexQuantized]] to serve from the int8
@@ -304,8 +310,7 @@ object Ivf {
     // appends must match the saved layout: a quantized index gets int8
     // codes in lists/ plus full vectors in refine/; mixing schemas within
     // lists/ would break every later probe scan
-    val quantized = !spark.read.parquet(path + "/lists").columns.contains("__vn")
-    if (quantized) {
+    if (isQuantized(spark, path)) {
       // same persist rationale as saveIndex: one batch scan, and lists/
       // and refine/ must receive the identical row set
       assigned.persist()
@@ -323,22 +328,25 @@ object Ivf {
   }
 
   /** Index health for the rebuild decision ([[assignToExisting]]'s drift
-    * contract): per-list row counts plus the skew summary — one row
-    * (n_lists, n_vectors, max_list, median_list, skew = max/median).
+    * contract): one summary row (n_lists = k, n_nonempty, n_vectors,
+    * max_list, median_list over NONEMPTY lists, skew = max/median).
     * Frozen centroids drift as the ingest distribution shifts; when skew
-    * exceeds ~8, probes of the crowded lists dominate search cost and a
-    * [[buildIndex]] rebuild is due. Cost: one aggregate over the
-    * assignment (k-sized result), no driver traffic beyond the 1-row
-    * summary.
+    * exceeds ~8 — or n_nonempty collapses far below n_lists (dead probe
+    * capacity: most centroids own nothing while real probes pile onto a
+    * few lists, the degenerate-training pathology) — a [[rebuildIndex]]
+    * is due. Cost: one aggregate over the assignment (k-sized result),
+    * no driver traffic beyond the 1-row summary.
     */
   def indexStats(index: IvfIndex): DataFrame = {
     val counts = index.assigned.groupBy(col("__cid"))
       .agg(count(lit(1)).as("n"))
     counts.agg(
-      count(lit(1)).as("n_lists"),
+      count(lit(1)).as("n_nonempty"),
       sum(col("n")).as("n_vectors"),
       max(col("n")).as("max_list"),
       percentile_approx(col("n"), lit(0.5), lit(10000)).as("median_list"))
+      .select(lit(index.centroids.length).as("n_lists"), col("n_nonempty"),
+        col("n_vectors"), col("max_list"), col("median_list"))
       .withColumn("skew",
         round(col("max_list").cast("double") /
           greatest(col("median_list").cast("double"), lit(1.0)), 2))
@@ -364,8 +372,10 @@ object Ivf {
                    maxTrainRows: Long = 100000L): IvfIndex = {
     require(newPath != path, "rebuild into a NEW versioned path, then flip")
     val existing = loadIndex(spark, path, idCol)
-    val quantized = !spark.read.parquet(path + "/lists").columns.contains("__vn")
+    val quantized = isQuantized(spark, path)
     val corpus = existing.assigned.select(col(idCol), col("__vn"))
+    // count() over a bare parquet projection is footer-metadata work, not
+    // a data scan — cheap enough to size k from the CURRENT corpus
     val k = if (nCentroids > 0) nCentroids else ivfPolicy(corpus.count())._1
     val rebuilt = buildIndex(corpus, idCol, "__vn", k, iters, seed, maxTrainRows)
     saveIndex(rebuilt, newPath, quantize = quantized)

@@ -37,25 +37,33 @@ object RangeJoin {
                      binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     val p = points.withColumn("__bin", floor(col(pointTs) / binWidth).cast("long"))
-    // a half-open range [s, e) overlaps bins floor(s/w)..floor((e-1)/w);
-    // empty ranges (e <= s) produce no bins and silently drop
-    val r = ranges
-      .withColumn("__bins",
-        when(col(endCol) > col(startCol),
-          sequence(floor(col(startCol) / binWidth).cast("long"),
-            floor((col(endCol) - 1) / binWidth).cast("long")))
-          .otherwise(typedLit(Seq.empty[Long])))
-      .withColumn("__bin", explode(col("__bins"))).drop("__bins")
+    val r = binExplode(ranges, startCol, endCol, binWidth)
     p.join(r, "__bin")
       .filter(col(pointTs) >= col(startCol) && col(pointTs) < col(endCol))
       .drop("__bin")
   }
 
+  /** One row per (range, overlapped bin): a half-open range [s, e)
+    * covers bins floor(s/w)..floor((e-1)/w); empty ranges (e <= s)
+    * produce no bins and silently drop. Shared by both join flavors so
+    * the binning arithmetic can never diverge between them.
+    */
+  private def binExplode(df: DataFrame, startCol: String, endCol: String,
+                         binWidth: Long): DataFrame = df
+    .withColumn("__bins",
+      when(col(endCol) > col(startCol),
+        sequence(floor(col(startCol) / binWidth).cast("long"),
+          floor((col(endCol) - 1) / binWidth).cast("long")))
+        .otherwise(typedLit(Seq.empty[Long])))
+    .withColumn("__bin", explode(col("__bins"))).drop("__bins")
+
   /** Interval×interval OVERLAP join: every (left, right) pair whose
-    * half-open intervals intersect — `lStart < rEnd AND rStart < lEnd`.
-    * The naive spelling is a BroadcastNestedLoopJoin like the point case;
-    * here BOTH sides explode over the bins they cover and equi-join on
-    * bin.
+    * half-open intervals have a NONEMPTY intersection — for two nonempty
+    * intervals that is `lStart < rEnd AND rStart < lEnd`; an empty
+    * interval (end <= start) intersects nothing and never matches, even
+    * when its point lies strictly inside the other interval. The naive
+    * spelling is a BroadcastNestedLoopJoin like the point case; here BOTH
+    * sides explode over the bins they cover and equi-join on bin.
     *
     * Exactly-once without a dedup pass: a pair sharing k bins would match
     * k times, so the join keeps a pair ONLY in the bin containing the
@@ -64,7 +72,6 @@ object RangeJoin {
     * (The same ownership trick DB range-join implementations use; no
     * distinct shuffle over the matched pairs.)
     *
-    * Empty intervals (end <= start) cannot overlap anything and drop.
     * Column names must be disjoint between the two inputs; binWidth as in
     * [[pointsInRanges]] — ~ the typical interval length.
     */
@@ -72,14 +79,8 @@ object RangeJoin {
                        right: DataFrame, rStart: String, rEnd: String,
                        binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    def binned(df: DataFrame, s: String, e: String) = df
-      .withColumn("__bins",
-        when(col(e) > col(s),
-          sequence(floor(col(s) / binWidth).cast("long"),
-            floor((col(e) - 1) / binWidth).cast("long")))
-          .otherwise(typedLit(Seq.empty[Long])))
-      .withColumn("__bin", explode(col("__bins"))).drop("__bins")
-    binned(left, lStart, lEnd).join(binned(right, rStart, rEnd), "__bin")
+    binExplode(left, lStart, lEnd, binWidth)
+      .join(binExplode(right, rStart, rEnd, binWidth), "__bin")
       .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
       .filter(floor(greatest(col(lStart), col(rStart)) / binWidth)
         .cast("long") === col("__bin"))

@@ -421,10 +421,11 @@ class IvfSpec extends AnyFunSuite {
     val emb = Tables.embeddings(spark, sf)
     val index = Ivf.buildIndex(emb, "vec_id", "embedding", nCentroids = 8)
     val r = Ivf.indexStats(index).head()
-    assert(r.getLong(0) >= 2L && r.getLong(0) <= 8L) // n_lists
-    assert(r.getLong(1) == emb.count()) // every vector counted once
-    assert(r.getLong(2) >= r.getLong(3)) // max >= median
-    assert(r.getDouble(4) >= 1.0)
+    assert(r.getInt(0) == 8) // n_lists = k, empty lists visible by contrast
+    assert(r.getLong(1) >= 2L && r.getLong(1) <= 8L) // n_nonempty
+    assert(r.getLong(2) == emb.count()) // every vector counted once
+    assert(r.getLong(3) >= r.getLong(4)) // max >= median
+    assert(r.getDouble(5) >= 1.0)
     // deterministic drift: append 200 near-copies of one vector — they
     // crowd into a single list, and the skew signal must say "rebuild"
     val src = emb.filter(col("vec_id") === 7L).head().getSeq[Float](1)
@@ -432,9 +433,9 @@ class IvfSpec extends AnyFunSuite {
       .toDF("vec_id", "embedding")
     val drifted = Ivf.assignToExisting(index, crowd, "embedding")
     val rd = Ivf.indexStats(drifted).head()
-    assert(rd.getLong(1) == emb.count() + 200)
-    assert(rd.getDouble(4) > r.getDouble(4) * 2,
-      s"crowded wave did not raise skew: ${rd.getDouble(4)} vs ${r.getDouble(4)}")
+    assert(rd.getLong(2) == emb.count() + 200)
+    assert(rd.getDouble(5) > r.getDouble(5) * 2,
+      s"crowded wave did not raise skew: ${rd.getDouble(5)} vs ${r.getDouble(5)}")
   }
 
   test("rebuildIndex: drifted persisted index rebuilds into a new version") {
@@ -456,14 +457,14 @@ class IvfSpec extends AnyFunSuite {
       .toDF("vec_id", "embedding")
     Ivf.appendToIndex(spark, v1, crowd, "vec_id", "embedding")
     val skewBefore = Ivf.indexStats(Ivf.loadIndex(spark, v1, "vec_id"))
-      .head().getDouble(4)
+      .head().getDouble(5)
 
     val rebuilt = Ivf.rebuildIndex(spark, v1, v2, "vec_id", nCentroids = 16)
     assert(rebuilt.centroids.length == 16)
     val stats = Ivf.indexStats(Ivf.loadIndex(spark, v2, "vec_id")).head()
-    assert(stats.getLong(1) == emb.count() + 201, "rebuild must keep every vector")
-    assert(stats.getDouble(4) < skewBefore,
-      s"rebuild did not reduce skew: ${stats.getDouble(4)} vs $skewBefore")
+    assert(stats.getLong(2) == emb.count() + 201, "rebuild must keep every vector")
+    assert(stats.getDouble(5) < skewBefore,
+      s"rebuild did not reduce skew: ${stats.getDouble(5)} vs $skewBefore")
     // quantize mode preserved; the rebuilt store serves correctly
     assert(spark.read.parquet(v2 + "/lists").columns.contains("__code"))
     val queries = emb.filter(col("vec_id") === 3L)

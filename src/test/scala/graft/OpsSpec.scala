@@ -576,15 +576,23 @@ class OpsSpec extends AnyFunSuite {
     import spark.implicits._
     import graft.ops.RangeJoin
     val rnd = new scala.util.Random(29L)
-    def mk(n: Int, pre: String) = (1L to n.toLong).map { i =>
+    def mk(n: Int, pre: String) = ((1L to n.toLong).map { i =>
       val s = rnd.nextInt(10000).toLong
-      (i, s, s + rnd.nextInt(900).toLong) // includes empty intervals
-    }.toDF(s"${pre}id", s"${pre}s", s"${pre}e")
+      (i, s, s + rnd.nextInt(900).toLong)
+    } ++ Seq( // PLANTED empty intervals, incl. one strictly inside big
+      (n + 1L, 5000L, 5000L), (n + 2L, 9999L, 9000L)))
+      .toDF(s"${pre}id", s"${pre}s", s"${pre}e")
     val a = mk(120, "a")
     val b = mk(90, "b")
-    val naive = a.join(b, col("as") < col("be") && col("bs") < col("ae"))
+    // reference predicate: NONEMPTY intersection — the bare overlap
+    // inequality would claim an empty interval inside a nonempty one
+    // "overlaps", which intervalOverlaps (correctly) rejects
+    val naive = a.join(b, col("as") < col("be") && col("bs") < col("ae") &&
+        col("ae") > col("as") && col("be") > col("bs"))
       .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(naive.nonEmpty)
+    assert(!naive.exists { case (x, y) => x > 120L || y > 90L },
+      "empty intervals must not match")
     for (w <- Seq(1L, 13L, 256L, 5000L, 100000L)) {
       val got = RangeJoin.intervalOverlaps(a, "as", "ae", b, "bs", "be", w)
         .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))

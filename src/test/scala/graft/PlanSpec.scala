@@ -212,9 +212,16 @@ class PlanSpec extends AnyFunSuite {
     val plan = executedPlan("q90_semantic_decontaminate")
     assert(!plan.contains("SortMergeJoin"),
       s"corpus must not shuffle for the eval join\n$plan")
-    // the eval matrix must ride the plan as ONE reference object — a
-    // literal unroll would grow the plan with |eval|·dim
-    assert(plan.length < 20000, s"plan grew with |eval| (len=${plan.length})")
+    // the eval matrix must ride the plan as ONE reference object: an
+    // actual matrix entry (the UNIT-normalized first component) rendered
+    // into the plan string would mean the typedLit unrolled into
+    // per-element literals
+    val v = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") === 0L).head().getSeq[Float](1)
+      .map(_.toDouble).toArray
+    val unit0 = (v.head / math.sqrt(v.map(x => x * x).sum)).toString.take(10)
+    assert(!plan.contains(unit0),
+      s"eval vector values leaked into the plan as literals ($unit0)\n$plan")
   }
 
   test("zscore stats joins: forced broadcast is opt-out for high-cardinality groups") {
