@@ -76,17 +76,29 @@ object ScaleOps {
   def upsert(base: DataFrame, updates: DataFrame, keyCols: Seq[String],
              orderCol: Option[String] = None): DataFrame = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val winners = mergeWinners(updates, keyCols, orderCol, "upsert")
+    base.join(winners.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(winners)
+  }
+
+  /** The MERGE-batch preamble shared by [[upsert]] and [[upsertScd2]]:
+    * reject NULL keys distributed, then resolve duplicate keys (largest
+    * `orderCol` wins; without one, uniqueness is runtime-ENFORCED). One
+    * window pass over the (small, broadcast-bound) batch — never the base.
+    */
+  private def mergeWinners(updates: DataFrame, keyCols: Seq[String],
+                           orderCol: Option[String], opName: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // assert_true wrapped in a coalesce-to-true filter: evaluates per row
     // (throws on violation), passes every surviving row — and, unlike a
     // projected-then-dropped check column, cannot be pruned away.
     val keysNotNull = keyCols.map(col(_).isNotNull).reduce(_ && _)
     val nullChecked = updates.filter(coalesce(
-      assert_true(keysNotNull, concat_ws("", lit("upsert: NULL in key ("),
+      assert_true(keysNotNull, concat_ws("", lit(s"$opName: NULL in key ("),
         lit(keyCols.mkString(", ")),
         lit(") — a null key never matches MERGE ON and would re-insert every run"))),
       lit(true)))
-    val winners = orderCol match {
+    orderCol match {
       case Some(c) =>
         val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(c).desc)
         nullChecked.withColumn("__rn", row_number().over(w))
@@ -96,13 +108,79 @@ object ScaleOps {
         nullChecked.withColumn("__kn", count(lit(1)).over(w))
           .filter(coalesce(
             assert_true(col("__kn") === 1, concat_ws("",
-              lit("upsert: duplicate key ("), concat_ws(", ", keyCols.map(col): _*),
+              lit(s"$opName: duplicate key ("), concat_ws(", ", keyCols.map(col): _*),
               lit(") in updates with no orderCol — pass orderCol to pick a winner"))),
             lit(true)))
           .drop("__kn")
     }
-    base.join(winners.select(keyCols.map(col): _*), keyCols, "left_anti")
-      .unionByName(winners)
+  }
+
+  /** SCD Type-2 (history-keeping) merge: where [[upsert]] REPLACES a
+    * matched row, this CLOSES the current version and appends the new one
+    * — the dimension keeps full history under effective-dating columns.
+    *
+    * Schema contract: `base` = attribute columns + (`validFromCol`,
+    * `validToCol`, `currentCol`); `updates` = the same attribute columns +
+    * `versionCol` (a monotone change version — event time, batch id).
+    * Result, per key:
+    *   - brand-new key → inserted current row (validFrom = version,
+    *     validTo = null, current = true);
+    *   - matched key → the current base row closes (validTo = version,
+    *     current = false) and the update inserts as the new current row;
+    *   - untouched keys and all HISTORY rows pass through byte-identical.
+    *
+    * Edge semantics beyond [[upsert]]'s (null keys rejected, duplicate
+    * keys resolved by `orderCol` or rejected): a version that does NOT
+    * advance past the matched current row's validFrom would corrupt the
+    * effective-date chain (overlapping validity) — rejected with a
+    * distributed assert. Intra-batch history stacking (two versions of
+    * one key in one batch) is deliberately out of scope: run one merge
+    * per version wave; `orderCol` keeps only the latest.
+    *
+    * Scale shape: ONE pass over the base — a single left join against the
+    * skinny winner keys (AQE broadcasts it) drives both the close and the
+    * pass-through, then the insert rows union on. The base never
+    * shuffles.
+    */
+  def upsertScd2(base: DataFrame, updates: DataFrame, keyCols: Seq[String],
+                 versionCol: String, orderCol: Option[String] = None,
+                 validFromCol: String = "valid_from",
+                 validToCol: String = "valid_to",
+                 currentCol: String = "is_current"): DataFrame = {
+    require(keyCols.nonEmpty, "upsertScd2 needs at least one key column")
+    val dating = Seq(validFromCol, validToCol, currentCol)
+    require(dating.forall(base.columns.contains),
+      s"base must carry the effective-dating columns ${dating.mkString(", ")}")
+    require(updates.columns.contains(versionCol),
+      s"updates must carry the version column $versionCol")
+    require(!dating.contains(versionCol),
+      "versionCol must be distinct from the effective-dating columns")
+    require(base.columns.toSet -- dating ==
+      updates.columns.toSet - versionCol,
+      "updates must carry exactly the base's attribute columns + the version")
+    val winners = mergeWinners(updates, keyCols, orderCol, "upsertScd2")
+    val wk = winners.select(keyCols.map(col) :+ col(versionCol).as("__newv"): _*)
+
+    val matchedCurrent = col(currentCol) && col("__newv").isNotNull
+    val adjusted = base.join(wk, keyCols, "left")
+      .filter(coalesce(
+        assert_true(!matchedCurrent || col("__newv") > col(validFromCol),
+          concat_ws("", lit("upsertScd2: version must advance past the "),
+            lit("current row's "), lit(validFromCol),
+            lit(" — an equal/older version would overlap validity"))),
+        lit(true)))
+      .withColumn(validToCol,
+        when(matchedCurrent, col("__newv").cast(base.schema(validToCol).dataType))
+          .otherwise(col(validToCol)))
+      .withColumn(currentCol, when(matchedCurrent, lit(false)).otherwise(col(currentCol)))
+      .drop("__newv")
+    val inserts = winners
+      .withColumn(validFromCol,
+        col(versionCol).cast(base.schema(validFromCol).dataType))
+      .withColumn(validToCol, lit(null).cast(base.schema(validToCol).dataType))
+      .withColumn(currentCol, lit(true))
+      .drop(versionCol)
+    adjusted.unionByName(inserts)
   }
 
   /** Contiguous global ids 0..n-1 in sort-key order WITHOUT the global-sort

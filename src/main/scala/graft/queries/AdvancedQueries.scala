@@ -594,6 +594,48 @@ object AdvancedQueries {
              |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // SCD Type-2 merge (ScaleOps.upsertScd2): q69's history-keeping
+    // sibling — a matched key's current row CLOSES (valid_to = version,
+    // is_current = false) and the update inserts as the new current
+    // version; untouched keys and history pass through byte-identical.
+    // One pass over the base (left join vs the skinny winner keys, AQE
+    // broadcasts), inserts union on. Customers dimension, segment change
+    // for every 7th key at version 100.
+    QuerySpec(
+      "q93_scd2_merge",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+        val base = cust.select(col("c_custkey"), col("c_mktsegment"),
+          lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"),
+          lit(true).as("is_current"))
+        val updates = cust.filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey"),
+            lower(col("c_mktsegment")).as("c_mktsegment"),
+            lit(100L).as("version"))
+        graft.ops.ScaleOps.upsertScd2(base, updates, Seq("c_custkey"), "version")
+          .orderBy("c_custkey", "valid_from")
+      },
+      Some("""WITH closed AS (
+             |  SELECT c_custkey, c_mktsegment, CAST(0 AS BIGINT) AS valid_from,
+             |    CAST(100 AS BIGINT) AS valid_to, FALSE AS is_current
+             |  FROM customer WHERE c_custkey % 7 = 0
+             |), untouched AS (
+             |  SELECT c_custkey, c_mktsegment, CAST(0 AS BIGINT) AS valid_from,
+             |    CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+             |  FROM customer WHERE c_custkey % 7 != 0
+             |), inserted AS (
+             |  SELECT c_custkey, lower(c_mktsegment) AS c_mktsegment,
+             |    CAST(100 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to,
+             |    TRUE AS is_current
+             |  FROM customer WHERE c_custkey % 7 = 0
+             |)
+             |SELECT * FROM (
+             |  SELECT * FROM closed UNION ALL
+             |  SELECT * FROM untouched UNION ALL
+             |  SELECT * FROM inserted
+             |) ORDER BY c_custkey, valid_from""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // ANALYZE-style numeric profile (Profile.numericProfile): one
     // aggregation statement for all columns — Spark plans the multiple
     // exact distinct-counts with a single Expand over one scan, not k jobs.

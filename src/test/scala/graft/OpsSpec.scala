@@ -106,6 +106,68 @@ class OpsSpec extends AnyFunSuite {
       (3L, "c", 30.0), (4L, "d", 40.0)))
   }
 
+  test("upsertScd2: matched current closes, update inserts, history untouched") {
+    import spark.implicits._
+    import graft.ops.ScaleOps
+    // key 1: history v0 (closed) + current v5; key 2: current v0; updates
+    // touch key 1 (v9) and a brand-new key 3 (v9)
+    val base = Seq(
+      (1L, "a0", 0L, Some(5L), false), // history — must pass through as-is
+      (1L, "a1", 5L, None, true),
+      (2L, "b0", 0L, None, true)
+    ).toDF("k", "s", "valid_from", "valid_to", "is_current")
+    val updates = Seq((1L, "a2", 9L), (3L, "c0", 9L)).toDF("k", "s", "version")
+    val got = ScaleOps.upsertScd2(base, updates, Seq("k"), "version")
+      .orderBy("k", "valid_from")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (1L, "a0", 0L, 5L, false),  // history byte-identical
+      (1L, "a1", 5L, 9L, false),  // current closed at the new version
+      (1L, "a2", 9L, -1L, true),  // new current
+      (2L, "b0", 0L, -1L, true),  // untouched current
+      (3L, "c0", 9L, -1L, true))) // brand-new key
+    // effective-date chain sanity: exactly one current row per key, and
+    // each key's (valid_from, valid_to) intervals tile without overlap
+    val byKey = got.groupBy(_._1)
+    byKey.values.foreach { rows =>
+      assert(rows.count(_._5) == 1)
+      val sorted = rows.sortBy(_._3)
+      sorted.sliding(2).foreach {
+        case Array(prev, next) => assert(prev._4 == next._3, s"gap/overlap: $prev -> $next")
+        case _ => ()
+      }
+    }
+  }
+
+  test("upsertScd2: stale version and duplicate/null keys fail loudly") {
+    import spark.implicits._
+    import graft.ops.ScaleOps
+    val base = Seq((1L, "a1", 5L, None: Option[Long], true))
+      .toDF("k", "s", "valid_from", "valid_to", "is_current")
+    // version 5 does not advance past the current row's valid_from 5
+    val stale = ScaleOps.upsertScd2(base,
+      Seq((1L, "a2", 5L)).toDF("k", "s", "version"), Seq("k"), "version")
+    assertThrows[Exception](stale.collect())
+    // duplicate update keys without an orderCol
+    val dup = ScaleOps.upsertScd2(base,
+      Seq((1L, "x", 9L), (1L, "y", 8L)).toDF("k", "s", "version"),
+      Seq("k"), "version")
+    assertThrows[Exception](dup.collect())
+    // with orderCol, the largest version wins and merges cleanly
+    val won = ScaleOps.upsertScd2(base,
+      Seq((1L, "x", 9L), (1L, "y", 8L)).toDF("k", "s", "version"),
+      Seq("k"), "version", orderCol = Some("version"))
+      .orderBy("valid_from").collect().map(r => (r.getString(1), r.getBoolean(4)))
+    assert(won.toSeq == Seq(("a1", false), ("x", true)))
+    // null key rejected
+    val nullKey = ScaleOps.upsertScd2(base,
+      Seq((null.asInstanceOf[java.lang.Long], "z", 9L))
+        .toDF("k", "s", "version"), Seq("k"), "version")
+    assertThrows[Exception](nullKey.collect())
+  }
+
   test("upsert: duplicate update keys — orderCol picks last-wins, no orderCol fails") {
     import spark.implicits._
     import graft.ops.ScaleOps
