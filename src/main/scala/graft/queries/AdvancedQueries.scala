@@ -181,6 +181,37 @@ object AdvancedQueries {
              |ORDER BY p.event_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // FORWARD as-of join (AsOfJoin.forward): q43's complement — for each
+    // signup, the user's FIRST purchase at-or-after it (time-to-convert).
+    // Same union + one-window-pass plan, window looking forward. DuckDB
+    // replays it natively: ASOF LEFT JOIN with s.ts <= p.ts picks the
+    // nearest following row.
+    QuerySpec(
+      "q94_asof_forward",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr("ts_ns div 1000").as("ts_us"))
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("event_id"), col("ts_us"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us").as("purchase_us"))
+        graft.ops.AsOfJoin.forward(signups, purchases, "user_id",
+          "ts_us", "purchase_us", Seq("purchase_us"))
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            col("purchase_us"),
+            (col("purchase_us") - col("ts_us")).as("us_to_convert"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT g.event_id, g.user_id, epoch_us(g.ts) AS ts_us,
+             |  epoch_us(p.ts) AS purchase_us,
+             |  epoch_us(p.ts) - epoch_us(g.ts) AS us_to_convert
+             |FROM (SELECT * FROM events WHERE event_type = 'signup') g
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             |  ON g.user_id = p.user_id AND g.ts <= p.ts
+             |ORDER BY g.event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Exact distinct counting per group (the sketch-free baseline;
     // approx_count_distinct is the drop-in at 100 TB but is not
     // oracle-comparable across engines).
