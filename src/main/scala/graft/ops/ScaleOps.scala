@@ -183,6 +183,66 @@ object ScaleOps {
     adjusted.unionByName(inserts)
   }
 
+  /** Snapshot diff — change-data-capture between two FULL snapshots of a
+    * keyed table (the batch-world substitute for a table format's change
+    * feed): classifies every key as `insert` (new only), `delete` (old
+    * only), `update` (both, payload differs null-safely) or `unchanged`.
+    * Output carries the key columns, the surviving payload (new side for
+    * insert/update, old side for delete — a field that legitimately became
+    * NULL in the new snapshot stays NULL), and `changeCol`.
+    *
+    * Shape: union-tag-aggregate, ONE shuffle of old ∪ new on the key —
+    * the full-outer-join formulation shuffles both sides separately and
+    * then needs a second pass for duplicate detection. Here key
+    * uniqueness per snapshot (without which a diff is meaningless — a
+    * duplicate key would silently cross-multiply in a join) is enforced
+    * FREE inside the same aggregate via a distributed assert. NULL key
+    * components group together (GROUP BY null semantics, matching the SQL
+    * replay) rather than silently producing delete+insert pairs.
+    *
+    * Payload columns may be any Spark type (compared as a struct with
+    * null-safe `<=>`; carried via `first` over the ≤1 row per side).
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, keyCols: Seq[String],
+                   includeUnchanged: Boolean = false,
+                   changeCol: String = "change_type"): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff needs at least one key column")
+    require(oldSnap.columns.toSet == newSnap.columns.toSet,
+      s"snapshots must share a column set; old-only=${
+        (oldSnap.columns.toSet -- newSnap.columns).mkString(",")} new-only=${
+        (newSnap.columns.toSet -- oldSnap.columns).mkString(",")}")
+    val payloadCols = oldSnap.columns.filterNot(keyCols.contains).toSeq
+    require(payloadCols.nonEmpty, "snapshots need at least one non-key column")
+    def tagged(side: String, df: DataFrame): DataFrame =
+      df.select(keyCols.map(col) :+ lit(side).as("__side") :+
+        struct(payloadCols.map(col): _*).as("__p"): _*)
+    val agg = tagged("o", oldSnap).unionByName(tagged("n", newSnap))
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        count(when(col("__side") === "o", 1)).as("__no"),
+        count(when(col("__side") === "n", 1)).as("__nn"),
+        first(when(col("__side") === "o", col("__p")), ignoreNulls = true).as("__po"),
+        first(when(col("__side") === "n", col("__p")), ignoreNulls = true).as("__pn"))
+      .filter(coalesce(
+        assert_true(col("__no") <= 1 && col("__nn") <= 1, concat_ws("",
+          lit("snapshotDiff: duplicate key ("),
+          concat_ws(", ", keyCols.map(col): _*),
+          lit(") within a snapshot — a diff needs unique keys per side"))),
+        lit(true)))
+    val typed = agg.withColumn(changeCol,
+      when(col("__no") === 0, lit("insert"))
+        .when(col("__nn") === 0, lit("delete"))
+        .when(!(col("__po") <=> col("__pn")), lit("update"))
+        .otherwise(lit("unchanged")))
+    val kept =
+      if (includeUnchanged) typed else typed.filter(col(changeCol) =!= "unchanged")
+    kept.select(keyCols.map(col) ++
+      payloadCols.map(c =>
+        when(col("__pn").isNotNull, col(s"__pn.$c"))
+          .otherwise(col(s"__po.$c")).as(c)) :+
+      col(changeCol): _*)
+  }
+
   /** Contiguous global ids 0..n-1 in sort-key order WITHOUT the global-sort
     * bottleneck: a `row_number() OVER (ORDER BY …)` window funnels 100 TB
     * through ONE task; this instead range-repartitions (each partition owns

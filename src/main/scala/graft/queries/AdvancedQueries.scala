@@ -667,6 +667,56 @@ object AdvancedQueries {
              |) ORDER BY c_custkey, valid_from""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // Snapshot diff / CDC (ScaleOps.snapshotDiff): classify every key
+    // across two full snapshots as insert / delete / update with a
+    // null-safe payload compare — union-tag-aggregate, ONE shuffle of
+    // old ∪ new on the key, per-snapshot key uniqueness enforced free in
+    // the same aggregate. The new snapshot is derived deterministically:
+    // every 97th key deleted, every 5th rebalanced (+10.0, one IEEE add),
+    // every 101st re-inserted under a shifted key. DuckDB replays it as a
+    // FULL JOIN + IS DISTINCT FROM (equivalent for unique non-null keys).
+    QuerySpec(
+      "q95_snapshot_diff",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        val newSnap = cust.filter(col("c_custkey") % 97 =!= 0)
+          .withColumn("c_acctbal",
+            when(col("c_custkey") % 5 === 0, col("c_acctbal") + lit(10.0))
+              .otherwise(col("c_acctbal")))
+          .unionByName(cust.filter(col("c_custkey") % 101 === 0)
+            .select((col("c_custkey") + lit(10000000L)).as("c_custkey"),
+              lit("NEW").as("c_mktsegment"), lit(0.0).as("c_acctbal")))
+        graft.ops.ScaleOps.snapshotDiff(cust, newSnap, Seq("c_custkey"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH oldsnap AS (
+             |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+             |), newsnap AS (
+             |  SELECT c_custkey, c_mktsegment,
+             |    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 10.0
+             |         ELSE c_acctbal END AS c_acctbal
+             |  FROM customer WHERE c_custkey % 97 != 0
+             |  UNION ALL
+             |  SELECT c_custkey + 10000000, 'NEW', 0.0
+             |  FROM customer WHERE c_custkey % 101 = 0
+             |), diff AS (
+             |  SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+             |    CASE WHEN n.c_custkey IS NULL THEN o.c_mktsegment
+             |         ELSE n.c_mktsegment END AS c_mktsegment,
+             |    CASE WHEN n.c_custkey IS NULL THEN o.c_acctbal
+             |         ELSE n.c_acctbal END AS c_acctbal,
+             |    CASE WHEN o.c_custkey IS NULL THEN 'insert'
+             |         WHEN n.c_custkey IS NULL THEN 'delete'
+             |         WHEN (o.c_mktsegment IS DISTINCT FROM n.c_mktsegment)
+             |           OR (o.c_acctbal IS DISTINCT FROM n.c_acctbal) THEN 'update'
+             |         ELSE 'unchanged' END AS change_type
+             |  FROM oldsnap o FULL JOIN newsnap n ON o.c_custkey = n.c_custkey
+             |)
+             |SELECT * FROM diff WHERE change_type != 'unchanged'
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // ANALYZE-style numeric profile (Profile.numericProfile): one
     // aggregation statement for all columns — Spark plans the multiple
     // exact distinct-counts with a single Expand over one scan, not k jobs.

@@ -46,4 +46,58 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(read.count() == ev.filter(col("day") === "2024-01-05").count())
     assert(scan.contains("PartitionFilters") || !scan.contains("Filter ("))
   }
+
+  test("snapshotDiff classifies insert/delete/update/unchanged") {
+    import spark.implicits._
+    val old = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)).toDF("k", "s", "v")
+    val neu = Seq((1L, "a", 10.0), (2L, "b", 25.0), (4L, "D", 40.0),
+      (5L, "e", 50.0)).toDF("k", "s", "v")
+    val got = ScaleOps.snapshotDiff(old, neu, Seq("k"),
+      includeUnchanged = true)
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, "a", 10.0, "unchanged"),
+      (2L, "b", 25.0, "update"),   // new payload carried
+      (3L, "c", 30.0, "delete"),   // old payload carried
+      (4L, "D", 40.0, "update"),
+      (5L, "e", 50.0, "insert")))
+    // default drops unchanged
+    assert(ScaleOps.snapshotDiff(old, neu, Seq("k")).count() == 4)
+  }
+
+  test("snapshotDiff: field going NULL is an update and stays NULL") {
+    import spark.implicits._
+    val old = Seq((1L, Some(10.0)), (2L, None: Option[Double])).toDF("k", "v")
+    val neu = Seq((1L, None: Option[Double]), (2L, None: Option[Double])).toDF("k", "v")
+    val got = ScaleOps.snapshotDiff(old, neu, Seq("k"), includeUnchanged = true)
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getDouble(1),
+        r.getString(2)))
+    assert(got.toSeq == Seq((1L, null, "update"), (2L, null, "unchanged")))
+  }
+
+  test("snapshotDiff rejects duplicate keys within a snapshot") {
+    import spark.implicits._
+    val old = Seq((1L, "a"), (1L, "b")).toDF("k", "s")
+    val neu = Seq((1L, "a")).toDF("k", "s")
+    val e = intercept[Exception] {
+      ScaleOps.snapshotDiff(old, neu, Seq("k")).collect()
+    }
+    assert(e.getMessage.contains("duplicate key") ||
+      e.getCause != null && e.getCause.getMessage.contains("duplicate key"))
+  }
+
+  test("snapshotDiff is a single shuffle of the union") {
+    import spark.implicits._
+    val old = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val neu = Seq((1L, "a"), (3L, "c")).toDF("k", "s")
+    val plan = ScaleOps.snapshotDiff(old, neu, Seq("k"))
+      .queryExecution.executedPlan.toString
+    // union-tag-aggregate: one Exchange, no join operator anywhere
+    assert(!plan.contains("Join"))
+    assert("Exchange".r.findAllIn(plan).size <= 1 ||
+      "Exchange hashpartitioning".r.findAllIn(plan).size <= 1)
+  }
 }
