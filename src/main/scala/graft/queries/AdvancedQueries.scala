@@ -717,6 +717,50 @@ object AdvancedQueries {
              |ORDER BY c_custkey""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // Incremental aggregate maintenance (ops.AggState): the materialized-
+    // view pattern — per-group partial state (count / DECIMAL sum / sumsq
+    // / min / max) built over disjoint increments, MERGED (cost ∝ groups,
+    // not history), finalized as a pure projection. The oracle aggregates
+    // the full table DIRECTLY — equality proves the split-build-merge
+    // path is exact, not approximate. Decimal state is order-independent;
+    // the finalize step is one fixed IEEE tree replayed verbatim in SQL.
+    QuerySpec(
+      "q96_agg_state_merge",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val incA = o.filter(col("o_orderkey") % 3 === 0)
+        val incB = o.filter(col("o_orderkey") % 3 === 1)
+        val incC = o.filter(col("o_orderkey") % 3 === 2)
+        val keys = Seq("o_orderstatus", "o_orderpriority")
+        val merged = graft.ops.AggState.merge(keys,
+          graft.ops.AggState.build(incA, keys, "o_totalprice"),
+          graft.ops.AggState.build(incB, keys, "o_totalprice"),
+          graft.ops.AggState.build(incC, keys, "o_totalprice"))
+        graft.ops.AggState.finalizeState(merged, keys)
+          .orderBy("o_orderstatus", "o_orderpriority")
+      },
+      Some("""WITH st AS (
+             |  SELECT o_orderstatus, o_orderpriority,
+             |    COUNT(o_totalprice) AS n,
+             |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS s,
+             |    SUM(CAST(o_totalprice AS DECIMAL(19,4)) *
+             |        CAST(o_totalprice AS DECIMAL(19,4))) AS ss,
+             |    MIN(CAST(o_totalprice AS DOUBLE)) AS min_v,
+             |    MAX(CAST(o_totalprice AS DOUBLE)) AS max_v
+             |  FROM orders GROUP BY 1, 2
+             |)
+             |SELECT o_orderstatus, o_orderpriority, CAST(n AS BIGINT) AS n,
+             |  CASE WHEN n > 0 THEN
+             |    CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+             |  END AS mean_v,
+             |  CASE WHEN n > 1 THEN
+             |    (CAST(CAST(ss AS VARCHAR) AS DOUBLE)
+             |      - CAST(CAST(s AS VARCHAR) AS DOUBLE) * CAST(CAST(s AS VARCHAR) AS DOUBLE)
+             |      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) END AS var_v,
+             |  min_v, max_v
+             |FROM st ORDER BY o_orderstatus, o_orderpriority""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // ANALYZE-style numeric profile (Profile.numericProfile): one
     // aggregation statement for all columns — Spark plans the multiple
     // exact distinct-counts with a single Expand over one scan, not k jobs.
