@@ -260,6 +260,13 @@ object ArrayMath {
   val topCentroidsName = "graft_top_centroids"
   val imageMetaName = "graft_image_meta"
   val int8DotName = "graft_int8_dot"
+  val bloomName = "graft_bloom_might_contain"
+
+  private def binaryLit(e: Expression, what: String): Array[Byte] = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Array[Byte], _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a binary literal, got $other")
+  }
 
   private def intLit(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
@@ -315,6 +322,10 @@ object ArrayMath {
       imageMetaName, exprs => ImageMeta(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction(
       int8DotName, exprs => Int8DotProduct(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      bloomName,
+      exprs => BloomMightContain(exprs(0), binaryLit(exprs(1), "bloom bits")),
+      "scala_udf")
   }
 
   /** Codegen'd dot product over two array<double> columns. Caller must have
@@ -370,4 +381,11 @@ object ArrayMath {
     */
   def int8Dot(codes: Column, vec: Column): Column =
     call_function(int8DotName, codes, vec)
+
+  /** Codegen'd Bloom membership probe of a bigint hash column against
+    * serialized filter bits (see [[BloomMightContain]]). `bits` is
+    * extracted into ONE plan reference object at resolution time.
+    */
+  def bloomMightContain(hash: Column, bits: Array[Byte]): Column =
+    call_function(bloomName, hash, org.apache.spark.sql.functions.lit(bits))
 }

@@ -219,17 +219,61 @@ object Curation {
   def contaminatedDocs(train: DataFrame, eval: DataFrame, idCol: String,
                        textCol: String, shingleSize: Int = 3,
                        minShared: Long = 1L): DataFrame = {
-    import graft.functions.ArrayMath
-    def shingles(d: DataFrame) = d
-      .select(col(idCol), array_distinct(ArrayMath.shingleHashes(
-        TextOps.tokens(TextOps.normalized(col(textCol))), shingleSize)).as("__shs"))
-      .filter(size(col("__shs")) > 0)
-      .select(col(idCol), explode(col("__shs")).as("__sh"))
-    val evalShingles = shingles(eval).select(col("__sh")).distinct()
-    shingles(train)
+    val evalShingles = docShingles(eval, idCol, textCol, shingleSize)
+      .select(col("__sh")).distinct()
+    docShingles(train, idCol, textCol, shingleSize)
       .join(evalShingles, "__sh")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** [[contaminatedDocs]] for a LARGE eval side — same EXACT result,
+    * different scale shape. The plain flavor relies on AQE broadcasting
+    * the distinct eval shingles; past the broadcast threshold (tens of
+    * millions of shingles) that join degrades to shuffling EVERY training
+    * shingle. Here the eval shingles are first folded into a Bloom filter
+    * (~1.2 bytes/shingle at fpp=1% — an order of magnitude under a hash
+    * set, and sized by a driver-side scalar count, never a collect of the
+    * set), the training side is pruned by a codegen'd
+    * [[graft.functions.BloomMightContain]] probe BEFORE any exchange, and
+    * only the surviving ~(contaminated + fpp) fraction reaches the exact
+    * confirm join that kills the false positives. No false negatives, so
+    * result == contaminatedDocs row-for-row (spec-asserted).
+    */
+  def contaminatedDocsBloom(train: DataFrame, eval: DataFrame, idCol: String,
+                            textCol: String, shingleSize: Int = 3,
+                            minShared: Long = 1L,
+                            fpp: Double = 0.01): DataFrame = {
+    import graft.functions.ArrayMath
+    val evalShingles = docShingles(eval, idCol, textCol, shingleSize)
+      .select(col("__sh")).distinct()
+    val nEval = evalShingles.count() // driver scalar (one long), sizes the filter
+    val bloom = evalShingles.stat.bloomFilter("__sh", math.max(nEval, 1L), fpp)
+    val bits = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    docShingles(train, idCol, textCol, shingleSize)
+      .filter(ArrayMath.bloomMightContain(col("__sh"), bits))
+      .join(evalShingles, "__sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Shared decontamination projection: doc → exploded DISTINCT n-gram
+    * shingle hashes (identity = 64-bit hash, as in
+    * [[Dedup.ngramJaccardPairs]]; collisions negligible, distinct counts
+    * coincide with string shingles).
+    */
+  private def docShingles(d: DataFrame, idCol: String, textCol: String,
+                          shingleSize: Int): DataFrame = {
+    import graft.functions.ArrayMath
+    d.select(col(idCol), array_distinct(ArrayMath.shingleHashes(
+        TextOps.tokens(TextOps.normalized(col(textCol))), shingleSize)).as("__shs"))
+      .filter(size(col("__shs")) > 0)
+      .select(col(idCol), explode(col("__shs")).as("__sh"))
   }
 }

@@ -804,6 +804,39 @@ object TrainingQueries {
               |ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // Bloom-prefiltered decontamination (Curation.contaminatedDocsBloom):
+    // q66's large-eval-set sibling — eval shingles fold into a Bloom
+    // filter (~1.2 bytes/shingle) probed by a codegen'd expression BEFORE
+    // any exchange; false positives die in the exact confirm join, so the
+    // result is EXACT and the oracle is the plain SQL join. Different
+    // eval slice (every 37th doc) and threshold (≥ 2 shared shingles).
+    QuerySpec(
+      "q97_decontaminate_bloom",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Curation.contaminatedDocsBloom(
+          docs.filter(col("doc_id") % 37 =!= 0),
+          docs.filter(col("doc_id") % 37 === 0),
+          "doc_id", "text", shingleSize = 3, minShared = 2L)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents
+              |), sh AS (
+              |  SELECT doc_id, unnest(list_distinct(
+              |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)])) AS s
+              |  FROM t
+              |), ev AS (
+              |  SELECT DISTINCT s FROM sh WHERE doc_id % 37 = 0
+              |)
+              |SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+              |FROM sh JOIN ev ON sh.s = ev.s
+              |WHERE sh.doc_id % 37 != 0
+              |GROUP BY sh.doc_id
+              |HAVING COUNT(*) >= 2
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // TF-IDF top-5 terms per document (tf · ln(N/df)). Ranking by the
     // UNROUNDED score with term tie-break; ln(N/df) probed bit-identical
     // JVM-vs-DuckDB across every achievable ratio at this scale, products

@@ -132,6 +132,53 @@ class CurationSpec extends AnyFunSuite {
     assert(strict.toSeq == Seq(2L))
   }
 
+  test("contaminatedDocsBloom equals contaminatedDocs row-for-row") {
+    // real corpus slice: every 11th doc as the eval set, the rest training
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(400).localCheckpoint()
+    val train = docs.filter(col("doc_id") % 11 =!= 0)
+    val evalDf = docs.filter(col("doc_id") % 11 === 0)
+    for (minShared <- Seq(1L, 2L)) {
+      val plain = Curation.contaminatedDocs(train, evalDf, "doc_id", "text",
+        shingleSize = 3, minShared = minShared)
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val bloomed = Curation.contaminatedDocsBloom(train, evalDf, "doc_id",
+        "text", shingleSize = 3, minShared = minShared)
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(bloomed.toSeq == plain.toSeq)
+    }
+  }
+
+  test("bloom_might_contain: no false negatives, bounded false positives, codegen") {
+    import spark.implicits._
+    import graft.functions.ArrayMath
+    val members = (0L until 2000L).map(_ * 7919L)
+    val bloom = members.toDF("h").stat.bloomFilter("h", 2000L, 0.01)
+    val bits = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos); bos.toByteArray
+    }
+    // every inserted key passes (the sketch guarantee the confirm-join
+    // composition relies on)
+    val inserted = members.toDF("h")
+      .filter(ArrayMath.bloomMightContain(col("h"), bits)).count()
+    assert(inserted == members.size)
+    // non-members pass at ~fpp — allow 4x headroom over the nominal 1%
+    val probes = (0L until 20000L).map(_ * 7919L + 13L).toDF("h")
+    val fp = probes.filter(ArrayMath.bloomMightContain(col("h"), bits)).count()
+    assert(fp <= 20000L * 0.04, s"false-positive count $fp above bound")
+    // the probe stays inside whole-stage codegen (no fallback to eval);
+    // a parquet-backed frame so the filter can't be pre-evaluated by
+    // ConvertToLocalRelation
+    val plan = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(xxhash64(col("text")).as("h"))
+      .filter(ArrayMath.bloomMightContain(col("h"), bits))
+      .queryExecution.executedPlan.toString
+    // `*(n)` marks a whole-stage-codegen span in the plan string
+    assert("""\*\(\d+\) Filter bloom_might_contain""".r
+      .findFirstIn(plan).isDefined, plan)
+  }
+
   test("pruneFrequentUnits drops cross-doc boilerplate lines, keeps order") {
     import spark.implicits._
     val banner = "ACME corp all rights reserved"
