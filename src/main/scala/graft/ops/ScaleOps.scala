@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale utilities: the partitioning/bucketing/skew patterns that make the
@@ -181,6 +181,60 @@ object ScaleOps {
       .withColumn(currentCol, lit(true))
       .drop(versionCol)
     adjusted.unionByName(inserts)
+  }
+
+  /** Morton (Z-order) code over pre-binned dimension columns: interleaves
+    * the low `bits` bits of each column (column j contributes bit i to
+    * result position i·k+j), so rows close in EVERY dimension get close
+    * z-values. Clustering a table by z-value gives each parquet file a
+    * tight min/max envelope on ALL the binned columns at once — scans
+    * filtering on any subset of them prune files, where a plain sort
+    * only serves its leading column. Pure bit arithmetic on codegen
+    * built-ins (shift/and/or), zero shuffles, exactly replayable in any
+    * engine with integer bit ops (q98's oracle).
+    *
+    * Inputs must already be binned to [0, 2^bits) (integer-typed; higher
+    * bits are masked off here so out-of-range values wrap rather than
+    * corrupt neighbors' positions). [[rangeBin]] bins a numeric column.
+    */
+  def zorderValue(binCols: Seq[Column], bits: Int): Column = {
+    val k = binCols.size
+    require(k >= 1, "zorderValue needs at least one dimension")
+    require(bits >= 1 && bits * k <= 63,
+      s"bits x dimensions must fit a long, got $bits x $k")
+    val terms = for {
+      (c, j) <- binCols.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)), i * k + j)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Bin a numeric column to [0, 2^bits) over a fixed [lo, hi) range
+    * (clamped at the edges) — the binning companion of [[zorderValue]].
+    */
+  def rangeBin(c: Column, lo: Double, hi: Double, bits: Int): Column = {
+    require(hi > lo, "rangeBin needs hi > lo")
+    val n = 1L << bits
+    least(lit(n - 1), greatest(lit(0L),
+      floor((c.cast("double") - lit(lo)) / lit(hi - lo) * lit(n.toDouble))
+        .cast("long")))
+  }
+
+  /** Cluster a table by Z-order for a multi-dimension-prunable layout:
+    * range-repartition on the z-value (each output partition owns a
+    * contiguous z-range → a compact region of the dimension space), sort
+    * within partitions, drop the helper column. Write the result
+    * partitioned/bucketed as usual; min/max file stats then prune scans
+    * on ANY binned dimension. One range shuffle, same cost as a global
+    * sort by one column.
+    */
+  def clusterByZOrder(df: DataFrame, binCols: Seq[Column], bits: Int,
+                      numPartitions: Int): DataFrame = {
+    val z = "__zorder"
+    df.withColumn(z, zorderValue(binCols, bits))
+      .repartitionByRange(numPartitions, col(z))
+      .sortWithinPartitions(col(z))
+      .drop(z)
   }
 
   /** Snapshot diff — change-data-capture between two FULL snapshots of a

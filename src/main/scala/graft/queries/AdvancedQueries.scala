@@ -761,6 +761,38 @@ object AdvancedQueries {
              |FROM st ORDER BY o_orderstatus, o_orderpriority""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // Z-order (Morton) code (ScaleOps.zorderValue): the multi-dimensional
+    // clustering key behind data-skipping layouts — interleaves the low 8
+    // bits of customer and order-day bins so files clustered by z carry
+    // tight min/max envelopes on BOTH dimensions (ScaleOpsSpec asserts
+    // the locality win; this query pins the code itself). Pure codegen
+    // bit arithmetic, replayed term-for-term with DuckDB's bit operators.
+    QuerySpec(
+      "q98_zorder_code",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).select(col("o_orderkey"),
+          pmod(col("o_custkey"), lit(256)).cast("long").as("bx"),
+          pmod(datediff(to_date(col("o_orderdate")), lit("1970-01-01")),
+            lit(256)).cast("long").as("bd"))
+        o.withColumn("z",
+            graft.ops.ScaleOps.zorderValue(Seq(col("bx"), col("bd")), 8))
+          .orderBy("o_orderkey")
+      },
+      Some {
+        val terms = (for { j <- 0 to 1; i <- 0 until 8 } yield {
+          val c = if (j == 0) "bx" else "bd"
+          s"((($c >> $i) & 1) << ${i * 2 + j})"
+        }).mkString(" | ")
+        s"""WITH b AS (
+           |  SELECT o_orderkey, o_custkey % 256 AS bx,
+           |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 256 AS bd
+           |  FROM orders
+           |)
+           |SELECT o_orderkey, bx, bd, ($terms) AS z
+           |FROM b ORDER BY o_orderkey""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
     // ANALYZE-style numeric profile (Profile.numericProfile): one
     // aggregation statement for all columns — Spark plans the multiple
     // exact distinct-counts with a single Expand over one scan, not k jobs.

@@ -47,6 +47,55 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters") || !scan.contains("Filter ("))
   }
 
+  test("zorderValue matches a reference bit-interleave; wraps out-of-range") {
+    import spark.implicits._
+    def ref(vals: Seq[Long], bits: Int): Long = {
+      var z = 0L
+      for (j <- vals.indices; i <- 0 until bits)
+        z |= (((vals(j) & ((1L << bits) - 1)) >> i) & 1L) << (i * vals.size + j)
+      z
+    }
+    val rows = for (x <- 0L until 40L; y <- Seq(0L, 7L, 255L, 300L))
+      yield (x, y)
+    val got = rows.toDF("x", "y")
+      .withColumn("z", ScaleOps.zorderValue(Seq(col("x"), col("y")), 8))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (x, y, z) => assert(z == ref(Seq(x, y), 8), s"($x,$y)") }
+    // adjacent-in-both-dims points have close z-values (locality sanity)
+    assert(ref(Seq(3, 3), 8) - ref(Seq(2, 2), 8) < 16)
+  }
+
+  test("clusterByZOrder: partitions carry tight envelopes on BOTH dims") {
+    import spark.implicits._
+    val n = 64
+    val grid = (for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    // pruning metric: a scan filtering on dimension d skips a partition
+    // iff d falls outside its [min,max] envelope, so the per-dimension
+    // span sum ∝ expected partitions touched. The WORST dimension is
+    // what matters — a single-column sort gives perfect x-envelopes but
+    // full-range y-envelopes (zero pruning on y).
+    def worstDimSpanSum(df: org.apache.spark.sql.DataFrame): Long = {
+      val spans = df.withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg((max(col("x")) - min(col("x"))).as("sx"),
+          (max(col("y")) - min(col("y"))).as("sy"))
+        .agg(sum(col("sx")), sum(col("sy"))).head()
+      math.max(spans.getLong(0), spans.getLong(1))
+    }
+    val clustered = ScaleOps.clusterByZOrder(grid,
+      Seq(col("x"), col("y")), bits = 6, numPartitions = 16)
+    val zWorst = worstDimSpanSum(clustered)
+    val sorted = grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+    val sortWorst = worstDimSpanSum(sorted)
+    // 16 z-partitions of a 64x64 grid ≈ 16x16 tiles: both dims span ~15
+    // per partition (sum ~240); x-sort stripes span the full 63 on y
+    // (sum ~1008). z must prune the worst dimension ≥ 2x better.
+    assert(zWorst < sortWorst / 2, s"z=$zWorst sort=$sortWorst")
+    // clustering only reorders rows
+    assert(clustered.count() == grid.count())
+  }
+
   test("snapshotDiff classifies insert/delete/update/unchanged") {
     import spark.implicits._
     val old = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
