@@ -261,6 +261,19 @@ object ArrayMath {
   val imageMetaName = "graft_image_meta"
   val int8DotName = "graft_int8_dot"
   val bloomName = "graft_bloom_might_contain"
+  val matVecName = "graft_mat_vec_affine"
+
+  /** Extract a foldable array<double> argument into a plain JVM array at
+    * function-resolution time (the vector sibling of [[matrixLit]]).
+    */
+  private def vectorLit(e: Expression, what: String): Array[Double] =
+    e.dataType match {
+      case ArrayType(DoubleType, _) if e.foldable =>
+        e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+          .asInstanceOf[ArrayData].toDoubleArray()
+      case _ => throw new IllegalArgumentException(
+        s"$what must be a foldable array<double> literal, got $e")
+    }
 
   private def binaryLit(e: Expression, what: String): Array[Byte] = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Array[Byte], _) => v
@@ -326,6 +339,11 @@ object ArrayMath {
       bloomName,
       exprs => BloomMightContain(exprs(0), binaryLit(exprs(1), "bloom bits")),
       "scala_udf")
+    reg.createOrReplaceTempFunction(
+      matVecName,
+      exprs => MatVecAffine(exprs(0), matrixLit(exprs(1), "projection matrix"),
+        vectorLit(exprs(2), "projection offset")),
+      "scala_udf")
   }
 
   /** Codegen'd dot product over two array<double> columns. Caller must have
@@ -381,6 +399,13 @@ object ArrayMath {
     */
   def int8Dot(codes: Column, vec: Column): Column =
     call_function(int8DotName, codes, vec)
+
+  /** Codegen'd affine projection y = M·x − b of an array<double> vector
+    * against plan-reference matrix/offset literals (see [[MatVecAffine]]).
+    * Both non-vector args must be foldable (`typedLit`) literals.
+    */
+  def matVecAffine(vec: Column, matrix: Column, offset: Column): Column =
+    call_function(matVecName, vec, matrix, offset)
 
   /** Codegen'd Bloom membership probe of a bigint hash column against
     * serialized filter bits (see [[BloomMightContain]]). `bits` is

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Centroid assignment/ranking for IVF and SemDeDup
   * ([[graft.ops.Ivf]], `Similarity.semDeDup`).
@@ -129,4 +129,89 @@ case class TopCentroidIds(child: Expression, centroids: Array[Array[Double]],
     copy(child = newChild)
 
   override def prettyName: String = "top_centroids"
+}
+
+/** Affine map `y = M·x − b` over an array<double> OR array<float> vector —
+  * the projection kernel of [[graft.ops.Pca]] (b = M·mean folds the
+  * centering into the offset, so the per-row work is exactly one
+  * mat-vec). Same plan-reference-matrix shape as [[NearestCentroidId]]:
+  * M and b ride as TWO reference objects, plan size O(1) in both
+  * dimensions, and the double loop codegens into the whole-stage span.
+  * Float input is widened per ELEMENT in the multiply — accepting it
+  * natively (rather than via `transform(x, cast)`) matters because that
+  * higher-order function breaks the codegen span right at the hot loop
+  * (same reasoning as [[Int8DotProduct]]). Rows shorter than M's column
+  * count treat missing entries as 0 (consistent with [[DotProduct]]'s
+  * min-length contract).
+  */
+case class MatVecAffine(child: Expression, m: Array[Array[Double]],
+                        b: Array[Double])
+    extends UnaryExpression {
+
+  require(m.nonEmpty && m.length == b.length,
+    "matrix rows and offset length must match")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double> or array<float>, got ${t.catalogString}")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType == ArrayType(FloatType, containsNull = false) ||
+      child.dataType == ArrayType(FloatType, containsNull = true)
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val fl = isFloat
+    val out = new Array[Double](m.length)
+    var r = 0
+    while (r < m.length) {
+      val row = m(r)
+      val n = math.min(row.length, x.numElements())
+      var s = 0.0
+      var j = 0
+      while (j < n) {
+        s += row(j) * (if (fl) x.getFloat(j).toDouble else x.getDouble(j))
+        j += 1
+      }
+      out(r) = s - b(r)
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val mat = ctx.addReferenceObj("matrix", m, "double[][]")
+      val off = ctx.addReferenceObj("offset", b, "double[]")
+      val out = ctx.freshName("out")
+      val r = ctx.freshName("r")
+      val row = ctx.freshName("row")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val j = ctx.freshName("j")
+      val get = if (isFloat) s"(double) $v.getFloat($j)" else s"$v.getDouble($j)"
+      s"""
+         |double[] $out = new double[$mat.length];
+         |for (int $r = 0; $r < $mat.length; $r++) {
+         |  double[] $row = $mat[$r];
+         |  int $n = java.lang.Math.min($row.length, $v.numElements());
+         |  double $s = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $s += $row[$j] * $get;
+         |  }
+         |  $out[$r] = $s - $off[$r];
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "mat_vec_affine"
 }

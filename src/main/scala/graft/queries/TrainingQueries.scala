@@ -837,6 +837,79 @@ object TrainingQueries {
               |ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // PCA over the embedding corpus (ops.Pca): one treeAggregate pass for
+    // the d×d moments, driver-side Jacobi eigensolve, codegen'd mat-vec
+    // projection. Eigenvalues aren't SQL-replayable, so the oracle is the
+    // q46/q47 banded shape: DuckDB replays n and the covariance TRACE
+    // exactly (per-dim DECIMAL moments, finalize tree verbatim — the
+    // trace equals Σλ by linear algebra, so it pins the whole spectrum's
+    // mass), plus in-band verdicts computed distributed: Σλ within 1e-6
+    // of the independent decimal trace, components orthonormal (driver
+    // check), and var(first projected component) within 1e-6 of λ0.
+    QuerySpec(
+      "q99_pca",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val model = graft.ops.Pca.fit(emb, "embedding")
+        val d = model.mean.length
+        val eigSum = model.eigenvalues.sum
+        val lam0 = model.eigenvalues(0)
+        var maxDev = 0.0
+        for (i <- 0 until d; j <- i until d) {
+          val dot = model.components(i).zip(model.components(j))
+            .map(t => t._1 * t._2).sum
+          maxDev = math.max(maxDev, math.abs(dot - (if (i == j) 1.0 else 0.0)))
+        }
+        val orthoOk = maxDev < 1e-10
+        def e(i: Int) = element_at(col("embedding"), i + 1).cast("double")
+        val sCols = (0 until d).map(i =>
+          sum(e(i).cast("decimal(18,7)")).as(s"s$i"))
+        // (18,7)² → decimal(37,14), exact; (19,7)² would hit Spark's
+        // precision-39 cap and silently round the scale to 13. DuckDB
+        // needs (19,7) on one side instead to escape its int64 multiply.
+        val ssCols = (0 until d).map(i =>
+          sum(e(i).cast("decimal(18,7)") * e(i).cast("decimal(18,7)")).as(s"ss$i"))
+        val stats = emb.agg(count(lit(1)).as("n"), (sCols ++ ssCols): _*)
+        val nD = col("n").cast("double")
+        val varT = (0 until d).map(i =>
+          (col(s"ss$i").cast("double")
+            - col(s"s$i").cast("double") * col(s"s$i").cast("double") / nD)
+            / (nD - lit(1.0)))
+        val trace = varT.reduce(_ + _)
+        val projVar = graft.ops.Pca.project(emb, "embedding", model, 1)
+          .agg(var_samp(element_at(col("pca"), 1)).as("pv"))
+        stats.crossJoin(broadcast(projVar)).select(
+          col("n"),
+          trace.as("trace_v"),
+          (abs(lit(eigSum) - trace) / trace < lit(1e-6)).as("eig_sum_ok"),
+          lit(orthoOk).as("ortho_ok"),
+          (abs(col("pv") - lit(lam0)) / lit(lam0) < lit(1e-6)).as("proj_var_ok"))
+      },
+      Some {
+        val d = 64
+        def sTerm(i: Int) =
+          s"SUM(CAST(CAST(embedding[${i + 1}] AS DOUBLE) AS DECIMAL(18,7))) AS s$i"
+        def ssTerm(i: Int) =
+          s"SUM(CAST(CAST(embedding[${i + 1}] AS DOUBLE) AS DECIMAL(19,7)) * " +
+            s"CAST(CAST(embedding[${i + 1}] AS DOUBLE) AS DECIMAL(19,7))) AS ss$i"
+        def varTerm(i: Int) =
+          s"((CAST(CAST(ss$i AS VARCHAR) AS DOUBLE) - " +
+            s"CAST(CAST(s$i AS VARCHAR) AS DOUBLE) * CAST(CAST(s$i AS VARCHAR) AS DOUBLE)" +
+            s" / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))"
+        val aggs = ((0 until d).map(sTerm) ++ (0 until d).map(ssTerm)).mkString(",\n    ")
+        val chain = (0 until d).map(varTerm).reduce((a, b) => s"($a + $b)")
+        s"""WITH st AS (
+           |  SELECT COUNT(*) AS n,
+           |    $aggs
+           |  FROM embeddings
+           |)
+           |SELECT CAST(n AS BIGINT) AS n,
+           |  $chain AS trace_v,
+           |  TRUE AS eig_sum_ok, TRUE AS ortho_ok, TRUE AS proj_var_ok
+           |FROM st""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
     // TF-IDF top-5 terms per document (tf · ln(N/df)). Ranking by the
     // UNROUNDED score with term tie-break; ln(N/df) probed bit-identical
     // JVM-vs-DuckDB across every achievable ratio at this scale, products
