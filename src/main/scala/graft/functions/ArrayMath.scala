@@ -262,6 +262,8 @@ object ArrayMath {
   val int8DotName = "graft_int8_dot"
   val bloomName = "graft_bloom_might_contain"
   val matVecName = "graft_mat_vec_affine"
+  val bpeMergeName = "graft_bpe_merge_pair"
+  val bpeEncodeName = "graft_bpe_encode"
 
   /** Extract a foldable array<double> argument into a plain JVM array at
     * function-resolution time (the vector sibling of [[matrixLit]]).
@@ -273,6 +275,19 @@ object ArrayMath {
           .asInstanceOf[ArrayData].toDoubleArray()
       case _ => throw new IllegalArgumentException(
         s"$what must be a foldable array<double> literal, got $e")
+    }
+
+  /** Extract a foldable array<string> argument into a plain JVM array at
+    * function-resolution time.
+    */
+  private def stringArrayLit(e: Expression, what: String): Array[String] =
+    e.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) if e.foldable =>
+        e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+          .asInstanceOf[ArrayData].toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(s => if (s == null) null else s.toString)
+      case _ => throw new IllegalArgumentException(
+        s"$what must be a foldable array<string> literal, got $e")
     }
 
   private def binaryLit(e: Expression, what: String): Array[Byte] = e match {
@@ -344,6 +359,13 @@ object ArrayMath {
       exprs => MatVecAffine(exprs(0), matrixLit(exprs(1), "projection matrix"),
         vectorLit(exprs(2), "projection offset")),
       "scala_udf")
+    reg.createOrReplaceTempFunction(
+      bpeMergeName,
+      exprs => BpeMergePair(exprs(0), exprs(1), exprs(2)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      bpeEncodeName,
+      exprs => BpeEncode(exprs(0), stringArrayLit(exprs(1), "merge list")),
+      "scala_udf")
   }
 
   /** Codegen'd dot product over two array<double> columns. Caller must have
@@ -406,6 +428,20 @@ object ArrayMath {
     */
   def matVecAffine(vec: Column, matrix: Column, offset: Column): Column =
     call_function(matVecName, vec, matrix, offset)
+
+  /** One BPE training-round rewrite: fuse adjacent (l, r) occurrences in
+    * a symbol array (see [[BpeMergePair]]; vocab-plane, eval-mode).
+    */
+  def bpeMergePair(syms: Column, l: Column, r: Column): Column =
+    call_function(bpeMergeName, syms, l, r)
+
+  /** Greedy BPE encode of a word array against a learned merge list
+    * (each entry "left right"); ranks ride as one reference object (see
+    * [[BpeEncode]]).
+    */
+  def bpeEncode(words: Column, merges: Array[String]): Column =
+    call_function(bpeEncodeName, words,
+      org.apache.spark.sql.functions.typedLit(merges.toSeq))
 
   /** Codegen'd Bloom membership probe of a bigint hash column against
     * serialized filter bits (see [[BloomMightContain]]). `bits` is

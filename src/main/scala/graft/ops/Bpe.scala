@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.ArrayMath
+
+/** Byte-pair-encoding tokenizer: distributed vocabulary TRAINING and
+  * corpus-scale ENCODING (Sennrich et al., ACL'16 — the subword algorithm
+  * behind GPT/Llama-family tokenizers; whitespace pre-tokenization, merges
+  * learned over word TYPES).
+  *
+  * Scale shape:
+  *   - ONE corpus-scale pass total: the word-type histogram (one explode +
+  *     one shuffle). Everything iterative happens on the VOCAB table —
+  *     |word types| rows (≲ millions), independent of corpus size — so
+  *     `numMerges` iterations cost numMerges aggregations of a small
+  *     cached frame, not numMerges corpus scans. Lineage is flattened
+  *     with localCheckpoint per merge (same discipline as
+  *     [[Dedup.connectedComponents]]'s iterate loop).
+  *   - each iteration moves ONE row to the driver (the winning pair).
+  *   - encoding is a pure projection: one codegen-span call per row into
+  *     [[graft.functions.BpeEncode]], the learned merge ranks riding the
+  *     plan as a single reference object (bloom-filter pattern). Greedy
+  *     lowest-rank-first application, the standard BPE encode.
+  *
+  * Determinism: the winning pair maximizes summed count with ties broken
+  * lexicographically on (left, right) — training is reproducible across
+  * partitionings (spec-asserted), so merges learned once can be shipped
+  * as config.
+  */
+object Bpe {
+
+  /** One learned merge: rank order, the two symbols joined, and the
+    * pair's weighted count at merge time.
+    */
+  case class Merge(rank: Int, left: String, right: String, pairCount: Long)
+
+  /** Learn up to `numMerges` merges from the corpus. Stops early when no
+    * pair reaches `minPairCount`. Word types are split to single
+    * characters and greedily fused; a space is reserved as an internal
+    * separator and must not occur in the text.
+    */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+            minPairCount: Long = 2L): Seq[Merge] = {
+    require(numMerges >= 1, "numMerges must be positive")
+    val spark = df.sparkSession
+    // the single corpus-scale pass: word-type histogram
+    val wordCounts = df
+      .select(explode(TextOps.tokens(TextOps.normalized(col(textCol)))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    // vocab-plane from here on: syms = the word as an array of symbols
+    var vocab = wordCounts
+      .select(col("cnt"), expr("filter(split(w, ''), x -> x != '')").as("syms"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[Merge]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      // adjacent pairs weighted by word count; slice twice instead of a
+      // positional join — stays one small aggregation, no shuffle of
+      // anything corpus-sized
+      val best = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          """zip_with(slice(syms, 1, size(syms) - 1),
+            |         slice(syms, 2, size(syms) - 1),
+            |         (a, b) -> struct(a AS l, b AS r))""".stripMargin)).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty || best(0).getLong(2) < minPairCount) done = true
+      else {
+        val (l, r, pc) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        merges += Merge(rank, l, r, pc)
+        vocab = vocab
+          .withColumn("syms",
+            ArrayMath.bpeMergePair(col("syms"), lit(l), lit(r)))
+          .localCheckpoint() // flatten lineage each merge round
+        rank += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Learned merges as a DataFrame (rank, left, right, pair_count) — the
+    * persistable artifact form of [[train]].
+    */
+  def mergesDf(df: DataFrame, merges: Seq[Merge]): DataFrame = {
+    import df.sparkSession.implicits._
+    merges.map(m => (m.rank, m.left, m.right, m.pairCount))
+      .toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Encode: appends `outCol` = array<string> of BPE tokens for the whole
+    * document (words whitespace-split and normalized exactly as in
+    * [[train]], each encoded by greedy lowest-rank merging). Pure
+    * projection, zero shuffles, merge table as one plan reference object.
+    */
+  def encode(df: DataFrame, textCol: String, merges: Seq[Merge],
+             outCol: String = "bpe_tokens"): DataFrame =
+    df.withColumn(outCol, ArrayMath.bpeEncode(
+      TextOps.tokens(TextOps.normalized(col(textCol))),
+      merges.map(m => m.left + " " + m.right).toArray))
+}

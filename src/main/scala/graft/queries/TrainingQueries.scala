@@ -910,6 +910,52 @@ object TrainingQueries {
       }),
 
     // ------------------------------------------------------------------
+    // BPE tokenizer TRAINING (ops.Bpe.train, Sennrich ACL'16): one
+    // corpus-scale pass (word-type histogram), then numMerges iterations
+    // over the VOCAB table only — each moving one winning pair to the
+    // driver. The merge list is fully deterministic (max count, ties
+    // lexicographic), but no SQL engine can replay the iterative
+    // algorithm → rows-only here; BpeSpec certifies the merge sequence
+    // against a hand-computed corpus and layout-invariance.
+    QuerySpec(
+      "q100_bpe_train",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val merges = graft.ops.Bpe.train(docs, "text", numMerges = 30)
+        graft.ops.Bpe.mergesDf(docs, merges).orderBy("rank")
+      },
+      None),
+
+    // ------------------------------------------------------------------
+    // BPE ENCODING at corpus scale (ops.Bpe.encode): greedy lowest-rank
+    // merging per word, learned ranks as ONE plan reference object inside
+    // the codegen span, zero shuffles. Banded oracle: DuckDB replays
+    // doc_id and the whitespace-free character count exactly; the BPE
+    // semantics ride as in-band verdicts — token concatenation must
+    // reproduce the letters (losslessness) and the token count must land
+    // in [1, n_chars] (real compression, no dropped text).
+    QuerySpec(
+      "q101_bpe_encode",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val merges = graft.ops.Bpe.train(docs, "text", numMerges = 20)
+        val letters = regexp_replace(graft.ops.TextOps.normalized(col("text")),
+          " ", "")
+        graft.ops.Bpe.encode(docs, "text", merges)
+          .select(col("doc_id"), length(letters).as("n_chars"),
+            (concat_ws("", col("bpe_tokens")) === letters).as("rejoin_ok"),
+            ((length(letters) === 0 && size(col("bpe_tokens")) === 0) ||
+              (size(col("bpe_tokens")) >= 1 &&
+                size(col("bpe_tokens")) <= length(letters)))
+              .as("compression_ok"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+              |  CAST(length(replace($normSql, ' ', '')) AS INT) AS n_chars,
+              |  TRUE AS rejoin_ok, TRUE AS compression_ok
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // TF-IDF top-5 terms per document (tf · ln(N/df)). Ranking by the
     // UNROUNDED score with term tie-break; ln(N/df) probed bit-identical
     // JVM-vs-DuckDB across every achievable ratio at this scale, products
