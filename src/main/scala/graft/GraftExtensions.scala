@@ -49,6 +49,72 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(ArrayMath.topCentroidsName,
         "_FUNC_(vec, matrix, nProbe) - nProbe best centroid row ids, best first"),
       exprs => TopCentroidIds(exprs(0), litMatrix(exprs(1)), litInt(exprs(2)))))
+    e.injectFunction((FunctionIdentifier(ArrayMath.sortedIntersectName),
+      info(ArrayMath.sortedIntersectName,
+        "_FUNC_(a, b) - |A ∩ B| of two sorted duplicate-free array<bigint>"),
+      exprs => SortedIntersectCount(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier(ArrayMath.textStatsName),
+      info(ArrayMath.textStatsName,
+        "_FUNC_(text) - one-pass text statistics struct"),
+      exprs => TextStats(exprs(0))))
+    e.injectFunction((FunctionIdentifier(ArrayMath.imageMetaName),
+      info(ArrayMath.imageMetaName,
+        "_FUNC_(bytes) - PNG/JPEG header metadata struct, NULL if unparseable"),
+      exprs => ImageMeta(exprs(0))))
+    e.injectFunction((FunctionIdentifier(ArrayMath.int8DotName),
+      info(ArrayMath.int8DotName,
+        "_FUNC_(codes, vec) - dot(array<tinyint>, array<double>)"),
+      exprs => Int8DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier(ArrayMath.bloomName),
+      info(ArrayMath.bloomName,
+        "_FUNC_(hash, bits) - Bloom-filter membership probe of a bigint hash"),
+      exprs => BloomMightContain(exprs(0), litBinary(exprs(1)))))
+    e.injectFunction((FunctionIdentifier(ArrayMath.matVecName),
+      info(ArrayMath.matVecName,
+        "_FUNC_(vec, matrix, offset) - affine map matrix*vec - offset"),
+      exprs => MatVecAffine(exprs(0), litMatrix(exprs(1)), litVector(exprs(2)))))
+    e.injectFunction((FunctionIdentifier(ArrayMath.bpeMergeName),
+      info(ArrayMath.bpeMergeName,
+        "_FUNC_(syms, l, r) - fuse adjacent (l, r) symbol pairs left to right"),
+      exprs => BpeMergePair(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((FunctionIdentifier(ArrayMath.bpeEncodeName),
+      info(ArrayMath.bpeEncodeName,
+        "_FUNC_(words, merges) - greedy BPE encode against 'l r' merge list"),
+      exprs => BpeEncode(exprs(0), litStringArray(exprs(1)))))
+  }
+
+  private def litVector(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Array[Double] = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    e.dataType match {
+      case ArrayType(DoubleType, _) if e.foldable =>
+        e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray()
+      case _ => throw new IllegalArgumentException(
+        "offset must be a foldable array<double> literal")
+    }
+  }
+
+  private def litStringArray(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Array[String] = {
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    e.dataType match {
+      case ArrayType(StringType, _) if e.foldable =>
+        e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toObjectArray(StringType)
+          .map(s => if (s == null) null else s.toString)
+      case _ => throw new IllegalArgumentException(
+        "merge list must be a foldable array<string> literal")
+    }
+  }
+
+  private def litBinary(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Array[Byte] = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Array[Byte], _) => v
+    case other => throw new IllegalArgumentException(
+      s"bloom bits must be a binary literal, got $other")
   }
 
   private def litMatrix(e: org.apache.spark.sql.catalyst.expressions.Expression)

@@ -108,6 +108,16 @@ class FileChecksSpec extends AnyFunSuite {
         .head()
       assert(r.getDouble(0) == 11.0)
       assert(r.getLong(1) != 0L)
+      // round-6 injections: affine mat-vec and BPE from plain SQL
+      val r2 = s2.sql(
+        "SELECT graft_mat_vec_affine(array(1.0d, 2.0d), " +
+          "array(array(1.0d, 1.0d), array(0.0d, 3.0d)), array(0.0d, 1.0d)) AS mv, " +
+          "graft_bpe_encode(array('hug'), array('u g', 'h ug')) AS toks, " +
+          "graft_bpe_merge_pair(array('h','u','g'), 'u', 'g') AS merged")
+        .head()
+      assert(r2.getSeq[Double](0).toList == List(3.0, 5.0))
+      assert(r2.getSeq[String](1).toList == List("hug"))
+      assert(r2.getSeq[String](2).toList == List("h", "ug"))
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)
