@@ -56,6 +56,11 @@ object AggState {
     */
   def merge(keyCols: Seq[String], states: DataFrame*): DataFrame = {
     require(states.nonEmpty, "merge needs at least one state")
+    // mixed-scale states would silently coerce (and round) in the union —
+    // reject instead; states meant to merge must share a build scale
+    require(states.map(_.schema("sum_v").dataType).distinct.size == 1 &&
+      states.map(_.schema("sumsq_v").dataType).distinct.size == 1,
+      "all states must share the same decimal scale (same build `scale`)")
     val scaleOf = states.head.schema("sum_v").dataType
       .asInstanceOf[org.apache.spark.sql.types.DecimalType].scale
     states.reduce(_ unionByName _)

@@ -251,8 +251,9 @@ object ScaleOps {
     * uniqueness per snapshot (without which a diff is meaningless — a
     * duplicate key would silently cross-multiply in a join) is enforced
     * FREE inside the same aggregate via a distributed assert. NULL key
-    * components group together (GROUP BY null semantics, matching the SQL
-    * replay) rather than silently producing delete+insert pairs.
+    * components group together (GROUP BY null semantics) rather than
+    * silently producing delete+insert pairs — note a FULL JOIN spelling
+    * (like q95's oracle, whose keys are never null) differs there.
     *
     * Payload columns may be any Spark type (compared as a struct with
     * null-safe `<=>`; carried via `first` over the ≤1 row per side).

@@ -57,6 +57,15 @@ class AggStateSpec extends AnyFunSuite {
       c.isNullAt(2) && c.isNullAt(3) && c.isNullAt(4) && c.isNullAt(5))
   }
 
+  test("merge rejects states built at different scales") {
+    import spark.implicits._
+    val df = Seq(("a", 1.5)).toDF("k", "v")
+    val s4 = AggState.build(df, Seq("k"), "v", scale = 4)
+    val s6 = AggState.build(df, Seq("k"), "v", scale = 6)
+    val e = intercept[IllegalArgumentException](AggState.merge(Seq("k"), s4, s6))
+    assert(e.getMessage.contains("scale"))
+  }
+
   test("merge result is independent of partition layout") {
     val o = Tables.orders(spark, sf)
       .select(col("o_orderpriority").as("k"), col("o_totalprice").as("v"))
