@@ -76,10 +76,13 @@ object Bpe {
         val (l, r, pc) = (best(0).getString(0), best(0).getString(1),
           best(0).getLong(2))
         merges += Merge(rank, l, r, pc)
-        vocab = vocab
-          .withColumn("syms",
-            ArrayMath.bpeMergePair(col("syms"), lit(l), lit(r)))
-          .localCheckpoint() // flatten lineage each merge round
+        val next = vocab.withColumn("syms",
+          ArrayMath.bpeMergePair(col("syms"), lit(l), lit(r)))
+        // flatten lineage every few rounds: a checkpoint is a full
+        // materialization job, while re-running ≤3 stacked merge
+        // projections inside the next aggregation is nearly free —
+        // halves the job count of a long training run
+        vocab = if ((rank + 1) % 4 == 0) next.localCheckpoint() else next
         rank += 1
       }
     }
