@@ -291,4 +291,93 @@ object StreamingIngest {
     }
     compacted
   }
+
+  /** Streaming materialized-view maintenance: fold each micro-batch into a
+    * persistent [[graft.ops.AggState]] state table — the end-to-end form
+    * of the incremental-aggregate story (q96 proves the algebra; this is
+    * the continuous refresh). Per batch: build the batch's partial state
+    * (cost ∝ batch), merge it with the stored state (cost ∝ |groups|,
+    * never history), and write the result as a NEW VERSION directory
+    * `v<batchId>` committed by a marker file — plain parquet has no
+    * atomic overwrite, so versions + markers give crash-safe exactly-once:
+    * a replayed batch sees its marker and skips (state-level idempotence),
+    * a crash between data and marker leaves an uncommitted directory that
+    * [[readAggState]] ignores and the replay overwrites. Older committed
+    * versions beyond `keepVersions` are pruned after each commit (readers
+    * of the LATEST version are unaffected; run long-retention readers
+    * against their own pinned version like any versioned-artifact
+    * consumer). Serving = `AggState.finalizeState(readAggState(...))`,
+    * a pure projection.
+    *
+    * Returns the number of batches applied (not counting replays).
+    */
+  def aggStateSink(spark: SparkSession, stream: DataFrame,
+                   keyCols: Seq[String], valueCol: String,
+                   stateDir: String, checkpointDir: String,
+                   scale: Int = 4, keepVersions: Int = 2): Long = {
+    import graft.ops.AggState
+    require(keyCols.nonEmpty, "aggStateSink needs at least one key column")
+    require(keepVersions >= 1, "keepVersions must be at least 1")
+    val applied = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (statePath, fs) = hadoopFs(spark, stateDir)
+        val commitsDir = new org.apache.hadoop.fs.Path(statePath, "_graft_commits")
+        val marker = new org.apache.hadoop.fs.Path(commitsDir, batchId.toString)
+        if (!fs.exists(marker)) {
+          val batchState = AggState.build(batch, keyCols, valueCol, scale)
+          val merged = latestCommittedVersion(fs, statePath) match {
+            case Some(v) =>
+              val current = spark.read.parquet(
+                new org.apache.hadoop.fs.Path(statePath, s"v$v").toString)
+              AggState.merge(keyCols, current, batchState)
+            case None => batchState
+          }
+          // Overwrite handles a crashed earlier attempt at this version
+          merged.write.mode(SaveMode.Overwrite)
+            .parquet(new org.apache.hadoop.fs.Path(statePath, s"v$batchId").toString)
+          fs.mkdirs(commitsDir)
+          fs.createNewFile(marker)
+          applied.incrementAndGet()
+          // prune committed versions beyond the retention window
+          committedVersions(fs, statePath).sorted.reverse.drop(keepVersions)
+            .foreach { old =>
+              fs.delete(new org.apache.hadoop.fs.Path(statePath, s"v$old"), true)
+              fs.delete(new org.apache.hadoop.fs.Path(commitsDir, old.toString), false)
+            }
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    applied.get()
+  }
+
+  /** The latest COMMITTED aggregate state written by [[aggStateSink]]
+    * (uncommitted / torn version directories are ignored). Feed the
+    * result to `AggState.finalizeState` for serving metrics.
+    */
+  def readAggState(spark: SparkSession, stateDir: String): DataFrame = {
+    val (statePath, fs) = hadoopFs(spark, stateDir)
+    latestCommittedVersion(fs, statePath) match {
+      case Some(v) => spark.read.parquet(
+        new org.apache.hadoop.fs.Path(statePath, s"v$v").toString)
+      case None => throw new IllegalStateException(
+        s"no committed aggregate state under $stateDir")
+    }
+  }
+
+  private def committedVersions(fs: org.apache.hadoop.fs.FileSystem,
+                                statePath: org.apache.hadoop.fs.Path): Seq[Long] = {
+    val commitsDir = new org.apache.hadoop.fs.Path(statePath, "_graft_commits")
+    if (!fs.exists(commitsDir)) Seq.empty
+    else fs.listStatus(commitsDir).toSeq
+      .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+  }
+
+  private def latestCommittedVersion(fs: org.apache.hadoop.fs.FileSystem,
+                                     statePath: org.apache.hadoop.fs.Path): Option[Long] =
+    committedVersions(fs, statePath).sorted.lastOption
 }

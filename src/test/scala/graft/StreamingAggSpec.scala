@@ -86,6 +86,59 @@ class StreamingAggSpec extends AnyFunSuite {
     assert(s.size >= (b.size * 0.8).toInt)
   }
 
+  test("aggStateSink: waves fold into state equal to one direct build") {
+    import spark.implicits._
+    import graft.ops.AggState
+    import graft.streaming.StreamingIngest
+    val in = java.nio.file.Files.createTempDirectory("graft-mv-in")
+    val state = java.nio.file.Files.createTempDirectory("graft-mv-state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mv-ckpt").toString
+    def wave(rows: Seq[(String, Double)]): Long = {
+      rows.toDF("k", "v").coalesce(1).write.mode("append").parquet(in.toString)
+      StreamingIngest.aggStateSink(spark,
+        spark.readStream.schema("k STRING, v DOUBLE").parquet(in.toString),
+        Seq("k"), "v", state, ckpt)
+    }
+    val w1 = Seq(("a", 1.0), ("a", 2.0), ("b", 10.0))
+    val w2 = Seq(("a", 3.0), ("c", 7.0), ("b", -4.0))
+    assert(wave(w1) == 1L)
+    assert(wave(w2) == 1L)
+    def canon(df: DataFrame) =
+      df.orderBy(df.columns.map(col): _*).collect().map(_.toString).toSeq
+    val direct = AggState.build((w1 ++ w2).toDF("k", "v"), Seq("k"), "v")
+    assert(canon(StreamingIngest.readAggState(spark, state)) == canon(direct))
+    // serving: finalize over the stored state is the exact metrics table
+    val fin = AggState.finalizeState(
+      StreamingIngest.readAggState(spark, state), Seq("k"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(fin.toSeq == Seq(("a", 3L, 2.0), ("b", 2L, 3.0), ("c", 1L, 7.0)))
+  }
+
+  test("aggStateSink: replays skip, torn versions are invisible") {
+    import spark.implicits._
+    import graft.streaming.StreamingIngest
+    val in = java.nio.file.Files.createTempDirectory("graft-mv2-in")
+    val state = java.nio.file.Files.createTempDirectory("graft-mv2-state")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mv2-ckpt").toString
+    Seq(("a", 1.0)).toDF("k", "v").coalesce(1)
+      .write.mode("append").parquet(in.toString)
+    def run(): Long = StreamingIngest.aggStateSink(spark,
+      spark.readStream.schema("k STRING, v DOUBLE").parquet(in.toString),
+      Seq("k"), "v", state.toString, ckpt)
+    assert(run() == 1L)
+    val before = StreamingIngest.readAggState(spark, state.toString)
+      .collect().map(_.toString).sorted.toSeq
+    // no new input: AvailableNow finds nothing or replays — state unchanged
+    assert(run() == 0L)
+    // a torn (uncommitted) version directory must be ignored by readers
+    val torn = state.resolve("v999")
+    java.nio.file.Files.createDirectories(torn)
+    java.nio.file.Files.writeString(torn.resolve("garbage.txt"), "not parquet")
+    val after = StreamingIngest.readAggState(spark, state.toString)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before)
+  }
+
   test("flatMapGroupsWithState running totals match batch totals") {
     val streaming = runToMemory(
       StreamingAggregates.runningUserTotals(spark, streamEvents).toDF(),
