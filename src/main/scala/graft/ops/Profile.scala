@@ -172,6 +172,35 @@ object Profile {
       .drop("__n", "__mean", "__std")
   }
 
+  /** Tukey-fence (IQR) outlier gate — [[zscoreOutliers]]'s distribution-
+    * robust sibling: a row is an outlier when its value leaves
+    * [q1 − k·IQR, q3 + k·IQR] for its group (k = 1.5 classic). Quartiles
+    * are exact `percentile` aggregates ROUNDED to `roundScale` decimals
+    * before the fence arithmetic, because exact interpolated percentiles
+    * are the one aggregate whose last-ulp value is interpolation-order
+    * dependent across engines — rounding makes the fences (and therefore
+    * the verdict set) engine-reproducible, the q42-proven parity. One
+    * aggregate pass + one join back (`broadcastStats` as in
+    * [[zscoreOutliers]]: |groups|-sized frame, forced broadcast is
+    * opt-out for per-entity cardinalities). Appends `lo`/`hi` fence
+    * columns to the surviving outlier rows. At 100 TB swap the exact
+    * percentile for `percentile_approx` and keep the plan.
+    */
+  def iqrOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Double = 1.5, roundScale: Int = 4,
+                  broadcastStats: Boolean = true): DataFrame = {
+    require(k > 0, "k must be positive")
+    val stats = df.groupBy(col(groupCol)).agg(
+      round(expr(s"percentile($valueCol, 0.25)"), roundScale).as("__q1"),
+      round(expr(s"percentile($valueCol, 0.75)"), roundScale).as("__q3"))
+      .withColumn("lo", col("__q1") - lit(k) * (col("__q3") - col("__q1")))
+      .withColumn("hi", col("__q3") + lit(k) * (col("__q3") - col("__q1")))
+      .drop("__q1", "__q3")
+    val maybe = if (broadcastStats) broadcast(stats) else stats
+    df.join(maybe, groupCol)
+      .filter(col(valueCol) < col("lo") || col(valueCol) > col("hi"))
+  }
+
   /** Fixed-bin histogram: bin i covers [lo + i·width, lo + (i+1)·width),
     * values ≥ the last edge clamp into the final bin, values < lo into bin
     * 0. Fixed (not data-derived) edges keep the computation one pure

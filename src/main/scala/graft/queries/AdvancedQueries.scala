@@ -793,6 +793,47 @@ object AdvancedQueries {
       }),
 
     // ------------------------------------------------------------------
+    // IQR (Tukey-fence) outlier gate (Profile.iqrOutliers): q86's
+    // distribution-robust sibling. Quartiles round to 4 decimals before
+    // the fence arithmetic — percentile interpolation is the one exact
+    // aggregate whose last ulp differs across engines (q42 parity), so
+    // the rounded fences make the verdict SET replayable; the outlier
+    // values themselves then aggregate through the usual rounded stats.
+    QuerySpec(
+      "q102_iqr_outliers",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+        graft.ops.Profile.iqrOutliers(ev, "event_type", "value")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_outliers"),
+            round(min(col("value")), 4).as("min_out"),
+            round(max(col("value")), 4).as("max_out"),
+            // fences ride RAW: they derive from identically-rounded
+            // quartiles, so the doubles are bit-identical cross-engine,
+            // while re-rounding them can land on exact .5 ties
+            // (1.5 x odd-digit IQR) where engines' ROUND disagrees
+            min(col("lo")).as("lo"),
+            min(col("hi")).as("hi"))
+          .orderBy("event_type")
+      },
+      Some("""WITH st AS (
+             |  SELECT event_type,
+             |    ROUND(quantile_cont(value, 0.25), 4) AS q1,
+             |    ROUND(quantile_cont(value, 0.75), 4) AS q3
+             |  FROM events GROUP BY 1
+             |), b AS (
+             |  SELECT event_type, q1 - 1.5 * (q3 - q1) AS lo,
+             |    q3 + 1.5 * (q3 - q1) AS hi FROM st
+             |)
+             |SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_outliers,
+             |  ROUND(MIN(e.value), 4) AS min_out,
+             |  ROUND(MAX(e.value), 4) AS max_out,
+             |  MIN(b.lo) AS lo, MIN(b.hi) AS hi
+             |FROM events e JOIN b ON e.event_type = b.event_type
+             |WHERE e.value < b.lo OR e.value > b.hi
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // ANALYZE-style numeric profile (Profile.numericProfile): one
     // aggregation statement for all columns — Spark plans the multiple
     // exact distinct-counts with a single Expand over one scan, not k jobs.

@@ -139,6 +139,35 @@ class ProfileSpec extends AnyFunSuite {
     assert(a == b, "z-scores must be bit-identical across partitionings")
   }
 
+  test("iqrOutliers flags the planted tails; tight groups stay silent") {
+    import spark.implicits._
+    // group a: 1..100 plus planted extremes; fences from q1=25.75 q3=75.25:
+    // IQR=49.5 → lo=-48.5, hi=149.5 — only the plants leave the band
+    val base = (1 to 100).map(i => ("a", i.toDouble)) ++
+      Seq(("a", 500.0), ("a", -300.0)) ++
+      (1 to 50).map(_ => ("b", 10.0)) // constant group: IQR 0, lo=hi=10
+    val got = graft.ops.Profile.iqrOutliers(base.toDF("g", "v"), "g", "v")
+      .select(col("g"), col("v")).collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.toSet == Set(("a", 500.0), ("a", -300.0)))
+    // null values never flag
+    val withNull = (Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("a", None: Option[Double]))).toDF("g", "v")
+    assert(graft.ops.Profile.iqrOutliers(withNull, "g", "v").count() == 0)
+  }
+
+  test("iqrOutliers results identical with and without the broadcast hint") {
+    import spark.implicits._
+    val df = ((1 to 100).map(i => ("a", i.toDouble)) :+ ("a", 999.0)).toDF("g", "v")
+    def rows(b: Boolean) = graft.ops.Profile
+      .iqrOutliers(df, "g", "v", broadcastStats = b)
+      .orderBy("v").collect().map(_.toString).toSeq
+    assert(rows(true) == rows(false))
+    // and the unhinted plan is allowed to pick a non-broadcast join
+    val plan = graft.ops.Profile.iqrOutliers(df, "g", "v", broadcastStats = false)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("ResolvedHint"))
+  }
+
   test("correlationMatrix is partition-order independent (decimal sums)") {
     import spark.implicits._
     val df = (1 to 2000).map(i => (i * 0.37, math.cos(i.toDouble) * 50))
