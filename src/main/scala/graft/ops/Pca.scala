@@ -112,8 +112,33 @@ object Pca {
               outCol: String = "pca"): DataFrame = {
     require(k >= 1 && k <= model.components.length,
       s"k must be in [1, ${model.components.length}], got $k")
-    val m = model.components.take(k)
-    val b = m.map(row => row.zip(model.mean).map { case (a, x) => a * x }.sum)
+    affineProject(df, vecCol, model.components.take(k), model.mean, outCol)
+  }
+
+  /** [[project]] with whitening: each component is scaled by 1/√λ, so the
+    * output coordinates have unit variance (the standard preprocessing
+    * for downstream distance computations and PQ codebooks; verified in
+    * PcaSpec). Components whose eigenvalue is ≤ `eps` (degenerate
+    * directions — no variance to normalize) map to 0 rather than blowing
+    * up. Same single codegen'd mat-vec per row as [[project]].
+    */
+  def whitenProject(df: DataFrame, vecCol: String, model: PcaModel, k: Int,
+                    outCol: String = "pca_white",
+                    eps: Double = 1e-12): DataFrame = {
+    require(k >= 1 && k <= model.components.length,
+      s"k must be in [1, ${model.components.length}], got $k")
+    val m = model.components.take(k).zipWithIndex.map { case (row, c) =>
+      val lam = model.eigenvalues(c)
+      val s = if (lam > eps) 1.0 / math.sqrt(lam) else 0.0
+      row.map(_ * s)
+    }
+    affineProject(df, vecCol, m, model.mean, outCol)
+  }
+
+  private def affineProject(df: DataFrame, vecCol: String,
+                            m: Array[Array[Double]], mean: Array[Double],
+                            outCol: String): DataFrame = {
+    val b = m.map(row => row.zip(mean).map { case (a, x) => a * x }.sum)
     // raw column, NOT transform(cast): MatVecAffine widens float input per
     // element, keeping the projection inside the whole-stage-codegen span
     df.withColumn(outCol, ArrayMath.matVecAffine(col(vecCol),

@@ -80,6 +80,28 @@ class PcaSpec extends AnyFunSuite {
       s"component values leaked into the plan as literals ($lead)")
   }
 
+  test("whitenProject yields unit variance per component") {
+    val emb = Tables.embeddings(spark, sf)
+    val model = Pca.fit(emb, "embedding")
+    val k = 4
+    val w = Pca.whitenProject(emb, "embedding", model, k)
+    val vars = w.agg(
+      var_samp(element_at(col("pca_white"), 1)),
+      var_samp(element_at(col("pca_white"), 2)),
+      var_samp(element_at(col("pca_white"), 3)),
+      var_samp(element_at(col("pca_white"), 4))).head()
+    for (c <- 0 until k)
+      assert(math.abs(vars.getDouble(c) - 1.0) < 1e-8, s"component $c")
+    // degenerate direction maps to zero, not infinity
+    import spark.implicits._
+    val flat = Seq(Tuple1(Seq(1.0f, 5.0f)), Tuple1(Seq(2.0f, 5.0f)),
+      Tuple1(Seq(3.0f, 5.0f))).toDF("embedding") // dim 2 is constant
+    val fm = Pca.fit(flat, "embedding")
+    val out = Pca.whitenProject(flat, "embedding", fm, 2)
+      .select(element_at(col("pca_white"), 2)).collect().map(_.getDouble(0))
+    assert(out.forall(_ == 0.0))
+  }
+
   test("fit rejects degenerate input and ragged vectors") {
     import spark.implicits._
     val one = Seq(Tuple1(Seq(1.0f, 2.0f))).toDF("embedding")
