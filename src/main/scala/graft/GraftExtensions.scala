@@ -61,6 +61,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(ArrayMath.imageMetaName,
         "_FUNC_(bytes) - PNG/JPEG header metadata struct, NULL if unparseable"),
       exprs => ImageMeta(exprs(0))))
+    e.injectFunction((FunctionIdentifier(ArrayMath.audioMetaName),
+      info(ArrayMath.audioMetaName,
+        "_FUNC_(bytes) - WAV header metadata struct, NULL if unparseable"),
+      exprs => AudioMeta(exprs(0))))
     e.injectFunction((FunctionIdentifier(ArrayMath.int8DotName),
       info(ArrayMath.int8DotName,
         "_FUNC_(codes, vec) - dot(array<tinyint>, array<double>)"),

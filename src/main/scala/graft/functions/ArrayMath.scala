@@ -259,6 +259,7 @@ object ArrayMath {
   val nearestCentroidName = "graft_nearest_centroid"
   val topCentroidsName = "graft_top_centroids"
   val imageMetaName = "graft_image_meta"
+  val audioMetaName = "graft_audio_meta"
   val int8DotName = "graft_int8_dot"
   val bloomName = "graft_bloom_might_contain"
   val matVecName = "graft_mat_vec_affine"
@@ -349,6 +350,8 @@ object ArrayMath {
     reg.createOrReplaceTempFunction(
       imageMetaName, exprs => ImageMeta(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction(
+      audioMetaName, exprs => AudioMeta(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction(
       int8DotName, exprs => Int8DotProduct(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
       bloomName,
@@ -415,6 +418,12 @@ object ArrayMath {
     * [[ImageMeta]]).
     */
   def imageMeta(bytes: Column): Column = call_function(imageMetaName, bytes)
+
+  /** binary → struct<format,channels,sample_rate,bits_per_sample,n_frames>
+    * parsed from a real WAV/RIFF container; NULL on unparseable payloads
+    * (see [[AudioMeta]]).
+    */
+  def audioMeta(bytes: Column): Column = call_function(audioMetaName, bytes)
 
   /** Codegen'd dot(array<tinyint> codes, array<double>) — the quantized
     * probe scoring loop (see [[Int8DotProduct]]).

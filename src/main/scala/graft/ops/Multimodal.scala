@@ -70,6 +70,40 @@ object Multimodal {
       comps, lit("FFD9")))
   }
 
+  /** WAV header metadata parsed from real RIFF bytes (see
+    * [[graft.functions.AudioMeta]]) — the audio sibling of [[imageMeta]].
+    */
+  def audioMeta(bytes: Column): Column = graft.functions.ArrayMath.audioMeta(bytes)
+
+  /** A REAL complete PCM WAV file (RIFF + fmt + zero-filled data chunk)
+    * assembled from parameter columns with codegen built-ins only — the
+    * fixture-side encoder that lets a query round-trip [[audioMeta]] over
+    * genuine bytes with a SQL-replayable oracle. WAV fields are LITTLE-
+    * endian: each value's hex is byte-reversed before concatenation.
+    * `nFrames` is bounded (≤ 4096) because the data chunk is physically
+    * materialized at `nFrames · channels · bits/8` bytes per row.
+    */
+  def wavBytes(channels: Column, sampleRate: Column, bitsPerSample: Column,
+               nFrames: Column): Column = {
+    def le(c: Column, nBytes: Int): Column = {
+      val h = lpad(hex(c.cast("long")), nBytes * 2, "0")
+      concat((0 until nBytes).reverse.map(k => substring(h, k * 2 + 1, 2)): _*)
+    }
+    val ch = assertInRange(channels, 1, 64, "wav channels")
+    val bits = assertInRange(bitsPerSample, 8, 32, "wav bits")
+    val frames = assertInRange(nFrames, 0, 4096, "wav frames")
+    val block = ch * (bits.cast("int") / lit(8)).cast("int")
+    val dataSize = frames * block
+    val byteRate = sampleRate * block
+    unhex(concat(
+      lit("52494646"), le(dataSize + lit(36), 4), lit("57415645"), // RIFF WAVE
+      lit("666D7420"), le(lit(16), 4), // "fmt " chunk, 16 payload bytes
+      le(lit(1), 2), le(ch, 2), le(sampleRate, 4), le(byteRate, 4),
+      le(block, 2), le(bits, 2),
+      lit("64617461"), le(dataSize, 4), // "data" chunk
+      repeat(lit("00"), dataSize.cast("int"))))
+  }
+
   /** Distributed range guard: evaluates to `c`, fails the task when out
     * of [lo, hi] — the assert_true pattern (no driver-side scan).
     */

@@ -516,6 +516,45 @@ object TrainingQueries {
              |FROM documents ORDER BY media_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // Real AUDIO container decode (q32's audio sibling): every doc gets a
+    // genuine complete PCM WAV (RIFF + fmt + zero-filled data chunk,
+    // assembled little-endian from doc_id-derived parameters with codegen
+    // built-ins — Multimodal.wavBytes), and the native AudioMeta
+    // expression chunk-walks channels / sample-rate / bit-depth / frame
+    // count back OUT of the byte stream. The oracle recomputes the
+    // planted parameters from doc_id arithmetic — any parser drift from
+    // the public RIFF layout hash-mismatches.
+    QuerySpec(
+      "q103_audio_headers",
+      (s, dir) => {
+        val params = Tables.documents(s, dir).select(col("doc_id"),
+          (col("doc_id") % 2 + 1).cast("int").as("__ch"),
+          when(col("doc_id") % 3 === 0, lit(8000))
+            .when(col("doc_id") % 3 === 1, lit(16000))
+            .otherwise(lit(44100)).as("__rate"),
+          when(col("doc_id") % 2 === 0, lit(16)).otherwise(lit(8)).as("__bits"),
+          (col("doc_id") % 100).cast("int").as("__frames"))
+        params.select(col("doc_id").as("media_id"),
+          Multimodal.audioMeta(Multimodal.wavBytes(col("__ch"), col("__rate"),
+            col("__bits"), col("__frames"))).as("__m"))
+          .select(col("media_id"),
+            col("__m.format").as("format"),
+            col("__m.channels").cast("long").as("channels"),
+            col("__m.sample_rate").cast("long").as("sample_rate"),
+            col("__m.bits_per_sample").cast("long").as("bits_per_sample"),
+            col("__m.n_frames").as("n_frames"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id, 'wav' AS format,
+             |  doc_id % 2 + 1 AS channels,
+             |  CAST(CASE WHEN doc_id % 3 = 0 THEN 8000
+             |            WHEN doc_id % 3 = 1 THEN 16000
+             |            ELSE 44100 END AS BIGINT) AS sample_rate,
+             |  CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 8 END AS bits_per_sample,
+             |  doc_id % 100 AS n_frames
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Frame sampling over binary payloads (1→N generator + window counts):
     // the oracle checks the frame arithmetic from byte lengths.
     QuerySpec(

@@ -565,6 +565,57 @@ class OpsSpec extends AnyFunSuite {
     (2 until cases.length).foreach(i => assert(got(i).isNullAt(1), s"case $i"))
   }
 
+  test("audioMeta parses a real WAV; walks extra chunks; corrupt inputs are null") {
+    import spark.implicits._
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def chunk(id: String, payload: Array[Byte]) =
+      id.getBytes("US-ASCII") ++ le32(payload.length) ++ payload ++
+        (if (payload.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    def fmt(code: Int, ch: Int, rate: Int, bits: Int) =
+      chunk("fmt ", le16(code) ++ le16(ch) ++ le32(rate) ++
+        le32(rate * ch * bits / 8) ++ le16(ch * bits / 8) ++ le16(bits))
+    def wav(chunks: Array[Byte]*) = {
+      val body = "WAVE".getBytes("US-ASCII") ++ chunks.flatten
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    val golden = wav(fmt(1, 1, 8000, 16), chunk("data", new Array[Byte](8)))
+    val listFirst = wav(chunk("LIST", "INF".getBytes("US-ASCII")), // odd, padded
+      fmt(1, 2, 44100, 24), chunk("data", new Array[Byte](44100 * 6 % 1024)))
+    val cases = Seq(
+      golden,                                   // 4 frames of 16-bit mono
+      listFirst,                                // chunk walk + odd padding
+      wav(fmt(2, 1, 8000, 16), chunk("data", new Array[Byte](8))), // ADPCM -> null
+      wav(fmt(1, 1, 8000, 12), chunk("data", new Array[Byte](8))), // bits%8 -> null
+      wav(fmt(1, 1, 8000, 16)),                 // no data chunk -> null
+      golden.dropRight(2),                      // truncated data -> null
+      "RIFFnotawave".getBytes("US-ASCII"),      // wrong magic -> null
+      Array.empty[Byte])
+    val got = cases.zipWithIndex.map { case (b, i) => (i, b) }.toDF("i", "b")
+      .select(col("i"), graft.ops.Multimodal.audioMeta(col("b")).as("m"))
+      .orderBy("i").collect()
+    assert(got(0).getStruct(1).toSeq == Seq("wav", 1, 8000, 16, 4L))
+    val frames1 = (44100 * 6 % 1024) / (2 * 24 / 8)
+    assert(got(1).getStruct(1).toSeq == Seq("wav", 2, 44100, 24, frames1.toLong))
+    (2 until cases.length).foreach(i => assert(got(i).isNullAt(1), s"case $i"))
+  }
+
+  test("wavBytes encode helper round-trips through audioMeta") {
+    import spark.implicits._
+    val params = Seq((1, 8000, 16, 0), (2, 44100, 16, 100),
+      (1, 16000, 8, 4096), (6, 48000, 32, 7))
+      .toDF("ch", "rate", "bits", "frames")
+    val got = params.select(col("ch"), col("rate"), col("bits"), col("frames"),
+      graft.ops.Multimodal.audioMeta(graft.ops.Multimodal.wavBytes(
+        col("ch"), col("rate"), col("bits"), col("frames"))).as("m"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getStruct(4).toSeq == Seq("wav", r.getInt(0), r.getInt(1),
+        r.getInt(2), r.getInt(3).toLong), r.toString)
+    }
+  }
+
   test("image header encode helpers round-trip through the parser") {
     import spark.implicits._
     val dims = Seq((1, 1, 1), (1000, 800, 3), (65535, 2, 4), (640, 480, 2))
