@@ -98,6 +98,27 @@ object Bpe {
       .toDF("rank", "left", "right", "pair_count")
   }
 
+  /** Persist learned merges as a parquet artifact (the tokenizer's
+    * model file — train once, ship everywhere, like `Ivf.saveIndex`).
+    */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession, merges: Seq[Merge],
+                 path: String): Unit = {
+    import spark.implicits._
+    merges.map(m => (m.rank, m.left, m.right, m.pairCount))
+      .toDF("rank", "left", "right", "pair_count")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(path)
+  }
+
+  /** Load a [[saveMerges]] artifact back into rank order. The collect is
+    * bounded by `numMerges` rows (a tokenizer model, not data).
+    */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Seq[Merge] =
+    spark.read.parquet(path).orderBy("rank").collect().toSeq
+      .map(r => Merge(r.getAs[Int]("rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("pair_count")))
+
   /** Encode: appends `outCol` = array<string> of BPE tokens for the whole
     * document (words whitespace-split and normalized exactly as in
     * [[train]], each encoded by greedy lowest-rank merging). Pure

@@ -79,6 +79,21 @@ class BpeSpec extends AnyFunSuite {
     assert(m.map(x => (x.left, x.right, x.pairCount)) == Seq(("a", "b", 2L)))
   }
 
+  test("merges persist and reload byte-identically; reloaded model encodes the same") {
+    import spark.implicits._
+    val merges = Bpe.train(fixture, "text", numMerges = 4)
+    val path = java.nio.file.Files.createTempDirectory("graft-bpe").toString + "/m"
+    Bpe.saveMerges(spark, merges, path)
+    val reloaded = Bpe.loadMerges(spark, path)
+    assert(reloaded == merges)
+    val docs = Seq((1L, "hug hugs pun")).toDF("doc_id", "text")
+    val a = Bpe.encode(docs, "text", merges).select("bpe_tokens")
+      .head().getSeq[String](0).toList
+    val b = Bpe.encode(docs, "text", reloaded).select("bpe_tokens")
+      .head().getSeq[String](0).toList
+    assert(a == b)
+  }
+
   test("encode is a pure projection inside the codegen span, no literal leak") {
     val merges = Bpe.train(fixture, "text", numMerges = 4)
     val plan = Bpe.encode(
