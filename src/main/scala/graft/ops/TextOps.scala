@@ -307,4 +307,53 @@ object TextOps {
       .select(col(idCol), col("n_bigrams"),
         round(col("__sum").cast("double") / col("n_bigrams"), 6).as("avg_ll"))
   }
+
+  /** Okapi BM25 document scoring for a fixed query-term set (Robertson &
+    * Walker, SIGIR'94 — the standard lexical retrieval ranking; in a
+    * data pipeline: targeted corpus selection, "find documents about X"
+    * quality slices). Per surviving document,
+    *   score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    * with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) (the always-positive
+    * Lucene variant). Returns (idCol, n_hits, score) for documents
+    * matching ≥ 1 term.
+    *
+    * Scale shape: the query-term filter is a literal `isin` pushed below
+    * the explode-aggregate, so the tf table is |docs|·|queryTerms| skinny
+    * rows, not the corpus token stream; df/N/avgdl reduce to ≤|queryTerms|
+    * + 2 broadcast rows. Two skinny shuffles total. Per-term scores round
+    * through DECIMAL(18,12) before the per-doc sum (partial-agg order
+    * independence, as [[lmQualityScore]]); ln parity is the
+    * [[tfidfTopTerms]] precedent.
+    */
+  def bm25Scores(df: DataFrame, idCol: String, textCol: String,
+                 queryTerms: Seq[String], k1: Double = 1.2,
+                 b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    require(k1 > 0 && b >= 0 && b <= 1, "k1 > 0 and b in [0,1]")
+    val docs = df.select(col(idCol), tokens(normalized(col(textCol))).as("__t"))
+      .select(col(idCol), col("__t"), size(col("__t")).cast("double").as("__dl"))
+    // avgdl via an exact integer sum, not avg(double): double partial
+    // sums are partition-order dependent; the integer sum + one division
+    // is bit-identical on any engine and layout
+    val corpus = docs.agg(count(lit(1)).cast("double").as("__n"),
+      (sum(col("__dl").cast("long")).cast("double")
+        / count(lit(1)).cast("double")).as("__avgdl"))
+    val hits = docs
+      .select(col(idCol), col("__dl"), explode(col("__t")).as("__term"))
+      .filter(col("__term").isin(queryTerms: _*))
+    val tf = hits.groupBy(col(idCol), col("__term"))
+      .agg(count(lit(1)).cast("double").as("__tf"), max(col("__dl")).as("__dl"))
+    val dfreq = tf.groupBy(col("__term")).agg(count(lit(1)).cast("double").as("__df"))
+    val idf = log(lit(1.0) + (col("__n") - col("__df") + lit(0.5))
+      / (col("__df") + lit(0.5)))
+    val termScore = (idf * col("__tf") * lit(k1 + 1.0)
+      / (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+      .cast("decimal(18,12)")
+    tf.join(broadcast(dfreq), "__term")
+      .crossJoin(broadcast(corpus))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"), sum(termScore).as("__s"))
+      .select(col(idCol), col("n_hits"),
+        round(col("__s").cast("double"), 6).as("score"))
+  }
 }

@@ -949,6 +949,50 @@ object TrainingQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Okapi BM25 retrieval scoring (TextOps.bm25Scores): targeted corpus
+    // selection by lexical relevance. The query-term filter pushes below
+    // the explode-aggregate (tf table is |docs|x|terms| skinny), df/N/
+    // avgdl reduce to broadcast rows, per-term scores route through
+    // DECIMAL before the doc sum. Oracle parity notes: avgdl is an exact
+    // integer sum / count (avg(double) is partial-order dependent), and
+    // the SQL writes (1.2 + 1.0) rather than 2.2 — the sum is one ulp
+    // off the literal, and both engines must compute the SAME one.
+    QuerySpec(
+      "q104_bm25",
+      (s, dir) =>
+        TextOps.bm25Scores(Tables.documents(s, dir), "doc_id", "text",
+          Seq("spark", "query", "filter"))
+          .orderBy("doc_id"),
+      Some(s"""WITH d AS (
+              |  SELECT doc_id,
+              |    CAST(len(string_split($normSql, ' ')) AS DOUBLE) AS dl,
+              |    string_split($normSql, ' ') AS toks
+              |  FROM documents
+              |), corpus AS (
+              |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+              |    CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE)
+              |      / CAST(COUNT(*) AS DOUBLE) AS avgdl
+              |  FROM d
+              |), hits AS (
+              |  SELECT doc_id, dl, unnest(toks) AS term FROM d
+              |), tf AS (
+              |  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf,
+              |    MAX(dl) AS dl
+              |  FROM hits WHERE term IN ('spark', 'query', 'filter')
+              |  GROUP BY 1, 2
+              |), dfq AS (
+              |  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+              |)
+              |SELECT tf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+              |  ROUND(CAST(SUM(CAST(
+              |    ln(1.0 + (c.n - dfq.df + 0.5) / (dfq.df + 0.5))
+              |      * tf.tf * (1.2 + 1.0)
+              |      / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / c.avgdl))
+              |  AS DECIMAL(18,12))) AS DOUBLE), 6) AS score
+              |FROM tf JOIN dfq USING (term) CROSS JOIN corpus c
+              |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // BPE tokenizer TRAINING (ops.Bpe.train, Sennrich ACL'16): one
     // corpus-scale pass (word-type histogram), then numMerges iterations
     // over the VOCAB table only — each moving one winning pair to the

@@ -115,6 +115,36 @@ class CurationSpec extends AnyFunSuite {
     assert(ga.map(_._1).toSeq == ga.map(_._1).sorted.toSeq)
   }
 
+  test("bm25Scores matches an independent reference; non-matching docs absent") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    val docs = Seq(
+      (1L, "spark query spark table"),  // tf(spark)=2 tf(query)=1, dl=4
+      (2L, "table scan row filter"),    // tf(filter)=1, dl=4
+      (3L, "nothing relevant here at all"), // no hits, dl=5
+      (4L, "query query query")         // tf(query)=3, dl=3
+    ).toDF("doc_id", "text")
+    val got = TextOps.bm25Scores(docs, "doc_id", "text",
+      Seq("spark", "query", "filter"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    // independent reference (plain scala math, unrounded — the op rounds
+    // its output to 6 decimals, so compare within that half-quantum)
+    val n = 4.0; val avgdl = (4 + 4 + 5 + 3) / 4.0
+    def idf(df: Double) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def ts(tf: Double, dl: Double, df: Double) =
+      idf(df) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    val exp = Map(
+      1L -> (2L, ts(2, 4, 1) + ts(1, 4, 2)), // spark df=1, query df=2
+      2L -> (1L, ts(1, 4, 1)),               // filter df=1
+      4L -> (1L, ts(3, 3, 2)))
+    assert(got.map(_._1) == List(1L, 2L, 4L)) // doc 3 absent
+    got.foreach { case (id, hits, score) =>
+      assert(hits == exp(id)._1)
+      assert(math.abs(score - exp(id)._2) < 6e-7, s"doc $id")
+    }
+  }
+
   test("contaminatedDocs finds exactly the overlapping docs with exact counts") {
     import spark.implicits._
     val evalDf = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
