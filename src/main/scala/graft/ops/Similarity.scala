@@ -96,6 +96,85 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** EXACT hard-negative mining for contrastive training (the
+    * oracle-grade flavor): for every anchor vector, the `k` most
+    * cosine-similar vectors with a DIFFERENT label — the "confusable but
+    * wrong" examples an embedding model learns the most from. Null-label
+    * rows are excluded from both sides (no defined negativity). All-pairs
+    * O(n²) like [[cosineNearDupPairsExact]] and the correctness
+    * reference [[hardNegatives]]'s recall is measured against; same
+    * DuckDB-matched arithmetic spelling (q28/q31/q105 precedent).
+    *
+    * @return (anchor_id, rank 1..k, neg_id, cosine) — rank by cosine
+    *         desc, neg id ascending on ties.
+    */
+  def hardNegativesExact(df: DataFrame, idCol: String, vecCol: String,
+                         labelCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val vd = df.filter(col(labelCol).isNotNull)
+      .select(col(idCol), col(labelCol), asDouble(col(vecCol)).as("__vd"))
+      .withColumn("__n", norm(col("__vd")))
+    val a = vd.select(col(idCol).as("anchor_id"), col(labelCol).as("__la"),
+      col("__vd").as("__va"), col("__n").as("__na"))
+    val b = vd.select(col(idCol).as("neg_id"), col(labelCol).as("__lb"),
+      col("__vd").as("__vb"), col("__n").as("__nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id")).orderBy(col("__cos").desc, col("neg_id"))
+    a.join(b, col("anchor_id") =!= col("neg_id") && col("__la") =!= col("__lb"))
+      .withColumn("__cos", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("rank"), col("neg_id"),
+        round(col("__cos"), 6).as("cosine"))
+  }
+
+  /** LSH-accelerated hard-negative mining — the corpus-scale path: bucket
+    * collisions propose candidates (skinny id pairs, never all-pairs),
+    * different-label pairs re-score exactly, a window keeps the top k per
+    * anchor. Candidates missed by bucketing are missed negatives (recall
+    * measured against [[hardNegativesExact]] in IvfSpec); pair with
+    * [[lshPolicy]] for parameters. Note negatives CLOSER than any
+    * same-label collision are exactly the pairs LSH finds best — hard
+    * negatives live at high cosine, the regime bucket collision
+    * probability is designed around.
+    */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, k: Int, nBits: Int = 10,
+                    nTables: Int = 4, seed: Long = 42L, dim: Int = 0,
+                    multiProbe: Boolean = false): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val labeled = df.filter(col(labelCol).isNotNull)
+    val d = if (dim > 0) dim else inferDim(labeled, vecCol)
+    val unit = unitVectors(labeled, idCol, vecCol)
+    val labels = labeled.select(col(idCol), col(labelCol))
+    val bk0 = buckets(unit, idCol, d, nBits, nTables, seed)
+    val probes = if (multiProbe) withOneBitProbes(bk0, nBits) else bk0
+    val anchors = probes.select(col("__table"), col("__bucket"),
+      col(idCol).as("anchor_id"))
+    val cands = bk0.select(col("__table"), col("__bucket"),
+      col(idCol).as("neg_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id")).orderBy(col("__cos").desc, col("neg_id"))
+    anchors.join(cands, Seq("__table", "__bucket"))
+      .filter(col("anchor_id") =!= col("neg_id"))
+      .select(col("anchor_id"), col("neg_id"))
+      .dropDuplicates("anchor_id", "neg_id")
+      .join(labels.select(col(idCol).as("anchor_id"), col(labelCol).as("__la")),
+        "anchor_id")
+      .join(labels.select(col(idCol).as("neg_id"), col(labelCol).as("__lb")),
+        "neg_id")
+      .filter(col("__la") =!= col("__lb"))
+      .join(unit.select(col(idCol).as("anchor_id"), col("__vn").as("__va")),
+        "anchor_id")
+      .join(unit.select(col(idCol).as("neg_id"), col("__vn").as("__vb")),
+        "neg_id")
+      .withColumn("__cos", dot(col("__va"), col("__vb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("rank"), col("neg_id"),
+        round(col("__cos"), 6).as("cosine"))
+  }
+
   /** Corpus-size-derived LSH parameters (nBits, nTables) — replaces
     * fixture-tuned constants so a 100× scale-up keeps BOTH the recall
     * target and bounded bucket sizes.

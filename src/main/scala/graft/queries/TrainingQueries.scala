@@ -949,6 +949,38 @@ object TrainingQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Hard-negative mining (Similarity.hardNegativesExact): for every
+    // anchor embedding, the 3 most cosine-similar DIFFERENT-label vectors
+    // — the contrastive-training pairs an embedding model learns most
+    // from. Oracle-grade O(n²) flavor (the LSH flavor's recall is
+    // spec-certified against it); DuckDB replays the full ranking with
+    // list_cosine_similarity — exact-rank replay is the q30/q46
+    // precedent (adjacent cosine gaps dwarf cross-engine ulp noise).
+    QuerySpec(
+      "q105_hard_negatives",
+      (s, dir) =>
+        Similarity.hardNegativesExact(Tables.embeddings(s, dir),
+          "vec_id", "embedding", "label", k = 3)
+          .orderBy("anchor_id", "rank"),
+      Some("""WITH pairs AS (
+             |  SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+             |    list_cosine_similarity(a.embedding::DOUBLE[],
+             |                           b.embedding::DOUBLE[]) AS c
+             |  FROM embeddings a JOIN embeddings b
+             |    ON a.vec_id != b.vec_id AND a.label != b.label
+             |  WHERE a.label IS NOT NULL AND b.label IS NOT NULL
+             |), ranked AS (
+             |  SELECT anchor_id, neg_id, c,
+             |    ROW_NUMBER() OVER (PARTITION BY anchor_id
+             |                       ORDER BY c DESC, neg_id) AS rank
+             |  FROM pairs
+             |)
+             |SELECT anchor_id, CAST(rank AS INT) AS rank, neg_id,
+             |  ROUND(c, 6) AS cosine
+             |FROM ranked WHERE rank <= 3
+             |ORDER BY anchor_id, rank""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Okapi BM25 retrieval scoring (TextOps.bm25Scores): targeted corpus
     // selection by lexical relevance. The query-term filter pushes below
     // the explode-aggregate (tf table is |docs|x|terms| skinny), df/N/

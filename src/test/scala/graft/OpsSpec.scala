@@ -385,6 +385,35 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.65, s"LSH recall $recall below theoretical floor")
   }
 
+  test("hard negatives: LSH flavor recall floor vs exact; null labels excluded") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Similarity.hardNegativesExact(emb, "vec_id", "embedding",
+      "label", k = 3)
+      .select("anchor_id", "neg_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val lsh = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+      k = 3, nBits = 4, nTables = 8, seed = 42L)
+      .select("anchor_id", "neg_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // hard negatives live at HIGH cosine — the regime bucket collisions
+    // are designed for, so recall beats the 0.4-threshold stress floor
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.55, s"hard-negative recall $recall below floor")
+    // a null-label row appears as neither anchor nor negative
+    val withNull = emb.limit(40)
+      .withColumn("label", when(col("vec_id") === 1L, lit(null)).otherwise(col("label")))
+    val got = Similarity.hardNegativesExact(withNull, "vec_id", "embedding",
+      "label", k = 5).collect()
+    assert(!got.exists(r => r.getLong(0) == 1L || r.getLong(2) == 1L))
+    // ranks are 1..k dense per anchor
+    val byAnchor = got.groupBy(_.getLong(0))
+    byAnchor.values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length).toSeq)
+    }
+  }
+
   test("similarity ops infer non-64 embedding dim from the data") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
