@@ -308,6 +308,52 @@ object TextOps {
         round(col("__sum").cast("double") / col("n_bigrams"), 6).as("avg_ll"))
   }
 
+  /** Pointwise-mutual-information collocations (Church & Hanks, CL'90):
+    * adjacent token pairs that co-occur far more than their unigram
+    * frequencies predict — multiword expressions ("new york", "machine
+    * learning") for tokenizer seeding, stopphrase lists, and corpus
+    * analysis. PMI = ln(P(w1,w2) / (P(w1)·P(w2))) with probabilities from
+    * corpus counts; spelled as ln((B·T·T) / (TB·C1·C2)) — ONE log of a
+    * ratio of exact integer products, so engine parity needs only the ln
+    * (the [[tfidfTopTerms]] precedent), no double partial sums anywhere.
+    * `minCount` drops the unstable low-frequency tail (PMI's classic
+    * pathology: a pair seen once between two hapaxes scores huge).
+    *
+    * Scale shape: the bigram stream is skinny (w1, w2); counts are hash
+    * aggregates over it; scoring joins are keyed on w1 / w2 — never
+    * broadcast (a corpus vocabulary does not fit on one node); the two
+    * scalar totals ride as one broadcast row.
+    *
+    * @return (w1, w2, n_pair, pmi) for pairs with n_pair ≥ minCount
+    */
+  def pmiCollocations(df: DataFrame, textCol: String,
+                      minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, "minCount must be at least 1")
+    val docs = df.select(tokens(normalized(col(textCol))).as("__t"))
+      .filter(size(col("__t")) >= 2)
+    val bigrams = docs.select(explode(transform(
+      sequence(lit(1), size(col("__t")) - 1),
+      i => struct(element_at(col("__t"), i).as("w1"),
+        element_at(col("__t"), i + lit(1)).as("w2")))).as("__bg"))
+      .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    val pairCounts = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val toks = df.select(explode(tokens(normalized(col(textCol)))).as("w"))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("__c"))
+    val totals = toks.agg(count(lit(1)).as("__t_tok"))
+      .crossJoin(bigrams.agg(count(lit(1)).as("__t_bg")))
+    pairCounts
+      .join(uni.select(col("w").as("w1"), col("__c").as("__c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("__c").as("__c2")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(log(
+          (col("n_pair").cast("double") * col("__t_tok") * col("__t_tok"))
+            / (col("__t_bg").cast("double") * col("__c1") * col("__c2"))), 6)
+          .as("pmi"))
+  }
+
   /** Okapi BM25 document scoring for a fixed query-term set (Robertson &
     * Walker, SIGIR'94 — the standard lexical retrieval ranking; in a
     * data pipeline: targeted corpus selection, "find documents about X"

@@ -949,6 +949,44 @@ object TrainingQueries {
       }),
 
     // ------------------------------------------------------------------
+    // PMI collocations (TextOps.pmiCollocations, Church & Hanks CL'90):
+    // adjacent pairs co-occurring beyond chance. The score is ONE ln of a
+    // ratio of exact integer products — no double partial sums anywhere,
+    // so the oracle replays it with the same tree (multiplication order
+    // matched) and the established ln parity.
+    QuerySpec(
+      "q106_pmi_collocations",
+      (s, dir) =>
+        TextOps.pmiCollocations(Tables.documents(s, dir), "text",
+          minCount = 10L)
+          .orderBy("w1", "w2"),
+      Some(s"""WITH t AS (
+              |  SELECT string_split($normSql, ' ') AS toks FROM documents
+              |), bg AS (
+              |  SELECT unnest([toks[i] FOR i IN range(1, len(toks))]) AS w1,
+              |         unnest([toks[i+1] FOR i IN range(1, len(toks))]) AS w2
+              |  FROM t WHERE len(toks) >= 2
+              |), pc AS (
+              |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+              |  FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 10
+              |), toksu AS (
+              |  SELECT unnest(string_split($normSql, ' ')) AS w FROM documents
+              |), uni AS (
+              |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toksu GROUP BY 1
+              |), tot AS (
+              |  SELECT (SELECT COUNT(*) FROM toksu) AS t_tok,
+              |         (SELECT COUNT(*) FROM bg) AS t_bg
+              |)
+              |SELECT pc.w1, pc.w2, pc.n_pair,
+              |  ROUND(ln((CAST(pc.n_pair AS DOUBLE) * t.t_tok * t.t_tok)
+              |    / (CAST(t.t_bg AS DOUBLE) * u1.c * u2.c)), 6) AS pmi
+              |FROM pc
+              |JOIN uni u1 ON pc.w1 = u1.w
+              |JOIN uni u2 ON pc.w2 = u2.w
+              |CROSS JOIN tot t
+              |ORDER BY w1, w2""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Hard-negative mining (Similarity.hardNegativesExact): for every
     // anchor embedding, the 3 most cosine-similar DIFFERENT-label vectors
     // — the contrastive-training pairs an embedding model learns most

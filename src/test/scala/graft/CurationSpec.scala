@@ -145,6 +145,29 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("pmiCollocations: hand-computed score, minCount gate") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    // corpus: "new york" appears 3x, tokens: new:3 york:3 city:2 big:2
+    // bigram stream: (new,york)x3, (york,city)x2, (big,new)x2... construct:
+    val docs = Seq(
+      "big new york city",
+      "big new york city",
+      "new york").toDF("text")
+    // tokens T=10: big:2 new:3 york:3 city:2; bigrams TB=7:
+    // (big,new):2 (new,york):3 (york,city):2
+    val got = TextOps.pmiCollocations(docs, "text", minCount = 3L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.length == 1) // only (new,york) reaches minCount 3
+    val (w1, w2, n, pmi) = got.head
+    assert((w1, w2, n) == ("new", "york", 3L))
+    val expected = math.log((3.0 * 10 * 10) / (7.0 * 3 * 3))
+    assert(math.abs(pmi - expected) < 6e-7, s"pmi $pmi vs $expected")
+    // lowering the gate surfaces the count-2 pairs too
+    assert(TextOps.pmiCollocations(docs, "text", minCount = 2L).count() == 3)
+  }
+
   test("contaminatedDocs finds exactly the overlapping docs with exact counts") {
     import spark.implicits._
     val evalDf = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
