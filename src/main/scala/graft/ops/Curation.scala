@@ -263,6 +263,44 @@ object Curation {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Deterministic RANDOM negative sampling for contrastive training —
+    * the uniform complement of `Similarity.hardNegatives`: for each
+    * anchor, up to `k` pseudo-random different-label rows, selected by
+    * md5 position probing (the [[hashBucket]] discipline, so sampling is
+    * reproducible across reruns and partitionings, incremental-safe, and
+    * SQL-replayable — no rand()). Slots whose probed row has the same
+    * label (or is the anchor itself) are DROPPED, not retried: expected
+    * yield is k·(1 − 1/|labels|) per anchor — over-provision k rather
+    * than loop (a retry chain would be a data-dependent plan).
+    *
+    * Scale shape: positions from [[ScaleOps.contiguousIds]] (no global
+    * single-task window), anchors explode to k skinny probe rows, ONE
+    * equi join on position. Null-label rows are excluded from both
+    * sides.
+    *
+    * @return (anchor_id, slot 0..k-1, neg_id)
+    */
+  def sampleNegatives(df: DataFrame, idCol: String, labelCol: String,
+                      k: Int, seed: Long = 42L,
+                      numPartitions: Int = 64): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val labeled = df.filter(col(labelCol).isNotNull)
+      .select(col(idCol), col(labelCol))
+    val n = labeled.count() // scalar modulo base — one long to the driver
+    require(n >= 2, s"need at least 2 labeled rows, got $n")
+    val pos = graft.ops.ScaleOps.contiguousIds(labeled, Seq(idCol),
+      numPartitions, "__pos")
+    pos.select(col(idCol).as("anchor_id"), col(labelCol).as("__la"))
+      .withColumn("slot", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("__tp", conv(substring(md5(concat_ws(":",
+          col("anchor_id"), col("slot"), lit(seed))), 1, 8), 16, 10)
+        .cast("long") % n)
+      .join(pos.select(col("__pos").as("__tp"), col(idCol).as("neg_id"),
+        col(labelCol).as("__lb")), "__tp")
+      .filter(col("neg_id") =!= col("anchor_id") && col("__la") =!= col("__lb"))
+      .select(col("anchor_id"), col("slot"), col("neg_id"))
+  }
+
   /** Shared decontamination projection: doc → exploded DISTINCT n-gram
     * shingle hashes (identity = 64-bit hash, as in
     * [[Dedup.ngramJaccardPairs]]; collisions negligible, distinct counts

@@ -949,6 +949,57 @@ object TrainingQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Deterministic random negative sampling (Curation.sampleNegatives):
+    // the uniform complement of hard-negative mining — md5 position
+    // probing instead of rand(), so the sample is reproducible,
+    // incremental-safe, and fully SQL-replayable (same-label probes drop
+    // deterministically rather than retry).
+    QuerySpec(
+      "q107_negative_sample",
+      (s, dir) =>
+        Curation.sampleNegatives(Tables.embeddings(s, dir),
+          "vec_id", "label", k = 8)
+          .orderBy("anchor_id", "slot"),
+      Some("""WITH l AS (
+             |  SELECT vec_id, label FROM embeddings WHERE label IS NOT NULL
+             |), pos AS (
+             |  SELECT vec_id, label,
+             |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS p
+             |  FROM l
+             |), a AS (
+             |  SELECT p.vec_id AS anchor_id, p.label AS la, s.slot,
+             |    CAST(('0x' || substring(md5(
+             |      CAST(p.vec_id AS VARCHAR) || ':' ||
+             |      CAST(s.slot AS VARCHAR) || ':42'), 1, 8)) AS BIGINT)
+             |      % (SELECT COUNT(*) FROM l) AS tp
+             |  FROM pos p
+             |  CROSS JOIN (SELECT unnest(range(0, 8)) AS slot) s
+             |)
+             |SELECT a.anchor_id, CAST(a.slot AS INT) AS slot,
+             |  p2.vec_id AS neg_id
+             |FROM a JOIN pos p2 ON a.tp = p2.p
+             |WHERE p2.vec_id != a.anchor_id AND p2.label != a.la
+             |ORDER BY anchor_id, slot""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // LSH-accelerated hard negatives (Similarity.hardNegatives): q105's
+    // corpus-scale flavor — bucket-collision candidates, different-label
+    // filter, exact rescore, per-anchor top-k. Hash-seeded bucketing is
+    // not SQL-expressible → rows-only; recall floor vs exact q105
+    // certified in OpsSpec (the q56-vs-q31 pattern).
+    QuerySpec(
+      "q108_hard_negatives_lsh",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val (nBits, nTables) = Similarity.lshPolicy(emb.count(),
+          designCosine = 0.4, multiProbe = true)
+        Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+          k = 3, nBits = nBits, nTables = nTables, multiProbe = true)
+          .orderBy("anchor_id", "rank")
+      },
+      None),
+
+    // ------------------------------------------------------------------
     // PMI collocations (TextOps.pmiCollocations, Church & Hanks CL'90):
     // adjacent pairs co-occurring beyond chance. The score is ONE ln of a
     // ratio of exact integer products — no double partial sums anywhere,

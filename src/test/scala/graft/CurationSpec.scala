@@ -145,6 +145,38 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("sampleNegatives: deterministic, label-disjoint, layout-invariant") {
+    import spark.implicits._
+    val rows: Seq[(Long, Option[Int])] =
+      (0L until 200L).map(i => (i, Some((i % 4).toInt))) :+
+        (200L, None: Option[Int])
+    val df = rows.toDF("id", "label")
+    val a = Curation.sampleNegatives(df, "id", "label", k = 6, seed = 7L)
+      .orderBy("anchor_id", "slot").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val b = Curation.sampleNegatives(df.repartition(13), "id", "label",
+      k = 6, seed = 7L, numPartitions = 3)
+      .orderBy("anchor_id", "slot").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(a == b) // layout- and partitioning-invariant
+    val labelOf = rows.dropRight(1).map { case (id, l) => id -> l.get }.toMap
+    a.foreach { case (anchor, slot, neg) =>
+      assert(slot >= 0 && slot < 6)
+      assert(neg != anchor)
+      assert(labelOf(neg) != labelOf(anchor)) // never a same-label negative
+      assert(neg != 200L && anchor != 200L)   // null-label row excluded
+    }
+    // expected yield ~ k*(1 - 1/4); allow a generous band
+    val perAnchor = a.groupBy(_._1).view.mapValues(_.size).values
+    val mean = perAnchor.sum.toDouble / 200
+    assert(mean > 3.0 && mean <= 6.0, s"mean yield $mean")
+    // a different seed draws a different sample
+    val c = Curation.sampleNegatives(df, "id", "label", k = 6, seed = 8L)
+      .orderBy("anchor_id", "slot").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(c != a)
+  }
+
   test("pmiCollocations: hand-computed score, minCount gate") {
     import spark.implicits._
     import graft.ops.TextOps
