@@ -58,7 +58,10 @@ object WavHeaderKernel {
       i += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
     }
     if (!fmtSeen || dataSize < 0) return null
-    if (channels < 1 || rate <= 0 || bits < 8 || bits % 8 != 0) return null
+    // rate is an unsigned 32-bit field narrowed into an Int struct column:
+    // reject values above Int.MaxValue instead of reporting them wrapped
+    if (channels < 1 || rate <= 0 || rate > Int.MaxValue ||
+        bits < 8 || bits % 8 != 0) return null
     val block = channels * (bits / 8)
     new GenericInternalRow(Array[Any](
       wavFmt, channels, rate.toInt, bits, dataSize / block))

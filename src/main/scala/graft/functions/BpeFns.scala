@@ -80,12 +80,25 @@ case class BpeEncode(child: Expression, merges: Array[String])
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+  // two-level (left -> right -> rank) map: the encode hot loop probes every
+  // adjacent symbol pair on every merge iteration, so a flat "l r"-keyed map
+  // would allocate a fresh concatenated key per probe (O(L^2) short-lived
+  // strings per word); nested lookup is allocation-free. Symbols never
+  // contain spaces (training reserves the space as separator), so the first
+  // space in a merge entry is always the left/right boundary.
+  @transient private lazy val ranks:
+      java.util.HashMap[String, java.util.HashMap[String, Integer]] = {
+    val m = new java.util.HashMap[String, java.util.HashMap[String, Integer]](
+      merges.length * 2)
     var i = 0
     while (i < merges.length) {
+      val sep = merges(i).indexOf(' ')
+      val l = merges(i).substring(0, sep)
+      val r = merges(i).substring(sep + 1)
+      val inner = m.computeIfAbsent(l,
+        _ => new java.util.HashMap[String, Integer]())
       // first-learned rank wins if a pair somehow repeats
-      if (!m.containsKey(merges(i))) m.put(merges(i), i)
+      if (!inner.containsKey(r)) inner.put(r, i)
       i += 1
     }
     m
@@ -114,8 +127,11 @@ case class BpeEncode(child: Expression, merges: Array[String])
       var bestI = -1
       var i = 0
       while (i < syms.length - 1) {
-        val r = ranks.get(syms(i) + " " + syms(i + 1))
-        if (r != null && r < bestRank) { bestRank = r; bestI = i }
+        val inner = ranks.get(syms(i))
+        if (inner != null) {
+          val r = inner.get(syms(i + 1))
+          if (r != null && r < bestRank) { bestRank = r; bestI = i }
+        }
         i += 1
       }
       if (bestI < 0) continue = false

@@ -92,13 +92,17 @@ object Multimodal {
     val ch = assertInRange(channels, 1, 64, "wav channels")
     val bits = assertInRange(bitsPerSample, 8, 32, "wav bits")
     val frames = assertInRange(nFrames, 0, 4096, "wav frames")
+    // byteRate = rate * block must fit its 4-byte LE field (le() lpads, so
+    // wider values would silently truncate — the jpegHeaderBytes trap):
+    // 2 MHz * max block (64ch * 4B) = 5.1e8 < 2^32
+    val rate = assertInRange(sampleRate, 1, 2000000, "wav sample rate")
     val block = ch * (bits.cast("int") / lit(8)).cast("int")
     val dataSize = frames * block
-    val byteRate = sampleRate * block
+    val byteRate = rate * block
     unhex(concat(
       lit("52494646"), le(dataSize + lit(36), 4), lit("57415645"), // RIFF WAVE
       lit("666D7420"), le(lit(16), 4), // "fmt " chunk, 16 payload bytes
-      le(lit(1), 2), le(ch, 2), le(sampleRate, 4), le(byteRate, 4),
+      le(lit(1), 2), le(ch, 2), le(rate, 4), le(byteRate, 4),
       le(block, 2), le(bits, 2),
       lit("64617461"), le(dataSize, 4), // "data" chunk
       repeat(lit("00"), dataSize.cast("int"))))

@@ -402,12 +402,27 @@ object Similarity {
     * — benchmark suites are thousands of rows, far under it; beyond the
     * bound, run [[cosineNearDupPairs]] cross-set (LSH buckets) instead.
     */
+  /** Hard cap on |eval| x dim doubles collected to the driver (~80 MB):
+    * the documented contract of [[semanticContamination]], enforced so an
+    * oversized eval set fails loudly instead of OOMing the driver.
+    */
+  val MaxEvalMatrixDoubles: Long = 10L * 1000 * 1000
+
   def semanticContamination(corpus: DataFrame, idCol: String, vecCol: String,
                             eval: DataFrame, evalVecCol: String,
-                            minCosine: Double): DataFrame = {
+                            minCosine: Double,
+                            maxEvalDoubles: Long = MaxEvalMatrixDoubles): DataFrame = {
+    // enforce the plan-reference-matrix bound BEFORE collecting: one cheap
+    // count + one-row dim probe on the (small-by-contract) eval frame
+    val evalN = eval.count()
+    require(evalN > 0, "eval set must not be empty")
+    val dim = inferDim(eval, evalVecCol)
+    require(evalN * dim <= maxEvalDoubles,
+      s"eval set too large for the broadcast-matrix path ($evalN rows x $dim dims " +
+        s"> $maxEvalDoubles doubles); run cosineNearDupPairs cross-set " +
+        "(LSH-bucketed) decontamination instead")
     val evalVecs = eval.select(asDouble(col(evalVecCol))).collect()
-      .map(_.getSeq[Double](0).toArray) // |eval| rows — driver-bounded by contract
-    require(evalVecs.nonEmpty, "eval set must not be empty")
+      .map(_.getSeq[Double](0).toArray) // |eval| rows — driver-bounded above
     // unit rows for the argmax (dot == cosine on the unit sphere; ties →
     // smaller index, deterministic); the REPORTED cosine is recomputed in
     // the q28/q31 oracle-matched dot/(na*nb) spelling

@@ -550,6 +550,20 @@ class OpsSpec extends AnyFunSuite {
     assert(!rep(7777L) && !rep(7778L))
   }
 
+  test("semanticContamination refuses an eval set over the matrix bound, loudly") {
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val eval = emb.filter(col("vec_id") < 20L) // 20 x 64 = 1280 doubles
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.semanticContamination(emb, "vec_id", "embedding",
+        eval, "embedding", minCosine = 0.4, maxEvalDoubles = 1000L)
+    }
+    // the failure must name the scale-path fallback, not just reject
+    assert(ex.getMessage.contains("cosineNearDupPairs"), ex.getMessage)
+    // and the default cap admits a normal benchmark-suite-sized eval set
+    assert(Similarity.semanticContamination(emb, "vec_id", "embedding",
+      eval, "embedding", minCosine = 0.4).count() == emb.count())
+  }
+
   test("imageMeta parses a real PNG file's bytes (golden fixture)") {
     import spark.implicits._
     // canonical 1x1 RGBA PNG (the smallest real PNG in the wild) — real
@@ -620,7 +634,10 @@ class OpsSpec extends AnyFunSuite {
       wav(fmt(1, 1, 8000, 16)),                 // no data chunk -> null
       golden.dropRight(2),                      // truncated data -> null
       "RIFFnotawave".getBytes("US-ASCII"),      // wrong magic -> null
-      Array.empty[Byte])
+      Array.empty[Byte],
+      // unsigned rate above Int.MaxValue would wrap negative in the Int
+      // struct field -> must be rejected, not reported wrapped
+      wav(fmt(1, 1, 0x80000001, 16), chunk("data", new Array[Byte](8))))
     val got = cases.zipWithIndex.map { case (b, i) => (i, b) }.toDF("i", "b")
       .select(col("i"), graft.ops.Multimodal.audioMeta(col("b")).as("m"))
       .orderBy("i").collect()
@@ -643,6 +660,14 @@ class OpsSpec extends AnyFunSuite {
       assert(r.getStruct(4).toSeq == Seq("wav", r.getInt(0), r.getInt(1),
         r.getInt(2), r.getInt(3).toLong), r.toString)
     }
+    // a sample rate whose byteRate would overflow the 4-byte LE field must
+    // fail the range assert, not emit a silently-truncated header
+    val bad = Seq((64, 17000000, 32, 1)).toDF("ch", "rate", "bits", "frames")
+    val ex = intercept[Exception] { // SparkRuntimeException from assert_true
+      bad.select(graft.ops.Multimodal.wavBytes(
+        col("ch"), col("rate"), col("bits"), col("frames"))).collect()
+    }
+    assert(ex.getMessage.contains("wav sample rate"), ex.getMessage)
   }
 
   test("image header encode helpers round-trip through the parser") {
