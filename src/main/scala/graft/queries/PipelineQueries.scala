@@ -412,20 +412,60 @@ object PipelineQueries {
               |FROM counts ORDER BY rank""".stripMargin)),
 
     // ------------------------------------------------------------------
-    // SemDeDup semantic dedup (rows-only: spherical k-means is iterative
-    // and seeded — not SQL-expressible; certified in IvfSpec: planted
-    // true near-dups recall 1.0, precision exact by construction, stress
-    // floor documented). Survivors after greedy within-cluster drop at
-    // the fixture's q31 stress threshold; cluster count comes from the
-    // √N ivfPolicy — no fixture-tuned constant.
+    // SemDeDup semantic dedup. Spherical k-means is iterative and seeded —
+    // not SQL-expressible — so the oracle is the planted-duplicate banded
+    // form the IvfSpec certification uses, made DuckDB-checkable: plant an
+    // EXACT clone of every vec_id < 25 (ids shifted by 1e6 — a pure SQL
+    // construction both engines replay), run the full SemDeDup drop over
+    // the augmented corpus, and emit one row per planted pair with two
+    // verdicts:
+    //   planted_caught_ok  per pair: the original and its clone never BOTH
+    //                      survive (clone cosine == 1 >= the 0.4 gate and
+    //                      identical vectors land in the same cluster, so
+    //                      a correct SemDeDup always catches the pair —
+    //                      recall 1.0 on planted duplicates)
+    //   drops_justified_ok global: every dropped id has SOME partner at
+    //                      exact cosine >= 0.4 in the augmented corpus
+    //                      (re-verified all-pairs, the q31 spelling — no
+    //                      spurious drops; precision of the drop set)
+    // Cluster count still comes from the √N ivfPolicy — no fixture-tuned
+    // constant anywhere.
     QuerySpec(
       "q83_semantic_dedup",
-      (s, dir) =>
-        Similarity.dropSemanticDuplicates(Tables.embeddings(s, dir),
-          "vec_id", "embedding", minCosine = 0.4)
-          .select(col("vec_id"), col("label"))
-          .orderBy("vec_id"),
-      None),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val clones = emb.filter(col("vec_id") < 25L)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        val aug = emb.unionByName(clones)
+        val surv = Similarity.dropSemanticDuplicates(aug, "vec_id", "embedding",
+          minCosine = 0.4).select(col("vec_id"))
+        val dropped = aug.select(col("vec_id"))
+          .join(surv, Seq("vec_id"), "left_anti")
+        val partners = {
+          val p = Similarity.cosineNearDupPairsExact(aug, "vec_id", "embedding",
+            minCosine = 0.4)
+          p.select(col("id_a").as("vec_id"))
+            .unionByName(p.select(col("id_b").as("vec_id"))).distinct()
+        }
+        val verdict = dropped.join(partners, Seq("vec_id"), "left_anti")
+          .agg(count(lit(1)).as("__unjust"))
+          .select((col("__unjust") === 0L).as("drops_justified_ok"))
+        val survOrig = surv.select(col("vec_id").as("orig_id"), lit(true).as("__ko"))
+        val survClone = surv.select(col("vec_id").as("clone_id"), lit(true).as("__kc"))
+        emb.filter(col("vec_id") < 25L)
+          .select(col("vec_id").as("orig_id"),
+            (col("vec_id") + 1000000L).as("clone_id"))
+          .join(survOrig, Seq("orig_id"), "left")
+          .join(survClone, Seq("clone_id"), "left")
+          .select(col("orig_id"), col("clone_id"),
+            (!(coalesce(col("__ko"), lit(false)) &&
+              coalesce(col("__kc"), lit(false)))).as("planted_caught_ok"))
+          .crossJoin(broadcast(verdict)) // 1-row verdict frame
+          .orderBy("orig_id")
+      },
+      Some("""SELECT vec_id AS orig_id, vec_id + 1000000 AS clone_id,
+             |  TRUE AS planted_caught_ok, TRUE AS drops_justified_ok
+             |FROM embeddings WHERE vec_id < 25 ORDER BY orig_id""".stripMargin)),
 
     // ------------------------------------------------------------------
     // Keyless range join via interval binning (ops.RangeJoin): every

@@ -223,25 +223,134 @@ object TrainingQueries {
              |GROUP BY predicted_lang ORDER BY predicted_lang""".stripMargin)),
 
     // ------------------------------------------------------------------
-    // MinHash+LSH near-dup pairs (xxhash64 sketch — no SQL oracle; driver
-    // records the rows-only check). Deterministic: fixed hash seeds.
+    // MinHash+LSH near-dup pairs. The xxhash64 sketch itself is not
+    // SQL-expressible, so the oracle-visible output is the banded form
+    // (the q30 pattern, sketch edition): the EXACT n-gram Jaccard pairs at
+    // the same 0.3 threshold — DuckDB replays them bit-for-bit, the q27
+    // spelling — plus three in-band verdicts the MinHash result must
+    // clear, the floors OpsSpec certifies at this parameterization:
+    //   recall_ok     |est ∩ exact@0.3| >= 0.3·|exact@0.3| (banding hit
+    //                 prob at j=0.3 is 1-(1-0.3²)^16 ≈ 0.78, → 1 as j→1;
+    //                 the fixture's planted pairs all sit at j >= 0.8)
+    //   precision_ok  >= 70% of emitted pairs have TRUE jaccard >= 0.15
+    //                 (32-hash estimate at the 0.3 gate has se ≈ 0.08)
+    //   est_err_ok    mean |est - true| <= 0.12 over emitted pairs with
+    //                 true j >= 0.1 (estimator is unbiased, se ≈ 0.08)
+    // The exact reference is bounded verification work over the SAME
+    // fixture the sketch runs on — the lossless AllPairs join, not a
+    // second sketch.
     QuerySpec(
       "q25_minhash_near_dup",
-      (s, dir) =>
-        Dedup.minhashNearDupPairs(
-          Tables.documents(s, dir), "doc_id", "text",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          shingleSize = 3, minJaccard = 0.1)
+        val exact = truth.filter(col("jaccard") >= 0.3)
+        val est = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
           numHashes = 32, shingleSize = 3, bands = 16, minJaccard = 0.3)
-          .orderBy("id_a", "id_b"),
-      None),
+        val joined = est.join(
+          truth.select(col("id_a"), col("id_b"), col("jaccard").as("__tj")),
+          Seq("id_a", "id_b"), "left")
+        val estStats = joined.agg(
+          count(lit(1)).as("__n_est"),
+          sum(when(coalesce(col("__tj"), lit(0.0)) >= 0.15, 1L).otherwise(0L))
+            .as("__n_precise"),
+          avg(when(col("__tj").isNotNull,
+            abs(col("est_jaccard") - col("__tj")))).as("__mae"),
+          sum(when(coalesce(col("__tj"), lit(0.0)) >= 0.3, 1L).otherwise(0L))
+            .as("__hits"))
+        val nExact = exact.agg(count(lit(1)).as("__exact"))
+        val verdict = estStats.crossJoin(nExact).select(
+          (col("__hits") >= col("__exact") * lit(0.3)).as("recall_ok"),
+          (col("__n_precise") >= col("__n_est") * lit(0.7)).as("precision_ok"),
+          (coalesce(col("__mae"), lit(0.0)) <= 0.12).as("est_err_ok"))
+        exact.crossJoin(broadcast(verdict)) // 1-row verdict frame
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents
+              |), sh AS (
+              |  SELECT doc_id, unnest(list_distinct(
+              |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)])) AS s
+              |  FROM t
+              |), sz AS (
+              |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+              |), inter AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+              |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2
+              |)
+              |SELECT i.id_a, i.id_b,
+              |  ROUND(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 4) AS jaccard,
+              |  TRUE AS recall_ok, TRUE AS precision_ok, TRUE AS est_err_ok
+              |FROM inter i
+              |JOIN sz sa ON sa.doc_id = i.id_a
+              |JOIN sz sb ON sb.doc_id = i.id_b
+              |WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.3
+              |ORDER BY id_a, id_b""".stripMargin)),
 
     // ------------------------------------------------------------------
-    // SimHash 64-bit sketches (no SQL oracle — xxhash64).
+    // SimHash 64-bit sketches (Charikar STOC'02). Hash values are not
+    // SQL-expressible, so the oracle-visible output is the banded form:
+    // the EXACT high-similarity pairs (n-gram Jaccard >= 0.5, the q27
+    // spelling — DuckDB-replayed) plus verdicts certifying the sketch:
+    //   neardup_hamming_ok  per pair: Hamming(simhash_a, simhash_b) <= 20
+    //                       of 64 bits (near-identical token sets weight
+    //                       almost every bit the same way; random doc
+    //                       pairs center at 32, ±3σ ≈ 32±12)
+    //   banding_complete_ok global: the production 16-bit-chunk banding
+    //                       returns EXACTLY the brute-force d<=3 pair set
+    //                       (pigeonhole completeness, both directions)
     QuerySpec(
       "q26_simhash",
-      (s, dir) =>
-        Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
-          .orderBy("doc_id"),
-      None),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val sigs = Dedup.simhash(docs, "doc_id", "text")
+        val brute = sigs.select(col("doc_id").as("id_a"), col("simhash").as("__sa"))
+          .join(sigs.select(col("doc_id").as("id_b"), col("simhash").as("__sb")),
+            col("id_a") < col("id_b"))
+          .filter(expr("bit_count(__sa ^ __sb)") <= 3)
+          .select(col("id_a"), col("id_b"))
+        val banded = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+          maxDistance = 3).select(col("id_a"), col("id_b"))
+        val nBrute = brute.agg(count(lit(1)).as("__nb"))
+        val nBand = banded.agg(count(lit(1)).as("__nd"))
+        val nCommon = banded.join(brute, Seq("id_a", "id_b"), "left_semi")
+          .agg(count(lit(1)).as("__common"))
+        val verdict = nBrute.crossJoin(nBand).crossJoin(nCommon).select(
+          (col("__nb") === col("__nd") && col("__common") === col("__nd"))
+            .as("banding_complete_ok"))
+        val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          shingleSize = 3, minJaccard = 0.5)
+        exact
+          .join(sigs.select(col("doc_id").as("id_a"), col("simhash").as("__sa")), "id_a")
+          .join(sigs.select(col("doc_id").as("id_b"), col("simhash").as("__sb")), "id_b")
+          .select(col("id_a"), col("id_b"), col("jaccard"),
+            (expr("bit_count(__sa ^ __sb)") <= 20).as("neardup_hamming_ok"))
+          .crossJoin(broadcast(verdict)) // 1-row verdict frame
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents
+              |), sh AS (
+              |  SELECT doc_id, unnest(list_distinct(
+              |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)])) AS s
+              |  FROM t
+              |), sz AS (
+              |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+              |), inter AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+              |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2
+              |)
+              |SELECT i.id_a, i.id_b,
+              |  ROUND(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 4) AS jaccard,
+              |  TRUE AS neardup_hamming_ok, TRUE AS banding_complete_ok
+              |FROM inter i
+              |JOIN sz sa ON sa.doc_id = i.id_a
+              |JOIN sz sb ON sb.doc_id = i.id_b
+              |WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.5
+              |ORDER BY id_a, id_b""".stripMargin)),
 
     // ------------------------------------------------------------------
     // EXACT n-gram Jaccard similarity join (lossless AllPairs/PPJoin prefix
@@ -369,25 +478,47 @@ object TrainingQueries {
 
     // ------------------------------------------------------------------
     // LSH-bucketed cosine near-dup (the 100 TB path: bucket-join candidates
-    // + exact verify). Precision is exactly 1.0 (subset of q31's exact
-    // result — asserted in OpsSpec); the policy's table count targets 0.95
-    // pair recall even at this deliberately low 0.4 threshold (θ≈66°
-    // stress case); recall ≈ 1 at true near-dup thresholds (≥0.95).
+    // + exact verify). Hash-seeded bucketing is not SQL-expressible, so the
+    // oracle-visible output is the banded form: the EXACT q31 pair set
+    // (DuckDB replays it bit-for-bit, the q31 spelling) plus two in-band
+    // verdicts the LSH result must clear —
+    //   lsh_subset_ok  every emitted LSH pair is in the exact set
+    //                  (precision EXACTLY 1.0: candidates are
+    //                  exact-verified before emission)
+    //   lsh_recall_ok  |lsh| >= 0.65·|exact| — the OpsSpec stress floor at
+    //                  this deliberately low 0.4 threshold (θ≈66°);
+    //                  recall ≈ 1 at true near-dup thresholds (>= 0.95)
     // nBits/nTables from Similarity.lshPolicy — see q30's note on reading
-    // fixture-scale bench numbers. Rows-only check: bucketing is
-    // hash-seeded, not SQL-expressible.
+    // fixture-scale bench numbers (the exact reference side makes this
+    // query's bench cost ≈ q31 + the LSH path itself).
     QuerySpec(
       "q56_cosine_near_dup_lsh",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val (nBits, nTables) = Similarity.lshPolicy(emb.count(), designCosine = 0.4,
           multiProbe = true)
-        Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+        val lsh = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
           minCosine = 0.4, nBits = nBits, nTables = nTables, seed = 42L,
           multiProbe = true)
+          .select(col("id_a"), col("id_b"))
+        val exact = Similarity.cosineNearDupPairsExact(emb, "vec_id", "embedding",
+          minCosine = 0.4)
+        val hits = lsh.join(exact.select("id_a", "id_b"), Seq("id_a", "id_b"),
+          "left_semi").agg(count(lit(1)).as("__hits"))
+        val nLsh = lsh.agg(count(lit(1)).as("__lsh"))
+        val nExact = exact.agg(count(lit(1)).as("__exact"))
+        val verdict = hits.crossJoin(nLsh).crossJoin(nExact).select(
+          (col("__hits") === col("__lsh")).as("lsh_subset_ok"),
+          (col("__hits") >= col("__exact") * lit(0.65)).as("lsh_recall_ok"))
+        exact.crossJoin(broadcast(verdict)) // 1-row verdict frame
           .orderBy("id_a", "id_b")
       },
-      None),
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine,
+             |  TRUE AS lsh_subset_ok, TRUE AS lsh_recall_ok
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     // ------------------------------------------------------------------
     // IVF ANN (learned-centroid scale path; spherical k-means trained in
@@ -985,19 +1116,49 @@ object TrainingQueries {
     // LSH-accelerated hard negatives (Similarity.hardNegatives): q105's
     // corpus-scale flavor — bucket-collision candidates, different-label
     // filter, exact rescore, per-anchor top-k. Hash-seeded bucketing is
-    // not SQL-expressible → rows-only; recall floor vs exact q105
-    // certified in OpsSpec (the q56-vs-q31 pattern).
+    // not SQL-expressible, so the oracle-visible output is the banded
+    // form: q105's EXACT ranking (DuckDB replays it natively) plus an
+    // in-band recall verdict — the LSH pair set must recover >= 0.55 of
+    // the exact (anchor, negative) pairs, the OpsSpec floor (hard
+    // negatives live at HIGH cosine, the regime bucket collisions are
+    // designed for, so observed recall runs far above it).
     QuerySpec(
       "q108_hard_negatives_lsh",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val (nBits, nTables) = Similarity.lshPolicy(emb.count(),
           designCosine = 0.4, multiProbe = true)
-        Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+        val lsh = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
           k = 3, nBits = nBits, nTables = nTables, multiProbe = true)
+          .select(col("anchor_id"), col("neg_id"))
+        val exact = Similarity.hardNegativesExact(emb, "vec_id", "embedding",
+          "label", k = 3)
+        val hits = lsh.join(exact.select("anchor_id", "neg_id"),
+          Seq("anchor_id", "neg_id"), "left_semi")
+          .agg(count(lit(1)).as("__hits"))
+        val nExact = exact.agg(count(lit(1)).as("__exact"))
+        val verdict = hits.crossJoin(nExact).select(
+          (col("__hits") >= col("__exact") * lit(0.55)).as("lsh_recall_ok"))
+        exact.crossJoin(broadcast(verdict)) // 1-row verdict frame
           .orderBy("anchor_id", "rank")
       },
-      None),
+      Some("""WITH pairs AS (
+             |  SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+             |    list_cosine_similarity(a.embedding::DOUBLE[],
+             |                           b.embedding::DOUBLE[]) AS c
+             |  FROM embeddings a JOIN embeddings b
+             |    ON a.vec_id != b.vec_id AND a.label != b.label
+             |  WHERE a.label IS NOT NULL AND b.label IS NOT NULL
+             |), ranked AS (
+             |  SELECT anchor_id, neg_id, c,
+             |    ROW_NUMBER() OVER (PARTITION BY anchor_id
+             |                       ORDER BY c DESC, neg_id) AS rank
+             |  FROM pairs
+             |)
+             |SELECT anchor_id, CAST(rank AS INT) AS rank, neg_id,
+             |  ROUND(c, 6) AS cosine, TRUE AS lsh_recall_ok
+             |FROM ranked WHERE rank <= 3
+             |ORDER BY anchor_id, rank""".stripMargin)),
 
     // ------------------------------------------------------------------
     // PMI collocations (TextOps.pmiCollocations, Church & Hanks CL'90):
@@ -1116,19 +1277,82 @@ object TrainingQueries {
     // ------------------------------------------------------------------
     // BPE tokenizer TRAINING (ops.Bpe.train, Sennrich ACL'16): one
     // corpus-scale pass (word-type histogram), then numMerges iterations
-    // over the VOCAB table only — each moving one winning pair to the
-    // driver. The merge list is fully deterministic (max count, ties
-    // lexicographic), but no SQL engine can replay the iterative
-    // algorithm → rows-only here; BpeSpec certifies the merge sequence
-    // against a hand-computed corpus and layout-invariance.
+    // over the VOCAB table only. The merge list is fully deterministic
+    // (max count, ties lexicographic) but iterative — no SQL engine can
+    // replay the whole sequence. Banded oracle: merge 0 IS one plain
+    // aggregation (most frequent adjacent char pair of the char-split
+    // corpus), so DuckDB replays (left, right, count) of rank 0 exactly;
+    // later ranks carry two Spark-computed consistency verdicts DuckDB
+    // confirms as TRUE:
+    //   structure_ok   each side of merge i is a corpus character or the
+    //                  output of an EARLIER merge (the vocab-closure
+    //                  property a valid merge table must have; the char
+    //                  set is re-derived from the corpus, not from train)
+    //   merge_used_ok  merge i's output token either survives in the
+    //                  encoded corpus (one Bpe.encode pass — the
+    //                  INDEPENDENT codegen path, not train's rewrite) or
+    //                  is consumed as input by a LATER merge — a learned
+    //                  token that neither appears nor feeds a later merge
+    //                  would be garbage
+    // BpeSpec additionally certifies the full sequence on a hand-computed
+    // corpus and layout-invariance.
     QuerySpec(
       "q100_bpe_train",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val merges = graft.ops.Bpe.train(docs, "text", numMerges = 30)
-        graft.ops.Bpe.mergesDf(docs, merges).orderBy("rank")
+        // corpus character set, derived independently of train's vocab
+        val charset = docs
+          .select(explode(filter(
+            split(TextOps.normalized(col("text")), ""),
+            x => x =!= "" && x =!= " ")).as("c"))
+          .distinct().collect().map(_.getString(0)).toSet
+        // distinct subword tokens of the encoded corpus (vocab-bounded)
+        val encoded = graft.ops.Bpe.encode(docs, "text", merges)
+          .select(explode(col("bpe_tokens")).as("t"))
+          .distinct().collect().map(_.getString(0)).toSet
+        val mergedByRank = merges.map(m => m.left + m.right)
+        def validSym(sym: String, rank: Int): Boolean =
+          (sym.length == 1 && charset(sym)) ||
+            mergedByRank.take(rank).contains(sym)
+        import s.implicits._
+        merges.map { m =>
+          (m.rank,
+            if (m.rank == 0) Some(m.left) else None,
+            if (m.rank == 0) Some(m.right) else None,
+            if (m.rank == 0) Some(m.pairCount) else None,
+            validSym(m.left, m.rank) && validSym(m.right, m.rank),
+            encoded(m.left + m.right) || merges.drop(m.rank + 1)
+              .exists(later => later.left == m.left + m.right ||
+                later.right == m.left + m.right))
+        }.toDF("rank", "first_left", "first_right", "first_count",
+          "structure_ok", "merge_used_ok")
+          .orderBy("rank")
       },
-      None),
+      Some(s"""WITH w AS (
+              |  SELECT unnest(string_split($normSql, ' ')) AS w FROM documents
+              |), wc AS (
+              |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM w
+              |  WHERE length(w) > 0 GROUP BY w
+              |), ch AS (
+              |  SELECT cnt, string_split(w, '') AS cs FROM wc
+              |), pr AS (
+              |  SELECT unnest([cs[i] FOR i IN range(1, len(cs))]) AS l,
+              |         unnest([cs[i+1] FOR i IN range(1, len(cs))]) AS r,
+              |         cnt
+              |  FROM ch WHERE len(cs) >= 2
+              |), best AS (
+              |  SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS pc
+              |  FROM pr GROUP BY l, r
+              |  ORDER BY SUM(cnt) DESC, l, r LIMIT 1
+              |)
+              |SELECT CAST(rk.range AS INT) AS rank,
+              |  CASE WHEN rk.range = 0 THEN b.l END AS first_left,
+              |  CASE WHEN rk.range = 0 THEN b.r END AS first_right,
+              |  CASE WHEN rk.range = 0 THEN b.pc END AS first_count,
+              |  TRUE AS structure_ok, TRUE AS merge_used_ok
+              |FROM range(0, 30) rk CROSS JOIN best b
+              |ORDER BY rank""".stripMargin)),
 
     // ------------------------------------------------------------------
     // BPE ENCODING at corpus scale (ops.Bpe.encode): greedy lowest-rank

@@ -47,12 +47,18 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q25/q26: sketch computation has no shuffle before banding") {
-    // signature/sketch stage must be a pure projection over the scan:
-    // the simhash query (no banding) must contain NO shuffle exchange at all
-    // except the final presentation sort
-    val plan = executedPlan("q26_simhash")
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(exchanges == 0, s"simhash must not hash-shuffle\n$plan")
+    // signature/sketch stage must be a pure projection over the scan — the
+    // queries themselves now carry banded-oracle verification joins, so the
+    // zero-shuffle property is asserted on the OPERATORS they run
+    val docs = Tables.documents(spark, sf)
+    Seq(
+      graft.ops.Dedup.simhash(docs, "doc_id", "text"),
+      graft.ops.Dedup.minhashSignatures(docs, "doc_id", "text", 32, 3)
+    ).foreach { sketch =>
+      val plan = sketch.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 0, s"sketch stage must not hash-shuffle\n$plan")
+    }
   }
 
   test("q54/q55: correlated (NOT) EXISTS planned as semi/anti joins") {
