@@ -40,11 +40,37 @@ object Bpe {
     * pair reaches `minPairCount`. Word types are split to single
     * characters and greedily fused; a space is reserved as an internal
     * separator and must not occur in the text.
+    *
+    * `batchSize` — merges accepted per aggregation round:
+    *   - 1 (default): EXACT sequential BPE (Sennrich ACL'16) — one
+    *     aggregation + one driver round-trip per merge. Right for
+    *     fixture-scale vocabularies and for oracle replay, but a real
+    *     32k-merge tokenizer would cost 32k Spark jobs of scheduler
+    *     overhead.
+    *   - B > 1: the SentencePiece/HF-style batched approximation — each
+    *     round takes the top-B pairs (count desc, ties lexicographic)
+    *     that are pairwise SYMBOL-DISJOINT, so a 32k-merge vocabulary
+    *     costs ~32k/B aggregation rounds. Disjointness makes the batch
+    *     exact-at-acceptance: applying one accepted pair cannot change
+    *     another accepted pair's count (only pairs sharing a symbol
+    *     gain/lose occurrences), so every recorded pairCount is the true
+    *     count at application time and training stays fully deterministic
+    *     under any partitioning. The approximation vs sequential: a pair
+    *     NEWLY CREATED mid-batch (count <= its creator's) cannot be
+    *     picked until the next round — the standard production trade.
     */
   def train(df: DataFrame, textCol: String, numMerges: Int,
-            minPairCount: Long = 2L): Seq[Merge] = {
+            minPairCount: Long = 2L, batchSize: Int = 1): Seq[Merge] =
+    trainWithStats(df, textCol, numMerges, minPairCount, batchSize)._1
+
+  /** [[train]] plus the aggregation-round count (for scale tests: rounds
+    * must shrink as ~numMerges/batchSize, the whole point of batching).
+    */
+  private[graft] def trainWithStats(df: DataFrame, textCol: String,
+                                    numMerges: Int, minPairCount: Long = 2L,
+                                    batchSize: Int = 1): (Seq[Merge], Int) = {
     require(numMerges >= 1, "numMerges must be positive")
-    val spark = df.sparkSession
+    require(batchSize >= 1, "batchSize must be positive")
     // the single corpus-scale pass: word-type histogram
     val wordCounts = df
       .select(explode(TextOps.tokens(TextOps.normalized(col(textCol)))).as("w"))
@@ -56,12 +82,18 @@ object Bpe {
       .localCheckpoint()
     val merges = Seq.newBuilder[Merge]
     var rank = 0
+    var rounds = 0
+    var sinceCheckpoint = 0
     var done = false
     while (rank < numMerges && !done) {
+      rounds += 1
+      val want = math.min(batchSize, numMerges - rank)
       // adjacent pairs weighted by word count; slice twice instead of a
-      // positional join — stays one small aggregation, no shuffle of
-      // anything corpus-sized
-      val best = vocab
+      // positional join — stays one small aggregation (TakeOrdered, one
+      // job), no shuffle of anything corpus-sized. The 8x candidate
+      // headroom keeps one round productive even when the top of the
+      // count table is clustered around a few hot symbols.
+      val cand = vocab
         .filter(size(col("syms")) >= 2)
         .select(col("cnt"), explode(expr(
           """zip_with(slice(syms, 1, size(syms) - 1),
@@ -70,23 +102,44 @@ object Bpe {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("cnt")).as("pc"))
         .orderBy(col("pc").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      if (best.isEmpty || best(0).getLong(2) < minPairCount) done = true
+        .limit(8 * want).collect()
+      val used = scala.collection.mutable.HashSet.empty[String]
+      val picked = Seq.newBuilder[(String, String, Long)]
+      var nPicked = 0
+      var i = 0
+      while (i < cand.length && nPicked < want &&
+             cand(i).getLong(2) >= minPairCount) {
+        val (l, r) = (cand(i).getString(0), cand(i).getString(1))
+        if (!used(l) && !used(r)) {
+          picked += ((l, r, cand(i).getLong(2)))
+          used += l; used += r
+          nPicked += 1
+        }
+        i += 1
+      }
+      val batch = picked.result()
+      if (batch.isEmpty) done = true
       else {
-        val (l, r, pc) = (best(0).getString(0), best(0).getString(1),
-          best(0).getLong(2))
-        merges += Merge(rank, l, r, pc)
-        val next = vocab.withColumn("syms",
-          ArrayMath.bpeMergePair(col("syms"), lit(l), lit(r)))
-        // flatten lineage every few rounds: a checkpoint is a full
-        // materialization job, while re-running ≤3 stacked merge
+        // apply in rank order (greedy left-to-right per pair — exactly the
+        // encode rewrite); disjointness makes the order immaterial for
+        // counts, but keep it for byte-identical vocab evolution
+        var next = vocab
+        batch.foreach { case (l, r, pc) =>
+          merges += Merge(rank, l, r, pc)
+          rank += 1
+          next = next.withColumn("syms",
+            ArrayMath.bpeMergePair(col("syms"), lit(l), lit(r)))
+        }
+        sinceCheckpoint += batch.length
+        // flatten lineage every few applied merges: a checkpoint is a full
+        // materialization job, while re-running a few stacked merge
         // projections inside the next aggregation is nearly free —
-        // halves the job count of a long training run
-        vocab = if ((rank + 1) % 4 == 0) next.localCheckpoint() else next
-        rank += 1
+        // halves the job count of a long sequential training run
+        vocab = if (sinceCheckpoint >= 4) { sinceCheckpoint = 0; next.localCheckpoint() }
+          else next
       }
     }
-    merges.result()
+    (merges.result(), rounds)
   }
 
   /** Learned merges as a DataFrame (rank, left, right, pair_count) — the
