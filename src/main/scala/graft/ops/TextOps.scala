@@ -402,4 +402,74 @@ object TextOps {
       .select(col(idCol), col("n_hits"),
         round(col("__s").cast("double"), 6).as("score"))
   }
+
+  /** CCNet-style n-gram LM quality gate (Wenzek et al., LREC 2020 — the
+    * standard public pretraining-pipeline perplexity filter): train a
+    * bigram language model over `train` and score every `docs` row by its
+    * average negative log-likelihood under add-one (Laplace) smoothing:
+    *
+    *   nll(doc) = (1/n) · Σ_bigrams ln((c(w1,·) + V) / (c(w1,w2) + 1))
+    *
+    * where c(w1,w2) is the train-corpus bigram count, c(w1,·) its
+    * left-context total, and V the train vocabulary size. Perplexity is
+    * exp(nll); nll is reported directly (monotone in perplexity) so every
+    * term stays ONE ln of a ratio of exact integers — the q106/PMI
+    * cross-engine parity recipe. Gibberish and out-of-domain documents
+    * score high; fluent in-domain text scores low — rank/threshold on
+    * `avg_nll` exactly as CCNet thresholds perplexity.
+    *
+    * Generalizes [[lmQualityScore]] (the in-corpus flavor): a SEPARATE
+    * train corpus — CCNet trains on a curated reference (wiki) and scores
+    * the crawl — and add-one mass for bigrams/contexts the train set
+    * never saw (left joins; an inner join could only score the training
+    * corpus itself).
+    *
+    * Output: one row per `docs` row — (idCol, n_bigrams, avg_nll);
+    * documents with fewer than 2 tokens report n_bigrams = 0 and a NULL
+    * score (route them to a length gate, not this one).
+    *
+    * Scale shape: training is two aggregations over the TRAIN corpus
+    * (bigram counts + their left-context rollup, V rides as one broadcast
+    * row); a CCNet-style train set is a curated reference corpus
+    * (wiki-sized), so the resulting LM tables are vocab-plane frames that
+    * AQE broadcasts — the scored corpus then never shuffles except the
+    * final skinny (id, term) per-doc aggregation, whose map-side partial
+    * combine collapses contiguous doc rows before the exchange. Per-term
+    * nll routes through DECIMAL(18,12) before the per-doc sum
+    * (partial-agg order independence, the [[bm25Scores]] discipline).
+    */
+  def bigramLmNll(docs: DataFrame, idCol: String, textCol: String,
+                  train: DataFrame, trainTextCol: String): DataFrame = {
+    def bigramsOf(d: DataFrame, cols: Seq[Column], tcol: String): DataFrame = {
+      val t = d.select(cols :+ tokens(normalized(col(tcol))).as("__t"): _*)
+        .filter(size(col("__t")) >= 2)
+      t.select(cols :+ explode(transform(
+        sequence(lit(1), size(col("__t")) - 1),
+        i => struct(element_at(col("__t"), i).as("w1"),
+          element_at(col("__t"), i + lit(1)).as("w2")))).as("__bg"): _*)
+        .select(cols :+ col("__bg.w1").as("__w1") :+ col("__bg.w2").as("__w2"): _*)
+    }
+    val bg = bigramsOf(train, Nil, trainTextCol)
+      .groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__c12"))
+    val leftTotals = bg.groupBy(col("__w1")).agg(sum(col("__c12")).as("__c1"))
+    val vocab = train
+      .select(explode(tokens(normalized(col(trainTextCol)))).as("__w"))
+      .agg(countDistinct(col("__w")).as("__v")) // 1 row
+    val nllTerm = log(
+      (coalesce(col("__c1"), lit(0L)) + col("__v")).cast("double")
+        / (coalesce(col("__c12"), lit(0L)) + lit(1L)).cast("double"))
+      .cast("decimal(18,12)")
+    val scored = bigramsOf(docs, Seq(col(idCol)), textCol)
+      .join(bg, Seq("__w1", "__w2"), "left")
+      .join(leftTotals, Seq("__w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(nllTerm).as("__s"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__s").cast("double") / col("n_bigrams").cast("double"), 6)
+          .as("avg_nll"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("avg_nll"))
+  }
 }

@@ -1199,6 +1199,56 @@ object TrainingQueries {
               |ORDER BY w1, w2""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // N-gram LM perplexity gate (TextOps.bigramLmNll, Wenzek et al. LREC
+    // 2020 / CCNet): bigram LM trained in one aggregation pass over the
+    // corpus, every document scored by average negative log-likelihood
+    // under add-one smoothing — the standard public quality filter next
+    // to q88's heuristics (gibberish scores high, fluent text low).
+    // Self-trained on the fixture corpus (CCNet trains on a curated
+    // reference set; the fixture ships one corpus). Full oracle: every
+    // nll term is ONE ln of a ratio of exact integer counts (the q106
+    // recipe), summed through DECIMAL(18,12) (the q104 discipline), and
+    // the oracle-side decimal exits via VARCHAR (bit-exact, the q96
+    // route).
+    QuerySpec(
+      "q109_lm_perplexity",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextOps.bigramLmNll(docs, "doc_id", "text", docs, "text")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents
+              |), bgd AS (
+              |  SELECT doc_id,
+              |    unnest([toks[i] FOR i IN range(1, len(toks))]) AS w1,
+              |    unnest([toks[i+1] FOR i IN range(1, len(toks))]) AS w2
+              |  FROM t WHERE len(toks) >= 2
+              |), bg AS (
+              |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+              |  FROM bgd GROUP BY 1, 2
+              |), lc AS (
+              |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bg GROUP BY 1
+              |), v AS (
+              |  SELECT COUNT(DISTINCT w) AS v FROM (
+              |    SELECT unnest(string_split($normSql, ' ')) AS w FROM documents)
+              |), sc AS (
+              |  SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+              |    SUM(CAST(ln(CAST(lc.c1 + v.v AS DOUBLE) / (bg.c12 + 1))
+              |        AS DECIMAL(18,12))) AS s
+              |  FROM bgd d
+              |  JOIN bg ON bg.w1 = d.w1 AND bg.w2 = d.w2
+              |  JOIN lc ON lc.w1 = d.w1
+              |  CROSS JOIN v
+              |  GROUP BY d.doc_id
+              |)
+              |SELECT doc.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+              |  ROUND(CAST(CAST(sc.s AS VARCHAR) AS DOUBLE)
+              |    / CAST(sc.n_bigrams AS DOUBLE), 6) AS avg_nll
+              |FROM documents doc LEFT JOIN sc ON sc.doc_id = doc.doc_id
+              |ORDER BY doc.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Hard-negative mining (Similarity.hardNegativesExact): for every
     // anchor embedding, the 3 most cosine-similar DIFFERENT-label vectors
     // — the contrastive-training pairs an embedding model learns most

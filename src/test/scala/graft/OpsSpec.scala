@@ -932,4 +932,39 @@ class OpsSpec extends AnyFunSuite {
     // fluent repetition of corpus-frequent transitions outscores garble
     assert(out(1L)._2 > out(2L)._2 - 1.0) // sanity: both in the same decade
   }
+
+  test("bigramLmNll: hand-computed cross-corpus nll; planted gibberish ranks worst") {
+    import spark.implicits._
+    // train bigrams: (a,b)x3 (b,a)x1 (b,c)x1; c1(a)=3 c1(b)=2; V={a,b,c}=3
+    val train = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val score = Seq((10L, "a b"), (11L, "a q"), (12L, "z q"), (13L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bigramLmNll(score, "doc_id", "text", train, "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))).toMap
+    def r6(x: Double) =
+      BigDecimal(BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(10L) == ((1L, r6(math.log((3.0 + 3) / (3 + 1)))))) // seen: (c1+V)/(c12+1)
+    assert(out(11L) == ((1L, r6(math.log((3.0 + 3) / (0 + 1)))))) // unseen bigram, seen context
+    assert(out(12L) == ((1L, r6(math.log((0.0 + 3) / (0 + 1)))))) // unseen context: ln(V)
+    assert(out(13L)._1 == 0L && out(13L)._2.isNaN) // <2 tokens: reported, unscored
+    // CCNet ordering: in-domain < partially-seen <, uh, full gibberish
+    assert(out(10L)._2 < out(11L)._2)
+
+    // planted gibberish against the real fixture corpus ranks in the worst
+    // decile — the filtering property the perplexity gate exists for
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val gib = Seq((999001L, "zq vwx kjf qqq plm zzv xkcd wqzt frpl mnbv"))
+      .toDF("doc_id", "text").select(col("doc_id"), col("text"))
+    val scored = TextOps.bigramLmNll(
+      docs.select("doc_id", "text").unionByName(gib), "doc_id", "text",
+      docs, "text")
+      .filter(col("n_bigrams") > 0).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2))
+    val gibScore = scored.find(_._1 == 999001L).get._2
+    val worse = scored.count(_._2 >= gibScore)
+    assert(worse <= math.max(1, scored.length / 10),
+      s"gibberish nll $gibScore not in worst decile ($worse of ${scored.length} score >= it)")
+  }
 }
