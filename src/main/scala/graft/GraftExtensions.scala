@@ -61,6 +61,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(ArrayMath.imageMetaName,
         "_FUNC_(bytes) - PNG/JPEG header metadata struct, NULL if unparseable"),
       exprs => ImageMeta(exprs(0))))
+    e.injectFunction((FunctionIdentifier(ArrayMath.pngPixelStatsName),
+      info(ArrayMath.pngPixelStatsName,
+        "_FUNC_(bytes) - decoded-PNG pixel statistics struct, NULL outside scope"),
+      exprs => PngPixelStats(exprs(0))))
+    e.injectFunction((FunctionIdentifier(ArrayMath.pngGradientName),
+      info(ArrayMath.pngGradientName,
+        "_FUNC_(w, h, r0, g0, b0) - fixture-side real PNG encoder"),
+      exprs => PngGradientBytes(exprs)))
     e.injectFunction((FunctionIdentifier(ArrayMath.audioMetaName),
       info(ArrayMath.audioMetaName,
         "_FUNC_(bytes) - WAV header metadata struct, NULL if unparseable"),

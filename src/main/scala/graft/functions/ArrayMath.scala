@@ -259,6 +259,8 @@ object ArrayMath {
   val nearestCentroidName = "graft_nearest_centroid"
   val topCentroidsName = "graft_top_centroids"
   val imageMetaName = "graft_image_meta"
+  val pngPixelStatsName = "graft_png_pixel_stats"
+  val pngGradientName = "graft_png_gradient_bytes"
   val audioMetaName = "graft_audio_meta"
   val int8DotName = "graft_int8_dot"
   val bloomName = "graft_bloom_might_contain"
@@ -350,6 +352,10 @@ object ArrayMath {
     reg.createOrReplaceTempFunction(
       imageMetaName, exprs => ImageMeta(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction(
+      pngPixelStatsName, exprs => PngPixelStats(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      pngGradientName, exprs => PngGradientBytes(exprs), "scala_udf")
+    reg.createOrReplaceTempFunction(
       audioMetaName, exprs => AudioMeta(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction(
       int8DotName, exprs => Int8DotProduct(exprs(0), exprs(1)), "scala_udf")
@@ -418,6 +424,18 @@ object ArrayMath {
     * [[ImageMeta]]).
     */
   def imageMeta(bytes: Column): Column = call_function(imageMetaName, bytes)
+
+  /** binary → struct<width,height,channels,mean_r,mean_g,mean_b> from a
+    * GENUINELY DECODED PNG — zlib inflate + scanline defilter + channel
+    * statistics; NULL outside the documented scope (see [[PngPixelStats]]).
+    */
+  def pngPixelStats(bytes: Column): Column =
+    call_function(pngPixelStatsName, bytes)
+
+  /** Fixture-side real PNG encoder (see [[PngGradientBytes]]). */
+  def pngGradientBytes(w: Column, h: Column, r0: Column, g0: Column,
+                       b0: Column): Column =
+    call_function(pngGradientName, w, h, r0, g0, b0)
 
   /** binary → struct<format,channels,sample_rate,bits_per_sample,n_frames>
     * parsed from a real WAV/RIFF container; NULL on unparseable payloads

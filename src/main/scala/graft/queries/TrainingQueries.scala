@@ -647,6 +647,57 @@ object TrainingQueries {
              |FROM documents ORDER BY media_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // REAL PNG pixel decode (q32's step past headers): every doc gets a
+    // genuine PNG — gradient pixels, zlib-deflated IDAT, real CRCs,
+    // scanline filters cycling through all five types — and the native
+    // PngPixelStats expression inflates, defilters, and reduces it to
+    // per-channel means. The oracle recomputes the means closed-form from
+    // the doc_id-derived gradient rule, so a defilter or inflate bug
+    // hash-mismatches. PngPixelSpec additionally certifies the decoder
+    // against the JDK's INDEPENDENT ImageIO decoder on the same bytes.
+    QuerySpec(
+      "q110_png_decode",
+      (s, dir) => {
+        val p = Tables.documents(s, dir).select(col("doc_id"),
+          (col("doc_id") % 7 + 2).cast("int").as("__w"),
+          ((col("doc_id") * 3) % 6 + 2).cast("int").as("__h"),
+          ((col("doc_id") * 37) % 256).cast("int").as("__r0"),
+          ((col("doc_id") * 59) % 256).cast("int").as("__g0"),
+          ((col("doc_id") * 83) % 256).cast("int").as("__b0"))
+        p.select(col("doc_id").as("media_id"),
+          Multimodal.pngPixelStats(Multimodal.pngGradientBytes(
+            col("__w"), col("__h"), col("__r0"), col("__g0"), col("__b0")))
+            .as("__m"))
+          .select(col("media_id"),
+            col("__m.width").cast("long").as("width"),
+            col("__m.height").cast("long").as("height"),
+            col("__m.channels").cast("long").as("channels"),
+            round(col("__m.mean_r"), 6).as("mean_r"),
+            round(col("__m.mean_g"), 6).as("mean_g"),
+            round(col("__m.mean_b"), 6).as("mean_b"))
+          .orderBy("media_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id, doc_id % 7 + 2 AS w, (doc_id * 3) % 6 + 2 AS h,
+             |    (doc_id * 37) % 256 AS r0, (doc_id * 59) % 256 AS g0,
+             |    (doc_id * 83) % 256 AS b0
+             |  FROM documents
+             |), px AS (
+             |  SELECT p.doc_id, p.w, p.h,
+             |    (p.r0 + x.range + y.range) % 256 AS r,
+             |    (p.g0 + x.range + y.range) % 256 AS g,
+             |    (p.b0 + x.range + y.range) % 256 AS b
+             |  FROM p CROSS JOIN range(0, 8) x CROSS JOIN range(0, 7) y
+             |  WHERE x.range < p.w AND y.range < p.h
+             |)
+             |SELECT doc_id AS media_id, CAST(MAX(w) AS BIGINT) AS width,
+             |  CAST(MAX(h) AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels,
+             |  ROUND(AVG(CAST(r AS DOUBLE)), 6) AS mean_r,
+             |  ROUND(AVG(CAST(g AS DOUBLE)), 6) AS mean_g,
+             |  ROUND(AVG(CAST(b AS DOUBLE)), 6) AS mean_b
+             |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Real AUDIO container decode (q32's audio sibling): every doc gets a
     // genuine complete PCM WAV (RIFF + fmt + zero-filled data chunk,
     // assembled little-endian from doc_id-derived parameters with codegen

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{PngEncodeKernel, PngPixelKernel}
+import graft.ops.Multimodal
+
+/** The PNG pixel decoder is certified against the JDK's INDEPENDENT
+  * ImageIO decoder (javax.imageio ships with Java) — our inflate +
+  * defilter + statistics must agree with a mainstream decoder on the
+  * same real bytes, and corrupt bytes must yield NULL, not garbage.
+  */
+class PngPixelSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def imageIoMeans(png: Array[Byte]): (Int, Int, Double, Double, Double) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img != null, "ImageIO could not read the fixture PNG")
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val rgb = img.getRGB(x, y)
+      sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+    }
+    val n = (img.getWidth * img.getHeight).toDouble
+    (img.getWidth, img.getHeight, sr / n, sg / n, sb / n)
+  }
+
+  test("decoder agrees with ImageIO on real encoder output, all filter types") {
+    // heights >= 5 exercise every scanline filter (encoder cycles y % 5)
+    val cases = Seq((1, 1, 0, 128, 255), (3, 5, 10, 20, 30), (8, 7, 250, 3, 99),
+      (16, 11, 77, 200, 155), (2, 6, 255, 255, 255))
+    cases.foreach { case (w, h, r0, g0, b0) =>
+      val png = PngEncodeKernel.encode(w, h, r0, g0, b0)
+      val got = PngPixelKernel.decode(png)
+      assert(got != null, s"decode failed for ${w}x$h")
+      val (iw, ih, ir, ig, ib) = imageIoMeans(png)
+      assert(got.getInt(0) == iw && got.getInt(1) == ih && got.getInt(2) == 3)
+      assert(math.abs(got.getDouble(3) - ir) < 1e-9, s"mean_r ${got.getDouble(3)} vs ImageIO $ir")
+      assert(math.abs(got.getDouble(4) - ig) < 1e-9)
+      assert(math.abs(got.getDouble(5) - ib) < 1e-9)
+    }
+  }
+
+  test("golden in-the-wild 1x1 RGBA PNG decodes to its ImageIO pixel") {
+    val png = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8" +
+      "z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg==")
+    val got = PngPixelKernel.decode(png)
+    assert(got != null)
+    val (_, _, ir, ig, ib) = imageIoMeans(png)
+    assert(got.getInt(0) == 1 && got.getInt(1) == 1 && got.getInt(2) == 4)
+    assert(got.getDouble(3) == ir && got.getDouble(4) == ig && got.getDouble(5) == ib)
+  }
+
+  test("corrupt and out-of-scope inputs are NULL, never garbage") {
+    val good = PngEncodeKernel.encode(4, 4, 10, 20, 30)
+    // flip one IDAT payload byte -> CRC mismatch
+    val crcBad = good.clone()
+    crcBad(8 + 25 + 12) = (crcBad(8 + 25 + 12) ^ 0x01).toByte
+    assert(PngPixelKernel.decode(crcBad) == null, "flipped IDAT byte must fail CRC")
+    // truncation mid-IDAT
+    assert(PngPixelKernel.decode(good.dropRight(16)) == null)
+    // header-only PNG (no IDAT)
+    val headerOnly = spark.range(1).select(
+      Multimodal.pngHeaderBytes(lit(4), lit(4), lit(3)).as("b"))
+      .head().getAs[Array[Byte]](0)
+    assert(PngPixelKernel.decode(headerOnly) == null)
+    // not a PNG at all
+    assert(PngPixelKernel.decode("JFIF not png".getBytes("US-ASCII")) == null)
+    assert(PngPixelKernel.decode(Array.empty[Byte]) == null)
+  }
+
+  test("column expression decodes distributed and stays codegen-friendly") {
+    import spark.implicits._
+    val df = Seq((1L, 3, 5, 0, 100, 200), (2L, 8, 7, 50, 60, 70))
+      .toDF("id", "w", "h", "r0", "g0", "b0")
+    val out = df.select(col("id"), Multimodal.pngPixelStats(
+      Multimodal.pngGradientBytes(col("w"), col("h"), col("r0"), col("g0"),
+        col("b0"))).as("m"))
+      .orderBy("id").collect()
+    // closed-form gradient mean: avg over (x, y) of (c0 + x + y) % 256
+    def mean(wd: Int, ht: Int, c0: Int): Double =
+      (for (x <- 0 until wd; y <- 0 until ht) yield (c0 + x + y) % 256)
+        .sum.toDouble / (wd * ht)
+    assert(out(0).getStruct(1).toSeq.take(3) == Seq(3, 5, 3))
+    assert(out(0).getStruct(1).getDouble(3) == mean(3, 5, 0))
+    assert(out(1).getStruct(1).getDouble(5) == mean(8, 7, 70))
+    // the decode expression participates in whole-stage codegen (a
+    // non-local source — Seq.toDF folds to LocalTableScan at plan time)
+    val plan = spark.range(4).select(Multimodal.pngPixelStats(
+      Multimodal.pngGradientBytes(
+        (col("id") % 7 + 2).cast("int"), (col("id") % 5 + 2).cast("int"),
+        lit(10), lit(20), lit(30))))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"expected a WholeStageCodegen span\n$plan")
+  }
+}
