@@ -77,6 +77,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(ArrayMath.int8DotName,
         "_FUNC_(codes, vec) - dot(array<tinyint>, array<double>)"),
       exprs => Int8DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier(ArrayMath.pqEncodeName),
+      info(ArrayMath.pqEncodeName,
+        "_FUNC_(vec, codebooks) - m-byte product-quantization code"),
+      exprs => PqEncode(exprs(0), litCube(exprs(1)))))
+    e.injectFunction((FunctionIdentifier(ArrayMath.pqLutName),
+      info(ArrayMath.pqLutName,
+        "_FUNC_(query, codebooks) - flattened ADC lookup table"),
+      exprs => PqLut(exprs(0), litCube(exprs(1)))))
+    e.injectFunction((FunctionIdentifier(ArrayMath.pqAdcName),
+      info(ArrayMath.pqAdcName,
+        "_FUNC_(code, lut, kPerSub) - ADC score sum over subspaces"),
+      exprs => PqAdcScore(exprs(0), exprs(1), litInt(exprs(2)))))
     e.injectFunction((FunctionIdentifier(ArrayMath.bloomName),
       info(ArrayMath.bloomName,
         "_FUNC_(hash, bits) - Bloom-filter membership probe of a bigint hash"),
@@ -140,6 +152,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .map(_.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray())
       case _ => throw new IllegalArgumentException(
         "centroid matrix must be a foldable array<array<double>> literal")
+    }
+  }
+
+  private def litCube(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Array[Array[Array[Double]]] = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    e.dataType match {
+      case ArrayType(ArrayType(ArrayType(DoubleType, _), _), _) if e.foldable =>
+        e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toObjectArray(ArrayType(ArrayType(DoubleType)))
+          .map(_.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toObjectArray(ArrayType(DoubleType))
+            .map(_.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+              .toDoubleArray()))
+      case _ => throw new IllegalArgumentException(
+        "PQ codebooks must be a foldable array<array<array<double>>> literal")
     }
   }
 

@@ -263,6 +263,9 @@ object ArrayMath {
   val pngGradientName = "graft_png_gradient_bytes"
   val audioMetaName = "graft_audio_meta"
   val int8DotName = "graft_int8_dot"
+  val pqEncodeName = "graft_pq_encode"
+  val pqLutName = "graft_pq_lut"
+  val pqAdcName = "graft_pq_adc_score"
   val bloomName = "graft_bloom_might_contain"
   val matVecName = "graft_mat_vec_affine"
   val bpeMergeName = "graft_bpe_merge_pair"
@@ -304,6 +307,22 @@ object ArrayMath {
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
   }
+
+  /** Extract a foldable array<array<array<double>>> argument (PQ
+    * codebooks) into a plain JVM cube at FUNCTION-RESOLUTION time.
+    */
+  private def cubeLit(e: Expression, what: String): Array[Array[Array[Double]]] =
+    e.dataType match {
+      case ArrayType(ArrayType(ArrayType(DoubleType, _), _), _) if e.foldable =>
+        e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+          .asInstanceOf[ArrayData]
+          .toObjectArray(ArrayType(ArrayType(DoubleType)))
+          .map(_.asInstanceOf[ArrayData]
+            .toObjectArray(ArrayType(DoubleType))
+            .map(_.asInstanceOf[ArrayData].toDoubleArray()))
+      case _ => throw new IllegalArgumentException(
+        s"$what must be a foldable array<array<array<double>>> literal, got $e")
+    }
 
   /** Extract a foldable array<array<double>> argument (the centroid matrix)
     * into a plain JVM matrix at FUNCTION-RESOLUTION time: the plan then
@@ -359,6 +378,16 @@ object ArrayMath {
       audioMetaName, exprs => AudioMeta(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction(
       int8DotName, exprs => Int8DotProduct(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      pqEncodeName,
+      exprs => PqEncode(exprs(0), cubeLit(exprs(1), "PQ codebooks")), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      pqLutName,
+      exprs => PqLut(exprs(0), cubeLit(exprs(1), "PQ codebooks")), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      pqAdcName,
+      exprs => PqAdcScore(exprs(0), exprs(1), intLit(exprs(2), "kPerSub")),
+      "scala_udf")
     reg.createOrReplaceTempFunction(
       bloomName,
       exprs => BloomMightContain(exprs(0), binaryLit(exprs(1), "bloom bits")),
@@ -448,6 +477,24 @@ object ArrayMath {
     */
   def int8Dot(codes: Column, vec: Column): Column =
     call_function(int8DotName, codes, vec)
+
+  /** array<double> → m-byte PQ code against plan-reference codebooks
+    * (see [[PqEncode]]). `codebooks` must be a foldable
+    * `typedLit(Seq[Seq[Seq[Double]]])`-style literal.
+    */
+  def pqEncode(vec: Column, codebooks: Column): Column =
+    call_function(pqEncodeName, vec, codebooks)
+
+  /** unit query vector → flattened ADC lookup table (see [[PqLut]]). */
+  def pqLut(query: Column, codebooks: Column): Column =
+    call_function(pqLutName, query, codebooks)
+
+  /** (code, lut) → Σ_s lut[s·K + code[s]] — the codegen'd ADC scoring
+    * loop (see [[PqAdcScore]]).
+    */
+  def pqAdcScore(code: Column, lut: Column, kPerSub: Int): Column =
+    call_function(pqAdcName, code, lut,
+      org.apache.spark.sql.functions.lit(kPerSub))
 
   /** Codegen'd affine projection y = M·x − b of an array<double> vector
     * against plan-reference matrix/offset literals (see [[MatVecAffine]]).

@@ -1,0 +1,187 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Product-quantization kernels for [[graft.ops.Ivf]]'s PQ serving tier
+  * (Jégou, Douze & Schmid, TPAMI 2011 — the compression behind
+  * FAISS IVFPQ): the vector is split into m sub-vectors, each encoded as
+  * ONE byte (the id of its nearest codebook centroid), so a dim-d double
+  * vector stores in m bytes — the next ~4× past scalar int8 (dim bytes +
+  * scale). Codebooks ride the plan as ONE reference object (the
+  * [[MatVecAffine]] matrix pattern), never as literal doubles.
+  */
+
+/** array<double> vector → m-byte PQ code: per subspace, the L2-nearest of
+  * that subspace's codebook centroids (ties toward the smaller id, so
+  * encoding is deterministic). Corpus-scale projection — codegen'd static
+  * loop, no allocation besides the m-byte result.
+  */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "codebooks must be non-empty per subspace")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(v: Any): Any =
+    PqKernel.encode(v.asInstanceOf[ArrayData], codebooks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val books = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+      s"${ev.value} = graft.functions.PqKernel.encode($c, $books);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "pq_encode"
+}
+
+/** unit query vector → flattened ADC lookup table: lut[s·K + c] =
+  * dot(codebook[s][c], querySub[s]). Evaluated once per (query, probe)
+  * row in the broadcast-side probe frame — never per candidate — so
+  * eval-mode CodegenFallback costs nothing measurable; the per-candidate
+  * hot loop is [[PqAdcScore]].
+  */
+case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val q = v.asInstanceOf[ArrayData]
+    val m = codebooks.length
+    val kMax = codebooks.map(_.length).max
+    val lut = new Array[Double](m * kMax)
+    var s = 0
+    var off = 0 // element offset of subspace s within the full vector
+    while (s < m) {
+      val book = codebooks(s)
+      val subDim = book(0).length
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var d = 0.0
+        var j = 0
+        while (j < subDim) {
+          if (off + j < q.numElements()) d += cent(j) * q.getDouble(off + j)
+          j += 1
+        }
+        lut(s * kMax + c) = d
+        c += 1
+      }
+      off += subDim
+      s += 1
+    }
+    new GenericArrayData(lut)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "pq_lut"
+}
+
+/** (code binary, lut array<double>) → approximate dot score: Σ_s
+  * lut[s·K + code[s]]. K (the per-subspace stride) is baked in at plan
+  * time. O(m) per candidate — the FAISS ADC loop — vs O(dim) for the
+  * int8 tier; codegen'd.
+  */
+case class PqAdcScore(left: Expression, right: Expression, kPerSub: Int)
+    extends BinaryExpression {
+
+  require(kPerSub >= 1, "kPerSub must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, array<double>), got " +
+          s"${l.catalogString} and ${r.catalogString}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val code = a.asInstanceOf[Array[Byte]]
+    val lut = b.asInstanceOf[ArrayData]
+    var s = 0.0
+    var i = 0
+    while (i < code.length) {
+      s += lut.getDouble(i * kPerSub + (code(i) & 0xff))
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $a.length; $i++) {
+         |  $s += $b.getDouble($i * $kPerSub + (((int) $a[$i]) & 0xff));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "pq_adc_score"
+}
+
+/** Static encode kernel (shared by eval and generated code). */
+object PqKernel {
+  def encode(v: ArrayData, codebooks: Array[Array[Array[Double]]]): Array[Byte] = {
+    val m = codebooks.length
+    val out = new Array[Byte](m)
+    var s = 0
+    var off = 0
+    while (s < m) {
+      val book = codebooks(s)
+      val subDim = book(0).length
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var d = 0.0
+        var j = 0
+        while (j < subDim) {
+          val x = if (off + j < v.numElements()) v.getDouble(off + j) else 0.0
+          val diff = x - cent(j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c } // strict < keeps smaller id on ties
+        c += 1
+      }
+      out(s) = best.toByte
+      off += subDim
+      s += 1
+    }
+    out
+  }
+}

@@ -465,6 +465,194 @@ object Ivf {
       .filter(col("rank") <= k)
   }
 
+  // -------------------------------------------------------------------
+  // IVF-PQ tier (Jégou, Douze & Schmid, TPAMI 2011 — FAISS's IVFPQ
+  // shape): m sub-spaces × ≤256 centroids each, one BYTE per subspace per
+  // vector, so lists store in m bytes/vector — the next ~4× past the
+  // scalar-int8 tier (dim bytes + an 8-byte scale) — under the SAME
+  // re-rank contract (approximate candidates, exact final scores from
+  // the refine sidecar).
+
+  /** Default subspace count: sub-vectors of 4 dims (the FAISS-typical
+    * granularity); for dims not divisible by 4, the largest divisor
+    * keeping sub-vectors ≥ 2 dims wide.
+    */
+  def pqSubspaces(dim: Int): Int = {
+    require(dim >= 2, s"PQ needs dim >= 2, got $dim")
+    if (dim % 4 == 0) dim / 4
+    else (dim / 2 to 1 by -1).find(m => dim % m == 0).get
+  }
+
+  /** Train per-subspace codebooks with plain L2 Lloyd iterations over a
+    * bounded, expectation-exact sample (the [[trainSample]] mechanism;
+    * FAISS also trains PQ on a sample). The sample collects to the
+    * driver — |sample|·dim doubles, bounded by `maxTrainRows` exactly
+    * like the centroid matrix path — and is sorted by id so training is
+    * independent of partition layout. Empty clusters keep their previous
+    * centroid (deterministic); effective per-subspace k is
+    * min(kPerSub, |sample|).
+    */
+  def trainPqCodebooks(unitRows: DataFrame, idCol: String,
+                       m: Int, kPerSub: Int = 256, iters: Int = 5,
+                       seed: Long = 42L,
+                       maxTrainRows: Long = 100000L): Array[Array[Array[Double]]] = {
+    require(m >= 1 && kPerSub >= 1 && kPerSub <= 256,
+      "PQ needs 1 <= kPerSub <= 256 (codes are single bytes)")
+    val sample = trainSample(unitRows, idCol,
+      math.max(maxTrainRows, 30L * kPerSub), seed)
+      .collect()
+      .sortBy(_.get(0).toString) // layout-invariant training order
+      .map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "PQ training needs a non-empty corpus")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    val kEff = math.min(kPerSub, sample.length)
+    Array.tabulate(m) { s =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+      lloydL2(pts, kEff, iters, seed + s)
+    }
+  }
+
+  /** Plain L2 Lloyd k-means on the driver (points are a bounded training
+    * sample; ~k·|sample|·subDim flops per iteration).
+    */
+  private def lloydL2(points: Array[Array[Double]], k: Int, iters: Int,
+                      seed: Long): Array[Array[Double]] = {
+    val n = points.length
+    val d = points(0).length
+    val rnd = new scala.util.Random(seed)
+    val init = rnd.shuffle((0 until n).toVector).take(k)
+    val centroids = init.map(i => points(i).clone).toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Long](k)
+      var p = 0
+      while (p < n) {
+        val v = points(p)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var dist = 0.0
+          var j = 0
+          while (j < d) { val df = v(j) - centroids(c)(j); dist += df * df; j += 1 }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < d) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+        p += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < d) { centroids(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        } // empty cluster: keep previous centroid
+        c += 1
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  private def codebooksLit(books: Array[Array[Array[Double]]]): Column =
+    typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+
+  /** Persist an index in the PQ layout: lists hold (id, m-byte __pq code,
+    * __cid) — ~m bytes/vector of serving I/O vs dim+8 for int8 — plus the
+    * same full-precision `refine/` sidecar and centroid matrix, and a
+    * `pq/` directory with the trained codebooks (subspace, cid, centroid).
+    */
+  def saveIndexPq(index: IvfIndex, path: String, m: Int = 0,
+                  kPerSub: Int = 256, iters: Int = 5, seed: Long = 42L): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    val assigned = index.assigned.repartition(col("__cid"))
+    assigned.persist() // lists/ and refine/ must hold the identical row set
+    try {
+      val dim = Similarity.inferDim(index.assigned, "__vn")
+      val mEff = if (m > 0) m else pqSubspaces(dim)
+      val books = trainPqCodebooks(
+        index.assigned.select(col(index.idCol), col("__vn")), index.idCol,
+        mEff, kPerSub, iters, seed)
+      assigned
+        .withColumn("__pq", graft.functions.ArrayMath.pqEncode(
+          col("__vn"), codebooksLit(books)))
+        .select(col(index.idCol), col("__pq"), col("__cid"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("__cid").parquet(path + "/lists")
+      assigned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("__cid").parquet(path + "/refine")
+      books.zipWithIndex.flatMap { case (book, s) =>
+        book.zipWithIndex.map { case (cent, c) => (s, c, cent.toSeq) }
+      }.toSeq.toDF("subspace", "cid", "centroid")
+        .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(path + "/pq")
+    } finally { assigned.unpersist(false); () }
+    index.centroids.toSeq.map { case (cid, c) => (cid, c.toSeq) }
+      .toDF("cid", "centroid")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(path + "/centroids")
+  }
+
+  /** True when `path` holds a [[saveIndexPq]] layout. */
+  def isPq(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    spark.read.parquet(path + "/lists").columns.contains("__pq")
+
+  /** Top-k search over a [[saveIndexPq]] layout — same contract as
+    * [[searchIndexQuantized]]: probe nProbe lists, score candidates
+    * approximately (here via the O(m)-per-candidate ADC loop against a
+    * per-query lookup table riding the broadcast probe frame), re-rank
+    * the top rerankFactor·k EXACTLY from the refine sidecar. Reported
+    * cosines are always full precision.
+    */
+  def searchIndexPq(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queries: DataFrame, queryIdCol: String, queryVecCol: String,
+                    idCol: String, k: Int, nProbe: Int = 4,
+                    rerankFactor: Int = 4): DataFrame = {
+    require(rerankFactor >= 1, "rerankFactor must be >= 1")
+    val centroids = spark.read.parquet(path + "/centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val lists = spark.read.parquet(path + "/lists")
+    require(lists.columns.contains("__pq"),
+      s"$path/lists is not a PQ layout — saveIndexPq first")
+    val books = spark.read.parquet(path + "/pq")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
+    val kPerSub = books.map(_.length).max
+    val probes = probeFrame(queries, queryIdCol, queryVecCol, centroids, nProbe)
+      .withColumn("__lut", graft.functions.ArrayMath.pqLut(
+        col("__qn"), codebooksLit(books)))
+
+    val approx = lists.join(broadcast(probes), "__cid")
+      .filter(col(idCol) =!= col(queryIdCol))
+      .select(col(queryIdCol), col("__qn"), col("__cid"), col(idCol),
+        graft.functions.ArrayMath.pqAdcScore(col("__pq"), col("__lut"), kPerSub)
+          .as("__approx"))
+    val wApprox = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__approx").desc, col(idCol))
+    val candidates = approx
+      .withColumn("__arank", row_number().over(wApprox))
+      .filter(col("__arank") <= rerankFactor.toLong * k)
+      .select(col(queryIdCol), col("__qn"), col("__cid"), col(idCol))
+
+    val refine = spark.read.parquet(path + "/refine")
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("cosine").desc, col(idCol))
+    refine.join(broadcast(candidates), Seq("__cid", idCol))
+      .select(col(queryIdCol), col(idCol),
+        Similarity.dot(col("__vn"), col("__qn")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** One-shot convenience: build + search. For repeated query batches use
     * [[buildIndex]] once and [[searchIndex]] per batch (or [[saveIndex]] /
     * [[loadIndex]] across jobs).

@@ -1604,6 +1604,34 @@ object TrainingQueries {
       Some(annOracleSql(exactK = 3, verdictCol = "int8_ivf_recall_ok"))),
 
     // ------------------------------------------------------------------
+    // IVF-PQ serving tier (Ivf.saveIndexPq/searchIndexPq, Jégou et al.
+    // TPAMI'11 — the FAISS IVFPQ shape): m sub-spaces × ≤256 centroids,
+    // ONE byte per subspace per vector (~4× fewer list bytes than the
+    // int8 tier), per-query ADC lookup table riding the broadcast probe
+    // frame, O(m) scoring per candidate, exact re-rank from the refine
+    // sidecar. Same banded oracle as q46/q89: exact top-3 DuckDB-replayed
+    // + a recall@10 >= 0.9 verdict (IvfSpec certifies the floor and the
+    // ≥4× byte shrink).
+    QuerySpec(
+      "q111_ann_ivf_pq",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val (nc, np) = graft.ops.Ivf.ivfPolicy(emb.count(), targetRecall = 0.9,
+          structureless = true)
+        val queries = emb.filter(col("vec_id") < 10L)
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        val index = graft.ops.Ivf.buildIndex(emb, "vec_id", "embedding",
+          nCentroids = nc)
+        val path = java.nio.file.Files.createTempDirectory("graft-q111-pq").toString
+        graft.ops.Ivf.saveIndexPq(index, path)
+        val ann = graft.ops.Ivf.searchIndexPq(s, path, queries,
+          "query_id", "query_vec", "vec_id", k = 10, nProbe = np, rerankFactor = 8)
+        annWithExactVerdict(emb, queries, ann, k = 10, exactK = 3,
+          recallFloor = 0.9, verdictCol = "pq_ivf_recall_ok")
+      },
+      Some(annOracleSql(exactK = 3, verdictCol = "pq_ivf_recall_ok"))),
+
+    // ------------------------------------------------------------------
     // Embedding-space decontamination (Similarity.semanticContamination):
     // the paraphrase-robust second gate next to q66's n-gram overlap —
     // eval set = vec_id < 50, corpus = the rest, a corpus row is
