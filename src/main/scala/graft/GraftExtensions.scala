@@ -69,6 +69,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(ArrayMath.pngGradientName,
         "_FUNC_(w, h, r0, g0, b0) - fixture-side real PNG encoder"),
       exprs => PngGradientBytes(exprs)))
+    e.injectFunction((FunctionIdentifier(ArrayMath.pngResizeName),
+      info(ArrayMath.pngResizeName,
+        "_FUNC_(bytes, out_w, out_h) - decoded-PNG nearest-neighbor resize struct"),
+      exprs => PngResizePixels(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((FunctionIdentifier(ArrayMath.rgbStatsName),
+      info(ArrayMath.rgbStatsName,
+        "_FUNC_(pixels, channels) - per-channel integer sums over a packed buffer"),
+      exprs => RgbChannelStats(exprs(0), exprs(1))))
     e.injectFunction((FunctionIdentifier(ArrayMath.audioMetaName),
       info(ArrayMath.audioMetaName,
         "_FUNC_(bytes) - WAV header metadata struct, NULL if unparseable"),

@@ -261,6 +261,8 @@ object ArrayMath {
   val imageMetaName = "graft_image_meta"
   val pngPixelStatsName = "graft_png_pixel_stats"
   val pngGradientName = "graft_png_gradient_bytes"
+  val pngResizeName = "graft_png_resize"
+  val rgbStatsName = "graft_rgb_channel_stats"
   val audioMetaName = "graft_audio_meta"
   val int8DotName = "graft_int8_dot"
   val pqEncodeName = "graft_pq_encode"
@@ -375,6 +377,11 @@ object ArrayMath {
     reg.createOrReplaceTempFunction(
       pngGradientName, exprs => PngGradientBytes(exprs), "scala_udf")
     reg.createOrReplaceTempFunction(
+      pngResizeName,
+      exprs => PngResizePixels(exprs(0), exprs(1), exprs(2)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      rgbStatsName, exprs => RgbChannelStats(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
       audioMetaName, exprs => AudioMeta(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction(
       int8DotName, exprs => Int8DotProduct(exprs(0), exprs(1)), "scala_udf")
@@ -465,6 +472,18 @@ object ArrayMath {
   def pngGradientBytes(w: Column, h: Column, r0: Column, g0: Column,
                        b0: Column): Column =
     call_function(pngGradientName, w, h, r0, g0, b0)
+
+  /** Genuine PNG decode + nearest-neighbor resample to (outW, outH) —
+    * struct<width,height,channels,pixels> (see [[PngResizePixels]]).
+    */
+  def pngResize(bytes: Column, outW: Column, outH: Column): Column =
+    call_function(pngResizeName, bytes, outW, outH)
+
+  /** Exact per-channel integer sums over a packed interleaved 8-bit
+    * pixel buffer (see [[RgbChannelStats]]).
+    */
+  def rgbChannelStats(pixels: Column, channels: Column): Column =
+    call_function(rgbStatsName, pixels, channels)
 
   /** binary → struct<format,channels,sample_rate,bits_per_sample,n_frames>
     * parsed from a real WAV/RIFF container; NULL on unparseable payloads

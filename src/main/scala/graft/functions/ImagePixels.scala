@@ -4,7 +4,7 @@ import java.util.zip.{CRC32, Deflater, Inflater}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
@@ -46,10 +46,17 @@ object PngPixelKernel {
   /** Max raw (decompressed) image bytes: 64 MiB. */
   val MaxRawBytes: Long = 1L << 26
 
-  /** null for anything outside the documented scope; otherwise
-    * (width, height, channels, mean_r, mean_g, mean_b).
+  /** A decoded in-scope PNG: packed interleaved 8-bit samples (length =
+    * width · height · channels, filter bytes stripped) — the buffer shape
+    * every downstream pixel op (resize, channel stats) consumes.
     */
-  def decode(b: Array[Byte]): InternalRow = {
+  final class DecodedImage(val width: Int, val height: Int,
+                           val channels: Int, val samples: Array[Byte])
+
+  /** Full decode to packed samples: container walk + CRC verify + zlib
+    * inflate + per-scanline defilter. null outside the documented scope.
+    */
+  def decodeImage(b: Array[Byte]): DecodedImage = {
     if (b == null || !isPng(b)) return null
     // IHDR must be first (spec §5.6); its CRC sits at bytes [29, 33)
     if (b.length < 33 || be32(b, 8) != 13L ||
@@ -143,28 +150,95 @@ object PngPixelKernel {
       y += 1
     }
 
-    // per-channel sums over the reconstructed samples (alpha excluded)
-    var sr = 0L; var sg = 0L; var sb2 = 0L
+    // repack: strip the per-scanline filter bytes into a contiguous
+    // width·height·channels sample buffer
+    val packed = new Array[Byte]((w * h).toInt * bpp)
     y = 0
     while (y < h) {
-      val cur = y * (wS + 1) + 1
+      System.arraycopy(raw, y * (wS + 1) + 1, packed, y * wS, wS)
+      y += 1
+    }
+    new DecodedImage(w.toInt, h.toInt, channels, packed)
+  }
+
+  /** null for anything outside the documented scope; otherwise
+    * (width, height, channels, mean_r, mean_g, mean_b).
+    */
+  def decode(b: Array[Byte]): InternalRow = {
+    val img = decodeImage(b)
+    if (img == null) return null
+    val sums = channelSumsOf(img.samples, img.channels)
+    val n = (img.width.toLong * img.height).toDouble
+    new GenericInternalRow(Array[Any](img.width, img.height, img.channels,
+      sums(0) / n, sums(1) / n, sums(2) / n))
+  }
+
+  /** (sum_r, sum_g, sum_b) over a packed interleaved buffer; grey maps to
+    * all three, alpha (channels = 4) excluded — same convention as the
+    * means in [[decode]].
+    */
+  private[functions] def channelSumsOf(px: Array[Byte], channels: Int): Array[Long] = {
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var i = 0
+    while (i < px.length) {
+      if (channels == 1) { val v = px(i) & 0xff; sr += v; sg += v; sb += v }
+      else {
+        sr += px(i) & 0xff; sg += px(i + 1) & 0xff; sb += px(i + 2) & 0xff
+      }
+      i += channels
+    }
+    Array(sr, sg, sb)
+  }
+
+  /** Max output edge for [[resize]]: 4096 px (bounds per-row work the
+    * same way [[MaxRawBytes]] bounds decode).
+    */
+  val MaxResizeEdge: Int = 4096
+
+  /** Decode + nearest-neighbor resample to (outW, outH): output pixel
+    * (x, y) copies source pixel (⌊x·w/outW⌋, ⌊y·h/outH⌋) — the standard
+    * floor mapping, integer-exact so an oracle can replay it. Channel
+    * count is preserved. null when the payload is out of decode scope or
+    * the target dims leave [1, [[MaxResizeEdge]]].
+    */
+  def resize(b: Array[Byte], outW: Int, outH: Int): InternalRow = {
+    if (outW < 1 || outW > MaxResizeEdge || outH < 1 || outH > MaxResizeEdge)
+      return null
+    val img = decodeImage(b)
+    if (img == null) return null
+    val c = img.channels
+    val out = new Array[Byte](outW * outH * c)
+    var y = 0
+    while (y < outH) {
+      val sy = (y.toLong * img.height / outH).toInt
+      val srcRow = sy * img.width * c
+      val dstRow = y * outW * c
       var x = 0
-      while (x < wS) {
-        channels match {
-          case 1 =>
-            val v = u8(raw, cur + x); sr += v; sg += v; sb2 += v; x += 1
-          case _ =>
-            sr += u8(raw, cur + x); sg += u8(raw, cur + x + 1)
-            sb2 += u8(raw, cur + x + 2)
-            x += bpp
+      while (x < outW) {
+        val sx = (x.toLong * img.width / outW).toInt
+        var ch = 0
+        while (ch < c) {
+          out(dstRow + x * c + ch) = img.samples(srcRow + sx * c + ch)
+          ch += 1
         }
-        ()
+        x += 1
       }
       y += 1
     }
-    val n = (w * h).toDouble
-    new GenericInternalRow(Array[Any](w.toInt, h.toInt, channels,
-      sr / n, sg / n, sb2 / n))
+    new GenericInternalRow(Array[Any](outW, outH, c, out))
+  }
+
+  /** Per-channel integer sums over a packed interleaved 8-bit buffer (the
+    * `pixels` field of [[resize]]'s result): (n_px, sum_r, sum_g, sum_b).
+    * null when the buffer length is not a multiple of the channel count
+    * or the channel count is not 1/3/4.
+    */
+  def channelStats(px: Array[Byte], channels: Int): InternalRow = {
+    if (px == null || (channels != 1 && channels != 3 && channels != 4) ||
+      px.length % channels != 0) return null
+    val sums = channelSumsOf(px, channels)
+    new GenericInternalRow(Array[Any](
+      (px.length / channels).toLong, sums(0), sums(1), sums(2)))
   }
 }
 
@@ -204,6 +278,93 @@ case class PngPixelStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "png_pixel_stats"
+}
+
+/** (png binary, out_w, out_h) → struct<width,height,channels,pixels>:
+  * genuine decode then nearest-neighbor resample ([[PngPixelKernel.resize]]
+  * — ⌊x·w/outW⌋ source mapping, integer-exact). The packed `pixels`
+  * buffer feeds downstream feature ops ([[RgbChannelStats]]) without
+  * re-decoding. NULL outside decode scope or for target dims off
+  * [1, 4096]. Corpus-scale: codegen'd static-kernel call.
+  */
+case class PngResizePixels(first: Expression, second: Expression,
+                           third: Expression) extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (BinaryType, IntegerType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, int, int), got " +
+          s"${a.catalogString}, ${b.catalogString}, ${c.catalogString}")
+    }
+
+  override def nullable: Boolean = true
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("pixels", BinaryType, nullable = false)))
+
+  override protected def nullSafeEval(b: Any, w: Any, h: Any): Any =
+    PngPixelKernel.resize(b.asInstanceOf[Array[Byte]],
+      w.asInstanceOf[Int], h.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, w, h) => s"""
+       |${ev.value} = graft.functions.PngPixelKernel.resize($b, $w, $h);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  override def prettyName: String = "png_resize"
+}
+
+/** (pixels binary, channels) → struct<n_px,sum_r,sum_g,sum_b>: exact
+  * per-channel integer sums over a packed interleaved 8-bit buffer — the
+  * cheap colour-statistics feature extracted from [[PngResizePixels]]
+  * output (or any raw RGB/grey/RGBA frame buffer) without re-decoding.
+  * Integer-exact, so oracles replay it bit-for-bit. NULL for channel
+  * counts outside {1, 3, 4} or buffers that don't tile by the channel
+  * count.
+  */
+case class RgbChannelStats(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, int), got " +
+          s"${a.catalogString} and ${b.catalogString}")
+    }
+
+  override def nullable: Boolean = true
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_px", LongType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false)))
+
+  override protected def nullSafeEval(px: Any, c: Any): Any =
+    PngPixelKernel.channelStats(px.asInstanceOf[Array[Byte]], c.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (px, c) => s"""
+       |${ev.value} = graft.functions.PngPixelKernel.channelStats($px, $c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "rgb_channel_stats"
 }
 
 /** Fixture-side REAL PNG encoder: 8-bit RGB, pixel (x, y) =

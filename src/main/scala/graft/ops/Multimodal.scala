@@ -102,6 +102,23 @@ object Multimodal {
                        b0: Column): Column =
     graft.functions.ArrayMath.pngGradientBytes(w, h, r0, g0, b0)
 
+  /** Genuine-decode nearest-neighbor resize: PNG bytes → struct<width,
+    * height,channels,pixels> at (outW, outH), source pixel ⌊x·w/outW⌋ —
+    * integer-exact, so oracles replay the mapping. The packed `pixels`
+    * buffer feeds [[rgbChannelStats]] (or any downstream feature op)
+    * without a second decode. NULL outside decode scope.
+    */
+  def pngResize(bytes: Column, outW: Column, outH: Column): Column =
+    graft.functions.ArrayMath.pngResize(bytes, outW, outH)
+
+  /** Exact per-channel integer sums over a packed interleaved 8-bit
+    * buffer: struct<n_px,sum_r,sum_g,sum_b>. Grey buffers report the
+    * value on all three channels; alpha is excluded (the [[pngPixelStats]]
+    * convention).
+    */
+  def rgbChannelStats(pixels: Column, channels: Column): Column =
+    graft.functions.ArrayMath.rgbChannelStats(pixels, channels)
+
   /** A REAL complete PCM WAV file (RIFF + fmt + zero-filled data chunk)
     * assembled from parameter columns with codegen built-ins only — the
     * fixture-side encoder that lets a query round-trip [[audioMeta]] over

@@ -698,6 +698,60 @@ object TrainingQueries {
              |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // Image RESIZE over genuinely decoded pixels (the mandate's missing
+    // multimodal verb): decode → nearest-neighbor resample to per-doc
+    // target dims (source pixel ⌊x·w/outW⌋ — integer-exact) → per-channel
+    // integer sums over the resized buffer, all inside one codegen span.
+    // The oracle replays the NN index mapping and the gradient rule with
+    // integer division, so a single mis-sampled pixel hash-mismatches.
+    QuerySpec(
+      "q112_image_resize",
+      (s, dir) => {
+        val p = Tables.documents(s, dir).select(col("doc_id"),
+          (col("doc_id") % 9 + 4).cast("int").as("__w"),
+          ((col("doc_id") * 3) % 8 + 4).cast("int").as("__h"),
+          ((col("doc_id") * 37) % 256).cast("int").as("__r0"),
+          ((col("doc_id") * 59) % 256).cast("int").as("__g0"),
+          ((col("doc_id") * 83) % 256).cast("int").as("__b0"),
+          (col("doc_id") % 5 + 2).cast("int").as("__ow"),
+          ((col("doc_id") * 7) % 3 + 2).cast("int").as("__oh"))
+        p.select(col("doc_id").as("media_id"),
+          Multimodal.pngResize(Multimodal.pngGradientBytes(
+            col("__w"), col("__h"), col("__r0"), col("__g0"), col("__b0")),
+            col("__ow"), col("__oh")).as("__rs"))
+          .select(col("media_id"),
+            col("__rs.width").cast("long").as("width"),
+            col("__rs.height").cast("long").as("height"),
+            Multimodal.rgbChannelStats(col("__rs.pixels"), col("__rs.channels"))
+              .as("__st"))
+          .select(col("media_id"), col("width"), col("height"),
+            col("__st.n_px").as("n_px"), col("__st.sum_r").as("sum_r"),
+            col("__st.sum_g").as("sum_g"), col("__st.sum_b").as("sum_b"))
+          .orderBy("media_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id, doc_id % 9 + 4 AS w, (doc_id * 3) % 8 + 4 AS h,
+             |    (doc_id * 37) % 256 AS r0, (doc_id * 59) % 256 AS g0,
+             |    (doc_id * 83) % 256 AS b0,
+             |    doc_id % 5 + 2 AS ow, (doc_id * 7) % 3 + 2 AS oh
+             |  FROM documents
+             |), px AS (
+             |  SELECT p.doc_id, p.ow, p.oh,
+             |    (p.r0 + (x.range * p.w) // p.ow + (y.range * p.h) // p.oh) % 256 AS r,
+             |    (p.g0 + (x.range * p.w) // p.ow + (y.range * p.h) // p.oh) % 256 AS g,
+             |    (p.b0 + (x.range * p.w) // p.ow + (y.range * p.h) // p.oh) % 256 AS b
+             |  FROM p CROSS JOIN range(0, 7) x CROSS JOIN range(0, 5) y
+             |  WHERE x.range < p.ow AND y.range < p.oh
+             |)
+             |SELECT doc_id AS media_id, CAST(MAX(ow) AS BIGINT) AS width,
+             |  CAST(MAX(oh) AS BIGINT) AS height,
+             |  CAST(COUNT(*) AS BIGINT) AS n_px,
+             |  CAST(SUM(r) AS BIGINT) AS sum_r,
+             |  CAST(SUM(g) AS BIGINT) AS sum_g,
+             |  CAST(SUM(b) AS BIGINT) AS sum_b
+             |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Real AUDIO container decode (q32's audio sibling): every doc gets a
     // genuine complete PCM WAV (RIFF + fmt + zero-filled data chunk,
     // assembled little-endian from doc_id-derived parameters with codegen

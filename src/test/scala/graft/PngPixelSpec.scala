@@ -71,6 +71,48 @@ class PngPixelSpec extends AnyFunSuite {
     assert(PngPixelKernel.decode(Array.empty[Byte]) == null)
   }
 
+  test("resize agrees with nearest-neighbor over ImageIO pixels; identity is lossless") {
+    val cases = Seq((8, 7, 10, 20, 30, 3, 2), (5, 9, 250, 3, 99, 2, 4),
+      (4, 4, 77, 200, 155, 6, 6), (16, 11, 0, 128, 255, 16, 11)) // up + identity
+    cases.foreach { case (w, h, r0, g0, b0, ow, oh) =>
+      val png = PngEncodeKernel.encode(w, h, r0, g0, b0)
+      val got = PngPixelKernel.resize(png, ow, oh)
+      assert(got != null, s"resize failed for ${w}x$h -> ${ow}x$oh")
+      assert(got.getInt(0) == ow && got.getInt(1) == oh && got.getInt(2) == 3)
+      val px = got.getBinary(3)
+      assert(px.length == ow * oh * 3)
+      // independent reference: ⌊x·w/ow⌋ sampling over ImageIO's decode
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      for (y <- 0 until oh; x <- 0 until ow) {
+        val rgb = img.getRGB((x.toLong * w / ow).toInt, (y.toLong * h / oh).toInt)
+        val off = (y * ow + x) * 3
+        assert((px(off) & 0xff) == ((rgb >> 16) & 0xff) &&
+          (px(off + 1) & 0xff) == ((rgb >> 8) & 0xff) &&
+          (px(off + 2) & 0xff) == (rgb & 0xff),
+          s"pixel ($x,$y) of ${w}x$h -> ${ow}x$oh mismatches NN reference")
+      }
+      // identity resize reproduces the decoded buffer byte-for-byte
+      if (ow == w && oh == h) {
+        val orig = PngPixelKernel.decodeImage(png)
+        assert(java.util.Arrays.equals(px, orig.samples))
+      }
+    }
+    // channel stats over the resized buffer match a direct sum
+    val png = PngEncodeKernel.encode(9, 6, 1, 2, 3)
+    val rs = PngPixelKernel.resize(png, 3, 2)
+    val st = PngPixelKernel.channelStats(rs.getBinary(3), 3)
+    assert(st.getLong(0) == 6L)
+    val expected = (for (y <- 0 until 2; x <- 0 until 3)
+      yield (1 + (x * 9) / 3 + (y * 6) / 2) % 256).sum.toLong
+    assert(st.getLong(1) == expected)
+    // guards: bad dims / bad channel counts / ragged buffers are NULL
+    assert(PngPixelKernel.resize(png, 0, 4) == null)
+    assert(PngPixelKernel.resize(png, 4, 4097) == null)
+    assert(PngPixelKernel.resize("nope".getBytes("US-ASCII"), 4, 4) == null)
+    assert(PngPixelKernel.channelStats(new Array[Byte](6), 2) == null)
+    assert(PngPixelKernel.channelStats(new Array[Byte](7), 3) == null)
+  }
+
   test("column expression decodes distributed and stays codegen-friendly") {
     import spark.implicits._
     val df = Seq((1L, 3, 5, 0, 100, 200), (2L, 8, 7, 50, 60, 70))
