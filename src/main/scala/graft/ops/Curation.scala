@@ -314,4 +314,101 @@ object Curation {
       .filter(size(col("__shs")) > 0)
       .select(col(idCol), explode(col("__shs")).as("__sh"))
   }
+
+  /** Hashed unigram+bigram feature occurrences — DSIR's bag-of-hashed-
+    * ngrams model: one row per token and per adjacent token pair, bucketed
+    * by [[hashBucket]] over the n-gram string (bigrams joined by one
+    * space). md5-bucketed so the oracle replays every occurrence.
+    */
+  private def hashedNgrams(d: DataFrame, cols: Seq[Column], textCol: String,
+                           nBuckets: Int): DataFrame = {
+    // blank docs carry no features (split('') is [''], a phantom token)
+    val t = d.filter(length(TextOps.normalized(col(textCol))) > 0)
+      .select(cols :+ TextOps.tokens(TextOps.normalized(col(textCol)))
+        .as("__t"): _*)
+    // sequence(1, n) DESCENDS when n < 1, so the bigram arm must be gated
+    // on >= 2 tokens (a 1-token doc otherwise grows a phantom bigram)
+    val bigrams = when(size(col("__t")) >= 2,
+      transform(sequence(lit(1), size(col("__t")) - 1),
+        i => concat_ws(" ", element_at(col("__t"), i),
+          element_at(col("__t"), i + lit(1)))))
+      .otherwise(array().cast("array<string>"))
+    val grams = t.select(cols :+ explode(concat(col("__t"), bigrams))
+      .as("__g"): _*)
+    grams.select(cols :+ hashBucket(col("__g"), nBuckets).as("__b"): _*)
+  }
+
+  /** DSIR importance log-weights (Xie, Santurkar, Ma & Liang, NeurIPS 2023
+    * — "Data Selection for Language Models via Importance Resampling"):
+    * score each raw-corpus document by how much more likely its hashed
+    * unigram+bigram profile is under the TARGET corpus's bag-of-hashed-
+    * ngrams distribution than under the raw corpus's own:
+    *
+    *   logw(doc) = Σ_occurrences [ ln(T_b + a) − ln(R_b + a) + C ],
+    *   C = ln(Rtot + a·B) − ln(Ttot + a·B)
+    *
+    * where T_b / R_b are target / raw bucket counts, a the add-k smoothing
+    * mass, and B = nBuckets — each occurrence term one ln of exact
+    * integer-derived ratios (the q106/q109 cross-engine parity recipe),
+    * routed through DECIMAL(18,12) before the per-doc sum so partial-agg
+    * order cannot change the result.
+    *
+    * Output: one row per raw doc — (idCol, n_features, log_weight
+    * rounded to 6 dp); empty docs report n_features = 0, NULL weight.
+    *
+    * Scale shape: the two distribution tables aggregate to ≤ B buckets —
+    * a PARAMETER, not a corpus quantity — so the λ table (raw buckets
+    * left-joined with target counts) is broadcast by construction; the
+    * corpus-side plan is explode → broadcast join → one skinny (id)
+    * aggregation with map-side partial combine. No corpus-scale shuffle
+    * other than the per-doc rollup.
+    */
+  def dsirWeights(raw: DataFrame, idCol: String, textCol: String,
+                  target: DataFrame, targetTextCol: String,
+                  nBuckets: Int = 10000, smoothing: Double = 1.0): DataFrame = {
+    require(nBuckets >= 2, "nBuckets must be >= 2")
+    require(smoothing > 0, "smoothing mass must be positive")
+    val rawFeats = hashedNgrams(raw, Seq(col(idCol)), textCol, nBuckets)
+    val rCounts = rawFeats.groupBy(col("__b")).agg(count(lit(1)).as("__rc"))
+    val tCounts = hashedNgrams(target, Nil, targetTextCol, nBuckets)
+      .groupBy(col("__b")).agg(count(lit(1)).as("__tc"))
+    // totals BEFORE the bucket join (target mass outside raw's buckets
+    // still belongs in Ttot); one broadcast row
+    val totals = rCounts.agg(sum(col("__rc")).as("__rtot"))
+      .crossJoin(tCounts.agg(sum(col("__tc")).as("__ttot")))
+    val lambda = rCounts.join(tCounts, Seq("__b"), "left")
+      .select(col("__b"),
+        (log((coalesce(col("__tc"), lit(0L)) + lit(smoothing)))
+          - log(col("__rc") + lit(smoothing))).as("__lr"))
+    val term = (col("__lr")
+      + log(col("__rtot") + lit(smoothing * nBuckets))
+      - log(col("__ttot") + lit(smoothing * nBuckets))).cast("decimal(18,12)")
+    val scored = rawFeats
+      .join(broadcast(lambda), Seq("__b"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_features"), sum(term).as("__s"))
+      .select(col(idCol), col("n_features"),
+        round(col("__s").cast("double"), 6).as("log_weight"))
+    raw.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_features"), lit(0L)).as("n_features"), col("log_weight"))
+  }
+
+  /** DSIR selection: the top-k raw documents by [[dsirWeights]]. The paper
+    * perturbs log-weights with Gumbel noise before top-k (importance
+    * RESAMPLING); this flavor ranks the ROUNDED weight with the id as
+    * tiebreak — deterministic across runs, partitionings and engines (the
+    * repo-wide no-rand() discipline), same selection shape. Plan: the
+    * weights pass + one TakeOrderedAndProject (never a global sort).
+    */
+  def dsirSample(raw: DataFrame, idCol: String, textCol: String,
+                 target: DataFrame, targetTextCol: String, k: Int,
+                 nBuckets: Int = 10000, smoothing: Double = 1.0): DataFrame = {
+    require(k >= 1, "k must be positive")
+    dsirWeights(raw, idCol, textCol, target, targetTextCol, nBuckets, smoothing)
+      .filter(col("log_weight").isNotNull)
+      .orderBy(col("log_weight").desc, col(idCol))
+      .limit(k)
+  }
 }

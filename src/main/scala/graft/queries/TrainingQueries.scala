@@ -752,6 +752,70 @@ object TrainingQueries {
              |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // DSIR importance resampling (Xie et al., NeurIPS 2023): rank raw
+    // docs by how target-like their hashed unigram+bigram profile is —
+    // logw = Σ_features [ln(T_b+1) − ln(R_b+1) + ln(Rtot+B) − ln(Ttot+B)]
+    // — and select the top-50 (deterministic rounded-weight ranking; the
+    // paper's Gumbel perturbation is replaced by the id tiebreak so every
+    // engine replays the SAME selection). The oracle recomputes every
+    // occurrence term: md5 bucketing, both distributions, the DECIMAL-
+    // routed per-doc sum, and the top-k membership.
+    QuerySpec(
+      "q113_dsir_resample",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val target = docs.filter(col("source").isin("src0", "src1"))
+        val w = Curation.dsirWeights(docs, "doc_id", "text", target, "text")
+        val sel = Curation.dsirSample(docs, "doc_id", "text", target, "text",
+          k = 50).select(col("doc_id"), lit(true).as("__sel"))
+        w.join(sel, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_features"), col("log_weight"),
+            coalesce(col("__sel"), lit(false)).as("selected"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH n AS (
+             |  SELECT doc_id, source,
+             |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+             |  FROM documents
+             |), t AS (
+             |  SELECT doc_id, source, string_split(nt, ' ') AS toks
+             |  FROM n WHERE LENGTH(nt) > 0
+             |), feats AS (
+             |  SELECT doc_id, source, unnest(list_concat(toks,
+             |    [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))])) AS g
+             |  FROM t
+             |), fb AS (
+             |  SELECT doc_id, source,
+             |    CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) % 10000 AS b
+             |  FROM feats
+             |), rc AS (
+             |  SELECT b, COUNT(*) AS rc FROM fb GROUP BY 1
+             |), tc AS (
+             |  SELECT b, COUNT(*) AS tc FROM fb
+             |  WHERE source IN ('src0', 'src1') GROUP BY 1
+             |), tot AS (
+             |  SELECT (SELECT SUM(rc) FROM rc) AS rtot,
+             |         (SELECT SUM(tc) FROM tc) AS ttot
+             |), sc AS (
+             |  SELECT fb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,
+             |    SUM(CAST(ln(COALESCE(tc.tc, 0) + 1.0) - ln(rc.rc + 1.0)
+             |      + ln(tot.rtot + 10000.0) - ln(tot.ttot + 10000.0)
+             |      AS DECIMAL(18,12))) AS s
+             |  FROM fb JOIN rc ON rc.b = fb.b
+             |  LEFT JOIN tc ON tc.b = fb.b CROSS JOIN tot
+             |  GROUP BY 1
+             |), sel AS (
+             |  SELECT doc_id FROM sc
+             |  ORDER BY ROUND(CAST(CAST(s AS VARCHAR) AS DOUBLE), 6) DESC, doc_id
+             |  LIMIT 50
+             |)
+             |SELECT d.doc_id, COALESCE(sc.n_features, 0) AS n_features,
+             |  ROUND(CAST(CAST(sc.s AS VARCHAR) AS DOUBLE), 6) AS log_weight,
+             |  (d.doc_id IN (SELECT doc_id FROM sel)) AS selected
+             |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Real AUDIO container decode (q32's audio sibling): every doc gets a
     // genuine complete PCM WAV (RIFF + fmt + zero-filled data chunk,
     // assembled little-endian from doc_id-derived parameters with codegen

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextOps}
 
 class OpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -966,5 +966,40 @@ class OpsSpec extends AnyFunSuite {
     val worse = scored.count(_._2 >= gibScore)
     assert(worse <= math.max(1, scored.length / 10),
       s"gibberish nll $gibScore not in worst decile ($worse of ${scored.length} score >= it)")
+  }
+
+  test("dsir: target-like docs outrank off-distribution; deterministic; blank unscored") {
+    import spark.implicits._
+    // raw corpus: half "medical" phrasing, half "legalese"; target corpus
+    // is medical-only — DSIR must lift the medical half
+    val med = Seq("patient trial dose outcome", "clinical patient cohort dose",
+      "trial dose outcome response", "patient cohort dose outcome")
+    val law = Seq("party of the first part", "herein the party agrees",
+      "the first part thereof", "agreement between party counsel")
+    val raw = (med ++ law).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val target = Seq((100L, "patient trial dose outcome response"),
+      (101L, "clinical patient cohort dose")).toDF("doc_id", "text")
+    val w = Curation.dsirWeights(raw, "doc_id", "text", target, "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val medIds = med.indices.map(_.toLong)
+    val lawIds = law.indices.map(i => (i + med.length).toLong)
+    assert(medIds.map(w).min > lawIds.map(w).max,
+      s"every medical doc must outweigh every legal doc: $w")
+    // top-half selection is exactly the medical half
+    val sel = Curation.dsirSample(raw, "doc_id", "text", target, "text",
+      k = med.length).select("doc_id").as[Long].collect().toSet
+    assert(sel == medIds.toSet)
+    // layout invariance: weights are a pure function of the data
+    val w2 = Curation.dsirWeights(raw.repartition(7), "doc_id", "text",
+      target.repartition(3), "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w == w2)
+    // blank docs: reported, unscored — and never selected
+    val wBlank = Curation.dsirWeights(
+      raw.unionByName(Seq((999L, "   ")).toDF("doc_id", "text")),
+      "doc_id", "text", target, "text")
+      .filter(col("doc_id") === 999L).collect()
+    assert(wBlank.length == 1 && wBlank(0).getLong(1) == 0L && wBlank(0).isNullAt(2))
   }
 }
