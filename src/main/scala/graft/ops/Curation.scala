@@ -166,6 +166,65 @@ object Curation {
       .drop("__n_dom", "__n_tot", "__w", "__thresh")
   }
 
+  /** Per-domain targets for [[temperatureSample]] — the multilingual
+    * α-sampling rule (Lample & Conneau, NeurIPS 2019; Conneau et al., ACL
+    * 2020 / XLM-R): target mixture weight for domain d is
+    *
+    *   w_d = n_d^α / Σ_e n_e^α,   α ∈ (0, 1]
+    *
+    * α = 1 reproduces the natural mixture; α < 1 flattens it — head
+    * domains are downsampled toward the tail, the standard fix for
+    * high-resource domination of multilingual/multi-source pretraining
+    * mixes. Returns one row per domain: (domainCol, n_dom, weight,
+    * thresh) where thresh is the [[hashBucket]] keep-gate for a total
+    * budget of budgetFrac·|df| rows (per-domain keep-rate capped at 1 —
+    * tail domains can't be upsampled past their own size; the budget is
+    * then under-filled, exactly like [[sampleToMixture]]).
+    *
+    * Cross-engine parity: the powered counts route through DECIMAL(28,12)
+    * before the Σ_e sum (order-independent), and the decimal → double
+    * conversions happen once — same discipline as [[dsirWeights]].
+    *
+    * Scale shape: ONE count aggregation; everything after lives on the
+    * ≤|domains|-row plane (the global window is over domains, not rows).
+    */
+  def temperatureWeights(df: DataFrame, domainCol: String, alpha: Double,
+                         budgetFrac: Double,
+                         nBuckets: Int = 10000): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha in (0,1]")
+    require(budgetFrac > 0 && budgetFrac <= 1, "budgetFrac in (0,1]")
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    df.groupBy(col(domainCol)).agg(count(lit(1)).as("n_dom"))
+      .withColumn("__pw",
+        pow(col("n_dom").cast("double"), lit(alpha)).cast("decimal(28,12)"))
+      .withColumn("__n_tot", sum(col("n_dom")).over(all))
+      .withColumn("__sp", sum(col("__pw")).over(all))
+      .withColumn("weight",
+        col("__pw").cast("double") / col("__sp").cast("double"))
+      .withColumn("thresh",
+        floor(least(lit(1.0),
+          col("weight") * budgetFrac * col("__n_tot") / col("n_dom"))
+          * nBuckets).cast("long"))
+      .select(col(domainCol), col("n_dom"), col("weight"), col("thresh"))
+  }
+
+  /** Temperature-scaled mixture sampling: keep rows whose [[hashBucket]]
+    * falls under their domain's [[temperatureWeights]] gate — hash-gated
+    * (reproducible, repartition-stable, incremental-safe: the
+    * [[sampleToMixture]] guarantees), with the target mixture COMPUTED
+    * from the data by the α rule instead of hand-specified weights.
+    * Domain stats broadcast; the corpus never shuffles.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, domainCol: String,
+                        alpha: Double, budgetFrac: Double,
+                        nBuckets: Int = 10000): DataFrame = {
+    val w = temperatureWeights(df, domainCol, alpha, budgetFrac, nBuckets)
+      .select(col(domainCol), col("thresh"))
+    df.join(broadcast(w), domainCol)
+      .filter(hashBucket(col(idCol), nBuckets) < col("thresh"))
+      .drop("thresh")
+  }
+
   /** Fixed-size token chunking with overlap — the window split RAG/
     * pretraining prep runs before embedding or packing. Chunk i covers
     * tokens [i·step, i·step + chunkTokens) with step = chunkTokens −

@@ -816,6 +816,56 @@ object TrainingQueries {
              |ORDER BY d.doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // Temperature (α) mixture sampling (Lample & Conneau 2019, XLM-R):
+    // target weight n_d^α / Σ n_e^α with α = 0.5 flattens a skewed
+    // domain mix (domains here are source prefixes — one 11×-heavy head
+    // plus nine tails), then the md5 hash gate keeps each domain at its
+    // computed rate under a 0.5 total budget. The oracle replays the
+    // powered-count DECIMAL sum, the thresholds, and every per-row gate.
+    QuerySpec(
+      "q114_temperature_mix",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("domain", substring(col("source"), 1, 4))
+        val w = Curation.temperatureWeights(docs, "domain",
+          alpha = 0.5, budgetFrac = 0.5)
+        val kept = Curation.temperatureSample(docs, "doc_id", "domain",
+          alpha = 0.5, budgetFrac = 0.5)
+          .groupBy(col("domain")).agg(count(lit(1)).as("n_kept"))
+        w.join(kept, Seq("domain"), "left")
+          .select(col("domain"), col("n_dom"),
+            round(col("weight"), 6).as("weight"), col("thresh"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+          .orderBy("domain")
+      },
+      Some("""WITH d0 AS (
+             |  SELECT doc_id, substring(source, 1, 4) AS domain FROM documents
+             |), c AS (
+             |  SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_dom,
+             |    CAST(pow(COUNT(*), 0.5) AS DECIMAL(28,12)) AS pw
+             |  FROM d0 GROUP BY 1
+             |), t AS (
+             |  SELECT SUM(n_dom) AS n_tot, SUM(pw) AS sp FROM c
+             |), f AS (
+             |  SELECT c.domain, c.n_dom,
+             |    CAST(CAST(c.pw AS VARCHAR) AS DOUBLE)
+             |      / CAST(CAST(t.sp AS VARCHAR) AS DOUBLE) AS w,
+             |    FLOOR(LEAST(1.0,
+             |      CAST(CAST(c.pw AS VARCHAR) AS DOUBLE)
+             |        / CAST(CAST(t.sp AS VARCHAR) AS DOUBLE)
+             |      * 0.5 * t.n_tot / c.n_dom) * 10000) AS thresh
+             |  FROM c, t
+             |)
+             |SELECT f.domain, f.n_dom, ROUND(f.w, 6) AS weight,
+             |  CAST(f.thresh AS BIGINT) AS thresh,
+             |  CAST(COUNT(CASE WHEN
+             |    CAST(('0x' || substring(md5(CAST(d0.doc_id AS VARCHAR)), 1, 8))
+             |      AS BIGINT) % 10000 < f.thresh THEN 1 END) AS BIGINT) AS n_kept
+             |FROM d0 JOIN f USING (domain)
+             |GROUP BY f.domain, f.n_dom, f.w, f.thresh
+             |ORDER BY f.domain""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Real AUDIO container decode (q32's audio sibling): every doc gets a
     // genuine complete PCM WAV (RIFF + fmt + zero-filled data chunk,
     // assembled little-endian from doc_id-derived parameters with codegen

@@ -968,6 +968,32 @@ class OpsSpec extends AnyFunSuite {
       s"gibberish nll $gibScore not in worst decile ($worse of ${scored.length} score >= it)")
   }
 
+  test("temperature sampling: alpha=1 is the natural mix; alpha<1 flattens the head") {
+    import spark.implicits._
+    // skewed corpus: head domain 80 rows, tails 10 each
+    val rows = (0 until 80).map(i => (i.toLong, "head")) ++
+      (0 until 10).map(i => (100L + i, "tailA")) ++
+      (0 until 10).map(i => (200L + i, "tailB"))
+    val df = rows.toDF("doc_id", "domain")
+    // alpha = 1: w_d = n_d / n_tot, so every domain's gate is exactly the
+    // budget fraction — the natural mixture
+    val w1 = Curation.temperatureWeights(df, "domain", alpha = 1.0,
+      budgetFrac = 0.5).collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(w1.values.toSet == Set(5000L), s"alpha=1 must gate uniformly: $w1")
+    // alpha = 0.5 flattens: the head's keep-RATE drops below the tails'
+    val w5 = Curation.temperatureWeights(df, "domain", alpha = 0.5,
+      budgetFrac = 0.5).collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(w5("head") < w5("tailA") && w5("tailA") == w5("tailB"), s"$w5")
+    // weights still sum to 1 and the sample is the hash-gated subset
+    val kept = Curation.temperatureSample(df, "doc_id", "domain",
+      alpha = 0.5, budgetFrac = 0.5)
+    val gate = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = rows.filter { case (id, d) =>
+      spark.range(1).select(Curation.hashBucket(lit(id), 10000)).head.getLong(0) < w5(d)
+    }.map(_._1).toSet
+    assert(gate == expected)
+  }
+
   test("dsir: target-like docs outrank off-distribution; deterministic; blank unscored") {
     import spark.implicits._
     // raw corpus: half "medical" phrasing, half "legalese"; target corpus
