@@ -165,6 +165,36 @@ class PlanSpec extends AnyFunSuite {
       s"domain-count join should broadcast\n$plan")
   }
 
+  test("q113: DSIR lambda table and totals broadcast onto the feature stream") {
+    import graft.ops.Curation
+    val docs = Tables.documents(spark, sf)
+    val plan = Curation.dsirWeights(docs, "doc_id", "text",
+      docs.filter(col("source") === "src0"), "text")
+      .queryExecution.executedPlan.toString
+    // the ≤nBuckets λ frame and the 1-row totals frame must broadcast —
+    // the corpus-side feature stream shuffles only for the per-doc rollup
+    assert(plan.contains("BroadcastHashJoin"),
+      s"lambda join should broadcast\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"totals cross join should broadcast\n$plan")
+  }
+
+  test("q114: temperature gate broadcasts; corpus never shuffles") {
+    import graft.ops.Curation
+    val docs = Tables.documents(spark, sf)
+    val plan = Curation.temperatureSample(docs, "doc_id", "source",
+      alpha = 0.5, budgetFrac = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-domain threshold join should broadcast\n$plan")
+    // the corpus row stream itself never shuffles: the surviving
+    // exchanges are the |domains|-plane agg/window + the broadcast —
+    // a shuffled join flavor would mean the scan side repartitioned
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus side must not shuffle for the gate join\n$plan")
+  }
+
   test("q80: WITH RECURSIVE executes as UnionLoop (iterative, not unrolled)") {
     val plan = executedPlan("q80_recursive_hierarchy")
     assert(plan.contains("UnionLoop"), s"expected recursive UnionLoop node\n$plan")
