@@ -197,9 +197,33 @@ object Multimodal {
     acc.map(s => (s / 255.0).toFloat)
   }
 
+  /** REAL feature lanes for an in-scope PNG payload (genuine zlib decode
+    * via [[graft.functions.PngPixelKernel]]): [width, height, channels,
+    * mean_r, mean_g, mean_b, Rec.601 luminance of the means, n_px].
+    * null when the payload is not a decodable PNG.
+    */
+  private def pngFeatures(bytes: Array[Byte]): Array[Float] = {
+    val img = graft.functions.PngPixelKernel.decodeImage(bytes)
+    if (img == null) return null
+    val st = graft.functions.PngPixelKernel.channelStats(img.samples, img.channels)
+    val n = (img.width.toLong * img.height).toDouble
+    val (mr, mg, mb) = (st.getLong(1) / n, st.getLong(2) / n, st.getLong(3) / n)
+    Array(img.width.toFloat, img.height.toFloat, img.channels.toFloat,
+      mr.toFloat, mg.toFloat, mb.toFloat,
+      (0.299 * mr + 0.587 * mg + 0.114 * mb).toFloat, n.toFloat)
+  }
+
+  private def isPngMagic(b: Array[Byte]): Boolean =
+    b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+
   /** Batch feature extraction over the media column. `mapPartitions` is the
     * deliberate choice: one iterator per partition = one decoder
-    * instantiation per task, not per row.
+    * instantiation per task, not per row. PNG payloads (content-sniffed
+    * magic) go through the GENUINE pixel decoder ([[pngFeatures]]); other
+    * formats fall to the labeled [[decodeStub]] — the remaining honest
+    * boundary (JPEG/audio sample decode needs codec tables this container
+    * doesn't carry; headers for those are real, see [[imageMeta]] /
+    * [[audioMeta]]).
     */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -207,7 +231,12 @@ object Multimodal {
       // production: initialize the decoder ONCE here, per partition
       rows.map { r =>
         val payload = if (r.bytes == null) Array.empty[Byte] else r.bytes
-        MediaFeatures(r.media_id, r.meta.format, decodeStub(payload))
+        val feats =
+          if (isPngMagic(payload)) {
+            val f = pngFeatures(payload)
+            if (f != null) f else decodeStub(payload) // corrupt PNG: stub lanes
+          } else decodeStub(payload)
+        MediaFeatures(r.media_id, r.meta.format, feats)
       }
     }
   }

@@ -492,6 +492,19 @@ class OpsSpec extends AnyFunSuite {
     val row = feats.head()
     assert(row.features.length == 8)
     assert(feats.count() == 500)
+    // PNG payloads take the REAL decode path: lanes are (w, h, c, means,
+    // luminance, n_px) from genuine pixels, not the stub fold
+    import spark.implicits._
+    val png = graft.functions.PngEncodeKernel.encode(6, 4, 10, 20, 30)
+    val pngMedia = Seq((7L, png)).toDF("media_id", "bytes")
+      .select(col("media_id"), col("bytes"),
+        struct(lit("image/png").as("format"), lit(6).as("width"),
+          lit(4).as("height"), lit(png.length.toLong).as("nBytes")).as("meta"))
+    val f = Multimodal.extractFeatures(spark, pngMedia).head().features
+    val expMean = (for (x <- 0 until 6; y <- 0 until 4) yield (10 + x + y) % 256)
+      .sum.toDouble / 24
+    assert(f(0) == 6f && f(1) == 4f && f(2) == 3f && f(7) == 24f)
+    assert(math.abs(f(3) - expMean) < 1e-4, s"mean_r lane ${f(3)} != $expMean")
     val frames = Multimodal.sampleFrames(media, 64, 4)
     // frame arithmetic: every frame is exactly 64 bytes
     assert(frames.agg(min(col("frame_size")), max(col("frame_size")))
