@@ -765,10 +765,15 @@ object TrainingQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val target = docs.filter(col("source").isin("src0", "src1"))
+        // one weights pass, persisted: the top-k branch (dsirSample's
+        // exact plan — TakeOrderedAndProject on the rounded weight) and
+        // the per-doc report read the SAME computed frame
         val w = Curation.dsirWeights(docs, "doc_id", "text", target, "text")
-        val sel = Curation.dsirSample(docs, "doc_id", "text", target, "text",
-          k = 50).select(col("doc_id"), lit(true).as("__sel"))
-        w.join(sel, Seq("doc_id"), "left")
+          .persist()
+        val sel = w.filter(col("log_weight").isNotNull)
+          .orderBy(col("log_weight").desc, col("doc_id")).limit(50)
+          .select(col("doc_id"), lit(true).as("__sel"))
+        w.join(broadcast(sel), Seq("doc_id"), "left")
           .select(col("doc_id"), col("n_features"), col("log_weight"),
             coalesce(col("__sel"), lit(false)).as("selected"))
           .orderBy("doc_id")
