@@ -77,6 +77,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(ArrayMath.rgbStatsName,
         "_FUNC_(pixels, channels) - per-channel integer sums over a packed buffer"),
       exprs => RgbChannelStats(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier(ArrayMath.jpegPixelStatsName),
+      info(ArrayMath.jpegPixelStatsName,
+        "_FUNC_(bytes) - decoded-JPEG pixel statistics struct, NULL outside scope"),
+      exprs => JpegPixelStats(exprs(0))))
+    e.injectFunction((FunctionIdentifier(ArrayMath.jpegGradientName),
+      info(ArrayMath.jpegGradientName,
+        "_FUNC_(w, h, r0, g0, b0) - fixture-side real JPEG encoder"),
+      exprs => JpegGradientBytes(exprs)))
+    e.injectFunction((FunctionIdentifier(ArrayMath.audioPcmName),
+      info(ArrayMath.audioPcmName,
+        "_FUNC_(bytes) - decoded-PCM amplitude statistics struct, NULL outside scope"),
+      exprs => AudioPcmStats(exprs(0))))
+    e.injectFunction((FunctionIdentifier(ArrayMath.wavToneName),
+      info(ArrayMath.wavToneName,
+        "_FUNC_(channels, rate, bits, frames) - fixture-side tone-filled WAV encoder"),
+      exprs => WavToneBytes(exprs)))
     e.injectFunction((FunctionIdentifier(ArrayMath.audioMetaName),
       info(ArrayMath.audioMetaName,
         "_FUNC_(bytes) - WAV header metadata struct, NULL if unparseable"),

@@ -262,6 +262,10 @@ object ArrayMath {
   val pngPixelStatsName = "graft_png_pixel_stats"
   val pngGradientName = "graft_png_gradient_bytes"
   val pngResizeName = "graft_png_resize"
+  val jpegPixelStatsName = "graft_jpeg_pixel_stats"
+  val jpegGradientName = "graft_jpeg_gradient_bytes"
+  val audioPcmName = "graft_audio_pcm_stats"
+  val wavToneName = "graft_wav_tone_bytes"
   val rgbStatsName = "graft_rgb_channel_stats"
   val audioMetaName = "graft_audio_meta"
   val int8DotName = "graft_int8_dot"
@@ -382,6 +386,14 @@ object ArrayMath {
     reg.createOrReplaceTempFunction(
       rgbStatsName, exprs => RgbChannelStats(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
+      jpegPixelStatsName, exprs => JpegPixelStats(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      jpegGradientName, exprs => JpegGradientBytes(exprs), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      audioPcmName, exprs => AudioPcmStats(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      wavToneName, exprs => WavToneBytes(exprs), "scala_udf")
+    reg.createOrReplaceTempFunction(
       audioMetaName, exprs => AudioMeta(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction(
       int8DotName, exprs => Int8DotProduct(exprs(0), exprs(1)), "scala_udf")
@@ -484,6 +496,24 @@ object ArrayMath {
     */
   def rgbChannelStats(pixels: Column, channels: Column): Column =
     call_function(rgbStatsName, pixels, channels)
+
+  /** Genuine JPEG pixel decode via the JDK codec (see [[JpegPixelStats]]). */
+  def jpegPixelStats(bytes: Column): Column =
+    call_function(jpegPixelStatsName, bytes)
+
+  /** Fixture-side real JPEG gradient encoder (see [[JpegGradientBytes]]). */
+  def jpegGradientBytes(w: Column, h: Column, r0: Column, g0: Column,
+                        b0: Column): Column =
+    call_function(jpegGradientName, w, h, r0, g0, b0)
+
+  /** Genuine PCM sample decode over WAV bytes (see [[AudioPcmStats]]). */
+  def audioPcmStats(bytes: Column): Column =
+    call_function(audioPcmName, bytes)
+
+  /** Fixture-side real tone-filled WAV encoder (see [[WavToneBytes]]). */
+  def wavToneBytes(channels: Column, rate: Column, bits: Column,
+                   frames: Column): Column =
+    call_function(wavToneName, channels, rate, bits, frames)
 
   /** binary → struct<format,channels,sample_rate,bits_per_sample,n_frames>
     * parsed from a real WAV/RIFF container; NULL on unparseable payloads

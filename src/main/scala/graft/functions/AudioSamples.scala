@@ -1,0 +1,190 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+
+/** REAL PCM sample decode — the step past [[WavHeaderKernel]]'s container
+  * parsing, the audio sibling of [[PngPixelKernel]]: the WAV `data` chunk
+  * IS the sample stream (RIFF stores raw LPCM), so amplitude statistics
+  * come from genuinely decoded samples with one chunk walk + one pass
+  * over the payload. 8-bit PCM is UNSIGNED with midpoint 128 (amplitude
+  * = byte − 128); 16-bit PCM is SIGNED little-endian — both public
+  * fixed-layout rules, integer-exact, so an oracle replays every sample.
+  *
+  * Scope (NULL outside it): format code 1 (integer PCM), 8- or 16-bit,
+  * a data chunk whose size tiles by the block align. Mean/RMS-style
+  * gates run on the reported exact integer sums.
+  */
+object WavPcmKernel {
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+  private def tag(b: Array[Byte], i: Int, a: Char, c: Char, d: Char, e: Char) =
+    b(i) == a && b(i + 1) == c && b(i + 2) == d && b(i + 3) == e
+
+  /** null unless `b` is a complete parseable 8/16-bit integer-PCM WAV;
+    * otherwise (n_samples, sum_amp, sum_abs, min_amp, max_amp) over the
+    * decoded amplitudes. Zero-sample files report (0, 0, 0, 0, 0).
+    */
+  def stats(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 44) return null
+    if (!tag(b, 0, 'R', 'I', 'F', 'F') || !tag(b, 8, 'W', 'A', 'V', 'E')) return null
+    var i = 12
+    var fmtSeen = false
+    var channels = 0
+    var bits = 0
+    var dataOff = -1
+    var dataSize = -1L
+    while (i + 8 <= b.length) {
+      val size = le32(b, i + 4)
+      if (size < 0 || i + 8 + size > b.length) return null
+      if (tag(b, i, 'f', 'm', 't', ' ')) {
+        if (size < 16) return null
+        val p = i + 8
+        if (le16(b, p) != 1) return null // integer PCM only at sample level
+        channels = le16(b, p + 2)
+        bits = le16(b, p + 14)
+        fmtSeen = true
+      } else if (tag(b, i, 'd', 'a', 't', 'a')) {
+        dataOff = i + 8
+        dataSize = size
+      }
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (!fmtSeen || dataOff < 0) return null
+    if (channels < 1 || (bits != 8 && bits != 16)) return null
+    val bytesPer = bits / 8
+    if (dataSize % (channels * bytesPer) != 0) return null // ragged frames
+    val n = (dataSize / bytesPer).toInt
+    var sum = 0L
+    var sumAbs = 0L
+    var mn = Int.MaxValue
+    var mx = Int.MinValue
+    var s = 0
+    while (s < n) {
+      val amp =
+        if (bits == 8) u8(b, dataOff + s) - 128
+        else {
+          val v = le16(b, dataOff + s * 2)
+          if (v >= 0x8000) v - 0x10000 else v // sign-extend 16-bit LE
+        }
+      sum += amp
+      sumAbs += math.abs(amp)
+      if (amp < mn) mn = amp
+      if (amp > mx) mx = amp
+      s += 1
+    }
+    if (n == 0) { mn = 0; mx = 0 }
+    new GenericInternalRow(Array[Any](n.toLong, sum, sumAbs, mn, mx))
+  }
+
+  /** Fixture-side REAL WAV encoder with a deterministic non-silent
+    * payload: flattened sample index i carries
+    *   8-bit:  byte  (i·37 + 11) mod 256          (amplitude = that − 128)
+    *   16-bit: value ((i·1031 + 7) mod 65536) − 32768, little-endian
+    * — closed-form in i, so a SQL oracle verifies genuine sample decode
+    * end-to-end (the [[PngEncodeKernel]] pattern for audio). Complete
+    * RIFF + fmt + data layout; [[WavPcmKernel.stats]] treats these bytes
+    * exactly like encoder output from the wild.
+    */
+  def encodeTone(channels: Int, rate: Int, bits: Int, frames: Int): Array[Byte] = {
+    require(channels >= 1 && channels <= 64, s"channels out of [1, 64]: $channels")
+    require(bits == 8 || bits == 16, s"tone fixture is 8/16-bit, got $bits")
+    require(frames >= 0 && frames <= 4096, s"frames out of [0, 4096]: $frames")
+    require(rate >= 1 && rate <= 2000000, s"rate out of [1, 2e6]: $rate")
+    val bytesPer = bits / 8
+    val n = frames * channels
+    val dataSize = n * bytesPer
+    val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+    out.put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    out.putShort(1.toShort).putShort(channels.toShort).putInt(rate)
+    out.putInt(rate * channels * bytesPer) // byte rate
+    out.putShort((channels * bytesPer).toShort).putShort(bits.toShort)
+    out.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < n) {
+      if (bits == 8) out.put(((i * 37 + 11) % 256).toByte)
+      else out.putShort((((i * 1031 + 7) % 65536) - 32768).toShort)
+      i += 1
+    }
+    out.array()
+  }
+}
+
+/** binary → struct<n_samples,sum_amp,sum_abs,min_amp,max_amp> from
+  * genuinely decoded PCM samples; NULL outside [[WavPcmKernel]]'s
+  * documented scope. Corpus-scale: codegen'd static-kernel call.
+  */
+case class AudioPcmStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${t.catalogString}")
+  }
+
+  override def nullable: Boolean = true
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_samples", LongType, nullable = false),
+    StructField("sum_amp", LongType, nullable = false),
+    StructField("sum_abs", LongType, nullable = false),
+    StructField("min_amp", IntegerType, nullable = false),
+    StructField("max_amp", IntegerType, nullable = false)))
+
+  override protected def nullSafeEval(input: Any): Any =
+    WavPcmKernel.stats(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.WavPcmKernel.stats($c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "audio_pcm_stats"
+}
+
+/** (channels, rate, bits, frames) → real tone-filled WAV bytes
+  * ([[WavPcmKernel.encodeTone]]); fixture side, so eval-mode
+  * CodegenFallback costs nothing measurable.
+  */
+case class WavToneBytes(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.length == 4 && children.forall(_.dataType == IntegerType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires 4 int args (channels, rate, bits, frames)")
+
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = BinaryType
+
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else {
+      val Seq(ch, rate, bits, frames) = vs.map(_.asInstanceOf[Int])
+      WavPcmKernel.encodeTone(ch, rate, bits, frames)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+
+  override def prettyName: String = "wav_tone_bytes"
+}

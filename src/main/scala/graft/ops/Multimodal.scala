@@ -119,6 +119,39 @@ object Multimodal {
   def rgbChannelStats(pixels: Column, channels: Column): Column =
     graft.functions.ArrayMath.rgbChannelStats(pixels, channels)
 
+  /** Genuine JPEG pixel decode through the JDK's own ImageIO codec
+    * (Huffman + IDCT in the platform decoder — no external library):
+    * struct<width,height,mean_r,mean_g,mean_b>. JPEG is lossy, so means
+    * verify against a tolerance band, not bit-for-bit.
+    */
+  def jpegPixelStats(bytes: Column): Column =
+    graft.functions.ArrayMath.jpegPixelStats(bytes)
+
+  /** Fixture-side REAL JPEG encoder (ImageIO write path — genuine DCT
+    * quantization) of the [[pngGradientBytes]] gradient.
+    */
+  def jpegGradientBytes(w: Column, h: Column, r0: Column, g0: Column,
+                        b0: Column): Column =
+    graft.functions.ArrayMath.jpegGradientBytes(w, h, r0, g0, b0)
+
+  /** Genuine PCM sample decode over a WAV payload: amplitude statistics
+    * struct<n_samples,sum_amp,sum_abs,min_amp,max_amp> from the decoded
+    * data chunk (8-bit unsigned-midpoint / 16-bit signed LE — the public
+    * LPCM rules), integer-exact so oracles replay every sample. The
+    * silence/clipping gates a speech-corpus pipeline runs come straight
+    * off these sums.
+    */
+  def audioPcmStats(bytes: Column): Column =
+    graft.functions.ArrayMath.audioPcmStats(bytes)
+
+  /** Fixture-side REAL tone-filled WAV encoder: closed-form sawtooth
+    * samples (see [[graft.functions.WavPcmKernel.encodeTone]]), complete
+    * RIFF layout.
+    */
+  def wavToneBytes(channels: Column, rate: Column, bits: Column,
+                   frames: Column): Column =
+    graft.functions.ArrayMath.wavToneBytes(channels, rate, bits, frames)
+
   /** A REAL complete PCM WAV file (RIFF + fmt + zero-filled data chunk)
     * assembled from parameter columns with codegen built-ins only — the
     * fixture-side encoder that lets a query round-trip [[audioMeta]] over

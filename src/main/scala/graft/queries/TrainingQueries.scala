@@ -871,6 +871,97 @@ object TrainingQueries {
              |ORDER BY f.domain""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // REAL PCM sample decode (q103's step past headers): every doc gets a
+    // genuine tone-filled WAV — closed-form sawtooth samples, complete
+    // RIFF layout — and the native AudioPcmStats expression decodes the
+    // data chunk (8-bit unsigned-midpoint / 16-bit signed LE) back to
+    // integer-exact amplitude statistics. The oracle recomputes every
+    // sample from the flattened-index formula, so a sign-extension or
+    // offset bug in the decoder hash-mismatches.
+    QuerySpec(
+      "q115_audio_pcm_decode",
+      (s, dir) => {
+        val p = Tables.documents(s, dir).select(col("doc_id"),
+          (col("doc_id") % 2 + 1).cast("int").as("__ch"),
+          when(col("doc_id") % 2 === 0, lit(16)).otherwise(lit(8)).as("__bits"),
+          (col("doc_id") % 50 + 1).cast("int").as("__frames"))
+        p.select(col("doc_id").as("media_id"),
+          Multimodal.audioPcmStats(Multimodal.wavToneBytes(
+            col("__ch"), lit(16000), col("__bits"), col("__frames"))).as("__s"))
+          .select(col("media_id"),
+            col("__s.n_samples").as("n_samples"),
+            col("__s.sum_amp").as("sum_amp"),
+            col("__s.sum_abs").as("sum_abs"),
+            col("__s.min_amp").cast("long").as("min_amp"),
+            col("__s.max_amp").cast("long").as("max_amp"))
+          .orderBy("media_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id, doc_id % 2 + 1 AS ch,
+             |    CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 8 END AS bits,
+             |    doc_id % 50 + 1 AS frames
+             |  FROM documents
+             |), s AS (
+             |  SELECT p.doc_id,
+             |    CASE WHEN p.bits = 8 THEN (i.range * 37 + 11) % 256 - 128
+             |         ELSE (i.range * 1031 + 7) % 65536 - 32768 END AS amp
+             |  FROM p CROSS JOIN range(0, 100) i
+             |  WHERE i.range < p.frames * p.ch
+             |)
+             |SELECT doc_id AS media_id,
+             |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+             |  CAST(SUM(amp) AS BIGINT) AS sum_amp,
+             |  CAST(SUM(ABS(amp)) AS BIGINT) AS sum_abs,
+             |  CAST(MIN(amp) AS BIGINT) AS min_amp,
+             |  CAST(MAX(amp) AS BIGINT) AS max_amp
+             |FROM s GROUP BY doc_id ORDER BY media_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // REAL JPEG pixel decode through the JDK's OWN codec (javax.imageio
+    // ships with every JVM — Huffman + IDCT in the platform decoder, no
+    // external library): fixture JPEGs are genuinely DCT-encoded gradient
+    // images (ImageIO write path), decoded back by JpegPixelStats. JPEG
+    // is lossy, so this is a banded verdict oracle: dims replay exactly;
+    // each channel mean must land within ±4 of the closed-form gradient
+    // mean (offsets bounded so the gradient never wraps mod 256 — the
+    // closed form is then linear, r0 + (w-1)/2 + (h-1)/2).
+    QuerySpec(
+      "q116_jpeg_decode",
+      (s, dir) => {
+        val p = Tables.documents(s, dir).select(col("doc_id"),
+          (col("doc_id") % 9 + 8).cast("int").as("__w"),
+          ((col("doc_id") * 3) % 7 + 8).cast("int").as("__h"),
+          ((col("doc_id") * 37) % 200).cast("int").as("__r0"),
+          ((col("doc_id") * 59) % 200).cast("int").as("__g0"),
+          ((col("doc_id") * 83) % 200).cast("int").as("__b0"))
+        val closed = (c0: org.apache.spark.sql.Column,
+                      w: org.apache.spark.sql.Column,
+                      h: org.apache.spark.sql.Column) =>
+          c0.cast("double") + (w - 1).cast("double") / 2.0 +
+            (h - 1).cast("double") / 2.0
+        p.select(col("doc_id").as("media_id"),
+          col("__w"), col("__h"), col("__r0"), col("__g0"), col("__b0"),
+          Multimodal.jpegPixelStats(Multimodal.jpegGradientBytes(
+            col("__w"), col("__h"), col("__r0"), col("__g0"), col("__b0")))
+            .as("__m"))
+          .select(col("media_id"),
+            col("__m.width").cast("long").as("width"),
+            col("__m.height").cast("long").as("height"),
+            (abs(col("__m.mean_r") - closed(col("__r0"), col("__w"), col("__h")))
+              <= 4.0).as("mean_r_ok"),
+            (abs(col("__m.mean_g") - closed(col("__g0"), col("__w"), col("__h")))
+              <= 4.0).as("mean_g_ok"),
+            (abs(col("__m.mean_b") - closed(col("__b0"), col("__w"), col("__h")))
+              <= 4.0).as("mean_b_ok"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(doc_id % 9 + 8 AS BIGINT) AS width,
+             |  CAST((doc_id * 3) % 7 + 8 AS BIGINT) AS height,
+             |  true AS mean_r_ok, true AS mean_g_ok, true AS mean_b_ok
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Real AUDIO container decode (q32's audio sibling): every doc gets a
     // genuine complete PCM WAV (RIFF + fmt + zero-filled data chunk,
     // assembled little-endian from doc_id-derived parameters with codegen
