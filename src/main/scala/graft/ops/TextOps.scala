@@ -65,6 +65,65 @@ object TextOps {
     (lenOk * 0.3 + stopOk * 0.3 + punctOk * 0.2 + tokOk * 0.2)
   }
 
+  /** Gopher-style per-rule quality gate (Rae et al. 2021 §A1.1, the
+    * public-pipeline document filter; C4 shares several rules): one row
+    * per doc with a boolean PER RULE plus the conjunction — pipelines
+    * tune/ablate rules individually, so the verdicts must stay separate
+    * (a composite score loses that).
+    *
+    * Rules (public thresholds as defaults):
+    *   word_count_ok  minWords ≤ |words| ≤ maxWords        (Gopher 50..100k)
+    *   mean_len_ok    3 ≤ mean word length ≤ 10
+    *   symbol_ok      (#'#' + #'…' + #'...') / words ≤ 0.1
+    *   bullet_ok      ≤ 10% of lines start with a bullet (-, *, •)
+    *   ellipsis_ok    ≤ 30% of lines end with … or ...
+    *   alpha_ok       ≥ 80% of words contain an alphabetic character
+    *   stopword_ok    ≥ 2 distinct common stopwords present
+    *
+    * Every ratio threshold is evaluated as a CROSS-MULTIPLIED integer
+    * comparison (10·symbols ≤ words, 5·alpha ≥ 4·words, 3·words ≤ chars ≤
+    * 10·words, …) — no division, no doubles, so any engine replays the
+    * boundary exactly. Pure projection: zero shuffles, zero joins.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val raw = coalesce(col(textCol), lit("")) // null text = empty doc
+    val toks = tokens(normalized(raw))
+    val nWords = when(length(normalized(raw)) === 0, 0).otherwise(size(toks))
+      .cast("long")
+    val charSum = coalesce(aggregate(transform(toks, t => length(t)),
+      lit(0L), (acc, x) => acc + x), lit(0L))
+    def occurrences(needle: String, width: Int) =
+      (coalesce(length(raw), lit(0)) -
+        coalesce(length(regexp_replace(raw, java.util.regex.Pattern.quote(needle), "")),
+          lit(0))) / width
+    val symbols = (occurrences("#", 1) + occurrences("…", 1) +
+      occurrences("...", 3)).cast("long")
+    val lines = split(raw, "\n")
+    val nLines = coalesce(size(lines).cast("long"), lit(0L))
+    val bulletLines = coalesce(size(filter(lines,
+      l => ltrim(l).rlike("^[-*•]"))).cast("long"), lit(0L))
+    val ellipsisLines = coalesce(size(filter(lines,
+      l => rtrim(l).rlike("(\\.\\.\\.|…)$"))).cast("long"), lit(0L))
+    val alphaWords = coalesce(size(filter(toks,
+      t => t.rlike("[a-z]"))).cast("long"), lit(0L))
+    val stops = typedLit(Seq("the", "be", "to", "of", "and", "that",
+      "have", "with", "this", "it"))
+    val nStops = size(array_intersect(array_distinct(toks), stops)).cast("long")
+    val rules = Seq(
+      ("word_count_ok", nWords.between(minWords, maxWords)),
+      ("mean_len_ok", (lit(3L) * nWords <= charSum) && (charSum <= lit(10L) * nWords)),
+      ("symbol_ok", lit(10L) * symbols <= nWords),
+      ("bullet_ok", lit(10L) * bulletLines <= nLines),
+      ("ellipsis_ok", lit(10L) * ellipsisLines <= lit(3L) * nLines),
+      ("alpha_ok", lit(5L) * alphaWords >= lit(4L) * nWords),
+      ("stopword_ok", nStops >= 2L))
+    df.select(
+      (col(idCol) +: nWords.as("n_words") +: nLines.as("n_lines") +:
+        rules.map { case (n, c) => c.as(n) }) :+
+        rules.map(_._2).reduce(_ && _).as("keep"): _*)
+  }
+
   // --- language identification --------------------------------------------
 
   /** Per-language marker sets for the stopword-overlap heuristic. */

@@ -962,6 +962,66 @@ object TrainingQueries {
              |FROM documents ORDER BY media_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // Gopher-style per-rule quality gate (Rae et al. 2021 §A1.1): seven
+    // independently-reported rule verdicts + the conjunction, every ratio
+    // threshold a CROSS-MULTIPLIED integer comparison (no division, no
+    // doubles) so the oracle replays each boundary exactly. minWords
+    // lowered to 10 for the fixture corpus so both branches of the word-
+    // count rule are exercised.
+    QuerySpec(
+      "q117_gopher_rules",
+      (s, dir) => {
+        graft.ops.TextOps.gopherRules(Tables.documents(s, dir),
+          "doc_id", "text", minWords = 10L)
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, COALESCE(text, '') AS text,
+             |    trim(regexp_replace(lower(COALESCE(text, '')), '\s+', ' ', 'g')) AS nt
+             |  FROM documents
+             |), t AS (
+             |  SELECT doc_id, text,
+             |    CASE WHEN LENGTH(nt) = 0 THEN [] ELSE string_split(nt, ' ') END AS toks,
+             |    string_split(text, chr(10)) AS ls
+             |  FROM b
+             |), m AS (
+             |  SELECT doc_id,
+             |    CAST(len(toks) AS BIGINT) AS n_words,
+             |    CAST(len(ls) AS BIGINT) AS n_lines,
+             |    CAST(COALESCE(list_aggregate(list_transform(toks, x -> len(x)), 'sum'), 0)
+             |      AS BIGINT) AS chars,
+             |    CAST(len(text) - len(replace(text, '#', ''))
+             |      + len(text) - len(replace(text, '…', ''))
+             |      + (len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT) AS symbols,
+             |    CAST(len([x FOR x IN ls IF regexp_matches(ltrim(x), '^[-*•]')])
+             |      AS BIGINT) AS bullets,
+             |    CAST(len([x FOR x IN ls IF regexp_matches(rtrim(x), '(\.\.\.|…)$')])
+             |      AS BIGINT) AS ells,
+             |    CAST(len([x FOR x IN toks IF regexp_matches(x, '[a-z]')])
+             |      AS BIGINT) AS alpha,
+             |    CAST(len(list_distinct(list_intersect(list_distinct(toks),
+             |      ['the','be','to','of','and','that','have','with','this','it'])))
+             |      AS BIGINT) AS stops
+             |  FROM t
+             |)
+             |SELECT doc_id, n_words, n_lines,
+             |  (n_words BETWEEN 10 AND 100000) AS word_count_ok,
+             |  (3 * n_words <= chars AND chars <= 10 * n_words) AS mean_len_ok,
+             |  (10 * symbols <= n_words) AS symbol_ok,
+             |  (10 * bullets <= n_lines) AS bullet_ok,
+             |  (10 * ells <= 3 * n_lines) AS ellipsis_ok,
+             |  (5 * alpha >= 4 * n_words) AS alpha_ok,
+             |  (stops >= 2) AS stopword_ok,
+             |  ((n_words BETWEEN 10 AND 100000)
+             |    AND (3 * n_words <= chars AND chars <= 10 * n_words)
+             |    AND (10 * symbols <= n_words)
+             |    AND (10 * bullets <= n_lines)
+             |    AND (10 * ells <= 3 * n_lines)
+             |    AND (5 * alpha >= 4 * n_words)
+             |    AND (stops >= 2)) AS keep
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Real AUDIO container decode (q32's audio sibling): every doc gets a
     // genuine complete PCM WAV (RIFF + fmt + zero-filled data chunk,
     // assembled little-endian from doc_id-derived parameters with codegen

@@ -981,6 +981,35 @@ class OpsSpec extends AnyFunSuite {
       s"gibberish nll $gibScore not in worst decile ($worse of ${scored.length} score >= it)")
   }
 
+  test("gopherRules: each rule trips on its planted violation, clean prose keeps") {
+    import spark.implicits._
+    val clean = "the quick brown fox jumps over that lazy dog and it runs " +
+      "with great speed toward the distant hills of the old country"  // 23 words
+    val docs: Seq[(Long, String)] = Seq(
+      1L -> clean,
+      2L -> "short words only here",                      // < 10 words
+      3L -> (clean + " ##### ### ## # # # #"),            // symbol ratio > 0.1
+      4L -> "- one\n- two\n- three\nthe end of that it",  // 3/4 bullet lines
+      5L -> ("the end of that it and..." + "\nmore..." + "\nagain..." +
+        "\nlast line is fine"),                           // 3/4 ellipsis lines
+      6L -> "the of 1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 and it that", // <80% alpha
+      7L -> "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk",  // no stopwords
+      8L -> null.asInstanceOf[String])                    // null text = empty
+    val out = graft.ops.TextOps.gopherRules(
+      docs.toDF("doc_id", "text"), "doc_id", "text", minWords = 10L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def ok(id: Long, field: String): Boolean =
+      out(id).getBoolean(out(id).fieldIndex(field))
+    assert(ok(1L, "keep"), s"clean prose must pass all rules: ${out(1L)}")
+    assert(!ok(2L, "word_count_ok") && !ok(2L, "keep"))
+    assert(!ok(3L, "symbol_ok") && ok(1L, "symbol_ok"))
+    assert(!ok(4L, "bullet_ok") && ok(1L, "bullet_ok"))
+    assert(!ok(5L, "ellipsis_ok") && ok(1L, "ellipsis_ok"))
+    assert(!ok(6L, "alpha_ok") && ok(1L, "alpha_ok"))
+    assert(!ok(7L, "stopword_ok") && ok(1L, "stopword_ok"))
+    assert(out(8L).getLong(1) == 0L && !ok(8L, "keep")) // null -> empty, dropped
+  }
+
   test("temperature sampling: alpha=1 is the natural mix; alpha<1 flattens the head") {
     import spark.implicits._
     // skewed corpus: head domain 80 rows, tails 10 each
