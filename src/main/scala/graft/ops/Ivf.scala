@@ -301,30 +301,55 @@ object Ivf {
     * as [[assignToExisting]].
     */
   def appendToIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-                    batch: DataFrame, idCol: String, vecCol: String): Unit = {
+                    batch: DataFrame, idCol: String, vecCol: String,
+                    dedupeIds: Boolean = false): Long = {
     val index = loadIndex(spark, path, idCol)
-    val assigned = unitVectors(batch, vecCol)
+    val assigned0 = unitVectors(batch, vecCol)
       .select(col(idCol), col("__vn"),
         nearestCentroid(col("__vn"), index.centroids).as("__cid"))
       .repartition(col("__cid")) // one appended file per touched list, not per task
     // appends must match the saved layout: a quantized index gets int8
     // codes in lists/ plus full vectors in refine/; mixing schemas within
     // lists/ would break every later probe scan
-    if (isQuantized(spark, path)) {
-      // same persist rationale as saveIndex: one batch scan, and lists/
-      // and refine/ must receive the identical row set
+    // same persist rationale as saveIndex: one batch scan feeds the cid
+    // probe / anti-join / count / both directory writes
+    assigned0.persist()
+    try {
+      val assigned =
+        if (!dedupeIds) assigned0
+        else {
+          // id-level idempotence for replayed appends (the streaming
+          // sink's torn-replay window): anti-join ONLY against the lists
+          // the batch's vectors hash into — `__cid` is a partition column,
+          // so the probe scan prunes to touched lists, cost ∝ batch not
+          // index (the dedupAppendSink bucket shape with cids as buckets)
+          val cidsHit = assigned0.select(col("__cid")).distinct()
+            .collect().map(_.getInt(0)).toSeq // ≤ k ints — bounded by design
+          val existing = spark.read.parquet(path + "/lists")
+            .where(col("__cid").isin(cidsHit: _*))
+            .select(col(idCol).as("__existing_id"))
+          assigned0.join(existing,
+            assigned0(idCol) === col("__existing_id"), "left_anti")
+        }
       assigned.persist()
       try {
-        assigned
-          .withColumn("__scale", Quantize.int8Scale(col("__vn")))
-          .withColumn("__code", Quantize.int8CodesFromScale(col("__vn"), col("__scale")))
-          .select(col(idCol), col("__scale"), col("__code"), col("__cid"))
-          .write.mode("append").partitionBy("__cid").parquet(path + "/lists")
-        assigned.write.mode("append").partitionBy("__cid").parquet(path + "/refine")
+        val n = assigned.count()
+        if (n > 0) {
+          if (isQuantized(spark, path)) {
+            assigned
+              .withColumn("__scale", Quantize.int8Scale(col("__vn")))
+              .withColumn("__code",
+                Quantize.int8CodesFromScale(col("__vn"), col("__scale")))
+              .select(col(idCol), col("__scale"), col("__code"), col("__cid"))
+              .write.mode("append").partitionBy("__cid").parquet(path + "/lists")
+            assigned.write.mode("append").partitionBy("__cid").parquet(path + "/refine")
+          } else {
+            assigned.write.mode("append").partitionBy("__cid").parquet(path + "/lists")
+          }
+        }
+        n
       } finally { assigned.unpersist(false); () }
-    } else {
-      assigned.write.mode("append").partitionBy("__cid").parquet(path + "/lists")
-    }
+    } finally { assigned0.unpersist(false); () }
   }
 
   /** Index health for the rebuild decision ([[assignToExisting]]'s drift

@@ -355,6 +355,51 @@ object StreamingIngest {
     applied.get()
   }
 
+  /** Streaming ANN index maintenance: fold each micro-batch of embeddings
+    * into a persisted [[graft.ops.Ivf.saveIndex]] layout via
+    * `Ivf.appendToIndex` — continuously-arriving vectors become searchable
+    * one trigger after they land, without rebuilding the index (the 100 TB
+    * ingest-to-serving path: build once offline, append forever, rebuild
+    * only on [[graft.ops.Ivf.indexStats]] drift).
+    *
+    * Exactly-once at VECTOR level on plain parquet:
+    *   - a committed-batch marker (`_graft_commits/<batchId>`) makes a
+    *     fully-replayed batch skip entirely;
+    *   - a replay that crashed BETWEEN append and marker re-runs with
+    *     `dedupeIds = true`: the batch anti-joins against the ids already
+    *     in the lists its vectors hash into — `__cid` partition pruning
+    *     keeps that probe ∝ touched lists, not index size (the
+    *     [[dedupAppendSink]] bucket shape with centroid ids as buckets).
+    *
+    * Centroids stay frozen across waves (the appendToIndex drift
+    * contract); quantized layouts are preserved per its layout dispatch.
+    * Blocks until available input drains (AvailableNow). Returns vectors
+    * appended across this invocation (replays contribute 0).
+    */
+  def annIndexSink(spark: SparkSession, stream: DataFrame,
+                   idCol: String, vecCol: String,
+                   indexDir: String, checkpointDir: String): Long = {
+    val appended = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (indexPath, fs) = hadoopFs(spark, indexDir)
+        val commitsDir = new org.apache.hadoop.fs.Path(indexPath, "_graft_commits")
+        val marker = new org.apache.hadoop.fs.Path(commitsDir, batchId.toString)
+        if (!fs.exists(marker)) {
+          appended.addAndGet(graft.ops.Ivf.appendToIndex(
+            spark, indexDir, batch, idCol, vecCol, dedupeIds = true))
+          fs.mkdirs(commitsDir)
+          fs.createNewFile(marker)
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    appended.get()
+  }
+
   /** The latest COMMITTED aggregate state written by [[aggStateSink]]
     * (uncommitted / torn version directories are ignored). Feed the
     * result to `AggState.finalizeState` for serving metrics.

@@ -344,6 +344,59 @@ class IvfSpec extends AnyFunSuite {
       books2.map(_.map(_.toSeq).toSeq).toSeq)
   }
 
+  test("streaming ANN sink: waves append exactly-once, torn replays dedupe by id") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter(col("vec_id") < 60L)
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-ann-sink").toString
+    val inDir = java.nio.file.Files.createTempDirectory("graft-ann-in").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-ann-ck").toString
+    Ivf.saveIndex(Ivf.buildIndex(base, "vec_id", "embedding", nCentroids = 4),
+      indexDir)
+    def ids(): Set[Long] = spark.read.parquet(indexDir + "/lists")
+      .select("vec_id").as[Long].collect().toSet
+    assert(ids() == (0L until 60L).toSet)
+
+    // wave 1: 60..80 arrive on the stream → searchable after one trigger
+    emb.filter(col("vec_id") >= 60L && col("vec_id") < 80L)
+      .coalesce(1).write.mode("append").parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    def drain(): Long = graft.streaming.StreamingIngest.annIndexSink(spark,
+      spark.readStream.schema(schema).parquet(inDir),
+      "vec_id", "embedding", indexDir, ckDir)
+    assert(drain() == 20L)
+    assert(ids() == (0L until 80L).toSet)
+
+    // wave 2 appends on top; wave-1 rows are not re-appended
+    emb.filter(col("vec_id") >= 80L && col("vec_id") < 90L)
+      .coalesce(1).write.mode("append").parquet(inDir)
+    assert(drain() == 10L)
+    assert(ids() == (0L until 90L).toSet)
+    // replay with nothing new: markers + checkpoint → zero appends
+    assert(drain() == 0L)
+    assert(spark.read.parquet(indexDir + "/lists").count() == 90L)
+
+    // torn replay window (crash between append and marker): a direct
+    // re-append of already-present ids must anti-join to nothing
+    val again = Ivf.appendToIndex(spark, indexDir,
+      emb.filter(col("vec_id") >= 60L && col("vec_id") < 90L),
+      "vec_id", "embedding", dedupeIds = true)
+    assert(again == 0L)
+    assert(spark.read.parquet(indexDir + "/lists").count() == 90L)
+
+    // the appended corpus is genuinely searchable: a query carrying
+    // wave-2 vector 85's embedding (under a non-corpus query id, since
+    // search excludes self-id matches) must rank vector 85 first
+    val q85 = emb.filter(col("vec_id") === 85L)
+      .select((col("vec_id") + 10000L).as("query_id"),
+        col("embedding").as("query_vec"))
+    val top = Ivf.searchIndex(Ivf.loadIndex(spark, indexDir, "vec_id"), q85,
+      "query_id", "query_vec", k = 3, nProbe = 4)
+      .filter(col("rank") === 1).collect()
+    assert(top.length == 1 && top(0).getLong(1) == 85L,
+      s"wave-2 vector not served: ${top.mkString(",")}")
+  }
+
   test("quantized search scans only the probed lists (partition pruning)") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val emb = Tables.embeddings(spark, sf)
