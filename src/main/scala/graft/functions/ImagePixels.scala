@@ -110,7 +110,13 @@ object PngPixelKernel {
       var off = 0
       while (off < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, off, raw.length - off)
-        if (n == 0 && inf.needsInput()) return null // truncated stream
+        // n == 0 with room left in the output buffer means the stream
+        // cannot progress: truncated input, or an FDICT (preset
+        // dictionary) zlib header — needsDictionary() — which inflate()
+        // reports by returning 0 with needsInput() still false. Either
+        // way: corrupt media is data, return NULL (a bare needsInput()
+        // check here would spin forever on FDICT streams).
+        if (n == 0 && !inf.finished()) return null
         off += n
       }
       if (off != raw.length) return null // short stream

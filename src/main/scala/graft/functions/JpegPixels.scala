@@ -31,9 +31,25 @@ object JpegPixelKernel {
 
   def decode(b: Array[Byte]): InternalRow = {
     if (b == null || !isJpeg(b)) return null
+    // the bomb guard must run BEFORE the raster allocates: a few-KB
+    // payload can declare a multi-GB raster, and the resulting
+    // OutOfMemoryError is an Error no handler below would catch. Image
+    // readers expose header dims without decoding.
     val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-      catch { case _: Exception => null }
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(b))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return null
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val hw = reader.getWidth(0).toLong
+          val hh = reader.getHeight(0).toLong
+          if (hw <= 0 || hh <= 0 || hw * hh > MaxPixels) return null
+          reader.read(0)
+        } finally { reader.dispose(); iis.close() }
+      } catch { case _: Exception => null }
     if (img == null) return null
     val w = img.getWidth
     val h = img.getHeight

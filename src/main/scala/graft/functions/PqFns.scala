@@ -17,14 +17,19 @@ import org.apache.spark.sql.types._
 
 /** array<double> vector → m-byte PQ code: per subspace, the L2-nearest of
   * that subspace's codebook centroids (ties toward the smaller id, so
-  * encoding is deterministic). Corpus-scale projection — codegen'd static
-  * loop, no allocation besides the m-byte result.
+  * encoding is deterministic). NULL when the vector's length differs from
+  * the codebooks' total dimension — a silently zero-padded code would
+  * rank the vector arbitrarily with nothing to surface the mismatch (the
+  * kernel NULL-on-out-of-scope convention). Corpus-scale projection —
+  * codegen'd static loop, no allocation besides the m-byte result.
   */
 case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
     extends UnaryExpression {
 
   require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
     "codebooks must be non-empty per subspace")
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -40,7 +45,10 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val books = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
-      s"${ev.value} = graft.functions.PqKernel.encode($c, $books);"
+      s"""
+         |${ev.value} = graft.functions.PqKernel.encode($c, $books);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
     })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -58,6 +66,8 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
 case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]])
     extends UnaryExpression with CodegenFallback {
 
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
@@ -69,6 +79,7 @@ case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]])
   override def nullSafeEval(v: Any): Any = {
     val q = v.asInstanceOf[ArrayData]
     val m = codebooks.length
+    if (q.numElements() != codebooks.map(_(0).length).sum) return null // dim mismatch
     val kMax = codebooks.map(_.length).max
     val lut = new Array[Double](m * kMax)
     var s = 0
@@ -82,7 +93,7 @@ case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]])
         var d = 0.0
         var j = 0
         while (j < subDim) {
-          if (off + j < q.numElements()) d += cent(j) * q.getDouble(off + j)
+          d += cent(j) * q.getDouble(off + j)
           j += 1
         }
         lut(s * kMax + c) = d
@@ -154,8 +165,13 @@ case class PqAdcScore(left: Expression, right: Expression, kPerSub: Int)
 
 /** Static encode kernel (shared by eval and generated code). */
 object PqKernel {
+  /** null when the vector length differs from the codebooks' total dim. */
   def encode(v: ArrayData, codebooks: Array[Array[Array[Double]]]): Array[Byte] = {
     val m = codebooks.length
+    var total = 0
+    var t = 0
+    while (t < m) { total += codebooks(t)(0).length; t += 1 }
+    if (v.numElements() != total) return null // dim mismatch: NULL, not zero-pad
     val out = new Array[Byte](m)
     var s = 0
     var off = 0
@@ -170,8 +186,7 @@ object PqKernel {
         var d = 0.0
         var j = 0
         while (j < subDim) {
-          val x = if (off + j < v.numElements()) v.getDouble(off + j) else 0.0
-          val diff = x - cent(j)
+          val diff = v.getDouble(off + j) - cent(j)
           d += diff * diff
           j += 1
         }

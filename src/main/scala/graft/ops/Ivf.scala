@@ -304,52 +304,71 @@ object Ivf {
                     batch: DataFrame, idCol: String, vecCol: String,
                     dedupeIds: Boolean = false): Long = {
     val index = loadIndex(spark, path, idCol)
-    val assigned0 = unitVectors(batch, vecCol)
+    val assigned = unitVectors(batch, vecCol)
       .select(col(idCol), col("__vn"),
         nearestCentroid(col("__vn"), index.centroids).as("__cid"))
       .repartition(col("__cid")) // one appended file per touched list, not per task
-    // appends must match the saved layout: a quantized index gets int8
-    // codes in lists/ plus full vectors in refine/; mixing schemas within
-    // lists/ would break every later probe scan
+    // appends must match the saved layout: an int8 index gets codes in
+    // lists/ plus full vectors in refine/; a PQ index gets m-byte codes
+    // RE-ENCODED through its saved codebooks; mixing schemas within
+    // lists/ would break every later probe scan.
     // same persist rationale as saveIndex: one batch scan feeds the cid
-    // probe / anti-join / count / both directory writes
-    assigned0.persist()
+    // probe / anti-joins / counts / every directory write
+    assigned.persist()
     try {
-      val assigned =
-        if (!dedupeIds) assigned0
+      // id-level idempotence for replayed appends (the streaming sink's
+      // torn-replay window): anti-join ONLY against the lists the batch's
+      // vectors hash into — `__cid` is a partition column, so the probe
+      // scan prunes to touched lists, cost ∝ batch not index (the
+      // dedupAppendSink bucket shape with cids as buckets). Two-directory
+      // layouts dedupe PER DIRECTORY: a crash between the two appends
+      // leaves them divergent, and a single shared anti-join would make
+      // the replay skip BOTH (orphaning the crashed dir forever) — per-dir
+      // anti-joins re-append exactly the missing rows so both converge.
+      def freshFor(dir: String): DataFrame =
+        if (!dedupeIds) assigned
         else {
-          // id-level idempotence for replayed appends (the streaming
-          // sink's torn-replay window): anti-join ONLY against the lists
-          // the batch's vectors hash into — `__cid` is a partition column,
-          // so the probe scan prunes to touched lists, cost ∝ batch not
-          // index (the dedupAppendSink bucket shape with cids as buckets)
-          val cidsHit = assigned0.select(col("__cid")).distinct()
+          val cidsHit = assigned.select(col("__cid")).distinct()
             .collect().map(_.getInt(0)).toSeq // ≤ k ints — bounded by design
-          val existing = spark.read.parquet(path + "/lists")
+          val existing = spark.read.parquet(path + "/" + dir)
             .where(col("__cid").isin(cidsHit: _*))
             .select(col(idCol).as("__existing_id"))
-          assigned0.join(existing,
-            assigned0(idCol) === col("__existing_id"), "left_anti")
+          assigned.join(existing,
+            assigned(idCol) === col("__existing_id"), "left_anti")
         }
-      assigned.persist()
-      try {
-        val n = assigned.count()
-        if (n > 0) {
-          if (isQuantized(spark, path)) {
-            assigned
-              .withColumn("__scale", Quantize.int8Scale(col("__vn")))
-              .withColumn("__code",
-                Quantize.int8CodesFromScale(col("__vn"), col("__scale")))
-              .select(col(idCol), col("__scale"), col("__code"), col("__cid"))
-              .write.mode("append").partitionBy("__cid").parquet(path + "/lists")
-            assigned.write.mode("append").partitionBy("__cid").parquet(path + "/refine")
-          } else {
-            assigned.write.mode("append").partitionBy("__cid").parquet(path + "/lists")
-          }
-        }
+      def write(df: DataFrame, dir: String): Long = {
+        df.persist()
+        try {
+          val n = df.count()
+          if (n > 0) df.write.mode("append").partitionBy("__cid")
+            .parquet(path + "/" + dir)
+          n
+        } finally { df.unpersist(false); () }
+      }
+      if (isPq(spark, path)) {
+        val books = spark.read.parquet(path + "/pq")
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+          .groupBy(_._1).toArray.sortBy(_._1)
+          .map(_._2.sortBy(_._2).map(_._3))
+        val n = write(freshFor("lists")
+          .withColumn("__pq", graft.functions.ArrayMath.pqEncode(
+            col("__vn"), codebooksLit(books)))
+          .select(col(idCol), col("__pq"), col("__cid")), "lists")
+        write(freshFor("refine"), "refine")
         n
-      } finally { assigned.unpersist(false); () }
-    } finally { assigned0.unpersist(false); () }
+      } else if (isQuantized(spark, path)) {
+        val n = write(freshFor("lists")
+          .withColumn("__scale", Quantize.int8Scale(col("__vn")))
+          .withColumn("__code",
+            Quantize.int8CodesFromScale(col("__vn"), col("__scale")))
+          .select(col(idCol), col("__scale"), col("__code"), col("__cid")), "lists")
+        write(freshFor("refine"), "refine")
+        n
+      } else {
+        write(freshFor("lists"), "lists")
+      }
+    } finally { assigned.unpersist(false); () }
   }
 
   /** Index health for the rebuild decision ([[assignToExisting]]'s drift

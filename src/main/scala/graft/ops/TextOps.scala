@@ -75,7 +75,9 @@ object TextOps {
     *   word_count_ok  minWords ≤ |words| ≤ maxWords        (Gopher 50..100k)
     *   mean_len_ok    3 ≤ mean word length ≤ 10
     *   symbol_ok      (#'#' + #'…' + #'...') / words ≤ 0.1
-    *   bullet_ok      ≤ 10% of lines start with a bullet (-, *, •)
+    *   bullet_ok      ≤ 90% of lines start with a bullet (-, *, •) —
+    *                  Gopher removes bullet-DOMINATED docs (>90%), not
+    *                  ordinary list-bearing prose
     *   ellipsis_ok    ≤ 30% of lines end with … or ...
     *   alpha_ok       ≥ 80% of words contain an alphabetic character
     *   stopword_ok    ≥ 2 distinct common stopwords present
@@ -114,7 +116,7 @@ object TextOps {
       ("word_count_ok", nWords.between(minWords, maxWords)),
       ("mean_len_ok", (lit(3L) * nWords <= charSum) && (charSum <= lit(10L) * nWords)),
       ("symbol_ok", lit(10L) * symbols <= nWords),
-      ("bullet_ok", lit(10L) * bulletLines <= nLines),
+      ("bullet_ok", lit(10L) * bulletLines <= lit(9L) * nLines),
       ("ellipsis_ok", lit(10L) * ellipsisLines <= lit(3L) * nLines),
       ("alpha_ok", lit(5L) * alphaWords >= lit(4L) * nWords),
       ("stopword_ok", nStops >= 2L))

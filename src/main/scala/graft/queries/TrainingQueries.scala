@@ -767,7 +767,12 @@ object TrainingQueries {
         val target = docs.filter(col("source").isin("src0", "src1"))
         // one weights pass, persisted: the top-k branch (dsirSample's
         // exact plan — TakeOrderedAndProject on the rounded weight) and
-        // the per-doc report read the SAME computed frame
+        // the per-doc report read the SAME computed frame. The cache is
+        // never explicitly unpersisted (the query returns a plan, not a
+        // result) but stays BOUNDED: Spark's CacheManager dedupes by
+        // canonicalized plan, so re-running this query re-uses the one
+        // entry (a few thousand skinny rows) instead of accumulating —
+        // and makes repeat runs serve from cache (see COVERAGE bench note)
         val w = Curation.dsirWeights(docs, "doc_id", "text", target, "text")
           .persist()
         val sel = w.filter(col("log_weight").isNotNull)
@@ -1008,14 +1013,14 @@ object TrainingQueries {
              |  (n_words BETWEEN 10 AND 100000) AS word_count_ok,
              |  (3 * n_words <= chars AND chars <= 10 * n_words) AS mean_len_ok,
              |  (10 * symbols <= n_words) AS symbol_ok,
-             |  (10 * bullets <= n_lines) AS bullet_ok,
+             |  (10 * bullets <= 9 * n_lines) AS bullet_ok,
              |  (10 * ells <= 3 * n_lines) AS ellipsis_ok,
              |  (5 * alpha >= 4 * n_words) AS alpha_ok,
              |  (stops >= 2) AS stopword_ok,
              |  ((n_words BETWEEN 10 AND 100000)
              |    AND (3 * n_words <= chars AND chars <= 10 * n_words)
              |    AND (10 * symbols <= n_words)
-             |    AND (10 * bullets <= n_lines)
+             |    AND (10 * bullets <= 9 * n_lines)
              |    AND (10 * ells <= 3 * n_lines)
              |    AND (5 * alpha >= 4 * n_words)
              |    AND (stops >= 2)) AS keep

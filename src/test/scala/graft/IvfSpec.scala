@@ -518,6 +518,33 @@ class IvfSpec extends AnyFunSuite {
       "query_id", "query_vec", "vec_id", k = 3, nProbe = 8)
       .collect().map(_.getLong(1)).toSet
     assert(got3.contains(70003L), s"appended twin missing from quantized search: $got3")
+
+    // replayed append with dedupeIds: BOTH directories stay duplicate-free
+    // (each dir anti-joins independently, so a torn first attempt would
+    // converge rather than orphan the crashed directory)
+    assert(Ivf.appendToIndex(spark, dirQ, wave2, "vec_id", "embedding",
+      dedupeIds = true) == 0L)
+    assert(spark.read.parquet(dirQ + "/lists").count() == emb.count() + 1)
+    assert(spark.read.parquet(dirQ + "/refine").count() == emb.count() + 1)
+
+    // PQ layout: appends re-encode through the SAVED codebooks — lists/
+    // stays (id, __pq, __cid) with a non-null code for every row, and the
+    // appended vector is served (a __scale/__code append would corrupt
+    // the store; this asserts the isPq dispatch)
+    val dirP = java.nio.file.Files.createTempDirectory("graft-ivf-incr-pq").toString
+    Ivf.saveIndexPq(idx1, dirP)
+    Ivf.appendToIndex(spark, dirP, wave2, "vec_id", "embedding")
+    val pqLists = spark.read.parquet(dirP + "/lists")
+    assert(pqLists.columns.sorted.toSeq == Seq("__cid", "__pq", "vec_id"),
+      s"PQ lists schema drifted: ${pqLists.columns.mkString(",")}")
+    assert(pqLists.count() == emb.count() + 1)
+    assert(pqLists.filter(col("__pq").isNull).count() == 0L)
+    assert(Ivf.appendToIndex(spark, dirP, wave2, "vec_id", "embedding",
+      dedupeIds = true) == 0L)
+    val got4 = Ivf.searchIndexPq(spark, dirP, queries,
+      "query_id", "query_vec", "vec_id", k = 3, nProbe = 8)
+      .collect().map(_.getLong(1)).toSet
+    assert(got4.contains(70003L), s"appended twin missing from PQ search: $got4")
   }
 
   test("k=2000 build: plan size is O(1) in k and search finds a planted twin") {

@@ -989,7 +989,7 @@ class OpsSpec extends AnyFunSuite {
       1L -> clean,
       2L -> "short words only here",                      // < 10 words
       3L -> (clean + " ##### ### ## # # # #"),            // symbol ratio > 0.1
-      4L -> "- one\n- two\n- three\nthe end of that it",  // 3/4 bullet lines
+      4L -> (("- b\n" * 10) + "the end of that it"),       // 10/11 bullet lines
       5L -> ("the end of that it and..." + "\nmore..." + "\nagain..." +
         "\nlast line is fine"),                           // 3/4 ellipsis lines
       6L -> "the of 1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 and it that", // <80% alpha

@@ -69,6 +69,28 @@ class PngPixelSpec extends AnyFunSuite {
     // not a PNG at all
     assert(PngPixelKernel.decode("JFIF not png".getBytes("US-ASCII")) == null)
     assert(PngPixelKernel.decode(Array.empty[Byte]) == null)
+    // FDICT zlib header (preset dictionary, CMF/FLG = 0x78 0x20 — valid
+    // checksum, bit 5 set): Inflater reports needsDictionary() by
+    // returning 0 with needsInput() false — must yield NULL, not an
+    // infinite inflate loop (regression: review finding r7)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(good, 0, 8 + 25) // signature + IHDR straight from a real PNG
+    val payload = Array[Byte](0x78, 0x20, 0, 0, 0, 0)
+    out.write(Array[Byte](0, 0, 0, payload.length.toByte), 0, 4)
+    val typAndPayload = "IDAT".getBytes("US-ASCII") ++ payload
+    out.write(typAndPayload, 0, typAndPayload.length)
+    val crc = new java.util.zip.CRC32()
+    crc.update(typAndPayload)
+    val v = crc.getValue
+    out.write(Array[Byte](((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte), 0, 4)
+    out.write(Array[Byte](0, 0, 0, 0, 'I', 'E', 'N', 'D'), 0, 8)
+    val iendCrc = new java.util.zip.CRC32()
+    iendCrc.update("IEND".getBytes("US-ASCII"))
+    val vi = iendCrc.getValue
+    out.write(Array[Byte](((vi >>> 24) & 0xff).toByte, ((vi >>> 16) & 0xff).toByte,
+      ((vi >>> 8) & 0xff).toByte, (vi & 0xff).toByte), 0, 4)
+    assert(PngPixelKernel.decode(out.toByteArray) == null, "FDICT stream must be NULL")
   }
 
   test("resize agrees with nearest-neighbor over ImageIO pixels; identity is lossless") {
