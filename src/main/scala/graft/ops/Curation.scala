@@ -454,6 +454,72 @@ object Curation {
         coalesce(col("n_features"), lit(0L)).as("n_features"), col("log_weight"))
   }
 
+  /** Deterministic token-balanced training-shard assignment — the
+    * pipeline-ENDING step: the curated corpus becomes N shards a training
+    * job streams, each carrying ~total/N tokens, in a deterministic
+    * "global shuffle" order (training wants documents decorrelated from
+    * ingest order, and re-runs must produce byte-identical shards).
+    *
+    * Order = (md5(id), id): engine-replayable, layout-invariant, and as
+    * good as random for decorrelation (the [[hashBucket]] rationale —
+    * never rand()). Shard boundary = pure integer arithmetic on the
+    * running token count BEFORE each doc:
+    *
+    *   shard(doc) = min(nShards − 1, ⌊cumBefore · nShards / total⌋)
+    *
+    * so shards are contiguous runs of the hash order with token sums
+    * within one document of perfect balance — the greedy rule an oracle
+    * replays with one window cumsum.
+    *
+    * Scale shape: the [[graft.ops.ScaleOps.contiguousIds]] mechanism
+    * generalized to weights — range-repartition by hash, ONE pass for
+    * per-partition token sums (numPartitions longs to the driver), one
+    * pass assigning shards from running offsets. No global sort, no
+    * single-task window, no corpus-scale collect.
+    *
+    * @param weightCol integer token/byte count per row (cast to long)
+    * @return input columns + `shard_id` (long in [0, nShards))
+    */
+  def tokenShards(df: DataFrame, idCol: String, weightCol: String,
+                  nShards: Int, numPartitions: Int = 64): DataFrame = {
+    require(nShards >= 1, "nShards must be positive")
+    require(numPartitions >= 1, "numPartitions must be positive")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    // localCheckpoint PINS the range partitioning: the per-partition
+    // offsets collected in pass 1 are only valid against the exact
+    // partition layout pass 2 reads — a recomputed repartitionByRange
+    // could re-sample different range bounds and silently mis-shard
+    val arranged = df
+      .withColumn("__w", coalesce(col(weightCol).cast("long"), lit(0L)))
+      .withColumn("__h", md5(col(idCol).cast("string")))
+      .repartitionByRange(numPartitions, col("__h"), col(idCol))
+      .sortWithinPartitions(col("__h"), col(idCol))
+      .localCheckpoint()
+    val wIdx = arranged.schema.fieldIndex("__w")
+    // pass 1: per-partition token sums — numPartitions longs, bounded
+    val partSums = arranged.rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var s = 0L; it.foreach(r => s += r.getLong(wIdx)); Iterator((i, s))
+      }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val total = offsets.last
+    // pass 2: running offset within each partition → shard id
+    val schema = arranged.schema.add("shard_id", LongType, nullable = false)
+    val assigned = arranged.rdd.mapPartitionsWithIndex { (i, it) =>
+      var run = offsets(i)
+      it.map { r =>
+        val shard =
+          if (total == 0L) 0L
+          else math.min(nShards - 1L, run * nShards / total)
+        run += r.getLong(wIdx)
+        Row.fromSeq(r.toSeq :+ shard)
+      }
+    }
+    arranged.sparkSession.createDataFrame(assigned, schema)
+      .drop("__w", "__h")
+  }
+
   /** DSIR selection: the top-k raw documents by [[dsirWeights]]. The paper
     * perturbs log-weights with Gumbel noise before top-k (importance
     * RESAMPLING); this flavor ranks the ROUNDED weight with the id as

@@ -1027,6 +1027,41 @@ object TrainingQueries {
              |FROM m ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // Deterministic token-balanced training shards (the pipeline-ending
+    // manifest): corpus in md5-hash "global shuffle" order, shard id =
+    // ⌊cumBefore·N/total⌋ — pure integer arithmetic the oracle replays
+    // with one window cumsum. 7 range partitions against 8 shards
+    // exercises offsets crossing partition boundaries.
+    QuerySpec(
+      "q118_token_shards",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("__tok",
+            coalesce(graft.ops.TextOps.tokenCount(col("text")), lit(0L)))
+        Curation.tokenShards(docs, "doc_id", "__tok",
+          nShards = 8, numPartitions = 7)
+          .groupBy(col("shard_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("n_tokens"))
+          .orderBy("shard_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+             |    COALESCE(CASE WHEN LENGTH(trim(text)) = 0 THEN 0
+             |      ELSE len(string_split_regex(trim(text), '\s+')) END, 0) AS w
+             |  FROM documents
+             |), c AS (
+             |  SELECT doc_id, w,
+             |    COALESCE(SUM(w) OVER (ORDER BY h, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+             |    (SELECT SUM(w) FROM w) AS total
+             |  FROM w
+             |)
+             |SELECT CAST(LEAST(7, cb * 8 // total) AS BIGINT) AS shard_id,
+             |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(w) AS BIGINT) AS n_tokens
+             |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Real AUDIO container decode (q32's audio sibling): every doc gets a
     // genuine complete PCM WAV (RIFF + fmt + zero-filled data chunk,
     // assembled little-endian from doc_id-derived parameters with codegen

@@ -372,4 +372,43 @@ class CurationSpec extends AnyFunSuite {
     assert(kept.select("id").except(again.select("id")).isEmpty)
     assert(again.select("id").except(kept.select("id")).isEmpty)
   }
+
+  test("tokenShards: boundaries match the naive cumsum rule; balanced; layout-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val rows = (0L until 400L).map(i => (i, 1L + rnd.nextInt(200).toLong))
+    val df = rows.toDF("doc_id", "toks")
+    val nShards = 8
+    val got = Curation.tokenShards(df, "doc_id", "toks", nShards,
+      numPartitions = 5)
+      .select("doc_id", "shard_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // naive single-threaded reference: same hash order, same integer rule
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val ordered = rows.sortBy { case (id, _) => (md5hex(id.toString), id) }
+    val total = rows.map(_._2).sum
+    var run = 0L
+    val expected = ordered.map { case (id, w) =>
+      val s = math.min(nShards - 1L, run * nShards / total)
+      run += w
+      id -> s
+    }.toMap
+    assert(got == expected, "shard ids must equal the naive cumsum rule")
+    // balance: every shard within one max-document of total/nShards
+    val byShard = ordered.map { case (id, w) => (expected(id), w) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val maxW = rows.map(_._2).max
+    byShard.values.foreach { s =>
+      assert(math.abs(s - total / nShards) <= maxW + nShards,
+        s"shard imbalance: $byShard")
+    }
+    // layout-invariant: a different input partitioning shards identically
+    val again = Curation.tokenShards(df.repartition(13), "doc_id", "toks",
+      nShards, numPartitions = 3)
+      .select("doc_id", "shard_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
 }
