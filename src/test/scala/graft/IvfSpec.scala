@@ -267,6 +267,30 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ kernels: dimension mismatch is NULL, never a zero-padded code") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.functions.PqKernel
+    // 2 subspaces x 2 dims = total dim 4
+    val books = Array(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)),
+      Array(Array(1.0, 1.0), Array(-1.0, -1.0)))
+    val ok = PqKernel.encode(new GenericArrayData(Array(1.0, 0.0, 1.0, 1.0)), books)
+    assert(ok != null && ok.length == 2)
+    // short and long vectors: a silent zero-pad would rank them arbitrarily
+    assert(PqKernel.encode(new GenericArrayData(Array(1.0, 0.0, 1.0)), books) == null)
+    assert(PqKernel.encode(new GenericArrayData(Array.fill(5)(1.0)), books) == null)
+    // expression layer: NULL row, not an exception, inside a real plan
+    import spark.implicits._
+    val df = Seq((1L, Seq(1.0, 0.0, 1.0, 1.0)), (2L, Seq(1.0, 0.0)))
+      .toDF("id", "v")
+    val lit3 = org.apache.spark.sql.functions.typedLit(
+      books.map(_.map(_.toSeq).toSeq).toSeq)
+    val out = df.select(col("id"),
+      graft.functions.ArrayMath.pqEncode(col("v"), lit3).as("code"))
+      .orderBy("id").collect()
+    assert(!out(0).isNullAt(1) && out(1).isNullAt(1))
+  }
+
   test("PQ index: list bytes shrink >=4x vs int8, recall holds, re-rank is exact") {
     val sf01 = "/root/testdata/sf0.01"
     val emb = Tables.embeddings(spark, sf01)
