@@ -463,6 +463,26 @@ class IvfSpec extends AnyFunSuite {
     assert(scanned <= 2L * (filesUnder("/lists") / 8L).max(1L),
       s"probe scan read $scanned files of ${filesUnder("/lists")} — 2 of 8 lists were probed, " +
         "partition pruning is not happening")
+
+    // PQ layout: same pruning contract — the ADC probe must scan only
+    // the probed lists' partitions, not the whole store
+    val dirP = java.nio.file.Files.createTempDirectory("graft-ivf-dpp-pq").toString
+    Ivf.saveIndexPq(index, dirP)
+    def pqFiles(): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1L else 0L
+      walk(new java.io.File(dirP + "/lists"))
+    }
+    val resP = Ivf.searchIndexPq(spark, dirP, queries,
+      "query_id", "query_vec", "vec_id", k = 5, nProbe = 2)
+    resP.collect()
+    val listsP = scansOf(resP.queryExecution.executedPlan, "graft-ivf-dpp-pq")
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("lists")))
+    assert(listsP.nonEmpty, "PQ lists scan not found in executed plan")
+    val scannedP = listsP.map(_.metrics("numFiles").value).max
+    assert(scannedP <= 2L * (pqFiles() / 8L).max(1L),
+      s"PQ probe scan read $scannedP files of ${pqFiles()} — pruning is not happening")
   }
 
   test("q89 quantized-serving recall verdict holds at the gate SF (0.01)") {
