@@ -101,6 +101,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(ArrayMath.int8DotName,
         "_FUNC_(codes, vec) - dot(array<tinyint>, array<double>)"),
       exprs => Int8DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier(ArrayMath.int8StatsName),
+      info(ArrayMath.int8StatsName,
+        "_FUNC_(vec) - one-pass int8 quantization struct(scale, code_sum, max_abs_err, codes)"),
+      exprs => Int8Stats(exprs(0))))
     e.injectFunction((FunctionIdentifier(ArrayMath.pqEncodeName),
       info(ArrayMath.pqEncodeName,
         "_FUNC_(vec, codebooks) - m-byte product-quantization code"),

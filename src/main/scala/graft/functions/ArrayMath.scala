@@ -269,6 +269,7 @@ object ArrayMath {
   val rgbStatsName = "graft_rgb_channel_stats"
   val audioMetaName = "graft_audio_meta"
   val int8DotName = "graft_int8_dot"
+  val int8StatsName = "graft_int8_stats"
   val pqEncodeName = "graft_pq_encode"
   val pqLutName = "graft_pq_lut"
   val pqAdcName = "graft_pq_adc_score"
@@ -397,6 +398,8 @@ object ArrayMath {
       audioMetaName, exprs => AudioMeta(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction(
       int8DotName, exprs => Int8DotProduct(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      int8StatsName, exprs => Int8Stats(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction(
       pqEncodeName,
       exprs => PqEncode(exprs(0), cubeLit(exprs(1), "PQ codebooks")), "scala_udf")

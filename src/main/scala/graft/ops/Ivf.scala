@@ -232,9 +232,9 @@ object Ivf {
       assigned.persist()
       try {
         assigned
-          .withColumn("__scale", Quantize.int8Scale(col("__vn")))
-          .withColumn("__code", Quantize.int8CodesFromScale(col("__vn"), col("__scale")))
-          .select(col(index.idCol), col("__scale"), col("__code"), col("__cid"))
+          .withColumn("__q8", Quantize.int8Stats(col("__vn")))
+          .select(col(index.idCol), col("__q8.scale").as("__scale"),
+            col("__q8.codes").as("__code"), col("__cid"))
           .write.mode("overwrite").partitionBy("__cid").parquet(path + "/lists")
         assigned.write.mode("overwrite").partitionBy("__cid")
           .parquet(path + "/refine")
@@ -359,10 +359,9 @@ object Ivf {
         n
       } else if (isQuantized(spark, path)) {
         val n = write(freshFor("lists")
-          .withColumn("__scale", Quantize.int8Scale(col("__vn")))
-          .withColumn("__code",
-            Quantize.int8CodesFromScale(col("__vn"), col("__scale")))
-          .select(col(idCol), col("__scale"), col("__code"), col("__cid")), "lists")
+          .withColumn("__q8", Quantize.int8Stats(col("__vn")))
+          .select(col(idCol), col("__q8.scale").as("__scale"),
+            col("__q8.codes").as("__code"), col("__cid")), "lists")
         write(freshFor("refine"), "refine")
         n
       } else {

@@ -1124,25 +1124,21 @@ object TrainingQueries {
     // storage/IO reduction for corpus-scale vector stores). The oracle is
     // deliberately ORDER-INDEPENDENT: the integer code checksum and the
     // order-free max reconstruction error pin the exact codes without any
-    // float accumulation-order exposure. HOFs here are interpreted (not
-    // codegen'd) — acceptable for a per-vector projection; the search hot
-    // path stays on the native DotProduct kernel.
+    // float accumulation-order exposure. The whole scheme is ONE native
+    // codegen'd O(d) kernel (functions.Int8Stats) — the earlier staged-HOF
+    // spelling was one CollapseProject away from re-evaluating the scale
+    // per ELEMENT (d² work, a 26× bench swing on identical code); the
+    // QuantizeSpec eval-count test pins exactly-once evaluation per row.
     QuerySpec(
       "q61_quantize_int8",
       (s, dir) => {
         import graft.ops.Quantize
-        // staged projections: scale and codes are computed ONCE per row and
-        // referenced as columns — inlining them into the HOF lambdas would
-        // re-evaluate the array_max per ELEMENT (d² work; measured 7.5 s vs
-        // ~0.5 s on this bench query)
         Tables.embeddings(s, dir)
-          .withColumn("__s", Quantize.int8Scale(col("embedding")))
-          .withColumn("__codes", Quantize.int8CodesFromScale(col("embedding"), col("__s")))
+          .withColumn("__q8", Quantize.int8Stats(col("embedding")))
           .select(col("vec_id"),
-            aggregate(col("__codes"), lit(0L), (a, x) => a + x.cast("long")).as("code_sum"),
-            round(col("__s"), 6).as("scale"),
-            round(Quantize.maxAbsErrorFromParts(col("embedding"), col("__codes"), col("__s")), 8)
-              .as("max_abs_err"))
+            col("__q8.code_sum").as("code_sum"),
+            round(col("__q8.scale"), 6).as("scale"),
+            round(col("__q8.max_abs_err"), 8).as("max_abs_err"))
           .orderBy("vec_id")
       },
       Some("""WITH v AS (
