@@ -120,7 +120,7 @@ case class BpeEncode(child: Expression, merges: Array[String])
   }
 
   private def encodeWord(w: String, out: ArrayBuffer[UTF8String]): Unit = {
-    var syms = codePoints(w)
+    val syms = codePoints(w)
     var continue = syms.length >= 2
     while (continue) {
       var bestRank = Int.MaxValue
@@ -138,18 +138,23 @@ case class BpeEncode(child: Expression, merges: Array[String])
       else {
         val l = syms(bestI)
         val rr = syms(bestI + 1)
-        val next = new ArrayBuffer[String](syms.length)
+        // fuse IN PLACE (write index trails read index — fusing only
+        // shrinks), allocating nothing but the fused symbols themselves:
+        // the previous per-iteration buffer rebuild put O(L) allocations
+        // inside the per-merge loop, O(L²) across a long word's encode
+        var wr = 0
         var j = 0
         while (j < syms.length) {
           if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == rr) {
-            next += l + rr
+            syms(wr) = l + rr
             j += 2
           } else {
-            next += syms(j)
+            syms(wr) = syms(j)
             j += 1
           }
+          wr += 1
         }
-        syms = next
+        syms.takeInPlace(wr)
         continue = syms.length >= 2
       }
     }

@@ -37,18 +37,26 @@ object JpegPixelKernel {
     // readers expose header dims without decoding.
     val img =
       try {
+        // iis is created before any early exit and closed in its own
+        // finally: the no-reader path used to return with it open, and
+        // with ImageIO's default disk cache every such payload leaked a
+        // temp file + file descriptor on executors at corpus scale
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(b))
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) return null
-        val reader = readers.next()
         try {
-          reader.setInput(iis)
-          val hw = reader.getWidth(0).toLong
-          val hh = reader.getHeight(0).toLong
-          if (hw <= 0 || hh <= 0 || hw * hh > MaxPixels) return null
-          reader.read(0)
-        } finally { reader.dispose(); iis.close() }
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) null
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              val hw = reader.getWidth(0).toLong
+              val hh = reader.getHeight(0).toLong
+              if (hw <= 0 || hh <= 0 || hw * hh > MaxPixels) null
+              else reader.read(0)
+            } finally reader.dispose()
+          }
+        } finally iis.close()
       } catch { case _: Exception => null }
     if (img == null) return null
     val w = img.getWidth

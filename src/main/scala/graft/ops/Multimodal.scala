@@ -17,14 +17,16 @@ import org.apache.spark.sql.functions._
   *     needs no codec library. q110 decodes genuine deflated bytes under
   *     a closed-form DuckDB oracle; PngPixelSpec cross-checks against
   *     the JDK's independent ImageIO decoder.
-  *   - Codec-library formats ([[extractFeatures]]): JPEG entropy
-  *     decode / audio codecs / video keep a clearly-marked STUB kernel
-  *     (this container ships no codec libraries): `decodeStub` produces
-  *     a deterministic fake feature vector. The Spark-side architecture
-  *     around it is real and tested — in production the same
-  *     `mapPartitions` boundary hosts the JNI/FFmpeg/Pillow-equivalent
-  *     call, batch-at-a-time so codec initialization amortizes across a
-  *     partition, which is the property that matters at 100 TB.
+  *   - Unified feature extraction ([[extractFeatures]]): content-sniffed
+  *     magic dispatches each payload to its REAL decoder — PNG (hand-
+  *     rolled zlib+defilter), JPEG (JDK ImageIO codec), WAV (LPCM sample
+  *     decode). Only payloads no real decoder claims (video and other
+  *     formats whose codecs this container doesn't carry, or corrupt
+  *     bytes) fall to the clearly-marked `decodeStub`, reported as
+  *     `decoded = "stub"`. In production the same `mapPartitions`
+  *     boundary hosts the JNI/FFmpeg-equivalent call for those,
+  *     batch-at-a-time so codec initialization amortizes across a
+  *     partition — the property that matters at 100 TB.
   */
 object Multimodal {
 
@@ -195,7 +197,14 @@ object Multimodal {
   /** media struct: raw bytes + typed metadata. */
   final case class MediaMeta(format: String, width: Int, height: Int, nBytes: Long)
   final case class MediaRow(media_id: Long, bytes: Array[Byte], meta: MediaMeta)
-  final case class MediaFeatures(media_id: Long, format: String, features: Array[Float])
+
+  /** `format` is the claimed container from metadata; `decoded` is the
+    * decoder lane the payload ACTUALLY took, decided by content sniffing
+    * ("png" | "jpeg" | "wav" | "stub") — a mislabeled or corrupt payload
+    * reports the truth here instead of inheriting its label.
+    */
+  final case class MediaFeatures(media_id: Long, format: String, decoded: String,
+                                 features: Array[Float])
 
   /** Pack any binary-bearing DataFrame into the canonical media schema.
     * For fixtures we treat document text bytes as the opaque payload.
@@ -246,30 +255,77 @@ object Multimodal {
       (0.299 * mr + 0.587 * mg + 0.114 * mb).toFloat, n.toFloat)
   }
 
+  /** REAL feature lanes for a JPEG payload (JDK ImageIO codec — Huffman +
+    * IDCT in the platform decoder, see [[graft.functions.JpegPixelKernel]]):
+    * same lane map as [[pngFeatures]] (JPEG decodes to RGB, so channels
+    * reports 3). null when the payload is not a decodable JPEG.
+    */
+  private def jpegFeatures(bytes: Array[Byte]): Array[Float] = {
+    val st = graft.functions.JpegPixelKernel.decode(bytes)
+    if (st == null) return null
+    val w = st.getInt(0)
+    val h = st.getInt(1)
+    val (mr, mg, mb) = (st.getDouble(2), st.getDouble(3), st.getDouble(4))
+    Array(w.toFloat, h.toFloat, 3f, mr.toFloat, mg.toFloat, mb.toFloat,
+      (0.299 * mr + 0.587 * mg + 0.114 * mb).toFloat, (w.toLong * h).toFloat)
+  }
+
+  /** REAL feature lanes for a WAV payload (genuine LPCM sample decode,
+    * [[graft.functions.WavPcmKernel]], plus header fields from
+    * [[graft.functions.WavHeaderKernel]]): [n_samples, mean_amp,
+    * mean_abs, min_amp, max_amp, peak_to_peak, sample_rate, channels].
+    * null when either kernel rejects the payload.
+    */
+  private def wavFeatures(bytes: Array[Byte]): Array[Float] = {
+    val st = graft.functions.WavPcmKernel.stats(bytes)
+    if (st == null) return null
+    val hdr = graft.functions.WavHeaderKernel.parse(bytes)
+    if (hdr == null) return null
+    val n = st.getLong(0)
+    val (mean, meanAbs) =
+      if (n == 0L) (0.0, 0.0)
+      else (st.getLong(1).toDouble / n, st.getLong(2).toDouble / n)
+    val mn = st.getInt(3)
+    val mx = st.getInt(4)
+    Array(n.toFloat, mean.toFloat, meanAbs.toFloat, mn.toFloat, mx.toFloat,
+      (mx - mn).toFloat, hdr.getInt(2).toFloat, hdr.getInt(1).toFloat)
+  }
+
   private def isPngMagic(b: Array[Byte]): Boolean =
     b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
 
+  private def isJpegMagic(b: Array[Byte]): Boolean =
+    b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+
+  private def isWavMagic(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
   /** Batch feature extraction over the media column. `mapPartitions` is the
     * deliberate choice: one iterator per partition = one decoder
-    * instantiation per task, not per row. PNG payloads (content-sniffed
-    * magic) go through the GENUINE pixel decoder ([[pngFeatures]]); other
-    * formats fall to the labeled [[decodeStub]] — the remaining honest
-    * boundary (JPEG/audio sample decode needs codec tables this container
-    * doesn't carry; headers for those are real, see [[imageMeta]] /
-    * [[audioMeta]]).
+    * instantiation per task, not per row. Content-sniffed magic dispatches
+    * each payload to its GENUINE decoder — PNG ([[pngFeatures]], hand-
+    * rolled zlib + defilter), JPEG ([[jpegFeatures]], JDK codec), WAV
+    * ([[wavFeatures]], LPCM sample decode) — and only payloads no real
+    * decoder claims (unknown magic, or corrupt within a claimed format)
+    * fall to the labeled [[decodeStub]], reported as `decoded = "stub"`.
     */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
-      // production: initialize the decoder ONCE here, per partition
+      // production: initialize stateful/native decoders ONCE here, per partition
       rows.map { r =>
         val payload = if (r.bytes == null) Array.empty[Byte] else r.bytes
-        val feats =
-          if (isPngMagic(payload)) {
-            val f = pngFeatures(payload)
-            if (f != null) f else decodeStub(payload) // corrupt PNG: stub lanes
-          } else decodeStub(payload)
-        MediaFeatures(r.media_id, r.meta.format, feats)
+        val (decoded, feats) = {
+          val sniffed =
+            if (isPngMagic(payload)) ("png", pngFeatures(payload))
+            else if (isJpegMagic(payload)) ("jpeg", jpegFeatures(payload))
+            else if (isWavMagic(payload)) ("wav", wavFeatures(payload))
+            else (null, null)
+          if (sniffed._2 != null) sniffed
+          else ("stub", decodeStub(payload)) // unknown magic or corrupt payload
+        }
+        MediaFeatures(r.media_id, r.meta.format, decoded, feats)
       }
     }
   }

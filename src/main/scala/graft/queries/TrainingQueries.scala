@@ -1062,6 +1062,114 @@ object TrainingQueries {
              |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // UNIFIED multimodal feature extraction (magic-sniff dispatch): one
+    // mixed corpus — real PNG (kind 0), real JPEG (kind 1), real WAV
+    // (kind 2), planted junk bytes (kind 3) — through a single
+    // extractFeatures call. Content sniffing must route every payload to
+    // its GENUINE decoder (the stub lane is reachable ONLY by the junk
+    // rows — `decoded` pins the dispatch per row), and the feature lanes
+    // must replay per format: PNG closed-form gradient means exact
+    // (no-wrap offsets, the q116 bound), WAV tone sums recomputed
+    // exactly from the sample formula, stub lanes exact byte folds, and
+    // JPEG means within the q116 lossy band (the JDK codec's DCT
+    // round-trip).
+    QuerySpec(
+      "q119_multimodal_dispatch",
+      (s, dir) => {
+        val kindD = (col("doc_id") % 4).cast("int")
+        val bytes = when(kindD === 0, Multimodal.pngGradientBytes(
+            (col("doc_id") % 7 + 2).cast("int"),
+            ((col("doc_id") * 3) % 6 + 2).cast("int"),
+            ((col("doc_id") * 37) % 200).cast("int"),
+            ((col("doc_id") * 59) % 200).cast("int"),
+            ((col("doc_id") * 83) % 200).cast("int")))
+          .when(kindD === 1, Multimodal.jpegGradientBytes(
+            (col("doc_id") % 9 + 8).cast("int"),
+            ((col("doc_id") * 3) % 7 + 8).cast("int"),
+            ((col("doc_id") * 37) % 200).cast("int"),
+            ((col("doc_id") * 59) % 200).cast("int"),
+            ((col("doc_id") * 83) % 200).cast("int")))
+          .when(kindD === 2, Multimodal.wavToneBytes(
+            (col("doc_id") % 2 + 1).cast("int"), lit(16000), lit(8),
+            (col("doc_id") % 50 + 1).cast("int")))
+          .otherwise(unhex(concat(lit("4A554E4B"), // "JUNK" + 1 varying byte
+            lpad(hex(col("doc_id") % 256), 2, "0"))))
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id").as("media_id"), bytes.as("bytes"), kindD.as("__k"))
+          .select(col("media_id"), col("bytes"),
+            struct(element_at(array(lit("image/png"), lit("image/jpeg"),
+              lit("audio/wav"), lit("application/octet-stream")), col("__k") + 1)
+                .as("format"),
+              lit(0).as("width"), lit(0).as("height"),
+              coalesce(length(col("bytes")).cast("long"), lit(0L)).as("nBytes"))
+              .as("meta"))
+        val feats = Multimodal.extractFeatures(s, media).toDF()
+
+        // every expectation re-derives from media_id arithmetic
+        val k = col("media_id") % 4
+        def f(i: Int) = element_at(col("features"), i + 1)
+        val wExp = when(k === 0, col("media_id") % 7 + 2)
+          .when(k === 1, col("media_id") % 9 + 8)
+        val hExp = when(k === 0, (col("media_id") * 3) % 6 + 2)
+          .when(k === 1, (col("media_id") * 3) % 7 + 8)
+        def closed(mult: Int) = (col("media_id") * mult % 200).cast("double") +
+          (wExp - 1).cast("double") / 2.0 + (hExp - 1).cast("double") / 2.0
+        // WAV tone: flattened sample x carries amp (x*37+11)%256-128
+        val nWav = ((col("media_id") % 50 + 1) * (col("media_id") % 2 + 1))
+          .cast("long")
+        val seq0 = sequence(lit(0L), nWav - 1)
+        def amp(x: org.apache.spark.sql.Column) = (x * 37 + 11) % 256 - 128
+        val wavSum = aggregate(seq0, lit(0L), (a, x) => a + amp(x))
+        val wavAbs = aggregate(seq0, lit(0L), (a, x) => a + abs(amp(x)))
+        val wavMin = aggregate(seq0, lit(128L), (a, x) => least(a, amp(x)))
+        val wavMax = aggregate(seq0, lit(-129L), (a, x) => greatest(a, amp(x)))
+        def stubLane(b: Int) = lit((b / 255.0).toFloat)
+        feats.select(col("media_id"), col("format"), col("decoded"),
+            size(col("features")).cast("long").as("n_lanes"),
+            wExp.cast("long").as("w"), hExp.cast("long").as("h"),
+            when(k <= 1, f(7)).when(k === 2, f(0)).cast("long").as("n"),
+            when(k === 0, abs(f(3).cast("double") - closed(37)) <= 0.01)
+              .when(k === 1, abs(f(3).cast("double") - closed(37)) <= 4.0)
+              .when(k === 2, abs(f(1).cast("double")
+                - wavSum.cast("double") / nWav) <= 1e-3)
+              .otherwise(f(0) === stubLane('J') && f(1) === stubLane('U')
+                && f(2) === stubLane('N')).as("f1_ok"),
+            when(k === 0, abs(f(4).cast("double") - closed(59)) <= 0.01)
+              .when(k === 1, abs(f(4).cast("double") - closed(59)) <= 4.0)
+              .when(k === 2, abs(f(2).cast("double")
+                - wavAbs.cast("double") / nWav) <= 1e-3)
+              .otherwise(f(3) === stubLane('K')).as("f2_ok"),
+            when(k === 0, abs(f(5).cast("double") - closed(83)) <= 0.01)
+              .when(k === 1, abs(f(5).cast("double") - closed(83)) <= 4.0)
+              .when(k === 2, f(3) === wavMin.cast("float")
+                && f(4) === wavMax.cast("float") && f(6) === lit(16000f)
+                && f(7) === (col("media_id") % 2 + 1).cast("float"))
+              .otherwise(f(4) === ((col("media_id") % 256).cast("double") / 255.0)
+                  .cast("float")
+                && f(5) === lit(0f) && f(6) === lit(0f) && f(7) === lit(0f))
+              .as("f3_ok"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+             |    WHEN 2 THEN 'audio/wav' ELSE 'application/octet-stream'
+             |    END AS format,
+             |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+             |    WHEN 2 THEN 'wav' ELSE 'stub' END AS decoded,
+             |  CAST(8 AS BIGINT) AS n_lanes,
+             |  CAST(CASE doc_id % 4 WHEN 0 THEN doc_id % 7 + 2
+             |    WHEN 1 THEN doc_id % 9 + 8 END AS BIGINT) AS w,
+             |  CAST(CASE doc_id % 4 WHEN 0 THEN (doc_id * 3) % 6 + 2
+             |    WHEN 1 THEN (doc_id * 3) % 7 + 8 END AS BIGINT) AS h,
+             |  CAST(CASE doc_id % 4
+             |    WHEN 0 THEN (doc_id % 7 + 2) * ((doc_id * 3) % 6 + 2)
+             |    WHEN 1 THEN (doc_id % 9 + 8) * ((doc_id * 3) % 7 + 8)
+             |    WHEN 2 THEN (doc_id % 50 + 1) * (doc_id % 2 + 1)
+             |    END AS BIGINT) AS n,
+             |  true AS f1_ok, true AS f2_ok, true AS f3_ok
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Real AUDIO container decode (q32's audio sibling): every doc gets a
     // genuine complete PCM WAV (RIFF + fmt + zero-filled data chunk,
     // assembled little-endian from doc_id-derived parameters with codegen

@@ -511,6 +511,38 @@ class OpsSpec extends AnyFunSuite {
       .head().toSeq == Seq(64L, 64L))
   }
 
+  test("multimodal: magic-sniff dispatch routes each format to its real decoder") {
+    import spark.implicits._
+    val png = graft.functions.PngEncodeKernel.encode(6, 4, 10, 20, 30)
+    val jpg = graft.functions.JpegPixelKernel.encodeGradient(16, 12, 40, 50, 60)
+    val wav = graft.functions.WavPcmKernel.encodeTone(2, 8000, 16, 10)
+    val junk = Array[Byte]('J', 'U', 'N', 'K', 99)
+    val corrupt = png.clone(); corrupt(30) = (corrupt(30) ^ 0xff).toByte // break IHDR CRC
+    val media = Seq((1L, png), (2L, jpg), (3L, wav), (4L, junk), (5L, corrupt))
+      .toDF("media_id", "bytes")
+      .select(col("media_id"), col("bytes"),
+        struct(lit("application/octet-stream").as("format"), lit(0).as("width"),
+          lit(0).as("height"),
+          length(col("bytes")).cast("long").as("nBytes")).as("meta"))
+    val got = Multimodal.extractFeatures(spark, media).collect()
+      .map(m => m.media_id -> m).toMap
+    // dispatch: sniffed content decides the lane, metadata label does not
+    assert(got(1L).decoded == "png" && got(2L).decoded == "jpeg" &&
+      got(3L).decoded == "wav")
+    // junk AND corrupt-PNG both fall to the labeled stub lane
+    assert(got(4L).decoded == "stub" && got(5L).decoded == "stub")
+    // JPEG lanes come from the genuinely decoded raster (lossy band)
+    val fj = got(2L).features
+    assert(fj(0) == 16f && fj(1) == 12f && fj(7) == 192f)
+    assert(math.abs(fj(3) - (40 + 7.5 + 5.5)) <= 4.0, s"jpeg mean_r lane ${fj(3)}")
+    // WAV lanes are exact integer-derived sample stats + header fields
+    val fw = got(3L).features
+    val amps = (0 until 20).map(i => ((i * 1031 + 7) % 65536) - 32768)
+    assert(fw(0) == 20f && fw(6) == 8000f && fw(7) == 2f)
+    assert(fw(3) == amps.min.toFloat && fw(4) == amps.max.toFloat)
+    assert(math.abs(fw(1) - amps.sum.toDouble / 20) <= 1e-3)
+  }
+
   test("semanticContamination == brute-force max cosine; planted paraphrase flagged") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
