@@ -13,6 +13,9 @@ import org.apache.spark.sql.SparkSession
   *   - queries run in sorted name order, THREE measured runs each, min
   *     reported (the first run still pays plan codegen; min approximates
   *     steady-state and damps host noise);
+  *   - the cache is cleared after EVERY rep, so each rep is cold: a query
+  *     that persists an intermediate frame is billed its real wall time,
+  *     not warm-cache serving cost;
   *   - queries observed to swing on this host (q13/q34/q35 — Expand-heavy
   *     aggregates whose single measured spike vanished on re-run in rounds
   *     1-2) get one extra measured run, so their min is over 4 samples.
@@ -33,13 +36,23 @@ object Bench {
 
     def runNoop(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
-      }
-      (System.nanoTime() - t0) / 1e9
+      val elapsed =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+        }
+      // every rep runs COLD (clear is untimed): a query that persist()s an
+      // intermediate frame (e.g. q113's weights diamond) would otherwise
+      // serve later reps from the leftover cache, and min-of-N would
+      // report warm serving cost instead of the query's real wall time —
+      // clearing also keeps leftover caches from accumulating across the
+      // 100+-query sweep
+      spark.catalog.clearCache()
+      elapsed
     }
 
     // Known-noisy on this host: their one-off spikes (q34 in r1, q35 in r2)
