@@ -120,6 +120,16 @@ object PngPixelKernel {
         off += n
       }
       if (off != raw.length) return null // short stream
+      // an over-long stream must be NULL, not silently truncated to the
+      // declared raster (per-chunk CRCs can all be valid on such a
+      // stream). Probe one byte: a conforming stream finishes exactly at
+      // the raster size — the probe also consumes the zlib trailer, so
+      // Adler-32 gets verified (DataFormatException on mismatch) instead
+      // of being skipped.
+      if (!inf.finished()) {
+        val probe = new Array[Byte](1)
+        if (inf.inflate(probe, 0, 1) > 0 || !inf.finished()) return null
+      }
     } catch {
       case _: java.util.zip.DataFormatException => return null
     } finally inf.end()

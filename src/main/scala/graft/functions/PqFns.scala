@@ -115,11 +115,21 @@ case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]])
   * lut[s·K + code[s]]. K (the per-subspace stride) is baked in at plan
   * time. O(m) per candidate — the FAISS ADC loop — vs O(dim) for the
   * int8 tier; codegen'd.
+  *
+  * NULL when the code's length disagrees with the LUT (lut length must
+  * be m·K) or any code byte ≥ K: the expression is registered as a
+  * public SQL function, so malformed binary input follows the kernel
+  * NULL-on-out-of-scope convention instead of reading another
+  * subspace's LUT slot or throwing. The checks are one compare per
+  * loop iteration against values already in registers — nothing
+  * measurable in the per-candidate hot loop.
   */
 case class PqAdcScore(left: Expression, right: Expression, kPerSub: Int)
     extends BinaryExpression {
 
   require(kPerSub >= 1, "kPerSub must be positive")
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -134,10 +144,13 @@ case class PqAdcScore(left: Expression, right: Expression, kPerSub: Int)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val code = a.asInstanceOf[Array[Byte]]
     val lut = b.asInstanceOf[ArrayData]
+    if (lut.numElements().toLong != code.length.toLong * kPerSub) return null
     var s = 0.0
     var i = 0
     while (i < code.length) {
-      s += lut.getDouble(i * kPerSub + (code(i) & 0xff))
+      val c = code(i) & 0xff
+      if (c >= kPerSub) return null
+      s += lut.getDouble(i * kPerSub + c)
       i += 1
     }
     s
@@ -147,12 +160,21 @@ case class PqAdcScore(left: Expression, right: Expression, kPerSub: Int)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val s = ctx.freshName("s")
       val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val ok = ctx.freshName("ok")
       s"""
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $a.length; $i++) {
-         |  $s += $b.getDouble($i * $kPerSub + (((int) $a[$i]) & 0xff));
+         |if ($b.numElements() != ((long) $a.length) * ${kPerSub}L) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  boolean $ok = true;
+         |  for (int $i = 0; $ok && $i < $a.length; $i++) {
+         |    int $c = ((int) $a[$i]) & 0xff;
+         |    if ($c >= $kPerSub) { $ok = false; }
+         |    else { $s += $b.getDouble($i * $kPerSub + $c); }
+         |  }
+         |  if ($ok) { ${ev.value} = $s; } else { ${ev.isNull} = true; }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -325,11 +325,15 @@ object Ivf {
       // leaves them divergent, and a single shared anti-join would make
       // the replay skip BOTH (orphaning the crashed dir forever) — per-dir
       // anti-joins re-append exactly the missing rows so both converge.
+      // the batch's cid set is the same for every directory — collect it
+      // once and share it across the lists/ and refine/ anti-joins (lazy:
+      // the non-dedupe path never pays the job); the PER-DIRECTORY
+      // anti-join below must stay separate, per the divergence note above
+      lazy val cidsHit: Seq[Int] = assigned.select(col("__cid")).distinct()
+        .collect().map(_.getInt(0)).toSeq // ≤ k ints — bounded by design
       def freshFor(dir: String): DataFrame =
         if (!dedupeIds) assigned
         else {
-          val cidsHit = assigned.select(col("__cid")).distinct()
-            .collect().map(_.getInt(0)).toSeq // ≤ k ints — bounded by design
           val existing = spark.read.parquet(path + "/" + dir)
             .where(col("__cid").isin(cidsHit: _*))
             .select(col(idCol).as("__existing_id"))

@@ -17,6 +17,30 @@ object TrainingQueries {
 
   private val stops = TextOps.stopwordList.map(s => s"'$s'").mkString(", ")
 
+  /** Per-JVM scratch root for queries exercising persisted-index
+    * lifecycles (q89/q111): one parent directory, deleted recursively on
+    * JVM exit — repeated bench/correctness sweeps no longer accumulate
+    * full index copies in /tmp.
+    */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft-scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      try {
+        val walk = Files.walk(root)
+        try walk.sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => { Files.deleteIfExists(p); () })
+        finally walk.close()
+      } catch { case _: Exception => () } // best-effort on exit
+    }))
+    root
+  }
+
+  /** A fresh directory under [[scratchRoot]]. */
+  private def scratchDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(scratchRoot, prefix).toString
+
   /** Banded-oracle harness for seeded ANN queries (the q47 pattern, ANN
     * edition): the oracle-visible output is the EXACT brute-force
     * top-`exactK` per query — q28's DuckDB-matched cosine spelling,
@@ -2062,7 +2086,7 @@ object TrainingQueries {
           .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
         val index = graft.ops.Ivf.buildIndex(emb, "vec_id", "embedding",
           nCentroids = nc)
-        val path = java.nio.file.Files.createTempDirectory("graft-q89-int8").toString
+        val path = scratchDir("q89-int8")
         graft.ops.Ivf.saveIndex(index, path, quantize = true)
         val ann = graft.ops.Ivf.searchIndexQuantized(s, path, queries,
           "query_id", "query_vec", "vec_id", k = 10, nProbe = np, rerankFactor = 8)
@@ -2090,7 +2114,7 @@ object TrainingQueries {
           .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
         val index = graft.ops.Ivf.buildIndex(emb, "vec_id", "embedding",
           nCentroids = nc)
-        val path = java.nio.file.Files.createTempDirectory("graft-q111-pq").toString
+        val path = scratchDir("q111-pq")
         graft.ops.Ivf.saveIndexPq(index, path)
         val ann = graft.ops.Ivf.searchIndexPq(s, path, queries,
           "query_id", "query_vec", "vec_id", k = 10, nProbe = np, rerankFactor = 8)

@@ -289,6 +289,24 @@ class IvfSpec extends AnyFunSuite {
       graft.functions.ArrayMath.pqEncode(col("v"), lit3).as("code"))
       .orderBy("id").collect()
     assert(!out(0).isNullAt(1) && out(1).isNullAt(1))
+    // ADC scoring follows the same convention (it is a registered public
+    // SQL function, so malformed binary input must yield NULL instead of
+    // reading another subspace's LUT slot or throwing): code bytes >= K
+    // and code/LUT length mismatches are both out of scope
+    val lut = (1 to 4).map(_.toDouble) // m=2, K=2 -> flattened length 4
+    val adc = Seq(
+      (1L, Array[Byte](0, 1)),    // ok: lut[0] + lut[2+1] = 1.0 + 4.0
+      (2L, Array[Byte](0, 5)),    // code byte >= K -> NULL
+      (3L, Array[Byte](0, 1, 0))) // code longer than m subspaces -> NULL
+      .toDF("id", "code")
+      .select(col("id"), col("code"), typedLit(lut).as("lut"))
+    val scored = adc.select(col("id"),
+      call_function(graft.functions.ArrayMath.pqAdcName,
+        col("code"), col("lut"), lit(2)).as("s"))
+      .orderBy("id").collect()
+    assert(scored(0).getDouble(1) == 5.0)
+    assert(scored(1).isNullAt(1), "code byte >= kPerSub must be NULL")
+    assert(scored(2).isNullAt(1), "code/LUT length mismatch must be NULL")
   }
 
   test("PQ index: list bytes shrink >=4x vs int8, recall holds, re-rank is exact") {

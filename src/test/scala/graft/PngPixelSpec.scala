@@ -93,6 +93,44 @@ class PngPixelSpec extends AnyFunSuite {
     assert(PngPixelKernel.decode(out.toByteArray) == null, "FDICT stream must be NULL")
   }
 
+  test("over-long IDAT stream is NULL, not truncated to the declared raster") {
+    val good = PngEncodeKernel.encode(2, 2, 10, 20, 30)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(good, 0, 8 + 25) // signature + IHDR from a real PNG
+    // deflate MORE bytes than the declared raster ((2*3+1)*2 = 14): the
+    // all-zero prefix is a perfectly valid raster (filter None, black
+    // pixels), so a decoder that stops at the declared size would emit
+    // stats from the prefix — with every chunk CRC valid
+    val overlong = new Array[Byte](14 + 7)
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(overlong)
+    deflater.finish()
+    val buf = new Array[Byte](256)
+    val payloadOut = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) {
+      val n = deflater.deflate(buf)
+      payloadOut.write(buf, 0, n)
+    }
+    deflater.end()
+    def chunk(typ: String, pl: Array[Byte]): Unit = {
+      out.write(Array[Byte]((pl.length >>> 24).toByte, (pl.length >>> 16).toByte,
+        (pl.length >>> 8).toByte, pl.length.toByte), 0, 4)
+      val tp = typ.getBytes("US-ASCII") ++ pl
+      out.write(tp, 0, tp.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tp)
+      val v = crc.getValue
+      out.write(Array[Byte](((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+        ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte), 0, 4)
+    }
+    chunk("IDAT", payloadOut.toByteArray)
+    chunk("IEND", Array.empty)
+    assert(PngPixelKernel.decode(out.toByteArray) == null,
+      "stream inflating past the declared raster must be NULL")
+    // the finished-probe does not false-positive on conforming streams
+    assert(PngPixelKernel.decode(good) != null)
+  }
+
   test("resize agrees with nearest-neighbor over ImageIO pixels; identity is lossless") {
     val cases = Seq((8, 7, 10, 20, 30, 3, 2), (5, 9, 250, 3, 99, 2, 4),
       (4, 4, 77, 200, 155, 6, 6), (16, 11, 0, 128, 255, 16, 11)) // up + identity
