@@ -419,13 +419,17 @@ object Ivf {
                    maxTrainRows: Long = 100000L): IvfIndex = {
     require(newPath != path, "rebuild into a NEW versioned path, then flip")
     val existing = loadIndex(spark, path, idCol)
-    val quantized = isQuantized(spark, path)
+    // layout dispatch order matters: a PQ layout also lacks __vn in
+    // lists/, so isQuantized alone would silently downgrade it to int8
+    val pq = isPq(spark, path)
+    val quantized = !pq && isQuantized(spark, path)
     val corpus = existing.assigned.select(col(idCol), col("__vn"))
     // count() over a bare parquet projection is footer-metadata work, not
     // a data scan — cheap enough to size k from the CURRENT corpus
     val k = if (nCentroids > 0) nCentroids else ivfPolicy(corpus.count())._1
     val rebuilt = buildIndex(corpus, idCol, "__vn", k, iters, seed, maxTrainRows)
-    saveIndex(rebuilt, newPath, quantize = quantized)
+    if (pq) saveIndexPq(rebuilt, newPath)
+    else saveIndex(rebuilt, newPath, quantize = quantized)
     rebuilt
   }
 

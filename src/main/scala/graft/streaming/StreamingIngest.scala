@@ -400,6 +400,52 @@ object StreamingIngest {
     appended.get()
   }
 
+  /** Rebuild-trigger policy for [[annIndexSinkWithPolicy]]: the index is
+    * due for an offline rebuild when list-size skew (max/median over
+    * nonempty lists) exceeds `maxSkew`, or the nonempty-list fraction
+    * falls below `minNonemptyFrac` (dead probe capacity — most centroids
+    * own nothing while appends pile onto a few lists).
+    */
+  final case class AnnDriftPolicy(maxSkew: Double = 8.0,
+                                  minNonemptyFrac: Double = 0.25)
+
+  /** What [[annIndexSinkWithPolicy]] did: vectors appended, the health
+    * numbers that drove the decision, and where the CURRENT index now
+    * lives (`rebuildDir` after a rebuild, `indexDir` otherwise — the
+    * caller owns the serving pointer flip, see
+    * [[graft.ops.Ivf.rebuildIndex]]).
+    */
+  final case class AnnSinkReport(appended: Long, skew: Double,
+                                 nonemptyFrac: Double, rebuilt: Boolean,
+                                 currentDir: String)
+
+  /** [[annIndexSink]] plus the drift contract closed: after the wave
+    * drains, evaluate [[graft.ops.Ivf.indexStats]] against `policy` and
+    * trigger [[graft.ops.Ivf.rebuildIndex]] into `rebuildDir` when it
+    * trips — unbounded streaming appends onto frozen centroids can no
+    * longer degrade probe cost and recall silently. The health check is
+    * one k-sized aggregate per WAVE (not per micro-batch), the right
+    * cost shape for an AvailableNow drain; the rebuild itself is the
+    * documented rebuild-to-new-path + pointer-flip protocol.
+    */
+  def annIndexSinkWithPolicy(spark: SparkSession, stream: DataFrame,
+                             idCol: String, vecCol: String,
+                             indexDir: String, checkpointDir: String,
+                             policy: AnnDriftPolicy,
+                             rebuildDir: String): AnnSinkReport = {
+    val appended = annIndexSink(spark, stream, idCol, vecCol,
+      indexDir, checkpointDir)
+    val index = graft.ops.Ivf.loadIndex(spark, indexDir, idCol)
+    val st = graft.ops.Ivf.indexStats(index).head()
+    val skew = st.getAs[Double]("skew")
+    val frac = st.getAs[Long]("n_nonempty").toDouble /
+      math.max(st.getAs[Int]("n_lists"), 1)
+    if (skew > policy.maxSkew || frac < policy.minNonemptyFrac) {
+      graft.ops.Ivf.rebuildIndex(spark, indexDir, rebuildDir, idCol)
+      AnnSinkReport(appended, skew, frac, rebuilt = true, rebuildDir)
+    } else AnnSinkReport(appended, skew, frac, rebuilt = false, indexDir)
+  }
+
   /** The latest COMMITTED aggregate state written by [[aggStateSink]]
     * (uncommitted / torn version directories are ignored). Feed the
     * result to `AggState.finalizeState` for serving metrics.

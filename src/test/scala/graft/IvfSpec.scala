@@ -439,6 +439,173 @@ class IvfSpec extends AnyFunSuite {
       s"wave-2 vector not served: ${top.mkString(",")}")
   }
 
+  test("streaming ANN sink over a PQ layout: appends re-encode, search meets the recall floor") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter(col("vec_id") < 300L)
+    val wave = emb.filter(col("vec_id") >= 300L && col("vec_id") < 400L)
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-pq-sink").toString
+    val inDir = java.nio.file.Files.createTempDirectory("graft-pq-in").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-pq-ck").toString
+    Ivf.saveIndexPq(Ivf.buildIndex(base, "vec_id", "embedding", nCentroids = 8),
+      indexDir)
+    assert(Ivf.isPq(spark, indexDir))
+
+    wave.coalesce(1).write.mode("append").parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    def drain(): Long = graft.streaming.StreamingIngest.annIndexSink(spark,
+      spark.readStream.schema(schema).parquet(inDir),
+      "vec_id", "embedding", indexDir, ckDir)
+    assert(drain() == 100L)
+    // layout preserved: appended rows carry m-byte codes encoded through
+    // the SAVED codebooks (no __vn leaks into lists/), refine sidecar grows
+    val lists = spark.read.parquet(indexDir + "/lists")
+    assert(lists.columns.contains("__pq") && !lists.columns.contains("__vn"))
+    assert(lists.count() == 400L)
+    assert(spark.read.parquet(indexDir + "/refine").count() == 400L)
+    // replay with nothing new: exactly-once markers hold on the PQ path too
+    assert(drain() == 0L)
+
+    // appended vectors are genuinely searchable through the ADC + re-rank
+    // path at the same 0.9 recall floor as the offline PQ tier (probe all
+    // lists: isolates PQ candidate loss, not probe selection)
+    val k = 5
+    val queries = emb.filter(col("vec_id") >= 300L && col("vec_id") < 310L)
+      .select((col("vec_id") + 10000L).as("query_id"),
+        col("embedding").as("query_vec"))
+    val corpus = emb.filter(col("vec_id") < 400L)
+    val truth = (300L until 310L).flatMap { q =>
+      val qv = emb.filter(col("vec_id") === q)
+        .select(graft.ops.Similarity.asDouble(col("embedding")).as("query_vec"))
+      graft.ops.Similarity.bruteTopK(corpus, "vec_id", "embedding", qv, k)
+        .collect().map(r => (q + 10000L, r.getLong(0)))
+    }.toSet
+    val got = Ivf.searchIndexPq(spark, indexDir, queries,
+      "query_id", "query_vec", "vec_id", k = k, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"PQ-sink recall $recall below floor (|truth|=${truth.size})")
+    // and a wave-appended vector's own embedding ranks itself first
+    val self = got.filter(_._1 == 10305L)
+    assert(self.nonEmpty, "query over appended vector 305 returned nothing")
+  }
+
+  test("streaming ANN sink: drifted wave trips the rebuild policy and restores recall") {
+    import spark.implicits._
+    import graft.streaming.StreamingIngest
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 200L)
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-drift-idx").toString
+    val inDir = java.nio.file.Files.createTempDirectory("graft-drift-in").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-drift-ck").toString
+    val rbDir = java.nio.file.Files.createTempDirectory("graft-drift-rb").toString + "/v2"
+    val index = Ivf.buildIndex(emb, "vec_id", "embedding", nCentroids = 8)
+    Ivf.saveIndex(index, indexDir)
+
+    // Drifted regime: ONE tight cluster straddling the Voronoi boundary
+    // between frozen centroids 0 and 1. Members sit at the midpoint
+    // ± 0.01·(c0 - c1) by PARITY (so exactly half assign to each frozen
+    // list), plus jitter ORTHOGONAL to (c0 - c1) (so each member's true
+    // nearest neighbors are uncorrelated with its parity — any query's
+    // top-k splits ~50/50 across the two lists, and nProbe=1 probes can
+    // only ever see half). The frozen index cannot fix this; a rebuild
+    // learns centroids inside the cluster whose partition follows the
+    // jitter plane, putting neighbors back into the probed list.
+    val c0 = index.centroids(0)._2
+    val c1 = index.centroids(1)._2
+    val dim = c0.length
+    def norm(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    def orthoTo(seed: Array[Double], g: Array[Double]*): Array[Double] = {
+      val v = seed.clone()
+      g.foreach { b =>
+        val d = v.zip(b).map { case (x, y) => x * y }.sum /
+          b.map(x => x * x).sum
+        for (j <- v.indices) v(j) -= d * b(j)
+      }
+      norm(v)
+    }
+    val gap = c0.zip(c1).map { case (a, b) => a - b }
+    val mid = norm(c0.zip(c1).map { case (a, b) => a + b })
+    val e = (k: Int) => Array.tabulate(dim)(j => if (j == k % dim) 1.0 else 0.0)
+    val u = orthoTo(e(1), gap)
+    val w = orthoTo(e(2), gap, u)
+    // splitmix64-style hash jitter: coordinates decorrelated from each
+    // other and from parity (a linear LCG here puts members on a 1-D
+    // lattice where neighbor order correlates with parity, quietly
+    // making nProbe=1 complete again)
+    def h(i: Int, salt: Long): Double = {
+      var x = (i.toLong * 1000003L + salt) * 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x = x ^ (x >>> 31)
+      (x >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    // the parity offset only needs a deterministic SIGN along gap (jitter
+    // is exactly orthogonal to gap, so it never flips the assignment);
+    // its magnitude must stay far below the ~0.006 nearest-neighbor
+    // jitter spacing or the two parity sheets separate and every top-k
+    // becomes single-parity again
+    val drifted = (0 until 300).map { i =>
+      val side = if (i % 2 == 0) 5e-4 else -5e-4
+      val v = Array.tabulate(dim)(j =>
+        mid(j) + side * gap(j) + 0.05 * (h(i, 12345L) * u(j) + h(i, 54321L) * w(j)))
+      (10000L + i, norm(v).map(_.toFloat).toSeq)
+    }
+    drifted.toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("append").parquet(inDir)
+
+    val schema = spark.read.parquet(inDir).schema
+    val report = StreamingIngest.annIndexSinkWithPolicy(spark,
+      spark.readStream.schema(schema).parquet(inDir),
+      "vec_id", "embedding", indexDir, ckDir,
+      StreamingIngest.AnnDriftPolicy(maxSkew = 3.0), rbDir)
+    assert(report.appended == 300L)
+    assert(report.skew > 3.0, s"drifted wave should skew the lists, got ${report.skew}")
+    assert(report.rebuilt && report.currentDir == rbDir,
+      s"policy should have tripped a rebuild: $report")
+
+    // recall before/after, against an exact driver-side reference over the
+    // full 500-vector corpus (same ordering contract as searchIndex:
+    // cosine desc, id asc; query ids are fresh, so self-vectors count)
+    val corpus = emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().map { case (id, v) => (id, norm(v.map(_.toDouble).toArray)) } ++
+      drifted.map { case (id, v) => (id, norm(v.map(_.toDouble).toArray)) }
+    val queryIds = (0 until 6).map(i => 10000L + i * 49) // both parities
+    val queries = drifted.filter(t => queryIds.contains(t._1))
+      .map { case (id, v) => (90000L + id, v) }
+      .toDF("query_id", "query_vec")
+    def exactTop(qv: Array[Double], k: Int): Seq[Long] =
+      corpus.map { case (id, v) =>
+        (id, v.zip(qv).map { case (a, b) => a * b }.sum)
+      }.sortBy { case (id, c) => (-c, id) }.take(k).map(_._1).toSeq
+    def recallOf(dir: String, nProbe: Int): Double = {
+      val got = Ivf.searchIndex(Ivf.loadIndex(spark, dir, "vec_id"), queries,
+        "query_id", "query_vec", k = 10, nProbe = nProbe)
+        .select(col("query_id"), col("vec_id")).as[(Long, Long)]
+        .collect().groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      queryIds.map { qid =>
+        val qv = drifted.find(_._1 == qid).get._2.map(_.toDouble).toArray
+        val exact = exactTop(norm(qv), 10).toSet
+        (got(90000L + qid) & exact).size / 10.0
+      }.sum / queryIds.size
+    }
+    // at EQUAL probe budget the rebuild must materially improve recall:
+    // frozen centroids leave each nProbe=1 probe blind to the half of
+    // every neighborhood parked in the other list (nProbe>=2 would mask
+    // the defect here — the cluster spans exactly two frozen lists)
+    val before = recallOf(indexDir, nProbe = 1)
+    val after = recallOf(report.currentDir, nProbe = 1)
+    assert(before < 0.65,
+      s"boundary-straddling cluster should defeat nProbe=1 on frozen centroids: $before")
+    assert(after >= 0.72 && after - before >= 0.1,
+      s"rebuilt index must restore single-probe recall: $after (before $before)")
+    // and at the serving probe budget the rebuilt index meets the floor
+    assert(recallOf(report.currentDir, nProbe = 4) >= 0.9,
+      "rebuilt index must meet the serving recall floor at nProbe=4")
+  }
+
   test("quantized search scans only the probed lists (partition pruning)") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val emb = Tables.embeddings(spark, sf)
