@@ -163,6 +163,36 @@ class BpeSpec extends AnyFunSuite {
     enc.foreach(r => assert(r.getString(0) == r.getString(1)))
   }
 
+  test("batched training at real-vocab scale: rounds ~ merges/B within wall budget") {
+    import spark.implicits._
+    // 1100 two-symbol word types over a DISJOINT 2200-symbol alphabet
+    // (CJK plane): every adjacent pair is symbol-disjoint from every
+    // other, so each B=32 round must accept a FULL batch — the shape
+    // that motivated batching (a 32k-merge vocabulary in ~32k/B rounds,
+    // not 32k driver round-trips)
+    val nWords = 1100
+    val words = (0 until nWords).map { k =>
+      "" + (0x4E00 + 2 * k).toChar + (0x4E00 + 2 * k + 1).toChar
+    }
+    val corpus = words.zipWithIndex.flatMap { case (w, k) =>
+      Seq.fill(2 + k % 3)(w) // counts 2..4, all above minPairCount
+    }
+    val df = corpus.grouped(16).map(_.mkString(" ")).toSeq.toDF("text")
+      .repartition(8)
+    val target = 1056 // 33 full B=32 rounds
+    val t0 = System.nanoTime()
+    val (merges, rounds) = Bpe.trainWithStats(df, "text", numMerges = target,
+      minPairCount = 2L, batchSize = 32)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(merges.length == target, s"learned ${merges.length} of $target")
+    assert(rounds <= target / 32 + 2,
+      s"batching must bound aggregation rounds to ~merges/B: $rounds rounds")
+    assert(merges.map(_.rank) == (0 until target))
+    assert(merges.forall(_.pairCount >= 2L))
+    // CI wall budget: ~2 small vocab-plane jobs per round, no corpus scans
+    assert(secs < 180.0, s"scale training took ${secs}s")
+  }
+
   test("encode is a pure projection inside the codegen span, no literal leak") {
     val merges = Bpe.train(fixture, "text", numMerges = 4)
     val plan = Bpe.encode(
