@@ -29,17 +29,29 @@ object WavPcmKernel {
   private def tag(b: Array[Byte], i: Int, a: Char, c: Char, d: Char, e: Char) =
     b(i) == a && b(i + 1) == c && b(i + 2) == d && b(i + 3) == e
 
-  /** null unless `b` is a complete parseable 8/16-bit integer-PCM WAV;
-    * otherwise (n_samples, sum_amp, sum_abs, min_amp, max_amp) over the
-    * decoded amplitudes. Zero-sample files report (0, 0, 0, 0, 0).
+  /** RIFF/WAVE container magic — the sniffing predicate
+    * [[graft.ops.Multimodal.extractFeatures]] shares with this kernel
+    * (one definition, so sniffing can't drift from decoder scope).
     */
-  def stats(b: Array[Byte]): InternalRow = {
-    if (b == null || b.length < 44) return null
-    if (!tag(b, 0, 'R', 'I', 'F', 'F') || !tag(b, 8, 'W', 'A', 'V', 'E')) return null
+  def isWav(b: Array[Byte]): Boolean =
+    b != null && b.length >= 12 &&
+      tag(b, 0, 'R', 'I', 'F', 'F') && tag(b, 8, 'W', 'A', 'V', 'E')
+
+  private final class PcmFmt(val channels: Int, val bits: Int,
+                             val rate: Long, val dataOff: Int,
+                             val dataSize: Long)
+
+  /** One chunk walk shared by [[stats]] and [[statsWithFmt]]; null
+    * outside the sample-decode scope (8/16-bit integer PCM, complete
+    * chunks, frame-aligned data).
+    */
+  private def parsePcm(b: Array[Byte]): PcmFmt = {
+    if (b == null || b.length < 44 || !isWav(b)) return null
     var i = 12
     var fmtSeen = false
     var channels = 0
     var bits = 0
+    var rate = 0L
     var dataOff = -1
     var dataSize = -1L
     while (i + 8 <= b.length) {
@@ -50,6 +62,7 @@ object WavPcmKernel {
         val p = i + 8
         if (le16(b, p) != 1) return null // integer PCM only at sample level
         channels = le16(b, p + 2)
+        rate = le32(b, p + 4)
         bits = le16(b, p + 14)
         fmtSeen = true
       } else if (tag(b, i, 'd', 'a', 't', 'a')) {
@@ -60,9 +73,14 @@ object WavPcmKernel {
     }
     if (!fmtSeen || dataOff < 0) return null
     if (channels < 1 || (bits != 8 && bits != 16)) return null
-    val bytesPer = bits / 8
-    if (dataSize % (channels * bytesPer) != 0) return null // ragged frames
-    val n = (dataSize / bytesPer).toInt
+    if (dataSize % (channels * (bits / 8)) != 0) return null // ragged frames
+    new PcmFmt(channels, bits, rate, dataOff, dataSize)
+  }
+
+  /** (n, sum, sumAbs, min, max) over the decoded amplitudes. */
+  private def amplitudeStats(b: Array[Byte], f: PcmFmt): Array[Long] = {
+    val bytesPer = f.bits / 8
+    val n = (f.dataSize / bytesPer).toInt
     var sum = 0L
     var sumAbs = 0L
     var mn = Int.MaxValue
@@ -70,9 +88,9 @@ object WavPcmKernel {
     var s = 0
     while (s < n) {
       val amp =
-        if (bits == 8) u8(b, dataOff + s) - 128
+        if (f.bits == 8) u8(b, f.dataOff + s) - 128
         else {
-          val v = le16(b, dataOff + s * 2)
+          val v = le16(b, f.dataOff + s * 2)
           if (v >= 0x8000) v - 0x10000 else v // sign-extend 16-bit LE
         }
       sum += amp
@@ -82,7 +100,32 @@ object WavPcmKernel {
       s += 1
     }
     if (n == 0) { mn = 0; mx = 0 }
-    new GenericInternalRow(Array[Any](n.toLong, sum, sumAbs, mn, mx))
+    Array(n.toLong, sum, sumAbs, mn.toLong, mx.toLong)
+  }
+
+  /** null unless `b` is a complete parseable 8/16-bit integer-PCM WAV;
+    * otherwise (n_samples, sum_amp, sum_abs, min_amp, max_amp) over the
+    * decoded amplitudes. Zero-sample files report (0, 0, 0, 0, 0).
+    */
+  def stats(b: Array[Byte]): InternalRow = {
+    val f = parsePcm(b)
+    if (f == null) return null
+    val a = amplitudeStats(b, f)
+    new GenericInternalRow(Array[Any](a(0), a(1), a(2), a(3).toInt, a(4).toInt))
+  }
+
+  /** [[stats]] plus the fmt fields feature extraction needs —
+    * (n_samples, sum_amp, sum_abs, min_amp, max_amp, sample_rate,
+    * channels) — from the SAME single chunk walk + sample pass (the
+    * feature path used to re-walk the whole container through
+    * [[WavHeaderKernel]] just to read rate and channels).
+    */
+  def statsWithFmt(b: Array[Byte]): InternalRow = {
+    val f = parsePcm(b)
+    if (f == null) return null
+    val a = amplitudeStats(b, f)
+    new GenericInternalRow(Array[Any](a(0), a(1), a(2), a(3).toInt, a(4).toInt,
+      f.rate, f.channels))
   }
 
   /** Fixture-side REAL WAV encoder with a deterministic non-silent

@@ -32,8 +32,11 @@ object PngPixelKernel {
     (u8(b, i).toLong << 24) | (u8(b, i + 1).toLong << 16) |
       (u8(b, i + 2).toLong << 8) | u8(b, i + 3).toLong
 
-  private def isPng(b: Array[Byte]): Boolean =
-    b.length >= 29 &&
+  /** PNG signature — shared with [[graft.ops.Multimodal.extractFeatures]]
+    * sniffing (one definition, so sniffing can't drift from decoder scope).
+    */
+  def isPng(b: Array[Byte]): Boolean =
+    b != null && b.length >= 29 &&
       u8(b, 0) == 0x89 && u8(b, 1) == 0x50 && u8(b, 2) == 0x4e && u8(b, 3) == 0x47 &&
       u8(b, 4) == 0x0d && u8(b, 5) == 0x0a && u8(b, 6) == 0x1a && u8(b, 7) == 0x0a
 

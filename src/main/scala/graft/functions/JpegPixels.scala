@@ -26,8 +26,11 @@ object JpegPixelKernel {
     */
   val MaxPixels: Long = 1L << 26
 
-  private def isJpeg(b: Array[Byte]): Boolean =
-    b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+  /** JPEG SOI magic — shared with [[graft.ops.Multimodal.extractFeatures]]
+    * sniffing (one definition, so sniffing can't drift from decoder scope).
+    */
+  def isJpeg(b: Array[Byte]): Boolean =
+    b != null && b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
 
   def decode(b: Array[Byte]): InternalRow = {
     if (b == null || !isJpeg(b)) return null

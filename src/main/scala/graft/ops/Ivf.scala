@@ -42,7 +42,17 @@ object Ivf {
   private def nearestCentroid(vn: Column, centroids: Array[(Int, Array[Double])]): Column =
     graft.functions.ArrayMath.nearestCentroidId(vn, centroidMatrix(centroids))
 
+  /** Graft's native kernels resolve through the session function registry
+    * (Spark 4 has no public Column-from-Expression constructor), so every
+    * index entry point self-registers — idempotent, and it keeps e.g. a
+    * loadIndex → saveIndex(quantize = true) round-trip working on a
+    * session built without GraftExtensions.
+    */
+  private def ensureFns(spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.functions.ArrayMath.register(spark)
+
   private def unitVectors(df: DataFrame, vecCol: String): DataFrame = {
+    ensureFns(df.sparkSession)
     val vd = transform(col(vecCol), x => x.cast("double"))
     df.withColumn("__vd", vd)
       .withColumn("__norm", sqrt(Similarity.dot(col("__vd"), col("__vd"))))
@@ -218,6 +228,7 @@ object Ivf {
     * index shape).
     */
   def saveIndex(index: IvfIndex, path: String, quantize: Boolean = false): Unit = {
+    ensureFns(index.assigned.sparkSession)
     // cluster each list into one task before the partitioned write:
     // without this every task holds rows of ~every list and the store
     // becomes tasks×k tiny files — the classic partitionBy small-file
@@ -428,8 +439,17 @@ object Ivf {
     // a data scan — cheap enough to size k from the CURRENT corpus
     val k = if (nCentroids > 0) nCentroids else ivfPolicy(corpus.count())._1
     val rebuilt = buildIndex(corpus, idCol, "__vn", k, iters, seed, maxTrainRows)
-    if (pq) saveIndexPq(rebuilt, newPath)
-    else saveIndex(rebuilt, newPath, quantize = quantized)
+    if (pq) {
+      // preserve the index's PQ configuration: m and kPerSub are
+      // recovered from the saved codebooks (subspace count, largest
+      // per-subspace centroid set) — a default-config rebuild would
+      // silently change the code bytes per vector and the recall/IO
+      // profile of the index the caller is about to flip serving to
+      val perSub = spark.read.parquet(path + "/pq").groupBy("subspace").count()
+      val cfg = perSub.agg(
+        count(lit(1)).cast("int"), max(col("count")).cast("int")).head()
+      saveIndexPq(rebuilt, newPath, m = cfg.getInt(0), kPerSub = cfg.getInt(1))
+    } else saveIndex(rebuilt, newPath, quantize = quantized)
     rebuilt
   }
 
@@ -621,6 +641,7 @@ object Ivf {
   def saveIndexPq(index: IvfIndex, path: String, m: Int = 0,
                   kPerSub: Int = 256, iters: Int = 5, seed: Long = 42L): Unit = {
     val spark = index.assigned.sparkSession
+    ensureFns(spark)
     import spark.implicits._
     val assigned = index.assigned.repartition(col("__cid"))
     assigned.persist() // lists/ and refine/ must hold the identical row set

@@ -270,17 +270,15 @@ object Multimodal {
       (0.299 * mr + 0.587 * mg + 0.114 * mb).toFloat, (w.toLong * h).toFloat)
   }
 
-  /** REAL feature lanes for a WAV payload (genuine LPCM sample decode,
-    * [[graft.functions.WavPcmKernel]], plus header fields from
-    * [[graft.functions.WavHeaderKernel]]): [n_samples, mean_amp,
-    * mean_abs, min_amp, max_amp, peak_to_peak, sample_rate, channels].
-    * null when either kernel rejects the payload.
+  /** REAL feature lanes for a WAV payload (genuine LPCM sample decode —
+    * [[graft.functions.WavPcmKernel.statsWithFmt]], amplitude stats and
+    * fmt fields from ONE chunk walk): [n_samples, mean_amp, mean_abs,
+    * min_amp, max_amp, peak_to_peak, sample_rate, channels]. null when
+    * the kernel rejects the payload.
     */
   private def wavFeatures(bytes: Array[Byte]): Array[Float] = {
-    val st = graft.functions.WavPcmKernel.stats(bytes)
+    val st = graft.functions.WavPcmKernel.statsWithFmt(bytes)
     if (st == null) return null
-    val hdr = graft.functions.WavHeaderKernel.parse(bytes)
-    if (hdr == null) return null
     val n = st.getLong(0)
     val (mean, meanAbs) =
       if (n == 0L) (0.0, 0.0)
@@ -288,18 +286,8 @@ object Multimodal {
     val mn = st.getInt(3)
     val mx = st.getInt(4)
     Array(n.toFloat, mean.toFloat, meanAbs.toFloat, mn.toFloat, mx.toFloat,
-      (mx - mn).toFloat, hdr.getInt(2).toFloat, hdr.getInt(1).toFloat)
+      (mx - mn).toFloat, st.getLong(5).toFloat, st.getInt(6).toFloat)
   }
-
-  private def isPngMagic(b: Array[Byte]): Boolean =
-    b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
-
-  private def isJpegMagic(b: Array[Byte]): Boolean =
-    b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
-
-  private def isWavMagic(b: Array[Byte]): Boolean =
-    b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
-      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
 
   /** Batch feature extraction over the media column. `mapPartitions` is the
     * deliberate choice: one iterator per partition = one decoder
@@ -316,11 +304,16 @@ object Multimodal {
       // production: initialize stateful/native decoders ONCE here, per partition
       rows.map { r =>
         val payload = if (r.bytes == null) Array.empty[Byte] else r.bytes
+        // sniffing uses the DECODERS' own magic predicates — one
+        // definition per format, so routing can't drift from kernel scope
         val (decoded, feats) = {
           val sniffed =
-            if (isPngMagic(payload)) ("png", pngFeatures(payload))
-            else if (isJpegMagic(payload)) ("jpeg", jpegFeatures(payload))
-            else if (isWavMagic(payload)) ("wav", wavFeatures(payload))
+            if (graft.functions.PngPixelKernel.isPng(payload))
+              ("png", pngFeatures(payload))
+            else if (graft.functions.JpegPixelKernel.isJpeg(payload))
+              ("jpeg", jpegFeatures(payload))
+            else if (graft.functions.WavPcmKernel.isWav(payload))
+              ("wav", wavFeatures(payload))
             else (null, null)
           if (sniffed._2 != null) sniffed
           else ("stub", decodeStub(payload)) // unknown magic or corrupt payload

@@ -419,14 +419,16 @@ object StreamingIngest {
                                  nonemptyFrac: Double, rebuilt: Boolean,
                                  currentDir: String)
 
-  /** [[annIndexSink]] plus the drift contract closed: after the wave
-    * drains, evaluate [[graft.ops.Ivf.indexStats]] against `policy` and
-    * trigger [[graft.ops.Ivf.rebuildIndex]] into `rebuildDir` when it
-    * trips — unbounded streaming appends onto frozen centroids can no
-    * longer degrade probe cost and recall silently. The health check is
-    * one k-sized aggregate per WAVE (not per micro-batch), the right
-    * cost shape for an AvailableNow drain; the rebuild itself is the
-    * documented rebuild-to-new-path + pointer-flip protocol.
+  /** [[annIndexSink]] plus the drift contract closed: after a wave that
+    * appended anything, evaluate [[graft.ops.Ivf.indexStats]] against
+    * `policy` and trigger [[graft.ops.Ivf.rebuildIndex]] into
+    * `rebuildDir` when it trips — unbounded streaming appends onto
+    * frozen centroids can no longer degrade probe cost and recall
+    * silently. Health-check cost: ONE aggregate scan of the stored
+    * assignment per APPENDING wave (k-sized output; pure-replay waves
+    * skip it entirely — markers make them no-ops, and the index they
+    * would measure is unchanged); the rebuild itself is the documented
+    * rebuild-to-new-path + pointer-flip protocol.
     */
   def annIndexSinkWithPolicy(spark: SparkSession, stream: DataFrame,
                              idCol: String, vecCol: String,
@@ -435,6 +437,8 @@ object StreamingIngest {
                              rebuildDir: String): AnnSinkReport = {
     val appended = annIndexSink(spark, stream, idCol, vecCol,
       indexDir, checkpointDir)
+    if (appended == 0L)
+      return AnnSinkReport(0L, 0.0, 1.0, rebuilt = false, indexDir)
     val index = graft.ops.Ivf.loadIndex(spark, indexDir, idCol)
     val st = graft.ops.Ivf.indexStats(index).head()
     val skew = st.getAs[Double]("skew")

@@ -439,6 +439,24 @@ class IvfSpec extends AnyFunSuite {
       s"wave-2 vector not served: ${top.mkString(",")}")
   }
 
+  test("rebuildIndex preserves a non-default PQ configuration") {
+    val emb = Tables.embeddings(spark, sf)
+    val index = Ivf.buildIndex(emb, "vec_id", "embedding", nCentroids = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqcfg").toString
+    Ivf.saveIndexPq(index, dir, m = 4, kPerSub = 16)
+    val newDir = dir + "-v2"
+    Ivf.rebuildIndex(spark, dir, newDir, "vec_id", nCentroids = 4)
+    // a default-config rebuild would emit pqSubspaces(dim) subspaces and
+    // 256 centroids each — the operator's tuned recall/size profile lost
+    val cfg = spark.read.parquet(newDir + "/pq")
+      .groupBy("subspace").count().collect()
+    assert(cfg.length == 4, s"m not preserved: got ${cfg.length} subspaces")
+    assert(cfg.forall(_.getLong(1) <= 16L), "kPerSub not preserved")
+    val codeLen = spark.read.parquet(newDir + "/lists")
+      .select(length(col("__pq"))).head().getInt(0)
+    assert(codeLen == 4, s"code width changed: $codeLen bytes")
+  }
+
   test("streaming ANN sink over a PQ layout: appends re-encode, search meets the recall floor") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)
