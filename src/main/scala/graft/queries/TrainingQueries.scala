@@ -1194,6 +1194,108 @@ object TrainingQueries {
              |FROM documents ORDER BY media_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // CCNet-style curation pipeline (Wenzek et al. LREC 2020) — the
+    // composition the paper runs per snapshot: language-ID gate (q24's
+    // marker formula) → LM perplexity score (q109's bigram NLL) →
+    // perplexity TERCILES over the target-language slice → keep
+    // head+middle. Buckets are assigned by NTILE(3) over (avg_nll,
+    // doc_id) — rank-based, so the boundary is an integer position both
+    // engines replay exactly (a value-threshold split could flip a
+    // boundary doc on cross-engine ulp differences in the quantile
+    // interpolation). The ntile window is doc-level and unpartitioned —
+    // bounded by corpus DOC count (the q60 class), never token-scale;
+    // at 100 TB the same split runs per-snapshot/per-shard as in CCNet.
+    QuerySpec(
+      "q120_ccnet_pipeline",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val st = graft.functions.ArrayMath.textStats(col("text"))
+        val scored = Seq("en" -> "s_en", "de" -> "s_de", "es" -> "s_es", "fr" -> "s_fr")
+          .map { case (l2, f) =>
+            struct(col(s"__st.$f").as("score"), lit(l2).as("lang"))
+          }
+        val best = greatest(scored: _*)
+        val langDf = docs.select(col("doc_id"), col("text"), st.as("__st"))
+          .select(col("doc_id"),
+            when(col("text").rlike("[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}]"), "zh")
+              .otherwise(when(best.getField("score") > 0, best.getField("lang"))
+                .otherwise("unknown")).as("lang"))
+        val nll = TextOps.bigramLmNll(docs, "doc_id", "text", docs, "text")
+        val joined = langDf.join(nll, Seq("doc_id"))
+        val w = Window.orderBy(col("avg_nll"), col("doc_id"))
+        val en = joined.filter(col("lang") === "en" && col("n_bigrams") > 0)
+          .withColumn("ppl_bucket", ntile(3).over(w).cast("long"))
+        joined
+          .join(en.select(col("doc_id"), col("ppl_bucket")), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("lang"), col("n_bigrams"), col("avg_nll"),
+            col("ppl_bucket"),
+            (coalesce(col("ppl_bucket"), lit(3L)) <= 2L).as("kept"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH sc AS (
+              |  SELECT doc_id, text,
+              |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+              |      x -> x IN ('the','and','of','to','is','in','that','it'))) AS s_en,
+              |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+              |      x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS s_de,
+              |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+              |      x -> x IN ('el','la','los','de','que','y','es','un'))) AS s_es,
+              |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+              |      x -> x IN ('le','la','les','et','est','un','une','que'))) AS s_fr
+              |  FROM documents
+              |), p AS (
+              |  SELECT doc_id, CASE
+              |    WHEN regexp_matches(text, '[\\p{Han}\\p{Hiragana}\\p{Katakana}]') THEN 'zh'
+              |    WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_en THEN 'fr'
+              |    WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_de AND s_es >= s_en THEN 'es'
+              |    WHEN s_en > 0 AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+              |    WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es AND s_de >= s_en THEN 'de'
+              |    ELSE 'unknown' END AS lang
+              |  FROM sc
+              |), t AS (
+              |  SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents
+              |), bgd AS (
+              |  SELECT doc_id,
+              |    unnest([toks[i] FOR i IN range(1, len(toks))]) AS w1,
+              |    unnest([toks[i+1] FOR i IN range(1, len(toks))]) AS w2
+              |  FROM t WHERE len(toks) >= 2
+              |), bg AS (
+              |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+              |  FROM bgd GROUP BY 1, 2
+              |), lc AS (
+              |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bg GROUP BY 1
+              |), v AS (
+              |  SELECT COUNT(DISTINCT w) AS v FROM (
+              |    SELECT unnest(string_split($normSql, ' ')) AS w FROM documents)
+              |), scq AS (
+              |  SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+              |    SUM(CAST(ln(CAST(lc.c1 + v.v AS DOUBLE) / (bg.c12 + 1))
+              |        AS DECIMAL(18,12))) AS s
+              |  FROM bgd d
+              |  JOIN bg ON bg.w1 = d.w1 AND bg.w2 = d.w2
+              |  JOIN lc ON lc.w1 = d.w1
+              |  CROSS JOIN v
+              |  GROUP BY d.doc_id
+              |), nll AS (
+              |  SELECT doc.doc_id, COALESCE(scq.n_bigrams, 0) AS n_bigrams,
+              |    ROUND(CAST(CAST(scq.s AS VARCHAR) AS DOUBLE)
+              |      / CAST(scq.n_bigrams AS DOUBLE), 6) AS avg_nll
+              |  FROM documents doc LEFT JOIN scq ON scq.doc_id = doc.doc_id
+              |), en AS (
+              |  SELECT n.doc_id,
+              |    CAST(NTILE(3) OVER (ORDER BY n.avg_nll, n.doc_id) AS BIGINT)
+              |      AS ppl_bucket
+              |  FROM nll n JOIN p ON p.doc_id = n.doc_id
+              |  WHERE p.lang = 'en' AND n.n_bigrams > 0
+              |)
+              |SELECT n.doc_id, p.lang, n.n_bigrams, n.avg_nll, en.ppl_bucket,
+              |  COALESCE(en.ppl_bucket, 3) <= 2 AS kept
+              |FROM nll n
+              |JOIN p ON p.doc_id = n.doc_id
+              |LEFT JOIN en ON en.doc_id = n.doc_id
+              |ORDER BY n.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Real AUDIO container decode (q32's audio sibling): every doc gets a
     // genuine complete PCM WAV (RIFF + fmt + zero-filled data chunk,
     // assembled little-endian from doc_id-derived parameters with codegen

@@ -543,6 +543,26 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(fw(1) - amps.sum.toDouble / 20) <= 1e-3)
   }
 
+  test("ccnet pipeline: terciles partition the en slice, kept = head+middle") {
+    val out = SparkEntry.queries("q120_ccnet_pipeline")(spark, sf).collect()
+    val en = out.filter(r => r.getString(1) == "en" && r.getLong(2) > 0)
+    assert(en.length >= 3, "fixture corpus must have an en slice")
+    val buckets = en.groupBy(_.getLong(4)).view.mapValues(_.length).toMap
+    assert(buckets.keySet == Set(1L, 2L, 3L))
+    assert(buckets.values.max - buckets.values.min <= 1, s"ntile imbalance: $buckets")
+    out.foreach { r =>
+      val b = if (r.isNullAt(4)) 3L else r.getLong(4)
+      assert(r.getBoolean(5) == (b <= 2L), s"kept disagrees with bucket: $r")
+      // non-target-language and degenerate docs never reach the buckets
+      if (r.getString(1) != "en" || r.getLong(2) == 0L)
+        assert(r.isNullAt(4) && !r.getBoolean(5), s"non-en doc bucketed: $r")
+    }
+    // bucket order follows perplexity: every head doc <= every tail doc
+    val headMax = en.filter(_.getLong(4) == 1L).map(_.getDouble(3)).max
+    val tailMin = en.filter(_.getLong(4) == 3L).map(_.getDouble(3)).min
+    assert(headMax <= tailMin, s"head $headMax above tail $tailMin")
+  }
+
   test("semanticContamination == brute-force max cosine; planted paraphrase flagged") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
