@@ -1296,6 +1296,125 @@ object TrainingQueries {
               |ORDER BY n.doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // URL-plane curation (ops.UrlOps — the C4/RefinedWeb front gate):
+    // canonicalize → blocklist by registrable domain → dedup by
+    // canonical URL (min-id survivor) → per-host cap in md5 order.
+    // Fixture URLs are synthesized per doc with planted uppercase hosts,
+    // default ports, tracking params, fragments, shared paths (canonical
+    // dups), and a spam domain — every canonicalization step is an
+    // ordered RE2-safe regex the oracle mirrors 1:1 (Spark $1 backrefs,
+    // DuckDB \\1), and the staged ranks replay as window functions.
+    QuerySpec(
+      "q121_url_curation",
+      (s, dir) => {
+        import graft.ops.UrlOps
+        val cap = 20
+        val urlExpr = concat(lit("https://"),
+          when(col("doc_id") % 17 === 0, lit("Spam.BadSite.com"))
+            .otherwise(concat(lit("WWW."), col("source"), lit(".Example.com"))),
+          when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+          lit("/Article/"), (col("doc_id") % 50).cast("string"),
+          lit("?id="), (col("doc_id") % 50).cast("string"),
+          lit("&utm_source=feed"),
+          when(col("doc_id") % 2 === 1, lit("&ref=abc")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("&gclid=XYZ")).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0, lit("#Section2")).otherwise(lit("")))
+        val enriched = Tables.documents(s, dir)
+          .select(col("doc_id"), urlExpr.as("__url"))
+          .select(col("doc_id"),
+            UrlOps.canonicalizeUrl(col("__url")).as("url_canon"),
+            UrlOps.hostOf(col("__url")).as("host"),
+            UrlOps.registrableDomain(col("__url")).as("domain"))
+          .withColumn("blocked", col("domain") === "badsite.com")
+        // staged ranks: each stage's window runs over the PREVIOUS
+        // stage's survivors only (a rank over the full frame would count
+        // dropped rows and shift every boundary)
+        val s1 = enriched.filter(!col("blocked"))
+          .withColumn("url_rank", row_number().over(
+            Window.partitionBy(col("url_canon")).orderBy(col("doc_id"))))
+        val s2 = s1.filter(col("url_rank") === 1)
+          .withColumn("host_rank", row_number().over(
+            Window.partitionBy(col("host"))
+              .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+        enriched
+          .join(s1.select(col("doc_id"), col("url_rank")), Seq("doc_id"), "left")
+          .join(s2.select(col("doc_id"), col("host_rank")), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("url_canon"), col("host"), col("domain"),
+            col("blocked"),
+            col("url_rank").cast("long").as("url_rank"),
+            col("host_rank").cast("long").as("host_rank"),
+            (coalesce(col("host_rank"), lit(cap + 1L)) <= cap).as("kept"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |    'https://' ||
+             |    CASE WHEN doc_id % 17 = 0 THEN 'Spam.BadSite.com'
+             |         ELSE 'WWW.' || source || '.Example.com' END ||
+             |    CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END ||
+             |    '/Article/' || CAST(doc_id % 50 AS VARCHAR) ||
+             |    '?id=' || CAST(doc_id % 50 AS VARCHAR) ||
+             |    '&utm_source=feed' ||
+             |    CASE WHEN doc_id % 2 = 1 THEN '&ref=abc' ELSE '' END ||
+             |    CASE WHEN doc_id % 5 = 0 THEN '&gclid=XYZ' ELSE '' END ||
+             |    CASE WHEN doc_id % 4 = 0 THEN '#Section2' ELSE '' END AS url
+             |  FROM documents
+             |), steps AS (
+             |  SELECT doc_id, url,
+             |    regexp_replace(url, '#.*$', '', 'g') AS s1
+             |  FROM u
+             |), st2 AS (
+             |  SELECT doc_id, url,
+             |    lower(regexp_extract(s1, '^([^/]*//[^/?#]*)', 1)) ||
+             |      regexp_replace(s1, '^[^/]*//[^/?#]*', '', 'g') AS s2
+             |  FROM steps
+             |), st4 AS (
+             |  SELECT doc_id, url,
+             |    regexp_replace(regexp_replace(regexp_replace(
+             |      regexp_replace(s2, '([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*',
+             |                     '\1', 'g'),
+             |      '\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$', '', 'g') AS s4
+             |  FROM st2
+             |), c AS (
+             |  SELECT doc_id,
+             |    regexp_replace(
+             |      regexp_replace(s4, '(://[^/:?#]+):(80|443)([/?#]|$)',
+             |                     '\1\3', 'g'),
+             |      '^([a-z]+://[^/?#]+)/$', '\1', 'g') AS url_canon,
+             |    lower(regexp_extract(url,
+             |      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1)) AS host
+             |  FROM st4
+             |), e AS (
+             |  SELECT doc_id, url_canon, host,
+             |    CASE WHEN regexp_matches(host,
+             |        '(^|\.)(co|com|org|net|ac|gov|edu)\.[a-z]{2}$')
+             |      THEN regexp_extract(host,
+             |        '([^.]+\.(?:co|com|org|net|ac|gov|edu)\.[a-z]{2})$', 1)
+             |      ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS domain
+             |  FROM c
+             |), eb AS (
+             |  SELECT *, domain = 'badsite.com' AS blocked FROM e
+             |), s1r AS (
+             |  SELECT doc_id, ROW_NUMBER() OVER (
+             |    PARTITION BY url_canon ORDER BY doc_id) AS url_rank
+             |  FROM eb WHERE NOT blocked
+             |), s2r AS (
+             |  SELECT eb.doc_id, ROW_NUMBER() OVER (
+             |    PARTITION BY eb.host
+             |    ORDER BY md5(CAST(eb.doc_id AS VARCHAR)), eb.doc_id) AS host_rank
+             |  FROM eb JOIN s1r ON s1r.doc_id = eb.doc_id
+             |  WHERE s1r.url_rank = 1
+             |)
+             |SELECT eb.doc_id, eb.url_canon, eb.host, eb.domain, eb.blocked,
+             |  CAST(s1r.url_rank AS BIGINT) AS url_rank,
+             |  CAST(s2r.host_rank AS BIGINT) AS host_rank,
+             |  COALESCE(s2r.host_rank, 21) <= 20 AS kept
+             |FROM eb
+             |LEFT JOIN s1r ON s1r.doc_id = eb.doc_id
+             |LEFT JOIN s2r ON s2r.doc_id = eb.doc_id
+             |ORDER BY eb.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Real AUDIO container decode (q32's audio sibling): every doc gets a
     // genuine complete PCM WAV (RIFF + fmt + zero-filled data chunk,
     // assembled little-endian from doc_id-derived parameters with codegen

@@ -543,6 +543,43 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(fw(1) - amps.sum.toDouble / 20) <= 1e-3)
   }
 
+  test("url curation: canonicalization, PSL domains, dedup, caps") {
+    import spark.implicits._
+    import graft.ops.UrlOps
+    val urls = Seq(
+      (1L, "HTTPS://WWW.Example.COM:443/Path/Item?id=5&utm_source=x&ref=K#frag"),
+      (2L, "https://www.example.com/Path/Item?id=5&ref=K"), // same canonical as 1
+      (3L, "http://news.example.co.uk:80/"),
+      (4L, "https://spam.badsite.com/x?gclid=1&utm_campaign=2"),
+      (5L, "https://example.org/?utm_a=1"),
+      (6L, "not a url at all")
+    ).toDF("id", "url")
+    val got = urls.select(col("id"),
+      UrlOps.canonicalizeUrl(col("url")).as("c"),
+      UrlOps.hostOf(col("url")).as("h"),
+      UrlOps.registrableDomain(col("url")).as("d")).orderBy("id").collect()
+    // scheme+host lowered, port/fragment/tracking stripped, query case kept
+    assert(got(0).getString(1) == "https://www.example.com/Path/Item?id=5&ref=K",
+      got(0).getString(1))
+    assert(got(1).getString(1) == got(0).getString(1))
+    assert(got(2).getString(1) == "http://news.example.co.uk", got(2).getString(1))
+    assert(got(2).getString(3) == "example.co.uk") // two-level public suffix
+    assert(got(3).getString(1) == "https://spam.badsite.com/x", got(3).getString(1))
+    assert(got(4).getString(1) == "https://example.org", got(4).getString(1))
+    assert(got(0).getString(2) == "www.example.com" &&
+      got(0).getString(3) == "example.com")
+    assert(got(5).getString(2) == "") // non-URL: empty host, never a crash
+    val dd = UrlOps.dedupByCanonicalUrl(urls, "id", "url")
+      .select("id").as[Long].collect().toSet
+    assert(dd.contains(1L) && !dd.contains(2L)) // min-id survivor
+    val kept = UrlOps.dropBlockedDomains(urls, "url", Seq("BadSite.com"))
+      .select("id").as[Long].collect().toSet
+    assert(!kept.contains(4L) && kept.contains(1L)) // case-insensitive blocklist
+    val capped = UrlOps.capPerHost(urls, "id", "url", 1)
+      .select("id").as[Long].collect().toSet
+    assert((capped & Set(1L, 2L)).size == 1 && capped.contains(3L))
+  }
+
   test("ccnet pipeline: terciles partition the en slice, kept = head+middle") {
     val out = SparkEntry.queries("q120_ccnet_pipeline")(spark, sf).collect()
     val en = out.filter(r => r.getString(1) == "en" && r.getLong(2) > 0)
