@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based quality filtering — the classifier gate of GPT-3
+  * (Brown et al. 2020, Appendix A: "documents similar to a curated
+  * reference corpus") and DCLM/fineweb-edu-style pipelines: label a
+  * reference slice positive, the rest negative, train a linear model
+  * over hashed bag-of-ngram features, keep documents the model scores
+  * as reference-like.
+  *
+  * Two tiers:
+  *   - [[nbScores]] (the oracle-grade default): Naive-Bayes
+  *     log-count-ratio weights (Wang & Manning, ACL 2012 — the "NBSVM"
+  *     feature trick, also the heart of fastText-style linear quality
+  *     classifiers). Training IS counting: one aggregation per class
+  *     over the hashed-ngram frame, weights closed-form from exact
+  *     integer counts, every per-occurrence term ONE ln of
+  *     integer-derived ratios (the q106/q109/q113 cross-engine parity
+  *     recipe) routed through DECIMAL(18,12) — a SQL oracle replays
+  *     training AND scoring bit-for-bit.
+  *   - [[trainLogistic]]: full-batch gradient-descent refinement
+  *     starting from zero (the NB weights make a stronger init — pass
+  *     them via `init`). Each iteration is two skinny shuffles over the
+  *     persisted feature frame plus one bounded (≤ nBuckets+1 doubles)
+  *     driver collect; spec-certified (loss monotone, planted
+  *     separation, layout invariance) rather than oracle-replayed —
+  *     iterative float training is not SQL-expressible.
+  *
+  * Scale shape: features are [[Curation.hashedNgrams]] md5 buckets —
+  * the corpus tokenizes ONCE into a skinny (doc, bucket) frame; class
+  * count tables are ≤ nBuckets rows (broadcast by construction); the
+  * text column never shuffles.
+  */
+object Classifier {
+
+  /** Per-document reference-likeness log-odds under NB log-count-ratio
+    * weights with add-one smoothing:
+    *
+    *   score(d) = ln(Npos/Nneg)
+    *            + Σ_occurrences [ ln((pc_b + 1)/(ptot + B))
+    *                            − ln((nc_b + 1)/(ntot + B)) ]
+    *
+    * where pc/nc are per-bucket occurrence counts in the positive /
+    * negative class, ptot/ntot their totals, B = nBuckets. Returns
+    * (idCol, n_features, score, keep) for EVERY input row: featureless
+    * documents score NULL and are never kept, `keep = score > 0` (the
+    * decision boundary of the log-odds form).
+    *
+    * @param isPos boolean label column (evaluated against `docs`):
+    *              the curated reference slice
+    */
+  def nbScores(docs: DataFrame, idCol: String, textCol: String,
+               isPos: Column, nBuckets: Int = 10000): DataFrame = {
+    require(nBuckets >= 2, "nBuckets must be >= 2")
+    val labeled = docs.withColumn("__y", isPos)
+    val feats = Curation.hashedNgrams(
+      labeled, Seq(col(idCol), col("__y")), textCol, nBuckets)
+    val counts = feats.groupBy(col("__b"))
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__pc"),
+        sum(when(col("__y"), 0L).otherwise(1L)).as("__nc"))
+    // totals + document-count prior: one broadcast row
+    val totals = counts.agg(sum(col("__pc")).as("__ptot"),
+        sum(col("__nc")).as("__ntot"))
+      .crossJoin(labeled.agg(
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__npos"),
+        sum(when(col("__y"), 0L).otherwise(1L)).as("__nneg")))
+    val term = (log(col("__pc") + 1L) - log(col("__ptot") + lit(nBuckets).cast("long"))
+      - log(col("__nc") + 1L) + log(col("__ntot") + lit(nBuckets).cast("long")))
+      .cast("decimal(18,12)")
+    val scored = feats
+      .join(broadcast(counts), Seq("__b"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_features"),
+        (sum(term).cast("double")
+          + max(log(col("__npos").cast("double") / col("__nneg"))))
+          .as("__s"))
+      .select(col(idCol), col("n_features"), round(col("__s"), 6).as("score"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_features"), lit(0L)).as("n_features"), col("score"),
+        coalesce(col("score") > 0.0, lit(false)).as("keep"))
+  }
+
+  /** Full-batch logistic regression over L1-normalized hashed-ngram
+    * counts (x_b = count_b / n_features): `iters` gradient steps at
+    * rate `lr`, weights indexed [0, nBuckets) plus bias at [nBuckets].
+    * Returns (weights, per-iteration mean log-loss) — the loss trace is
+    * the training-health artifact the spec asserts on. Per-document
+    * dots and per-bucket gradients route through DECIMAL so training is
+    * deterministic under any partitioning.
+    */
+  def trainLogistic(docs: DataFrame, idCol: String, textCol: String,
+                    isPos: Column, nBuckets: Int = 10000, iters: Int = 5,
+                    lr: Double = 1.0,
+                    init: Array[Double] = null): (Array[Double], Seq[Double]) = {
+    require(iters >= 1, "iters must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val labeled = docs.withColumn("__y", isPos.cast("double"))
+    // tokenize ONCE; x = per-doc L1-normalized bucket count
+    val feats = Curation.hashedNgrams(
+        labeled, Seq(col(idCol), col("__y")), textCol, nBuckets)
+      .groupBy(col(idCol), col("__y"), col("__b"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+      .withColumn("__n", sum(col("__c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
+      .select(col(idCol), col("__y"), col("__b"), (col("__c") / col("__n")).as("__x"))
+      .persist()
+    try {
+      val n = feats.select(col(idCol)).distinct().count().toDouble
+      val w = if (init != null) init.clone() else new Array[Double](nBuckets + 1)
+      require(w.length == nBuckets + 1, "init must be nBuckets + 1 long (bias last)")
+      val losses = Seq.newBuilder[Double]
+      for (_ <- 1 to iters) {
+        val wDf = w.take(nBuckets).zipWithIndex
+          .map { case (v, b) => (b.toLong, v) }.toSeq.toDF("__b", "__w")
+        val bias = w(nBuckets)
+        // p per doc from the CURRENT weights; decimal-routed dot so the
+        // sigmoid input is partition-order independent
+        val p = feats.join(broadcast(wDf), Seq("__b"))
+          .groupBy(col(idCol), col("__y"))
+          .agg(sum((col("__x") * col("__w")).cast("decimal(28,18)"))
+            .cast("double").as("__dot"))
+          .select(col(idCol), col("__y"),
+            (lit(1.0) / (lit(1.0) + exp(-(col("__dot") + lit(bias))))).as("__p"))
+        // gradient of mean log-loss; one bounded collect (<= nBuckets rows)
+        val joined = feats.join(p.select(col(idCol), col("__p")), Seq(idCol))
+        val grad = joined
+          .groupBy(col("__b"))
+          .agg(sum(((col("__p") - col("__y")) * col("__x")).cast("decimal(28,18)"))
+            .cast("double").as("__g"))
+          .collect().map(r => (r.getLong(0).toInt, r.getDouble(1))).toMap
+        val gBias = p.agg(sum((col("__p") - col("__y")).cast("decimal(28,18)"))
+          .cast("double")).head().getDouble(0)
+        val loss = p.agg(sum(
+            (-(col("__y") * log(greatest(col("__p"), lit(1e-15)))
+              + (lit(1.0) - col("__y"))
+                * log(greatest(lit(1.0) - col("__p"), lit(1e-15)))))
+            .cast("decimal(28,18)")).cast("double")).head().getDouble(0) / n
+        losses += loss
+        var b = 0
+        while (b < nBuckets) {
+          w(b) -= lr * grad.getOrElse(b, 0.0) / n
+          b += 1
+        }
+        w(nBuckets) -= lr * gBias / n
+      }
+      (w, losses.result())
+    } finally { feats.unpersist(false); () }
+  }
+}

@@ -379,7 +379,7 @@ object Curation {
     * by [[hashBucket]] over the n-gram string (bigrams joined by one
     * space). md5-bucketed so the oracle replays every occurrence.
     */
-  private def hashedNgrams(d: DataFrame, cols: Seq[Column], textCol: String,
+  private[ops] def hashedNgrams(d: DataFrame, cols: Seq[Column], textCol: String,
                            nBuckets: Int): DataFrame = {
     // blank docs carry no features (split('') is [''], a phantom token)
     val t = d.filter(length(TextOps.normalized(col(textCol))) > 0)

@@ -1415,6 +1415,66 @@ object TrainingQueries {
              |ORDER BY eb.doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // Model-based quality classifier (ops.Classifier — the GPT-3
+    // Appendix-A / DCLM gate): reference slice (src0/src1) positive,
+    // rest negative, NB log-count-ratio weights over hashed
+    // unigram+bigram features (Wang & Manning ACL'12), per-doc log-odds
+    // score, keep at score > 0. Training IS counting, so the oracle
+    // replays TRAINING AND SCORING end-to-end: md5 bucket parity (q113
+    // recipe), each occurrence term a ± of four ln's of exact
+    // integer-derived values, DECIMAL-routed sum, VARCHAR decimal exit.
+    // The GD refinement (trainLogistic) is spec-certified, not oracled —
+    // iterative float training is not SQL-expressible.
+    QuerySpec(
+      "q122_quality_classifier",
+      (s, dir) =>
+        graft.ops.Classifier.nbScores(Tables.documents(s, dir), "doc_id",
+          "text", col("source").isin("src0", "src1"))
+          .orderBy("doc_id"),
+      Some("""WITH n AS (
+             |  SELECT doc_id, source IN ('src0', 'src1') AS y,
+             |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+             |  FROM documents
+             |), t AS (
+             |  SELECT doc_id, y, string_split(nt, ' ') AS toks
+             |  FROM n WHERE LENGTH(nt) > 0
+             |), feats AS (
+             |  SELECT doc_id, y, unnest(list_concat(toks,
+             |    [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))])) AS g
+             |  FROM t
+             |), fb AS (
+             |  SELECT doc_id, y,
+             |    CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) % 10000 AS b
+             |  FROM feats
+             |), cnt AS (
+             |  SELECT b, SUM(CASE WHEN y THEN 1 ELSE 0 END) AS pc,
+             |         SUM(CASE WHEN y THEN 0 ELSE 1 END) AS nc
+             |  FROM fb GROUP BY 1
+             |), tot AS (
+             |  SELECT (SELECT SUM(pc) FROM cnt) AS ptot,
+             |    (SELECT SUM(nc) FROM cnt) AS ntot,
+             |    (SELECT COUNT(*) FROM documents
+             |       WHERE source IN ('src0', 'src1')) AS npos,
+             |    (SELECT COUNT(*) FROM documents
+             |       WHERE source NOT IN ('src0', 'src1')) AS nneg
+             |), sc AS (
+             |  SELECT fb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,
+             |    SUM(CAST(ln(cnt.pc + 1.0) - ln(tot.ptot + 10000.0)
+             |           - ln(cnt.nc + 1.0) + ln(tot.ntot + 10000.0)
+             |        AS DECIMAL(18,12))) AS s,
+             |    MAX(ln(CAST(tot.npos AS DOUBLE) / tot.nneg)) AS prior
+             |  FROM fb JOIN cnt ON cnt.b = fb.b CROSS JOIN tot
+             |  GROUP BY 1
+             |)
+             |SELECT d.doc_id, COALESCE(sc.n_features, 0) AS n_features,
+             |  ROUND(CAST(CAST(sc.s AS VARCHAR) AS DOUBLE) + sc.prior, 6) AS score,
+             |  COALESCE(
+             |    ROUND(CAST(CAST(sc.s AS VARCHAR) AS DOUBLE) + sc.prior, 6) > 0,
+             |    false) AS keep
+             |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Real AUDIO container decode (q32's audio sibling): every doc gets a
     // genuine complete PCM WAV (RIFF + fmt + zero-filled data chunk,
     // assembled little-endian from doc_id-derived parameters with codegen

@@ -543,6 +543,38 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(fw(1) - amps.sum.toDouble / 20) <= 1e-3)
   }
 
+  test("quality classifier: NB separates the reference slice, GD refines deterministically") {
+    import graft.ops.Classifier
+    val docs = Tables.documents(spark, sf)
+    val isPos = col("source").isin("src0", "src1")
+    val scored = Classifier.nbScores(docs, "doc_id", "text", isPos)
+    val joined = scored
+      .join(docs.select(col("doc_id"), isPos.as("__y")), "doc_id")
+    // train-set separation: the reference slice scores higher on average
+    val means = joined.filter(col("n_features") > 0)
+      .groupBy(col("__y")).agg(avg(col("score"))).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(means(true) > means(false),
+      s"NB scores do not separate the reference slice: $means")
+    // keep is exactly the sign of the score; featureless docs never kept
+    joined.collect().foreach { r =>
+      val keep = r.getBoolean(3)
+      if (r.getLong(1) == 0L) assert(!keep && r.isNullAt(2))
+      else assert(keep == (r.getDouble(2) > 0.0))
+    }
+    // GD refinement: mean log-loss is monotone non-increasing from zero
+    // init, and training is bit-deterministic under partition layout
+    val (w, losses) = Classifier.trainLogistic(docs, "doc_id", "text", isPos,
+      nBuckets = 2000, iters = 4, lr = 5.0)
+    assert(losses.zip(losses.tail).forall { case (a, b) => b <= a + 1e-12 },
+      s"loss not monotone: $losses")
+    assert(w.length == 2001)
+    val (w2, losses2) = Classifier.trainLogistic(docs.repartition(13), "doc_id",
+      "text", isPos, nBuckets = 2000, iters = 4, lr = 5.0)
+    assert(losses == losses2, "loss trace depends on partition layout")
+    assert(w.toSeq == w2.toSeq, "weights depend on partition layout")
+  }
+
   test("url curation: canonicalization, PSL domains, dedup, caps") {
     import spark.implicits._
     import graft.ops.UrlOps
