@@ -508,6 +508,32 @@ class IvfSpec extends AnyFunSuite {
     assert(self.nonEmpty, "query over appended vector 305 returned nothing")
   }
 
+  test("drift policy: benign and replayed waves do not trigger a rebuild") {
+    import graft.streaming.StreamingIngest
+    val emb = Tables.embeddings(spark, sf)
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-benign-idx").toString
+    val inDir = java.nio.file.Files.createTempDirectory("graft-benign-in").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-benign-ck").toString
+    val rbDir = java.nio.file.Files.createTempDirectory("graft-benign-rb").toString + "/v2"
+    Ivf.saveIndex(Ivf.buildIndex(emb.filter(col("vec_id") < 150L),
+      "vec_id", "embedding", nCentroids = 8), indexDir)
+    // same-distribution wave: skew stays in the healthy band
+    emb.filter(col("vec_id") >= 150L && col("vec_id") < 200L)
+      .coalesce(1).write.mode("append").parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    def drain() = StreamingIngest.annIndexSinkWithPolicy(spark,
+      spark.readStream.schema(schema).parquet(inDir),
+      "vec_id", "embedding", indexDir, ckDir,
+      StreamingIngest.AnnDriftPolicy(), rbDir)
+    val r1 = drain()
+    assert(r1.appended == 50L && !r1.rebuilt && r1.currentDir == indexDir,
+      s"benign wave must not rebuild: $r1")
+    assert(!new java.io.File(rbDir).exists, "no rebuild directory may appear")
+    // pure replay: zero appends, health check skipped entirely
+    val r2 = drain()
+    assert(r2.appended == 0L && !r2.rebuilt && r2.currentDir == indexDir)
+  }
+
   test("streaming ANN sink: drifted wave trips the rebuild policy and restores recall") {
     import spark.implicits._
     import graft.streaming.StreamingIngest
