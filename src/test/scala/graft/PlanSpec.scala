@@ -223,6 +223,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q121: URL canonicalization plane shuffles only (id, url) projections") {
+    val plan = executedPlan("q121_url_curation")
+    // the regex plane is pure projection; the only exchanges are the two
+    // staged skinny windows (canonical dedup, host cap) + result sort —
+    // the document text column must never appear in the plan
+    assert(!plan.contains("text"), s"q121 must never touch the text column\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"q121 must not cross-join\n$plan")
+  }
+
+  test("q122: classifier count tables broadcast; corpus shuffles only skinny features") {
+    val plan = executedPlan("q122_quality_classifier")
+    assert(plan.contains("BroadcastExchange"),
+      s"bucket count/total tables must broadcast to the scoring join\n$plan")
+    // the 1-row totals frame rides a broadcast (its nested-loop form is
+    // the broadcast cross-join pattern); an unbroadcast cartesian is the
+    // failure mode
+    assert(!plan.contains("CartesianProduct"), s"unbroadcast cartesian\n$plan")
+  }
+
   test("q81: heavy hitters plan as TakeOrderedAndProject over one agg") {
     val plan = executedPlan("q81_heavy_hitters")
     assert(plan.contains("TakeOrderedAndProject"), plan)
