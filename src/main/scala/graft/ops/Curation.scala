@@ -376,11 +376,18 @@ object Curation {
 
   /** Hashed unigram+bigram feature occurrences — DSIR's bag-of-hashed-
     * ngrams model: one row per token and per adjacent token pair, bucketed
-    * by [[hashBucket]] over the n-gram string (bigrams joined by one
-    * space). md5-bucketed so the oracle replays every occurrence.
+    * over the n-gram string (bigrams joined by one space).
+    *
+    * `scaleHash = false` (default) buckets via [[hashBucket]] (md5) so a
+    * SQL oracle replays every occurrence; `scaleHash = true` buckets via
+    * `pmod(xxhash64, nBuckets)` — the 100 TB flavor (xxhash64 is a
+    * codegen'd 64-bit mix, ~an order of magnitude cheaper per gram than
+    * md5's cryptographic digest + hex decode) — same distributional
+    * behavior, certified against the md5 flavor by selection-overlap
+    * tests (the [[Dedup.crossDocSpans]] pluggable-hash precedent).
     */
   private[ops] def hashedNgrams(d: DataFrame, cols: Seq[Column], textCol: String,
-                           nBuckets: Int): DataFrame = {
+                           nBuckets: Int, scaleHash: Boolean = false): DataFrame = {
     // blank docs carry no features (split('') is [''], a phantom token)
     val t = d.filter(length(TextOps.normalized(col(textCol))) > 0)
       .select(cols :+ TextOps.tokens(TextOps.normalized(col(textCol)))
@@ -394,7 +401,10 @@ object Curation {
       .otherwise(array().cast("array<string>"))
     val grams = t.select(cols :+ explode(concat(col("__t"), bigrams))
       .as("__g"): _*)
-    grams.select(cols :+ hashBucket(col("__g"), nBuckets).as("__b"): _*)
+    val bucket =
+      if (scaleHash) pmod(xxhash64(col("__g")), lit(nBuckets.toLong))
+      else hashBucket(col("__g"), nBuckets)
+    grams.select(cols :+ bucket.as("__b"): _*)
   }
 
   /** DSIR importance log-weights (Xie, Santurkar, Ma & Liang, NeurIPS 2023
@@ -424,12 +434,13 @@ object Curation {
     */
   def dsirWeights(raw: DataFrame, idCol: String, textCol: String,
                   target: DataFrame, targetTextCol: String,
-                  nBuckets: Int = 10000, smoothing: Double = 1.0): DataFrame = {
+                  nBuckets: Int = 10000, smoothing: Double = 1.0,
+                  scaleHash: Boolean = false): DataFrame = {
     require(nBuckets >= 2, "nBuckets must be >= 2")
     require(smoothing > 0, "smoothing mass must be positive")
-    val rawFeats = hashedNgrams(raw, Seq(col(idCol)), textCol, nBuckets)
+    val rawFeats = hashedNgrams(raw, Seq(col(idCol)), textCol, nBuckets, scaleHash)
     val rCounts = rawFeats.groupBy(col("__b")).agg(count(lit(1)).as("__rc"))
-    val tCounts = hashedNgrams(target, Nil, targetTextCol, nBuckets)
+    val tCounts = hashedNgrams(target, Nil, targetTextCol, nBuckets, scaleHash)
       .groupBy(col("__b")).agg(count(lit(1)).as("__tc"))
     // totals BEFORE the bucket join (target mass outside raw's buckets
     // still belongs in Ttot); one broadcast row
@@ -529,9 +540,11 @@ object Curation {
     */
   def dsirSample(raw: DataFrame, idCol: String, textCol: String,
                  target: DataFrame, targetTextCol: String, k: Int,
-                 nBuckets: Int = 10000, smoothing: Double = 1.0): DataFrame = {
+                 nBuckets: Int = 10000, smoothing: Double = 1.0,
+                 scaleHash: Boolean = false): DataFrame = {
     require(k >= 1, "k must be positive")
-    dsirWeights(raw, idCol, textCol, target, targetTextCol, nBuckets, smoothing)
+    dsirWeights(raw, idCol, textCol, target, targetTextCol, nBuckets, smoothing,
+      scaleHash)
       .filter(col("log_weight").isNotNull)
       .orderBy(col("log_weight").desc, col(idCol))
       .limit(k)

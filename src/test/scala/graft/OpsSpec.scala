@@ -1190,5 +1190,30 @@ class OpsSpec extends AnyFunSuite {
       "doc_id", "text", target, "text")
       .filter(col("doc_id") === 999L).collect()
     assert(wBlank.length == 1 && wBlank(0).getLong(1) == 0L && wBlank(0).isNullAt(2))
+    // the xxhash64 SCALE flavor (cheap codegen mix instead of md5 digest)
+    // makes the same selection on this separable corpus, deterministically
+    val selScale = Curation.dsirSample(raw, "doc_id", "text", target, "text",
+      k = med.length, scaleHash = true).select("doc_id").as[Long].collect().toSet
+    assert(selScale == medIds.toSet,
+      s"scale-hash flavor must select the medical half: $selScale")
+    val wS1 = Curation.dsirWeights(raw, "doc_id", "text", target, "text",
+      scaleHash = true).collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val wS2 = Curation.dsirWeights(raw.repartition(5), "doc_id", "text",
+      target, "text", scaleHash = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(wS1 == wS2)
+  }
+
+  test("dsir scale-hash flavor agrees with the oracle flavor on the fixture corpus") {
+    val docs = Tables.documents(spark, sf)
+    val target = docs.filter(col("source").isin("src0", "src1"))
+    def top(scale: Boolean): Set[Long] =
+      Curation.dsirSample(docs, "doc_id", "text", target, "text", k = 50,
+        scaleHash = scale).select("doc_id").collect().map(_.getLong(0)).toSet
+    val (md5Sel, xxSel) = (top(false), top(true))
+    // bucketing noise moves boundary docs; the selected set must still be
+    // substantially the same distribution pick
+    val overlap = (md5Sel & xxSel).size.toDouble / 50.0
+    assert(overlap >= 0.7, s"hash flavors diverged: overlap $overlap")
   }
 }
