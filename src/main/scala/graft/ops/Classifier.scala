@@ -52,11 +52,12 @@ object Classifier {
     *              the curated reference slice
     */
   def nbScores(docs: DataFrame, idCol: String, textCol: String,
-               isPos: Column, nBuckets: Int = 10000): DataFrame = {
+               isPos: Column, nBuckets: Int = 10000,
+               scaleHash: Boolean = false): DataFrame = {
     require(nBuckets >= 2, "nBuckets must be >= 2")
     val labeled = docs.withColumn("__y", isPos)
     val feats = Curation.hashedNgrams(
-      labeled, Seq(col(idCol), col("__y")), textCol, nBuckets)
+      labeled, Seq(col(idCol), col("__y")), textCol, nBuckets, scaleHash)
     val counts = feats.groupBy(col("__b"))
       .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__pc"),
         sum(when(col("__y"), 0L).otherwise(1L)).as("__nc"))
