@@ -56,8 +56,12 @@ object Classifier {
                scaleHash: Boolean = false): DataFrame = {
     require(nBuckets >= 2, "nBuckets must be >= 2")
     val labeled = docs.withColumn("__y", isPos)
+    // persist: the occurrence frame feeds both the class-count
+    // aggregation (training) and the scoring join — one tokenize+hash
+    // pass instead of two (the dsirWeights/q113 diamond discipline)
     val feats = Curation.hashedNgrams(
       labeled, Seq(col(idCol), col("__y")), textCol, nBuckets, scaleHash)
+      .persist()
     val counts = feats.groupBy(col("__b"))
       .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__pc"),
         sum(when(col("__y"), 0L).otherwise(1L)).as("__nc"))

@@ -438,7 +438,15 @@ object Curation {
                   scaleHash: Boolean = false): DataFrame = {
     require(nBuckets >= 2, "nBuckets must be >= 2")
     require(smoothing > 0, "smoothing mass must be positive")
+    // the occurrence frame feeds BOTH the bucket-count aggregation and
+    // the per-doc scoring join — persist so the corpus tokenize+hash
+    // pass runs once, not twice (the q113 diamond discipline: the plan
+    // is returned, so no explicit unpersist; CacheManager dedupes by
+    // canonicalized plan, so repeats reuse one bounded entry). The
+    // cached frame is the skinny (id, bucket) pairs, spill-safe at the
+    // default MEMORY_AND_DISK level.
     val rawFeats = hashedNgrams(raw, Seq(col(idCol)), textCol, nBuckets, scaleHash)
+      .persist()
     val rCounts = rawFeats.groupBy(col("__b")).agg(count(lit(1)).as("__rc"))
     val tCounts = hashedNgrams(target, Nil, targetTextCol, nBuckets, scaleHash)
       .groupBy(col("__b")).agg(count(lit(1)).as("__tc"))
