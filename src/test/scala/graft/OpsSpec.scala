@@ -781,6 +781,26 @@ class OpsSpec extends AnyFunSuite {
     (2 until cases.length).foreach(i => assert(got(i).isNullAt(1), s"case $i"))
   }
 
+  test("statsWithFmt == stats + header fields, from one chunk walk") {
+    import graft.functions.{WavHeaderKernel, WavPcmKernel}
+    for ((ch, rate, bits, frames) <- Seq((1, 8000, 8, 5), (2, 44100, 16, 32),
+      (4, 16000, 16, 0))) {
+      val b = WavPcmKernel.encodeTone(ch, rate, bits, frames)
+      val s5 = WavPcmKernel.stats(b)
+      val s7 = WavPcmKernel.statsWithFmt(b)
+      assert((0 until 5).forall(i => s5.get(i, null) == s7.get(i, null)),
+        s"amplitude fields diverge at ($ch,$rate,$bits,$frames)")
+      val hdr = WavHeaderKernel.parse(b)
+      assert(s7.getLong(5) == hdr.getInt(2).toLong, "sample_rate")
+      assert(s7.getInt(6) == hdr.getInt(1), "channels")
+    }
+    // out-of-scope payloads reject identically on both entry points
+    val adpcm = WavPcmKernel.encodeTone(1, 8000, 16, 4).clone()
+    adpcm(20) = 2 // format code 2 (ADPCM) — sample decode out of scope
+    assert(WavPcmKernel.stats(adpcm) == null &&
+      WavPcmKernel.statsWithFmt(adpcm) == null)
+  }
+
   test("wavBytes encode helper round-trips through audioMeta") {
     import spark.implicits._
     val params = Seq((1, 8000, 16, 0), (2, 44100, 16, 100),
