@@ -28,10 +28,12 @@ import org.apache.spark.sql.functions._
   *     separation, layout invariance) rather than oracle-replayed —
   *     iterative float training is not SQL-expressible.
   *
-  * Scale shape: features are [[Curation.hashedNgrams]] md5 buckets —
-  * the corpus tokenizes ONCE into a skinny (doc, bucket) frame; class
-  * count tables are ≤ nBuckets rows (broadcast by construction); the
-  * text column never shuffles.
+  * Scale shape: features are [[Curation.hashedNgrams]] buckets (md5 by
+  * default so oracles replay them; `scaleHash = true` switches to the
+  * cheaper codegen xxhash64 — pass the SAME flavor to every tier that
+  * shares weights) — the corpus tokenizes ONCE into a skinny
+  * (doc, bucket) frame; class count tables are ≤ nBuckets rows
+  * (broadcast by construction); the text column never shuffles.
   */
 object Classifier {
 
@@ -53,15 +55,18 @@ object Classifier {
     */
   def nbScores(docs: DataFrame, idCol: String, textCol: String,
                isPos: Column, nBuckets: Int = 10000,
-               scaleHash: Boolean = false): DataFrame = {
+               scaleHash: Boolean = false,
+               cacheFeatures: Boolean = true): DataFrame = {
     require(nBuckets >= 2, "nBuckets must be >= 2")
     val labeled = docs.withColumn("__y", isPos)
-    // persist: the occurrence frame feeds both the class-count
+    // cache: the occurrence frame feeds both the class-count
     // aggregation (training) and the scoring join — one tokenize+hash
-    // pass instead of two (the dsirWeights/q113 diamond discipline)
-    val feats = Curation.hashedNgrams(
+    // pass instead of two. Same lifetime contract as
+    // [[Curation.dsirWeights]]: the entry lives until session end;
+    // long-lived multi-corpus services pass `cacheFeatures = false`.
+    val feats0 = Curation.hashedNgrams(
       labeled, Seq(col(idCol), col("__y")), textCol, nBuckets, scaleHash)
-      .persist()
+    val feats = if (cacheFeatures) feats0.persist() else feats0
     val counts = feats.groupBy(col("__b"))
       .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__pc"),
         sum(when(col("__y"), 0L).otherwise(1L)).as("__nc"))
@@ -100,14 +105,18 @@ object Classifier {
   def trainLogistic(docs: DataFrame, idCol: String, textCol: String,
                     isPos: Column, nBuckets: Int = 10000, iters: Int = 5,
                     lr: Double = 1.0,
-                    init: Array[Double] = null): (Array[Double], Seq[Double]) = {
+                    init: Array[Double] = null,
+                    scaleHash: Boolean = false): (Array[Double], Seq[Double]) = {
     require(iters >= 1, "iters must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
     val labeled = docs.withColumn("__y", isPos.cast("double"))
-    // tokenize ONCE; x = per-doc L1-normalized bucket count
+    // tokenize ONCE; x = per-doc L1-normalized bucket count. scaleHash
+    // must MATCH the flavor any `init` weights were trained under —
+    // xxhash64 and md5 bucket the same grams differently, so mixed
+    // flavors would silently index two different feature spaces
     val feats = Curation.hashedNgrams(
-        labeled, Seq(col(idCol), col("__y")), textCol, nBuckets)
+        labeled, Seq(col(idCol), col("__y")), textCol, nBuckets, scaleHash)
       .groupBy(col(idCol), col("__y"), col("__b"))
       .agg(count(lit(1)).cast("double").as("__c"))
       .withColumn("__n", sum(col("__c")).over(

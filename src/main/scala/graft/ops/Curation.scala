@@ -435,18 +435,22 @@ object Curation {
   def dsirWeights(raw: DataFrame, idCol: String, textCol: String,
                   target: DataFrame, targetTextCol: String,
                   nBuckets: Int = 10000, smoothing: Double = 1.0,
-                  scaleHash: Boolean = false): DataFrame = {
+                  scaleHash: Boolean = false,
+                  cacheFeatures: Boolean = true): DataFrame = {
     require(nBuckets >= 2, "nBuckets must be >= 2")
     require(smoothing > 0, "smoothing mass must be positive")
     // the occurrence frame feeds BOTH the bucket-count aggregation and
-    // the per-doc scoring join — persist so the corpus tokenize+hash
-    // pass runs once, not twice (the q113 diamond discipline: the plan
-    // is returned, so no explicit unpersist; CacheManager dedupes by
-    // canonicalized plan, so repeats reuse one bounded entry). The
-    // cached frame is the skinny (id, bucket) pairs, spill-safe at the
-    // default MEMORY_AND_DISK level.
-    val rawFeats = hashedNgrams(raw, Seq(col(idCol)), textCol, nBuckets, scaleHash)
-      .persist()
+    // the per-doc scoring join — caching it runs the corpus
+    // tokenize+hash pass once, not twice (skinny (id, bucket) pairs,
+    // spill-safe MEMORY_AND_DISK). The returned value is a PLAN, so the
+    // entry cannot be unpersisted here and lives until session end
+    // (CacheManager dedupes identical plans, so re-running the same
+    // input reuses one entry — but DISTINCT corpora each add one).
+    // Long-lived services scoring many corpora should pass
+    // `cacheFeatures = false` (recompute instead of cache) or
+    // `spark.catalog.clearCache()` between corpora.
+    val rawFeats0 = hashedNgrams(raw, Seq(col(idCol)), textCol, nBuckets, scaleHash)
+    val rawFeats = if (cacheFeatures) rawFeats0.persist() else rawFeats0
     val rCounts = rawFeats.groupBy(col("__b")).agg(count(lit(1)).as("__rc"))
     val tCounts = hashedNgrams(target, Nil, targetTextCol, nBuckets, scaleHash)
       .groupBy(col("__b")).agg(count(lit(1)).as("__tc"))
