@@ -35,8 +35,12 @@ object UrlOps {
     val lowered = concat(
       lower(regexp_extract(noFrag, "^([^/]*//[^/?#]*)", 1)),
       regexp_replace(noFrag, "^[^/]*//[^/?#]*", ""))
+    // (?i): tracking params are stripped case-insensitively — query-string
+    // case is preserved by canonicalization, so without it ?UTM_SOURCE=…
+    // would survive and defeat dedupByCanonicalUrl. Inline flag (not an
+    // engine option) so the DuckDB oracle reuses the identical pattern.
     val noTrack = regexp_replace(lowered,
-      "([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*", "$1")
+      "(?i)([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*", "$1")
     val tidyQ = regexp_replace(regexp_replace(regexp_replace(noTrack,
       "\\?&+", "?"), "&&+", "&"), "[?&]+$", "")
     val noPort = regexp_replace(tidyQ, "(://[^/:?#]+):(80|443)([/?#]|$)", "$1$3")
@@ -49,27 +53,51 @@ object UrlOps {
   def hostOf(url: Column): Column =
     lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)", 1))
 
-  /** Registrable domain under a simplified two-level public-suffix rule
-    * (`co.uk`-style suffixes from a fixed list, else last two labels) —
-    * the grouping unit for blocklists and caps. A full PSL drop-in
-    * replaces the suffix alternation; the plan shape is identical.
+  /** Registrable domain under the Public Suffix List ([[Psl]], bundled
+    * publicsuffix.org snapshot, MPL 2.0) — the grouping unit for
+    * blocklists and caps. PSL precedence as a when-chain: exception
+    * rules first, then rule tiers deepest-first (longest rule wins),
+    * else the PSL default rule `*` (registrable = last two labels,
+    * which is also what unknown TLDs get). A host that IS a public
+    * suffix (`github.io` itself) resolves to '' — no registrable
+    * domain. Still a pure regex projection: zero shuffle, zero UDFs,
+    * and every tier's regex replays byte-identically in the DuckDB
+    * oracle via [[Psl.duckDomainCase]].
     */
   def registrableDomain(url: Column): Column = {
     val host = hostOf(url)
-    val twoLevel = "(?:co|com|org|net|ac|gov|edu)\\.[a-z]{2}"
-    when(host.rlike(s"(^|\\.)$twoLevel$$"),
-      regexp_extract(host, s"([^.]+\\.$twoLevel)$$", 1))
-      .otherwise(regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
+    val withTiers = Psl.depths.foldLeft(
+      when(host.rlike(Psl.exceptionCondRegex),
+        regexp_extract(host, Psl.exceptionExtractRegex, 1))) { (chain, d) =>
+      chain.when(host.rlike(Psl.condRegex(d)),
+        regexp_extract(host, Psl.extractRegex(d), 1))
+    }
+    withTiers.otherwise(regexp_extract(host, Psl.fallbackExtractRegex, 1))
   }
 
   /** Rows whose registrable domain is NOT in `blocked`. The list rides
-    * the plan as literals (blocklists are config, not data); a
-    * million-entry blocklist becomes a broadcast join on the same key.
+    * the plan as literals (a short blocklist is config, not data); for
+    * corpus-scale blocklists use the DataFrame overload.
     */
   def dropBlockedDomains(df: DataFrame, urlCol: String,
                          blocked: Seq[String]): DataFrame =
     df.filter(!registrableDomain(col(urlCol))
       .isin(blocked.map(_.toLowerCase): _*))
+
+  /** Table-sourced blocklist: anti-join on the registrable domain. At
+    * corpus scale a blocklist is millions of domains — a literal list
+    * stops being config. The join key is the skinny domain projection
+    * only (the text plane never moves); Catalyst picks broadcast vs
+    * shuffle from the blocklist's size stats (a small table
+    * broadcast-anti-joins — asserted in PlanSpec — and a huge one
+    * degrades to a shuffle on (domain) pairs).
+    */
+  def dropBlockedDomains(df: DataFrame, urlCol: String,
+                         blocked: DataFrame, domainCol: String): DataFrame = {
+    val b = blocked.select(lower(col(domainCol)).as("__blocked_domain")).distinct()
+    df.join(b, registrableDomain(col(urlCol)) === col("__blocked_domain"),
+      "left_anti")
+  }
 
   /** First-id-wins dedup by canonical URL: one row per canonical form,
     * smallest `idCol` survives (deterministic, replay-stable). Shuffles

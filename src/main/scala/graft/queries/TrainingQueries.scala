@@ -101,6 +101,53 @@ object TrainingQueries {
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
   private val toksSql = s"string_split_regex(trim(text), '\\s+')"
 
+  /** q121/q124 planted-URL fixture (Spark spelling) — synthesized per
+    * doc with uppercase hosts, default ports, tracking params (one
+    * uppercase), fragments, shared paths, a spam domain, and
+    * PSL-exercising hosts (multi-level ICANN, PRIVATE-section,
+    * wildcard-rule and exception-rule). Branch order is significant and
+    * mirrored in [[urlFixtureCte]].
+    */
+  private def urlFixture =
+    concat(lit("https://"),
+      when(col("doc_id") % 17 === 0, lit("Spam.BadSite.com"))
+        .when(col("doc_id") % 19 === 0, lit("WWW.CK"))
+        .when(col("doc_id") % 13 === 0, lit("News.A.ne.JP"))
+        .when(col("doc_id") % 11 === 0,
+          concat(col("source"), lit(".GitHub.IO")))
+        .when(col("doc_id") % 7 === 0, lit("Shop.Foo.CK"))
+        .otherwise(concat(lit("WWW."), col("source"), lit(".Example.com"))),
+      when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+      lit("/Article/"), (col("doc_id") % 50).cast("string"),
+      lit("?id="), (col("doc_id") % 50).cast("string"),
+      lit("&utm_source=feed"),
+      when(col("doc_id") % 6 === 0, lit("&UTM_Medium=Mail")).otherwise(lit("")),
+      when(col("doc_id") % 2 === 1, lit("&ref=abc")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit("&gclid=XYZ")).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0, lit("#Section2")).otherwise(lit("")))
+
+  /** The same fixture as a DuckDB CTE body (embedded pre-stripMargin). */
+  private val urlFixtureCte: String =
+    """u AS (
+      |  SELECT doc_id,
+      |    'https://' ||
+      |    CASE WHEN doc_id % 17 = 0 THEN 'Spam.BadSite.com'
+      |         WHEN doc_id % 19 = 0 THEN 'WWW.CK'
+      |         WHEN doc_id % 13 = 0 THEN 'News.A.ne.JP'
+      |         WHEN doc_id % 11 = 0 THEN source || '.GitHub.IO'
+      |         WHEN doc_id % 7 = 0 THEN 'Shop.Foo.CK'
+      |         ELSE 'WWW.' || source || '.Example.com' END ||
+      |    CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END ||
+      |    '/Article/' || CAST(doc_id % 50 AS VARCHAR) ||
+      |    '?id=' || CAST(doc_id % 50 AS VARCHAR) ||
+      |    '&utm_source=feed' ||
+      |    CASE WHEN doc_id % 6 = 0 THEN '&UTM_Medium=Mail' ELSE '' END ||
+      |    CASE WHEN doc_id % 2 = 1 THEN '&ref=abc' ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0 THEN '&gclid=XYZ' ELSE '' END ||
+      |    CASE WHEN doc_id % 4 = 0 THEN '#Section2' ELSE '' END AS url
+      |  FROM documents
+      |)"""
+
   val all: Seq[QuerySpec] = Seq(
 
     // ------------------------------------------------------------------
@@ -1300,25 +1347,22 @@ object TrainingQueries {
     // canonicalize → blocklist by registrable domain → dedup by
     // canonical URL (min-id survivor) → per-host cap in md5 order.
     // Fixture URLs are synthesized per doc with planted uppercase hosts,
-    // default ports, tracking params, fragments, shared paths (canonical
-    // dups), and a spam domain — every canonicalization step is an
+    // default ports, tracking params (incl. an UPPERCASE utm_ one — the
+    // (?i) strip), fragments, shared paths (canonical dups), a spam
+    // domain, and PSL-exercising hosts: a multi-level ICANN suffix
+    // (News.A.ne.JP → a.ne.jp), a PRIVATE-section suffix
+    // (<source>.GitHub.IO → itself), a wildcard-rule host
+    // (Shop.Foo.CK, *.ck → shop.foo.ck) and the exception rule
+    // (WWW.CK, !www.ck → www.ck). Every canonicalization step is an
     // ordered RE2-safe regex the oracle mirrors 1:1 (Spark $1 backrefs,
-    // DuckDB \\1), and the staged ranks replay as window functions.
+    // DuckDB \\1), the PSL tiers replay via Psl.duckDomainCase (same
+    // regex strings), and the staged ranks replay as window functions.
     QuerySpec(
       "q121_url_curation",
       (s, dir) => {
         import graft.ops.UrlOps
         val cap = 20
-        val urlExpr = concat(lit("https://"),
-          when(col("doc_id") % 17 === 0, lit("Spam.BadSite.com"))
-            .otherwise(concat(lit("WWW."), col("source"), lit(".Example.com"))),
-          when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
-          lit("/Article/"), (col("doc_id") % 50).cast("string"),
-          lit("?id="), (col("doc_id") % 50).cast("string"),
-          lit("&utm_source=feed"),
-          when(col("doc_id") % 2 === 1, lit("&ref=abc")).otherwise(lit("")),
-          when(col("doc_id") % 5 === 0, lit("&gclid=XYZ")).otherwise(lit("")),
-          when(col("doc_id") % 4 === 0, lit("#Section2")).otherwise(lit("")))
+        val urlExpr = urlFixture
         val enriched = Tables.documents(s, dir)
           .select(col("doc_id"), urlExpr.as("__url"))
           .select(col("doc_id"),
@@ -1346,20 +1390,7 @@ object TrainingQueries {
             (coalesce(col("host_rank"), lit(cap + 1L)) <= cap).as("kept"))
           .orderBy("doc_id")
       },
-      Some("""WITH u AS (
-             |  SELECT doc_id,
-             |    'https://' ||
-             |    CASE WHEN doc_id % 17 = 0 THEN 'Spam.BadSite.com'
-             |         ELSE 'WWW.' || source || '.Example.com' END ||
-             |    CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END ||
-             |    '/Article/' || CAST(doc_id % 50 AS VARCHAR) ||
-             |    '?id=' || CAST(doc_id % 50 AS VARCHAR) ||
-             |    '&utm_source=feed' ||
-             |    CASE WHEN doc_id % 2 = 1 THEN '&ref=abc' ELSE '' END ||
-             |    CASE WHEN doc_id % 5 = 0 THEN '&gclid=XYZ' ELSE '' END ||
-             |    CASE WHEN doc_id % 4 = 0 THEN '#Section2' ELSE '' END AS url
-             |  FROM documents
-             |), steps AS (
+      Some(("""WITH """ + urlFixtureCte + """, steps AS (
              |  SELECT doc_id, url,
              |    regexp_replace(url, '#.*$', '', 'g') AS s1
              |  FROM u
@@ -1371,7 +1402,7 @@ object TrainingQueries {
              |), st4 AS (
              |  SELECT doc_id, url,
              |    regexp_replace(regexp_replace(regexp_replace(
-             |      regexp_replace(s2, '([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*',
+             |      regexp_replace(s2, '(?i)([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*',
              |                     '\1', 'g'),
              |      '\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$', '', 'g') AS s4
              |  FROM st2
@@ -1386,11 +1417,7 @@ object TrainingQueries {
              |  FROM st4
              |), e AS (
              |  SELECT doc_id, url_canon, host,
-             |    CASE WHEN regexp_matches(host,
-             |        '(^|\.)(co|com|org|net|ac|gov|edu)\.[a-z]{2}$')
-             |      THEN regexp_extract(host,
-             |        '([^.]+\.(?:co|com|org|net|ac|gov|edu)\.[a-z]{2})$', 1)
-             |      ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS domain
+             |    """ + graft.ops.Psl.duckDomainCase("host") + """ AS domain
              |  FROM c
              |), eb AS (
              |  SELECT *, domain = 'badsite.com' AS blocked FROM e
@@ -1412,7 +1439,7 @@ object TrainingQueries {
              |FROM eb
              |LEFT JOIN s1r ON s1r.doc_id = eb.doc_id
              |LEFT JOIN s2r ON s2r.doc_id = eb.doc_id
-             |ORDER BY eb.doc_id""".stripMargin)),
+             |ORDER BY eb.doc_id""").stripMargin)),
 
     // ------------------------------------------------------------------
     // Model-based quality classifier (ops.Classifier — the GPT-3
@@ -1473,6 +1500,43 @@ object TrainingQueries {
              |    false) AS keep
              |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
              |ORDER BY d.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Table-sourced domain blocklist (q121's scale variant): at corpus
+    // scale a blocklist is millions of domains — data, not config — so
+    // UrlOps.dropBlockedDomains takes it as a DataFrame and anti-joins
+    // on the PSL registrable domain (skinny key only; the small side
+    // broadcast-anti-joins — asserted in PlanSpec). Blocklist entries
+    // are mixed-case on purpose (the overload lowercases); the oracle
+    // replays the anti-join as NOT IN over the same PSL CASE, with ''
+    // (suffix-only hosts) surviving in both engines.
+    QuerySpec(
+      "q124_url_blocklist_table",
+      (s, dir) => {
+        import s.implicits._
+        import graft.ops.UrlOps
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), urlFixture.as("url"))
+        val blocklist = Seq("BadSite.com", "www.ck").toDF("domain")
+        UrlOps.dropBlockedDomains(docs, "url", blocklist, "domain")
+          .select(col("doc_id"),
+            UrlOps.hostOf(col("url")).as("host"),
+            UrlOps.registrableDomain(col("url")).as("domain"))
+          .orderBy("doc_id")
+      },
+      Some(("""WITH """ + urlFixtureCte + """, c AS (
+             |  SELECT doc_id,
+             |    lower(regexp_extract(url,
+             |      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1)) AS host
+             |  FROM u
+             |), e AS (
+             |  SELECT doc_id, host,
+             |    """ + graft.ops.Psl.duckDomainCase("host") + """ AS domain
+             |  FROM c
+             |)
+             |SELECT doc_id, host, domain FROM e
+             |WHERE domain NOT IN ('badsite.com', 'www.ck')
+             |ORDER BY doc_id""").stripMargin)),
 
     // ------------------------------------------------------------------
     // Real AUDIO container decode (q32's audio sibling): every doc gets a

@@ -607,9 +607,50 @@ class OpsSpec extends AnyFunSuite {
     val kept = UrlOps.dropBlockedDomains(urls, "url", Seq("BadSite.com"))
       .select("id").as[Long].collect().toSet
     assert(!kept.contains(4L) && kept.contains(1L)) // case-insensitive blocklist
+    val keptT = UrlOps.dropBlockedDomains(urls, "url",
+      Seq("BadSite.com").toDF("domain"), "domain")
+      .select("id").as[Long].collect().toSet
+    assert(keptT == kept) // table-sourced blocklist = literal blocklist
     val capped = UrlOps.capPerHost(urls, "id", "url", 1)
       .select("id").as[Long].collect().toSet
     assert((capped & Set(1L, 2L)).size == 1 && capped.contains(3L))
+  }
+
+  test("PSL registrable domains: tiers, wildcard, exception, fallback") {
+    import spark.implicits._
+    import graft.ops.UrlOps
+    val cases = Seq(
+      // (host, expected registrable domain) — PSL algorithm fixtures
+      ("news.a.ne.jp", "a.ne.jp"),          // multi-level ICANN suffix
+      ("a.ne.jp", "a.ne.jp"),               // exactly suffix + 1 label
+      ("ne.jp", ""),                        // host IS a public suffix
+      ("x.github.io", "x.github.io"),       // PRIVATE-section suffix
+      ("deep.sub.x.github.io", "x.github.io"),
+      ("github.io", ""),                    // private suffix itself
+      ("b.blogspot.co.uk", "b.blogspot.co.uk"), // 3-label private rule
+      ("example.co.uk", "example.co.uk"),
+      ("www.example.com", "example.com"),   // plain TLD
+      ("shop.foo.ck", "shop.foo.ck"),       // wildcard *.ck
+      ("a.shop.foo.ck", "shop.foo.ck"),
+      ("foo.ck", ""),                       // wildcard suffix itself
+      ("www.ck", "www.ck"),                 // exception !www.ck
+      ("sub.www.ck", "www.ck"),
+      ("bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com"),
+      ("vm.us-east.compute.amazonaws.com",  // depth-4 wildcard rule
+        "vm.us-east.compute.amazonaws.com"),
+      ("host.unknowntld.zz", "unknowntld.zz") // default rule: last 2 labels
+    )
+    val got = cases.map(_._1).toDF("h")
+      .select(col("h"),
+        UrlOps.registrableDomain(concat(lit("https://"), col("h"))).as("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (h, want) =>
+      assert(got(h) == want, s"host $h: got ${got(h)}, want $want")
+    }
+    // uppercase tracking params are stripped (inline (?i))
+    val c = Seq("https://a.example.com/p?UTM_Source=X&id=1&Gclid=Z")
+      .toDF("url").select(UrlOps.canonicalizeUrl(col("url"))).head.getString(0)
+    assert(c == "https://a.example.com/p?id=1", c)
   }
 
   test("ccnet pipeline: terciles partition the en slice, kept = head+middle") {

@@ -227,10 +227,24 @@ class PlanSpec extends AnyFunSuite {
     val plan = executedPlan("q121_url_curation")
     // the regex plane is pure projection; the only exchanges are the two
     // staged skinny windows (canonical dedup, host cap) + result sort —
-    // the document text column must never appear in the plan
-    assert(!plan.contains("text"), s"q121 must never touch the text column\n$plan")
+    // the document text column must never appear in the plan. Match the
+    // ATTRIBUTE form text#NNN, not the bare substring (a column named
+    // fulltext or a codegen comment containing 'text' is not a leak)
+    assert("\\btext#\\d+".r.findFirstIn(plan).isEmpty,
+      s"q121 must never touch the text column\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"q121 must not cross-join\n$plan")
+  }
+
+  test("q124: table-sourced blocklist broadcast-anti-joins on the domain key") {
+    val plan = executedPlan("q124_url_blocklist_table")
+    // a small blocklist must ride a broadcast anti join (Catalyst picks
+    // it from the local relation's size stats); shuffling the corpus on
+    // the domain key for a tiny list is the failure mode
+    assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(plan).isDefined,
+      s"expected broadcast LeftAnti join for small blocklist\n$plan")
+    assert("\\btext#\\d+".r.findFirstIn(plan).isEmpty,
+      s"q124 must never touch the text column\n$plan")
   }
 
   test("q122: classifier count tables broadcast; corpus shuffles only skinny features") {
