@@ -385,6 +385,90 @@ object Ivf {
     } finally { assigned.unpersist(false); () }
   }
 
+  /** Offline small-file compaction for a [[saveIndex]]/[[saveIndexPq]]
+    * layout — the maintenance middle tier between per-wave
+    * [[appendToIndex]] and a full [[rebuildIndex]]: every micro-batch
+    * leaves one appended file per touched list, so after N waves a hot
+    * list holds N small files and probe scans pay file-listing and
+    * footer overhead per file (the classic small-file scale-killer —
+    * the partition pruning the layout exists for still works, but each
+    * pruned-in list costs N opens instead of 1). Rewrites ONLY the
+    * lists whose data-file count exceeds `maxFilesPerList` — in
+    * `lists/` and, for quantized/PQ layouts, `refine/`, each judged
+    * independently — down to ceil(bytes / targetFileBytes) right-sized
+    * files (1 for small lists; a genuinely large list keeps multiple
+    * full-size files even if that exceeds `maxFilesPerList`).
+    *
+    * Rows are unchanged — pure file-count reduction: search results are
+    * identical before/after, and append idempotence (the dedupeIds
+    * anti-join) is unaffected because ids and partition values do not
+    * move. OFFLINE op (run without concurrent writers, like
+    * [[graft.streaming.StreamingIngest.compactDedupTarget]]). The
+    * per-list swap is marker-fenced: old list parked under an
+    * underscore-prefixed dir (invisible to partition discovery), new
+    * files lifted in, park deleted — and ON ENTRY a crashed earlier
+    * attempt is rolled forward/back first (parked dir restored when the
+    * live dir is missing, orphaned tmp/park debris removed), so the
+    * recovery action is simply running the op again. Returns the number
+    * of (directory, list) pairs compacted.
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                   maxFilesPerList: Int = 16,
+                   targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    require(maxFilesPerList >= 1, "maxFilesPerList must be >= 1")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    Seq("lists", "refine").map { dir =>
+      compactDir(spark, fs, new org.apache.hadoop.fs.Path(root, dir),
+        maxFilesPerList, targetFileBytes)
+    }.sum
+  }
+
+  private def compactDir(spark: org.apache.spark.sql.SparkSession,
+                         fs: org.apache.hadoop.fs.FileSystem,
+                         dirPath: org.apache.hadoop.fs.Path,
+                         maxFilesPerList: Int, targetFileBytes: Long): Int = {
+    import org.apache.hadoop.fs.Path
+    if (!fs.exists(dirPath)) return 0
+    // recovery from a crashed earlier attempt: a parked list whose live
+    // dir vanished (crash between the two renames) is restored; parked
+    // debris next to a live dir (crash before park deletion) and stale
+    // tmp writes are dropped
+    fs.listStatus(dirPath).filter(_.getPath.getName.startsWith("_graft_compact_old_"))
+      .foreach { t =>
+        val live = new Path(dirPath, t.getPath.getName.stripPrefix("_graft_compact_old_"))
+        if (!fs.exists(live))
+          require(fs.rename(t.getPath, live), s"recovery rename failed: ${t.getPath}")
+        else fs.delete(t.getPath, true)
+      }
+    fs.listStatus(dirPath).filter(_.getPath.getName.startsWith("_graft_compact_tmp_"))
+      .foreach(t => fs.delete(t.getPath, true))
+    var compacted = 0
+    fs.globStatus(new Path(dirPath, "__cid=*")).filter(_.isDirectory).foreach { d =>
+      val dataFiles = fs.listStatus(d.getPath).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      if (dataFiles.length > maxFilesPerList) {
+        val totalBytes = dataFiles.map(_.getLen).sum
+        val want = math.max(1L,
+          (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+        val tmp = new Path(dirPath, s"_graft_compact_tmp_${d.getPath.getName}")
+        val trash = new Path(dirPath, s"_graft_compact_old_${d.getPath.getName}")
+        // rewrite this list's rows (files hold no partition column)
+        spark.read.parquet(d.getPath.toString)
+          .coalesce(want)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.toString)
+        fs.delete(new Path(tmp, "_SUCCESS"), false)
+        require(fs.rename(d.getPath, trash), s"park rename failed: ${d.getPath}")
+        require(fs.rename(tmp, d.getPath), s"lift rename failed: $tmp")
+        fs.delete(trash, true)
+        compacted += 1
+      }
+    }
+    compacted
+  }
+
   /** Index health for the rebuild decision ([[assignToExisting]]'s drift
     * contract): one summary row (n_lists = k, n_nonempty, n_vectors,
     * max_list, median_list over NONEMPTY lists, skew = max/median).
@@ -440,15 +524,27 @@ object Ivf {
     val k = if (nCentroids > 0) nCentroids else ivfPolicy(corpus.count())._1
     val rebuilt = buildIndex(corpus, idCol, "__vn", k, iters, seed, maxTrainRows)
     if (pq) {
-      // preserve the index's PQ configuration: m and kPerSub are
-      // recovered from the saved codebooks (subspace count, largest
-      // per-subspace centroid set) — a default-config rebuild would
-      // silently change the code bytes per vector and the recall/IO
-      // profile of the index the caller is about to flip serving to
-      val perSub = spark.read.parquet(path + "/pq").groupBy("subspace").count()
-      val cfg = perSub.agg(
-        count(lit(1)).cast("int"), max(col("count")).cast("int")).head()
-      saveIndexPq(rebuilt, newPath, m = cfg.getInt(0), kPerSub = cfg.getInt(1))
+      // preserve the index's PQ configuration — a default-config rebuild
+      // would silently change the code bytes per vector and the
+      // recall/IO profile of the index the caller is about to flip
+      // serving to. The configured (m, kPerSub) comes from the pq_meta
+      // file saveIndexPq writes; legacy layouts without it fall back to
+      // inferring from codebook shape (which under-reads kPerSub when
+      // k-means trained fewer centroids than configured — the reason
+      // the meta file exists)
+      val metaPath = new org.apache.hadoop.fs.Path(path + "/pq_meta")
+      val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+      val (m, kPerSub) =
+        if (fs.exists(metaPath)) {
+          val r = spark.read.parquet(path + "/pq_meta").head()
+          (r.getAs[Int]("m"), r.getAs[Int]("k_per_sub"))
+        } else {
+          val perSub = spark.read.parquet(path + "/pq").groupBy("subspace").count()
+          val cfg = perSub.agg(
+            count(lit(1)).cast("int"), max(col("count")).cast("int")).head()
+          (cfg.getInt(0), cfg.getInt(1))
+        }
+      saveIndexPq(rebuilt, newPath, m = m, kPerSub = kPerSub)
     } else saveIndex(rebuilt, newPath, quantize = quantized)
     rebuilt
   }
@@ -664,6 +760,13 @@ object Ivf {
       }.toSeq.toDF("subspace", "cid", "centroid")
         .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(path + "/pq")
+      // persist the CONFIGURED (m, kPerSub), not just the trained books:
+      // on degenerate training sets k-means can emit fewer centroids
+      // than kPerSub in every subspace, and a rebuild that infers config
+      // from codebook shape would ratchet the capacity down permanently
+      Seq((mEff, kPerSub)).toDF("m", "k_per_sub")
+        .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(path + "/pq_meta")
     } finally { assigned.unpersist(false); () }
     index.centroids.toSeq.map { case (cid, c) => (cid, c.toSeq) }
       .toDF("cid", "centroid")

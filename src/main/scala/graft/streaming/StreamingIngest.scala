@@ -404,20 +404,26 @@ object StreamingIngest {
     * due for an offline rebuild when list-size skew (max/median over
     * nonempty lists) exceeds `maxSkew`, or the nonempty-list fraction
     * falls below `minNonemptyFrac` (dead probe capacity — most centroids
-    * own nothing while appends pile onto a few lists).
+    * own nothing while appends pile onto a few lists). Independently,
+    * lists that accumulated more than `maxFilesPerList` appended files
+    * are folded by [[graft.ops.Ivf.compactIndex]] after a non-rebuild
+    * appending wave (a rebuild rewrites everything anyway) — the
+    * small-file middle tier between per-wave appends and a rebuild.
     */
   final case class AnnDriftPolicy(maxSkew: Double = 8.0,
-                                  minNonemptyFrac: Double = 0.25)
+                                  minNonemptyFrac: Double = 0.25,
+                                  maxFilesPerList: Int = 32)
 
   /** What [[annIndexSinkWithPolicy]] did: vectors appended, the health
-    * numbers that drove the decision, and where the CURRENT index now
+    * numbers that drove the decision, where the CURRENT index now
     * lives (`rebuildDir` after a rebuild, `indexDir` otherwise — the
     * caller owns the serving pointer flip, see
-    * [[graft.ops.Ivf.rebuildIndex]]).
+    * [[graft.ops.Ivf.rebuildIndex]]), and how many over-fragmented
+    * (directory, list) pairs were compacted.
     */
   final case class AnnSinkReport(appended: Long, skew: Double,
                                  nonemptyFrac: Double, rebuilt: Boolean,
-                                 currentDir: String)
+                                 currentDir: String, compacted: Int = 0)
 
   /** [[annIndexSink]] plus the drift contract closed: after a wave that
     * appended anything, evaluate [[graft.ops.Ivf.indexStats]] against
@@ -447,7 +453,14 @@ object StreamingIngest {
     if (skew > policy.maxSkew || frac < policy.minNonemptyFrac) {
       graft.ops.Ivf.rebuildIndex(spark, indexDir, rebuildDir, idCol)
       AnnSinkReport(appended, skew, frac, rebuilt = true, rebuildDir)
-    } else AnnSinkReport(appended, skew, frac, rebuilt = false, indexDir)
+    } else {
+      // second maintenance tier: the stream has drained (AvailableNow),
+      // so no concurrent writer — safe window for the offline compaction
+      val folded = graft.ops.Ivf.compactIndex(spark, indexDir,
+        policy.maxFilesPerList)
+      AnnSinkReport(appended, skew, frac, rebuilt = false, indexDir,
+        compacted = folded)
+    }
   }
 
   /** The latest COMMITTED aggregate state written by [[aggStateSink]]

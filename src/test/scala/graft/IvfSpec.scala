@@ -439,6 +439,75 @@ class IvfSpec extends AnyFunSuite {
       s"wave-2 vector not served: ${top.mkString(",")}")
   }
 
+  test("compactIndex: 20 append waves fold to right-sized lists; search identical; idempotence intact") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-idx").toString
+    Ivf.saveIndex(Ivf.buildIndex(emb.filter(col("vec_id") < 50L),
+      "vec_id", "embedding", nCentroids = 4), dir, quantize = true)
+
+    def maxFiles(sub: String): Int = {
+      val root = new java.io.File(dir, sub)
+      root.listFiles().filter(d => d.isDirectory && d.getName.startsWith("__cid="))
+        .map(_.listFiles().count(f => f.isFile &&
+          !f.getName.startsWith("_") && !f.getName.startsWith("."))).max
+    }
+    // 20 micro-batch waves of 5 vectors: each leaves one appended file
+    // per touched list in BOTH lists/ and refine/
+    (0 until 20).foreach { w =>
+      val lo = 50L + 5L * w
+      assert(Ivf.appendToIndex(spark, dir,
+        emb.filter(col("vec_id") >= lo && col("vec_id") < lo + 5L),
+        "vec_id", "embedding") == 5L)
+    }
+    assert(maxFiles("lists") > 4 && maxFiles("refine") > 4,
+      s"waves must fragment: lists=${maxFiles("lists")} refine=${maxFiles("refine")}")
+
+    val queries = emb.filter(col("vec_id").isin(3L, 77L, 142L))
+      .select((col("vec_id") + 10000L).as("query_id"),
+        col("embedding").as("query_vec"))
+    def results(): Seq[(Long, Long, Double, Int)] =
+      Ivf.searchIndexQuantized(spark, dir, queries, "query_id", "query_vec",
+        "vec_id", k = 5, nProbe = 4)
+        .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+        .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val before = results()
+    assert(before.nonEmpty)
+
+    val folded = Ivf.compactIndex(spark, dir, maxFilesPerList = 4)
+    assert(folded > 0, "over-fragmented lists must be compacted")
+    assert(maxFiles("lists") <= 4 && maxFiles("refine") <= 4,
+      s"post-compaction counts: lists=${maxFiles("lists")} refine=${maxFiles("refine")}")
+    assert(results() == before, "compaction must not change search results")
+    // rerun: nothing left over the threshold — a no-op
+    assert(Ivf.compactIndex(spark, dir, maxFilesPerList = 4) == 0)
+
+    // replayed-wave idempotence is preserved across compaction: ids did
+    // not move, so the dedupeIds anti-join still sees every one of them
+    assert(Ivf.appendToIndex(spark, dir,
+      emb.filter(col("vec_id") >= 100L && col("vec_id") < 150L),
+      "vec_id", "embedding", dedupeIds = true) == 0L)
+    assert(spark.read.parquet(dir + "/lists").count() == 150L)
+    assert(results() == before)
+
+    // policy wiring: a fresh appending wave through the sink with a
+    // tight file budget compacts (and does not rebuild)
+    val inDir = java.nio.file.Files.createTempDirectory("graft-compact-in").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-compact-ck").toString
+    val rbDir = java.nio.file.Files.createTempDirectory("graft-compact-rb").toString + "/v2"
+    emb.filter(col("vec_id") >= 150L && col("vec_id") < 160L)
+      .coalesce(1).write.mode("append").parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val report = graft.streaming.StreamingIngest.annIndexSinkWithPolicy(spark,
+      spark.readStream.schema(schema).parquet(inDir),
+      "vec_id", "embedding", dir, ckDir,
+      graft.streaming.StreamingIngest.AnnDriftPolicy(maxFilesPerList = 1), rbDir)
+    assert(report.appended == 10L && !report.rebuilt, report.toString)
+    assert(report.compacted > 0, s"sink must fold appended files: $report")
+    assert(maxFiles("lists") <= 1 && maxFiles("refine") <= 1)
+    assert(spark.read.parquet(dir + "/lists").count() == 160L)
+  }
+
   test("rebuildIndex preserves a non-default PQ configuration") {
     val emb = Tables.embeddings(spark, sf)
     val index = Ivf.buildIndex(emb, "vec_id", "embedding", nCentroids = 4)
@@ -455,6 +524,12 @@ class IvfSpec extends AnyFunSuite {
     val codeLen = spark.read.parquet(newDir + "/lists")
       .select(length(col("__pq"))).head().getInt(0)
     assert(codeLen == 4, s"code width changed: $codeLen bytes")
+    // the config travels via pq_meta, NOT codebook-shape inference: even
+    // if a degenerate training set produced < kPerSub centroids in every
+    // subspace, repeated rebuilds keep the configured capacity
+    val meta = spark.read.parquet(newDir + "/pq_meta").head()
+    assert(meta.getAs[Int]("m") == 4 && meta.getAs[Int]("k_per_sub") == 16,
+      s"pq_meta must carry the configured (m, kPerSub): $meta")
   }
 
   test("streaming ANN sink over a PQ layout: appends re-encode, search meets the recall floor") {
