@@ -148,6 +148,214 @@ object TrainingQueries {
       |  FROM documents
       |)"""
 
+  /** q120/q125 language-ID projection (q24's marker formula): best
+    * marker-count language over en/de/es/fr, CJK script override, else
+    * unknown. Pure per-row work — the text column never leaves the
+    * projection.
+    */
+  private def ccnetLangDf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val st = graft.functions.ArrayMath.textStats(col("text"))
+    val scored = Seq("en" -> "s_en", "de" -> "s_de", "es" -> "s_es", "fr" -> "s_fr")
+      .map { case (l2, f) =>
+        struct(col(s"__st.$f").as("score"), lit(l2).as("lang"))
+      }
+    val best = greatest(scored: _*)
+    docs.select(col("doc_id"), col("text"), st.as("__st"))
+      .select(col("doc_id"),
+        when(col("text").rlike("[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}]"), "zh")
+          .otherwise(when(best.getField("score") > 0, best.getField("lang"))
+            .otherwise("unknown")).as("lang"))
+  }
+
+  /** q121/q125 URL-plane verdict over the [[urlFixture]] projection:
+    * canonicalize → blocklist by registrable domain → canonical-URL
+    * dedup (min-id survivor) → per-host cap in md5 order. Staged ranks —
+    * each stage's window runs over the PREVIOUS stage's survivors only
+    * (a rank over the full frame would count dropped rows and shift
+    * every boundary). Only (doc_id, url-derived) columns ever shuffle.
+    */
+  private def urlPlaneDf(docs: org.apache.spark.sql.DataFrame,
+                         cap: Int): org.apache.spark.sql.DataFrame = {
+    import graft.ops.UrlOps
+    val enriched = docs
+      .select(col("doc_id"), urlFixture.as("__url"))
+      .select(col("doc_id"),
+        UrlOps.canonicalizeUrl(col("__url")).as("url_canon"),
+        UrlOps.hostOf(col("__url")).as("host"),
+        UrlOps.registrableDomain(col("__url")).as("domain"))
+      .withColumn("blocked", col("domain") === "badsite.com")
+    val s1 = enriched.filter(!col("blocked"))
+      .withColumn("url_rank", row_number().over(
+        Window.partitionBy(col("url_canon")).orderBy(col("doc_id"))))
+    val s2 = s1.filter(col("url_rank") === 1)
+      .withColumn("host_rank", row_number().over(
+        Window.partitionBy(col("host"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+    enriched
+      .join(s1.select(col("doc_id"), col("url_rank")), Seq("doc_id"), "left")
+      .join(s2.select(col("doc_id"), col("host_rank")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("url_canon"), col("host"), col("domain"),
+        col("blocked"),
+        col("url_rank").cast("long").as("url_rank"),
+        col("host_rank").cast("long").as("host_rank"),
+        (coalesce(col("host_rank"), lit(cap + 1L)) <= cap).as("kept"))
+  }
+
+  /** DuckDB langid CTEs (lsc, p) — the oracle side of [[ccnetLangDf]],
+    * spliced into q120/q125 (embedded pre-stripMargin).
+    */
+  private val langIdCte: String =
+    """lsc AS (
+      |  SELECT doc_id, text,
+      |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |      x -> x IN ('the','and','of','to','is','in','that','it'))) AS s_en,
+      |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |      x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS s_de,
+      |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |      x -> x IN ('el','la','los','de','que','y','es','un'))) AS s_es,
+      |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |      x -> x IN ('le','la','les','et','est','un','une','que'))) AS s_fr
+      |  FROM documents
+      |), p AS (
+      |  SELECT doc_id, CASE
+      |    WHEN regexp_matches(text, '[\p{Han}\p{Hiragana}\p{Katakana}]') THEN 'zh'
+      |    WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_en THEN 'fr'
+      |    WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_de AND s_es >= s_en THEN 'es'
+      |    WHEN s_en > 0 AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+      |    WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es AND s_de >= s_en THEN 'de'
+      |    ELSE 'unknown' END AS lang
+      |  FROM lsc
+      |)"""
+
+  /** DuckDB bigram-LM CTEs (t … nll) — the oracle side of
+    * [[TextOps.bigramLmNll]] trained on the full corpus, ending in a
+    * per-document (doc_id, n_bigrams, avg_nll) frame. Spliced into
+    * q120/q125 (embedded pre-stripMargin).
+    */
+  private lazy val lmNllCte: String =
+    s"""t AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents
+       |), bgd AS (
+       |  SELECT doc_id,
+       |    unnest([toks[i] FOR i IN range(1, len(toks))]) AS w1,
+       |    unnest([toks[i+1] FOR i IN range(1, len(toks))]) AS w2
+       |  FROM t WHERE len(toks) >= 2
+       |), bg AS (
+       |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+       |  FROM bgd GROUP BY 1, 2
+       |), lc AS (
+       |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bg GROUP BY 1
+       |), v AS (
+       |  SELECT COUNT(DISTINCT w) AS v FROM (
+       |    SELECT unnest(string_split($normSql, ' ')) AS w FROM documents)
+       |), scq AS (
+       |  SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |    SUM(CAST(ln(CAST(lc.c1 + v.v AS DOUBLE) / (bg.c12 + 1))
+       |        AS DECIMAL(18,12))) AS s
+       |  FROM bgd d
+       |  JOIN bg ON bg.w1 = d.w1 AND bg.w2 = d.w2
+       |  JOIN lc ON lc.w1 = d.w1
+       |  CROSS JOIN v
+       |  GROUP BY d.doc_id
+       |), nll AS (
+       |  SELECT doc.doc_id, COALESCE(scq.n_bigrams, 0) AS n_bigrams,
+       |    ROUND(CAST(CAST(scq.s AS VARCHAR) AS DOUBLE)
+       |      / CAST(scq.n_bigrams AS DOUBLE), 6) AS avg_nll
+       |  FROM documents doc LEFT JOIN scq ON scq.doc_id = doc.doc_id
+       |)"""
+
+  /** DuckDB URL-plane CTEs (steps … s2r) — the oracle side of
+    * [[urlPlaneDf]] up to the staged ranks; expects the [[urlFixtureCte]]
+    * `u` frame upstream. Built with the SAME [[graft.ops.Psl]] regex
+    * strings the Spark side compiles. Spliced into q121/q125 (embedded
+    * pre-stripMargin).
+    */
+  private lazy val urlPlaneCte: String =
+    """steps AS (
+      |  SELECT doc_id, url,
+      |    regexp_replace(url, '#.*$', '', 'g') AS s1
+      |  FROM u
+      |), st2 AS (
+      |  SELECT doc_id, url,
+      |    lower(regexp_extract(s1, '^([^/]*//[^/?#]*)', 1)) ||
+      |      regexp_replace(s1, '^[^/]*//[^/?#]*', '', 'g') AS s2
+      |  FROM steps
+      |), st4 AS (
+      |  SELECT doc_id, url,
+      |    regexp_replace(regexp_replace(regexp_replace(
+      |      regexp_replace(s2, '(?i)([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*',
+      |                     '\1', 'g'),
+      |      '\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$', '', 'g') AS s4
+      |  FROM st2
+      |), c AS (
+      |  SELECT doc_id,
+      |    regexp_replace(
+      |      regexp_replace(s4, '(://[^/:?#]+):(80|443)([/?#]|$)',
+      |                     '\1\3', 'g'),
+      |      '^([a-z]+://[^/?#]+)/$', '\1', 'g') AS url_canon,
+      |    lower(regexp_extract(url,
+      |      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1)) AS host
+      |  FROM st4
+      |), e AS (
+      |  SELECT doc_id, url_canon, host,
+      |    """ + graft.ops.Psl.duckDomainCase("host") + """ AS domain
+      |  FROM c
+      |), eb AS (
+      |  SELECT *, domain = 'badsite.com' AS blocked FROM e
+      |), s1r AS (
+      |  SELECT doc_id, ROW_NUMBER() OVER (
+      |    PARTITION BY url_canon ORDER BY doc_id) AS url_rank
+      |  FROM eb WHERE NOT blocked
+      |), s2r AS (
+      |  SELECT eb.doc_id, ROW_NUMBER() OVER (
+      |    PARTITION BY eb.host
+      |    ORDER BY md5(CAST(eb.doc_id AS VARCHAR)), eb.doc_id) AS host_rank
+      |  FROM eb JOIN s1r ON s1r.doc_id = eb.doc_id
+      |  WHERE s1r.url_rank = 1
+      |)"""
+
+  /** DuckDB NB-classifier CTEs (cn … csc) — the oracle side of
+    * [[graft.ops.Classifier.nbScores]] (training replayed as counting);
+    * names c-prefixed so they compose with the langid/LM CTEs in q125.
+    * Spliced into q122/q125 (embedded pre-stripMargin).
+    */
+  private val nbCte: String =
+    """cn AS (
+      |  SELECT doc_id, source IN ('src0', 'src1') AS y,
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+      |  FROM documents
+      |), ct AS (
+      |  SELECT doc_id, y, string_split(nt, ' ') AS toks
+      |  FROM cn WHERE LENGTH(nt) > 0
+      |), cfeats AS (
+      |  SELECT doc_id, y, unnest(list_concat(toks,
+      |    [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))])) AS g
+      |  FROM ct
+      |), cfb AS (
+      |  SELECT doc_id, y,
+      |    CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) % 10000 AS b
+      |  FROM cfeats
+      |), ccnt AS (
+      |  SELECT b, SUM(CASE WHEN y THEN 1 ELSE 0 END) AS pc,
+      |         SUM(CASE WHEN y THEN 0 ELSE 1 END) AS nc
+      |  FROM cfb GROUP BY 1
+      |), ctot AS (
+      |  SELECT (SELECT SUM(pc) FROM ccnt) AS ptot,
+      |    (SELECT SUM(nc) FROM ccnt) AS ntot,
+      |    (SELECT COUNT(*) FROM documents
+      |       WHERE source IN ('src0', 'src1')) AS npos,
+      |    (SELECT COUNT(*) FROM documents
+      |       WHERE source NOT IN ('src0', 'src1')) AS nneg
+      |), csc AS (
+      |  SELECT cfb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,
+      |    SUM(CAST(ln(ccnt.pc + 1.0) - ln(ctot.ptot + 10000.0)
+      |           - ln(ccnt.nc + 1.0) + ln(ctot.ntot + 10000.0)
+      |        AS DECIMAL(18,12))) AS s,
+      |    MAX(ln(CAST(ctot.npos AS DOUBLE) / ctot.nneg)) AS prior
+      |  FROM cfb JOIN ccnt ON ccnt.b = cfb.b CROSS JOIN ctot
+      |  GROUP BY 1
+      |)"""
+
   val all: Seq[QuerySpec] = Seq(
 
     // ------------------------------------------------------------------
@@ -1256,17 +1464,7 @@ object TrainingQueries {
       "q120_ccnet_pipeline",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val st = graft.functions.ArrayMath.textStats(col("text"))
-        val scored = Seq("en" -> "s_en", "de" -> "s_de", "es" -> "s_es", "fr" -> "s_fr")
-          .map { case (l2, f) =>
-            struct(col(s"__st.$f").as("score"), lit(l2).as("lang"))
-          }
-        val best = greatest(scored: _*)
-        val langDf = docs.select(col("doc_id"), col("text"), st.as("__st"))
-          .select(col("doc_id"),
-            when(col("text").rlike("[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}]"), "zh")
-              .otherwise(when(best.getField("score") > 0, best.getField("lang"))
-                .otherwise("unknown")).as("lang"))
+        val langDf = ccnetLangDf(docs)
         val nll = TextOps.bigramLmNll(docs, "doc_id", "text", docs, "text")
         val joined = langDf.join(nll, Seq("doc_id"))
         val w = Window.orderBy(col("avg_nll"), col("doc_id"))
@@ -1279,56 +1477,7 @@ object TrainingQueries {
             (coalesce(col("ppl_bucket"), lit(3L)) <= 2L).as("kept"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH sc AS (
-              |  SELECT doc_id, text,
-              |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-              |      x -> x IN ('the','and','of','to','is','in','that','it'))) AS s_en,
-              |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-              |      x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS s_de,
-              |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-              |      x -> x IN ('el','la','los','de','que','y','es','un'))) AS s_es,
-              |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-              |      x -> x IN ('le','la','les','et','est','un','une','que'))) AS s_fr
-              |  FROM documents
-              |), p AS (
-              |  SELECT doc_id, CASE
-              |    WHEN regexp_matches(text, '[\\p{Han}\\p{Hiragana}\\p{Katakana}]') THEN 'zh'
-              |    WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_en THEN 'fr'
-              |    WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_de AND s_es >= s_en THEN 'es'
-              |    WHEN s_en > 0 AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
-              |    WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es AND s_de >= s_en THEN 'de'
-              |    ELSE 'unknown' END AS lang
-              |  FROM sc
-              |), t AS (
-              |  SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents
-              |), bgd AS (
-              |  SELECT doc_id,
-              |    unnest([toks[i] FOR i IN range(1, len(toks))]) AS w1,
-              |    unnest([toks[i+1] FOR i IN range(1, len(toks))]) AS w2
-              |  FROM t WHERE len(toks) >= 2
-              |), bg AS (
-              |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
-              |  FROM bgd GROUP BY 1, 2
-              |), lc AS (
-              |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bg GROUP BY 1
-              |), v AS (
-              |  SELECT COUNT(DISTINCT w) AS v FROM (
-              |    SELECT unnest(string_split($normSql, ' ')) AS w FROM documents)
-              |), scq AS (
-              |  SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-              |    SUM(CAST(ln(CAST(lc.c1 + v.v AS DOUBLE) / (bg.c12 + 1))
-              |        AS DECIMAL(18,12))) AS s
-              |  FROM bgd d
-              |  JOIN bg ON bg.w1 = d.w1 AND bg.w2 = d.w2
-              |  JOIN lc ON lc.w1 = d.w1
-              |  CROSS JOIN v
-              |  GROUP BY d.doc_id
-              |), nll AS (
-              |  SELECT doc.doc_id, COALESCE(scq.n_bigrams, 0) AS n_bigrams,
-              |    ROUND(CAST(CAST(scq.s AS VARCHAR) AS DOUBLE)
-              |      / CAST(scq.n_bigrams AS DOUBLE), 6) AS avg_nll
-              |  FROM documents doc LEFT JOIN scq ON scq.doc_id = doc.doc_id
-              |), en AS (
+      Some(("""WITH """ + langIdCte + """, """ + lmNllCte + """, en AS (
               |  SELECT n.doc_id,
               |    CAST(NTILE(3) OVER (ORDER BY n.avg_nll, n.doc_id) AS BIGINT)
               |      AS ppl_bucket
@@ -1340,7 +1489,7 @@ object TrainingQueries {
               |FROM nll n
               |JOIN p ON p.doc_id = n.doc_id
               |LEFT JOIN en ON en.doc_id = n.doc_id
-              |ORDER BY n.doc_id""".stripMargin)),
+              |ORDER BY n.doc_id""").stripMargin)),
 
     // ------------------------------------------------------------------
     // URL-plane curation (ops.UrlOps — the C4/RefinedWeb front gate):
@@ -1359,79 +1508,9 @@ object TrainingQueries {
     // regex strings), and the staged ranks replay as window functions.
     QuerySpec(
       "q121_url_curation",
-      (s, dir) => {
-        import graft.ops.UrlOps
-        val cap = 20
-        val urlExpr = urlFixture
-        val enriched = Tables.documents(s, dir)
-          .select(col("doc_id"), urlExpr.as("__url"))
-          .select(col("doc_id"),
-            UrlOps.canonicalizeUrl(col("__url")).as("url_canon"),
-            UrlOps.hostOf(col("__url")).as("host"),
-            UrlOps.registrableDomain(col("__url")).as("domain"))
-          .withColumn("blocked", col("domain") === "badsite.com")
-        // staged ranks: each stage's window runs over the PREVIOUS
-        // stage's survivors only (a rank over the full frame would count
-        // dropped rows and shift every boundary)
-        val s1 = enriched.filter(!col("blocked"))
-          .withColumn("url_rank", row_number().over(
-            Window.partitionBy(col("url_canon")).orderBy(col("doc_id"))))
-        val s2 = s1.filter(col("url_rank") === 1)
-          .withColumn("host_rank", row_number().over(
-            Window.partitionBy(col("host"))
-              .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
-        enriched
-          .join(s1.select(col("doc_id"), col("url_rank")), Seq("doc_id"), "left")
-          .join(s2.select(col("doc_id"), col("host_rank")), Seq("doc_id"), "left")
-          .select(col("doc_id"), col("url_canon"), col("host"), col("domain"),
-            col("blocked"),
-            col("url_rank").cast("long").as("url_rank"),
-            col("host_rank").cast("long").as("host_rank"),
-            (coalesce(col("host_rank"), lit(cap + 1L)) <= cap).as("kept"))
-          .orderBy("doc_id")
-      },
-      Some(("""WITH """ + urlFixtureCte + """, steps AS (
-             |  SELECT doc_id, url,
-             |    regexp_replace(url, '#.*$', '', 'g') AS s1
-             |  FROM u
-             |), st2 AS (
-             |  SELECT doc_id, url,
-             |    lower(regexp_extract(s1, '^([^/]*//[^/?#]*)', 1)) ||
-             |      regexp_replace(s1, '^[^/]*//[^/?#]*', '', 'g') AS s2
-             |  FROM steps
-             |), st4 AS (
-             |  SELECT doc_id, url,
-             |    regexp_replace(regexp_replace(regexp_replace(
-             |      regexp_replace(s2, '(?i)([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*',
-             |                     '\1', 'g'),
-             |      '\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$', '', 'g') AS s4
-             |  FROM st2
-             |), c AS (
-             |  SELECT doc_id,
-             |    regexp_replace(
-             |      regexp_replace(s4, '(://[^/:?#]+):(80|443)([/?#]|$)',
-             |                     '\1\3', 'g'),
-             |      '^([a-z]+://[^/?#]+)/$', '\1', 'g') AS url_canon,
-             |    lower(regexp_extract(url,
-             |      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1)) AS host
-             |  FROM st4
-             |), e AS (
-             |  SELECT doc_id, url_canon, host,
-             |    """ + graft.ops.Psl.duckDomainCase("host") + """ AS domain
-             |  FROM c
-             |), eb AS (
-             |  SELECT *, domain = 'badsite.com' AS blocked FROM e
-             |), s1r AS (
-             |  SELECT doc_id, ROW_NUMBER() OVER (
-             |    PARTITION BY url_canon ORDER BY doc_id) AS url_rank
-             |  FROM eb WHERE NOT blocked
-             |), s2r AS (
-             |  SELECT eb.doc_id, ROW_NUMBER() OVER (
-             |    PARTITION BY eb.host
-             |    ORDER BY md5(CAST(eb.doc_id AS VARCHAR)), eb.doc_id) AS host_rank
-             |  FROM eb JOIN s1r ON s1r.doc_id = eb.doc_id
-             |  WHERE s1r.url_rank = 1
-             |)
+      (s, dir) =>
+        urlPlaneDf(Tables.documents(s, dir), cap = 20).orderBy("doc_id"),
+      Some(("""WITH """ + urlFixtureCte + """, """ + urlPlaneCte + """
              |SELECT eb.doc_id, eb.url_canon, eb.host, eb.domain, eb.blocked,
              |  CAST(s1r.url_rank AS BIGINT) AS url_rank,
              |  CAST(s2r.host_rank AS BIGINT) AS host_rank,
@@ -1458,48 +1537,14 @@ object TrainingQueries {
         graft.ops.Classifier.nbScores(Tables.documents(s, dir), "doc_id",
           "text", col("source").isin("src0", "src1"))
           .orderBy("doc_id"),
-      Some("""WITH n AS (
-             |  SELECT doc_id, source IN ('src0', 'src1') AS y,
-             |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
-             |  FROM documents
-             |), t AS (
-             |  SELECT doc_id, y, string_split(nt, ' ') AS toks
-             |  FROM n WHERE LENGTH(nt) > 0
-             |), feats AS (
-             |  SELECT doc_id, y, unnest(list_concat(toks,
-             |    [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))])) AS g
-             |  FROM t
-             |), fb AS (
-             |  SELECT doc_id, y,
-             |    CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) % 10000 AS b
-             |  FROM feats
-             |), cnt AS (
-             |  SELECT b, SUM(CASE WHEN y THEN 1 ELSE 0 END) AS pc,
-             |         SUM(CASE WHEN y THEN 0 ELSE 1 END) AS nc
-             |  FROM fb GROUP BY 1
-             |), tot AS (
-             |  SELECT (SELECT SUM(pc) FROM cnt) AS ptot,
-             |    (SELECT SUM(nc) FROM cnt) AS ntot,
-             |    (SELECT COUNT(*) FROM documents
-             |       WHERE source IN ('src0', 'src1')) AS npos,
-             |    (SELECT COUNT(*) FROM documents
-             |       WHERE source NOT IN ('src0', 'src1')) AS nneg
-             |), sc AS (
-             |  SELECT fb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,
-             |    SUM(CAST(ln(cnt.pc + 1.0) - ln(tot.ptot + 10000.0)
-             |           - ln(cnt.nc + 1.0) + ln(tot.ntot + 10000.0)
-             |        AS DECIMAL(18,12))) AS s,
-             |    MAX(ln(CAST(tot.npos AS DOUBLE) / tot.nneg)) AS prior
-             |  FROM fb JOIN cnt ON cnt.b = fb.b CROSS JOIN tot
-             |  GROUP BY 1
-             |)
-             |SELECT d.doc_id, COALESCE(sc.n_features, 0) AS n_features,
-             |  ROUND(CAST(CAST(sc.s AS VARCHAR) AS DOUBLE) + sc.prior, 6) AS score,
+      Some(("""WITH """ + nbCte + """
+             |SELECT d.doc_id, COALESCE(csc.n_features, 0) AS n_features,
+             |  ROUND(CAST(CAST(csc.s AS VARCHAR) AS DOUBLE) + csc.prior, 6) AS score,
              |  COALESCE(
-             |    ROUND(CAST(CAST(sc.s AS VARCHAR) AS DOUBLE) + sc.prior, 6) > 0,
+             |    ROUND(CAST(CAST(csc.s AS VARCHAR) AS DOUBLE) + csc.prior, 6) > 0,
              |    false) AS keep
-             |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
-             |ORDER BY d.doc_id""".stripMargin)),
+             |FROM documents d LEFT JOIN csc ON csc.doc_id = d.doc_id
+             |ORDER BY d.doc_id""").stripMargin)),
 
     // ------------------------------------------------------------------
     // Table-sourced domain blocklist (q121's scale variant): at corpus
@@ -1537,6 +1582,74 @@ object TrainingQueries {
              |SELECT doc_id, host, domain FROM e
              |WHERE domain NOT IN ('badsite.com', 'www.ck')
              |ORDER BY doc_id""").stripMargin)),
+
+    // ------------------------------------------------------------------
+    // End-to-end curation composition — the chain real pipelines run
+    // (RefinedWeb/CCNet order): URL gate (q121's plane) → langid + LM
+    // perplexity terciles over the URL SURVIVORS only (q120's rank-based
+    // bucketing — the gate order matters: a tercile over the full corpus
+    // would move every boundary) → NB quality keep-gate (q122's
+    // corpus-trained classifier, the GPT-3 App.-A reference-vs-rest
+    // labeling — training is corpus-level by design, the gate applies in
+    // the chain). Every stage reuses the SAME factored spelling (Spark
+    // helper + spliced oracle CTEs) its standalone query certifies, so
+    // this entry certifies the COMPOSITION: gate ordering, survivor
+    // windows, and the final conjunction. Scale shape: the text column
+    // is consumed only in per-row projections off the scan (langid,
+    // bigram explode, ngram hash); everything joined or windowed is a
+    // skinny (doc_id, …) frame — text never shuffles (PlanSpec asserts
+    // it on the executed plan's exchanges).
+    QuerySpec(
+      "q125_curation_e2e",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val uv = urlPlaneDf(docs, cap = 20)
+          .select(col("doc_id"), col("kept").as("url_kept"))
+        val langDf = ccnetLangDf(docs)
+        val nll = TextOps.bigramLmNll(docs, "doc_id", "text", docs, "text")
+        val joined = langDf.join(nll, Seq("doc_id")).join(uv, Seq("doc_id"))
+        val w = Window.orderBy(col("avg_nll"), col("doc_id"))
+        val en = joined
+          .filter(col("url_kept") && col("lang") === "en" && col("n_bigrams") > 0)
+          .withColumn("ppl_bucket", ntile(3).over(w).cast("long"))
+        val nb = graft.ops.Classifier.nbScores(docs, "doc_id", "text",
+          col("source").isin("src0", "src1"))
+        joined
+          .join(en.select(col("doc_id"), col("ppl_bucket")), Seq("doc_id"), "left")
+          .join(nb.select(col("doc_id"), col("score"), col("keep")), Seq("doc_id"))
+          .select(col("doc_id"), col("url_kept"), col("lang"), col("n_bigrams"),
+            col("avg_nll"), col("ppl_bucket"),
+            col("score").as("nb_score"),
+            (col("url_kept") && coalesce(col("ppl_bucket"), lit(3L)) <= 2L
+              && col("keep")).as("kept"))
+          .orderBy("doc_id")
+      },
+      Some(("""WITH """ + urlFixtureCte + """, """ + urlPlaneCte + """, uv AS (
+             |  SELECT eb.doc_id, COALESCE(s2r.host_rank, 21) <= 20 AS url_kept
+             |  FROM eb LEFT JOIN s2r ON s2r.doc_id = eb.doc_id
+             |), """ + langIdCte + """, """ + lmNllCte + """, """ + nbCte + """, en AS (
+             |  SELECT n.doc_id,
+             |    CAST(NTILE(3) OVER (ORDER BY n.avg_nll, n.doc_id) AS BIGINT)
+             |      AS ppl_bucket
+             |  FROM nll n
+             |  JOIN p ON p.doc_id = n.doc_id
+             |  JOIN uv ON uv.doc_id = n.doc_id
+             |  WHERE p.lang = 'en' AND n.n_bigrams > 0 AND uv.url_kept
+             |)
+             |SELECT n.doc_id, uv.url_kept, p.lang, n.n_bigrams, n.avg_nll,
+             |  en.ppl_bucket,
+             |  ROUND(CAST(CAST(csc.s AS VARCHAR) AS DOUBLE) + csc.prior, 6)
+             |    AS nb_score,
+             |  (uv.url_kept AND COALESCE(en.ppl_bucket, 3) <= 2
+             |   AND COALESCE(
+             |     ROUND(CAST(CAST(csc.s AS VARCHAR) AS DOUBLE) + csc.prior, 6) > 0,
+             |     false)) AS kept
+             |FROM nll n
+             |JOIN p ON p.doc_id = n.doc_id
+             |JOIN uv ON uv.doc_id = n.doc_id
+             |LEFT JOIN en ON en.doc_id = n.doc_id
+             |LEFT JOIN csc ON csc.doc_id = n.doc_id
+             |ORDER BY n.doc_id""").stripMargin)),
 
     // ------------------------------------------------------------------
     // Real AUDIO container decode (q32's audio sibling): every doc gets a

@@ -247,6 +247,30 @@ class PlanSpec extends AnyFunSuite {
       s"q124 must never touch the text column\n$plan")
   }
 
+  test("q125: composed curation pipeline shuffles the text column zero times") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // AQE wraps the plan and hides exchanges behind node boundaries —
+    // unwrap adaptive roots and materialized query stages explicitly
+    def collectShuffles(p: SparkPlan): Seq[ShuffleExchangeLike] = p.flatMap {
+      case a: AdaptiveSparkPlanExec => collectShuffles(a.executedPlan)
+      case q: QueryStageExec => collectShuffles(q.plan)
+      case s: ShuffleExchangeLike => Seq(s)
+      case _ => Nil
+    }
+    val df = SparkEntry.queries("q125_curation_e2e")(spark, sf)
+    val shuffles = collectShuffles(df.queryExecution.executedPlan)
+    // the composition is real distributed work: skinny windows, LM joins,
+    // classifier counting all shuffle — but only (doc_id, derived) frames.
+    // Text is consumed in projections off the scan (langid, bigram
+    // explode, ngram hash) and must never be an exchange output.
+    assert(shuffles.nonEmpty, "expected skinny shuffles in the composition")
+    val leaky = shuffles.filter(_.output.exists(_.name == "text"))
+    assert(leaky.isEmpty,
+      s"text column must never shuffle:\n${leaky.map(_.treeString).mkString("\n")}")
+  }
+
   test("q122: classifier count tables broadcast; corpus shuffles only skinny features") {
     val plan = executedPlan("q122_quality_classifier")
     assert(plan.contains("BroadcastExchange"),
