@@ -50,6 +50,14 @@ object Classifier {
     * documents score NULL and are never kept, `keep = score > 0` (the
     * decision boundary of the log-odds form).
     *
+    * Cache lifetime: with `cacheFeatures = true` (the default) the
+    * hashed-ngram occurrence frame is persisted and — because the
+    * returned value is a lazy plan over it — stays in the cache until
+    * session end. Scoring many distinct corpora in one long-lived
+    * session accumulates one entry each; either pass
+    * `cacheFeatures = false` or call `spark.catalog.clearCache()`
+    * between corpora (the [[Curation.dsirWeights]] contract).
+    *
     * @param isPos boolean label column (evaluated against `docs`):
     *              the curated reference slice
     */
@@ -94,19 +102,65 @@ object Classifier {
         coalesce(col("score") > 0.0, lit(false)).as("keep"))
   }
 
+  /** NB log-count-ratio weight VECTOR (length nBuckets + 1, bias last:
+    * the ln(Npos/Nneg) prior) — the same closed-form weights
+    * [[nbScores]] applies, materialized as the NBSVM-style init for
+    * [[trainLogistic]] (Wang & Manning ACL 2012: NB features, then a
+    * discriminative pass). Buckets unseen in training get the add-one
+    * smoothing default ln((ntot+B)/(ptot+B)), not zero — that IS their
+    * NB weight. Driver traffic: the ≤ nBuckets-row count table plus one
+    * prior row (same bound as one [[trainLogistic]] iteration).
+    *
+    * `scaleHash` must match the flavor of every tier sharing these
+    * weights — md5 and xxhash64 bucket the same grams differently.
+    */
+  def nbWeights(docs: DataFrame, idCol: String, textCol: String,
+                isPos: Column, nBuckets: Int = 10000,
+                scaleHash: Boolean = false): Array[Double] = {
+    require(nBuckets >= 2, "nBuckets must be >= 2")
+    val labeled = docs.withColumn("__y", isPos)
+    val counts = Curation.hashedNgrams(
+        labeled, Seq(col(idCol), col("__y")), textCol, nBuckets, scaleHash)
+      .groupBy(col("__b"))
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__pc"),
+        sum(when(col("__y"), 0L).otherwise(1L)).as("__nc"))
+      .collect() // bounded: <= nBuckets rows
+    val ptot = counts.map(_.getLong(1)).sum
+    val ntot = counts.map(_.getLong(2)).sum
+    val prior = labeled.agg(
+      sum(when(col("__y"), 1L).otherwise(0L)),
+      sum(when(col("__y"), 0L).otherwise(1L))).head() // 1 row
+    val b = nBuckets.toLong
+    val w = Array.fill(nBuckets + 1)(
+      math.log(1.0 / (ptot + b)) - math.log(1.0 / (ntot + b)))
+    counts.foreach { r =>
+      w(r.getLong(0).toInt) =
+        math.log((r.getLong(1) + 1.0) / (ptot + b)) -
+          math.log((r.getLong(2) + 1.0) / (ntot + b))
+    }
+    w(nBuckets) = math.log(prior.getLong(0).toDouble / prior.getLong(1))
+    w
+  }
+
   /** Full-batch logistic regression over L1-normalized hashed-ngram
     * counts (x_b = count_b / n_features): `iters` gradient steps at
     * rate `lr`, weights indexed [0, nBuckets) plus bias at [nBuckets].
-    * Returns (weights, per-iteration mean log-loss) — the loss trace is
-    * the training-health artifact the spec asserts on. Per-document
-    * dots and per-bucket gradients route through DECIMAL so training is
-    * deterministic under any partitioning.
+    * Returns (weights, per-iteration mean log-loss, per-iteration
+    * gradient rows collected) — the loss trace is the training-health
+    * artifact the spec asserts on, and the gradient-row trace makes the
+    * driver-traffic bound OBSERVABLE: each entry is the exact number of
+    * (bucket, gradient) rows that crossed to the driver that iteration,
+    * ≤ nBuckets by construction (plus one bias scalar and one loss
+    * scalar — the ≤ nBuckets+1-doubles-per-iteration contract the scale
+    * spec pins). Per-document dots and per-bucket gradients route
+    * through DECIMAL so training is deterministic under any
+    * partitioning.
     */
   def trainLogistic(docs: DataFrame, idCol: String, textCol: String,
                     isPos: Column, nBuckets: Int = 10000, iters: Int = 5,
                     lr: Double = 1.0,
                     init: Array[Double] = null,
-                    scaleHash: Boolean = false): (Array[Double], Seq[Double]) = {
+                    scaleHash: Boolean = false): (Array[Double], Seq[Double], Seq[Int]) = {
     require(iters >= 1, "iters must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -128,6 +182,7 @@ object Classifier {
       val w = if (init != null) init.clone() else new Array[Double](nBuckets + 1)
       require(w.length == nBuckets + 1, "init must be nBuckets + 1 long (bias last)")
       val losses = Seq.newBuilder[Double]
+      val gradRows = Seq.newBuilder[Int]
       for (_ <- 1 to iters) {
         val wDf = w.take(nBuckets).zipWithIndex
           .map { case (v, b) => (b.toLong, v) }.toSeq.toDF("__b", "__w")
@@ -147,6 +202,7 @@ object Classifier {
           .agg(sum(((col("__p") - col("__y")) * col("__x")).cast("decimal(28,18)"))
             .cast("double").as("__g"))
           .collect().map(r => (r.getLong(0).toInt, r.getDouble(1))).toMap
+        gradRows += grad.size
         val gBias = p.agg(sum((col("__p") - col("__y")).cast("decimal(28,18)"))
           .cast("double")).head().getDouble(0)
         val loss = p.agg(sum(
@@ -162,7 +218,7 @@ object Classifier {
         }
         w(nBuckets) -= lr * gBias / n
       }
-      (w, losses.result())
+      (w, losses.result(), gradRows.result())
     } finally { feats.unpersist(false); () }
   }
 }

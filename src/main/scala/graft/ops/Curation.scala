@@ -386,7 +386,7 @@ object Curation {
     * behavior, certified against the md5 flavor by selection-overlap
     * tests (the [[Dedup.crossDocSpans]] pluggable-hash precedent).
     */
-  private[ops] def hashedNgrams(d: DataFrame, cols: Seq[Column], textCol: String,
+  private[graft] def hashedNgrams(d: DataFrame, cols: Seq[Column], textCol: String,
                            nBuckets: Int, scaleHash: Boolean = false): DataFrame = {
     // blank docs carry no features (split('') is [''], a phantom token)
     val t = d.filter(length(TextOps.normalized(col(textCol))) > 0)

@@ -564,15 +564,55 @@ class OpsSpec extends AnyFunSuite {
     }
     // GD refinement: mean log-loss is monotone non-increasing from zero
     // init, and training is bit-deterministic under partition layout
-    val (w, losses) = Classifier.trainLogistic(docs, "doc_id", "text", isPos,
+    val (w, losses, _) = Classifier.trainLogistic(docs, "doc_id", "text", isPos,
       nBuckets = 2000, iters = 4, lr = 5.0)
     assert(losses.zip(losses.tail).forall { case (a, b) => b <= a + 1e-12 },
       s"loss not monotone: $losses")
     assert(w.length == 2001)
-    val (w2, losses2) = Classifier.trainLogistic(docs.repartition(13), "doc_id",
+    val (w2, losses2, _) = Classifier.trainLogistic(docs.repartition(13), "doc_id",
       "text", isPos, nBuckets = 2000, iters = 4, lr = 5.0)
     assert(losses == losses2, "loss trace depends on partition layout")
     assert(w.toSeq == w2.toSeq, "weights depend on partition layout")
+  }
+
+  test("trainLogistic at feature scale: NB init reaches separation in <=3 iters, driver traffic bounded") {
+    import spark.implicits._
+    import graft.ops.Classifier
+    val docs = Tables.documents(spark, sf)
+    val isPos = col("source").isin("src0", "src1")
+    val nBuckets = 4096
+    // NBSVM init: closed-form NB weights, one counting pass
+    val init = Classifier.nbWeights(docs, "doc_id", "text", isPos, nBuckets)
+    assert(init.length == nBuckets + 1)
+    val (w, losses, gradRows) = Classifier.trainLogistic(docs, "doc_id", "text",
+      isPos, nBuckets = nBuckets, iters = 3, lr = 0.5, init = init)
+    // (a) loss monotone non-increasing from the NB start
+    assert(losses.zip(losses.tail).forall { case (a, b) => b <= a + 1e-12 },
+      s"loss not monotone from NB init: $losses")
+    // (b) <= 3 iterations to a fixed separation margin: scored on the
+    // per-occurrence (NB-score-scale) dot — the scale nbScores gates
+    // on — the refined weights keep the reference slice >= 2.0 log-odds
+    // above the rest on average
+    val feats = graft.ops.Curation.hashedNgrams(
+        docs.withColumn("__y", isPos), Seq(col("doc_id"), col("__y")),
+        "text", nBuckets, scaleHash = false)
+      .groupBy(col("doc_id"), col("__y"), col("__b"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+    val wDf = w.take(nBuckets).zipWithIndex.toSeq
+      .map { case (v, b) => (b.toLong, v) }.toDF("__b", "__w")
+    val margin = feats
+      .join(broadcast(wDf), Seq("__b"))
+      .groupBy(col("doc_id"), col("__y"))
+      .agg(sum(col("__c") * col("__w")).as("__dot"))
+      .groupBy(col("__y")).agg(avg(col("__dot"))).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(margin(true) - margin(false) >= 2.0,
+      s"NB-init model must separate by >= 2.0 log-odds in 3 iters: $margin")
+    // (c) per-iteration driver traffic: the observable gradient-row
+    // trace stays <= nBuckets (plus the bias and loss scalars)
+    assert(gradRows.length == 3)
+    assert(gradRows.forall(_ <= nBuckets),
+      s"gradient collect exceeded the nBuckets bound: $gradRows")
   }
 
   test("url curation: canonicalization, PSL domains, dedup, caps") {
