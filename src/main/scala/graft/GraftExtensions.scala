@@ -97,6 +97,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(ArrayMath.audioMetaName,
         "_FUNC_(bytes) - WAV header metadata struct, NULL if unparseable"),
       exprs => AudioMeta(exprs(0))))
+    e.injectFunction((FunctionIdentifier(ArrayMath.gifMetaName),
+      info(ArrayMath.gifMetaName,
+        "_FUNC_(bytes) - GIF frame-walk struct(width,height,n_frames,frames), NULL if malformed"),
+      exprs => GifMeta(exprs(0))))
+    e.injectFunction((FunctionIdentifier(ArrayMath.gifAnimName),
+      info(ArrayMath.gifAnimName,
+        "_FUNC_(w, h, nFrames, seed) - fixture-side multi-frame GIF89a encoder"),
+      exprs => GifAnimBytes(exprs)))
     e.injectFunction((FunctionIdentifier(ArrayMath.int8DotName),
       info(ArrayMath.int8DotName,
         "_FUNC_(codes, vec) - dot(array<tinyint>, array<double>)"),

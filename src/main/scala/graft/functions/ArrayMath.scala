@@ -266,6 +266,8 @@ object ArrayMath {
   val jpegGradientName = "graft_jpeg_gradient_bytes"
   val audioPcmName = "graft_audio_pcm_stats"
   val wavToneName = "graft_wav_tone_bytes"
+  val gifMetaName = "graft_gif_meta"
+  val gifAnimName = "graft_gif_anim_bytes"
   val rgbStatsName = "graft_rgb_channel_stats"
   val audioMetaName = "graft_audio_meta"
   val int8DotName = "graft_int8_dot"
@@ -397,6 +399,10 @@ object ArrayMath {
     reg.createOrReplaceTempFunction(
       audioMetaName, exprs => AudioMeta(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction(
+      gifMetaName, exprs => GifMeta(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      gifAnimName, exprs => GifAnimBytes(exprs), "scala_udf")
+    reg.createOrReplaceTempFunction(
       int8DotName, exprs => Int8DotProduct(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
       int8StatsName, exprs => Int8Stats(exprs(0)), "scala_udf")
@@ -523,6 +529,16 @@ object ArrayMath {
     * (see [[AudioMeta]]).
     */
   def audioMeta(bytes: Column): Column = call_function(audioMetaName, bytes)
+
+  /** binary → struct<width,height,n_frames,frames> from a strict GIF
+    * block walk; NULL on any grammar violation (see [[GifMeta]]).
+    */
+  def gifMeta(bytes: Column): Column = call_function(gifMetaName, bytes)
+
+  /** Fixture-side real multi-frame GIF89a encoder (see [[GifAnimBytes]]). */
+  def gifAnimBytes(w: Column, h: Column, nFrames: Column,
+                   seed: Column): Column =
+    call_function(gifAnimName, w, h, nFrames, seed)
 
   /** Codegen'd dot(array<tinyint> codes, array<double>) — the quantized
     * probe scoring loop (see [[Int8DotProduct]]).

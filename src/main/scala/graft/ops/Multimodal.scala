@@ -337,4 +337,34 @@ object Multimodal {
       .withColumnRenamed("col", "frame_bytes")
       .select(col("media_id"), col("frame_idx"), col("frame_bytes"),
         length(col("frame_bytes")).cast("long").as("frame_size"))
+
+  /** Fixture-side real multi-frame GIF89a encoder
+    * ([[graft.functions.GifKernel.encodeAnim]]).
+    */
+  def gifAnimBytes(w: Column, h: Column, nFrames: Column,
+                   seed: Column): Column =
+    graft.functions.ArrayMath.gifAnimBytes(w, h, nFrames, seed)
+
+  /** REAL container frame sampling — the animated-GIF upgrade of
+    * [[sampleFrames]]'s byte windows: one strict block walk per payload
+    * (native [[graft.functions.GifMeta]] expression over the public
+    * GIF89a grammar, no LZW raster decode — frame CATALOGS are a
+    * metadata plane) then one generator explode per frame. Zero
+    * shuffles, zero UDFs; malformed payloads contribute no rows (a NULL
+    * meta struct never explodes).
+    *
+    * media(media_id, bytes) → (media_id, width, height, n_frames,
+    * frame_idx, x_off, y_off, w, h, delay_cs).
+    */
+  def gifFrames(media: DataFrame): DataFrame =
+    media.select(col("media_id"),
+        graft.functions.ArrayMath.gifMeta(col("bytes")).as("__g"))
+      .filter(col("__g").isNotNull)
+      .select(col("media_id"), col("__g.width").as("width"),
+        col("__g.height").as("height"), col("__g.n_frames").as("n_frames"),
+        posexplode(col("__g.frames")))
+      .select(col("media_id"), col("width"), col("height"), col("n_frames"),
+        col("pos").as("frame_idx"), col("col.x_off").as("x_off"),
+        col("col.y_off").as("y_off"), col("col.w").as("w"),
+        col("col.h").as("h"), col("col.delay_cs").as("delay_cs"))
 }

@@ -1652,6 +1652,56 @@ object TrainingQueries {
              |ORDER BY n.doc_id""").stripMargin)),
 
     // ------------------------------------------------------------------
+    // Animated-container frame walking (functions.GifKernel — the
+    // multi-frame sibling of q32/q103's header planes): every doc gets a
+    // genuine multi-frame GIF89a (logical screen + per-frame graphic
+    // control + image descriptor + sub-block chains, assembled from
+    // doc_id-derived parameters), and the native GifMeta expression
+    // strict-walks the block grammar back OUT — per-frame geometry and
+    // timing without LZW raster decode (frame catalogs are a metadata
+    // plane at corpus scale). The oracle recomputes every planted field
+    // from doc_id arithmetic via range-unnest — any walker drift from
+    // the public GIF89a block layout hash-mismatches; corrupt-payload
+    // rejection is pinned in OpsSpec (truncation, bad magic, trailing
+    // junk, wrong control-block size all NULL).
+    QuerySpec(
+      "q126_gif_frames",
+      (s, dir) => {
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id").as("media_id"),
+            Multimodal.gifAnimBytes(
+              (col("doc_id") % 10 + 24).cast("int"),
+              ((col("doc_id") * 3) % 10 + 24).cast("int"),
+              (col("doc_id") % 5 + 1).cast("int"),
+              (col("doc_id") % 17).cast("int")).as("bytes"))
+        Multimodal.gifFrames(media)
+          .select(col("media_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("n_frames").cast("long").as("n_frames"),
+            col("frame_idx").cast("long").as("frame_idx"),
+            col("x_off").cast("long").as("x_off"),
+            col("y_off").cast("long").as("y_off"),
+            col("w").cast("long").as("w"),
+            col("h").cast("long").as("h"),
+            col("delay_cs").cast("long").as("delay_cs"))
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(doc_id % 10 + 24 AS BIGINT) AS width,
+             |  CAST((doc_id * 3) % 10 + 24 AS BIGINT) AS height,
+             |  CAST(doc_id % 5 + 1 AS BIGINT) AS n_frames,
+             |  CAST(i AS BIGINT) AS frame_idx,
+             |  CAST((doc_id % 17 + 3 * i) % 8 AS BIGINT) AS x_off,
+             |  CAST((doc_id % 17 + 5 * i) % 8 AS BIGINT) AS y_off,
+             |  CAST((doc_id % 17 + 7 * i) % 16 + 1 AS BIGINT) AS w,
+             |  CAST((doc_id % 17 + 11 * i) % 16 + 1 AS BIGINT) AS h,
+             |  CAST((doc_id % 17 + 13 * i) % 500 AS BIGINT) AS delay_cs
+             |FROM (SELECT doc_id, unnest(range(doc_id % 5 + 1)) AS i
+             |      FROM documents)
+             |ORDER BY media_id, frame_idx""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Real AUDIO container decode (q32's audio sibling): every doc gets a
     // genuine complete PCM WAV (RIFF + fmt + zero-filled data chunk,
     // assembled little-endian from doc_id-derived parameters with codegen

@@ -615,6 +615,50 @@ class OpsSpec extends AnyFunSuite {
       s"gradient collect exceeded the nBuckets bound: $gradRows")
   }
 
+  test("GIF frame walk: hand-built minimal GIF parses; malformed payloads all NULL") {
+    import graft.functions.GifKernel
+    // the classic 43-byte 1x1 GIF89a (header, 2-entry GCT, graphic
+    // control, one 1x1 frame) — a REAL-WORLD layout, not our encoder's
+    def hex(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val oneByOne = hex("474946383961" + "0100" + "0100" + "80" + "00" + "00" +
+      "000000" + "ffffff" +
+      "21f9" + "04" + "01" + "0000" + "00" + "00" +
+      "2c" + "0000" + "0000" + "0100" + "0100" + "00" +
+      "02" + "02" + "4401" + "00" + "3b")
+    assert(oneByOne.length == 43)
+    val parsed = GifKernel.frames(oneByOne)
+    assert(parsed != null, "real-world minimal GIF must parse")
+    assert(parsed.getInt(0) == 1 && parsed.getInt(1) == 1 && parsed.getInt(2) == 1)
+    val f0 = parsed.getArray(3).getStruct(0, 5)
+    assert(f0.getInt(0) == 0 && f0.getInt(1) == 0 &&
+      f0.getInt(2) == 1 && f0.getInt(3) == 1 && f0.getInt(4) == 0)
+    // encoder → walker round trip with known arithmetic
+    val anim = GifKernel.encodeAnim(30, 25, 3, 5)
+    val p2 = GifKernel.frames(anim)
+    assert(p2.getInt(0) == 30 && p2.getInt(1) == 25 && p2.getInt(2) == 3)
+    val f1 = p2.getArray(3).getStruct(1, 5) // i = 1
+    assert(f1.getInt(0) == (5 + 3) % 8 && f1.getInt(1) == (5 + 5) % 8 &&
+      f1.getInt(2) == (5 + 7) % 16 + 1 && f1.getInt(3) == (5 + 11) % 16 + 1 &&
+      f1.getInt(4) == (5 + 13) % 500)
+    // strictness: every violation NULLs, never a guess
+    assert(GifKernel.frames(null) == null)
+    assert(GifKernel.frames(anim.take(20)) == null, "truncated mid-stream")
+    assert(GifKernel.frames(anim.dropRight(1)) == null, "missing trailer")
+    assert(GifKernel.frames(anim :+ 0x00.toByte) == null, "trailing junk")
+    val badMagic = anim.clone(); badMagic(4) = '8'.toByte
+    assert(GifKernel.frames(badMagic) == null, "GIF88a is not a version")
+    val badGce = anim.clone(); badGce(15) = 5.toByte // GCE size must be 4
+    assert(GifKernel.frames(badGce) == null, "wrong control-block size")
+    val badIntro = anim.clone(); badIntro(13) = 0x7f.toByte
+    assert(GifKernel.frames(badIntro) == null, "unknown block introducer")
+    // the walker honors sub-block lengths (a length pointing past the
+    // buffer is a truncation, not an over-read)
+    val shortData = GifKernel.encodeAnim(30, 25, 1, 5)
+    val cut = shortData.take(shortData.length - 2) // drop chain term + trailer
+    assert(GifKernel.frames(cut) == null)
+  }
+
   test("url curation: canonicalization, PSL domains, dedup, caps") {
     import spark.implicits._
     import graft.ops.UrlOps
