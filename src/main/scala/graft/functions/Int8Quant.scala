@@ -76,18 +76,23 @@ object Int8Stats {
 /** Static kernel shared by eval and generated code. */
 object Int8QuantKernel {
 
-  /** Test-only evaluation counter (guarded by a volatile flag so the hot
-    * path pays one predictable branch, no atomics, when disabled): the
-    * QuantizeSpec eval-count test flips it on and asserts the kernel runs
-    * exactly once per row even after CollapseProject merges the staged
-    * projections — the structural guarantee the HOF spelling lacked.
+  /** Test-only evaluation counter, scoped by vector DIMENSION rather
+    * than a global on/off window (the hot path pays one predictable
+    * compare, no atomics, when disarmed at -1): the QuantizeSpec
+    * eval-count test arms it with a marker dimension only its own
+    * fixture uses and asserts the kernel runs exactly once per row even
+    * after CollapseProject merges the staged projections — the
+    * structural guarantee the HOF spelling lacked. Dimension scoping
+    * keeps the assertion immune to OTHER suites evaluating Int8Stats
+    * concurrently in the same JVM (parallel-suite runs would inflate a
+    * global window; their vectors never have the marker dimension).
     */
-  @volatile var countEnabled: Boolean = false
+  @volatile var countDim: Int = -1
   val evalCount: AtomicLong = new AtomicLong
 
   /** null when the array is empty or contains a null element. */
   def stats(v: ArrayData, isFloat: Boolean): InternalRow = {
-    if (countEnabled) evalCount.incrementAndGet()
+    if (countDim == v.numElements()) evalCount.incrementAndGet()
     val n = v.numElements()
     if (n == 0) return null
     var i = 0

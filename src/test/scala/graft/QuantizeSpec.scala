@@ -33,9 +33,16 @@ class QuantizeSpec extends AnyFunSuite {
   }
 
   test("int8 kernel evaluates exactly once per row in the q61-shaped plan") {
+    import spark.implicits._
     import graft.functions.Int8QuantKernel
-    val emb = Tables.embeddings(spark, sf)
-    val n = emb.count()
+    // marker dimension no other fixture in the JVM uses: dimension-scoped
+    // counting keeps this assertion exact even when other suites evaluate
+    // Int8Stats concurrently (parallel-suite runs share the static kernel)
+    val markerDim = 193
+    val n = 400
+    val emb = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(markerDim)(j => ((i * 193 + j) % 101 - 50) / 7.0f).toSeq)
+    }.toDF("vec_id", "embedding")
     // the exact q61 spelling: one struct projection, three field reads —
     // after CollapseProject the field reads each carry a copy of the
     // Int8Stats call, and whole-stage codegen subexpression elimination
@@ -48,8 +55,8 @@ class QuantizeSpec extends AnyFunSuite {
         round(col("__q8.scale"), 6).as("scale"),
         round(col("__q8.max_abs_err"), 8).as("max_abs_err"))
     Int8QuantKernel.evalCount.set(0L)
-    Int8QuantKernel.countEnabled = true
-    try q61shaped.collect() finally Int8QuantKernel.countEnabled = false
+    Int8QuantKernel.countDim = markerDim
+    try q61shaped.collect() finally Int8QuantKernel.countDim = -1
     val evals = Int8QuantKernel.evalCount.get()
     assert(evals == n, s"kernel ran $evals times for $n rows — not once per row")
   }
