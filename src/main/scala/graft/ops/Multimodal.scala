@@ -289,12 +289,39 @@ object Multimodal {
       (mx - mn).toFloat, st.getLong(5).toFloat, st.getInt(6).toFloat)
   }
 
+  /** Feature lanes for an animated GIF payload (strict block walk —
+    * [[graft.functions.GifKernel.frames]], frame catalog without LZW
+    * raster decode): [screen_w, screen_h, n_frames, total_delay_cs,
+    * max_frame_w, max_frame_h, sum_frame_area, first_frame_delay_cs].
+    * All integer-derived from the container grammar. null when the walk
+    * rejects the payload.
+    */
+  private def gifFeatures(bytes: Array[Byte]): Array[Float] = {
+    val st = graft.functions.GifKernel.frames(bytes)
+    if (st == null) return null
+    val frames = st.getArray(3)
+    var totalDelay = 0L; var maxW = 0; var maxH = 0; var area = 0L
+    var i = 0
+    while (i < frames.numElements()) {
+      val f = frames.getStruct(i, 5)
+      totalDelay += f.getInt(4)
+      if (f.getInt(2) > maxW) maxW = f.getInt(2)
+      if (f.getInt(3) > maxH) maxH = f.getInt(3)
+      area += f.getInt(2).toLong * f.getInt(3)
+      i += 1
+    }
+    Array(st.getInt(0).toFloat, st.getInt(1).toFloat, st.getInt(2).toFloat,
+      totalDelay.toFloat, maxW.toFloat, maxH.toFloat, area.toFloat,
+      frames.getStruct(0, 5).getInt(4).toFloat)
+  }
+
   /** Batch feature extraction over the media column. `mapPartitions` is the
     * deliberate choice: one iterator per partition = one decoder
     * instantiation per task, not per row. Content-sniffed magic dispatches
     * each payload to its GENUINE decoder — PNG ([[pngFeatures]], hand-
     * rolled zlib + defilter), JPEG ([[jpegFeatures]], JDK codec), WAV
-    * ([[wavFeatures]], LPCM sample decode) — and only payloads no real
+    * ([[wavFeatures]], LPCM sample decode), animated GIF
+    * ([[gifFeatures]], strict container walk) — and only payloads no real
     * decoder claims (unknown magic, or corrupt within a claimed format)
     * fall to the labeled [[decodeStub]], reported as `decoded = "stub"`.
     */
@@ -314,6 +341,8 @@ object Multimodal {
               ("jpeg", jpegFeatures(payload))
             else if (graft.functions.WavPcmKernel.isWav(payload))
               ("wav", wavFeatures(payload))
+            else if (graft.functions.GifKernel.isGif(payload))
+              ("gif", gifFeatures(payload))
             else (null, null)
           if (sniffed._2 != null) sniffed
           else ("stub", decodeStub(payload)) // unknown magic or corrupt payload

@@ -518,7 +518,10 @@ class OpsSpec extends AnyFunSuite {
     val wav = graft.functions.WavPcmKernel.encodeTone(2, 8000, 16, 10)
     val junk = Array[Byte]('J', 'U', 'N', 'K', 99)
     val corrupt = png.clone(); corrupt(30) = (corrupt(30) ^ 0xff).toByte // break IHDR CRC
-    val media = Seq((1L, png), (2L, jpg), (3L, wav), (4L, junk), (5L, corrupt))
+    val gif = graft.functions.GifKernel.encodeAnim(30, 25, 2, 3)
+    val gifCorrupt = gif.dropRight(1) // GIF magic intact, trailer gone
+    val media = Seq((1L, png), (2L, jpg), (3L, wav), (4L, junk), (5L, corrupt),
+      (6L, gif), (7L, gifCorrupt))
       .toDF("media_id", "bytes")
       .select(col("media_id"), col("bytes"),
         struct(lit("application/octet-stream").as("format"), lit(0).as("width"),
@@ -531,6 +534,18 @@ class OpsSpec extends AnyFunSuite {
       got(3L).decoded == "wav")
     // junk AND corrupt-PNG both fall to the labeled stub lane
     assert(got(4L).decoded == "stub" && got(5L).decoded == "stub")
+    // GIF routes through the container walk; corrupt-within-claim stubs
+    assert(got(6L).decoded == "gif" && got(7L).decoded == "stub")
+    val fg = got(6L).features
+    // [screen_w, screen_h, n_frames, total_delay, max_fw, max_fh,
+    //  sum_area, first_delay] from encodeAnim(30, 25, 2, seed=3) arithmetic
+    val gfw = Seq(0, 1).map(i => (3 + 7 * i) % 16 + 1)
+    val gfh = Seq(0, 1).map(i => (3 + 11 * i) % 16 + 1)
+    assert(fg(0) == 30f && fg(1) == 25f && fg(2) == 2f)
+    assert(fg(3) == Seq(0, 1).map(i => (3 + 13 * i) % 500).sum.toFloat)
+    assert(fg(4) == gfw.max.toFloat && fg(5) == gfh.max.toFloat)
+    assert(fg(6) == gfw.zip(gfh).map { case (a, b) => a * b }.sum.toFloat)
+    assert(fg(7) == 3f)
     // JPEG lanes come from the genuinely decoded raster (lossy band)
     val fj = got(2L).features
     assert(fj(0) == 16f && fj(1) == 12f && fj(7) == 192f)
