@@ -22,7 +22,9 @@ import org.apache.spark.sql.types._
   * Strictness (NULL on violation, never a guess): magic `GIF87a`/
   * `GIF89a`; every length field honored (global/local color tables,
   * sub-block chains); graphic-control blocks must carry their
-  * spec-fixed size 4; the stream must end with the `0x3B` trailer as
+  * spec-fixed size 4, at most one per rendering block, and only in
+  * 89a streams (extensions are an 89a addition — an 87a file carrying
+  * one is corrupt); the stream must end with the `0x3B` trailer as
   * its LAST byte (truncated buffers, unknown block introducers and
   * trailing junk all reject); at least one frame. The walk is O(bytes)
   * with no allocation proportional to anything but the frame count
@@ -52,6 +54,7 @@ object GifKernel {
   def frames(b: Array[Byte]): InternalRow = {
     if (!isGif(b) || b.length < 14) return null
     val len = b.length
+    val is89a = b(4) == '9' // extensions are an 89a addition (spec §Appendix E)
     val w = le16(b, 6)
     val h = le16(b, 8)
     val packed = u8(b, 10)
@@ -59,6 +62,7 @@ object GifKernel {
     if ((packed & 0x80) != 0) pos += 3 * (1 << ((packed & 7) + 1))
     val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
     var pendingDelay = 0
+    var gcePending = false
     var sawTrailer = false
     while (!sawTrailer) {
       if (pos >= len) return null // ran out before the trailer
@@ -67,14 +71,17 @@ object GifKernel {
         case 0x3B =>
           if (pos != len) return null // trailing junk after the trailer
           sawTrailer = true
-        case 0x21 => // extension: label, then a sub-block chain
-          if (pos >= len) return null
+        case 0x21 => // extension: label, then a sub-block chain (89a only)
+          if (!is89a || pos >= len) return null
           val label = u8(b, pos); pos += 1
-          if (label == 0xF9) { // graphic control: spec-fixed size 4
-            if (pos + 6 > len || u8(b, pos) != 4) return null
+          if (label == 0xF9) { // graphic control: spec-fixed size 4,
+            // at most ONE per rendering block — a second before any
+            // image descriptor is a grammar violation, not a retime
+            if (gcePending || pos + 6 > len || u8(b, pos) != 4) return null
             pendingDelay = le16(b, pos + 2)
             if (u8(b, pos + 5) != 0) return null // block terminator
             pos += 6
+            gcePending = true
           } else {
             var sz = -1
             while (sz != 0) {
@@ -103,6 +110,7 @@ object GifKernel {
           out += new GenericInternalRow(
             Array[Any](fx, fy, fw, fh, pendingDelay))
           pendingDelay = 0
+          gcePending = false
         case _ => return null // unknown block introducer
       }
     }

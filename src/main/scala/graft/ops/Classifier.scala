@@ -61,6 +61,23 @@ object Classifier {
     * @param isPos boolean label column (evaluated against `docs`):
     *              the curated reference slice
     */
+  /** The hashed occurrence frame and its per-bucket class counts — ONE
+    * definition shared by [[nbScores]] (scoring) and [[nbWeights]] (the
+    * materialized init vector), so the two NB formulations cannot drift:
+    * any change to smoothing inputs, labeling, or the hash flavor
+    * contract flows through both.
+    */
+  private def classCounts(labeled: DataFrame, idCol: String, textCol: String,
+                          nBuckets: Int,
+                          scaleHash: Boolean): (DataFrame, DataFrame) = {
+    val feats = Curation.hashedNgrams(
+      labeled, Seq(col(idCol), col("__y")), textCol, nBuckets, scaleHash)
+    val counts = feats.groupBy(col("__b"))
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__pc"),
+        sum(when(col("__y"), 0L).otherwise(1L)).as("__nc"))
+    (feats, counts)
+  }
+
   def nbScores(docs: DataFrame, idCol: String, textCol: String,
                isPos: Column, nBuckets: Int = 10000,
                scaleHash: Boolean = false,
@@ -72,12 +89,8 @@ object Classifier {
     // pass instead of two. Same lifetime contract as
     // [[Curation.dsirWeights]]: the entry lives until session end;
     // long-lived multi-corpus services pass `cacheFeatures = false`.
-    val feats0 = Curation.hashedNgrams(
-      labeled, Seq(col(idCol), col("__y")), textCol, nBuckets, scaleHash)
+    val (feats0, counts) = classCounts(labeled, idCol, textCol, nBuckets, scaleHash)
     val feats = if (cacheFeatures) feats0.persist() else feats0
-    val counts = feats.groupBy(col("__b"))
-      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__pc"),
-        sum(when(col("__y"), 0L).otherwise(1L)).as("__nc"))
     // totals + document-count prior: one broadcast row
     val totals = counts.agg(sum(col("__pc")).as("__ptot"),
         sum(col("__nc")).as("__ntot"))
@@ -119,17 +132,20 @@ object Classifier {
                 scaleHash: Boolean = false): Array[Double] = {
     require(nBuckets >= 2, "nBuckets must be >= 2")
     val labeled = docs.withColumn("__y", isPos)
-    val counts = Curation.hashedNgrams(
-        labeled, Seq(col(idCol), col("__y")), textCol, nBuckets, scaleHash)
-      .groupBy(col("__b"))
-      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__pc"),
-        sum(when(col("__y"), 0L).otherwise(1L)).as("__nc"))
-      .collect() // bounded: <= nBuckets rows
+    val counts = classCounts(labeled, idCol, textCol, nBuckets, scaleHash)
+      ._2.collect() // bounded: <= nBuckets rows
     val ptot = counts.map(_.getLong(1)).sum
     val ntot = counts.map(_.getLong(2)).sum
     val prior = labeled.agg(
       sum(when(col("__y"), 1L).otherwise(0L)),
       sum(when(col("__y"), 0L).otherwise(1L))).head() // 1 row
+    // a usable weight vector needs both classes populated: an empty
+    // corpus NULLs the sums, a one-class corpus makes the prior ±∞ and
+    // poisons every gradient step seeded from it — fail loudly instead
+    val npos = if (prior.isNullAt(0)) 0L else prior.getLong(0)
+    val nneg = if (prior.isNullAt(1)) 0L else prior.getLong(1)
+    require(npos > 0 && nneg > 0,
+      s"nbWeights needs documents in BOTH classes: npos=$npos nneg=$nneg")
     val b = nBuckets.toLong
     val w = Array.fill(nBuckets + 1)(
       math.log(1.0 / (ptot + b)) - math.log(1.0 / (ntot + b)))
@@ -138,7 +154,7 @@ object Classifier {
         math.log((r.getLong(1) + 1.0) / (ptot + b)) -
           math.log((r.getLong(2) + 1.0) / (ntot + b))
     }
-    w(nBuckets) = math.log(prior.getLong(0).toDouble / prior.getLong(1))
+    w(nBuckets) = math.log(npos.toDouble / nneg)
     w
   }
 

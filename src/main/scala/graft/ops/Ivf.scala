@@ -313,7 +313,22 @@ object Ivf {
     */
   def appendToIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     batch: DataFrame, idCol: String, vecCol: String,
-                    dedupeIds: Boolean = false): Long = {
+                    dedupeIds: Boolean = false): Long =
+    appendToIndexTracked(spark, path, batch, idCol, vecCol, dedupeIds,
+      trackCids = false)._1
+
+  /** [[appendToIndex]] that ALSO reports which lists the batch touched
+    * (distinct `__cid`s — ≤ k ints, usually ≪ k for a micro-batch): the
+    * streaming sink hands them to [[compactIndex]] so per-wave
+    * maintenance lists only the wave's own lists instead of all k
+    * (thousands of directory listings per wave on an object store,
+    * for nothing, when the index is healthy). `trackCids = false` skips
+    * the extra distinct-collect job entirely.
+    */
+  private[graft] def appendToIndexTracked(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, vecCol: String,
+      dedupeIds: Boolean = false, trackCids: Boolean = true): (Long, Seq[Int]) = {
     val index = loadIndex(spark, path, idCol)
     val assigned = unitVectors(batch, vecCol)
       .select(col(idCol), col("__vn"),
@@ -360,28 +375,29 @@ object Ivf {
           n
         } finally { df.unpersist(false); () }
       }
-      if (isPq(spark, path)) {
+      val n = if (isPq(spark, path)) {
         val books = spark.read.parquet(path + "/pq")
           .collect()
           .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
           .groupBy(_._1).toArray.sortBy(_._1)
           .map(_._2.sortBy(_._2).map(_._3))
-        val n = write(freshFor("lists")
+        val n0 = write(freshFor("lists")
           .withColumn("__pq", graft.functions.ArrayMath.pqEncode(
             col("__vn"), codebooksLit(books)))
           .select(col(idCol), col("__pq"), col("__cid")), "lists")
         write(freshFor("refine"), "refine")
-        n
+        n0
       } else if (isQuantized(spark, path)) {
-        val n = write(freshFor("lists")
+        val n0 = write(freshFor("lists")
           .withColumn("__q8", Quantize.int8Stats(col("__vn")))
           .select(col(idCol), col("__q8.scale").as("__scale"),
             col("__q8.codes").as("__code"), col("__cid")), "lists")
         write(freshFor("refine"), "refine")
-        n
+        n0
       } else {
         write(freshFor("lists"), "lists")
       }
+      (n, if (trackCids) cidsHit else Nil)
     } finally { assigned.unpersist(false); () }
   }
 
@@ -411,23 +427,33 @@ object Ivf {
     * live dir is missing, orphaned tmp/park debris removed), so the
     * recovery action is simply running the op again. Returns the number
     * of (directory, list) pairs compacted.
+    *
+    * `onlyCids` restricts the sweep to the named lists (null = all): the
+    * streaming sink passes each wave's touched `__cid`s so per-wave
+    * maintenance pays O(batch) directory listings, not O(k) — only the
+    * lists a wave appended to can have newly crossed the threshold.
+    * Crash recovery always scans the whole directory (debris from a
+    * crashed attempt may sit in lists outside this wave's set).
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                    maxFilesPerList: Int = 16,
-                   targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+                   targetFileBytes: Long = 128L * 1024 * 1024,
+                   onlyCids: Seq[Int] = null): Int = {
     require(maxFilesPerList >= 1, "maxFilesPerList must be >= 1")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     Seq("lists", "refine").map { dir =>
       compactDir(spark, fs, new org.apache.hadoop.fs.Path(root, dir),
-        maxFilesPerList, targetFileBytes)
+        maxFilesPerList, targetFileBytes,
+        if (onlyCids == null) null else onlyCids.toSet)
     }.sum
   }
 
   private def compactDir(spark: org.apache.spark.sql.SparkSession,
                          fs: org.apache.hadoop.fs.FileSystem,
                          dirPath: org.apache.hadoop.fs.Path,
-                         maxFilesPerList: Int, targetFileBytes: Long): Int = {
+                         maxFilesPerList: Int, targetFileBytes: Long,
+                         onlyCids: Set[Int]): Int = {
     import org.apache.hadoop.fs.Path
     if (!fs.exists(dirPath)) return 0
     // recovery from a crashed earlier attempt: a parked list whose live
@@ -444,7 +470,10 @@ object Ivf {
     fs.listStatus(dirPath).filter(_.getPath.getName.startsWith("_graft_compact_tmp_"))
       .foreach(t => fs.delete(t.getPath, true))
     var compacted = 0
-    fs.globStatus(new Path(dirPath, "__cid=*")).filter(_.isDirectory).foreach { d =>
+    fs.globStatus(new Path(dirPath, "__cid=*")).filter { d =>
+      d.isDirectory && (onlyCids == null ||
+        d.getPath.getName.stripPrefix("__cid=").toIntOption.exists(onlyCids))
+    }.foreach { d =>
       val dataFiles = fs.listStatus(d.getPath).filter { st =>
         val n = st.getPath.getName
         st.isFile && !n.startsWith("_") && !n.startsWith(".")

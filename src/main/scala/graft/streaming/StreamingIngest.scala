@@ -378,8 +378,21 @@ object StreamingIngest {
     */
   def annIndexSink(spark: SparkSession, stream: DataFrame,
                    idCol: String, vecCol: String,
-                   indexDir: String, checkpointDir: String): Long = {
+                   indexDir: String, checkpointDir: String): Long =
+    annIndexSinkImpl(spark, stream, idCol, vecCol, indexDir, checkpointDir,
+      trackCids = false)._1
+
+  /** [[annIndexSink]] that also accumulates the distinct `__cid`s the
+    * run's waves appended into — [[annIndexSinkWithPolicy]] hands them
+    * to the compaction tier so it lists only the touched lists
+    * (O(batch), not O(k) directory listings per run).
+    */
+  private def annIndexSinkImpl(spark: SparkSession, stream: DataFrame,
+                               idCol: String, vecCol: String,
+                               indexDir: String, checkpointDir: String,
+                               trackCids: Boolean): (Long, Seq[Int]) = {
     val appended = new java.util.concurrent.atomic.AtomicLong(0L)
+    val cids = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
@@ -388,8 +401,11 @@ object StreamingIngest {
         val commitsDir = new org.apache.hadoop.fs.Path(indexPath, "_graft_commits")
         val marker = new org.apache.hadoop.fs.Path(commitsDir, batchId.toString)
         if (!fs.exists(marker)) {
-          appended.addAndGet(graft.ops.Ivf.appendToIndex(
-            spark, indexDir, batch, idCol, vecCol, dedupeIds = true))
+          val (n, hit) = graft.ops.Ivf.appendToIndexTracked(
+            spark, indexDir, batch, idCol, vecCol, dedupeIds = true,
+            trackCids = trackCids)
+          appended.addAndGet(n)
+          hit.foreach(cids.add)
           fs.mkdirs(commitsDir)
           fs.createNewFile(marker)
         }
@@ -397,7 +413,7 @@ object StreamingIngest {
       }
       .start()
     q.awaitTermination()
-    appended.get()
+    (appended.get(), cids.toArray(Array.empty[Integer]).map(_.toInt).toSeq)
   }
 
   /** Rebuild-trigger policy for [[annIndexSinkWithPolicy]]: the index is
@@ -412,7 +428,7 @@ object StreamingIngest {
     */
   final case class AnnDriftPolicy(maxSkew: Double = 8.0,
                                   minNonemptyFrac: Double = 0.25,
-                                  maxFilesPerList: Int = 32)
+                                  maxFilesPerList: Int = 16)
 
   /** What [[annIndexSinkWithPolicy]] did: vectors appended, the health
     * numbers that drove the decision, where the CURRENT index now
@@ -441,8 +457,8 @@ object StreamingIngest {
                              indexDir: String, checkpointDir: String,
                              policy: AnnDriftPolicy,
                              rebuildDir: String): AnnSinkReport = {
-    val appended = annIndexSink(spark, stream, idCol, vecCol,
-      indexDir, checkpointDir)
+    val (appended, touchedCids) = annIndexSinkImpl(spark, stream, idCol,
+      vecCol, indexDir, checkpointDir, trackCids = true)
     if (appended == 0L)
       return AnnSinkReport(0L, 0.0, 1.0, rebuilt = false, indexDir)
     val index = graft.ops.Ivf.loadIndex(spark, indexDir, idCol)
@@ -455,9 +471,11 @@ object StreamingIngest {
       AnnSinkReport(appended, skew, frac, rebuilt = true, rebuildDir)
     } else {
       // second maintenance tier: the stream has drained (AvailableNow),
-      // so no concurrent writer — safe window for the offline compaction
+      // so no concurrent writer — safe window for the offline compaction.
+      // Restricted to the run's touched lists: only they can have newly
+      // crossed the threshold, so maintenance stays O(batch), not O(k)
       val folded = graft.ops.Ivf.compactIndex(spark, indexDir,
-        policy.maxFilesPerList)
+        policy.maxFilesPerList, onlyCids = touchedCids)
       AnnSinkReport(appended, skew, frac, rebuilt = false, indexDir,
         compacted = folded)
     }

@@ -628,6 +628,22 @@ class OpsSpec extends AnyFunSuite {
     assert(gradRows.length == 3)
     assert(gradRows.forall(_ <= nBuckets),
       s"gradient collect exceeded the nBuckets bound: $gradRows")
+    // lockstep: occurrence-sum scoring with the nbWeights VECTOR must
+    // reproduce nbScores (same classCounts plane — this pins the
+    // "same closed-form weights" contract against future drift; DECIMAL
+    // routing vs double summation allows ulp-level divergence only)
+    val wInitDf = init.take(nBuckets).zipWithIndex.toSeq
+      .map { case (v, b) => (b.toLong, v) }.toDF("__b", "__w")
+    val vecScores = feats // (doc_id, __y, __b, __c) occurrence counts
+      .join(broadcast(wInitDf), Seq("__b"))
+      .groupBy(col("doc_id"))
+      .agg((sum(col("__c") * col("__w")) + lit(init(nBuckets))).as("vec_score"))
+    val drift = graft.ops.Classifier
+      .nbScores(docs, "doc_id", "text", isPos, nBuckets)
+      .join(vecScores, Seq("doc_id"))
+      .filter(abs(col("score") - col("vec_score")) > 1e-4)
+      .count()
+    assert(drift == 0L, s"$drift docs scored differently via the weight vector")
   }
 
   test("GIF frame walk: hand-built minimal GIF parses; malformed payloads all NULL") {
@@ -667,6 +683,13 @@ class OpsSpec extends AnyFunSuite {
     assert(GifKernel.frames(badGce) == null, "wrong control-block size")
     val badIntro = anim.clone(); badIntro(13) = 0x7f.toByte
     assert(GifKernel.frames(badIntro) == null, "unknown block introducer")
+    // grammar: at most one graphic-control block per rendering block —
+    // splice a duplicate GCE (bytes 13..20) before the first descriptor
+    val dupGce = anim.take(21) ++ anim.slice(13, 21) ++ anim.drop(21)
+    assert(GifKernel.frames(dupGce) == null, "consecutive GCE blocks")
+    // extensions are an 89a addition: the same stream as 87a is corrupt
+    val as87a = anim.clone(); as87a(4) = '7'.toByte
+    assert(GifKernel.frames(as87a) == null, "GCE inside GIF87a")
     // the walker honors sub-block lengths (a length pointing past the
     // buffer is a truncation, not an over-read)
     val shortData = GifKernel.encodeAnim(30, 25, 1, 5)
