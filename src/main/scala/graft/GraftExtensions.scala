@@ -105,6 +105,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(ArrayMath.gifAnimName,
         "_FUNC_(w, h, nFrames, seed) - fixture-side multi-frame GIF89a encoder"),
       exprs => GifAnimBytes(exprs)))
+    e.injectFunction((FunctionIdentifier(ArrayMath.apngMetaName),
+      info(ArrayMath.apngMetaName,
+        "_FUNC_(bytes) - APNG frame-control struct(width,height,n_frames,n_plays,frames), NULL if malformed"),
+      exprs => ApngMeta(exprs(0))))
+    e.injectFunction((FunctionIdentifier(ArrayMath.apngAnimName),
+      info(ArrayMath.apngAnimName,
+        "_FUNC_(w, h, nFrames, seed) - fixture-side APNG encoder"),
+      exprs => ApngAnimBytes(exprs)))
     e.injectFunction((FunctionIdentifier(ArrayMath.int8DotName),
       info(ArrayMath.int8DotName,
         "_FUNC_(codes, vec) - dot(array<tinyint>, array<double>)"),

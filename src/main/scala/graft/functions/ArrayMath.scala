@@ -268,6 +268,8 @@ object ArrayMath {
   val wavToneName = "graft_wav_tone_bytes"
   val gifMetaName = "graft_gif_meta"
   val gifAnimName = "graft_gif_anim_bytes"
+  val apngMetaName = "graft_apng_meta"
+  val apngAnimName = "graft_apng_anim_bytes"
   val rgbStatsName = "graft_rgb_channel_stats"
   val audioMetaName = "graft_audio_meta"
   val int8DotName = "graft_int8_dot"
@@ -402,6 +404,10 @@ object ArrayMath {
       gifMetaName, exprs => GifMeta(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction(
       gifAnimName, exprs => GifAnimBytes(exprs), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      apngMetaName, exprs => ApngMeta(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      apngAnimName, exprs => ApngAnimBytes(exprs), "scala_udf")
     reg.createOrReplaceTempFunction(
       int8DotName, exprs => Int8DotProduct(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
@@ -539,6 +545,19 @@ object ArrayMath {
   def gifAnimBytes(w: Column, h: Column, nFrames: Column,
                    seed: Column): Column =
     call_function(gifAnimName, w, h, nFrames, seed)
+
+  /** binary → struct<width,height,n_frames,n_plays,frames> from a strict
+    * CRC-verified APNG chunk walk; NULL on any violation (see
+    * [[ApngMeta]]).
+    */
+  def apngMeta(bytes: Column): Column = call_function(apngMetaName, bytes)
+
+  /** Fixture-side APNG encoder with real CRC-chunk structure (see
+    * [[ApngAnimBytes]]).
+    */
+  def apngAnimBytes(w: Column, h: Column, nFrames: Column,
+                    seed: Column): Column =
+    call_function(apngAnimName, w, h, nFrames, seed)
 
   /** Codegen'd dot(array<tinyint> codes, array<double>) — the quantized
     * probe scoring loop (see [[Int8DotProduct]]).

@@ -27,8 +27,8 @@ import org.apache.spark.sql.types._
   */
 object PngPixelKernel {
 
-  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
-  private def be32(b: Array[Byte], i: Int): Long =
+  private[functions] def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private[functions] def be32(b: Array[Byte], i: Int): Long =
     (u8(b, i).toLong << 24) | (u8(b, i + 1).toLong << 16) |
       (u8(b, i + 2).toLong << 8) | u8(b, i + 3).toLong
 
@@ -40,7 +40,7 @@ object PngPixelKernel {
       u8(b, 0) == 0x89 && u8(b, 1) == 0x50 && u8(b, 2) == 0x4e && u8(b, 3) == 0x47 &&
       u8(b, 4) == 0x0d && u8(b, 5) == 0x0a && u8(b, 6) == 0x1a && u8(b, 7) == 0x0a
 
-  private def crcOk(b: Array[Byte], typeOff: Int, len: Int): Boolean = {
+  private[functions] def crcOk(b: Array[Byte], typeOff: Int, len: Int): Boolean = {
     val crc = new CRC32()
     crc.update(b, typeOff, 4 + len)
     crc.getValue == be32(b, typeOff + 4 + len)

@@ -315,12 +315,35 @@ object Multimodal {
       frames.getStruct(0, 5).getInt(4).toFloat)
   }
 
+  /** Feature lanes for an APNG payload (CRC-verified frame-control walk
+    * — [[graft.functions.ApngKernel.frames]]): [width, height, n_frames,
+    * n_plays, total_delay_num, max_frame_w, max_frame_h, sum_frame_area].
+    * null when the walk rejects the payload.
+    */
+  private def apngFeatures(st: org.apache.spark.sql.catalyst.InternalRow): Array[Float] = {
+    val frames = st.getArray(4)
+    var totalDelay = 0L; var maxW = 0; var maxH = 0; var area = 0L
+    var i = 0
+    while (i < frames.numElements()) {
+      val f = frames.getStruct(i, 8)
+      totalDelay += f.getInt(4)
+      if (f.getInt(0) > maxW) maxW = f.getInt(0)
+      if (f.getInt(1) > maxH) maxH = f.getInt(1)
+      area += f.getInt(0).toLong * f.getInt(1)
+      i += 1
+    }
+    Array(st.getInt(0).toFloat, st.getInt(1).toFloat, st.getInt(2).toFloat,
+      st.getInt(3).toFloat, totalDelay.toFloat, maxW.toFloat, maxH.toFloat,
+      area.toFloat)
+  }
+
   /** Batch feature extraction over the media column. `mapPartitions` is the
     * deliberate choice: one iterator per partition = one decoder
     * instantiation per task, not per row. Content-sniffed magic dispatches
     * each payload to its GENUINE decoder — PNG ([[pngFeatures]], hand-
-    * rolled zlib + defilter), JPEG ([[jpegFeatures]], JDK codec), WAV
-    * ([[wavFeatures]], LPCM sample decode), animated GIF
+    * rolled zlib + defilter; an animated APNG member routes to the
+    * frame-catalog lane, [[apngFeatures]]), JPEG ([[jpegFeatures]], JDK
+    * codec), WAV ([[wavFeatures]], LPCM sample decode), animated GIF
     * ([[gifFeatures]], strict container walk) — and only payloads no real
     * decoder claims (unknown magic, or corrupt within a claimed format)
     * fall to the labeled [[decodeStub]], reported as `decoded = "stub"`.
@@ -335,8 +358,14 @@ object Multimodal {
         // definition per format, so routing can't drift from kernel scope
         val (decoded, feats) = {
           val sniffed =
-            if (graft.functions.PngPixelKernel.isPng(payload))
-              ("png", pngFeatures(payload))
+            if (graft.functions.PngPixelKernel.isPng(payload)) {
+              // PNG magic family: an animated member (valid acTL/fcTL
+              // chunk stream) takes the frame-catalog lane; otherwise
+              // the still-image pixel decoder
+              val anim = graft.functions.ApngKernel.frames(payload)
+              if (anim != null) ("apng", apngFeatures(anim))
+              else ("png", pngFeatures(payload))
+            }
             else if (graft.functions.JpegPixelKernel.isJpeg(payload))
               ("jpeg", jpegFeatures(payload))
             else if (graft.functions.WavPcmKernel.isWav(payload))
@@ -396,4 +425,30 @@ object Multimodal {
         col("pos").as("frame_idx"), col("col.x_off").as("x_off"),
         col("col.y_off").as("y_off"), col("col.w").as("w"),
         col("col.h").as("h"), col("col.delay_cs").as("delay_cs"))
+
+  /** Fixture-side APNG encoder ([[graft.functions.ApngKernel.encodeAnim]]). */
+  def apngAnimBytes(w: Column, h: Column, nFrames: Column,
+                    seed: Column): Column =
+    graft.functions.ArrayMath.apngAnimBytes(w, h, nFrames, seed)
+
+  /** [[gifFrames]]' APNG sibling: per-frame catalog off the CRC-verified
+    * PNG chunk walk (native [[graft.functions.ApngMeta]] expression, no
+    * payload inflate). media(media_id, bytes) → (media_id, width,
+    * height, n_frames, n_plays, frame_idx, w, h, x_off, y_off,
+    * delay_num, delay_den, dispose, blend); malformed payloads
+    * contribute no rows.
+    */
+  def apngFrames(media: DataFrame): DataFrame =
+    media.select(col("media_id"),
+        graft.functions.ArrayMath.apngMeta(col("bytes")).as("__a"))
+      .filter(col("__a").isNotNull)
+      .select(col("media_id"), col("__a.width").as("width"),
+        col("__a.height").as("height"), col("__a.n_frames").as("n_frames"),
+        col("__a.n_plays").as("n_plays"), posexplode(col("__a.frames")))
+      .select(col("media_id"), col("width"), col("height"), col("n_frames"),
+        col("n_plays"), col("pos").as("frame_idx"), col("col.w").as("w"),
+        col("col.h").as("h"), col("col.x_off").as("x_off"),
+        col("col.y_off").as("y_off"), col("col.delay_num").as("delay_num"),
+        col("col.delay_den").as("delay_den"), col("col.dispose").as("dispose"),
+        col("col.blend").as("blend"))
 }

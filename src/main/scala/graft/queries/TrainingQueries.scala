@@ -1702,6 +1702,66 @@ object TrainingQueries {
              |ORDER BY media_id, frame_idx""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // APNG frame-control walking (functions.ApngKernel — q126's
+    // PNG-family sibling): every doc gets a genuine APNG chunk stream
+    // (IHDR/acTL/fcTL/IDAT/fdAT/IEND, every chunk CRC32-stamped, frame 0
+    // the spec-mandated full canvas with blend SOURCE) and the native
+    // ApngMeta expression walks the CRC-verified chunk grammar back out
+    // — geometry, timing numerator/denominator, dispose/blend per frame,
+    // no payload inflate. The oracle re-derives every field from doc_id
+    // arithmetic; corrupt-payload rejection (CRC flip, sequence gap,
+    // acTL after IDAT, frame-count mismatch, out-of-canvas rect) is
+    // pinned in OpsSpec.
+    QuerySpec(
+      "q127_apng_frames",
+      (s, dir) => {
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id").as("media_id"),
+            Multimodal.apngAnimBytes(
+              (col("doc_id") % 10 + 24).cast("int"),
+              ((col("doc_id") * 3) % 10 + 24).cast("int"),
+              (col("doc_id") % 5 + 1).cast("int"),
+              (col("doc_id") % 17).cast("int")).as("bytes"))
+        Multimodal.apngFrames(media)
+          .select(col("media_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("n_frames").cast("long").as("n_frames"),
+            col("n_plays").cast("long").as("n_plays"),
+            col("frame_idx").cast("long").as("frame_idx"),
+            col("w").cast("long").as("w"),
+            col("h").cast("long").as("h"),
+            col("x_off").cast("long").as("x_off"),
+            col("y_off").cast("long").as("y_off"),
+            col("delay_num").cast("long").as("delay_num"),
+            col("delay_den").cast("long").as("delay_den"),
+            col("dispose").cast("long").as("dispose"),
+            col("blend").cast("long").as("blend"))
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(doc_id % 10 + 24 AS BIGINT) AS width,
+             |  CAST((doc_id * 3) % 10 + 24 AS BIGINT) AS height,
+             |  CAST(doc_id % 5 + 1 AS BIGINT) AS n_frames,
+             |  CAST(doc_id % 17 % 4 AS BIGINT) AS n_plays,
+             |  CAST(i AS BIGINT) AS frame_idx,
+             |  CAST(CASE WHEN i = 0 THEN doc_id % 10 + 24
+             |    ELSE (doc_id % 17 + 7 * i) % 16 + 1 END AS BIGINT) AS w,
+             |  CAST(CASE WHEN i = 0 THEN (doc_id * 3) % 10 + 24
+             |    ELSE (doc_id % 17 + 11 * i) % 16 + 1 END AS BIGINT) AS h,
+             |  CAST(CASE WHEN i = 0 THEN 0
+             |    ELSE (doc_id % 17 + 3 * i) % 8 END AS BIGINT) AS x_off,
+             |  CAST(CASE WHEN i = 0 THEN 0
+             |    ELSE (doc_id % 17 + 5 * i) % 8 END AS BIGINT) AS y_off,
+             |  CAST((doc_id % 17 + 13 * i) % 500 AS BIGINT) AS delay_num,
+             |  CAST((doc_id % 17 + 5 * i) % 1000 AS BIGINT) AS delay_den,
+             |  CAST((doc_id % 17 + i) % 3 AS BIGINT) AS dispose,
+             |  CAST(CASE WHEN i = 0 THEN 0 ELSE i % 2 END AS BIGINT) AS blend
+             |FROM (SELECT doc_id, unnest(range(doc_id % 5 + 1)) AS i
+             |      FROM documents)
+             |ORDER BY media_id, frame_idx""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Real AUDIO container decode (q32's audio sibling): every doc gets a
     // genuine complete PCM WAV (RIFF + fmt + zero-filled data chunk,
     // assembled little-endian from doc_id-derived parameters with codegen

@@ -520,8 +520,9 @@ class OpsSpec extends AnyFunSuite {
     val corrupt = png.clone(); corrupt(30) = (corrupt(30) ^ 0xff).toByte // break IHDR CRC
     val gif = graft.functions.GifKernel.encodeAnim(30, 25, 2, 3)
     val gifCorrupt = gif.dropRight(1) // GIF magic intact, trailer gone
+    val apng = graft.functions.ApngKernel.encodeAnim(30, 25, 2, 3)
     val media = Seq((1L, png), (2L, jpg), (3L, wav), (4L, junk), (5L, corrupt),
-      (6L, gif), (7L, gifCorrupt))
+      (6L, gif), (7L, gifCorrupt), (8L, apng))
       .toDF("media_id", "bytes")
       .select(col("media_id"), col("bytes"),
         struct(lit("application/octet-stream").as("format"), lit(0).as("width"),
@@ -546,6 +547,14 @@ class OpsSpec extends AnyFunSuite {
     assert(fg(4) == gfw.max.toFloat && fg(5) == gfh.max.toFloat)
     assert(fg(6) == gfw.zip(gfh).map { case (a, b) => a * b }.sum.toFloat)
     assert(fg(7) == 3f)
+    // an animated PNG member takes the apng frame-catalog lane, not the
+    // still-image pixel decoder (same magic family, content decides)
+    assert(got(8L).decoded == "apng")
+    val fa = got(8L).features
+    assert(fa(0) == 30f && fa(1) == 25f && fa(2) == 2f && fa(3) == (3 % 4).toFloat)
+    assert(fa(4) == Seq(0, 1).map(i => (3 + 13 * i) % 500).sum.toFloat)
+    assert(fa(5) == 30f && fa(6) == 25f) // frame 0 is the full canvas
+    assert(fa(7) == (30L * 25 + ((3 + 7) % 16 + 1) * ((3 + 11) % 16 + 1)).toFloat)
     // JPEG lanes come from the genuinely decoded raster (lossy band)
     val fj = got(2L).features
     assert(fj(0) == 16f && fj(1) == 12f && fj(7) == 192f)
@@ -695,6 +704,55 @@ class OpsSpec extends AnyFunSuite {
     val shortData = GifKernel.encodeAnim(30, 25, 1, 5)
     val cut = shortData.take(shortData.length - 2) // drop chain term + trailer
     assert(GifKernel.frames(cut) == null)
+  }
+
+  test("APNG frame-control walk: round trip exact; malformed chunk streams all NULL") {
+    import graft.functions.{ApngKernel, PngEncodeKernel}
+    val apng = ApngKernel.encodeAnim(30, 25, 3, 5)
+    val p = ApngKernel.frames(apng)
+    assert(p != null)
+    assert(p.getInt(0) == 30 && p.getInt(1) == 25 &&
+      p.getInt(2) == 3 && p.getInt(3) == 5 % 4)
+    // frame 0: spec-mandated full canvas at origin, blend SOURCE
+    val f0 = p.getArray(4).getStruct(0, 8)
+    assert(f0.getInt(0) == 30 && f0.getInt(1) == 25 && f0.getInt(2) == 0 &&
+      f0.getInt(3) == 0 && f0.getInt(7) == 0)
+    assert(f0.getInt(4) == 5 % 500 && f0.getInt(5) == 5 % 1000 &&
+      f0.getInt(6) == 5 % 3)
+    // frame 2 from the planted arithmetic
+    val f2 = p.getArray(4).getStruct(2, 8)
+    assert(f2.getInt(0) == (5 + 14) % 16 + 1 && f2.getInt(1) == (5 + 22) % 16 + 1)
+    assert(f2.getInt(2) == (5 + 6) % 8 && f2.getInt(3) == (5 + 10) % 8)
+    assert(f2.getInt(4) == (5 + 26) % 500 && f2.getInt(5) == (5 + 10) % 1000)
+    assert(f2.getInt(6) == (5 + 2) % 3 && f2.getInt(7) == 0)
+    // a plain still PNG is NOT an APNG (no acTL) — walker and sniffing
+    // both reject it, so the dispatch still routes stills to pixel decode
+    assert(ApngKernel.frames(PngEncodeKernel.encode(6, 4, 10, 20, 30)) == null)
+    // strictness: every violation NULLs
+    assert(ApngKernel.frames(null) == null)
+    assert(ApngKernel.frames(apng.dropRight(1)) == null, "truncated IEND")
+    assert(ApngKernel.frames(apng :+ 0x00.toByte) == null, "trailing junk")
+    val badCrc = apng.clone()
+    badCrc(badCrc.length - 5) = (badCrc(badCrc.length - 5) ^ 0xff).toByte
+    assert(ApngKernel.frames(badCrc) == null, "flipped IEND CRC")
+    // corrupt a byte INSIDE acTL's data (n_plays low byte) — CRC catches
+    val actlData = 8 + (12 + 13) + 8 // sig + IHDR chunk + len/type of acTL
+    val badActl = apng.clone()
+    badActl(actlData + 7) = (badActl(actlData + 7) ^ 0x01).toByte
+    assert(ApngKernel.frames(badActl) == null, "acTL payload vs CRC")
+    // n_frames mismatch: re-encode with 2 frames, splice its acTL count
+    // to 3 WITH a recomputed CRC — structural mismatch, not a CRC error
+    val two = ApngKernel.encodeAnim(30, 25, 2, 5)
+    val spliced = two.clone()
+    spliced(actlData + 3) = 3.toByte // num_frames 2 -> 3 (big-endian low byte)
+    val crc = new java.util.zip.CRC32()
+    crc.update(spliced, actlData - 4, 12) // type + 8 data bytes
+    val cv = crc.getValue
+    var j = 0
+    while (j < 4) {
+      spliced(actlData + 8 + j) = ((cv >> (24 - 8 * j)) & 0xff).toByte; j += 1
+    }
+    assert(ApngKernel.frames(spliced) == null, "acTL count != fcTL count")
   }
 
   test("url curation: canonicalization, PSL domains, dedup, caps") {
