@@ -118,8 +118,14 @@ object Bench {
       "\"" + k + "\":[" + rs.map(_._2.toString).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // A -1.0 sentinel means the query RAISED on every rep. Summing only the
+    // successes would report a partial run as a faster total (r10's 13
+    // events-query failures read as a 2.1x "improvement") — name the failures
+    // in the artifact so a partial run can never pass as a clean one.
+    val failedNames = results.collect { case (k, v, _) if v < 0 => k }
+    val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","queries":$qs,"reps_sec":$reps,"gc_ms_per_rep":$gc}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failedNames.size},"failed":$failedJson,"queries":$qs,"reps_sec":$reps,"gc_ms_per_rep":$gc}"""
     println(line)
     // the driver's BENCH_r{N}.json tail truncates, so per-query numbers past
     // ~2000 chars never reach the judged artifact — persist the full metric

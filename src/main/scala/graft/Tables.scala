@@ -28,17 +28,31 @@ object Tables {
     else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** `events.parquet` stores `ts` as parquet INT64 TIMESTAMP(NANOS,false),
-    * which Spark rejects by default ([PARQUET_TYPE_ILLEGAL]; FIXTURES.md §F2).
-    * Read nanos as a long and expose BOTH the raw nanos (`ts_ns`, exact — used
-    * for bucketing arithmetic that must hash-match the oracle) and a derived
-    * micro-precision timestamp (`ts`).
+  /** `events.parquet` has stored `ts` with two different parquet physical
+    * units across driver testdata generations: INT64 TIMESTAMP(NANOS,false)
+    * (older fixtures — Spark rejects it by default, [PARQUET_TYPE_ILLEGAL];
+    * FIXTURES.md §F2) and INT64 TIMESTAMP(MICROS,false) (current fixtures).
+    * Detect the unit from the loaded schema and normalize to ONE contract
+    * either way: `ts_ns` = exact epoch nanos as long (used for bucketing
+    * arithmetic that must hash-match DuckDB's `epoch_ns`/`epoch_us`), plus a
+    * micro-precision `TimestampType` `ts`.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    // NANOS fixtures only load with this legacy flag; harmless for MICROS.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+    // MICROS(false) would otherwise infer TIMESTAMP_NTZ (Spark ≥3.4); read it
+    // as TimestampType so `ts` keeps one type across fixture generations and
+    // unix_micros sees the raw stored micros (same value DuckDB's epoch_us
+    // computes) independent of session timezone.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // NANOS read as raw long
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ => // native TIMESTAMP(MICROS)
+        raw.withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
   }
 
   def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")

@@ -19,6 +19,7 @@ object Verify {
     // named queries, e.g. SPARK_GRAFT_ONLY=q86_zscore_outliers,q69_merge_upsert
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -26,6 +27,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -44,6 +46,19 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A query that raises must be LOUD, not silently absent from the round's
+    // correctness artifact (r10 shipped 13 missing entries as a clean run):
+    // dump the errors next to the oracle SQL so the compare side can surface
+    // them, print a tally, and exit nonzero so the driver records the run as
+    // failed instead of partially-green.
+    val errJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    val nRun = SparkEntry.queries.count { case (n, _) => only.forall(_.contains(n)) }
+    System.err.println(
+      s"[verify] ${nRun - failed.size}/$nRun queries dumped, ${failed.size} failed" +
+        (if (failed.nonEmpty) s": ${failed.keys.mkString(", ")}" else ""))
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

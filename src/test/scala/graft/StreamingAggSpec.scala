@@ -15,9 +15,16 @@ class StreamingAggSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
-  // events parquet raw schema (ts is INT64 nanos read as bigint)
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  // events parquet raw `ts` unit varies across fixture generations (INT64
+  // NANOS read as bigint vs native TIMESTAMP micros) — take the stream-source
+  // schema from a batch read so the spec tracks Tables.events' detection.
+  private lazy val rawTsType: DataType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.read.parquet(s"$sf/events.parquet").schema("ts").dataType
+  }
+  private lazy val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", rawTsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -30,10 +37,14 @@ class StreamingAggSpec extends AnyFunSuite {
   }
 
   private def streamEvents: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema).parquet(streamDir)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+    val raw = spark.readStream.schema(rawSchema).parquet(streamDir)
+    rawTsType match {
+      case LongType => // NANOS-as-long fixture
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ => // native TIMESTAMP(MICROS) fixture
+        raw.withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
   }
 
   private def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
