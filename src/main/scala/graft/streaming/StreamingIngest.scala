@@ -74,10 +74,10 @@ object StreamingIngest {
     * (append never rewrites files, so concurrent readers are fine; no
     * atomic-overwrite gymnastics).
     *
-    * Update-in-place upserts (SCD1 over a stream) need a table format with
-    * transactional file replacement (Delta/Iceberg) — deliberately out of
-    * scope for a plain-parquet sink; batch-mode SCD1 is
-    * [[graft.ops.ScaleOps.upsert]].
+    * Update-in-place upserts (SCD1 over a stream) are [[upsertSink]] —
+    * bucket-granular copy-on-write with versioned directories standing in
+    * for a table format's transactional file replacement; batch-mode SCD1
+    * is [[graft.ops.ScaleOps.upsert]].
     *
     * Scale shape — per-batch cost must NOT grow with target history:
     *   - The target is laid out as parquet PARTITIONED BY
@@ -290,6 +290,164 @@ object StreamingIngest {
       }
     }
     compacted
+  }
+
+  /** Streaming UPDATE-IN-PLACE upsert (SCD1 over a stream) on plain
+    * parquet — the boundary [[dedupAppendSink]]'s scaladoc used to hand to
+    * table formats, closed with the two patterns this sink already proves
+    * composed: the dedup sink's hash-bucket layout (per-batch cost ∝
+    * touched buckets) and [[aggStateSink]]'s versioned-dirs-plus-markers
+    * commit protocol (plain parquet has no atomic overwrite; versions +
+    * markers give crash-safe exactly-once). The result is copy-on-write at
+    * BUCKET granularity — the same granularity trick Delta/Iceberg use at
+    * file level, expressed with directory renames:
+    *
+    * Layout: `targetDir/b<bucket>/v<batchId>/part-*.parquet` where
+    * `bucket = pmod(xxhash64(key), nBuckets)` (stored in-row as `__kb`),
+    * plus global `_graft_commits/<batchId>` markers. A bucket's SERVING
+    * content is its highest version whose batchId is committed; an
+    * uncommitted (torn) version directory is invisible to readers.
+    *
+    * Per micro-batch:
+    *   1. resolve the batch's winners per key (largest `orderCol` wins —
+    *      [[graft.ops.ScaleOps.upsert]] MERGE semantics; NULL keys are
+    *      rejected row-level like every MERGE in this engine);
+    *   2. read ONLY the touched buckets' current versions (ids collected
+    *      to the driver: ≤ nBuckets longs, bounded by design);
+    *   3. MERGE batch into them and write the touched buckets' FULL new
+    *      content as `v<batchId>` (one partitioned job, then one rename
+    *      per bucket — metadata ops, no data copy);
+    *   4. fence with the commit marker, then prune each touched bucket's
+    *      committed versions beyond `keepVersions`.
+    *
+    * Replays skip at the marker; a crash anywhere before the marker leaves
+    * only uncommitted `v<batchId>` dirs that readers ignore and the replay
+    * overwrites (same-batch replays touch the same buckets — the file
+    * source replays identical input). Untouched buckets are never opened,
+    * never rewritten: at 100 TB with buckets sized to a few GB, an upsert
+    * wave costs its buckets, not the corpus. Commit markers accumulate one
+    * empty file per batch (a long-retention target can archive markers
+    * below the per-bucket version floor offline).
+    *
+    * Blocks until available input drains (AvailableNow). Returns the
+    * number of micro-batches applied (replays contribute 0). Serve with
+    * [[readUpsertTarget]].
+    */
+  def upsertSink(spark: SparkSession, stream: DataFrame, keyCol: String,
+                 orderCol: String, targetDir: String, checkpointDir: String,
+                 nBuckets: Int = 256, keepVersions: Int = 2): Long = {
+    import org.apache.spark.sql.functions._
+    require(nBuckets > 0, "nBuckets must be positive")
+    require(keepVersions >= 1, "keepVersions must be at least 1")
+    val applied = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (targetPath, fs) = hadoopFs(spark, targetDir)
+        val commitsDir = new org.apache.hadoop.fs.Path(targetPath, "_graft_commits")
+        val marker = new org.apache.hadoop.fs.Path(commitsDir, batchId.toString)
+        if (!fs.exists(marker)) {
+          val batchKb = batch
+            .withColumn(bucketCol, pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong)))
+            .persist() // bucket discovery + merge read it once each
+          try {
+            // ≤ nBuckets small longs — bounded driver traffic by design.
+            // getLong would NPE on a null bucket (null key) before the
+            // MERGE's own row-level null rejection ran — surface the same
+            // contract here instead of an opaque NPE.
+            val touched = batchKb.select(bucketCol).distinct().collect().map { r =>
+              require(!r.isNullAt(0),
+                s"upsertSink: NULL in key ($keyCol) — a null key never matches MERGE ON")
+              r.getLong(0)
+            }.toSeq
+            val committed = committedVersions(fs, targetPath).toSet
+            val currentPaths = touched.flatMap(b =>
+              latestBucketVersion(fs, targetPath, b, committed))
+            val merged =
+              if (currentPaths.isEmpty)
+                graft.ops.ScaleOps.upsert(
+                  spark.createDataFrame(
+                    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                    batchKb.schema),
+                  batchKb, Seq(keyCol), Some(orderCol))
+              else
+                graft.ops.ScaleOps.upsert(
+                  spark.read.parquet(currentPaths: _*),
+                  batchKb, Seq(keyCol), Some(orderCol))
+            // one partitioned job writes every touched bucket's new
+            // content; __kbp is the throwaway DIRECTORY-NAMING copy
+            // (partitionBy strips its column from the data files — `__kb`
+            // itself must survive IN-ROW for readers and later merges)
+            val tmp = new org.apache.hadoop.fs.Path(
+              targetPath, s"_graft_upsert_tmp_v$batchId")
+            merged.withColumn("__kbp", col(bucketCol))
+              .write.mode(SaveMode.Overwrite).partitionBy("__kbp")
+              .parquet(tmp.toString)
+            fs.globStatus(new org.apache.hadoop.fs.Path(tmp, "__kbp=*"))
+              .filter(_.isDirectory).foreach { d =>
+                val b = d.getPath.getName.stripPrefix("__kbp=")
+                val bucketDir = new org.apache.hadoop.fs.Path(targetPath, s"b$b")
+                val dest = new org.apache.hadoop.fs.Path(bucketDir, s"v$batchId")
+                fs.mkdirs(bucketDir)
+                fs.delete(dest, true) // stale uncommitted attempt, if any
+                require(fs.rename(d.getPath, dest),
+                  s"upsertSink: rename failed: ${d.getPath} -> $dest")
+              }
+            fs.delete(tmp, true)
+            fs.mkdirs(commitsDir)
+            fs.createNewFile(marker)
+            applied.incrementAndGet()
+            // retention: prune each touched bucket's committed versions
+            val nowCommitted = committed + batchId
+            touched.foreach { b =>
+              val bucketDir = new org.apache.hadoop.fs.Path(targetPath, s"b$b")
+              bucketVersions(fs, bucketDir).filter(nowCommitted)
+                .sorted.reverse.drop(keepVersions).foreach { old =>
+                  fs.delete(new org.apache.hadoop.fs.Path(bucketDir, s"v$old"), true)
+                }
+            }
+          } finally batchKb.unpersist()
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    applied.get()
+  }
+
+  /** The latest COMMITTED content of an [[upsertSink]] target: per bucket,
+    * the highest committed version (torn/uncommitted version directories
+    * are ignored). One multi-path parquet scan — the `__kb` in-row column
+    * is exposed so keyed readers can prune to `pmod(xxhash64(key),
+    * nBuckets)` themselves.
+    */
+  def readUpsertTarget(spark: SparkSession, targetDir: String): DataFrame = {
+    val (targetPath, fs) = hadoopFs(spark, targetDir)
+    val committed = committedVersions(fs, targetPath).toSet
+    val latest = fs.globStatus(new org.apache.hadoop.fs.Path(targetPath, "b*"))
+      .filter(_.isDirectory)
+      .flatMap { b =>
+        bucketVersions(fs, b.getPath).filter(committed).maxOption
+          .map(v => new org.apache.hadoop.fs.Path(b.getPath, s"v$v").toString)
+      }
+    if (latest.isEmpty) throw new IllegalStateException(
+      s"no committed upsert state under $targetDir")
+    spark.read.parquet(latest.toIndexedSeq: _*)
+  }
+
+  private def bucketVersions(fs: org.apache.hadoop.fs.FileSystem,
+                             bucketDir: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(bucketDir)) Seq.empty
+    else fs.listStatus(bucketDir).toSeq.flatMap(st =>
+      scala.util.Try(st.getPath.getName.stripPrefix("v").toLong).toOption)
+
+  private def latestBucketVersion(fs: org.apache.hadoop.fs.FileSystem,
+                                  targetPath: org.apache.hadoop.fs.Path,
+                                  bucket: Long, committed: Set[Long]): Option[String] = {
+    val bucketDir = new org.apache.hadoop.fs.Path(targetPath, s"b$bucket")
+    bucketVersions(fs, bucketDir).filter(committed).maxOption
+      .map(v => new org.apache.hadoop.fs.Path(bucketDir, s"v$v").toString)
   }
 
   /** Streaming materialized-view maintenance: fold each micro-batch into a
