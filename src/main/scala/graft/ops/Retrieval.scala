@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval: fuse a lexical (BM25) ranking and an embedding
+  * (cosine) ranking of the same corpus with Reciprocal Rank Fusion
+  * (Cormack, Clarke & Buettcher, SIGIR 2009) — the standard score-free
+  * combiner behind most production "hybrid search" stacks (a document's
+  * fused score is Σ 1/(K + rank_r) over the rankings r that retrieved it).
+  *
+  * Determinism spellings (the oracle compares value hashes):
+  *   - both input rankings order by their ROUNDED score (6 dp — the
+  *     engine's cross-engine double boundary, q90/q104 precedent) with
+  *     id ascending on ties, so ranks replay exactly in SQL;
+  *   - the RRF term is computed in SCALED INTEGER arithmetic:
+  *     `SCALE div (K + rank)` with SCALE = 10^12 — integer division is
+  *     bit-identical on every engine, so the fused score needs no float
+  *     tolerance at all.
+  *
+  * Scale shape: each ranking reduces to its top `topN` with
+  * `orderBy.limit` — per-partition top-k + driver merge
+  * (TakeOrderedAndProject), never a global sort of the corpus. Only the
+  * two ≤topN-row lists are ranked (the rank window runs on a
+  * limit-bounded frame) and outer-joined; the corpus itself is scanned
+  * once per ranking. At 100 TB the expensive parts are the two scoring
+  * scans, which are the already-certified q104/q28 plan shapes.
+  */
+object Retrieval {
+
+  /** 1/(K+rank) in scaled integers: bit-exact on any engine. */
+  private val RrfScale = 1000000000000L
+
+  /** Rank a scored frame's top `topN`: highest `scoreCol` first, `idCol`
+    * ascending on ties. The window is partition-less BY CONSTRUCTION on a
+    * ≤topN-row frame (the limit runs before it) — bounded, not a scale
+    * smell.
+    */
+  private def topRanked(scored: DataFrame, idCol: String, scoreCol: String,
+                        topN: Int): DataFrame = {
+    val top = scored.orderBy(col(scoreCol).desc, col(idCol)).limit(topN)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col(scoreCol).desc, col(idCol))))
+  }
+
+  /** Fuse a BM25 ranking of `docs` (for `queryTerms`) with a cosine
+    * ranking of `embeddings` (against the stored vector `queryVecId`) —
+    * the id spaces must be aligned (`doc_id` = `vec_id`, as in the
+    * documents/embeddings fixture pair).
+    *
+    * @return (doc_id, lex_rank, emb_rank, rrf_scaled) ordered by fused
+    *         score descending (ties: doc_id); ranks are null for a
+    *         document the respective ranking did not retrieve.
+    */
+  def hybridRrf(docs: DataFrame, docIdCol: String, textCol: String,
+                queryTerms: Seq[String],
+                embeddings: DataFrame, vecIdCol: String, vecCol: String,
+                queryVecId: Long, topN: Int = 50, rrfK: Int = 60): DataFrame = {
+    require(topN >= 1, "topN must be at least 1")
+    require(rrfK >= 0, "rrfK must be non-negative")
+    val lex = topRanked(
+      TextOps.bm25Scores(docs, docIdCol, textCol, queryTerms),
+      docIdCol, "score", topN)
+      .select(col(docIdCol).as("doc_id"), col("rank").as("lex_rank"))
+
+    // query vector: one stored embedding, fetched via a 1-row broadcast
+    // (never a driver-side vector literal — the plan stays serializable
+    // however wide the embedding is)
+    val query = broadcast(
+      embeddings.filter(col(vecIdCol) === queryVecId)
+        .select(col(vecCol).as("__qv")).limit(1))
+    val scored = embeddings.crossJoin(query)
+      .filter(col(vecIdCol) =!= queryVecId) // the query is not a result
+      .select(col(vecIdCol).as("doc_id"),
+        round(Similarity.cosine(col(vecCol), col("__qv")), 6).as("cosine"))
+    val emb = topRanked(scored, "doc_id", "cosine", topN)
+      .select(col("doc_id"), col("rank").as("emb_rank"))
+
+    lex.join(emb, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_scaled",
+        (coalesce(expr(s"$RrfScale div ($rrfK + lex_rank)"), lit(0L))
+          + coalesce(expr(s"$RrfScale div ($rrfK + emb_rank)"), lit(0L))))
+      .select(col("doc_id"), col("lex_rank"), col("emb_rank"), col("rrf_scaled"))
+      .orderBy(col("rrf_scaled").desc, col("doc_id"))
+  }
+}

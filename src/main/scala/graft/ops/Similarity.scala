@@ -467,4 +467,85 @@ object Similarity {
       semanticContamination(corpus, idCol, vecCol, eval, evalVecCol, minCosine)
         .filter(col("contaminated")).select(col(idCol)),
       Seq(idCol), "left_anti")
+
+  /** Greedy k-center (farthest-point) diversity selection — the classic
+    * 2-approximation coreset constructor (Gonzalez, TCS 1985; the
+    * embedding-space "pick maximally diverse examples" selector in
+    * data-curation pipelines): seed with the lowest id, then k-1 times
+    * pick the point whose most-similar already-selected center is LEAST
+    * similar (max-min distance = min-max cosine).
+    *
+    * Determinism spellings (full SQL replay, q90/q105 precedent): every
+    * pairwise cosine routes through ROUND(·, 6) before the running
+    * `cmax = max over centers` fold, and each round's argmin orders by
+    * (cmax ASC, id ASC) — so the whole greedy trajectory is an exact
+    * cross-engine replay, not a float race. Cosines use the
+    * dot/(norm·norm) spelling DuckDB's list_cosine_similarity matches at
+    * 6 dp.
+    *
+    * Scale shape: k-1 rounds, each ONE corpus scan — a broadcast center
+    * vector, a `greatest` fold into the persisted running `cmax` column,
+    * and a `limit(1)` TakeOrdered (per-partition argmin + driver merge,
+    * never a global sort). Driver traffic per round: one (id, cmax,
+    * vector) row, ≤ d doubles. The running frame is re-persisted per
+    * round and the previous round unpersisted after its successor
+    * materializes, so lineage stays one column deep.
+    *
+    * @return (round 1..k, id, nearest_cos) — nearest_cos is the selected
+    *         point's rounded cosine to its nearest earlier center (null
+    *         for the seed); fewer than k rows when the corpus is smaller.
+    */
+  def kCenterSelect(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    require(k >= 1, "k must be at least 1")
+    val spark = df.sparkSession
+    val idType = df.schema(idCol).dataType
+    val outSchema = StructType(Seq(
+      StructField("round", IntegerType, nullable = false),
+      StructField(idCol, idType),
+      StructField("nearest_cos", DoubleType)))
+    def result(rows: Seq[Row]): DataFrame =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), outSchema)
+
+    val vd = df.select(col(idCol), asDouble(col(vecCol)).as("__vd"))
+      .withColumn("__n", norm(col("__vd")))
+    val seed = vd.orderBy(col(idCol)).limit(1).collect()
+    if (seed.isEmpty) return result(Seq.empty)
+    val seedId = seed(0).get(0)
+    def cosTo(centerVec: Seq[Double], centerNorm: Double): Column =
+      round(dot(col("__vd"), typedLit(centerVec))
+        / (col("__n") * lit(centerNorm)), 6)
+
+    val picked = scala.collection.mutable.ArrayBuffer[Row](
+      Row(1, seedId, null))
+    var pickedIds = Seq[Any](seedId)
+    var cur = vd.withColumn("cmax", cosTo(
+      seed(0).getSeq[Double](1), seed(0).getDouble(2))).persist()
+    var prev: Option[DataFrame] = None
+    var exhausted = false
+    var i = 2
+    while (i <= k && !exhausted) {
+      val nxt = cur.filter(!col(idCol).isin(pickedIds: _*))
+        .orderBy(col("cmax").asc, col(idCol).asc).limit(1).collect()
+      prev.foreach(_.unpersist()) // successor materialized by the action above
+      prev = Some(cur)
+      if (nxt.isEmpty) exhausted = true
+      else {
+        val r = nxt(0)
+        picked += Row(i, r.get(0), r.getDouble(3))
+        pickedIds :+= r.get(0)
+        if (i < k) {
+          cur = cur.withColumn("cmax", greatest(col("cmax"),
+            cosTo(r.getSeq[Double](1), r.getDouble(2)))).persist()
+        }
+        i += 1
+      }
+    }
+    val out = result(picked.toSeq)
+    prev.foreach(_.unpersist())
+    if (!prev.contains(cur)) cur.unpersist()
+    out
+  }
 }

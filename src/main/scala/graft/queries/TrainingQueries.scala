@@ -2722,6 +2722,130 @@ object TrainingQueries {
              |  GROUP BY c.vec_id
              |)
              |SELECT vec_id, max_eval_cosine, max_eval_cosine >= 0.4 AS contaminated
-             |FROM mx ORDER BY vec_id""".stripMargin))
+             |FROM mx ORDER BY vec_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Greedy k-center diversity selection (Similarity.kCenterSelect,
+    // Gonzalez TCS'85): the farthest-point coreset selector data-curation
+    // pipelines use to pick maximally-diverse examples. The whole greedy
+    // trajectory is deterministic — every pairwise cosine is rounded to
+    // 6 dp before the running max-fold and each round's argmin tie-breaks
+    // on id — so DuckDB replays ALL k rounds exactly with k-1 unrolled
+    // CTE pairs (c_i = fold the new center in, s_{i+1} = argmin). Spark
+    // side: one corpus scan per round (broadcast center, greatest fold
+    // into a persisted cmax column, limit(1) TakeOrdered argmin).
+    QuerySpec(
+      "q128_kcenter_select",
+      (s, dir) =>
+        Similarity.kCenterSelect(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 6)
+          .orderBy("round"),
+      Some {
+        val e = "list_cosine_similarity"
+        def notIn(n: Int) = (1 to n).map(j => s"SELECT vec_id FROM s$j")
+          .mkString("(", " UNION ALL ", ")")
+        val folds = (2 to 5).map { i =>
+          s"""|, c$i AS (
+              |  SELECT c.vec_id, c.v,
+              |    GREATEST(c.cmax, ROUND($e(c.v, s$i.v), 6)) AS cmax
+              |  FROM c${i - 1} c CROSS JOIN s$i
+              |), s${i + 1} AS (
+              |  SELECT vec_id, v, cmax FROM c$i
+              |  WHERE vec_id NOT IN ${notIn(i)}
+              |  ORDER BY cmax ASC, vec_id ASC LIMIT 1
+              |)""".stripMargin
+        }.mkString
+        s"""WITH e AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           |), s1 AS (
+           |  SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1
+           |), c1 AS (
+           |  SELECT e.vec_id, e.v, ROUND($e(e.v, s1.v), 6) AS cmax
+           |  FROM e CROSS JOIN s1
+           |), s2 AS (
+           |  SELECT vec_id, v, cmax FROM c1
+           |  WHERE vec_id NOT IN (SELECT vec_id FROM s1)
+           |  ORDER BY cmax ASC, vec_id ASC LIMIT 1
+           |)$folds
+           |SELECT CAST(1 AS INT) AS round, vec_id,
+           |  CAST(NULL AS DOUBLE) AS nearest_cos FROM s1
+           |${(2 to 6).map(i =>
+              s"UNION ALL SELECT CAST($i AS INT), vec_id, cmax FROM s$i")
+              .mkString("\n")}
+           |ORDER BY round""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // Hybrid retrieval with Reciprocal Rank Fusion (Retrieval.hybridRrf,
+    // Cormack+ SIGIR'09): fuse the q104 BM25 lexical ranking with a
+    // cosine ranking against a stored query embedding. Both rankings
+    // order by ROUNDED score with id tie-break (exact SQL rank replay);
+    // the fused score is SCALED-INTEGER 10^12 div (60+rank) — integer
+    // division needs no float tolerance at all. Plan: two scoring scans,
+    // each reduced by TakeOrdered top-50; ranks windowed on the bounded
+    // 50-row frames; one outer join of two skinny lists.
+    QuerySpec(
+      "q129_hybrid_rrf",
+      (s, dir) =>
+        graft.ops.Retrieval.hybridRrf(
+          Tables.documents(s, dir), "doc_id", "text",
+          Seq("spark", "query", "filter"),
+          Tables.embeddings(s, dir), "vec_id", "embedding",
+          queryVecId = 7L, topN = 50, rrfK = 60)
+          .orderBy(col("rrf_scaled").desc, col("doc_id")),
+      Some(s"""WITH d AS (
+              |  SELECT doc_id,
+              |    CAST(len(string_split($normSql, ' ')) AS DOUBLE) AS dl,
+              |    string_split($normSql, ' ') AS toks
+              |  FROM documents
+              |), corpus AS (
+              |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+              |    CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE)
+              |      / CAST(COUNT(*) AS DOUBLE) AS avgdl
+              |  FROM d
+              |), hits AS (
+              |  SELECT doc_id, dl, unnest(toks) AS term FROM d
+              |), tf AS (
+              |  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf,
+              |    MAX(dl) AS dl
+              |  FROM hits WHERE term IN ('spark', 'query', 'filter')
+              |  GROUP BY 1, 2
+              |), dfq AS (
+              |  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+              |), bm AS (
+              |  SELECT tf.doc_id,
+              |    ROUND(CAST(SUM(CAST(
+              |      ln(1.0 + (c.n - dfq.df + 0.5) / (dfq.df + 0.5))
+              |        * tf.tf * (1.2 + 1.0)
+              |        / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / c.avgdl))
+              |    AS DECIMAL(18,12))) AS DOUBLE), 6) AS score
+              |  FROM tf JOIN dfq USING (term) CROSS JOIN corpus c
+              |  GROUP BY tf.doc_id
+              |), lexr AS (
+              |  SELECT doc_id, lex_rank FROM (
+              |    SELECT doc_id, CAST(ROW_NUMBER() OVER (
+              |      ORDER BY score DESC, doc_id) AS INT) AS lex_rank
+              |    FROM bm)
+              |  WHERE lex_rank <= 50
+              |), q AS (
+              |  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7
+              |), cs AS (
+              |  SELECT e.vec_id AS doc_id,
+              |    ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+              |      AS cosine
+              |  FROM embeddings e CROSS JOIN q WHERE e.vec_id != 7
+              |), embr AS (
+              |  SELECT doc_id, emb_rank FROM (
+              |    SELECT doc_id, CAST(ROW_NUMBER() OVER (
+              |      ORDER BY cosine DESC, doc_id) AS INT) AS emb_rank
+              |    FROM cs)
+              |  WHERE emb_rank <= 50
+              |)
+              |SELECT COALESCE(l.doc_id, m.doc_id) AS doc_id,
+              |  l.lex_rank, m.emb_rank,
+              |  COALESCE(1000000000000 // (60 + l.lex_rank), 0)
+              |    + COALESCE(1000000000000 // (60 + m.emb_rank), 0) AS rrf_scaled
+              |FROM lexr l FULL OUTER JOIN embr m ON l.doc_id = m.doc_id
+              |ORDER BY rrf_scaled DESC, doc_id""".stripMargin))
   )
 }
