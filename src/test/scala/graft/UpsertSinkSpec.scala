@@ -104,6 +104,22 @@ class UpsertSinkSpec extends AnyFunSuite {
     assert(served(target) == before)
   }
 
+  test("stale uncommitted version from a crashed attempt is replaced, not served") {
+    val (in, target, ckpt) = freshDirs()
+    assert(wave(in, target, ckpt, Seq((1L, "a1", 10L))) == 1L)
+    // simulate a crashed batch-1 attempt that renamed its version dir in
+    // but died before the commit marker: readers must ignore it now, and
+    // the real batch 1 must overwrite it rather than nest into it
+    val stale = java.nio.file.Paths.get(target, s"b${bucketOf(1L)}", "v1")
+    java.nio.file.Files.createDirectories(stale)
+    java.nio.file.Files.writeString(stale.resolve("junk.txt"), "leftover")
+    assert(served(target) == Seq((1L, "a1", 10L)))
+    assert(wave(in, target, ckpt, Seq((1L, "a2", 20L))) == 1L)
+    assert(served(target) == Seq((1L, "a2", 20L)))
+    assert(!java.nio.file.Files.exists(stale.resolve("junk.txt")),
+      "crashed-attempt leftovers must be deleted by the committing replay")
+  }
+
   test("per-bucket retention keeps keepVersions committed versions") {
     val (in, target, ckpt) = freshDirs()
     val b = bucketOf(1L)
