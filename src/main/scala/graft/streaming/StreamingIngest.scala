@@ -292,6 +292,203 @@ object StreamingIngest {
     compacted
   }
 
+  /** True iff a partitioned plane under `dir` holds actual data files
+    * (generalized [[targetHasData]] for an arbitrary partition column).
+    */
+  private def planeHasData(fs: org.apache.hadoop.fs.FileSystem,
+                           path: org.apache.hadoop.fs.Path,
+                           partCol: String): Boolean =
+    fs.exists(path) && fs.globStatus(
+      new org.apache.hadoop.fs.Path(path, s"$partCol=*/*")).exists { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+
+  /** Streaming NEAR-duplicate dedup-append sink — [[dedupAppendSink]]'s
+    * missing content tier: the exact sink drops only identical KEYS, this
+    * one drops a batch document when the corpus already holds an exact or
+    * NEAR copy of its text (MinHash-LSH, the Gopher/CCNet-style
+    * production dedup loop run incrementally instead of as a full-corpus
+    * batch job).
+    *
+    * Target layout (all three planes hash-partitioned so every probe is
+    * partition-pruned to the buckets the BATCH hashes into — per-batch
+    * cost ∝ batch + collision candidates, NEVER corpus size):
+    *   - `docs/`  survivors, partitioned by `__kb = pmod(xxhash64(id), n)`;
+    *   - `bands/` (band, bucket, id) rows partitioned by
+    *     `__bb = pmod(xxhash64(band, bucket), n)` — the LSH bands PLUS one
+    *     pseudo-band `band = -1, bucket = xxhash64(fingerprint)` carrying
+    *     the exact-dedup plane (short documents with no shingles still
+    *     get the fingerprint row, so exact copies of them are caught);
+    *   - `sigs/`  (id, signature) partitioned by
+    *     `__sb = pmod(xxhash64(id), n)` — fetched only for collision
+    *     candidates to verify `est_jaccard >= minJaccard` (an LSH bucket
+    *     collision alone is a candidate, not a verdict; the fingerprint
+    *     pseudo-band drops without verification, like [[graft.ops.Dedup.exact]]
+    *     it trusts the 128-bit fingerprint).
+    *
+    * Per micro-batch: resolve WITHIN-batch duplicates first (exact
+    * fingerprint winner per group, then the [[graft.ops.Dedup.dropNearDuplicates]]
+    * greedy rule), probe the corpus planes for exact/near collisions,
+    * verify LSH candidates against fetched signatures, anti-join
+    * survivors' ids against `docs/` (bucket-pruned, the
+    * [[dedupAppendSink]] idempotence contract), then append docs + bands
+    * + signatures and fence with a `_graft_commits/<batchId>` marker.
+    * Replayed committed batches skip; a replay that crashed mid-append
+    * re-drops its documents through the id anti-join and the band planes
+    * tolerate duplicate rows (collision semantics are set-like — verified
+    * via max-per-id signature fetch).
+    *
+    * Blocks until available input drains (AvailableNow). Returns
+    * documents appended across this invocation.
+    */
+  def nearDupAppendSink(spark: SparkSession, stream: DataFrame,
+                        idCol: String, textCol: String, targetDir: String,
+                        checkpointDir: String, numHashes: Int = 32,
+                        shingleSize: Int = 3, bands: Int = 8,
+                        minJaccard: Double = 0.8,
+                        nBuckets: Int = 64): Long = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Dedup, TextOps}
+    require(nBuckets > 0, "nBuckets must be positive")
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    val appended = new java.util.concurrent.atomic.AtomicLong(0L)
+
+    /** (band, bucket, id) rows for a frame: LSH bands over the minhash
+      * signature plus the exact-fingerprint pseudo-band (-1).
+      */
+    def bandRows(docs: DataFrame): DataFrame = {
+      val lsh = Dedup.minhashSignatures(docs, idCol, textCol, numHashes, shingleSize)
+        .select(col(idCol), explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64(lit(b), slice(col("signature"), b * rowsPerBand + 1,
+              rowsPerBand)).as("bucket"))
+        }: _*)).as("__b"))
+        .select(col(idCol), col("__b.band").as("band"), col("__b.bucket").as("bucket"))
+      val fp = docs.select(col(idCol), lit(-1).as("band"),
+        xxhash64(TextOps.fingerprintMd5(col(textCol))).as("bucket"))
+      lsh.unionByName(fp)
+    }
+
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (targetPath, fs) = hadoopFs(spark, targetDir)
+        val docsDir = new org.apache.hadoop.fs.Path(targetPath, "docs")
+        val bandsDir = new org.apache.hadoop.fs.Path(targetPath, "bands")
+        val sigsDir = new org.apache.hadoop.fs.Path(targetPath, "sigs")
+        val commitsDir = new org.apache.hadoop.fs.Path(targetPath, "_graft_commits")
+        val marker = new org.apache.hadoop.fs.Path(commitsDir, batchId.toString)
+        if (!fs.exists(marker)) {
+          // ---- within-batch: exact winner per fingerprint, then greedy near
+          val wExact = Window
+            .partitionBy(TextOps.fingerprintMd5(col(textCol))).orderBy(col(idCol))
+          val batchExact = batch.withColumn("__rn", row_number().over(wExact))
+            .filter(col("__rn") === 1).drop("__rn")
+          val batchUnique = Dedup.dropNearDuplicates(batchExact, idCol, textCol,
+            numHashes, shingleSize, bands, minJaccard).persist()
+          try {
+            val batchBands = bandRows(batchUnique)
+              .withColumn("__bb", pmod(xxhash64(col("band"), col("bucket")),
+                lit(nBuckets.toLong)))
+              .persist()
+            try {
+              // ---- corpus probe: partition-pruned band collision candidates
+              val dropIds =
+                if (planeHasData(fs, bandsDir, "__bb")) {
+                  // ≤ nBuckets small longs — bounded driver traffic by design
+                  val bb = batchBands.select("__bb").distinct()
+                    .collect().map(_.getLong(0)).toSeq
+                  val stored = spark.read.parquet(bandsDir.toString)
+                    .where(col("__bb").isin(bb: _*)) // partition-pruned
+                    .select(col("band"), col("bucket"), col(idCol).as("__cid"))
+                  val hits = batchBands
+                    .join(stored, Seq("band", "bucket"))
+                    .select(col(idCol), col("__cid"), col("band"))
+                  // fingerprint pseudo-band: exact copy — drop, no verify
+                  val exactDrops = hits.filter(col("band") === -1)
+                    .select(col(idCol)).distinct()
+                  // LSH candidates: verify est_jaccard against the stored
+                  // signatures of JUST the colliding corpus ids
+                  val cands = hits.filter(col("band") =!= -1)
+                    .select(col(idCol), col("__cid")).distinct()
+                  val sb = cands
+                    .select(pmod(xxhash64(col("__cid")), lit(nBuckets.toLong)).as("__sb"))
+                    .distinct().collect().map(_.getLong(0)).toSeq
+                  val nearDrops =
+                    if (sb.isEmpty) exactDrops.limit(0)
+                    else {
+                      // max-per-id collapses duplicate sig rows a torn
+                      // replay may have appended (identical payloads)
+                      val corpusSigs = spark.read.parquet(sigsDir.toString)
+                        .where(col("__sb").isin(sb: _*)) // partition-pruned
+                        .groupBy(col(idCol).as("__cid"))
+                        .agg(max(col("signature")).as("__csig"))
+                      val batchSigs = Dedup.minhashSignatures(batchUnique,
+                        idCol, textCol, numHashes, shingleSize)
+                      cands.join(batchSigs, idCol).join(corpusSigs, "__cid")
+                        .filter(graft.functions.ArrayMath
+                          .arrayEqCount(col("signature"), col("__csig"))
+                          .cast("double") / numHashes >= minJaccard)
+                        .select(col(idCol)).distinct()
+                    }
+                  exactDrops.unionByName(nearDrops).distinct()
+                } else batchUnique.select(col(idCol)).limit(0)
+
+              val fresh0 = batchUnique.join(dropIds, Seq(idCol), "left_anti")
+                .withColumn("__kb", pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)))
+              // id-level idempotence (torn-replay re-drop), bucket-pruned
+              val fresh =
+                if (planeHasData(fs, docsDir, "__kb")) {
+                  val kb = fresh0.select("__kb").distinct()
+                    .collect().map(_.getLong(0)).toSeq
+                  if (kb.isEmpty) fresh0
+                  else fresh0.join(
+                    spark.read.parquet(docsDir.toString)
+                      .where(col("__kb").isin(kb: _*))
+                      .select(col(idCol).as("__eid")),
+                    fresh0(idCol) === col("__eid"), "left_anti")
+                } else fresh0
+              fresh.persist()
+              try {
+                val n = fresh.count()
+                if (n > 0) {
+                  fresh.write.mode(SaveMode.Append)
+                    .partitionBy("__kb").parquet(docsDir.toString)
+                  bandRows(fresh).withColumn("__bb",
+                    pmod(xxhash64(col("band"), col("bucket")), lit(nBuckets.toLong)))
+                    .write.mode(SaveMode.Append)
+                    .partitionBy("__bb").parquet(bandsDir.toString)
+                  Dedup.minhashSignatures(fresh, idCol, textCol, numHashes, shingleSize)
+                    .withColumn("__sb", pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)))
+                    .write.mode(SaveMode.Append)
+                    .partitionBy("__sb").parquet(sigsDir.toString)
+                }
+                appended.addAndGet(n)
+              } finally fresh.unpersist()
+            } finally batchBands.unpersist()
+          } finally batchUnique.unpersist()
+          fs.mkdirs(commitsDir)
+          fs.createNewFile(marker)
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    appended.get()
+  }
+
+  /** The surviving documents of a [[nearDupAppendSink]] target (the
+    * `docs/` plane; `__kb` exposed for pruned keyed reads).
+    */
+  def readNearDupTarget(spark: SparkSession, targetDir: String): DataFrame =
+    spark.read.parquet(
+      new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(targetDir), "docs").toString)
+
   /** Streaming UPDATE-IN-PLACE upsert (SCD1 over a stream) on plain
     * parquet — the boundary [[dedupAppendSink]]'s scaladoc used to hand to
     * table formats, closed with the two patterns this sink already proves
