@@ -82,6 +82,45 @@ class NearDupSinkSpec extends AnyFunSuite {
     assert(servedIds(target) == Seq(1L))
   }
 
+  test("bands-plane probe is partition-pruned to the buckets hit") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val (in, target, ckpt) = freshDirs()
+    // several waves of distinct docs so the bands plane spans many buckets
+    val mk = (i: Long) => (i, s"document number $i about topic ${i % 7} " +
+      s"with unique filler ${i * 31} ${i * 37} ${i * 41} ${i * 43} " +
+      s"${i * 47} ${i * 53} ${i * 59} ${i * 61} ${i * 67} ${i * 71}")
+    assert(wave(in, target, ckpt, (1L to 12L).map(mk)) == 12L)
+    assert(wave(in, target, ckpt, (21L to 32L).map(mk)) == 12L)
+
+    def parquetFiles(dir: java.io.File): Long =
+      if (dir.isDirectory) dir.listFiles().map(parquetFiles).sum
+      else if (dir.getName.endsWith(".parquet")) 1L else 0L
+    val bandsDir = new java.io.File(s"$target/bands")
+    val total = parquetFiles(bandsDir)
+    assert(total >= 4L, s"expected a multi-bucket bands plane, got $total files")
+
+    // replicate the sink's probe spelling for ONE bucket: the scan must
+    // read only that bucket's files, not the plane
+    val probe = spark.read.parquet(s"$target/bands")
+      .where(col("__bb").isin(0L))
+    probe.collect()
+    val scans = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val buf = scala.collection.mutable.ArrayBuffer[FileSourceScanExec]()
+      def go(n: org.apache.spark.sql.execution.SparkPlan): Unit = n match {
+        case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+        case q: QueryStageExec        => go(q.plan)
+        case s: FileSourceScanExec    => buf += s
+        case other                    => other.children.foreach(go)
+      }
+      go(probe.queryExecution.executedPlan); buf.toSeq
+    }
+    assert(scans.nonEmpty)
+    val scanned = scans.map(_.metrics("numFiles").value).max
+    assert(scanned < total,
+      s"probe read $scanned of $total bands files — partition pruning is not happening")
+  }
+
   test("dissimilar docs sharing no LSH band survive signature verification") {
     // near-threshold behavior: the verification step must not drop docs
     // that merely collide in a band but fail est_jaccard — construct a

@@ -120,6 +120,34 @@ class UpsertSinkSpec extends AnyFunSuite {
       "crashed-attempt leftovers must be deleted by the committing replay")
   }
 
+  test("12-wave churn: state equals a sequential MERGE fold, versions stay bounded") {
+    val (in, target, ckpt) = freshDirs()
+    // churn a 10-key space across 12 waves with monotone seq — the
+    // streaming state must equal a driver-side fold of last-writer-wins
+    val expected = scala.collection.mutable.Map.empty[Long, (String, Long)]
+    var seq = 0L
+    for (w <- 1 to 12) {
+      val rows = (0 until 4).map { j =>
+        seq += 1
+        val k = ((w * 3 + j * 5) % 10).toLong
+        (k, s"p$w-$j", seq)
+      }
+      rows.foreach { case (k, p, s) => expected(k) = (p, s) }
+      assert(wave(in, target, ckpt, rows) == 1L)
+    }
+    assert(served(target) ==
+      expected.toSeq.map { case (k, (p, s)) => (k, p, s) }.sortBy(_._1))
+    // retention bound holds on EVERY bucket after heavy churn
+    val root = java.nio.file.Paths.get(target)
+    java.nio.file.Files.list(root).forEach { b =>
+      if (b.getFileName.toString.startsWith("b")) {
+        val nVersions = java.nio.file.Files.list(b).toArray
+          .map(_.toString.split("/").last).count(_.startsWith("v"))
+        assert(nVersions <= 2, s"bucket $b holds $nVersions versions (keepVersions=2)")
+      }
+    }
+  }
+
   test("per-bucket retention keeps keepVersions committed versions") {
     val (in, target, ckpt) = freshDirs()
     val b = bucketOf(1L)
