@@ -57,6 +57,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(ArrayMath.textStatsName,
         "_FUNC_(text) - one-pass text statistics struct"),
       exprs => TextStats(exprs(0))))
+    e.injectFunction((FunctionIdentifier(ArrayMath.nfcName),
+      info(ArrayMath.nfcName,
+        "_FUNC_(text) - Unicode NFC canonical normalization"),
+      exprs => NfcNormalize(exprs(0))))
     e.injectFunction((FunctionIdentifier(ArrayMath.imageMetaName),
       info(ArrayMath.imageMetaName,
         "_FUNC_(bytes) - PNG/JPEG header metadata struct, NULL if unparseable"),

@@ -276,6 +276,7 @@ object ArrayMath {
   val int8StatsName = "graft_int8_stats"
   val pqEncodeName = "graft_pq_encode"
   val pqLutName = "graft_pq_lut"
+  val nfcName = "graft_nfc"
   val pqAdcName = "graft_pq_adc_score"
   val bloomName = "graft_bloom_might_contain"
   val matVecName = "graft_mat_vec_affine"
@@ -413,6 +414,8 @@ object ArrayMath {
     reg.createOrReplaceTempFunction(
       int8StatsName, exprs => Int8Stats(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction(
+      nfcName, exprs => NfcNormalize(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction(
       pqEncodeName,
       exprs => PqEncode(exprs(0), cubeLit(exprs(1), "PQ codebooks")), "scala_udf")
     reg.createOrReplaceTempFunction(
@@ -467,6 +470,9 @@ object ArrayMath {
 
   /** string → struct of one-pass text statistics (see [[TextStats]]). */
   def textStats(text: Column): Column = call_function(textStatsName, text)
+
+  /** Codegen'd Unicode NFC normalization (canonical composition). */
+  def nfcNormalize(text: Column): Column = call_function(nfcName, text)
 
   /** argmax centroid id for a vector against a literal centroid matrix
     * (see [[NearestCentroidId]]). `centroidMatrix` must be a

@@ -2846,6 +2846,51 @@ object TrainingQueries {
               |  COALESCE(1000000000000 // (60 + l.lex_rank), 0)
               |    + COALESCE(1000000000000 // (60 + m.emb_rank), 0) AS rrf_scaled
               |FROM lexr l FULL OUTER JOIN embr m ON l.doc_id = m.doc_id
-              |ORDER BY rrf_scaled DESC, doc_id""".stripMargin))
+              |ORDER BY rrf_scaled DESC, doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Unicode NFC canonical normalization before dedup fingerprinting
+    // (functions.NfcNormalize, Unicode TR-15): composed U+00E9 and
+    // decomposed e+U+0301 are the SAME canonical text under different
+    // bytes — without the fold, fingerprints diverge and exact dedup
+    // misses true duplicates. Native codegen kernel (ASCII fast path,
+    // no String round-trip for the common case); DuckDB's nfc_normalize
+    // is the oracle twin. The fixture corpus is pure ASCII, so unicode
+    // variants are PLANTED from doc_id arithmetic in BOTH engines (the
+    // q126 planted-fixture pattern): ids cycle composed-café /
+    // decomposed-café / decomposed-noël / plain, and the NFC dedup
+    // grouping must merge the two café spellings into one 250-doc group
+    // while counting exactly the decomposed half as changed.
+    QuerySpec(
+      "q130_nfc_dedup",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        // explicit escapes: variant 1 COMPOSED (U+00E9), variants 2-3
+        // DECOMPOSED combining marks (U+0301, U+0308)
+        val v = array(lit("caf\u00e9 menu"), lit("cafe\u0301 menu"),
+          lit("noe\u0308l list"), lit("plain ascii"))
+        docs.select(col("doc_id"),
+            element_at(v, (pmod(col("doc_id"), lit(4)) + 1).cast("int")).as("raw"))
+          .withColumn("norm", graft.functions.ArrayMath.nfcNormalize(col("raw")))
+          .groupBy(col("norm"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("survivor_id"),
+            sum(when(col("raw") =!= col("norm"), 1L).otherwise(0L)).as("n_changed"))
+          .orderBy(col("norm"))
+      },
+      Some("""WITH v AS (
+             |  SELECT doc_id,
+             |    list_extract(['caf' || chr(233) || ' menu',
+             |                  'cafe' || chr(769) || ' menu',
+             |                  'noe' || chr(776) || 'l list', 'plain ascii'],
+             |      CAST(doc_id % 4 AS INT) + 1) AS raw
+             |  FROM documents
+             |)
+             |SELECT nfc_normalize(raw) AS norm,
+             |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  MIN(doc_id) AS survivor_id,
+             |  CAST(SUM(CASE WHEN raw != nfc_normalize(raw) THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_changed
+             |FROM v GROUP BY 1 ORDER BY norm""".stripMargin))
   )
 }

@@ -1457,4 +1457,23 @@ class OpsSpec extends AnyFunSuite {
     val overlap = (md5Sel & xxSel).size.toDouble / 50.0
     assert(overlap >= 0.7, s"hash flavors diverged: overlap $overlap")
   }
+  test("nfcNormalize folds decomposed sequences; ASCII and nulls pass through") {
+    import spark.implicits._
+    val composed = "caf\u00e9"        // U+00E9
+    val decomposed = "cafe\u0301"     // e + combining acute
+    val df = Seq(Some(composed), Some(decomposed), Some("plain"), None)
+      .toDF("s")
+      .select(graft.functions.ArrayMath.nfcNormalize(col("s")).as("n"))
+    val got = df.collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(got(0) == composed)
+    assert(got(1) == composed, "decomposed must fold to the composed form")
+    assert(got(2) == "plain")
+    assert(got(3) == null)
+    // post-NFC fingerprints of canonically-equal texts agree (the dedup
+    // property the kernel exists for)
+    val fps = Seq(composed, decomposed).toDF("s")
+      .select(md5(graft.functions.ArrayMath.nfcNormalize(col("s")))).distinct()
+    assert(fps.count() == 1)
+  }
+
 }

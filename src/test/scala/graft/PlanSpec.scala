@@ -353,4 +353,12 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("WholeStageCodegen") || plan.matches("(?s).*\\*\\(\\d+\\) Project.*"),
       plan)
   }
+
+  test("nfc normalization stays inside whole-stage codegen") {
+    val df = Tables.documents(spark, sf)
+      .select(graft.functions.ArrayMath.nfcNormalize(col("text")).as("t"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.matches("(?s).*\\*\\(\\d+\\) Project.*"),
+      plan)
+  }
 }
