@@ -407,6 +407,10 @@ object StreamingIngest {
                     .select(col("band"), col("bucket"), col(idCol).as("__cid"))
                   val hits = batchBands
                     .join(stored, Seq("band", "bucket"))
+                    // a torn replay may have appended THIS batch's own
+                    // band rows already (bands plane is written first) —
+                    // a doc must never collide with itself
+                    .filter(col(idCol) =!= col("__cid"))
                     .select(col(idCol), col("__cid"), col("band"))
                   // fingerprint pseudo-band: exact copy — drop, no verify
                   val exactDrops = hits.filter(col("band") === -1)
@@ -456,8 +460,14 @@ object StreamingIngest {
               try {
                 val n = fresh.count()
                 if (n > 0) {
-                  fresh.write.mode(SaveMode.Append)
-                    .partitionBy("__kb").parquet(docsDir.toString)
+                  // write order is a crash-safety invariant: bands and
+                  // sigs FIRST (duplicate rows from a torn replay are
+                  // tolerated — set-like collisions, max-per-id sig
+                  // fetch), docs LAST (the serving plane whose id
+                  // anti-join provides exactly-once). The reverse order
+                  // would let a crash strand committed docs with no band
+                  // rows — permanently invisible to future near-dup
+                  // probes.
                   bandRows(fresh).withColumn("__bb",
                     pmod(xxhash64(col("band"), col("bucket")), lit(nBuckets.toLong)))
                     .write.mode(SaveMode.Append)
@@ -466,6 +476,8 @@ object StreamingIngest {
                     .withColumn("__sb", pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)))
                     .write.mode(SaveMode.Append)
                     .partitionBy("__sb").parquet(sigsDir.toString)
+                  fresh.write.mode(SaveMode.Append)
+                    .partitionBy("__kb").parquet(docsDir.toString)
                 }
                 appended.addAndGet(n)
               } finally fresh.unpersist()

@@ -75,6 +75,29 @@ class NearDupSinkSpec extends AnyFunSuite {
     assert(servedIds(target) == Seq(1L, 2L, 4L))
   }
 
+  test("torn replay after bands/sigs landed still appends the docs (self-collision filtered)") {
+    val (in, target, ckpt) = freshDirs()
+    assert(wave(in, target, ckpt, Seq((1L, baseA))) == 1L)
+    // simulate a crash AFTER the bands+sigs appends but BEFORE the docs
+    // append and marker: wipe the docs plane and the commit marker, then
+    // re-deliver the same input through a fresh checkpoint. The batch's
+    // own band rows are already in the plane — without the self-collision
+    // filter the doc would be dropped as its own duplicate and stay
+    // invisible forever.
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(java.nio.file.Files.delete(_))
+      }
+    rmTree(java.nio.file.Paths.get(target, "docs"))
+    rmTree(java.nio.file.Paths.get(target, "_graft_commits"))
+    val ckpt2 = Files.createTempDirectory("graft-nd-ckpt2").toString
+    assert(StreamingIngest.nearDupAppendSink(spark,
+      spark.readStream.schema("doc_id BIGINT, text STRING").parquet(in.toString),
+      "doc_id", "text", target, ckpt2, nBuckets = 8) == 1L)
+    assert(servedIds(target) == Seq(1L))
+  }
+
   test("no new input applies nothing; served set is stable") {
     val (in, target, ckpt) = freshDirs()
     assert(wave(in, target, ckpt, Seq((1L, baseA))) == 1L)
