@@ -48,6 +48,20 @@ object Dedup {
       .select(col(idCol), ArrayMath.minhashSignature(col("__sh"), numHashes).as("signature"))
   }
 
+  /** The LSH band cells of a minhash signature: array of (band, bucket)
+    * structs. ONE shared spelling — the batch pair-generator and the
+    * streaming near-dup sink's persisted band plane must stay
+    * bit-identical, or cross-batch probes silently stop matching stored
+    * rows (near-dup detection would degrade to exact-only with no test
+    * failing at small scale).
+    */
+  def bandCells(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(lit(b),
+          slice(signature, b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+    }: _*)
+
   /** LSH banding: b bands of r rows each (k = b*r); a pair collides if any
     * band hashes equal. Returns candidate pairs (idA < idB) with the
     * estimated Jaccard = fraction of equal minhashes.
@@ -63,10 +77,7 @@ object Dedup {
     // generation; the 32-long signatures are joined back after pair dedup
     // (AQE broadcasts the signature table when small)
     val banded = sigs.select(col(idCol),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64(lit(b), slice(col("signature"), b * rows + 1, rows)).as("bucket"))
-      }: _*)).as("__b"))
+      explode(bandCells(col("signature"), bands, rows)).as("__b"))
       .select(col(idCol), col("__b.band"), col("__b.bucket"))
 
     val candidates = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"))

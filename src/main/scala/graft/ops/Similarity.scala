@@ -509,8 +509,13 @@ object Similarity {
     def result(rows: Seq[Row]): DataFrame =
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), outSchema)
 
+    // zero-norm vectors have no defined cosine to anything: dividing by
+    // their norm yields NULL cmax, Spark's NULLS-FIRST ascending argmin
+    // would pick them every round and the null would NPE the collect —
+    // exclude them from selection up front (the q90 norm>0 convention)
     val vd = df.select(col(idCol), asDouble(col(vecCol)).as("__vd"))
       .withColumn("__n", norm(col("__vd")))
+      .filter(col("__n") > 0)
     val seed = vd.orderBy(col(idCol)).limit(1).collect()
     if (seed.isEmpty) return result(Seq.empty)
     val seedId = seed(0).get(0)

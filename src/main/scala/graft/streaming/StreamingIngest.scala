@@ -121,12 +121,13 @@ object StreamingIngest {
         val marker = new org.apache.hadoop.fs.Path(commitsDir, batchId.toString)
         if (!fs.exists(marker)) {
           val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
-          // NULL keys: xxhash64(null) is null, and a plain equi anti-join
-          // never matches null = null — a null-keyed row would re-insert
-          // EVERY batch (the upsert null-key trap, streaming edition). So
-          // nulls get a fixed sentinel bucket and the anti-join compares
-          // null-safely: at most one null-keyed row ever lands in the
-          // target, like any other key.
+          // NULL keys: a plain equi anti-join never matches null = null —
+          // a null-keyed row would re-insert EVERY batch (the upsert
+          // null-key trap, streaming edition). The anti-join therefore
+          // compares null-safely (<=>), so at most one null-keyed row
+          // ever lands in the target, like any other key. (xxhash64(NULL)
+          // evaluates to its seed, not NULL — the coalesce below is a
+          // belt-and-braces guard, not the null mechanism.)
           val batchDeduped = batch
             .withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1).drop("__rn")
@@ -315,29 +316,42 @@ object StreamingIngest {
     * partition-pruned to the buckets the BATCH hashes into — per-batch
     * cost ∝ batch + collision candidates, NEVER corpus size):
     *   - `docs/`  survivors, partitioned by `__kb = pmod(xxhash64(id), n)`;
-    *   - `bands/` (band, bucket, id) rows partitioned by
+    *   - `bands/` (band, bucket, id, fp) rows partitioned by
     *     `__bb = pmod(xxhash64(band, bucket), n)` — the LSH bands PLUS one
     *     pseudo-band `band = -1, bucket = xxhash64(fingerprint)` carrying
     *     the exact-dedup plane (short documents with no shingles still
     *     get the fingerprint row, so exact copies of them are caught);
+    *     pseudo-band rows also store the md5 `fp` itself, so an exact
+    *     drop is confirmed on the 128-bit fingerprint, never on the
+    *     64-bit bucket hash alone (at 10^10 docs, 64-bit birthday
+    *     collisions are expected events — a bucket-only drop would be
+    *     silent data loss);
     *   - `sigs/`  (id, signature) partitioned by
     *     `__sb = pmod(xxhash64(id), n)` — fetched only for collision
     *     candidates to verify `est_jaccard >= minJaccard` (an LSH bucket
-    *     collision alone is a candidate, not a verdict; the fingerprint
-    *     pseudo-band drops without verification, like [[graft.ops.Dedup.exact]]
-    *     it trusts the 128-bit fingerprint).
+    *     collision alone is a candidate, not a verdict).
     *
     * Per micro-batch: resolve WITHIN-batch duplicates first (exact
     * fingerprint winner per group, then the [[graft.ops.Dedup.dropNearDuplicates]]
     * greedy rule), probe the corpus planes for exact/near collisions,
     * verify LSH candidates against fetched signatures, anti-join
     * survivors' ids against `docs/` (bucket-pruned, the
-    * [[dedupAppendSink]] idempotence contract), then append docs + bands
-    * + signatures and fence with a `_graft_commits/<batchId>` marker.
-    * Replayed committed batches skip; a replay that crashed mid-append
-    * re-drops its documents through the id anti-join and the band planes
-    * tolerate duplicate rows (collision semantics are set-like — verified
-    * via max-per-id signature fetch).
+    * [[dedupAppendSink]] idempotence contract), then append bands +
+    * signatures + docs and fence with a `_graft_commits/<batchId>`
+    * marker. Replayed committed batches skip; a replay that crashed
+    * mid-append re-drops its documents through the id anti-join and the
+    * band planes tolerate duplicate rows (collision semantics are
+    * set-like — verified via max-per-id signature fetch). All id
+    * comparisons are NULL-SAFE (`<=>`): a null-id document dedups like
+    * any other key instead of re-inserting every batch.
+    *
+    * Checkpoint-target coupling (shared by every marker-fenced sink
+    * here): the markers encode the CHECKPOINT's batch numbering.
+    * Restarting a stream against an existing target with a FRESH
+    * checkpoint restarts batch ids at 0 and the old markers would
+    * silently skip them — a new checkpoint requires a new target (or
+    * clearing `_graft_commits` when the input is also re-delivered from
+    * scratch, which the dedup planes make safe).
     *
     * Blocks until available input drains (AvailableNow). Returns
     * documents appended across this invocation.
@@ -356,19 +370,20 @@ object StreamingIngest {
     val rowsPerBand = numHashes / bands
     val appended = new java.util.concurrent.atomic.AtomicLong(0L)
 
-    /** (band, bucket, id) rows for a frame: LSH bands over the minhash
-      * signature plus the exact-fingerprint pseudo-band (-1).
+    /** (band, bucket, id, fp) rows: LSH bands over ALREADY-COMPUTED
+      * signatures ([[graft.ops.Dedup.bandCells]] — the one shared banding
+      * spelling) plus the exact-fingerprint pseudo-band (-1), which alone
+      * carries the md5 `fp` for 128-bit drop confirmation.
       */
-    def bandRows(docs: DataFrame): DataFrame = {
-      val lsh = Dedup.minhashSignatures(docs, idCol, textCol, numHashes, shingleSize)
-        .select(col(idCol), explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            xxhash64(lit(b), slice(col("signature"), b * rowsPerBand + 1,
-              rowsPerBand)).as("bucket"))
-        }: _*)).as("__b"))
-        .select(col(idCol), col("__b.band").as("band"), col("__b.bucket").as("bucket"))
+    def bandRows(sigs: DataFrame, docs: DataFrame): DataFrame = {
+      val lsh = sigs
+        .select(col(idCol),
+          explode(Dedup.bandCells(col("signature"), bands, rowsPerBand)).as("__b"))
+        .select(col(idCol), col("__b.band").as("band"),
+          col("__b.bucket").as("bucket"), lit(null).cast("string").as("fp"))
       val fp = docs.select(col(idCol), lit(-1).as("band"),
-        xxhash64(TextOps.fingerprintMd5(col(textCol))).as("bucket"))
+        xxhash64(TextOps.fingerprintMd5(col(textCol))).as("bucket"),
+        TextOps.fingerprintMd5(col(textCol)).as("fp"))
       lsh.unionByName(fp)
     }
 
@@ -391,10 +406,15 @@ object StreamingIngest {
           val batchUnique = Dedup.dropNearDuplicates(batchExact, idCol, textCol,
             numHashes, shingleSize, bands, minJaccard).persist()
           try {
-            val batchBands = bandRows(batchUnique)
+            // signatures computed ONCE per batch, reused by the band
+            // plane, the verification join, and the sigs append
+            val batchSigs = Dedup.minhashSignatures(batchUnique,
+              idCol, textCol, numHashes, shingleSize).persist()
+            val batchBands = bandRows(batchSigs, batchUnique)
               .withColumn("__bb", pmod(xxhash64(col("band"), col("bucket")),
                 lit(nBuckets.toLong)))
               .persist()
+            var hitsRef: Option[DataFrame] = None
             try {
               // ---- corpus probe: partition-pruned band collision candidates
               val dropIds =
@@ -404,16 +424,26 @@ object StreamingIngest {
                     .collect().map(_.getLong(0)).toSeq
                   val stored = spark.read.parquet(bandsDir.toString)
                     .where(col("__bb").isin(bb: _*)) // partition-pruned
-                    .select(col("band"), col("bucket"), col(idCol).as("__cid"))
+                    .select(col("band"), col("bucket"),
+                      col(idCol).as("__cid"), col("fp").as("__cfp"))
+                  // skinny + persisted: every downstream branch (exact
+                  // drops, sb collect, verification, fresh count) reuses
+                  // this join instead of re-running the probe
                   val hits = batchBands
                     .join(stored, Seq("band", "bucket"))
                     // a torn replay may have appended THIS batch's own
                     // band rows already (bands plane is written first) —
-                    // a doc must never collide with itself
-                    .filter(col(idCol) =!= col("__cid"))
-                    .select(col(idCol), col("__cid"), col("band"))
-                  // fingerprint pseudo-band: exact copy — drop, no verify
-                  val exactDrops = hits.filter(col("band") === -1)
+                    // a doc must never collide with itself; null-safe so
+                    // a null-id doc doesn't slip past as "not equal"
+                    .filter(!(col(idCol) <=> col("__cid")))
+                    .select(col(idCol), col("__cid"), col("band"),
+                      col("fp"), col("__cfp"))
+                    .persist()
+                  hitsRef = Some(hits)
+                  // fingerprint pseudo-band: exact copy — confirmed on
+                  // the 128-bit md5, not the 64-bit bucket hash
+                  val exactDrops = hits.filter(col("band") === -1 &&
+                      col("fp") === col("__cfp"))
                     .select(col(idCol)).distinct()
                   // LSH candidates: verify est_jaccard against the stored
                   // signatures of JUST the colliding corpus ids
@@ -431,8 +461,6 @@ object StreamingIngest {
                         .where(col("__sb").isin(sb: _*)) // partition-pruned
                         .groupBy(col(idCol).as("__cid"))
                         .agg(max(col("signature")).as("__csig"))
-                      val batchSigs = Dedup.minhashSignatures(batchUnique,
-                        idCol, textCol, numHashes, shingleSize)
                       cands.join(batchSigs, idCol).join(corpusSigs, "__cid")
                         .filter(graft.functions.ArrayMath
                           .arrayEqCount(col("signature"), col("__csig"))
@@ -440,21 +468,27 @@ object StreamingIngest {
                         .select(col(idCol)).distinct()
                     }
                   exactDrops.unionByName(nearDrops).distinct()
-                } else batchUnique.select(col(idCol)).limit(0)
+                    .select(col(idCol).as("__did"))
+                } else batchUnique.select(col(idCol).as("__did")).limit(0)
 
-              val fresh0 = batchUnique.join(dropIds, Seq(idCol), "left_anti")
+              val fresh0 = batchUnique
+                .join(dropIds, batchUnique(idCol) <=> col("__did"), "left_anti")
                 .withColumn("__kb", pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)))
-              // id-level idempotence (torn-replay re-drop), bucket-pruned
+              // id-level idempotence (torn-replay re-drop), bucket-pruned.
+              // Buckets collected from batchUnique (a SUPERSET of fresh0's
+              // — still a correct prune) so the collect doesn't force an
+              // extra evaluation of the un-persisted dropIds subtree.
               val fresh =
                 if (planeHasData(fs, docsDir, "__kb")) {
-                  val kb = fresh0.select("__kb").distinct()
-                    .collect().map(_.getLong(0)).toSeq
+                  val kb = batchUnique
+                    .select(pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)).as("__kb"))
+                    .distinct().collect().map(_.getLong(0)).toSeq
                   if (kb.isEmpty) fresh0
                   else fresh0.join(
                     spark.read.parquet(docsDir.toString)
                       .where(col("__kb").isin(kb: _*))
                       .select(col(idCol).as("__eid")),
-                    fresh0(idCol) === col("__eid"), "left_anti")
+                    fresh0(idCol) <=> col("__eid"), "left_anti")
                 } else fresh0
               fresh.persist()
               try {
@@ -467,12 +501,16 @@ object StreamingIngest {
                   // anti-join provides exactly-once). The reverse order
                   // would let a crash strand committed docs with no band
                   // rows — permanently invisible to future near-dup
-                  // probes.
-                  bandRows(fresh).withColumn("__bb",
-                    pmod(xxhash64(col("band"), col("bucket")), lit(nBuckets.toLong)))
+                  // probes. Band/sig rows are the PROBED frames filtered
+                  // to survivors — written rows are bit-identical to what
+                  // the probe spelling produces, by construction.
+                  val freshIds = fresh.select(col(idCol))
+                  batchBands
+                    .join(freshIds, batchBands(idCol) <=> freshIds(idCol), "left_semi")
                     .write.mode(SaveMode.Append)
                     .partitionBy("__bb").parquet(bandsDir.toString)
-                  Dedup.minhashSignatures(fresh, idCol, textCol, numHashes, shingleSize)
+                  batchSigs
+                    .join(freshIds, batchSigs(idCol) <=> freshIds(idCol), "left_semi")
                     .withColumn("__sb", pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)))
                     .write.mode(SaveMode.Append)
                     .partitionBy("__sb").parquet(sigsDir.toString)
@@ -481,7 +519,11 @@ object StreamingIngest {
                 }
                 appended.addAndGet(n)
               } finally fresh.unpersist()
-            } finally batchBands.unpersist()
+            } finally {
+              hitsRef.foreach(_.unpersist())
+              batchBands.unpersist()
+              batchSigs.unpersist()
+            }
           } finally batchUnique.unpersist()
           fs.mkdirs(commitsDir)
           fs.createNewFile(marker)
@@ -538,6 +580,12 @@ object StreamingIngest {
     * empty file per batch (a long-retention target can archive markers
     * below the per-bucket version floor offline).
     *
+    * Checkpoint-target coupling: the markers encode the CHECKPOINT's
+    * batch numbering — restarting against an existing target with a
+    * fresh checkpoint would let old markers silently skip the restarted
+    * batches (see the [[nearDupAppendSink]] scaladoc); a new checkpoint
+    * requires a new target.
+    *
     * Blocks until available input drains (AvailableNow). Returns the
     * number of micro-batches applied (replays contribute 0). Serve with
     * [[readUpsertTarget]].
@@ -562,14 +610,12 @@ object StreamingIngest {
             .persist() // bucket discovery + merge read it once each
           try {
             // ≤ nBuckets small longs — bounded driver traffic by design.
-            // getLong would NPE on a null bucket (null key) before the
-            // MERGE's own row-level null rejection ran — surface the same
-            // contract here instead of an opaque NPE.
-            val touched = batchKb.select(bucketCol).distinct().collect().map { r =>
-              require(!r.isNullAt(0),
-                s"upsertSink: NULL in key ($keyCol) — a null key never matches MERGE ON")
-              r.getLong(0)
-            }.toSeq
+            // Null keys: xxhash64(NULL) evaluates to its seed (42), so a
+            // null-keyed row gets a valid bucket here and is then rejected
+            // row-level by ScaleOps.upsert's MERGE null check during the
+            // write job — the batch fails loudly before any rename.
+            val touched = batchKb.select(bucketCol).distinct().collect()
+              .map(_.getLong(0)).toSeq
             val committed = committedVersions(fs, targetPath).toSet
             val currentPaths = touched.flatMap(b =>
               latestBucketVersion(fs, targetPath, b, committed))

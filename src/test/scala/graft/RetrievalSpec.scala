@@ -75,6 +75,19 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.map(_.getLong(1)).distinct.length == 6)
   }
 
+  test("kCenterSelect excludes zero-norm vectors instead of crashing") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array(0.0f, 0.0f)), // zero vector: no defined cosine — excluded
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.kCenterSelect(df, "vec_id", "embedding", 3)
+      .orderBy("round").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L),
+      "seed must be the lowest NONZERO id and the zero vector never selected")
+  }
+
   test("kCenterSelect caps at corpus size when k exceeds it") {
     val got = Similarity.kCenterSelect(
       Tables.embeddings(spark, sf).filter(col("vec_id") < 3),
