@@ -293,6 +293,32 @@ object StreamingIngest {
     compacted
   }
 
+  /** (band, bucket, id, fp, __bb) rows for the near-dup band plane: LSH
+    * bands over ALREADY-COMPUTED signatures ([[graft.ops.Dedup.bandCells]]
+    * — the one shared banding spelling) plus the exact-fingerprint
+    * pseudo-band (-1), which alone carries the md5 `fp` for 128-bit drop
+    * confirmation. ONE builder shared by [[nearDupAppendSink]] and
+    * [[bootstrapNearDupTarget]] so probe and plane can never drift.
+    */
+  private def nearDupBandRows(idCol: String, textCol: String,
+                              sigs: DataFrame, docs: DataFrame,
+                              bands: Int, rowsPerBand: Int,
+                              nBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Dedup, TextOps}
+    val lsh = sigs
+      .select(col(idCol),
+        explode(Dedup.bandCells(col("signature"), bands, rowsPerBand)).as("__b"))
+      .select(col(idCol), col("__b.band").as("band"),
+        col("__b.bucket").as("bucket"), lit(null).cast("string").as("fp"))
+    val fp = docs.select(col(idCol), lit(-1).as("band"),
+      xxhash64(TextOps.fingerprintMd5(col(textCol))).as("bucket"),
+      TextOps.fingerprintMd5(col(textCol)).as("fp"))
+    lsh.unionByName(fp)
+      .withColumn("__bb", pmod(xxhash64(col("band"), col("bucket")),
+        lit(nBuckets.toLong)))
+  }
+
   /** True iff a partitioned plane under `dir` holds actual data files
     * (generalized [[targetHasData]] for an arbitrary partition column).
     */
@@ -370,23 +396,6 @@ object StreamingIngest {
     val rowsPerBand = numHashes / bands
     val appended = new java.util.concurrent.atomic.AtomicLong(0L)
 
-    /** (band, bucket, id, fp) rows: LSH bands over ALREADY-COMPUTED
-      * signatures ([[graft.ops.Dedup.bandCells]] — the one shared banding
-      * spelling) plus the exact-fingerprint pseudo-band (-1), which alone
-      * carries the md5 `fp` for 128-bit drop confirmation.
-      */
-    def bandRows(sigs: DataFrame, docs: DataFrame): DataFrame = {
-      val lsh = sigs
-        .select(col(idCol),
-          explode(Dedup.bandCells(col("signature"), bands, rowsPerBand)).as("__b"))
-        .select(col(idCol), col("__b.band").as("band"),
-          col("__b.bucket").as("bucket"), lit(null).cast("string").as("fp"))
-      val fp = docs.select(col(idCol), lit(-1).as("band"),
-        xxhash64(TextOps.fingerprintMd5(col(textCol))).as("bucket"),
-        TextOps.fingerprintMd5(col(textCol)).as("fp"))
-      lsh.unionByName(fp)
-    }
-
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
@@ -410,9 +419,8 @@ object StreamingIngest {
             // plane, the verification join, and the sigs append
             val batchSigs = Dedup.minhashSignatures(batchUnique,
               idCol, textCol, numHashes, shingleSize).persist()
-            val batchBands = bandRows(batchSigs, batchUnique)
-              .withColumn("__bb", pmod(xxhash64(col("band"), col("bucket")),
-                lit(nBuckets.toLong)))
+            val batchBands = nearDupBandRows(idCol, textCol, batchSigs,
+                batchUnique, bands, rowsPerBand, nBuckets)
               .persist()
             var hitsRef: Option[DataFrame] = None
             try {
@@ -542,6 +550,46 @@ object StreamingIngest {
     spark.read.parquet(
       new org.apache.hadoop.fs.Path(
         new org.apache.hadoop.fs.Path(targetDir), "docs").toString)
+
+  /** Bootstrap a [[nearDupAppendSink]] target from an EXISTING
+    * (already-deduplicated) corpus — the operational entry point for
+    * turning a batch-built 100 TB corpus into a streaming dedup target
+    * WITHOUT replaying it through micro-batches: one pass writes the
+    * three planes with the sink's own spellings (shared [[bandRows]]
+    * internals via [[graft.ops.Dedup.bandCells]]), so subsequent sink
+    * waves probe it exactly as if the sink had built it. The corpus is
+    * written as-is — run the batch dedup ops first if it may contain
+    * duplicates; no commit markers are created (markers belong to the
+    * CHECKPOINT's numbering, which starts fresh). Parameters must match
+    * the ones later passed to the sink — they define the band geometry
+    * the probes replay. Returns the number of documents bootstrapped.
+    */
+  def bootstrapNearDupTarget(spark: SparkSession, corpus: DataFrame,
+                             idCol: String, textCol: String, targetDir: String,
+                             numHashes: Int = 32, shingleSize: Int = 3,
+                             bands: Int = 8, nBuckets: Int = 64): Long = {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Dedup, TextOps}
+    require(nBuckets > 0, "nBuckets must be positive")
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    val (targetPath, _) = hadoopFs(spark, targetDir)
+    val sigs = Dedup.minhashSignatures(corpus, idCol, textCol,
+      numHashes, shingleSize).persist()
+    try {
+      nearDupBandRows(idCol, textCol, sigs, corpus, bands, rowsPerBand, nBuckets)
+        .write.mode(SaveMode.Append).partitionBy("__bb")
+        .parquet(new org.apache.hadoop.fs.Path(targetPath, "bands").toString)
+      sigs.withColumn("__sb", pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)))
+        .write.mode(SaveMode.Append).partitionBy("__sb")
+        .parquet(new org.apache.hadoop.fs.Path(targetPath, "sigs").toString)
+      val docs = corpus
+        .withColumn("__kb", pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)))
+      docs.write.mode(SaveMode.Append).partitionBy("__kb")
+        .parquet(new org.apache.hadoop.fs.Path(targetPath, "docs").toString)
+      docs.count()
+    } finally sigs.unpersist()
+  }
 
   /** Streaming UPDATE-IN-PLACE upsert (SCD1 over a stream) on plain
     * parquet — the boundary [[dedupAppendSink]]'s scaladoc used to hand to

@@ -144,6 +144,23 @@ class NearDupSinkSpec extends AnyFunSuite {
       s"probe read $scanned of $total bands files — partition pruning is not happening")
   }
 
+  test("bootstrapped corpus planes dedup subsequent sink waves") {
+    val (in, target, ckpt) = freshDirs()
+    // bootstrap from a batch corpus (no streaming, no markers)
+    assert(StreamingIngest.bootstrapNearDupTarget(spark,
+      Seq((1L, baseA), (2L, baseB)).toDF("doc_id", "text"),
+      "doc_id", "text", target, nBuckets = 8) == 2L)
+    assert(servedIds(target) == Seq(1L, 2L))
+    // a first sink wave must probe the bootstrapped planes: exact and
+    // near copies of corpus docs dropped, the new doc kept
+    val appended = wave(in, target, ckpt, Seq(
+      (10L, baseA), (11L, nearA),
+      (12L, "a brand new post-bootstrap document about streaming sinks " +
+        "markers planes buckets probes partitions and verified drops")))
+    assert(appended == 1L)
+    assert(servedIds(target) == Seq(1L, 2L, 12L))
+  }
+
   test("dissimilar docs sharing no LSH band survive signature verification") {
     // near-threshold behavior: the verification step must not drop docs
     // that merely collide in a band but fail est_jaccard — construct a
