@@ -344,6 +344,48 @@ object Dedup {
     * web-crawl case); for still-larger corpora, prefilter with
     * [[minhashNearDupPairs]] (approximate, recall < 1).
     */
+  /** Asymmetric n-gram CONTAINMENT pairs (Broder, SEQUENCES'97: the
+    * "containment of documents" companion to resemblance/Jaccard):
+    * `containment(A in B) = |A ∩ B| / |A|` over distinct shingle sets.
+    * Catches what symmetric Jaccard structurally misses — a short
+    * document quoted whole inside a much longer one has containment ≈ 1
+    * while its Jaccard ≈ |A|/|B| ≈ 0, so a Jaccard-thresholded dedup
+    * keeps the duplicate. Output is DIRECTIONAL: (contained_id,
+    * container_id) with both orientations evaluated independently.
+    *
+    * Oracle-grade exact flavor (the [[cosineNearDupPairsExact]]
+    * precedent): inverted-index join on shingle hashes — candidate
+    * volume is Σ_sh C(df_sh, 2)·2, the same skew caveat as the unguarded
+    * [[ngramJaccardPairs]] plan; at corpus scale route candidates
+    * through the banded MinHash stage first and verify containment only
+    * on collisions. Note the symmetric size prefilter is deliberately
+    * ABSENT: containment imposes no lower bound on |B|, which is exactly
+    * the asymmetry being measured.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleSize: Int = 3,
+                       minContainment: Double = 0.5): DataFrame = {
+    import graft.functions.ArrayMath
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      "minContainment must be in (0, 1]")
+    val hashed = df.select(col(idCol).as("id"),
+      sort_array(array_distinct(ArrayMath.shingleHashes(
+        TextOps.tokens(TextOps.normalized(col(textCol))), shingleSize))).as("__shs"))
+      .filter(size(col("__shs")) > 0)
+    val full = hashed.select(col("id"), size(col("__shs")).as("__sz"),
+      explode(col("__shs")).as("sh"))
+    full.select(col("sh"), col("id").as("contained_id"), col("__sz").as("__sz_a"))
+      .join(full.select(col("sh"), col("id").as("container_id")), "sh")
+      .filter(col("contained_id") =!= col("container_id"))
+      .groupBy(col("contained_id"), col("container_id"), col("__sz_a"))
+      .agg(count(lit(1)).as("__common"))
+      .withColumn("containment",
+        col("__common").cast("double") / col("__sz_a").cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select(col("contained_id"), col("container_id"),
+        round(col("containment"), 4).as("containment"))
+  }
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, minJaccard: Double = 0.3,
                         skewGuard: Option[Boolean] = None,

@@ -2891,6 +2891,42 @@ object TrainingQueries {
              |  MIN(doc_id) AS survivor_id,
              |  CAST(SUM(CASE WHEN raw != nfc_normalize(raw) THEN 1 ELSE 0 END)
              |    AS BIGINT) AS n_changed
-             |FROM v GROUP BY 1 ORDER BY norm""".stripMargin))
+             |FROM v GROUP BY 1 ORDER BY norm""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Asymmetric n-gram containment dedup (Dedup.containmentPairs,
+    // Broder SEQUENCES'97): containment(A in B) = |A∩B|/|A| — catches a
+    // short document quoted whole inside a longer one, where symmetric
+    // Jaccard ≈ |A|/|B| stays under any useful threshold. Directional
+    // output, exact inverted-index plan (the q27 machinery minus the
+    // symmetric size prefilter, whose absence IS the asymmetry). DuckDB
+    // replays every intersection over distinct shingle strings; the
+    // threshold compare is an integer-ratio double division, identical
+    // on both engines.
+    QuerySpec(
+      "q131_containment",
+      (s, dir) =>
+        graft.ops.Dedup.containmentPairs(Tables.documents(s, dir),
+          "doc_id", "text", shingleSize = 3, minContainment = 0.3)
+          .orderBy("contained_id", "container_id"),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents
+              |), sh AS (
+              |  SELECT doc_id, unnest(list_distinct(
+              |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)])) AS s
+              |  FROM t
+              |), sz AS (
+              |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+              |), inter AS (
+              |  SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+              |    COUNT(*) AS c
+              |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id != b.doc_id
+              |  GROUP BY 1, 2
+              |)
+              |SELECT i.contained_id, i.container_id,
+              |  ROUND(CAST(i.c AS DOUBLE) / sa.n, 4) AS containment
+              |FROM inter i JOIN sz sa ON sa.doc_id = i.contained_id
+              |WHERE CAST(i.c AS DOUBLE) / sa.n >= 0.3
+              |ORDER BY contained_id, container_id""".stripMargin))
   )
 }

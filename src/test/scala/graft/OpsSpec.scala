@@ -1476,4 +1476,27 @@ class OpsSpec extends AnyFunSuite {
     assert(fps.count() == 1)
   }
 
+  test("containmentPairs catches a quoted doc that Jaccard structurally misses") {
+    import spark.implicits._
+    val small = "alpha beta gamma delta epsilon zeta eta theta"
+    val big = ("completely unrelated opening with many extra tokens here " +
+      "that dilute the union badly and then the quote follows " + small +
+      " and a long unrelated tail keeps diluting the union even more " +
+      "with yet more filler tokens until jaccard is tiny")
+    val df = Seq((1L, small), (2L, big), (3L, "an unrelated third document"))
+      .toDF("doc_id", "text")
+    val cont = graft.ops.Dedup.containmentPairs(df, "doc_id", "text",
+      shingleSize = 3, minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the small doc is fully contained (every 3-shingle of it appears in big)
+    assert(cont.exists { case (a, b, c) => a == 1L && b == 2L && c == 1.0 },
+      s"expected (1 contained-in 2, 1.0), got ${cont.toSeq}")
+    // the reverse direction is NOT contained
+    assert(!cont.exists { case (a, b, _) => a == 2L && b == 1L })
+    // symmetric Jaccard on the same pair stays far below any dedup bar
+    val jac = graft.ops.Dedup.ngramJaccardPairs(df, "doc_id", "text",
+      shingleSize = 3, minJaccard = 0.5)
+    assert(jac.isEmpty, "Jaccard at 0.5 must miss the quoted-containment pair")
+  }
+
 }
