@@ -364,7 +364,16 @@ object Dedup {
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        shingleSize: Int = 3,
-                       minContainment: Double = 0.5): DataFrame = {
+                       minContainment: Double = 0.5): DataFrame =
+    containmentPairsSized(df, idCol, textCol, shingleSize, minContainment)
+      .select(col("contained_id"), col("container_id"), col("containment"))
+
+  /** [[containmentPairs]] plus both documents' distinct-shingle counts —
+    * the extra columns [[dropContained]]'s survivor rule needs.
+    */
+  private def containmentPairsSized(df: DataFrame, idCol: String,
+                                    textCol: String, shingleSize: Int,
+                                    minContainment: Double): DataFrame = {
     import graft.functions.ArrayMath
     require(minContainment > 0.0 && minContainment <= 1.0,
       "minContainment must be in (0, 1]")
@@ -375,15 +384,37 @@ object Dedup {
     val full = hashed.select(col("id"), size(col("__shs")).as("__sz"),
       explode(col("__shs")).as("sh"))
     full.select(col("sh"), col("id").as("contained_id"), col("__sz").as("__sz_a"))
-      .join(full.select(col("sh"), col("id").as("container_id")), "sh")
+      .join(full.select(col("sh"), col("id").as("container_id"),
+        col("__sz").as("__sz_b")), "sh")
       .filter(col("contained_id") =!= col("container_id"))
-      .groupBy(col("contained_id"), col("container_id"), col("__sz_a"))
+      .groupBy(col("contained_id"), col("container_id"),
+        col("__sz_a"), col("__sz_b"))
       .agg(count(lit(1)).as("__common"))
       .withColumn("containment",
         col("__common").cast("double") / col("__sz_a").cast("double"))
       .filter(col("containment") >= minContainment)
       .select(col("contained_id"), col("container_id"),
-        round(col("containment"), 4).as("containment"))
+        round(col("containment"), 4).as("containment"),
+        col("__sz_a"), col("__sz_b"))
+  }
+
+  /** Drop every document contained (≥ `minContainment`) in a SURVIVING
+    * container: the container must have strictly more distinct shingles,
+    * or equally many and a smaller id — so mutual/exact containment
+    * keeps exactly one copy (the min-id survivor, [[exact]]'s rule)
+    * instead of deleting both directions of the pair. One anti-join;
+    * original schema kept.
+    */
+  def dropContained(df: DataFrame, idCol: String, textCol: String,
+                    shingleSize: Int = 3,
+                    minContainment: Double = 0.9): DataFrame = {
+    val drops = containmentPairsSized(df, idCol, textCol, shingleSize,
+        minContainment)
+      .filter(col("__sz_b") > col("__sz_a") ||
+        (col("__sz_b") === col("__sz_a") &&
+          col("container_id") < col("contained_id")))
+      .select(col("contained_id").as(idCol)).distinct()
+    df.join(drops, Seq(idCol), "left_anti")
   }
 
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,

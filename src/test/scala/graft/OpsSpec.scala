@@ -1499,4 +1499,22 @@ class OpsSpec extends AnyFunSuite {
     assert(jac.isEmpty, "Jaccard at 0.5 must miss the quoted-containment pair")
   }
 
+  test("dropContained keeps one survivor under mutual containment, drops quoted docs") {
+    import spark.implicits._
+    val small = "alpha beta gamma delta epsilon zeta eta theta"
+    val big = ("opening filler tokens before the quotation starts now " + small +
+      " and trailing filler continues for a while after the quote ends")
+    val df = Seq(
+      (1L, small), (2L, big),
+      (5L, "twin document with identical text body"),
+      (6L, "twin document with identical text body"),
+      (7L, "an unrelated survivor document entirely")).toDF("doc_id", "text")
+    val kept = graft.ops.Dedup.dropContained(df, "doc_id", "text",
+      shingleSize = 3, minContainment = 0.9)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // 1 is quoted inside 2 -> dropped; twins 5/6 are mutually contained ->
+    // exactly the min-id survives; 7 untouched
+    assert(kept == Seq(2L, 5L, 7L), s"got $kept")
+  }
+
 }
