@@ -61,11 +61,7 @@ object StreamingIngest {
     */
   private def targetHasData(fs: org.apache.hadoop.fs.FileSystem,
                             targetPath: org.apache.hadoop.fs.Path): Boolean =
-    fs.exists(targetPath) && fs.globStatus(
-      new org.apache.hadoop.fs.Path(targetPath, s"$bucketCol=*/*")).exists { st =>
-      val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }
+    planeHasData(fs, targetPath, bucketCol)
 
   /** Incremental dedup-append sink: each micro-batch is deduped within
     * itself (first row per key in `orderCol` order), anti-joined against
@@ -293,6 +289,12 @@ object StreamingIngest {
     compacted
   }
 
+  /** The sinks' shared hash-bucket spelling: `pmod(xxhash64(cs…), n)`. */
+  private def hashBucket(n: Int, cs: org.apache.spark.sql.Column*) = {
+    import org.apache.spark.sql.functions._
+    pmod(xxhash64(cs: _*), lit(n.toLong))
+  }
+
   /** (band, bucket, id, fp, __bb) rows for the near-dup band plane: LSH
     * bands over ALREADY-COMPUTED signatures ([[graft.ops.Dedup.bandCells]]
     * — the one shared banding spelling) plus the exact-fingerprint
@@ -315,8 +317,7 @@ object StreamingIngest {
       xxhash64(TextOps.fingerprintMd5(col(textCol))).as("bucket"),
       TextOps.fingerprintMd5(col(textCol)).as("fp"))
     lsh.unionByName(fp)
-      .withColumn("__bb", pmod(xxhash64(col("band"), col("bucket")),
-        lit(nBuckets.toLong)))
+      .withColumn("__bb", hashBucket(nBuckets, col("band"), col("bucket")))
   }
 
   /** True iff a partitioned plane under `dir` holds actual data files
@@ -458,7 +459,7 @@ object StreamingIngest {
                   val cands = hits.filter(col("band") =!= -1)
                     .select(col(idCol), col("__cid")).distinct()
                   val sb = cands
-                    .select(pmod(xxhash64(col("__cid")), lit(nBuckets.toLong)).as("__sb"))
+                    .select(hashBucket(nBuckets, col("__cid")).as("__sb"))
                     .distinct().collect().map(_.getLong(0)).toSeq
                   val nearDrops =
                     if (sb.isEmpty) exactDrops.limit(0)
@@ -481,7 +482,7 @@ object StreamingIngest {
 
               val fresh0 = batchUnique
                 .join(dropIds, batchUnique(idCol) <=> col("__did"), "left_anti")
-                .withColumn("__kb", pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)))
+                .withColumn("__kb", hashBucket(nBuckets, col(idCol)))
               // id-level idempotence (torn-replay re-drop), bucket-pruned.
               // Buckets collected from batchUnique (a SUPERSET of fresh0's
               // — still a correct prune) so the collect doesn't force an
@@ -489,7 +490,7 @@ object StreamingIngest {
               val fresh =
                 if (planeHasData(fs, docsDir, "__kb")) {
                   val kb = batchUnique
-                    .select(pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)).as("__kb"))
+                    .select(hashBucket(nBuckets, col(idCol)).as("__kb"))
                     .distinct().collect().map(_.getLong(0)).toSeq
                   if (kb.isEmpty) fresh0
                   else fresh0.join(
@@ -519,7 +520,7 @@ object StreamingIngest {
                     .partitionBy("__bb").parquet(bandsDir.toString)
                   batchSigs
                     .join(freshIds, batchSigs(idCol) <=> freshIds(idCol), "left_semi")
-                    .withColumn("__sb", pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)))
+                    .withColumn("__sb", hashBucket(nBuckets, col(idCol)))
                     .write.mode(SaveMode.Append)
                     .partitionBy("__sb").parquet(sigsDir.toString)
                   fresh.write.mode(SaveMode.Append)
@@ -573,21 +574,27 @@ object StreamingIngest {
     require(nBuckets > 0, "nBuckets must be positive")
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
-    val (targetPath, _) = hadoopFs(spark, targetDir)
+    val (targetPath, fs) = hadoopFs(spark, targetDir)
+    // bootstrap is the target's BIRTH: appending into an existing target
+    // would bypass the sink's dedup probes (and break the plane count)
+    require(!planeHasData(fs,
+      new org.apache.hadoop.fs.Path(targetPath, "docs"), "__kb"),
+      s"bootstrapNearDupTarget requires an empty target, found docs under $targetDir")
     val sigs = Dedup.minhashSignatures(corpus, idCol, textCol,
       numHashes, shingleSize).persist()
     try {
       nearDupBandRows(idCol, textCol, sigs, corpus, bands, rowsPerBand, nBuckets)
         .write.mode(SaveMode.Append).partitionBy("__bb")
         .parquet(new org.apache.hadoop.fs.Path(targetPath, "bands").toString)
-      sigs.withColumn("__sb", pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)))
+      sigs.withColumn("__sb", hashBucket(nBuckets, col(idCol)))
         .write.mode(SaveMode.Append).partitionBy("__sb")
         .parquet(new org.apache.hadoop.fs.Path(targetPath, "sigs").toString)
-      val docs = corpus
-        .withColumn("__kb", pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)))
-      docs.write.mode(SaveMode.Append).partitionBy("__kb")
-        .parquet(new org.apache.hadoop.fs.Path(targetPath, "docs").toString)
-      docs.count()
+      val docsPath = new org.apache.hadoop.fs.Path(targetPath, "docs").toString
+      corpus.withColumn("__kb", hashBucket(nBuckets, col(idCol)))
+        .write.mode(SaveMode.Append).partitionBy("__kb").parquet(docsPath)
+      // count from the WRITTEN plane: parquet answers from footer metadata,
+      // vs re-scanning the source corpus a fourth time
+      spark.read.parquet(docsPath).count()
     } finally sigs.unpersist()
   }
 
