@@ -2927,6 +2927,45 @@ object TrainingQueries {
               |  ROUND(CAST(i.c AS DOUBLE) / sa.n, 4) AS containment
               |FROM inter i JOIN sz sa ON sa.doc_id = i.contained_id
               |WHERE CAST(i.c AS DOUBLE) / sa.n >= 0.3
-              |ORDER BY contained_id, container_id""".stripMargin))
+              |ORDER BY contained_id, container_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Containment drop-gate (Dedup.dropContained): survivors after
+    // dropping docs contained (≥ θ) in a SURVIVING container — container
+    // strictly larger by distinct shingles, or equal-size min-id, so
+    // mutual/exact containment keeps exactly one copy. The whole greedy
+    // rule is integer/ratio arithmetic — DuckDB replays the drop set and
+    // the anti-join exactly.
+    QuerySpec(
+      "q132_drop_contained",
+      (s, dir) =>
+        graft.ops.Dedup.dropContained(Tables.documents(s, dir),
+          "doc_id", "text", shingleSize = 3, minContainment = 0.3)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .orderBy("doc_id"),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents
+              |), sh AS (
+              |  SELECT doc_id, unnest(list_distinct(
+              |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)])) AS s
+              |  FROM t
+              |), sz AS (
+              |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+              |), inter AS (
+              |  SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+              |    COUNT(*) AS c
+              |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id != b.doc_id
+              |  GROUP BY 1, 2
+              |), drops AS (
+              |  SELECT DISTINCT i.contained_id
+              |  FROM inter i
+              |  JOIN sz sa ON sa.doc_id = i.contained_id
+              |  JOIN sz sb ON sb.doc_id = i.container_id
+              |  WHERE CAST(i.c AS DOUBLE) / sa.n >= 0.3
+              |    AND (sb.n > sa.n OR (sb.n = sa.n AND i.container_id < i.contained_id))
+              |)
+              |SELECT doc_id, source, n_chars FROM documents
+              |WHERE doc_id NOT IN (SELECT contained_id FROM drops)
+              |ORDER BY doc_id""".stripMargin))
   )
 }
