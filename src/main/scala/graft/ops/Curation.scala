@@ -365,6 +365,28 @@ object Curation {
     * [[Dedup.ngramJaccardPairs]]; collisions negligible, distinct counts
     * coincide with string shingles).
     */
+  /** Train/test split LEAKAGE audit (Brown et al. 2020, GPT-3 App. C —
+    * the published train-test-overlap report): assign splits with the
+    * SAME deterministic hash rule as [[assignSplit]], then report every
+    * TEST-split document that shares n-gram shingles with the TRAIN
+    * split, with its shared-shingle count. The eval-hygiene complement
+    * to [[contaminatedDocs]] (which gates against an EXTERNAL eval set):
+    * this one audits the pipeline's own split for leakage introduced by
+    * near-duplicates straddling the split boundary. Plan = the
+    * certified q64 split projection feeding the certified q66 overlap
+    * join — train shingles deduped once, test side never shuffles text.
+    */
+  def splitLeakage(df: DataFrame, idCol: String, textCol: String,
+                   splits: Seq[(String, Double)] =
+                     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+                   shingleSize: Int = 3, nBuckets: Int = 10000): DataFrame = {
+    val assigned = assignSplit(df, idCol, splits, nBuckets)
+    contaminatedDocs(
+      assigned.filter(col("split") === splits.last._1),
+      assigned.filter(col("split") === splits.head._1),
+      idCol, textCol, shingleSize)
+  }
+
   private def docShingles(d: DataFrame, idCol: String, textCol: String,
                           shingleSize: Int): DataFrame = {
     import graft.functions.ArrayMath

@@ -2966,6 +2966,36 @@ object TrainingQueries {
               |)
               |SELECT doc_id, source, n_chars FROM documents
               |WHERE doc_id NOT IN (SELECT contained_id FROM drops)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Train/test split-leakage audit (Curation.splitLeakage, GPT-3
+    // App. C): every TEST-split doc sharing shingles with the TRAIN
+    // split — the q64 deterministic split rule feeding the q66 overlap
+    // join, both already hash-certified; DuckDB replays the md5 bucket
+    // thresholds and the distinct-shingle intersection end-to-end.
+    QuerySpec(
+      "q133_split_leakage",
+      (s, dir) =>
+        Curation.splitLeakage(Tables.documents(s, dir), "doc_id", "text")
+          .orderBy("doc_id"),
+      Some(s"""WITH b AS (
+              |  SELECT doc_id, text,
+              |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS bk
+              |  FROM documents
+              |), t AS (
+              |  SELECT doc_id, bk, string_split($normSql, ' ') AS toks FROM b
+              |), sh AS (
+              |  SELECT doc_id, bk, unnest(list_distinct(
+              |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)])) AS s
+              |  FROM t
+              |), tr AS (
+              |  SELECT DISTINCT s FROM sh WHERE bk < 8000
+              |)
+              |SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+              |FROM sh JOIN tr ON sh.s = tr.s
+              |WHERE sh.bk >= 9000
+              |GROUP BY sh.doc_id
               |ORDER BY doc_id""".stripMargin))
   )
 }
