@@ -8,6 +8,37 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** One-call corpus DATASHEET (Gebru et al., "Datasheets for Datasets",
+    * CACM 2021 — the release-documentation artifact every public training
+    * corpus ships): a single wide row of the headline corpus facts —
+    * document / source / language counts, exact-duplicate count (md5
+    * fingerprint), token totals and mean, char extremes, short-doc count.
+    * Every field is an exact integer or one integer division, so the
+    * whole row replays in SQL; each piece is the spelling its standalone
+    * query certifies (q15/q21/q22/q23 precedents).
+    *
+    * Plan shape: ONE aggregation pass — the three exact distincts plan as
+    * a single Expand (input scanned once, map-side combined), everything
+    * else piggybacks; output is one row regardless of corpus size.
+    */
+  def corpusDatasheet(docs: DataFrame, idCol: String, textCol: String,
+                      langCol: String, sourceCol: String): DataFrame = {
+    val toks = TextOps.tokenCount(col(textCol))
+    docs.select(col(langCol), col(sourceCol), toks.as("__t"),
+        length(col(textCol)).as("__nc"),
+        TextOps.fingerprintMd5(col(textCol)).as("__fp"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col(sourceCol)).as("n_sources"),
+        countDistinct(col(langCol)).as("n_langs"),
+        (count(lit(1)) - countDistinct(col("__fp"))).as("n_exact_dup_docs"),
+        sum(col("__t")).cast("long").as("total_tokens"),
+        (sum(col("__t")).cast("double") / count(lit(1))).as("avg_tokens"),
+        min(col("__nc")).cast("long").as("min_chars"),
+        max(col("__nc")).cast("long").as("max_chars"),
+        sum(when(col("__t") < 50, 1L).otherwise(0L)).as("n_short_docs"))
+  }
+
   /** Per-column numeric profile: row count, nulls, distinct count,
     * min/max — one row per profiled column.
     *

@@ -2996,6 +2996,31 @@ object TrainingQueries {
               |FROM sh JOIN tr ON sh.s = tr.s
               |WHERE sh.bk >= 9000
               |GROUP BY sh.doc_id
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Corpus datasheet (Profile.corpusDatasheet, Gebru et al. CACM'21):
+    // the one-row release-documentation report — counts, exact-dup rate,
+    // token totals, char extremes — every field an exact integer or one
+    // integer division, one aggregation pass (distincts via a single
+    // Expand). Each piece reuses the spelling its standalone query
+    // certifies (q15/q21/q22/q23).
+    QuerySpec(
+      "q134_corpus_datasheet",
+      (s, dir) =>
+        graft.ops.Profile.corpusDatasheet(Tables.documents(s, dir),
+          "doc_id", "text", "lang", "source"),
+      Some(s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+              |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+              |  CAST(COUNT(*) - COUNT(DISTINCT md5($normSql)) AS BIGINT)
+              |    AS n_exact_dup_docs,
+              |  CAST(SUM(len($toksSql)) AS BIGINT) AS total_tokens,
+              |  CAST(SUM(len($toksSql)) AS DOUBLE) / COUNT(*) AS avg_tokens,
+              |  CAST(MIN(length(text)) AS BIGINT) AS min_chars,
+              |  CAST(MAX(length(text)) AS BIGINT) AS max_chars,
+              |  CAST(SUM(CASE WHEN len($toksSql) < 50 THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_short_docs
+              |FROM documents""".stripMargin))
   )
 }
