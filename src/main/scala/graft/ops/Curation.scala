@@ -360,33 +360,43 @@ object Curation {
       .select(col("anchor_id"), col("slot"), col("neg_id"))
   }
 
+  /** Train/test split LEAKAGE audit (Brown et al. 2020, GPT-3 App. C —
+    * the published train-test-overlap report): assign splits with the
+    * SAME deterministic hash rule as [[assignSplit]], then report every
+    * `testSplit` document that shares n-gram shingles with the
+    * `trainSplit`, with its shared-shingle count. Splits are selected BY
+    * NAME (a positional rule would silently audit the wrong split under
+    * a reordered `splits` list). The eval-hygiene complement to
+    * [[contaminatedDocs]] (which gates against an EXTERNAL eval set):
+    * this one audits the pipeline's own split for leakage introduced by
+    * near-duplicates straddling the split boundary.
+    *
+    * Scale shape: the overlap runs through [[contaminatedDocsBloom]] —
+    * the shingle side here is the TRAIN split, by far the largest slice,
+    * exactly the "LARGE eval side" case the Bloom flavor exists for
+    * (identical rows to the plain flavor, spec-asserted).
+    */
+  def splitLeakage(df: DataFrame, idCol: String, textCol: String,
+                   splits: Seq[(String, Double)] =
+                     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+                   shingleSize: Int = 3, nBuckets: Int = 10000,
+                   trainSplit: String = "train",
+                   testSplit: String = "test"): DataFrame = {
+    val names = splits.map(_._1)
+    require(names.contains(trainSplit) && names.contains(testSplit),
+      s"splits must contain '$trainSplit' and '$testSplit' (got $names)")
+    val assigned = assignSplit(df, idCol, splits, nBuckets)
+    contaminatedDocsBloom(
+      assigned.filter(col("split") === testSplit),
+      assigned.filter(col("split") === trainSplit),
+      idCol, textCol, shingleSize)
+  }
+
   /** Shared decontamination projection: doc → exploded DISTINCT n-gram
     * shingle hashes (identity = 64-bit hash, as in
     * [[Dedup.ngramJaccardPairs]]; collisions negligible, distinct counts
     * coincide with string shingles).
     */
-  /** Train/test split LEAKAGE audit (Brown et al. 2020, GPT-3 App. C —
-    * the published train-test-overlap report): assign splits with the
-    * SAME deterministic hash rule as [[assignSplit]], then report every
-    * TEST-split document that shares n-gram shingles with the TRAIN
-    * split, with its shared-shingle count. The eval-hygiene complement
-    * to [[contaminatedDocs]] (which gates against an EXTERNAL eval set):
-    * this one audits the pipeline's own split for leakage introduced by
-    * near-duplicates straddling the split boundary. Plan = the
-    * certified q64 split projection feeding the certified q66 overlap
-    * join — train shingles deduped once, test side never shuffles text.
-    */
-  def splitLeakage(df: DataFrame, idCol: String, textCol: String,
-                   splits: Seq[(String, Double)] =
-                     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
-                   shingleSize: Int = 3, nBuckets: Int = 10000): DataFrame = {
-    val assigned = assignSplit(df, idCol, splits, nBuckets)
-    contaminatedDocs(
-      assigned.filter(col("split") === splits.last._1),
-      assigned.filter(col("split") === splits.head._1),
-      idCol, textCol, shingleSize)
-  }
-
   private def docShingles(d: DataFrame, idCol: String, textCol: String,
                           shingleSize: Int): DataFrame = {
     import graft.functions.ArrayMath

@@ -344,79 +344,6 @@ object Dedup {
     * web-crawl case); for still-larger corpora, prefilter with
     * [[minhashNearDupPairs]] (approximate, recall < 1).
     */
-  /** Asymmetric n-gram CONTAINMENT pairs (Broder, SEQUENCES'97: the
-    * "containment of documents" companion to resemblance/Jaccard):
-    * `containment(A in B) = |A ∩ B| / |A|` over distinct shingle sets.
-    * Catches what symmetric Jaccard structurally misses — a short
-    * document quoted whole inside a much longer one has containment ≈ 1
-    * while its Jaccard ≈ |A|/|B| ≈ 0, so a Jaccard-thresholded dedup
-    * keeps the duplicate. Output is DIRECTIONAL: (contained_id,
-    * container_id) with both orientations evaluated independently.
-    *
-    * Oracle-grade exact flavor (the [[cosineNearDupPairsExact]]
-    * precedent): inverted-index join on shingle hashes — candidate
-    * volume is Σ_sh C(df_sh, 2)·2, the same skew caveat as the unguarded
-    * [[ngramJaccardPairs]] plan; at corpus scale route candidates
-    * through the banded MinHash stage first and verify containment only
-    * on collisions. Note the symmetric size prefilter is deliberately
-    * ABSENT: containment imposes no lower bound on |B|, which is exactly
-    * the asymmetry being measured.
-    */
-  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-                       shingleSize: Int = 3,
-                       minContainment: Double = 0.5): DataFrame =
-    containmentPairsSized(df, idCol, textCol, shingleSize, minContainment)
-      .select(col("contained_id"), col("container_id"), col("containment"))
-
-  /** [[containmentPairs]] plus both documents' distinct-shingle counts —
-    * the extra columns [[dropContained]]'s survivor rule needs.
-    */
-  private def containmentPairsSized(df: DataFrame, idCol: String,
-                                    textCol: String, shingleSize: Int,
-                                    minContainment: Double): DataFrame = {
-    import graft.functions.ArrayMath
-    require(minContainment > 0.0 && minContainment <= 1.0,
-      "minContainment must be in (0, 1]")
-    val hashed = df.select(col(idCol).as("id"),
-      sort_array(array_distinct(ArrayMath.shingleHashes(
-        TextOps.tokens(TextOps.normalized(col(textCol))), shingleSize))).as("__shs"))
-      .filter(size(col("__shs")) > 0)
-    val full = hashed.select(col("id"), size(col("__shs")).as("__sz"),
-      explode(col("__shs")).as("sh"))
-    full.select(col("sh"), col("id").as("contained_id"), col("__sz").as("__sz_a"))
-      .join(full.select(col("sh"), col("id").as("container_id"),
-        col("__sz").as("__sz_b")), "sh")
-      .filter(col("contained_id") =!= col("container_id"))
-      .groupBy(col("contained_id"), col("container_id"),
-        col("__sz_a"), col("__sz_b"))
-      .agg(count(lit(1)).as("__common"))
-      .withColumn("containment",
-        col("__common").cast("double") / col("__sz_a").cast("double"))
-      .filter(col("containment") >= minContainment)
-      .select(col("contained_id"), col("container_id"),
-        round(col("containment"), 4).as("containment"),
-        col("__sz_a"), col("__sz_b"))
-  }
-
-  /** Drop every document contained (≥ `minContainment`) in a SURVIVING
-    * container: the container must have strictly more distinct shingles,
-    * or equally many and a smaller id — so mutual/exact containment
-    * keeps exactly one copy (the min-id survivor, [[exact]]'s rule)
-    * instead of deleting both directions of the pair. One anti-join;
-    * original schema kept.
-    */
-  def dropContained(df: DataFrame, idCol: String, textCol: String,
-                    shingleSize: Int = 3,
-                    minContainment: Double = 0.9): DataFrame = {
-    val drops = containmentPairsSized(df, idCol, textCol, shingleSize,
-        minContainment)
-      .filter(col("__sz_b") > col("__sz_a") ||
-        (col("__sz_b") === col("__sz_a") &&
-          col("container_id") < col("contained_id")))
-      .select(col("contained_id").as(idCol)).distinct()
-    df.join(drops, Seq(idCol), "left_anti")
-  }
-
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, minJaccard: Double = 0.3,
                         skewGuard: Option[Boolean] = None,
@@ -497,6 +424,91 @@ object Dedup {
       jaccardOut(verified)
     }
   }
+  /** Asymmetric n-gram CONTAINMENT pairs (Broder, SEQUENCES'97: the
+    * "containment of documents" companion to resemblance/Jaccard):
+    * `containment(A in B) = |A ∩ B| / |A|` over distinct shingle sets.
+    * Catches what symmetric Jaccard structurally misses — a short
+    * document quoted whole inside a much longer one has containment ≈ 1
+    * while its Jaccard ≈ |A|/|B| ≈ 0, so a Jaccard-thresholded dedup
+    * keeps the duplicate. Output is DIRECTIONAL: (contained_id,
+    * container_id) with both orientations evaluated independently.
+    *
+    * Oracle-grade exact flavor (the [[cosineNearDupPairsExact]]
+    * precedent): inverted-index join on shingle hashes — candidate
+    * volume is Σ_sh C(df_sh, 2)·2, the same skew caveat as the unguarded
+    * [[ngramJaccardPairs]] plan; at corpus scale route candidates
+    * through the banded MinHash stage first and verify containment only
+    * on collisions. Note the symmetric size prefilter is deliberately
+    * ABSENT: containment imposes no lower bound on |B|, which is exactly
+    * the asymmetry being measured.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleSize: Int = 3,
+                       minContainment: Double = 0.5): DataFrame =
+    containmentPairsSized(df, idCol, textCol, shingleSize, minContainment)
+      .select(col("contained_id"), col("container_id"), col("containment"))
+
+  /** [[containmentPairs]] plus both documents' distinct-shingle counts —
+    * the extra columns [[dropContained]]'s survivor rule needs.
+    */
+  private def containmentPairsSized(df: DataFrame, idCol: String,
+                                    textCol: String, shingleSize: Int,
+                                    minContainment: Double): DataFrame = {
+    import graft.functions.ArrayMath
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      "minContainment must be in (0, 1]")
+    // array_distinct WITHOUT sort_array: the Jaccard flavor sorts for its
+    // guarded plan's merge-count verify; nothing downstream of explode
+    // consumes ordering here, so the per-doc O(k log k) sort would be
+    // pure waste
+    val hashed = df.select(col(idCol).as("id"),
+      array_distinct(ArrayMath.shingleHashes(
+        TextOps.tokens(TextOps.normalized(col(textCol))), shingleSize)).as("__shs"))
+      .filter(size(col("__shs")) > 0)
+    val full = hashed.select(col("id"), size(col("__shs")).as("__sz"),
+      explode(col("__shs")).as("sh"))
+    full.select(col("sh"), col("id").as("contained_id"), col("__sz").as("__sz_a"))
+      .join(full.select(col("sh"), col("id").as("container_id"),
+        col("__sz").as("__sz_b")), "sh")
+      .filter(col("contained_id") =!= col("container_id"))
+      .groupBy(col("contained_id"), col("container_id"),
+        col("__sz_a"), col("__sz_b"))
+      .agg(count(lit(1)).as("__common"))
+      .withColumn("containment",
+        col("__common").cast("double") / col("__sz_a").cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select(col("contained_id"), col("container_id"),
+        round(col("containment"), 4).as("containment"),
+        col("__sz_a"), col("__sz_b"))
+  }
+
+  /** Drop every document contained (≥ `minContainment`) in a LARGER
+    * container: the container must have strictly more distinct shingles,
+    * or equally many and a smaller id — so mutual/exact containment
+    * keeps exactly one copy (the min-id survivor, [[exact]]'s rule)
+    * instead of deleting both directions of the pair. One anti-join;
+    * original schema kept.
+    *
+    * GREEDY, like [[dropNearDuplicates]]: the cited container may itself
+    * be dropped by a still-larger container. At `minContainment = 1.0`
+    * containment is transitive, so a surviving superset always exists;
+    * below 1.0 a containment CHAIN can drop a document whose content no
+    * survivor fully contains at threshold — the standard greedy dedup
+    * trade (an exact fixpoint would cost one pass per chain link).
+    */
+  def dropContained(df: DataFrame, idCol: String, textCol: String,
+                    shingleSize: Int = 3,
+                    minContainment: Double = 0.9): DataFrame = {
+    val drops = containmentPairsSized(df, idCol, textCol, shingleSize,
+        minContainment)
+      .filter(col("__sz_b") > col("__sz_a") ||
+        (col("__sz_b") === col("__sz_a") &&
+          col("container_id") < col("contained_id")))
+      .select(col("contained_id").as(idCol)).distinct()
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
+
 
   /** Cross-document duplicated-SPAN statistics — passage-level dedup, the
     * granularity below document near-dup (Lee et al. ACL'22,

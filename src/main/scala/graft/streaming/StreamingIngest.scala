@@ -289,6 +289,33 @@ object StreamingIngest {
     compacted
   }
 
+  /** Band-geometry marker for a near-dup target: the probes only match
+    * the stored planes if (numHashes, shingleSize, bands, nBuckets) are
+    * IDENTICAL to the ones the planes were built with — a mismatched run
+    * would silently lose recall (probes hash into cells the planes never
+    * populated). First writer records the geometry; every later entry
+    * point requires an exact match.
+    */
+  private def checkOrWriteGeometry(fs: org.apache.hadoop.fs.FileSystem,
+                                   targetPath: org.apache.hadoop.fs.Path,
+                                   numHashes: Int, shingleSize: Int,
+                                   bands: Int, nBuckets: Int): Unit = {
+    val geo = s"numHashes=$numHashes,shingleSize=$shingleSize,bands=$bands,nBuckets=$nBuckets"
+    val marker = new org.apache.hadoop.fs.Path(targetPath, "_graft_geometry")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      require(stored == geo,
+        s"near-dup target $targetPath was built with geometry [$stored], " +
+          s"this run uses [$geo] — probes would silently miss stored planes")
+    } else {
+      fs.mkdirs(targetPath)
+      val out = fs.create(marker, true)
+      try out.write(geo.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** The sinks' shared hash-bucket spelling: `pmod(xxhash64(cs…), n)`. */
   private def hashBucket(n: Int, cs: org.apache.spark.sql.Column*) = {
     import org.apache.spark.sql.functions._
@@ -396,6 +423,10 @@ object StreamingIngest {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
     val appended = new java.util.concurrent.atomic.AtomicLong(0L)
+    locally {
+      val (targetPath, fs) = hadoopFs(spark, targetDir)
+      checkOrWriteGeometry(fs, targetPath, numHashes, shingleSize, bands, nBuckets)
+    }
 
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
@@ -556,14 +587,16 @@ object StreamingIngest {
     * (already-deduplicated) corpus — the operational entry point for
     * turning a batch-built 100 TB corpus into a streaming dedup target
     * WITHOUT replaying it through micro-batches: one pass writes the
-    * three planes with the sink's own spellings (shared [[bandRows]]
-    * internals via [[graft.ops.Dedup.bandCells]]), so subsequent sink
+    * three planes with the sink's own shared band-plane builder (one
+    * spelling via [[graft.ops.Dedup.bandCells]]), so subsequent sink
     * waves probe it exactly as if the sink had built it. The corpus is
     * written as-is — run the batch dedup ops first if it may contain
     * duplicates; no commit markers are created (markers belong to the
-    * CHECKPOINT's numbering, which starts fresh). Parameters must match
-    * the ones later passed to the sink — they define the band geometry
-    * the probes replay. Returns the number of documents bootstrapped.
+    * CHECKPOINT's numbering, which starts fresh). The band geometry
+    * (numHashes, shingleSize, bands, nBuckets) is recorded in a
+    * `_graft_geometry` marker and ENFORCED on every later entry — a
+    * mismatched sink run fails loudly instead of silently losing recall.
+    * Returns the number of documents bootstrapped.
     */
   def bootstrapNearDupTarget(spark: SparkSession, corpus: DataFrame,
                              idCol: String, textCol: String, targetDir: String,
@@ -576,10 +609,19 @@ object StreamingIngest {
     val rowsPerBand = numHashes / bands
     val (targetPath, fs) = hadoopFs(spark, targetDir)
     // bootstrap is the target's BIRTH: appending into an existing target
-    // would bypass the sink's dedup probes (and break the plane count)
-    require(!planeHasData(fs,
-      new org.apache.hadoop.fs.Path(targetPath, "docs"), "__kb"),
-      s"bootstrapNearDupTarget requires an empty target, found docs under $targetDir")
+    // would bypass the sink's dedup probes (and break the plane count).
+    // ALL THREE planes are checked — a mid-bootstrap crash lands bands
+    // (written first) and possibly sigs with no docs; a docs-only check
+    // would let a rerun silently double those planes.
+    for ((plane, pc) <- Seq("docs" -> "__kb", "bands" -> "__bb", "sigs" -> "__sb"))
+      require(!planeHasData(fs,
+        new org.apache.hadoop.fs.Path(targetPath, plane), pc),
+        s"bootstrapNearDupTarget requires an empty target, found $plane under " +
+          s"$targetDir (after a crashed bootstrap, delete the target and rerun)")
+    checkOrWriteGeometry(fs, targetPath, numHashes, shingleSize, bands, nBuckets)
+    // empty corpus: nothing to write, and the plane count below would
+    // fail on a part-less parquet dir — the datasheet answer is just 0
+    if (corpus.isEmpty) return 0L
     val sigs = Dedup.minhashSignatures(corpus, idCol, textCol,
       numHashes, shingleSize).persist()
     try {

@@ -144,6 +144,27 @@ class NearDupSinkSpec extends AnyFunSuite {
       s"probe read $scanned of $total bands files — partition pruning is not happening")
   }
 
+  test("mismatched band geometry is rejected instead of silently losing recall") {
+    val (in, target, ckpt) = freshDirs()
+    assert(wave(in, target, ckpt, Seq((1L, baseA))) == 1L) // records geometry
+    val ex = intercept[IllegalArgumentException] {
+      StreamingIngest.nearDupAppendSink(spark,
+        spark.readStream.schema("doc_id BIGINT, text STRING").parquet(in.toString),
+        "doc_id", "text", target,
+        Files.createTempDirectory("graft-nd-ckpt-geo").toString,
+        bands = 16, nBuckets = 8) // bands differ from the recorded 8
+    }
+    assert(ex.getMessage.contains("geometry"))
+    // bootstrap into a target another geometry built must also refuse
+    val ex2 = intercept[IllegalArgumentException] {
+      StreamingIngest.bootstrapNearDupTarget(spark,
+        Seq((9L, baseB)).toDF("doc_id", "text"), "doc_id", "text", target,
+        nBuckets = 32)
+    }
+    assert(ex2.getMessage.contains("empty target") ||
+      ex2.getMessage.contains("geometry"))
+  }
+
   test("bootstrapped corpus planes dedup subsequent sink waves") {
     val (in, target, ckpt) = freshDirs()
     // bootstrap from a batch corpus (no streaming, no markers)
