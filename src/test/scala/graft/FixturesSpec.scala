@@ -14,7 +14,10 @@ import org.scalatest.funsuite.AnyFunSuite
 class FixturesSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
-  private val sfDirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+  // all three driver scales: verify runs at sf0.01, bench at sf0.1 — a
+  // 0.1-only type shift would otherwise surface only as bench failures
+  private val sfDirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1")
 
   private val keyColumns: Map[String, Seq[String]] = Map(
     "region" -> Seq("r_regionkey", "r_name"),
