@@ -433,53 +433,154 @@ object Dedup {
     * keeps the duplicate. Output is DIRECTIONAL: (contained_id,
     * container_id) with both orientations evaluated independently.
     *
-    * Oracle-grade exact flavor (the [[cosineNearDupPairsExact]]
-    * precedent): inverted-index join on shingle hashes — candidate
-    * volume is Σ_sh C(df_sh, 2)·2, the same skew caveat as the unguarded
-    * [[ngramJaccardPairs]] plan; at corpus scale route candidates
-    * through the banded MinHash stage first and verify containment only
-    * on collisions. Note the symmetric size prefilter is deliberately
-    * ABSENT: containment imposes no lower bound on |B|, which is exactly
-    * the asymmetry being measured.
+    * Two EXACT plans, chosen by `skewGuard` exactly like
+    * [[ngramJaccardPairs]] — `None` (the default) runs the same cheap
+    * max-df probe and routes to the guarded plan when any shingle's
+    * document frequency exceeds `skewMaxDf`. Both plans are exact, so
+    * the route affects cost only, never results.
+    *
+    * PLAIN — inverted-index join on shingle hashes; candidate volume is
+    * Σ_sh C(df_sh, 2)·2, quadratic on a hot key (the unguarded
+    * [[ngramJaccardPairs]] caveat). Optimal for bounded-df corpora.
+    *
+    * GUARDED — ASYMMETRIC prefix filter. MinHash banding is the wrong
+    * prefilter here (deliberately: LSH collides on JACCARD, and the
+    * high-containment pairs this operator exists for have Jaccard ≈
+    * |A|/|B| ≈ 0 — banding would structurally miss them). Instead,
+    * adapt AllPairs/PPJoin (Bayardo WWW'07) to the asymmetric
+    * threshold: containment(A in B) ≥ t ⟹ |A∩B| ≥ ⌈t·|A|⌉, so the
+    * contained side's df-ASCENDING prefix of |A| - ⌈t·|A|⌉ + 1
+    * shingles must hit A∩B at least once (pigeonhole) — but because
+    * containment bounds no fraction OF B, the container side indexes
+    * its FULL shingle list (the only sound B-side filter is
+    * |B| ≥ ⌈t·|A|⌉, from |A∩B| ≤ |B|; it is applied). Candidates are
+    * A-prefix × B-full joins, then ONE merge-count verification per
+    * candidate against the sorted shingle sets. Skew-proof: a
+    * boilerplate shingle has maximal df, orders LAST in every
+    * document's prefix order, and enters a prefix only when virtually
+    * all of the document is boilerplate — so the C(df,2) hot key
+    * cannot form; worst-case candidate volume is Σ_A prefix(A)·df,
+    * LINEAR in the hot shingle's df, not quadratic.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        shingleSize: Int = 3,
-                       minContainment: Double = 0.5): DataFrame =
-    containmentPairsSized(df, idCol, textCol, shingleSize, minContainment)
+                       minContainment: Double = 0.5,
+                       skewGuard: Option[Boolean] = None,
+                       skewMaxDf: Long = 1024L): DataFrame =
+    containmentPairsSized(df, idCol, textCol, shingleSize, minContainment,
+      skewGuard, skewMaxDf)
       .select(col("contained_id"), col("container_id"), col("containment"))
 
-  /** [[containmentPairs]] plus both documents' distinct-shingle counts —
-    * the extra columns [[dropContained]]'s survivor rule needs.
+  /** (id, sorted distinct shingle hashes) — the shared input frame of
+    * both containment plans (sorted so the guarded plan's verify can
+    * merge-count intersections).
     */
-  private def containmentPairsSized(df: DataFrame, idCol: String,
-                                    textCol: String, shingleSize: Int,
-                                    minContainment: Double): DataFrame = {
+  private[graft] def containmentShingles(df: DataFrame, idCol: String,
+                                         textCol: String,
+                                         shingleSize: Int): DataFrame = {
+    import graft.functions.ArrayMath
+    df.select(col(idCol).as("id"),
+      sort_array(array_distinct(ArrayMath.shingleHashes(
+        TextOps.tokens(TextOps.normalized(col(textCol))), shingleSize))).as("__shs"))
+      .filter(size(col("__shs")) > 0)
+  }
+
+  /** ⌈t·m⌉ computed float-safely DOWNWARD (see [[ngramJaccardPairs]]):
+    * fp error in t*m can push ceil one integer too HIGH, which would
+    * over-prune; -1 only ever LOOSENS the filters (lossless).
+    */
+  private def alphaSafeAt(t: Double)(m: Column): Column =
+    greatest(lit(1L), ceil(lit(t) * m) - 1L)
+
+  /** The guarded plan's candidate pairs BEFORE verification —
+    * (contained_id, container_id, __sz_a, __sz_b), deduped. Exposed
+    * `private[graft]` so the skew test can assert the hot-shingle
+    * candidate bound directly.
+    */
+  private[graft] def containmentCandidatesGuarded(hashed: DataFrame,
+                                                  minContainment: Double): DataFrame = {
+    val alphaSafe = alphaSafeAt(minContainment) _
+    val full = hashed.select(col("id"), explode(col("__shs")).as("sh"))
+    val dfreq = full.groupBy("sh").agg(count(lit(1)).as("__df"))
+    // contained-side prefix = the (sz - α + 1) globally rarest shingles;
+    // one groupBy + per-row sort of (df, sh) structs — no window
+    val prefix = full.join(dfreq, "sh")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("__df"), col("sh")))).as("__ord"))
+      .withColumn("__sz", size(col("__ord")))
+      .select(col("id"), col("__sz"),
+        explode(expr("transform(slice(__ord, 1, cast(__sz - greatest(1L, " +
+          s"ceil($minContainment * __sz) - 1L) + 1L as int)), x -> x.sh)")).as("sh"))
+    // container side indexes its FULL list — the asymmetry; only sound
+    // B-side filter is |B| ≥ α(|A|) (|A∩B| ≤ |B|)
+    val fullSized = hashed.select(col("id"), size(col("__shs")).as("__sz"),
+      explode(col("__shs")).as("sh"))
+    prefix.select(col("sh"), col("id").as("contained_id"), col("__sz").as("__sz_a"))
+      .join(fullSized.select(col("sh"), col("id").as("container_id"),
+        col("__sz").as("__sz_b")), "sh")
+      .filter(col("contained_id") =!= col("container_id"))
+      .filter(col("__sz_b") >= alphaSafe(col("__sz_a")))
+      .select(col("contained_id"), col("container_id"), col("__sz_a"), col("__sz_b"))
+      .dropDuplicates("contained_id", "container_id")
+  }
+
+  /** [[containmentPairs]] plus both documents' distinct-shingle counts —
+    * the extra columns the [[dropContained]] survivor rule needs.
+    */
+  private[graft] def containmentPairsSized(df: DataFrame, idCol: String,
+                                           textCol: String, shingleSize: Int,
+                                           minContainment: Double,
+                                           skewGuard: Option[Boolean] = None,
+                                           skewMaxDf: Long = 1024L): DataFrame = {
     import graft.functions.ArrayMath
     require(minContainment > 0.0 && minContainment <= 1.0,
       "minContainment must be in (0, 1]")
-    // array_distinct WITHOUT sort_array: the Jaccard flavor sorts for its
-    // guarded plan's merge-count verify; nothing downstream of explode
-    // consumes ordering here, so the per-doc O(k log k) sort would be
-    // pure waste
-    val hashed = df.select(col(idCol).as("id"),
-      array_distinct(ArrayMath.shingleHashes(
-        TextOps.tokens(TextOps.normalized(col(textCol))), shingleSize)).as("__shs"))
-      .filter(size(col("__shs")) > 0)
-    val full = hashed.select(col("id"), size(col("__shs")).as("__sz"),
-      explode(col("__shs")).as("sh"))
-    full.select(col("sh"), col("id").as("contained_id"), col("__sz").as("__sz_a"))
-      .join(full.select(col("sh"), col("id").as("container_id"),
-        col("__sz").as("__sz_b")), "sh")
-      .filter(col("contained_id") =!= col("container_id"))
-      .groupBy(col("contained_id"), col("container_id"),
-        col("__sz_a"), col("__sz_b"))
-      .agg(count(lit(1)).as("__common"))
+    val hashed = containmentShingles(df, idCol, textCol, shingleSize)
+
+    // same auto-route probe as ngramJaccardPairs: one partial-agg pass
+    // (shuffles only per-partition maxima), far cheaper than either join
+    val useGuard = skewGuard.getOrElse {
+      val r = hashed.select(explode(col("__shs")).as("sh"))
+        .groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+        .agg(max(col("__df"))).head()
+      !r.isNullAt(0) && r.getLong(0) > skewMaxDf
+    }
+    val alphaSafe = alphaSafeAt(minContainment) _
+
+    def out(counted: DataFrame): DataFrame = counted
       .withColumn("containment",
         col("__common").cast("double") / col("__sz_a").cast("double"))
       .filter(col("containment") >= minContainment)
       .select(col("contained_id"), col("container_id"),
         round(col("containment"), 4).as("containment"),
         col("__sz_a"), col("__sz_b"))
+
+    if (!useGuard) {
+      val full = hashed.select(col("id"), size(col("__shs")).as("__sz"),
+        explode(col("__shs")).as("sh"))
+      out(full.select(col("sh"), col("id").as("contained_id"), col("__sz").as("__sz_a"))
+        .join(full.select(col("sh"), col("id").as("container_id"),
+          col("__sz").as("__sz_b")), "sh")
+        .filter(col("contained_id") =!= col("container_id"))
+        // lossless one-directional size filter (NOT the symmetric Jaccard
+        // prefilter — containment imposes no lower bound on |B| beyond α)
+        .filter(col("__sz_b") >= alphaSafe(col("__sz_a")))
+        .groupBy(col("contained_id"), col("container_id"),
+          col("__sz_a"), col("__sz_b"))
+        .agg(count(lit(1)).as("__common")))
+    } else {
+      // exact verification: one zero-allocation merge-count per candidate
+      // (arrays sorted+distinct by construction)
+      out(containmentCandidatesGuarded(hashed, minContainment)
+        .join(hashed.select(col("id").as("contained_id"), col("__shs").as("__shs_a")),
+          "contained_id")
+        .join(hashed.select(col("id").as("container_id"), col("__shs").as("__shs_b")),
+          "container_id")
+        .withColumn("__common",
+          ArrayMath.sortedIntersectCount(col("__shs_a"), col("__shs_b")))
+        .select(col("contained_id"), col("container_id"),
+          col("__sz_a"), col("__sz_b"), col("__common")))
+    }
   }
 
   /** Drop every document contained (≥ `minContainment`) in a LARGER
@@ -494,18 +595,108 @@ object Dedup {
     * containment is transitive, so a surviving superset always exists;
     * below 1.0 a containment CHAIN can drop a document whose content no
     * survivor fully contains at threshold — the standard greedy dedup
-    * trade (an exact fixpoint would cost one pass per chain link).
+    * trade. [[dropContainedFixpoint]] is the exact flavor that only
+    * drops documents contained in a FINAL survivor.
+    *
+    * Routed through the [[containmentPairs]] skew auto-router: at corpus
+    * scale a boilerplate shingle silently turns the plain inverted-index
+    * plan quadratic; the default max-df probe detects that and switches
+    * to the skew-proof prefix-filter plan (both exact — identical drops).
     */
   def dropContained(df: DataFrame, idCol: String, textCol: String,
                     shingleSize: Int = 3,
-                    minContainment: Double = 0.9): DataFrame = {
-    val drops = containmentPairsSized(df, idCol, textCol, shingleSize,
-        minContainment)
+                    minContainment: Double = 0.9,
+                    skewGuard: Option[Boolean] = None,
+                    skewMaxDf: Long = 1024L): DataFrame = {
+    val drops = containmentDropEdges(df, idCol, textCol, shingleSize,
+        minContainment, skewGuard, skewMaxDf)
+      .select(col("contained_id").as(idCol)).distinct()
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
+  /** The directed drop-justification edges shared by both drop flavors:
+    * (contained_id, container_id) where the container ranks strictly
+    * higher (more distinct shingles, or equally many and a smaller id) —
+    * a strict total-order comparison, so the edge set is a DAG.
+    */
+  private def containmentDropEdges(df: DataFrame, idCol: String,
+                                   textCol: String, shingleSize: Int,
+                                   minContainment: Double,
+                                   skewGuard: Option[Boolean],
+                                   skewMaxDf: Long): DataFrame =
+    containmentPairsSized(df, idCol, textCol, shingleSize, minContainment,
+        skewGuard, skewMaxDf)
       .filter(col("__sz_b") > col("__sz_a") ||
         (col("__sz_b") === col("__sz_a") &&
           col("container_id") < col("contained_id")))
-      .select(col("contained_id").as(idCol)).distinct()
-    df.join(drops, Seq(idCol), "left_anti")
+      .select(col("contained_id"), col("container_id"))
+
+  /** EXACT-fixpoint [[dropContained]]: a document is dropped iff it is
+    * contained (≥ `minContainment`) in a higher-ranked document that
+    * itself SURVIVES. Greedy drops every contained document even when
+    * its only container is itself dropped by a still-larger one — a
+    * below-1.0 containment chain A⊂B, B⊂C with A⊄C then loses A's
+    * content from the corpus entirely; here A is kept because no FINAL
+    * survivor contains it. Equivalent to the sequential rule "process
+    * docs in rank order (shingle count desc, id asc); keep unless
+    * contained in an already-kept doc" — the deterministic minimum
+    * greedy-sequential survivor set.
+    *
+    * Cost: the containment pairs are computed ONCE (the expensive join,
+    * skew-routed exactly like [[dropContained]]); the fixpoint then
+    * iterates on the skinny edge frame only, peeling per round
+    *   - SURVIVORS: undecided docs with no remaining out-edge (every
+    *     potential container already dropped, or none existed), then
+    *   - DROPPED: docs with an edge to a new survivor,
+    * with localCheckpoint-truncated lineage per round (the
+    * [[connectedComponents]] pattern). Rank-strict edges form a DAG, so
+    * the highest-ranked undecided doc resolves every round — rounds ≤
+    * longest containment chain, far below `maxIter` in practice.
+    *
+    * @throws IllegalStateException if not converged in maxIter rounds
+    */
+  def dropContainedFixpoint(df: DataFrame, idCol: String, textCol: String,
+                            shingleSize: Int = 3,
+                            minContainment: Double = 0.9,
+                            skewGuard: Option[Boolean] = None,
+                            skewMaxDf: Long = 1024L,
+                            maxIter: Int = 50): DataFrame = {
+    var edges = containmentDropEdges(df, idCol, textCol, shingleSize,
+        minContainment, skewGuard, skewMaxDf)
+      .localCheckpoint(true)
+    var droppedAcc: Option[DataFrame] = None
+    var iter = 0
+    while (!edges.isEmpty) {
+      if (iter >= maxIter) throw new IllegalStateException(
+        s"dropContainedFixpoint did not converge in $maxIter rounds")
+      // undecided universe = docs still carrying edges; a doc whose
+      // out-edges are all gone is a survivor THIS round
+      val undecided = edges.select(col("contained_id").as("id"))
+        .union(edges.select(col("container_id").as("id"))).distinct()
+      val survivors = undecided.join(edges.select(col("contained_id").as("id")),
+        Seq("id"), "left_anti")
+      val dropped = edges.join(survivors.select(col("id").as("container_id")),
+          Seq("container_id"), "left_semi")
+        .select(col("contained_id").as("id")).distinct()
+        .localCheckpoint(true)
+      droppedAcc = Some(droppedAcc.fold(dropped)(
+        _.union(dropped).localCheckpoint(true)))
+      // decided docs (this round's survivors AND dropped) leave the edge
+      // set: dropped containers can justify nothing, dropped containeds
+      // are settled, survivor containeds (none, by construction) too
+      val decided = survivors.union(dropped).distinct()
+      edges = edges
+        .join(decided.select(col("id").as("contained_id")),
+          Seq("contained_id"), "left_anti")
+        .join(decided.select(col("id").as("container_id")),
+          Seq("container_id"), "left_anti")
+        .localCheckpoint(true)
+      iter += 1
+    }
+    droppedAcc match {
+      case None => df
+      case Some(d) => df.join(d.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+    }
   }
 
 

@@ -1547,6 +1547,42 @@ object TrainingQueries {
              |ORDER BY d.doc_id""").stripMargin)),
 
     // ------------------------------------------------------------------
+    // The containment GUARDED plan, oracle-certified (fills the historic
+    // q123 numbering gap): same semantics as q131 but with skewGuard
+    // forced ON, so the asymmetric prefix-filter path — the plan
+    // dropContained auto-routes to on boilerplate-skewed corpora — is
+    // hash-checked against DuckDB's brute intersection replay, not just
+    // spec-compared to the plain plan. Exactness of the prefix bound
+    // (containment >= t ⟹ a common shingle within the contained doc's
+    // |A| - ⌈t·|A|⌉ + 1 df-rarest) is what this row certifies.
+    QuerySpec(
+      "q123_containment_guarded",
+      (s, dir) =>
+        graft.ops.Dedup.containmentPairs(Tables.documents(s, dir),
+          "doc_id", "text", shingleSize = 3, minContainment = 0.5,
+          skewGuard = Some(true))
+          .orderBy("contained_id", "container_id"),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents
+              |), sh AS (
+              |  SELECT doc_id, unnest(list_distinct(
+              |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)])) AS s
+              |  FROM t
+              |), sz AS (
+              |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+              |), inter AS (
+              |  SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+              |    COUNT(*) AS c
+              |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id != b.doc_id
+              |  GROUP BY 1, 2
+              |)
+              |SELECT i.contained_id, i.container_id,
+              |  ROUND(CAST(i.c AS DOUBLE) / sa.n, 4) AS containment
+              |FROM inter i JOIN sz sa ON sa.doc_id = i.contained_id
+              |WHERE CAST(i.c AS DOUBLE) / sa.n >= 0.5
+              |ORDER BY contained_id, container_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Table-sourced domain blocklist (q121's scale variant): at corpus
     // scale a blocklist is millions of domains — data, not config — so
     // UrlOps.dropBlockedDomains takes it as a DataFrame and anti-joins

@@ -1517,4 +1517,113 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Seq(2L, 5L, 7L), s"got $kept")
   }
 
+  test("containment guarded prefix plan is LOSSLESS vs the plain plan") {
+    // the ngramJaccardPairs guarantee, asymmetric flavor: the contained-
+    // side prefix + B-side size filter must return EXACTLY the
+    // inverted-index result on the documents fixture (which plants
+    // near-duplicates and quoted spans)
+    val docs = Tables.documents(spark, sf)
+    def pairs(g: Option[Boolean]) =
+      graft.ops.Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleSize = 3, minContainment = 0.3, skewGuard = g)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = pairs(Some(false))
+    assert(plain.nonEmpty)
+    assert(pairs(Some(true)) == plain)
+  }
+
+  test("containment auto-routes a boilerplate corpus and bounds its candidates") {
+    import spark.implicits._
+    // every doc = unique body + the SAME boilerplate sentence: the shared
+    // shingles have df = #docs, the plain plan's inverted-index join
+    // would emit C(200,2)*2 rows on each hot shingle
+    val n = 200
+    val boiler = "subscribe to our newsletter for updates today"
+    val docs = (1 to n).map(i =>
+      (i.toLong, s"story$i begins$i uniquely$i with$i content$i about$i topic$i " +
+        s"then$i more$i detail$i follows$i here$i " + boiler))
+      .toDF("doc_id", "text")
+    def usesPrefixPlan(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.toString.contains("sorted_intersect_count")
+    val auto = graft.ops.Dedup.containmentPairs(docs, "doc_id", "text",
+      shingleSize = 3, minContainment = 0.8, skewMaxDf = 50L)
+    assert(usesPrefixPlan(auto), "df=200 boilerplate must route to the prefix plan")
+    // no doc is contained in another (unique bodies dominate every set)
+    assert(auto.isEmpty)
+    assert(graft.ops.Dedup.containmentPairs(docs, "doc_id", "text",
+      shingleSize = 3, minContainment = 0.8, skewGuard = Some(false)).isEmpty)
+    // the skew-proofness claim, asserted directly: the hot shingles order
+    // LAST per doc and never enter a prefix, so the candidate frame is
+    // EMPTY — vs the plain plan's ~C(200,2)*2*|boiler shingles| hot rows
+    val hashed = graft.ops.Dedup.containmentShingles(docs, "doc_id", "text", 3)
+    val nCands = graft.ops.Dedup
+      .containmentCandidatesGuarded(hashed, 0.8).count()
+    assert(nCands == 0, s"boilerplate corpus must generate no candidates, got $nCands")
+  }
+
+  test("dropContainedFixpoint restores chain victims greedy loses") {
+    import spark.implicits._
+    // A ⊂ B (containment 1.0), B mostly ⊂ C (0.88), A ⊄ C (0.0): at
+    // t=0.85 greedy drops BOTH A and B — A's content vanishes though no
+    // survivor contains it; the fixpoint keeps A because its only
+    // container B is itself dropped by C
+    val aToks = (1 to 12).map(i => s"a$i").mkString(" ")
+    val bToks = aToks + " " + (1 to 90).map(i => s"b$i").mkString(" ")
+    val cToks = (1 to 90).map(i => s"b$i").mkString(" ") + " " +
+      (1 to 312).map(i => s"c$i").mkString(" ")
+    val df = Seq((1L, aToks), (2L, bToks), (3L, cToks)).toDF("doc_id", "text")
+    val cont = graft.ops.Dedup.containmentPairs(df, "doc_id", "text",
+      shingleSize = 3, minContainment = 0.85)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cont == Set((1L, 2L), (2L, 3L)), s"chain premise broken: $cont")
+    val greedy = graft.ops.Dedup.dropContained(df, "doc_id", "text",
+      shingleSize = 3, minContainment = 0.85)
+      .select("doc_id").as[Long].collect().toSet
+    val fix = graft.ops.Dedup.dropContainedFixpoint(df, "doc_id", "text",
+      shingleSize = 3, minContainment = 0.85)
+      .select("doc_id").as[Long].collect().toSet
+    assert(greedy == Set(3L), s"greedy: $greedy")
+    assert(fix == Set(1L, 3L), s"fixpoint: $fix")
+  }
+
+  test("dropContainedFixpoint property: matches the sequential rank rule") {
+    // reference semantics: process docs by rank (shingle count desc, id
+    // asc); keep unless contained >= t in an ALREADY-KEPT doc. Checked on
+    // the documents fixture at a low threshold so real chains form.
+    val docs = Tables.documents(spark, sf)
+    val t = 0.3
+    val sized = graft.ops.Dedup.containmentPairsSized(
+      docs, "doc_id", "text", 3, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number](3).longValue, r.getAs[Number](4).longValue)).toSeq
+    val szOf = (sized.map(p => (p._1, p._3)) ++ sized.map(p => (p._2, p._4))).toMap
+    // containers per contained doc, restricted to strictly higher rank
+    val containers = sized
+      .filter { case (a, b, sa, sb) => sb > sa || (sb == sa && b < a) }
+      .groupBy(_._1).map { case (a, ps) => (a, ps.map(_._2).toSet) }
+    val ranked = szOf.toSeq.sortBy { case (id, sz) => (-sz, id) }
+    val kept = scala.collection.mutable.Set[Long]()
+    ranked.foreach { case (id, _) =>
+      if (!containers.getOrElse(id, Set.empty).exists(kept)) kept += id
+    }
+    val allIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = allIds -- (szOf.keySet -- kept)
+    val got = graft.ops.Dedup.dropContainedFixpoint(docs, "doc_id", "text",
+      shingleSize = 3, minContainment = t)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"fixpoint mismatch: extra=${got -- expected} missing=${expected -- got}")
+    // the defining property, asserted directly: no survivor is contained
+    // (>= t, higher rank) in another survivor; every dropped doc IS
+    // contained in a survivor
+    sized.filter { case (a, b, sa, sb) => sb > sa || (sb == sa && b < a) }
+      .foreach { case (a, b, _, _) =>
+        if (got(b)) assert(!got(a), s"survivor $a contained in survivor $b")
+      }
+    (szOf.keySet -- got).foreach { a =>
+      assert(containers.getOrElse(a, Set.empty).exists(got),
+        s"dropped $a has no surviving container")
+    }
+  }
+
 }
