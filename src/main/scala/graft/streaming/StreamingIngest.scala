@@ -299,21 +299,126 @@ object StreamingIngest {
   private def checkOrWriteGeometry(fs: org.apache.hadoop.fs.FileSystem,
                                    targetPath: org.apache.hadoop.fs.Path,
                                    numHashes: Int, shingleSize: Int,
-                                   bands: Int, nBuckets: Int): Unit = {
-    val geo = s"numHashes=$numHashes,shingleSize=$shingleSize,bands=$bands,nBuckets=$nBuckets"
-    val marker = new org.apache.hadoop.fs.Path(targetPath, "_graft_geometry")
+                                   bands: Int, nBuckets: Int,
+                                   containment: Boolean): Unit =
+    checkOrWriteMarker(fs, targetPath, "_graft_geometry", "near-dup",
+      s"numHashes=$numHashes,shingleSize=$shingleSize,bands=$bands," +
+        s"nBuckets=$nBuckets,containment=${if (containment) "on" else "off"}")
+
+  /** [[upsertSink]]'s layout contract: `bucket = pmod(xxhash64(keyCol),
+    * nBuckets)` decides which version directory serves a key — a run
+    * with a different nBuckets (or keyCol) would remap keys to other
+    * buckets, merge only the NEW buckets, and leave stale versions of
+    * moved keys serving duplicates from the old ones. First writer
+    * records the layout; every later run must match exactly.
+    */
+  private def checkOrWriteUpsertGeometry(fs: org.apache.hadoop.fs.FileSystem,
+                                         targetPath: org.apache.hadoop.fs.Path,
+                                         keyCol: String, nBuckets: Int): Unit =
+    checkOrWriteMarker(fs, targetPath, "_graft_upsert_geometry", "upsert",
+      s"keyCol=$keyCol,nBuckets=$nBuckets")
+
+  private def checkOrWriteMarker(fs: org.apache.hadoop.fs.FileSystem,
+                                 targetPath: org.apache.hadoop.fs.Path,
+                                 markerName: String, kind: String,
+                                 geo: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(targetPath, markerName)
     if (fs.exists(marker)) {
       val in = fs.open(marker)
       val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
       require(stored == geo,
-        s"near-dup target $targetPath was built with geometry [$stored], " +
-          s"this run uses [$geo] — probes would silently miss stored planes")
+        s"$kind target $targetPath was built with geometry [$stored], " +
+          s"this run uses [$geo] — probes would silently miss stored state")
     } else {
       fs.mkdirs(targetPath)
       val out = fs.create(marker, true)
       try out.write(geo.getBytes("UTF-8")) finally out.close()
     }
+  }
+
+  /** The drop set of [[nearDupAppendSink]]'s CONTAINMENT tier: ids of
+    * `fresh` documents whose distinct-shingle set is contained
+    * (|A ∩ B| / |A| ≥ `minContainment`) in a stored corpus document —
+    * the quoted-whole short doc the Jaccard planes structurally miss
+    * (its Jaccard vs the container is ≈ |A|/|B| ≈ 0, so no LSH band
+    * collides; see [[graft.ops.Dedup.containmentPairs]]).
+    *
+    * The batch-incremental spelling of the batch operator's guarded
+    * plan: each batch doc probes the `shingles/` inverted index with
+    * only its |A| - ⌈t·|A|⌉ + 1 corpus-df-rarest shingles (lossless by
+    * pigeonhole; shingles unseen in the probed partitions get df 0 —
+    * any per-doc subset of that size is sound because the container
+    * side indexes every relevant shingle), partition-pruned to the
+    * `__shb` buckets the batch hashes into. Candidates then verify with
+    * ONE merge-count against the candidate containers' stored sets
+    * (`docsh/`, pruned to candidate buckets). Per-batch cost ∝ batch +
+    * touched partitions + candidates, NEVER corpus size; a boilerplate
+    * corpus shingle has maximal df, orders last, and stays out of
+    * probe prefixes. Self-pairs are filtered null-safely — a torn
+    * replay may have appended THIS batch's own plane rows already.
+    *
+    * Eagerly materialized (localCheckpoint) so the probe's persisted
+    * frames can be released before the caller consumes the drop set.
+    */
+  private def containmentDropIds(spark: SparkSession,
+                                 shinglesDir: org.apache.hadoop.fs.Path,
+                                 docshDir: org.apache.hadoop.fs.Path,
+                                 fresh: DataFrame, idCol: String, textCol: String,
+                                 shingleSize: Int, minContainment: Double,
+                                 nBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.ArrayMath
+    val empty = fresh.select(col(idCol).as("__cdid")).limit(0)
+    val bsh = graft.ops.Dedup.containmentShingles(fresh, idCol, textCol,
+      shingleSize).persist()
+    try {
+      val bshE = bsh.select(col("id"), explode(col("__shs")).as("sh"))
+      val shb = bshE.select(hashBucket(nBuckets, col("sh")).as("__shb"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      if (shb.isEmpty) empty
+      else {
+        val relevant = spark.read.parquet(shinglesDir.toString)
+          .where(col("__shb").isin(shb: _*)) // partition-pruned
+          .join(bshE.select("sh").distinct(), Seq("sh"), "left_semi")
+          .select(col("sh"), col(idCol).as("__cid"))
+          .persist()
+        try {
+          val dfs = relevant.groupBy("sh").agg(count(lit(1)).as("__df"))
+          val prefix = bshE.join(dfs, Seq("sh"), "left")
+            .withColumn("__df", coalesce(col("__df"), lit(0L)))
+            .groupBy(col("id"))
+            .agg(sort_array(collect_list(struct(col("__df"), col("sh")))).as("__ord"))
+            .withColumn("__sz", size(col("__ord")))
+            .select(col("id"), explode(expr(
+              "transform(slice(__ord, 1, cast(__sz - greatest(1L, " +
+                s"ceil($minContainment * __sz) - 1L) + 1L as int)), x -> x.sh)")).as("sh"))
+          val cands = prefix.join(relevant, Seq("sh"))
+            .filter(!(col("id") <=> col("__cid"))) // torn-replay self-pair
+            .select(col("id").as("__bid"), col("__cid")).distinct().persist()
+          try {
+            // ≤ nBuckets small longs — bounded driver traffic by design
+            val db = cands.select(hashBucket(nBuckets, col("__cid")).as("__db"))
+              .distinct().collect().map(_.getLong(0)).toSeq
+            if (db.isEmpty) empty
+            else {
+              // max-per-id collapses duplicate set rows a torn replay may
+              // have appended (identical payloads)
+              val corpusSets = spark.read.parquet(docshDir.toString)
+                .where(col("__db").isin(db: _*)) // partition-pruned
+                .groupBy(col(idCol).as("__ccid"))
+                .agg(max(col("__shs")).as("__cshs"))
+              cands.join(bsh, cands("__bid") <=> bsh("id"))
+                .join(corpusSets, cands("__cid") <=> corpusSets("__ccid"))
+                .filter(ArrayMath.sortedIntersectCount(col("__shs"), col("__cshs"))
+                  .cast("double") / size(col("__shs")).cast("double") >= minContainment)
+                .select(col("__bid").as("__cdid")).distinct()
+                .localCheckpoint(true)
+            }
+          } finally cands.unpersist()
+        } finally relevant.unpersist()
+      }
+    } finally bsh.unpersist()
   }
 
   /** The sinks' shared hash-bucket spelling: `pmod(xxhash64(cs…), n)`. */
@@ -383,7 +488,24 @@ object StreamingIngest {
     *   - `sigs/`  (id, signature) partitioned by
     *     `__sb = pmod(xxhash64(id), n)` — fetched only for collision
     *     candidates to verify `est_jaccard >= minJaccard` (an LSH bucket
-    *     collision alone is a candidate, not a verdict).
+    *     collision alone is a candidate, not a verdict);
+    *   - with `minContainment` set, two CONTAINMENT planes closing the
+    *     asymmetric hole Jaccard-LSH structurally leaves open (a short
+    *     doc quoted whole inside a stored longer one has containment ≈ 1
+    *     but Jaccard ≈ 0 — no band ever collides): `shingles/` (sh, id)
+    *     — the corpus inverted index, partitioned by
+    *     `__shb = pmod(xxhash64(sh), n)` — and `docsh/` (id, sorted
+    *     distinct shingle set) partitioned by `__db = pmod(xxhash64(id),
+    *     n)` for candidate verification. Batch docs probe with only
+    *     their corpus-df-rarest prefix shingles (lossless, skew-proof —
+    *     see [[graft.ops.Dedup.containmentPairs]]'s guarded plan, whose
+    *     incremental spelling this is); the planes cost ~one row per
+    *     corpus shingle, the honest price of exact containment — leave
+    *     `minContainment` off when that tier isn't needed. DIRECTIONAL
+    *     by design: an incoming doc contained in the corpus is dropped;
+    *     a stored doc contained in an incoming longer one is NOT removed
+    *     (the target is append-only) — run the batch operator over the
+    *     served corpus for that direction.
     *
     * Per micro-batch: resolve WITHIN-batch duplicates first (exact
     * fingerprint winner per group, then the [[graft.ops.Dedup.dropNearDuplicates]]
@@ -415,17 +537,21 @@ object StreamingIngest {
                         checkpointDir: String, numHashes: Int = 32,
                         shingleSize: Int = 3, bands: Int = 8,
                         minJaccard: Double = 0.8,
-                        nBuckets: Int = 64): Long = {
+                        nBuckets: Int = 64,
+                        minContainment: Option[Double] = None): Long = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     import graft.ops.{Dedup, TextOps}
     require(nBuckets > 0, "nBuckets must be positive")
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    minContainment.foreach(t => require(t > 0.0 && t <= 1.0,
+      "minContainment must be in (0, 1]"))
     val rowsPerBand = numHashes / bands
     val appended = new java.util.concurrent.atomic.AtomicLong(0L)
     locally {
       val (targetPath, fs) = hadoopFs(spark, targetDir)
-      checkOrWriteGeometry(fs, targetPath, numHashes, shingleSize, bands, nBuckets)
+      checkOrWriteGeometry(fs, targetPath, numHashes, shingleSize, bands,
+        nBuckets, minContainment.isDefined)
     }
 
     val q = stream.writeStream
@@ -436,16 +562,23 @@ object StreamingIngest {
         val docsDir = new org.apache.hadoop.fs.Path(targetPath, "docs")
         val bandsDir = new org.apache.hadoop.fs.Path(targetPath, "bands")
         val sigsDir = new org.apache.hadoop.fs.Path(targetPath, "sigs")
+        val shinglesDir = new org.apache.hadoop.fs.Path(targetPath, "shingles")
+        val docshDir = new org.apache.hadoop.fs.Path(targetPath, "docsh")
         val commitsDir = new org.apache.hadoop.fs.Path(targetPath, "_graft_commits")
         val marker = new org.apache.hadoop.fs.Path(commitsDir, batchId.toString)
         if (!fs.exists(marker)) {
-          // ---- within-batch: exact winner per fingerprint, then greedy near
+          // ---- within-batch: exact winner per fingerprint, then greedy
+          // near, then (containment tier only) greedy contained-drop so a
+          // short doc quoted inside a same-batch longer doc resolves here
           val wExact = Window
             .partitionBy(TextOps.fingerprintMd5(col(textCol))).orderBy(col(idCol))
           val batchExact = batch.withColumn("__rn", row_number().over(wExact))
             .filter(col("__rn") === 1).drop("__rn")
-          val batchUnique = Dedup.dropNearDuplicates(batchExact, idCol, textCol,
-            numHashes, shingleSize, bands, minJaccard).persist()
+          val batchNear = Dedup.dropNearDuplicates(batchExact, idCol, textCol,
+            numHashes, shingleSize, bands, minJaccard)
+          val batchUnique = minContainment.fold(batchNear)(t =>
+            Dedup.dropContained(batchNear, idCol, textCol, shingleSize, t))
+            .persist()
           try {
             // signatures computed ONCE per batch, reused by the band
             // plane, the verification join, and the sigs append
@@ -481,9 +614,11 @@ object StreamingIngest {
                     .persist()
                   hitsRef = Some(hits)
                   // fingerprint pseudo-band: exact copy — confirmed on
-                  // the 128-bit md5, not the 64-bit bucket hash
+                  // the 128-bit md5, not the 64-bit bucket hash;
+                  // null-safe so a null-text doc exact-dedups against a
+                  // stored null-text doc instead of re-appending forever
                   val exactDrops = hits.filter(col("band") === -1 &&
-                      col("fp") === col("__cfp"))
+                      (col("fp") <=> col("__cfp")))
                     .select(col(idCol)).distinct()
                   // LSH candidates: verify est_jaccard against the stored
                   // signatures of JUST the colliding corpus ids
@@ -501,7 +636,12 @@ object StreamingIngest {
                         .where(col("__sb").isin(sb: _*)) // partition-pruned
                         .groupBy(col(idCol).as("__cid"))
                         .agg(max(col("signature")).as("__csig"))
-                      cands.join(batchSigs, idCol).join(corpusSigs, "__cid")
+                      // null-safe: a null-id batch doc's candidates must
+                      // still verify (a USING join would silently skip
+                      // them and append a near copy)
+                      cands.join(batchSigs.withColumnRenamed(idCol, "__sigid"),
+                          col(idCol) <=> col("__sigid"))
+                        .join(corpusSigs, "__cid")
                         .filter(graft.functions.ArrayMath
                           .arrayEqCount(col("signature"), col("__csig"))
                           .cast("double") / numHashes >= minJaccard)
@@ -531,20 +671,31 @@ object StreamingIngest {
                     fresh0(idCol) <=> col("__eid"), "left_anti")
                 } else fresh0
               fresh.persist()
+              // ---- containment tier: drop batch docs whose shingle set
+              // is contained in a STORED doc (the LSH planes can't see
+              // these — Jaccard vs a much longer container is ≈ 0)
+              val survivors = minContainment match {
+                case Some(t) if planeHasData(fs, shinglesDir, "__shb") =>
+                  val cdrops = containmentDropIds(spark, shinglesDir,
+                    docshDir, fresh, idCol, textCol, shingleSize, t, nBuckets)
+                  fresh.join(cdrops, fresh(idCol) <=> cdrops("__cdid"),
+                    "left_anti").persist()
+                case _ => fresh
+              }
               try {
-                val n = fresh.count()
+                val n = survivors.count()
                 if (n > 0) {
-                  // write order is a crash-safety invariant: bands and
-                  // sigs FIRST (duplicate rows from a torn replay are
-                  // tolerated — set-like collisions, max-per-id sig
-                  // fetch), docs LAST (the serving plane whose id
-                  // anti-join provides exactly-once). The reverse order
-                  // would let a crash strand committed docs with no band
-                  // rows — permanently invisible to future near-dup
-                  // probes. Band/sig rows are the PROBED frames filtered
-                  // to survivors — written rows are bit-identical to what
-                  // the probe spelling produces, by construction.
-                  val freshIds = fresh.select(col(idCol))
+                  // write order is a crash-safety invariant: bands, sigs
+                  // and the containment planes FIRST (duplicate rows from
+                  // a torn replay are tolerated — set-like collisions,
+                  // max-per-id sig/set fetch), docs LAST (the serving
+                  // plane whose id anti-join provides exactly-once). The
+                  // reverse order would let a crash strand committed docs
+                  // with no band rows — permanently invisible to future
+                  // near-dup probes. Band/sig rows are the PROBED frames
+                  // filtered to survivors — written rows are bit-identical
+                  // to what the probe spelling produces, by construction.
+                  val freshIds = survivors.select(col(idCol))
                   batchBands
                     .join(freshIds, batchBands(idCol) <=> freshIds(idCol), "left_semi")
                     .write.mode(SaveMode.Append)
@@ -554,11 +705,30 @@ object StreamingIngest {
                     .withColumn("__sb", hashBucket(nBuckets, col(idCol)))
                     .write.mode(SaveMode.Append)
                     .partitionBy("__sb").parquet(sigsDir.toString)
-                  fresh.write.mode(SaveMode.Append)
+                  if (minContainment.isDefined) {
+                    // same spelling as the probe reads (containmentShingles)
+                    val survSets = Dedup.containmentShingles(survivors,
+                      idCol, textCol, shingleSize)
+                      .select(col("id").as(idCol), col("__shs")).persist()
+                    try {
+                      survSets.select(col(idCol), explode(col("__shs")).as("sh"))
+                        .withColumn("__shb", hashBucket(nBuckets, col("sh")))
+                        .write.mode(SaveMode.Append)
+                        .partitionBy("__shb").parquet(shinglesDir.toString)
+                      survSets
+                        .withColumn("__db", hashBucket(nBuckets, col(idCol)))
+                        .write.mode(SaveMode.Append)
+                        .partitionBy("__db").parquet(docshDir.toString)
+                    } finally survSets.unpersist()
+                  }
+                  survivors.write.mode(SaveMode.Append)
                     .partitionBy("__kb").parquet(docsDir.toString)
                 }
                 appended.addAndGet(n)
-              } finally fresh.unpersist()
+              } finally {
+                if (!(survivors eq fresh)) survivors.unpersist()
+                fresh.unpersist()
+              }
             } finally {
               hitsRef.foreach(_.unpersist())
               batchBands.unpersist()
@@ -601,24 +771,29 @@ object StreamingIngest {
   def bootstrapNearDupTarget(spark: SparkSession, corpus: DataFrame,
                              idCol: String, textCol: String, targetDir: String,
                              numHashes: Int = 32, shingleSize: Int = 3,
-                             bands: Int = 8, nBuckets: Int = 64): Long = {
+                             bands: Int = 8, nBuckets: Int = 64,
+                             minContainment: Option[Double] = None): Long = {
     import org.apache.spark.sql.functions._
     import graft.ops.{Dedup, TextOps}
     require(nBuckets > 0, "nBuckets must be positive")
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    minContainment.foreach(t => require(t > 0.0 && t <= 1.0,
+      "minContainment must be in (0, 1]"))
     val rowsPerBand = numHashes / bands
     val (targetPath, fs) = hadoopFs(spark, targetDir)
     // bootstrap is the target's BIRTH: appending into an existing target
     // would bypass the sink's dedup probes (and break the plane count).
-    // ALL THREE planes are checked — a mid-bootstrap crash lands bands
-    // (written first) and possibly sigs with no docs; a docs-only check
-    // would let a rerun silently double those planes.
-    for ((plane, pc) <- Seq("docs" -> "__kb", "bands" -> "__bb", "sigs" -> "__sb"))
+    // ALL planes are checked — a mid-bootstrap crash lands bands
+    // (written first) and possibly later planes with no docs; a
+    // docs-only check would let a rerun silently double those planes.
+    for ((plane, pc) <- Seq("docs" -> "__kb", "bands" -> "__bb", "sigs" -> "__sb",
+        "shingles" -> "__shb", "docsh" -> "__db"))
       require(!planeHasData(fs,
         new org.apache.hadoop.fs.Path(targetPath, plane), pc),
         s"bootstrapNearDupTarget requires an empty target, found $plane under " +
           s"$targetDir (after a crashed bootstrap, delete the target and rerun)")
-    checkOrWriteGeometry(fs, targetPath, numHashes, shingleSize, bands, nBuckets)
+    checkOrWriteGeometry(fs, targetPath, numHashes, shingleSize, bands,
+      nBuckets, minContainment.isDefined)
     // empty corpus: nothing to write, and the plane count below would
     // fail on a part-less parquet dir — the datasheet answer is just 0
     if (corpus.isEmpty) return 0L
@@ -631,6 +806,21 @@ object StreamingIngest {
       sigs.withColumn("__sb", hashBucket(nBuckets, col(idCol)))
         .write.mode(SaveMode.Append).partitionBy("__sb")
         .parquet(new org.apache.hadoop.fs.Path(targetPath, "sigs").toString)
+      if (minContainment.isDefined) {
+        // containment planes (one spelling: containmentShingles, the
+        // frame the sink's probe reads back)
+        val sets = Dedup.containmentShingles(corpus, idCol, textCol,
+          shingleSize).select(col("id").as(idCol), col("__shs")).persist()
+        try {
+          sets.select(col(idCol), explode(col("__shs")).as("sh"))
+            .withColumn("__shb", hashBucket(nBuckets, col("sh")))
+            .write.mode(SaveMode.Append).partitionBy("__shb")
+            .parquet(new org.apache.hadoop.fs.Path(targetPath, "shingles").toString)
+          sets.withColumn("__db", hashBucket(nBuckets, col(idCol)))
+            .write.mode(SaveMode.Append).partitionBy("__db")
+            .parquet(new org.apache.hadoop.fs.Path(targetPath, "docsh").toString)
+        } finally sets.unpersist()
+      }
       val docsPath = new org.apache.hadoop.fs.Path(targetPath, "docs").toString
       corpus.withColumn("__kb", hashBucket(nBuckets, col(idCol)))
         .write.mode(SaveMode.Append).partitionBy("__kb").parquet(docsPath)
@@ -693,6 +883,13 @@ object StreamingIngest {
     import org.apache.spark.sql.functions._
     require(nBuckets > 0, "nBuckets must be positive")
     require(keepVersions >= 1, "keepVersions must be at least 1")
+    locally {
+      // layout contract enforced up-front: a different nBuckets (or
+      // keyCol) against an existing target would remap keys to other
+      // buckets and serve stale duplicates from the old ones
+      val (targetPath, fs) = hadoopFs(spark, targetDir)
+      checkOrWriteUpsertGeometry(fs, targetPath, keyCol, nBuckets)
+    }
     val applied = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())

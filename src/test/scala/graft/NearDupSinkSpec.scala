@@ -195,4 +195,81 @@ class NearDupSinkSpec extends AnyFunSuite {
     assert(appended == 1L)
     assert(servedIds(target) == Seq(1L, 2L))
   }
+
+  // a short doc quoted WHOLE inside a long stored doc: containment = 1.0,
+  // Jaccard ≈ |A|/|B| ≈ 0.2 — the LSH planes structurally keep it
+  private val quoted = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+  private val longDoc = ("an extended opening paragraph with many original " +
+    "tokens diluting similarity before the quotation begins " + quoted +
+    " and a long original tail follows the quote with still more filler " +
+    "tokens so the symmetric jaccard of the pair stays tiny forever")
+
+  private def waveC(in: java.nio.file.Path, target: String, ckpt: String,
+                    rows: Seq[(Long, String)]): Long = {
+    if (rows.nonEmpty)
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(in.toString)
+    StreamingIngest.nearDupAppendSink(spark,
+      spark.readStream.schema("doc_id BIGINT, text STRING").parquet(in.toString),
+      "doc_id", "text", target, ckpt, nBuckets = 8,
+      minContainment = Some(0.9))
+  }
+
+  test("containment tier drops a quoted-whole doc that Jaccard alone keeps") {
+    // control: WITHOUT the containment tier the quoted doc is appended
+    // (no band collision at jaccard ~0.2) — the gap being closed
+    locally {
+      val (in, target, ckpt) = freshDirs()
+      assert(wave(in, target, ckpt, Seq((1L, longDoc))) == 1L)
+      assert(wave(in, target, ckpt, Seq((2L, quoted))) == 1L)
+      assert(servedIds(target) == Seq(1L, 2L))
+    }
+    // with minContainment: the same wave is dropped by the shingle-plane
+    // probe; a genuinely new doc in the same batch still lands
+    val (in, target, ckpt) = freshDirs()
+    assert(waveC(in, target, ckpt, Seq((1L, longDoc))) == 1L)
+    val appended = waveC(in, target, ckpt, Seq(
+      (2L, quoted),
+      (3L, "a separate novel document about watermark semantics and " +
+        "stateful aggregation operators in structured streaming engines")))
+    assert(appended == 1L)
+    assert(servedIds(target) == Seq(1L, 3L))
+  }
+
+  test("containment tier resolves within-batch quotes and bootstrapped corpora") {
+    val (in, target, ckpt) = freshDirs()
+    // bootstrap WITH containment planes
+    assert(StreamingIngest.bootstrapNearDupTarget(spark,
+      Seq((1L, longDoc)).toDF("doc_id", "text"),
+      "doc_id", "text", target, nBuckets = 8,
+      minContainment = Some(0.9)) == 1L)
+    // wave: 20 is quoted inside 21 WITHIN the batch (within-batch
+    // containment drop), 22 is quoted inside the BOOTSTRAPPED doc
+    val other = "totally fresh sentences about executor memory spill " +
+      "boundaries and shuffle partition sizing at large scale factors " +
+      "with original vocabulary throughout the entire body"
+    val appended = waveC(in, target, ckpt, Seq(
+      (20L, "totally fresh sentences about executor memory spill"),
+      (21L, other),
+      (22L, quoted)))
+    assert(appended == 1L)
+    assert(servedIds(target) == Seq(1L, 21L))
+    // and the within-batch survivor's planes are live: replaying its
+    // quote in a later wave is dropped by the corpus probe
+    assert(waveC(in, target, ckpt, Seq(
+      (30L, "boundaries and shuffle partition sizing at large scale factors"))) == 0L)
+    assert(servedIds(target) == Seq(1L, 21L))
+  }
+
+  test("containment geometry is part of the target contract") {
+    val (in, target, ckpt) = freshDirs()
+    assert(waveC(in, target, ckpt, Seq((1L, baseA))) == 1L)
+    // re-entering WITHOUT the containment tier must fail loudly — its
+    // probes would silently skip the containment planes
+    val ex = intercept[IllegalArgumentException] {
+      wave(in, target, Files.createTempDirectory("graft-nd-ckpt2").toString,
+        Seq.empty)
+    }
+    assert(ex.getMessage.contains("geometry"))
+  }
 }

@@ -160,4 +160,33 @@ class UpsertSinkSpec extends AnyFunSuite {
     assert(versions.length == 2) // keepVersions = 2
     assert(served(target) == Seq((1L, "a3", 30L)))
   }
+
+  test("mismatched bucket layout is rejected instead of serving stale keys") {
+    // a re-run with a different nBuckets (or keyCol) remaps keys to other
+    // buckets: the merge would read only the NEW buckets and leave stale
+    // versions of moved keys serving duplicates from the old ones — the
+    // layout is recorded at target birth and enforced on every entry
+    val (in, target, ckpt) = freshDirs()
+    assert(wave(in, target, ckpt, Seq((1L, "a1", 10L))) == 1L)
+    val ex = intercept[IllegalArgumentException] {
+      StreamingIngest.upsertSink(spark,
+        spark.readStream.schema("k BIGINT, payload STRING, seq BIGINT")
+          .parquet(in.toString),
+        "k", "seq", target,
+        java.nio.file.Files.createTempDirectory("graft-ups-ckpt2").toString,
+        nBuckets = nBuckets * 2, keepVersions = 2)
+    }
+    assert(ex.getMessage.contains("geometry"))
+    val ex2 = intercept[IllegalArgumentException] {
+      StreamingIngest.upsertSink(spark,
+        spark.readStream.schema("k BIGINT, payload STRING, seq BIGINT")
+          .parquet(in.toString),
+        "seq", "k", target,
+        java.nio.file.Files.createTempDirectory("graft-ups-ckpt3").toString,
+        nBuckets = nBuckets, keepVersions = 2)
+    }
+    assert(ex2.getMessage.contains("geometry"))
+    // the matching layout still enters fine
+    assert(wave(in, target, ckpt, Seq.empty) == 0L)
+  }
 }
