@@ -33,6 +33,54 @@ import org.apache.spark.sql.SparkSession
   *     judged artifact itself.
   */
 object Bench {
+
+  private def fmt(d: Double): String = BigDecimal(d)
+    .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+
+  /** The previous full sweep's per-query seconds, or None when the file
+    * is absent/unreadable/old-format — a degraded prior must yield
+    * `"vs_prev":null`, never a failed bench.
+    */
+  private[graft] def parsePrevQueries(
+      path: java.nio.file.Path): Option[Map[String, Double]] =
+    if (!java.nio.file.Files.exists(path)) None
+    else scala.util.Try {
+      import org.json4s._
+      val j = org.json4s.jackson.JsonMethods.parse(new String(
+        java.nio.file.Files.readAllBytes(path),
+        java.nio.charset.StandardCharsets.UTF_8))
+      (j \ "queries") match {
+        case JObject(fs) => fs.collect {
+          case (k, JDouble(v)) => k -> v
+          case (k, JDecimal(v)) => k -> v.toDouble
+          case (k, JInt(v)) => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty[String, Double]
+      }
+    }.toOption.filter(_.nonEmpty)
+
+  /** Round-over-round comparison JSON: totals over the queries COMMON to
+    * both sweeps (new queries must not read as a slowdown), plus named
+    * regressions when both >1.5x and >0.3s absolute (sub-second jitter is
+    * not a regression). Failed queries (<0 sentinels) excluded both sides.
+    */
+  private[graft] def vsPrevJson(curMap: Map[String, Double],
+                                pm: Map[String, Double]): String = {
+    val common = curMap.filter(_._2 >= 0).keySet
+      .intersect(pm.filter(_._2 >= 0).keySet).toSeq.sorted
+    val curC = common.map(curMap).sum
+    val prevC = common.map(pm).sum
+    val regs = common.map(n => (n, curMap(n), pm(n)))
+      .filter { case (_, c, p) => p > 0 && c / p > 1.5 && c - p > 0.3 }
+      .sortBy { case (_, c, p) => -(c / p) }.take(5)
+      .map { case (n, c, p) =>
+        "\"" + n + "\":{\"prev\":" + fmt(p) + ",\"cur\":" + fmt(c) + "}"
+      }.mkString("{", ",", "}")
+    s"""{"n_common":${common.size},"prev_total_common":${fmt(prevC)},""" +
+      s""""cur_total_common":${fmt(curC)},"ratio":${fmt(
+        if (prevC > 0) curC / prevC else -1.0)},"regressions":$regs}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -107,8 +155,6 @@ object Bench {
       val ok = runs.map(_._1).filter(_ >= 0)
       (n, if (ok.isEmpty) -1.0 else ok.min, runs.toSeq)
     }
-    def fmt(d: Double): String = BigDecimal(d)
-      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val reps = results.map { case (k, _, rs) =>
@@ -124,18 +170,41 @@ object Bench {
     // in the artifact so a partial run can never pass as a clean one.
     val failedNames = results.collect { case (k, v, _) if v < 0 => k }
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failedNames.size},"failed":$failedJson,"queries":$qs,"reps_sec":$reps,"gc_ms_per_rep":$gc}"""
-    println(line)
-    // the driver's BENCH_r{N}.json tail truncates, so per-query numbers past
-    // ~2000 chars never reach the judged artifact — persist the full metric
-    // line to a repo file as well (full sweeps only: a SPARK_GRAFT_ONLY
-    // subset run must not overwrite the last complete sweep)
+
+    // ---- vs_prev: round-over-round regression guard. The previous FULL
+    // sweep's per-query map is read before this sweep overwrites it; the
+    // compared total covers only the queries common to both sweeps (new
+    // queries must not read as a slowdown), and per-query regressions are
+    // named when both >1.5x and >0.3s absolute (sub-second jitter is not a
+    // regression). Parsed defensively: a missing/old-format file yields
+    // "vs_prev":null, never a failed bench.
+    val prevPath = java.nio.file.Paths.get("bench", "last_run.json")
+    val prevMap: Option[Map[String, Double]] =
+      if (only.nonEmpty) None else parsePrevQueries(prevPath)
+    val curMap = results.collect { case (k, v, _) if v >= 0 => k -> v }.toMap
+    val vsPrev = prevMap.map(pm => vsPrevJson(curMap, pm)).getOrElse("null")
+
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failedNames.size},"failed":$failedJson,"vs_prev":$vsPrev,"queries":$qs,"reps_sec":$reps,"gc_ms_per_rep":$gc}"""
+    // STDOUT gets a COMPACT line: the driver's BENCH_r{N}.json keeps only
+    // the last ~2000 stdout chars, so the full 10k+ line arrived truncated
+    // and its `parsed` field was null in every judged round artifact. The
+    // compact line (total, failures, slowest-10, vs_prev — well under the
+    // window even with sbt's trailing status line) parses; the full
+    // per-query map, per-rep walls and GC live in bench/last_run.json.
+    val okVals = results.map(_._2).filter(_ >= 0)
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failedNames.size},"failed":$failedJson,"avg_sec":${fmt(
+        if (okVals.nonEmpty) total / okVals.size else -1.0)},"slowest":$slowest,"vs_prev":$vsPrev,"queries_full":"bench/last_run.json"}"""
+    println(compact)
+    // full sweeps only: a SPARK_GRAFT_ONLY subset run must not overwrite
+    // the last complete sweep
     if (only.isEmpty) {
-      val out = java.nio.file.Paths.get("bench", "last_run.json")
-      java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out,
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.createDirectories(prevPath.getParent)
+      java.nio.file.Files.write(prevPath,
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     spark.stop()
   }

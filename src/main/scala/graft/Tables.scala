@@ -39,13 +39,29 @@ object Tables {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     // NANOS fixtures only load with this legacy flag; harmless for MICROS.
+    // Deliberately STICKY (neither is a ParquetOptions per-read option, and
+    // this one is consulted again at every ACTION on the returned lazy
+    // frame — restoring it would fail NANOS-generation execution later).
+    // Its only session-wide effect is that other NANOS-annotated columns
+    // (none exist in the fixture set) read as longs instead of erroring.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // MICROS(false) would otherwise infer TIMESTAMP_NTZ (Spark ≥3.4); read it
     // as TimestampType so `ts` keeps one type across fixture generations and
     // unix_micros sees the raw stored micros (same value DuckDB's epoch_us
-    // computes) independent of session timezone.
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // computes) independent of session timezone. UNLIKE nanosAsLong this
+    // flag only matters during the EAGER schema inference below (execution
+    // follows the frame's already-resolved schema — asserted in
+    // FixturesSpec), so it is scoped: saved, set, restored — unrelated
+    // parquet timestamp reads in the session keep their default typing.
+    val ntzKey = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    val prevNtz = spark.conf.getOption(ntzKey)
+    spark.conf.set(ntzKey, "false")
+    val raw =
+      try spark.read.parquet(s"$sfDir/events.parquet")
+      finally prevNtz match {
+        case Some(v) => spark.conf.set(ntzKey, v)
+        case None    => spark.conf.unset(ntzKey)
+      }
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => // NANOS read as raw long
         raw.withColumnRenamed("ts", "ts_ns")

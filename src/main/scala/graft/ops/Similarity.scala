@@ -483,20 +483,33 @@ object Similarity {
     * dot/(norm·norm) spelling DuckDB's list_cosine_similarity matches at
     * 6 dp.
     *
-    * Scale shape: k-1 rounds, each ONE corpus scan — a broadcast center
-    * vector, a `greatest` fold into the persisted running `cmax` column,
+    * Scale shape: k-1 rounds, each ONE scan of the running frame — a
+    * broadcast center vector, a `greatest` fold into the persisted
+    * running `cmax` column, a `__sel` flag fold excluding already-picked
+    * points (O(1) plan growth per round — not a growing NOT-IN literal),
     * and a `limit(1)` TakeOrdered (per-partition argmin + driver merge,
     * never a global sort). Driver traffic per round: one (id, cmax,
-    * vector) row, ≤ d doubles. The running frame is re-persisted per
-    * round and the previous round unpersisted after its successor
-    * materializes, so lineage stays one column deep.
+    * vector) row, ≤ d doubles. Lineage is localCheckpoint-truncated
+    * every 16 rounds so the fold chain stays bounded at any k.
     *
+    * SCALE CONTRACT: k sequential scans are inherent to Gonzalez greedy
+    * — at corpus scale run this on a PRE-SAMPLED frame (pass
+    * `sampleFraction`, or sample upstream as [[semanticContamination]]
+    * caps its eval matrix); the 2-approximation degrades gracefully
+    * under uniform sampling. Selection flags compare ids NULL-SAFELY, so
+    * an (at most one) null-id row is selectable exactly once instead of
+    * being silently unselectable.
+    *
+    * @param sampleFraction optional pre-sampling fraction (deterministic
+    *        seed) applied before selection — the corpus-scale path;
+    *        `None` (default) selects over the full frame, exact
     * @return (round 1..k, id, nearest_cos) — nearest_cos is the selected
     *         point's rounded cosine to its nearest earlier center (null
     *         for the seed); fewer than k rows when the corpus is smaller.
     */
   def kCenterSelect(df: DataFrame, idCol: String, vecCol: String,
-                    k: Int): DataFrame = {
+                    k: Int, sampleFraction: Option[Double] = None,
+                    sampleSeed: Long = 42L): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     require(k >= 1, "k must be at least 1")
@@ -513,7 +526,9 @@ object Similarity {
     // their norm yields NULL cmax, Spark's NULLS-FIRST ascending argmin
     // would pick them every round and the null would NPE the collect —
     // exclude them from selection up front (the q90 norm>0 convention)
-    val vd = df.select(col(idCol), asDouble(col(vecCol)).as("__vd"))
+    val base = sampleFraction.fold(df)(f =>
+      df.sample(withReplacement = false, f, sampleSeed))
+    val vd = base.select(col(idCol), asDouble(col(vecCol)).as("__vd"))
       .withColumn("__n", norm(col("__vd")))
       .filter(col("__n") > 0)
     val seed = vd.orderBy(col(idCol)).limit(1).collect()
@@ -525,14 +540,16 @@ object Similarity {
 
     val picked = scala.collection.mutable.ArrayBuffer[Row](
       Row(1, seedId, null))
-    var pickedIds = Seq[Any](seedId)
     var cur = vd.withColumn("cmax", cosTo(
-      seed(0).getSeq[Double](1), seed(0).getDouble(2))).persist()
+        seed(0).getSeq[Double](1), seed(0).getDouble(2)))
+      .withColumn("__sel", col(idCol) <=> lit(seedId))
+      .persist()
     var prev: Option[DataFrame] = None
+    var sinceCp = 0
     var exhausted = false
     var i = 2
     while (i <= k && !exhausted) {
-      val nxt = cur.filter(!col(idCol).isin(pickedIds: _*))
+      val nxt = cur.filter(!col("__sel"))
         .orderBy(col("cmax").asc, col(idCol).asc).limit(1).collect()
       prev.foreach(_.unpersist()) // successor materialized by the action above
       prev = Some(cur)
@@ -540,10 +557,21 @@ object Similarity {
       else {
         val r = nxt(0)
         picked += Row(i, r.get(0), r.getDouble(3))
-        pickedIds :+= r.get(0)
         if (i < k) {
-          cur = cur.withColumn("cmax", greatest(col("cmax"),
-            cosTo(r.getSeq[Double](1), r.getDouble(2)))).persist()
+          val stepped = cur
+            .withColumn("cmax", greatest(col("cmax"),
+              cosTo(r.getSeq[Double](1), r.getDouble(2))))
+            .withColumn("__sel", col("__sel") || (col(idCol) <=> lit(r.get(0))))
+          sinceCp += 1
+          cur = if (sinceCp >= 16) {
+            // truncate the 16-deep greatest/|| fold chain: without this
+            // the analyzed plan grows O(k) and planning time O(k²)
+            sinceCp = 0
+            val cp = stepped.localCheckpoint(true)
+            prev.foreach(_.unpersist())
+            prev = None
+            cp
+          } else stepped.persist()
         }
         i += 1
       }

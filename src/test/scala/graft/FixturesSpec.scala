@@ -56,6 +56,26 @@ class FixturesSpec extends AnyFunSuite {
     }
   }
 
+  test("events NTZ-inference override is scoped to the loader, not the session") {
+    import org.apache.spark.sql.functions._
+    val ntzKey = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    val ev = Tables.events(spark, sfDirs.head)
+    // the flag is restored after the eager schema inference...
+    assert(spark.conf.get(ntzKey) == "true",
+      "loader must not leak inferTimestampNTZ=false into the session")
+    // ...and the already-resolved frame still EXECUTES correctly after the
+    // restore (the flag is inference-time only; execution follows the
+    // frame's requested schema)
+    assert(ev.select(max(col("ts_ns"))).head().getLong(0) > 0L)
+    // unrelated reads keep default typing: an NTZ-written column round-trips
+    // as NTZ even right after an events load
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ntz").toString
+    spark.sql("SELECT TIMESTAMP_NTZ '2024-01-02 03:04:05' AS t")
+      .write.mode("overwrite").parquet(tmp)
+    assert(spark.read.parquet(tmp).schema("t").dataType == TimestampNTZType,
+      "unrelated parquet timestamp reads must keep session-default NTZ inference")
+  }
+
   test("embeddings vectors are float arrays with a consistent dimension") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, sfDirs.head)

@@ -95,6 +95,35 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.count() == 3)
   }
 
+  test("kCenterSelect at k=500: bounded plan growth, exact trajectory") {
+    // the round-11 watch item: the old NOT-IN literal grew O(k) per round
+    // (O(k²) plan bytes) — the __sel flag fold plus 16-round
+    // localCheckpoint truncation must keep every round's plan bounded,
+    // and still replay the naive greedy trajectory EXACTLY at large k
+    val n = 520; val k = 500
+    val got = Similarity.kCenterSelect(
+      Tables.embeddings(spark, sf).filter(col("vec_id") < n),
+      "vec_id", "embedding", k)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) Option.empty[Double] else Some(r.getDouble(2))))
+      .sortBy(_._1).toSeq
+    assert(got.size == k)
+    assert(got.map(_._2).distinct.size == k)
+    assert(got == naiveKCenter(fixtureVecs(n), k))
+  }
+
+  test("kCenterSelect sampleFraction pre-samples deterministically") {
+    val emb = Tables.embeddings(spark, sf)
+    def run() = Similarity.kCenterSelect(emb, "vec_id", "embedding", 5,
+      sampleFraction = Some(0.5))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+    val a = run()
+    assert(a.size == 5)
+    assert(a == run(), "fixed-seed sampling must make the selection stable")
+    // the sampled universe is a strict subset: still seeded at its min id
+    assert(a.head._1 == 1)
+  }
+
   test("hybridRrf matches a driver-side fusion of its two certified rankings") {
     val docs = Tables.documents(spark, sf)
     val emb = Tables.embeddings(spark, sf)
