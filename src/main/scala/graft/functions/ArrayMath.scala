@@ -270,6 +270,9 @@ object ArrayMath {
   val gifAnimName = "graft_gif_anim_bytes"
   val apngMetaName = "graft_apng_meta"
   val apngAnimName = "graft_apng_anim_bytes"
+  val mp4MetaName = "graft_mp4_meta"
+  val mp4BytesName = "graft_mp4_bytes"
+  val dhashName = "graft_image_dhash64"
   val rgbStatsName = "graft_rgb_channel_stats"
   val audioMetaName = "graft_audio_meta"
   val int8DotName = "graft_int8_dot"
@@ -409,6 +412,12 @@ object ArrayMath {
       apngMetaName, exprs => ApngMeta(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction(
       apngAnimName, exprs => ApngAnimBytes(exprs), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      mp4MetaName, exprs => Mp4Meta(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      mp4BytesName, exprs => Mp4Bytes(exprs), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      dhashName, exprs => DHash64(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction(
       int8DotName, exprs => Int8DotProduct(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
@@ -564,6 +573,23 @@ object ArrayMath {
   def apngAnimBytes(w: Column, h: Column, nFrames: Column,
                     seed: Column): Column =
     call_function(apngAnimName, w, h, nFrames, seed)
+
+  /** binary → struct<major_brand,timescale,duration,n_tracks,tracks>
+    * from a strict ISO-BMFF box walk; NULL on any violation (see
+    * [[Mp4Meta]]).
+    */
+  def mp4Meta(bytes: Column): Column = call_function(mp4MetaName, bytes)
+
+  /** Fixture-side real single-track MP4 encoder (see [[Mp4Bytes]]). */
+  def mp4Bytes(w: Column, h: Column, nSamples: Column,
+               seed: Column): Column =
+    call_function(mp4BytesName, w, h, nSamples, seed)
+
+  /** binary → bigint 64-bit image difference hash over genuinely decoded
+    * pixels (see [[DHash64]]); NULL when no real decoder claims the
+    * payload.
+    */
+  def imageDHash64(bytes: Column): Column = call_function(dhashName, bytes)
 
   /** Codegen'd dot(array<tinyint> codes, array<double>) — the quantized
     * probe scoring loop (see [[Int8DotProduct]]).

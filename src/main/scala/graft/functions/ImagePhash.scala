@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** IMAGE perceptual hashing — the pixel-plane near-dup signature the
+  * LAION/DataComp-style image curation pipelines key on (difference
+  * hash, "dHash": Krawetz, HackerFactor blog 2013 — the public
+  * formulation every image-dedup stack reimplements): decode → 9×8
+  * nearest-neighbor luma grid → 64 adjacent-pixel comparisons → one
+  * 64-bit signature whose Hamming distance survives re-encode, resize
+  * and small edits. Near-dup pairs then come from the SAME 16-bit-chunk
+  * banding plan text SimHash uses ([[graft.ops.Dedup.simhashNearDupPairs]]
+  * — complete for distance ≤ 3 by pigeonhole), so image dedup rides the
+  * proven skew-safe candidate machinery instead of an all-pairs scan.
+  * Reference behavior: `/root/reference` has no media decoding at all
+  * (Python orchestration only, `dataflow.py`); north-star extension
+  * surface.
+  *
+  * Every stage is integer-exact so a SQL oracle can replay planted
+  * gradients bit for bit: NN sampling uses [[PngPixelKernel.resize]]'s
+  * ⌊x·w/outW⌋ floor rule; luma is the integer BT.601 form
+  * (299·R + 587·G + 114·B) / 1000 with floor division; bit k = 8·y + x
+  * (LSB first) is set iff grid(x+1, y) > grid(x, y).
+  *
+  * Decode dispatch is by content magic, PNG ([[PngPixelKernel]] — the
+  * hand-rolled inflate/defilter path) or JPEG ([[JpegPixelKernel]] —
+  * the JDK codec); anything else, or any payload the decoder rejects,
+  * is NULL (never a guess).
+  */
+object DHashKernel {
+
+  /** 64-bit difference hash, boxed for the NULL convention. */
+  def dhash64(b: Array[Byte]): java.lang.Long = {
+    val g = lumaGrid9x8(b)
+    if (g == null) return null
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y * 9 + x + 1) > g(y * 9 + x)) bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    java.lang.Long.valueOf(bits)
+  }
+
+  /** 9-wide × 8-high integer luma grid (row-major), or null when no
+    * real decoder claims the payload.
+    */
+  private def lumaGrid9x8(b: Array[Byte]): Array[Int] = {
+    if (PngPixelKernel.isPng(b)) {
+      val img = PngPixelKernel.decodeImage(b)
+      if (img == null) return null
+      val c = img.channels
+      val out = new Array[Int](72)
+      var y = 0
+      while (y < 8) {
+        val sy = (y.toLong * img.height / 8).toInt
+        val srcRow = sy * img.width * c
+        var x = 0
+        while (x < 9) {
+          val sx = (x.toLong * img.width / 9).toInt
+          val p = srcRow + sx * c
+          out(y * 9 + x) =
+            if (c == 1) img.samples(p) & 0xff
+            else (299 * (img.samples(p) & 0xff) +
+              587 * (img.samples(p + 1) & 0xff) +
+              114 * (img.samples(p + 2) & 0xff)) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      out
+    } else if (JpegPixelKernel.isJpeg(b)) {
+      val img = JpegPixelKernel.readImage(b)
+      if (img == null) return null
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new Array[Int](72)
+      var y = 0
+      while (y < 8) {
+        val sy = (y.toLong * h / 8).toInt
+        var x = 0
+        while (x < 9) {
+          val sx = (x.toLong * w / 9).toInt
+          val rgb = img.getRGB(sx, sy)
+          out(y * 9 + x) = (299 * ((rgb >> 16) & 0xff) +
+            587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      out
+    } else null
+  }
+}
+
+/** binary → bigint 64-bit dHash via [[DHashKernel.dhash64]]; NULL when
+  * no real decoder claims the payload. Corpus-scale: codegen'd
+  * static-kernel call (the decode dominates; the grid+bits tail is
+  * nanoseconds).
+  */
+case class DHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${t.catalogString}")
+  }
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = DHashKernel.dhash64(input.asInstanceOf[Array[Byte]])
+    if (v == null) null else v.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |java.lang.Long ${ev.value}_boxed = graft.functions.DHashKernel.dhash64($c);
+       |if (${ev.value}_boxed == null) { ${ev.isNull} = true; }
+       |else { ${ev.value} = ${ev.value}_boxed.longValue(); }
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "image_dhash64"
+}

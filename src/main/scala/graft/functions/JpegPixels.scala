@@ -33,6 +33,30 @@ object JpegPixelKernel {
     b != null && b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
 
   def decode(b: Array[Byte]): InternalRow = {
+    val img = readImage(b)
+    if (img == null) return null
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w.toLong * h > MaxPixels) return null
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toDouble
+    new GenericInternalRow(Array[Any](w, h, sr / n, sg / n, sb / n))
+  }
+
+  /** Guarded ImageIO read shared by [[decode]] and the perceptual-hash
+    * lane ([[DHashKernel]]): null outside scope, never a throw.
+    */
+  private[functions] def readImage(b: Array[Byte]): java.awt.image.BufferedImage = {
     if (b == null || !isJpeg(b)) return null
     // the bomb guard must run BEFORE the raster allocates: a few-KB
     // payload can declare a multi-GB raster, and the resulting
@@ -61,23 +85,7 @@ object JpegPixelKernel {
           }
         } finally iis.close()
       } catch { case _: Exception => null }
-    if (img == null) return null
-    val w = img.getWidth
-    val h = img.getHeight
-    if (w.toLong * h > MaxPixels) return null
-    var sr = 0L; var sg = 0L; var sb = 0L
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val rgb = img.getRGB(x, y)
-        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
-        x += 1
-      }
-      y += 1
-    }
-    val n = (w.toLong * h).toDouble
-    new GenericInternalRow(Array[Any](w, h, sr / n, sg / n, sb / n))
+    img
   }
 
   /** Fixture-side REAL JPEG encoder (ImageIO write path — genuine DCT

@@ -284,16 +284,32 @@ object Dedup {
     * maxDistance ≤ 3 by pigeonhole over 4 chunks).
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                          maxDistance: Int = 3): DataFrame = {
-    val sigs = simhash(df, idCol, textCol)
-    val chunked = sigs.select(col(idCol), col("simhash"),
-      explode(array((0 until 4).map { c =>
-        struct(lit(c).as("chunk"), expr(s"(simhash >> ${c * 16}) & 65535").as("bucket"))
-      }: _*)).as("__c"))
-      .select(col(idCol), col("simhash"), col("__c.chunk"), col("__c.bucket"))
-    val a = chunked.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
+                          maxDistance: Int = 3): DataFrame =
+    hamming64Pairs(simhash(df, idCol, textCol), idCol, "simhash", maxDistance)
+
+  /** Generic 64-bit-signature Hamming near-dup join — the banding plan
+    * [[simhashNearDupPairs]] and the image-dHash lane
+    * ([[Multimodal.imageNearDupPairs]]) share: candidates from 16-bit
+    * chunk banding (any equal chunk → candidate; COMPLETE for
+    * maxDistance ≤ 3 by pigeonhole over 4 chunks), verified with one
+    * codegen'd `bit_count(xor)`. Shuffles only (id, sig, chunk, bucket)
+    * rows — never payloads — so the plan holds at corpus scale; rows
+    * with a NULL signature never band (no decoder claimed the payload).
+    */
+  def hamming64Pairs(sigs: DataFrame, idCol: String, sigCol: String,
+                     maxDistance: Int = 3): DataFrame = {
+    require(maxDistance <= 3,
+      s"16-bit chunk banding is complete only for distance <= 3, got $maxDistance")
+    val chunked = sigs.filter(col(sigCol).isNotNull)
+      .select(col(idCol), col(sigCol),
+        explode(array((0 until 4).map { c =>
+          struct(lit(c).as("chunk"),
+            expr(s"(`$sigCol` >> ${c * 16}) & 65535").as("bucket"))
+        }: _*)).as("__c"))
+      .select(col(idCol), col(sigCol), col("__c.chunk"), col("__c.bucket"))
+    val a = chunked.select(col(idCol).as("id_a"), col(sigCol).as("sh_a"),
       col("chunk"), col("bucket"))
-    val b = chunked.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
+    val b = chunked.select(col(idCol).as("id_b"), col(sigCol).as("sh_b"),
       col("chunk"), col("bucket"))
     a.join(b, Seq("chunk", "bucket"))
       .filter(col("id_a") < col("id_b"))

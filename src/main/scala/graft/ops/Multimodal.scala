@@ -315,6 +315,44 @@ object Multimodal {
       frames.getStruct(0, 5).getInt(4).toFloat)
   }
 
+  /** Feature lanes for an ISO-BMFF (MP4) payload (strict box walk —
+    * [[graft.functions.Mp4Kernel.meta]], sample catalog without codec
+    * work): [duration_sec, n_tracks, first_w, first_h, total_samples,
+    * total_sample_bytes, mean_sample_delta_sec, max_sample_size]. null
+    * when the walk rejects the payload.
+    */
+  private def mp4Features(bytes: Array[Byte]): Array[Float] = {
+    val st = graft.functions.Mp4Kernel.meta(bytes)
+    if (st == null) return null
+    val tracks = st.getArray(4)
+    var totalSamples = 0L; var totalBytes = 0L; var totalDelta = 0L
+    var maxSize = 0
+    var i = 0
+    while (i < tracks.numElements()) {
+      val t = tracks.getStruct(i, 9)
+      val samples = t.getArray(8)
+      var j = 0
+      while (j < samples.numElements()) {
+        val sm = samples.getStruct(j, 2)
+        totalBytes += sm.getInt(0)
+        totalDelta += sm.getInt(1)
+        if (sm.getInt(0) > maxSize) maxSize = sm.getInt(0)
+        j += 1
+      }
+      totalSamples += t.getInt(7)
+      i += 1
+    }
+    val t0 = tracks.getStruct(0, 9)
+    val mts = t0.getInt(5).toFloat
+    Array(
+      st.getLong(2).toFloat / math.max(st.getInt(1), 1),
+      st.getInt(3).toFloat, t0.getInt(3).toFloat, t0.getInt(4).toFloat,
+      totalSamples.toFloat, totalBytes.toFloat,
+      if (totalSamples > 0 && mts > 0)
+        totalDelta.toFloat / totalSamples / mts else 0f,
+      maxSize.toFloat)
+  }
+
   /** Feature lanes for an APNG payload (CRC-verified frame-control walk
     * — [[graft.functions.ApngKernel.frames]]): [width, height, n_frames,
     * n_plays, total_delay_num, max_frame_w, max_frame_h, sum_frame_area].
@@ -372,6 +410,8 @@ object Multimodal {
               ("wav", wavFeatures(payload))
             else if (graft.functions.GifKernel.isGif(payload))
               ("gif", gifFeatures(payload))
+            else if (graft.functions.Mp4Kernel.isMp4(payload))
+              ("mp4", mp4Features(payload))
             else (null, null)
           if (sniffed._2 != null) sniffed
           else ("stub", decodeStub(payload)) // unknown magic or corrupt payload
@@ -451,4 +491,63 @@ object Multimodal {
         col("col.y_off").as("y_off"), col("col.delay_num").as("delay_num"),
         col("col.delay_den").as("delay_den"), col("col.dispose").as("dispose"),
         col("col.blend").as("blend"))
+
+  /** Fixture-side real MP4 encoder ([[graft.functions.Mp4Kernel.encodeMp4]]). */
+  def mp4Bytes(w: Column, h: Column, nSamples: Column,
+               seed: Column): Column =
+    graft.functions.ArrayMath.mp4Bytes(w, h, nSamples, seed)
+
+  /** VIDEO sample catalog — [[gifFrames]]' ISO-BMFF sibling: one strict
+    * box walk per payload (native [[graft.functions.Mp4Meta]] expression
+    * over the public ISO/IEC 14496-12 grammar — no codec work, `mdat` is
+    * never read) then two generator explodes: per track, then per
+    * sample. Zero shuffles, zero UDFs; malformed payloads contribute no
+    * rows (a NULL meta struct never explodes).
+    *
+    * media(media_id, bytes) → (media_id, major_brand, timescale,
+    * duration, n_tracks, track_id, handler, codec, width, height,
+    * media_timescale, media_duration, n_samples, sample_idx,
+    * sample_size, sample_delta).
+    */
+  /** Per-image 64-bit perceptual difference hash over GENUINELY decoded
+    * pixels ([[graft.functions.DHashKernel]] — content-sniffed PNG or
+    * JPEG lane, integer-exact 9×8 luma grid): media(media_id, bytes) →
+    * (media_id, dhash); payloads no real decoder claims get a NULL
+    * dhash (kept, so callers can count the undecodable).
+    */
+  def imageDHash(media: DataFrame): DataFrame =
+    media.select(col("media_id"),
+      graft.functions.ArrayMath.imageDHash64(col("bytes")).as("dhash"))
+
+  /** Image near-dup pairs: Hamming(dHash) ≤ maxDistance via the SAME
+    * 16-bit-chunk banding plan text SimHash uses
+    * ([[Dedup.hamming64Pairs]] — complete for distance ≤ 3, shuffles
+    * signatures only, never image payloads). The LAION-style image
+    * dedup step at corpus scale.
+    */
+  def imageNearDupPairs(media: DataFrame, maxDistance: Int = 3): DataFrame =
+    Dedup.hamming64Pairs(imageDHash(media), "media_id", "dhash", maxDistance)
+
+  def mp4Samples(media: DataFrame): DataFrame =
+    media.select(col("media_id"),
+        graft.functions.ArrayMath.mp4Meta(col("bytes")).as("__m"))
+      .filter(col("__m").isNotNull)
+      .select(col("media_id"), col("__m.major_brand").as("major_brand"),
+        col("__m.timescale").as("timescale"),
+        col("__m.duration").as("duration"),
+        col("__m.n_tracks").as("n_tracks"), explode(col("__m.tracks")))
+      .select(col("media_id"), col("major_brand"), col("timescale"),
+        col("duration"), col("n_tracks"),
+        col("col.track_id").as("track_id"),
+        col("col.handler").as("handler"), col("col.codec").as("codec"),
+        col("col.width").as("width"), col("col.height").as("height"),
+        col("col.media_timescale").as("media_timescale"),
+        col("col.media_duration").as("media_duration"),
+        col("col.n_samples").as("n_samples"), posexplode(col("col.samples")))
+      .select(col("media_id"), col("major_brand"), col("timescale"),
+        col("duration"), col("n_tracks"), col("track_id"), col("handler"),
+        col("codec"), col("width"), col("height"), col("media_timescale"),
+        col("media_duration"), col("n_samples"),
+        col("pos").as("sample_idx"), col("col.size").as("sample_size"),
+        col("col.delta").as("sample_delta"))
 }

@@ -3057,6 +3057,194 @@ object TrainingQueries {
               |  CAST(MAX(length(text)) AS BIGINT) AS max_chars,
               |  CAST(SUM(CASE WHEN len($toksSql) < 50 THEN 1 ELSE 0 END)
               |    AS BIGINT) AS n_short_docs
-              |FROM documents""".stripMargin))
+              |FROM documents""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // VIDEO-container sample catalog (functions.Mp4Kernel — the
+    // ISO-BMFF sibling of q126/q127's frame planes, VERDICT r11 item 8):
+    // every doc gets a genuine single-video-track MP4 (ftyp + honestly
+    // sized mdat + full moov tree: mvhd, tkhd with 16.16 geometry, mdhd,
+    // hdlr, vmhd/dinf, and the mandatory stsd/stts/stsz sample-table
+    // trio with real chunk offsets, assembled from doc_id-derived
+    // parameters), and the native Mp4Meta expression strict-walks the
+    // box grammar back OUT — per-sample sizes and run-length-expanded
+    // durations without touching a codec byte (sample catalogs are a
+    // metadata plane at corpus scale; mdat is never read). The oracle
+    // recomputes every planted field from doc_id arithmetic via
+    // range-unnest — any walker drift from the public ISO/IEC 14496-12
+    // layout hash-mismatches; corrupt-payload rejection (truncated box,
+    // non-tiling children, stts/stsz count mismatch, sample-count bomb,
+    // missing moov, bad version) is pinned in OpsSpec.
+    QuerySpec(
+      "q135_mp4_samples",
+      (s, dir) => {
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id").as("media_id"),
+            Multimodal.mp4Bytes(
+              (col("doc_id") % 64 + 16).cast("int"),
+              ((col("doc_id") * 3) % 64 + 16).cast("int"),
+              (col("doc_id") % 5 + 1).cast("int"),
+              (col("doc_id") % 17).cast("int")).as("bytes"))
+        Multimodal.mp4Samples(media)
+          .select(col("media_id"), col("major_brand"),
+            col("timescale").cast("long").as("timescale"),
+            col("duration"),
+            col("n_tracks").cast("long").as("n_tracks"),
+            col("track_id").cast("long").as("track_id"),
+            col("handler"), col("codec"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("media_timescale").cast("long").as("media_timescale"),
+            col("media_duration"),
+            col("n_samples").cast("long").as("n_samples"),
+            col("sample_idx").cast("long").as("sample_idx"),
+            col("sample_size").cast("long").as("sample_size"),
+            col("sample_delta").cast("long").as("sample_delta"))
+          .orderBy("media_id", "sample_idx")
+      },
+      Some("""WITH e AS (
+             |  SELECT doc_id, doc_id % 17 AS seed, doc_id % 5 + 1 AS n,
+             |         unnest(range(doc_id % 5 + 1)) AS i
+             |  FROM documents),
+             |d AS (
+             |  SELECT doc_id, seed, n, i,
+             |         (seed + 7*i) % 100 + 1 AS delta,
+             |         (seed + 11*i) % 900 + 100 AS sz
+             |  FROM e),
+             |t AS (SELECT doc_id, SUM(delta) AS mdur FROM d GROUP BY doc_id)
+             |SELECT d.doc_id AS media_id,
+             |  'isom' AS major_brand,
+             |  CAST(600 * (d.seed % 4 + 1) AS BIGINT) AS timescale,
+             |  CAST(t.mdur AS BIGINT) AS duration,
+             |  CAST(1 AS BIGINT) AS n_tracks,
+             |  CAST(1 AS BIGINT) AS track_id,
+             |  'vide' AS handler,
+             |  'avc1' AS codec,
+             |  CAST(d.doc_id % 64 + 16 AS BIGINT) AS width,
+             |  CAST((d.doc_id * 3) % 64 + 16 AS BIGINT) AS height,
+             |  CAST(600 * (d.seed % 4 + 1) AS BIGINT) AS media_timescale,
+             |  CAST(t.mdur AS BIGINT) AS media_duration,
+             |  CAST(d.n AS BIGINT) AS n_samples,
+             |  CAST(d.i AS BIGINT) AS sample_idx,
+             |  CAST(d.sz AS BIGINT) AS sample_size,
+             |  CAST(d.delta AS BIGINT) AS sample_delta
+             |FROM d JOIN t ON t.doc_id = d.doc_id
+             |ORDER BY media_id, sample_idx""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Image perceptual hash (functions.DHashKernel — the pixel-plane
+    // near-dup signature LAION-style image curation keys on): every doc
+    // gets a genuine PNG gradient (real zlib/defilter decode on the way
+    // back out), and dHash's 9×8 NN luma grid + 64 adjacent-pixel
+    // comparisons are integer-exact, so the oracle replays the ENTIRE
+    // hash bit for bit from the planted (w, h, r0, g0, b0) arithmetic —
+    // floor NN rule, integer BT.601 luma, LSB-first bit order. The
+    // 64-bit signature ships as two unsigned 32-bit halves so neither
+    // engine's BIGINT sign bit is in play.
+    QuerySpec(
+      "q136_image_dhash",
+      (s, dir) => {
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id").as("media_id"),
+            Multimodal.pngGradientBytes(
+              (col("doc_id") % 24 + 12).cast("int"),
+              ((col("doc_id") * 3) % 24 + 12).cast("int"),
+              (col("doc_id") % 200).cast("int"),
+              ((col("doc_id") * 5) % 200).cast("int"),
+              ((col("doc_id") * 7) % 200).cast("int")).as("bytes"))
+        Multimodal.imageDHash(media)
+          .select(col("media_id"),
+            expr("dhash & 4294967295").as("dhash_lo"),
+            expr("(dhash >> 32) & 4294967295").as("dhash_hi"))
+          .orderBy("media_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id, doc_id % 24 + 12 AS w, (doc_id*3) % 24 + 12 AS h,
+             |         doc_id % 200 AS r0, (doc_id*5) % 200 AS g0,
+             |         (doc_id*7) % 200 AS b0
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, yy, xx,
+             |    (299*((r0 + (xx*w)//9 + (yy*h)//8) % 256)
+             |     + 587*((g0 + (xx*w)//9 + (yy*h)//8) % 256)
+             |     + 114*((b0 + (xx*w)//9 + (yy*h)//8) % 256)) // 1000 AS luma
+             |  FROM p, (SELECT unnest(range(8)) AS yy),
+             |       (SELECT unnest(range(9)) AS xx)),
+             |bits AS (
+             |  SELECT a.doc_id, a.yy, a.xx,
+             |    CASE WHEN b.luma > a.luma THEN 1 ELSE 0 END AS bit
+             |  FROM g a JOIN g b
+             |    ON b.doc_id = a.doc_id AND b.yy = a.yy AND b.xx = a.xx + 1
+             |  WHERE a.xx < 8)
+             |SELECT doc_id AS media_id,
+             |  CAST(SUM(CASE WHEN yy*8+xx < 32
+             |    THEN bit * (1::BIGINT << (yy*8+xx)) ELSE 0 END) AS BIGINT)
+             |    AS dhash_lo,
+             |  CAST(SUM(CASE WHEN yy*8+xx >= 32
+             |    THEN bit * (1::BIGINT << (yy*8+xx-32)) ELSE 0 END) AS BIGINT)
+             |    AS dhash_hi
+             |FROM bits GROUP BY doc_id
+             |ORDER BY media_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Image near-dup DEGREE (Dedup.hamming64Pairs — text SimHash's
+    // 16-bit-chunk banding plan reused verbatim on the dHash signature,
+    // complete for Hamming ≤ 2 by pigeonhole; only (id, sig) rows ever
+    // shuffle, never image payloads). The oracle replays hashes as in
+    // q136 then verifies the full pair relation with bit_count(xor) over
+    // the two halves — any banding incompleteness or verification drift
+    // changes a degree and hash-mismatches.
+    QuerySpec(
+      "q137_image_neardup_degree",
+      (s, dir) => {
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id").as("media_id"),
+            Multimodal.pngGradientBytes(
+              (col("doc_id") % 24 + 12).cast("int"),
+              ((col("doc_id") * 3) % 24 + 12).cast("int"),
+              (col("doc_id") % 200).cast("int"),
+              ((col("doc_id") * 5) % 200).cast("int"),
+              ((col("doc_id") * 7) % 200).cast("int")).as("bytes"))
+        val pairs = Multimodal.imageNearDupPairs(media, maxDistance = 2)
+        pairs.select(col("id_a").as("media_id"))
+          .union(pairs.select(col("id_b").as("media_id")))
+          .groupBy("media_id")
+          .agg(count(lit(1)).as("n_near_dups"))
+          .orderBy("media_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id, doc_id % 24 + 12 AS w, (doc_id*3) % 24 + 12 AS h,
+             |         doc_id % 200 AS r0, (doc_id*5) % 200 AS g0,
+             |         (doc_id*7) % 200 AS b0
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, yy, xx,
+             |    (299*((r0 + (xx*w)//9 + (yy*h)//8) % 256)
+             |     + 587*((g0 + (xx*w)//9 + (yy*h)//8) % 256)
+             |     + 114*((b0 + (xx*w)//9 + (yy*h)//8) % 256)) // 1000 AS luma
+             |  FROM p, (SELECT unnest(range(8)) AS yy),
+             |       (SELECT unnest(range(9)) AS xx)),
+             |bits AS (
+             |  SELECT a.doc_id, a.yy, a.xx,
+             |    CASE WHEN b.luma > a.luma THEN 1 ELSE 0 END AS bit
+             |  FROM g a JOIN g b
+             |    ON b.doc_id = a.doc_id AND b.yy = a.yy AND b.xx = a.xx + 1
+             |  WHERE a.xx < 8),
+             |h AS (
+             |  SELECT doc_id,
+             |    CAST(SUM(CASE WHEN yy*8+xx < 32
+             |      THEN bit * (1::BIGINT << (yy*8+xx)) ELSE 0 END) AS BIGINT) AS lo,
+             |    CAST(SUM(CASE WHEN yy*8+xx >= 32
+             |      THEN bit * (1::BIGINT << (yy*8+xx-32)) ELSE 0 END) AS BIGINT) AS hi
+             |  FROM bits GROUP BY doc_id),
+             |pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM h a JOIN h b ON a.doc_id < b.doc_id
+             |  WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 2)
+             |SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_near_dups
+             |FROM (SELECT id_a AS media_id FROM pairs
+             |      UNION ALL SELECT id_b FROM pairs)
+             |GROUP BY media_id
+             |ORDER BY media_id""".stripMargin))
   )
 }

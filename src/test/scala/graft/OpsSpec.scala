@@ -1626,4 +1626,347 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  // test-local ISO-BMFF box assembler for hand-built corruption /
+  // version-variant streams the fixture encoder can't produce
+  private def mp4box(typ: String)(body: java.io.ByteArrayOutputStream => Unit): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    body(o)
+    val p = o.toByteArray
+    val out = new java.io.ByteArrayOutputStream(p.length + 8)
+    def b32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    b32(p.length + 8L); typ.foreach(c => out.write(c.toInt)); out.write(p)
+    out.toByteArray
+  }
+  private def be32(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    o.write(((v >> 24) & 0xff).toInt); o.write(((v >> 16) & 0xff).toInt)
+    o.write(((v >> 8) & 0xff).toInt); o.write((v & 0xff).toInt)
+  }
+  private def cc4(o: java.io.ByteArrayOutputStream, s: String): Unit =
+    s.foreach(c => o.write(c.toInt))
+  private def find4cc(b: Array[Byte], typ: String): Int = {
+    val t = typ.getBytes("US-ASCII")
+    (0 to b.length - 4).find(i => b(i) == t(0) && b(i + 1) == t(1) &&
+      b(i + 2) == t(2) && b(i + 3) == t(3)).get
+  }
+
+  test("MP4 box walk: round trip exact, run-length expansion, skips, largesize") {
+    import graft.functions.Mp4Kernel
+    val mp4 = Mp4Kernel.encodeMp4(320, 180, 3, 5)
+    val p = Mp4Kernel.meta(mp4)
+    assert(p != null, "fixture MP4 must parse")
+    assert(p.getUTF8String(0).toString == "isom")
+    assert(p.getInt(1) == 1200, "timescale 600*(5%4+1)") // seed=5
+    // deltas (5+7i)%100+1 = 6,13,20 → movie/media duration 39
+    assert(p.getLong(2) == 39L && p.getInt(3) == 1)
+    val t0 = p.getArray(4).getStruct(0, 9)
+    assert(t0.getInt(0) == 1 && t0.getUTF8String(1).toString == "vide" &&
+      t0.getUTF8String(2).toString == "avc1")
+    assert(t0.getInt(3) == 320 && t0.getInt(4) == 180)
+    assert(t0.getInt(5) == 1200 && t0.getLong(6) == 39L && t0.getInt(7) == 3)
+    val samples = t0.getArray(8)
+    val wantSizes = Array(105, 116, 127) // (5+11i)%900+100
+    val wantDeltas = Array(6, 13, 20)
+    (0 until 3).foreach { i =>
+      val sm = samples.getStruct(i, 2)
+      assert(sm.getInt(0) == wantSizes(i) && sm.getInt(1) == wantDeltas(i))
+    }
+    // run-length stts: 3×10 then 1×5 coalesces to TWO runs the walker
+    // must expand back out to four per-sample deltas
+    val rl = Mp4Kernel.encode(64, 64, 600,
+      Array(10, 10, 10, 5), Array(1, 2, 3, 4))
+    val sttsAt = find4cc(rl, "stts")
+    assert(((rl(sttsAt + 8) & 0xff) << 24 | (rl(sttsAt + 9) & 0xff) << 16 |
+      (rl(sttsAt + 10) & 0xff) << 8 | (rl(sttsAt + 11) & 0xff)) == 2,
+      "encoder coalesced to 2 runs")
+    val prl = Mp4Kernel.meta(rl)
+    assert(prl != null)
+    val trl = prl.getArray(4).getStruct(0, 9)
+    assert(trl.getInt(7) == 4 && prl.getLong(2) == 35L)
+    assert((0 until 4).map(trl.getArray(8).getStruct(_, 2).getInt(1)) ==
+      Seq(10, 10, 10, 5))
+    // spec-sanctioned skips: an unknown box between mdat and moov, a
+    // largesize (size==1) form, and a size==0 to-end-of-file tail box
+    val ftypLen = 24
+    val free = mp4box("free")(o => o.write(new Array[Byte](8)))
+    assert(Mp4Kernel.meta(
+      mp4.take(ftypLen) ++ free ++ mp4.drop(ftypLen)) != null,
+      "unknown top-level box skips")
+    val largeFree = {
+      val o = new java.io.ByteArrayOutputStream()
+      be32(o, 1); cc4(o, "free"); be32(o, 0); be32(o, 16)
+      o.toByteArray
+    }
+    assert(Mp4Kernel.meta(
+      mp4.take(ftypLen) ++ largeFree ++ mp4.drop(ftypLen)) != null,
+      "largesize box honored")
+    val zeroTail = {
+      val o = new java.io.ByteArrayOutputStream()
+      be32(o, 0); cc4(o, "free")
+      o.toByteArray
+    }
+    assert(Mp4Kernel.meta(mp4 ++ zeroTail) != null,
+      "size==0 last top-level box extends to EOF")
+  }
+
+  test("MP4 box walk: version-1 full boxes and every corruption NULL") {
+    import graft.functions.Mp4Kernel
+    val mp4 = Mp4Kernel.encodeMp4(320, 180, 3, 5)
+    // strictness
+    assert(Mp4Kernel.meta(null) == null)
+    assert(Mp4Kernel.meta(Array.empty[Byte]) == null)
+    assert(Mp4Kernel.meta(mp4.dropRight(1)) == null, "truncated moov child")
+    assert(Mp4Kernel.meta(mp4 :+ 0x00.toByte) == null, "trailing junk")
+    val badMagic = mp4.clone(); badMagic(4) = 'x'.toByte
+    assert(Mp4Kernel.meta(badMagic) == null, "no ftyp magic")
+    val moovAt = find4cc(mp4, "moov") - 4
+    assert(Mp4Kernel.meta(mp4.take(moovAt)) == null, "missing moov")
+    // stsz internal inconsistency: bump its sample_count field
+    val stszAt = find4cc(mp4, "stsz")
+    val badStsz = mp4.clone()
+    badStsz(stszAt + 15) = (badStsz(stszAt + 15) + 1).toByte
+    assert(Mp4Kernel.meta(badStsz) == null, "stsz count vs payload size")
+    // stts/stsz disagreement: retime the first run to cover one fewer
+    // sample (valid boxes, totals disagree)
+    val sttsAt = find4cc(mp4, "stts")
+    val badTotals = mp4.clone()
+    assert(badTotals(sttsAt + 15) == 1) // first run count low byte
+    badTotals(sttsAt + 15) = 0 // now claims 0 samples in run 0
+    assert(Mp4Kernel.meta(badTotals) == null, "stts total != stsz count")
+    // sample-count bomb: hand-built uniform stsz + one huge stts run
+    // must reject BEFORE sizing any array
+    val bomb = {
+      val stsd = mp4box("stsd") { o =>
+        be32(o, 0); be32(o, 1)
+        be32(o, 86); cc4(o, "avc1"); o.write(new Array[Byte](78))
+      }
+      val stts = mp4box("stts") { o =>
+        be32(o, 0); be32(o, 1); be32(o, 1000000); be32(o, 1)
+      }
+      val stsz = mp4box("stsz") { o =>
+        be32(o, 0); be32(o, 100); be32(o, 1000000)
+      }
+      val stbl = mp4box("stbl") { o => o.write(stsd); o.write(stts); o.write(stsz) }
+      val minf = mp4box("minf")(o => o.write(stbl))
+      val hdlr = mp4box("hdlr") { o =>
+        be32(o, 0); be32(o, 0); cc4(o, "vide"); o.write(new Array[Byte](12)); o.write(0)
+      }
+      val mdhd = mp4box("mdhd") { o =>
+        be32(o, 0); be32(o, 0); be32(o, 0); be32(o, 600); be32(o, 1000000)
+        o.write(0x55); o.write(0xc4); o.write(0); o.write(0)
+      }
+      val mdia = mp4box("mdia") { o => o.write(mdhd); o.write(hdlr); o.write(minf) }
+      val tkhd = mp4box("tkhd") { o =>
+        be32(o, 7); be32(o, 0); be32(o, 0); be32(o, 1); be32(o, 0); be32(o, 1000000)
+        o.write(new Array[Byte](16))
+        Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(v => be32(o, v))
+        be32(o, 64L << 16); be32(o, 64L << 16)
+      }
+      val trak = mp4box("trak") { o => o.write(tkhd); o.write(mdia) }
+      val mvhd = mp4box("mvhd") { o =>
+        be32(o, 0); be32(o, 0); be32(o, 0); be32(o, 600); be32(o, 1000000)
+        be32(o, 0x10000); o.write(1); o.write(0); o.write(0); o.write(0)
+        o.write(new Array[Byte](8))
+        Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(v => be32(o, v))
+        o.write(new Array[Byte](24)); be32(o, 2)
+      }
+      val moov = mp4box("moov") { o => o.write(mvhd); o.write(trak) }
+      val ftyp = mp4box("ftyp") { o => cc4(o, "isom"); be32(o, 0x200) }
+      ftyp ++ moov
+    }
+    assert(Mp4Kernel.meta(bomb) == null, "1M-sample claim rejects (cap 65536)")
+    // version-1 layouts (64-bit times): hand-build v1 mvhd/tkhd/mdhd
+    val v1 = {
+      val stsd = mp4box("stsd") { o =>
+        be32(o, 0); be32(o, 1)
+        be32(o, 86); cc4(o, "hvc1"); o.write(new Array[Byte](78))
+      }
+      val stts = mp4box("stts") { o =>
+        be32(o, 0); be32(o, 1); be32(o, 2); be32(o, 25)
+      }
+      val stsz = mp4box("stsz") { o =>
+        be32(o, 0); be32(o, 0); be32(o, 2); be32(o, 11); be32(o, 13)
+      }
+      val stbl = mp4box("stbl") { o => o.write(stsd); o.write(stts); o.write(stsz) }
+      val minf = mp4box("minf")(o => o.write(stbl))
+      val hdlr = mp4box("hdlr") { o =>
+        be32(o, 0); be32(o, 0); cc4(o, "vide"); o.write(new Array[Byte](12)); o.write(0)
+      }
+      val mdhd = mp4box("mdhd") { o =>
+        be32(o, 0x01000000L) // version 1
+        be32(o, 0); be32(o, 0); be32(o, 0); be32(o, 0) // 64-bit times
+        be32(o, 90000) // timescale
+        be32(o, 0); be32(o, 50) // 64-bit duration
+        o.write(0x55); o.write(0xc4); o.write(0); o.write(0)
+      }
+      val mdia = mp4box("mdia") { o => o.write(mdhd); o.write(hdlr); o.write(minf) }
+      val tkhd = mp4box("tkhd") { o =>
+        be32(o, 0x01000007L) // version 1, flags 7
+        be32(o, 0); be32(o, 0); be32(o, 0); be32(o, 0) // 64-bit times
+        be32(o, 9) // track_id
+        be32(o, 0) // reserved
+        be32(o, 0); be32(o, 50) // 64-bit duration
+        o.write(new Array[Byte](16))
+        Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(v => be32(o, v))
+        be32(o, 1920L << 16); be32(o, 1080L << 16)
+      }
+      val trak = mp4box("trak") { o => o.write(tkhd); o.write(mdia) }
+      val mvhd = mp4box("mvhd") { o =>
+        be32(o, 0x01000000L) // version 1
+        be32(o, 0); be32(o, 0); be32(o, 0); be32(o, 0)
+        be32(o, 90000)
+        be32(o, 0); be32(o, 50)
+        be32(o, 0x10000); o.write(1); o.write(0); o.write(0); o.write(0)
+        o.write(new Array[Byte](8))
+        Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(v => be32(o, v))
+        o.write(new Array[Byte](24)); be32(o, 2)
+      }
+      val moov = mp4box("moov") { o => o.write(mvhd); o.write(trak) }
+      val ftyp = mp4box("ftyp") { o => cc4(o, "mp42"); be32(o, 0) }
+      ftyp ++ moov
+    }
+    val pv1 = Mp4Kernel.meta(v1)
+    assert(pv1 != null, "version-1 full boxes must parse")
+    assert(pv1.getUTF8String(0).toString == "mp42" && pv1.getInt(1) == 90000 &&
+      pv1.getLong(2) == 50L)
+    val tv1 = pv1.getArray(4).getStruct(0, 9)
+    assert(tv1.getInt(0) == 9 && tv1.getUTF8String(2).toString == "hvc1" &&
+      tv1.getInt(3) == 1920 && tv1.getInt(4) == 1080 &&
+      tv1.getInt(5) == 90000 && tv1.getLong(6) == 50L && tv1.getInt(7) == 2)
+    // bad version rejects
+    val badVer = v1.clone()
+    val mvhdAt = find4cc(v1, "mvhd")
+    badVer(mvhdAt + 4) = 2.toByte
+    assert(Mp4Kernel.meta(badVer) == null, "mvhd version 2 rejects")
+  }
+
+  test("mp4Samples catalog: arithmetic exact; corrupt payload contributes no rows; dispatch routes mp4") {
+    import spark.implicits._
+    val good = (1L to 6L).map(i => (i, i.toInt)).toDF("media_id", "k")
+      .select(col("media_id"),
+        Multimodal.mp4Bytes(lit(100), lit(80), (col("k") % 5 + 1).cast("int"),
+          (col("k") % 17).cast("int")).as("bytes"))
+    val corrupt = Seq((99L, Array[Byte](1, 2, 3))).toDF("media_id", "bytes")
+    val rows = Multimodal.mp4Samples(good.union(corrupt))
+      .orderBy("media_id", "sample_idx").collect()
+    assert(rows.map(_.getLong(0)).distinct.toSeq == (1L to 6L),
+      "corrupt payload contributes no rows")
+    rows.foreach { r =>
+      val id = r.getLong(0); val seed = (id % 17).toInt
+      val i = r.getInt(13)
+      assert(r.getString(7) == "avc1" &&
+        r.getInt(14) == (seed + 11 * i) % 900 + 100 &&
+        r.getInt(15) == (seed + 7 * i) % 100 + 1)
+    }
+    // unified feature dispatch claims the payload as mp4 (sniffed, not
+    // labeled), and a ftyp-magic-but-corrupt payload falls to the stub
+    val mp4 = graft.functions.Mp4Kernel.encodeMp4(320, 180, 3, 5)
+    val media = Seq((1L, mp4), (2L, mp4.dropRight(1)))
+      .toDF("media_id", "bytes")
+      .select(col("media_id"), col("bytes"),
+        struct(lit("application/octet-stream").as("format"),
+          lit(0).as("width"), lit(0).as("height"),
+          length(col("bytes")).cast("long").as("nBytes")).as("meta"))
+    val got = Multimodal.extractFeatures(spark, media).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(got(1L).decoded == "mp4" && got(2L).decoded == "stub")
+    // feature lanes: duration_sec = 39/1200, geometry, totals
+    val f = got(1L).features
+    assert(math.abs(f(0) - 39f / 1200f) < 1e-6 && f(1) == 1f &&
+      f(2) == 320f && f(3) == 180f && f(4) == 3f &&
+      f(5) == (105 + 116 + 127).toFloat && f(7) == 127f)
+  }
+
+  test("image dHash: PNG bit-exact vs closed form, JPEG vs ImageIO reference, junk NULL") {
+    import graft.functions.{DHashKernel, JpegPixelKernel, PngEncodeKernel}
+    // PNG lane: planted gradient pixel (x,y) = ((c0+x+y)%256, …) — replay
+    // the documented integer pipeline independently here
+    val (w, h, r0, g0, b0) = (23, 17, 130, 40, 200)
+    def refHash(luma: (Int, Int) => Int): Long = {
+      val grid = Array.tabulate(8, 9) { (y, x) =>
+        luma((x.toLong * w / 9).toInt, (y.toLong * h / 8).toInt)
+      }
+      var bits = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (grid(y)(x + 1) > grid(y)(x)) bits |= 1L << (y * 8 + x)
+      bits
+    }
+    val pngRef = refHash { (sx, sy) =>
+      (299 * ((r0 + sx + sy) % 256) + 587 * ((g0 + sx + sy) % 256) +
+        114 * ((b0 + sx + sy) % 256)) / 1000
+    }
+    val png = PngEncodeKernel.encode(w, h, r0, g0, b0)
+    assert(DHashKernel.dhash64(png) == pngRef, "PNG dHash must replay closed form")
+    // JPEG lane: DCT-lossy pixels, so the reference is the JDK's own
+    // independently decoded raster, not the planted arithmetic
+    val jpg = JpegPixelKernel.encodeGradient(32, 24, 60, 120, 180)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    val jw = img.getWidth; val jh = img.getHeight
+    val jpegRef = {
+      val grid = Array.tabulate(8, 9) { (y, x) =>
+        val rgb = img.getRGB((x.toLong * jw / 9).toInt, (y.toLong * jh / 8).toInt)
+        (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+          114 * (rgb & 0xff)) / 1000
+      }
+      var bits = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (grid(y)(x + 1) > grid(y)(x)) bits |= 1L << (y * 8 + x)
+      bits
+    }
+    assert(DHashKernel.dhash64(jpg) == jpegRef, "JPEG dHash vs ImageIO raster")
+    // robustness property dHash exists for: the SAME image re-encoded
+    // lossily (PNG gradient → JPEG) stays within a small Hamming ball
+    val pngAsJpeg = {
+      val bi = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        bi.setRGB(x, y, (((r0 + x + y) % 256) << 16) |
+          (((g0 + x + y) % 256) << 8) | ((b0 + x + y) % 256))
+      val o = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "jpg", o)
+      o.toByteArray
+    }
+    val d = java.lang.Long.bitCount(
+      DHashKernel.dhash64(pngAsJpeg) ^ pngRef)
+    assert(d <= 6, s"re-encoded image drifted $d bits (expected near-dup)")
+    // no real decoder claims it → NULL, never a guess
+    assert(DHashKernel.dhash64(null) == null)
+    assert(DHashKernel.dhash64(Array[Byte](1, 2, 3, 4)) == null)
+    assert(DHashKernel.dhash64(png.dropRight(3)) == null, "corrupt PNG")
+  }
+
+  test("hamming64Pairs banding == brute force; NULL signatures never band") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = rnd.nextLong()
+    def flip(v: Long, n: Int): Long = {
+      var out = v
+      rnd.shuffle((0 until 64).toList).take(n).foreach(b => out ^= 1L << b)
+      out
+    }
+    val sigs = Seq[(Long, java.lang.Long)](
+      (1L, base), (2L, flip(base, 1)), (3L, flip(base, 3)),
+      (4L, flip(base, 20)), (5L, rnd.nextLong()), (6L, base),
+      (7L, null)).toDF("id", "sig")
+    val got = graft.ops.Dedup.hamming64Pairs(sigs, "id", "sig", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over the same MATERIALIZED signatures (no recompute —
+    // the rng state moved on)
+    val m = sigs.filter(col("sig").isNotNull).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, sa) <- m; (b, sb) <- m if a < b
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(got == brute, s"banding must be complete at d<=3: $got vs $brute")
+    assert(!got.exists(t => t._1 == 7L || t._2 == 7L))
+    // distance > 3 banding is incomplete by construction — the require
+    // names the contract instead of silently losing recall
+    intercept[IllegalArgumentException] {
+      graft.ops.Dedup.hamming64Pairs(sigs, "id", "sig", 10)
+    }
+  }
+
 }
