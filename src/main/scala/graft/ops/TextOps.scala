@@ -533,4 +533,58 @@ object TextOps {
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("avg_nll"))
   }
+
+  /** CORPUS-LEVEL boilerplate line removal — the C4/RefinedWeb line-dedup
+    * rule (Raffel et al. JMLR'20 §2.2 drops repeated three-sentence
+    * spans; RefinedWeb/Gopher run the same idea at line granularity):
+    * a non-blank line whose trimmed text appears in MORE than `maxDf`
+    * distinct documents is boilerplate (cookie banners, nav menus,
+    * subscribe footers) and is dropped from every document; blank lines
+    * and rare lines survive, in their original order.
+    *
+    * Scale shape: one explode + one (line, id)-distinct aggregation
+    * finds document frequencies; only the lines that EXCEED the
+    * threshold ship to the filter join — true boilerplate is by nature
+    * a tiny set, so the anti-join side is broadcastable no matter how
+    * big the corpus. Reassembly is the only shuffle that carries
+    * surviving line text (unavoidable: the result IS that text).
+    * Trimmed line text itself is the df key — exact by construction
+    * (SQL-replayable); a 100 TB deployment can swap in xxhash64 keys
+    * for a skinnier count shuffle at the usual collision trade.
+    *
+    * → (idCol, cleaned_text, n_lines, n_dropped); null text stays null
+    * with n_lines = 0.
+    */
+  def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                             maxDf: Long): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val lines = df
+      .select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("__i", "__line")))
+      .withColumn("__t", trim(col("__line")))
+    val boilerplate = lines.filter(col("__t") =!= "")
+      .select(col("__t"), col(idCol)).distinct()
+      .groupBy("__t").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select(col("__t"))
+    val kept = lines.join(broadcast(boilerplate), Seq("__t"), "left_anti")
+    val rebuilt = kept.groupBy(idCol)
+      .agg(count(lit(1)).as("__n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__i"), col("__line")))),
+            x => x.getField("__line")), "\n").as("__cleaned"))
+    df.select(col(idCol), col(textCol).as("__text"),
+        coalesce(size(split(col(textCol), "\n")), lit(0))
+          .cast("long").as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__text").isNull, lit(null).cast("string"))
+          .otherwise(coalesce(col("__cleaned"), lit(""))).as("cleaned_text"),
+        when(col("__text").isNull, lit(0L)).otherwise(col("n_lines"))
+          .as("n_lines"),
+        when(col("__text").isNull, lit(0L))
+          .otherwise(col("n_lines") - coalesce(col("__n_kept"), lit(0L)))
+          .as("n_dropped"))
+  }
 }

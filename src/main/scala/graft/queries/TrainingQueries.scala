@@ -3245,6 +3245,56 @@ object TrainingQueries {
              |FROM (SELECT id_a AS media_id FROM pairs
              |      UNION ALL SELECT id_b FROM pairs)
              |GROUP BY media_id
-             |ORDER BY media_id""".stripMargin))
+             |ORDER BY media_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Corpus-level boilerplate line removal (TextOps.
+    // removeBoilerplateLines — the C4/RefinedWeb line-dedup rule): a
+    // planted footer line is appended to every even doc ("subscribe
+    // now", df 250 ≫ maxDf 10 → boilerplate) and a per-doc unique line
+    // to every odd doc (df 1 → survives); the operator must drop
+    // exactly the high-df lines from every document while preserving
+    // order, blanks, and any naturally repeated fixture lines the SAME
+    // way the oracle's replay does. Output is the full cleaned text —
+    // any reassembly drift (order, separator, lost blank) hash-
+    // mismatches.
+    QuerySpec(
+      "q138_boilerplate_lines",
+      (s, dir) => {
+        val src = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            concat(col("text"), lit("\n"),
+              when(col("doc_id") % 2 === 0, lit("subscribe now"))
+                .otherwise(concat(lit("unique-"), col("doc_id"))))
+              .as("text"))
+        TextOps.removeBoilerplateLines(src, "doc_id", "text", maxDf = 10L)
+          .orderBy("doc_id")
+      },
+      Some("""WITH src AS (
+             |  SELECT doc_id,
+             |    text || chr(10) || CASE WHEN doc_id % 2 = 0
+             |      THEN 'subscribe now'
+             |      ELSE 'unique-' || CAST(doc_id AS VARCHAR) END AS text
+             |  FROM documents),
+             |p AS (SELECT doc_id, text, string_split(text, chr(10)) AS parts
+             |      FROM src),
+             |l AS (SELECT doc_id, parts, unnest(range(len(parts))) AS i FROM p),
+             |t AS (SELECT doc_id, i, parts[CAST(i+1 AS INT)] AS line,
+             |             trim(parts[CAST(i+1 AS INT)]) AS tl FROM l),
+             |bp AS (SELECT tl FROM (
+             |         SELECT tl, COUNT(DISTINCT doc_id) AS df FROM t
+             |         WHERE tl <> '' GROUP BY tl) WHERE df > 10),
+             |keep AS (SELECT t.doc_id, t.i, t.line FROM t
+             |         WHERE t.tl = '' OR t.tl NOT IN (SELECT tl FROM bp)),
+             |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+             |               string_agg(line, chr(10) ORDER BY i) AS cleaned
+             |        FROM keep GROUP BY doc_id),
+             |n AS (SELECT doc_id, len(string_split(text, chr(10))) AS n_lines
+             |      FROM src)
+             |SELECT n.doc_id, COALESCE(agg.cleaned, '') AS cleaned_text,
+             |  CAST(n.n_lines AS BIGINT) AS n_lines,
+             |  CAST(n.n_lines - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_dropped
+             |FROM n LEFT JOIN agg ON agg.doc_id = n.doc_id
+             |ORDER BY n.doc_id""".stripMargin))
   )
 }

@@ -1969,4 +1969,31 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("removeBoilerplateLines: drops only high-df lines, keeps order/blanks/nulls") {
+    import spark.implicits._
+    // footer appears in 4 docs (> maxDf 2) → boilerplate; "rare" in 2 →
+    // survives; blank lines always survive (even though every doc has
+    // one); doc 5 is ONLY boilerplate; doc 6 has null text
+    val docs = Seq[(Long, String)](
+      (1L, "alpha\nFOOTER\n\nbody one"),
+      (2L, "beta\n  FOOTER  \n\nbody two"), // trims to the same key
+      (3L, "gamma\nFOOTER\nrare line"),
+      (4L, "delta\nFOOTER\nrare line"),
+      (5L, "FOOTER")).toDF("doc_id", "text")
+      .union(Seq((6L, null: String)).toDF("doc_id", "text"))
+    val got = graft.ops.TextOps
+      .removeBoilerplateLines(docs, "doc_id", "text", maxDf = 2L)
+      .orderBy("doc_id").collect()
+    val byId = got.map(r => r.getLong(0) ->
+      (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(byId(1L) == (("alpha\n\nbody one", 4L, 1L)))
+    // the UNtrimmed original line is dropped when its trimmed key is
+    // boilerplate, and surviving lines keep their original spelling
+    assert(byId(2L) == (("beta\n\nbody two", 4L, 1L)))
+    assert(byId(3L) == (("gamma\nrare line", 3L, 1L)), "df=2 line survives")
+    assert(byId(4L) == (("delta\nrare line", 3L, 1L)))
+    assert(byId(5L) == (("", 1L, 1L)), "all-boilerplate doc → empty text")
+    assert(byId(6L) == ((null, 0L, 0L)), "null text passes through")
+  }
+
 }
