@@ -319,6 +319,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Per-item near-dup DEGREE (how many OTHER items sit within
+    * `maxDistance`) without materializing the pair relation — the
+    * skew-proof spelling for corpora where signatures repeat: identical
+    * signatures form cliques whose pairs are quadratic, so
+    * [[hamming64Pairs]] run directly over items melts on a hot 16-bit
+    * band bucket. Instead: collapse to DISTINCT signatures with
+    * multiplicities (one aggregation), band-join only the distinct
+    * signatures (candidate cost now depends on signature diversity, not
+    * corpus size), and expand degrees in closed form —
+    * degree(x) = (mult(sig(x)) − 1) + Σ_{sig' ≠ sig(x), d(sig,sig')≤D}
+    * mult(sig'). Exact, same answer as counting pairs; rows with a NULL
+    * signature get no row (no decoder claimed them).
+    *
+    * → (idCol, n_near_dups) for items with degree ≥ 1.
+    */
+  def hamming64Degrees(sigs: DataFrame, idCol: String, sigCol: String,
+                       maxDistance: Int = 3): DataFrame = {
+    val items = sigs.filter(col(sigCol).isNotNull)
+      .select(col(idCol), col(sigCol))
+    val mult = items.groupBy(sigCol).agg(count(lit(1)).as("__mult"))
+    val sigPairs = hamming64Pairs(
+      mult.select(col(sigCol).as("__sid"), col(sigCol).as("__sig")),
+      "__sid", "__sig", maxDistance)
+    // neighbor mass per distinct signature: Σ mult of near signatures,
+    // both directions of the (sig_a < sig_b) pair relation
+    val neighborMass = sigPairs.alias("p")
+      .join(mult.select(col(sigCol).as("id_b"), col("__mult")), Seq("id_b"))
+      .select(col("id_a").as("__sig0"), col("__mult"))
+      .union(sigPairs.alias("p2")
+        .join(mult.select(col(sigCol).as("id_a"), col("__mult")), Seq("id_a"))
+        .select(col("id_b").as("__sig0"), col("__mult")))
+      .groupBy("__sig0").agg(sum(col("__mult")).as("__near_mass"))
+    items.join(mult, Seq(sigCol))
+      .join(neighborMass, col(sigCol) === col("__sig0"), "left")
+      .select(col(idCol),
+        (col("__mult") - 1 + coalesce(col("__near_mass"), lit(0L)))
+          .as("n_near_dups"))
+      .filter(col("n_near_dups") >= 1)
+  }
+
   /** EXACT n-gram Jaccard similarity join: returns every pair with
     * Jaccard(shingles(a), shingles(b)) >= minJaccard — no approximation.
     * (Round 1 shipped a lossy document-frequency cap here; both plans below

@@ -528,6 +528,15 @@ object Multimodal {
   def imageNearDupPairs(media: DataFrame, maxDistance: Int = 3): DataFrame =
     Dedup.hamming64Pairs(imageDHash(media), "media_id", "dhash", maxDistance)
 
+  /** Image near-dup degree per image — [[Dedup.hamming64Degrees]]' clique-
+    * collapsed plan over the dHash signature: identical hashes (exact
+    * re-uploads, the dominant duplicate mode in web image corpora) are
+    * counted in closed form and only DISTINCT signatures ever band-join,
+    * so cost tracks signature diversity, not corpus size.
+    */
+  def imageNearDupDegrees(media: DataFrame, maxDistance: Int = 3): DataFrame =
+    Dedup.hamming64Degrees(imageDHash(media), "media_id", "dhash", maxDistance)
+
   def mp4Samples(media: DataFrame): DataFrame =
     media.select(col("media_id"),
         graft.functions.ArrayMath.mp4Meta(col("bytes")).as("__m"))

@@ -3187,13 +3187,17 @@ object TrainingQueries {
              |ORDER BY media_id""".stripMargin)),
 
     // ------------------------------------------------------------------
-    // Image near-dup DEGREE (Dedup.hamming64Pairs — text SimHash's
-    // 16-bit-chunk banding plan reused verbatim on the dHash signature,
-    // complete for Hamming ≤ 2 by pigeonhole; only (id, sig) rows ever
-    // shuffle, never image payloads). The oracle replays hashes as in
+    // Image near-dup DEGREE (Dedup.hamming64Degrees — the clique-
+    // collapsed spelling of text SimHash's 16-bit-chunk banding plan,
+    // complete for Hamming ≤ 2 by pigeonhole): identical dHashes are
+    // counted in closed form from multiplicities and only DISTINCT
+    // signatures band-join, so a corpus where re-uploads dominate (or a
+    // fixture whose gradients collapse to few hashes — exactly this one)
+    // cannot form a quadratic hot bucket; only (id, sig) rows ever
+    // shuffle, never image payloads. The oracle replays hashes as in
     // q136 then verifies the full pair relation with bit_count(xor) over
-    // the two halves — any banding incompleteness or verification drift
-    // changes a degree and hash-mismatches.
+    // the two halves — any banding incompleteness, multiplicity drift,
+    // or verification drift changes a degree and hash-mismatches.
     QuerySpec(
       "q137_image_neardup_degree",
       (s, dir) => {
@@ -3205,11 +3209,8 @@ object TrainingQueries {
               (col("doc_id") % 200).cast("int"),
               ((col("doc_id") * 5) % 200).cast("int"),
               ((col("doc_id") * 7) % 200).cast("int")).as("bytes"))
-        val pairs = Multimodal.imageNearDupPairs(media, maxDistance = 2)
-        pairs.select(col("id_a").as("media_id"))
-          .union(pairs.select(col("id_b").as("media_id")))
-          .groupBy("media_id")
-          .agg(count(lit(1)).as("n_near_dups"))
+        Multimodal.imageNearDupDegrees(media, maxDistance = 2)
+          .select(col("media_id"), col("n_near_dups"))
           .orderBy("media_id")
       },
       Some("""WITH p AS (

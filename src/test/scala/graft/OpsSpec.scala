@@ -1969,6 +1969,28 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hamming64Degrees clique-collapse == brute-force pair degrees") {
+    import spark.implicits._
+    val base = 0x0123456789abcdefL
+    // repeated signatures (cliques), near signatures, a loner, a null
+    val sigs = Seq[(Long, java.lang.Long)](
+      (1L, base), (2L, base), (3L, base), // clique of 3
+      (4L, base ^ 1L), (5L, base ^ 3L), // d=1 and d=2 from base
+      (6L, ~base), (7L, null)).toDF("id", "sig")
+    val got = graft.ops.Dedup.hamming64Degrees(sigs, "id", "sig", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = Seq((1L, base), (2L, base), (3L, base),
+      (4L, base ^ 1L), (5L, base ^ 3L), (6L, ~base))
+    val brute = m.map { case (a, sa) =>
+      a -> m.count { case (b, sb) =>
+        b != a && java.lang.Long.bitCount(sa ^ sb) <= 2
+      }.toLong
+    }.filter(_._2 >= 1).toMap
+    assert(got == brute, s"$got vs $brute")
+    assert(!got.contains(7L), "null signature gets no degree row")
+    assert(!got.contains(6L), "loner has no row (degree 0)")
+  }
+
   test("removeBoilerplateLines: drops only high-df lines, keeps order/blanks/nulls") {
     import spark.implicits._
     // footer appears in 4 docs (> maxDf 2) → boilerplate; "rare" in 2 →
