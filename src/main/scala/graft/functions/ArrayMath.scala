@@ -273,6 +273,8 @@ object ArrayMath {
   val mp4MetaName = "graft_mp4_meta"
   val mp4BytesName = "graft_mp4_bytes"
   val dhashName = "graft_image_dhash64"
+  val warcParseName = "graft_warc_parse"
+  val warcRecordName = "graft_warc_record_bytes"
   val rgbStatsName = "graft_rgb_channel_stats"
   val audioMetaName = "graft_audio_meta"
   val int8DotName = "graft_int8_dot"
@@ -418,6 +420,11 @@ object ArrayMath {
       mp4BytesName, exprs => Mp4Bytes(exprs), "scala_udf")
     reg.createOrReplaceTempFunction(
       dhashName, exprs => DHash64(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      warcParseName, exprs => WarcParse(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      warcRecordName,
+      exprs => WarcRecordBytes(exprs(0), exprs(1), exprs(2)), "scala_udf")
     reg.createOrReplaceTempFunction(
       int8DotName, exprs => Int8DotProduct(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
@@ -590,6 +597,18 @@ object ArrayMath {
     * payload.
     */
   def imageDHash64(bytes: Column): Column = call_function(dhashName, bytes)
+
+  /** binary → array<struct<warc_type,record_id,target_uri,warc_date,
+    * content_length,payload>> from a strict WARC 1.x record walk; NULL
+    * on any violation (see [[WarcParse]]).
+    */
+  def warcParse(bytes: Column): Column = call_function(warcParseName, bytes)
+
+  /** (uri, date, payload) → one byte-exact WET conversion record (see
+    * [[WarcRecordBytes]]).
+    */
+  def warcRecordBytes(uri: Column, date: Column, payload: Column): Column =
+    call_function(warcRecordName, uri, date, payload)
 
   /** Codegen'd dot(array<tinyint> codes, array<double>) — the quantized
     * probe scoring loop (see [[Int8DotProduct]]).

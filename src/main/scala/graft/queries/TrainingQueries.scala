@@ -3296,6 +3296,55 @@ object TrainingQueries {
              |  CAST(n.n_lines AS BIGINT) AS n_lines,
              |  CAST(n.n_lines - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_dropped
              |FROM n LEFT JOIN agg ON agg.doc_id = n.doc_id
-             |ORDER BY n.doc_id""".stripMargin))
+             |ORDER BY n.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // WARC/WET round trip (functions.WarcKernel + Sources.warcRecords —
+    // the Common-Crawl ingest grammar, ISO 28500): every doc becomes a
+    // byte-exact WET conversion record (Content-Length in UTF-8 BYTES,
+    // multi-byte text in the fixture corpus keeps that honest), records
+    // concatenate into multi-record files in doc_id order, and the
+    // strict native walk parses every field + position back OUT through
+    // Content-Length framing. The oracle rebuilds every field directly
+    // from documents (record_idx via a window over the same grouping) —
+    // any framing drift, byte/char confusion, or order loss
+    // hash-mismatches. Corruption rejection is pinned in OpsSpec.
+    QuerySpec(
+      "q139_warc_roundtrip",
+      (s, dir) => {
+        import graft.functions.ArrayMath
+        val recs = Tables.documents(s, dir)
+          .select(col("doc_id"), (col("doc_id") % 16).as("file_id"),
+            ArrayMath.warcRecordBytes(
+              concat(lit("http://example.com/p/"), col("doc_id")),
+              concat(lit("2024-01-"),
+                lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+                lit("T00:00:00Z")),
+              col("text")).cast("string").as("rec"))
+        val files = recs.groupBy("file_id")
+          .agg(array_join(
+            transform(array_sort(collect_list(struct(col("doc_id"), col("rec")))),
+              x => x.getField("rec")), "").cast("binary").as("bytes"))
+        graft.sources.Sources.warcRecords(files, "bytes",
+            keepCols = Seq("file_id"))
+          .select(col("warc_type"), col("record_id"), col("target_uri"),
+            col("warc_date"), col("content_length"), col("payload"),
+            col("file_id").cast("long").as("file_id"),
+            col("record_idx").cast("long").as("record_idx"))
+          .orderBy("target_uri")
+      },
+      Some("""SELECT 'conversion' AS warc_type,
+             |  'urn:graft:http://example.com/p/' || CAST(doc_id AS VARCHAR)
+             |    AS record_id,
+             |  'http://example.com/p/' || CAST(doc_id AS VARCHAR) AS target_uri,
+             |  '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+             |    || 'T00:00:00Z' AS warc_date,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+             |  text AS payload,
+             |  CAST(doc_id % 16 AS BIGINT) AS file_id,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id)
+             |    - 1 AS BIGINT) AS record_idx
+             |FROM documents
+             |ORDER BY target_uri""".stripMargin))
   )
 }

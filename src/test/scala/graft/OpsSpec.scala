@@ -1969,6 +1969,65 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("WARC walk: framing exact incl. header-shaped payloads; corruptions NULL; file source reads") {
+    import graft.functions.WarcKernel
+    // payload contains text that LOOKS like a record start — only
+    // Content-Length framing parses this correctly
+    val trap = "before\r\n\r\nWARC/1.0\r\nWARC-Type: fake\r\n\r\nafter"
+    val multi = "héllo wörld" // multi-byte: Content-Length counts BYTES
+    val file = WarcKernel.encodeRecord("http://a/1", "2024-01-01T00:00:00Z", trap) ++
+      WarcKernel.encodeRecord("http://a/2", "2024-01-02T00:00:00Z", multi) ++
+      WarcKernel.encodeRecord("http://a/3", "2024-01-03T00:00:00Z", "")
+    val recs = WarcKernel.parse(file)
+    assert(recs != null && recs.numElements() == 3)
+    val r0 = recs.getStruct(0, 6)
+    assert(r0.getUTF8String(0).toString == "conversion" &&
+      r0.getUTF8String(1).toString == "urn:graft:http://a/1" &&
+      r0.getUTF8String(2).toString == "http://a/1" &&
+      r0.getUTF8String(3).toString == "2024-01-01T00:00:00Z" &&
+      r0.getLong(4) == trap.getBytes("UTF-8").length &&
+      r0.getUTF8String(5).toString == trap,
+      "header-shaped payload must not derail the walk")
+    val r1 = recs.getStruct(1, 6)
+    assert(r1.getLong(4) == multi.getBytes("UTF-8").length &&
+      r1.getLong(4) > multi.length && // bytes, not chars
+      r1.getUTF8String(5).toString == multi)
+    assert(recs.getStruct(2, 6).getLong(4) == 0L, "empty payload allowed")
+    // strictness
+    assert(WarcKernel.parse(null) == null)
+    assert(WarcKernel.parse(file.dropRight(1)) == null, "lost final CRLF")
+    assert(WarcKernel.parse(file ++ Array[Byte]('x')) == null, "trailing junk")
+    assert(WarcKernel.parse("WARC/2.0\r\n\r\n\r\n\r\n".getBytes) == null,
+      "unknown version")
+    val noColon = "WARC/1.0\r\nWARC-Type conversion\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+    assert(WarcKernel.parse(noColon.getBytes) == null, "colon-less header")
+    val noLen = "WARC/1.0\r\nWARC-Type: conversion\r\n\r\n\r\n\r\n"
+    assert(WarcKernel.parse(noLen.getBytes) == null, "missing Content-Length")
+    val badLen = "WARC/1.0\r\nWARC-Type: conversion\r\nContent-Length: 99\r\n\r\nhi\r\n\r\n"
+    assert(WarcKernel.parse(badLen.getBytes) == null, "payload shorter than claimed")
+    // production file source: write a real .wet file, read via binaryFile
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc").toFile
+    try {
+      java.nio.file.Files.write(
+        new java.io.File(dir, "crawl-00000.wet").toPath, file)
+      val got = graft.sources.Sources
+        .warcFiles(spark, dir.getAbsolutePath + "/*.wet")
+        .orderBy("record_idx").collect()
+      assert(got.length == 3 &&
+        got.map(_.getAs[String]("target_uri")).toSeq ==
+          Seq("http://a/1", "http://a/2", "http://a/3") &&
+        got.forall(_.getAs[String]("path").endsWith("crawl-00000.wet")))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+    // a corrupt file contributes no rows through the explode wrapper
+    import spark.implicits._
+    val mixed = Seq((1, file), (2, file.dropRight(2))).toDF("fid", "bytes")
+    val rows = graft.sources.Sources.warcRecords(mixed, "bytes", Seq("fid"))
+      .select("fid").distinct().as[Int].collect().toSet
+    assert(rows == Set(1), "malformed file contributes no rows")
+  }
+
   test("hamming64Degrees clique-collapse == brute-force pair degrees") {
     import spark.implicits._
     val base = 0x0123456789abcdefL
