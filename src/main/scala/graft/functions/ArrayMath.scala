@@ -275,6 +275,7 @@ object ArrayMath {
   val dhashName = "graft_image_dhash64"
   val warcParseName = "graft_warc_parse"
   val warcRecordName = "graft_warc_record_bytes"
+  val audioFpName = "graft_audio_fingerprint64"
   val rgbStatsName = "graft_rgb_channel_stats"
   val audioMetaName = "graft_audio_meta"
   val int8DotName = "graft_int8_dot"
@@ -425,6 +426,8 @@ object ArrayMath {
     reg.createOrReplaceTempFunction(
       warcRecordName,
       exprs => WarcRecordBytes(exprs(0), exprs(1), exprs(2)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      audioFpName, exprs => AudioFingerprint64(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction(
       int8DotName, exprs => Int8DotProduct(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
@@ -609,6 +612,13 @@ object ArrayMath {
     */
   def warcRecordBytes(uri: Column, date: Column, payload: Column): Column =
     call_function(warcRecordName, uri, date, payload)
+
+  /** binary → bigint 64-bit audio energy-difference fingerprint over
+    * genuinely decoded PCM samples (see [[AudioFingerprint64]]); NULL
+    * outside the decode scope.
+    */
+  def audioFingerprint64(bytes: Column): Column =
+    call_function(audioFpName, bytes)
 
   /** Codegen'd dot(array<tinyint> codes, array<double>) — the quantized
     * probe scoring loop (see [[Int8DotProduct]]).

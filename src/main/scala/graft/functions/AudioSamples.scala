@@ -128,6 +128,45 @@ object WavPcmKernel {
       f.rate, f.channels))
   }
 
+  /** 64-bit time-domain AUDIO fingerprint — the audio sibling of
+    * [[DHashKernel]], a Haitsma–Kalker-style (ISMIR'02) energy-DIFFERENCE
+    * hash simplified to the time axis so every stage stays integer-exact
+    * and SQL-replayable: decode amplitudes, fold |amp| into 64 equal
+    * windows (sample s → window ⌊s·64/n⌋, the same floor rule as
+    * [[PngPixelKernel.resize]]), bit k (k ≥ 1) set iff E(k) > E(k−1).
+    * Survives re-encoding, volume-preserving container churn, and
+    * resampling at the window scale — the near-dup signature for audio
+    * corpora, riding [[graft.ops.Dedup.hamming64Pairs]]' banding like
+    * text SimHash and image dHash do. NULL outside the PCM decode scope
+    * or for zero-sample streams (no signal, no signature).
+    */
+  def fingerprint64(b: Array[Byte]): java.lang.Long = {
+    val f = parsePcm(b)
+    if (f == null) return null
+    val bytesPer = f.bits / 8
+    val n = (f.dataSize / bytesPer).toInt
+    if (n == 0) return null
+    val e = new Array[Long](64)
+    var s = 0
+    while (s < n) {
+      val amp =
+        if (f.bits == 8) u8(b, f.dataOff + s) - 128
+        else {
+          val v = le16(b, f.dataOff + s * 2)
+          if (v >= 0x8000) v - 0x10000 else v
+        }
+      e((s.toLong * 64 / n).toInt) += math.abs(amp)
+      s += 1
+    }
+    var bits = 0L
+    var k = 1
+    while (k < 64) {
+      if (e(k) > e(k - 1)) bits |= 1L << k
+      k += 1
+    }
+    java.lang.Long.valueOf(bits)
+  }
+
   /** Fixture-side REAL WAV encoder with a deterministic non-silent
     * payload: flattened sample index i carries
     *   8-bit:  byte  (i·37 + 11) mod 256          (amplitude = that − 128)
@@ -230,4 +269,37 @@ case class WavToneBytes(children: Seq[Expression])
     copy(children = newChildren)
 
   override def prettyName: String = "wav_tone_bytes"
+}
+
+/** binary → bigint 64-bit audio fingerprint via
+  * [[WavPcmKernel.fingerprint64]]; NULL outside the PCM decode scope.
+  * Corpus-scale: codegen'd static-kernel call.
+  */
+case class AudioFingerprint64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${t.catalogString}")
+  }
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = WavPcmKernel.fingerprint64(input.asInstanceOf[Array[Byte]])
+    if (v == null) null else v.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |java.lang.Long ${ev.value}_fp = graft.functions.WavPcmKernel.fingerprint64($c);
+       |if (${ev.value}_fp == null) { ${ev.isNull} = true; }
+       |else { ${ev.value} = ${ev.value}_fp.longValue(); }
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "audio_fingerprint64"
 }

@@ -537,6 +537,26 @@ object Multimodal {
   def imageNearDupDegrees(media: DataFrame, maxDistance: Int = 3): DataFrame =
     Dedup.hamming64Degrees(imageDHash(media), "media_id", "dhash", maxDistance)
 
+  /** Per-clip 64-bit audio fingerprint over genuinely decoded PCM
+    * samples ([[graft.functions.WavPcmKernel.fingerprint64]] —
+    * integer-exact 64-window energy-difference hash): media(media_id,
+    * bytes) → (media_id, afp); undecodable payloads get a NULL afp.
+    */
+  def audioFingerprint(media: DataFrame): DataFrame =
+    media.select(col("media_id"),
+      graft.functions.ArrayMath.audioFingerprint64(col("bytes")).as("afp"))
+
+  /** Audio near-dup pairs/degrees over the fingerprint — the same
+    * signature-banding machinery as text SimHash and image dHash
+    * ([[Dedup.hamming64Pairs]]/[[Dedup.hamming64Degrees]]).
+    */
+  def audioNearDupPairs(media: DataFrame, maxDistance: Int = 3): DataFrame =
+    Dedup.hamming64Pairs(audioFingerprint(media), "media_id", "afp", maxDistance)
+
+  /** See [[audioNearDupPairs]]; clique-collapsed degree spelling. */
+  def audioNearDupDegrees(media: DataFrame, maxDistance: Int = 3): DataFrame =
+    Dedup.hamming64Degrees(audioFingerprint(media), "media_id", "afp", maxDistance)
+
   def mp4Samples(media: DataFrame): DataFrame =
     media.select(col("media_id"),
         graft.functions.ArrayMath.mp4Meta(col("bytes")).as("__m"))

@@ -3345,6 +3345,51 @@ object TrainingQueries {
              |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id)
              |    - 1 AS BIGINT) AS record_idx
              |FROM documents
-             |ORDER BY target_uri""".stripMargin))
+             |ORDER BY target_uri""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Audio fingerprint (functions.WavPcmKernel.fingerprint64 — the
+    // audio sibling of q136's image dHash, a Haitsma–Kalker-style
+    // energy-difference hash on the time axis): every doc gets a genuine
+    // 16-bit PCM WAV with the closed-form tone payload, and the
+    // fingerprint's 64-window |amp| fold + adjacent comparisons are
+    // integer-exact, so the oracle replays the ENTIRE hash bit for bit —
+    // sample formula, floor window rule, LSB-first bits (bit 0 always
+    // 0). Same unsigned-halves convention as q136.
+    QuerySpec(
+      "q140_audio_fingerprint",
+      (s, dir) => {
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id").as("media_id"),
+            Multimodal.wavToneBytes(
+              (col("doc_id") % 2 + 1).cast("int"), lit(8000),
+              lit(16), (col("doc_id") % 256 + 64).cast("int")).as("bytes"))
+        Multimodal.audioFingerprint(media)
+          .select(col("media_id"),
+            expr("afp & 4294967295").as("afp_lo"),
+            expr("(afp >> 32) & 4294967295").as("afp_hi"))
+          .orderBy("media_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |    (doc_id % 2 + 1) * (doc_id % 256 + 64) AS n FROM documents),
+             |s AS (SELECT doc_id, n, unnest(range(n)) AS i FROM p),
+             |a AS (SELECT doc_id, n, i,
+             |        abs((i*1031 + 7) % 65536 - 32768) AS amp FROM s),
+             |e AS (SELECT doc_id, i*64//n AS k, SUM(amp) AS en
+             |      FROM a GROUP BY doc_id, i*64//n),
+             |b AS (SELECT c.doc_id, c.k,
+             |        CASE WHEN c.en > pr.en THEN 1 ELSE 0 END AS bit
+             |      FROM e c JOIN e pr
+             |        ON pr.doc_id = c.doc_id AND pr.k = c.k - 1)
+             |SELECT doc_id AS media_id,
+             |  CAST(SUM(CASE WHEN k < 32
+             |    THEN bit * (1::BIGINT << CAST(k AS INT)) ELSE 0 END) AS BIGINT)
+             |    AS afp_lo,
+             |  CAST(SUM(CASE WHEN k >= 32
+             |    THEN bit * (1::BIGINT << CAST(k - 32 AS INT)) ELSE 0 END)
+             |    AS BIGINT) AS afp_hi
+             |FROM b GROUP BY doc_id
+             |ORDER BY media_id""".stripMargin))
   )
 }

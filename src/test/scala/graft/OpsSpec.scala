@@ -2028,6 +2028,43 @@ class OpsSpec extends AnyFunSuite {
     assert(rows == Set(1), "malformed file contributes no rows")
   }
 
+  test("audio fingerprint: bit-exact vs closed form, container-churn invariant, NULLs") {
+    import graft.functions.WavPcmKernel
+    val wav = WavPcmKernel.encodeTone(2, 8000, 16, 100) // n = 200 samples
+    val n = 200
+    val ref = {
+      val e = new Array[Long](64)
+      for (i <- 0 until n)
+        e((i.toLong * 64 / n).toInt) += math.abs(((i * 1031 + 7) % 65536) - 32768)
+      var bits = 0L
+      for (k <- 1 until 64) if (e(k) > e(k - 1)) bits |= 1L << k
+      bits
+    }
+    assert(WavPcmKernel.fingerprint64(wav) == ref)
+    assert((ref & 1L) == 0L, "bit 0 is always clear")
+    // container churn (an extra LIST chunk) must not move the signature
+    val extra = {
+      val chunk = "LIST".getBytes("US-ASCII") ++
+        Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+      val out = wav ++ chunk
+      // patch RIFF size (+12)
+      val riffSz = java.nio.ByteBuffer.wrap(out, 4, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val old = riffSz.getInt
+      java.nio.ByteBuffer.wrap(out, 4, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(old + 12)
+      out
+    }
+    assert(WavPcmKernel.fingerprint64(extra) == ref,
+      "trailing metadata chunk must not change the fingerprint")
+    // NULLs: undecodable, zero samples
+    assert(WavPcmKernel.fingerprint64(null) == null)
+    assert(WavPcmKernel.fingerprint64(Array[Byte](1, 2, 3)) == null)
+    assert(WavPcmKernel.fingerprint64(
+      WavPcmKernel.encodeTone(1, 8000, 16, 0)) == null,
+      "zero-sample stream has no signature")
+  }
+
   test("hamming64Degrees clique-collapse == brute-force pair degrees") {
     import spark.implicits._
     val base = 0x0123456789abcdefL
