@@ -354,6 +354,57 @@ class PlanSpec extends AnyFunSuite {
       plan)
   }
 
+  test("q135: MP4 sample catalog is scan → project → generate, zero hash shuffles") {
+    val plan = executedPlan("q135_mp4_samples")
+    assert(plan.contains("Generate"), s"explode must plan as Generate\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 0,
+      s"catalog extraction must not shuffle (only the result sort ranges), got $hashEx\n$plan")
+  }
+
+  test("q136/q140: perceptual hashes — zero hash shuffles; kernels codegen on column input") {
+    // the fixture queries wrap the hash around a CodegenFallback fixture
+    // ENCODER, which legitimately breaks the fused span there — the
+    // production shape is the hash over a table's binary column, where
+    // both kernels must stay inside whole-stage codegen
+    Seq("q136_image_dhash", "q140_audio_fingerprint").foreach { q =>
+      val plan = executedPlan(q)
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(hashEx == 0,
+        s"$q is a pure projection — no hash shuffle expected, got $hashEx\n$plan")
+    }
+    val df = Tables.documents(spark, sf)
+      .select(
+        graft.functions.ArrayMath.imageDHash64(col("text").cast("binary")).as("h"),
+        graft.functions.ArrayMath.audioFingerprint64(col("text").cast("binary")).as("a"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.matches("(?s).*\\*\\(\\d+\\) Project.*"),
+      plan)
+  }
+
+  test("q137: image near-dup degrees — banded joins only, no all-pairs operator") {
+    val plan = executedPlan("q137_image_neardup_degree")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"near-dup degrees must never plan an all-pairs join\n$plan")
+  }
+
+  test("q138: boilerplate filter is a broadcast anti-join; full text shuffles once") {
+    val plan = executedPlan("q138_boilerplate_lines")
+    assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(plan).isDefined,
+      s"the >maxDf line set is tiny by nature — it must broadcast\n$plan")
+  }
+
+  test("q139: WARC parse is Generate over the grouped files, no extra shuffles") {
+    val plan = executedPlan("q139_warc_roundtrip")
+    assert(plan.contains("Generate"), s"record explode must plan as Generate\n$plan")
+    // one hash shuffle: the file-assembly groupBy. (Result sort is a
+    // range exchange; distinct-ish ops would add more — they must not.)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1,
+      s"expected exactly the file-assembly shuffle, got $hashEx\n$plan")
+  }
+
   test("nfc normalization stays inside whole-stage codegen") {
     val df = Tables.documents(spark, sf)
       .select(graft.functions.ArrayMath.nfcNormalize(col("text")).as("t"))
