@@ -60,6 +60,36 @@ object Curation {
     df.filter(hashBucket(col(idCol), nBuckets) < math.round(fraction * nBuckets))
   }
 
+  /** Corpus SNAPSHOT DIFF — the incremental-ingest bookkeeping step
+    * every continuously-refreshed corpus runs between versions (what
+    * changed since the last training set was cut?): classify every
+    * document as `added` (id only in `cur`), `removed` (id only in
+    * `prev`), or `changed` (both sides, content fingerprint moved);
+    * unchanged documents produce no row, so the result is sized by the
+    * CHURN, not the corpus. Content identity is `md5(text)` — computed
+    * as a projection on each side so only (id, 32-char fp) rows reach
+    * the full-outer join; the document text itself never shuffles.
+    * NULL-text documents compare null-safely (two nulls are equal, a
+    * null vs text is a change).
+    *
+    * → (idCol, change, prev_fp, cur_fp).
+    */
+  def corpusDiff(prev: DataFrame, cur: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val a = prev.select(col(idCol), md5(col(textCol)).as("prev_fp"),
+      lit(true).as("__in_prev"))
+    val b = cur.select(col(idCol), md5(col(textCol)).as("cur_fp"),
+      lit(true).as("__in_cur"))
+    a.join(b, Seq(idCol), "full_outer")
+      .withColumn("change",
+        when(col("__in_prev").isNull, lit("added"))
+          .when(col("__in_cur").isNull, lit("removed"))
+          .when(!(col("prev_fp") <=> col("cur_fp")), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("change") =!= "unchanged")
+      .select(col(idCol), col("change"), col("prev_fp"), col("cur_fp"))
+  }
+
   /** Concat-and-chunk sequence-packing statistics (the GPT-style regime:
     * documents are concatenated in id order per group and sliced into
     * fixed seqLen-token windows, splitting documents at boundaries).

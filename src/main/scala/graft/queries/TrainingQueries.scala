@@ -3390,6 +3390,46 @@ object TrainingQueries {
              |    THEN bit * (1::BIGINT << CAST(k - 32 AS INT)) ELSE 0 END)
              |    AS BIGINT) AS afp_hi
              |FROM b GROUP BY doc_id
-             |ORDER BY media_id""".stripMargin))
+             |ORDER BY media_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Corpus snapshot diff (Curation.corpusDiff — the incremental-ingest
+    // bookkeeping between corpus versions): a synthetic v2 of documents
+    // removes every %10==0 doc, rewrites every %10==1 text, and re-adds
+    // every %10==2 doc under a new id; the diff must classify exactly
+    // those as removed/changed/added (unchanged docs produce NO row —
+    // result sized by churn, not corpus) with md5 fingerprints both
+    // engines compute identically. Only (id, fp) rows reach the
+    // full-outer join; text never shuffles (PlanSpec).
+    QuerySpec(
+      "q141_corpus_diff",
+      (s, dir) => {
+        val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val cur = base.filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 10 === 1, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+          .union(base.filter(col("doc_id") % 10 === 2)
+            .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        graft.ops.Curation.corpusDiff(base, cur, "doc_id", "text")
+          .orderBy("change", "doc_id")
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents),
+             |cur AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 10 = 1 THEN text || ' v2' ELSE text END
+             |      AS text
+             |  FROM base WHERE doc_id % 10 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, text FROM base WHERE doc_id % 10 = 2)
+             |SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+             |  CASE WHEN b.doc_id IS NULL THEN 'added'
+             |       WHEN c.doc_id IS NULL THEN 'removed'
+             |       ELSE 'changed' END AS change,
+             |  md5(b.text) AS prev_fp, md5(c.text) AS cur_fp
+             |FROM base b FULL OUTER JOIN cur c ON c.doc_id = b.doc_id
+             |WHERE b.doc_id IS NULL OR c.doc_id IS NULL
+             |   OR md5(b.text) <> md5(c.text)
+             |ORDER BY change, doc_id""".stripMargin))
   )
 }

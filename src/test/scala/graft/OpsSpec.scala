@@ -2028,6 +2028,54 @@ class OpsSpec extends AnyFunSuite {
     assert(rows == Set(1), "malformed file contributes no rows")
   }
 
+  test("WARC streaming ingest: binaryFile stream → record explode, exactly the on-disk records") {
+    import graft.functions.WarcKernel
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-stream")
+    try {
+      java.nio.file.Files.write(dir.resolve("a.wet"),
+        WarcKernel.encodeRecord("http://s/1", "2024-01-01T00:00:00Z", "one") ++
+          WarcKernel.encodeRecord("http://s/2", "2024-01-01T00:00:00Z", "two"))
+      java.nio.file.Files.write(dir.resolve("b.wet"),
+        WarcKernel.encodeRecord("http://s/3", "2024-01-01T00:00:00Z", "three"))
+      // the parse expression is stateless, so the SAME warcRecords plan
+      // runs under Structured Streaming without modification — the
+      // micro-batch ingest shape a continuously-crawling corpus uses
+      val stream = spark.readStream
+        .format("binaryFile")
+        .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+        .load(dir.toString)
+        .select(org.apache.spark.sql.functions.col("path"),
+          org.apache.spark.sql.functions.col("content"))
+      val q = graft.sources.Sources.warcRecords(stream, "content", Seq("path"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("warc_stream")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      val got = spark.table("warc_stream")
+        .orderBy("target_uri").collect()
+      assert(got.map(_.getAs[String]("target_uri")).toSeq ==
+        Seq("http://s/1", "http://s/2", "http://s/3"))
+      assert(got.map(_.getAs[String]("payload")).toSeq ==
+        Seq("one", "two", "three"))
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
+    }
+  }
+
+  test("corpusDiff: churn-only rows, null-safe text compare") {
+    import spark.implicits._
+    val prev = Seq[(Long, String)]((1L, "same"), (2L, "old"), (3L, "gone"),
+      (4L, null), (5L, null)).toDF("doc_id", "text")
+    val cur = Seq[(Long, String)]((1L, "same"), (2L, "new"), (6L, "fresh"),
+      (4L, null), (5L, "now text")).toDF("doc_id", "text")
+    val got = graft.ops.Curation.corpusDiff(prev, cur, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "changed", 3L -> "removed", 6L -> "added",
+      5L -> "changed"),
+      s"unchanged (incl. null==null at id 4) must produce no row: $got")
+  }
+
   test("audio fingerprint: bit-exact vs closed form, container-churn invariant, NULLs") {
     import graft.functions.WavPcmKernel
     val wav = WavPcmKernel.encodeTone(2, 8000, 16, 100) // n = 200 samples

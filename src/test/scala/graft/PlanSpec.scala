@@ -405,6 +405,21 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly the file-assembly shuffle, got $hashEx\n$plan")
   }
 
+  test("q141: corpus diff joins fingerprints only — text never crosses a shuffle") {
+    val plan = formatted("q141_corpus_diff")
+    // FormattedMode lists every operator's Input attributes: each
+    // Exchange must carry only (id, fp) — a text#NNN attribute entering
+    // any Exchange means document text crossed a shuffle
+    val exchangeInputs =
+      "(?s)\\(\\d+\\) Exchange.*?Input \\[\\d+\\]: \\[([^\\]]*)\\]".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exchangeInputs.nonEmpty, s"expected exchanges in the plan\n$plan")
+    exchangeInputs.foreach { in =>
+      assert(!in.contains("text#"),
+        s"document text must not cross a shuffle: [$in]\n$plan")
+    }
+  }
+
   test("nfc normalization stays inside whole-stage codegen") {
     val df = Tables.documents(spark, sf)
       .select(graft.functions.ArrayMath.nfcNormalize(col("text")).as("t"))
