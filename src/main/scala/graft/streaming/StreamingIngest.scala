@@ -830,6 +830,212 @@ object StreamingIngest {
     } finally sigs.unpersist()
   }
 
+  // ------------------------------------------------------------------
+  // MEDIA signature dedup sink
+  // ------------------------------------------------------------------
+
+  /** 4 cell rows per non-null signature: (chunk, bucket16, sig, id,
+    * `__cb` = chunk·cellBuckets + bucket16 mod cellBuckets) — the one
+    * spelling both the sink's probe and the bootstrap writer share.
+    */
+  private def sigCellRows(df: DataFrame, idCol: String, sigCol: String,
+                          cellBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.filter(col(sigCol).isNotNull)
+      .select(col(idCol), col(sigCol).as("sig"),
+        explode(array((0 until 4).map { c =>
+          struct(lit(c).as("chunk"),
+            expr(s"(`$sigCol` >> ${c * 16}) & 65535").as("bucket16"))
+        }: _*)).as("__c"))
+      .select(col(idCol), col("sig"), col("__c.chunk").as("chunk"),
+        col("__c.bucket16").as("bucket16"))
+      .withColumn("__cb",
+        col("chunk") * cellBuckets + pmod(col("bucket16"), lit(cellBuckets.toLong)))
+  }
+
+  private def checkOrWriteSigGeometry(fs: org.apache.hadoop.fs.FileSystem,
+                                      targetPath: org.apache.hadoop.fs.Path,
+                                      idCol: String, sigCol: String,
+                                      nBuckets: Int, cellBuckets: Int): Unit =
+    checkOrWriteMarker(fs, targetPath, "_graft_sig_geometry", "signature-dedup",
+      s"idCol=$idCol,sigCol=$sigCol,nBuckets=$nBuckets,cellBuckets=$cellBuckets")
+
+  /** MEDIA near-dup APPEND-ONLY sink — the 64-bit-signature sibling of
+    * [[nearDupAppendSink]] for image/audio corpora (the LAION-style
+    * ingest step): the caller projects a perceptual signature onto the
+    * stream first (image dHash / audio fingerprint — stateless codegen
+    * expressions, so the projection runs unchanged under Structured
+    * Streaming), and the sink appends only documents that are neither
+    * exact nor Hamming-near (≤ `maxDistance`) duplicates of stored ones.
+    *
+    * Target layout, both planes partition-pruned per batch:
+    *   - `docs/` — the serving rows (every batch column), partitioned by
+    *     `__kb = pmod(xxhash64(id), nBuckets)`;
+    *   - `cells/` — [[sigCellRows]]: 4 rows per signature, partitioned
+    *     by `__cb`. Each cell row CARRIES the full signature AND the id,
+    *     so — unlike the text LSH planes — verification needs no second
+    *     fetch (`bit_count(sig ⊕ stored)` on the collision row itself)
+    *     and a torn replay's own rows are excluded by id, not by a
+    *     separate plane read.
+    *
+    * Candidates are COMPLETE for maxDistance ≤ 3 (pigeonhole over the
+    * four 16-bit chunks — [[graft.ops.Dedup.hamming64Pairs]]'s rule;
+    * exact duplicates are distance 0 on the same probe). NULL
+    * signatures (payloads no decoder claimed) skip near-dedup but keep
+    * id-level idempotence. Within-batch dups resolve first: exact
+    * winner per signature, then the greedy smaller-id-survives near
+    * rule ([[graft.ops.Dedup.dropNearDuplicates]]' convention).
+    *
+    * Write order is the [[nearDupAppendSink]] crash-safety invariant:
+    * cells FIRST (duplicate cell rows from a torn replay are tolerated —
+    * collision semantics are set-like and self-collisions are id-
+    * excluded), docs LAST (the id anti-join provides exactly-once);
+    * `_graft_commits/<batchId>` markers fence committed replays;
+    * `_graft_sig_geometry` records the layout and fails loudly on
+    * mismatch. Returns documents appended across this invocation.
+    */
+  def signatureAppendSink(spark: SparkSession, stream: DataFrame,
+                          idCol: String, sigCol: String, targetDir: String,
+                          checkpointDir: String, maxDistance: Int = 2,
+                          nBuckets: Int = 64,
+                          cellBuckets: Int = 256): Long = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    require(maxDistance >= 0 && maxDistance <= 3,
+      s"16-bit chunk banding is complete only for distance <= 3, got $maxDistance")
+    require(nBuckets > 0 && cellBuckets > 0, "bucket counts must be positive")
+    val appended = new java.util.concurrent.atomic.AtomicLong(0L)
+    locally {
+      val (targetPath, fs) = hadoopFs(spark, targetDir)
+      checkOrWriteSigGeometry(fs, targetPath, idCol, sigCol, nBuckets, cellBuckets)
+    }
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (targetPath, fs) = hadoopFs(spark, targetDir)
+        val docsDir = new org.apache.hadoop.fs.Path(targetPath, "docs")
+        val cellsDir = new org.apache.hadoop.fs.Path(targetPath, "cells")
+        val commitsDir = new org.apache.hadoop.fs.Path(targetPath, "_graft_commits")
+        val marker = new org.apache.hadoop.fs.Path(commitsDir, batchId.toString)
+        if (!fs.exists(marker)) {
+          // within-batch: exact winner per signature (null-sig rows are
+          // each their own group — no decoder claimed them, they can't
+          // be dups of each other), then the greedy near rule
+          val wExact = Window
+            .partitionBy(col(sigCol),
+              when(col(sigCol).isNull, col(idCol)))
+            .orderBy(col(idCol))
+          val batchExact = batch.withColumn("__rn", row_number().over(wExact))
+            .filter(col("__rn") === 1).drop("__rn")
+          val nearPairs = graft.ops.Dedup.hamming64Pairs(
+            batchExact.select(col(idCol), col(sigCol)),
+            idCol, sigCol, maxDistance)
+          val batchUnique = batchExact.join(
+              nearPairs.select(col("id_b").as("__nb")).distinct(),
+              batchExact(idCol) <=> col("__nb"), "left_anti")
+            .persist()
+          try {
+            val batchCells = sigCellRows(batchUnique, idCol, sigCol,
+              cellBuckets).persist()
+            try {
+              // ---- corpus probe: partition-pruned cell collisions,
+              // verified in place (the cell row carries the signature)
+              val drops =
+                if (planeHasData(fs, cellsDir, "__cb")) {
+                  // ≤ 4·cellBuckets small longs — bounded driver traffic
+                  val cb = batchCells.select("__cb").distinct()
+                    .collect().map(_.getLong(0)).toSeq
+                  val stored = spark.read.parquet(cellsDir.toString)
+                    .where(col("__cb").isin(cb: _*)) // partition-pruned
+                    .select(col("chunk"), col("bucket16"),
+                      col("sig").as("__csig"), col(idCol).as("__cid"))
+                  batchCells.join(stored, Seq("chunk", "bucket16"))
+                    // torn replay: this batch's own cells may be stored
+                    // already — a doc must never collide with itself
+                    .filter(!(col(idCol) <=> col("__cid")))
+                    .filter(expr("bit_count(sig ^ __csig)") <= maxDistance)
+                    .select(col(idCol).as("__did")).distinct()
+                } else batchCells.select(col(idCol).as("__did")).limit(0)
+              val fresh0 = batchUnique.join(drops,
+                batchUnique(idCol) <=> col("__did"), "left_anti")
+                .withColumn("__kb", hashBucket(nBuckets, col(idCol)))
+              // id-level idempotence (torn-replay re-drop), bucket-pruned
+              val fresh =
+                if (planeHasData(fs, docsDir, "__kb")) {
+                  val kb = batchUnique
+                    .select(hashBucket(nBuckets, col(idCol)).as("__kb"))
+                    .distinct().collect().map(_.getLong(0)).toSeq
+                  if (kb.isEmpty) fresh0
+                  else fresh0.join(
+                    spark.read.parquet(docsDir.toString)
+                      .where(col("__kb").isin(kb: _*))
+                      .select(col(idCol).as("__eid")),
+                    fresh0(idCol) <=> col("__eid"), "left_anti")
+                } else fresh0
+              fresh.persist()
+              try {
+                val n = fresh.count()
+                if (n > 0) {
+                  val freshIds = fresh.select(col(idCol))
+                  batchCells.join(freshIds,
+                      batchCells(idCol) <=> freshIds(idCol), "left_semi")
+                    .write.mode(SaveMode.Append).partitionBy("__cb")
+                    .parquet(cellsDir.toString)
+                  fresh.write.mode(SaveMode.Append).partitionBy("__kb")
+                    .parquet(docsDir.toString)
+                }
+                appended.addAndGet(n)
+              } finally fresh.unpersist()
+            } finally batchCells.unpersist()
+          } finally batchUnique.unpersist()
+          fs.mkdirs(commitsDir)
+          fs.createNewFile(marker)
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    appended.get()
+  }
+
+  /** The serving corpus of a [[signatureAppendSink]] target. */
+  def readSignatureTarget(spark: SparkSession, targetDir: String): DataFrame =
+    spark.read.parquet(
+      new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(targetDir), "docs").toString)
+
+  /** Bootstrap a [[signatureAppendSink]] target from an EXISTING
+    * (already-deduplicated) media corpus — [[bootstrapNearDupTarget]]'s
+    * signature sibling: one pass writes both planes with the sink's own
+    * cell builder, records `_graft_sig_geometry`, and creates no commit
+    * markers (markers belong to the checkpoint's numbering). The corpus
+    * is written as-is — run the batch dedup ops first if it may contain
+    * duplicates. Returns the number of documents bootstrapped.
+    */
+  def bootstrapSignatureTarget(spark: SparkSession, corpus: DataFrame,
+                               idCol: String, sigCol: String,
+                               targetDir: String, nBuckets: Int = 64,
+                               cellBuckets: Int = 256): Long = {
+    import org.apache.spark.sql.functions._
+    require(nBuckets > 0 && cellBuckets > 0, "bucket counts must be positive")
+    val (targetPath, fs) = hadoopFs(spark, targetDir)
+    for ((plane, pc) <- Seq("docs" -> "__kb", "cells" -> "__cb"))
+      require(!planeHasData(fs,
+        new org.apache.hadoop.fs.Path(targetPath, plane), pc),
+        s"bootstrapSignatureTarget requires an empty target, found $plane under " +
+          s"$targetDir (after a crashed bootstrap, delete the target and rerun)")
+    checkOrWriteSigGeometry(fs, targetPath, idCol, sigCol, nBuckets, cellBuckets)
+    if (corpus.isEmpty) return 0L
+    sigCellRows(corpus, idCol, sigCol, cellBuckets)
+      .write.mode(SaveMode.Append).partitionBy("__cb")
+      .parquet(new org.apache.hadoop.fs.Path(targetPath, "cells").toString)
+    val docsPath = new org.apache.hadoop.fs.Path(targetPath, "docs").toString
+    corpus.withColumn("__kb", hashBucket(nBuckets, col(idCol)))
+      .write.mode(SaveMode.Append).partitionBy("__kb").parquet(docsPath)
+    spark.read.parquet(docsPath).count()
+  }
+
   /** Streaming UPDATE-IN-PLACE upsert (SCD1 over a stream) on plain
     * parquet — the boundary [[dedupAppendSink]]'s scaladoc used to hand to
     * table formats, closed with the two patterns this sink already proves
