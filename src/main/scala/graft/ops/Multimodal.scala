@@ -492,6 +492,31 @@ object Multimodal {
         col("col.delay_den").as("delay_den"), col("col.dispose").as("dispose"),
         col("col.blend").as("blend"))
 
+  /** UNIFORM-TIME frame selection over an [[mp4Samples]] catalog — the
+    * frame-sampling policy vision-training pipelines run ("one frame
+    * every N time units"), computed purely on the metadata plane (no
+    * codec work): presentation start `pts` is the per-track running sum
+    * of sample deltas (one window shuffle on (media_id, track_id) — the
+    * minimum, since pts is defined by intra-track order), and sample i
+    * is selected iff some multiple of `intervalTicks` falls inside its
+    * display span [pts, pts + delta) — integer-exact
+    * (`(I − pts mod I) mod I < delta`), so an oracle replays the policy.
+    * Sample 0 is always selected (the k = 0 tick).
+    *
+    * → catalog rows filtered to the selected frames, + `pts`.
+    */
+  def mp4FrameSample(samples: DataFrame, intervalTicks: Long): DataFrame = {
+    require(intervalTicks >= 1, s"intervalTicks must be >= 1: $intervalTicks")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id", "track_id").orderBy("sample_idx")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val i = lit(intervalTicks)
+    samples
+      .withColumn("pts",
+        coalesce(sum(col("sample_delta").cast("long")).over(w), lit(0L)))
+      .filter(pmod(i - pmod(col("pts"), i), i) < col("sample_delta"))
+  }
+
   /** Fixture-side real MP4 encoder ([[graft.functions.Mp4Kernel.encodeMp4]]). */
   def mp4Bytes(w: Column, h: Column, nSamples: Column,
                seed: Column): Column =

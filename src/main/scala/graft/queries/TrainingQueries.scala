@@ -3430,6 +3430,54 @@ object TrainingQueries {
              |FROM base b FULL OUTER JOIN cur c ON c.doc_id = b.doc_id
              |WHERE b.doc_id IS NULL OR c.doc_id IS NULL
              |   OR md5(b.text) <> md5(c.text)
-             |ORDER BY change, doc_id""".stripMargin))
+             |ORDER BY change, doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Uniform-time frame sampling (Multimodal.mp4FrameSample over the
+    // q135 catalog — the vision-pipeline frame-selection policy, pure
+    // metadata plane): pts = per-track running delta sum (one window
+    // shuffle, the minimum), sample selected iff a multiple of the
+    // interval falls in its display span — integer-exact, so the oracle
+    // replays pts and the selection rule via the same window cumsum.
+    QuerySpec(
+      "q142_mp4_frame_sampling",
+      (s, dir) => {
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id").as("media_id"),
+            Multimodal.mp4Bytes(
+              (col("doc_id") % 64 + 16).cast("int"),
+              ((col("doc_id") * 3) % 64 + 16).cast("int"),
+              (col("doc_id") % 5 + 1).cast("int"),
+              (col("doc_id") % 17).cast("int")).as("bytes"))
+        Multimodal.mp4FrameSample(Multimodal.mp4Samples(media),
+            intervalTicks = 64L)
+          .select(col("media_id"),
+            col("sample_idx").cast("long").as("sample_idx"),
+            col("pts"),
+            col("sample_delta").cast("long").as("sample_delta"),
+            col("sample_size").cast("long").as("sample_size"))
+          .orderBy("media_id", "sample_idx")
+      },
+      Some("""WITH e AS (
+             |  SELECT doc_id, doc_id % 17 AS seed,
+             |         unnest(range(doc_id % 5 + 1)) AS i
+             |  FROM documents),
+             |d AS (
+             |  SELECT doc_id, i,
+             |         (seed + 7*i) % 100 + 1 AS delta,
+             |         (seed + 11*i) % 900 + 100 AS sz
+             |  FROM e),
+             |c AS (
+             |  SELECT doc_id, i, delta, sz,
+             |    COALESCE(SUM(delta) OVER (PARTITION BY doc_id ORDER BY i
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS pts
+             |  FROM d)
+             |SELECT doc_id AS media_id, CAST(i AS BIGINT) AS sample_idx,
+             |  CAST(pts AS BIGINT) AS pts,
+             |  CAST(delta AS BIGINT) AS sample_delta,
+             |  CAST(sz AS BIGINT) AS sample_size
+             |FROM c WHERE (64 - pts % 64) % 64 < delta
+             |ORDER BY media_id, sample_idx""".stripMargin))
   )
 }

@@ -2063,6 +2063,22 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mp4FrameSample: exact tick-in-span selection, sample 0 always kept") {
+    import spark.implicits._
+    // deltas [5,5,10,3,30] → pts [0,5,10,20,23]; interval 10 selects a
+    // span iff a multiple of 10 lands in [pts, pts+delta): idx 0 (tick
+    // 0), idx 2 (tick 10), idx 3 (tick 20), idx 4 (ticks 30/40/50) —
+    // idx 1's span [5,10) contains no tick
+    val mp4 = graft.functions.Mp4Kernel.encode(64, 64, 600,
+      Array(5, 5, 10, 3, 30), Array(1, 2, 3, 4, 5))
+    val media = Seq((1L, mp4)).toDF("media_id", "bytes")
+    val got = graft.ops.Multimodal.mp4FrameSample(
+        graft.ops.Multimodal.mp4Samples(media), intervalTicks = 10L)
+      .select("sample_idx", "pts").orderBy("sample_idx")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got == Seq((0, 0L), (2, 10L), (3, 20L), (4, 23L)), got.toString)
+  }
+
   test("corpusDiff: churn-only rows, null-safe text compare") {
     import spark.implicits._
     val prev = Seq[(Long, String)]((1L, "same"), (2L, "old"), (3L, "gone"),
