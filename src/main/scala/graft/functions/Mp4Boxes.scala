@@ -414,6 +414,11 @@ object Mp4Kernel {
       deltas.length <= 4096, "deltas/sizes must align, 1..4096 samples")
     val nSamples = deltas.length
     val mdur = deltas.map(_.toLong).sum
+    // the version-0 boxes below carry 32-bit durations — be32 would
+    // silently truncate a larger sum and meta() would parse the wrapped
+    // value with no error pointing back here
+    require(mdur >= 0 && mdur <= 0xffffffffL,
+      s"duration sum $mdur exceeds the version-0 32-bit duration field")
     val mdatPayload = sizes.map(_.toLong).sum
     require(mdatPayload <= Int.MaxValue, "mdat too large")
 

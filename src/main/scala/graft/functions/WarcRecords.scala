@@ -88,7 +88,11 @@ object WarcKernel {
             case "warc-target-uri" => uri = value
             case "warc-date" => date = value
             case "content-length" =>
-              if (!value.nonEmpty || !value.forall(_.isDigit) ||
+              // ASCII digits ONLY — Char.isDigit accepts Unicode digit
+              // classes (e.g. Arabic-Indic), which toLong would parse;
+              // that would accept a corrupt record instead of rejecting
+              if (!value.nonEmpty ||
+                !value.forall(c => c >= '0' && c <= '9') ||
                 value.length > 15) return null
               contentLength = value.toLong
             case _ => () // spec-sanctioned: other headers pass through
@@ -109,7 +113,9 @@ object WarcKernel {
         if (uri == null) null else UTF8String.fromString(uri),
         if (date == null) null else UTF8String.fromString(date),
         contentLength,
-        UTF8String.fromBytes(payload)))
+        payload)) // BINARY: 'response' records carry gzip/image bodies —
+                  // a StringType here would mangle them; WET text lanes
+                  // cast to string downstream
       pos = payloadEnd + 4
     }
     if (out.isEmpty) return null
@@ -121,6 +127,12 @@ object WarcKernel {
     * URI (`urn:graft:<uri>`) so an oracle replays it without state.
     */
   def encodeRecord(uri: String, date: String, payload: String): Array[Byte] = {
+    // header-injection guard: a CR/LF inside a header VALUE would splice
+    // arbitrary headers into the record (or fail its own round trip)
+    require(!uri.exists(c => c == '\r' || c == '\n'),
+      "uri must not contain CR/LF")
+    require(!date.exists(c => c == '\r' || c == '\n'),
+      "date must not contain CR/LF")
     val body = payload.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val header = new StringBuilder()
       .append("WARC/1.0\r\n")
@@ -145,7 +157,7 @@ object WarcKernel {
     StructField("target_uri", StringType, nullable = true),
     StructField("warc_date", StringType, nullable = true),
     StructField("content_length", LongType, nullable = false),
-    StructField("payload", StringType, nullable = false)))
+    StructField("payload", BinaryType, nullable = false)))
 }
 
 /** binary → array<struct<warc_type,record_id,target_uri,warc_date,

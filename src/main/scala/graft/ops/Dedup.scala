@@ -296,16 +296,27 @@ object Dedup {
     * rows — never payloads — so the plan holds at corpus scale; rows
     * with a NULL signature never band (no decoder claimed the payload).
     */
+  /** ONE spelling of the 16-bit chunk cells every 64-bit-signature
+    * consumer shares — [[hamming64Pairs]]' banding, [[hamming64Degrees]],
+    * and the streaming cells plane
+    * ([[graft.streaming.StreamingIngest.signatureAppendSink]]): a probe
+    * and a stored plane built from different spellings could silently
+    * drift apart and lose near-dup recall with no error, so there is
+    * exactly one (the [[bandCells]] convention). Explodes to
+    * struct<chunk, bucket> rows, 4 per signature.
+    */
+  private[graft] def chunk16Cells(sigCol: String): Column =
+    explode(array((0 until 4).map { c =>
+      struct(lit(c).as("chunk"),
+        expr(s"(`$sigCol` >> ${c * 16}) & 65535").as("bucket"))
+    }: _*))
+
   def hamming64Pairs(sigs: DataFrame, idCol: String, sigCol: String,
                      maxDistance: Int = 3): DataFrame = {
     require(maxDistance <= 3,
       s"16-bit chunk banding is complete only for distance <= 3, got $maxDistance")
     val chunked = sigs.filter(col(sigCol).isNotNull)
-      .select(col(idCol), col(sigCol),
-        explode(array((0 until 4).map { c =>
-          struct(lit(c).as("chunk"),
-            expr(s"(`$sigCol` >> ${c * 16}) & 65535").as("bucket"))
-        }: _*)).as("__c"))
+      .select(col(idCol), col(sigCol), chunk16Cells(sigCol).as("__c"))
       .select(col(idCol), col(sigCol), col("__c.chunk"), col("__c.bucket"))
     val a = chunked.select(col(idCol).as("id_a"), col(sigCol).as("sh_a"),
       col("chunk"), col("bucket"))

@@ -325,31 +325,33 @@ object Multimodal {
     val st = graft.functions.Mp4Kernel.meta(bytes)
     if (st == null) return null
     val tracks = st.getArray(4)
-    var totalSamples = 0L; var totalBytes = 0L; var totalDelta = 0L
-    var maxSize = 0
-    var i = 0
+    var totalSamples = 0L; var totalBytes = 0L
+    var totalDeltaSec = 0.0 // per-track deltas normalized by THAT track's
+    var maxSize = 0         // timescale — video@600 + audio@44100 ticks
+    var i = 0               // must never sum in raw units
     while (i < tracks.numElements()) {
       val t = tracks.getStruct(i, 9)
       val samples = t.getArray(8)
+      var trackDelta = 0L
       var j = 0
       while (j < samples.numElements()) {
         val sm = samples.getStruct(j, 2)
         totalBytes += sm.getInt(0)
-        totalDelta += sm.getInt(1)
+        trackDelta += sm.getInt(1)
         if (sm.getInt(0) > maxSize) maxSize = sm.getInt(0)
         j += 1
       }
+      val mts = t.getInt(5)
+      if (mts > 0) totalDeltaSec += trackDelta.toDouble / mts
       totalSamples += t.getInt(7)
       i += 1
     }
     val t0 = tracks.getStruct(0, 9)
-    val mts = t0.getInt(5).toFloat
     Array(
       st.getLong(2).toFloat / math.max(st.getInt(1), 1),
       st.getInt(3).toFloat, t0.getInt(3).toFloat, t0.getInt(4).toFloat,
       totalSamples.toFloat, totalBytes.toFloat,
-      if (totalSamples > 0 && mts > 0)
-        totalDelta.toFloat / totalSamples / mts else 0f,
+      if (totalSamples > 0) (totalDeltaSec / totalSamples).toFloat else 0f,
       maxSize.toFloat)
   }
 
@@ -522,18 +524,6 @@ object Multimodal {
                seed: Column): Column =
     graft.functions.ArrayMath.mp4Bytes(w, h, nSamples, seed)
 
-  /** VIDEO sample catalog — [[gifFrames]]' ISO-BMFF sibling: one strict
-    * box walk per payload (native [[graft.functions.Mp4Meta]] expression
-    * over the public ISO/IEC 14496-12 grammar — no codec work, `mdat` is
-    * never read) then two generator explodes: per track, then per
-    * sample. Zero shuffles, zero UDFs; malformed payloads contribute no
-    * rows (a NULL meta struct never explodes).
-    *
-    * media(media_id, bytes) → (media_id, major_brand, timescale,
-    * duration, n_tracks, track_id, handler, codec, width, height,
-    * media_timescale, media_duration, n_samples, sample_idx,
-    * sample_size, sample_delta).
-    */
   /** Per-image 64-bit perceptual difference hash over GENUINELY decoded
     * pixels ([[graft.functions.DHashKernel]] — content-sniffed PNG or
     * JPEG lane, integer-exact 9×8 luma grid): media(media_id, bytes) →
@@ -582,6 +572,18 @@ object Multimodal {
   def audioNearDupDegrees(media: DataFrame, maxDistance: Int = 3): DataFrame =
     Dedup.hamming64Degrees(audioFingerprint(media), "media_id", "afp", maxDistance)
 
+  /** VIDEO sample catalog — [[gifFrames]]' ISO-BMFF sibling: one strict
+    * box walk per payload (native [[graft.functions.Mp4Meta]] expression
+    * over the public ISO/IEC 14496-12 grammar — no codec work, `mdat` is
+    * never read) then two generator explodes: per track, then per
+    * sample. Zero shuffles, zero UDFs; malformed payloads contribute no
+    * rows (a NULL meta struct never explodes).
+    *
+    * media(media_id, bytes) → (media_id, major_brand, timescale,
+    * duration, n_tracks, track_id, handler, codec, width, height,
+    * media_timescale, media_duration, n_samples, sample_idx,
+    * sample_size, sample_delta).
+    */
   def mp4Samples(media: DataFrame): DataFrame =
     media.select(col("media_id"),
         graft.functions.ArrayMath.mp4Meta(col("bytes")).as("__m"))

@@ -544,9 +544,16 @@ object TextOps {
     *
     * Scale shape: one explode + one (line, id)-distinct aggregation
     * finds document frequencies; only the lines that EXCEED the
-    * threshold ship to the filter join — true boilerplate is by nature
-    * a tiny set, so the anti-join side is broadcastable no matter how
-    * big the corpus. Reassembly is the only shuffle that carries
+    * threshold ship to the filter join. On a typical web corpus true
+    * boilerplate is a tiny set, so the anti-join side broadcasts
+    * (`broadcastFilter = true`, the default) — but that is a corpus
+    * ASSUMPTION, not an invariant: a heavily templated/mirrored corpus
+    * can push millions of distinct lines over the threshold, and an
+    * unconditional broadcast hint would then OOM the driver instead of
+    * degrading. Pass `broadcastFilter = false` there to let
+    * Catalyst/AQE pick the join (the [[graft.ops.Dedup.ngramJaccardPairs]]
+    * skewGuard convention: an explicit routing knob, never a silent
+    * behavior change). Reassembly is the only shuffle that carries
     * surviving line text (unavoidable: the result IS that text).
     * Trimmed line text itself is the df key — exact by construction
     * (SQL-replayable); a 100 TB deployment can swap in xxhash64 keys
@@ -556,7 +563,8 @@ object TextOps {
     * with n_lines = 0.
     */
   def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
-                             maxDf: Long): DataFrame = {
+                             maxDf: Long,
+                             broadcastFilter: Boolean = true): DataFrame = {
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
     val lines = df
       .select(col(idCol),
@@ -567,7 +575,9 @@ object TextOps {
       .groupBy("__t").agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxDf)
       .select(col("__t"))
-    val kept = lines.join(broadcast(boilerplate), Seq("__t"), "left_anti")
+    val kept = lines.join(
+      if (broadcastFilter) broadcast(boilerplate) else boilerplate,
+      Seq("__t"), "left_anti")
     val rebuilt = kept.groupBy(idCol)
       .agg(count(lit(1)).as("__n_kept"),
         array_join(

@@ -3328,7 +3328,10 @@ object TrainingQueries {
         graft.sources.Sources.warcRecords(files, "bytes",
             keepCols = Seq("file_id"))
           .select(col("warc_type"), col("record_id"), col("target_uri"),
-            col("warc_date"), col("content_length"), col("payload"),
+            col("warc_date"), col("content_length"),
+            // payload is BINARY (response records carry gzip/image
+            // bodies); this WET text lane decodes it explicitly
+            col("payload").cast("string").as("payload"),
             col("file_id").cast("long").as("file_id"),
             col("record_idx").cast("long").as("record_idx"))
           .orderBy("target_uri")

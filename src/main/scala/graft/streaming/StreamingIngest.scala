@@ -834,23 +834,23 @@ object StreamingIngest {
   // MEDIA signature dedup sink
   // ------------------------------------------------------------------
 
-  /** 4 cell rows per non-null signature: (chunk, bucket16, sig, id,
-    * `__cb` = chunk·cellBuckets + bucket16 mod cellBuckets) — the one
-    * spelling both the sink's probe and the bootstrap writer share.
+  /** 4 cell rows per non-null signature: (chunk, bucket, sig, id,
+    * `__cb` = chunk·cellBuckets + bucket mod cellBuckets) — one builder
+    * shared by the sink's probe and the bootstrap writer.
     */
   private def sigCellRows(df: DataFrame, idCol: String, sigCol: String,
                           cellBuckets: Int): DataFrame = {
     import org.apache.spark.sql.functions._
+    // chunking is graft.ops.Dedup.chunk16Cells — the SAME spelling the
+    // batch banding uses, so the stored plane and every probe can never
+    // drift apart (the bandCells convention)
     df.filter(col(sigCol).isNotNull)
       .select(col(idCol), col(sigCol).as("sig"),
-        explode(array((0 until 4).map { c =>
-          struct(lit(c).as("chunk"),
-            expr(s"(`$sigCol` >> ${c * 16}) & 65535").as("bucket16"))
-        }: _*)).as("__c"))
+        graft.ops.Dedup.chunk16Cells(sigCol).as("__c"))
       .select(col(idCol), col("sig"), col("__c.chunk").as("chunk"),
-        col("__c.bucket16").as("bucket16"))
+        col("__c.bucket").as("bucket"))
       .withColumn("__cb",
-        col("chunk") * cellBuckets + pmod(col("bucket16"), lit(cellBuckets.toLong)))
+        col("chunk") * cellBuckets + pmod(col("bucket"), lit(cellBuckets.toLong)))
   }
 
   private def checkOrWriteSigGeometry(fs: org.apache.hadoop.fs.FileSystem,
@@ -948,9 +948,9 @@ object StreamingIngest {
                     .collect().map(_.getLong(0)).toSeq
                   val stored = spark.read.parquet(cellsDir.toString)
                     .where(col("__cb").isin(cb: _*)) // partition-pruned
-                    .select(col("chunk"), col("bucket16"),
+                    .select(col("chunk"), col("bucket"),
                       col("sig").as("__csig"), col(idCol).as("__cid"))
-                  batchCells.join(stored, Seq("chunk", "bucket16"))
+                  batchCells.join(stored, Seq("chunk", "bucket"))
                     // torn replay: this batch's own cells may be stored
                     // already — a doc must never collide with itself
                     .filter(!(col(idCol) <=> col("__cid")))

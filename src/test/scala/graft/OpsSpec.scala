@@ -1986,13 +1986,35 @@ class OpsSpec extends AnyFunSuite {
       r0.getUTF8String(2).toString == "http://a/1" &&
       r0.getUTF8String(3).toString == "2024-01-01T00:00:00Z" &&
       r0.getLong(4) == trap.getBytes("UTF-8").length &&
-      r0.getUTF8String(5).toString == trap,
+      new String(r0.getBinary(5), "UTF-8") == trap,
       "header-shaped payload must not derail the walk")
     val r1 = recs.getStruct(1, 6)
     assert(r1.getLong(4) == multi.getBytes("UTF-8").length &&
       r1.getLong(4) > multi.length && // bytes, not chars
-      r1.getUTF8String(5).toString == multi)
+      new String(r1.getBinary(5), "UTF-8") == multi)
     assert(recs.getStruct(2, 6).getLong(4) == 0L, "empty payload allowed")
+    // payload is BINARY: a response-style record carrying invalid-UTF-8
+    // bytes (e.g. gzip) must round-trip byte-exact, not be mangled
+    // through a string type
+    val gzLike = Array[Byte](0x1f, 0x8b.toByte, 0x08, 0x00, 0xff.toByte,
+      0xfe.toByte, 0x80.toByte, 0x00)
+    val binRec = {
+      val header = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"Content-Length: ${gzLike.length}\r\n\r\n").getBytes("US-ASCII")
+      header ++ gzLike ++ "\r\n\r\n".getBytes("US-ASCII")
+    }
+    val binParsed = WarcKernel.parse(binRec)
+    assert(binParsed != null &&
+      java.util.Arrays.equals(binParsed.getStruct(0, 6).getBinary(5), gzLike),
+      "binary payload must survive byte-exact")
+    // encoder header-injection guard
+    intercept[IllegalArgumentException] {
+      WarcKernel.encodeRecord("http://x\r\nWARC-Type: evil", "2024", "p")
+    }
+    // Unicode digits in Content-Length are corrupt, not a number
+    val uniLen = ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "Content-Length: ١٢\r\n\r\nhello cruel\r\n\r\n").getBytes("UTF-8")
+    assert(WarcKernel.parse(uniLen) == null, "non-ASCII digits reject")
     // strictness
     assert(WarcKernel.parse(null) == null)
     assert(WarcKernel.parse(file.dropRight(1)) == null, "lost final CRLF")
@@ -2056,8 +2078,8 @@ class OpsSpec extends AnyFunSuite {
         .orderBy("target_uri").collect()
       assert(got.map(_.getAs[String]("target_uri")).toSeq ==
         Seq("http://s/1", "http://s/2", "http://s/3"))
-      assert(got.map(_.getAs[String]("payload")).toSeq ==
-        Seq("one", "two", "three"))
+      assert(got.map(r => new String(r.getAs[Array[Byte]]("payload"), "UTF-8"))
+        .toSeq == Seq("one", "two", "three"))
     } finally {
       dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
     }
