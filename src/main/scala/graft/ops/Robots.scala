@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** robots.txt parsing and URL-permission verdicts (RFC 9309, the
+  * Robots Exclusion Protocol) — the crawl-politeness plane a web-scale
+  * ingest pipeline must apply before fetching, and re-apply when
+  * retroactively honoring opt-outs over an already-collected corpus.
+  * Composes with [[Html.linkGraph]]/[[UrlOps]]: candidate URLs joined
+  * by host against parsed rule groups.
+  *
+  * Not reference surface (`/root/reference/` ingests typed rows) —
+  * engine-extension surface, like [[Html]]/[[WebGraph]].
+  *
+  * Spark shape: parsing is split+posexplode+window over LINES (group
+  * structure is a running sum over the line sequence — one window per
+  * host, no driver state); matching is a host-keyed join of skinny
+  * (host, agent, rule) rows against URLs with a rank-by-specificity
+  * window. Nothing leaves the engine; every step is SQL-replayable.
+  *
+  * Pattern subset, documented: `*` wildcards and a trailing `$` anchor
+  * per RFC 9309 §2.2.3, compiled to LIKE patterns (`*`→`%` with
+  * `%`/`_`/`\` escaped) — LIKE semantics are identical in Spark and
+  * DuckDB, so verdicts replay exactly. Rule specificity = octet length
+  * of the raw rule, Allow wins ties (RFC 9309 §2.2.2).
+  */
+object Robots {
+
+  /** Parse robots.txt content into bound rule rows: one row per
+    * (agent, directive) pair — a group's rules repeat for EACH of its
+    * `User-agent` lines, which is the RFC's semantic expansion.
+    *
+    * Grammar walked: `key: value` lines, `#` comments stripped, keys
+    * case-insensitive; group = a maximal run of consecutive
+    * `User-agent` lines plus every allow/disallow/crawl-delay line
+    * until the next run starts. Rules BEFORE any User-agent line are
+    * invalid per RFC and dropped. `Sitemap` is group-independent and
+    * emitted with agent NULL.
+    *
+    * @param df       one row per robots.txt document
+    * @param keyCol   host (or any id) column to carry through
+    * @param contentCol robots.txt text column
+    * @return (keyCol, pos, agent, directive, value) — pos is the
+    *         source line number of the directive (0-based), agent is
+    *         lowercased, directive ∈ {allow, disallow, crawl-delay,
+    *         sitemap}.
+    */
+  def robotsRules(df: DataFrame, keyCol: String, contentCol: String): DataFrame = {
+    val lines = df
+      .select(col(keyCol), posexplode(split(col(contentCol), "\n"))
+        .as(Seq("pos", "__line")))
+      .select(col(keyCol), col("pos"),
+        trim(regexp_replace(col("__line"), "#.*$", "")).as("__line"))
+      .filter(col("__line") =!= "")
+      .select(col(keyCol), col("pos"),
+        lower(trim(regexp_extract(col("__line"), "^([A-Za-z-]+)\\s*:", 1)))
+          .as("key"),
+        trim(regexp_extract(col("__line"), "^[A-Za-z-]+\\s*:(.*)$", 1))
+          .as("value"))
+      .filter(col("key").isin("user-agent", "allow", "disallow",
+        "crawl-delay", "sitemap"))
+
+    val w = Window.partitionBy(keyCol).orderBy("pos")
+    // a group starts at each User-agent line whose predecessor (among
+    // recognized lines) is NOT a User-agent line
+    val grouped = lines
+      .withColumn("__isUa", (col("key") === "user-agent").cast("int"))
+      .withColumn("__runStart",
+        (col("__isUa") === 1 &&
+          coalesce(lag(col("__isUa"), 1).over(w), lit(0)) === 0).cast("int"))
+      .withColumn("__grp", sum(col("__runStart")).over(w))
+
+    val agents = grouped.filter(col("key") === "user-agent")
+      .select(col(keyCol), col("__grp"), lower(col("value")).as("agent"))
+    val rules = grouped
+      .filter(col("key").isin("allow", "disallow", "crawl-delay") &&
+        col("__grp") > 0) // rules before any User-agent line are invalid
+      .select(col(keyCol), col("__grp"), col("pos"),
+        col("key").as("directive"), col("value"))
+    val bound = rules.join(agents, Seq(keyCol, "__grp"))
+      .select(col(keyCol), col("pos"), col("agent"),
+        col("directive"), col("value"))
+    val sitemaps = grouped.filter(col("key") === "sitemap")
+      .select(col(keyCol), col("pos"), lit(null).cast("string").as("agent"),
+        col("key").as("directive"), col("value"))
+    bound.unionByName(sitemaps)
+  }
+
+  /** RFC 9309 rule pattern → LIKE pattern: strip one trailing `$`
+    * anchor (exact match — no trailing `%`), escape LIKE specials,
+    * `*` → `%`. Both engines default the LIKE escape char to `\`.
+    */
+  private def likePattern(rule: Column): Column = {
+    val anchored = rule.endsWith("$")
+    val base = when(anchored, rule.substr(lit(1), length(rule) - 1))
+      .otherwise(rule)
+    val escaped = regexp_replace(
+      regexp_replace(base, "([\\\\%_])", "\\\\$1"), "\\*", "%")
+    when(anchored, escaped).otherwise(concat(escaped, lit("%")))
+  }
+
+  /** Per-URL crawl verdicts for one agent: RFC 9309 group selection
+    * (the agent's own group when the host has one, else `*`), then
+    * longest-match over allow/disallow rules (Allow wins ties), default
+    * allow when nothing matches — including hosts with no robots.txt
+    * at all (left join).
+    *
+    * Scale shape: rules are skinny (host, agent, value) rows — ~rules
+    * per host, independent of URL count; the URL frame joins them once
+    * on host and each URL keeps at most one winner row (rank window
+    * keyed by the URL row, partition-local after the join).
+    *
+    * @param urls     frame with a UNIQUE id, host and path columns
+    *                 (plus anything to keep); the id must be unique —
+    *                 a synthesized nondeterministic id re-evaluated on
+    *                 both sides of the final join would be a
+    *                 correctness trap, so the caller provides it
+    * @param rules    [[robotsRules]] output for the same hosts
+    * @param agent    crawler product token, matched lowercase-exact
+    * @return urls columns + (agent_used, matched_rule, allowed)
+    */
+  def urlAllowed(urls: DataFrame, idCol: String, hostCol: String,
+                 pathCol: String, rules: DataFrame, rulesHostCol: String,
+                 agent: String): DataFrame = {
+    val a = lower(lit(agent))
+    val pathRules = rules
+      .filter(col("directive").isin("allow", "disallow") &&
+        (col("agent") === a || col("agent") === "*"))
+      .withColumnRenamed(rulesHostCol, "__rhost")
+    // group selection: the agent's own group shadows `*` entirely
+    val wHost = Window.partitionBy("__rhost")
+    val selected = pathRules
+      .withColumn("__hasSpecific",
+        max((col("agent") === a).cast("int")).over(wHost))
+      .filter((col("agent") === a) === (col("__hasSpecific") === 1))
+      .select(col("__rhost"), col("agent").as("agent_used"),
+        col("directive"), col("value"), likePattern(col("value")).as("__pat"))
+
+    val matches = urls
+      .join(selected, urls(hostCol) === selected("__rhost"))
+      .filter(expr(s"`$pathCol` LIKE `__pat`"))
+    val wUrl = Window.partitionBy(idCol)
+      .orderBy(length(col("value")).desc,
+        (col("directive") === "allow").desc, col("value"))
+    val winners = matches
+      .withColumn("__rk", row_number().over(wUrl))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col("agent_used"),
+        col("value").as("matched_rule"),
+        (col("directive") === "allow").as("allowed"))
+    urls.join(winners, Seq(idCol), "left")
+      .withColumn("allowed", coalesce(col("allowed"), lit(true)))
+  }
+}

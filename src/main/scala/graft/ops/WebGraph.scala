@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Host-graph analytics over a web corpus: the link-based quality plane
+  * (Page et al. 1999; Common Crawl publishes exactly this host-level
+  * ranking for crawl prioritization). Composes with [[Html.linkGraph]]:
+  * crawl → extract links → host edges → PageRank → per-host quality
+  * prior joined back onto documents.
+  *
+  * Not in the reference surface (`/root/reference/` stops at typed
+  * rows) — engine-extension surface for the training-data pipeline.
+  */
+object WebGraph {
+
+  /** Fixed-iteration PageRank over a (src, dst) edge list, in EXACT
+    * scaled-integer arithmetic so results are bit-reproducible across
+    * engines and cluster sizes (the q129 RRF recipe: BIGINT `div`, no
+    * float anywhere):
+    *
+    *   rank_0(v)   = SCALE div N
+    *   rank_t+1(v) = ((100-d)·rank_0) div 100
+    *               + (d · Σ_{u→v} (rank_t(u) div outdeg(u))) div 100
+    *
+    * Truncating integer division loses ≤1 unit per term — at
+    * SCALE=10^12 that is 10^-12 of the mass, far below any ranking
+    * decision — and buys exact determinism: a float PageRank differs
+    * in the last ulp per partition-order, an integer one never.
+    *
+    * Scale shape: `edges` is distinct-ed and joined to its out-degree
+    * ONCE, persisted, and reused every iteration (the invariant side of
+    * the loop — at 100 TB this is the big frame, and re-deriving it per
+    * iteration would re-shuffle the corpus k times). Each iteration is
+    * one join (ranks are hash-partitioned on node, edges on src) plus
+    * one aggregation keyed by dst; ranks (N rows — HOSTS, not
+    * documents, ~10^7 at web scale) are localCheckpoint-ed so the plan
+    * stays one-iteration deep instead of k-joins deep. Dangling nodes
+    * (no out-edges) contribute nothing, matching the "remove dangling
+    * mass" PageRank variant — deterministic and oracle-replayable; the
+    * redistribution variant needs a global scalar per iteration.
+    *
+    * Driver traffic: a single `count()` of the node frame (one long) —
+    * N is needed as an exact integer in the rank formula.
+    *
+    * @return (node, rank) — rank in SCALE-scaled integer units.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int = 8, dampingPct: Int = 85,
+               scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1,50], got $iterations")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0,100], got $dampingPct")
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // the loop-invariant frame: one row per edge with its src out-degree
+    val eo = e.join(outdeg, "src").persist()
+
+    val n = nodes.count() // bounded driver traffic: one scalar
+    require(n > 0, "pageRank: empty graph")
+    val r0 = scale / n
+    val base = (100L - dampingPct) * r0 / 100L
+
+    var ranks = nodes.select(col("node"), lit(r0).as("rank"))
+    for (_ <- 1 to iterations) {
+      val inflow = eo
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("rank div outdeg").as("contrib"))
+        .groupBy("dst")
+        .agg(sum("contrib").as("inflow"))
+      val next = nodes
+        .join(inflow.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr(
+            s"($dampingPct * coalesce(inflow, cast(0 as bigint))) div 100"))
+            .as("rank"))
+        .localCheckpoint() // cut lineage: plan depth stays O(1), not O(k)
+      ranks = next
+    }
+    nodes.unpersist()
+    eo.unpersist()
+    ranks
+  }
+
+  /** Per-host document-quality prior: PageRank of the host graph joined
+    * back onto a document frame by host. Documents from unknown hosts
+    * (not in the graph) get rank NULL — callers decide the default.
+    */
+  def hostQualityPrior(docs: DataFrame, hostCol: String,
+                       hostRanks: DataFrame): DataFrame =
+    docs.join(
+      hostRanks.withColumnRenamed("node", hostCol)
+        .withColumnRenamed("rank", "host_rank"),
+      Seq(hostCol), "left")
+}

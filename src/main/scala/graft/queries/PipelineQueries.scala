@@ -731,6 +731,55 @@ object PipelineQueries {
              |  round(CAST(SUM(CAST(log2((b.nb + 1.0) / (c.nc + 1.0 * v.nv))
              |    AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 6) AS avg_ll
              |FROM bg JOIN b USING (w1, w2) JOIN c USING (w1) CROSS JOIN v
-             |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin))
+             |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // ORC round-trip (sources.Sources.orc/writeOrc + `.orc` extension
+    // dispatch): the second columnar format big estates carry alongside
+    // parquet. The query routes lineitem parquet → ORC (zstd) → back
+    // through Spark's vectorized ORC reader → aggregate; the oracle is
+    // the same aggregate straight off parquet, so any round-trip value
+    // or type corruption (decimal scale, date/timestamp epoch, null
+    // runs) hash-mismatches. DECIMAL-routed sums per the q01 recipe so
+    // the float total is addition-order-proof both sides.
+    QuerySpec(
+      "q146_orc_roundtrip",
+      (s, dir) => {
+        val dest = orcScratch(dir)
+        graft.sources.Sources.writeOrc(
+          Tables.lineitem(s, dir).select("l_orderkey", "l_returnflag",
+            "l_quantity", "l_extendedprice"), dest)
+        graft.sources.Sources.orc(s, dest)
+          .groupBy("l_returnflag")
+          .agg(
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+              .as("sum_qty"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+              .as("sum_price"),
+            count(lit(1)).as("n_rows"),
+            countDistinct(col("l_orderkey")).as("n_orders"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS sum_price,
+             |  COUNT(*) AS n_rows,
+             |  COUNT(DISTINCT l_orderkey) AS n_orders
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin))
   )
+
+  /** Per-(JVM, sf-dir) ORC scratch path — overwritten each run, deleted
+    * on JVM exit (the TrainingQueries scratchRoot convention).
+    */
+  private def orcScratch(dir: String): String = {
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val p = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft-orc-rt-$tag")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
 }

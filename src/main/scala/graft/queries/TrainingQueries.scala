@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Curation, Dedup, Html, Multimodal, Robots, Similarity, TextOps, WebGraph}
 
 /** Training-data pipeline operator inventory (the north-star extensions
   * beyond the reference surface, BASELINE.json): deduplication, similarity
@@ -355,6 +355,130 @@ object TrainingQueries {
       |  FROM cfb JOIN ccnt ON ccnt.b = cfb.b CROSS JOIN ctot
       |  GROUP BY 1
       |)"""
+
+  /** q143-q145 planted-HTML fixture (Spark spelling): every doc becomes
+    * a single-line HTML page built from doc_id/text/source arithmetic —
+    * head with an entity-bearing title, a style block with a raw `<`, a
+    * script whose STRING CONTENT contains `</p>` (removal order bait: a
+    * block-tag pass running before script removal would leak a line), a
+    * comment, planted entities (`&amp; &lt; &gt; &quot; &#39; &nbsp;`),
+    * a double-quoted and (on id%3!=0) a single-quoted anchor with
+    * arithmetic-derived hosts h{(id*7+13)%97} / h{(id*31+29)%97}, and a
+    * conditional list. NO raw newlines: every newline in the extracted
+    * text is produced by the block-tag stage, so the oracle can replay
+    * the expected text from the planted pieces plus [[Html.collapseWs]]'
+    * exact collapse chain.
+    */
+  private def htmlLink0 = concat(lit("https://h"),
+    ((col("doc_id") * 7 + 13) % 97).cast("string"), lit(".example.org/p/"),
+    col("doc_id").cast("string"))
+  private def htmlLink1 = concat(lit("https://h"),
+    ((col("doc_id") * 31 + 29) % 97).cast("string"), lit(".example.org/q/"),
+    col("doc_id").cast("string"))
+  private def htmlFixture = concat(
+    lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+    lit(" &amp; co</title><style>p{color:#000;x:1<2}</style>" +
+      "<script type=\"text/javascript\">var s=\"</p>\"; if(1<2){s=\"&amp;\"}" +
+      "</script></head><body><!-- src: "), col("source"),
+    lit(" --><h1>Heading "), (col("doc_id") % 50).cast("string"),
+    lit("</h1><p class=\"lead\">"), expr("substring(text, 1, 60)"),
+    lit(" &amp; tail &lt;raw&gt;</p><div id=\"d"), col("doc_id").cast("string"),
+    lit("\">"), expr("substring(text, 61)"),
+    lit(" with <a href=\""), htmlLink0, lit("\">link zero</a>"),
+    when(col("doc_id") % 3 =!= 0,
+      concat(lit("<a href='"), htmlLink1, lit("'>link one</a>")))
+      .otherwise(lit("")),
+    lit("</div>"),
+    when(col("doc_id") % 4 === 0,
+      concat(lit("<ul><li>alpha</li><li>beta "),
+        (col("doc_id") % 9).cast("string"), lit("</li></ul>")))
+      .otherwise(lit("")),
+    lit("<p>&quot;q&quot; &#39;a&#39;&nbsp;end "),
+    (col("doc_id") % 7).cast("string"), lit("</p></body></html>"))
+
+  /** The q143-q145 planted link-edge list as a DuckDB CTE (`l`):
+    * replays [[htmlLink0]]/[[htmlLink1]] host arithmetic directly —
+    * any drift in the extraction regexes or host parsing mismatches.
+    */
+  private val linkEdgesCte: String =
+    """l AS (
+      |  SELECT 'h' || CAST(doc_id % 97 AS VARCHAR) || '.example.org'
+      |           AS src_host,
+      |         'h' || CAST((doc_id*7 + 13) % 97 AS VARCHAR) || '.example.org'
+      |           AS dst_host
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'h' || CAST(doc_id % 97 AS VARCHAR) || '.example.org',
+      |         'h' || CAST((doc_id*31 + 29) % 97 AS VARCHAR) || '.example.org'
+      |  FROM documents WHERE doc_id % 3 != 0
+      |)"""
+
+  /** q145 oracle: unrolled scaled-integer PageRank (WebGraph.pageRank's
+    * exact arithmetic — BIGINT `//`, 0.85 damping as ×85//100) as `iters`
+    * chained CTEs over the planted edge list. Every operation is integer,
+    * so the replay is bit-exact, not tolerance-matched.
+    */
+  private def pagerankCtes(iters: Int): String = {
+    val head = "WITH " + linkEdgesCte.stripMargin +
+      """,
+        |e AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM l),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+        |eo AS (SELECT e.src, e.dst, od.outdeg FROM e JOIN od USING (src)),
+        |pr AS (SELECT 1000000000000 // COUNT(*) AS r0 FROM nodes),
+        |r0 AS (SELECT node, (SELECT r0 FROM pr) AS rank FROM nodes)"""
+        .stripMargin
+    val iterCtes = (1 to iters).map { k =>
+      s""",
+         |r$k AS (
+         |  SELECT n.node,
+         |    (15 * (SELECT r0 FROM pr)) // 100
+         |      + (85 * COALESCE(s.inflow, 0)) // 100 AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT eo.dst AS node, SUM(p.rank // eo.outdeg) AS inflow
+         |    FROM eo JOIN r${k - 1} p ON p.node = eo.src
+         |    GROUP BY eo.dst) s ON s.node = n.node)""".stripMargin
+    }.mkString
+    head + iterCtes
+  }
+
+  private def pagerankOracle(iters: Int): String =
+    pagerankCtes(iters) +
+      s"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r$iters" +
+      "\nORDER BY rank DESC, node"
+
+  /** The q144/q145/q150 planted source host (lowercase by construction). */
+  private def host97 = concat(lit("h"), (col("doc_id") % 97).cast("string"),
+    lit(".example.org"))
+
+  /** q147/q148 planted robots.txt (Spark spelling): a `*` group with
+    * prefix rules plus one `*`-wildcard-`$`-anchor rule, and on even
+    * ids a TWO-agent group (mixed-case `GraftBot`/`ExtraBot` — the
+    * parser must lowercase) with a crawl-delay; a leading comment line
+    * and a group-independent Sitemap. Line positions are fixed by
+    * construction, so the oracle replays every parsed row directly.
+    */
+  private def robotsFixture = concat(
+    lit("# robots for h"), (col("doc_id") % 97).cast("string"), lit("\n"),
+    lit("User-agent: *\n"),
+    lit("Disallow: /private\n"),
+    lit("Allow: /private/ok\n"),
+    lit("Disallow: /*.json$\n"),
+    when(col("doc_id") % 2 === 0, concat(
+      lit("User-agent: GraftBot\nUser-agent: ExtraBot\n"),
+      lit("Disallow: /p\n"),
+      lit("Allow: /p/"), (col("doc_id") % 10).cast("string"), lit("\n"),
+      lit("Crawl-delay: "), (col("doc_id") % 7 + 1).cast("string"),
+      lit("\n"))).otherwise(lit("")),
+    lit("Sitemap: https://h"), (col("doc_id") % 97).cast("string"),
+    lit(".example.org/sitemap.xml"))
+
+  /** q147/q148 doc-unique host — each doc carries its OWN robots.txt
+    * (id-dependent rules under a shared host would interleave line
+    * positions in the parse windows).
+    */
+  private def hostUnique = concat(lit("h"), col("doc_id").cast("string"),
+    lit(".example.org"))
 
   val all: Seq[QuerySpec] = Seq(
 
@@ -3481,6 +3605,272 @@ object TrainingQueries {
              |  CAST(delta AS BIGINT) AS sample_delta,
              |  CAST(sz AS BIGINT) AS sample_size
              |FROM c WHERE (64 - pts % 64) % 64 < delta
-             |ORDER BY media_id, sample_idx""".stripMargin))
+             |ORDER BY media_id, sample_idx""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // HTML → text extraction (ops.Html — the step between WARC ingest
+    // and every text operator; C4 §2.2 / CCNet §3 tradition): ordered
+    // regexp_replace chain (comments → script/style/noscript with
+    // content → whole head → block tags to newline → remaining tags to
+    // space → entity decode, &amp; last → whitespace collapse), all
+    // codegen built-ins in the Java∩RE2 regex subset. The fixture
+    // plants removal-order bait (a script whose string content holds
+    // '</p>'), entities, both anchor quote styles and a conditional
+    // list; NO raw newlines, so every output newline is produced by
+    // the block stage and the oracle replays the expected text from
+    // the planted pieces plus the identical collapse-chain regexes.
+    QuerySpec(
+      "q143_html_extract",
+      (s, dir) => {
+        val pages = Tables.documents(s, dir)
+          .select(col("doc_id"), htmlFixture.as("html"))
+        pages
+          .select(col("doc_id"),
+            Html.extractTitle(col("html")).as("title"),
+            Html.htmlToText(col("html")).as("text"))
+          .select(col("doc_id"), col("title"), col("text"),
+            size(split(col("text"), "\n")).cast("long").as("n_lines"),
+            length(col("text")).cast("long").as("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH raw AS (
+             |  SELECT doc_id,
+             |    'Heading ' || CAST(doc_id % 50 AS VARCHAR) || chr(10) ||
+             |    substr(text, 1, 60) || ' & tail <raw>' || chr(10) ||
+             |    substr(text, 61) || ' with link zero' ||
+             |    CASE WHEN doc_id % 3 != 0 THEN ' link one' ELSE '' END
+             |      || chr(10) ||
+             |    CASE WHEN doc_id % 4 = 0
+             |         THEN 'alpha' || chr(10) || 'beta ' ||
+             |              CAST(doc_id % 9 AS VARCHAR) || chr(10)
+             |         ELSE '' END ||
+             |    '"q" ' || chr(39) || 'a' || chr(39) || ' end ' ||
+             |    CAST(doc_id % 7 AS VARCHAR) AS rawtext
+             |  FROM documents
+             |), x AS (
+             |  SELECT doc_id,
+             |    regexp_replace(regexp_replace(regexp_replace(rawtext,
+             |      '[ \t\r\f]+', ' ', 'g'), '\s*\n\s*', chr(10), 'g'),
+             |      '^\s+|\s+$', '', 'g') AS text
+             |  FROM raw
+             |)
+             |SELECT doc_id,
+             |  'Doc ' || CAST(doc_id AS VARCHAR) || ' & co' AS title,
+             |  text,
+             |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+             |  CAST(length(text) AS BIGINT) AS n_chars
+             |FROM x ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Host-level link graph (Html.extractLinks + UrlOps.hostOf over the
+    // q143 fixture): per-row link extraction and host projection — the
+    // HTML column dies in the projection and only (src_host, dst_host)
+    // crosses the one aggregation shuffle, the property that makes the
+    // crawl-graph plane viable at 100 TB. The oracle replays the planted
+    // anchor-host arithmetic directly, so any drift in either href
+    // pattern (double- OR single-quoted — the fixture plants both) or
+    // in host parsing hash-mismatches.
+    QuerySpec(
+      "q144_link_graph",
+      (s, dir) => {
+        val pages = Tables.documents(s, dir).select(
+          host97.as("src_host"), htmlFixture.as("html"))
+        Html.linkGraph(pages, "src_host", "html")
+          .orderBy("src_host", "dst_host")
+      },
+      Some("WITH " + linkEdgesCte.stripMargin + """
+             |SELECT src_host, dst_host, COUNT(*) AS n_links
+             |FROM l GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // PageRank over the extracted host graph (WebGraph.pageRank, Page et
+    // al. 1999 — the link-based quality prior crawl curation keys on):
+    // 8 fixed iterations in scaled-integer arithmetic (SCALE=10^12,
+    // damping 85/100, BIGINT div everywhere — the q129 exact-fusion
+    // recipe), so the whole trajectory replays bit-exactly as 8 chained
+    // CTEs over the planted edge list. Plan: the edge⋈outdeg frame is
+    // built once and persisted; each iteration is one join + one
+    // aggregation over HOST-cardinality frames, localCheckpoint-ed so
+    // plan depth stays O(1) in the iteration count.
+    QuerySpec(
+      "q145_pagerank",
+      (s, dir) => {
+        val pages = Tables.documents(s, dir).select(
+          host97.as("src_host"), htmlFixture.as("html"))
+        val edges = Html.linkGraph(pages, "src_host", "html")
+        WebGraph.pageRank(edges, "src_host", "dst_host", iterations = 8)
+          .orderBy(col("rank").desc, col("node"))
+      },
+      Some(pagerankOracle(8))),
+
+    // ------------------------------------------------------------------
+    // robots.txt parsing (ops.Robots — RFC 9309, the crawl-politeness
+    // plane): split + posexplode + ONE window pass per host turns the
+    // line grammar into bound rule rows — group = maximal User-agent
+    // run + following rules, rules repeated per agent (the RFC's
+    // semantic expansion), Sitemap group-independent with agent NULL.
+    // The fixture plants a leading comment, a `*` group, a conditional
+    // TWO-agent mixed-case group with crawl-delay, and fixed line
+    // positions — the oracle replays every parsed row from arithmetic,
+    // so any grammar drift (comment strip, case fold, group binding,
+    // position) hash-mismatches.
+    QuerySpec(
+      "q147_robots_rules",
+      (s, dir) => {
+        val robots = Tables.documents(s, dir)
+          .select(col("doc_id"), robotsFixture.as("robots"))
+        Robots.robotsRules(robots, "doc_id", "robots")
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            col("agent"), col("directive"), col("value"))
+          .orderBy("doc_id", "pos", "agent")
+      },
+      Some("""WITH a2 AS (
+             |  SELECT 'graftbot' AS agent UNION ALL SELECT 'extrabot'
+             |), r AS (
+             |  SELECT doc_id, 2 AS pos, '*' AS agent,
+             |         'disallow' AS directive, '/private' AS value
+             |  FROM documents
+             |  UNION ALL SELECT doc_id, 3, '*', 'allow', '/private/ok'
+             |  FROM documents
+             |  UNION ALL SELECT doc_id, 4, '*', 'disallow', '/*.json$'
+             |  FROM documents
+             |  UNION ALL SELECT doc_id, 7, a2.agent, 'disallow', '/p'
+             |  FROM documents, a2 WHERE doc_id % 2 = 0
+             |  UNION ALL SELECT doc_id, 8, a2.agent, 'allow',
+             |    '/p/' || CAST(doc_id % 10 AS VARCHAR)
+             |  FROM documents, a2 WHERE doc_id % 2 = 0
+             |  UNION ALL SELECT doc_id, 9, a2.agent, 'crawl-delay',
+             |    CAST(doc_id % 7 + 1 AS VARCHAR)
+             |  FROM documents, a2 WHERE doc_id % 2 = 0
+             |  UNION ALL SELECT doc_id,
+             |    CASE WHEN doc_id % 2 = 0 THEN 10 ELSE 5 END,
+             |    NULL, 'sitemap',
+             |    'https://h' || CAST(doc_id % 97 AS VARCHAR) ||
+             |      '.example.org/sitemap.xml'
+             |  FROM documents
+             |)
+             |SELECT doc_id, CAST(pos AS BIGINT) AS pos, agent, directive,
+             |       value
+             |FROM r ORDER BY doc_id, pos, agent""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // robots.txt URL verdicts (Robots.urlAllowed): RFC 9309 group
+    // selection — the agent's own group SHADOWS `*` entirely (even ids
+    // prove it) — then longest-match over allow/disallow with Allow
+    // winning ties, `*`/`$` patterns compiled to LIKE (identical
+    // semantics both engines), default allow on no match. Path cases
+    // cycle independently of group parity so all eight
+    // (group × path-case) combinations occur; expected verdicts replay
+    // from the planted arithmetic.
+    QuerySpec(
+      "q148_robots_verdicts",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val rules = Robots.robotsRules(
+          docs.select(hostUnique.as("host"), robotsFixture.as("robots")),
+          "host", "robots")
+        val pc = expr("doc_id div 2") % 4
+        val urls = docs.select(col("doc_id"), hostUnique.as("host"),
+          when(pc === 0, lit("/private/ok/page"))
+            .when(pc === 1, lit("/private/x"))
+            .when(pc === 2,
+              concat(lit("/p/"), (col("doc_id") % 10).cast("string")))
+            .otherwise(concat(lit("/data/"),
+              (col("doc_id") % 10).cast("string"), lit(".json")))
+            .as("path"))
+        Robots.urlAllowed(urls, "doc_id", "host", "path",
+            rules, "host", "GraftBot")
+          .select(col("doc_id"), col("host"), col("path"),
+            col("agent_used"), col("matched_rule"), col("allowed"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  'h' || CAST(doc_id AS VARCHAR) || '.example.org' AS host,
+             |  CASE (doc_id // 2) % 4
+             |    WHEN 0 THEN '/private/ok/page'
+             |    WHEN 1 THEN '/private/x'
+             |    WHEN 2 THEN '/p/' || CAST(doc_id % 10 AS VARCHAR)
+             |    ELSE '/data/' || CAST(doc_id % 10 AS VARCHAR) || '.json'
+             |  END AS path,
+             |  CASE WHEN doc_id % 2 = 0 THEN
+             |    CASE WHEN (doc_id // 2) % 4 = 3 THEN NULL
+             |         ELSE 'graftbot' END
+             |  ELSE
+             |    CASE WHEN (doc_id // 2) % 4 = 2 THEN NULL ELSE '*' END
+             |  END AS agent_used,
+             |  CASE WHEN doc_id % 2 = 0 THEN
+             |    CASE (doc_id // 2) % 4
+             |      WHEN 0 THEN '/p' WHEN 1 THEN '/p'
+             |      WHEN 2 THEN '/p/' || CAST(doc_id % 10 AS VARCHAR)
+             |      ELSE NULL END
+             |  ELSE
+             |    CASE (doc_id // 2) % 4
+             |      WHEN 0 THEN '/private/ok' WHEN 1 THEN '/private'
+             |      WHEN 2 THEN NULL ELSE '/*.json$' END
+             |  END AS matched_rule,
+             |  CASE WHEN doc_id % 2 = 0 THEN (doc_id // 2) % 4 IN (2, 3)
+             |       ELSE (doc_id // 2) % 4 IN (0, 2) END AS allowed
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Anchor-text aggregation by target host (Html.anchors +
+    // anchorTextStats — the link-context signal: anchor text describes
+    // the page it POINTS AT): whole <a> elements extracted, then
+    // (href, text) recovered PAIRED per element via transform (two
+    // independent extract_all passes would misalign on hrefless
+    // anchors — the fixture's q143 bait covers none here, but the spec
+    // does); explode + one aggregation, only (dst_host, text) pairs
+    // shuffle. Sorted-distinct text join makes output deterministic
+    // under any partitioning; the oracle replays the planted pairs.
+    QuerySpec(
+      "q149_anchor_text",
+      (s, dir) => {
+        val pages = Tables.documents(s, dir)
+          .select(htmlFixture.as("html"))
+        Html.anchorTextStats(pages, "html").orderBy("dst_host")
+      },
+      Some("""WITH p AS (
+             |  SELECT 'h' || CAST((doc_id*7 + 13) % 97 AS VARCHAR) ||
+             |    '.example.org' AS dst_host, 'link zero' AS atext
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT 'h' || CAST((doc_id*31 + 29) % 97 AS VARCHAR) ||
+             |    '.example.org', 'link one'
+             |  FROM documents WHERE doc_id % 3 != 0
+             |)
+             |SELECT dst_host, COUNT(*) AS n_anchors,
+             |  string_agg(DISTINCT atext, '|' ORDER BY atext) AS texts
+             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Host quality prior joined back onto documents
+    // (WebGraph.hostQualityPrior — the composed crawl-curation shape:
+    // extract links → PageRank hosts → every document inherits its
+    // host's link-based quality score). Rank values are the q145
+    // trajectory, so the oracle reuses the SAME unrolled CTE chain and
+    // left-joins it to the documents' planted host arithmetic.
+    QuerySpec(
+      "q150_host_prior",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pages = docs.select(host97.as("src_host"),
+          htmlFixture.as("html"))
+        val ranks = WebGraph.pageRank(
+          Html.linkGraph(pages, "src_host", "html"),
+          "src_host", "dst_host", iterations = 8)
+        WebGraph.hostQualityPrior(
+            docs.select(col("doc_id"), host97.as("host")), "host", ranks)
+          .select(col("doc_id"), col("host"), col("host_rank"))
+          .orderBy("doc_id")
+      },
+      Some(pagerankCtes(8) + """
+             |SELECT d.doc_id,
+             |  'h' || CAST(d.doc_id % 97 AS VARCHAR) || '.example.org'
+             |    AS host,
+             |  CAST(r8.rank AS BIGINT) AS host_rank
+             |FROM documents d LEFT JOIN r8
+             |  ON r8.node = 'h' || CAST(d.doc_id % 97 AS VARCHAR) ||
+             |     '.example.org'
+             |ORDER BY d.doc_id""".stripMargin))
   )
 }

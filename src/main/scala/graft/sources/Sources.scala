@@ -53,6 +53,19 @@ object Sources {
   def text(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path).filter(length(trim(col("value"))) > 0)
 
+  /** ORC scan — the second columnar format big estates carry alongside
+    * parquet (Spark's reader is built in: splittable, vectorized, with
+    * predicate pushdown + column pruning like the parquet path).
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** ORC write (zstd, the Spark default). Round-trip fidelity is
+    * oracle-checked (q146) and spec-checked against the parquet twin.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Extension dispatch (`dataflow.py:191-199`): route a path to the right
     * reader. Unknown extensions raise, as the reference does.
     */
@@ -62,6 +75,7 @@ object Sources {
     else if (lower.endsWith(".jsonl") || lower.endsWith(".ndjson")) json(spark, path)
     else if (lower.endsWith(".json")) json(spark, path, wholeFile = true)
     else if (lower.endsWith(".txt") || lower.endsWith(".text")) text(spark, path)
+    else if (lower.endsWith(".orc")) orc(spark, path)
     else if (lower.endsWith(".warc") || lower.endsWith(".wet"))
       warcFiles(spark, path)
     else throw new IllegalArgumentException(s"Unsupported file format: $path")

@@ -1,0 +1,208 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Html, WebGraph}
+
+class HtmlSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def extract(html: String): String = {
+    import spark.implicits._
+    Seq(html).toDF("h").select(Html.htmlToText(col("h"))).head.getString(0)
+  }
+
+  test("htmlToText: block tags become newlines, inline tags become spaces") {
+    val got = extract(
+      "<html><body><h1>Title</h1><p>one <b>two</b> three</p>" +
+        "<div>four<br>five</div></body></html>")
+    assert(got == "Title\none two three\nfour\nfive")
+  }
+
+  test("htmlToText: script/style/noscript content is dropped, even with markup bait inside") {
+    val got = extract(
+      "<body><script>var s=\"</p><p>leak\"; if(1<2){}</script>" +
+        "<style>p{x:1<2}</style><noscript>js off</noscript><p>kept</p></body>")
+    assert(got == "kept")
+  }
+
+  test("htmlToText: head (title included) is metadata, not body text") {
+    val got = extract(
+      "<html><head><title>T</title><meta charset=\"utf-8\"></head>" +
+        "<body><p>body</p></body></html>")
+    assert(got == "body")
+  }
+
+  test("htmlToText: comments vanish, including ones containing tags") {
+    assert(extract("<p>a</p><!-- <p>gone</p> --><p>b</p>") == "a\nb")
+  }
+
+  test("htmlToText: entities decode AFTER tag stripping — encoded markup stays literal text") {
+    val got = extract("<p>&lt;script&gt;alert(1)&lt;/script&gt; &amp; &quot;x&quot;&nbsp;&#39;y&#39;</p>")
+    assert(got == "<script>alert(1)</script> & \"x\" 'y'")
+  }
+
+  test("htmlToText: double-decode bait &amp;lt; yields &lt;, not <") {
+    assert(extract("<p>&amp;lt;</p>") == "&lt;")
+  }
+
+  test("htmlToText: whitespace collapses — runs to one space, blank lines to one newline, edges trimmed") {
+    val got = extract("<p>  a   b\t c </p><p></p><p> d </p>")
+    assert(got == "a b c\nd")
+  }
+
+  test("extractTitle: decoded and collapsed; NULL when absent") {
+    import spark.implicits._
+    val df = Seq(
+      "<head><title> Hello &amp;  World </title></head>",
+      "<head></head>").toDF("h")
+    val got = df.select(Html.extractTitle(col("h"))).collect()
+    assert(got(0).getString(0) == "Hello & World")
+    assert(got(1).isNullAt(0))
+  }
+
+  test("extractLinks: double- and single-quoted hrefs, any attribute order") {
+    import spark.implicits._
+    val html = "<a class=\"x\" href=\"https://a.com/1\">A</a>" +
+      "<a href='https://b.com/2' rel='nofollow'>B</a>" +
+      "<a name=\"no-href\">C</a>"
+    val got = Seq(html).toDF("h")
+      .select(Html.extractLinks(col("h"))).head.getSeq[String](0)
+    assert(got == Seq("https://a.com/1", "https://b.com/2"))
+  }
+
+  test("linkGraph: relative/mailto hrefs have no host and are dropped; counts aggregate") {
+    import spark.implicits._
+    val html = "<a href=\"https://X.com/1\">u</a><a href=\"/rel\">r</a>" +
+      "<a href=\"mailto:a@b.c\">m</a><a href=\"https://x.com/2\">l</a>"
+    val got = Html.linkGraph(
+      Seq(("h0", html)).toDF("src_host", "html"), "src_host", "html")
+      .collect()
+    // hostOf lowercases, so X.com and x.com aggregate to one edge of 2
+    assert(got.length == 1)
+    assert(got.head.getString(0) == "h0" && got.head.getString(1) == "x.com"
+      && got.head.getLong(2) == 2L)
+  }
+
+  test("WARC → htmlToText end-to-end: crawl records carry HTML payloads into the text plane") {
+    import graft.functions.WarcKernel
+    val page = "<html><head><title>T</title></head><body><p>hello crawl</p></body></html>"
+    val file = WarcKernel.encodeRecord("http://ex.org/p", "2024-01-01T00:00:00Z", page)
+    import spark.implicits._
+    val df = Seq((1, file)).toDF("fid", "bytes")
+    val got = graft.sources.Sources.warcRecords(df, "bytes", Seq("fid"))
+      .select(col("target_uri"),
+        Html.htmlToText(col("payload").cast("string")).as("text"))
+      .head()
+    assert(got.getString(0) == "http://ex.org/p" && got.getString(1) == "hello crawl")
+  }
+
+  test("anchors: href and text stay PAIRED across hrefless anchors; nested tags and entities handled") {
+    import spark.implicits._
+    val html = "<a name=\"x\">no href</a>" +
+      "<a href=\"https://a.com/1\"><b>bold</b> &amp; text</a>" +
+      "<a href='https://b.com/2'> spaced </a>"
+    val got = Seq(html).toDF("h").select(graft.ops.Html.anchors(col("h")))
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    assert(got.size == 3)
+    assert(got(0).isNullAt(0) && got(0).getString(1) == "no href")
+    assert(got(1).getString(0) == "https://a.com/1" &&
+      got(1).getString(1) == "bold & text")
+    assert(got(2).getString(0) == "https://b.com/2" &&
+      got(2).getString(1) == "spaced")
+  }
+
+  test("anchorTextStats: aggregates by target host, distinct-sorted texts, drops hostless/empty") {
+    import spark.implicits._
+    val pages = Seq(
+      "<a href=\"https://t.com/1\">beta</a><a href=\"https://t.com/2\">alpha</a>",
+      "<a href=\"https://t.com/3\">beta</a><a href=\"/rel\">rel</a>" +
+        "<a href=\"https://u.com/\"><img src=\"i\"/></a>").toDF("html")
+    val got = graft.ops.Html.anchorTextStats(pages, "html")
+      .orderBy("dst_host").collect()
+    // u.com's anchor text is empty after tag-strip → dropped entirely
+    assert(got.length == 1)
+    assert(got(0).getString(0) == "t.com" && got(0).getLong(1) == 3L &&
+      got(0).getString(2) == "alpha|beta")
+  }
+
+  // ---- WebGraph.pageRank ------------------------------------------------
+
+  /** Reference integer PageRank on a tiny adjacency map — the same
+    * recurrence as the operator, driver-side, for an exact compare.
+    */
+  private def refRanks(edges: Seq[(String, String)], iters: Int): Map[String, Long] = {
+    val e = edges.distinct
+    val nodes = e.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+    val out = e.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val scale = 1000000000000L
+    val r0 = scale / nodes.size
+    val base = 15L * r0 / 100L
+    var r = nodes.map(_ -> r0).toMap
+    for (_ <- 1 to iters) {
+      val inflow = e.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(t => r(t._1) / out(t._1)).sum
+      }
+      r = nodes.map(n => n -> (base + 85L * inflow.getOrElse(n, 0L) / 100L)).toMap
+    }
+    r
+  }
+
+  test("pageRank matches the exact integer recurrence on a hand graph (dangling node included)") {
+    import spark.implicits._
+    // d is dangling (no out-edges); c is a sink every node points to
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("b", "d"))
+    val got = WebGraph.pageRank(edges.toDF("s", "d"), "s", "d", iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == refRanks(edges, 5))
+    // the heavily-linked sink outranks the dangling leaf
+    assert(got("c") > got("d"))
+  }
+
+  test("pageRank: duplicate edge rows collapse (distinct), empty graph rejects") {
+    import spark.implicits._
+    val dup = Seq(("a", "b"), ("a", "b"), ("b", "a")).toDF("s", "d")
+    val got = WebGraph.pageRank(dup, "s", "d", iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == refRanks(Seq(("a", "b"), ("b", "a")), 3))
+    intercept[IllegalArgumentException] {
+      WebGraph.pageRank(Seq.empty[(String, String)].toDF("s", "d"), "s", "d")
+    }
+  }
+
+  test("hostQualityPrior: left join keeps unknown-host docs with NULL rank") {
+    import spark.implicits._
+    val ranks = Seq(("a.com", 10L), ("b.com", 20L)).toDF("node", "rank")
+    val docs = Seq((1L, "a.com"), (2L, "nowhere.org")).toDF("doc_id", "host")
+    val got = WebGraph.hostQualityPrior(docs, "host", ranks)
+      .orderBy("doc_id").collect()
+    assert(got(0).getLong(2) == 10L && got(1).isNullAt(2))
+  }
+
+  // ---- ORC round-trip ---------------------------------------------------
+
+  test("ORC write/read round-trips values and schema; .orc extension dispatches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc-spec").toFile
+    try {
+      val src = Seq((1L, "a", 1.5, java.sql.Date.valueOf("2024-02-29")),
+        (2L, null, -0.25, null))
+        .toDF("id", "s", "v", "d")
+      graft.sources.Sources.writeOrc(src.coalesce(1), dir.getAbsolutePath)
+      val back = graft.sources.Sources.orc(spark, dir.getAbsolutePath)
+      // file sources read back nullable — compare names and types
+      assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        src.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+      assert(back.orderBy("id").collect().toSeq ==
+        src.orderBy("id").collect().toSeq)
+      // extension dispatch routes a .orc file path to the ORC reader
+      val orcFile = dir.listFiles().filter(_.getName.endsWith(".orc")).head
+      val viaResolve = graft.sources.Sources
+        .resolve(spark, orcFile.getAbsolutePath, null)
+      assert(viaResolve.count() == 2)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+}

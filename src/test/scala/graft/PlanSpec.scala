@@ -427,4 +427,35 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("WholeStageCodegen") || plan.matches("(?s).*\\*\\(\\d+\\) Project.*"),
       plan)
   }
+
+  test("q143: html extraction is a pure codegen projection — zero hash shuffles") {
+    val plan = executedPlan("q143_html_extract")
+    // the only exchange is the result sort's range partitioning
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"html→text must be per-row projection work only\n$plan")
+    // the whole chain is regexp_replace built-ins inside one Project —
+    // codegen-eligible by construction (no UDF, no generator)
+    assert(plan.contains("Project") && !plan.toLowerCase.contains("batchevalpython")
+      && !plan.contains("ScalaUDF"), plan)
+  }
+
+  test("q144: the HTML column never crosses a shuffle — only host pairs do") {
+    val plan = formatted("q144_link_graph")
+    val exchangeInputs =
+      "(?s)\\(\\d+\\) Exchange.*?Input \\[\\d+\\]: \\[([^\\]]*)\\]".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exchangeInputs.nonEmpty, s"expected exchanges in the plan\n$plan")
+    exchangeInputs.foreach { in =>
+      assert(!in.contains("html#") && !in.contains("text#"),
+        s"HTML/text must die in the projection, not cross a shuffle: [$in]\n$plan")
+    }
+  }
+
+  test("q145: pageRank result plan is O(1) deep — iterations are checkpointed, not stacked") {
+    val plan = executedPlan("q145_pagerank")
+    assert(plan.contains("ExistingRDD"),
+      s"final ranks must scan the checkpointed frame, not replay 8 join towers\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"no join may survive into the final plan\n$plan")
+  }
 }

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Robots
+
+class RobotsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def rules(content: String) = {
+    import spark.implicits._
+    Robots.robotsRules(Seq(("h", content)).toDF("host", "robots"),
+      "host", "robots")
+      .select("agent", "directive", "value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+  }
+
+  test("group binding: rules attach to their User-agent run; runs do not leak") {
+    val got = rules(
+      "User-agent: A\nDisallow: /a\n" +
+        "User-agent: B\nUser-agent: C\nDisallow: /bc\nAllow: /bc/ok\n")
+    assert(got == Set(
+      ("a", "disallow", "/a"),
+      ("b", "disallow", "/bc"), ("c", "disallow", "/bc"),
+      ("b", "allow", "/bc/ok"), ("c", "allow", "/bc/ok")))
+  }
+
+  test("rules before any User-agent line are invalid and dropped; unknown keys and comments ignored") {
+    val got = rules(
+      "Disallow: /orphan\n# comment\nNoise: x\n" +
+        "User-agent: a\nDisallow: /kept # trailing comment\n\n")
+    assert(got == Set(("a", "disallow", "/kept")))
+  }
+
+  test("sitemap is group-independent with NULL agent; agent case-folds") {
+    import spark.implicits._
+    val df = Robots.robotsRules(
+      Seq(("h", "Sitemap: https://h/s.xml\nUser-Agent: MixedBot\nDisallow: /x"))
+        .toDF("host", "robots"), "host", "robots")
+    val site = df.filter(col("directive") === "sitemap").head()
+    assert(site.isNullAt(df.columns.indexOf("agent")) &&
+      site.getAs[String]("value") == "https://h/s.xml")
+    assert(df.filter(col("directive") === "disallow").head()
+      .getAs[String]("agent") == "mixedbot")
+  }
+
+  private def verdict(robots: String, path: String, agent: String) = {
+    import spark.implicits._
+    val r = Robots.robotsRules(
+      Seq(("h", robots)).toDF("host", "robots"), "host", "robots")
+    val urls = Seq((1L, "h", path)).toDF("id", "host", "path")
+    val row = Robots.urlAllowed(urls, "id", "host", "path", r, "host", agent)
+      .select("allowed", "matched_rule", "agent_used").head()
+    (row.getBoolean(0), Option(row.getString(1)), Option(row.getString(2)))
+  }
+
+  test("urlAllowed: longest match wins, Allow wins ties, default allow") {
+    val r = "User-agent: *\nDisallow: /p\nAllow: /p/ok\n"
+    assert(verdict(r, "/p/no", "bot") == (false, Some("/p"), Some("*")))
+    assert(verdict(r, "/p/ok/deep", "bot") == (true, Some("/p/ok"), Some("*")))
+    assert(verdict(r, "/elsewhere", "bot") == (true, None, None))
+    // equal length: Allow beats Disallow (RFC 9309 §2.2.2)
+    val tie = "User-agent: *\nDisallow: /ab\nAllow: /ab\n"
+    assert(verdict(tie, "/ab/x", "bot")._1)
+  }
+
+  test("urlAllowed: a specific agent group shadows * entirely") {
+    val r = "User-agent: *\nDisallow: /\nUser-agent: me\nAllow: /\n"
+    assert(verdict(r, "/anything", "ME") == (true, Some("/"), Some("me")))
+    assert(verdict(r, "/anything", "other")._1 == false)
+  }
+
+  test("urlAllowed: $ anchors exactly, * wildcards, LIKE specials stay literal") {
+    val r = "User-agent: *\nDisallow: /exact$\nDisallow: /a*z\nDisallow: /pct%lit\n"
+    assert(verdict(r, "/exact", "b")._1 == false)
+    assert(verdict(r, "/exact/more", "b")._1 == true, "$ must not prefix-match")
+    assert(verdict(r, "/a-middle-z", "b")._1 == false, "* spans")
+    assert(verdict(r, "/a-middle-zz", "b")._1 == false, "* rule is still a prefix rule")
+    assert(verdict(r, "/pct%lit", "b")._1 == false)
+    assert(verdict(r, "/pctXlit", "b")._1 == true,
+      "% in a rule must be literal, not a LIKE wildcard")
+  }
+
+  test("urlAllowed: host with no rules at all defaults to allow (left join)") {
+    import spark.implicits._
+    val r = Robots.robotsRules(
+      Seq(("other", "User-agent: *\nDisallow: /")).toDF("host", "robots"),
+      "host", "robots")
+    val urls = Seq((1L, "bare", "/x")).toDF("id", "host", "path")
+    val got = Robots.urlAllowed(urls, "id", "host", "path", r, "host", "b").head()
+    assert(got.getAs[Boolean]("allowed"))
+  }
+}
