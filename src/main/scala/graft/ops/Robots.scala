@@ -121,22 +121,32 @@ object Robots {
     * @param agent    crawler product token, matched lowercase-exact
     * @return urls columns + (agent_used, matched_rule, allowed)
     */
+  /** RFC 9309 group selection: the agent's own group shadows `*`
+    * entirely. Returns (__rhost, agent_used, directive, value) for the
+    * winning group's rules only — shared by [[urlAllowed]] and
+    * [[fetchSchedule]] so verdicts and politeness can never disagree
+    * about which group governs a host.
+    */
+  private def selectedRules(rules: DataFrame, rulesHostCol: String,
+                            agent: Column): DataFrame = {
+    val wHost = Window.partitionBy("__rhost")
+    rules
+      .filter(col("agent") === agent || col("agent") === "*")
+      .withColumnRenamed(rulesHostCol, "__rhost")
+      .withColumn("__hasSpecific",
+        max((col("agent") === agent).cast("int")).over(wHost))
+      .filter((col("agent") === agent) === (col("__hasSpecific") === 1))
+      .select(col("__rhost"), col("agent").as("agent_used"),
+        col("directive"), col("value"))
+  }
+
   def urlAllowed(urls: DataFrame, idCol: String, hostCol: String,
                  pathCol: String, rules: DataFrame, rulesHostCol: String,
                  agent: String): DataFrame = {
     val a = lower(lit(agent))
-    val pathRules = rules
-      .filter(col("directive").isin("allow", "disallow") &&
-        (col("agent") === a || col("agent") === "*"))
-      .withColumnRenamed(rulesHostCol, "__rhost")
-    // group selection: the agent's own group shadows `*` entirely
-    val wHost = Window.partitionBy("__rhost")
-    val selected = pathRules
-      .withColumn("__hasSpecific",
-        max((col("agent") === a).cast("int")).over(wHost))
-      .filter((col("agent") === a) === (col("__hasSpecific") === 1))
-      .select(col("__rhost"), col("agent").as("agent_used"),
-        col("directive"), col("value"), likePattern(col("value")).as("__pat"))
+    val selected = selectedRules(rules, rulesHostCol, a)
+      .filter(col("directive").isin("allow", "disallow"))
+      .withColumn("__pat", likePattern(col("value")))
 
     val matches = urls
       .join(selected, urls(hostCol) === selected("__rhost"))
@@ -152,5 +162,39 @@ object Robots {
         (col("directive") === "allow").as("allowed"))
     urls.join(winners, Seq(idCol), "left")
       .withColumn("allowed", coalesce(col("allowed"), lit(true)))
+  }
+
+  /** Politeness schedule: [[urlAllowed]] survivors slotted per host at
+    * the governing group's `Crawl-delay` (the de-facto extension most
+    * crawlers honor; `defaultDelaySec` when the group sets none — also
+    * the value robots-less hosts get). Deterministic: slots are
+    * assigned in (path, id) order within each host, `fetch_at_s` =
+    * slot × delay. One window per host over the skinny URL frame —
+    * the frontier-sharding shape: a host's queue lives in one
+    * partition, hosts spread across the cluster.
+    *
+    * @return urls columns + (agent_used, matched_rule, allowed=true,
+    *         delay_s, slot, fetch_at_s) — disallowed URLs are dropped,
+    *         not scheduled.
+    */
+  def fetchSchedule(urls: DataFrame, idCol: String, hostCol: String,
+                    pathCol: String, rules: DataFrame, rulesHostCol: String,
+                    agent: String, defaultDelaySec: Int = 0): DataFrame = {
+    val a = lower(lit(agent))
+    val delays = selectedRules(rules, rulesHostCol, a)
+      .filter(col("directive") === "crawl-delay")
+      .groupBy("__rhost")
+      // min: the conservative read when a group repeats the directive
+      .agg(min(col("value").cast("int")).as("__delay"))
+    val allowed = urlAllowed(urls, idCol, hostCol, pathCol,
+      rules, rulesHostCol, agent).filter(col("allowed"))
+    val wHost = Window.partitionBy(hostCol).orderBy(pathCol, idCol)
+    allowed
+      .join(delays, allowed(hostCol) === delays("__rhost"), "left")
+      .withColumn("delay_s",
+        coalesce(col("__delay"), lit(defaultDelaySec)).cast("long"))
+      .withColumn("slot", (row_number().over(wHost) - 1).cast("long"))
+      .withColumn("fetch_at_s", col("slot") * col("delay_s"))
+      .drop("__rhost", "__delay")
   }
 }

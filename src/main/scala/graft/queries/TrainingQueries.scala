@@ -480,6 +480,34 @@ object TrainingQueries {
   private def hostUnique = concat(lit("h"), col("doc_id").cast("string"),
     lit(".example.org"))
 
+  /** q143/q151 shared oracle prefix: the expected extracted text built
+    * from the [[htmlFixture]] planted pieces, normalized by the
+    * IDENTICAL collapse-chain regexes ([[Html.collapseWs]] spelling).
+    * One spelling — the composed crawl query cannot drift from the
+    * standalone extraction query.
+    */
+  private val htmlTextCtes: String = """WITH raw AS (
+             |  SELECT doc_id,
+             |    'Heading ' || CAST(doc_id % 50 AS VARCHAR) || chr(10) ||
+             |    substr(text, 1, 60) || ' & tail <raw>' || chr(10) ||
+             |    substr(text, 61) || ' with link zero' ||
+             |    CASE WHEN doc_id % 3 != 0 THEN ' link one' ELSE '' END
+             |      || chr(10) ||
+             |    CASE WHEN doc_id % 4 = 0
+             |         THEN 'alpha' || chr(10) || 'beta ' ||
+             |              CAST(doc_id % 9 AS VARCHAR) || chr(10)
+             |         ELSE '' END ||
+             |    '"q" ' || chr(39) || 'a' || chr(39) || ' end ' ||
+             |    CAST(doc_id % 7 AS VARCHAR) AS rawtext
+             |  FROM documents
+             |), x AS (
+             |  SELECT doc_id,
+             |    regexp_replace(regexp_replace(regexp_replace(rawtext,
+             |      '[ \t\r\f]+', ' ', 'g'), '\s*\n\s*', chr(10), 'g'),
+             |      '^\s+|\s+$', '', 'g') AS text
+             |  FROM raw
+             |)""".stripMargin
+
   val all: Seq[QuerySpec] = Seq(
 
     // ------------------------------------------------------------------
@@ -3633,27 +3661,7 @@ object TrainingQueries {
             length(col("text")).cast("long").as("n_chars"))
           .orderBy("doc_id")
       },
-      Some("""WITH raw AS (
-             |  SELECT doc_id,
-             |    'Heading ' || CAST(doc_id % 50 AS VARCHAR) || chr(10) ||
-             |    substr(text, 1, 60) || ' & tail <raw>' || chr(10) ||
-             |    substr(text, 61) || ' with link zero' ||
-             |    CASE WHEN doc_id % 3 != 0 THEN ' link one' ELSE '' END
-             |      || chr(10) ||
-             |    CASE WHEN doc_id % 4 = 0
-             |         THEN 'alpha' || chr(10) || 'beta ' ||
-             |              CAST(doc_id % 9 AS VARCHAR) || chr(10)
-             |         ELSE '' END ||
-             |    '"q" ' || chr(39) || 'a' || chr(39) || ' end ' ||
-             |    CAST(doc_id % 7 AS VARCHAR) AS rawtext
-             |  FROM documents
-             |), x AS (
-             |  SELECT doc_id,
-             |    regexp_replace(regexp_replace(regexp_replace(rawtext,
-             |      '[ \t\r\f]+', ' ', 'g'), '\s*\n\s*', chr(10), 'g'),
-             |      '^\s+|\s+$', '', 'g') AS text
-             |  FROM raw
-             |)
+      Some(htmlTextCtes + """
              |SELECT doc_id,
              |  'Doc ' || CAST(doc_id AS VARCHAR) || ' & co' AS title,
              |  text,
@@ -3871,6 +3879,97 @@ object TrainingQueries {
              |FROM documents d LEFT JOIN r8
              |  ON r8.node = 'h' || CAST(d.doc_id % 97 AS VARCHAR) ||
              |     '.example.org'
-             |ORDER BY d.doc_id""".stripMargin))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Crawl → corpus, end to end in ONE plan (the q125 composition
+    // pattern for the web front end): docs become HTML pages inside
+    // WARC response records, records concatenate into multi-record
+    // crawl files, the strict ISO 28500 walk parses them back, and the
+    // q143 extraction chain turns payloads into (uri, host, title,
+    // text, token-count) corpus rows — WARC framing, byte/char
+    // handling, head-drop, entity decode and whitespace collapse all
+    // load-bearing in one oracle. Every stage reuses the spelling its
+    // standalone query certifies (q139 framing, q143 extraction, q21
+    // token count).
+    QuerySpec(
+      "q151_crawl_to_corpus",
+      (s, dir) => {
+        import graft.functions.ArrayMath
+        val docs = Tables.documents(s, dir)
+        val recs = docs.select((col("doc_id") % 16).as("file_id"),
+          col("doc_id"),
+          ArrayMath.warcRecordBytes(
+            concat(lit("https://"), host97, lit("/p/"),
+              col("doc_id").cast("string")),
+            lit("2024-02-02T00:00:00Z"),
+            htmlFixture).cast("string").as("rec"))
+        val files = recs.groupBy("file_id")
+          .agg(array_join(
+            transform(array_sort(collect_list(struct(col("doc_id"),
+              col("rec")))), x => x.getField("rec")), "")
+            .cast("binary").as("bytes"))
+        val parsed = graft.sources.Sources.warcRecords(files, "bytes")
+        parsed
+          .select(col("target_uri"),
+            graft.ops.UrlOps.hostOf(col("target_uri")).as("host"),
+            Html.extractTitle(col("payload").cast("string")).as("title"),
+            Html.htmlToText(col("payload").cast("string")).as("text"))
+          .select(col("target_uri"), col("host"), col("title"), col("text"),
+            TextOps.tokenCount(col("text")).as("n_tokens"))
+          .orderBy("target_uri")
+      },
+      Some(htmlTextCtes + """
+             |SELECT 'https://h' || CAST(doc_id % 97 AS VARCHAR) ||
+             |    '.example.org/p/' || CAST(doc_id AS VARCHAR)
+             |    AS target_uri,
+             |  'h' || CAST(doc_id % 97 AS VARCHAR) || '.example.org'
+             |    AS host,
+             |  'Doc ' || CAST(doc_id AS VARCHAR) || ' & co' AS title,
+             |  text,
+             |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             |    AS n_tokens
+             |FROM x ORDER BY target_uri""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Politeness fetch schedule (Robots.fetchSchedule — the frontier
+    // step after verdicts): urlAllowed survivors slotted per host at
+    // the GOVERNING group's Crawl-delay (group selection shared with
+    // urlAllowed — verdicts and politeness cannot disagree), default
+    // delay when the group sets none. Three planted URLs per host —
+    // two allowed, one disallowed under BOTH groups — so the oracle
+    // replays slots 0..1 and fetch_at = slot × (even: planted delay,
+    // odd: the default 5; the `*` group sets no Crawl-delay).
+    QuerySpec(
+      "q152_fetch_schedule",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val rules = Robots.robotsRules(
+          docs.select(hostUnique.as("host"), robotsFixture.as("robots")),
+          "host", "robots")
+        val urls = docs
+          .select(col("doc_id"), hostUnique.as("host"),
+            explode(array(lit(0), lit(1), lit(2))).as("j"))
+          .select((col("doc_id") * 4 + col("j")).as("uid"), col("doc_id"),
+            col("host"),
+            when(col("j") < 2, concat(lit("/ok/a"), col("j").cast("string")))
+              .otherwise(lit("/private/x")).as("path"))
+        Robots.fetchSchedule(urls, "uid", "host", "path",
+            rules, "host", "GraftBot", defaultDelaySec = 5)
+          .select(col("doc_id"), col("host"), col("path"),
+            col("delay_s"), col("slot"), col("fetch_at_s"))
+          .orderBy("doc_id", "slot")
+      },
+      Some("""WITH j AS (SELECT 0 AS j UNION ALL SELECT 1)
+             |SELECT doc_id,
+             |  'h' || CAST(doc_id AS VARCHAR) || '.example.org' AS host,
+             |  '/ok/a' || CAST(j AS VARCHAR) AS path,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 7 + 1
+             |       ELSE 5 END AS BIGINT) AS delay_s,
+             |  CAST(j AS BIGINT) AS slot,
+             |  CAST(j * (CASE WHEN doc_id % 2 = 0 THEN doc_id % 7 + 1
+             |       ELSE 5 END) AS BIGINT) AS fetch_at_s
+             |FROM documents, j
+             |ORDER BY doc_id, slot""".stripMargin))
   )
 }

@@ -91,4 +91,37 @@ class RobotsSpec extends AnyFunSuite {
     val got = Robots.urlAllowed(urls, "id", "host", "path", r, "host", "b").head()
     assert(got.getAs[Boolean]("allowed"))
   }
+
+  test("fetchSchedule: disallowed URLs unscheduled; delay from the governing group; default elsewhere") {
+    import spark.implicits._
+    val r = Robots.robotsRules(Seq(
+      ("slow", "User-agent: me\nCrawl-delay: 7\nDisallow: /no\n"),
+      ("plain", "User-agent: *\nDisallow: /no\n")).toDF("host", "robots"),
+      "host", "robots")
+    val urls = Seq(
+      (1L, "slow", "/a"), (2L, "slow", "/b"), (3L, "slow", "/no/x"),
+      (4L, "plain", "/a"), (5L, "bare", "/a")).toDF("id", "host", "path")
+    val got = Robots.fetchSchedule(urls, "id", "host", "path", r, "host",
+        "ME", defaultDelaySec = 2)
+      .select("id", "delay_s", "slot", "fetch_at_s").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(!got.contains(3L), "disallowed URL must not be scheduled")
+    assert(got(1L) == ((7L, 0L, 0L)) && got(2L) == ((7L, 1L, 7L)),
+      "slots spaced by the specific group's Crawl-delay")
+    assert(got(4L) == ((2L, 0L, 0L)), "no Crawl-delay in group → default")
+    assert(got(5L) == ((2L, 0L, 0L)), "robots-less host → default delay")
+  }
+
+  test("fetchSchedule: a specific group with ONLY Crawl-delay still governs — paths all allowed, delay applies") {
+    import spark.implicits._
+    val r = Robots.robotsRules(Seq(
+      ("h", "User-agent: *\nDisallow: /\nUser-agent: me\nCrawl-delay: 3\n"))
+      .toDF("host", "robots"), "host", "robots")
+    val urls = Seq((1L, "h", "/x"), (2L, "h", "/y")).toDF("id", "host", "path")
+    val got = Robots.fetchSchedule(urls, "id", "host", "path", r, "host", "me")
+      .orderBy("slot").collect()
+    assert(got.length == 2, "the * Disallow:/ must be shadowed away")
+    assert(got.map(_.getAs[Long]("fetch_at_s")).toSeq == Seq(0L, 3L))
+  }
 }
