@@ -88,6 +88,40 @@ object Robots {
     bound.unionByName(sitemaps)
   }
 
+  /** Sitemap entries (sitemaps.org 0.9 — the discovery channel the
+    * robots.txt `Sitemap:` directive points at): one row per
+    * `<url>`/`<sitemap>` block with `<loc>` (whitespace-trimmed,
+    * XML-entity-decoded — URLs legally carry `&amp;`) and optional
+    * `<lastmod>` kept PAIRED via per-block transform (the
+    * [[Html.anchors]] recipe: independent extract_all passes misalign
+    * when a block omits lastmod). Blocks without a `<loc>` are invalid
+    * and dropped. Works for both urlset and sitemapindex documents.
+    *
+    * @return (keep..., entry_idx, loc, lastmod) — lastmod NULL when
+    *         absent.
+    */
+  def sitemapEntries(df: DataFrame, xmlCol: String,
+                     keepCols: Seq[String] = Nil): DataFrame = {
+    val blocks = regexp_extract_all(col(xmlCol),
+      lit("(?is)<(?:url|sitemap)>.*?</(?:url|sitemap)>"), lit(0))
+    val entries = transform(blocks, b => {
+      val loc = regexp_extract(b, "(?is)<loc>\\s*(.*?)\\s*</loc>", 1)
+      val lastmod = regexp_extract(b, "(?is)<lastmod>\\s*(.*?)\\s*</lastmod>", 1)
+      struct(
+        when(loc === "", lit(null)).otherwise(
+          // XML entity decode, &amp; last (the Html.entities order)
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(loc, "&lt;", "<"), "&gt;", ">"),
+            "&quot;", "\""), "&#39;", "'"), "&amp;", "&")).as("loc"),
+        when(lastmod === "", lit(null)).otherwise(lastmod).as("lastmod"))
+    })
+    val keep = keepCols.map(col)
+    df.select(keep :+ posexplode(entries).as(Seq("entry_idx", "__e")): _*)
+      .filter(col("__e.loc").isNotNull)
+      .select(keep ++ Seq(col("entry_idx"), col("__e.loc").as("loc"),
+        col("__e.lastmod").as("lastmod")): _*)
+  }
+
   /** RFC 9309 rule pattern → LIKE pattern: strip one trailing `$`
     * anchor (exact match — no trailing `%`), escape LIKE specials,
     * `*` → `%`. Both engines default the LIKE escape char to `\`.

@@ -480,6 +480,30 @@ object TrainingQueries {
   private def hostUnique = concat(lit("h"), col("doc_id").cast("string"),
     lit(".example.org"))
 
+  /** q153 planted sitemap XML: an entity-bearing loc with lastmod, a
+    * whitespace-padded loc without one, a loc-less INVALID block on
+    * even ids (must drop, leaving an entry_idx gap — position is
+    * source-block position), a conditional third entry on id%3=0.
+    */
+  private def sitemapFixture = concat(
+    lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+      "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+      "<url><loc>https://h"),
+    (col("doc_id") % 97).cast("string"), lit(".example.org/p/"),
+    col("doc_id").cast("string"),
+    lit("?a=1&amp;b=2</loc><lastmod>2024-01-"),
+    lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+    lit("</lastmod></url>\n<url><loc>  https://h"),
+    (col("doc_id") % 97).cast("string"), lit(".example.org/q/"),
+    col("doc_id").cast("string"), lit("  </loc></url>\n"),
+    when(col("doc_id") % 2 === 0,
+      lit("<url><lastmod>2024-02-01</lastmod></url>\n")).otherwise(lit("")),
+    when(col("doc_id") % 3 === 0,
+      concat(lit("<url><loc>https://other.example/"),
+        col("doc_id").cast("string"), lit("</loc></url>\n")))
+      .otherwise(lit("")),
+    lit("</urlset>"))
+
   /** q143/q151 shared oracle prefix: the expected extracted text built
     * from the [[htmlFixture]] planted pieces, normalized by the
     * IDENTICAL collapse-chain regexes ([[Html.collapseWs]] spelling).
@@ -3970,6 +3994,47 @@ object TrainingQueries {
              |  CAST(j * (CASE WHEN doc_id % 2 = 0 THEN doc_id % 7 + 1
              |       ELSE 5 END) AS BIGINT) AS fetch_at_s
              |FROM documents, j
-             |ORDER BY doc_id, slot""".stripMargin))
+             |ORDER BY doc_id, slot""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Sitemap parsing (Robots.sitemapEntries, sitemaps.org 0.9 — the
+    // discovery channel robots.txt's `Sitemap:` directive points at):
+    // per-block transform keeps loc and lastmod PAIRED (the q149 anchors
+    // recipe), loc is trimmed and XML-entity-decoded (&amp; in URLs),
+    // loc-less blocks are invalid and DROP leaving an entry_idx gap
+    // (position = source-block position). The oracle replays every row
+    // — entities, padding, the gap, the conditional entry — from
+    // planted arithmetic.
+    QuerySpec(
+      "q153_sitemap_entries",
+      (s, dir) => {
+        val maps = Tables.documents(s, dir)
+          .select(col("doc_id"), sitemapFixture.as("xml"))
+        Robots.sitemapEntries(maps, "xml", keepCols = Seq("doc_id"))
+          .select(col("doc_id"), col("entry_idx").cast("long").as("entry_idx"),
+            col("loc"), col("lastmod"))
+          .orderBy("doc_id", "entry_idx")
+      },
+      Some("""WITH r AS (
+             |  SELECT doc_id, 0 AS entry_idx,
+             |    'https://h' || CAST(doc_id % 97 AS VARCHAR) ||
+             |      '.example.org/p/' || CAST(doc_id AS VARCHAR) ||
+             |      '?a=1&b=2' AS loc,
+             |    '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+             |      AS lastmod
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT doc_id, 1,
+             |    'https://h' || CAST(doc_id % 97 AS VARCHAR) ||
+             |      '.example.org/q/' || CAST(doc_id AS VARCHAR), NULL
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END,
+             |    'https://other.example/' || CAST(doc_id AS VARCHAR), NULL
+             |  FROM documents WHERE doc_id % 3 = 0
+             |)
+             |SELECT doc_id, CAST(entry_idx AS BIGINT) AS entry_idx, loc,
+             |       lastmod
+             |FROM r ORDER BY doc_id, entry_idx""".stripMargin))
   )
 }

@@ -127,6 +127,42 @@ class HtmlSpec extends AnyFunSuite {
       got(0).getString(2) == "alpha|beta")
   }
 
+  test("streaming crawl → corpus: WARC stream through htmlToText, unchanged plan") {
+    import graft.functions.WarcKernel
+    import org.apache.spark.sql.functions.{col => c}
+    val dir = java.nio.file.Files.createTempDirectory("graft-html-stream")
+    try {
+      val page = (n: Int) =>
+        s"<html><head><title>T$n</title></head><body><p>page $n</p></body></html>"
+      java.nio.file.Files.write(dir.resolve("a.warc"),
+        WarcKernel.encodeRecord("http://s/1", "2024-01-01T00:00:00Z", page(1)) ++
+          WarcKernel.encodeRecord("http://s/2", "2024-01-01T00:00:00Z", page(2)))
+      // the extraction chain is stateless regexp projections, so the
+      // batch-certified plan runs under Structured Streaming unchanged —
+      // the continuous-crawl ingest shape
+      val stream = spark.readStream
+        .format("binaryFile")
+        .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+        .load(dir.toString)
+        .select(c("path"), c("content"))
+      val q = graft.sources.Sources.warcRecords(stream, "content")
+        .select(c("target_uri"),
+          graft.ops.Html.extractTitle(c("payload").cast("string")).as("title"),
+          graft.ops.Html.htmlToText(c("payload").cast("string")).as("text"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("html_stream")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      val got = spark.table("html_stream").orderBy("target_uri").collect()
+      assert(got.map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .toSeq == Seq(("http://s/1", "T1", "page 1"),
+          ("http://s/2", "T2", "page 2")))
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
+    }
+  }
+
   // ---- WebGraph.pageRank ------------------------------------------------
 
   /** Reference integer PageRank on a tiny adjacency map — the same

@@ -124,4 +124,20 @@ class RobotsSpec extends AnyFunSuite {
     assert(got.length == 2, "the * Disallow:/ must be shadowed away")
     assert(got.map(_.getAs[Long]("fetch_at_s")).toSeq == Seq(0L, 3L))
   }
+
+  test("sitemapEntries: sitemapindex docs parse; loc-less blocks drop; non-XML yields no rows") {
+    import spark.implicits._
+    val idx = """<?xml version="1.0"?><sitemapindex>
+      <sitemap><loc>https://h/s1.xml</loc><lastmod>2024-03-01</lastmod></sitemap>
+      <sitemap><lastmod>2024-03-02</lastmod></sitemap>
+      <sitemap><loc>https://h/s2.xml</loc></sitemap>
+      </sitemapindex>"""
+    val df = Seq((1L, idx), (2L, "not xml at all")).toDF("id", "xml")
+    val got = Robots.sitemapEntries(df, "xml", keepCols = Seq("id"))
+      .orderBy("entry_idx").collect()
+    assert(got.map(_.getLong(0)).toSet == Set(1L), "non-XML doc contributes no rows")
+    assert(got.map(r => (r.getInt(1), r.getString(2), r.getString(3))).toSeq ==
+      Seq((0, "https://h/s1.xml", "2024-03-01"), (2, "https://h/s2.xml", null)),
+      "loc-less block drops, leaving the entry_idx gap")
+  }
 }
