@@ -96,16 +96,25 @@ object Html {
     when(raw === "", lit(null)).otherwise(collapseWs(decodeEntities(raw)))
   }
 
-  private val hrefDq = "(?is)<a\\b[^>]*href\\s*=\\s*\"([^\"]*)\""
-  private val hrefSq = "(?is)<a\\b[^>]*href\\s*=\\s*'([^']*)'"
+  // `\shref` requires the REAL attribute: `data-href`/`xlink:href`
+  // (attribute names merely ending in "href") have no whitespace
+  // immediately before the h and must not produce phantom links
+  private val hrefDq = "(?is)<a\\b[^>]*\\shref\\s*=\\s*\"([^\"]*)\""
+  private val hrefSq = "(?is)<a\\b[^>]*\\shref\\s*=\\s*'([^']*)'"
 
-  /** All anchor `href` values, document order, double-quoted values
-    * first then single-quoted (two RE2-safe passes — a combined
-    * pattern needs a backreference on the quote character).
+  /** All anchor `href` values, HTML-entity-DECODED (valid HTML encodes
+    * query-string ampersands as `&amp;` — fetch URLs and joins against
+    * [[Robots.sitemapEntries]] output need the decoded spelling).
+    * Ordering is all double-quoted values then all single-quoted (two
+    * RE2-safe passes — a combined pattern needs a backreference on the
+    * quote character); use [[anchors]] when true document order
+    * matters.
     */
   def extractLinks(html: Column): Column =
-    concat(regexp_extract_all(html, lit(hrefDq), lit(1)),
-      regexp_extract_all(html, lit(hrefSq), lit(1)))
+    transform(
+      concat(regexp_extract_all(html, lit(hrefDq), lit(1)),
+        regexp_extract_all(html, lit(hrefSq), lit(1))),
+      h => decodeEntities(h))
 
   /** All anchor elements as (href, text) structs, document order:
     * whole `<a …>…</a>` elements extracted first, then href (either
@@ -122,7 +131,8 @@ object Html {
       val sq = regexp_extract(e, hrefSq, 1)
       val inner = regexp_extract(e, "(?is)^<a\\b[^>]*>(.*)</a\\s*>$", 1)
       val txt = collapseWs(decodeEntities(regexp_replace(inner, tagPat, " ")))
-      struct(when(dq =!= "", dq).when(sq =!= "", sq).as("href"),
+      struct(decodeEntities(when(dq =!= "", dq).when(sq =!= "", sq))
+          .as("href"),
         txt.as("text"))
     })
   }

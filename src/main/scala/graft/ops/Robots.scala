@@ -22,9 +22,10 @@ import org.apache.spark.sql.functions._
   *
   * Pattern subset, documented: `*` wildcards and a trailing `$` anchor
   * per RFC 9309 §2.2.3, compiled to LIKE patterns (`*`→`%` with
-  * `%`/`_`/`\` escaped) — LIKE semantics are identical in Spark and
-  * DuckDB, so verdicts replay exactly. Rule specificity = octet length
-  * of the raw rule, Allow wins ties (RFC 9309 §2.2.2).
+  * `%`/`_`/`\` backslash-escaped — Spark's default LIKE escape; a
+  * DuckDB replay would need an explicit `ESCAPE '\'` clause, so the
+  * oracles replay planted verdicts instead). Rule specificity = octet
+  * length of the raw rule, Allow wins ties (RFC 9309 §2.2.2).
   */
 object Robots {
 
@@ -64,8 +65,12 @@ object Robots {
 
     val w = Window.partitionBy(keyCol).orderBy("pos")
     // a group starts at each User-agent line whose predecessor (among
-    // recognized lines) is NOT a User-agent line
+    // GROUP-RELEVANT lines) is NOT a User-agent line. Sitemap is a
+    // non-group record (RFC 9309 §2.2.4): it must be excluded BEFORE
+    // the lag, or a Sitemap line between two User-agent lines would
+    // split the run and orphan the first agent with zero rules.
     val grouped = lines
+      .filter(col("key") =!= "sitemap")
       .withColumn("__isUa", (col("key") === "user-agent").cast("int"))
       .withColumn("__runStart",
         (col("__isUa") === 1 &&
@@ -82,7 +87,7 @@ object Robots {
     val bound = rules.join(agents, Seq(keyCol, "__grp"))
       .select(col(keyCol), col("pos"), col("agent"),
         col("directive"), col("value"))
-    val sitemaps = grouped.filter(col("key") === "sitemap")
+    val sitemaps = lines.filter(col("key") === "sitemap")
       .select(col(keyCol), col("pos"), lit(null).cast("string").as("agent"),
         col("key").as("directive"), col("value"))
     bound.unionByName(sitemaps)
@@ -123,8 +128,11 @@ object Robots {
   }
 
   /** RFC 9309 rule pattern → LIKE pattern: strip one trailing `$`
-    * anchor (exact match — no trailing `%`), escape LIKE specials,
-    * `*` → `%`. Both engines default the LIKE escape char to `\`.
+    * anchor (exact match — no trailing `%`), escape LIKE specials with
+    * backslash (Spark's default LIKE escape), `*` → `%`. NOTE: DuckDB's
+    * bare LIKE has NO default escape character — a SQL replay of these
+    * patterns needs an explicit `ESCAPE '\'` clause; the q148 oracle
+    * replays planted verdicts instead of the patterns.
     */
   private def likePattern(rule: Column): Column = {
     val anchored = rule.endsWith("$")
@@ -135,26 +143,6 @@ object Robots {
     when(anchored, escaped).otherwise(concat(escaped, lit("%")))
   }
 
-  /** Per-URL crawl verdicts for one agent: RFC 9309 group selection
-    * (the agent's own group when the host has one, else `*`), then
-    * longest-match over allow/disallow rules (Allow wins ties), default
-    * allow when nothing matches — including hosts with no robots.txt
-    * at all (left join).
-    *
-    * Scale shape: rules are skinny (host, agent, value) rows — ~rules
-    * per host, independent of URL count; the URL frame joins them once
-    * on host and each URL keeps at most one winner row (rank window
-    * keyed by the URL row, partition-local after the join).
-    *
-    * @param urls     frame with a UNIQUE id, host and path columns
-    *                 (plus anything to keep); the id must be unique —
-    *                 a synthesized nondeterministic id re-evaluated on
-    *                 both sides of the final join would be a
-    *                 correctness trap, so the caller provides it
-    * @param rules    [[robotsRules]] output for the same hosts
-    * @param agent    crawler product token, matched lowercase-exact
-    * @return urls columns + (agent_used, matched_rule, allowed)
-    */
   /** RFC 9309 group selection: the agent's own group shadows `*`
     * entirely. Returns (__rhost, agent_used, directive, value) for the
     * winning group's rules only — shared by [[urlAllowed]] and
@@ -174,16 +162,23 @@ object Robots {
         col("directive"), col("value"))
   }
 
-  def urlAllowed(urls: DataFrame, idCol: String, hostCol: String,
-                 pathCol: String, rules: DataFrame, rulesHostCol: String,
-                 agent: String): DataFrame = {
-    val a = lower(lit(agent))
-    val selected = selectedRules(rules, rulesHostCol, a)
-      .filter(col("directive").isin("allow", "disallow"))
+  /** The matching half of [[urlAllowed]], over an already-selected rule
+    * frame — factored so [[fetchSchedule]] derives verdicts and delays
+    * from ONE [[selectedRules]] subtree (identical subplans, so the
+    * engine can reuse the parse/selection exchanges instead of
+    * shuffling the robots plane twice).
+    */
+  private def verdicts(urls: DataFrame, idCol: String, hostCol: String,
+                       pathCol: String, selected: DataFrame): DataFrame = {
+    val pathRules = selected
+      .filter(col("directive").isin("allow", "disallow") &&
+        // RFC 9309: an EMPTY Allow/Disallow value matches nothing —
+        // "Disallow:" is the ubiquitous allow-all idiom; compiling it
+        // to LIKE '%' would invert it into disallow-everything
+        col("value") =!= "")
       .withColumn("__pat", likePattern(col("value")))
-
     val matches = urls
-      .join(selected, urls(hostCol) === selected("__rhost"))
+      .join(pathRules, urls(hostCol) === pathRules("__rhost"))
       .filter(expr(s"`$pathCol` LIKE `__pat`"))
     val wUrl = Window.partitionBy(idCol)
       .orderBy(length(col("value")).desc,
@@ -197,6 +192,32 @@ object Robots {
     urls.join(winners, Seq(idCol), "left")
       .withColumn("allowed", coalesce(col("allowed"), lit(true)))
   }
+
+  /** Per-URL crawl verdicts for one agent: RFC 9309 group selection
+    * (the agent's own group when the host has one, else `*`), then
+    * longest-match over allow/disallow rules (Allow wins ties), default
+    * allow when nothing matches — including hosts with no robots.txt
+    * at all (left join) and empty-valued rules (match nothing).
+    *
+    * Scale shape: rules are skinny (host, agent, rule) rows — ~rules
+    * per host, independent of URL count; the URL frame joins them once
+    * on host and each URL keeps at most one winner row (rank window
+    * keyed by the URL row, partition-local after the join).
+    *
+    * @param urls     frame with a UNIQUE id, host and path columns
+    *                 (plus anything to keep); the id must be unique —
+    *                 a synthesized nondeterministic id re-evaluated on
+    *                 both sides of the final join would be a
+    *                 correctness trap, so the caller provides it
+    * @param rules    [[robotsRules]] output for the same hosts
+    * @param agent    crawler product token, matched lowercase-exact
+    * @return urls columns + (agent_used, matched_rule, allowed)
+    */
+  def urlAllowed(urls: DataFrame, idCol: String, hostCol: String,
+                 pathCol: String, rules: DataFrame, rulesHostCol: String,
+                 agent: String): DataFrame =
+    verdicts(urls, idCol, hostCol, pathCol,
+      selectedRules(rules, rulesHostCol, lower(lit(agent))))
 
   /** Politeness schedule: [[urlAllowed]] survivors slotted per host at
     * the governing group's `Crawl-delay` (the de-facto extension most
@@ -214,14 +235,14 @@ object Robots {
   def fetchSchedule(urls: DataFrame, idCol: String, hostCol: String,
                     pathCol: String, rules: DataFrame, rulesHostCol: String,
                     agent: String, defaultDelaySec: Int = 0): DataFrame = {
-    val a = lower(lit(agent))
-    val delays = selectedRules(rules, rulesHostCol, a)
+    val selected = selectedRules(rules, rulesHostCol, lower(lit(agent)))
+    val delays = selected
       .filter(col("directive") === "crawl-delay")
       .groupBy("__rhost")
       // min: the conservative read when a group repeats the directive
       .agg(min(col("value").cast("int")).as("__delay"))
-    val allowed = urlAllowed(urls, idCol, hostCol, pathCol,
-      rules, rulesHostCol, agent).filter(col("allowed"))
+    val allowed = verdicts(urls, idCol, hostCol, pathCol, selected)
+      .filter(col("allowed"))
     val wHost = Window.partitionBy(hostCol).orderBy(pathCol, idCol)
     allowed
       .join(delays, allowed(hostCol) === delays("__rhost"), "left")

@@ -772,14 +772,28 @@ object PipelineQueries {
              |ORDER BY l_returnflag""".stripMargin))
   )
 
-  /** Per-(JVM, sf-dir) ORC scratch path — overwritten each run, deleted
-    * on JVM exit (the TrainingQueries scratchRoot convention).
+  /** Per-JVM ORC scratch root (createTempDirectory — two concurrent
+    * JVMs over the same sf dir can never collide) with a recursive
+    * shutdown-hook delete; `File.deleteOnExit` would be a no-op on a
+    * directory the ORC write fills with part files. Within the JVM the
+    * per-sf subpath is stable, so repeated bench reps overwrite instead
+    * of accumulating copies.
     */
+  private lazy val orcScratchRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft-orc-rt")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.Files
+      import java.util.Comparator
+      try {
+        Files.walk(root).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => { val _ = Files.deleteIfExists(p) })
+      } catch { case _: Throwable => () }
+    }))
+    root
+  }
+
   private def orcScratch(dir: String): String = {
     val tag = java.lang.Integer.toHexString(dir.hashCode)
-    val p = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft-orc-rt-$tag")
-    p.toFile.deleteOnExit()
-    p.toString
+    orcScratchRoot.resolve(s"sf-$tag").toString
   }
 }

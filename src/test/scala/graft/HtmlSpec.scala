@@ -72,6 +72,19 @@ class HtmlSpec extends AnyFunSuite {
     assert(got == Seq("https://a.com/1", "https://b.com/2"))
   }
 
+  test("extractLinks/anchors: data-href is NOT a link; hrefs come back entity-decoded") {
+    import spark.implicits._
+    val html = "<a data-href=\"https://tracker.example/x\">t</a>" +
+      "<a href=\"https://h.com/p?a=1&amp;b=2\">real</a>"
+    val links = Seq(html).toDF("h")
+      .select(Html.extractLinks(col("h"))).head.getSeq[String](0)
+    assert(links == Seq("https://h.com/p?a=1&b=2"),
+      "attribute names merely ending in 'href' must not produce phantom links; &amp; decodes")
+    val a = Seq(html).toDF("h").select(Html.anchors(col("h")))
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    assert(a(0).isNullAt(0) && a(1).getString(0) == "https://h.com/p?a=1&b=2")
+  }
+
   test("linkGraph: relative/mailto hrefs have no host and are dropped; counts aggregate") {
     import spark.implicits._
     val html = "<a href=\"https://X.com/1\">u</a><a href=\"/rel\">r</a>" +

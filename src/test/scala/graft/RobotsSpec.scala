@@ -125,6 +125,23 @@ class RobotsSpec extends AnyFunSuite {
     assert(got.map(_.getAs[Long]("fetch_at_s")).toSeq == Seq(0L, 3L))
   }
 
+  test("empty 'Disallow:' is the allow-all idiom — it must match NOTHING, not everything") {
+    val r = "User-agent: *\nDisallow:\n"
+    assert(verdict(r, "/anything", "bot") == (true, None, None),
+      "an empty rule value compiled to LIKE '%' would invert allow-all into deny-all")
+    // and an empty Allow must not become a universal tie-winner either
+    val r2 = "User-agent: *\nAllow:\nDisallow: /x\n"
+    assert(verdict(r2, "/x/y", "bot")._1 == false)
+  }
+
+  test("a Sitemap line between two User-agent lines must NOT split the run") {
+    val got = rules(
+      "User-agent: a\nSitemap: https://h/s.xml\nUser-agent: b\nDisallow: /x\n")
+    assert(got.contains(("a", "disallow", "/x")) &&
+      got.contains(("b", "disallow", "/x")),
+      s"Sitemap is a non-group record (RFC 9309 §2.2.4); got $got")
+  }
+
   test("sitemapEntries: sitemapindex docs parse; loc-less blocks drop; non-XML yields no rows") {
     import spark.implicits._
     val idx = """<?xml version="1.0"?><sitemapindex>
