@@ -282,7 +282,9 @@ object Ivf {
     val assigned =
       if (lists.columns.contains("__vn")) lists
       else spark.read.parquet(path + "/refine")
-    IvfIndex(idCol, centroids, assigned)
+    // deleted ids are dead from the moment of deleteFromIndex — the
+    // loaded view, and every search/stat/rebuild over it, excludes them
+    IvfIndex(idCol, centroids, excludeTombstoned(spark, path, idCol, assigned))
   }
 
   /** Incremental maintenance (in-memory flavor): assign a new batch to an
@@ -456,19 +458,8 @@ object Ivf {
                          onlyCids: Set[Int]): Int = {
     import org.apache.hadoop.fs.Path
     if (!fs.exists(dirPath)) return 0
-    // recovery from a crashed earlier attempt: a parked list whose live
-    // dir vanished (crash between the two renames) is restored; parked
-    // debris next to a live dir (crash before park deletion) and stale
-    // tmp writes are dropped
-    fs.listStatus(dirPath).filter(_.getPath.getName.startsWith("_graft_compact_old_"))
-      .foreach { t =>
-        val live = new Path(dirPath, t.getPath.getName.stripPrefix("_graft_compact_old_"))
-        if (!fs.exists(live))
-          require(fs.rename(t.getPath, live), s"recovery rename failed: ${t.getPath}")
-        else fs.delete(t.getPath, true)
-      }
-    fs.listStatus(dirPath).filter(_.getPath.getName.startsWith("_graft_compact_tmp_"))
-      .foreach(t => fs.delete(t.getPath, true))
+    // recovery from a crashed earlier attempt (shared protocol)
+    recoverSwapDebris(fs, dirPath)
     var compacted = 0
     fs.globStatus(new Path(dirPath, "__cid=*")).filter { d =>
       d.isDirectory && (onlyCids == null ||
@@ -482,20 +473,142 @@ object Ivf {
         val totalBytes = dataFiles.map(_.getLen).sum
         val want = math.max(1L,
           (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-        val tmp = new Path(dirPath, s"_graft_compact_tmp_${d.getPath.getName}")
-        val trash = new Path(dirPath, s"_graft_compact_old_${d.getPath.getName}")
         // rewrite this list's rows (files hold no partition column)
-        spark.read.parquet(d.getPath.toString)
-          .coalesce(want)
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.toString)
-        fs.delete(new Path(tmp, "_SUCCESS"), false)
-        require(fs.rename(d.getPath, trash), s"park rename failed: ${d.getPath}")
-        require(fs.rename(tmp, d.getPath), s"lift rename failed: $tmp")
-        fs.delete(trash, true)
+        swapRewrite(spark, fs, dirPath, d.getPath, numFiles = want)(identity)
         compacted += 1
       }
     }
     compacted
+  }
+
+  // -------------------------------------------------------------------
+  // Deletion tier: tombstones + purge (the vector-DB delete pattern —
+  // FAISS IDSelector / Milvus delete+compact). A delete must be cheap
+  // and immediate; rewriting list files per delete would be a full
+  // random-write pass over the store. So: deletes append ids to a
+  // skinny `tombstones/` plane (O(deleted) bytes), every serving path
+  // anti-joins it (broadcast — the tombstone set is tiny next to the
+  // lists), and [[purgeDeleted]] folds tombstones into the layout
+  // offline, rewriting ONLY the lists that hold deleted rows.
+
+  /** Mark ids deleted. Visible to every subsequent search ([[loadIndex]],
+    * [[searchIndexQuantized]], [[searchIndexPq]]) without touching a
+    * single list file. A tombstoned id stays dead even if a later
+    * [[appendToIndex]] wave re-adds it — run [[purgeDeleted]] first to
+    * make an id re-insertable (documented trade: the alternative,
+    * timestamped tombstones, puts a version column on every list row).
+    */
+  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      ids: DataFrame, idCol: String): Unit =
+    ids.select(col(idCol)).distinct().coalesce(1)
+      .write.mode("append").parquet(path + "/tombstones")
+
+  /** The live tombstone set, or None when none exist (layouts predating
+    * the plane read with zero overhead — no filter is planned at all).
+    */
+  private def tombstonesDf(spark: org.apache.spark.sql.SparkSession,
+                           path: String, idCol: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path + "/tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p) && fs.listStatus(p).exists { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      })
+      Some(spark.read.parquet(p.toString).select(col(idCol)).distinct())
+    else None
+  }
+
+  /** Anti-join a frame against the tombstone plane (no-op when none). */
+  private def excludeTombstoned(spark: org.apache.spark.sql.SparkSession,
+                                path: String, idCol: String,
+                                df: DataFrame): DataFrame =
+    tombstonesDf(spark, path, idCol)
+      .map(t => df.join(broadcast(t), Seq(idCol), "left_anti"))
+      .getOrElse(df)
+
+  /** Fold tombstones into the persisted layout and clear the plane.
+    * OFFLINE (no concurrent writers, the [[compactIndex]] contract).
+    * Only the lists that actually HOLD deleted rows are rewritten — one
+    * bounded collect of touched `__cid`s (≤ k ints), then a
+    * marker-fenced per-list swap in `lists/` and, when present,
+    * `refine/` (same crash-recovery protocol as compaction: rerun the
+    * op after a crash and it rolls forward). Returns the number of
+    * (directory, list) rewrites.
+    */
+  def purgeDeleted(spark: org.apache.spark.sql.SparkSession, path: String,
+                   idCol: String): Int = {
+    val tomb = tombstonesDf(spark, path, idCol).getOrElse(return 0)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val touched = spark.read.parquet(path + "/lists")
+      .join(broadcast(tomb), Seq(idCol))
+      .select("__cid").distinct().collect().map(_.getInt(0)).toSet
+    var rewrites = 0
+    Seq("lists", "refine").foreach { dir =>
+      val dirPath = new org.apache.hadoop.fs.Path(root, dir)
+      if (fs.exists(dirPath)) {
+        recoverSwapDebris(fs, dirPath)
+        fs.globStatus(new org.apache.hadoop.fs.Path(dirPath, "__cid=*"))
+          .filter(d => d.isDirectory &&
+            d.getPath.getName.stripPrefix("__cid=").toIntOption.exists(touched))
+          .foreach { d =>
+            // keep the list's file sizing: a purge shrinks rows a little,
+            // it must not collapse a right-sized big list into one file
+            val nFiles = fs.listStatus(d.getPath).count { st =>
+              val n = st.getPath.getName
+              st.isFile && !n.startsWith("_") && !n.startsWith(".")
+            }
+            swapRewrite(spark, fs, dirPath, d.getPath,
+              numFiles = math.max(1, nFiles))(
+              _.join(broadcast(tomb), Seq(idCol), "left_anti"))
+            rewrites += 1
+          }
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(path + "/tombstones"), true)
+    rewrites
+  }
+
+  /** Roll a crashed swap forward/back: parked list whose live dir
+    * vanished is restored, parked debris next to a live dir and stale
+    * tmp writes are dropped. Shared by [[purgeDeleted]] and
+    * [[compactDir]].
+    */
+  private def recoverSwapDebris(fs: org.apache.hadoop.fs.FileSystem,
+                                dirPath: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.Path
+    fs.listStatus(dirPath).filter(_.getPath.getName.startsWith("_graft_compact_old_"))
+      .foreach { t =>
+        val live = new Path(dirPath, t.getPath.getName.stripPrefix("_graft_compact_old_"))
+        if (!fs.exists(live))
+          require(fs.rename(t.getPath, live), s"recovery rename failed: ${t.getPath}")
+        else fs.delete(t.getPath, true)
+      }
+    fs.listStatus(dirPath).filter(_.getPath.getName.startsWith("_graft_compact_tmp_"))
+      .foreach(t => fs.delete(t.getPath, true))
+  }
+
+  /** Marker-fenced single-list rewrite: write transform(list) to a tmp
+    * dir, park the live dir, lift tmp in, drop the park. Crash at any
+    * point is repaired by [[recoverSwapDebris]] on the next op.
+    */
+  private def swapRewrite(spark: org.apache.spark.sql.SparkSession,
+                          fs: org.apache.hadoop.fs.FileSystem,
+                          dirPath: org.apache.hadoop.fs.Path,
+                          d: org.apache.hadoop.fs.Path,
+                          numFiles: Int = 1)(
+                          transform: DataFrame => DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmp = new Path(dirPath, s"_graft_compact_tmp_${d.getName}")
+    val trash = new Path(dirPath, s"_graft_compact_old_${d.getName}")
+    transform(spark.read.parquet(d.toString))
+      .coalesce(numFiles)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(new Path(tmp, "_SUCCESS"), false)
+    require(fs.rename(d, trash), s"park rename failed: $d")
+    require(fs.rename(tmp, d), s"lift rename failed: $tmp")
+    fs.delete(trash, true)
+    ()
   }
 
   /** Index health for the rebuild decision ([[assignToExisting]]'s drift
@@ -635,7 +748,8 @@ object Ivf {
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    val lists = spark.read.parquet(path + "/lists")
+    val lists = excludeTombstoned(spark, path, idCol,
+      spark.read.parquet(path + "/lists"))
     require(lists.columns.contains("__code"),
       s"$path/lists is not a quantized layout — saveIndex(quantize = true)")
     val probes = probeFrame(queries, queryIdCol, queryVecCol, centroids, nProbe)
@@ -823,7 +937,8 @@ object Ivf {
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    val lists = spark.read.parquet(path + "/lists")
+    val lists = excludeTombstoned(spark, path, idCol,
+      spark.read.parquet(path + "/lists"))
     require(lists.columns.contains("__pq"),
       s"$path/lists is not a PQ layout — saveIndexPq first")
     val books = spark.read.parquet(path + "/pq")

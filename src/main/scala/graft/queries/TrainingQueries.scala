@@ -86,7 +86,8 @@ object TrainingQueries {
     * (rank on the UNROUNDED cosine, ties toward the smaller vec_id — the
     * same ordering Spark uses) + the verdict as a TRUE literal.
     */
-  private def annOracleSql(exactK: Int, verdictCol: String): String =
+  private def annOracleSql(exactK: Int, verdictCol: String,
+                           corpusWhere: String = ""): String =
     s"""SELECT query_id, rank, vec_id, cosine, TRUE AS $verdictCol FROM (
        |  SELECT q.vec_id AS query_id, e.vec_id,
        |    ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cosine,
@@ -94,7 +95,7 @@ object TrainingQueries {
        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
        |               e.vec_id) AS rank
        |  FROM embeddings e, embeddings q
-       |  WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id$corpusWhere
        |) WHERE rank <= $exactK ORDER BY query_id, rank""".stripMargin
 
   // normalized text, DuckDB spelling (regexp_replace needs the 'g' flag)
@@ -4035,6 +4036,101 @@ object TrainingQueries {
              |)
              |SELECT doc_id, CAST(entry_idx AS BIGINT) AS entry_idx, loc,
              |       lastmod
-             |FROM r ORDER BY doc_id, entry_idx""".stripMargin))
+             |FROM r ORDER BY doc_id, entry_idx""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Crawl frontier, end to end (the discovery→gate→politeness
+    // composition a crawler actually runs, each stage reusing its
+    // certified spelling): sitemap discovery (q153 parse) → host/path
+    // split off the discovered locs (UrlOps.hostOf + path regex) →
+    // robots verdicts under the q147/q148 fixture (same hosts) → fetch
+    // schedule (q152). Three planted locs per host: one allowed under
+    // both groups, one disallowed under both, one group-dependent
+    // (allowed for the agent group, `$`-rule-blocked under `*`) — so
+    // the schedule's slot layout itself depends on correct group
+    // shadowing, and the oracle replays it all from arithmetic.
+    QuerySpec(
+      "q154_crawl_frontier",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val id = col("doc_id").cast("string")
+        val sitemap = concat(
+          lit("<?xml version=\"1.0\"?>\n<urlset>\n<url><loc>https://h"),
+          id, lit(".example.org/p/"), (col("doc_id") % 10).cast("string"),
+          lit("</loc></url>\n<url><loc>https://h"), id,
+          lit(".example.org/private/x</loc></url>\n<url><loc>https://h"),
+          id, lit(".example.org/data/"), (col("doc_id") % 10).cast("string"),
+          lit(".json</loc></url>\n</urlset>"))
+        val discovered = Robots.sitemapEntries(
+          docs.select(col("doc_id"), sitemap.as("xml")),
+          "xml", keepCols = Seq("doc_id"))
+        val urls = discovered.select(
+          (col("doc_id") * 4 + col("entry_idx")).as("uid"), col("doc_id"),
+          graft.ops.UrlOps.hostOf(col("loc")).as("host"),
+          regexp_extract(col("loc"), "^[a-z]+://[^/]+(/.*)$", 1).as("path"))
+        val rules = Robots.robotsRules(
+          docs.select(hostUnique.as("host"), robotsFixture.as("robots")),
+          "host", "robots")
+        Robots.fetchSchedule(urls, "uid", "host", "path",
+            rules, "host", "GraftBot", defaultDelaySec = 3)
+          .select(col("doc_id"), col("host"), col("path"),
+            col("delay_s"), col("slot"), col("fetch_at_s"))
+          .orderBy("doc_id", "slot")
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id,
+             |    '/data/' || CAST(doc_id % 10 AS VARCHAR) || '.json' AS path,
+             |    0 AS slot
+             |  FROM documents WHERE doc_id % 2 = 0
+             |  UNION ALL
+             |  SELECT doc_id, '/p/' || CAST(doc_id % 10 AS VARCHAR),
+             |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+             |  FROM documents
+             |)
+             |SELECT doc_id,
+             |  'h' || CAST(doc_id AS VARCHAR) || '.example.org' AS host,
+             |  path,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 7 + 1
+             |       ELSE 3 END AS BIGINT) AS delay_s,
+             |  CAST(slot AS BIGINT) AS slot,
+             |  CAST(slot * (CASE WHEN doc_id % 2 = 0 THEN doc_id % 7 + 1
+             |       ELSE 3 END) AS BIGINT) AS fetch_at_s
+             |FROM f ORDER BY doc_id, slot""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // ANN deletion tier (Ivf.deleteFromIndex — the vector-DB tombstone
+    // pattern, FAISS IDSelector / Milvus delete+compact): ids vec_id%7=3
+    // are tombstoned AFTER the quantized index is built and saved, and
+    // the search must behave as if they never existed — no list rewrite,
+    // just the skinny broadcast anti-join every serving path applies.
+    // Banded oracle (the q89 recipe): exact top-3 per query over the
+    // LIVE corpus only (the DuckDB replay carries the same exclusion) +
+    // recall@10 ≥ 0.9 verdict vs the live-only exact ranking; a deleted
+    // id leaking into the ANN rows both breaks the verdict and (if it
+    // displaces a live id from the exact top-3) the hash. Purge/recovery
+    // mechanics are IvfSpec-pinned.
+    QuerySpec(
+      "q155_ann_delete",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val (nc, np) = graft.ops.Ivf.ivfPolicy(emb.count(), targetRecall = 0.9,
+          structureless = true)
+        val queries = emb.filter(col("vec_id") < 10L)
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        val index = graft.ops.Ivf.buildIndex(emb, "vec_id", "embedding",
+          nCentroids = nc)
+        val path = scratchDir("q155-del")
+        graft.ops.Ivf.saveIndex(index, path, quantize = true)
+        graft.ops.Ivf.deleteFromIndex(s, path,
+          emb.filter(col("vec_id") % 7 === 3).select("vec_id"), "vec_id")
+        val ann = graft.ops.Ivf.searchIndexQuantized(s, path, queries,
+          "query_id", "query_vec", "vec_id", k = 10, nProbe = np,
+          rerankFactor = 8)
+        val live = emb.filter(col("vec_id") % 7 =!= 3)
+        annWithExactVerdict(live, queries, ann, k = 10, exactK = 3,
+          recallFloor = 0.9, verdictCol = "post_delete_recall_ok")
+      },
+      Some(annOracleSql(exactK = 3, verdictCol = "post_delete_recall_ok",
+        corpusWhere = " AND e.vec_id % 7 <> 3")))
   )
 }

@@ -1059,4 +1059,66 @@ class IvfSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     rows.foreach(r => assert(r.getLong(1) == exact(r.getString(0))))
   }
+
+  test("tombstone deletion: immediate in every serving path, purge folds it physically") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 3L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val index = Ivf.buildIndex(emb, "vec_id", "embedding", nCentroids = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-del").toString
+    Ivf.saveIndex(index, dir, quantize = true)
+
+    val before = Ivf.searchIndexQuantized(spark, dir, queries,
+      "query_id", "query_vec", "vec_id", k = 5, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // delete every id the first sweep returned for query 0 — the
+    // strongest adversarial set: all of them must vanish
+    val dead = before.filter(_._1 == 0L).map(_._2).toSet
+    assert(dead.nonEmpty)
+    import spark.implicits._
+    Ivf.deleteFromIndex(spark, dir, dead.toSeq.toDF("vec_id"), "vec_id")
+
+    val after = Ivf.searchIndexQuantized(spark, dir, queries,
+      "query_id", "query_vec", "vec_id", k = 5, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(after.forall(p => !dead.contains(p._2)),
+      "tombstoned ids must never surface from the quantized path")
+    assert(after.count(_._1 == 0L) == 5,
+      "k results still come back — live candidates fill the gap")
+    // the loaded-index (exact) path excludes them too, and stats shrink
+    val loaded = Ivf.loadIndex(spark, dir, "vec_id")
+    assert(loaded.assigned.filter(col("vec_id").isin(dead.toSeq: _*)).count() == 0)
+    val nLive = emb.count() - dead.size
+
+    // purge: physical fold, only the touched lists rewritten
+    val rewrites = Ivf.purgeDeleted(spark, dir, "vec_id")
+    assert(rewrites >= 2, s"expected lists+refine rewrites, got $rewrites")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "/tombstones")),
+      "purge clears the tombstone plane")
+    val lists = spark.read.parquet(dir + "/lists")
+    assert(lists.filter(col("vec_id").isin(dead.toSeq: _*)).count() == 0 &&
+      lists.count() == nLive, "deleted rows physically gone from lists")
+    val refine = spark.read.parquet(dir + "/refine")
+    assert(refine.filter(col("vec_id").isin(dead.toSeq: _*)).count() == 0 &&
+      refine.count() == nLive, "deleted rows physically gone from refine")
+    val postPurge = Ivf.searchIndexQuantized(spark, dir, queries,
+      "query_id", "query_vec", "vec_id", k = 5, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(postPurge.toSeq == after.toSeq,
+      "purge is physical bookkeeping only — search results are identical")
+
+    // after purge the id is re-insertable (the documented delete/re-add
+    // contract): append one deleted vector back, search can see it again
+    val back = emb.filter(col("vec_id") === dead.head)
+    Ivf.appendToIndex(spark, dir, back, "vec_id", "embedding")
+    val again = Ivf.searchIndexQuantized(spark, dir, queries,
+      "query_id", "query_vec", "vec_id", k = 5, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again.contains((0L, dead.head)),
+      "query 0's former top hit returns after purge + re-append")
+    val empty = Ivf.purgeDeleted(spark, dir, "vec_id")
+    assert(empty == 0, "no tombstones -> purge is a no-op")
+  }
 }
