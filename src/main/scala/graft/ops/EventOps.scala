@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product-analytics operators over an event stream: ordered funnels and
+  * cohort retention — the OLAP companions to the session windows and
+  * as-of joins already in the inventory. Everything runs on exact
+  * integer MICROsecond arithmetic (the events-fixture contract: DuckDB's
+  * `epoch_us` sees the same integers, so whole trajectories replay).
+  */
+object EventOps {
+
+  /** Ordered-funnel step times per user: t1 = first occurrence of
+    * steps(0); t_{i+1} = first occurrence of steps(i) STRICTLY AFTER
+    * t_i and within `windowUs` of t1 (the classic strict-order,
+    * bounded-window funnel — re-orderings and stragglers past the
+    * window do not convert). Users who stall keep NULLs from their
+    * stalled step on.
+    *
+    * Plan shape: one filtered aggregation per step, each keyed by user
+    * — k skinny (user, times) frames, k user-keyed joins, no windows
+    * over the raw event stream and no event payload past the first
+    * projection. At 100 TB the event scan dominates; everything joined
+    * afterwards is user-cardinality.
+    *
+    * @param usCol BIGINT epoch-microseconds column
+    * @return (userCol, t1, …, tk) — t_i NULL once the user stalls
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             usCol: String, steps: Seq[String], windowUs: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(windowUs > 0, "windowUs must be positive")
+    val frames = Seq.newBuilder[DataFrame]
+    var acc = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(usCol)).as("t1"))
+    frames += acc
+    for (i <- 2 to steps.size) {
+      val carried = (1 until i).map(j => s"t$j")
+      acc = events.filter(col(typeCol) === steps(i - 1))
+        .join(acc, userCol)
+        .filter(col(usCol) > col(s"t${i - 1}") &&
+          col(usCol) <= col("t1") + windowUs)
+        .groupBy((userCol +: carried).map(col): _*)
+        .agg(min(col(usCol)).as(s"t$i"))
+      frames += acc
+    }
+    val all = frames.result()
+    // t_i is functionally determined by user (deterministic min chain),
+    // so re-attaching stalled users is a user-keyed left-join chain
+    all.tail.zipWithIndex.foldLeft(all.head) { case (res, (f, idx)) =>
+      res.join(f.select(col(userCol), col(s"t${idx + 2}")),
+        Seq(userCol), "left")
+    }
+  }
+
+  /** Per-step funnel report over a [[funnel]] frame: one row per step
+    * with the surviving-user count and the EXACT total time-from-t1
+    * (BIGINT micros — averages are a division away and stay replayable).
+    */
+  def funnelReport(times: DataFrame, steps: Seq[String]): DataFrame =
+    steps.indices.map { i =>
+      val t = col(s"t${i + 1}")
+      times.agg(
+        lit(i + 1L).as("step"),
+        lit(steps(i)).as("event_type"),
+        count(t).as("n_users"),
+        coalesce(sum(when(t.isNotNull, t - col("t1"))), lit(0L))
+          .as("sum_us_from_t1"))
+    }.reduce(_ unionByName _)
+
+  /** Weekly-style cohort retention triangle: cohort = the user's first
+    * event's absolute period index (epoch-micros div period), offset =
+    * full periods since that first event; one row per (cohort, offset)
+    * with the distinct active users. Two shuffles total: the per-user
+    * first-event aggregation and the cohort-cell aggregation — the
+    * event payload never travels, only (user, us).
+    */
+  def retentionCohorts(events: DataFrame, userCol: String, usCol: String,
+                       periodUs: Long): DataFrame = {
+    require(periodUs > 0, "periodUs must be positive")
+    val first = events.groupBy(col(userCol))
+      .agg(min(col(usCol)).as("__first"))
+    events.select(col(userCol), col(usCol))
+      .join(first, userCol)
+      .select(col(userCol),
+        expr(s"__first div ${periodUs}L").as("cohort_period"),
+        expr(s"(`$usCol` - __first) div ${periodUs}L").as("period_offset"))
+      .groupBy("cohort_period", "period_offset")
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+}

@@ -247,4 +247,47 @@ object Profile {
       .groupBy(bin.as("bin"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Population-Stability-Index drift between two snapshots of a numeric
+    * column over the SAME fixed bins ([[fixedHistogram]]'s edges — fixed,
+    * not data-derived, so A and B are binned identically and the result
+    * reproduces across engines):
+    *
+    *   PSI = Σ_b (pA_b − pB_b) · ln(pA_b / pB_b),
+    *   p_b = (n_b + 1) / (N + nBins)   (Laplace — empty bins stay finite)
+    *
+    * The industry drift gate (>0.25 = major shift, >0.1 = watch). Every
+    * ln argument is an exact integer, so the term decomposes into four
+    * ln's of integers (the q122 NB recipe) and the sum DECIMAL-routes —
+    * bit-stable under any partitioning and DuckDB-replayable. Cost: two
+    * histogram aggregations + an nBins-row join; the snapshots never
+    * co-shuffle.
+    *
+    * @return one row: (n_a, n_b, psi, drifted)
+    */
+  def psiDrift(a: DataFrame, b: DataFrame, c: String, lo: Double,
+               width: Double, nBins: Int,
+               threshold: Double = 0.25): DataFrame = {
+    val bins = a.sparkSession.range(nBins).select(col("id").as("bin"))
+    def hist(df: DataFrame, n: String) =
+      fixedHistogram(df, c, lo, width, nBins).withColumnRenamed("n", n)
+    val joined = bins
+      .join(hist(a, "__na"), Seq("bin"), "left")
+      .join(hist(b, "__nb"), Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("__na"), lit(0L)).as("na"),
+        coalesce(col("__nb"), lit(0L)).as("nb"))
+    val tot = joined.agg(sum("na").as("__ta"), sum("nb").as("__tb"))
+    val k = lit(nBins.toLong)
+    val term =
+      (((col("na") + 1).cast("double") / (col("__ta") + k) -
+        (col("nb") + 1).cast("double") / (col("__tb") + k)) *
+        (log(col("na") + 1) - log(col("__ta") + k) -
+          log(col("nb") + 1) + log(col("__tb") + k)))
+        .cast("decimal(18,12)")
+    joined.crossJoin(tot)
+      .agg(max(col("__ta")).as("n_a"), max(col("__tb")).as("n_b"),
+        round(sum(term).cast("double"), 6).as("psi"))
+      .select(col("n_a"), col("n_b"), col("psi"),
+        (col("psi") > threshold).as("drifted"))
+  }
 }

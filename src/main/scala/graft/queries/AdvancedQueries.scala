@@ -882,6 +882,129 @@ object AdvancedQueries {
       Some("""SELECT GREATEST(0, LEAST(CAST(FLOOR((o_totalprice - 0.0) / 25000.0) AS BIGINT), 23)) AS bin,
              |  CAST(COUNT(*) AS BIGINT) AS n
              |FROM orders WHERE o_totalprice IS NOT NULL
-             |GROUP BY 1 ORDER BY bin""".stripMargin))
+             |GROUP BY 1 ORDER BY bin""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Ordered funnel (ops.EventOps.funnel — strict-order, bounded-window
+    // conversion: signup → view → purchase within 72 h of the signup):
+    // per-step per-user first-occurrence times chain through user-keyed
+    // joins of skinny frames — no window over the raw event stream, and
+    // everything is exact epoch-MICROsecond integer arithmetic, so the
+    // whole per-user trajectory (and the step totals) replays in DuckDB.
+    QuerySpec(
+      "q156_funnel",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val times = graft.ops.EventOps.funnel(ev, "user_id", "event_type",
+          "us", Seq("signup", "view", "purchase"),
+          windowUs = 259200000000L)
+        graft.ops.EventOps.funnelReport(times,
+          Seq("signup", "view", "purchase")).orderBy("step")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+             |), s1 AS (
+             |  SELECT user_id, MIN(us) AS t1 FROM e
+             |  WHERE event_type = 'signup' GROUP BY 1
+             |), s2 AS (
+             |  SELECT e.user_id, MIN(s1.t1) AS t1, MIN(e.us) AS t2
+             |  FROM e JOIN s1 USING (user_id)
+             |  WHERE e.event_type = 'view' AND e.us > s1.t1
+             |    AND e.us <= s1.t1 + 259200000000
+             |  GROUP BY 1
+             |), s3 AS (
+             |  SELECT e.user_id, MIN(s2.t1) AS t1, MIN(e.us) AS t3
+             |  FROM e JOIN s2 USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND e.us > s2.t2
+             |    AND e.us <= s2.t1 + 259200000000
+             |  GROUP BY 1
+             |)
+             |SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type,
+             |  (SELECT COUNT(*) FROM s1) AS n_users,
+             |  CAST(0 AS BIGINT) AS sum_us_from_t1
+             |UNION ALL
+             |SELECT 2, 'view', (SELECT COUNT(*) FROM s2),
+             |  CAST(COALESCE((SELECT SUM(t2 - t1) FROM s2), 0) AS BIGINT)
+             |UNION ALL
+             |SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3),
+             |  CAST(COALESCE((SELECT SUM(t3 - t1) FROM s3), 0) AS BIGINT)
+             |ORDER BY step""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Cohort retention triangle (EventOps.retentionCohorts): cohort =
+    // absolute 7-day period of the user's FIRST event, offset = full
+    // periods since it, cells = distinct active users. Two shuffles
+    // (per-user min, cohort-cell count-distinct), only (user, us)
+    // travels. Integer division end to end — exact replay.
+    QuerySpec(
+      "q157_retention",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        graft.ops.EventOps.retentionCohorts(ev, "user_id", "us",
+            periodUs = 604800000000L)
+          .orderBy("cohort_period", "period_offset")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) AS us FROM events
+             |), f AS (
+             |  SELECT user_id, MIN(us) AS first_us FROM e GROUP BY 1
+             |)
+             |SELECT f.first_us // 604800000000 AS cohort_period,
+             |  (e.us - f.first_us) // 604800000000 AS period_offset,
+             |  COUNT(DISTINCT e.user_id) AS n_users
+             |FROM e JOIN f USING (user_id)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // PSI drift gate (Profile.psiDrift): the deploy-time distribution-
+    // shift check between two snapshots of a numeric column — here the
+    // first vs second half of the events month. Fixed shared bins
+    // (q102's histogram edges rule), Laplace-smoothed proportions, each
+    // PSI term four ln's of exact integers times an IEEE-exact rational
+    // difference, DECIMAL-routed sum (the q122 recipe) — bit-stable and
+    // fully DuckDB-replayable, threshold verdict included.
+    QuerySpec(
+      "q158_psi_drift",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val cut = lit(java.time.LocalDateTime.of(2024, 1, 16, 0, 0))
+        graft.ops.Profile.psiDrift(
+          ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
+          "value", lo = 0.0, width = 25.0, nBins = 20, threshold = 0.25)
+      },
+      Some("""WITH a AS (
+             |  SELECT GREATEST(0, LEAST(CAST(FLOOR(value / 25.0) AS BIGINT), 19)) AS bin,
+             |         COUNT(*) AS na
+             |  FROM events WHERE ts < TIMESTAMP '2024-01-16' AND value IS NOT NULL
+             |  GROUP BY 1
+             |), b AS (
+             |  SELECT GREATEST(0, LEAST(CAST(FLOOR(value / 25.0) AS BIGINT), 19)) AS bin,
+             |         COUNT(*) AS nb
+             |  FROM events WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL
+             |  GROUP BY 1
+             |), bins AS (SELECT unnest(range(20)) AS bin
+             |), j AS (
+             |  SELECT bins.bin, COALESCE(a.na, 0) AS na, COALESCE(b.nb, 0) AS nb
+             |  FROM bins LEFT JOIN a ON a.bin = bins.bin
+             |            LEFT JOIN b ON b.bin = bins.bin
+             |), t AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM j)
+             |SELECT CAST(t.ta AS BIGINT) AS n_a, CAST(t.tb AS BIGINT) AS n_b,
+             |  ROUND(CAST(CAST(SUM(CAST(
+             |    (CAST(j.na + 1 AS DOUBLE) / (t.ta + 20) -
+             |     CAST(j.nb + 1 AS DOUBLE) / (t.tb + 20)) *
+             |    (ln(CAST(j.na + 1 AS DOUBLE)) - ln(CAST(t.ta + 20 AS DOUBLE)) -
+             |     ln(CAST(j.nb + 1 AS DOUBLE)) + ln(CAST(t.tb + 20 AS DOUBLE)))
+             |  AS DECIMAL(18,12))) AS VARCHAR) AS DOUBLE), 6) AS psi,
+             |  ROUND(CAST(CAST(SUM(CAST(
+             |    (CAST(j.na + 1 AS DOUBLE) / (t.ta + 20) -
+             |     CAST(j.nb + 1 AS DOUBLE) / (t.tb + 20)) *
+             |    (ln(CAST(j.na + 1 AS DOUBLE)) - ln(CAST(t.ta + 20 AS DOUBLE)) -
+             |     ln(CAST(j.nb + 1 AS DOUBLE)) + ln(CAST(t.tb + 20 AS DOUBLE)))
+             |  AS DECIMAL(18,12))) AS VARCHAR) AS DOUBLE), 6) > 0.25 AS drifted
+             |FROM j CROSS JOIN t
+             |GROUP BY t.ta, t.tb""".stripMargin))
   )
 }

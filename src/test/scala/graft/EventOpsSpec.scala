@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{EventOps, Profile}
+
+class EventOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def ev(rows: (Long, String, Long)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("user_id", "event_type", "us")
+  }
+
+  test("funnel: strict order, first occurrences, window bound inclusive at t1+W") {
+    val times = EventOps.funnel(ev(
+      // u1 converts fully; the SECOND signup (t=5) must not reset t1
+      (1L, "a", 10L), (1L, "a", 5L), (1L, "b", 20L), (1L, "c", 30L),
+      // u2: b BEFORE a — strict order breaks the chain at step 2
+      (2L, "b", 1L), (2L, "a", 2L), (2L, "c", 3L),
+      // u3: step2 lands exactly at t1+W (inclusive), step3 at t1+W+1 (out)
+      (3L, "a", 0L), (3L, "b", 100L), (3L, "c", 101L)),
+      "user_id", "event_type", "us", Seq("a", "b", "c"), windowUs = 100L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) null else r.getLong(2),
+          if (r.isNullAt(3)) null else r.getLong(3)))).toMap
+    assert(times(1L) == ((5L, 20L, 30L)))
+    assert(times(2L) == ((2L, null, null)),
+      "u2's b precedes its a, so the chain stalls at step 2 — the later c cannot rescue it")
+    assert(times(3L) == ((0L, 100L, null)),
+      "t1+W inclusive for step 2; step 3 at 101 is outside the window")
+  }
+
+  test("funnelReport: per-step survivors and exact time totals") {
+    val times = EventOps.funnel(ev(
+      (1L, "a", 0L), (1L, "b", 10L),
+      (2L, "a", 0L), (2L, "b", 30L), (2L, "c", 40L)),
+      "user_id", "event_type", "us", Seq("a", "b", "c"), windowUs = 1000L)
+    val rep = EventOps.funnelReport(times, Seq("a", "b", "c"))
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rep.toSeq == Seq((1L, "a", 2L, 0L), (2L, "b", 2L, 40L),
+      (3L, "c", 1L, 40L)))
+  }
+
+  test("retentionCohorts: absolute cohort periods, offsets, distinct users") {
+    val got = EventOps.retentionCohorts(ev(
+      (1L, "x", 100L), (1L, "x", 105L), (1L, "x", 125L),
+      (2L, "x", 109L), (2L, "x", 131L),
+      (3L, "x", 110L)),
+      "user_id", "us", periodUs = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // u1: first 100 → cohort 10, offsets 0,0,2; u2: first 109 → cohort 10,
+    // offsets 0,2; u3: first 110 → cohort 11, offset 0
+    assert(got == Set((10L, 0L, 2L), (10L, 2L, 2L), (11L, 0L, 1L)))
+  }
+
+  test("psiDrift: identical snapshots score ~0; a shifted snapshot trips the gate; empty bins stay finite") {
+    import spark.implicits._
+    val base = (1 to 1000).map(i => (i % 100).toDouble).toDF("v")
+    val same = Profile.psiDrift(base, base, "v", 0.0, 10.0, 10).head()
+    assert(same.getLong(0) == 1000L && same.getLong(1) == 1000L)
+    assert(math.abs(same.getDouble(2)) < 1e-9 && !same.getBoolean(3))
+    // all mass moves to the top decile — bins 0..8 empty on one side
+    val shifted = (1 to 1000).map(i => 95.0 + (i % 5)).toDF("v")
+    val drift = Profile.psiDrift(base, shifted, "v", 0.0, 10.0, 10).head()
+    assert(drift.getBoolean(3) && drift.getDouble(2) > 1.0)
+  }
+}
