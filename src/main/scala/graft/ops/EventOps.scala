@@ -31,13 +31,16 @@ object EventOps {
              usCol: String, steps: Seq[String], windowUs: Long): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(windowUs > 0, "windowUs must be positive")
+    // project the payload away up front — it also guarantees no event
+    // column can collide with the accumulated t1..tk step columns
+    val ev = events.select(col(userCol), col(typeCol), col(usCol))
     val frames = Seq.newBuilder[DataFrame]
-    var acc = events.filter(col(typeCol) === steps.head)
+    var acc = ev.filter(col(typeCol) === steps.head)
       .groupBy(col(userCol)).agg(min(col(usCol)).as("t1"))
     frames += acc
     for (i <- 2 to steps.size) {
       val carried = (1 until i).map(j => s"t$j")
-      acc = events.filter(col(typeCol) === steps(i - 1))
+      acc = ev.filter(col(typeCol) === steps(i - 1))
         .join(acc, userCol)
         .filter(col(usCol) > col(s"t${i - 1}") &&
           col(usCol) <= col("t1") + windowUs)

@@ -498,8 +498,7 @@ object Ivf {
     * make an id re-insertable (documented trade: the alternative,
     * timestamped tombstones, puts a version column on every list row).
     */
-  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-                      ids: DataFrame, idCol: String): Unit =
+  def deleteFromIndex(path: String, ids: DataFrame, idCol: String): Unit =
     ids.select(col(idCol)).distinct().coalesce(1)
       .write.mode("append").parquet(path + "/tombstones")
 
@@ -537,17 +536,30 @@ object Ivf {
     */
   def purgeDeleted(spark: org.apache.spark.sql.SparkSession, path: String,
                    idCol: String): Int = {
-    val tomb = tombstonesDf(spark, path, idCol).getOrElse(return 0)
+    val tomb0 = tombstonesDf(spark, path, idCol).getOrElse(return 0)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val touched = spark.read.parquet(path + "/lists")
-      .join(broadcast(tomb), Seq(idCol))
-      .select("__cid").distinct().collect().map(_.getInt(0)).toSet
-    var rewrites = 0
-    Seq("lists", "refine").foreach { dir =>
-      val dirPath = new org.apache.hadoop.fs.Path(root, dir)
-      if (fs.exists(dirPath)) {
-        recoverSwapDebris(fs, dirPath)
+    val dirs = Seq("lists", "refine")
+      .map(d => new org.apache.hadoop.fs.Path(root, d))
+      .filter(fs.exists)
+    // recovery FIRST, before ANY plane is read: a list parked by a
+    // crashed earlier swap is invisible to partition discovery, so a
+    // touched-set computed before recovery would miss it — its restored
+    // rows would then survive the purge and be resurrected when the
+    // tombstone plane clears
+    dirs.foreach(recoverSwapDebris(fs, _))
+    // the tombstone set is read once (persisted) and reused by every
+    // per-list rewrite instead of re-scanned per swap job
+    val tomb = tomb0.persist()
+    try {
+      var rewrites = 0
+      dirs.foreach { dirPath =>
+        // touched cids PER PLANE: after a crash between the lists and
+        // refine passes, lists/ is already clean — a lists-derived set
+        // would come back empty and leave refine/ unpurged forever
+        val touched = spark.read.parquet(dirPath.toString)
+          .join(broadcast(tomb), Seq(idCol))
+          .select("__cid").distinct().collect().map(_.getInt(0)).toSet
         fs.globStatus(new org.apache.hadoop.fs.Path(dirPath, "__cid=*"))
           .filter(d => d.isDirectory &&
             d.getPath.getName.stripPrefix("__cid=").toIntOption.exists(touched))
@@ -564,9 +576,10 @@ object Ivf {
             rewrites += 1
           }
       }
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(path + "/tombstones"), true)
-    rewrites
+      // tombstones clear ONLY after every plane is verifiably purged
+      fs.delete(new org.apache.hadoop.fs.Path(path + "/tombstones"), true)
+      rewrites
+    } finally { tomb.unpersist(false); () }
   }
 
   /** Roll a crashed swap forward/back: parked list whose live dir

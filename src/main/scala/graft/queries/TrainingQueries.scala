@@ -4121,7 +4121,7 @@ object TrainingQueries {
           nCentroids = nc)
         val path = scratchDir("q155-del")
         graft.ops.Ivf.saveIndex(index, path, quantize = true)
-        graft.ops.Ivf.deleteFromIndex(s, path,
+        graft.ops.Ivf.deleteFromIndex(path,
           emb.filter(col("vec_id") % 7 === 3).select("vec_id"), "vec_id")
         val ann = graft.ops.Ivf.searchIndexQuantized(s, path, queries,
           "query_id", "query_vec", "vec_id", k = 10, nProbe = np,

@@ -1076,7 +1076,7 @@ class IvfSpec extends AnyFunSuite {
     val dead = before.filter(_._1 == 0L).map(_._2).toSet
     assert(dead.nonEmpty)
     import spark.implicits._
-    Ivf.deleteFromIndex(spark, dir, dead.toSeq.toDF("vec_id"), "vec_id")
+    Ivf.deleteFromIndex(dir, dead.toSeq.toDF("vec_id"), "vec_id")
 
     val after = Ivf.searchIndexQuantized(spark, dir, queries,
       "query_id", "query_vec", "vec_id", k = 5, nProbe = 8)
@@ -1120,5 +1120,63 @@ class IvfSpec extends AnyFunSuite {
       "query 0's former top hit returns after purge + re-append")
     val empty = Ivf.purgeDeleted(spark, dir, "vec_id")
     assert(empty == 0, "no tombstones -> purge is a no-op")
+  }
+
+  test("purgeDeleted crash recovery: parked lists are recovered BEFORE the touched scan; a half-purged layout converges") {
+    val emb = Tables.embeddings(spark, sf)
+    import spark.implicits._
+    val fsConf = spark.sessionState.newHadoopConf()
+
+    // scenario A: a list parked by a crashed swap (live dir missing) holds
+    // a tombstoned row — recovery must run before the touched computation
+    // or the restored rows would survive the purge
+    val dirA = java.nio.file.Files.createTempDirectory("graft-ivf-crashA").toString
+    Ivf.saveIndex(Ivf.buildIndex(emb, "vec_id", "embedding", nCentroids = 8),
+      dirA, quantize = true)
+    val victim = spark.read.parquet(dirA + "/lists").select("vec_id", "__cid")
+      .head()
+    val (vid, vcid) = (victim.getLong(0), victim.getInt(1))
+    Ivf.deleteFromIndex(dirA, Seq(vid).toDF("vec_id"), "vec_id")
+    val fs = new org.apache.hadoop.fs.Path(dirA).getFileSystem(fsConf)
+    val live = new org.apache.hadoop.fs.Path(dirA + s"/lists/__cid=$vcid")
+    val parked = new org.apache.hadoop.fs.Path(
+      dirA + s"/lists/_graft_compact_old___cid=$vcid")
+    require(fs.rename(live, parked), "test setup: park failed")
+    Ivf.purgeDeleted(spark, dirA, "vec_id")
+    assert(spark.read.parquet(dirA + "/lists")
+      .filter(col("vec_id") === vid).count() == 0,
+      "the recovered list's tombstoned row must still be purged")
+    assert(spark.read.parquet(dirA + "/refine")
+      .filter(col("vec_id") === vid).count() == 0)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dirA + "/tombstones")))
+
+    // scenario B: crash landed AFTER the lists pass — lists are already
+    // clean, refine still dirty, tombstones present. A lists-derived
+    // touched set would be empty and strand refine forever; the per-dir
+    // set must clean it
+    val dirB = java.nio.file.Files.createTempDirectory("graft-ivf-crashB").toString
+    Ivf.saveIndex(Ivf.buildIndex(emb, "vec_id", "embedding", nCentroids = 8),
+      dirB, quantize = true)
+    val vid2 = spark.read.parquet(dirB + "/lists").select("vec_id")
+      .head().getLong(0)
+    Ivf.deleteFromIndex(dirB, Seq(vid2).toDF("vec_id"), "vec_id")
+    // simulate the completed lists pass: rewrite lists without the id
+    val cleanLists = spark.read.parquet(dirB + "/lists")
+      .filter(col("vec_id") =!= vid2).persist()
+    cleanLists.count()
+    cleanLists.write.mode("overwrite").partitionBy("__cid")
+      .parquet(dirB + "/lists_clean")
+    val fsB = new org.apache.hadoop.fs.Path(dirB).getFileSystem(fsConf)
+    fsB.delete(new org.apache.hadoop.fs.Path(dirB + "/lists"), true)
+    require(fsB.rename(new org.apache.hadoop.fs.Path(dirB + "/lists_clean"),
+      new org.apache.hadoop.fs.Path(dirB + "/lists")))
+    cleanLists.unpersist()
+    assert(spark.read.parquet(dirB + "/refine")
+      .filter(col("vec_id") === vid2).count() == 1, "setup: refine dirty")
+    Ivf.purgeDeleted(spark, dirB, "vec_id")
+    assert(spark.read.parquet(dirB + "/refine")
+      .filter(col("vec_id") === vid2).count() == 0,
+      "refine must be purged even when lists came back clean")
+    assert(!fsB.exists(new org.apache.hadoop.fs.Path(dirB + "/tombstones")))
   }
 }
