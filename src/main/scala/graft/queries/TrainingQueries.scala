@@ -357,6 +357,59 @@ object TrainingQueries {
       |  GROUP BY 1
       |)"""
 
+  /** q159-q161 planted chat JSON (Spark spelling): REAL messages-format
+    * JSON built from text substrings (fixture text is [a-z ]-only, so no
+    * JSON escaping is in play — documented constraint of the plant, not
+    * of the parser). Three shapes by doc_id%3: system+user+assistant /
+    * four-turn multi-round / bare pair. Mirrored row-wise in
+    * [[chatTurnsCte]].
+    */
+  private def chatFixture = {
+    def t(a: Int, b: Int) = expr(s"substring(text, $a, $b)")
+    def msg(role: String, content: org.apache.spark.sql.Column) =
+      concat(lit("{\"role\":\"" + role + "\",\"content\":\""), content,
+        lit("\"}"))
+    when(col("doc_id") % 3 === 0, concat(lit("["),
+        msg("system", lit("you are a helpful assistant")), lit(","),
+        msg("user", t(1, 40)), lit(","),
+        msg("assistant", t(41, 40)), lit("]")))
+      .when(col("doc_id") % 3 === 1, concat(lit("["),
+        msg("user", t(1, 30)), lit(","), msg("assistant", t(31, 30)),
+        lit(","),
+        msg("user", t(61, 30)), lit(","), msg("assistant", t(91, 30)),
+        lit("]")))
+      .otherwise(concat(lit("["),
+        msg("user", t(1, 50)), lit(","), msg("assistant", t(51, 50)),
+        lit("]")))
+  }
+
+  /** The planted chat turns as a DuckDB CTE (`t`), replayed directly
+    * from arithmetic — no JSON functions in the oracle, so the Spark
+    * side's REAL from_json parse is what the hash certifies.
+    */
+  private val chatTurnsCte: String =
+    """t AS (
+      |  SELECT doc_id, 0 AS turn_idx, 'system' AS role,
+      |         'you are a helpful assistant' AS content
+      |  FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL SELECT doc_id, 1, 'user', substr(text, 1, 40)
+      |  FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL SELECT doc_id, 2, 'assistant', substr(text, 41, 40)
+      |  FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL SELECT doc_id, 0, 'user', substr(text, 1, 30)
+      |  FROM documents WHERE doc_id % 3 = 1
+      |  UNION ALL SELECT doc_id, 1, 'assistant', substr(text, 31, 30)
+      |  FROM documents WHERE doc_id % 3 = 1
+      |  UNION ALL SELECT doc_id, 2, 'user', substr(text, 61, 30)
+      |  FROM documents WHERE doc_id % 3 = 1
+      |  UNION ALL SELECT doc_id, 3, 'assistant', substr(text, 91, 30)
+      |  FROM documents WHERE doc_id % 3 = 1
+      |  UNION ALL SELECT doc_id, 0, 'user', substr(text, 1, 50)
+      |  FROM documents WHERE doc_id % 3 = 2
+      |  UNION ALL SELECT doc_id, 1, 'assistant', substr(text, 51, 50)
+      |  FROM documents WHERE doc_id % 3 = 2
+      |)"""
+
   /** q143-q145 planted-HTML fixture (Spark spelling): every doc becomes
     * a single-line HTML page built from doc_id/text/source arithmetic —
     * head with an entity-bearing title, a style block with a raw `<`, a
@@ -4131,6 +4184,98 @@ object TrainingQueries {
           recallFloor = 0.9, verdictCol = "post_delete_recall_ok")
       },
       Some(annOracleSql(exactK = 3, verdictCol = "post_delete_recall_ok",
-        corpusWhere = " AND e.vec_id % 7 <> 3")))
+        corpusWhere = " AND e.vec_id % 7 <> 3"))),
+
+    // ------------------------------------------------------------------
+    // SFT conversation flattening (ops.Chat — the messages-format parse
+    // every instruction-tuning pipeline starts with): each doc becomes a
+    // REAL chat JSON (three planted shapes: system+user+assistant /
+    // 4-turn multi-round / bare pair, contents = text substrings),
+    // parsed back through from_json + posexplode. The oracle replays
+    // every (turn_idx, role, content) from the planted arithmetic — any
+    // parse drift (schema, ordering, null handling) hash-mismatches.
+    QuerySpec(
+      "q159_chat_turns",
+      (s, dir) => {
+        val convs = Tables.documents(s, dir)
+          .select(col("doc_id"), chatFixture.as("messages"))
+        graft.ops.Chat.flattenTurns(convs, "messages",
+            keepCols = Seq("doc_id"))
+          .select(col("doc_id"), col("turn_idx").cast("long").as("turn_idx"),
+            col("role"), col("content"))
+          .orderBy("doc_id", "turn_idx")
+      },
+      Some("WITH " + chatTurnsCte.stripMargin + """
+             |SELECT doc_id, CAST(turn_idx AS BIGINT) AS turn_idx, role,
+             |       content
+             |FROM t ORDER BY doc_id, turn_idx""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // SFT loss masking (Chat.assistantSpans over the fixed
+    // `<|role|>content\n` template): per turn, the exact [start, end)
+    // character offsets inside the rendered conversation plus the loss
+    // flag — ONE cumulative-length window per conversation, exact
+    // integer offsets, tokenizer-independent. The oracle replays the
+    // whole mask layout with the same window cumsum over the planted
+    // turn lengths.
+    QuerySpec(
+      "q160_sft_spans",
+      (s, dir) => {
+        val convs = Tables.documents(s, dir)
+          .select(col("doc_id"), chatFixture.as("messages"))
+        graft.ops.Chat.assistantSpans(
+            graft.ops.Chat.flattenTurns(convs, "messages",
+              keepCols = Seq("doc_id")), "doc_id")
+          .select(col("doc_id"), col("turn_idx").cast("long").as("turn_idx"),
+            col("role"), col("span_start"), col("span_end"), col("loss"))
+          .orderBy("doc_id", "turn_idx")
+      },
+      Some("WITH " + chatTurnsCte.stripMargin + """,
+             |c AS (
+             |  SELECT doc_id, turn_idx, role,
+             |    CAST(4 + length(role) + length(content) + 1 AS BIGINT)
+             |      AS len
+             |  FROM t
+             |), w AS (
+             |  SELECT doc_id, turn_idx, role, len,
+             |    SUM(len) OVER (PARTITION BY doc_id ORDER BY turn_idx
+             |      ROWS UNBOUNDED PRECEDING) AS span_end
+             |  FROM c
+             |)
+             |SELECT doc_id, CAST(turn_idx AS BIGINT) AS turn_idx, role,
+             |  span_end - len AS span_start, span_end,
+             |  role = 'assistant' AS loss
+             |FROM w ORDER BY doc_id, turn_idx""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // SFT mixture accounting (Chat.sftStats): per conversation, turn
+    // counts and the loss-carrying (assistant) share in rendered chars
+    // and whitespace tokens — the budgeting numbers a data-mixture plan
+    // uses. One aggregation; empty contents count zero tokens (the
+    // q21 tokenCount contract, mirrored with a CASE in the replay).
+    QuerySpec(
+      "q161_sft_stats",
+      (s, dir) => {
+        val convs = Tables.documents(s, dir)
+          .select(col("doc_id"), chatFixture.as("messages"))
+        graft.ops.Chat.sftStats(
+            graft.ops.Chat.flattenTurns(convs, "messages",
+              keepCols = Seq("doc_id")), "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("WITH " + chatTurnsCte.stripMargin + """
+             |SELECT doc_id,
+             |  COUNT(*) AS n_turns,
+             |  CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_assistant_turns,
+             |  CAST(SUM(4 + length(role) + length(content) + 1) AS BIGINT)
+             |    AS rendered_chars,
+             |  CAST(SUM(CASE WHEN role = 'assistant'
+             |    THEN 4 + length(role) + length(content) + 1 ELSE 0 END)
+             |    AS BIGINT) AS assistant_chars,
+             |  CAST(SUM(CASE WHEN role = 'assistant' AND trim(content) != ''
+             |    THEN len(string_split_regex(trim(content), '\s+'))
+             |    ELSE 0 END) AS BIGINT) AS assistant_tokens
+             |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }
