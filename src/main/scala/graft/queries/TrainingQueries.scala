@@ -410,6 +410,33 @@ object TrainingQueries {
       |  FROM documents WHERE doc_id % 3 = 2
       |)"""
 
+  /** q162/q163 planted preference pairs (Spark spelling): prompt from
+    * the text head (a literal SHARED prompt on id%10=7 — plus any
+    * natural head collisions, which both engines group identically
+    * since the fingerprint is COMPUTED, not assumed unique), chosen
+    * from the middle, rejected cycling degenerate-copy / empty /
+    * genuine by id%5. Mirrored in [[prefPairsCte]].
+    */
+  private def prefFixture: Seq[org.apache.spark.sql.Column] = Seq(
+    when(col("doc_id") % 10 === 7, lit("please summarize the table"))
+      .otherwise(expr("substring(text, 1, 40)")).as("prompt"),
+    expr("substring(text, 41, 60)").as("chosen"),
+    when(col("doc_id") % 5 === 0, expr("substring(text, 41, 60)"))
+      .when(col("doc_id") % 5 === 1, lit(""))
+      .otherwise(expr("substring(text, 101, 60)")).as("rejected"))
+
+  private val prefPairsCte: String =
+    """p AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 7 THEN 'please summarize the table'
+      |         ELSE substr(text, 1, 40) END AS prompt,
+      |    substr(text, 41, 60) AS chosen,
+      |    CASE WHEN doc_id % 5 = 0 THEN substr(text, 41, 60)
+      |         WHEN doc_id % 5 = 1 THEN ''
+      |         ELSE substr(text, 101, 60) END AS rejected
+      |  FROM documents
+      |)"""
+
   /** q143-q145 planted-HTML fixture (Spark spelling): every doc becomes
     * a single-line HTML page built from doc_id/text/source arithmetic —
     * head with an entity-bearing title, a style block with a raw `<`, a
@@ -4276,6 +4303,90 @@ object TrainingQueries {
              |  CAST(SUM(CASE WHEN role = 'assistant' AND trim(content) != ''
              |    THEN len(string_split_regex(trim(content), '\s+'))
              |    ELSE 0 END) AS BIGINT) AS assistant_tokens
-             |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Preference-pair hygiene (ops.Preference.pairHygiene — the DPO/RM
+    // pre-training gate): normalized-fingerprint prompt dedup, NULL-safe
+    // degenerate-pair detection (chosen ≡ rejected = zero preference
+    // signal), empty-side flags, min-id survivor rule. The fixture
+    // plants a shared prompt, degenerate copies and empty sides by
+    // arithmetic; fingerprints are COMPUTED (q20's md5-of-normalized
+    // spelling), so natural head collisions group identically in both
+    // engines.
+    QuerySpec(
+      "q162_pref_hygiene",
+      (s, dir) => {
+        val pairs = Tables.documents(s, dir)
+          .select(col("doc_id") +: prefFixture: _*)
+        graft.ops.Preference.pairHygiene(pairs, "doc_id", "prompt",
+            "chosen", "rejected")
+          .select(col("doc_id"), col("prompt_fp"), col("degenerate"),
+            col("empty_side"), col("prompt_dups"), col("keep"))
+          .orderBy("doc_id")
+      },
+      Some("WITH " + prefPairsCte.stripMargin + """,
+             |n AS (
+             |  SELECT doc_id,
+             |    md5(trim(regexp_replace(lower(prompt), '\s+', ' ', 'g')))
+             |      AS prompt_fp,
+             |    trim(regexp_replace(lower(chosen), '\s+', ' ', 'g')) AS nc,
+             |    trim(regexp_replace(lower(rejected), '\s+', ' ', 'g')) AS nr
+             |  FROM p
+             |), w AS (
+             |  SELECT doc_id, prompt_fp,
+             |    (nc IS NOT NULL AND nr IS NOT NULL AND nc = nr) AS degenerate,
+             |    (nc IS NULL OR nr IS NULL OR nc = '' OR nr = '') AS empty_side,
+             |    COUNT(*) OVER (PARTITION BY prompt_fp) AS prompt_dups,
+             |    MIN(CASE WHEN NOT (nc IS NOT NULL AND nr IS NOT NULL
+             |               AND nc = nr)
+             |          AND NOT (nc IS NULL OR nr IS NULL OR nc = ''
+             |               OR nr = '')
+             |        THEN doc_id END)
+             |      OVER (PARTITION BY prompt_fp) AS min_clean
+             |  FROM n
+             |)
+             |SELECT doc_id, prompt_fp, degenerate, empty_side,
+             |  CAST(prompt_dups AS BIGINT) AS prompt_dups,
+             |  (NOT degenerate AND NOT empty_side AND doc_id = min_clean)
+             |    AS keep
+             |FROM w ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Length-bias audit (Preference.lengthBias — the Singhal et al. 2023
+    // reward-hacking check: a frac_chosen_longer far from 0.5 means the
+    // RM will learn "longer is better"): exact token totals per side,
+    // strictly-longer count, 6-dp means. One aggregation, everything an
+    // exact integer until the final rounded divisions.
+    QuerySpec(
+      "q163_pref_length_bias",
+      (s, dir) => {
+        val pairs = Tables.documents(s, dir)
+          .select(col("doc_id") +: prefFixture: _*)
+        graft.ops.Preference.lengthBias(pairs, "chosen", "rejected")
+      },
+      Some("WITH " + prefPairsCte.stripMargin + """,
+             |tc AS (
+             |  SELECT
+             |    CASE WHEN trim(chosen) = '' THEN 0
+             |         ELSE len(string_split_regex(trim(chosen), '\s+'))
+             |    END AS tc,
+             |    CASE WHEN trim(rejected) = '' THEN 0
+             |         ELSE len(string_split_regex(trim(rejected), '\s+'))
+             |    END AS tr
+             |  FROM p
+             |)
+             |SELECT COUNT(*) AS n_pairs,
+             |  CAST(SUM(tc) AS BIGINT) AS chosen_tokens,
+             |  CAST(SUM(tr) AS BIGINT) AS rejected_tokens,
+             |  CAST(SUM(CASE WHEN tc > tr THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_chosen_longer,
+             |  ROUND(CAST(SUM(tc) AS DOUBLE) / COUNT(*), 6)
+             |    AS mean_chosen_tokens,
+             |  ROUND(CAST(SUM(tr) AS DOUBLE) / COUNT(*), 6)
+             |    AS mean_rejected_tokens,
+             |  ROUND(CAST(SUM(CASE WHEN tc > tr THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / COUNT(*), 6) AS frac_chosen_longer
+             |FROM tc""".stripMargin))
   )
 }

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Preference
+
+class PreferenceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("pairHygiene: degenerate/empty flags, NULL sides, clean-min-id survivor per prompt group") {
+    import spark.implicits._
+    val pairs = Seq(
+      // prompt group "P": id 1 is DEGENERATE (chosen==rejected after
+      // normalization), id 2 is clean — the group survivor must be 2,
+      // not nothing
+      (1L, "P", "Same  Text", "same text"),
+      (2L, "P", "good answer", "bad answer"),
+      (3L, "P", "another good", "another bad"),
+      // NULL rejected → empty_side, never degenerate
+      (4L, "Q", "a", null),
+      // whitespace-only chosen → empty_side
+      (5L, "R", "   ", "b")).toDF("id", "prompt", "chosen", "rejected")
+    val got = Preference.pairHygiene(pairs, "id", "prompt", "chosen", "rejected")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getAs[Boolean]("degenerate"),
+        r.getAs[Boolean]("empty_side"), r.getAs[Long]("prompt_dups"),
+        r.getAs[Boolean]("keep")))
+    assert(got(0) == ((1L, true, false, 3L, false)),
+      "case/whitespace-normalized equality is degenerate")
+    assert(got(1) == ((2L, false, false, 3L, true)),
+      "the min-id CLEAN pair survives even when a smaller id is degenerate")
+    assert(got(2) == ((3L, false, false, 3L, false)))
+    assert(got(3) == ((4L, false, true, 1L, false)), "NULL side is empty, not degenerate")
+    assert(got(4) == ((5L, false, true, 1L, false)))
+  }
+
+  test("lengthBias: exact totals and fractions") {
+    import spark.implicits._
+    val pairs = Seq(
+      ("one two three", "one"), ("a", "b c"), ("x y", "z w")).toDF("chosen", "rejected")
+    val r = Preference.lengthBias(pairs, "chosen", "rejected").head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 6L && r.getLong(2) == 5L &&
+      r.getLong(3) == 1L)
+    assert(r.getDouble(4) == 2.0 && math.abs(r.getDouble(6) - 0.333333) < 1e-9)
+  }
+}
