@@ -437,6 +437,51 @@ object TrainingQueries {
       |  FROM documents
       |)"""
 
+  /** q164/q165 planted markdown (Spark spelling): header, emphasis,
+    * bullets, blockquote, inline code, a link AND an image (pairing +
+    * `!`-prefix order bait), a fenced code block whose content must
+    * survive unfenced, and the doc text split across intro/tail.
+    * No stray `*`/`_` hazards — underscores are deliberately planted
+    * INSIDE identifiers to pin the no-underscore-stripping rule.
+    */
+  private def mdFixture = concat(
+    lit("# Title "), (col("doc_id") % 50).cast("string"),
+    lit("\nintro "), expr("substring(text, 1, 40)"),
+    lit(" with **bold** and *em*\n- item one\n- item "),
+    (col("doc_id") % 9).cast("string"),
+    lit("\n> quote "), (col("doc_id") % 7).cast("string"),
+    lit("\n`x_"), (col("doc_id") % 5).cast("string"),
+    lit("` and [link "), (col("doc_id") % 3).cast("string"),
+    lit("](https://h"), ((col("doc_id") * 7 + 13) % 97).cast("string"),
+    lit(".example.org/p/"), col("doc_id").cast("string"),
+    lit(") ![alt "), (col("doc_id") % 4).cast("string"),
+    lit("](img.png)\n```py\nlet v_"), (col("doc_id") % 3).cast("string"),
+    lit(" = 1\n```\ntail: "), expr("substring(text, 41)"))
+
+  /** q166 planted source-file fixture: license header cycling SPDX
+    * (two comment styles) / MIT phrase / Apache phrase / GPL phrase /
+    * MPL phrase / none, over a fixed 4-line body with two comment
+    * lines. Mirrored in the oracle's CASE arithmetic.
+    */
+  private def codeFixture = concat(
+    when(col("doc_id") % 7 === 0, lit("// SPDX-License-Identifier: MIT\n"))
+      .when(col("doc_id") % 7 === 1,
+        lit("# SPDX-License-Identifier: Apache-2.0\n"))
+      .when(col("doc_id") % 7 === 2,
+        lit("/* Permission is hereby granted, free of charge, to any person */\n"))
+      .when(col("doc_id") % 7 === 3,
+        lit("// Licensed under the Apache License, Version 2.0\n"))
+      .when(col("doc_id") % 7 === 4,
+        lit("// free software under the GNU General Public License\n"))
+      .when(col("doc_id") % 7 === 5,
+        lit("/* subject to the terms of the Mozilla Public License */\n"))
+      .otherwise(lit("")),
+    lit("# cfg "), (col("doc_id") % 9).cast("string"),
+    lit("\nlet value_"), (col("doc_id") % 5).cast("string"),
+    lit(" = "), (col("doc_id") % 100).cast("string"),
+    lit("\n-- note "), (col("doc_id") % 3).cast("string"),
+    lit("\nprint(value)"))
+
   /** q143-q145 planted-HTML fixture (Spark spelling): every doc becomes
     * a single-line HTML page built from doc_id/text/source arithmetic —
     * head with an entity-bearing title, a style block with a raw `<`, a
@@ -4387,6 +4432,117 @@ object TrainingQueries {
              |    AS mean_rejected_tokens,
              |  ROUND(CAST(SUM(CASE WHEN tc > tr THEN 1 ELSE 0 END) AS DOUBLE)
              |    / COUNT(*), 6) AS frac_chosen_longer
-             |FROM tc""".stripMargin))
+             |FROM tc""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Markdown → text extraction (ops.Markdown — the Html sibling for
+    // README/docs corpora): ordered regex chain — unfence keeping code
+    // content, inline-code backticks, images→alt BEFORE links→text (the
+    // `!` prefix bait), line-start header/quote/bullet markers,
+    // emphasis asterisks (underscores deliberately untouched —
+    // snake_case identifiers planted to pin it), then the q143 collapse
+    // chain. The oracle rebuilds the expected text from the planted
+    // pieces + the identical collapse regexes.
+    QuerySpec(
+      "q164_markdown_extract",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), mdFixture.as("md"))
+        docs.select(col("doc_id"),
+            graft.ops.Markdown.markdownToText(col("md")).as("text"))
+          .select(col("doc_id"), col("text"),
+            size(split(col("text"), "\n")).cast("long").as("n_lines"),
+            length(col("text")).cast("long").as("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH raw AS (
+             |  SELECT doc_id,
+             |    'Title ' || CAST(doc_id % 50 AS VARCHAR) || chr(10) ||
+             |    'intro ' || substr(text, 1, 40) ||
+             |    ' with bold and em' || chr(10) ||
+             |    'item one' || chr(10) ||
+             |    'item ' || CAST(doc_id % 9 AS VARCHAR) || chr(10) ||
+             |    'quote ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+             |    'x_' || CAST(doc_id % 5 AS VARCHAR) ||
+             |    ' and link ' || CAST(doc_id % 3 AS VARCHAR) ||
+             |    ' alt ' || CAST(doc_id % 4 AS VARCHAR) || chr(10) ||
+             |    'let v_' || CAST(doc_id % 3 AS VARCHAR) || ' = 1' ||
+             |    chr(10) || 'tail: ' || substr(text, 41) AS rawtext
+             |  FROM documents
+             |), x AS (
+             |  SELECT doc_id,
+             |    regexp_replace(regexp_replace(regexp_replace(rawtext,
+             |      '[ \t\r\f]+', ' ', 'g'), '\s*\n\s*', chr(10), 'g'),
+             |      '^\s+|\s+$', '', 'g') AS text
+             |  FROM raw
+             |)
+             |SELECT doc_id, text,
+             |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+             |  CAST(length(text) AS BIGINT) AS n_chars
+             |FROM x ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Markdown link inventory (Markdown.links): whole `[..](..)` /
+    // `![..](..)` elements extracted then (text, url, is_image)
+    // recovered PAIRED per element in true document order (the q149
+    // anchors recipe). The oracle replays both planted elements —
+    // order, pairing and the image flag.
+    QuerySpec(
+      "q165_markdown_links",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), mdFixture.as("md"))
+        docs.select(col("doc_id"),
+            posexplode(graft.ops.Markdown.links(col("md")))
+              .as(Seq("link_idx", "l")))
+          .select(col("doc_id"), col("link_idx").cast("long").as("link_idx"),
+            col("l.text").as("text"), col("l.url").as("url"),
+            col("l.is_image").as("is_image"))
+          .orderBy("doc_id", "link_idx")
+      },
+      Some("""SELECT doc_id, CAST(0 AS BIGINT) AS link_idx,
+             |  'link ' || CAST(doc_id % 3 AS VARCHAR) AS text,
+             |  'https://h' || CAST((doc_id*7 + 13) % 97 AS VARCHAR) ||
+             |    '.example.org/p/' || CAST(doc_id AS VARCHAR) AS url,
+             |  FALSE AS is_image
+             |FROM documents
+             |UNION ALL
+             |SELECT doc_id, 1, 'alt ' || CAST(doc_id % 4 AS VARCHAR),
+             |  'img.png', TRUE
+             |FROM documents
+             |ORDER BY doc_id, link_idx""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Code-license gate (ops.Code — the BigCode/StarCoder permissive
+    // filter): SPDX tag wins verbatim (two comment spellings planted),
+    // else canonical phrases, else unknown; permissive is an explicit
+    // ALLOWLIST (unknown is not permissive); comment-line accounting
+    // rides the same projection. The oracle replays the planted cycle.
+    QuerySpec(
+      "q166_code_license",
+      (s, dir) => {
+        val files = Tables.documents(s, dir)
+          .select(col("doc_id"), codeFixture.as("src"))
+        files.select(col("doc_id"),
+            graft.ops.Code.license(col("src")).as("license"),
+            graft.ops.Code.commentStats(col("src")).as("__c"))
+          .select(col("doc_id"), col("license"),
+            graft.ops.Code.permissive(col("license")).as("permissive"),
+            col("__c.n_nonblank").as("n_nonblank"),
+            col("__c.n_comment").as("n_comment"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE doc_id % 7
+             |    WHEN 0 THEN 'MIT' WHEN 1 THEN 'Apache-2.0'
+             |    WHEN 2 THEN 'MIT' WHEN 3 THEN 'Apache-2.0'
+             |    WHEN 4 THEN 'GPL' WHEN 5 THEN 'MPL-2.0'
+             |    ELSE 'unknown' END AS license,
+             |  doc_id % 7 IN (0, 1, 2, 3, 5) AS permissive,
+             |  CAST(CASE WHEN doc_id % 7 = 6 THEN 4 ELSE 5 END AS BIGINT)
+             |    AS n_nonblank,
+             |  CAST(CASE WHEN doc_id % 7 = 6 THEN 2 ELSE 3 END AS BIGINT)
+             |    AS n_comment
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }
