@@ -65,8 +65,13 @@ object Chat {
     val w = Window.partitionBy(col(idCol)).orderBy(col("turn_idx"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     turns
+      // NULL role/content coalesce to "" BEFORE rendering: a missing
+      // field must contribute its rendered length (the `<|role|>\n`
+      // skeleton), not a NULL that silently shifts every later span —
+      // the offsets must match a renderer that coalesces the same way
       .withColumn("__len",
-        length(renderTurn(col("role"), col("content"))).cast("long"))
+        length(renderTurn(coalesce(col("role"), lit("")),
+          coalesce(col("content"), lit("")))).cast("long"))
       .withColumn("span_end", sum(col("__len")).over(w))
       .select(col(idCol), col("turn_idx"), col("role"),
         (col("span_end") - col("__len")).as("span_start"), col("span_end"),
@@ -80,7 +85,8 @@ object Chat {
     */
   def sftStats(turns: DataFrame, idCol: String): DataFrame = {
     val isA = col("role") === "assistant"
-    val rlen = length(renderTurn(col("role"), col("content"))).cast("long")
+    val rlen = length(renderTurn(coalesce(col("role"), lit("")),
+      coalesce(col("content"), lit("")))).cast("long")
     turns.groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_turns"),

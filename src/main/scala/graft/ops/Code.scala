@@ -18,8 +18,11 @@ object Code {
     * case-insensitive substring-class regexes — RE2∩Java, replayable.
     */
   def license(text: Column): Column = {
-    val spdx = regexp_extract(text,
-      "(?im)SPDX-License-Identifier:[ \\t]*([A-Za-z0-9.+-]+)", 1)
+    // full SPDX EXPRESSION to end-of-tag (parens, AND/OR/WITH operands
+    // included) — capturing just the first token would misclassify
+    // "MIT AND GPL-3.0-only" as MIT
+    val spdx = trim(regexp_extract(text,
+      "(?im)SPDX-License-Identifier:[ \\t]*([()A-Za-z0-9.+\\- ]+)", 1))
     when(spdx =!= "", spdx)
       .when(text.rlike("(?is)permission is hereby granted, free of charge"),
         "MIT")
@@ -27,19 +30,36 @@ object Code {
         "Apache-2.0")
       .when(text.rlike("(?is)gnu (lesser |affero )?general public license"),
         "GPL")
-      .when(text.rlike("(?is)mozilla public license"), "MPL-2.0")
+      // phrase probes cannot see the version — report the FAMILY and
+      // let the allowlist stay conservative (MPL-1.1 text labeled
+      // "MPL-2.0" would overclaim)
+      .when(text.rlike("(?is)mozilla public license"), "MPL")
+      // the 4-clause advertising variant shares the redistribution
+      // phrase but is excluded by BigCode-style gates
       .when(text.rlike("(?is)redistribution and use in source and binary forms"),
-        "BSD")
+        when(text.rlike("(?is)all advertising materials"), "BSD-4-Clause")
+          .otherwise(lit("BSD")))
       .otherwise(lit("unknown"))
   }
 
-  /** Permissive-allowlist verdict over a [[license]] value — the
-    * BigCode-style training gate. Explicit allowlist, not a denylist:
-    * an unknown license is NOT permissive.
+  private val allow = Seq("MIT", "Apache-2.0", "BSD", "BSD-2-Clause",
+    "BSD-3-Clause", "ISC", "MPL-2.0", "Unlicense", "0BSD", "Zlib")
+
+  /** Permissive verdict over a [[license]] value — the BigCode-style
+    * training gate. Explicit allowlist, not a denylist: unknown,
+    * family-only (MPL without a version) and BSD-4-Clause are NOT
+    * permissive. SPDX EXPRESSIONS evaluate conservatively: with any
+    * `AND` (or a `WITH` exception), every operand token must be
+    * allowlisted; with `OR` alone, one allowlisted operand suffices.
     */
-  def permissive(lic: Column): Column =
-    lic.isin("MIT", "Apache-2.0", "BSD", "BSD-2-Clause", "BSD-3-Clause",
-      "ISC", "MPL-2.0", "Unlicense", "0BSD", "Zlib")
+  def permissive(lic: Column): Column = {
+    val cleaned = regexp_replace(lic, "[()]", "")
+    val toks = filter(split(trim(cleaned), "\\s+"),
+      t => !upper(t).isin("AND", "OR", "WITH") && t =!= "")
+    val allPerm = forall(toks, t => t.isin(allow.map(x => lit(x)): _*))
+    val anyPerm = exists(toks, t => t.isin(allow.map(x => lit(x)): _*))
+    when(cleaned.rlike("(?i)\\b(and|with)\\b"), allPerm).otherwise(anyPerm)
+  }
 
   /** Comment-line accounting: lines whose trimmed text starts with a
     * comment marker (`//`, `#`, `--`, `*`, or slash-star) vs non-blank

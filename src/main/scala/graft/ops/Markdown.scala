@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   */
 object Markdown {
 
-  val fencePat = "(?s)```[A-Za-z0-9+-]*\\n(.*?)```"
+  val fencePat = "(?s)```[^\\n]*\\r?\\n(.*?)```"
   val inlineCodePat = "`([^`\\n]*)`"
   val imagePat = "!\\[([^\\]]*)\\]\\([^)]*\\)"
   val linkPat = "\\[([^\\]]*)\\]\\([^)]*\\)"
@@ -54,11 +54,17 @@ object Markdown {
 
   /** All links as (text, url, is_image) structs, TRUE document order —
     * whole elements extracted then fields recovered per element (the
-    * [[Html.anchors]] pairing recipe).
+    * [[Html.anchors]] pairing recipe). Fenced blocks and inline code
+    * are REMOVED first: `handlers[0](event)` inside a code span is
+    * indexing-plus-call syntax, not a link, and code-heavy READMEs are
+    * exactly this operator's corpus.
     */
-  def links(md: Column): Column =
-    transform(regexp_extract_all(md, lit(mdLinkElem), lit(0)), e => struct(
+  def links(md: Column): Column = {
+    val noCode = regexp_replace(
+      regexp_replace(md, fencePat, " "), inlineCodePat, " ")
+    transform(regexp_extract_all(noCode, lit(mdLinkElem), lit(0)), e => struct(
       regexp_extract(e, "\\[([^\\]]*)\\]", 1).as("text"),
       regexp_extract(e, "\\]\\(([^)]*)\\)", 1).as("url"),
       e.startsWith("!").as("is_image")))
+  }
 }

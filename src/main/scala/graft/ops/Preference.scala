@@ -23,6 +23,9 @@ object Preference {
     *   - `degenerate`: chosen and rejected normalize to the SAME text —
     *     zero preference signal (NULL-safe: a NULL side is not equal);
     *   - `empty_side`: either side normalizes to empty or is NULL;
+    *   - `no_prompt`: the prompt normalizes to empty or is NULL (all
+    *     such pairs share md5("") — without the flag they would be
+    *     "deduped" to one promptless survivor);
     *   - `prompt_dups`: pairs sharing this prompt fingerprint (window
     *     count — >1 means the prompt repeats across pairs);
     *   - `keep`: the pair is clean (neither flag fires) and is the
@@ -36,14 +39,20 @@ object Preference {
     val nr = TextOps.normalized(col(rejectedCol))
     val fp = TextOps.fingerprintMd5(col(promptCol))
     val wFp = Window.partitionBy(col("prompt_fp"))
+    val np = TextOps.normalized(col(promptCol))
     val enriched = pairs
       .withColumn("prompt_fp", fp)
       .withColumn("degenerate", nc.isNotNull && nr.isNotNull && nc === nr)
       .withColumn("empty_side",
         col(chosenCol).isNull || col(rejectedCol).isNull ||
           nc === "" || nr === "")
+      // a promptless pair is its own defect — and WITHOUT this flag
+      // every empty-prompt pair in the corpus would share md5("") and
+      // be "deduped" down to one survivor that then trains promptless
+      .withColumn("no_prompt", np.isNull || np === "")
       .withColumn("prompt_dups", count(lit(1)).over(wFp))
-      .withColumn("__clean", !col("degenerate") && !col("empty_side"))
+      .withColumn("__clean",
+        !col("degenerate") && !col("empty_side") && !col("no_prompt"))
       .withColumn("__minClean",
         min(when(col("__clean"), col(idCol))).over(wFp))
     enriched
@@ -61,20 +70,27 @@ object Preference {
                  rejectedCol: String): DataFrame = {
     val tc = TextOps.tokenCount(col(chosenCol))
     val tr = TextOps.tokenCount(col(rejectedCol))
+    // totals, means and the longer-fraction run over COMPARED pairs
+    // only (both sides non-NULL): mixing NULL-sided pairs into n_pairs
+    // while their tokens skip the sums would deflate the means and cap
+    // frac_chosen_longer — masking exactly the bias this audit detects
+    val cmp = col("__tc").isNotNull && col("__tr").isNotNull
     pairs
       .select(tc.as("__tc"), tr.as("__tr"))
       .agg(
         count(lit(1)).as("n_pairs"),
-        sum(col("__tc")).as("chosen_tokens"),
-        sum(col("__tr")).as("rejected_tokens"),
-        sum((col("__tc") > col("__tr")).cast("long")).as("n_chosen_longer"))
-      .select(col("n_pairs"), col("chosen_tokens"), col("rejected_tokens"),
-        col("n_chosen_longer"),
-        round(col("chosen_tokens").cast("double") / col("n_pairs"), 6)
+        count(when(cmp, lit(1))).as("n_compared"),
+        coalesce(sum(when(cmp, col("__tc"))), lit(0L)).as("chosen_tokens"),
+        coalesce(sum(when(cmp, col("__tr"))), lit(0L)).as("rejected_tokens"),
+        coalesce(sum(when(cmp && col("__tc") > col("__tr"), 1L)
+          .otherwise(when(cmp, 0L))), lit(0L)).as("n_chosen_longer"))
+      .select(col("n_pairs"), col("n_compared"), col("chosen_tokens"),
+        col("rejected_tokens"), col("n_chosen_longer"),
+        round(col("chosen_tokens").cast("double") / col("n_compared"), 6)
           .as("mean_chosen_tokens"),
-        round(col("rejected_tokens").cast("double") / col("n_pairs"), 6)
+        round(col("rejected_tokens").cast("double") / col("n_compared"), 6)
           .as("mean_rejected_tokens"),
-        round(col("n_chosen_longer").cast("double") / col("n_pairs"), 6)
+        round(col("n_chosen_longer").cast("double") / col("n_compared"), 6)
           .as("frac_chosen_longer"))
   }
 }

@@ -4367,7 +4367,8 @@ object TrainingQueries {
         graft.ops.Preference.pairHygiene(pairs, "doc_id", "prompt",
             "chosen", "rejected")
           .select(col("doc_id"), col("prompt_fp"), col("degenerate"),
-            col("empty_side"), col("prompt_dups"), col("keep"))
+            col("empty_side"), col("no_prompt"), col("prompt_dups"),
+            col("keep"))
           .orderBy("doc_id")
       },
       Some("WITH " + prefPairsCte.stripMargin + """,
@@ -4392,6 +4393,7 @@ object TrainingQueries {
              |  FROM n
              |)
              |SELECT doc_id, prompt_fp, degenerate, empty_side,
+             |  FALSE AS no_prompt,
              |  CAST(prompt_dups AS BIGINT) AS prompt_dups,
              |  (NOT degenerate AND NOT empty_side AND doc_id = min_clean)
              |    AS keep
@@ -4422,6 +4424,7 @@ object TrainingQueries {
              |  FROM p
              |)
              |SELECT COUNT(*) AS n_pairs,
+             |  COUNT(*) AS n_compared,
              |  CAST(SUM(tc) AS BIGINT) AS chosen_tokens,
              |  CAST(SUM(tr) AS BIGINT) AS rejected_tokens,
              |  CAST(SUM(CASE WHEN tc > tr THEN 1 ELSE 0 END) AS BIGINT)
@@ -4536,9 +4539,9 @@ object TrainingQueries {
              |  CASE doc_id % 7
              |    WHEN 0 THEN 'MIT' WHEN 1 THEN 'Apache-2.0'
              |    WHEN 2 THEN 'MIT' WHEN 3 THEN 'Apache-2.0'
-             |    WHEN 4 THEN 'GPL' WHEN 5 THEN 'MPL-2.0'
+             |    WHEN 4 THEN 'GPL' WHEN 5 THEN 'MPL'
              |    ELSE 'unknown' END AS license,
-             |  doc_id % 7 IN (0, 1, 2, 3, 5) AS permissive,
+             |  doc_id % 7 IN (0, 1, 2, 3) AS permissive,
              |  CAST(CASE WHEN doc_id % 7 = 6 THEN 4 ELSE 5 END AS BIGINT)
              |    AS n_nonblank,
              |  CAST(CASE WHEN doc_id % 7 = 6 THEN 2 ELSE 3 END AS BIGINT)

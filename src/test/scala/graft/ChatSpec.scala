@@ -39,6 +39,18 @@ class ChatSpec extends AnyFunSuite {
       "the loss span cut out of the rendered string is exactly the assistant turn")
   }
 
+  test("assistantSpans: a NULL-content turn renders as the bare skeleton — later spans do NOT shift") {
+    import spark.implicits._
+    val turns = Seq(
+      (1L, 0, "user", null.asInstanceOf[String]),
+      (1L, 1, "assistant", "hi")).toDF("id", "turn_idx", "role", "content")
+    val got = Chat.assistantSpans(turns, "id").orderBy("turn_idx").collect()
+      .map(r => (r.getLong(3), r.getLong(4)))
+    // "<|user|>\n" = 9 chars; "<|assistant|>hi\n" = 16
+    assert(got.toSeq == Seq((0L, 9L), (9L, 25L)),
+      "the missing-content turn contributes its skeleton length, not a NULL hole")
+  }
+
   test("sftStats: hand-computed budgeting numbers; empty assistant content counts zero tokens") {
     import spark.implicits._
     val turns = Seq(

@@ -36,6 +36,49 @@ class MarkdownCodeSpec extends AnyFunSuite {
       Seq(("i1", "a.png", true), ("l1", "u1", false), ("i2", "b.png", true)))
   }
 
+  test("markdownToText: CRLF fences and exotic info strings (c#) still unfence") {
+    assert(md("pre\r\n```c#\r\nvar x_1 = 2;\r\n```\r\npost") ==
+      "pre\nvar x_1 = 2;\npost")
+  }
+
+  test("links: code spans are excluded — indexing-plus-call is not a link") {
+    import spark.implicits._
+    val doc = "```py\nhandlers[0](event)\n```\ninline `a[1](b)` and [real](u)"
+    val got = Seq(doc).toDF("m").select(Markdown.links(col("m")))
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    assert(got.map(r => (r.getString(0), r.getString(1))) == Seq(("real", "u")))
+  }
+
+  test("license: SPDX expressions evaluate conservatively (AND = all, OR = any)") {
+    import spark.implicits._
+    val df = Seq(
+      "// SPDX-License-Identifier: MIT AND GPL-3.0-only",
+      "// SPDX-License-Identifier: (MIT OR Apache-2.0)",
+      "// SPDX-License-Identifier: Apache-2.0 WITH LLVM-exception",
+      "// SPDX-License-Identifier: GPL-2.0-only OR GPL-3.0-only").toDF("src")
+    val got = df.select(Code.license(col("src")).as("l"))
+      .select(col("l"), Code.permissive(col("l"))).collect()
+    assert(got(0).getString(0) == "MIT AND GPL-3.0-only" && !got(0).getBoolean(1),
+      "a GPL-encumbered AND expression must not pass as MIT")
+    assert(got(1).getString(0) == "(MIT OR Apache-2.0)" && got(1).getBoolean(1))
+    assert(!got(2).getBoolean(1), "WITH exception clauses stay conservative")
+    assert(!got(3).getBoolean(1))
+  }
+
+  test("license: BSD-4-Clause advertising variant and version-less MPL are not permissive") {
+    import spark.implicits._
+    val df = Seq(
+      "Redistribution and use in source and binary forms ... All advertising materials mentioning features",
+      "Redistribution and use in source and binary forms, with or without modification",
+      "subject to the terms of the Mozilla Public License").toDF("src")
+    val got = df.select(Code.license(col("src")).as("l"))
+      .select(col("l"), Code.permissive(col("l"))).collect()
+    assert(got(0).getString(0) == "BSD-4-Clause" && !got(0).getBoolean(1))
+    assert(got(1).getString(0) == "BSD" && got(1).getBoolean(1))
+    assert(got(2).getString(0) == "MPL" && !got(2).getBoolean(1),
+      "a phrase probe cannot see the MPL version — must not claim MPL-2.0")
+  }
+
   test("license: SPDX tag wins over a contradicting phrase; unknown is not permissive") {
     import spark.implicits._
     val df = Seq(

@@ -35,13 +35,40 @@ class PreferenceSpec extends AnyFunSuite {
     assert(got(4) == ((5L, false, true, 1L, false)))
   }
 
-  test("lengthBias: exact totals and fractions") {
+  test("pairHygiene: empty/NULL prompts flag no_prompt and are never dedup survivors") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, "", "good a", "bad a"),
+      (2L, "   ", "good b", "bad b"),
+      (3L, null.asInstanceOf[String], "good c", "bad c"),
+      (4L, "real prompt", "good d", "bad d")).toDF(
+      "id", "prompt", "chosen", "rejected")
+    val got = Preference.pairHygiene(pairs, "id", "prompt", "chosen", "rejected")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getAs[Boolean]("no_prompt"),
+        r.getAs[Boolean]("keep")))
+    assert(got.toSeq == Seq((1L, true, false), (2L, true, false),
+      (3L, true, false), (4L, false, true)),
+      "promptless pairs must not be collapsed into one md5-of-empty survivor")
+  }
+
+  test("lengthBias: exact totals and fractions over COMPARED pairs only") {
     import spark.implicits._
     val pairs = Seq(
       ("one two three", "one"), ("a", "b c"), ("x y", "z w")).toDF("chosen", "rejected")
     val r = Preference.lengthBias(pairs, "chosen", "rejected").head()
-    assert(r.getLong(0) == 3L && r.getLong(1) == 6L && r.getLong(2) == 5L &&
-      r.getLong(3) == 1L)
-    assert(r.getDouble(4) == 2.0 && math.abs(r.getDouble(6) - 0.333333) < 1e-9)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L && r.getLong(2) == 6L &&
+      r.getLong(3) == 5L && r.getLong(4) == 1L)
+    assert(r.getDouble(5) == 2.0 && math.abs(r.getDouble(7) - 0.333333) < 1e-9)
+    // NULL-sided pairs leave the compared population instead of
+    // deflating the means and capping the fraction
+    val withNulls = Seq(
+      ("one two three four", "one"),
+      (null.asInstanceOf[String], "x"),
+      ("a b", null.asInstanceOf[String])).toDF("chosen", "rejected")
+    val n = Preference.lengthBias(withNulls, "chosen", "rejected").head()
+    assert(n.getLong(0) == 3L && n.getLong(1) == 1L)
+    assert(n.getDouble(5) == 4.0 && n.getDouble(7) == 1.0,
+      "one compared pair, chosen longer — the fraction must be 1.0, not 1/3")
   }
 }
