@@ -623,4 +623,67 @@ object Curation {
       .orderBy(col("log_weight").desc, col(idCol))
       .limit(k)
   }
+
+  /** Pipeline-ENDING delivery sink: write a corpus as sharded JSONL
+    * (one `shard=<k>/` directory per training shard, one JSON object
+    * per line) plus an integrity MANIFEST the consuming trainer can
+    * verify without trusting the transfer: per shard, the line count,
+    * total line bytes (newlines included) and an ORDER-INSENSITIVE
+    * content hash (sum of per-line xxhash64 as a ring sum — files may
+    * be concatenated/recombined in any order without breaking the
+    * check; a flipped byte still breaks it).
+    *
+    * Composes with [[tokenShards]]: assign shards there, join the
+    * assignment on, write here. One partitioned text write + one
+    * aggregation over the lines — the corpus never collects.
+    *
+    * @return the manifest (shard, n_lines, n_bytes, content_hash),
+    *         also persisted at `path/_graft_manifest` (parquet).
+    */
+  def writeJsonlShards(df: DataFrame, shardCol: String,
+                       path: String): DataFrame = {
+    val spark = df.sparkSession
+    // persisted: the files and the manifest are two actions over one
+    // frame — under a nondeterministic upstream they must not diverge
+    // (the saveIndex lists/refine precedent)
+    val lines = df
+      .select(col(shardCol).cast("long").as("shard"),
+        to_json(struct(df.columns.filter(_ != shardCol).map(col): _*))
+          .as("value"))
+      .persist()
+    try {
+      lines.write.mode("overwrite").partitionBy("shard").text(path)
+      val manifest = lines
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(length(col("value")) + lit(1L)).as("n_bytes"),
+          sum(xxhash64(col("value"))).as("content_hash"))
+      manifest.coalesce(1).write.mode("overwrite")
+        .parquet(path + "/_graft_manifest")
+      spark.read.parquet(path + "/_graft_manifest")
+    } finally { lines.unpersist(false); () }
+  }
+
+  /** Re-derive the manifest from the files on disk and diff it against
+    * the persisted one — the consumer-side integrity check. Returns one
+    * row per shard with both sides and an `ok` verdict; a shard missing
+    * on either side reports ok = false.
+    */
+  def verifyJsonlShards(spark: org.apache.spark.sql.SparkSession,
+                        path: String): DataFrame = {
+    val actual = spark.read.text(path)
+      .withColumn("shard",
+        regexp_extract(input_file_name(), "shard=(\\d+)", 1).cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("a_lines"),
+        sum(length(col("value")) + lit(1L)).as("a_bytes"),
+        sum(xxhash64(col("value"))).as("a_hash"))
+    val expected = spark.read.parquet(path + "/_graft_manifest")
+    expected.join(actual, Seq("shard"), "full_outer")
+      .select(col("shard"), col("n_lines"), col("a_lines"),
+        col("n_bytes"), col("a_bytes"),
+        (col("n_lines") <=> col("a_lines") &&
+          col("n_bytes") <=> col("a_bytes") &&
+          col("content_hash") <=> col("a_hash")).as("ok"))
+  }
 }

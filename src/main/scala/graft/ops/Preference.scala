@@ -32,6 +32,11 @@ object Preference {
     *     min-id representative among this fingerprint's CLEAN pairs —
     *     a degenerate min-id pair must not drag its whole prompt group
     *     down with it.
+    *
+    * Returns the SKINNY verdict frame (idCol, prompt_fp, degenerate,
+    * empty_side, no_prompt, prompt_dups, keep): only these columns
+    * enter the fingerprint window's shuffle — pair text never travels;
+    * join verdicts back on the id to recover it.
     */
   def pairHygiene(pairs: DataFrame, idCol: String, promptCol: String,
                   chosenCol: String, rejectedCol: String): DataFrame = {
@@ -40,22 +45,26 @@ object Preference {
     val fp = TextOps.fingerprintMd5(col(promptCol))
     val wFp = Window.partitionBy(col("prompt_fp"))
     val np = TextOps.normalized(col(promptCol))
-    val enriched = pairs
-      .withColumn("prompt_fp", fp)
-      .withColumn("degenerate", nc.isNotNull && nr.isNotNull && nc === nr)
-      .withColumn("empty_side",
-        col(chosenCol).isNull || col(rejectedCol).isNull ||
-          nc === "" || nr === "")
+    // flags are per-row projections computed BEFORE the fingerprint
+    // window, and only the skinny (id, fp, flags) frame enters its
+    // shuffle — pair text never travels (the q125 contract); callers
+    // needing the text join back on the id
+    val flagged = pairs.select(
+      col(idCol),
+      fp.as("prompt_fp"),
+      (nc.isNotNull && nr.isNotNull && nc === nr).as("degenerate"),
+      (col(chosenCol).isNull || col(rejectedCol).isNull ||
+        nc === "" || nr === "").as("empty_side"),
       // a promptless pair is its own defect — and WITHOUT this flag
       // every empty-prompt pair in the corpus would share md5("") and
       // be "deduped" down to one survivor that then trains promptless
-      .withColumn("no_prompt", np.isNull || np === "")
+      (np.isNull || np === "").as("no_prompt"))
+    flagged
       .withColumn("prompt_dups", count(lit(1)).over(wFp))
       .withColumn("__clean",
         !col("degenerate") && !col("empty_side") && !col("no_prompt"))
       .withColumn("__minClean",
         min(when(col("__clean"), col(idCol))).over(wFp))
-    enriched
       .withColumn("keep",
         col("__clean") && col(idCol) === col("__minClean"))
       .drop("__clean", "__minClean")

@@ -411,4 +411,44 @@ class CurationSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == got)
   }
+
+  test("writeJsonlShards: files + manifest agree; verify catches tampering and missing shards") {
+    import spark.implicits._
+    import graft.ops.Curation
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val docs = Seq((0L, 0L, "alpha beta"), (1L, 0L, "gamma"),
+      (2L, 1L, "delta")).toDF("doc_id", "shard_id", "text")
+    val manifest = Curation.writeJsonlShards(docs, "shard_id", dir)
+      .orderBy("shard").collect()
+    assert(manifest.map(_.getLong(1)).toSeq == Seq(2L, 1L))
+    // the written lines are real JSONL with the shard column factored out
+    val line = scala.io.Source.fromFile(
+      new java.io.File(dir + "/shard=1").listFiles()
+        .filter(_.getName.endsWith(".txt")).head).getLines().next()
+    assert(line == """{"doc_id":2,"text":"delta"}""")
+    val ok = Curation.verifyJsonlShards(spark, dir)
+    assert(ok.filter(!org.apache.spark.sql.functions.col("ok")).count() == 0)
+
+    // tamper one byte inside a shard file -> that shard fails, others pass
+    val victim = new java.io.File(dir + "/shard=0").listFiles()
+      .filter(_.getName.endsWith(".txt")).head
+    val bytes = java.nio.file.Files.readAllBytes(victim.toPath)
+    bytes(bytes.length / 2) = 'X'.toByte
+    java.nio.file.Files.write(victim.toPath, bytes)
+    // drop Hadoop's local-FS .crc sidecar: on the object stores this
+    // sink targets there is no such sidecar — the manifest must catch
+    // the corruption itself, so the test must reach it
+    victim.getParentFile.listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    val post = Curation.verifyJsonlShards(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("ok")).toMap
+    assert(!post(0L) && post(1L), "only the tampered shard fails")
+
+    // a shard directory vanishing entirely also fails verification
+    val gone = new java.io.File(dir + "/shard=1")
+    gone.listFiles().foreach(_.delete()); gone.delete()
+    val post2 = Curation.verifyJsonlShards(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("ok")).toMap
+    assert(post2.get(1L).contains(false), "missing shard must report ok=false")
+  }
 }

@@ -458,4 +458,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
       s"no join may survive into the final plan\n$plan")
   }
+
+  test("q156: funnel plans WITHOUT a window over the raw event stream") {
+    val plan = executedPlan("q156_funnel")
+    assert(!plan.contains("Window"),
+      s"funnel is chained aggregations, never a window over all events\n$plan")
+  }
+
+  test("q164: markdown extraction is a pure projection — zero hash shuffles") {
+    val plan = executedPlan("q164_markdown_extract")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"markdown→text must be per-row work only\n$plan")
+  }
+
+  test("q162: only the skinny verdict columns cross the fingerprint window's shuffle") {
+    val plan = formatted("q162_pref_hygiene")
+    val exchangeInputs =
+      "(?s)\\(\\d+\\) Exchange.*?Input \\[\\d+\\]: \\[([^\\]]*)\\]".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exchangeInputs.nonEmpty, s"expected the window exchange\n$plan")
+    exchangeInputs.foreach { in =>
+      // token-anchored: the no_prompt FLAG must not trip the probe for
+      // the raw prompt column
+      assert("(^|[ ,])(prompt|chosen|rejected|text)#".r.findFirstIn(in).isEmpty,
+        s"pair text must die in the flag projection, not cross the shuffle: [$in]\n$plan")
+    }
+  }
 }
