@@ -629,9 +629,11 @@ object Curation {
     * per line) plus an integrity MANIFEST the consuming trainer can
     * verify without trusting the transfer: per shard, the line count,
     * total line bytes (newlines included) and an ORDER-INSENSITIVE
-    * content hash (sum of per-line xxhash64 as a ring sum — files may
-    * be concatenated/recombined in any order without breaking the
-    * check; a flipped byte still breaks it).
+    * content hash (sum of per-line xxhash64 routed through
+    * DECIMAL(38,0) — ANSI mode forbids wrapping long sums, and the
+    * decimal headroom is ~10^19 lines per shard; files may be
+    * concatenated/recombined in any order without breaking the check,
+    * a flipped byte still breaks it).
     *
     * Composes with [[tokenShards]]: assign shards there, join the
     * assignment on, write here. One partitioned text write + one
@@ -657,7 +659,8 @@ object Curation {
         .groupBy("shard")
         .agg(count(lit(1)).as("n_lines"),
           sum(length(col("value")) + lit(1L)).as("n_bytes"),
-          sum(xxhash64(col("value"))).as("content_hash"))
+          sum(xxhash64(col("value")).cast("decimal(38,0)"))
+            .as("content_hash"))
       manifest.coalesce(1).write.mode("overwrite")
         .parquet(path + "/_graft_manifest")
       spark.read.parquet(path + "/_graft_manifest")
@@ -677,7 +680,7 @@ object Curation {
       .groupBy("shard")
       .agg(count(lit(1)).as("a_lines"),
         sum(length(col("value")) + lit(1L)).as("a_bytes"),
-        sum(xxhash64(col("value"))).as("a_hash"))
+        sum(xxhash64(col("value")).cast("decimal(38,0)")).as("a_hash"))
     val expected = spark.read.parquet(path + "/_graft_manifest")
     expected.join(actual, Seq("shard"), "full_outer")
       .select(col("shard"), col("n_lines"), col("a_lines"),

@@ -4438,6 +4438,48 @@ object TrainingQueries {
              |FROM tc""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // Delivery gate, end to end (the pipeline's LAST step run in one
+    // plan): q118's deterministic token-balanced shard assignment →
+    // Curation.writeJsonlShards (real files on disk + integrity
+    // manifest) → verifyJsonlShards re-deriving the manifest FROM THE
+    // FILES. The oracle replays the shard layout with q118's exact
+    // cumsum rule and carries the in-band ok verdict — a write/verify
+    // path that corrupted, dropped or double-wrote any line would fail
+    // either the count hash or the verdict.
+    QuerySpec(
+      "q167_export_verify",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("__tok",
+            coalesce(graft.ops.TextOps.tokenCount(col("text")), lit(0L)))
+        val assigned = Curation.tokenShards(docs, "doc_id", "__tok",
+          nShards = 8, numPartitions = 7)
+        val dest = scratchDir("q167-export")
+        Curation.writeJsonlShards(
+          assigned.select(col("shard_id"), col("doc_id"), col("text")),
+          "shard_id", dest)
+        Curation.verifyJsonlShards(s, dest)
+          .select(col("shard").as("shard_id"), col("n_lines"), col("ok"))
+          .orderBy("shard_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+             |    COALESCE(CASE WHEN LENGTH(trim(text)) = 0 THEN 0
+             |      ELSE len(string_split_regex(trim(text), '\s+')) END, 0) AS w
+             |  FROM documents
+             |), c AS (
+             |  SELECT doc_id, w,
+             |    COALESCE(SUM(w) OVER (ORDER BY h, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+             |    (SELECT SUM(w) FROM w) AS total
+             |  FROM w
+             |)
+             |SELECT CAST(LEAST(7, cb * 8 // total) AS BIGINT) AS shard_id,
+             |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+             |  TRUE AS ok
+             |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Markdown → text extraction (ops.Markdown — the Html sibling for
     // README/docs corpora): ordered regex chain — unfence keeping code
     // content, inline-code backticks, images→alt BEFORE links→text (the
