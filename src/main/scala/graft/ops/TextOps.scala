@@ -597,4 +597,50 @@ object TextOps {
           .otherwise(col("n_lines") - coalesce(col("__n_kept"), lit(0L)))
           .as("n_dropped"))
   }
+
+  /** WITHIN-document repeated-line removal — the intra-doc sibling of
+    * [[removeBoilerplateLines]] (scraping artifacts repeat nav bars,
+    * cookie banners and headings INSIDE one page; Gopher's repetition
+    * rules flag such docs, this op repairs them instead): every
+    * non-blank line keeps only its FIRST occurrence (trimmed-text
+    * identity, original spelling and position preserved); blank lines
+    * all survive (they are structure, not content, and an md5("")-like
+    * collapse of every blank to one would reflow the document).
+    *
+    * Plan: one per-doc window (partition (id, trimmed-line), order by
+    * position) + the same order-preserving reassembly as the corpus
+    * rule — one shuffle carrying the surviving lines.
+    *
+    * → (idCol, cleaned_text, n_lines, n_dropped); NULL text stays NULL.
+    */
+  def dedupLinesWithinDoc(df: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val lines = df
+      .select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("__i", "__line")))
+      .withColumn("__t", trim(col("__line")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol), col("__t")).orderBy(col("__i"))
+    val kept = lines
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__t") === "" || col("__rn") === 1)
+    val rebuilt = kept.groupBy(idCol)
+      .agg(count(lit(1)).as("__n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__i"), col("__line")))),
+            x => x.getField("__line")), "\n").as("__cleaned"))
+    df.select(col(idCol), col(textCol).as("__text"),
+        coalesce(size(split(col(textCol), "\n")), lit(0))
+          .cast("long").as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__text").isNull, lit(null).cast("string"))
+          .otherwise(coalesce(col("__cleaned"), lit(""))).as("cleaned_text"),
+        when(col("__text").isNull, lit(0L)).otherwise(col("n_lines"))
+          .as("n_lines"),
+        when(col("__text").isNull, lit(0L))
+          .otherwise(col("n_lines") - coalesce(col("__n_kept"), lit(0L)))
+          .as("n_dropped"))
+  }
 }

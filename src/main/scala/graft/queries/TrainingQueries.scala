@@ -4480,6 +4480,33 @@ object TrainingQueries {
              |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // Within-document repeated-line removal (TextOps.dedupLinesWithinDoc
+    // — the intra-doc sibling of q138's corpus rule: scraping artifacts
+    // repeat nav bars and banners INSIDE one page): first occurrence
+    // survives with its original spelling and position, blank lines all
+    // survive as structure. The fixture plants the repeat three times
+    // around a blank; the oracle replays the exact cleaned text and the
+    // drop count.
+    QuerySpec(
+      "q168_dedup_lines_within",
+      (s, dir) => {
+        val src = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            concat(col("text"), lit("\nkeep once\nunique-"),
+              col("doc_id").cast("string"), lit("\nkeep once\n\nkeep once\ntail "),
+              (col("doc_id") % 5).cast("string")).as("text"))
+        TextOps.dedupLinesWithinDoc(src, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  text || chr(10) || 'keep once' || chr(10) || 'unique-' ||
+             |    CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
+             |    'tail ' || CAST(doc_id % 5 AS VARCHAR) AS cleaned_text,
+             |  CAST(7 AS BIGINT) AS n_lines,
+             |  CAST(2 AS BIGINT) AS n_dropped
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Markdown → text extraction (ops.Markdown — the Html sibling for
     // README/docs corpora): ordered regex chain — unfence keeping code
     // content, inline-code backticks, images→alt BEFORE links→text (the

@@ -53,4 +53,21 @@ class TextStatsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(viaKernel == viaOps)
   }
+
+  test("dedupLinesWithinDoc: first spelling survives, blanks are structure, NULL/empty safe") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    val df = Seq(
+      (1L, "a\n  dup  \nb\ndup\n\n\ndup\nc"),
+      (2L, ""),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextOps.dedupLinesWithinDoc(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // trimmed identity dedups '  dup  ' vs 'dup' but keeps the FIRST
+    // spelling; BOTH blank lines survive (structure, not content)
+    assert(got(0).getString(1) == "a\n  dup  \nb\n\n\nc" &&
+      got(0).getLong(2) == 8L && got(0).getLong(3) == 2L)
+    assert(got(1).getString(1) == "" && got(1).getLong(3) == 0L)
+    assert(got(2).isNullAt(1) && got(2).getLong(2) == 0L)
+  }
 }
