@@ -363,6 +363,11 @@ object ArrayMath {
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // Idempotent per session: every entry point (Tables, Sql, JobRunner)
+    // calls register defensively; re-registering triggers a WARN per
+    // function from SimpleFunctionRegistry, so skip when already bound.
+    if (reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(fnName))) return
     reg.createOrReplaceTempFunction(
       fnName, exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(

@@ -18,11 +18,16 @@ object Code {
     * case-insensitive substring-class regexes — RE2∩Java, replayable.
     */
   def license(text: Column): Column = {
-    // full SPDX EXPRESSION to end-of-tag (parens, AND/OR/WITH operands
-    // included) — capturing just the first token would misclassify
-    // "MIT AND GPL-3.0-only" as MIT
+    // full SPDX EXPRESSION — capturing just the first token would
+    // misclassify "MIT AND GPL-3.0-only" as MIT — but ONLY a valid
+    // expression shape `id ((AND|OR|WITH) id)*` (optional parens):
+    // tokens may only follow an operator, so same-line trailing prose
+    // ("MIT - see LICENSE", "MIT */") stops the match after MIT
+    // instead of being absorbed into the id
+    val spdxTok = "[()]*[A-Za-z0-9.+\\-]+[()]*"
     val spdx = trim(regexp_extract(text,
-      "(?im)SPDX-License-Identifier:[ \\t]*([()A-Za-z0-9.+\\- ]+)", 1))
+      s"(?im)SPDX-License-Identifier:[ \\t]*($spdxTok" +
+        s"(?:[ \\t]+(?:AND|OR|WITH)[ \\t]+$spdxTok)*)", 1))
     when(spdx =!= "", spdx)
       .when(text.rlike("(?is)permission is hereby granted, free of charge"),
         "MIT")

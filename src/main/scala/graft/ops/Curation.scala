@@ -658,7 +658,8 @@ object Curation {
       val manifest = lines
         .groupBy("shard")
         .agg(count(lit(1)).as("n_lines"),
-          sum(length(col("value")) + lit(1L)).as("n_bytes"),
+          sum(octet_length(col("value")).cast("long") + lit(1L))
+            .as("n_bytes"),
           sum(xxhash64(col("value")).cast("decimal(38,0)"))
             .as("content_hash"))
       manifest.coalesce(1).write.mode("overwrite")
@@ -679,7 +680,8 @@ object Curation {
         regexp_extract(input_file_name(), "shard=(\\d+)", 1).cast("long"))
       .groupBy("shard")
       .agg(count(lit(1)).as("a_lines"),
-        sum(length(col("value")) + lit(1L)).as("a_bytes"),
+        sum(octet_length(col("value")).cast("long") + lit(1L))
+          .as("a_bytes"),
         sum(xxhash64(col("value")).cast("decimal(38,0)")).as("a_hash"))
     val expected = spark.read.parquet(path + "/_graft_manifest")
     expected.join(actual, Seq("shard"), "full_outer")

@@ -4310,8 +4310,8 @@ object TrainingQueries {
              |  FROM t
              |), w AS (
              |  SELECT doc_id, turn_idx, role, len,
-             |    SUM(len) OVER (PARTITION BY doc_id ORDER BY turn_idx
-             |      ROWS UNBOUNDED PRECEDING) AS span_end
+             |    CAST(SUM(len) OVER (PARTITION BY doc_id ORDER BY turn_idx
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS span_end
              |  FROM c
              |)
              |SELECT doc_id, CAST(turn_idx AS BIGINT) AS turn_idx, role,

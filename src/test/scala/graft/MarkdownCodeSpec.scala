@@ -91,6 +91,24 @@ class MarkdownCodeSpec extends AnyFunSuite {
     assert(got(1).getString(0) == "unknown" && !got(1).getBoolean(1))
   }
 
+  test("license: same-line trailing prose does not leak into the SPDX id") {
+    import spark.implicits._
+    val df = Seq(
+      "// SPDX-License-Identifier: MIT - see LICENSE for details",
+      "/* SPDX-License-Identifier: Apache-2.0 */",
+      "# SPDX-License-Identifier: GPL-3.0-only (strong copyleft)",
+      "// SPDX-License-Identifier: MIT AND GPL-3.0-only - dual").toDF("src")
+    val got = df.select(Code.license(col("src")).as("l"))
+      .select(col("l"), Code.permissive(col("l"))).collect()
+    assert(got(0).getString(0) == "MIT" && got(0).getBoolean(1),
+      "prose after the id must not be absorbed into the license")
+    assert(got(1).getString(0) == "Apache-2.0" && got(1).getBoolean(1),
+      "a closing comment terminator must not join the id")
+    assert(got(2).getString(0) == "GPL-3.0-only" && !got(2).getBoolean(1))
+    assert(got(3).getString(0) == "MIT AND GPL-3.0-only" && !got(3).getBoolean(1),
+      "operators keep binding; prose stops the expression, not the AND")
+  }
+
   test("commentStats: markers at trimmed line starts; blank lines excluded") {
     import spark.implicits._
     val src = "  // c1\n\ncode()\n   # c2\n-- c3\n * doc\n/* block\nmore code"
