@@ -320,4 +320,55 @@ object ScaleOps {
     }
     arranged.sparkSession.createDataFrame(withId, schema)
   }
+
+  /** Quantile buckets 1..nBuckets in sort-key order WITHOUT the global-sort
+    * bottleneck: `ntile(n) OVER (ORDER BY …)` funnels the whole input
+    * through ONE task (an empty-frame window is a single partition); this
+    * instead range-repartitions (each partition owns a disjoint key range),
+    * sorts locally, derives per-partition rank offsets from one lightweight
+    * count job (a few longs to the driver — the [[contiguousIds]] recipe),
+    * and maps each global rank to its NTILE bucket with the SQL-standard
+    * fill rule (the first `n mod nBuckets` buckets get the extra row). For
+    * UNIQUE sort keys the assignment is identical to the single-task window
+    * on any cluster layout, because the global order is fully determined by
+    * the keys.
+    */
+  def rankBuckets(df: DataFrame, orderCols: Seq[String], nBuckets: Int,
+                  numPartitions: Int,
+                  bucketName: String = "bucket"): DataFrame = {
+    require(nBuckets > 0, s"rankBuckets: nBuckets must be > 0, got $nBuckets")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val arranged = df
+      .repartitionByRange(numPartitions, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+    val rdd = arranged.rdd
+    // one count pass: per-partition sizes → rank offsets AND the total,
+    // so the bucket map needs no second aggregate over the data
+    val counts = rdd
+      .mapPartitionsWithIndex((pid, it) => Iterator.single((pid, {
+        var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n
+      })), preservesPartitioning = true)
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val total = offsets.last
+    // NTILE fill rule over 0-based rank r: with q = total/n, rem = total%n,
+    // the first rem buckets hold q+1 rows, the rest q. q == 0 (more buckets
+    // than rows) degenerates to bucket = r+1 via the first branch, because
+    // rem == total there.
+    val q = total / nBuckets
+    val rem = total % nBuckets
+    val schema = arranged.schema.add(bucketName, LongType, nullable = false)
+    val withB = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var r = offsets(pid)
+      it.map { row =>
+        val b =
+          if (r < rem * (q + 1)) r / (q + 1) + 1
+          else rem + (r - rem * (q + 1)) / q + 1
+        r += 1
+        Row.fromSeq(row.toSeq :+ b)
+      }
+    }
+    arranged.sparkSession.createDataFrame(withB, schema)
+  }
 }

@@ -1769,9 +1769,14 @@ object TrainingQueries {
         val langDf = ccnetLangDf(docs)
         val nll = TextOps.bigramLmNll(docs, "doc_id", "text", docs, "text")
         val joined = langDf.join(nll, Seq("doc_id"))
-        val w = Window.orderBy(col("avg_nll"), col("doc_id"))
-        val en = joined.filter(col("lang") === "en" && col("n_bigrams") > 0)
-          .withColumn("ppl_bucket", ntile(3).over(w).cast("long"))
+        // rank-bucket terciles via range-partition + per-partition offsets
+        // (ScaleOps.rankBuckets) — identical to ntile(3) OVER (ORDER BY
+        // avg_nll, doc_id) for these unique keys, without funneling the
+        // corpus through one window task
+        val en = graft.ops.ScaleOps.rankBuckets(
+          joined.filter(col("lang") === "en" && col("n_bigrams") > 0),
+          Seq("avg_nll", "doc_id"), nBuckets = 3, numPartitions = 8,
+          bucketName = "ppl_bucket")
         joined
           .join(en.select(col("doc_id"), col("ppl_bucket")), Seq("doc_id"), "left")
           .select(col("doc_id"), col("lang"), col("n_bigrams"), col("avg_nll"),
@@ -1946,10 +1951,14 @@ object TrainingQueries {
         val langDf = ccnetLangDf(docs)
         val nll = TextOps.bigramLmNll(docs, "doc_id", "text", docs, "text")
         val joined = langDf.join(nll, Seq("doc_id")).join(uv, Seq("doc_id"))
-        val w = Window.orderBy(col("avg_nll"), col("doc_id"))
-        val en = joined
-          .filter(col("url_kept") && col("lang") === "en" && col("n_bigrams") > 0)
-          .withColumn("ppl_bucket", ntile(3).over(w).cast("long"))
+        // terciles over the URL survivors via ScaleOps.rankBuckets — the
+        // q120 spelling: equal to the single-task ntile window on unique
+        // (avg_nll, doc_id) keys, scale-safe on the range shuffle
+        val en = graft.ops.ScaleOps.rankBuckets(
+          joined.filter(col("url_kept") && col("lang") === "en" &&
+            col("n_bigrams") > 0),
+          Seq("avg_nll", "doc_id"), nBuckets = 3, numPartitions = 8,
+          bucketName = "ppl_bucket")
         val nb = graft.ops.Classifier.nbScores(docs, "doc_id", "text",
           col("source").isin("src0", "src1"))
         joined

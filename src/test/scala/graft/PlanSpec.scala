@@ -271,6 +271,19 @@ class PlanSpec extends AnyFunSuite {
       s"text column must never shuffle:\n${leaky.map(_.treeString).mkString("\n")}")
   }
 
+  test("q120/q125: no partition-less window anywhere (terciles via rankBuckets)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (name <- Seq("q120_ccnet_pipeline", "q125_curation_e2e")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      val global = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(global.isEmpty,
+        s"$name: global (empty-partition) window funnels the corpus " +
+          s"through one task:\n${global.map(_.treeString).mkString("\n")}")
+    }
+  }
+
   test("q122: classifier count tables broadcast; corpus shuffles only skinny features") {
     val plan = executedPlan("q122_quality_classifier")
     assert(plan.contains("BroadcastExchange"),

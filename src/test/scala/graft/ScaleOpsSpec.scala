@@ -138,6 +138,34 @@ class ScaleOpsSpec extends AnyFunSuite {
       e.getCause != null && e.getCause.getMessage.contains("duplicate key"))
   }
 
+  test("rankBuckets equals ntile over unique keys, across fill-rule edges") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // sizes straddling the fill rule: rem == 0, rem > 0, fewer rows than
+    // buckets (q == 0), one row, and a partition count above the row count
+    for (n <- Seq(1, 2, 3, 7, 30, 101); b <- Seq(3, 4, 8)) {
+      val df = spark.range(n.toLong)
+        .select((col("id") * 37 % 1000).as("k"), col("id").as("doc_id"))
+      val expected = df.withColumn("bucket",
+        ntile(b).over(Window.orderBy(col("k"), col("doc_id"))).cast("long"))
+      val got = ScaleOps.rankBuckets(df, Seq("k", "doc_id"), b,
+        numPartitions = 5)
+      assert(got.orderBy("doc_id").collect().toSeq ==
+        expected.orderBy("doc_id").collect().toSeq,
+        s"n=$n b=$b: rankBuckets must equal the ntile window")
+    }
+  }
+
+  test("rankBuckets plans no partition-less window and no single-task sort") {
+    import spark.implicits._
+    val df = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val plan = ScaleOps.rankBuckets(df, Seq("l_extendedprice", "l_orderkey"),
+      3, numPartitions = 8).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"rankBuckets must not plan a window:\n$plan")
+  }
+
   test("snapshotDiff is a single shuffle of the union") {
     import spark.implicits._
     val old = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
