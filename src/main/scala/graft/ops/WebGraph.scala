@@ -50,6 +50,38 @@ object WebGraph {
                scale: Long = 1000000000000L): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1,50], got $iterations")
+    val (ranks, _) = pageRankLoop(edges, srcCol, dstCol, iterations,
+      dampingPct, scale, tolerance = -1L)
+    ranks
+  }
+
+  /** [[pageRank]] with a convergence probe: stops as soon as the largest
+    * per-node rank movement `max |rank_t+1 − rank_t|` drops to `tolerance`
+    * scaled-integer units or below, with `maxIter` as the backstop. Each
+    * probe is one join + max over the SKINNY rank frame (N hosts, not
+    * edges) — the [[graft.ops.Dedup.connectedComponents]] fixpoint-probe
+    * pattern — so at web scale the early exit saves whole edge-join
+    * iterations for the price of a per-round scalar. An intermediate
+    * iterate of the converged run is bit-identical to the fixed-k run at
+    * the same k (same update rule, same integer arithmetic), so the
+    * fixed-k flavor stays the oracle-replay surface.
+    *
+    * @return (ranks, iterationsRun)
+    */
+  def pageRankConverged(edges: DataFrame, srcCol: String, dstCol: String,
+                        maxIter: Int = 50, tolerance: Long = 1000L,
+                        dampingPct: Int = 85,
+                        scale: Long = 1000000000000L): (DataFrame, Int) = {
+    require(maxIter >= 1 && maxIter <= 50,
+      s"maxIter must be in [1,50], got $maxIter")
+    require(tolerance >= 0, s"tolerance must be >= 0, got $tolerance")
+    pageRankLoop(edges, srcCol, dstCol, maxIter, dampingPct, scale, tolerance)
+  }
+
+  /** Shared iteration body; `tolerance < 0` disables the probe (fixed-k). */
+  private def pageRankLoop(edges: DataFrame, srcCol: String, dstCol: String,
+                           maxIter: Int, dampingPct: Int, scale: Long,
+                           tolerance: Long): (DataFrame, Int) = {
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0,100], got $dampingPct")
     val e = edges
@@ -71,7 +103,9 @@ object WebGraph {
     val base = (100L - dampingPct) * r0 / 100L
 
     var ranks = nodes.select(col("node"), lit(r0).as("rank"))
-    for (_ <- 1 to iterations) {
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
       val inflow = eo
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst"), expr("rank div outdeg").as("contrib"))
@@ -84,11 +118,19 @@ object WebGraph {
             s"($dampingPct * coalesce(inflow, cast(0 as bigint))) div 100"))
             .as("rank"))
         .localCheckpoint() // cut lineage: plan depth stays O(1), not O(k)
+      if (tolerance >= 0L) {
+        // probe over the skinny checkpointed frames: one scalar per round
+        val delta = next
+          .join(ranks.withColumnRenamed("rank", "__prev"), "node")
+          .agg(max(abs(col("rank") - col("__prev")))).head().getLong(0)
+        done = delta <= tolerance
+      }
       ranks = next
+      iter += 1
     }
     nodes.unpersist()
     eo.unpersist()
-    ranks
+    (ranks, iter)
   }
 
   /** Per-host document-quality prior: PageRank of the host graph joined

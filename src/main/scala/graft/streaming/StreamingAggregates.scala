@@ -89,4 +89,79 @@ object StreamingAggregates {
           Iterator(next)
         })
   }
+
+  final case class StepEvent(user_id: Long, step_idx: Int, us: Long)
+  final case class FunnelBuf(step_idxs: Array[Int], uss: Array[Long], n_seen: Long)
+  final case class FunnelTimes(user_id: Long, n_seen: Long, times: Array[Long])
+
+  /** Incremental ordered funnel — the streaming flavor of
+    * [[graft.ops.EventOps.funnel]] (strict-order, bounded-window,
+    * first-occurrence chain), maintained per user across micro-batches
+    * with flatMapGroupsWithState in update mode.
+    *
+    * Correctness contract: after ANY arrival order of the same events,
+    * the latest emitted row per user equals the batch funnel over those
+    * events. The state holds the user's step-relevant events (step
+    * index + epoch-micros — never the payload), and each update replays
+    * the batch recurrence over the time-sorted buffer: a late-arriving
+    * EARLIER signup lowers t1 and legitimately re-derives every later
+    * step, which no fill-in-place scheme gets right. Buffer-and-replay
+    * is exact; per-user cost is the user's own step-event count (the
+    * funnel projection drops every non-step event before the shuffle,
+    * so state is per-user TRAJECTORY size, not stream size).
+    *
+    * Emission: one row per touched user per micro-batch — (user_id,
+    * n_seen, t1..tk), t_i NULL while unfilled. `n_seen` increases
+    * monotonically, so "latest state" = max n_seen per user. Users whose
+    * buffered events never include steps(0) carry all-NULL times (the
+    * batch funnel has no row for them — filter `t1 IS NOT NULL` for the
+    * batch-equivalent frame).
+    */
+  def streamingFunnel(spark: SparkSession, events: DataFrame,
+                      steps: Seq[String], windowUs: Long): DataFrame = {
+    import spark.implicits._
+    require(steps.nonEmpty, "streamingFunnel needs at least one step")
+    require(windowUs > 0, "windowUs must be positive")
+    val k = steps.size
+    val idx = typedLit(steps.zipWithIndex.toMap)
+    val ev = events
+      .select(col("user_id").cast("long").as("user_id"),
+        idx(col("event_type")).as("step_idx"),
+        unix_micros(col("ts")).as("us"))
+      .filter(col("step_idx").isNotNull)
+      .as[StepEvent]
+    val updates = ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (userId: Long, batch: Iterator[StepEvent],
+         state: GroupState[FunnelBuf]) => {
+          val prev = state.getOption.getOrElse(
+            FunnelBuf(Array.empty, Array.empty, 0L))
+          val fresh = batch.toArray
+          val stepIdxs = prev.step_idxs ++ fresh.map(_.step_idx)
+          val uss = prev.uss ++ fresh.map(_.us)
+          state.update(FunnelBuf(stepIdxs, uss, prev.n_seen + fresh.length))
+          // replay the batch recurrence over the time-sorted buffer:
+          // t1 = first steps(0); t_{i+1} = first steps(i) strictly after
+          // t_i and within windowUs of t1. Ties sort step-first so a
+          // same-instant later step never counts (us > t_i is strict).
+          val order = stepIdxs.indices.sortBy(i => (uss(i), stepIdxs(i)))
+          val t = Array.fill(k)(Long.MinValue)
+          var filled = 0
+          order.foreach { i =>
+            if (filled < k && stepIdxs(i) == filled &&
+                (filled == 0 ||
+                  (uss(i) > t(filled - 1) && uss(i) <= t(0) + windowUs))) {
+              t(filled) = uss(i)
+              filled += 1
+            }
+          }
+          Iterator(FunnelTimes(userId, prev.n_seen + fresh.length, t))
+        })
+    updates.toDF().select(
+      col("user_id") +: col("n_seen") +:
+        steps.indices.map { i =>
+          val e = element_at(col("times"), i + 1)
+          when(e =!= Long.MinValue, e).as(s"t${i + 1}")
+        }: _*)
+  }
 }

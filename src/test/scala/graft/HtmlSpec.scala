@@ -220,6 +220,24 @@ class HtmlSpec extends AnyFunSuite {
     }
   }
 
+  test("pageRankConverged exits early on a star graph, identical to fixed-k at the same k") {
+    import spark.implicits._
+    // star: hub fans out to 5 dangling leaves. The hub gets no inflow, so
+    // from round 2 on every rank is stationary — the probe must fire long
+    // before the maxIter backstop.
+    val edges = (1 to 5).map(i => ("hub", s"leaf$i"))
+    val (ranksDf, iters) = WebGraph.pageRankConverged(
+      edges.toDF("s", "d"), "s", "d", maxIter = 50, tolerance = 0L)
+    assert(iters < 10, s"star graph must converge early, ran $iters rounds")
+    val got = ranksDf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fixed = WebGraph.pageRank(edges.toDF("s", "d"), "s", "d",
+        iterations = iters)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == fixed,
+      "converged run must be bit-identical to the fixed-k run at the same k")
+    assert(got == refRanks(edges, iters))
+  }
+
   test("hostQualityPrior: left join keeps unknown-host docs with NULL rank") {
     import spark.implicits._
     val ranks = Seq(("a.com", 10L), ("b.com", 20L)).toDF("node", "rank")

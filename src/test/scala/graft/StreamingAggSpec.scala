@@ -168,4 +168,64 @@ class StreamingAggSpec extends AnyFunSuite {
     assert(diff.isEmpty)
     assert(lastPerUser.count() == batch.count())
   }
+
+  test("streamingFunnel: latest per-user state == batch funnel (q156 config)") {
+    val steps = Seq("signup", "view", "purchase")
+    val windowUs = 259200000000L
+    val streaming = runToMemory(
+      StreamingAggregates.streamingFunnel(spark, streamEvents, steps, windowUs),
+      "funnel_stream", "update")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val last = streaming
+      .withColumn("__m", max(col("n_seen")).over(w))
+      .filter(col("n_seen") === col("__m"))
+      .select("user_id", "t1", "t2", "t3").distinct()
+      .filter(col("t1").isNotNull)
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val batch = graft.ops.EventOps.funnel(ev, "user_id", "event_type", "us",
+      steps, windowUs)
+    assert(last.exceptAll(batch).isEmpty && batch.exceptAll(last).isEmpty,
+      "streaming funnel's final state must equal the batch funnel")
+    assert(last.count() == batch.count() && batch.count() > 0)
+  }
+
+  test("streamingFunnel: a late-arriving earlier signup re-derives the chain across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def e(uid: Long, t: String, sec: Long): (Long, String, java.sql.Timestamp) =
+      (uid, t, new java.sql.Timestamp(sec * 1000L))
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val src = ms.toDF().toDF("user_id", "event_type", "ts")
+    val out = StreamingAggregates.streamingFunnel(spark, src,
+      Seq("signup", "view", "purchase"), windowUs = 3600L * 1000000L)
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("funnel_late").start()
+    // batch 1: signup@10, a view@5 that precedes it (must not count),
+    // purchase@25 (cannot fill: no view yet)
+    ms.addData(e(7L, "signup", 10), e(7L, "view", 5), e(7L, "purchase", 25))
+    q.processAllAvailable()
+    val mid = spark.table("funnel_late").orderBy(col("n_seen").desc).head()
+    assert(mid.getLong(2) == 10L * 1000000L && mid.isNullAt(3) && mid.isNullAt(4),
+      s"after batch 1: t1=10s, view/purchase unfilled, got $mid")
+    // batch 2: an EARLIER signup@2 arrives late — t1 drops to 2, the
+    // buffered view@5 now qualifies, and purchase@25 completes the chain
+    ms.addData(e(7L, "signup", 2), e(7L, "view", 6))
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.table("funnel_late").orderBy(col("n_seen").desc).head()
+    assert(fin.getLong(2) == 2L * 1000000L && fin.getLong(3) == 5L * 1000000L &&
+      fin.getLong(4) == 25L * 1000000L,
+      s"late earlier signup must re-derive t1..t3 from the buffer, got $fin")
+    // and the final state equals the batch funnel over the SAME six events
+    val all = Seq(e(7L, "signup", 10), e(7L, "view", 5), e(7L, "purchase", 25),
+      e(7L, "signup", 2), e(7L, "view", 6))
+      .toDF("user_id", "event_type", "ts")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val b = graft.ops.EventOps.funnel(all, "user_id", "event_type", "us",
+      Seq("signup", "view", "purchase"), 3600L * 1000000L).head()
+    assert(b.getLong(1) == fin.getLong(2) && b.getLong(2) == fin.getLong(3) &&
+      b.getLong(3) == fin.getLong(4))
+  }
 }
