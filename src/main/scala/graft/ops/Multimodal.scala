@@ -572,6 +572,95 @@ object Multimodal {
   def audioNearDupDegrees(media: DataFrame, maxDistance: Int = 3): DataFrame =
     Dedup.hamming64Degrees(audioFingerprint(media), "media_id", "afp", maxDistance)
 
+  /** Cross-modal media near-dup verdicts — the corpus-level composition
+    * of the image-dHash and audio-fingerprint planes: two assets are
+    * media near-dups when EITHER signature sits within its Hamming
+    * budget (re-encoded video keeps its soundtrack; re-scored video
+    * keeps its frames — a single-modality gate misses both directions).
+    * Per asset: near-dup degree per modality, DISTINCT-neighbor degree
+    * under the union relation, and the greedy min-id survivor verdict
+    * ([[Dedup]]'s dropNearDuplicates rule: an asset is dropped iff some
+    * neighbor has a smaller id).
+    *
+    * Scale shape — asset-level pairs are NEVER materialized: re-uploads
+    * make signatures repeat, so the pair relation is quadratic in
+    * clique size (a corpus where one asset is re-posted 10^4 times
+    * yields 10^8 pairs from that clique alone). Instead the corpus
+    * collapses to DISTINCT (image_sig, audio_sig) PROFILES with
+    * multiplicity and min member id; only distinct profiles band-join
+    * (per modality, the [[Dedup.hamming64Pairs]] plan), and each
+    * asset's answers come from profile-level aggregates in closed form:
+    * union degree = (own profile's mult − 1, when any signature is
+    * non-NULL) + Σ mult over near profiles; dropped iff a smaller id
+    * exists in the own profile or any near profile (profile min ids —
+    * the pid IS the profile minimum). Per-modality degrees are the
+    * already-clique-collapsed [[imageNearDupDegrees]] /
+    * [[audioNearDupDegrees]]. Cost tracks signature DIVERSITY, not
+    * corpus size; payloads never shuffle (hashes are computed in the
+    * projection off the scan).
+    *
+    * Assets whose payload a modality cannot decode carry a NULL
+    * signature there and are near only via the other modality; both
+    * NULL → isolated (profiles join null-safely, banding skips NULLs).
+    *
+    * @param media (media_id, img_bytes, audio_bytes)
+    * @return (media_id, n_img, n_audio, n_media, kept) — one row per
+    *         asset; degrees 0 and kept=true for isolated assets
+    */
+  def mediaNearDupVerdicts(media: DataFrame, imgMaxDist: Int = 2,
+                           audioMaxDist: Int = 2): DataFrame = {
+    val sigs = media.select(col("media_id"),
+      graft.functions.ArrayMath.imageDHash64(col("img_bytes")).as("isig"),
+      graft.functions.ArrayMath.audioFingerprint64(col("audio_bytes"))
+        .as("asig"))
+    val prof = sigs.groupBy("isig", "asig")
+      .agg(count(lit(1)).as("__mult"), min("media_id").as("__pid"))
+    // profile-granular near relation: one banding plan per modality over
+    // the DISTINCT signatures; pid (the profile's min member id) keys it
+    val ipairs = Dedup.hamming64Pairs(
+      prof.select(col("__pid"), col("isig")), "__pid", "isig", imgMaxDist)
+      .select(col("id_a"), col("id_b"))
+    val apairs = Dedup.hamming64Pairs(
+      prof.select(col("__pid"), col("asig")), "__pid", "asig", audioMaxDist)
+      .select(col("id_a"), col("id_b"))
+    val u = ipairs.union(apairs).distinct()
+    val sym = u.union(u.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    // per profile: total member mass of near profiles + their min id
+    val neigh = sym
+      .join(prof.select(col("__pid").as("id_b"), col("__mult").as("__bm")),
+        Seq("id_b"))
+      .groupBy(col("id_a").as("__pid"))
+      .agg(sum("__bm").as("__nmass"), min("id_b").as("__min_near"))
+    val profStats = prof
+      .join(neigh, Seq("__pid"), "left")
+      .select(col("isig").as("__pi"), col("asig").as("__pa"),
+        col("__pid"), col("__mult"), col("__nmass"), col("__min_near"))
+    val withProf = sigs.join(profStats,
+      col("isig") <=> col("__pi") && col("asig") <=> col("__pa"))
+    // within-profile members are distance-0 neighbors via any non-NULL
+    // signature; both-NULL profiles are mutually UNrelated
+    val selfNear = col("isig").isNotNull || col("asig").isNotNull
+    val base = withProf.select(col("media_id"),
+      (when(selfNear, col("__mult") - 1).otherwise(lit(0L)) +
+        coalesce(col("__nmass"), lit(0L))).as("n_media"),
+      ((selfNear && col("media_id") > col("__pid")) ||
+        coalesce(col("__min_near") < col("media_id"), lit(false)))
+        .as("__dropped"))
+    base
+      .join(imageNearDupDegrees(
+          media.select(col("media_id"), col("img_bytes").as("bytes")),
+          imgMaxDist).withColumnRenamed("n_near_dups", "n_img"),
+        Seq("media_id"), "left")
+      .join(audioNearDupDegrees(
+          media.select(col("media_id"), col("audio_bytes").as("bytes")),
+          audioMaxDist).withColumnRenamed("n_near_dups", "n_audio"),
+        Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("n_img"), lit(0L)).as("n_img"),
+        coalesce(col("n_audio"), lit(0L)).as("n_audio"),
+        col("n_media"), (!col("__dropped")).as("kept"))
+  }
+
   /** VIDEO sample catalog — [[gifFrames]]' ISO-BMFF sibling: one strict
     * box walk per payload (native [[graft.functions.Mp4Meta]] expression
     * over the public ISO/IEC 14496-12 grammar — no codec work, `mdat` is

@@ -4624,6 +4624,110 @@ object TrainingQueries {
              |    AS n_nonblank,
              |  CAST(CASE WHEN doc_id % 7 = 6 THEN 2 ELSE 3 END AS BIGINT)
              |    AS n_comment
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Cross-modal media near-dup (Multimodal.mediaNearDupVerdicts —
+    // q136's image-dHash plane ∪ q140's audio-fingerprint plane into one
+    // corpus verdict): every doc carries BOTH fixtures; two assets are
+    // media near-dups when either signature is within Hamming 2. The
+    // oracle replays both hash planes bit for bit (q136/q140's CTEs),
+    // forms each pair relation with halved bit_count(xor) (the q137
+    // convention), unions them, and re-derives the per-modality degrees,
+    // the distinct-neighbor union degree, and the greedy min-id survivor
+    // rule — any banding incompleteness or composition drift in either
+    // modality changes a count or a verdict and hash-mismatches.
+    QuerySpec(
+      "q169_media_neardup",
+      (s, dir) => {
+        val media = Tables.documents(s, dir).select(
+          col("doc_id").as("media_id"),
+          Multimodal.pngGradientBytes(
+            (col("doc_id") % 24 + 12).cast("int"),
+            ((col("doc_id") * 3) % 24 + 12).cast("int"),
+            (col("doc_id") % 200).cast("int"),
+            ((col("doc_id") * 5) % 200).cast("int"),
+            ((col("doc_id") * 7) % 200).cast("int")).as("img_bytes"),
+          Multimodal.wavToneBytes(
+            (col("doc_id") % 2 + 1).cast("int"), lit(8000),
+            lit(16), (col("doc_id") % 256 + 64).cast("int")).as("audio_bytes"))
+        Multimodal.mediaNearDupVerdicts(media,
+            imgMaxDist = 2, audioMaxDist = 2)
+          .orderBy("media_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id, doc_id % 24 + 12 AS w, (doc_id*3) % 24 + 12 AS h,
+             |         doc_id % 200 AS r0, (doc_id*5) % 200 AS g0,
+             |         (doc_id*7) % 200 AS b0
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, yy, xx,
+             |    (299*((r0 + (xx*w)//9 + (yy*h)//8) % 256)
+             |     + 587*((g0 + (xx*w)//9 + (yy*h)//8) % 256)
+             |     + 114*((b0 + (xx*w)//9 + (yy*h)//8) % 256)) // 1000 AS luma
+             |  FROM p, (SELECT unnest(range(8)) AS yy),
+             |       (SELECT unnest(range(9)) AS xx)),
+             |bits AS (
+             |  SELECT a.doc_id, a.yy, a.xx,
+             |    CASE WHEN b.luma > a.luma THEN 1 ELSE 0 END AS bit
+             |  FROM g a JOIN g b
+             |    ON b.doc_id = a.doc_id AND b.yy = a.yy AND b.xx = a.xx + 1
+             |  WHERE a.xx < 8),
+             |ih AS (
+             |  SELECT doc_id,
+             |    CAST(SUM(CASE WHEN yy*8+xx < 32
+             |      THEN bit * (1::BIGINT << (yy*8+xx)) ELSE 0 END) AS BIGINT) AS lo,
+             |    CAST(SUM(CASE WHEN yy*8+xx >= 32
+             |      THEN bit * (1::BIGINT << (yy*8+xx-32)) ELSE 0 END) AS BIGINT) AS hi
+             |  FROM bits GROUP BY doc_id),
+             |ap0 AS (
+             |  SELECT doc_id,
+             |    (doc_id % 2 + 1) * (doc_id % 256 + 64) AS n FROM documents),
+             |sm AS (SELECT doc_id, n, unnest(range(n)) AS i FROM ap0),
+             |am AS (SELECT doc_id, n, i,
+             |        abs((i*1031 + 7) % 65536 - 32768) AS amp FROM sm),
+             |en AS (SELECT doc_id, i*64//n AS k, SUM(amp) AS en
+             |      FROM am GROUP BY doc_id, i*64//n),
+             |ab AS (SELECT c.doc_id, c.k,
+             |        CASE WHEN c.en > pr.en THEN 1 ELSE 0 END AS bit
+             |      FROM en c JOIN en pr
+             |        ON pr.doc_id = c.doc_id AND pr.k = c.k - 1),
+             |ah AS (
+             |  SELECT doc_id,
+             |    CAST(SUM(CASE WHEN k < 32
+             |      THEN bit * (1::BIGINT << CAST(k AS INT)) ELSE 0 END)
+             |      AS BIGINT) AS lo,
+             |    CAST(SUM(CASE WHEN k >= 32
+             |      THEN bit * (1::BIGINT << CAST(k - 32 AS INT)) ELSE 0 END)
+             |      AS BIGINT) AS hi
+             |  FROM ab GROUP BY doc_id),
+             |ip AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM ih a JOIN ih b ON a.doc_id < b.doc_id
+             |  WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 2),
+             |ap AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+             |  WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 2),
+             |u AS (SELECT id_a, id_b FROM ip UNION SELECT id_a, id_b FROM ap),
+             |di AS (SELECT media_id, COUNT(*) AS n FROM
+             |  (SELECT id_a AS media_id FROM ip UNION ALL SELECT id_b FROM ip)
+             |  GROUP BY 1),
+             |da AS (SELECT media_id, COUNT(*) AS n FROM
+             |  (SELECT id_a AS media_id FROM ap UNION ALL SELECT id_b FROM ap)
+             |  GROUP BY 1),
+             |du AS (SELECT media_id, COUNT(*) AS n FROM
+             |  (SELECT id_a AS media_id FROM u UNION ALL SELECT id_b FROM u)
+             |  GROUP BY 1)
+             |SELECT d.doc_id AS media_id,
+             |  CAST(COALESCE(di.n, 0) AS BIGINT) AS n_img,
+             |  CAST(COALESCE(da.n, 0) AS BIGINT) AS n_audio,
+             |  CAST(COALESCE(du.n, 0) AS BIGINT) AS n_media,
+             |  d.doc_id NOT IN (SELECT id_b FROM u) AS kept
+             |FROM documents d
+             |LEFT JOIN di ON di.media_id = d.doc_id
+             |LEFT JOIN da ON da.media_id = d.doc_id
+             |LEFT JOIN du ON du.media_id = d.doc_id
+             |ORDER BY media_id""".stripMargin))
   )
 }

@@ -98,4 +98,35 @@ class MediaDecodeSpec extends AnyFunSuite {
       .head().getStruct(0)
     assert(jj.getInt(0) == 8 && jj.getInt(1) == 8)
   }
+
+  test("mediaNearDupVerdicts: cross-modal union, NULL-sig isolation, min-id survivor") {
+    import spark.implicits._
+    // img A: assets 1,2,3 · undecodable img: 4,5,6,7 (every decodable
+    // gradient fixture dHashes identically — monotone luma — so image
+    // DIVERSITY comes from decodability here)
+    // audio X: assets 1,2,4,5 · audio Y: asset 3 · undecodable audio: 6,7
+    val imgA = Multimodal.pngGradientBytes(lit(16), lit(16), lit(10), lit(20), lit(30))
+    val audX = Multimodal.wavToneBytes(lit(1), lit(8000), lit(16), lit(100))
+    val audY = Multimodal.wavToneBytes(lit(2), lit(8000), lit(16), lit(77))
+    val junk = lit(Array[Byte](1, 2, 3))
+    val media = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("media_id").select(
+      col("media_id"),
+      when(col("media_id") <= 3, imgA).otherwise(junk).as("img_bytes"),
+      when(col("media_id").isin(1, 2, 4, 5), audX)
+        .when(col("media_id") === 3, audY).otherwise(junk).as("audio_bytes"))
+    val got = Multimodal.mediaNearDupVerdicts(media, 0, 0)
+      .orderBy("media_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      // (id, n_img, n_audio, n_media, kept)
+      (1L, 2L, 3L, 4L, true),  // near 2,3 (img) ∪ 2,4,5 (audio)
+      (2L, 2L, 3L, 4L, false), // same neighborhood, 1 < 2 drops it
+      (3L, 2L, 0L, 2L, false), // image-only near-dup of 1,2
+      (4L, 0L, 3L, 3L, false), // audio-only near-dup of 1,2,5
+      (5L, 0L, 3L, 3L, false), // NULL image: related via audio alone
+      (6L, 0L, 0L, 0L, true),  // both NULL: isolated …
+      (7L, 0L, 0L, 0L, true)), // … even from the other both-NULL asset
+      s"got: ${got.toSeq}")
+  }
 }

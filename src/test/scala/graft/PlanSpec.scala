@@ -284,6 +284,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q169: media payloads never shuffle — signatures only") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def collectShuffles(p: SparkPlan): Seq[ShuffleExchangeLike] = p.flatMap {
+      case a: AdaptiveSparkPlanExec => collectShuffles(a.executedPlan)
+      case q: QueryStageExec => collectShuffles(q.plan)
+      case s: ShuffleExchangeLike => Seq(s)
+      case _ => Nil
+    }
+    val df = SparkEntry.queries("q169_media_neardup")(spark, sf)
+    val shuffles = collectShuffles(df.queryExecution.executedPlan)
+    assert(shuffles.nonEmpty)
+    val leaky = shuffles.filter(_.output.exists(a =>
+      a.name == "img_bytes" || a.name == "audio_bytes" || a.name == "bytes"))
+    assert(leaky.isEmpty,
+      s"media payloads must never shuffle:\n${leaky.map(_.treeString).mkString("\n")}")
+  }
+
   test("q122: classifier count tables broadcast; corpus shuffles only skinny features") {
     val plan = executedPlan("q122_quality_classifier")
     assert(plan.contains("BroadcastExchange"),
