@@ -643,4 +643,107 @@ object TextOps {
           .otherwise(col("n_lines") - coalesce(col("__n_kept"), lit(0L)))
           .as("n_dropped"))
   }
+
+  /** Corpus-wide duplicated-span marking — the token-window flavor of
+    * ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better", arXiv:2107.06499; suffix arrays
+    * there, k-token rolling windows here): a window of `k` consecutive
+    * whitespace tokens whose rendering occurs MORE THAN ONCE in the
+    * entire corpus (any doc, any position — twice within one doc
+    * counts) is duplicated; overlapping-or-adjacent duplicated windows
+    * merge into maximal spans `[span_start, span_end)` in 0-based token
+    * coordinates.
+    *
+    * Plan shape at 100 TB: one explode to (doc, pos, md5(window)) —
+    * linear in corpus tokens; ONE hash shuffle keyed by the digest with
+    * a partition-count window (no self-join, no dup-key frame to
+    * broadcast); one per-doc window (range-merge via running max — the
+    * gaps-and-islands spelling both engines share) + the span
+    * aggregation. Windows hash through md5 so only 32-byte digests
+    * shuffle, never window text.
+    *
+    * → (idCol, span_start, span_end, n_windows), one row per maximal
+    *   duplicated span; docs with none produce no row.
+    */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+               k: Int = 8): DataFrame = {
+    require(k >= 2, s"dupSpans needs k >= 2, got $k")
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= k)
+    val occ = toks
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, size(__t) - $k), " +
+          s"i -> md5(cast(array_join(slice(__t, i + 1, $k), ' ') as binary)))"))
+        .as(Seq("pos", "__key")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("__key"))
+    val wKey = org.apache.spark.sql.expressions.Window.partitionBy("__key")
+    val marked = occ
+      .withColumn("__n", count(lit(1)).over(wKey))
+      .filter(col("__n") > 1)
+      .select(col(idCol), col("pos"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    import org.apache.spark.sql.expressions.Window.{unboundedPreceding, currentRow}
+    val islands = marked
+      .withColumn("__pm", max(col("pos") + k)
+        .over(wDoc.rowsBetween(unboundedPreceding, -1)))
+      .withColumn("__island",
+        sum(when(col("pos") > coalesce(col("__pm"), lit(-1L)), 1L)
+          .otherwise(0L)).over(wDoc.rowsBetween(unboundedPreceding, currentRow)))
+    islands.groupBy(col(idCol), col("__island"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + k).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_windows"))
+  }
+
+  /** Per-doc accounting over [[dupSpans]]: token total (the q21
+    * [[tokenCount]] contract), merged-span count, and duplicated-token
+    * mass (spans are disjoint after merging, so the sum is exact).
+    * Every doc gets a row; span-free docs report zeros.
+    */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 8): DataFrame =
+    df.select(col(idCol),
+        coalesce(tokenCount(col(textCol)), lit(0L)).as("n_tokens"))
+      .join(dupSpans(df, idCol, textCol, k)
+          .groupBy(idCol)
+          .agg(count(lit(1)).as("n_spans"),
+            sum(col("span_end") - col("span_start")).as("dup_tokens")),
+        Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+
+  /** Cut the [[dupSpans]] regions out: tokens inside any duplicated
+    * span are removed and the survivors re-joined with single spaces
+    * (token coordinates, so original whitespace is NOT preserved — the
+    * standard ExactSubstr cut). Docs shorter than `k` tokens pass
+    * through verbatim; NULL text stays NULL.
+    *
+    * → (idCol, cleaned_text, n_tokens, dup_tokens)
+    */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8): DataFrame = {
+    val spans = dupSpans(df, idCol, textCol, k)
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans"))
+    df.select(col(idCol), col(textCol).as("__text"))
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__text").isNull, lit(null).cast("string"))
+          .when(col("__spans").isNull, col("__text"))
+          .otherwise(array_join(
+            filter(tokens(col("__text")), (t, i) =>
+              !exists(col("__spans"), sp =>
+                i.cast("long") >= sp.getField("span_start") &&
+                  i.cast("long") < sp.getField("span_end"))),
+            " ")).as("cleaned_text"),
+        coalesce(tokenCount(col("__text")), lit(0L)).as("n_tokens"),
+        coalesce(aggregate(col("__spans"),
+            lit(0L), (acc, sp) => acc +
+              sp.getField("span_end") - sp.getField("span_start")),
+          lit(0L)).as("dup_tokens"))
+  }
 }

@@ -4728,6 +4728,101 @@ object TrainingQueries {
              |LEFT JOIN di ON di.media_id = d.doc_id
              |LEFT JOIN da ON da.media_id = d.doc_id
              |LEFT JOIN du ON du.media_id = d.doc_id
-             |ORDER BY media_id""".stripMargin))
+             |ORDER BY media_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // ExactSubstr-style duplicated spans (TextOps.dupSpans — the Lee et
+    // al. 2022 cut, token-window flavor): 4-token windows occurring more
+    // than once ANYWHERE in the corpus are duplicated; overlapping-or-
+    // adjacent windows merge into maximal spans via the shared
+    // gaps-and-islands spelling (running-max window, then island sums).
+    // The oracle replays window extraction (DuckDB list slices), the
+    // corpus-frequency partition count, and the identical two-stage
+    // island merge — any off-by-one in window coordinates, md5 drift, or
+    // merge-rule drift changes a span boundary and hash-mismatches.
+    QuerySpec(
+      "q170_dup_spans",
+      (s, dir) =>
+        graft.ops.TextOps.dupSpans(
+            Tables.documents(s, dir), "doc_id", "text", k = 4)
+          .orderBy("doc_id", "span_start"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents),
+             |w AS (
+             |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             |    md5(array_to_string(toks[i+1:i+4], ' ')) AS key
+             |  FROM t, (SELECT unnest(range(len(toks) - 3)) AS i)
+             |  WHERE len(toks) >= 4),
+             |m AS (
+             |  SELECT doc_id, pos FROM (
+             |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY key) AS n
+             |    FROM w) WHERE n > 1),
+             |pm AS (
+             |  SELECT doc_id, pos,
+             |    MAX(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+             |  FROM m),
+             |isl AS (
+             |  SELECT doc_id, pos,
+             |    SUM(CASE WHEN pos > COALESCE(prev_max, -1) THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY doc_id ORDER BY pos
+             |        ROWS UNBOUNDED PRECEDING) AS island
+             |  FROM pm)
+             |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+             |  CAST(MAX(pos) + 4 AS BIGINT) AS span_end,
+             |  CAST(COUNT(*) AS BIGINT) AS n_windows
+             |FROM isl GROUP BY doc_id, island
+             |ORDER BY doc_id, span_start""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Duplicated-span accounting (TextOps.dupSpanStats): per doc, total
+    // tokens (the q21 tokenCount contract), merged-span count and exact
+    // duplicated-token mass — the number a dedup policy thresholds on
+    // ("drop docs that are mostly duplicated text"). Docs without spans
+    // report zeros; the oracle re-aggregates q170's span CTEs.
+    QuerySpec(
+      "q171_dup_span_stats",
+      (s, dir) =>
+        graft.ops.TextOps.dupSpanStats(
+            Tables.documents(s, dir), "doc_id", "text", k = 4)
+          .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents),
+             |w AS (
+             |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             |    md5(array_to_string(toks[i+1:i+4], ' ')) AS key
+             |  FROM t, (SELECT unnest(range(len(toks) - 3)) AS i)
+             |  WHERE len(toks) >= 4),
+             |m AS (
+             |  SELECT doc_id, pos FROM (
+             |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY key) AS n
+             |    FROM w) WHERE n > 1),
+             |pm AS (
+             |  SELECT doc_id, pos,
+             |    MAX(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+             |  FROM m),
+             |isl AS (
+             |  SELECT doc_id, pos,
+             |    SUM(CASE WHEN pos > COALESCE(prev_max, -1) THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY doc_id ORDER BY pos
+             |        ROWS UNBOUNDED PRECEDING) AS island
+             |  FROM pm),
+             |sp AS (
+             |  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 4 AS e
+             |  FROM isl GROUP BY doc_id, island),
+             |agg AS (
+             |  SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s) AS dup_tokens
+             |  FROM sp GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  COALESCE(CASE WHEN LENGTH(trim(d.text)) = 0 THEN 0
+             |    ELSE len(string_split_regex(trim(d.text), '\s+')) END, 0)
+             |    ::BIGINT AS n_tokens,
+             |  CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+             |  CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens
+             |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin))
   )
 }

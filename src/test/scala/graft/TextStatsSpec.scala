@@ -70,4 +70,34 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got(1).getString(1) == "" && got(1).getLong(3) == 0L)
     assert(got(2).isNullAt(1) && got(2).getLong(2) == 0L)
   }
+
+  test("removeDupSpans: cross-doc and within-doc spans cut; short/NULL docs pass") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),   // shares "c d e"/"d e f" with doc 2
+      (2L, "x x c d e f y z"),
+      (3L, "p q r"),             // exactly k tokens, window unique
+      (4L, "s t"),               // shorter than k: passes verbatim
+      (5L, "m n o m n o m n"),   // self-repeating: whole doc duplicated
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextOps.removeDupSpans(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect()
+    assert(got(0).getString(1) == "a b g h" && got(0).getLong(2) == 8L &&
+      got(0).getLong(3) == 4L)
+    assert(got(1).getString(1) == "x x y z" && got(1).getLong(3) == 4L)
+    assert(got(2).getString(1) == "p q r" && got(2).getLong(3) == 0L)
+    assert(got(3).getString(1) == "s t" && got(3).getLong(3) == 0L)
+    assert(got(4).getString(1) == "" && got(4).getLong(2) == 8L &&
+      got(4).getLong(3) == 8L,
+      "a fully self-repeating doc must be cut to empty")
+    assert(got(5).isNullAt(1) && got(5).getLong(2) == 0L)
+    // stats agree with the cut masses
+    val st = TextOps.dupSpanStats(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(st.toSeq == Seq((1L, 8L, 1L, 4L), (2L, 8L, 1L, 4L),
+      (3L, 3L, 0L, 0L), (4L, 2L, 0L, 0L), (5L, 8L, 1L, 8L),
+      (6L, 0L, 0L, 0L)))
+  }
 }
