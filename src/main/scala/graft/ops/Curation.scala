@@ -238,6 +238,65 @@ object Curation {
       .select(col(domainCol), col("n_dom"), col("weight"), col("thresh"))
   }
 
+  /** UniMax budget allocation (Chung et al., ICLR 2023 "UniMax: Fairer
+    * and More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): distribute a total token `budget` over domains so
+    * every domain is repeated at most `maxEpochs` times and the
+    * remaining budget spreads UNIFORMLY over the domains that can
+    * absorb it — the waterfilling alternative to [[temperatureWeights]]'
+    * α-rule (which over-samples mid-size domains and still starves the
+    * tail). With capacities c_d = n_d·maxEpochs sorted ascending,
+    * domain k (1-based, S = prefix capacity sum, L domains) is FUNDED
+    * in full iff
+    *
+    *   c_k·(L−k+1) + S_{k−1} ≤ budget
+    *
+    * (the division-free spelling of c_k ≤ (budget−S_{k−1})/(L−k+1) —
+    * the funded set is a prefix because capacities ascend), and every
+    * unfunded domain gets the integer water level
+    * (budget − Σ_funded c) div #unfunded. All arithmetic is BIGINT —
+    * bit-replayable; the ≤ L-token truncation underfill is the price.
+    *
+    * Scale shape: ONE aggregation over the corpus; the waterfill lives
+    * entirely on the ≤|domains|-row plane (the global windows are over
+    * domains, not rows — the [[temperatureWeights]] convention).
+    *
+    * @param tokenCol per-row token count (summed per domain)
+    * @return (domainCol, n_tokens, capacity, funded, alloc_tokens,
+    *         epochs) — epochs = alloc/n as double
+    */
+  def unimaxAllocation(df: DataFrame, domainCol: String, tokenCol: String,
+                       budget: Long, maxEpochs: Long): DataFrame = {
+    require(budget > 0, s"budget must be > 0, got $budget")
+    require(maxEpochs > 0, s"maxEpochs must be > 0, got $maxEpochs")
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .orderBy(col("capacity"), col(domainCol))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    import org.apache.spark.sql.expressions.Window.unboundedPreceding
+    df.groupBy(col(domainCol))
+      .agg(sum(col(tokenCol)).as("n_tokens"))
+      .withColumn("capacity", col("n_tokens") * maxEpochs)
+      .withColumn("__k", row_number().over(wOrd).cast("long"))
+      .withColumn("__L", count(lit(1)).over(all))
+      .withColumn("__prefix", coalesce(
+        sum(col("capacity")).over(wOrd.rowsBetween(unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("funded",
+        col("capacity") * (col("__L") - col("__k") + 1L) + col("__prefix")
+          <= budget)
+      .withColumn("__fmass",
+        sum(when(col("funded"), col("capacity")).otherwise(0L)).over(all))
+      .withColumn("__nunf",
+        sum(when(col("funded"), 0L).otherwise(1L)).over(all))
+      .withColumn("alloc_tokens",
+        when(col("funded"), col("capacity"))
+          .otherwise(expr(s"(${budget}L - __fmass) div __nunf")))
+      .select(col(domainCol), col("n_tokens"), col("capacity"),
+        col("funded"), col("alloc_tokens"),
+        (col("alloc_tokens").cast("double") /
+          col("n_tokens").cast("double")).as("epochs"))
+  }
+
   /** Temperature-scaled mixture sampling: keep rows whose [[hashBucket]]
     * falls under their domain's [[temperatureWeights]] gate — hash-gated
     * (reproducible, repartition-stable, incremental-safe: the

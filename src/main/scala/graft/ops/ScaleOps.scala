@@ -371,4 +371,72 @@ object ScaleOps {
     }
     arranged.sparkSession.createDataFrame(withB, schema)
   }
+
+  /** EXACT order-statistic quantiles without a global sort and without
+    * the single-reducer `percentile` aggregate (which collects every
+    * group value into one task — the 100 TB melt): quantile `q` is the
+    * value at 0-based rank `floor(q·(n−1))` in value order (the
+    * discrete "lower" quantile — no interpolation, so the answer is an
+    * actual data value and replays exactly in any engine). Plan: range-
+    * repartition on the value (each partition owns a disjoint value
+    * range), local sort, ONE per-partition count job (a few longs to the
+    * driver — the [[rankBuckets]] recipe), then a second pass extracts
+    * only the rows whose global rank is a target — |qs| values cross the
+    * driver, never the data.
+    *
+    * NULLs are excluded (the SQL aggregate convention).
+    *
+    * @return (q, value) — one row per requested quantile, value keeps
+    *         the column's own type; empty input → empty result
+    */
+  def exactQuantiles(df: DataFrame, valueCol: String, qs: Seq[Double],
+                     numPartitions: Int): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0,1], got $qs")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val spark = df.sparkSession
+    val vals = df.select(col(valueCol)).filter(col(valueCol).isNotNull)
+    val arranged = vals.repartitionByRange(numPartitions, col(valueCol))
+      .sortWithinPartitions(valueCol)
+    val rdd = arranged.rdd
+    val counts = rdd
+      .mapPartitionsWithIndex((pid, it) => Iterator.single((pid, {
+        var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n
+      })), preservesPartitioning = true)
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val total = offsets.last
+    val outSchema = StructType(Seq(
+      StructField("q", DoubleType, nullable = false),
+      arranged.schema.head.copy(name = "value")))
+    if (total == 0L)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], outSchema)
+    // target global ranks; both engines floor the same IEEE product
+    val targets = qs.map(q => q -> math.floor(q * (total - 1)).toLong)
+    val hits = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val lo = offsets(pid)
+      val hi = offsets(pid) + counts(pid)
+      val mine = targets.filter { case (_, r) => r >= lo && r < hi }
+        .sortBy(_._2)
+      if (mine.isEmpty) Iterator.empty
+      else {
+        var rank = lo
+        var pending = mine
+        val out = Seq.newBuilder[Row]
+        while (pending.nonEmpty && it.hasNext) {
+          val row = it.next()
+          while (pending.nonEmpty && pending.head._2 == rank) {
+            out += Row(pending.head._1, row.get(0))
+            pending = pending.tail
+          }
+          rank += 1
+        }
+        out.result().iterator
+      }
+    }.collect()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(hits.toSeq, 1), outSchema)
+  }
 }

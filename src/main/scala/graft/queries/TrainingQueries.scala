@@ -4823,6 +4823,94 @@ object TrainingQueries {
              |  CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
              |  CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens
              |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
-             |ORDER BY d.doc_id""".stripMargin))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Exact distributed quantiles (ScaleOps.exactQuantiles — the scale
+    // path around the single-reducer `percentile` aggregate): discrete
+    // "lower" quantile, value at 0-based rank floor(q·(n−1)) in value
+    // order, extracted via range-partition + per-partition offsets (the
+    // rankBuckets recipe) — only |qs| values ever reach the driver. The
+    // oracle derives the same ranks with ROW_NUMBER and the identical
+    // IEEE floor product; the answer is an actual data value, so both
+    // engines agree bit for bit with no interpolation caveats.
+    QuerySpec(
+      "q172_exact_quantiles",
+      (s, dir) =>
+        graft.ops.ScaleOps.exactQuantiles(
+            Tables.lineitem(s, dir).select(col("l_extendedprice")),
+            "l_extendedprice", Seq(0.01, 0.25, 0.5, 0.75, 0.99),
+            numPartitions = 8)
+          .orderBy("q"),
+      Some("""WITH s AS (
+             |  SELECT l_extendedprice AS v FROM lineitem
+             |  WHERE l_extendedprice IS NOT NULL),
+             |n AS (SELECT COUNT(*) AS n FROM s),
+             |r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS rk FROM s),
+             |t(q) AS (VALUES (0.01), (0.25), (0.5), (0.75), (0.99))
+             |SELECT t.q AS q, r.v AS value
+             |FROM t, n, r
+             |WHERE r.rk = CAST(FLOOR(t.q * (n.n - 1)) AS BIGINT)
+             |ORDER BY q""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // UniMax budget waterfilling (Curation.unimaxAllocation — Chung et
+    // al. ICLR'23; the epoch-capped alternative to q114's α-temperature
+    // rule): size-bucketed synthetic domains give a real funded/unfunded
+    // boundary at the 20k-token budget; the oracle replays the
+    // division-free prefix test and the integer water level with the
+    // same windows. All BIGINT, so any drift in the funded-prefix rule
+    // or the truncating division hash-mismatches.
+    QuerySpec(
+      "q173_unimax",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(
+          when(col("doc_id") < 10, "d0").when(col("doc_id") < 30, "d1")
+            .when(col("doc_id") < 70, "d2").when(col("doc_id") < 150, "d3")
+            .when(col("doc_id") < 310, "d4").otherwise("d5").as("domain"),
+          coalesce(graft.ops.TextOps.tokenCount(col("text")), lit(0L))
+            .as("toks"))
+        graft.ops.Curation.unimaxAllocation(docs, "domain", "toks",
+            budget = 20000L, maxEpochs = 2L)
+          .orderBy("domain")
+      },
+      Some("""WITH d AS (
+             |  SELECT CASE WHEN doc_id < 10 THEN 'd0'
+             |    WHEN doc_id < 30 THEN 'd1' WHEN doc_id < 70 THEN 'd2'
+             |    WHEN doc_id < 150 THEN 'd3' WHEN doc_id < 310 THEN 'd4'
+             |    ELSE 'd5' END AS domain,
+             |    COALESCE(CASE WHEN LENGTH(trim(text)) = 0 THEN 0
+             |      ELSE len(string_split_regex(trim(text), '\s+')) END, 0)
+             |      AS toks
+             |  FROM documents),
+             |c AS (
+             |  SELECT domain, CAST(SUM(toks) AS BIGINT) AS n_tokens,
+             |    CAST(SUM(toks) * 2 AS BIGINT) AS capacity
+             |  FROM d GROUP BY 1),
+             |k AS (
+             |  SELECT domain, n_tokens, capacity,
+             |    ROW_NUMBER() OVER (ORDER BY capacity, domain) AS k,
+             |    COUNT(*) OVER () AS L,
+             |    CAST(COALESCE(SUM(capacity) OVER (ORDER BY capacity, domain
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS prefix
+             |  FROM c),
+             |f AS (
+             |  SELECT *, capacity * (L - k + 1) + prefix <= 20000 AS funded
+             |  FROM k),
+             |g AS (
+             |  SELECT *,
+             |    CAST(SUM(CASE WHEN funded THEN capacity ELSE 0 END)
+             |      OVER () AS BIGINT) AS fmass,
+             |    CAST(SUM(CASE WHEN funded THEN 0 ELSE 1 END) OVER ()
+             |      AS BIGINT) AS nunf
+             |  FROM f)
+             |SELECT domain, n_tokens, capacity, funded,
+             |  CAST(CASE WHEN funded THEN capacity
+             |    ELSE (20000 - fmass) // nunf END AS BIGINT) AS alloc_tokens,
+             |  CAST(CASE WHEN funded THEN capacity
+             |    ELSE (20000 - fmass) // nunf END AS DOUBLE)
+             |    / CAST(n_tokens AS DOUBLE) AS epochs
+             |FROM g ORDER BY domain""".stripMargin))
   )
 }

@@ -347,6 +347,32 @@ class CurationSpec extends AnyFunSuite {
       weights = Seq("absent" -> 1.0), budgetFrac = 0.5).isEmpty)
   }
 
+  test("unimaxAllocation: waterfill on a hand case; all-funded and single-domain edges") {
+    import spark.implicits._
+    // capacities (maxEpochs=2): a=20, b=60, c=200. budget=120:
+    // a funded (20*3+0=60<=120), b funded (60*2+20=140>120? no) —
+    // b UNfunded; level=(120-20)/2=50 for b and c.
+    val docs = Seq(("a", 10L), ("b", 30L), ("c", 100L)).toDF("dom", "t")
+    val got = Curation.unimaxAllocation(docs, "dom", "t", budget = 120L,
+        maxEpochs = 2L)
+      .orderBy("dom").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4)))
+    assert(got.toSeq == Seq(("a", 10L, 20L, true, 20L),
+      ("b", 30L, 60L, false, 50L), ("c", 100L, 200L, false, 50L)),
+      s"got ${got.toSeq}")
+    // budget above total capacity: every domain funded at capacity
+    val all = Curation.unimaxAllocation(docs, "dom", "t", budget = 1000L,
+        maxEpochs = 2L).collect()
+    assert(all.forall(_.getBoolean(3)) &&
+      all.map(_.getLong(4)).sum == 280L)
+    // single domain, budget below capacity: the whole budget flows to it
+    val one = Curation.unimaxAllocation(
+      Seq(("x", 100L)).toDF("dom", "t"), "dom", "t",
+      budget = 77L, maxEpochs = 3L).head()
+    assert(!one.getBoolean(3) && one.getLong(4) == 77L)
+  }
+
   test("sampleToMixture hits targets, clamps short domains, drops unweighted") {
     import spark.implicits._
     // web: 8000 rows, books: 1500, code: 500, junk: 1000 (unweighted)

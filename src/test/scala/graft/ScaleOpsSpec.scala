@@ -166,6 +166,28 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"rankBuckets must not plan a window:\n$plan")
   }
 
+  test("exactQuantiles equals the sorted-rank definition; edges covered") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf).select(col("l_extendedprice"))
+    val qs = Seq(0.0, 0.01, 0.5, 0.9, 1.0)
+    val got = ScaleOps.exactQuantiles(li, "l_extendedprice", qs, 7)
+      .orderBy("q").collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val sorted = li.orderBy("l_extendedprice").collect().map(_.getDouble(0))
+    val expected = qs.map(q =>
+      (q, sorted(math.floor(q * (sorted.length - 1)).toInt)))
+    assert(got.toSeq == expected,
+      s"got ${got.toSeq} expected $expected")
+    // one row, empty input, duplicate quantiles at the same rank
+    val one = Seq(42.0).toDF("v")
+    assert(ScaleOps.exactQuantiles(one, "v", Seq(0.0, 0.5, 1.0), 4)
+      .collect().forall(_.getDouble(1) == 42.0))
+    val empty = Seq.empty[Double].toDF("v")
+    assert(ScaleOps.exactQuantiles(empty, "v", Seq(0.5), 4).isEmpty)
+    val nulls = Seq(Some(1.0), None, Some(3.0)).toDF("v")
+    assert(ScaleOps.exactQuantiles(nulls, "v", Seq(1.0), 4)
+      .head().getDouble(1) == 3.0, "NULLs excluded from the rank space")
+  }
+
   test("snapshotDiff is a single shuffle of the union") {
     import spark.implicits._
     val old = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
