@@ -164,4 +164,54 @@ object StreamingAggregates {
           when(e =!= Long.MinValue, e).as(s"t${i + 1}")
         }: _*)
   }
+
+  final case class RetEvent(user_id: Long, us: Long)
+  final case class RetBuf(uss: Array[Long])
+  final case class RetDelta(cohort_period: Long, period_offset: Long,
+                            delta: Long)
+
+  /** Incremental cohort retention — the streaming flavor of
+    * [[graft.ops.EventOps.retentionCohorts]], maintained as a DELTA
+    * stream (CDC-style): each micro-batch emits (cohort_period,
+    * period_offset, ±1) corrections per user such that folding all
+    * deltas (SUM(delta) GROUP BY cell) equals the batch retention
+    * triangle over the same events, under ANY arrival order.
+    *
+    * Why deltas: a late-arriving EARLIER first event moves the user's
+    * whole cohort — every cell previously credited to the user is wrong
+    * and must be retracted, which an append-only emission cannot
+    * express. State per user is the distinct event-time array (exact
+    * duplicates collapse — they cannot change a cell); each update
+    * recomputes the user's cell set from scratch and emits the
+    * symmetric difference against the previous set.
+    */
+  def streamingRetentionDeltas(spark: SparkSession, events: DataFrame,
+                               periodUs: Long): DataFrame = {
+    import spark.implicits._
+    require(periodUs > 0, "periodUs must be positive")
+    val ev = events
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("us"))
+      .as[RetEvent]
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (_: Long, batch: Iterator[RetEvent], state: GroupState[RetBuf]) => {
+          val prev = state.getOption.map(_.uss).getOrElse(Array.empty[Long])
+          val merged = (prev ++ batch.map(_.us)).distinct.sorted
+          state.update(RetBuf(merged))
+          // truncating division matches the batch op's `div` on the
+          // non-negative (us - first) and epoch-positive first
+          def cells(a: Array[Long]): Set[(Long, Long)] =
+            if (a.isEmpty) Set.empty
+            else {
+              val f = a.head
+              a.map(u => (f / periodUs, (u - f) / periodUs)).toSet
+            }
+          val oldC = cells(prev)
+          val newC = cells(merged)
+          (newC -- oldC).iterator.map { case (c, o) => RetDelta(c, o, 1L) } ++
+            (oldC -- newC).iterator.map { case (c, o) => RetDelta(c, o, -1L) }
+        })
+      .toDF()
+  }
 }

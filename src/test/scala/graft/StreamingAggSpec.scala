@@ -190,6 +190,49 @@ class StreamingAggSpec extends AnyFunSuite {
     assert(last.count() == batch.count() && batch.count() > 0)
   }
 
+  test("streamingRetentionDeltas: folded deltas == batch retention triangle") {
+    val periodUs = 604800000000L // 7 days, the q157 config
+    val streaming = runToMemory(
+      StreamingAggregates.streamingRetentionDeltas(spark, streamEvents, periodUs),
+      "retention_stream", "update")
+    val folded = streaming.groupBy("cohort_period", "period_offset")
+      .agg(sum("delta").as("n_users"))
+      .filter(col("n_users") =!= 0)
+    val batch = graft.ops.EventOps.retentionCohorts(
+      Tables.events(spark, sf)
+        .select(col("user_id"), unix_micros(col("ts")).as("us")),
+      "user_id", "us", periodUs)
+    assert(folded.exceptAll(batch).isEmpty && batch.exceptAll(folded).isEmpty,
+      "folded delta stream must equal the batch retention triangle")
+    assert(batch.count() > 0)
+  }
+
+  test("streamingRetentionDeltas: a late earlier first event retracts the old cohort") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val day = 86400000000L
+    def e(uid: Long, dayN: Long): (Long, java.sql.Timestamp) =
+      (uid, new java.sql.Timestamp(dayN * day / 1000L))
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    val src = ms.toDF().toDF("user_id", "ts")
+    val out = StreamingAggregates.streamingRetentionDeltas(spark, src, 7 * day)
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("retention_late").start()
+    ms.addData(e(9L, 8), e(9L, 15)) // first=day8: cohort 1, offsets 0 and 1
+    q.processAllAvailable()
+    ms.addData(e(9L, 1)) // LATE earlier first event: cohort moves to 0
+    q.processAllAvailable()
+    q.stop()
+    val folded = spark.table("retention_late")
+      .groupBy("cohort_period", "period_offset")
+      .agg(sum("delta").as("n")).filter(col("n") =!= 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch truth over all three events: first=day1, offsets 0,1,2
+    assert(folded == Set((0L, 0L, 1L), (0L, 1L, 1L), (0L, 2L, 1L)),
+      s"old cohort-1 cells must be retracted, got $folded")
+  }
+
   test("streamingFunnel: a late-arriving earlier signup re-derives the chain across batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
