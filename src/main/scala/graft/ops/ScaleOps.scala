@@ -339,9 +339,13 @@ object ScaleOps {
     require(nBuckets > 0, s"rankBuckets: nBuckets must be > 0, got $nBuckets")
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
+    // eager localCheckpoint: the arranged frame feeds TWO rdd passes
+    // (count + bucket map) — without it the whole upstream plan (which
+    // may carry expensive joins) recomputes per pass
     val arranged = df
       .repartitionByRange(numPartitions, orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
+      .localCheckpoint(true)
     val rdd = arranged.rdd
     // one count pass: per-partition sizes → rank offsets AND the total,
     // so the bucket map needs no second aggregate over the data
@@ -397,8 +401,11 @@ object ScaleOps {
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
     val spark = df.sparkSession
     val vals = df.select(col(valueCol)).filter(col(valueCol).isNotNull)
+    // eager localCheckpoint: two rdd passes (count + rank extraction),
+    // same rationale as [[rankBuckets]]
     val arranged = vals.repartitionByRange(numPartitions, col(valueCol))
       .sortWithinPartitions(valueCol)
+      .localCheckpoint(true)
     val rdd = arranged.rdd
     val counts = rdd
       .mapPartitionsWithIndex((pid, it) => Iterator.single((pid, {

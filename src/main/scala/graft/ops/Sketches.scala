@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic, mergeable distinct-count sketching — the KMV
+  * (k-minimum-values) estimator (Bar-Yossef et al. RANDOM'02; Beyer et
+  * al. SIGMOD'07): keep the k smallest hash values of the distinct
+  * items; with h_(k) the k-th smallest hash mapped into (0, 1), the
+  * estimate is (k−1)/h_(k).
+  *
+  * Why this next to Spark's HLL++ (`approx_count_distinct`, used by
+  * [[Profile]]'s 100 TB path): KMV is DETERMINISTIC BY CONSTRUCTION
+  * (md5, no seed, no implementation-defined register layout), so the
+  * sketch — not just the estimate — replays bit-for-bit in any engine
+  * with md5, which is what makes a cross-engine data contract or an
+  * oracle check possible at all. Sketches merge exactly: the sketch of
+  * a union is the k smallest of the sketches' union, so per-partition /
+  * per-day sketches roll up without rescanning.
+  *
+  * Hash = first 12 hex chars of md5 as a 48-bit integer — shared
+  * SQL-dialect spelling (`conv` here, strpos arithmetic in DuckDB),
+  * uniform on (0, 2^48).
+  */
+object Sketches {
+
+  private val HashSpace = 281474976710656.0 // 2^48
+
+  private def h48(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c.cast("binary")), 1, 12), 16, 10).cast("long")
+
+  /** The sketch itself: per group, the k smallest distinct-value hashes
+    * with their ranks — ≤ k skinny rows per group, exactly mergeable
+    * (union two sketches, re-rank, keep rank ≤ k = the sketch of the
+    * union). Ties on the 48-bit hash break by the value's string
+    * rendering, so the sketch is layout-invariant.
+    *
+    * → (groupCols…, rank, h)
+    */
+  def kmvSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val d = df
+      .select((groupCols.map(col) :+ col(valueCol)): _*)
+      .filter(col(valueCol).isNotNull)
+      .distinct()
+      .select(groupCols.map(col) :+ h48(col(valueCol)).as("h") :+
+        col(valueCol).cast("string").as("__v"): _*)
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("h"), col("__v"))
+    d.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(groupCols.map(col) :+ col("rank") :+ col("h"): _*)
+  }
+
+  /** Distinct-count estimate per group off a [[kmvSketch]]: when the
+    * group holds fewer than k distinct values the sketch IS the
+    * distinct set (estimate exact); otherwise (k−1)·2^48 / h_(k).
+    *
+    * → (groupCols…, n_sketch, estimate)
+    */
+  def kmvEstimate(sketch: DataFrame, groupCols: Seq[String],
+                  k: Int): DataFrame =
+    sketch.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_sketch"),
+        max(when(col("rank") === k, col("h"))).as("__kth"))
+      .select(groupCols.map(col) :+ col("n_sketch") :+
+        when(col("n_sketch") < k, col("n_sketch").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(HashSpace) /
+            col("__kth").cast("double")).as("estimate"): _*)
+
+  /** One-call convenience: sketch then estimate. */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  k: Int): DataFrame =
+    kmvEstimate(kmvSketch(df, groupCols, valueCol, k), groupCols, k)
+}

@@ -4911,6 +4911,72 @@ object TrainingQueries {
              |  CAST(CASE WHEN funded THEN capacity
              |    ELSE (20000 - fmass) // nunf END AS DOUBLE)
              |    / CAST(n_tokens AS DOUBLE) AS epochs
-             |FROM g ORDER BY domain""".stripMargin))
+             |FROM g ORDER BY domain""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // KMV distinct sketch vs exact (ops.Sketches — Beyer et al.
+    // SIGMOD'07): per-source distinct token-3-gram cardinality, exact
+    // AND the k=64 k-minimum-values estimate. Unlike HLL++ (q103's
+    // banded lane — register layout is implementation-defined), the KMV
+    // sketch is md5-deterministic, so the ENTIRE estimator — 48-bit
+    // hash, rank-64 order statistic, (k−1)·2^48/h_k — replays bit for
+    // bit in DuckDB (hex parsed by explicit digit arithmetic below).
+    QuerySpec(
+      "q174_kmv_distinct",
+      (s, dir) => {
+        val grams = Tables.documents(s, dir)
+          .select(col("source"),
+            graft.ops.TextOps.tokens(col("text")).as("__t"))
+          .filter(size(col("__t")) >= 3)
+          .select(col("source"), explode(expr(
+            "transform(sequence(0, size(__t) - 3), " +
+              "i -> array_join(slice(__t, i + 1, 3), ' '))")).as("gram"))
+        val exact = grams.groupBy("source")
+          .agg(countDistinct("gram").as("n_exact"))
+        exact.join(
+            graft.ops.Sketches.kmvDistinct(grams, Seq("source"), "gram", 64),
+            "source")
+          .select(col("source"), col("n_exact"), col("n_sketch"),
+            col("estimate"))
+          .orderBy("source")
+      },
+      Some {
+        // 48-bit value of the first 12 md5 hex chars, as explicit
+        // digit arithmetic (DuckDB has no conv()) — constants are the
+        // exact powers of 16
+        val h48 = (1 to 12).map { p =>
+          val pw = java.math.BigInteger.valueOf(16L).pow(12 - p)
+          s"(STRPOS('0123456789abcdef', m[$p]) - 1) * ${pw}"
+        }.mkString(" + ")
+        s"""WITH t AS (
+           |  SELECT source, string_split_regex(trim(text), '\\s+') AS toks
+           |  FROM documents),
+           |w AS (
+           |  SELECT source, array_to_string(toks[i+1:i+3], ' ') AS gram
+           |  FROM t, (SELECT unnest(range(len(toks) - 2)) AS i)
+           |  WHERE len(toks) >= 3),
+           |d AS (SELECT DISTINCT source, gram FROM w),
+           |hh AS (SELECT source, gram, md5(gram) AS m FROM d),
+           |hn AS (SELECT source, gram, CAST($h48 AS BIGINT) AS h FROM hh),
+           |rk AS (
+           |  SELECT source, h,
+           |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, gram)
+           |      AS rank
+           |  FROM hn),
+           |sk AS (
+           |  SELECT source, COUNT(*) AS n_sketch,
+           |    MAX(CASE WHEN rank = 64 THEN h END) AS kth
+           |  FROM rk WHERE rank <= 64 GROUP BY source),
+           |ex AS (
+           |  SELECT source, COUNT(DISTINCT gram) AS n_exact FROM w
+           |  GROUP BY source)
+           |SELECT ex.source, CAST(ex.n_exact AS BIGINT) AS n_exact,
+           |  CAST(sk.n_sketch AS BIGINT) AS n_sketch,
+           |  CASE WHEN sk.n_sketch < 64 THEN CAST(sk.n_sketch AS DOUBLE)
+           |    ELSE 63.0 * 281474976710656 / CAST(sk.kth AS DOUBLE) END
+           |    AS estimate
+           |FROM ex JOIN sk ON sk.source = ex.source
+           |ORDER BY ex.source""".stripMargin
+      })
   )
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Sketches
+
+/** KMV sketch laws: exactness below k, exact mergeability (sketch of a
+  * union == re-ranked union of sketches), layout invariance, and the
+  * estimator landing within the analytic error band.
+  */
+class SketchesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("below k the sketch is the distinct set and the estimate is exact") {
+    import spark.implicits._
+    val df = Seq.tabulate(40)(i => (i % 10).toString).toDF("v")
+      .withColumn("g", lit("only"))
+    val est = Sketches.kmvDistinct(df, Seq("g"), "v", k = 64).head()
+    assert(est.getLong(1) == 10L && est.getDouble(2) == 10.0)
+  }
+
+  test("sketches merge exactly: union-then-sketch == sketch-then-merge") {
+    import spark.implicits._
+    val a = spark.range(0, 3000).select(lit("g").as("g"),
+      concat(lit("a"), col("id") % 2000).as("v"))
+    val b = spark.range(0, 3000).select(lit("g").as("g"),
+      concat(lit("a"), (col("id") % 2000) + 1000).as("v"))
+    val k = 32
+    val direct = Sketches.kmvSketch(a.union(b), Seq("g"), "v", k)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2)))
+    // merge: union the two sketches' h sets, re-rank, keep <= k
+    val merged = Sketches.kmvSketch(a, Seq("g"), "v", k)
+      .select("g", "h")
+      .union(Sketches.kmvSketch(b, Seq("g"), "v", k).select("g", "h"))
+      .distinct()
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")
+          .orderBy("h")).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("rank").collect().map(r => (r.getLong(2), r.getLong(1)))
+    assert(direct.toSeq == merged.toSeq,
+      "KMV must merge exactly: k smallest of the sketch union")
+  }
+
+  test("estimate lands within the analytic band on fixture shingles") {
+    val grams = Tables.documents(spark, sf)
+      .select(col("source"), graft.ops.TextOps.tokens(col("text")).as("__t"))
+      .filter(size(col("__t")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(__t) - 3), " +
+          "i -> array_join(slice(__t, i + 1, 3), ' '))")).as("gram"))
+      .withColumn("g", lit("all")).drop("source")
+    val exact = grams.select("gram").distinct().count()
+    val est = Sketches.kmvDistinct(grams, Seq("g"), "gram", k = 256)
+      .head().getDouble(2)
+    // standard error ~ 1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
+    assert(exact > 256, s"fixture must exceed k, got $exact")
+    assert(math.abs(est - exact) / exact < 0.25,
+      s"estimate $est too far from exact $exact")
+  }
+}
