@@ -74,4 +74,45 @@ object Sketches {
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   k: Int): DataFrame =
     kmvEstimate(kmvSketch(df, groupCols, valueCol, k), groupCols, k)
+
+  /** Pairwise Jaccard similarity between every two groups' value sets,
+    * estimated FROM THE SKETCHES ALONE (Beyer et al. SIGMOD'07 set-op
+    * estimators): for a pair (a, b), take the k smallest hashes of the
+    * UNION of the two sketches (which is exactly the union's KMV sketch
+    * — mergeability) and count how many lie in BOTH sketches:
+    * J ≈ n_both / n_union_sketch. When both sets are smaller than k the
+    * sketches are the sets and the estimate is EXACT.
+    *
+    * This is the overlap/join-cardinality planning primitive: per-day or
+    * per-source sketches roll up once, and any pair's overlap is
+    * answered from ≤2k rows per pair — the corpus is never rescanned.
+    *
+    * Scale shape: groups plane × sketch rows — |G|²·k at worst, all
+    * skinny (group, group, hash) rows; the group list broadcasts.
+    *
+    * @param sketch a [[kmvSketch]] with a single group column
+    * @return (g_a, g_b, n_union_sketch, n_both, j_est) for g_a < g_b
+    */
+  def kmvJaccardPairs(sketch: DataFrame, groupCol: String,
+                      k: Int): DataFrame = {
+    val s = sketch.select(col(groupCol).cast("string").as("__g"), col("h"))
+    val groups = s.select(col("__g")).distinct()
+    val gp = broadcast(groups.select(col("__g").as("g_a")))
+      .crossJoin(broadcast(groups.select(col("__g").as("g_b"))))
+      .filter(col("g_a") < col("g_b"))
+    val expanded = gp.join(s, col("__g") === col("g_a")).drop("__g")
+      .withColumn("__side", lit("a"))
+      .union(gp.join(s, col("__g") === col("g_b")).drop("__g")
+        .withColumn("__side", lit("b")))
+    val perHash = expanded.groupBy("g_a", "g_b", "h")
+      .agg(countDistinct("__side").as("__sides"))
+    val w = Window.partitionBy("g_a", "g_b").orderBy("h")
+    perHash.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .groupBy("g_a", "g_b")
+      .agg(count(lit(1)).as("n_union_sketch"),
+        sum(when(col("__sides") === 2, 1L).otherwise(0L)).as("n_both"))
+      .withColumn("j_est",
+        col("n_both").cast("double") / col("n_union_sketch").cast("double"))
+  }
 }

@@ -4977,6 +4977,105 @@ object TrainingQueries {
            |    AS estimate
            |FROM ex JOIN sk ON sk.source = ex.source
            |ORDER BY ex.source""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // Sketch-only pairwise overlap (Sketches.kmvJaccardPairs — the KMV
+    // set-op estimators of SIGMOD'07): Jaccard between every two
+    // sources' 3-gram vocabularies answered FROM THE SKETCHES (union
+    // sketch = k smallest of the sketch union; J ≈ share lying in both),
+    // with the exact Jaccard alongside. The oracle re-derives the
+    // sketches (q174's digit arithmetic), the pair expansion, the
+    // union-sketch rank cut, and both divisions identically — 190 pair
+    // rows, every one bit-replayable.
+    QuerySpec(
+      "q175_kmv_jaccard",
+      (s, dir) => {
+        val grams = Tables.documents(s, dir)
+          .select(col("source"),
+            graft.ops.TextOps.tokens(col("text")).as("__t"))
+          .filter(size(col("__t")) >= 3)
+          .select(col("source"), explode(expr(
+            "transform(sequence(0, size(__t) - 3), " +
+              "i -> array_join(slice(__t, i + 1, 3), ' '))")).as("gram"))
+        val sk = graft.ops.Sketches.kmvSketch(grams, Seq("source"), "gram", 64)
+        val est = graft.ops.Sketches.kmvJaccardPairs(sk, "source", 64)
+        val d = grams.select("source", "gram").distinct()
+        val sz = d.groupBy("source").agg(count(lit(1)).as("n"))
+        val inter = d.as("a")
+          .join(d.as("b"), col("a.gram") === col("b.gram") &&
+            col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("g_a"), col("b.source").as("g_b"))
+          .agg(count(lit(1)).as("n_inter"))
+        est
+          .join(inter, Seq("g_a", "g_b"), "left")
+          .join(sz.select(col("source").as("g_a"), col("n").as("__na")), "g_a")
+          .join(sz.select(col("source").as("g_b"), col("n").as("__nb")), "g_b")
+          .select(col("g_a"), col("g_b"), col("n_union_sketch"),
+            col("n_both"), col("j_est"),
+            (coalesce(col("n_inter"), lit(0L)).cast("double") /
+              (col("__na") + col("__nb") - coalesce(col("n_inter"), lit(0L)))
+                .cast("double")).as("j_exact"))
+          .orderBy("g_a", "g_b")
+      },
+      Some {
+        val h48 = (1 to 12).map { p =>
+          val pw = java.math.BigInteger.valueOf(16L).pow(12 - p)
+          s"(STRPOS('0123456789abcdef', m[$p]) - 1) * ${pw}"
+        }.mkString(" + ")
+        s"""WITH t AS (
+           |  SELECT source, string_split_regex(trim(text), '\\s+') AS toks
+           |  FROM documents),
+           |w AS (
+           |  SELECT source, array_to_string(toks[i+1:i+3], ' ') AS gram
+           |  FROM t, (SELECT unnest(range(len(toks) - 2)) AS i)
+           |  WHERE len(toks) >= 3),
+           |d AS (SELECT DISTINCT source, gram FROM w),
+           |hh AS (SELECT source, gram, md5(gram) AS m FROM d),
+           |hn AS (SELECT source, gram, CAST($h48 AS BIGINT) AS h FROM hh),
+           |rk AS (
+           |  SELECT source, h,
+           |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, gram) AS r
+           |  FROM hn),
+           |sk AS (SELECT source, h FROM rk WHERE r <= 64),
+           |gs AS (SELECT DISTINCT source FROM d),
+           |gp AS (SELECT a.source AS g_a, b.source AS g_b
+           |       FROM gs a, gs b WHERE a.source < b.source),
+           |exp AS (
+           |  SELECT g_a, g_b, h, COUNT(DISTINCT side) AS sides FROM (
+           |    SELECT gp.g_a, gp.g_b, s.h, 'a' AS side
+           |    FROM gp JOIN sk s ON s.source = gp.g_a
+           |    UNION ALL
+           |    SELECT gp.g_a, gp.g_b, s.h, 'b'
+           |    FROM gp JOIN sk s ON s.source = gp.g_b)
+           |  GROUP BY 1, 2, 3),
+           |ur AS (
+           |  SELECT g_a, g_b, sides,
+           |    ROW_NUMBER() OVER (PARTITION BY g_a, g_b ORDER BY h) AS r
+           |  FROM exp),
+           |est AS (
+           |  SELECT g_a, g_b, COUNT(*) AS n_union_sketch,
+           |    SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS n_both
+           |  FROM ur WHERE r <= 64 GROUP BY 1, 2),
+           |xa AS (
+           |  SELECT a.source AS g_a, b.source AS g_b, COUNT(*) AS n_inter
+           |  FROM d a JOIN d b
+           |    ON b.gram = a.gram AND a.source < b.source
+           |  GROUP BY 1, 2),
+           |sz AS (SELECT source, COUNT(*) AS n FROM d GROUP BY 1)
+           |SELECT e.g_a, e.g_b,
+           |  CAST(e.n_union_sketch AS BIGINT) AS n_union_sketch,
+           |  CAST(e.n_both AS BIGINT) AS n_both,
+           |  CAST(e.n_both AS DOUBLE) / CAST(e.n_union_sketch AS DOUBLE)
+           |    AS j_est,
+           |  CAST(COALESCE(xa.n_inter, 0) AS DOUBLE)
+           |    / CAST(sa.n + sb.n - COALESCE(xa.n_inter, 0) AS DOUBLE)
+           |    AS j_exact
+           |FROM est e
+           |LEFT JOIN xa ON xa.g_a = e.g_a AND xa.g_b = e.g_b
+           |JOIN sz sa ON sa.source = e.g_a
+           |JOIN sz sb ON sb.source = e.g_b
+           |ORDER BY e.g_a, e.g_b""".stripMargin
       })
   )
 }

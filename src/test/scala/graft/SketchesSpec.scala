@@ -44,6 +44,31 @@ class SketchesSpec extends AnyFunSuite {
       "KMV must merge exactly: k smallest of the sketch union")
   }
 
+  test("kmvJaccardPairs is exact below k and bounded on larger overlaps") {
+    import spark.implicits._
+    // sets far below k=64: the sketches ARE the sets, estimate exact.
+    // a={0..9}, b={5..14} (J=5/15), c={100..104} disjoint from a (J=0)
+    val df = ((0 to 9).map(i => ("a", s"v$i")) ++
+      (5 to 14).map(i => ("b", s"v$i")) ++
+      (100 to 104).map(i => ("c", s"v$i"))).toDF("g", "v")
+    val sk = Sketches.kmvSketch(df, Seq("g"), "v", k = 64)
+    val got = Sketches.kmvJaccardPairs(sk, "g", k = 64)
+      .orderBy("g_a", "g_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(4)))
+    assert(got.toSeq == Seq(("a", "b", 5.0 / 15.0), ("a", "c", 0.0),
+      ("b", "c", 0.0)), s"got ${got.toSeq}")
+    // above k: 50% true overlap estimated within the sketch band
+    val big = spark.range(0, 4000).select(lit("x").as("g"),
+        concat(lit("u"), col("id")).as("v"))
+      .union(spark.range(2000, 6000).select(lit("y").as("g"),
+        concat(lit("u"), col("id")).as("v")))
+    val j = Sketches.kmvJaccardPairs(
+        Sketches.kmvSketch(big, Seq("g"), "v", k = 128), "g", k = 128)
+      .head().getDouble(4)
+    val trueJ = 2000.0 / 6000.0
+    assert(math.abs(j - trueJ) < 0.2, s"estimate $j vs true $trueJ")
+  }
+
   test("estimate lands within the analytic band on fixture shingles") {
     val grams = Tables.documents(spark, sf)
       .select(col("source"), graft.ops.TextOps.tokens(col("text")).as("__t"))
