@@ -133,6 +133,76 @@ object WebGraph {
     (ranks, iter)
   }
 
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) over a (src, dst)
+    * edge list, in EXACT max-normalized scaled-integer arithmetic (the
+    * [[pageRank]] determinism discipline):
+    *
+    *   hub_0(u)  = SCALE
+    *   auth_t(v) = normalize( Σ_{u→v} hub_{t−1}(u) )
+    *   hub_t(u)  = normalize( Σ_{u→v} auth_t(v) )
+    *
+    * where normalize(x) = (x · SCALE) div max(x) — the top node is
+    * exactly SCALE each half-step, rankings are scale-invariant, and
+    * the DECIMAL(38,0) product makes the normalization overflow-safe at
+    * any in-degree (a BIGINT product would overflow past ~10^9·SCALE
+    * summed mass; DuckDB replays the same step through HUGEINT).
+    *
+    * Same scale shape as [[pageRank]]: edges distinct-ed once and
+    * persisted, per-iteration work = two skinny joins + two
+    * aggregations + two one-row max aggregates that broadcast;
+    * hub/auth frames localCheckpoint so the plan stays O(1) deep.
+    *
+    * @return (node, hub, auth) in SCALE-scaled integer units
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int = 4,
+           scale: Long = 1000000000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1,50], got $iterations")
+    require(scale > 0, s"scale must be > 0, got $scale")
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().persist()
+    require(!e.isEmpty, "hits: empty graph")
+
+    // normalize a raw (node, v) frame: (v * SCALE) div max(v), decimal
+    // product so the multiply cannot overflow
+    def normalized(raw: DataFrame, vCol: String, outCol: String): DataFrame = {
+      val mx = raw.agg(max(col(vCol)).as("__mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col("node"),
+          expr(s"CAST(CAST($vCol AS DECIMAL(38,0)) * ${scale}L " +
+            s"AS DECIMAL(38,0)) div __mx").as(outCol))
+        .localCheckpoint() // O(1)-deep plan across iterations
+    }
+
+    var hub = nodes.select(col("node"), lit(scale).as("hub"))
+    var auth = nodes.select(col("node"), lit(0L).as("auth"))
+    for (_ <- 1 to iterations) {
+      val rawA = nodes.join(
+          e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(col("dst").as("node")).agg(sum("hub").as("__ra")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("__ra"), lit(0L)).as("__ra"))
+      auth = normalized(rawA, "__ra", "auth")
+      val rawH = nodes.join(
+          e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(col("src").as("node")).agg(sum("auth").as("__rh")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("__rh"), lit(0L)).as("__rh"))
+      hub = normalized(rawH, "__rh", "hub")
+    }
+    val out = hub.join(auth, "node")
+    nodes.unpersist()
+    e.unpersist()
+    out
+  }
+
   /** Per-host document-quality prior: PageRank of the host graph joined
     * back onto a document frame by host. Documents from unknown hosts
     * (not in the graph) get rank NULL — callers decide the default.

@@ -573,6 +573,45 @@ object TrainingQueries {
       s"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r$iters" +
       "\nORDER BY rank DESC, node"
 
+  /** q176 oracle: unrolled max-normalized integer HITS over the q145
+    * link graph — HUGEINT carries the normalization product (the Spark
+    * side's DECIMAL(38,0)); each half-step tops out at exactly SCALE.
+    */
+  private def hitsOracle(iters: Int): String = {
+    val head = "WITH " + linkEdgesCte.stripMargin +
+      """,
+        |e AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM l),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |h0 AS (SELECT node, 1000000000 AS hub FROM nodes)""".stripMargin
+    // MATERIALIZED + window-max: every CTE is evaluated once — an
+    // inlined multi-referenced chain re-evaluates EXPONENTIALLY across
+    // the unrolled iterations (observed: minutes at k=4)
+    val iterCtes = (1 to iters).map { k =>
+      s""",
+         |a$k AS MATERIALIZED (
+         |  SELECT node, CAST(CAST(ra AS HUGEINT) * 1000000000
+         |    // MAX(ra) OVER () AS BIGINT) AS auth
+         |  FROM (
+         |    SELECT n.node, COALESCE(s.ra, 0) AS ra
+         |    FROM nodes n LEFT JOIN (
+         |      SELECT e.dst AS node, SUM(h.hub) AS ra
+         |      FROM e JOIN h${k - 1} h ON h.node = e.src
+         |      GROUP BY e.dst) s ON s.node = n.node)),
+         |h$k AS MATERIALIZED (
+         |  SELECT node, CAST(CAST(rh AS HUGEINT) * 1000000000
+         |    // MAX(rh) OVER () AS BIGINT) AS hub
+         |  FROM (
+         |    SELECT n.node, COALESCE(s.rh, 0) AS rh
+         |    FROM nodes n LEFT JOIN (
+         |      SELECT e.src AS node, SUM(a.auth) AS rh
+         |      FROM e JOIN a$k a ON a.node = e.dst
+         |      GROUP BY e.src) s ON s.node = n.node))""".stripMargin
+    }.mkString
+    head + iterCtes +
+      s"\nSELECT h.node, h.hub, a.auth FROM h$iters h JOIN a$iters a" +
+      " ON a.node = h.node\nORDER BY a.auth DESC, h.node"
+  }
+
   /** The q144/q145/q150 planted source host (lowercase by construction). */
   private def host97 = concat(lit("h"), (col("doc_id") % 97).cast("string"),
     lit(".example.org"))
@@ -5076,6 +5115,26 @@ object TrainingQueries {
            |JOIN sz sa ON sa.source = e.g_a
            |JOIN sz sb ON sb.source = e.g_b
            |ORDER BY e.g_a, e.g_b""".stripMargin
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // HITS hubs & authorities (WebGraph.hits — Kleinberg JACM'99, the
+    // directional complement to q145's PageRank on the SAME link
+    // graph): max-normalized scaled-integer iterations, DECIMAL(38,0)
+    // normalization product on the Spark side, HUGEINT in the oracle's
+    // unrolled replay — every half-step tops out at exactly 10^9, so
+    // any drift in the update rule, the normalization order, or the
+    // dangling-node handling hash-mismatches.
+    QuerySpec(
+      "q176_hits",
+      (s, dir) => {
+        val pages = Tables.documents(s, dir).select(
+          host97.as("src_host"), htmlFixture.as("html"))
+        val edges = Html.linkGraph(pages, "src_host", "html")
+        graft.ops.WebGraph.hits(edges, "src_host", "dst_host",
+            iterations = 4)
+          .orderBy(col("auth").desc, col("node"))
+      },
+      Some(hitsOracle(4)))
   )
 }

@@ -238,6 +238,25 @@ class HtmlSpec extends AnyFunSuite {
     assert(got == refRanks(edges, iters))
   }
 
+  test("hits: star separates hubs from authorities; popular target boosts its linkers") {
+    import spark.implicits._
+    // star: hub fans out to 3 leaves — hub is a pure hub, leaves pure
+    // authorities, both normalized to exactly SCALE
+    val star = Seq(("hub", "l1"), ("hub", "l2"), ("hub", "l3")).toDF("s", "d")
+    val got = WebGraph.hits(star, "s", "d", iterations = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("hub") == (1000000000L, 0L))
+    assert(Seq("l1", "l2", "l3").forall(got(_) == (0L, 1000000000L)))
+    // u links to the 2-in-degree authority AND a private page; v links
+    // only to the private page — u must out-hub v
+    val g = Seq(("u", "pop"), ("w", "pop"), ("u", "priv"), ("v", "solo"))
+      .toDF("s", "d")
+    val h = WebGraph.hits(g, "s", "d", iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(h("u") > h("v"), s"linker of the shared authority must out-hub: $h")
+    assert(h("u") == 1000000000L, "top hub normalizes to exactly SCALE")
+  }
+
   test("hostQualityPrior: left join keeps unknown-host docs with NULL rank") {
     import spark.implicits._
     val ranks = Seq(("a.com", 10L), ("b.com", 20L)).toDF("node", "rank")
