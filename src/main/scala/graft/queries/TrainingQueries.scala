@@ -1807,7 +1807,11 @@ object TrainingQueries {
         val docs = Tables.documents(s, dir)
         val langDf = ccnetLangDf(docs)
         val nll = TextOps.bigramLmNll(docs, "doc_id", "text", docs, "text")
-        val joined = langDf.join(nll, Seq("doc_id"))
+        // localCheckpoint: the skinny (doc_id, lang, nll) frame feeds
+        // BOTH the tercile branch (rankBuckets' own two passes) and the
+        // final join — without it the text-heavy langid+NLL upstream
+        // recomputes per consumer
+        val joined = langDf.join(nll, Seq("doc_id")).localCheckpoint()
         // rank-bucket terciles via range-partition + per-partition offsets
         // (ScaleOps.rankBuckets) — identical to ntile(3) OVER (ORDER BY
         // avg_nll, doc_id) for these unique keys, without funneling the
@@ -1989,7 +1993,11 @@ object TrainingQueries {
           .select(col("doc_id"), col("kept").as("url_kept"))
         val langDf = ccnetLangDf(docs)
         val nll = TextOps.bigramLmNll(docs, "doc_id", "text", docs, "text")
+        // localCheckpoint: same rationale as q120 — one materialization
+        // of the text-heavy plane serves the tercile branch and the
+        // final join
         val joined = langDf.join(nll, Seq("doc_id")).join(uv, Seq("doc_id"))
+          .localCheckpoint()
         // terciles over the URL survivors via ScaleOps.rankBuckets — the
         // q120 spelling: equal to the single-task ntile window on unique
         // (avg_nll, doc_id) keys, scale-safe on the range shuffle
