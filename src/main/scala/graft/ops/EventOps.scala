@@ -72,6 +72,36 @@ object EventOps {
           .as("sum_us_from_t1"))
     }.reduce(_ unionByName _)
 
+  /** Event-type transition matrix over per-user trajectories — the
+    * first-order Markov summary of product flows (what follows what,
+    * and with what probability): consecutive-event pairs via ONE lead
+    * window per user (ordered by time with an explicit unique
+    * tiebreaker — same-instant events otherwise make the trajectory,
+    * and therefore the matrix, partitioning-dependent), then a
+    * (from, to) aggregation; probabilities normalize per from-type
+    * with a partitioned window over the |types|²-bounded count frame.
+    * Event payload dies at the first projection.
+    *
+    * @param tieCol unique per-event column (e.g. event_id) ordering
+    *               same-timestamp events deterministically
+    * @return (from_type, to_type, n, p)
+    */
+  def transitions(events: DataFrame, userCol: String, typeCol: String,
+                  usCol: String, tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(usCol), col(tieCol))
+    val counts = events
+      .select(col(userCol), col(typeCol), col(usCol), col(tieCol))
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val perFrom = org.apache.spark.sql.expressions.Window
+      .partitionBy("from_type")
+    counts.withColumn("p",
+      col("n").cast("double") / sum("n").over(perFrom).cast("double"))
+  }
+
   /** Weekly-style cohort retention triangle: cohort = the user's first
     * event's absolute period index (epoch-micros div period), offset =
     * full periods since that first event; one row per (cohort, offset)

@@ -203,6 +203,74 @@ object WebGraph {
     out
   }
 
+  /** Per-node triangle counts and local clustering coefficients over
+    * the UNDIRECTED projection of a (src, dst) edge list — the
+    * community-structure diagnostics of the host graph (spam farms
+    * cluster; organic link neighborhoods don't).
+    *
+    * Algorithm: degree-ordered edge orientation ("compact-forward",
+    * Latapy TCS 2008; cf. Suri & Vassilvitskii WWW'11 for the MapReduce
+    * argument): every undirected edge points from the endpoint with the
+    * smaller (degree, node) to the larger, making the orientation
+    * acyclic with out-degrees bounded by graph arboricity — the wedge
+    * join (out-neighbors paired per source) cannot melt on a celebrity
+    * node the way a naive neighbor self-join does, which is the
+    * difference between O(m^1.5) and O(m·d_max) shuffle at 100 TB.
+    * Each triangle is found exactly once (its unique vertex with
+    * out-edges to both others) and credited to all three corners.
+    *
+    * → (node, degree, triangles, clustering) — clustering =
+    *   2T / (d·(d−1)) as a double, 0 when degree < 2.
+    */
+  def triangleStats(edges: DataFrame, srcCol: String,
+                    dstCol: String): DataFrame = {
+    val und = edges
+      .select(col(srcCol).cast("string").as("u"),
+        col(dstCol).cast("string").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    // orient each edge from the smaller (degree, node) endpoint
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("lo"), col("b").as("hi")))
+        .otherwise(struct(col("b").as("lo"), col("a").as("hi")))
+        .as("e"))
+      .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
+    // wedges from each source's out-neighbor pairs; close with the
+    // canonical undirected edge
+    val wedges = oriented.alias("x")
+      .join(oriented.alias("y"), col("x.lo") === col("y.lo") &&
+        col("x.hi") < col("y.hi"))
+      .select(col("x.lo").as("w0"), col("x.hi").as("w1"),
+        col("y.hi").as("w2"))
+    val tri = wedges.join(und,
+      least(col("w1"), col("w2")) === col("a") &&
+        greatest(col("w1"), col("w2")) === col("b"))
+      .select(col("w0"), col("w1"), col("w2"))
+    val perNode = tri
+      .select(explode(array(col("w0"), col("w1"), col("w2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    val out = deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("clustering",
+        when(col("degree") >= 2,
+          lit(2.0) * col("triangles").cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double"))
+          .otherwise(lit(0.0)))
+    out
+  }
+
   /** Per-host document-quality prior: PageRank of the host graph joined
     * back onto a document frame by host. Documents from unknown hosts
     * (not in the graph) get rank NULL — callers decide the default.

@@ -5143,6 +5143,99 @@ object TrainingQueries {
             iterations = 4)
           .orderBy(col("auth").desc, col("node"))
       },
-      Some(hitsOracle(4)))
+      Some(hitsOracle(4))),
+
+    // ------------------------------------------------------------------
+    // Event transition matrix (EventOps.transitions — the first-order
+    // Markov summary of product flows): consecutive pairs per user via
+    // one lead window ordered by (us, event_id) — the explicit unique
+    // tiebreak that makes same-instant trajectories deterministic —
+    // then (from, to) counts and per-from probabilities. Exact integer
+    // micros + one IEEE division; the oracle replays the identical
+    // window, tiebreak and normalization.
+    QuerySpec(
+      "q177_event_transitions",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"), col("event_id"))
+        graft.ops.EventOps.transitions(ev, "user_id", "event_type",
+            "us", "event_id")
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+             |  FROM events),
+             |nx AS (
+             |  SELECT event_type AS from_type,
+             |    LEAD(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY us, event_id) AS to_type
+             |  FROM e),
+             |c AS (
+             |  SELECT from_type, to_type, COUNT(*) AS n FROM nx
+             |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+             |  CAST(n AS DOUBLE)
+             |    / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+             |FROM c ORDER BY from_type, to_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Triangle counts + clustering coefficients (WebGraph.triangleStats
+    // — degree-ordered "compact-forward" orientation, Latapy TCS'08):
+    // the undirected host graph's community diagnostics. Wedges pair
+    // out-neighbors under the acyclic (degree, node) orientation — the
+    // arboricity-bounded plan — and each triangle closes through the
+    // canonical edge exactly once, credited to all three corners. The
+    // oracle replays orientation, wedge join, closure and the 2T/d(d−1)
+    // division over the same planted graph (MATERIALIZED — the
+    // multi-referenced CTE chain must evaluate once).
+    QuerySpec(
+      "q178_triangles",
+      (s, dir) => {
+        val pages = Tables.documents(s, dir).select(
+          host97.as("src_host"), htmlFixture.as("html"))
+        val edges = Html.linkGraph(pages, "src_host", "html")
+        graft.ops.WebGraph.triangleStats(edges, "src_host", "dst_host")
+          .orderBy("node")
+      },
+      Some("WITH " + linkEdgesCte.stripMargin + """,
+             |und AS MATERIALIZED (
+             |  SELECT DISTINCT LEAST(src_host, dst_host) AS a,
+             |    GREATEST(src_host, dst_host) AS b
+             |  FROM l WHERE src_host <> dst_host),
+             |deg AS MATERIALIZED (
+             |  SELECT node, COUNT(*) AS degree FROM (
+             |    SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+             |  GROUP BY node),
+             |ori AS MATERIALIZED (
+             |  SELECT CASE WHEN da.degree < db.degree
+             |      OR (da.degree = db.degree AND u.a < u.b)
+             |    THEN u.a ELSE u.b END AS lo,
+             |    CASE WHEN da.degree < db.degree
+             |      OR (da.degree = db.degree AND u.a < u.b)
+             |    THEN u.b ELSE u.a END AS hi
+             |  FROM und u
+             |  JOIN deg da ON da.node = u.a
+             |  JOIN deg db ON db.node = u.b),
+             |tri AS MATERIALIZED (
+             |  SELECT x.lo AS w0, x.hi AS w1, y.hi AS w2
+             |  FROM ori x JOIN ori y
+             |    ON y.lo = x.lo AND x.hi < y.hi
+             |  JOIN und e ON e.a = LEAST(x.hi, y.hi)
+             |    AND e.b = GREATEST(x.hi, y.hi)),
+             |pn AS (
+             |  SELECT node, COUNT(*) AS triangles FROM (
+             |    SELECT w0 AS node FROM tri
+             |    UNION ALL SELECT w1 FROM tri
+             |    UNION ALL SELECT w2 FROM tri)
+             |  GROUP BY node)
+             |SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+             |  CAST(COALESCE(pn.triangles, 0) AS BIGINT) AS triangles,
+             |  CASE WHEN d.degree >= 2 THEN
+             |    2.0 * CAST(COALESCE(pn.triangles, 0) AS DOUBLE)
+             |      / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+             |  ELSE 0.0 END AS clustering
+             |FROM deg d LEFT JOIN pn ON pn.node = d.node
+             |ORDER BY d.node""".stripMargin))
   )
 }

@@ -257,6 +257,32 @@ class HtmlSpec extends AnyFunSuite {
     assert(h("u") == 1000000000L, "top hub normalizes to exactly SCALE")
   }
 
+  test("triangleStats: K4 fully clustered, star/path triangle-free, direction collapsed") {
+    import spark.implicits._
+    // K4: every node degree 3, in 3 triangles, clustering 1.0
+    val k4 = (for { a <- 'a' to 'd'; b <- 'a' to 'd' if a < b }
+      yield (a.toString, b.toString)).toDF("s", "d")
+    val got = WebGraph.triangleStats(k4, "s", "d").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.forall(t => t._2 == 3L && t._3 == 3L && t._4 == 1.0),
+      s"K4: ${got.toSeq}")
+    // star has wedges but no closures; reverse duplicate edges collapse
+    val star = Seq(("c", "l1"), ("c", "l2"), ("l1", "c"), ("c", "l3"))
+      .toDF("s", "d")
+    val st = WebGraph.triangleStats(star, "s", "d").collect()
+    assert(st.forall(_.getLong(2) == 0L))
+    assert(st.find(_.getString(0) == "c").get.getLong(1) == 3L,
+      "reverse edge must not double-count the degree")
+    // one closed + one open wedge: the triangle corners count it once
+    val mixed = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"))
+      .toDF("s", "d")
+    val mx = WebGraph.triangleStats(mixed, "s", "d").collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(mx("a") == (1L, 1.0) && mx("b") == (1L, 1.0))
+    assert(mx("c")._1 == 1L && math.abs(mx("c")._2 - 1.0 / 3.0) < 1e-12)
+    assert(mx("d") == (0L, 0.0))
+  }
+
   test("hostQualityPrior: left join keeps unknown-host docs with NULL rank") {
     import spark.implicits._
     val ranks = Seq(("a.com", 10L), ("b.com", 20L)).toDF("node", "rank")
