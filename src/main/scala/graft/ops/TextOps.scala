@@ -715,6 +715,40 @@ object TextOps {
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
 
+  /** Vocabulary-growth (Heaps' law) profile: cumulative corpus tokens
+    * vs cumulative DISTINCT tokens at each corpus bucket in `idCol`
+    * order — the diagnostic a corpus-growth plan reads to see whether
+    * more data still buys new vocabulary. Bucketing goes through
+    * [[graft.ops.ScaleOps.rankBuckets]] (ntile-identical for unique
+    * ids, no single-task window over the corpus); a token's first
+    * appearance is ONE min-aggregation keyed by token; the cumulative
+    * sums run on the nBuckets-row plane (the only global window, by
+    * construction bounded).
+    *
+    * → (bucket, n_tok, n_new, cum_tokens, cum_vocab)
+    */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+                  nBuckets: Int = 10, numPartitions: Int = 8): DataFrame = {
+    val bucketed = graft.ops.ScaleOps.rankBuckets(
+      df.select(col(idCol), col(textCol)), Seq(idCol), nBuckets,
+      numPartitions, "bucket")
+    val tokRows = bucketed
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col("bucket"), explode(tokens(col(textCol))).as("tok"))
+    val perBucket = tokRows.groupBy("bucket").agg(count(lit(1)).as("n_tok"))
+    val newVocab = tokRows.groupBy("tok").agg(min("bucket").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_new"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    perBucket.join(newVocab, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("cum_tokens", sum("n_tok").over(w))
+      .withColumn("cum_vocab", sum("n_new").over(w))
+  }
+
   /** Cut the [[dupSpans]] regions out: tokens inside any duplicated
     * span are removed and the survivors re-joined with single spaces
     * (token coordinates, so original whitespace is NOT preserved — the

@@ -203,6 +203,64 @@ object WebGraph {
     out
   }
 
+  /** Weighted PageRank — [[pageRank]] with per-edge weights (the
+    * natural fit for [[graft.ops.Html.linkGraph]]'s (src, dst, n_links)
+    * edges: a host linking another 500 times endorses it more than
+    * once): contribution of u to v is rank(u)·w(u→v) div Σ_out w(u),
+    * in the same exact integer arithmetic — the product carried in
+    * DECIMAL(38,0) (HUGEINT in the oracle) so weight × SCALE cannot
+    * overflow. Duplicate (src, dst) rows collapse additively. With all
+    * weights equal the result is bit-identical to [[pageRank]]
+    * (spec-pinned).
+    */
+  def weightedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                       weightCol: String, iterations: Int = 8,
+                       dampingPct: Int = 85,
+                       scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1,50], got $iterations")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0,100], got $dampingPct")
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("w") > 0)
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().persist()
+    val outw = e.groupBy("src").agg(sum("w").as("outw"))
+    val eo = e.join(outw, "src").persist()
+
+    val n = nodes.count()
+    require(n > 0, "weightedPageRank: empty graph")
+    val r0 = scale / n
+    val base = (100L - dampingPct) * r0 / 100L
+
+    var ranks = nodes.select(col("node"), lit(r0).as("rank"))
+    for (_ <- 1 to iterations) {
+      val inflow = eo
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"),
+          expr("CAST(CAST(rank AS DECIMAL(38,0)) * w AS DECIMAL(38,0))" +
+            " div outw").as("contrib"))
+        .groupBy("dst")
+        .agg(sum("contrib").as("inflow"))
+      val next = nodes
+        .join(inflow.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr(
+            s"($dampingPct * coalesce(inflow, cast(0 as bigint))) div 100"))
+            .as("rank"))
+        .localCheckpoint()
+      ranks = next
+    }
+    nodes.unpersist()
+    eo.unpersist()
+    ranks
+  }
+
   /** Per-node triangle counts and local clustering coefficients over
     * the UNDIRECTED projection of a (src, dst) edge list — the
     * community-structure diagnostics of the host graph (spam farms

@@ -5236,6 +5236,85 @@ object TrainingQueries {
              |      / CAST(d.degree * (d.degree - 1) AS DOUBLE)
              |  ELSE 0.0 END AS clustering
              |FROM deg d LEFT JOIN pn ON pn.node = d.node
-             |ORDER BY d.node""".stripMargin))
+             |ORDER BY d.node""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Weighted PageRank (WebGraph.weightedPageRank over linkGraph's
+    // n_links weights — a host linking another 500 times endorses it
+    // more than once): rank(u)·w div Σ_out w per edge, DECIMAL(38,0)/
+    // HUGEINT product, otherwise q145's exact integer recipe. The
+    // oracle unrolls all 6 iterations with the same weighted division.
+    QuerySpec(
+      "q179_weighted_pagerank",
+      (s, dir) => {
+        val pages = Tables.documents(s, dir).select(
+          host97.as("src_host"), htmlFixture.as("html"))
+        val edges = Html.linkGraph(pages, "src_host", "html")
+        graft.ops.WebGraph.weightedPageRank(edges, "src_host", "dst_host",
+            "n_links", iterations = 6)
+          .orderBy(col("rank").desc, col("node"))
+      },
+      Some {
+        val head = "WITH " + linkEdgesCte.stripMargin +
+          """,
+            |e AS (SELECT src_host AS src, dst_host AS dst, COUNT(*) AS w
+            |      FROM l GROUP BY 1, 2),
+            |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            |ow AS (SELECT src, SUM(w) AS outw FROM e GROUP BY src),
+            |eo AS (SELECT e.src, e.dst, e.w, ow.outw
+            |       FROM e JOIN ow USING (src)),
+            |pr AS (SELECT 1000000000000 // COUNT(*) AS r0 FROM nodes),
+            |r0 AS (SELECT node, (SELECT r0 FROM pr) AS rank FROM nodes)"""
+            .stripMargin
+        val iters = (1 to 6).map { k =>
+          s""",
+             |r$k AS (
+             |  SELECT n.node,
+             |    (15 * (SELECT r0 FROM pr)) // 100
+             |      + (85 * COALESCE(s.inflow, 0)) // 100 AS rank
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT eo.dst AS node,
+             |      SUM(CAST(p.rank AS HUGEINT) * eo.w // eo.outw) AS inflow
+             |    FROM eo JOIN r${k - 1} p ON p.node = eo.src
+             |    GROUP BY eo.dst) s ON s.node = n.node)""".stripMargin
+        }.mkString
+        head + iters +
+          "\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r6" +
+          "\nORDER BY rank DESC, node"
+      }),
+
+    // ------------------------------------------------------------------
+    // Vocabulary growth / Heaps-law profile (TextOps.vocabGrowth): per
+    // corpus decile (rankBuckets over doc_id — ntile-identical, no
+    // single-task window), bucket token mass, NEW distinct tokens
+    // (first-appearance bucket via one min-aggregation), and both
+    // cumulative curves. The oracle replays the decile cut with NTILE
+    // and the same first-appearance rule.
+    QuerySpec(
+      "q180_vocab_growth",
+      (s, dir) =>
+        graft.ops.TextOps.vocabGrowth(
+            Tables.documents(s, dir), "doc_id", "text", nBuckets = 10,
+            numPartitions = 8)
+          .orderBy("bucket"),
+      Some("""WITH b AS (
+             |  SELECT doc_id, text,
+             |    CAST(NTILE(10) OVER (ORDER BY doc_id) AS BIGINT) AS bucket
+             |  FROM documents),
+             |tk AS (
+             |  SELECT bucket,
+             |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |  FROM b WHERE LENGTH(trim(text)) > 0),
+             |pb AS (SELECT bucket, COUNT(*) AS n_tok FROM tk GROUP BY 1),
+             |fb AS (SELECT tok, MIN(bucket) AS bucket FROM tk GROUP BY 1),
+             |nv AS (SELECT bucket, COUNT(*) AS n_new FROM fb GROUP BY 1)
+             |SELECT pb.bucket, CAST(pb.n_tok AS BIGINT) AS n_tok,
+             |  CAST(COALESCE(nv.n_new, 0) AS BIGINT) AS n_new,
+             |  CAST(SUM(pb.n_tok) OVER (ORDER BY pb.bucket
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+             |  CAST(SUM(COALESCE(nv.n_new, 0)) OVER (ORDER BY pb.bucket
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+             |FROM pb LEFT JOIN nv ON nv.bucket = pb.bucket
+             |ORDER BY pb.bucket""".stripMargin))
   )
 }

@@ -283,6 +283,23 @@ class HtmlSpec extends AnyFunSuite {
     assert(mx("d") == (0L, 0.0))
   }
 
+  test("weightedPageRank: uniform weights == pageRank bit-for-bit; weight skew reorders") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("b", "d"))
+    val flat = edges.map { case (s, d) => (s, d, 7L) }.toDF("s", "d", "w")
+    val wr = WebGraph.weightedPageRank(flat, "s", "d", "w", iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ur = WebGraph.pageRank(edges.toDF("s", "d"), "s", "d", iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wr == ur, "uniform weights must reproduce unweighted PageRank exactly")
+    // b splits 1:99 between c and d — d must now beat the 50:50 split
+    val skew = Seq(("a", "b", 1L), ("a", "c", 1L), ("b", "c", 1L),
+      ("c", "a", 1L), ("b", "d", 99L)).toDF("s", "d", "w")
+    val sk = WebGraph.weightedPageRank(skew, "s", "d", "w", iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sk("d") > ur("d"), s"99x weight must raise d: ${sk("d")} vs ${ur("d")}")
+  }
+
   test("hostQualityPrior: left join keeps unknown-host docs with NULL rank") {
     import spark.implicits._
     val ranks = Seq(("a.com", 10L), ("b.com", 20L)).toDF("node", "rank")
