@@ -72,6 +72,51 @@ object EventOps {
           .as("sum_us_from_t1"))
     }.reduce(_ unionByName _)
 
+  /** Growth-accounting lifecycle states (the new/active/resurrected/
+    * dormant decomposition every growth team runs): per user, a period
+    * spine from the user's FIRST active period to the corpus-wide last
+    * period; each cell classifies as
+    *
+    *   new          — the user's first period (by definition active)
+    *   active       — present this period AND the previous one
+    *   resurrected  — present after one or more absent periods
+    *   dormant      — absent (from first activity to the horizon)
+    *
+    * aggregated to one row per (period, state). Scale shape: distinct
+    * (user, period) presence is one aggregation; the spine explode is
+    * bounded by the observation span in periods (a few hundred), keyed
+    * by user; the classify window is per user over its spine. The
+    * corpus horizon is a one-row max that broadcasts.
+    *
+    * @param usCol BIGINT epoch-micros
+    * @return (period, state, n_users)
+    */
+  def lifecycleStates(events: DataFrame, userCol: String, usCol: String,
+                      periodUs: Long): DataFrame = {
+    require(periodUs > 0, "periodUs must be positive")
+    val up = events
+      .select(col(userCol), expr(s"`$usCol` div ${periodUs}L").as("p"))
+      .distinct()
+    val firsts = up.groupBy(userCol).agg(min("p").as("__first"))
+    val horizon = up.agg(max("p").as("__last"))
+    val spine = firsts.crossJoin(broadcast(horizon))
+      .select(col(userCol), col("__first"),
+        explode(sequence(col("__first"), col("__last"))).as("p"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy("p")
+    val classified = spine
+      .join(up.withColumn("__present", lit(true)), Seq(userCol, "p"), "left")
+      .withColumn("__present", coalesce(col("__present"), lit(false)))
+      .withColumn("__prev", lag(col("__present"), 1).over(w))
+      .withColumn("state",
+        when(!col("__present"), lit("dormant"))
+          .when(col("p") === col("__first"), lit("new"))
+          .when(col("__prev"), lit("active"))
+          .otherwise(lit("resurrected")))
+    classified.groupBy(col("p").as("period"), col("state"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Event-type transition matrix over per-user trajectories — the
     * first-order Markov summary of product flows (what follows what,
     * and with what probability): consecutive-event pairs via ONE lead

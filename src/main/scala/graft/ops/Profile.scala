@@ -290,4 +290,37 @@ object Profile {
       .select(col("n_a"), col("n_b"), col("psi"),
         (col("psi") > threshold).as("drifted"))
   }
+
+  /** Join-key skew diagnostics — the pre-flight check before a big
+    * shuffle join: per-key counts aggregated once, then a one-row
+    * summary of how the shuffle will land. `skew_ratio` = heaviest key
+    * over the mean key; `suggested_salts` = ceil(max_count /
+    * ceil(n_rows / numPartitions)) — how many ways the hottest key's
+    * rows must split so its partition is no fuller than an average one
+    * (1 = no salting needed; feeds [[graft.ops.ScaleOps.saltedJoin]]).
+    * All integer arithmetic plus two IEEE divisions — replayable.
+    *
+    * → one row: (n_rows, n_distinct, max_count, max_key,
+    *   skew_ratio, suggested_salts)
+    */
+  def keySkew(df: DataFrame, keyCol: String,
+              numPartitions: Int = 32): DataFrame = {
+    require(numPartitions > 0, "numPartitions must be > 0")
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("__k"))
+      .agg(count(lit(1)).as("__n"))
+    counts.agg(
+        sum(col("__n")).as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        max(col("__n")).as("max_count"),
+        // deterministic heaviest key: max (count, key) pair
+        max(struct(col("__n"), col("__k"))).getField("__k").as("max_key"))
+      .select(col("n_rows"), col("n_distinct"), col("max_count"),
+        col("max_key"),
+        (col("max_count").cast("double") * col("n_distinct").cast("double")
+          / col("n_rows").cast("double")).as("skew_ratio"),
+        ceil(col("max_count").cast("double") /
+          ceil(col("n_rows").cast("double") / numPartitions))
+          .cast("long").as("suggested_salts"))
+  }
 }

@@ -5315,6 +5315,72 @@ object TrainingQueries {
              |  CAST(SUM(COALESCE(nv.n_new, 0)) OVER (ORDER BY pb.bucket
              |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
              |FROM pb LEFT JOIN nv ON nv.bucket = pb.bucket
-             |ORDER BY pb.bucket""".stripMargin))
+             |ORDER BY pb.bucket""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Join-key skew report (Profile.keySkew — the pre-flight check
+    // before a big shuffle join, feeding ScaleOps.saltedJoin): per-key
+    // counts in one aggregation, then a one-row landing forecast —
+    // heaviest key (deterministic (count, key) max), skew ratio vs the
+    // mean key, and the salt factor that levels the hottest partition.
+    // Integer counts + two IEEE divisions, replayed exactly.
+    QuerySpec(
+      "q181_key_skew",
+      (s, dir) =>
+        graft.ops.Profile.keySkew(Tables.lineitem(s, dir), "l_orderkey",
+          numPartitions = 32),
+      Some("""WITH c AS (
+             |  SELECT CAST(l_orderkey AS VARCHAR) AS k, COUNT(*) AS n
+             |  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1)
+             |SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+             |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             |  CAST(MAX(n) AS BIGINT) AS max_count,
+             |  (SELECT k FROM c ORDER BY n DESC, k DESC LIMIT 1) AS max_key,
+             |  CAST(MAX(n) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+             |    / CAST(SUM(n) AS DOUBLE) AS skew_ratio,
+             |  CAST(CEIL(CAST(MAX(n) AS DOUBLE)
+             |    / CEIL(CAST(SUM(n) AS DOUBLE) / 32)) AS BIGINT)
+             |    AS suggested_salts
+             |FROM c""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Growth-accounting lifecycle (EventOps.lifecycleStates): per weekly
+    // period, users decompose into new / active / resurrected / dormant
+    // over a per-user spine from first activity to the corpus horizon.
+    // Exact integer periods; the oracle replays the spine (lateral
+    // range), the presence left-join and the lag classification.
+    QuerySpec(
+      "q182_lifecycle",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        graft.ops.EventOps.lifecycleStates(ev, "user_id", "us",
+            periodUs = 604800000000L)
+          .orderBy("period", "state")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) // 604800000000 AS p
+             |  FROM events),
+             |up AS (SELECT DISTINCT user_id, p FROM e),
+             |f AS (SELECT user_id, MIN(p) AS first_p FROM up GROUP BY 1),
+             |h AS (SELECT MAX(p) AS last_p FROM up),
+             |sp AS (
+             |  SELECT f.user_id, f.first_p,
+             |    unnest(range(f.first_p, h.last_p + 1)) AS p
+             |  FROM f, h),
+             |cl AS (
+             |  SELECT sp.user_id, sp.p, sp.first_p,
+             |    up.user_id IS NOT NULL AS present,
+             |    LAG(up.user_id IS NOT NULL) OVER (
+             |      PARTITION BY sp.user_id ORDER BY sp.p) AS prev
+             |  FROM sp LEFT JOIN up
+             |    ON up.user_id = sp.user_id AND up.p = sp.p)
+             |SELECT p AS period,
+             |  CASE WHEN NOT present THEN 'dormant'
+             |    WHEN p = first_p THEN 'new'
+             |    WHEN prev THEN 'active'
+             |    ELSE 'resurrected' END AS state,
+             |  CAST(COUNT(*) AS BIGINT) AS n_users
+             |FROM cl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

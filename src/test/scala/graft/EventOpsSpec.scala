@@ -67,4 +67,32 @@ class EventOpsSpec extends AnyFunSuite {
     val drift = Profile.psiDrift(base, shifted, "v", 0.0, 10.0, 10).head()
     assert(drift.getBoolean(3) && drift.getDouble(2) > 1.0)
   }
+
+  test("lifecycleStates: all four states on a hand trajectory") {
+    import spark.implicits._
+    // period length 10us. u1: periods 0,1,3 → new@0, active@1, dormant@2,
+    // resurrected@3, dormant@4 (horizon = 4, set by u2's last activity).
+    // u2: periods 2,4 → new@2, dormant@3, resurrected@4.
+    val ev = Seq((1L, 5L), (1L, 12L), (1L, 35L), (2L, 25L), (2L, 48L))
+      .toDF("user_id", "us")
+    val got = graft.ops.EventOps.lifecycleStates(ev, "user_id", "us", 10L)
+      .orderBy("period", "state").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (0L, "new", 1L), (1L, "active", 1L), (2L, "dormant", 1L),
+      (2L, "new", 1L), (3L, "dormant", 1L), (3L, "resurrected", 1L),
+      (4L, "dormant", 1L), (4L, "resurrected", 1L)),
+      s"got ${got.toSeq}")
+  }
+
+  test("transitions: tiebreak orders same-instant events deterministically") {
+    import spark.implicits._
+    val ev = Seq((1L, "a", 10L, 1L), (1L, "b", 10L, 2L), (1L, "c", 20L, 3L))
+      .toDF("user_id", "t", "us", "eid")
+    val got = graft.ops.EventOps.transitions(ev, "user_id", "t", "us", "eid")
+      .orderBy("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("a", "b", 1L, 1.0), ("b", "c", 1L, 1.0)),
+      s"same-us events must order by the tiebreak: ${got.toSeq}")
+  }
 }
