@@ -298,6 +298,55 @@ object ScaleOps {
       col(changeCol): _*)
   }
 
+  /** SCD Type-2 history maintenance (Kimball's slowly-changing
+    * dimension): fold a new full snapshot into a versioned history
+    * table. History rows carry `(eff_from, eff_to, is_current)` —
+    * `eff_to` NULL while current. At apply time `effAt`:
+    *
+    *   - changed keys: the current version CLOSES (eff_to = effAt) and
+    *     a new current version opens (eff_from = effAt)
+    *   - new keys: a first current version opens
+    *   - keys absent from the snapshot: the current version closes
+    *     (the hard-delete-as-history convention)
+    *   - unchanged keys: untouched
+    *
+    * Classification rides [[snapshotDiff]] (one shuffle of the
+    * current-slice ∪ snapshot union, result sized by churn); the
+    * closed/stay split joins the churn keys back — at 100 TB the churn
+    * frame is the small side and broadcasts. Historical (non-current)
+    * rows pass through untouched, so repeated applies build the full
+    * version chain.
+    *
+    * @param history columns = keys ++ payload ++ eff_from, eff_to,
+    *                is_current
+    * @param snapshot columns = keys ++ payload
+    */
+  def scd2Apply(history: DataFrame, snapshot: DataFrame,
+                keyCols: Seq[String], effAt: Long): DataFrame = {
+    val meta = Seq("eff_from", "eff_to", "is_current")
+    require(meta.forall(history.columns.contains),
+      s"history must carry ${meta.mkString(", ")}")
+    val curr = history.filter(col("is_current"))
+    val past = history.filter(!col("is_current"))
+    val slice = curr.drop(meta: _*)
+    val diff = snapshotDiff(slice, snapshot, keyCols)
+    val payloadCols = slice.columns.filterNot(keyCols.contains).toSeq
+    val churnKeys = diff
+      .filter(col("change_type").isin("update", "delete"))
+      .select(keyCols.map(col): _*)
+    val closed = curr.join(broadcast(churnKeys), keyCols)
+      .withColumn("eff_to", lit(effAt))
+      .withColumn("is_current", lit(false))
+    val stay = curr.join(broadcast(churnKeys), keyCols, "left_anti")
+    val fresh = diff
+      .filter(col("change_type").isin("insert", "update"))
+      .select((keyCols ++ payloadCols).map(col): _*)
+      .withColumn("eff_from", lit(effAt))
+      .withColumn("eff_to", lit(null).cast("long"))
+      .withColumn("is_current", lit(true))
+    past.unionByName(stay).unionByName(closed).unionByName(fresh)
+  }
+
   /** Contiguous global ids 0..n-1 in sort-key order WITHOUT the global-sort
     * bottleneck: a `row_number() OVER (ORDER BY …)` window funnels 100 TB
     * through ONE task; this instead range-repartitions (each partition owns

@@ -5381,6 +5381,60 @@ object TrainingQueries {
              |    WHEN prev THEN 'active'
              |    ELSE 'resurrected' END AS state,
              |  CAST(COUNT(*) AS BIGINT) AS n_users
-             |FROM cl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM cl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // SCD Type-2 history fold (ScaleOps.scd2Apply over snapshotDiff —
+    // Kimball's versioned-dimension maintenance): an initial history at
+    // T=0 absorbs a churned customer snapshot at T=100 — %10==0 keys
+    // deleted (version closes), %10==1 renamed (close + reopen), %10==2
+    // re-added under new keys (first version opens), rest untouched.
+    // The oracle rebuilds the exact post-apply version chain from the
+    // same planted arithmetic — any classification, closing or
+    // reopening drift changes a row and hash-mismatches.
+    QuerySpec(
+      "q183_scd2",
+      (s, dir) => {
+        val base = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        val history0 = base
+          .withColumn("eff_from", lit(0L))
+          .withColumn("eff_to", lit(null).cast("long"))
+          .withColumn("is_current", lit(true))
+        val v2 = base.filter(col("c_custkey") % 10 =!= 0)
+          .select(col("c_custkey"),
+            when(col("c_custkey") % 10 === 1,
+              concat(col("c_name"), lit(" v2")))
+              .otherwise(col("c_name")).as("c_name"),
+            col("c_mktsegment"))
+          .union(base.filter(col("c_custkey") % 10 === 2)
+            .select((col("c_custkey") + 1000000).as("c_custkey"),
+              col("c_name"), col("c_mktsegment")))
+        graft.ops.ScaleOps.scd2Apply(history0, v2, Seq("c_custkey"),
+            effAt = 100L)
+          .orderBy("c_custkey", "eff_from")
+      },
+      Some("""WITH base AS (
+             |  SELECT c_custkey, c_name, c_mktsegment FROM customer),
+             |hist AS (
+             |  -- %10==0: closed at 100. %10==1: closed + reopened
+             |  -- renamed. others: untouched current.
+             |  SELECT c_custkey, c_name, c_mktsegment,
+             |    CAST(0 AS BIGINT) AS eff_from,
+             |    CASE WHEN c_custkey % 10 IN (0, 1)
+             |      THEN CAST(100 AS BIGINT) END AS eff_to,
+             |    c_custkey % 10 NOT IN (0, 1) AS is_current
+             |  FROM base
+             |  UNION ALL
+             |  SELECT c_custkey, c_name || ' v2', c_mktsegment,
+             |    100, NULL, TRUE
+             |  FROM base WHERE c_custkey % 10 = 1
+             |  UNION ALL
+             |  SELECT c_custkey + 1000000, c_name, c_mktsegment,
+             |    100, NULL, TRUE
+             |  FROM base WHERE c_custkey % 10 = 2)
+             |SELECT c_custkey, c_name, c_mktsegment,
+             |  eff_from, eff_to, is_current
+             |FROM hist ORDER BY c_custkey, eff_from""".stripMargin))
   )
 }

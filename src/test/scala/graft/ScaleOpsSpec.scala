@@ -166,6 +166,31 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"rankBuckets must not plan a window:\n$plan")
   }
 
+  test("scd2Apply: two applies build the full version chain") {
+    import spark.implicits._
+    def hist0(rows: Seq[(Long, String)]) = rows.toDF("k", "v")
+      .withColumn("eff_from", lit(0L))
+      .withColumn("eff_to", lit(null).cast("long"))
+      .withColumn("is_current", lit(true))
+    val h0 = hist0(Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // T=10: 1 renamed, 2 deleted, 4 inserted, 3 unchanged
+    val h1 = ScaleOps.scd2Apply(h0,
+      Seq((1L, "a2"), (3L, "c"), (4L, "d")).toDF("k", "v"), Seq("k"), 10L)
+    // T=20: 1 renamed again, 4 deleted, 2 REBORN
+    val h2 = ScaleOps.scd2Apply(h1,
+      Seq((1L, "a3"), (2L, "b2"), (3L, "c")).toDF("k", "v"), Seq("k"), 20L)
+    val got = h2.orderBy("k", "eff_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (1L, "a", 0L, 10L, false), (1L, "a2", 10L, 20L, false),
+      (1L, "a3", 20L, -1L, true),
+      (2L, "b", 0L, 10L, false), (2L, "b2", 20L, -1L, true),
+      (3L, "c", 0L, -1L, true),
+      (4L, "d", 10L, 20L, false)),
+      s"got ${got.toSeq}")
+  }
+
   test("exactQuantiles equals the sorted-rank definition; edges covered") {
     import spark.implicits._
     val li = Tables.lineitem(spark, sf).select(col("l_extendedprice"))
