@@ -72,6 +72,86 @@ object EventOps {
           .as("sum_us_from_t1"))
     }.reduce(_ unionByName _)
 
+  /** Conversion attribution, first- AND last-touch in one pass (the
+    * marketing-analytics counterpart of the funnel): for every
+    * conversion event, the earliest and latest touch event STRICTLY
+    * before it (in (us, tie) order — same-instant ties resolve by the
+    * unique tiebreaker, the [[transitions]] discipline) and within
+    * `lookbackUs`. Conversions with no touch in the window keep NULLs
+    * (unattributed — the honest bucket).
+    *
+    * Plan: touches and conversions are two skinny projections of one
+    * scan; the per-user range join is bounded by the lookback window
+    * (AQE handles per-user skew), and both models come from ONE
+    * aggregation via struct-ordered min/max — no second pass.
+    *
+    * @return (userCol, conv_us, conv_tie, first_type, first_us,
+    *         last_type, last_us)
+    */
+  def attribution(events: DataFrame, userCol: String, typeCol: String,
+                  usCol: String, tieCol: String, touchTypes: Seq[String],
+                  convType: String, lookbackUs: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "attribution needs touch types")
+    require(!touchTypes.contains(convType),
+      "conversion type must not be a touch type")
+    require(lookbackUs > 0, "lookbackUs must be positive")
+    val ev = events.select(col(userCol), col(typeCol),
+      col(usCol).cast("long").as("__us"), col(tieCol).as("__tie"))
+    val conv = ev.filter(col(typeCol) === convType)
+      .select(col(userCol), col("__us").as("conv_us"),
+        col("__tie").as("conv_tie"))
+    val touch = ev.filter(col(typeCol).isin(touchTypes.map(lit): _*))
+      .select(col(userCol).as("__tu"), col(typeCol).as("__tt"),
+        col("__us").as("__tus"), col("__tie").as("__ttie"))
+    val joined = conv.join(touch,
+      col(userCol) === col("__tu") &&
+        (col("__tus") < col("conv_us") ||
+          (col("__tus") === col("conv_us") &&
+            col("__ttie") < col("conv_tie"))) &&
+        col("__tus") > col("conv_us") - lookbackUs,
+      "left")
+    joined.groupBy(col(userCol), col("conv_us"), col("conv_tie"))
+      .agg(
+        min(struct(col("__tus"), col("__ttie"), col("__tt"))).as("__f"),
+        max(struct(col("__tus"), col("__ttie"), col("__tt"))).as("__l"))
+      .select(col(userCol), col("conv_us"), col("conv_tie"),
+        col("__f.__tt").as("first_type"), col("__f.__tus").as("first_us"),
+        col("__l.__tt").as("last_type"), col("__l.__tus").as("last_us"))
+  }
+
+  /** Unordered (any-order) funnel — the lenient sibling of [[funnel]]:
+    * anchored at the user's FIRST occurrence of steps.head, the user
+    * converts a step when it occurs anywhere in [t1, t1 + windowUs]
+    * regardless of order; t_i = earliest in-window occurrence.
+    * Two aggregations (per-user anchor, then conditional mins), both
+    * user-keyed — the anchor frame is user-cardinality, so it joins
+    * hash-partitioned (NOT broadcast: at 100 TB "per user" is big).
+    *
+    * → (userCol, t1, …, tk, converted) — converted = every step seen
+    */
+  def unorderedFunnel(events: DataFrame, userCol: String, typeCol: String,
+                      usCol: String, steps: Seq[String],
+                      windowUs: Long): DataFrame = {
+    require(steps.size >= 2, "unorderedFunnel needs at least two steps")
+    require(windowUs > 0, "windowUs must be positive")
+    val ev = events.select(col(userCol), col(typeCol),
+      col(usCol).cast("long").as("__us"))
+    val anchor = ev.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col("__us")).as("t1"))
+    val stepCols = steps.tail.zipWithIndex.map { case (s, i) =>
+      min(when(col(typeCol) === s &&
+        col("__us") >= col("t1") &&
+        col("__us") <= col("t1") + windowUs, col("__us")))
+        .as(s"t${i + 2}")
+    }
+    val agg = ev.join(anchor, userCol)
+      .groupBy(col(userCol), col("t1"))
+      .agg(stepCols.head, stepCols.tail: _*)
+    agg.withColumn("converted",
+      steps.indices.tail.map(i => col(s"t${i + 1}").isNotNull)
+        .reduce(_ && _))
+  }
+
   /** Growth-accounting lifecycle states (the new/active/resurrected/
     * dormant decomposition every growth team runs): per user, a period
     * spine from the user's FIRST active period to the corpus-wide last

@@ -5435,6 +5435,97 @@ object TrainingQueries {
              |  FROM base WHERE c_custkey % 10 = 2)
              |SELECT c_custkey, c_name, c_mktsegment,
              |  eff_from, eff_to, is_current
-             |FROM hist ORDER BY c_custkey, eff_from""".stripMargin))
+             |FROM hist ORDER BY c_custkey, eff_from""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Conversion attribution (EventOps.attribution — first- AND
+    // last-touch in one struct-ordered aggregation): every purchase
+    // attributed to the earliest and latest click/view strictly before
+    // it (same-instant ties by event_id) within a 24 h lookback;
+    // unattributed conversions keep NULLs. The oracle replays the
+    // per-user range join and both models with rank-1 windows.
+    QuerySpec(
+      "q184_attribution",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"), col("event_id"))
+        graft.ops.EventOps.attribution(ev, "user_id", "event_type",
+            "us", "event_id", Seq("click", "view"), "purchase",
+            lookbackUs = 86400000000L)
+          .orderBy("user_id", "conv_us", "conv_tie")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+             |  FROM events),
+             |c AS (
+             |  SELECT user_id, us AS conv_us, event_id AS conv_tie
+             |  FROM e WHERE event_type = 'purchase'),
+             |t AS (
+             |  SELECT user_id, event_type AS tt, us AS tus,
+             |    event_id AS ttie
+             |  FROM e WHERE event_type IN ('click', 'view')),
+             |j AS (
+             |  SELECT c.user_id, c.conv_us, c.conv_tie, t.tt, t.tus,
+             |    t.ttie,
+             |    ROW_NUMBER() OVER (
+             |      PARTITION BY c.user_id, c.conv_us, c.conv_tie
+             |      ORDER BY t.tus, t.ttie) AS rf,
+             |    ROW_NUMBER() OVER (
+             |      PARTITION BY c.user_id, c.conv_us, c.conv_tie
+             |      ORDER BY t.tus DESC, t.ttie DESC) AS rl
+             |  FROM c JOIN t ON t.user_id = c.user_id
+             |    AND (t.tus < c.conv_us
+             |      OR (t.tus = c.conv_us AND t.ttie < c.conv_tie))
+             |    AND t.tus > c.conv_us - 86400000000)
+             |SELECT c.user_id, c.conv_us, c.conv_tie,
+             |  f.tt AS first_type, f.tus AS first_us,
+             |  l.tt AS last_type, l.tus AS last_us
+             |FROM c
+             |LEFT JOIN j f ON f.user_id = c.user_id
+             |  AND f.conv_us = c.conv_us AND f.conv_tie = c.conv_tie
+             |  AND f.rf = 1
+             |LEFT JOIN j l ON l.user_id = c.user_id
+             |  AND l.conv_us = c.conv_us AND l.conv_tie = c.conv_tie
+             |  AND l.rl = 1
+             |ORDER BY c.user_id, c.conv_us, c.conv_tie""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Unordered funnel (EventOps.unorderedFunnel — the any-order
+    // sibling of q156's strict chain): anchored at the first signup,
+    // view and purchase convert anywhere in the 72 h window regardless
+    // of order; t_i = earliest in-window occurrence. Two user-keyed
+    // aggregations, replayed with conditional mins.
+    QuerySpec(
+      "q185_unordered_funnel",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        graft.ops.EventOps.unorderedFunnel(ev, "user_id", "event_type",
+            "us", Seq("signup", "view", "purchase"),
+            windowUs = 259200000000L)
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS us
+             |  FROM events),
+             |a AS (
+             |  SELECT user_id, MIN(us) AS t1 FROM e
+             |  WHERE event_type = 'signup' GROUP BY 1)
+             |SELECT a.user_id, a.t1,
+             |  MIN(CASE WHEN e.event_type = 'view' AND e.us >= a.t1
+             |    AND e.us <= a.t1 + 259200000000 THEN e.us END) AS t2,
+             |  MIN(CASE WHEN e.event_type = 'purchase' AND e.us >= a.t1
+             |    AND e.us <= a.t1 + 259200000000 THEN e.us END) AS t3,
+             |  MIN(CASE WHEN e.event_type = 'view' AND e.us >= a.t1
+             |    AND e.us <= a.t1 + 259200000000 THEN e.us END) IS NOT NULL
+             |  AND
+             |  MIN(CASE WHEN e.event_type = 'purchase' AND e.us >= a.t1
+             |    AND e.us <= a.t1 + 259200000000 THEN e.us END) IS NOT NULL
+             |    AS converted
+             |FROM a JOIN e ON e.user_id = a.user_id
+             |GROUP BY a.user_id, a.t1
+             |ORDER BY a.user_id""".stripMargin))
   )
 }

@@ -85,6 +85,43 @@ class EventOpsSpec extends AnyFunSuite {
       s"got ${got.toSeq}")
   }
 
+  test("attribution: first/last touch windows, lookback cut, unattributed NULLs") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "click", 10L, 1L), (1L, "view", 20L, 2L),
+      (1L, "purchase", 30L, 3L),      // first=click@10, last=view@20
+      (1L, "purchase", 200L, 4L),     // all touches outside lookback=50
+      (2L, "view", 5L, 5L), (2L, "purchase", 5L, 6L),
+      (2L, "click", 5L, 7L))          // same us: tie 5<6 counts, 7 doesn't
+      .toDF("user_id", "t", "us", "eid")
+    val got = graft.ops.EventOps.attribution(ev, "user_id", "t", "us",
+        "eid", Seq("click", "view"), "purchase", lookbackUs = 50L)
+      .orderBy("user_id", "conv_us").collect()
+    assert(got(0).getString(3) == "click" && got(0).getLong(4) == 10L &&
+      got(0).getString(5) == "view" && got(0).getLong(6) == 20L)
+    assert(got(1).isNullAt(3) && got(1).isNullAt(5),
+      "out-of-lookback touches must leave the conversion unattributed")
+    assert(got(2).getString(3) == "view" && got(2).getString(5) == "view",
+      "same-instant touch counts only when its tiebreak precedes")
+  }
+
+  test("unorderedFunnel: order-free within window, anchored at first entry step") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "purchase", 5L), (1L, "signup", 10L), (1L, "purchase", 12L),
+      (1L, "view", 20L),     // purchase BEFORE t1 ignored; in-window both
+      (2L, "signup", 10L), (2L, "view", 200L)) // view outside window=50
+      .toDF("user_id", "t", "us")
+    val got = graft.ops.EventOps.unorderedFunnel(ev, "user_id", "t", "us",
+        Seq("signup", "view", "purchase"), windowUs = 50L)
+      .orderBy("user_id").collect()
+    assert(got(0).getLong(1) == 10L && got(0).getLong(2) == 20L &&
+      got(0).getLong(3) == 12L && got(0).getBoolean(4),
+      "steps may complete in any order inside the window")
+    assert(got(1).getLong(1) == 10L && got(1).isNullAt(2) &&
+      !got(1).getBoolean(4))
+  }
+
   test("transitions: tiebreak orders same-instant events deterministically") {
     import spark.implicits._
     val ev = Seq((1L, "a", 10L, 1L), (1L, "b", 10L, 2L), (1L, "c", 20L, 3L))
