@@ -72,6 +72,37 @@ object EventOps {
           .as("sum_us_from_t1"))
     }.reduce(_ unionByName _)
 
+  /** Time-weighted average value per user — the step-function integral
+    * (each value holds from its event until the next):
+    * TWA = Σ v_i·(t_{i+1}−t_i) / (t_last − t_first). The per-segment
+    * products route through DECIMAL(18,6)·duration (exact, order-
+    * independent sum — a double Σ differs per partition order), and the
+    * final division exits via the VARCHAR→DOUBLE bridge (the q96
+    * bit-exact decimal→double path). One lead window per user + one
+    * aggregation; users with fewer than two events report NULL twa.
+    *
+    * → (userCol, n_events, span_us, twa)
+    */
+  def timeWeightedAvg(events: DataFrame, userCol: String, valueCol: String,
+                      usCol: String, tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col("__us"), col("__tie"))
+    events
+      .select(col(userCol), col(valueCol).cast("double").as("__v"),
+        col(usCol).cast("long").as("__us"), col(tieCol).as("__tie"))
+      .withColumn("__next", lead(col("__us"), 1).over(w))
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("__us")) - min(col("__us"))).as("span_us"),
+        sum(when(col("__next").isNotNull,
+          col("__v").cast("decimal(18,6)") *
+            (col("__next") - col("__us")))).as("__num"))
+      .select(col(userCol), col("n_events"), col("span_us"),
+        when(col("span_us") > 0,
+          col("__num").cast("string").cast("double") /
+            col("span_us").cast("double")).as("twa"))
+  }
+
   /** Conversion attribution, first- AND last-touch in one pass (the
     * marketing-analytics counterpart of the funnel): for every
     * conversion event, the earliest and latest touch event STRICTLY

@@ -291,6 +291,35 @@ object Profile {
         (col("psi") > threshold).as("drifted"))
   }
 
+  /** Median/MAD (median absolute deviation) outlier gate — the
+    * robust-statistics sibling of [[zscoreOutliers]] (mean/stddev melt
+    * under the very outliers they hunt; median/MAD have a 50%
+    * breakdown point — Hampel's rule): flag rows with
+    * |v − median| > k · MAD per group. Two grouped exact-percentile
+    * aggregations (median first, then the deviation median over the
+    * residuals) — per-GROUP percentiles, so no single global reducer;
+    * both round to `roundScale` decimals before the fence arithmetic
+    * (the q102 discipline: percentile interpolation is the one exact
+    * aggregate whose last ulp differs across engines).
+    *
+    * MAD = 0 (over half the group identical) flags any deviation > 0 —
+    * the standard degenerate-Hampel behavior.
+    *
+    * → input rows that breach the fence, plus (med, mad)
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Double = 3.0, roundScale: Int = 4): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(round(expr(s"percentile($valueCol, 0.5)"), roundScale)
+        .as("med"))
+    val mad = df.join(med, groupCol)
+      .groupBy(col(groupCol), col("med"))
+      .agg(round(expr(s"percentile(abs($valueCol - med), 0.5)"),
+        roundScale).as("mad"))
+    df.join(mad, groupCol)
+      .filter(abs(col(valueCol) - col("med")) > lit(k) * col("mad"))
+  }
+
   /** Join-key skew diagnostics — the pre-flight check before a big
     * shuffle join: per-key counts aggregated once, then a one-row
     * summary of how the shuffle will land. `skew_ratio` = heaviest key

@@ -5526,6 +5526,75 @@ object TrainingQueries {
              |    AS converted
              |FROM a JOIN e ON e.user_id = a.user_id
              |GROUP BY a.user_id, a.t1
-             |ORDER BY a.user_id""".stripMargin))
+             |ORDER BY a.user_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Time-weighted average (EventOps.timeWeightedAvg — the
+    // step-function integral: each value holds until the next event):
+    // per-segment value×duration products ride DECIMAL(18,6) so the
+    // sum is order-independent, and the decimal exits to double over
+    // the VARCHAR bridge (q96's bit-exact path). The oracle replays
+    // the lead window, the decimal products and the same bridge.
+    QuerySpec(
+      "q186_twap",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("value"),
+            unix_micros(col("ts")).as("us"), col("event_id"))
+        graft.ops.EventOps.timeWeightedAvg(ev, "user_id", "value",
+            "us", "event_id")
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, value, epoch_us(ts) AS us, event_id
+             |  FROM events),
+             |n AS (
+             |  SELECT user_id, value, us,
+             |    LEAD(us) OVER (PARTITION BY user_id
+             |      ORDER BY us, event_id) AS nxt
+             |  FROM e)
+             |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us,
+             |  CASE WHEN MAX(us) - MIN(us) > 0 THEN
+             |    CAST(CAST(SUM(CASE WHEN nxt IS NOT NULL
+             |      THEN CAST(value AS DECIMAL(18,6)) * (nxt - us) END)
+             |      AS VARCHAR) AS DOUBLE)
+             |    / CAST(MAX(us) - MIN(us) AS DOUBLE) END AS twa
+             |FROM n GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Median/MAD robust outliers (Profile.madOutliers — Hampel's rule,
+    // the 50%-breakdown sibling of q86's z-score and q102's IQR gates):
+    // per-type median, deviation median over the residuals, flag
+    // |v − med| > 3·MAD. Quantiles round to 4 decimals before the
+    // fence (the q102 interpolation-ulp discipline); the verdict set
+    // aggregates through the usual rounded stats.
+    QuerySpec(
+      "q187_mad_outliers",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+        graft.ops.Profile.madOutliers(ev, "event_type", "value", k = 3.0)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_outliers"),
+            round(min(col("value")), 4).as("min_out"),
+            round(max(col("value")), 4).as("max_out"),
+            min(col("med")).as("med"), min(col("mad")).as("mad"))
+          .orderBy("event_type")
+      },
+      Some("""WITH st AS (
+             |  SELECT event_type,
+             |    ROUND(quantile_cont(value, 0.5), 4) AS med
+             |  FROM events GROUP BY 1),
+             |m2 AS (
+             |  SELECT e.event_type, st.med,
+             |    ROUND(quantile_cont(abs(e.value - st.med), 0.5), 4) AS mad
+             |  FROM events e JOIN st USING (event_type) GROUP BY 1, 2)
+             |SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_outliers,
+             |  ROUND(MIN(e.value), 4) AS min_out,
+             |  ROUND(MAX(e.value), 4) AS max_out,
+             |  MIN(m2.med) AS med, MIN(m2.mad) AS mad
+             |FROM events e JOIN m2 ON e.event_type = m2.event_type
+             |WHERE abs(e.value - m2.med) > 3.0 * m2.mad
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
