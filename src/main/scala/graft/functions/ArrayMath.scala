@@ -288,6 +288,7 @@ object ArrayMath {
   val matVecName = "graft_mat_vec_affine"
   val bpeMergeName = "graft_bpe_merge_pair"
   val bpeEncodeName = "graft_bpe_encode"
+  val jaroWinklerName = "graft_jaro_winkler"
 
   /** Extract a foldable array<double> argument into a plain JVM array at
     * function-resolution time (the vector sibling of [[matrixLit]]).
@@ -464,6 +465,9 @@ object ArrayMath {
     reg.createOrReplaceTempFunction(
       bpeEncodeName,
       exprs => BpeEncode(exprs(0), stringArrayLit(exprs(1), "merge list")),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
+      jaroWinklerName, exprs => JaroWinklerSim(exprs(0), exprs(1)),
       "scala_udf")
   }
 
@@ -666,6 +670,12 @@ object ArrayMath {
     * (each entry "left right"); ranks ride as one reference object (see
     * [[BpeEncode]]).
     */
+  /** Jaro-Winkler similarity in [0,1] (codegen kernel, 0.7 boost
+    * threshold — the DuckDB-compatible flavor; q188 cross-validates).
+    */
+  def jaroWinkler(a: Column, b: Column): Column =
+    call_function(jaroWinklerName, a, b)
+
   def bpeEncode(words: Column, merges: Array[String]): Column =
     call_function(bpeEncodeName, words,
       org.apache.spark.sql.functions.typedLit(merges.toSeq))

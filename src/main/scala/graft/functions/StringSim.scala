@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Jaro-Winkler string similarity (Winkler 1990, the record-linkage
+  * classic) as a native codegen'd kernel — Spark ships `levenshtein`
+  * but no Jaro family, and entity-resolution verify steps live in the
+  * hot loop of a blocked match join.
+  *
+  * Semantics match the widely-implemented flavor (DuckDB's
+  * `jaro_winkler_similarity` probes bit-compatibly at 6 decimals, the
+  * q188 oracle's cross-validation): match window
+  * floor(max(|a|,|b|)/2) − 1, transpositions = half the out-of-order
+  * matches, prefix boost p = 0.1 over at most 4 common lead chars
+  * applied ONLY when the Jaro score exceeds 0.7 (the boost-threshold
+  * convention), and 0.0 when either side is empty. Comparison is by
+  * Java char (UTF-16 unit) — identical to byte-wise for ASCII keys,
+  * the record-linkage domain.
+  */
+object StringSimKernels {
+
+  def jaro(a: String, b: String): Double = {
+    val la = a.length
+    val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    if (la == 1 && lb == 1) return if (a.charAt(0) == b.charAt(0)) 1.0 else 0.0
+    val window = math.max(0, math.max(la, lb) / 2 - 1)
+    val matchedA = new Array[Boolean](la)
+    val matchedB = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!matchedB(j) && a.charAt(i) == b.charAt(j)) {
+          matchedA(i) = true
+          matchedB(j) = true
+          m += 1
+          found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    // transpositions: matched chars compared in order
+    var t = 0
+    var j = 0
+    i = 0
+    while (i < la) {
+      if (matchedA(i)) {
+        while (!matchedB(j)) j += 1
+        if (a.charAt(i) != b.charAt(j)) t += 1
+        j += 1
+      }
+      i += 1
+    }
+    val md = m.toDouble
+    // transpositions FLOOR to an integer (t/2 integral — the
+    // DuckDB/Apache-commons flavor; a fractional t/2.0 probes 6e-3 off
+    // on odd mismatch counts)
+    (md / la + md / lb + (md - t / 2) / md) / 3.0
+  }
+
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
+    val sa = a.toString
+    val sb = b.toString
+    val j = jaro(sa, sb)
+    if (j <= 0.7) return j
+    var l = 0
+    val max = math.min(4, math.min(sa.length, sb.length))
+    while (l < max && sa.charAt(l) == sb.charAt(l)) l += 1
+    j + l * 0.1 * (1.0 - j)
+  }
+}
+
+/** (string, string) → double Jaro-Winkler similarity. */
+case class JaroWinklerSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, string), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    StringSimKernels.jaroWinkler(
+      l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.StringSimKernels.jaroWinkler($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "jaro_winkler"
+}

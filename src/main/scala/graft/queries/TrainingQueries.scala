@@ -5595,6 +5595,52 @@ object TrainingQueries {
              |  MIN(m2.med) AS med, MIN(m2.mad) AS mad
              |FROM events e JOIN m2 ON e.event_type = m2.event_type
              |WHERE abs(e.value - m2.med) > 3.0 * m2.mad
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Blocked fuzzy record linkage (ops.Linkage + the native
+    // JaroWinklerSim codegen kernel): a dirty feed (last two name
+    // digits transposed, keys shifted) matches back to the master by
+    // nation-blocked Jaro-Winkler ≥ 0.95 with Levenshtein diagnostics.
+    // The oracle verifies our kernel against DuckDB's INDEPENDENT
+    // jaro_winkler_similarity implementation (same 0.7 boost-threshold
+    // flavor, 6-dp rounding before the gate) on every candidate pair —
+    // a match-window, transposition-count or prefix-boost drift
+    // anywhere changes the match set or a score and hash-mismatches.
+    QuerySpec(
+      "q188_name_linkage",
+      (s, dir) => {
+        val base = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+        val dirty = base.select(
+          (col("c_custkey") + 1000000).as("c_custkey"),
+          expr("concat(substr(c_name, 1, 16), substr(c_name, 18, 1), " +
+            "substr(c_name, 17, 1))").as("c_name"),
+          col("c_nationkey"))
+        graft.ops.Linkage.blockedNameMatch(
+            dirty, "c_custkey", "c_name", "c_nationkey",
+            base, "c_custkey", "c_name", "c_nationkey",
+            minSim = 0.95)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH base AS (
+             |  SELECT c_custkey, c_name, c_nationkey FROM customer),
+             |dirty AS (
+             |  SELECT c_custkey + 1000000 AS c_custkey,
+             |    substr(c_name, 1, 16) || substr(c_name, 18, 1)
+             |      || substr(c_name, 17, 1) AS c_name,
+             |    c_nationkey
+             |  FROM base),
+             |j AS (
+             |  SELECT d.c_custkey AS id_a, d.c_name AS name_a,
+             |    b.c_custkey AS id_b, b.c_name AS name_b,
+             |    ROUND(jaro_winkler_similarity(d.c_name, b.c_name), 6)
+             |      AS jw,
+             |    CAST(levenshtein(d.c_name, b.c_name) AS BIGINT) AS lev
+             |  FROM dirty d JOIN base b
+             |    ON b.c_nationkey = d.c_nationkey)
+             |SELECT id_a, name_a, id_b, name_b, jw, lev FROM j
+             |WHERE jw >= 0.95
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 }

@@ -121,4 +121,32 @@ class ArrayMathSpec extends AnyFunSuite {
       .select(ArrayMath.sortedIntersectCount(col("a"), col("b")))
     assert(withNull.head().isNullAt(0))
   }
+
+  test("jaroWinkler: literature values, boost threshold, empties, codegen") {
+    import spark.implicits._
+    val cases = Seq(
+      ("martha", "marhta", 0.961111),   // Winkler's canonical example
+      ("DIXON", "DICKSONX", 0.813333),  // Wikipedia's worked case
+      ("abcccc", "abdddd", 0.555556),   // jaro <= 0.7: NO prefix boost
+      ("same", "same", 1.0),
+      ("", "", 0.0), ("a", "", 0.0),    // empty-side convention
+      ("ab", "ba", 0.0))                // window max(0, 2/2-1)=0: no match
+    val got = cases.toDF("a", "b", "exp")
+      .select(round(ArrayMath.jaroWinkler(col("a"), col("b")), 6).as("jw"),
+        col("exp"))
+      .collect()
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"jw=${r.getDouble(0)} expected ${r.getDouble(1)}"))
+    // stays inside whole-stage codegen (no CodegenFallback) — a range
+    // source so the projection cannot constant-fold to LocalTableScan
+    val plan = spark.range(3)
+      .select(ArrayMath.jaroWinkler(
+        concat(lit("x"), col("id")), lit("xy")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") ||
+      plan.matches("(?s).*\\*\\(\\d+\\) Project.*"), plan)
+    // null propagates
+    assert(Seq((Some("x"), Option.empty[String])).toDF("a", "b")
+      .select(ArrayMath.jaroWinkler(col("a"), col("b"))).head().isNullAt(0))
+  }
 }
