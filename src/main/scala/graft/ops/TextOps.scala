@@ -668,19 +668,22 @@ object TextOps {
   def dupSpans(df: DataFrame, idCol: String, textCol: String,
                k: Int = 8): DataFrame = {
     require(k >= 2, s"dupSpans needs k >= 2, got $k")
-    val toks = df.select(col(idCol), tokens(col(textCol)).as("__t"))
-      .filter(size(col("__t")) >= k)
-    val occ = toks
-      .select(col(idCol), posexplode(expr(
-        s"transform(sequence(0, size(__t) - $k), " +
-          s"i -> md5(cast(array_join(slice(__t, i + 1, $k), ' ') as binary)))"))
-        .as(Seq("pos", "__key")))
-      .select(col(idCol), col("pos").cast("long").as("pos"), col("__key"))
+    val occ = windowDigests(df, idCol, textCol, k)
     val wKey = org.apache.spark.sql.expressions.Window.partitionBy("__key")
     val marked = occ
       .withColumn("__n", count(lit(1)).over(wKey))
       .filter(col("__n") > 1)
       .select(col(idCol), col("pos"))
+    mergeMarkedWindows(marked, idCol, k)
+  }
+
+  /** Gaps-and-islands merge of marked k-token windows (doc, pos) into
+    * maximal [span_start, span_end) spans — shared by [[dupSpans]] and
+    * the incremental sink
+    * ([[graft.streaming.StreamingIngest.dupSpanAppendSink]]).
+    */
+  private[graft] def mergeMarkedWindows(marked: DataFrame, idCol: String,
+                                        k: Int): DataFrame = {
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy("pos")
     import org.apache.spark.sql.expressions.Window.{unboundedPreceding, currentRow}
@@ -696,6 +699,18 @@ object TextOps {
         count(lit(1)).as("n_windows"))
       .select(col(idCol), col("span_start"), col("span_end"), col("n_windows"))
   }
+
+  /** (doc, pos, digest) occurrence rows for `k`-token windows — the
+    * [[dupSpans]] extraction, exposed for the incremental sink. */
+  private[graft] def windowDigests(df: DataFrame, idCol: String,
+                                   textCol: String, k: Int): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= k)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, size(__t) - $k), " +
+          s"i -> md5(cast(array_join(slice(__t, i + 1, $k), ' ') as binary)))"))
+        .as(Seq("pos", "__key")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("__key"))
 
   /** Per-doc accounting over [[dupSpans]]: token total (the q21
     * [[tokenCount]] contract), merged-span count, and duplicated-token

@@ -1408,6 +1408,148 @@ object StreamingIngest {
     }
   }
 
+  /** Streaming ExactSubstr span-dedup sink — the incremental flavor of
+    * [[graft.ops.TextOps.dupSpans]] (Lee et al. 2022): each arriving
+    * document lands in `docs/` with its duplicated-span catalog computed
+    * against EVERYTHING INGESTED SO FAR plus the batch itself, and the
+    * corpus k-gram digest plane under `grams/` grows by the batch's new
+    * digests.
+    *
+    * Marking rule per k-token window of a batch doc: duplicated iff its
+    * md5 digest already exists in `grams/` OR occurs ≥ 2 times within
+    * the batch. For a NEW document this equals the batch [[graft.ops
+    * .TextOps.dupSpans]] over (ingested corpus ∪ batch) restricted to
+    * that document (spec-asserted); already-ingested documents are NOT
+    * retro-marked when later duplicates arrive — the append-only
+    * first-wins contract every sink here shares.
+    *
+    * Layout + scale: `grams/` is partitioned by
+    * `__bkt = pmod(xxhash64(digest), nBuckets)`; a batch reads only its
+    * hit buckets (≤ nBuckets small longs to the driver), so the
+    * existing-digest join prunes to batch-relevant state. `docs/`
+    * partitions by a doc-id bucket and anti-joins existing ids, so a
+    * crash-replayed batch is id-idempotent (the [[dedupAppendSink]]
+    * contract); the `grams/` plane tolerates replay duplicates (marking
+    * joins de-duplicate) and still anti-joins to keep steady-state
+    * growth digest-distinct. Batch replays skip on `_graft_commits`
+    * markers; `_graft_dupspan_geometry` pins (k, nBuckets) — a
+    * different k would silently mark nothing against old digests.
+    *
+    * @return documents appended across this invocation
+    */
+  def dupSpanAppendSink(spark: SparkSession, stream: DataFrame,
+                        idCol: String, textCol: String, targetDir: String,
+                        checkpointDir: String, k: Int = 8,
+                        nBuckets: Int = 64): Long = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    require(k >= 2, s"dupSpanAppendSink needs k >= 2, got $k")
+    require(nBuckets > 0, "nBuckets must be positive")
+    val appended = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (targetPath, fs) = hadoopFs(spark, targetDir)
+        val commitsDir = new org.apache.hadoop.fs.Path(targetPath, "_graft_commits")
+        val marker = new org.apache.hadoop.fs.Path(commitsDir, batchId.toString)
+        // geometry validates BEFORE the replay skip: a mismatched k must
+        // refuse loudly even when the batch itself would be skipped
+        checkOrWriteMarker(fs, targetPath, "_graft_dupspan_geometry",
+          "dup-span", s"k=$k,nBuckets=$nBuckets,digest=md5")
+        if (!fs.exists(marker)) {
+          val gramsPath = new org.apache.hadoop.fs.Path(targetPath, "grams")
+          val docsPath = new org.apache.hadoop.fs.Path(targetPath, "docs")
+          val occ = graft.ops.TextOps.windowDigests(
+              batch.select(col(idCol), col(textCol)), idCol, textCol, k)
+            .withColumn("__bkt",
+              pmod(xxhash64(col("__key")), lit(nBuckets.toLong)))
+            .persist()
+          try {
+            val batchMarked = occ
+              .withColumn("__n",
+                count(lit(1)).over(Window.partitionBy("__key")))
+              .filter(col("__n") > 1)
+              .select(col(idCol), col("pos"))
+            val gramsLive = planeHasData(fs, gramsPath, "__bkt")
+            val hitBuckets =
+              if (gramsLive) occ.select("__bkt").distinct()
+                .collect().map(_.getLong(0)).toSeq
+              else Seq.empty[Long]
+            def existingKeys = spark.read.parquet(gramsPath.toString)
+              .where(col("__bkt").isin(hitBuckets: _*))
+              .select(col("__key").as("__ek"))
+            val corpusMarked =
+              if (gramsLive)
+                occ.join(existingKeys, col("__key") === col("__ek"))
+                  .select(col(idCol), col("pos"))
+              else occ.filter(lit(false)).select(col(idCol), col("pos"))
+            val marked = batchMarked.union(corpusMarked).distinct()
+            val spans = graft.ops.TextOps
+              .mergeMarkedWindows(marked, idCol, k)
+              .groupBy(col(idCol))
+              .agg(sort_array(collect_list(
+                struct(col("span_start"), col("span_end")))).as("dup_spans"),
+                sum(col("span_end") - col("span_start")).as("dup_tokens"))
+            val docRows = batch.select(col(idCol), col(textCol))
+              .join(spans, Seq(idCol), "left")
+              .select(col(idCol), col(textCol),
+                coalesce(col("dup_spans"), typedLit(
+                  Seq.empty[(Long, Long)]).cast(
+                  "array<struct<span_start:bigint,span_end:bigint>>"))
+                  .as("dup_spans"),
+                coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+              .withColumn("__dbkt",
+                coalesce(pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)),
+                  lit(0L)))
+              .persist()
+            try {
+              // id-idempotent docs append (crash-replay safe)
+              val freshDocs =
+                if (planeHasData(fs, docsPath, "__dbkt")) {
+                  val dHit = docRows.select("__dbkt").distinct()
+                    .collect().map(_.getLong(0)).toSeq
+                  val ids = spark.read.parquet(docsPath.toString)
+                    .where(col("__dbkt").isin(dHit: _*))
+                    .select(col(idCol).as("__eid"))
+                  docRows.join(ids, docRows(idCol) <=> col("__eid"),
+                    "left_anti")
+                } else docRows
+              freshDocs.persist()
+              try {
+                val n = freshDocs.count()
+                if (n > 0) freshDocs.write.mode(SaveMode.Append)
+                  .partitionBy("__dbkt").parquet(docsPath.toString)
+                appended.addAndGet(n)
+              } finally freshDocs.unpersist()
+            } finally docRows.unpersist()
+            // grow the digest plane by the batch's genuinely-new digests
+            val batchKeys = occ.select(col("__key"), col("__bkt")).distinct()
+            val freshKeys =
+              if (gramsLive)
+                batchKeys.join(existingKeys,
+                  col("__key") === col("__ek"), "left_anti")
+              else batchKeys
+            freshKeys.write.mode(SaveMode.Append)
+              .partitionBy("__bkt").parquet(gramsPath.toString)
+          } finally occ.unpersist()
+          fs.mkdirs(commitsDir)
+          fs.createNewFile(marker)
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    appended.get()
+  }
+
+  /** Read a [[dupSpanAppendSink]] target's document plane. */
+  def readDupSpanTarget(spark: SparkSession, targetDir: String): DataFrame =
+    spark.read.parquet(
+      new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(targetDir), "docs").toString)
+      .drop("__dbkt")
+
   private def committedVersions(fs: org.apache.hadoop.fs.FileSystem,
                                 statePath: org.apache.hadoop.fs.Path): Seq[Long] = {
     val commitsDir = new org.apache.hadoop.fs.Path(statePath, "_graft_commits")
