@@ -5610,16 +5610,26 @@ object TrainingQueries {
     QuerySpec(
       "q188_name_linkage",
       (s, dir) => {
+        // composite blocking key: nation + a name digit the planted typo
+        // never touches (char 15 = digit 6; the transposition swaps
+        // chars 17/18) — an order-of-magnitude candidate cut the oracle
+        // replays as part of the operator contract
+        val blk = concat(col("c_nationkey").cast("string"), lit(":"),
+          expr("substr(c_name, 15, 1)"))
         val base = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name"), blk.as("blk"))
+        val dirty = Tables.customer(s, dir)
           .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
-        val dirty = base.select(
-          (col("c_custkey") + 1000000).as("c_custkey"),
-          expr("concat(substr(c_name, 1, 16), substr(c_name, 18, 1), " +
-            "substr(c_name, 17, 1))").as("c_name"),
-          col("c_nationkey"))
+          .select((col("c_custkey") + 1000000).as("c_custkey"),
+            expr("concat(substr(c_name, 1, 16), substr(c_name, 18, 1), " +
+              "substr(c_name, 17, 1))").as("c_name"),
+            col("c_nationkey"))
+          .select(col("c_custkey"), col("c_name"),
+            concat(col("c_nationkey").cast("string"), lit(":"),
+              expr("substr(c_name, 15, 1)")).as("blk"))
         graft.ops.Linkage.blockedNameMatch(
-            dirty, "c_custkey", "c_name", "c_nationkey",
-            base, "c_custkey", "c_name", "c_nationkey",
+            dirty, "c_custkey", "c_name", "blk",
+            base, "c_custkey", "c_name", "blk",
             minSim = 0.95)
           .orderBy("id_a", "id_b")
       },
@@ -5638,7 +5648,8 @@ object TrainingQueries {
              |      AS jw,
              |    CAST(levenshtein(d.c_name, b.c_name) AS BIGINT) AS lev
              |  FROM dirty d JOIN base b
-             |    ON b.c_nationkey = d.c_nationkey)
+             |    ON b.c_nationkey = d.c_nationkey
+             |    AND substr(b.c_name, 15, 1) = substr(d.c_name, 15, 1))
              |SELECT id_a, name_a, id_b, name_b, jw, lev FROM j
              |WHERE jw >= 0.95
              |ORDER BY id_a, id_b""".stripMargin))
