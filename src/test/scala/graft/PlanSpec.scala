@@ -303,6 +303,29 @@ class PlanSpec extends AnyFunSuite {
       s"media payloads must never shuffle:\n${leaky.map(_.treeString).mkString("\n")}")
   }
 
+  test("q178/q184/q188: pair-forming joins are equi joins, never nested-loop products") {
+    for (name <- Seq("q178_triangles", "q184_attribution",
+        "q188_name_linkage")) {
+      val plan = executedPlan(name)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a nested-loop join:\n$plan")
+    }
+  }
+
+  test("q183: SCD2 churn keys broadcast back; history never sorts globally") {
+    val plan = executedPlan("q183_scd2")
+    assert(plan.contains("BroadcastExchange"),
+      s"churn keys must broadcast for the close/stay split:\n$plan")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("q183_scd2")(spark, sf)
+    val global = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty, "no global window in the SCD2 fold")
+  }
+
   test("q122: classifier count tables broadcast; corpus shuffles only skinny features") {
     val plan = executedPlan("q122_quality_classifier")
     assert(plan.contains("BroadcastExchange"),
