@@ -258,6 +258,39 @@ object EventOps {
       col("n").cast("double") / sum("n").over(perFrom).cast("double"))
   }
 
+  /** Step-to-step conversion rates over a [[funnelReport]], with the
+    * Wilson score lower bound (Wilson 1927 — the interval that stays
+    * honest at small counts and extreme rates, unlike the normal
+    * approximation): per step, rate = n_i / n_{i−1} and the z=1.96
+    * lower bound, both rounded to 6 decimals (the shared IEEE
+    * expression tree evaluates identically cross-engine; rounding
+    * absorbs nothing but documents the contract). Runs on the k-row
+    * report plane — the window is over steps, not events.
+    *
+    * → report columns + (rate, wilson_low), NULL at step 1
+    */
+  def funnelRates(report: DataFrame, z: Double = 1.96): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("step")
+    report
+      .withColumn("__prev", lag(col("n_users"), 1).over(w))
+      .withColumn("rate",
+        when(col("__prev") > 0,
+          round(col("n_users").cast("double") /
+            col("__prev").cast("double"), 6)))
+      .withColumn("wilson_low",
+        when(col("__prev") > 0, round(expr(
+          s"""(CAST(n_users AS DOUBLE) / CAST(__prev AS DOUBLE)
+             | + $z * $z / (2 * CAST(__prev AS DOUBLE))
+             | - $z * SQRT(
+             |     CAST(n_users AS DOUBLE) / CAST(__prev AS DOUBLE)
+             |       * (1 - CAST(n_users AS DOUBLE) / CAST(__prev AS DOUBLE))
+             |       / CAST(__prev AS DOUBLE)
+             |     + $z * $z
+             |       / (4 * CAST(__prev AS DOUBLE) * CAST(__prev AS DOUBLE))))
+             | / (1 + $z * $z / CAST(__prev AS DOUBLE))""".stripMargin), 6)))
+      .drop("__prev")
+  }
+
   /** Weekly-style cohort retention triangle: cohort = the user's first
     * event's absolute period index (epoch-micros div period), offset =
     * full periods since that first event; one row per (cohort, offset)

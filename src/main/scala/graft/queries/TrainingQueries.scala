@@ -5652,6 +5652,71 @@ object TrainingQueries {
              |    AND substr(b.c_name, 15, 1) = substr(d.c_name, 15, 1))
              |SELECT id_a, name_a, id_b, name_b, jw, lev FROM j
              |WHERE jw >= 0.95
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Funnel conversion significance (EventOps.funnelRates — Wilson
+    // score lower bounds over the q156 report): step-to-step rates and
+    // the z=1.96 lower interval, computed from the SAME IEEE expression
+    // tree both engines evaluate. The step window runs on the 3-row
+    // report plane.
+    QuerySpec(
+      "q189_funnel_rates",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val times = graft.ops.EventOps.funnel(ev, "user_id", "event_type",
+          "us", Seq("signup", "view", "purchase"),
+          windowUs = 259200000000L)
+        graft.ops.EventOps.funnelRates(
+            graft.ops.EventOps.funnelReport(times,
+              Seq("signup", "view", "purchase")))
+          .select(col("step"), col("event_type"), col("n_users"),
+            col("rate"), col("wilson_low"))
+          .orderBy("step")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+             |), s1 AS (
+             |  SELECT user_id, MIN(us) AS t1 FROM e
+             |  WHERE event_type = 'signup' GROUP BY 1
+             |), s2 AS (
+             |  SELECT e.user_id, MIN(s1.t1) AS t1, MIN(e.us) AS t2
+             |  FROM e JOIN s1 USING (user_id)
+             |  WHERE e.event_type = 'view' AND e.us > s1.t1
+             |    AND e.us <= s1.t1 + 259200000000
+             |  GROUP BY 1
+             |), s3 AS (
+             |  SELECT e.user_id, MIN(s2.t1) AS t1, MIN(e.us) AS t3
+             |  FROM e JOIN s2 USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND e.us > s2.t2
+             |    AND e.us <= s2.t1 + 259200000000
+             |  GROUP BY 1
+             |), rep AS (
+             |  SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type,
+             |    (SELECT COUNT(*) FROM s1) AS n_users
+             |  UNION ALL SELECT 2, 'view', (SELECT COUNT(*) FROM s2)
+             |  UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+             |), lg AS (
+             |  SELECT step, event_type, n_users,
+             |    LAG(n_users) OVER (ORDER BY step) AS prev
+             |  FROM rep)
+             |SELECT step, event_type, CAST(n_users AS BIGINT) AS n_users,
+             |  CASE WHEN prev > 0 THEN
+             |    ROUND(CAST(n_users AS DOUBLE) / CAST(prev AS DOUBLE), 6)
+             |  END AS rate,
+             |  CASE WHEN prev > 0 THEN ROUND(
+             |    (CAST(n_users AS DOUBLE) / CAST(prev AS DOUBLE)
+             |     + 1.96 * 1.96 / (2 * CAST(prev AS DOUBLE))
+             |     - 1.96 * SQRT(
+             |         CAST(n_users AS DOUBLE) / CAST(prev AS DOUBLE)
+             |           * (1 - CAST(n_users AS DOUBLE) / CAST(prev AS DOUBLE))
+             |           / CAST(prev AS DOUBLE)
+             |         + 1.96 * 1.96
+             |           / (4 * CAST(prev AS DOUBLE) * CAST(prev AS DOUBLE))))
+             |    / (1 + 1.96 * 1.96 / CAST(prev AS DOUBLE)), 6)
+             |  END AS wilson_low
+             |FROM lg ORDER BY step""".stripMargin))
   )
 }
