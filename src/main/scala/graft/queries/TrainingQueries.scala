@@ -5717,6 +5717,46 @@ object TrainingQueries {
              |           / (4 * CAST(prev AS DOUBLE) * CAST(prev AS DOUBLE))))
              |    / (1 + 1.96 * 1.96 / CAST(prev AS DOUBLE)), 6)
              |  END AS wilson_low
-             |FROM lg ORDER BY step""".stripMargin))
+             |FROM lg ORDER BY step""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Nested-JSON ingest + recursive flatten (Sources.flattenStructs —
+    // the step between json() and any warehouse sink): a planted
+    // two-level JSON document parses through a REAL from_json with an
+    // explicit schema, flattens to dot-path columns as a pure
+    // projection, and the oracle replays every value from arithmetic
+    // with NO JSON functions — the parse + flatten chain is what the
+    // hash certifies (the q159 chat-parse convention).
+    QuerySpec(
+      "q190_flatten_json",
+      (s, dir) => {
+        val payload = concat(
+          lit("{\"meta\":{\"lang\":\"l"), (col("doc_id") % 5).cast("string"),
+          lit("\",\"counts\":{\"tokens\":"),
+          (col("doc_id") * 7 % 100).cast("string"),
+          lit(",\"lines\":"), (col("doc_id") % 9).cast("string"),
+          lit("}},\"origin\":\"s"), (col("doc_id") % 3).cast("string"),
+          lit("\",\"tags\":[\"t"), (col("doc_id") % 2).cast("string"),
+          lit("\"]}"))
+        val schema = "meta STRUCT<lang: STRING, " +
+          "counts: STRUCT<tokens: BIGINT, lines: BIGINT>>, " +
+          "origin STRING, tags ARRAY<STRING>"
+        val nested = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            from_json(payload, schema, Map.empty[String, String]).as("j"))
+          .select(col("doc_id"), col("j.*"))
+        graft.sources.Sources.flattenStructs(nested)
+          .select(col("doc_id"), col("meta_lang"),
+            col("meta_counts_tokens"), col("meta_counts_lines"),
+            col("origin"), element_at(col("tags"), 1).as("tag0"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  'l' || CAST(doc_id % 5 AS VARCHAR) AS meta_lang,
+             |  CAST(doc_id * 7 % 100 AS BIGINT) AS meta_counts_tokens,
+             |  CAST(doc_id % 9 AS BIGINT) AS meta_counts_lines,
+             |  's' || CAST(doc_id % 3 AS VARCHAR) AS origin,
+             |  't' || CAST(doc_id % 2 AS VARCHAR) AS tag0
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

@@ -118,4 +118,31 @@ object Sources {
       spark.read.format("binaryFile").load(path)
         .select(col("path"), col("content")),
       "content", keepCols = Seq("path"))
+
+  /** Recursive struct flattening — the step after any nested-JSON
+    * ingest ([[json]] infers structs; warehouse sinks want flat
+    * columns): every StructType column expands to dot-path columns
+    * named `parent<sep>child…`, at any depth, in schema order. Arrays
+    * and maps stay as values (explode is a row-multiplying decision
+    * the caller owns). A pure projection — zero shuffles, zero UDFs —
+    * so it composes into any scan without a plan cost.
+    *
+    * Name collisions (an existing `a_b` next to struct path `a.b`)
+    * are NOT resolved — both columns emit and a downstream select by
+    * name fails loudly, which beats silently dropping one.
+    */
+  def flattenStructs(df: DataFrame, sep: String = "_"): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    def expand(schema: StructType, prefix: Seq[String]): Seq[org.apache.spark.sql.Column] =
+      schema.fields.toSeq.flatMap { f =>
+        val path = prefix :+ f.name
+        f.dataType match {
+          case s: StructType => expand(s, path)
+          case _ =>
+            Seq(col(path.map(p => s"`$p`").mkString("."))
+              .as(path.mkString(sep)))
+        }
+      }
+    df.select(expand(df.schema, Seq.empty): _*)
+  }
 }

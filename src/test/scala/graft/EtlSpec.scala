@@ -183,4 +183,27 @@ class EtlSpec extends AnyFunSuite {
     assert(Sinks.check(spark, "SELECT 1"))
     assert(!Sinks.check(spark, "SELECT COUNT(*) FROM range(10) WHERE id > 100"))
   }
+
+  test("flattenStructs: deep nesting, arrays preserved, nulls, zero shuffles") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "x"), (2L, null.asInstanceOf[String])).toDF("id", "v")
+      .select(col("id"),
+        struct(struct(col("v").as("deep"), lit(7L).as("n")).as("inner"),
+          array(lit(1), lit(2)).as("arr")).as("outer"))
+    val flat = graft.sources.Sources.flattenStructs(df)
+    assert(flat.columns.toSeq ==
+      Seq("id", "outer_inner_deep", "outer_inner_n", "outer_arr"))
+    val rows = flat.orderBy("id").collect()
+    assert(rows(0).getString(1) == "x" && rows(0).getLong(2) == 7L &&
+      rows(0).getSeq[Int](3) == Seq(1, 2))
+    assert(rows(1).isNullAt(1), "null leaf survives the flatten")
+    // pure projection: no exchange in the plan
+    assert(!flat.queryExecution.executedPlan.toString.contains("Exchange"))
+    // dotted FIELD NAMES don't split into paths (backtick quoting)
+    val dotted = Seq(1L).toDF("id")
+      .select(struct(lit(5L).as("a.b")).as("s"))
+    val fd = graft.sources.Sources.flattenStructs(dotted)
+    assert(fd.columns.toSeq == Seq("s_a.b") && fd.head().getLong(0) == 5L)
+  }
 }
