@@ -365,110 +365,107 @@ object ArrayMath {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     // Idempotent per session: every entry point (Tables, Sql, JobRunner)
-    // calls register defensively; re-registering triggers a WARN per
-    // function from SimpleFunctionRegistry, so skip when already bound.
-    if (reg.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier(fnName))) return
-    reg.createOrReplaceTempFunction(
-      fnName, exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      eqCountName, exprs => ArrayEqualCount(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      sortedIntersectName, exprs => SortedIntersectCount(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      shingleName, exprs => ShingleHashes(exprs(0), intLit(exprs(1), "shingle size")), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      minhashName, exprs => MinHashSignature(exprs(0), intLit(exprs(1), "numHashes")), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      simhashName, exprs => SimHash64(exprs(0)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      textStatsName, exprs => TextStats(exprs(0)), "scala_udf")
-    reg.createOrReplaceTempFunction(
+    // calls register defensively. The skip is PER NAME, not all-or-nothing,
+    // so a long-lived session built before a function was added still picks
+    // up the new binding (and no SimpleFunctionRegistry "replaced" WARN
+    // fires for the ones already bound).
+    def bind(name: String, builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    bind(
+      fnName, exprs => DotProduct(exprs(0), exprs(1)))
+    bind(
+      eqCountName, exprs => ArrayEqualCount(exprs(0), exprs(1)))
+    bind(
+      sortedIntersectName, exprs => SortedIntersectCount(exprs(0), exprs(1)))
+    bind(
+      shingleName, exprs => ShingleHashes(exprs(0), intLit(exprs(1), "shingle size")))
+    bind(
+      minhashName, exprs => MinHashSignature(exprs(0), intLit(exprs(1), "numHashes")))
+    bind(
+      simhashName, exprs => SimHash64(exprs(0)))
+    bind(
+      textStatsName, exprs => TextStats(exprs(0)))
+    bind(
       nearestCentroidName,
-      exprs => NearestCentroidId(exprs(0), matrixLit(exprs(1), "centroid matrix")),
-      "scala_udf")
-    reg.createOrReplaceTempFunction(
+      exprs => NearestCentroidId(exprs(0), matrixLit(exprs(1), "centroid matrix")))
+    bind(
       topCentroidsName,
       exprs => TopCentroidIds(exprs(0), matrixLit(exprs(1), "centroid matrix"),
-        intLit(exprs(2), "nProbe")),
-      "scala_udf")
-    reg.createOrReplaceTempFunction(
-      imageMetaName, exprs => ImageMeta(exprs(0)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      pngPixelStatsName, exprs => PngPixelStats(exprs(0)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      pngGradientName, exprs => PngGradientBytes(exprs), "scala_udf")
-    reg.createOrReplaceTempFunction(
+        intLit(exprs(2), "nProbe")))
+    bind(
+      imageMetaName, exprs => ImageMeta(exprs(0)))
+    bind(
+      pngPixelStatsName, exprs => PngPixelStats(exprs(0)))
+    bind(
+      pngGradientName, exprs => PngGradientBytes(exprs))
+    bind(
       pngResizeName,
-      exprs => PngResizePixels(exprs(0), exprs(1), exprs(2)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      rgbStatsName, exprs => RgbChannelStats(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      jpegPixelStatsName, exprs => JpegPixelStats(exprs(0)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      jpegGradientName, exprs => JpegGradientBytes(exprs), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      audioPcmName, exprs => AudioPcmStats(exprs(0)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      wavToneName, exprs => WavToneBytes(exprs), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      audioMetaName, exprs => AudioMeta(exprs(0)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      gifMetaName, exprs => GifMeta(exprs(0)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      gifAnimName, exprs => GifAnimBytes(exprs), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      apngMetaName, exprs => ApngMeta(exprs(0)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      apngAnimName, exprs => ApngAnimBytes(exprs), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      mp4MetaName, exprs => Mp4Meta(exprs(0)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      mp4BytesName, exprs => Mp4Bytes(exprs), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      dhashName, exprs => DHash64(exprs(0)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      warcParseName, exprs => WarcParse(exprs(0)), "scala_udf")
-    reg.createOrReplaceTempFunction(
+      exprs => PngResizePixels(exprs(0), exprs(1), exprs(2)))
+    bind(
+      rgbStatsName, exprs => RgbChannelStats(exprs(0), exprs(1)))
+    bind(
+      jpegPixelStatsName, exprs => JpegPixelStats(exprs(0)))
+    bind(
+      jpegGradientName, exprs => JpegGradientBytes(exprs))
+    bind(
+      audioPcmName, exprs => AudioPcmStats(exprs(0)))
+    bind(
+      wavToneName, exprs => WavToneBytes(exprs))
+    bind(
+      audioMetaName, exprs => AudioMeta(exprs(0)))
+    bind(
+      gifMetaName, exprs => GifMeta(exprs(0)))
+    bind(
+      gifAnimName, exprs => GifAnimBytes(exprs))
+    bind(
+      apngMetaName, exprs => ApngMeta(exprs(0)))
+    bind(
+      apngAnimName, exprs => ApngAnimBytes(exprs))
+    bind(
+      mp4MetaName, exprs => Mp4Meta(exprs(0)))
+    bind(
+      mp4BytesName, exprs => Mp4Bytes(exprs))
+    bind(
+      dhashName, exprs => DHash64(exprs(0)))
+    bind(
+      warcParseName, exprs => WarcParse(exprs(0)))
+    bind(
       warcRecordName,
-      exprs => WarcRecordBytes(exprs(0), exprs(1), exprs(2)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      audioFpName, exprs => AudioFingerprint64(exprs(0)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      int8DotName, exprs => Int8DotProduct(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      int8StatsName, exprs => Int8Stats(exprs(0)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      nfcName, exprs => NfcNormalize(exprs(0)), "scala_udf")
-    reg.createOrReplaceTempFunction(
+      exprs => WarcRecordBytes(exprs(0), exprs(1), exprs(2)))
+    bind(
+      audioFpName, exprs => AudioFingerprint64(exprs(0)))
+    bind(
+      int8DotName, exprs => Int8DotProduct(exprs(0), exprs(1)))
+    bind(
+      int8StatsName, exprs => Int8Stats(exprs(0)))
+    bind(
+      nfcName, exprs => NfcNormalize(exprs(0)))
+    bind(
       pqEncodeName,
-      exprs => PqEncode(exprs(0), cubeLit(exprs(1), "PQ codebooks")), "scala_udf")
-    reg.createOrReplaceTempFunction(
+      exprs => PqEncode(exprs(0), cubeLit(exprs(1), "PQ codebooks")))
+    bind(
       pqLutName,
-      exprs => PqLut(exprs(0), cubeLit(exprs(1), "PQ codebooks")), "scala_udf")
-    reg.createOrReplaceTempFunction(
+      exprs => PqLut(exprs(0), cubeLit(exprs(1), "PQ codebooks")))
+    bind(
       pqAdcName,
-      exprs => PqAdcScore(exprs(0), exprs(1), intLit(exprs(2), "kPerSub")),
-      "scala_udf")
-    reg.createOrReplaceTempFunction(
+      exprs => PqAdcScore(exprs(0), exprs(1), intLit(exprs(2), "kPerSub")))
+    bind(
       bloomName,
-      exprs => BloomMightContain(exprs(0), binaryLit(exprs(1), "bloom bits")),
-      "scala_udf")
-    reg.createOrReplaceTempFunction(
+      exprs => BloomMightContain(exprs(0), binaryLit(exprs(1), "bloom bits")))
+    bind(
       matVecName,
       exprs => MatVecAffine(exprs(0), matrixLit(exprs(1), "projection matrix"),
-        vectorLit(exprs(2), "projection offset")),
-      "scala_udf")
-    reg.createOrReplaceTempFunction(
+        vectorLit(exprs(2), "projection offset")))
+    bind(
       bpeMergeName,
-      exprs => BpeMergePair(exprs(0), exprs(1), exprs(2)), "scala_udf")
-    reg.createOrReplaceTempFunction(
+      exprs => BpeMergePair(exprs(0), exprs(1), exprs(2)))
+    bind(
       bpeEncodeName,
-      exprs => BpeEncode(exprs(0), stringArrayLit(exprs(1), "merge list")),
-      "scala_udf")
-    reg.createOrReplaceTempFunction(
-      jaroWinklerName, exprs => JaroWinklerSim(exprs(0), exprs(1)),
-      "scala_udf")
+      exprs => BpeEncode(exprs(0), stringArrayLit(exprs(1), "merge list")))
+    bind(
+      jaroWinklerName, exprs => JaroWinklerSim(exprs(0), exprs(1)))
   }
 
   /** Codegen'd dot product over two array<double> columns. Caller must have

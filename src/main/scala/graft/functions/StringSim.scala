@@ -17,7 +17,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * floor(max(|a|,|b|)/2) − 1, transpositions = half the out-of-order
   * matches, prefix boost p = 0.1 over at most 4 common lead chars
   * applied ONLY when the Jaro score exceeds 0.7 (the boost-threshold
-  * convention), and 0.0 when either side is empty. Comparison is by
+  * convention), 1.0 when BOTH sides are empty and 0.0 when exactly one
+  * is (the DuckDB/rapidfuzz/Apache-Commons convention). Comparison is by
   * Java char (UTF-16 unit) — identical to byte-wise for ASCII keys,
   * the record-linkage domain.
   */
@@ -26,6 +27,7 @@ object StringSimKernels {
   def jaro(a: String, b: String): Double = {
     val la = a.length
     val lb = b.length
+    if (la == 0 && lb == 0) return 1.0
     if (la == 0 || lb == 0) return 0.0
     if (la == 1 && lb == 1) return if (a.charAt(0) == b.charAt(0)) 1.0 else 0.0
     val window = math.max(0, math.max(la, lb) / 2 - 1)

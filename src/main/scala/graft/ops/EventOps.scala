@@ -75,11 +75,17 @@ object EventOps {
   /** Time-weighted average value per user — the step-function integral
     * (each value holds from its event until the next):
     * TWA = Σ v_i·(t_{i+1}−t_i) / (t_last − t_first). The per-segment
-    * products route through DECIMAL(18,6)·duration (exact, order-
-    * independent sum — a double Σ differs per partition order), and the
-    * final division exits via the VARCHAR→DOUBLE bridge (the q96
-    * bit-exact decimal→double path). One lead window per user + one
-    * aggregation; users with fewer than two events report NULL twa.
+    * products route through DECIMAL(28,6)·duration (exact, order-
+    * independent sum — a double Σ differs per partition order; 28 digits
+    * keeps a |v| up to 10^22 from overflowing to NULL under ANSI-off),
+    * and the final division exits via the VARCHAR→DOUBLE bridge (the q96
+    * bit-exact decimal→double path). NULL-valued events are dropped
+    * BEFORE the lead window — a missing measurement is not a value
+    * change, so the prior value's segment extends across it and the
+    * numerator and span_us stay consistent (counting a NULL segment's
+    * duration in the denominator but not the numerator would silently
+    * deflate the TWA). One lead window per user + one aggregation;
+    * users with fewer than two (non-NULL-valued) events report NULL twa.
     *
     * → (userCol, n_events, span_us, twa)
     */
@@ -90,12 +96,13 @@ object EventOps {
     events
       .select(col(userCol), col(valueCol).cast("double").as("__v"),
         col(usCol).cast("long").as("__us"), col(tieCol).as("__tie"))
+      .filter(col("__v").isNotNull)
       .withColumn("__next", lead(col("__us"), 1).over(w))
       .groupBy(col(userCol))
       .agg(count(lit(1)).as("n_events"),
         (max(col("__us")) - min(col("__us"))).as("span_us"),
         sum(when(col("__next").isNotNull,
-          col("__v").cast("decimal(18,6)") *
+          col("__v").cast("decimal(28,6)") *
             (col("__next") - col("__us")))).as("__num"))
       .select(col(userCol), col("n_events"), col("span_us"),
         when(col("span_us") > 0,

@@ -312,10 +312,13 @@ object ScaleOps {
     *
     * Classification rides [[snapshotDiff]] (one shuffle of the
     * current-slice ∪ snapshot union, result sized by churn); the
-    * closed/stay split joins the churn keys back — at 100 TB the churn
-    * frame is the small side and broadcasts. Historical (non-current)
-    * rows pass through untouched, so repeated applies build the full
-    * version chain.
+    * closed/stay split joins the churn keys back. Churn is usually tiny
+    * but is NOT bounded by construction (a snapshot-wide payload change
+    * makes it the size of the dimension), so the strategy is left to AQE:
+    * a small churn frame broadcasts at runtime, a dimension-sized one
+    * shuffles instead of blowing the broadcast limit. Historical
+    * (non-current) rows pass through untouched, so repeated applies
+    * build the full version chain.
     *
     * @param history columns = keys ++ payload ++ eff_from, eff_to,
     *                is_current
@@ -334,10 +337,10 @@ object ScaleOps {
     val churnKeys = diff
       .filter(col("change_type").isin("update", "delete"))
       .select(keyCols.map(col): _*)
-    val closed = curr.join(broadcast(churnKeys), keyCols)
+    val closed = curr.join(churnKeys, keyCols)
       .withColumn("eff_to", lit(effAt))
       .withColumn("is_current", lit(false))
-    val stay = curr.join(broadcast(churnKeys), keyCols, "left_anti")
+    val stay = curr.join(churnKeys, keyCols, "left_anti")
     val fresh = diff
       .filter(col("change_type").isin("insert", "update"))
       .select((keyCols ++ payloadCols).map(col): _*)

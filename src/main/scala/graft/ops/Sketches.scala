@@ -66,7 +66,8 @@ object Sketches {
       .agg(count(lit(1)).as("n_sketch"),
         max(when(col("rank") === k, col("h"))).as("__kth"))
       .select(groupCols.map(col) :+ col("n_sketch") :+
-        when(col("n_sketch") < k, col("n_sketch").cast("double"))
+        when(col("n_sketch") < k || col("__kth") <= 0,
+            col("n_sketch").cast("double"))
           .otherwise(lit((k - 1).toDouble) * lit(HashSpace) /
             col("__kth").cast("double")).as("estimate"): _*)
 

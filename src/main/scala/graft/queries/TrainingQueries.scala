@@ -5531,7 +5531,7 @@ object TrainingQueries {
     // ------------------------------------------------------------------
     // Time-weighted average (EventOps.timeWeightedAvg — the
     // step-function integral: each value holds until the next event):
-    // per-segment value×duration products ride DECIMAL(18,6) so the
+    // per-segment value×duration products ride DECIMAL(28,6) so the
     // sum is order-independent, and the decimal exits to double over
     // the VARCHAR bridge (q96's bit-exact path). The oracle replays
     // the lead window, the decimal products and the same bridge.
@@ -5547,7 +5547,7 @@ object TrainingQueries {
       },
       Some("""WITH e AS (
              |  SELECT user_id, value, epoch_us(ts) AS us, event_id
-             |  FROM events),
+             |  FROM events WHERE value IS NOT NULL),
              |n AS (
              |  SELECT user_id, value, us,
              |    LEAD(us) OVER (PARTITION BY user_id
@@ -5557,7 +5557,7 @@ object TrainingQueries {
              |  CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us,
              |  CASE WHEN MAX(us) - MIN(us) > 0 THEN
              |    CAST(CAST(SUM(CASE WHEN nxt IS NOT NULL
-             |      THEN CAST(value AS DECIMAL(18,6)) * (nxt - us) END)
+             |      THEN CAST(value AS DECIMAL(28,6)) * (nxt - us) END)
              |      AS VARCHAR) AS DOUBLE)
              |    / CAST(MAX(us) - MIN(us) AS DOUBLE) END AS twa
              |FROM n GROUP BY user_id ORDER BY user_id""".stripMargin)),

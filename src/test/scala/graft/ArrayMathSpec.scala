@@ -129,7 +129,7 @@ class ArrayMathSpec extends AnyFunSuite {
       ("DIXON", "DICKSONX", 0.813333),  // Wikipedia's worked case
       ("abcccc", "abdddd", 0.555556),   // jaro <= 0.7: NO prefix boost
       ("same", "same", 1.0),
-      ("", "", 0.0), ("a", "", 0.0),    // empty-side convention
+      ("", "", 1.0), ("a", "", 0.0),    // DuckDB/Commons empty convention
       ("ab", "ba", 0.0))                // window max(0, 2/2-1)=0: no match
     val got = cases.toDF("a", "b", "exp")
       .select(round(ArrayMath.jaroWinkler(col("a"), col("b")), 6).as("jw"),
@@ -148,5 +148,20 @@ class ArrayMathSpec extends AnyFunSuite {
     // null propagates
     assert(Seq((Some("x"), Option.empty[String])).toDF("a", "b")
       .select(ArrayMath.jaroWinkler(col("a"), col("b"))).head().isNullAt(0))
+  }
+
+  test("register: per-name idempotency re-binds a dropped function") {
+    val reg = spark.sessionState.functionRegistry
+    val fid = org.apache.spark.sql.catalyst.FunctionIdentifier(
+      ArrayMath.jaroWinklerName)
+    ArrayMath.register(spark)
+    assert(reg.functionExists(fid))
+    // simulate a session built before this function existed: the first
+    // function is bound but this one is not — register must fill the gap
+    reg.dropFunction(fid)
+    assert(!reg.functionExists(fid))
+    ArrayMath.register(spark)
+    assert(reg.functionExists(fid),
+      "register must bind missing names even when others already exist")
   }
 }

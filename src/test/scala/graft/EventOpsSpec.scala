@@ -122,6 +122,25 @@ class EventOpsSpec extends AnyFunSuite {
       !got(1).getBoolean(4))
   }
 
+  test("timeWeightedAvg: NULL measurements extend the prior segment, not deflate it") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: v=1 holds [0,20) across the NULL at t=10, v=3 holds [20,30)
+      (1L, Some(1.0), 0L, 1L), (1L, None, 10L, 2L),
+      (1L, Some(3.0), 20L, 3L), (1L, Some(9.0), 30L, 4L),
+      // u2: only one non-NULL event -> NULL twa, span 0
+      (2L, Some(5.0), 0L, 5L), (2L, None, 50L, 6L))
+      .toDF("user_id", "value", "us", "event_id")
+    val got = graft.ops.EventOps.timeWeightedAvg(
+        ev, "user_id", "value", "us", "event_id")
+      .orderBy("user_id").collect()
+    assert(got(0).getLong(1) == 3L && got(0).getLong(2) == 30L)
+    assert(math.abs(got(0).getDouble(3) - 50.0 / 30.0) < 1e-9,
+      s"NULL at t=10 must not open a zero-value segment: ${got(0)}")
+    assert(got(1).getLong(1) == 1L && got(1).getLong(2) == 0L &&
+      got(1).isNullAt(3))
+  }
+
   test("transitions: tiebreak orders same-instant events deterministically") {
     import spark.implicits._
     val ev = Seq((1L, "a", 10L, 1L), (1L, "b", 10L, 2L), (1L, "c", 20L, 3L))
