@@ -329,6 +329,72 @@ object WebGraph {
     out
   }
 
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * PRE 2007) over an edge list, made fully deterministic: every node
+    * starts labeled with itself; each iteration every node adopts the
+    * label that is most frequent among its (undirected, de-duplicated)
+    * neighbors, ties broken by the LEXICOGRAPHICALLY SMALLEST label —
+    * the (−count, label) struct-min, so the result is independent of
+    * partition layout and replayable in SQL. Updates are synchronous
+    * (all nodes read iteration t−1's labels), which with a fixed
+    * iteration count gives a bit-reproducible community assignment;
+    * the classic async variant is order-dependent by construction and
+    * cannot be oracle-checked.
+    *
+    * Scale shape — the [[pageRank]] discipline: the neighbor list
+    * (both directions of each distinct non-loop edge) is built ONCE and
+    * persisted — at 100 TB this is the big frame, invariant across the
+    * loop. Each iteration is one hash join of neighbors against the
+    * skinny label frame (one row per NODE — hosts, not documents) plus
+    * two aggregations (vote counts keyed by (node, label), then the
+    * per-node struct-min — both map-side-combinable), and the label
+    * frame is localCheckpoint-ed so the plan stays one iteration deep
+    * instead of k joins deep. Nodes whose only edges are self-loops
+    * have no neighbors and keep their own label (left join + coalesce).
+    * Zero driver traffic inside the loop.
+    *
+    * @return (node, community) — community = the label after
+    *         `iterations` synchronous rounds.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iterations: Int = 3): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1,50], got $iterations")
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist()
+    val noLoop = e.filter(col("src") =!= col("dst"))
+    // loop-invariant neighbor SET (multi-edges vote once)
+    val nbr = noLoop.select(col("src").as("node"), col("dst").as("nb"))
+      .union(noLoop.select(col("dst").as("node"), col("src").as("nb")))
+      .distinct()
+      .persist()
+    var labels = nodes.select(col("node"), col("node").as("lbl"))
+    var iter = 0
+    while (iter < iterations) {
+      val winner = nbr
+        .join(labels.select(col("node").as("nb"), col("lbl")), "nb")
+        .groupBy(col("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("node"))
+        .agg(min(struct((-col("c")).as("negc"), col("lbl").as("l")))
+          .as("top"))
+        .select(col("node"), col("top.l").as("__new"))
+      labels = labels.join(winner, Seq("node"), "left")
+        .select(col("node"), coalesce(col("__new"), col("lbl")).as("lbl"))
+        .localCheckpoint() // cut lineage: plan depth stays O(1), not O(k)
+      iter += 1
+    }
+    nodes.unpersist()
+    nbr.unpersist()
+    labels.select(col("node"), col("lbl").as("community"))
+  }
+
   /** Per-host document-quality prior: PageRank of the host graph joined
     * back onto a document frame by host. Documents from unknown hosts
     * (not in the graph) get rank NULL — callers decide the default.

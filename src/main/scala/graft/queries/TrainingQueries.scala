@@ -612,6 +612,51 @@ object TrainingQueries {
       " ON a.node = h.node\nORDER BY a.auth DESC, h.node"
   }
 
+  /** q191 oracle: unrolled SYNCHRONOUS label propagation over the q145
+    * link graph — per iteration one neighbor-vote count and one
+    * (count DESC, label) pick, ties to the smallest label (the Spark
+    * side's (−count, label) struct-min). Nodes with no non-loop
+    * neighbors keep their previous label (LEFT JOIN + COALESCE).
+    */
+  private def lpaOracle(iters: Int): String = {
+    val head = "WITH " + linkEdgesCte.stripMargin +
+      """,
+        |n0 AS MATERIALIZED (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT src_host AS node FROM l
+        |    UNION ALL SELECT dst_host FROM l)),
+        |nb AS MATERIALIZED (
+        |  SELECT DISTINCT node, nbr FROM (
+        |    SELECT src_host AS node, dst_host AS nbr FROM l
+        |    WHERE src_host <> dst_host
+        |    UNION ALL
+        |    SELECT dst_host, src_host FROM l
+        |    WHERE src_host <> dst_host)),
+        |lab0 AS (SELECT node, node AS lbl FROM n0)""".stripMargin
+    val iterCtes = (1 to iters).map { k =>
+      s""",
+         |v$k AS (
+         |  SELECT nb.node, p.lbl, COUNT(*) AS c
+         |  FROM nb JOIN lab${k - 1} p ON p.node = nb.nbr
+         |  GROUP BY 1, 2),
+         |w$k AS (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl,
+         |      ROW_NUMBER() OVER (PARTITION BY node
+         |        ORDER BY c DESC, lbl) AS r
+         |    FROM v$k) WHERE r = 1),
+         |lab$k AS MATERIALIZED (
+         |  SELECT p.node, COALESCE(w$k.lbl, p.lbl) AS lbl
+         |  FROM lab${k - 1} p LEFT JOIN w$k ON w$k.node = p.node)""".stripMargin
+    }.mkString
+    head + iterCtes +
+      s"""
+         |SELECT node, lbl AS community,
+         |  CAST(COUNT(*) OVER (PARTITION BY lbl) AS BIGINT)
+         |    AS community_size
+         |FROM lab$iters ORDER BY node""".stripMargin
+  }
+
   /** The q144/q145/q150 planted source host (lowercase by construction). */
   private def host97 = concat(lit("h"), (col("doc_id") % 97).cast("string"),
     lit(".example.org"))
@@ -5757,6 +5802,28 @@ object TrainingQueries {
              |  CAST(doc_id % 9 AS BIGINT) AS meta_counts_lines,
              |  's' || CAST(doc_id % 3 AS VARCHAR) AS origin,
              |  't' || CAST(doc_id % 2 AS VARCHAR) AS tag0
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Label-propagation communities (WebGraph.labelPropagation —
+    // Raghavan et al. 2007 made deterministic: synchronous rounds, ties
+    // to the smallest label via the (−count, label) struct-min) on the
+    // q145 link graph. Each round is one join of the persisted neighbor
+    // list against the skinny label frame + two map-side-combinable
+    // aggregations; the oracle unrolls all three rounds with the same
+    // vote count and (c DESC, lbl) pick.
+    QuerySpec(
+      "q191_lpa_communities",
+      (s, dir) => {
+        val pages = Tables.documents(s, dir).select(
+          host97.as("src_host"), htmlFixture.as("html"))
+        val edges = Html.linkGraph(pages, "src_host", "html")
+        val lab = graft.ops.WebGraph.labelPropagation(
+          edges, "src_host", "dst_host", iterations = 3)
+        lab.withColumn("community_size",
+            count(lit(1)).over(Window.partitionBy(col("community"))))
+          .orderBy("node")
+      },
+      Some(lpaOracle(3)))
   )
 }

@@ -209,6 +209,29 @@ class HtmlSpec extends AnyFunSuite {
     assert(got("c") > got("d"))
   }
 
+  test("labelPropagation: two cliques with a bridge settle into two communities") {
+    import spark.implicits._
+    // clique {a,b,c} — bridge c-x — clique {x,y,z}; plus a self-loop-only
+    // node s that must keep its own label (no neighbors)
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"),
+      ("x", "y"), ("x", "z"), ("y", "z"), ("c", "x"), ("s", "s"))
+    val got = WebGraph.labelPropagation(edges.toDF("s", "d"), "s", "d",
+        iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.keySet == Set("a", "b", "c", "x", "y", "z", "s"))
+    assert(got("a") == got("b") && got("b") == got("c"),
+      s"left clique must agree: $got")
+    assert(got("x") == got("y") && got("y") == got("z"),
+      s"right clique must agree: $got")
+    assert(got("a") != got("x"), s"bridge must not merge the cliques: $got")
+    assert(got("s") == "s", "self-loop-only node keeps its own label")
+    // synchronous + struct-min tiebreak => bit-deterministic across runs
+    val again = WebGraph.labelPropagation(edges.toDF("s", "d"), "s", "d",
+        iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(again == got)
+  }
+
   test("pageRank: duplicate edge rows collapse (distinct), empty graph rejects") {
     import spark.implicits._
     val dup = Seq(("a", "b"), ("a", "b"), ("b", "a")).toDF("s", "d")
