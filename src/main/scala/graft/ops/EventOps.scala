@@ -318,4 +318,63 @@ object EventOps {
       .groupBy("cohort_period", "period_offset")
       .agg(countDistinct(col(userCol)).as("n_users"))
   }
+
+  /** Rolling `windowDays`-day distinct users per calendar day — the
+    * DAU/WAU/MAU family — WITHOUT the day×user explosion: the naive
+    * plan range-joins every event against every window it falls in
+    * (28× the corpus for MAU at 100 TB) and pays a COUNT DISTINCT per
+    * day; this one is linear in (user, day) pairs.
+    *
+    * Interval-union formulation: an activity day d makes the user
+    * active for window-end days [d, d+L−1]. Per user, activity days
+    * with gaps ≤ L−1 merge into coverage segments (one lag window over
+    * the deduped user-day frame — partitioned by user, so it scales);
+    * each segment [s, e] contributes +1 at day s and −1 at day e+L.
+    * Summing boundary deltas per day and running-summing over the
+    * calendar gives the exact distinct-user count per window — no
+    * distinct aggregation ever runs over raw events beyond the initial
+    * (user, day) dedup.
+    *
+    * The final running sum is a partition-less window over the CALENDAR
+    * frame (one row per day — thousands of rows at decades of history),
+    * which is single-task by construction and deliberately so; every
+    * frame before it is user- or day-partitioned.
+    *
+    * @param tsCol timestamp column; activity is bucketed by its UTC date
+    * @return (day DATE, `outCol` BIGINT) for every day in
+    *         [min activity day, max activity day] — gap days report 0
+    */
+  def rollingDistinctUsers(events: DataFrame, userCol: String,
+                           tsCol: String, windowDays: Int,
+                           outCol: String = "n_active"): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val act = events
+      .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__d"))
+      .filter(col("__u").isNotNull && col("__d").isNotNull)
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__u")).orderBy(col("__d"))
+    val seg = act
+      .withColumn("__gap", datediff(col("__d"), lag(col("__d"), 1).over(w)))
+      .withColumn("__new",
+        when(col("__gap").isNull || col("__gap") > windowDays - 1, 1L)
+          .otherwise(0L))
+      .withColumn("__seg", sum(col("__new")).over(w))
+      .groupBy(col("__u"), col("__seg"))
+      .agg(min(col("__d")).as("__s"), max(col("__d")).as("__e"))
+    val deltas = seg.select(col("__s").as("day"), lit(1L).as("__delta"))
+      .unionByName(seg.select(date_add(col("__e"), windowDays).as("day"),
+        lit(-1L).as("__delta")))
+      .groupBy("day").agg(sum(col("__delta")).as("__delta"))
+    val spine = act.agg(min(col("__d")).as("__lo"), max(col("__d")).as("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("day"))
+    val wd = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    spine.select(col("day"), lit(0L).as("__delta"))
+      .unionByName(deltas)
+      .groupBy("day").agg(sum(col("__delta")).as("__delta"))
+      .withColumn(outCol, sum(col("__delta")).over(wd))
+      .join(spine, Seq("day")) // clip boundary days past the last activity
+      .select(col("day"), col(outCol))
+  }
 }

@@ -5825,5 +5825,55 @@ object TrainingQueries {
           .orderBy("node")
       },
       Some(lpaOracle(3)))
+  ) ++ Seq(
+
+    // ------------------------------------------------------------------
+    // Rolling active users — DAU/WAU/MAU + stickiness
+    // (EventOps.rollingDistinctUsers): the interval-union plan — per-user
+    // coverage segments via one partitioned lag window, ±1 boundary
+    // deltas, one calendar-frame running sum — versus the oracle's naive
+    // day×event range join with COUNT DISTINCT per window. Same numbers,
+    // linear vs 28× data motion at scale.
+    QuerySpec(
+      "q192_active_users",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val dau = graft.ops.EventOps.rollingDistinctUsers(
+          ev, "user_id", "ts", 1, "dau")
+        val wau = graft.ops.EventOps.rollingDistinctUsers(
+          ev, "user_id", "ts", 7, "wau")
+        val mau = graft.ops.EventOps.rollingDistinctUsers(
+          ev, "user_id", "ts", 28, "mau")
+        dau.join(wau, "day").join(mau, "day")
+          .select(
+            datediff(col("day"), lit("1970-01-01")).cast("long").as("day_num"),
+            col("dau"), col("wau"), col("mau"),
+            when(col("mau") > 0,
+              round(col("dau").cast("double") / col("mau").cast("double"), 6))
+              .as("stickiness"))
+          .orderBy("day_num")
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+             |b AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM e),
+             |days AS (
+             |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+             |    AS DATE) AS d FROM b),
+             |m AS (
+             |  SELECT dy.d,
+             |    COUNT(DISTINCT CASE WHEN e.d = dy.d THEN e.user_id END)
+             |      AS dau,
+             |    COUNT(DISTINCT CASE WHEN e.d >= dy.d - 6 THEN e.user_id END)
+             |      AS wau,
+             |    COUNT(DISTINCT e.user_id) AS mau
+             |  FROM days dy LEFT JOIN e ON e.d BETWEEN dy.d - 27 AND dy.d
+             |  GROUP BY dy.d)
+             |SELECT CAST(d - DATE '1970-01-01' AS BIGINT) AS day_num,
+             |  CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+             |  CAST(mau AS BIGINT) AS mau,
+             |  CASE WHEN mau > 0 THEN
+             |    ROUND(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE), 6)
+             |  END AS stickiness
+             |FROM m ORDER BY day_num""".stripMargin))
   )
 }

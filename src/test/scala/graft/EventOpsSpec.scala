@@ -122,6 +122,31 @@ class EventOpsSpec extends AnyFunSuite {
       !got(1).getBoolean(4))
   }
 
+  test("rollingDistinctUsers: interval-union equals the naive window count") {
+    import spark.implicits._
+    // u1 active Jan 1,2,10 (gap splits the 7-day coverage); u2 active Jan 5
+    val ev = Seq((1L, "2024-01-01 10:00:00"), (1L, "2024-01-02 03:00:00"),
+      (1L, "2024-01-02 17:00:00"), (1L, "2024-01-10 00:00:00"),
+      (2L, "2024-01-05 23:59:59"))
+      .toDF("user_id", "s").select(col("user_id"),
+        to_timestamp(col("s")).as("ts"))
+    val got = graft.ops.EventOps.rollingDistinctUsers(
+        ev, "user_id", "ts", windowDays = 7)
+      .orderBy("day").collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1))
+    val exp = Seq(
+      "2024-01-01" -> 1L, "2024-01-02" -> 1L, "2024-01-03" -> 1L,
+      "2024-01-04" -> 1L, "2024-01-05" -> 2L, "2024-01-06" -> 2L,
+      "2024-01-07" -> 2L, "2024-01-08" -> 2L, "2024-01-09" -> 1L,
+      "2024-01-10" -> 2L)
+    assert(got.toSeq == exp, s"got ${got.toSeq}")
+    // L=1 degenerates to plain DAU with zero-filled gap days
+    val dau = graft.ops.EventOps.rollingDistinctUsers(
+        ev, "user_id", "ts", windowDays = 1)
+      .orderBy("day").collect().map(_.getLong(1)).toSeq
+    assert(dau == Seq(1L, 1L, 0L, 0L, 1L, 0L, 0L, 0L, 0L, 1L), s"dau $dau")
+  }
+
   test("timeWeightedAvg: NULL measurements extend the prior segment, not deflate it") {
     import spark.implicits._
     val ev = Seq(
