@@ -116,4 +116,65 @@ object Sketches {
       .withColumn("j_est",
         col("n_both").cast("double") / col("n_union_sketch").cast("double"))
   }
+
+  // --- count-min sketch ----------------------------------------------------
+
+  /** Per-(row, key) 48-bit bucket: the CMS hash family is the [[h48]]
+    * md5 recipe salted with the row index — deterministic, seedless,
+    * replayable in any engine with md5.
+    */
+  private def cmsBucket(row: org.apache.spark.sql.Column,
+                        key: org.apache.spark.sql.Column, width: Int) =
+    h48(concat(row.cast("string"), lit(":"), key)) % width
+
+  /** Count-min sketch (Cormode & Muthukrishnan, J. Algorithms 2005):
+    * a `depth`×`width` counter matrix — counter(i, b) = number of key
+    * OCCURRENCES hashing to bucket b under row i's hash. Point queries
+    * read min_i counter(i, h_i(key)): never an underestimate, over by
+    * at most εN (ε = e/width) with probability 1−e^−depth.
+    *
+    * Scale shape: the sketch is the whole point — the frame is at most
+    * depth·width rows (a few thousand) REGARDLESS of corpus size, built
+    * by one depth-way explode + one aggregation whose map-side combine
+    * collapses every partition to ≤ depth·width partial rows before the
+    * shuffle. Per-partition sketches merge by summing counters
+    * (mergeability is why CMS works as a distributed/streaming
+    * frequency summary at all).
+    *
+    * → (row, bucket, cnt)
+    */
+  def cmsSketch(df: DataFrame, keyCol: String, depth: Int,
+                width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    df.select(col(keyCol).cast("string").as("__k"))
+      .filter(col("__k").isNotNull)
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("row"), col("__k"))
+      .select(col("row"), cmsBucket(col("row"), col("__k"), width).as("bucket"))
+      .groupBy("row", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query a [[cmsSketch]] for a candidate key set: est(key) =
+    * min over rows of the key's bucket counter (0 if the bucket is
+    * empty — the key was never seen). The sketch side is depth·width
+    * rows and broadcasts; the candidate side never shuffles. At 100 TB
+    * the candidates come from a sample or a prior — the sketch answers
+    * frequency queries without re-scanning the corpus.
+    *
+    * → (keyCol, est)
+    */
+  def cmsEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
+                  depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    val probes = keys.select(col(keyCol)).distinct()
+      .filter(col(keyCol).isNotNull)
+      .select(col(keyCol),
+        explode(sequence(lit(0), lit(depth - 1))).as("row"))
+      .withColumn("bucket",
+        cmsBucket(col("row"), col(keyCol).cast("string"), width))
+    probes.join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 }

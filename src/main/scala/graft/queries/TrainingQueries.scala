@@ -5874,6 +5874,68 @@ object TrainingQueries {
              |  CASE WHEN mau > 0 THEN
              |    ROUND(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE), 6)
              |  END AS stickiness
-             |FROM m ORDER BY day_num""".stripMargin))
+             |FROM m ORDER BY day_num""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Count-min sketch frequency estimates (Sketches.cmsSketch /
+    // cmsEstimate — Cormode & Muthukrishnan 2005): a 4×512 counter
+    // matrix summarizes every token occurrence in depth·width rows
+    // regardless of corpus size (map-side combine collapses each
+    // partition before the shuffle); point queries for the exact top-20
+    // tokens read min-over-rows, never under, over by ≤ εN on
+    // collisions. The exact counts are the verification baseline the
+    // oracle also replays — in production the sketch answers without
+    // them. Hash = the KMV md5-48bit recipe salted with the row index.
+    QuerySpec(
+      "q193_cms_heavy_hitters",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(explode(TextOps.tokens(col("text"))).as("token"))
+        val sk = graft.ops.Sketches.cmsSketch(toks, "token",
+          depth = 4, width = 512)
+        val top = toks.groupBy("token").agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("token")).limit(20)
+        graft.ops.Sketches.cmsEstimate(sk, top.select("token"), "token",
+            depth = 4, width = 512)
+          .join(top, "token")
+          .select(col("token"), col("exact_n"), col("est").as("est_n"),
+            (col("est") - col("exact_n")).as("overshoot"))
+          .orderBy(col("exact_n").desc, col("token"))
+      },
+      Some {
+        val h48 = (1 to 12).map { p =>
+          val pw = java.math.BigInteger.valueOf(16L).pow(12 - p)
+          s"(STRPOS('0123456789abcdef', m[$p]) - 1) * $pw"
+        }.mkString(" + ")
+        s"""WITH t AS (SELECT unnest($toksSql) AS tok FROM documents),
+           |r AS (SELECT unnest(range(4)) AS row),
+           |hx AS (
+           |  SELECT row, md5(CAST(row AS VARCHAR) || ':' || tok) AS m
+           |  FROM t, r),
+           |sk AS (
+           |  SELECT row, CAST(($h48) % 512 AS BIGINT) AS bucket,
+           |    COUNT(*) AS cnt
+           |  FROM hx GROUP BY 1, 2),
+           |cnts AS (SELECT tok, COUNT(*) AS exact_n FROM t GROUP BY tok),
+           |top AS (SELECT tok, exact_n FROM cnts
+           |        ORDER BY exact_n DESC, tok LIMIT 20),
+           |pm AS (
+           |  SELECT top.tok, top.exact_n, r.row,
+           |    md5(CAST(r.row AS VARCHAR) || ':' || top.tok) AS m
+           |  FROM top, r),
+           |pb AS (
+           |  SELECT tok, exact_n, row,
+           |    CAST(($h48) % 512 AS BIGINT) AS bucket
+           |  FROM pm),
+           |est AS (
+           |  SELECT tok, exact_n, MIN(COALESCE(sk.cnt, 0)) AS est_n
+           |  FROM pb LEFT JOIN sk ON sk.row = pb.row
+           |    AND sk.bucket = pb.bucket
+           |  GROUP BY 1, 2)
+           |SELECT tok AS token, CAST(exact_n AS BIGINT) AS exact_n,
+           |  CAST(est_n AS BIGINT) AS est_n,
+           |  CAST(est_n - exact_n AS BIGINT) AS overshoot
+           |FROM est ORDER BY exact_n DESC, token""".stripMargin
+      })
   )
 }

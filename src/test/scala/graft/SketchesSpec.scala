@@ -85,4 +85,31 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.abs(est - exact) / exact < 0.25,
       s"estimate $est too far from exact $exact")
   }
+
+  test("count-min: never underestimates, sketch size bounded, mass conserved") {
+    import spark.implicits._
+    val keys = Seq.tabulate(2000)(i => s"k${i % 300}") // skewed-ish corpus
+    val df = keys.toDF("k")
+    val depth = 4
+    val width = 64 // << 300 distinct keys: collisions guaranteed
+    val sk = Sketches.cmsSketch(df, "k", depth, width).persist()
+    assert(sk.count() <= depth.toLong * width, "sketch must stay bounded")
+    // every row of the matrix holds the full occurrence mass
+    val mass = sk.groupBy("row").agg(sum("cnt").as("m"))
+      .collect().map(_.getLong(1)).toSeq
+    assert(mass == Seq.fill(depth)(keys.size.toLong), s"mass $mass")
+    // point queries: est >= exact for EVERY key (the CMS one-sided bound)
+    val exact = df.groupBy("k").agg(count(lit(1)).as("exact"))
+    val joined = Sketches.cmsEstimate(sk, exact.select("k"), "k", depth, width)
+      .join(exact, "k").collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r => assert(r.getLong(1) >= r.getLong(2),
+      s"underestimate for ${r.getString(0)}: est ${r.getLong(1)} < ${r.getLong(2)}"))
+    // an unseen key reads 0 only if all its buckets are empty; with
+    // width 64 fully occupied it must still never go negative
+    val unseen = Sketches.cmsEstimate(sk,
+      Seq("never-seen-key").toDF("k"), "k", depth, width).head().getLong(1)
+    assert(unseen >= 0L)
+    sk.unpersist()
+  }
 }
