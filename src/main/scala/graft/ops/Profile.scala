@@ -352,4 +352,50 @@ object Profile {
           ceil(col("n_rows").cast("double") / numPartitions))
           .cast("long").as("suggested_salts"))
   }
+
+  /** Cohen's kappa inter-annotator agreement (Cohen, Educ. Psychol.
+    * Meas. 1960) between two categorical labelings of the same items:
+    * κ = (p_o − p_e)/(1 − p_e) with p_o the observed agreement rate and
+    * p_e = Σ_k (n_{a=k}·n_{b=k})/N² the chance agreement from the
+    * marginals — the standard annotation-quality gate for preference /
+    * SFT label audits. Items where either label is NULL are excluded
+    * (unlabeled, not disagreement).
+    *
+    * Scale shape: everything reduces through the K×K confusion frame —
+    * one aggregation over the corpus (map-side combined to ≤K² partial
+    * rows per partition), then marginals, totals and the κ arithmetic
+    * run on that tiny frame; output is one row. The p_e numerator rides
+    * DECIMAL(38,0) (n_a·n_b sums can pass 2^63 when N does 2^31.5) and
+    * exits over the VARCHAR→DOUBLE bridge; p_o, p_e and κ are then a
+    * fixed sequence of IEEE divisions any engine replays bit-exactly.
+    *
+    * → one row (n_items, po, pe, kappa); kappa NULL when p_e = 1
+    *   (a single class on both sides — agreement is vacuous).
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val conf = df
+      .select(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__n"))
+      .localCheckpoint() // shared skinny plane: scan the corpus ONCE
+    val totals = conf.agg(
+      sum(col("__n")).as("__N"),
+      coalesce(sum(when(col("__a") === col("__b"), col("__n"))), lit(0L))
+        .as("__agree"))
+    val peNum = conf.groupBy("__a").agg(sum("__n").as("__na"))
+      .join(conf.groupBy("__b").agg(sum("__n").as("__nb")),
+        col("__a") === col("__b"))
+      .agg(coalesce(sum(col("__na").cast("decimal(38,0)") * col("__nb")),
+        lit(0).cast("decimal(38,0)")).as("__pe_num"))
+    val out = totals.crossJoin(peNum)
+      .select(col("__N").as("n_items"),
+        (col("__agree").cast("double") / col("__N").cast("double")).as("po"),
+        (col("__pe_num").cast("string").cast("double") /
+          col("__N").cast("double") / col("__N").cast("double")).as("pe"))
+      .select(col("n_items"), col("po"), col("pe"),
+        when(col("pe") < 1.0,
+          (col("po") - col("pe")) / (lit(1.0) - col("pe"))).as("kappa"))
+    out
+  }
 }

@@ -5936,6 +5936,53 @@ object TrainingQueries {
            |  CAST(est_n AS BIGINT) AS est_n,
            |  CAST(est_n - exact_n AS BIGINT) AS overshoot
            |FROM est ORDER BY exact_n DESC, token""".stripMargin
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // Cohen's kappa inter-annotator agreement (Profile.cohenKappa —
+    // Cohen 1960, the annotation-quality gate): two heuristic "raters"
+    // bucket each document (char-length terciles vs token-count
+    // terciles, thresholds at the fixture's tercile boundaries), κ
+    // corrects their raw agreement for chance from the marginals.
+    // Everything reduces through the K×K confusion frame in one corpus
+    // pass; the p_e numerator rides DECIMAL(38,0)/HUGEINT and exits
+    // over the VARCHAR bridge, then po/pe/κ are a fixed sequence of
+    // IEEE divisions both engines replay bit-exactly.
+    QuerySpec(
+      "q194_cohen_kappa",
+      (s, dir) => {
+        val nTok = TextOps.tokenCount(col("text"))
+        val rated = Tables.documents(s, dir).select(
+          when(col("n_chars") < 220, "short")
+            .when(col("n_chars") < 380, "mid")
+            .otherwise("long").as("rater_len"),
+          when(nTok < 40, "short").when(nTok < 70, "mid")
+            .otherwise("long").as("rater_tok"))
+        graft.ops.Profile.cohenKappa(rated, "rater_len", "rater_tok")
+      },
+      Some(s"""WITH r AS (
+             |  SELECT
+             |    CASE WHEN n_chars < 220 THEN 'short'
+             |      WHEN n_chars < 380 THEN 'mid' ELSE 'long' END AS a,
+             |    CASE WHEN len($toksSql) < 40 THEN 'short'
+             |      WHEN len($toksSql) < 70 THEN 'mid' ELSE 'long' END AS b
+             |  FROM documents),
+             |c AS (SELECT a, b, COUNT(*) AS n FROM r GROUP BY 1, 2),
+             |t AS (SELECT SUM(n) AS N,
+             |        COALESCE(SUM(CASE WHEN a = b THEN n END), 0) AS agree
+             |      FROM c),
+             |ma AS (SELECT a AS k, SUM(n) AS na FROM c GROUP BY 1),
+             |mb AS (SELECT b AS k, SUM(n) AS nb FROM c GROUP BY 1),
+             |p AS (SELECT COALESCE(SUM(na * nb), 0) AS pe_num
+             |      FROM ma JOIN mb USING (k)),
+             |sel AS (
+             |  SELECT CAST(t.N AS BIGINT) AS n_items,
+             |    CAST(t.agree AS DOUBLE) / CAST(t.N AS DOUBLE) AS po,
+             |    CAST(CAST(p.pe_num AS VARCHAR) AS DOUBLE)
+             |      / CAST(t.N AS DOUBLE) / CAST(t.N AS DOUBLE) AS pe
+             |  FROM t, p)
+             |SELECT n_items, po, pe,
+             |  CASE WHEN pe < 1.0 THEN (po - pe) / (1.0 - pe) END AS kappa
+             |FROM sel""".stripMargin))
   )
 }

@@ -178,4 +178,22 @@ class ProfileSpec extends AnyFunSuite {
       .head().getDouble(3)
     assert(a == b, s"corr must be bit-identical across partitionings: $a vs $b")
   }
+
+  test("cohenKappa: textbook 2x2 value, NULL exclusion, degenerate pe=1") {
+    import spark.implicits._
+    // 40 (y,y) + 40 (n,n) + 10 (y,n) + 10 (n,y): po=0.8, pe=0.5, kappa=0.6
+    val rows = Seq.fill(40)(("y", "y")) ++ Seq.fill(40)(("n", "n")) ++
+      Seq.fill(10)(("y", "n")) ++ Seq.fill(10)(("n", "y"))
+    val got = Profile.cohenKappa(rows.toDF("a", "b"), "a", "b").head()
+    assert(got.getLong(0) == 100L)
+    assert(got.getDouble(1) == 0.8 && got.getDouble(2) == 0.5)
+    assert(math.abs(got.getDouble(3) - 0.6) < 1e-12, s"kappa ${got.getDouble(3)}")
+    // NULL labels are unlabeled, not disagreement
+    val withNull = (rows ++ Seq((null, "y"), ("y", null))).toDF("a", "b")
+    assert(Profile.cohenKappa(withNull, "a", "b").head().getLong(0) == 100L)
+    // single class on both sides: pe = 1, kappa undefined (NULL)
+    val degen = Profile.cohenKappa(
+      Seq.fill(5)(("y", "y")).toDF("a", "b"), "a", "b").head()
+    assert(degen.getDouble(2) == 1.0 && degen.isNullAt(3))
+  }
 }
