@@ -237,4 +237,54 @@ object Classifier {
       (w, losses.result(), gradRows.result())
     } finally { feats.unpersist(false); () }
   }
+
+  /** Reliability diagram + expected calibration error (Naeini et al.
+    * AAAI 2015; Guo et al. ICML 2017 popularized ECE for neural
+    * classifiers): equal-width score bins, per-bin mean confidence vs
+    * empirical accuracy, ECE = Σ_b (n_b/N)·|acc_b − conf_b| — the
+    * standard audit before classifier scores gate a corpus (an
+    * uncalibrated quality score silently shifts the keep threshold).
+    *
+    * Exactness discipline: per-bin score sums ride DECIMAL(18,6) (order-
+    * independent), and the ECE numerator is computed as
+    * Σ_b |pos_b − s_sum_b| — algebraically (n_b/N)·|acc−conf| =
+    * |pos − s_sum|/N per bin — so the WHOLE report including ECE stays
+    * in exact decimal/integer arithmetic until a fixed sequence of IEEE
+    * divisions at the end; any engine replays it bit-for-bit.
+    *
+    * One aggregation over the corpus (≤ nBins partial rows per
+    * partition after map-side combine), one tiny second pass for the
+    * total; rows with NULL score or label are excluded.
+    *
+    * @param scoreCol a probability-like score in [0,1]
+    * @param labelCol 0/1 (castable) outcome
+    * @return (bin, n, pos, conf, acc, gap, ece) — one row per
+    *         NON-EMPTY bin, ece repeated on every row
+    */
+  def calibrationReport(df: DataFrame, scoreCol: String, labelCol: String,
+                        nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000,
+      s"nBins must be in [2,1000], got $nBins")
+    val binned = df
+      .select(col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("long").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+      .select(least(floor(col("__s") * nBins), lit(nBins - 1L)).as("bin"),
+        col("__y"), col("__s").cast("decimal(18,6)").as("__sd"))
+    val perBin = binned.groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("pos"),
+        sum(col("__sd")).as("__s_sum"))
+      .localCheckpoint() // shared by the report and the ECE total
+    val tot = perBin.agg(sum(col("n")).as("__N"),
+      sum(abs(col("pos") - col("__s_sum"))).as("__gap_total"))
+    perBin.crossJoin(tot)
+      .select(col("bin"), col("n"), col("pos"),
+        (col("__s_sum").cast("string").cast("double") /
+          col("n").cast("double")).as("conf"),
+        (col("pos").cast("double") / col("n").cast("double")).as("acc"),
+        (abs(col("pos") - col("__s_sum")).cast("string").cast("double") /
+          col("n").cast("double")).as("gap"),
+        (col("__gap_total").cast("string").cast("double") /
+          col("__N").cast("double")).as("ece"))
+  }
 }

@@ -5983,6 +5983,53 @@ object TrainingQueries {
              |  FROM t, p)
              |SELECT n_items, po, pe,
              |  CASE WHEN pe < 1.0 THEN (po - pe) / (1.0 - pe) END AS kappa
-             |FROM sel""".stripMargin))
+             |FROM sel""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Reliability diagram + ECE (Classifier.calibrationReport — Guo et
+    // al. 2017's calibration audit): score = stopword fraction (the q22
+    // TextStats kernel counts, one exact IEEE division), outcome =
+    // lang='en'. Per-bin confidence sums ride DECIMAL(18,6) and the ECE
+    // numerator is Σ|pos−s_sum| — exact decimal all the way, so the
+    // whole report including ECE hash-matches, not tolerance-matches.
+    QuerySpec(
+      "q195_calibration",
+      (s, dir) => {
+        val scored = Tables.documents(s, dir)
+          .select(graft.functions.ArrayMath.textStats(col("text")).as("__st"),
+            col("lang"))
+          .select(
+            (col("__st.n_stop").cast("double") / col("__st.n_tokens"))
+              .as("score"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("label"))
+        graft.ops.Classifier.calibrationReport(scored, "score", "label",
+            nBins = 10)
+          .orderBy("bin")
+      },
+      Some(s"""WITH m AS (
+             |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             |    CAST(len(list_filter($toksSql, x -> lower(x) IN ($stops)))
+             |      AS DOUBLE) / len($toksSql) AS s
+             |  FROM documents),
+             |b AS (
+             |  SELECT LEAST(CAST(FLOOR(s * 10) AS BIGINT), 9) AS bin, y,
+             |    CAST(s AS DECIMAL(18,6)) AS sd
+             |  FROM m WHERE s IS NOT NULL),
+             |g AS (
+             |  SELECT bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos,
+             |    SUM(sd) AS s_sum
+             |  FROM b GROUP BY bin),
+             |t AS (SELECT SUM(n) AS N, SUM(ABS(pos - s_sum)) AS gap_total
+             |      FROM g)
+             |SELECT CAST(g.bin AS BIGINT) AS bin, CAST(g.n AS BIGINT) AS n,
+             |  g.pos,
+             |  CAST(CAST(g.s_sum AS VARCHAR) AS DOUBLE)
+             |    / CAST(g.n AS DOUBLE) AS conf,
+             |  CAST(g.pos AS DOUBLE) / CAST(g.n AS DOUBLE) AS acc,
+             |  CAST(CAST(ABS(g.pos - g.s_sum) AS VARCHAR) AS DOUBLE)
+             |    / CAST(g.n AS DOUBLE) AS gap,
+             |  CAST(CAST(t.gap_total AS VARCHAR) AS DOUBLE)
+             |    / CAST(t.N AS DOUBLE) AS ece
+             |FROM g, t ORDER BY bin""".stripMargin))
   )
 }

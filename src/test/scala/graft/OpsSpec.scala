@@ -2200,4 +2200,26 @@ class OpsSpec extends AnyFunSuite {
     assert(byId(6L) == ((null, 0L, 0L)), "null text passes through")
   }
 
+  test("calibrationReport: hand-computed bins, ECE, and the score=1.0 clip") {
+    import spark.implicits._
+    val df = Seq((0.05, 0L), (0.15, 0L), (0.15, 1L), (0.95, 1L), (1.0, 1L))
+      .toDF("score", "label")
+    val rows = graft.ops.Classifier.calibrationReport(df, "score", "label")
+      .orderBy("bin").collect()
+    val byBin = rows.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5)))).toMap
+    assert(byBin.keySet == Set(0L, 1L, 9L), "empty bins are absent")
+    assert(byBin(0L) == ((1L, 0L, 0.05, 0.0, 0.05)))
+    assert(byBin(1L) == ((2L, 1L, 0.15, 0.5, 0.35)))
+    assert(byBin(9L) == ((2L, 2L, 0.975, 1.0, 0.025)),
+      "score=1.0 must clip into the top bin")
+    // ECE = (|0-0.05| + |1-0.30| + |2-1.95|)/5 = 0.16, same on every row
+    rows.foreach(r => assert(r.getDouble(6) == 0.16, s"ece ${r.getDouble(6)}"))
+    // NULL score rows are excluded, not binned
+    val withNull = df.union(Seq((Option.empty[Double], Option(1L)))
+      .toDF("score", "label"))
+    assert(graft.ops.Classifier.calibrationReport(withNull, "score", "label")
+      .agg(sum("n")).head().getLong(0) == 5L)
+  }
 }
