@@ -297,6 +297,62 @@ object Curation {
           col("n_tokens").cast("double")).as("epochs"))
   }
 
+  /** Mixture-diversity report — the concentration metrics a data-mixing
+    * decision reads before picking [[temperatureWeights]]' α or
+    * [[unimaxAllocation]]'s budget: per-domain shares summarized as
+    *
+    *   - Shannon entropy H = −Σ p_s·ln p_s (nats) and the effective
+    *     source count e^H (the "true diversity" of order 1)
+    *   - Gini concentration over domain sizes (0 = perfectly even,
+    *     →1 = one domain dominates)
+    *   - Herfindahl–Hirschman index Σ p_s² (the order-2 dual of e^H)
+    *
+    * Exactness: each entropy term is one division + one ln of
+    * integer-derived doubles cast to DECIMAL(18,12) before summing (the
+    * q106/q109 cross-engine ln recipe — order-independent sum, bit-equal
+    * terms); Gini and HHI stay in INTEGER/DECIMAL(38,0) arithmetic
+    * (rank·n and n² sums) until a fixed sequence of IEEE divisions.
+    *
+    * Scale shape: ONE aggregation over the corpus to the domain plane;
+    * ranks, global windows and the final reduction all run on that
+    * ≤|domains|-row frame (the [[temperatureWeights]] convention — the
+    * partition-less windows are over domains, never rows).
+    *
+    * → one row (n_total, n_sources, entropy, eff_sources, gini, hhi)
+    */
+  def mixtureDiversity(df: DataFrame, domainCol: String): DataFrame = {
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    val byDom = df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+    val ranked = byDom
+      .withColumn("__i", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__n"), col(domainCol))).cast("long"))
+      // NOTE: "__N" would case-insensitively REPLACE "__n" in withColumn
+      .withColumn("__tot", sum(col("__n")).over(all))
+      .withColumn("__nsrc", count(lit(1)).over(all))
+      .withColumn("__ent_term",
+        ((col("__n").cast("double") / col("__tot").cast("double")) *
+          log(col("__n").cast("double") / col("__tot").cast("double")))
+          .cast("decimal(18,12)"))
+    ranked.agg(
+        max(col("__tot")).as("n_total"),
+        max(col("__nsrc")).as("n_sources"),
+        (-sum(col("__ent_term"))).as("__ent_sum"),
+        sum(col("__i").cast("decimal(38,0)") * col("__n")).as("__gnum"),
+        sum(col("__n").cast("decimal(38,0)") * col("__n")).as("__h2"))
+      .select(col("n_total"), col("n_sources"),
+        col("__ent_sum").cast("string").cast("double").as("entropy"),
+        exp(col("__ent_sum").cast("string").cast("double"))
+          .as("eff_sources"),
+        ((lit(2.0) * col("__gnum").cast("string").cast("double") -
+          ((col("n_sources") + 1) * col("n_total")).cast("double")) /
+          (col("n_sources") * col("n_total")).cast("double")).as("gini"),
+        (col("__h2").cast("string").cast("double") /
+          col("n_total").cast("double") / col("n_total").cast("double"))
+          .as("hhi"))
+  }
+
   /** Temperature-scaled mixture sampling: keep rows whose [[hashBucket]]
     * falls under their domain's [[temperatureWeights]] gate — hash-gated
     * (reproducible, repartition-stable, incremental-safe: the

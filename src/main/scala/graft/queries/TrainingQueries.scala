@@ -6030,6 +6030,44 @@ object TrainingQueries {
              |    / CAST(g.n AS DOUBLE) AS gap,
              |  CAST(CAST(t.gap_total AS VARCHAR) AS DOUBLE)
              |    / CAST(t.N AS DOUBLE) AS ece
-             |FROM g, t ORDER BY bin""".stripMargin))
+             |FROM g, t ORDER BY bin""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Mixture diversity report (Curation.mixtureDiversity): Shannon
+    // entropy / effective sources, Gini concentration and HHI over the
+    // per-source share vector — the metrics read before setting a
+    // mixing α or budget. Entropy terms ride the q106 ln→DECIMAL(18,12)
+    // recipe; Gini (rank·n) and HHI (n²) stay integer/DECIMAL(38,0)
+    // until the final IEEE divisions, so the whole row hash-matches.
+    QuerySpec(
+      "q196_mixture_diversity",
+      (s, dir) => graft.ops.Curation.mixtureDiversity(
+        Tables.documents(s, dir), "source"),
+      Some("""WITH d AS (
+             |  SELECT source, COUNT(*) AS n FROM documents
+             |  WHERE source IS NOT NULL GROUP BY source),
+             |r AS (
+             |  SELECT n, ROW_NUMBER() OVER (ORDER BY n, source) AS i,
+             |    SUM(n) OVER () AS tot, COUNT(*) OVER () AS nsrc
+             |  FROM d),
+             |t AS (
+             |  SELECT MAX(tot) AS tot, MAX(nsrc) AS nsrc,
+             |    SUM(CAST((CAST(n AS DOUBLE) / tot)
+             |      * ln(CAST(n AS DOUBLE) / tot) AS DECIMAL(18,12)))
+             |      AS ent_sum,
+             |    SUM(CAST(i AS HUGEINT) * n) AS gnum,
+             |    SUM(CAST(n AS HUGEINT) * n) AS h2
+             |  FROM r)
+             |SELECT CAST(tot AS BIGINT) AS n_total,
+             |  CAST(nsrc AS BIGINT) AS n_sources,
+             |  CAST(CAST(-ent_sum AS VARCHAR) AS DOUBLE) AS entropy,
+             |  exp(CAST(CAST(-ent_sum AS VARCHAR) AS DOUBLE))
+             |    AS eff_sources,
+             |  (2.0 * CAST(CAST(gnum AS VARCHAR) AS DOUBLE)
+             |    - CAST((nsrc + 1) * tot AS DOUBLE))
+             |    / CAST(nsrc * tot AS DOUBLE) AS gini,
+             |  CAST(CAST(h2 AS VARCHAR) AS DOUBLE)
+             |    / CAST(tot AS DOUBLE) / CAST(tot AS DOUBLE) AS hhi
+             |FROM t""".stripMargin))
   )
 }

@@ -477,4 +477,26 @@ class CurationSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getAs[Boolean]("ok")).toMap
     assert(post2.get(1L).contains(false), "missing shard must report ok=false")
   }
+
+  test("mixtureDiversity: uniform, single-source and 75/25 hand values") {
+    import spark.implicits._
+    def report(rows: Seq[String]) = {
+      val r = Curation.mixtureDiversity(rows.toDF("src"), "src").head()
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))
+    }
+    // uniform 4×25: H = ln 4, eff = 4, gini = 0, hhi = 1/4
+    val u = report(Seq("a", "b", "c", "d").flatMap(s => Seq.fill(25)(s)))
+    assert(u._1 == 100L && u._2 == 4L)
+    assert(math.abs(u._3 - math.log(4)) < 1e-9 && math.abs(u._4 - 4.0) < 1e-6)
+    assert(u._5 == 0.0 && u._6 == 0.25)
+    // single source: zero entropy, eff 1, gini 0, hhi 1
+    val s1 = report(Seq.fill(7)("only"))
+    assert(s1._3 == 0.0 && s1._4 == 1.0 && s1._5 == 0.0 && s1._6 == 1.0)
+    // 75/25: gini = (2*(1*25+2*75) - 3*100)/(2*100) = 0.25, hhi = 0.625
+    val sk = report(Seq.fill(75)("big") ++ Seq.fill(25)("small"))
+    assert(sk._5 == 0.25 && sk._6 == 0.625)
+    val expH = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert(math.abs(sk._3 - expH) < 1e-9, s"entropy ${sk._3} vs $expH")
+  }
 }
