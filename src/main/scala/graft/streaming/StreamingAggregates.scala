@@ -67,6 +67,33 @@ object StreamingAggregates {
         col("r_ts"), col("r_type"), col("r_value"))
   }
 
+  /** Streaming daily active users — exact distinct users per event-time
+    * day, maintained incrementally: a watermarked streaming dedup on
+    * (user, day) keeps ONE state row per active user-day — and because
+    * the dedup key set includes the event-time column itself, the state
+    * store evicts a day's rows as soon as the watermark passes it — then
+    * a watermarked per-day count. No COUNT DISTINCT ever runs; the
+    * distinctness is the dedup state, which is the scalable shape
+    * (state ∝ active user-days inside the watermark horizon, not stream
+    * length).
+    *
+    * Update mode emits a day's running count each micro-batch it grows;
+    * the final value per day equals the batch
+    * [[graft.ops.EventOps.rollingDistinctUsers]] (L=1) on the same
+    * events — asserted in StreamingAggSpec. The identical code path
+    * runs over a batch frame (withWatermark is a no-op there).
+    *
+    * → (day DATE, dau BIGINT)
+    */
+  def dailyActiveUsers(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day_ts"))
+      .withWatermark("day_ts", "2 days")
+      .dropDuplicates("user_id", "day_ts")
+      .groupBy(col("day_ts"))
+      .agg(count(lit(1)).as("dau"))
+      .select(to_date(col("day_ts")).as("day"), col("dau"))
+
   final case class UserEvent(user_id: Long, event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

@@ -77,6 +77,25 @@ class StreamingAggSpec extends AnyFunSuite {
     assert(streaming.filter(col("n_events") < 1).isEmpty)
   }
 
+  test("streaming DAU: stateful dedup+count == batch rollingDistinctUsers(L=1)") {
+    val streaming = runToMemory(
+      StreamingAggregates.dailyActiveUsers(streamEvents), "dau_stream", "update")
+    // update mode re-emits a day whenever its count grows; the latest
+    // (= max, counts are monotone) value per day is the final count
+    val latest = streaming.groupBy("day").agg(max("dau").as("dau"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val batch = graft.ops.EventOps.rollingDistinctUsers(
+        Tables.events(spark, sf), "user_id", "ts", 1, "dau")
+      .filter(col("dau") > 0) // streaming emits no row for gap days
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(latest.nonEmpty)
+    assert(latest == batch, s"streaming $latest vs batch $batch")
+    // the identical code path over the batch frame agrees too
+    val sameCode = StreamingAggregates.dailyActiveUsers(Tables.events(spark, sf))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(sameCode == batch)
+  }
+
   test("stream-stream interval join: streaming == batch, both sides stateful") {
     val ev = streamEvents
     val streaming = runToMemory(
