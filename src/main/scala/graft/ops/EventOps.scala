@@ -319,6 +319,48 @@ object EventOps {
       .agg(countDistinct(col(userCol)).as("n_users"))
   }
 
+  /** Per-user inter-event cadence profile — the bot/automation signal
+    * (machine traffic fires on timers: near-constant gaps, so the
+    * coefficient of variation of inter-event times collapses toward 0,
+    * while human cadence is bursty, CV ≳ 1 — the classic
+    * traffic-quality heuristic): per user the ordered inter-event gaps
+    * (one lag window in (us, tie) order — the [[transitions]] tiebreak
+    * discipline), then n, mean, std and CV from EXACT sums: Σg BIGINT,
+    * Σg² DECIMAL(38,0) (a 30-day gap in micros squares to ~10^25, past
+    * BIGINT), both exiting over the VARCHAR→DOUBLE bridge into a FIXED
+    * sequence of IEEE ops — variance = (Σg² − (Σg)²/n)/n clamped at 0
+    * (float cancellation can dip an all-equal-gaps user a hair below),
+    * std = sqrt (correctly rounded, engine-independent), cv = std/mean.
+    *
+    * One window + one aggregation, both user-partitioned; only
+    * (user, us, tie) travels. Users with fewer than 2 events have no
+    * gaps and drop out; mean = 0 (all events same instant) reports
+    * NULL cv.
+    *
+    * → (userCol, n_gaps, mean_gap_us, cv, is_regular = cv < cvFlag)
+    */
+  def cadenceProfile(events: DataFrame, userCol: String, usCol: String,
+                     tieCol: String, cvFlag: Double = 0.1): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col("__us"), col("__tie"))
+    val gaps = events
+      .select(col(userCol), col(usCol).cast("long").as("__us"),
+        col(tieCol).as("__tie"))
+      .withColumn("__g", col("__us") - lag(col("__us"), 1).over(w))
+      .filter(col("__g").isNotNull)
+    val agg = gaps.groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("__g")).as("__sg"),
+        sum(col("__g").cast("decimal(38,0)") * col("__g")).as("__sq"))
+    val nD = col("n_gaps").cast("double")
+    val sgD = col("__sg").cast("double")
+    val sqD = col("__sq").cast("string").cast("double")
+    val meanD = sgD / nD
+    val varD = greatest((sqD - (sgD * sgD) / nD) / nD, lit(0.0))
+    agg.select(col(userCol), col("n_gaps"), meanD.as("mean_gap_us"),
+        when(meanD > 0, sqrt(varD) / meanD).as("cv"))
+      .withColumn("is_regular", col("cv") < cvFlag)
+  }
+
   /** Rolling `windowDays`-day distinct users per calendar day — the
     * DAU/WAU/MAU family — WITHOUT the day×user explosion: the naive
     * plan range-joins every event against every window it falls in

@@ -6068,6 +6068,48 @@ object TrainingQueries {
              |    / CAST(nsrc * tot AS DOUBLE) AS gini,
              |  CAST(CAST(h2 AS VARCHAR) AS DOUBLE)
              |    / CAST(tot AS DOUBLE) / CAST(tot AS DOUBLE) AS hhi
-             |FROM t""".stripMargin))
+             |FROM t""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Inter-event cadence audit (EventOps.cadenceProfile — the
+    // bot/automation signal: timer traffic has near-constant gaps, CV→0;
+    // human cadence is bursty): per-user gap moments from exact sums
+    // (Σg BIGINT, Σg² DECIMAL(38,0)/HUGEINT — 30-day micro gaps square
+    // past 2^63), variance clamped at 0 against float cancellation,
+    // then one sqrt + division both engines round identically.
+    QuerySpec(
+      "q197_bot_cadence",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+        graft.ops.EventOps.cadenceProfile(ev, "user_id", "us", "event_id")
+          .filter(col("n_gaps") >= 5)
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+             |g AS (
+             |  SELECT user_id, us - LAG(us) OVER (PARTITION BY user_id
+             |    ORDER BY us, event_id) AS g
+             |  FROM e),
+             |a AS (
+             |  SELECT user_id, COUNT(*) AS n_gaps,
+             |    CAST(SUM(g) AS BIGINT) AS sg,
+             |    SUM(CAST(g AS HUGEINT) * g) AS sq
+             |  FROM g WHERE g IS NOT NULL GROUP BY user_id),
+             |c AS (
+             |  SELECT user_id, n_gaps,
+             |    CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_us,
+             |    GREATEST((CAST(CAST(sq AS VARCHAR) AS DOUBLE)
+             |      - (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+             |        / CAST(n_gaps AS DOUBLE)) / CAST(n_gaps AS DOUBLE),
+             |      0.0) AS varr
+             |  FROM a)
+             |SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps, mean_gap_us,
+             |  CASE WHEN mean_gap_us > 0 THEN sqrt(varr) / mean_gap_us END
+             |    AS cv,
+             |  (CASE WHEN mean_gap_us > 0 THEN sqrt(varr) / mean_gap_us END)
+             |    < 0.1 AS is_regular
+             |FROM c WHERE n_gaps >= 5 ORDER BY user_id""".stripMargin))
   )
 }

@@ -122,6 +122,30 @@ class EventOpsSpec extends AnyFunSuite {
       !got(1).getBoolean(4))
   }
 
+  test("cadenceProfile: constant-gap bot flags, bursty human passes, degenerates handled") {
+    import spark.implicits._
+    val ev = (
+      // bot: metronome every 100us
+      (0L to 500L by 100L).map(us => (1L, us)) ++
+      // human: bursty
+      Seq(0L, 50L, 500L, 510L, 2000L, 2100L).map(us => (2L, us)) ++
+      // single event: no gaps, drops out
+      Seq((3L, 42L)) ++
+      // all same instant: mean gap 0 -> cv NULL
+      Seq((4L, 7L), (4L, 7L), (4L, 7L))
+    ).zipWithIndex.map { case ((u, us), i) => (u, us, i.toLong) }
+      .toDF("user_id", "us", "eid")
+    val got = graft.ops.EventOps.cadenceProfile(ev, "user_id", "us", "eid")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!got.contains(3L), "single-event user has no gaps")
+    assert(got(1L).getLong(1) == 5L && got(1L).getDouble(3) == 0.0 &&
+      got(1L).getBoolean(4), "metronome cadence must flag as regular")
+    assert(!got(2L).getBoolean(4) && got(2L).getDouble(3) > 0.5,
+      s"bursty human must not flag: cv=${got(2L).getDouble(3)}")
+    assert(got(4L).isNullAt(3) && got(4L).isNullAt(4),
+      "zero mean gap reports NULL cv")
+  }
+
   test("rollingDistinctUsers: interval-union equals the naive window count") {
     import spark.implicits._
     // u1 active Jan 1,2,10 (gap splits the 7-day coverage); u2 active Jan 5
