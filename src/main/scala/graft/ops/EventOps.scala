@@ -361,6 +361,74 @@ object EventOps {
       .withColumn("is_regular", col("cv") < cvFlag)
   }
 
+  /** Kaplan–Meier survival curve over user lifetimes (Kaplan & Meier,
+    * JASA 1958 — the right-censoring-aware retention curve; a naive
+    * "fraction still active after t days" silently treats
+    * recently-joined users as churned): per user, lifetime t = last −
+    * first activity day + 1; a user whose last activity is ≥
+    * `churnGapDays` before the observation end (corpus max day) is a
+    * CHURN EVENT at t, anyone active since is CENSORED at the
+    * observation horizon. At each duration t_i: n_i at risk (lifetime
+    * ≥ t_i), d_i deaths, Ŝ(t_i) = Π_{j≤i} (1 − d_j/n_j).
+    *
+    * Exactness: the setup (lifetimes, deaths, censors, at-risk counts)
+    * is pure integer arithmetic; the product rides the q106 ln →
+    * DECIMAL(18,12) recipe as a window cumsum (order-independent,
+    * bit-replayable), exiting through exp. A duration where every
+    * at-risk user dies sends the curve to EXACTLY 0 via a prefix-max
+    * flag instead of ln(0).
+    *
+    * Scale shape: ONE aggregation over the corpus to the per-user
+    * (first, last) plane, one more to the ≤|distinct-durations| frame;
+    * every window runs on that tiny duration plane (days, not rows).
+    *
+    * → (t_days, n_risk, n_deaths, n_censored, survival), one row per
+    *   observed lifetime, ascending; survival is flat on censor-only
+    *   rows.
+    */
+  def kaplanMeier(events: DataFrame, userCol: String, tsCol: String,
+                  churnGapDays: Int = 7): DataFrame = {
+    require(churnGapDays >= 1, s"churnGapDays must be >= 1")
+    val W = org.apache.spark.sql.expressions.Window
+    val perUser = events
+      .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__d"))
+      .filter(col("__u").isNotNull && col("__d").isNotNull)
+      .groupBy("__u").agg(min(col("__d")).as("__f"), max(col("__d")).as("__l"))
+    val horizon = perUser.agg(max(col("__l")).as("__m"))
+    val durations = perUser.crossJoin(broadcast(horizon))
+      .select(
+        when(datediff(col("__m"), col("__l")) >= churnGapDays,
+          datediff(col("__l"), col("__f")) + 1)
+          .otherwise(datediff(col("__m"), col("__f")) + 1).as("__t"),
+        when(datediff(col("__m"), col("__l")) >= churnGapDays, 1L)
+          .otherwise(0L).as("__death"))
+    val byT = durations.groupBy("__t")
+      .agg(sum(col("__death")).as("n_deaths"),
+        sum(lit(1L) - col("__death")).as("n_censored"),
+        count(lit(1)).as("__n_at"))
+    val wOrd = W.orderBy(col("__t"))
+    val wPrefix = wOrd.rowsBetween(W.unboundedPreceding, 0)
+    val wBefore = wOrd.rowsBetween(W.unboundedPreceding, -1)
+    byT
+      .withColumn("n_risk",
+        sum(col("__n_at")).over(W.partitionBy()) -
+          coalesce(sum(col("__n_at")).over(wBefore), lit(0L)))
+      .withColumn("__term",
+        when(col("n_deaths") < col("n_risk"),
+          log(lit(1.0) - col("n_deaths").cast("double") /
+            col("n_risk").cast("double")).cast("decimal(18,12)")))
+      .withColumn("__dead_all",
+        max(when(col("n_deaths") >= col("n_risk"), 1).otherwise(0))
+          .over(wPrefix))
+      .withColumn("__lnsum", sum(col("__term")).over(wPrefix))
+      .select(col("__t").cast("long").as("t_days"), col("n_risk"),
+        col("n_deaths"), col("n_censored"),
+        when(col("__dead_all") === 1, lit(0.0))
+          .otherwise(exp(coalesce(col("__lnsum"),
+            lit(0).cast("decimal(18,12)")).cast("string").cast("double")))
+          .as("survival"))
+  }
+
   /** Rolling `windowDays`-day distinct users per calendar day — the
     * DAU/WAU/MAU family — WITHOUT the day×user explosion: the naive
     * plan range-joins every event against every window it falls in

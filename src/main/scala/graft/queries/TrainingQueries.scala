@@ -6110,6 +6110,64 @@ object TrainingQueries {
              |    AS cv,
              |  (CASE WHEN mean_gap_us > 0 THEN sqrt(varr) / mean_gap_us END)
              |    < 0.1 AS is_regular
-             |FROM c WHERE n_gaps >= 5 ORDER BY user_id""".stripMargin))
+             |FROM c WHERE n_gaps >= 5 ORDER BY user_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Kaplan–Meier retention curve (EventOps.kaplanMeier — the
+    // right-censoring-aware survival estimator; naive "still active
+    // after t days" mis-counts recent joiners as churn): lifetimes and
+    // at-risk counts in pure integers, the survival product as a
+    // ln→DECIMAL(18,12) window cumsum exiting through exp, exact-zero
+    // handling via a prefix-max flag. Windows run on the duration
+    // plane (days), never on rows.
+    QuerySpec(
+      "q198_kaplan_meier",
+      (s, dir) => graft.ops.EventOps.kaplanMeier(
+          Tables.events(s, dir), "user_id", "ts", churnGapDays = 7)
+        .orderBy("t_days"),
+      Some("""WITH e AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+             |pu AS (SELECT user_id, MIN(d) AS f, MAX(d) AS l
+             |       FROM e GROUP BY 1),
+             |mx AS (SELECT MAX(l) AS m FROM pu),
+             |du AS (
+             |  SELECT CASE WHEN m - l >= 7 THEN l - f + 1
+             |           ELSE m - f + 1 END AS t,
+             |    CASE WHEN m - l >= 7 THEN 1 ELSE 0 END AS death
+             |  FROM pu, mx),
+             |bt AS (
+             |  SELECT t, CAST(SUM(death) AS BIGINT) AS n_deaths,
+             |    CAST(SUM(1 - death) AS BIGINT) AS n_censored,
+             |    COUNT(*) AS n_at
+             |  FROM du GROUP BY t),
+             |en AS (
+             |  SELECT t, n_deaths, n_censored,
+             |    CAST(SUM(n_at) OVER ()
+             |      - COALESCE(SUM(n_at) OVER (ORDER BY t
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |        0) AS BIGINT) AS n_risk
+             |  FROM bt),
+             |tm AS (
+             |  SELECT t, n_deaths, n_censored, n_risk,
+             |    CASE WHEN n_deaths < n_risk THEN
+             |      CAST(ln(1.0 - CAST(n_deaths AS DOUBLE)
+             |        / CAST(n_risk AS DOUBLE)) AS DECIMAL(18,12)) END
+             |      AS term,
+             |    MAX(CASE WHEN n_deaths >= n_risk THEN 1 ELSE 0 END)
+             |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+             |        AND CURRENT ROW) AS dead_all
+             |  FROM en),
+             |sv AS (
+             |  SELECT t, n_deaths, n_censored, n_risk, dead_all,
+             |    SUM(term) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW) AS lnsum
+             |  FROM tm)
+             |SELECT CAST(t AS BIGINT) AS t_days, n_risk, n_deaths,
+             |  n_censored,
+             |  CASE WHEN dead_all = 1 THEN 0.0
+             |    ELSE exp(CAST(CAST(COALESCE(lnsum,
+             |      CAST(0 AS DECIMAL(18,12))) AS VARCHAR) AS DOUBLE))
+             |  END AS survival
+             |FROM sv ORDER BY t_days""".stripMargin))
   )
 }

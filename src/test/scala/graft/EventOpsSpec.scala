@@ -122,6 +122,36 @@ class EventOpsSpec extends AnyFunSuite {
       !got(1).getBoolean(4))
   }
 
+  test("kaplanMeier: hand curve with censoring; exact zero when the last at-risk dies") {
+    import spark.implicits._
+    def ev(rows: (Long, String)*) = rows.toSeq.toDF("user_id", "s")
+      .select(col("user_id"), to_timestamp(col("s")).as("ts"))
+    // M = 2024-01-25. u1 dies t=2, u3 dies t=3, u4 censored t=6, u2 censored t=25
+    val got = graft.ops.EventOps.kaplanMeier(ev(
+        (1L, "2024-01-01 01:00:00"), (1L, "2024-01-02 01:00:00"),
+        (2L, "2024-01-01 09:00:00"), (2L, "2024-01-20 01:00:00"),
+        (3L, "2024-01-10 01:00:00"), (3L, "2024-01-12 01:00:00"),
+        (4L, "2024-01-20 02:00:00"), (4L, "2024-01-25 01:00:00")),
+        "user_id", "ts", churnGapDays = 7)
+      .orderBy("t_days").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSeq ==
+      Seq((2L, 4L, 1L, 0L), (3L, 3L, 1L, 0L), (6L, 2L, 0L, 1L),
+        (25L, 1L, 0L, 1L)), s"frame ${got.toSeq}")
+    assert(math.abs(got(0)._5 - 0.75) < 1e-12)
+    assert(math.abs(got(1)._5 - 0.5) < 1e-12)
+    assert(math.abs(got(2)._5 - 0.5) < 1e-12, "censor rows keep the curve flat")
+    assert(math.abs(got(3)._5 - 0.5) < 1e-12)
+    // last at-risk user dies -> exact 0.0, not exp(ln(0))
+    val zero = graft.ops.EventOps.kaplanMeier(ev(
+        (1L, "2024-01-01 01:00:00"), (1L, "2024-01-06 01:00:00"),
+        (2L, "2024-01-19 01:00:00"), (2L, "2024-01-20 01:00:00")),
+        "user_id", "ts", churnGapDays = 7)
+      .orderBy("t_days").collect()
+    assert(zero.last.getLong(0) == 6L && zero.last.getDouble(4) == 0.0)
+  }
+
   test("cadenceProfile: constant-gap bot flags, bursty human passes, degenerates handled") {
     import spark.implicits._
     val ev = (
