@@ -353,6 +353,60 @@ object Profile {
           .cast("long").as("suggested_salts"))
   }
 
+  /** Benford's-law first-digit audit (Benford 1938; Nigrini's fraud-
+    * detection staple): natural multi-scale magnitudes put digit d
+    * first with probability log10(1+1/d); fabricated or truncated
+    * numeric columns drift, and the χ² against the Benford expectation
+    * trips. The data-quality gate for financial/measurement columns.
+    *
+    * Determinism: the first significant digit comes from the INTEGER
+    * rendering of round(|v|·100) — never from a double's string form
+    * (engines disagree on scientific notation) and never from a
+    * float log10 boundary; the ×100 shift cannot change the leading
+    * digit. All 9 digits are reported (absent digits count 0 — their
+    * χ² term is the largest, skipping them understates the statistic).
+    * χ² terms are engine-identical doubles summed through
+    * DECIMAL(18,6) (order-independent); the 15.507 threshold is the
+    * α=0.05, df=8 critical value.
+    *
+    * Scale shape: one aggregation to the 9-row digit plane; everything
+    * after runs there. Zero/NULL values are excluded (no first digit),
+    * as are magnitudes past 9·10^16 where |v|·100 would overflow the
+    * exact BIGINT rendering — ample for financial/count columns, and
+    * the guard is the same double comparison in any engine.
+    *
+    * → (digit, n_obs, p_obs, p_exp, chi2, reject_benford) — 9 rows,
+    *   chi2/verdict repeated on each.
+    */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    val v = abs(col(valueCol).cast("double"))
+    val cents = when(v < 9.0e16, round(v * 100).cast("long"))
+    val counts = df.select(cents.as("__c")).filter(col("__c") > 0)
+      .select(substring(col("__c").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val spine = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    val en = spine.join(counts, Seq("digit"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .withColumn("__tot", sum(col("n_obs")).over(all))
+      .withColumn("p_obs",
+        col("n_obs").cast("double") / col("__tot").cast("double"))
+      .withColumn("p_exp",
+        log10(lit(1.0) + lit(1.0) / col("digit").cast("double")))
+      .withColumn("__e", col("p_exp") * col("__tot").cast("double"))
+      .withColumn("__term",
+        (((col("n_obs").cast("double") - col("__e")) *
+          (col("n_obs").cast("double") - col("__e"))) / col("__e"))
+          .cast("decimal(18,6)"))
+    en.withColumn("chi2",
+        sum(col("__term")).over(all).cast("string").cast("double"))
+      .select(col("digit").cast("long").as("digit"), col("n_obs"),
+        col("p_obs"), col("p_exp"), col("chi2"),
+        (col("chi2") > 15.507).as("reject_benford"))
+  }
+
   /** Cohen's kappa inter-annotator agreement (Cohen, Educ. Psychol.
     * Meas. 1960) between two categorical labelings of the same items:
     * κ = (p_o − p_e)/(1 − p_e) with p_o the observed agreement rate and

@@ -6168,6 +6168,50 @@ object TrainingQueries {
              |    ELSE exp(CAST(CAST(COALESCE(lnsum,
              |      CAST(0 AS DECIMAL(18,12))) AS VARCHAR) AS DOUBLE))
              |  END AS survival
-             |FROM sv ORDER BY t_days""".stripMargin))
+             |FROM sv ORDER BY t_days""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Benford first-digit audit (Profile.benfordAudit — the Nigrini
+    // fraud/quality gate on financial columns): first significant digit
+    // from the INTEGER rendering of round(|v|·100) (engines disagree on
+    // double string forms; the ×100 shift cannot change the leading
+    // digit), all 9 digits reported with absent ones at 0, χ² terms
+    // summed through DECIMAL(18,6). TPC-H o_totalprice is a sum of
+    // many line items — near-Benford by construction.
+    QuerySpec(
+      "q199_benford",
+      (s, dir) => graft.ops.Profile.benfordAudit(
+          Tables.orders(s, dir), "o_totalprice")
+        .orderBy("digit"),
+      Some("""WITH c AS (
+             |  SELECT CAST(ROUND(ABS(o_totalprice) * 100) AS BIGINT)
+             |    AS cents
+             |  FROM orders WHERE ABS(o_totalprice) < 9.0e16),
+             |dg AS (
+             |  SELECT CAST(CAST(cents AS VARCHAR)[1] AS INT) AS digit,
+             |    COUNT(*) AS n_obs
+             |  FROM c WHERE cents > 0 GROUP BY 1),
+             |sp AS (SELECT unnest(range(1, 10)) AS digit),
+             |en AS (
+             |  SELECT sp.digit, COALESCE(dg.n_obs, 0) AS n_obs
+             |  FROM sp LEFT JOIN dg ON dg.digit = sp.digit),
+             |ex AS (
+             |  SELECT digit, n_obs, SUM(n_obs) OVER () AS tot,
+             |    log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS p_exp
+             |  FROM en),
+             |tm AS (
+             |  SELECT digit, n_obs, tot, p_exp,
+             |    CAST(n_obs AS DOUBLE) / CAST(tot AS DOUBLE) AS p_obs,
+             |    CAST(((CAST(n_obs AS DOUBLE) - p_exp * CAST(tot AS DOUBLE))
+             |      * (CAST(n_obs AS DOUBLE) - p_exp * CAST(tot AS DOUBLE)))
+             |      / (p_exp * CAST(tot AS DOUBLE)) AS DECIMAL(18,6))
+             |      AS term
+             |  FROM ex)
+             |SELECT CAST(digit AS BIGINT) AS digit,
+             |  CAST(n_obs AS BIGINT) AS n_obs, p_obs, p_exp,
+             |  CAST(CAST(SUM(term) OVER () AS VARCHAR) AS DOUBLE) AS chi2,
+             |  CAST(CAST(SUM(term) OVER () AS VARCHAR) AS DOUBLE) > 15.507
+             |    AS reject_benford
+             |FROM tm ORDER BY digit""".stripMargin))
   )
 }

@@ -179,6 +179,34 @@ class ProfileSpec extends AnyFunSuite {
     assert(a == b, s"corr must be bit-identical across partitionings: $a vs $b")
   }
 
+  test("benfordAudit: powers of 2 conform, uniform magnitudes reject, zero digits present") {
+    import spark.implicits._
+    // leading digits of 2^i are Benford-distributed (equidistribution
+    // of i*log10(2) mod 1) — must NOT reject
+    val powers = (0 until 50).map(i => math.pow(2.0, i) + 0.0)
+    val conform = Profile.benfordAudit(powers.toDF("v"), "v")
+      .orderBy("digit").collect()
+    assert(conform.length == 9)
+    assert(!conform.head.getBoolean(5),
+      s"powers of 2 must pass: chi2=${conform.head.getDouble(4)}")
+    // uniform 100..999: every first digit equally likely — far from
+    // Benford's 30% ones, must reject
+    val uniform = (100 until 1000).map(_.toDouble)
+    val reject = Profile.benfordAudit(uniform.toDF("v"), "v")
+      .orderBy("digit").collect()
+    assert(reject.head.getBoolean(5),
+      s"uniform magnitudes must reject: chi2=${reject.head.getDouble(4)}")
+    assert(reject.map(_.getLong(1)).forall(_ == 100L))
+    // all-ones corpus: digits 2..9 still reported with n_obs = 0
+    // 1e18 is past the exact-BIGINT guard -> excluded, not an overflow
+    val ones = Profile.benfordAudit(
+      Seq(1.0, 10.0, 150.0, 0.0, 1.0e18).toDF("v"), "v")
+      .orderBy("digit").collect()
+    assert(ones.length == 9 && ones.head.getLong(1) == 3L &&
+      ones.tail.forall(_.getLong(1) == 0L),
+      "zero and overflow-range values excluded, digit gaps kept")
+  }
+
   test("cohenKappa: textbook 2x2 value, NULL exclusion, degenerate pe=1") {
     import spark.implicits._
     // 40 (y,y) + 40 (n,n) + 10 (y,n) + 10 (n,y): po=0.8, pe=0.5, kappa=0.6
