@@ -361,6 +361,61 @@ object EventOps {
       .withColumn("is_regular", col("cv") < cvFlag)
   }
 
+  /** Exponentially-weighted moving average per user, EXACT: the
+    * adjusted-EWMA (normalize by the weights actually present — the
+    * pandas `adjust=True` convention) truncated at `lags` terms,
+    *
+    *   y_t = Σ_{i<lags} r^i·v_{t−i} / Σ_{i<lags, present} r^i,
+    *   r = 1 − α,  α = alphaNum/alphaDen rational
+    *
+    * computed with SCALED INTEGER weights u_i = (den−num)^i·den^{L−1−i}
+    * (for α=1/4, L=8: 16384, 12288, …, 2187) so every product is a
+    * DECIMAL(18,6)·BIGINT exact term and the result replays bit-for-bit
+    * in any engine — a float r^i recurrence drifts per evaluation
+    * order. Truncation at L lags discards a (1−α)^L ≤ 10% weight tail
+    * (α=1/4, L=8) that the normalization re-absorbs.
+    *
+    * One user-partitioned window carrying L lags — no self-joins, no
+    * recurrence state; NULL values drop out of numerator AND
+    * denominator (a missing measurement is not a zero).
+    *
+    * → input row + (ewma) — NULL only when all L lags are NULL.
+    */
+  def ewmaSmooth(events: DataFrame, userCol: String, valueCol: String,
+                 usCol: String, tieCol: String,
+                 alphaNum: Int = 1, alphaDen: Int = 4,
+                 lags: Int = 8): DataFrame = {
+    require(alphaNum >= 1 && alphaNum < alphaDen,
+      s"alpha must be a rational in (0,1): $alphaNum/$alphaDen")
+    require(lags >= 1 && lags <= 20, s"lags must be in [1,20], got $lags")
+    val r = alphaDen - alphaNum
+    require(math.pow(alphaDen.toDouble, (lags - 1).toDouble) < 9.0e17,
+      "scaled weights must stay inside BIGINT")
+    val u = (0 until lags).map(i =>
+      math.pow(r.toDouble, i.toDouble).toLong *
+        math.pow(alphaDen.toDouble, (lags - 1 - i).toDouble).toLong)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(usCol), col(tieCol))
+    val lagged = events.withColumn("__vd",
+      col(valueCol).cast("double").cast("decimal(18,6)"))
+    val num = (0 until lags).map { i =>
+      coalesce(lag(col("__vd"), i).over(w) * lit(u(i)),
+        lit(0).cast("decimal(38,6)"))
+    }.reduce(_ + _)
+    val den = (0 until lags).map { i =>
+      when(lag(col("__vd"), i).over(w).isNotNull, lit(u(i)))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    lagged
+      .withColumn("__num", num)
+      .withColumn("__den", den)
+      .withColumn("ewma",
+        when(col("__den") > 0,
+          col("__num").cast("string").cast("double") /
+            col("__den").cast("double")))
+      .drop("__vd", "__num", "__den")
+  }
+
   /** Kaplan–Meier survival curve over user lifetimes (Kaplan & Meier,
     * JASA 1958 — the right-censoring-aware retention curve; a naive
     * "fraction still active after t days" silently treats

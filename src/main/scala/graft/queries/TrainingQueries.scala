@@ -6212,6 +6212,56 @@ object TrainingQueries {
              |  CAST(CAST(SUM(term) OVER () AS VARCHAR) AS DOUBLE) AS chi2,
              |  CAST(CAST(SUM(term) OVER () AS VARCHAR) AS DOUBLE) > 15.507
              |    AS reject_benford
-             |FROM tm ORDER BY digit""".stripMargin))
+             |FROM tm ORDER BY digit""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Exact EWMA smoothing (EventOps.ewmaSmooth — the adjusted/
+    // truncated exponential moving average): scaled INTEGER weights
+    // 3^i·4^(7−i) make every term a DECIMAL(18,6)·BIGINT product, so
+    // the smoother replays bit-for-bit where a float r^i recurrence
+    // drifts per evaluation order. One 8-lag user window; NULL values
+    // drop from numerator AND denominator.
+    QuerySpec(
+      "q200_ewma",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+        graft.ops.EventOps.ewmaSmooth(ev, "user_id", "value", "us",
+            "event_id", alphaNum = 1, alphaDen = 4, lags = 8)
+          .select(col("user_id"), col("us"), col("event_id"),
+            col("value"), col("ewma"))
+          .orderBy("user_id", "us", "event_id")
+      },
+      Some {
+        val u = (0 until 8).map(i =>
+          math.pow(3.0, i.toDouble).toLong *
+            math.pow(4.0, (7 - i).toDouble).toLong)
+        val lagCols = (0 until 8).map(i => s"LAG(vd, $i) OVER w AS v$i")
+          .mkString(",\n|        ")
+        val numSql = (0 until 8).map(i => s"COALESCE(v$i * ${u(i)}, 0)")
+          .mkString(" + ")
+        val denSql = (0 until 8)
+          .map(i => s"(CASE WHEN v$i IS NOT NULL THEN ${u(i)} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH e AS (
+           |  SELECT user_id, epoch_us(ts) AS us, event_id, value,
+           |    CAST(value AS DECIMAL(18,6)) AS vd
+           |  FROM events),
+           |l AS (
+           |  SELECT user_id, us, event_id, value,
+           |        $lagCols
+           |  FROM e
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+           |c AS (
+           |  SELECT user_id, us, event_id, value,
+           |    $numSql AS num,
+           |    $denSql AS den
+           |  FROM l)
+           |SELECT user_id, us, event_id, value,
+           |  CASE WHEN den > 0 THEN
+           |    CAST(CAST(num AS VARCHAR) AS DOUBLE) / CAST(den AS DOUBLE)
+           |  END AS ewma
+           |FROM c ORDER BY user_id, us, event_id""".stripMargin
+      })
   )
 }

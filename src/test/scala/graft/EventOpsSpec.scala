@@ -122,6 +122,27 @@ class EventOpsSpec extends AnyFunSuite {
       !got(1).getBoolean(4))
   }
 
+  test("ewmaSmooth: adjusted-EWMA hand values; NULL drops from both sides") {
+    import spark.implicits._
+    val ev = Seq((1L, Some(1.0), 0L, 1L), (1L, Some(2.0), 10L, 2L),
+      (1L, Some(4.0), 20L, 3L),
+      (2L, Some(1.0), 0L, 4L), (2L, None, 10L, 5L), (2L, Some(4.0), 20L, 6L))
+      .toDF("user_id", "value", "us", "event_id")
+    val got = graft.ops.EventOps.ewmaSmooth(ev, "user_id", "value", "us",
+        "event_id")
+      .orderBy("user_id", "us").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))
+    // u1: y0=1, y1=(2+0.75)/1.75, y2=(4+1.5+0.5625)/2.3125
+    assert(got(0)._2 == 1.0)
+    assert(math.abs(got(1)._2 - 2.75 / 1.75) < 1e-9)
+    assert(math.abs(got(2)._2 - 6.0625 / 2.3125) < 1e-9)
+    // u2: NULL at t=10 -> that event's ewma uses only v(t=0); at t=20 the
+    // NULL lag is absent from numerator AND denominator
+    assert(got(3)._2 == 1.0)
+    assert(got(4)._2 == 1.0, "NULL current value smooths over prior values")
+    assert(math.abs(got(5)._2 - 4.5625 / 1.5625) < 1e-9)
+  }
+
   test("kaplanMeier: hand curve with censoring; exact zero when the last at-risk dies") {
     import spark.implicits._
     def ev(rows: (Long, String)*) = rows.toSeq.toDF("user_id", "s")
