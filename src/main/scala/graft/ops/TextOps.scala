@@ -255,6 +255,41 @@ object TextOps {
     */
   def fingerprintMd5(c: Column): Column = md5(normalized(c).cast("binary"))
 
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    * PageRank over the corpus-level word co-occurrence graph —
+    * consecutive lowercase alphabetic non-stopword token pairs become
+    * undirected edges (both directions of each pair), ranked by
+    * [[WebGraph.pageRank]]'s exact scaled-integer kernel, so the
+    * keyword scores are bit-reproducible and SQL-replayable (the q145
+    * discipline applied to words instead of hosts).
+    *
+    * The pair extraction is a pure codegen projection (zip_with over
+    * two slices — no posexplode self-join); the graph is
+    * vocabulary-sized, so every PageRank iteration runs on the skinny
+    * word plane no matter how large the corpus.
+    *
+    * → (token, rank) — rank in SCALE-scaled integer units.
+    */
+  def textRankKeywords(docs: DataFrame, textCol: String,
+                       iterations: Int = 6,
+                       stopwords: Seq[String] = defaultStopwords): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val pairs = docs
+      .select(explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a").rlike("^[a-z]{3,}$") && col("b").rlike("^[a-z]{3,}$") &&
+        !col("a").isInCollection(stopwords) &&
+        !col("b").isInCollection(stopwords) &&
+        col("a") =!= col("b"))
+    val edges = pairs
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+    WebGraph.pageRank(edges, "a", "b", iterations)
+      .select(col("node").as("token"), col("rank"))
+  }
+
   /** Rolling-hash document fingerprint: minimum 64-bit hash over character
     * shingles — a winnowing-style single-value sketch.
     */

@@ -544,10 +544,18 @@ object TrainingQueries {
     * chained CTEs over the planted edge list. Every operation is integer,
     * so the replay is bit-exact, not tolerance-matched.
     */
-  private def pagerankCtes(iters: Int): String = {
-    val head = "WITH " + linkEdgesCte.stripMargin +
-      """,
-        |e AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM l),
+  private def pagerankCtes(iters: Int): String =
+    pagerankCtesOver(linkEdgesCte, "src_host", "dst_host", iters)
+
+  /** [[pagerankCtes]] generalized over any raw edge CTE `l(src, dst)` —
+    * the q201 word graph reuses the identical unrolled integer replay.
+    */
+  private def pagerankCtesOver(edgeCte: String, srcCol: String,
+                               dstCol: String, iters: Int): String = {
+    val head = "WITH " + edgeCte.stripMargin +
+      s""",
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT $srcCol AS src, $dstCol AS dst FROM l),
         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
         |od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
         |eo AS (SELECT e.src, e.dst, od.outdeg FROM e JOIN od USING (src)),
@@ -6262,6 +6270,38 @@ object TrainingQueries {
            |    CAST(CAST(num AS VARCHAR) AS DOUBLE) / CAST(den AS DOUBLE)
            |  END AS ewma
            |FROM c ORDER BY user_id, us, event_id""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // TextRank keywords (TextOps.textRankKeywords — Mihalcea & Tarau
+    // 2004): PageRank over the corpus word co-occurrence graph, the
+    // q145 exact-integer kernel applied to words instead of hosts. Pair
+    // extraction is one codegen zip_with projection; every iteration
+    // runs on the vocabulary-sized plane. The oracle reuses the same
+    // unrolled integer replay over the word-edge CTE.
+    QuerySpec(
+      "q201_textrank",
+      (s, dir) => graft.ops.TextOps.textRankKeywords(
+          Tables.documents(s, dir), "text", iterations = 6)
+        .orderBy(col("rank").desc, col("token")).limit(25),
+      Some {
+        val wordEdges =
+          s"""t AS (
+             |  SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks
+             |  FROM documents),
+             |pr0 AS (
+             |  SELECT toks[i+1] AS a, toks[i+2] AS b
+             |  FROM t, (SELECT unnest(range(len(toks) - 1)) AS i)
+             |  WHERE len(toks) >= 2),
+             |pf AS (
+             |  SELECT a, b FROM pr0
+             |  WHERE regexp_matches(a, '^[a-z]{3,}$$')
+             |    AND regexp_matches(b, '^[a-z]{3,}$$')
+             |    AND a NOT IN ($stops) AND b NOT IN ($stops) AND a <> b),
+             |l AS (SELECT a, b FROM pf UNION ALL SELECT b, a FROM pf)"""
+        pagerankCtesOver(wordEdges, "a", "b", 6) +
+          "\nSELECT node AS token, CAST(rank AS BIGINT) AS rank" +
+          "\nFROM r6 ORDER BY rank DESC, node LIMIT 25"
       })
   )
 }

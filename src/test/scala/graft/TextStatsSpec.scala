@@ -100,4 +100,20 @@ class TextStatsSpec extends AnyFunSuite {
       (3L, 3L, 0L, 0L), (4L, 2L, 0L, 0L), (5L, 8L, 1L, 8L),
       (6L, 0L, 0L, 0L)))
   }
+
+  test("textRankKeywords: the hub word of a planted star graph ranks first") {
+    import spark.implicits._
+    val docs = Seq(
+      "core alpha core beta core gamma core delta",
+      "Short-w0rds & the of stopwords! vanish core echo").toDF("text")
+    val got = graft.ops.TextOps.textRankKeywords(docs, "text", iterations = 6)
+      .orderBy(org.apache.spark.sql.functions.col("rank").desc,
+        org.apache.spark.sql.functions.col("token"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(got.nonEmpty)
+    assert(got.head._1 == "core", s"hub must rank first: ${got.toSeq}")
+    assert(got.forall(_._1.matches("^[a-z]{3,}$")),
+      "only lowercase alphabetic tokens of length >= 3 enter the graph")
+    assert(!got.map(_._1).contains("the"), "stopwords are excluded")
+  }
 }
