@@ -361,6 +361,52 @@ object EventOps {
       .withColumn("is_regular", col("cv") < cvFlag)
   }
 
+  /** Two-proportion A/B experiment readout: users are assigned to arms
+    * by [[Curation.hashBucket]](user, 2) — the deterministic,
+    * re-run-stable, SQL-replayable assignment (never rand()) — a user
+    * CONVERTS if they ever emit `convType`, and the readout is the
+    * standard pooled two-proportion z-test
+    *
+    *   z = (r_a − r_b) / √( p̂(1−p̂)(1/n_a + 1/n_b) ),  p̂ pooled
+    *
+    * with |z| > 1.96 the α=0.05 verdict. Everything reduces to FOUR
+    * integers (per-arm users and conversions) via two aggregations —
+    * the z arithmetic is a fixed IEEE sequence on top, so the whole
+    * readout hash-matches across engines.
+    *
+    * → one row (n_a, conv_a, rate_a, n_b, conv_b, rate_b, lift, z,
+    *   significant); z NULL when the pooled variance is 0 (all or none
+    *   convert) or an arm is empty.
+    */
+  def abTestReport(events: DataFrame, userCol: String, typeCol: String,
+                   convType: String): DataFrame = {
+    val perUser = events
+      .select(col(userCol).as("__u"), col(typeCol).as("__t"))
+      .filter(col("__u").isNotNull)
+      .groupBy("__u")
+      .agg(max(when(col("__t") === convType, 1L).otherwise(0L)).as("__c"))
+      .select(Curation.hashBucket(col("__u"), 2).as("__arm"), col("__c"))
+    val s = perUser.agg(
+      coalesce(sum(when(col("__arm") === 0, 1L)), lit(0L)).as("n_a"),
+      coalesce(sum(when(col("__arm") === 0, col("__c"))), lit(0L))
+        .as("conv_a"),
+      coalesce(sum(when(col("__arm") === 1, 1L)), lit(0L)).as("n_b"),
+      coalesce(sum(when(col("__arm") === 1, col("__c"))), lit(0L))
+        .as("conv_b"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val ra = col("conv_a").cast("double") / na
+    val rb = col("conv_b").cast("double") / nb
+    val pooled = (col("conv_a") + col("conv_b")).cast("double") / (na + nb)
+    val se = sqrt(pooled * (lit(1.0) - pooled) * (lit(1.0) / na + lit(1.0) / nb))
+    s.select(col("n_a"), col("conv_a"), ra.as("rate_a"),
+        col("n_b"), col("conv_b"), rb.as("rate_b"),
+        when(col("n_a") > 0 && col("n_b") > 0, ra - rb).as("lift"),
+        when(col("n_a") > 0 && col("n_b") > 0 && se > 0, (ra - rb) / se)
+          .as("z"))
+      .withColumn("significant", abs(col("z")) > 1.96)
+  }
+
   /** Exponentially-weighted moving average per user, EXACT: the
     * adjusted-EWMA (normalize by the weights actually present — the
     * pandas `adjust=True` convention) truncated at `lags` terms,

@@ -6302,6 +6302,58 @@ object TrainingQueries {
         pagerankCtesOver(wordEdges, "a", "b", 6) +
           "\nSELECT node AS token, CAST(rank AS BIGINT) AS rank" +
           "\nFROM r6 ORDER BY rank DESC, node LIMIT 25"
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // A/B experiment readout (EventOps.abTestReport): deterministic
+    // hash-bucket arm assignment (the q64 md5 recipe — re-run-stable,
+    // never rand()), conversion = ever emitted 'purchase', pooled
+    // two-proportion z-test. Four integers + a fixed IEEE sequence, so
+    // the verdict hash-matches.
+    QuerySpec(
+      "q202_ab_test",
+      (s, dir) => graft.ops.EventOps.abTestReport(
+        Tables.events(s, dir), "user_id", "event_type", "purchase"),
+      Some("""WITH pu AS (
+             |  SELECT user_id,
+             |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |      AS c
+             |  FROM events GROUP BY user_id),
+             |ar AS (
+             |  SELECT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+             |      1, 8)) AS BIGINT) % 2 AS arm, c
+             |  FROM pu),
+             |s AS (
+             |  SELECT
+             |    CAST(COALESCE(SUM(CASE WHEN arm = 0 THEN 1 END), 0)
+             |      AS BIGINT) AS n_a,
+             |    CAST(COALESCE(SUM(CASE WHEN arm = 0 THEN c END), 0)
+             |      AS BIGINT) AS conv_a,
+             |    CAST(COALESCE(SUM(CASE WHEN arm = 1 THEN 1 END), 0)
+             |      AS BIGINT) AS n_b,
+             |    CAST(COALESCE(SUM(CASE WHEN arm = 1 THEN c END), 0)
+             |      AS BIGINT) AS conv_b
+             |  FROM ar),
+             |d AS (
+             |  SELECT n_a, conv_a, n_b, conv_b,
+             |    CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+             |    CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+             |    CAST(conv_a + conv_b AS DOUBLE)
+             |      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pooled
+             |  FROM s),
+             |e AS (
+             |  SELECT *,
+             |    sqrt(pooled * (1.0 - pooled)
+             |      * (1.0 / CAST(n_a AS DOUBLE)
+             |         + 1.0 / CAST(n_b AS DOUBLE))) AS se
+             |  FROM d)
+             |SELECT n_a, conv_a, rate_a, n_b, conv_b, rate_b,
+             |  CASE WHEN n_a > 0 AND n_b > 0 THEN rate_a - rate_b END
+             |    AS lift,
+             |  CASE WHEN n_a > 0 AND n_b > 0 AND se > 0 THEN
+             |    (rate_a - rate_b) / se END AS z,
+             |  ABS(CASE WHEN n_a > 0 AND n_b > 0 AND se > 0 THEN
+             |    (rate_a - rate_b) / se END) > 1.96 AS significant
+             |FROM e""".stripMargin))
   )
 }

@@ -122,6 +122,31 @@ class EventOpsSpec extends AnyFunSuite {
       !got(1).getBoolean(4))
   }
 
+  test("abTestReport: counts partition by the hash arms; z matches the pooled formula") {
+    import spark.implicits._
+    // users 1..40; a user converts iff id % 3 == 0 (uncorrelated with md5 arm)
+    val ev = (1L to 40L).flatMap { u =>
+      Seq((u, "view")) ++ (if (u % 3 == 0) Seq((u, "purchase")) else Nil)
+    }.toDF("user_id", "event_type")
+    val r = graft.ops.EventOps.abTestReport(ev, "user_id", "event_type",
+      "purchase").head()
+    val (na, ca, nb, cb) = (r.getLong(0), r.getLong(1), r.getLong(3),
+      r.getLong(4))
+    assert(na + nb == 40L && ca + cb == 13L)
+    // arms replicate the hashBucket assignment exactly
+    val arms = (1L to 40L).toDF("u")
+      .select(col("u"), graft.ops.Curation.hashBucket(col("u"), 2).as("arm"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(na == arms.values.count(_ == 0L) && nb == arms.values.count(_ == 1L))
+    assert(ca == (1L to 40L).count(u => u % 3 == 0 && arms(u) == 0L))
+    // z recomputed from the four integers
+    val (raD, rbD) = (ca.toDouble / na, cb.toDouble / nb)
+    val pooled = (ca + cb).toDouble / (na + nb)
+    val se = math.sqrt(pooled * (1 - pooled) * (1.0 / na + 1.0 / nb))
+    assert(math.abs(r.getDouble(7) - (raD - rbD) / se) < 1e-12)
+    assert(r.getBoolean(8) == (math.abs((raD - rbD) / se) > 1.96))
+  }
+
   test("ewmaSmooth: adjusted-EWMA hand values; NULL drops from both sides") {
     import spark.implicits._
     val ev = Seq((1L, Some(1.0), 0L, 1L), (1L, Some(2.0), 10L, 2L),
