@@ -361,6 +361,49 @@ object EventOps {
       .withColumn("is_regular", col("cv") < cvFlag)
   }
 
+  /** Item co-occurrence via bipartite projection — the
+    * "users-who-touched-X-also-touched-Y" recommender primitive — with
+    * the DEGREE CAP that makes it survive scale: projecting a bipartite
+    * graph is quadratic in user degree, so one celebrity user touching
+    * 10^5 items would alone emit 5·10^9 pairs; users above
+    * `maxUserDegree` are excluded OUTRIGHT (deterministic and
+    * SQL-replayable, unlike sampling — and a user touching everything
+    * carries no affinity signal anyway, the classic co-occurrence
+    * argument). Pair support counts then map-side combine to the
+    * item-pair plane, and Jaccard affinity comes from the capped item
+    * popularities.
+    *
+    * → (item_a, item_b, n_users, jaccard) for item_a < item_b with
+    *   support ≥ minSupport
+    */
+  def itemCooccurrence(interactions: DataFrame, userCol: String,
+                       itemCol: String, maxUserDegree: Int = 50,
+                       minSupport: Long = 2L): DataFrame = {
+    require(maxUserDegree >= 2, "maxUserDegree must be >= 2")
+    val ui = interactions
+      .select(col(userCol).as("__u"), col(itemCol).as("__i"))
+      .filter(col("__u").isNotNull && col("__i").isNotNull)
+      .distinct()
+    val deg = ui.groupBy("__u").agg(count(lit(1)).as("__deg"))
+    val kept = ui.join(deg.filter(col("__deg") <= maxUserDegree), "__u")
+      .select(col("__u"), col("__i"))
+    val pop = kept.groupBy(col("__i")).agg(count(lit(1)).as("__pop"))
+    val pairs = kept.alias("x").join(kept.alias("y"),
+        col("x.__u") === col("y.__u") && col("x.__i") < col("y.__i"))
+      .select(col("x.__i").as("item_a"), col("y.__i").as("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_users"))
+      .filter(col("n_users") >= minSupport)
+    pairs
+      .join(pop.select(col("__i").as("item_a"), col("__pop").as("__pa")),
+        "item_a")
+      .join(pop.select(col("__i").as("item_b"), col("__pop").as("__pb")),
+        "item_b")
+      .select(col("item_a"), col("item_b"), col("n_users"),
+        (col("n_users").cast("double") /
+          (col("__pa") + col("__pb") - col("n_users")).cast("double"))
+          .as("jaccard"))
+  }
+
   /** Two-proportion A/B experiment readout: users are assigned to arms
     * by [[Curation.hashBucket]](user, 2) — the deterministic,
     * re-run-stable, SQL-replayable assignment (never rand()) — a user

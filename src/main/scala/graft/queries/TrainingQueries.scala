@@ -6354,6 +6354,48 @@ object TrainingQueries {
              |    (rate_a - rate_b) / se END AS z,
              |  ABS(CASE WHEN n_a > 0 AND n_b > 0 AND se > 0 THEN
              |    (rate_a - rate_b) / se END) > 1.96 AS significant
-             |FROM e""".stripMargin))
+             |FROM e""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Item co-occurrence (EventOps.itemCooccurrence — the bipartite
+    // projection behind "users also touched", with the degree cap that
+    // keeps the quadratic-per-user pair step bounded at scale): items
+    // from the props JSON (the q17 parse), distinct (user, item), users
+    // above 50 items excluded outright, pair support + Jaccard from the
+    // capped popularities.
+    QuerySpec(
+      "q203_item_cooccurrence",
+      (s, dir) => {
+        val ui = Tables.events(s, dir).select(col("user_id"),
+          from_json(col("props"), "k BIGINT", Map.empty[String, String])
+            .getField("k").as("item"))
+        graft.ops.EventOps.itemCooccurrence(ui, "user_id", "item",
+            maxUserDegree = 50, minSupport = 5L)
+          .orderBy("item_a", "item_b")
+      },
+      Some("""WITH ui AS (
+             |  SELECT DISTINCT user_id,
+             |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+             |      AS item
+             |  FROM events),
+             |u2 AS (SELECT user_id, item FROM ui WHERE item IS NOT NULL
+             |       AND user_id IS NOT NULL),
+             |dg AS (SELECT user_id, COUNT(*) AS deg FROM u2 GROUP BY 1),
+             |kept AS (
+             |  SELECT u2.user_id, u2.item FROM u2
+             |  JOIN dg ON dg.user_id = u2.user_id WHERE dg.deg <= 50),
+             |ic AS (SELECT item, COUNT(*) AS pop FROM kept GROUP BY item),
+             |pr AS (
+             |  SELECT x.item AS item_a, y.item AS item_b,
+             |    COUNT(*) AS n_users
+             |  FROM kept x JOIN kept y ON y.user_id = x.user_id
+             |    AND x.item < y.item
+             |  GROUP BY 1, 2)
+             |SELECT item_a, item_b, CAST(n_users AS BIGINT) AS n_users,
+             |  CAST(n_users AS DOUBLE)
+             |    / CAST(a.pop + b.pop - n_users AS DOUBLE) AS jaccard
+             |FROM pr JOIN ic a ON a.item = pr.item_a
+             |JOIN ic b ON b.item = pr.item_b
+             |WHERE n_users >= 5 ORDER BY item_a, item_b""".stripMargin))
   )
 }

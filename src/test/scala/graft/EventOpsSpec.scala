@@ -122,6 +122,26 @@ class EventOpsSpec extends AnyFunSuite {
       !got(1).getBoolean(4))
   }
 
+  test("itemCooccurrence: degree cap excludes the celebrity; jaccard from capped pops") {
+    import spark.implicits._
+    val ui = (Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L)) ++
+      (1L to 10L).map(i => (3L, i))) // celebrity: 10 items, cap is 5
+      .toDF("user_id", "item")
+    val got = graft.ops.EventOps.itemCooccurrence(ui, "user_id", "item",
+        maxUserDegree = 5, minSupport = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set((1L, 2L)),
+      s"only (1,2) reaches support 2 without the celebrity: ${got.keySet}")
+    assert(got((1L, 2L)) == ((2L, 1.0)),
+      "jaccard = 2/(2+2-2) over capped popularities")
+    // raising the cap readmits the celebrity: (1,2) support becomes 3
+    val wide = graft.ops.EventOps.itemCooccurrence(ui, "user_id", "item",
+        maxUserDegree = 10, minSupport = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(wide((1L, 2L)) == 3L)
+  }
+
   test("abTestReport: counts partition by the hash arms; z matches the pooled formula") {
     import spark.implicits._
     // users 1..40; a user converts iff id % 3 == 0 (uncorrelated with md5 arm)
