@@ -395,6 +395,58 @@ object WebGraph {
     labels.select(col("node"), col("lbl").as("community"))
   }
 
+  /** Single-source shortest hop distances (level-synchronous BFS — the
+    * Pregel/GraphX traversal primitive, here as pure DataFrame joins):
+    * frontier_k = out-neighbors of frontier_{k−1} not yet visited;
+    * every reached node reports the hop of its FIRST discovery, which
+    * for unweighted edges is the shortest-path length. Directed —
+    * follows edge direction.
+    *
+    * Scale shape: the edge frame is the loop-invariant big side,
+    * persisted once; each round is one join of edges against the
+    * current frontier (shrinking, usually ≪ nodes) plus one anti-join
+    * against the visited set, both hash-partitioned on node; visited is
+    * localCheckpoint-ed so the plan stays one round deep. Terminates
+    * early when the frontier empties (one count per round — bounded
+    * driver traffic, the [[pageRankConverged]] convention).
+    *
+    * → (node, hop) for nodes reachable within `maxHops`; unreached
+    *   nodes are absent.
+    */
+  def shortestHops(edges: DataFrame, srcCol: String, dstCol: String,
+                   source: String, maxHops: Int = 10): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 64,
+      s"maxHops must be in [1,64], got $maxHops")
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .persist()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var visited = Seq((source, 0L)).toDF("node", "hop").localCheckpoint()
+    var frontier = visited.select(col("node"))
+    var hop = 0L
+    var done = false
+    while (!done && hop < maxHops) {
+      hop += 1L
+      val next = e.join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        visited = visited
+          .unionByName(next.select(col("node"), lit(hop).as("hop")))
+          .localCheckpoint()
+        frontier = next
+      }
+    }
+    e.unpersist()
+    visited
+  }
+
   /** Per-host document-quality prior: PageRank of the host graph joined
     * back onto a document frame by host. Documents from unknown hosts
     * (not in the graph) get rank NULL — callers decide the default.

@@ -6396,6 +6396,47 @@ object TrainingQueries {
              |    / CAST(a.pop + b.pop - n_users AS DOUBLE) AS jaccard
              |FROM pr JOIN ic a ON a.item = pr.item_a
              |JOIN ic b ON b.item = pr.item_b
-             |WHERE n_users >= 5 ORDER BY item_a, item_b""".stripMargin))
+             |WHERE n_users >= 5 ORDER BY item_a, item_b""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Single-source BFS hop distances (WebGraph.shortestHops — the
+    // level-synchronous traversal primitive on the q145 link graph):
+    // per round one frontier join + one visited anti-join, edges
+    // persisted once, early exit on an empty frontier. The oracle
+    // unrolls ten levels — saturated levels add nothing, so the
+    // early-exited Spark run matches the fully-unrolled replay.
+    QuerySpec(
+      "q204_bfs_hops",
+      (s, dir) => {
+        val pages = Tables.documents(s, dir).select(
+          host97.as("src_host"), htmlFixture.as("html"))
+        val edges = Html.linkGraph(pages, "src_host", "html")
+        graft.ops.WebGraph.shortestHops(edges, "src_host", "dst_host",
+            source = "h0.example.org", maxHops = 10)
+          .orderBy("hop", "node")
+      },
+      Some {
+        val head = "WITH " + linkEdgesCte.stripMargin +
+          """,
+            |e AS MATERIALIZED (
+            |  SELECT DISTINCT src_host AS src, dst_host AS dst FROM l),
+            |v0 AS (SELECT 'h0.example.org' AS node, 0 AS hop)"""
+            .stripMargin
+        val levels = (1 to 10).map { k =>
+          s""",
+             |v$k AS MATERIALIZED (
+             |  SELECT node, hop FROM v${k - 1}
+             |  UNION ALL
+             |  SELECT d.node, $k AS hop FROM (
+             |    SELECT DISTINCT e.dst AS node
+             |    FROM e JOIN v${k - 1} p ON p.node = e.src
+             |      AND p.hop = ${k - 1}) d
+             |  WHERE d.node NOT IN (SELECT node FROM v${k - 1}))"""
+            .stripMargin
+        }.mkString
+        head + levels +
+          "\nSELECT node, CAST(hop AS BIGINT) AS hop FROM v10" +
+          "\nORDER BY hop, node"
+      })
   )
 }

@@ -209,6 +209,22 @@ class HtmlSpec extends AnyFunSuite {
     assert(got("c") > got("d"))
   }
 
+  test("shortestHops: BFS levels on a hand graph, unreachable absent, early exit") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("a", "d"), ("b", "c"), ("c", "a"),
+      ("e", "f")) // e/f unreachable from a
+    val got = WebGraph.shortestHops(edges.toDF("s", "d"), "s", "d",
+        source = "a", maxHops = 50)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 0L, "b" -> 1L, "d" -> 1L, "c" -> 2L),
+      s"BFS levels wrong: $got")
+    // maxHops truncates the traversal
+    val short = WebGraph.shortestHops(edges.toDF("s", "d"), "s", "d",
+        source = "a", maxHops = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(short == Map("a" -> 0L, "b" -> 1L, "d" -> 1L))
+  }
+
   test("labelPropagation: two cliques with a bridge settle into two communities") {
     import spark.implicits._
     // clique {a,b,c} — bridge c-x — clique {x,y,z}; plus a self-loop-only
