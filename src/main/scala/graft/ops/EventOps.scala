@@ -361,6 +361,33 @@ object EventOps {
       .withColumn("is_regular", col("cv") < cvFlag)
   }
 
+  /** Frequent k=3 behavior motifs — the third-order sibling of
+    * [[transitions]]: per user the (t, next, next²) trigrams from TWO
+    * lead windows over one (us, tie)-ordered pass (no self-joins —
+    * consecutive triples, the n-gram trick on trajectories), then
+    * global motif counts and each motif's share among trigrams starting
+    * with the same first step. Same-instant ties order by the unique
+    * tiebreaker, so trajectories — and therefore motif counts — are
+    * deterministic.
+    *
+    * → (t0, t1, t2, n, share_of_t0) sorted by the caller
+    */
+  def trigramMotifs(events: DataFrame, userCol: String, typeCol: String,
+                    usCol: String, tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col("__us"), col("__tie"))
+    val tri = events
+      .select(col(userCol), col(typeCol).as("t0"),
+        col(usCol).cast("long").as("__us"), col(tieCol).as("__tie"))
+      .withColumn("t1", lead(col("t0"), 1).over(w))
+      .withColumn("t2", lead(col("t0"), 2).over(w))
+      .filter(col("t2").isNotNull)
+    val counts = tri.groupBy("t0", "t1", "t2").agg(count(lit(1)).as("n"))
+    val w0 = org.apache.spark.sql.expressions.Window.partitionBy(col("t0"))
+    counts.withColumn("share_of_t0",
+      col("n").cast("double") / sum(col("n")).over(w0).cast("double"))
+  }
+
   /** Item co-occurrence via bipartite projection — the
     * "users-who-touched-X-also-touched-Y" recommender primitive — with
     * the DEGREE CAP that makes it survive scale: projecting a bipartite

@@ -6437,6 +6437,41 @@ object TrainingQueries {
         head + levels +
           "\nSELECT node, CAST(hop AS BIGINT) AS hop FROM v10" +
           "\nORDER BY hop, node"
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // Behavior motifs (EventOps.trigramMotifs — q177's transition
+    // matrix extended to third order): consecutive (t, next, next²)
+    // trigrams from two lead windows in (us, event_id) order, global
+    // counts, and each motif's share among trigrams with the same first
+    // step. Integer counts + one IEEE division per row.
+    QuerySpec(
+      "q205_trigram_motifs",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("us"),
+          col("event_id"))
+        graft.ops.EventOps.trigramMotifs(ev, "user_id", "event_type",
+            "us", "event_id")
+          .orderBy("t0", "t1", "t2")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type AS t0, epoch_us(ts) AS us,
+             |    event_id
+             |  FROM events),
+             |tr AS (
+             |  SELECT t0,
+             |    LEAD(t0, 1) OVER w AS t1,
+             |    LEAD(t0, 2) OVER w AS t2
+             |  FROM e
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+             |c AS (
+             |  SELECT t0, t1, t2, COUNT(*) AS n FROM tr
+             |  WHERE t2 IS NOT NULL GROUP BY 1, 2, 3)
+             |SELECT t0, t1, t2, CAST(n AS BIGINT) AS n,
+             |  CAST(n AS DOUBLE)
+             |    / CAST(SUM(n) OVER (PARTITION BY t0) AS DOUBLE)
+             |    AS share_of_t0
+             |FROM c ORDER BY t0, t1, t2""".stripMargin))
   )
 }

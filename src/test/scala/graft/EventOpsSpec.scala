@@ -122,6 +122,21 @@ class EventOpsSpec extends AnyFunSuite {
       !got(1).getBoolean(4))
   }
 
+  test("trigramMotifs: consecutive triples with tiebreak; shares per first step") {
+    import spark.implicits._
+    val ev = Seq((1L, "a", 10L, 1L), (1L, "b", 10L, 2L), (1L, "c", 20L, 3L),
+      (1L, "d", 30L, 4L), (2L, "a", 0L, 5L), (2L, "b", 1L, 6L),
+      (2L, "x", 2L, 7L))
+      .toDF("user_id", "t", "us", "eid")
+    val got = graft.ops.EventOps.trigramMotifs(ev, "user_id", "t", "us", "eid")
+      .orderBy("t0", "t1", "t2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq == Seq(("a", "b", "c", 1L, 0.5), ("a", "b", "x", 1L, 0.5),
+      ("b", "c", "d", 1L, 1.0)),
+      s"same-instant a/b must order by the tiebreak: ${got.toSeq}")
+  }
+
   test("itemCooccurrence: degree cap excludes the celebrity; jaccard from capped pops") {
     import spark.implicits._
     val ui = (Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L)) ++
