@@ -627,12 +627,38 @@ object EventOps {
     */
   def rollingDistinctUsers(events: DataFrame, userCol: String,
                            tsCol: String, windowDays: Int,
-                           outCol: String = "n_active"): DataFrame = {
-    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
-    val act = events
+                           outCol: String = "n_active"): DataFrame =
+    rollingFromActivity(
+      activityDays(events, userCol, tsCol), windowDays, outCol)
+
+  /** Several window lengths over ONE corpus scan — the DAU/WAU/MAU
+    * report shape: the deduped (user, day) plane is materialized once
+    * (localCheckpoint) and each window length reuses it; the per-L
+    * frames join on the shared day spine. 3 windows = 1 scan, not 3.
+    *
+    * → (day, <name> per requested (windowDays, name))
+    */
+  def rollingDistinctUsersMulti(events: DataFrame, userCol: String,
+                                tsCol: String,
+                                windows: Seq[(Int, String)]): DataFrame = {
+    require(windows.nonEmpty, "need at least one window")
+    require(windows.map(_._2).distinct.size == windows.size,
+      "output column names must be distinct")
+    val act = activityDays(events, userCol, tsCol).localCheckpoint()
+    windows.map { case (l, name) => rollingFromActivity(act, l, name) }
+      .reduce(_.join(_, "day"))
+  }
+
+  private def activityDays(events: DataFrame, userCol: String,
+                           tsCol: String): DataFrame =
+    events
       .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__d"))
       .filter(col("__u").isNotNull && col("__d").isNotNull)
       .distinct()
+
+  private def rollingFromActivity(act: DataFrame, windowDays: Int,
+                                  outCol: String): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__u")).orderBy(col("__d"))
     val seg = act

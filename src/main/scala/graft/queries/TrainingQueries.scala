@@ -5846,13 +5846,8 @@ object TrainingQueries {
       "q192_active_users",
       (s, dir) => {
         val ev = Tables.events(s, dir)
-        val dau = graft.ops.EventOps.rollingDistinctUsers(
-          ev, "user_id", "ts", 1, "dau")
-        val wau = graft.ops.EventOps.rollingDistinctUsers(
-          ev, "user_id", "ts", 7, "wau")
-        val mau = graft.ops.EventOps.rollingDistinctUsers(
-          ev, "user_id", "ts", 28, "mau")
-        dau.join(wau, "day").join(mau, "day")
+        graft.ops.EventOps.rollingDistinctUsersMulti(ev, "user_id", "ts",
+            Seq(1 -> "dau", 7 -> "wau", 28 -> "mau"))
           .select(
             datediff(col("day"), lit("1970-01-01")).cast("long").as("day_num"),
             col("dau"), col("wau"), col("mau"),
