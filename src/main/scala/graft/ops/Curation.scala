@@ -297,6 +297,33 @@ object Curation {
           col("n_tokens").cast("double")).as("epochs"))
   }
 
+  /** Weighted sampling WITHOUT replacement, deterministic (Efraimidis &
+    * Spirakis, IPL 2006 — "A-ES"): each row gets key = ln(u)/w with u a
+    * hash-derived uniform in (0,1), and the k LARGEST keys are exactly
+    * a w-weighted sample without replacement. Because u comes from the
+    * md5-48bit recipe instead of rand(), the sample is reproducible,
+    * re-partition-stable, incremental-safe — and SQL-replayable, which
+    * no rand()-based sampler is.
+    *
+    * Scale shape: one codegen projection for the keys + a distributed
+    * top-k (TakeOrderedAndProject: per-partition heaps, k rows to the
+    * driver-side merge) — the corpus is never globally sorted.
+    *
+    * → input row + (sample_key), the k selected rows.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+      .cast("double")
+    val u = (h + lit(1.0)) / lit(281474976710658.0) // (h+1)/(2^48+2): u in (0,1)
+    val key = log(u) / col(weightCol).cast("double")
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("sample_key", key)
+      .orderBy(col("sample_key").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Mixture-diversity report — the concentration metrics a data-mixing
     * decision reads before picking [[temperatureWeights]]' α or
     * [[unimaxAllocation]]'s budget: per-domain shares summarized as

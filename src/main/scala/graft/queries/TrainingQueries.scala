@@ -6467,6 +6467,40 @@ object TrainingQueries {
              |  CAST(n AS DOUBLE)
              |    / CAST(SUM(n) OVER (PARTITION BY t0) AS DOUBLE)
              |    AS share_of_t0
-             |FROM c ORDER BY t0, t1, t2""".stripMargin))
+             |FROM c ORDER BY t0, t1, t2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Deterministic weighted sampling (Curation.weightedSample —
+    // Efraimidis–Spirakis A-ES): key = ln(u)/w with u from the md5-48bit
+    // hash, top-k keys = an exact w-weighted sample without replacement
+    // that is reproducible and SQL-replayable (no rand()). One codegen
+    // key projection + a distributed top-k; no global sort.
+    QuerySpec(
+      "q206_weighted_sample",
+      (s, dir) => graft.ops.Curation.weightedSample(
+          Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", k = 50)
+        .orderBy("doc_id"),
+      Some {
+        val h48 = (1 to 12).map { p =>
+          val pw = java.math.BigInteger.valueOf(16L).pow(12 - p)
+          s"(STRPOS('0123456789abcdef', m[$p]) - 1) * $pw"
+        }.mkString(" + ")
+        s"""WITH hh AS (
+           |  SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS m
+           |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+           |h AS (
+           |  SELECT doc_id, n_chars, CAST(($h48) AS DOUBLE) AS hv
+           |  FROM hh),
+           |kk AS (
+           |  SELECT doc_id, n_chars,
+           |    ln((hv + 1.0) / 281474976710658.0)
+           |      / CAST(n_chars AS DOUBLE) AS sample_key
+           |  FROM h),
+           |t AS (SELECT * FROM kk
+           |      ORDER BY sample_key DESC, doc_id LIMIT 50)
+           |SELECT doc_id, n_chars, sample_key FROM t
+           |ORDER BY doc_id""".stripMargin
+      })
   )
 }

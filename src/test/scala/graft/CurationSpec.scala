@@ -478,6 +478,26 @@ class CurationSpec extends AnyFunSuite {
     assert(post2.get(1L).contains(false), "missing shard must report ok=false")
   }
 
+  test("weightedSample: weight-proportional inclusion, deterministic, top-k plan") {
+    import spark.implicits._
+    // 5000 heavy (w=100) + 5000 light (w=1) rows; a 500-row sample must be
+    // dominated by heavy rows (A-ES inclusion ~ weight share)
+    val df = (0L until 10000L).map(i =>
+      (i, if (i < 5000) 100L else 1L)).toDF("id", "w")
+    val sample = Curation.weightedSample(df, "id", "w", k = 500)
+    val heavy = sample.filter(col("w") === 100L).count()
+    assert(heavy > 450L, s"heavy rows must dominate the sample: $heavy/500")
+    assert(sample.count() == 500L)
+    // deterministic: identical run, identical sample
+    val again = Curation.weightedSample(df.repartition(13), "id", "w", 500)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == sample.select("id").collect().map(_.getLong(0)).toSet,
+      "sample must be layout-invariant")
+    // distributed top-k, not a global sort
+    val plan = sample.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+  }
+
   test("mixtureDiversity: uniform, single-source and 75/25 hand values") {
     import spark.implicits._
     def report(rows: Seq[String]) = {
