@@ -361,6 +361,55 @@ object EventOps {
       .withColumn("is_regular", col("cv") < cvFlag)
   }
 
+  /** CUSUM change-point detection per series (Page, Biometrika 1954):
+    * cumulative sum of deviations of the daily mean from the series'
+    * global mean — a level shift makes |CUSUM| peak AT the change
+    * point, which flat noise never does. The argmax day (ties → the
+    * earliest) is the estimated change point, the classic offline
+    * single-change localizer.
+    *
+    * Exactness: daily and global sums ride DECIMAL(18,6) and exit over
+    * the VARCHAR bridge, so both means are engine-identical doubles;
+    * each deviation is cast back to DECIMAL(18,6) before the running
+    * sum (order-independent), and the argmax is a (|cusum| DESC, day)
+    * row_number — no float comparisons against a stored max.
+    *
+    * Scale shape: one aggregation to the (series, day) plane; every
+    * window is series-partitioned on that plane.
+    *
+    * → (typeCol, day, daily_mean, cusum, is_cp) — one row per
+    *   (series, active day)
+    */
+  def cusumChangePoint(events: DataFrame, typeCol: String,
+                       valueCol: String, tsCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val daily = events
+      .select(col(typeCol), to_date(col(tsCol)).as("day"),
+        col(valueCol).cast("double").cast("decimal(18,6)").as("__v"))
+      .filter(col("__v").isNotNull && col("day").isNotNull)
+      .groupBy(col(typeCol), col("day"))
+      .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
+    val wt = W.partitionBy(col(typeCol))
+    val wRun = W.partitionBy(col(typeCol)).orderBy(col("day"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    daily
+      .withColumn("daily_mean",
+        col("__s").cast("string").cast("double") / col("__n").cast("double"))
+      .withColumn("__stot", sum(col("__s")).over(wt))
+      .withColumn("__ntot", sum(col("__n")).over(wt))
+      .withColumn("__gmean", col("__stot").cast("string").cast("double") /
+        col("__ntot").cast("double"))
+      .withColumn("__dev",
+        (col("daily_mean") - col("__gmean")).cast("decimal(18,6)"))
+      .withColumn("cusum",
+        sum(col("__dev")).over(wRun).cast("string").cast("double"))
+      .withColumn("is_cp", row_number().over(
+        W.partitionBy(col(typeCol))
+          .orderBy(abs(col("cusum")).desc, col("day"))) === 1)
+      .select(col(typeCol), col("day"), col("daily_mean"), col("cusum"),
+        col("is_cp"))
+  }
+
   /** Frequent k=3 behavior motifs — the third-order sibling of
     * [[transitions]]: per user the (t, next, next²) trigrams from TWO
     * lead windows over one (us, tie)-ordered pass (no self-joins —

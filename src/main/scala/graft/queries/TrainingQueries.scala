@@ -6501,6 +6501,52 @@ object TrainingQueries {
            |      ORDER BY sample_key DESC, doc_id LIMIT 50)
            |SELECT doc_id, n_chars, sample_key FROM t
            |ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // CUSUM change-point localization (EventOps.cusumChangePoint — Page
+    // 1954): per event type, |cumulative deviation of the daily mean
+    // from the global mean| peaks at a level shift. Means ride
+    // DECIMAL(18,6) sums over the VARCHAR bridge; deviations re-enter
+    // decimal before the running sum; the argmax is a row_number, not
+    // a float-equality against a stored max.
+    QuerySpec(
+      "q207_cusum_changepoint",
+      (s, dir) => graft.ops.EventOps.cusumChangePoint(
+          Tables.events(s, dir), "event_type", "value", "ts")
+        .select(col("event_type"),
+          datediff(col("day"), lit("1970-01-01")).cast("long")
+            .as("day_num"),
+          col("daily_mean"), col("cusum"), col("is_cp"))
+        .orderBy("event_type", "day_num"),
+      Some("""WITH d AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(value AS DECIMAL(18,6)) AS v
+             |  FROM events WHERE value IS NOT NULL),
+             |g AS (
+             |  SELECT event_type, day, SUM(v) AS s, COUNT(*) AS n
+             |  FROM d GROUP BY 1, 2),
+             |m AS (
+             |  SELECT event_type, day,
+             |    CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+             |      AS daily_mean,
+             |    CAST(CAST(SUM(s) OVER (PARTITION BY event_type)
+             |      AS VARCHAR) AS DOUBLE)
+             |      / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)
+             |      AS gmean
+             |  FROM g),
+             |cu AS (
+             |  SELECT event_type, day, daily_mean,
+             |    CAST(CAST(SUM(CAST(daily_mean - gmean AS DECIMAL(18,6)))
+             |      OVER (PARTITION BY event_type ORDER BY day
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS VARCHAR) AS DOUBLE) AS cusum
+             |  FROM m)
+             |SELECT event_type,
+             |  CAST(day - DATE '1970-01-01' AS BIGINT) AS day_num,
+             |  daily_mean, cusum,
+             |  ROW_NUMBER() OVER (PARTITION BY event_type
+             |    ORDER BY ABS(cusum) DESC, day) = 1 AS is_cp
+             |FROM cu ORDER BY event_type, day_num""".stripMargin))
   )
 }

@@ -122,6 +122,28 @@ class EventOpsSpec extends AnyFunSuite {
       !got(1).getBoolean(4))
   }
 
+  test("cusumChangePoint: the planted level shift is localized at its boundary") {
+    import spark.implicits._
+    // mean 1.0 for Jan 1-10, mean 5.0 for Jan 11-20: |CUSUM| peaks Jan 10
+    val rows = (1 to 20).flatMap { d =>
+      val v = if (d <= 10) 1.0 else 5.0
+      Seq(("x", v, f"2024-01-$d%02d 01:00:00"), ("x", v, f"2024-01-$d%02d 02:00:00"))
+    }
+    val got = graft.ops.EventOps.cusumChangePoint(
+        rows.toDF("event_type", "value", "s")
+          .select(col("event_type"), col("value"),
+            to_timestamp(col("s")).as("ts")),
+        "event_type", "value", "ts")
+      .orderBy("day").collect()
+    val cp = got.filter(_.getBoolean(4))
+    assert(cp.length == 1 && cp.head.getDate(1).toString == "2024-01-10",
+      s"change point must sit at the shift boundary: ${cp.toSeq}")
+    assert(math.abs(cp.head.getDouble(3) + 20.0) < 1e-9,
+      s"CUSUM at the boundary must be -20: ${cp.head.getDouble(3)}")
+    assert(math.abs(got.last.getDouble(3)) < 1e-9,
+      "CUSUM returns to ~0 at the series end")
+  }
+
   test("trigramMotifs: consecutive triples with tiebreak; shares per first step") {
     import spark.implicits._
     val ev = Seq((1L, "a", 10L, 1L), (1L, "b", 10L, 2L), (1L, "c", 20L, 3L),
