@@ -192,6 +192,69 @@ object StreamingAggregates {
         }: _*)
   }
 
+  final case class GapEvent(user_id: Long, us: Long, tie: Long)
+  final case class GapBuf(uss: Array[Long], ties: Array[Long])
+  final case class CadenceRow(user_id: Long, n_gaps: Long,
+                              mean_gap_us: Double, cv: Option[Double],
+                              is_regular: Option[Boolean])
+
+  /** Incremental inter-event cadence — the streaming flavor of
+    * [[graft.ops.EventOps.cadenceProfile]] (the bot/automation gate),
+    * maintained per user across micro-batches with
+    * flatMapGroupsWithState in update mode.
+    *
+    * The [[streamingFunnel]] buffer-and-replay contract: state holds
+    * the user's (us, tie) pairs — late or out-of-order arrivals
+    * re-sort and re-derive every gap, which no incremental running-
+    * moment scheme gets right when an EARLIER event arrives late and
+    * splits an existing gap in two. Moments replay exactly: Σg in
+    * Long, Σg² in BigInt (the batch side's DECIMAL(38,0)), both
+    * converging to the same nearest-double as the batch VARCHAR
+    * bridge, then the identical IEEE mean/variance/cv sequence — so
+    * the LATEST emission per user equals the batch profile
+    * bit-for-bit (asserted in StreamingAggSpec).
+    *
+    * State is per-user trajectory-sized (two longs per event), the
+    * [[streamingFunnel]] budget.
+    */
+  def streamingCadence(spark: SparkSession, events: DataFrame,
+                       cvFlag: Double = 0.1): DataFrame = {
+    import spark.implicits._
+    val ev = events.select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("us"),
+        col("event_id").cast("long").as("tie"))
+      .as[GapEvent]
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, batch: Iterator[GapEvent],
+         state: GroupState[GapBuf]) => {
+          val prev = state.getOption.getOrElse(
+            GapBuf(Array.empty, Array.empty))
+          val fresh = batch.toArray
+          val uss = prev.uss ++ fresh.map(_.us)
+          val ties = prev.ties ++ fresh.map(_.tie)
+          state.update(GapBuf(uss, ties))
+          if (uss.length < 2) Iterator.empty
+          else {
+            val order = uss.indices.sortBy(i => (uss(i), ties(i)))
+            val sorted = order.map(uss(_)).toArray
+            val gaps = Array.tabulate(sorted.length - 1)(i =>
+              sorted(i + 1) - sorted(i))
+            val n = gaps.length.toLong
+            val sg = gaps.sum
+            val sq = gaps.foldLeft(BigInt(0))((a, g) =>
+              a + BigInt(g) * BigInt(g))
+            val nD = n.toDouble
+            val sgD = sg.toDouble
+            val mean = sgD / nD
+            val vr = math.max((sq.toDouble - sgD * sgD / nD) / nD, 0.0)
+            val cv = if (mean > 0) Some(math.sqrt(vr) / mean) else None
+            Iterator(CadenceRow(uid, n, mean, cv, cv.map(_ < cvFlag)))
+          }
+        })
+      .toDF()
+  }
+
   final case class RetEvent(user_id: Long, us: Long)
   final case class RetBuf(uss: Array[Long])
   final case class RetDelta(cohort_period: Long, period_offset: Long,

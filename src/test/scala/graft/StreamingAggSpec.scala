@@ -96,6 +96,31 @@ class StreamingAggSpec extends AnyFunSuite {
     assert(sameCode == batch)
   }
 
+  test("streaming cadence: latest emission per user == batch cadenceProfile, bit-exact") {
+    val streaming = runToMemory(
+      StreamingAggregates.streamingCadence(spark, streamEvents),
+      "cadence_stream", "update")
+    // latest state = max n_gaps per user (monotone across micro-batches)
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_gaps").desc)
+    val latest = streaming.withColumn("rn", row_number().over(byUser))
+      .filter(col("rn") === 1).drop("rn")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2),
+          if (r.isNullAt(3)) null else r.getDouble(3)))).toMap
+    val ev = Tables.events(spark, sf).select(col("user_id"),
+      unix_micros(col("ts")).as("us"), col("event_id"))
+    val batch = graft.ops.EventOps.cadenceProfile(ev, "user_id", "us",
+        "event_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2),
+          if (r.isNullAt(3)) null else r.getDouble(3)))).toMap
+    assert(latest.nonEmpty && latest.keySet == batch.keySet)
+    latest.foreach { case (u, s) =>
+      assert(s == batch(u), s"user $u: streaming $s vs batch ${batch(u)}")
+    }
+  }
+
   test("stream-stream interval join: streaming == batch, both sides stateful") {
     val ev = streamEvents
     val streaming = runToMemory(
