@@ -290,6 +290,48 @@ object TextOps {
       .select(col("node").as("token"), col("rank"))
   }
 
+  /** Zipf power-law fit (Zipf 1949; the q180 Heaps-law sibling): OLS of
+    * ln(frequency) on ln(rank) over the top-K vocabulary — the slope
+    * (≈ −1 for natural language) is the standard corpus-naturalness
+    * probe: boilerplate-heavy or synthetic corpora flatten or steepen
+    * it. Every regression moment is one ln/product of integer-derived
+    * doubles cast to DECIMAL(18,12) before summing (the q106 recipe),
+    * exiting over the VARCHAR bridge into a fixed IEEE sequence — the
+    * whole fit hash-matches.
+    *
+    * Scale shape: one corpus aggregation to the vocabulary, a
+    * distributed top-K (TakeOrderedAndProject), then everything runs on
+    * the K-row head — the rank window is over K rows, never the corpus.
+    *
+    * → one row (n_tokens, slope, intercept, r2)
+    */
+  def zipfFit(docs: DataFrame, textCol: String, topK: Int = 1000): DataFrame = {
+    require(topK >= 10, s"topK must be >= 10, got $topK")
+    val counts = docs
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("tok")).limit(topK)
+    val ranked = counts.withColumn("rk", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("f").desc, col("tok"))))
+    val lx = log(col("rk").cast("double"))
+    val ly = log(col("f").cast("double"))
+    def dsum(c: Column, name: String) =
+      sum(c.cast("decimal(18,12)")).as(name)
+    val m = ranked.agg(count(lit(1)).as("n_tokens"),
+      dsum(lx, "__sx"), dsum(ly, "__sy"), dsum(lx * ly, "__sxy"),
+      dsum(lx * lx, "__sxx"), dsum(ly * ly, "__syy"))
+    def d(name: String) = col(name).cast("string").cast("double")
+    val nD = col("n_tokens").cast("double")
+    val covXY = d("__sxy") - d("__sx") * d("__sy") / nD
+    val varX = d("__sxx") - d("__sx") * d("__sx") / nD
+    val varY = d("__syy") - d("__sy") * d("__sy") / nD
+    val slope = covXY / varX
+    m.select(col("n_tokens"), slope.as("slope"),
+      (d("__sy") / nD - slope * d("__sx") / nD).as("intercept"),
+      (covXY * covXY / (varX * varY)).as("r2"))
+  }
+
   /** Rolling-hash document fingerprint: minimum 64-bit hash over character
     * shingles — a winnowing-style single-value sketch.
     */

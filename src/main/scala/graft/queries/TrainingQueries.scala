@@ -6547,6 +6547,53 @@ object TrainingQueries {
              |  daily_mean, cusum,
              |  ROW_NUMBER() OVER (PARTITION BY event_type
              |    ORDER BY ABS(cusum) DESC, day) = 1 AS is_cp
-             |FROM cu ORDER BY event_type, day_num""".stripMargin))
+             |FROM cu ORDER BY event_type, day_num""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Zipf power-law fit (TextOps.zipfFit — q180's Heaps-law sibling):
+    // OLS of ln f on ln rank over the top-1000 vocabulary. Regression
+    // moments ride the ln→DECIMAL(18,12) recipe over the VARCHAR
+    // bridge; the head rank window runs on 1000 rows, never the corpus.
+    QuerySpec(
+      "q208_zipf_fit",
+      (s, dir) => graft.ops.TextOps.zipfFit(
+        Tables.documents(s, dir), "text", topK = 1000),
+      Some(s"""WITH t AS (SELECT unnest($toksSql) AS tok FROM documents),
+             |c AS (SELECT tok, COUNT(*) AS f FROM t GROUP BY tok),
+             |top AS (SELECT tok, f FROM c ORDER BY f DESC, tok
+             |        LIMIT 1000),
+             |r AS (SELECT f,
+             |        ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS rk
+             |      FROM top),
+             |m AS (
+             |  SELECT COUNT(*) AS n,
+             |    SUM(CAST(ln(CAST(rk AS DOUBLE)) AS DECIMAL(18,12)))
+             |      AS sx,
+             |    SUM(CAST(ln(CAST(f AS DOUBLE)) AS DECIMAL(18,12)))
+             |      AS sy,
+             |    SUM(CAST(ln(CAST(rk AS DOUBLE)) * ln(CAST(f AS DOUBLE))
+             |      AS DECIMAL(18,12))) AS sxy,
+             |    SUM(CAST(ln(CAST(rk AS DOUBLE)) * ln(CAST(rk AS DOUBLE))
+             |      AS DECIMAL(18,12))) AS sxx,
+             |    SUM(CAST(ln(CAST(f AS DOUBLE)) * ln(CAST(f AS DOUBLE))
+             |      AS DECIMAL(18,12))) AS syy
+             |  FROM r),
+             |d AS (
+             |  SELECT CAST(n AS BIGINT) AS n_tokens,
+             |    CAST(n AS DOUBLE) AS nd,
+             |    CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+             |    CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+             |    CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd,
+             |    CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxxd,
+             |    CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syyd
+             |  FROM m)
+             |SELECT n_tokens,
+             |  (sxyd - sxd * syd / nd) / (sxxd - sxd * sxd / nd) AS slope,
+             |  syd / nd - ((sxyd - sxd * syd / nd)
+             |    / (sxxd - sxd * sxd / nd)) * sxd / nd AS intercept,
+             |  ((sxyd - sxd * syd / nd) * (sxyd - sxd * syd / nd))
+             |    / ((sxxd - sxd * sxd / nd) * (syyd - syd * syd / nd))
+             |    AS r2
+             |FROM d""".stripMargin))
   )
 }

@@ -101,6 +101,20 @@ class TextStatsSpec extends AnyFunSuite {
       (6L, 0L, 0L, 0L)))
   }
 
+  test("zipfFit: a planted 1/r corpus fits slope -1 with r2 ~ 1") {
+    import spark.implicits._
+    // token w<r> appears round(1200/r) times, r = 1..60: exact Zipf head
+    val words = (1 to 60).flatMap(r =>
+      Seq.fill(math.round(1200.0 / r).toInt)(s"w$r"))
+    val docs = words.grouped(50).map(_.mkString(" ")).toSeq.toDF("text")
+    val got = graft.ops.TextOps.zipfFit(docs, "text", topK = 60).head()
+    assert(got.getLong(0) == 60L)
+    val slope = got.getDouble(1)
+    val r2 = got.getDouble(3)
+    assert(slope > -1.05 && slope < -0.95, s"slope $slope")
+    assert(r2 > 0.999, s"r2 $r2")
+  }
+
   test("textRankKeywords: the hub word of a planted star graph ranks first") {
     import spark.implicits._
     val docs = Seq(
