@@ -361,6 +361,67 @@ object EventOps {
       .withColumn("is_regular", col("cv") < cvFlag)
   }
 
+  /** Lead–lag cross-correlation between two event series (the
+    * econometric CCF): Pearson r between x's daily count and y's daily
+    * count shifted by k days, for every |k| ≤ maxLag — "does X lead
+    * Y?" answered by where the correlation peaks. Positive k means
+    * y LAGS x by k days (x leads).
+    *
+    * Exactness: daily counts are integers on a zero-filled day spine
+    * (gap days count 0 — dropping them would bias r); each lag's five
+    * moments are exact integer/DECIMAL(38,0) sums that exit over the
+    * VARCHAR bridge into the fixed Pearson sequence, engine-identical.
+    *
+    * Scale shape: one aggregation to the day plane; the 2·maxLag+1
+    * lagged pairings are joins ON that plane (days × lags rows — tiny
+    * at any corpus size).
+    *
+    * → (lag, n_days, r) — r NULL when either side has zero variance
+    *   in the overlap.
+    */
+  def leadLagCorrelation(events: DataFrame, typeCol: String, typeX: String,
+                         typeY: String, tsCol: String,
+                         maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 60, s"maxLag in [1,60], got $maxLag")
+    val daily = events
+      .select(col(typeCol).as("__t"), to_date(col(tsCol)).as("__d"))
+      .filter(col("__d").isNotNull &&
+        (col("__t") === typeX || col("__t") === typeY))
+      .groupBy(col("__d"))
+      .agg(sum(when(col("__t") === typeX, 1L).otherwise(0L)).as("__x"),
+        sum(when(col("__t") === typeY, 1L).otherwise(0L)).as("__y"))
+    val spine = daily
+      .agg(min(col("__d")).as("__lo"), max(col("__d")).as("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("__d"))
+    val d = spine.join(daily, Seq("__d"), "left")
+      .select(datediff(col("__d"), lit("1970-01-01")).cast("long")
+        .as("__dn"),
+        coalesce(col("__x"), lit(0L)).as("__x"),
+        coalesce(col("__y"), lit(0L)).as("__y"))
+      .localCheckpoint() // tiny day plane, reused by every lag
+    val ks = d.sparkSession.range(-maxLag.toLong, maxLag + 1L)
+      .select(col("id").as("lag"))
+    val paired = ks.crossJoin(d.select(col("__dn"), col("__x")))
+      .join(d.select(col("__dn").as("__dn2"), col("__y")),
+        col("__dn2") === col("__dn") + col("lag"))
+    val m = paired.groupBy("lag").agg(
+      count(lit(1)).as("n_days"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x").cast("decimal(38,0)") * col("__y")).as("__sxy"),
+      sum(col("__x").cast("decimal(38,0)") * col("__x")).as("__sxx"),
+      sum(col("__y").cast("decimal(38,0)") * col("__y")).as("__syy"))
+    def d2(name: String) = col(name).cast("string").cast("double")
+    val nD = col("n_days").cast("double")
+    val cov = nD * d2("__sxy") - col("__sx").cast("double") *
+      col("__sy").cast("double")
+    val vx = nD * d2("__sxx") - col("__sx").cast("double") *
+      col("__sx").cast("double")
+    val vy = nD * d2("__syy") - col("__sy").cast("double") *
+      col("__sy").cast("double")
+    m.select(col("lag"), col("n_days"),
+      when(vx > 0 && vy > 0, cov / (sqrt(vx) * sqrt(vy))).as("r"))
+  }
+
   /** CUSUM change-point detection per series (Page, Biometrika 1954):
     * cumulative sum of deviations of the daily mean from the series'
     * global mean — a level shift makes |CUSUM| peak AT the change

@@ -6594,6 +6594,65 @@ object TrainingQueries {
              |  ((sxyd - sxd * syd / nd) * (sxyd - sxd * syd / nd))
              |    / ((sxxd - sxd * sxd / nd) * (syyd - syd * syd / nd))
              |    AS r2
-             |FROM d""".stripMargin))
+             |FROM d""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Lead–lag cross-correlation (EventOps.leadLagCorrelation — does
+    // 'view' lead 'purchase'?): Pearson r between the zero-filled
+    // daily-count series at every shift |k| ≤ 3. Integer moments per
+    // lag over the VARCHAR bridge into the fixed Pearson sequence; all
+    // pairings are joins on the day plane.
+    QuerySpec(
+      "q209_lead_lag",
+      (s, dir) => graft.ops.EventOps.leadLagCorrelation(
+          Tables.events(s, dir), "event_type", "view", "purchase", "ts",
+          maxLag = 3)
+        .orderBy("lag"),
+      Some("""WITH e AS (
+             |  SELECT event_type AS t, CAST(ts AS DATE) AS d FROM events
+             |  WHERE event_type IN ('view', 'purchase')),
+             |g AS (
+             |  SELECT d,
+             |    SUM(CASE WHEN t = 'view' THEN 1 ELSE 0 END) AS x,
+             |    SUM(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END) AS y
+             |  FROM e GROUP BY d),
+             |b AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM g),
+             |days AS (
+             |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+             |    AS DATE) AS d FROM b),
+             |z AS (
+             |  SELECT CAST(days.d - DATE '1970-01-01' AS BIGINT) AS dn,
+             |    CAST(COALESCE(g.x, 0) AS BIGINT) AS x,
+             |    CAST(COALESCE(g.y, 0) AS BIGINT) AS y
+             |  FROM days LEFT JOIN g ON g.d = days.d),
+             |ks AS (SELECT unnest(range(-3, 4)) AS lag),
+             |p AS (
+             |  SELECT ks.lag, a.x, bb.y
+             |  FROM ks CROSS JOIN z a
+             |  JOIN z bb ON bb.dn = a.dn + ks.lag),
+             |m AS (
+             |  SELECT lag, COUNT(*) AS n_days,
+             |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             |    SUM(CAST(y AS HUGEINT) * y) AS syy
+             |  FROM p GROUP BY lag),
+             |f AS (
+             |  SELECT CAST(lag AS BIGINT) AS lag,
+             |    CAST(n_days AS BIGINT) AS n_days,
+             |    CAST(n_days AS DOUBLE) * CAST(CAST(sxy AS VARCHAR)
+             |      AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+             |      AS cov,
+             |    CAST(n_days AS DOUBLE) * CAST(CAST(sxx AS VARCHAR)
+             |      AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+             |      AS vx,
+             |    CAST(n_days AS DOUBLE) * CAST(CAST(syy AS VARCHAR)
+             |      AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+             |      AS vy
+             |  FROM m)
+             |SELECT lag, n_days,
+             |  CASE WHEN vx > 0 AND vy > 0 THEN
+             |    cov / (sqrt(vx) * sqrt(vy)) END AS r
+             |FROM f ORDER BY lag""".stripMargin))
   )
 }

@@ -122,6 +122,26 @@ class EventOpsSpec extends AnyFunSuite {
       !got(1).getBoolean(4))
   }
 
+  test("leadLagCorrelation: a planted 2-day lead peaks at exactly r=1") {
+    import spark.implicits._
+    // 'a' fires n(d) times on day d; 'b' fires n(d) times on day d+2
+    val rows = (1 to 10).flatMap { day =>
+      val n = day % 3 + 1
+      Seq.fill(n)(("a", f"2024-01-$day%02d 01:00:00")) ++
+        Seq.fill(n)(("b", f"2024-01-${day + 2}%02d 01:00:00"))
+    }
+    val ev = rows.toDF("event_type", "s")
+      .select(col("event_type"), to_timestamp(col("s")).as("ts"))
+    val got = graft.ops.EventOps.leadLagCorrelation(
+        ev, "event_type", "a", "b", "ts", maxLag = 3)
+      .orderBy("lag").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    assert(got(2L) == 1.0, s"the planted lead must correlate exactly: $got")
+    assert(got.filterNot(_._1 == 2L).values.forall(_ < 0.999),
+      s"other lags must not reach 1: $got")
+  }
+
   test("cusumChangePoint: the planted level shift is localized at its boundary") {
     import spark.implicits._
     // mean 1.0 for Jan 1-10, mean 5.0 for Jan 11-20: |CUSUM| peaks Jan 10
