@@ -137,7 +137,8 @@ class EventOpsSpec extends AnyFunSuite {
       .orderBy("lag").collect()
       .map(r => r.getLong(0) ->
         (if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
-    assert(got(2L) == 1.0, s"the planted lead must correlate exactly: $got")
+    assert(got(2L) > 1.0 - 1e-12,
+      s"the planted lead must correlate at ~1 (sqrt·sqrt ulp): $got")
     assert(got.filterNot(_._1 == 2L).values.forall(_ < 0.999),
       s"other lags must not reach 1: $got")
   }
