@@ -284,6 +284,11 @@ object TextOps {
         !col("a").isInCollection(stopwords) &&
         !col("b").isInCollection(stopwords) &&
         col("a") =!= col("b"))
+      // deduped BEFORE the reversal union: the explode+regex extraction
+      // runs once, and both directions reverse the small distinct pair
+      // set instead of re-scanning the corpus
+      .distinct()
+      .localCheckpoint()
     val edges = pairs
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
     WebGraph.pageRank(edges, "a", "b", iterations)
