@@ -445,6 +445,46 @@ object ScaleOps {
     * @return (q, value) — one row per requested quantile, value keeps
     *         the column's own type; empty input → empty result
     */
+  /** Exact weighted quantile per group (type-1 / lower: the smallest
+    * value whose cumulative weight reaches q·W) with the threshold as a
+    * CROSS-MULTIPLIED integer comparison — den·cum ≥ num·W for
+    * q = num/den — so no float boundary can flip a verdict and any
+    * engine replays it exactly. The workhorse is the weighted MEDIAN
+    * (num=1, den=2): "half the TOKENS sit in docs shorter than this",
+    * which the unweighted median misstates whenever length and weight
+    * correlate (they always do).
+    *
+    * Plan: weights pre-aggregate per (group, value) — ties collapse
+    * before the window, so the running sum is over distinct values —
+    * then one group-partitioned cumsum and a min over qualifying
+    * values. Two shuffles, both keyed by group.
+    *
+    * → (groupCols…, wq_value, total_w)
+    */
+  def weightedQuantile(df: DataFrame, groupCols: Seq[String],
+                       valueCol: String, weightCol: String,
+                       qNum: Long = 1L, qDen: Long = 2L): DataFrame = {
+    require(qNum >= 0 && qDen > 0 && qNum <= qDen,
+      s"quantile must be a rational in [0,1]: $qNum/$qDen")
+    val W = org.apache.spark.sql.expressions.Window
+    val byVal = df
+      .select(groupCols.map(col) :+ col(valueCol).as("__v") :+
+        col(weightCol).cast("long").as("__w"): _*)
+      .filter(col("__v").isNotNull && col("__w").isNotNull &&
+        col("__w") > 0)
+      .groupBy(groupCols.map(col) :+ col("__v"): _*)
+      .agg(sum(col("__w")).as("__wv"))
+    val wRun = W.partitionBy(groupCols.map(col): _*).orderBy(col("__v"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    val wAll = W.partitionBy(groupCols.map(col): _*)
+    byVal
+      .withColumn("__cum", sum(col("__wv")).over(wRun))
+      .withColumn("__tot", sum(col("__wv")).over(wAll))
+      .filter(col("__cum") * qDen >= col("__tot") * qNum)
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(col("__v")).as("wq_value"), min(col("__tot")).as("total_w"))
+  }
+
   def exactQuantiles(df: DataFrame, valueCol: String, qs: Seq[Double],
                      numPartitions: Int): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),

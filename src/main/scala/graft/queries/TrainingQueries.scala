@@ -6653,6 +6653,44 @@ object TrainingQueries {
              |SELECT lag, n_days,
              |  CASE WHEN vx > 0 AND vy > 0 THEN
              |    cov / (sqrt(vx) * sqrt(vy)) END AS r
-             |FROM f ORDER BY lag""".stripMargin))
+             |FROM f ORDER BY lag""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Token-weighted median document length per source
+    // (ScaleOps.weightedQuantile — type-1 weighted quantile with the
+    // threshold cross-multiplied to integers: 2·cum ≥ W, no float
+    // boundary): "half the TOKENS live in docs shorter than this",
+    // which the unweighted median misstates. Ties collapse before the
+    // group-partitioned cumsum.
+    QuerySpec(
+      "q210_weighted_median",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("source"),
+          col("n_chars"), TextOps.tokenCount(col("text")).as("n_tok"))
+        graft.ops.ScaleOps.weightedQuantile(d, Seq("source"), "n_chars",
+            "n_tok")
+          .select(col("source"), col("wq_value").as("median_chars"),
+            col("total_w").as("total_tokens"))
+          .orderBy("source")
+      },
+      Some(s"""WITH d AS (
+             |  SELECT source, n_chars,
+             |    CAST(len($toksSql) AS BIGINT) AS w
+             |  FROM documents
+             |  WHERE n_chars IS NOT NULL AND len($toksSql) > 0),
+             |g AS (
+             |  SELECT source, n_chars, SUM(w) AS wv
+             |  FROM d GROUP BY 1, 2),
+             |c AS (
+             |  SELECT source, n_chars, wv,
+             |    SUM(wv) OVER (PARTITION BY source ORDER BY n_chars
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cum,
+             |    SUM(wv) OVER (PARTITION BY source) AS tot
+             |  FROM g)
+             |SELECT source, MIN(n_chars) AS median_chars,
+             |  CAST(MIN(tot) AS BIGINT) AS total_tokens
+             |FROM c WHERE cum * 2 >= tot
+             |GROUP BY source ORDER BY source""".stripMargin))
   )
 }

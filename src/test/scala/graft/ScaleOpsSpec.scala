@@ -224,4 +224,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(plan).size <= 1 ||
       "Exchange hashpartitioning".r.findAllIn(plan).size <= 1)
   }
+
+  test("weightedQuantile: weight-heavy values win; ties collapse; rational thresholds") {
+    import spark.implicits._
+    // median of {1(w1), 2(w1), 10(w8)} is 10 — the unweighted median is 2
+    val a = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 10L, 8L))
+      .toDF("grp", "v", "w")
+    val med = ScaleOps.weightedQuantile(a, Seq("grp"), "v", "w").head()
+    assert(med.getLong(1) == 10L && med.getLong(2) == 10L)
+    // uniform 1..4: q=1/4 -> 1, q=1/2 -> 2, q=1 -> 4
+    val u = Seq(1L, 2L, 3L, 4L).map(("g", _, 1L)).toDF("grp", "v", "w")
+    def q(n: Long, d: Long) = ScaleOps.weightedQuantile(
+      u, Seq("grp"), "v", "w", n, d).head().getLong(1)
+    assert(q(1, 4) == 1L && q(1, 2) == 2L && q(1, 1) == 4L)
+    // duplicate values collapse into one weight before the cumsum
+    val t = Seq(("g", 2L, 1L), ("g", 2L, 1L), ("g", 1L, 1L))
+      .toDF("grp", "v", "w")
+    assert(ScaleOps.weightedQuantile(t, Seq("grp"), "v", "w")
+      .head().getLong(1) == 2L)
+  }
 }
