@@ -541,6 +541,58 @@ object EventOps {
           .as("jaccard"))
   }
 
+  /** Association rules over the [[itemCooccurrence]] plane (Agrawal &
+    * Srikant, VLDB 1994 — support/confidence/lift, the market-basket
+    * classics): each undirected co-occurrence pair yields BOTH directed
+    * rules a→b and b→a, with
+    *
+    *   support    = n(a,b) / N       (N = capped user universe)
+    *   confidence = n(a,b) / pop(a)
+    *   lift       = confidence / (pop(b) / N)
+    *
+    * — all from integers the co-occurrence pass already produced, so
+    * the readout is three IEEE divisions per rule. Same degree-cap
+    * scale guard; lift > 1 = genuinely associated, < 1 = substitutes.
+    *
+    * → (antecedent, consequent, n_users, support, confidence, lift)
+    */
+  def associationRules(interactions: DataFrame, userCol: String,
+                       itemCol: String, maxUserDegree: Int = 50,
+                       minSupport: Long = 2L): DataFrame = {
+    val ui = interactions
+      .select(col(userCol).as("__u"), col(itemCol).as("__i"))
+      .filter(col("__u").isNotNull && col("__i").isNotNull)
+      .distinct()
+    val deg = ui.groupBy("__u").agg(count(lit(1)).as("__deg"))
+    val kept = ui.join(deg.filter(col("__deg") <= maxUserDegree), "__u")
+      .select(col("__u"), col("__i"))
+      .localCheckpoint() // shared by N, popularities and the pair join
+    val nUsers = kept.select(col("__u")).distinct()
+      .agg(count(lit(1)).as("__N0"))
+    val pop = kept.groupBy(col("__i")).agg(count(lit(1)).as("__pop"))
+    val und = kept.alias("x").join(kept.alias("y"),
+        col("x.__u") === col("y.__u") && col("x.__i") < col("y.__i"))
+      .select(col("x.__i").as("antecedent"), col("y.__i").as("consequent"))
+      .groupBy("antecedent", "consequent").agg(count(lit(1)).as("n_users"))
+      .filter(col("n_users") >= minSupport)
+    val directed = und.unionByName(und.select(
+      col("consequent").as("antecedent"), col("antecedent").as("consequent"),
+      col("n_users")))
+    val nD = col("__N0").cast("double")
+    directed
+      .join(pop.select(col("__i").as("antecedent"), col("__pop").as("__pa")),
+        "antecedent")
+      .join(pop.select(col("__i").as("consequent"), col("__pop").as("__pb")),
+        "consequent")
+      .crossJoin(broadcast(nUsers))
+      .select(col("antecedent"), col("consequent"), col("n_users"),
+        (col("n_users").cast("double") / nD).as("support"),
+        (col("n_users").cast("double") / col("__pa").cast("double"))
+          .as("confidence"),
+        ((col("n_users").cast("double") / col("__pa").cast("double")) /
+          (col("__pb").cast("double") / nD)).as("lift"))
+  }
+
   /** Two-proportion A/B experiment readout: users are assigned to arms
     * by [[Curation.hashBucket]](user, 2) — the deterministic,
     * re-run-stable, SQL-replayable assignment (never rand()) — a user

@@ -6691,6 +6691,63 @@ object TrainingQueries {
              |SELECT source, MIN(n_chars) AS median_chars,
              |  CAST(MIN(tot) AS BIGINT) AS total_tokens
              |FROM c WHERE cum * 2 >= tot
-             |GROUP BY source ORDER BY source""".stripMargin))
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Association rules (EventOps.associationRules — Agrawal's
+    // support/confidence/lift over the q203 degree-capped plane): both
+    // directed rules per co-occurrence pair, three IEEE divisions from
+    // the integers the co-occurrence pass already produced. Top rules
+    // by lift; n_users ≥ 20 keeps the report tight.
+    QuerySpec(
+      "q211_association_rules",
+      (s, dir) => {
+        val ui = Tables.events(s, dir).select(col("user_id"),
+          from_json(col("props"), "k BIGINT", Map.empty[String, String])
+            .getField("k").as("item"))
+        graft.ops.EventOps.associationRules(ui, "user_id", "item",
+            maxUserDegree = 50, minSupport = 20L)
+          .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+          .limit(100)
+      },
+      Some("""WITH ui AS (
+             |  SELECT DISTINCT user_id,
+             |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+             |      AS item
+             |  FROM events),
+             |u2 AS (SELECT user_id, item FROM ui
+             |       WHERE item IS NOT NULL AND user_id IS NOT NULL),
+             |dg AS (SELECT user_id, COUNT(*) AS deg FROM u2 GROUP BY 1),
+             |kept AS (
+             |  SELECT u2.user_id, u2.item FROM u2
+             |  JOIN dg ON dg.user_id = u2.user_id WHERE dg.deg <= 50),
+             |nn AS (SELECT COUNT(DISTINCT user_id) AS n0 FROM kept),
+             |ic AS (SELECT item, COUNT(*) AS pop FROM kept GROUP BY item),
+             |und AS (
+             |  SELECT x.item AS a, y.item AS b, COUNT(*) AS n_users
+             |  FROM kept x JOIN kept y ON y.user_id = x.user_id
+             |    AND x.item < y.item
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 20),
+             |dr AS (
+             |  SELECT a AS antecedent, b AS consequent, n_users FROM und
+             |  UNION ALL
+             |  SELECT b, a, n_users FROM und),
+             |f AS (
+             |  SELECT dr.antecedent, dr.consequent,
+             |    CAST(dr.n_users AS BIGINT) AS n_users,
+             |    CAST(dr.n_users AS DOUBLE) / CAST(nn.n0 AS DOUBLE)
+             |      AS support,
+             |    CAST(dr.n_users AS DOUBLE) / CAST(pa.pop AS DOUBLE)
+             |      AS confidence,
+             |    (CAST(dr.n_users AS DOUBLE) / CAST(pa.pop AS DOUBLE))
+             |      / (CAST(pb.pop AS DOUBLE) / CAST(nn.n0 AS DOUBLE))
+             |      AS lift
+             |  FROM dr
+             |  JOIN ic pa ON pa.item = dr.antecedent
+             |  JOIN ic pb ON pb.item = dr.consequent
+             |  CROSS JOIN nn)
+             |SELECT * FROM f
+             |ORDER BY lift DESC, antecedent, consequent
+             |LIMIT 100""".stripMargin))
   )
 }

@@ -200,6 +200,26 @@ class EventOpsSpec extends AnyFunSuite {
     assert(wide((1L, 2L)) == 3L)
   }
 
+  test("associationRules: hand values, asymmetric confidence, symmetric lift") {
+    import spark.implicits._
+    val ui = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L),
+      (4L, 2L), (5L, 2L)).toDF("user_id", "item")
+    val got = graft.ops.EventOps.associationRules(ui, "user_id", "item",
+        maxUserDegree = 10, minSupport = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    // N=5, pop(1)=3, pop(2)=4, n(1,2)=2
+    val r12 = got((1L, 2L))
+    val r21 = got((2L, 1L))
+    assert(r12._1 == 2L && r12._2 == 0.4)
+    assert(math.abs(r12._3 - 2.0 / 3) < 1e-12 && r21._3 == 0.5,
+      s"confidence is directional: $r12 / $r21")
+    assert(math.abs(r12._4 - r21._4) < 1e-12 &&
+      math.abs(r12._4 - (2.0 / 3) / (4.0 / 5)) < 1e-12,
+      s"lift is symmetric: ${r12._4} vs ${r21._4}")
+  }
+
   test("abTestReport: counts partition by the hash arms; z matches the pooled formula") {
     import spark.implicits._
     // users 1..40; a user converts iff id % 3 == 0 (uncorrelated with md5 arm)
