@@ -447,6 +447,72 @@ object WebGraph {
     visited
   }
 
+  /** Whole-graph structural diagnostics (Newman, PRL 2002/2003 — the
+    * network-science summary row): edge/node/self-loop counts,
+    * RECIPROCITY (fraction of non-loop directed edges whose reverse
+    * also exists — link farms reciprocate, organic webs rarely do) and
+    * DEGREE ASSORTATIVITY (Pearson correlation of src out-degree vs
+    * dst in-degree across edges — do hubs link hubs?).
+    *
+    * Exactness: reciprocity is a self-join count ratio (one IEEE
+    * division); assortativity's five moments are exact
+    * integer/DECIMAL(38,0) sums over the edge plane exiting the
+    * VARCHAR bridge into the fixed Pearson sequence.
+    *
+    * Scale shape: edges distinct-ed once and reused (loops, reverse
+    * join, degree joins all hang off it); degrees are skinny
+    * node-keyed frames. Output is one row.
+    *
+    * → (n_nodes, n_edges, n_self_loops, reciprocity, assortativity)
+    */
+  def graphStats(edges: DataFrame, srcCol: String,
+                 dstCol: String): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint() // reused five ways below
+    val nNodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .agg(count(lit(1)).as("n_nodes"))
+    val loops = e.agg(
+      count(lit(1)).as("n_edges_all"),
+      coalesce(sum(when(col("src") === col("dst"), 1L)), lit(0L))
+        .as("n_self_loops"))
+    val e2 = e.filter(col("src") =!= col("dst"))
+    val recip = e2.join(
+        e2.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"))
+      .agg(count(lit(1)).as("__nrec"))
+    val outdeg = e2.groupBy("src").agg(count(lit(1)).as("__od"))
+    val indeg = e2.groupBy("dst").agg(count(lit(1)).as("__id"))
+    val moments = e2.join(outdeg, "src").join(indeg, "dst")
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__od")).as("__sx"), sum(col("__id")).as("__sy"),
+        sum(col("__od").cast("decimal(38,0)") * col("__id")).as("__sxy"),
+        sum(col("__od").cast("decimal(38,0)") * col("__od")).as("__sxx"),
+        sum(col("__id").cast("decimal(38,0)") * col("__id")).as("__syy"))
+    def d(name: String) = col(name).cast("string").cast("double")
+    val nD = col("__n").cast("double")
+    val cov = nD * d("__sxy") -
+      col("__sx").cast("double") * col("__sy").cast("double")
+    val vx = nD * d("__sxx") -
+      col("__sx").cast("double") * col("__sx").cast("double")
+    val vy = nD * d("__syy") -
+      col("__sy").cast("double") * col("__sy").cast("double")
+    nNodes.crossJoin(loops).crossJoin(recip).crossJoin(moments)
+      .select(col("n_nodes"),
+        (col("n_edges_all") - col("n_self_loops")).as("n_edges"),
+        col("n_self_loops"),
+        when(col("n_edges_all") - col("n_self_loops") > 0,
+          col("__nrec").cast("double") /
+            (col("n_edges_all") - col("n_self_loops")).cast("double"))
+          .as("reciprocity"),
+        when(vx > 0 && vy > 0, cov / (sqrt(vx) * sqrt(vy)))
+          .as("assortativity"))
+  }
+
   /** Per-host document-quality prior: PageRank of the host graph joined
     * back onto a document frame by host. Documents from unknown hosts
     * (not in the graph) get rank NULL — callers decide the default.

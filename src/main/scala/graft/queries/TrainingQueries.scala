@@ -6748,6 +6748,64 @@ object TrainingQueries {
              |  CROSS JOIN nn)
              |SELECT * FROM f
              |ORDER BY lift DESC, antecedent, consequent
-             |LIMIT 100""".stripMargin))
+             |LIMIT 100""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Graph structural diagnostics (WebGraph.graphStats — Newman's
+    // reciprocity + degree assortativity on the q145 link graph):
+    // reciprocity from one reverse self-join, assortativity from exact
+    // integer moments over the edge plane via the VARCHAR bridge.
+    QuerySpec(
+      "q212_graph_stats",
+      (s, dir) => {
+        val pages = Tables.documents(s, dir).select(
+          host97.as("src_host"), htmlFixture.as("html"))
+        val edges = Html.linkGraph(pages, "src_host", "html")
+        graft.ops.WebGraph.graphStats(edges, "src_host", "dst_host")
+      },
+      Some("WITH " + linkEdgesCte.stripMargin + """,
+             |e AS MATERIALIZED (
+             |  SELECT DISTINCT src_host AS src, dst_host AS dst FROM l),
+             |nn AS (
+             |  SELECT COUNT(*) AS n_nodes FROM (
+             |    SELECT src AS node FROM e UNION SELECT dst FROM e)),
+             |lc AS (
+             |  SELECT COUNT(*) AS n_all,
+             |    COALESCE(SUM(CASE WHEN src = dst THEN 1 END), 0)
+             |      AS n_self
+             |  FROM e),
+             |e2 AS MATERIALIZED (SELECT src, dst FROM e WHERE src <> dst),
+             |rc AS (
+             |  SELECT COUNT(*) AS nrec FROM e2 a
+             |  JOIN e2 b ON b.src = a.dst AND b.dst = a.src),
+             |od AS (SELECT src, COUNT(*) AS odeg FROM e2 GROUP BY src),
+             |id AS (SELECT dst, COUNT(*) AS ideg FROM e2 GROUP BY dst),
+             |m AS (
+             |  SELECT COUNT(*) AS n,
+             |    CAST(SUM(odeg) AS BIGINT) AS sx,
+             |    CAST(SUM(ideg) AS BIGINT) AS sy,
+             |    SUM(CAST(odeg AS HUGEINT) * ideg) AS sxy,
+             |    SUM(CAST(odeg AS HUGEINT) * odeg) AS sxx,
+             |    SUM(CAST(ideg AS HUGEINT) * ideg) AS syy
+             |  FROM e2 JOIN od USING (src) JOIN id USING (dst)),
+             |f AS (
+             |  SELECT CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR)
+             |      AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+             |      AS cov,
+             |    CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+             |    CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+             |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+             |  FROM m)
+             |SELECT CAST(nn.n_nodes AS BIGINT) AS n_nodes,
+             |  CAST(lc.n_all - lc.n_self AS BIGINT) AS n_edges,
+             |  CAST(lc.n_self AS BIGINT) AS n_self_loops,
+             |  CASE WHEN lc.n_all - lc.n_self > 0 THEN
+             |    CAST(rc.nrec AS DOUBLE)
+             |      / CAST(lc.n_all - lc.n_self AS DOUBLE) END
+             |    AS reciprocity,
+             |  CASE WHEN f.vx > 0 AND f.vy > 0 THEN
+             |    f.cov / (sqrt(f.vx) * sqrt(f.vy)) END AS assortativity
+             |FROM nn, lc, rc, f""".stripMargin))
   )
 }

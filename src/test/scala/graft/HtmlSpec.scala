@@ -209,6 +209,25 @@ class HtmlSpec extends AnyFunSuite {
     assert(got("c") > got("d"))
   }
 
+  test("graphStats: reciprocity and assortativity hand values; loop bookkeeping") {
+    import spark.implicits._
+    // a<->b reciprocal, a->c one-way, c->c self-loop
+    val g1 = WebGraph.graphStats(
+      Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "c")).toDF("s", "d"),
+      "s", "d").head()
+    assert(g1.getLong(0) == 3L && g1.getLong(1) == 3L && g1.getLong(2) == 1L)
+    assert(math.abs(g1.getDouble(3) - 2.0 / 3) < 1e-12,
+      s"2 of 3 non-loop edges reciprocate: ${g1.getDouble(3)}")
+    assert(g1.isNullAt(4), "constant in-degree => undefined assortativity")
+    // star + chain: assortativity = -1/sqrt(3) (hand moments)
+    val g2 = WebGraph.graphStats(
+      Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c")).toDF("s", "d"),
+      "s", "d").head()
+    assert(g2.getDouble(3) == 0.0)
+    assert(math.abs(g2.getDouble(4) + 1.0 / math.sqrt(3.0)) < 1e-12,
+      s"assortativity ${g2.getDouble(4)}")
+  }
+
   test("shortestHops: BFS levels on a hand graph, unreachable absent, early exit") {
     import spark.implicits._
     val edges = Seq(("a", "b"), ("a", "d"), ("b", "c"), ("c", "a"),
