@@ -447,6 +447,61 @@ object WebGraph {
     visited
   }
 
+  /** Single-source WEIGHTED shortest paths by synchronous Bellman–Ford
+    * relaxation (the Pregel SSSP kernel — Dijkstra's priority queue
+    * does not distribute; k rounds of edge relaxation do): dist_{k}(v)
+    * = min(dist_{k−1}(v), min over u→v of dist_{k−1}(u) + w(u,v)),
+    * with INTEGER weights so every distance is exact and the unrolled
+    * SQL replay is bit-equal. Requires non-negative weights.
+    *
+    * Scale shape: edges persisted once; each round is one join of
+    * edges against the reached frontier plus one full-outer merge on
+    * the skinny distance frame, localCheckpoint-ed to keep the plan
+    * O(1) deep. Early exit when a round improves nothing (one bounded
+    * count per round); `maxRounds` backstops — rounds beyond
+    * convergence are no-ops, so an early-exited run equals the fully
+    * unrolled replay.
+    *
+    * → (node, dist) for reachable nodes, exact integer distances.
+    */
+  def weightedShortestPaths(edges: DataFrame, srcCol: String,
+                            dstCol: String, weightCol: String,
+                            source: String,
+                            maxRounds: Int = 10): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 64,
+      s"maxRounds must be in [1,64], got $maxRounds")
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("w").isNotNull && col("w") >= 0)
+      .groupBy("src", "dst").agg(min(col("w")).as("w")) // parallel edges
+      .persist()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var dist = Seq((source, 0L)).toDF("node", "dist").localCheckpoint()
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      round += 1
+      val cand = e.join(dist.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("dist") + col("w")).as("__nd"))
+      val merged = dist.join(cand, Seq("node"), "full_outer")
+        .select(col("node"),
+          least(coalesce(col("dist"), col("__nd")),
+            coalesce(col("__nd"), col("dist"))).as("dist"),
+          (col("dist").isNull || (col("__nd").isNotNull &&
+            col("__nd") < col("dist"))).as("__improved"))
+        .localCheckpoint()
+      done = merged.filter(col("__improved")).isEmpty
+      dist = merged.select(col("node"), col("dist")).localCheckpoint()
+    }
+    e.unpersist()
+    dist
+  }
+
   /** Whole-graph structural diagnostics (Newman, PRL 2002/2003 — the
     * network-science summary row): edge/node/self-loop counts,
     * RECIPROCITY (fraction of non-loop directed edges whose reverse

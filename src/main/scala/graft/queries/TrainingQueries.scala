@@ -6806,6 +6806,51 @@ object TrainingQueries {
              |    AS reciprocity,
              |  CASE WHEN f.vx > 0 AND f.vy > 0 THEN
              |    f.cov / (sqrt(f.vx) * sqrt(f.vy)) END AS assortativity
-             |FROM nn, lc, rc, f""".stripMargin))
+             |FROM nn, lc, rc, f""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Weighted shortest paths (WebGraph.weightedShortestPaths —
+    // synchronous Bellman–Ford, the Pregel SSSP kernel) on the q145
+    // link graph with integer costs 1000 div n_links (heavily-linked
+    // hops are cheap). Early-exited rounds equal the ten-round unrolled
+    // replay because post-convergence rounds are no-ops.
+    QuerySpec(
+      "q213_weighted_sssp",
+      (s, dir) => {
+        val pages = Tables.documents(s, dir).select(
+          host97.as("src_host"), htmlFixture.as("html"))
+        val edges = Html.linkGraph(pages, "src_host", "html")
+          .withColumn("cost", expr("1000 div n_links"))
+        graft.ops.WebGraph.weightedShortestPaths(edges, "src_host",
+            "dst_host", "cost", source = "h0.example.org", maxRounds = 10)
+          .orderBy("dist", "node")
+      },
+      Some {
+        val head = "WITH " + linkEdgesCte.stripMargin +
+          """,
+            |e AS MATERIALIZED (
+            |  SELECT src_host AS src, dst_host AS dst,
+            |    1000 // COUNT(*) AS w
+            |  FROM l GROUP BY src_host, dst_host),
+            |d0 AS (SELECT 'h0.example.org' AS node, 0 AS dist)"""
+            .stripMargin
+        val rounds = (1 to 10).map { k =>
+          s""",
+             |c$k AS (
+             |  SELECT e.dst AS node, MIN(p.dist + e.w) AS nd
+             |  FROM e JOIN d${k - 1} p ON p.node = e.src
+             |  GROUP BY e.dst),
+             |d$k AS MATERIALIZED (
+             |  SELECT COALESCE(d.node, c.node) AS node,
+             |    CASE WHEN d.dist IS NULL THEN c.nd
+             |         WHEN c.nd IS NULL THEN d.dist
+             |         WHEN c.nd < d.dist THEN c.nd ELSE d.dist END AS dist
+             |  FROM d${k - 1} d FULL OUTER JOIN c$k c
+             |    ON c.node = d.node)""".stripMargin
+        }.mkString
+        head + rounds +
+          "\nSELECT node, CAST(dist AS BIGINT) AS dist FROM d10" +
+          "\nORDER BY dist, node"
+      })
   )
 }

@@ -209,6 +209,19 @@ class HtmlSpec extends AnyFunSuite {
     assert(got("c") > got("d"))
   }
 
+  test("weightedShortestPaths: relaxation beats the hop-shortest route") {
+    import spark.implicits._
+    // a->b (10), b->c (10) vs direct a->c (100): the 2-hop path wins;
+    // parallel a->b edge of weight 3 collapses to the min
+    val edges = Seq(("a", "b", 10L), ("a", "b", 3L), ("b", "c", 10L),
+      ("a", "c", 100L), ("x", "y", 1L)).toDF("s", "d", "w")
+    val got = WebGraph.weightedShortestPaths(edges, "s", "d", "w",
+        source = "a", maxRounds = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 0L, "b" -> 3L, "c" -> 13L),
+      s"weighted relaxation wrong: $got")
+  }
+
   test("graphStats: reciprocity and assortativity hand values; loop bookkeeping") {
     import spark.implicits._
     // a<->b reciprocal, a->c one-way, c->c self-loop
