@@ -541,6 +541,56 @@ object EventOps {
           .as("jaccard"))
   }
 
+  /** Hour-of-week seasonality profile with a uniformity χ² — the
+    * traffic-shape diagnostic (organic product traffic has strong
+    * diurnal/weekly structure; scripted or backfilled traffic is flat,
+    * the complement of [[cadenceProfile]]'s per-user view): per series,
+    * counts over the 168 (weekday, hour) cells plus χ² against the
+    * uniform baseline — every cell reported (absent cells at 0, their
+    * term is the largest). χ² terms are engine-identical doubles summed
+    * through DECIMAL(18,6); weekday is ISO (1 = Monday) from UTC event
+    * time.
+    *
+    * Scale shape: one aggregation to the (series × 168)-cell plane;
+    * the spine join and χ² run there.
+    *
+    * → (typeCol, weekday, hour, n_obs, expected, chi2, flat_rejected)
+    */
+  def hourOfWeekProfile(events: DataFrame, typeCol: String,
+                        tsCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val counts = events
+      .select(col(typeCol), dayofweek(col(tsCol)).as("__dow"),
+        hour(col(tsCol)).as("hour"))
+      .filter(col("__dow").isNotNull)
+      // dayofweek is 1=Sunday; re-map to ISO 1=Monday..7=Sunday
+      .withColumn("weekday",
+        when(col("__dow") === 1, 7).otherwise(col("__dow") - 1))
+      .groupBy(col(typeCol), col("weekday"), col("hour"))
+      .agg(count(lit(1)).as("n_obs"))
+    val spark0 = events.sparkSession
+    val spine = spark0.range(1, 8).select(col("id").cast("int").as("weekday"))
+      .crossJoin(spark0.range(0, 24).select(col("id").cast("int").as("hour")))
+    val series = counts.select(col(typeCol)).distinct()
+    val wT = W.partitionBy(col(typeCol))
+    series.crossJoin(spine)
+      .join(counts, Seq(typeCol, "weekday", "hour"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .withColumn("__tot", sum(col("n_obs")).over(wT))
+      .withColumn("expected", col("__tot").cast("double") / lit(168.0))
+      .withColumn("__term",
+        (((col("n_obs").cast("double") - col("expected")) *
+          (col("n_obs").cast("double") - col("expected"))) /
+          col("expected")).cast("decimal(18,6)"))
+      .withColumn("chi2",
+        sum(col("__term")).over(wT).cast("string").cast("double"))
+      // alpha = 0.001, df = 167 critical value
+      .withColumn("flat_rejected", col("chi2") > lit(235.0))
+      .select(col(typeCol), col("weekday").cast("long").as("weekday"),
+        col("hour").cast("long").as("hour"), col("n_obs"),
+        col("expected"), col("chi2"), col("flat_rejected"))
+  }
+
   /** Association rules over the [[itemCooccurrence]] plane (Agrawal &
     * Srikant, VLDB 1994 — support/confidence/lift, the market-basket
     * classics): each undirected co-occurrence pair yields BOTH directed

@@ -295,6 +295,47 @@ object TextOps {
       .select(col("node").as("token"), col("rank"))
   }
 
+  /** Readability scores (Flesch 1948; Kincaid 1975 — the grade-level
+    * heuristics text pipelines bin corpora by): per document the
+    * word / sentence / syllable counts and
+    *
+    *   FRE      = 206.835 − 1.015·(W/S) − 84.6·(Y/W)
+    *   FK grade = 0.39·(W/S) + 11.8·(Y/W) − 15.59
+    *
+    * with the standard surface approximations — sentences = non-blank
+    * [.!?]+ splits, syllables = vowel-group ([aeiouy]+) runs — all
+    * exact integer counts from one codegen projection (regex in the
+    * Java/RE2 common subset, the q143 discipline), then two fixed IEEE
+    * expressions. Documents with no words or no sentences report NULL
+    * scores rather than dividing by zero.
+    *
+    * → (idCol, n_words, n_sentences, n_syllables, flesch, fk_grade)
+    */
+  def readability(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nWords = tokenCount(t)
+    val nSents = size(filter(split(t, "[.!?]+"),
+      s => length(trim(s)) > 0)).cast("long")
+    val nSyll = size(regexp_extract_all(lower(t), lit("[aeiouy]+"),
+      lit(0))).cast("long")
+    docs.select(col(idCol), nWords.as("n_words"), nSents.as("n_sentences"),
+        nSyll.as("n_syllables"))
+      .withColumn("flesch",
+        when(col("n_words") > 0 && col("n_sentences") > 0,
+          lit(206.835) -
+            lit(1.015) * (col("n_words").cast("double") /
+              col("n_sentences").cast("double")) -
+            lit(84.6) * (col("n_syllables").cast("double") /
+              col("n_words").cast("double"))))
+      .withColumn("fk_grade",
+        when(col("n_words") > 0 && col("n_sentences") > 0,
+          lit(0.39) * (col("n_words").cast("double") /
+            col("n_sentences").cast("double")) +
+            lit(11.8) * (col("n_syllables").cast("double") /
+              col("n_words").cast("double")) - lit(15.59)))
+  }
+
   /** Zipf power-law fit (Zipf 1949; the q180 Heaps-law sibling): OLS of
     * ln(frequency) on ln(rank) over the top-K vocabulary — the slope
     * (≈ −1 for natural language) is the standard corpus-naturalness

@@ -6851,6 +6851,90 @@ object TrainingQueries {
         head + rounds +
           "\nSELECT node, CAST(dist AS BIGINT) AS dist FROM d10" +
           "\nORDER BY dist, node"
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // Hour-of-week seasonality (EventOps.hourOfWeekProfile — the
+    // traffic-shape diagnostic, q199's χ² machinery on the 168-cell
+    // weekly grid): all cells reported (absent at 0), ISO weekdays,
+    // χ² against uniform through DECIMAL(18,6) terms.
+    QuerySpec(
+      "q214_hour_of_week",
+      (s, dir) => graft.ops.EventOps.hourOfWeekProfile(
+          Tables.events(s, dir), "event_type", "ts")
+        .orderBy("event_type", "weekday", "hour"),
+      Some("""WITH c AS (
+             |  SELECT event_type, isodow(ts) AS weekday, hour(ts) AS hour,
+             |    COUNT(*) AS n
+             |  FROM events GROUP BY 1, 2, 3),
+             |sp AS (
+             |  SELECT wd.weekday, hh.hour
+             |  FROM (SELECT unnest(range(1, 8)) AS weekday) wd,
+             |       (SELECT unnest(range(0, 24)) AS hour) hh),
+             |se AS (SELECT DISTINCT event_type FROM c),
+             |z AS (
+             |  SELECT se.event_type, sp.weekday, sp.hour,
+             |    COALESCE(c.n, 0) AS n_obs
+             |  FROM se CROSS JOIN sp
+             |  LEFT JOIN c ON c.event_type = se.event_type
+             |    AND c.weekday = sp.weekday AND c.hour = sp.hour),
+             |e AS (
+             |  SELECT event_type, weekday, hour, n_obs,
+             |    SUM(n_obs) OVER (PARTITION BY event_type) AS tot
+             |  FROM z),
+             |t AS (SELECT *, CAST(tot AS DOUBLE) / 168.0 AS expected
+             |      FROM e),
+             |u AS (
+             |  SELECT *, CAST(((CAST(n_obs AS DOUBLE) - expected)
+             |    * (CAST(n_obs AS DOUBLE) - expected)) / expected
+             |    AS DECIMAL(18,6)) AS term
+             |  FROM t)
+             |SELECT event_type, CAST(weekday AS BIGINT) AS weekday,
+             |  CAST(hour AS BIGINT) AS hour, CAST(n_obs AS BIGINT)
+             |    AS n_obs, expected,
+             |  CAST(CAST(SUM(term) OVER (PARTITION BY event_type)
+             |    AS VARCHAR) AS DOUBLE) AS chi2,
+             |  CAST(CAST(SUM(term) OVER (PARTITION BY event_type)
+             |    AS VARCHAR) AS DOUBLE) > 235.0 AS flat_rejected
+             |FROM u ORDER BY event_type, weekday, hour""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Readability scores (TextOps.readability — Flesch reading ease +
+    // Flesch-Kincaid grade): surface counts (non-blank [.!?]+ sentence
+    // splits, [aeiouy]+ vowel-group syllables) in one codegen
+    // projection, then two fixed IEEE expressions the oracle replays.
+    QuerySpec(
+      "q215_readability",
+      (s, dir) => graft.ops.TextOps.readability(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+             |  CAST(len($toksSql) AS BIGINT) AS n_words,
+             |  CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+             |    x -> trim(x) <> '')) AS BIGINT) AS n_sentences,
+             |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+             |    AS BIGINT) AS n_syllables,
+             |  CASE WHEN len($toksSql) > 0 AND
+             |    len(list_filter(string_split_regex(text, '[.!?]+'),
+             |      x -> trim(x) <> '')) > 0 THEN
+             |    206.835
+             |    - 1.015 * (CAST(len($toksSql) AS DOUBLE)
+             |      / CAST(len(list_filter(string_split_regex(text,
+             |          '[.!?]+'), x -> trim(x) <> '')) AS DOUBLE))
+             |    - 84.6 * (CAST(len(regexp_extract_all(lower(text),
+             |        '[aeiouy]+')) AS DOUBLE)
+             |      / CAST(len($toksSql) AS DOUBLE))
+             |  END AS flesch,
+             |  CASE WHEN len($toksSql) > 0 AND
+             |    len(list_filter(string_split_regex(text, '[.!?]+'),
+             |      x -> trim(x) <> '')) > 0 THEN
+             |    0.39 * (CAST(len($toksSql) AS DOUBLE)
+             |      / CAST(len(list_filter(string_split_regex(text,
+             |          '[.!?]+'), x -> trim(x) <> '')) AS DOUBLE))
+             |    + 11.8 * (CAST(len(regexp_extract_all(lower(text),
+             |        '[aeiouy]+')) AS DOUBLE)
+             |      / CAST(len($toksSql) AS DOUBLE)) - 15.59
+             |  END AS fk_grade
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

@@ -122,6 +122,24 @@ class EventOpsSpec extends AnyFunSuite {
       !got(1).getBoolean(4))
   }
 
+  test("hourOfWeekProfile: ISO weekday cells, zero-filled grid, concentration rejects") {
+    import spark.implicits._
+    // 2024-01-01 is a Monday; 2024-01-07 a Sunday
+    val ev = Seq(("a", "2024-01-01 10:15:00"), ("a", "2024-01-01 10:45:00"),
+      ("a", "2024-01-01 10:59:59"), ("a", "2024-01-07 23:00:00"))
+      .toDF("event_type", "s")
+      .select(col("event_type"), to_timestamp(col("s")).as("ts"))
+    val got = graft.ops.EventOps.hourOfWeekProfile(ev, "event_type", "ts")
+      .collect()
+    assert(got.length == 168, "every (weekday, hour) cell is reported")
+    val byCell = got.map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(byCell((1L, 10L)) == 3L && byCell((7L, 23L)) == 1L)
+    assert(byCell.values.sum == 4L)
+    assert(got.head.getBoolean(6),
+      s"4 events in 2 cells is maximally non-uniform: chi2=${got.head.getDouble(5)}")
+  }
+
   test("leadLagCorrelation: a planted 2-day lead peaks at exactly r=1") {
     import spark.implicits._
     // 'a' fires n(d) times on day d; 'b' fires n(d) times on day d+2

@@ -101,6 +101,21 @@ class TextStatsSpec extends AnyFunSuite {
       (6L, 0L, 0L, 0L)))
   }
 
+  test("readability: hand counts and scores; empty text reports NULL") {
+    import spark.implicits._
+    val docs = Seq((1L, "The cat sat. The dog ran!"), (2L, "   "))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextOps.readability(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val r = got(0)
+    assert(r.getLong(1) == 6L && r.getLong(2) == 2L && r.getLong(3) == 6L,
+      s"counts ${r.toSeq}")
+    assert(math.abs(r.getDouble(4) - (206.835 - 1.015 * 3 - 84.6)) < 1e-9)
+    assert(math.abs(r.getDouble(5) - (0.39 * 3 + 11.8 - 15.59)) < 1e-9)
+    assert(got(1).isNullAt(4) && got(1).isNullAt(5),
+      "blank text must not divide by zero")
+  }
+
   test("zipfFit: a planted 1/r corpus fits slope -1 with r2 ~ 1") {
     import spark.implicits._
     // token w<r> appears round(1200/r) times, r = 1..60: exact Zipf head
