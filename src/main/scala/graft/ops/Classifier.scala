@@ -238,6 +238,63 @@ object Classifier {
     } finally { feats.unpersist(false); () }
   }
 
+  /** Per-class precision / recall / F1 + accuracy — the standard
+    * classification report (the eval table every model card prints):
+    * everything reduces through the confusion plane (one corpus
+    * aggregation, ≤K² rows), classes = union of predicted and actual
+    * (a class never predicted still reports recall, a hallucinated one
+    * still reports precision). F1 is computed as 2·tp/(n_pred +
+    * n_actual) — algebraically the harmonic mean, but ONE division, so
+    * no intermediate-rounding divergence between engines. Rows with a
+    * NULL prediction or label are excluded.
+    *
+    * → (category, n_pred, n_actual, tp, precision, recall, f1,
+    *   accuracy) — accuracy repeated on every row; per-class ratios
+    *   NULL when their denominator is 0.
+    */
+  def classificationReport(df: DataFrame, predCol: String,
+                           labelCol: String): DataFrame = {
+    val conf = df
+      .select(col(predCol).cast("string").as("__p"),
+        col(labelCol).cast("string").as("__y"))
+      .filter(col("__p").isNotNull && col("__y").isNotNull)
+      .groupBy("__p", "__y").agg(count(lit(1)).as("__n"))
+      .localCheckpoint() // shared skinny plane: scan the corpus ONCE
+    val classes = conf.select(col("__p").as("category"))
+      .union(conf.select(col("__y").as("category"))).distinct()
+    val predN = conf.groupBy(col("__p").as("category"))
+      .agg(sum("__n").as("n_pred"))
+    val actN = conf.groupBy(col("__y").as("category"))
+      .agg(sum("__n").as("n_actual"))
+    val tp = conf.filter(col("__p") === col("__y"))
+      .select(col("__p").as("category"), col("__n").as("tp"))
+    val tot = conf.agg(sum("__n").as("__N0"),
+      coalesce(sum(when(col("__p") === col("__y"), col("__n"))), lit(0L))
+        .as("__tpall"))
+    classes
+      .join(predN, Seq("category"), "left")
+      .join(actN, Seq("category"), "left")
+      .join(tp, Seq("category"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("category"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        col("__N0"), col("__tpall"))
+      .select(col("category"), col("n_pred"), col("n_actual"), col("tp"),
+        when(col("n_pred") > 0,
+          col("tp").cast("double") / col("n_pred").cast("double"))
+          .as("precision"),
+        when(col("n_actual") > 0,
+          col("tp").cast("double") / col("n_actual").cast("double"))
+          .as("recall"),
+        when(col("n_pred") + col("n_actual") > 0,
+          lit(2.0) * col("tp").cast("double") /
+            (col("n_pred") + col("n_actual")).cast("double")).as("f1"),
+        (col("__tpall").cast("double") / col("__N0").cast("double"))
+          .as("accuracy"))
+  }
+
   /** Reliability diagram + expected calibration error (Naeini et al.
     * AAAI 2015; Guo et al. ICML 2017 popularized ECE for neural
     * classifiers): equal-width score bins, per-bin mean confidence vs

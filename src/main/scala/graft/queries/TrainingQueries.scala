@@ -6935,6 +6935,75 @@ object TrainingQueries {
              |        '[aeiouy]+')) AS DOUBLE)
              |      / CAST(len($toksSql) AS DOUBLE)) - 15.59
              |  END AS fk_grade
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Classification report for the langId heuristic
+    // (Classifier.classificationReport): per-class precision/recall/F1
+    // + accuracy of q24's prediction against the fixture's lang label.
+    // F1 = 2·tp/(n_pred+n_actual) — one division, no intermediate
+    // rounding. The oracle splices the certified q120 langid CTE.
+    QuerySpec(
+      "q216_langid_report",
+      (s, dir) => {
+        val st = graft.functions.ArrayMath.textStats(col("text"))
+        val scored = Seq("en" -> "s_en", "de" -> "s_de", "es" -> "s_es",
+          "fr" -> "s_fr").map { case (lang, f) =>
+          struct(col(s"__st.$f").as("score"), lit(lang).as("lang"))
+        }
+        val best = greatest(scored: _*)
+        val pred = Tables.documents(s, dir)
+          .select(col("lang").as("label"), col("text"), st.as("__st"))
+          .select(col("label"),
+            when(col("text").rlike(
+              "[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}]"), "zh")
+              .otherwise(when(best.getField("score") > 0,
+                best.getField("lang")).otherwise("unknown")).as("pred"))
+        graft.ops.Classifier.classificationReport(pred, "pred", "label")
+          .orderBy("category")
+      },
+      Some("WITH " + langIdCte.stripMargin + """,
+             |j AS (
+             |  SELECT p.lang AS pred, d.lang AS label
+             |  FROM p JOIN documents d USING (doc_id)),
+             |c AS (SELECT pred, label, COUNT(*) AS n FROM j GROUP BY 1, 2),
+             |cls AS (
+             |  SELECT pred AS category FROM c
+             |  UNION SELECT label FROM c),
+             |pn AS (SELECT pred AS category, SUM(n) AS n_pred
+             |       FROM c GROUP BY 1),
+             |an AS (SELECT label AS category, SUM(n) AS n_actual
+             |       FROM c GROUP BY 1),
+             |tpc AS (SELECT pred AS category, n AS tp FROM c
+             |        WHERE pred = label),
+             |tt AS (
+             |  SELECT SUM(n) AS n0,
+             |    COALESCE(SUM(CASE WHEN pred = label THEN n END), 0)
+             |      AS tpall
+             |  FROM c)
+             |SELECT cls.category,
+             |  CAST(COALESCE(pn.n_pred, 0) AS BIGINT) AS n_pred,
+             |  CAST(COALESCE(an.n_actual, 0) AS BIGINT) AS n_actual,
+             |  CAST(COALESCE(tpc.tp, 0) AS BIGINT) AS tp,
+             |  CASE WHEN COALESCE(pn.n_pred, 0) > 0 THEN
+             |    CAST(COALESCE(tpc.tp, 0) AS DOUBLE)
+             |      / CAST(pn.n_pred AS DOUBLE) END AS precision,
+             |  CASE WHEN COALESCE(an.n_actual, 0) > 0 THEN
+             |    CAST(COALESCE(tpc.tp, 0) AS DOUBLE)
+             |      / CAST(an.n_actual AS DOUBLE) END AS recall,
+             |  CASE WHEN COALESCE(pn.n_pred, 0)
+             |      + COALESCE(an.n_actual, 0) > 0 THEN
+             |    2.0 * CAST(COALESCE(tpc.tp, 0) AS DOUBLE)
+             |      / CAST(COALESCE(pn.n_pred, 0)
+             |             + COALESCE(an.n_actual, 0) AS DOUBLE)
+             |  END AS f1,
+             |  CAST(tt.tpall AS DOUBLE) / CAST(tt.n0 AS DOUBLE)
+             |    AS accuracy
+             |FROM cls
+             |LEFT JOIN pn ON pn.category = cls.category
+             |LEFT JOIN an ON an.category = cls.category
+             |LEFT JOIN tpc ON tpc.category = cls.category
+             |CROSS JOIN tt
+             |ORDER BY cls.category""".stripMargin))
   )
 }

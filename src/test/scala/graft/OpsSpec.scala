@@ -2200,6 +2200,28 @@ class OpsSpec extends AnyFunSuite {
     assert(byId(6L) == ((null, 0L, 0L)), "null text passes through")
   }
 
+  test("classificationReport: hand confusion; hallucinated and missed classes kept") {
+    import spark.implicits._
+    val rows = Seq.fill(3)(("a", "a")) ++ Seq(("a", "b")) ++
+      Seq.fill(2)(("b", "b")) ++ Seq(("c", "b")) ++ Seq(("a", "d"))
+    val got = graft.ops.Classifier.classificationReport(
+        rows.toDF("pred", "label"), "pred", "label")
+      .orderBy("category").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("a", "b", "c", "d"),
+      "union of predicted and actual classes")
+    val a = got("a")
+    assert(a.getLong(1) == 5L && a.getLong(2) == 3L && a.getLong(3) == 3L)
+    assert(a.getDouble(4) == 0.6 && a.getDouble(5) == 1.0 &&
+      a.getDouble(6) == 0.75)
+    assert(got("b").getDouble(4) == 1.0 && got("b").getDouble(5) == 0.5)
+    assert(got("c").getDouble(4) == 0.0 && got("c").isNullAt(5),
+      "hallucinated class: precision 0, recall undefined")
+    assert(got("d").isNullAt(4) && got("d").getDouble(5) == 0.0,
+      "never-predicted class: precision undefined, recall 0")
+    assert(got.values.forall(_.getDouble(7) == 5.0 / 8))
+  }
+
   test("calibrationReport: hand-computed bins, ECE, and the score=1.0 clip") {
     import spark.implicits._
     val df = Seq((0.05, 0L), (0.15, 0L), (0.15, 1L), (0.95, 1L), (1.0, 1L))
