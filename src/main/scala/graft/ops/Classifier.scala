@@ -238,6 +238,53 @@ object Classifier {
     } finally { feats.unpersist(false); () }
   }
 
+  /** EXACT ROC AUC via the Mann–Whitney rank statistic with midrank tie
+    * correction (Hanley & McNeil 1982) — the threshold-free ranking
+    * quality of a score, and the honest flavor: trapezoid-over-
+    * thresholds implementations silently mis-handle ties that heuristic
+    * scores (ratios of small integers) produce constantly. Doubling the
+    * midranks keeps EVERYTHING integer:
+    *
+    *   R2  = Σ_v pos_v · (2·cntBefore_v + n_v + 1)   (= 2·Σ midranks)
+    *   AUC = (R2 − n_pos·(n_pos+1)) / (2·n_pos·n_neg)
+    *
+    * — one IEEE division at the end, so the value hash-matches.
+    *
+    * Scale shape: the corpus compresses to the DISTINCT-SCORE plane in
+    * one aggregation (heuristic scores have few distinct values; that
+    * plane, not the corpus, feeds the rank cumsum). NULL scores/labels
+    * are excluded.
+    *
+    * → one row (n_pos, n_neg, auc); auc NULL when either class is
+    *   empty.
+    */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val g = df
+      .select(col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("long").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+      .groupBy("__s")
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__pos"))
+    val wBefore = W.orderBy(col("__s"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val t = g
+      .withColumn("__before", coalesce(sum(col("__n")).over(wBefore), lit(0L)))
+      .agg(
+        coalesce(sum(col("__pos").cast("decimal(38,0)") *
+          (lit(2L) * col("__before") + col("__n") + lit(1L))), lit(0)
+          .cast("decimal(38,0)")).as("__r2"),
+        coalesce(sum(col("__pos")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("__n") - col("__pos")), lit(0L)).as("n_neg"))
+    t.select(col("n_pos"), col("n_neg"),
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        (col("__r2").cast("string").cast("double") -
+          col("n_pos").cast("double") *
+            (col("n_pos").cast("double") + lit(1.0))) /
+          (lit(2.0) * col("n_pos").cast("double") *
+            col("n_neg").cast("double"))).as("auc"))
+  }
+
   /** Per-class precision / recall / F1 + accuracy — the standard
     * classification report (the eval table every model card prints):
     * everything reduces through the confusion plane (one corpus

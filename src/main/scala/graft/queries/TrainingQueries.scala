@@ -7004,6 +7004,51 @@ object TrainingQueries {
              |LEFT JOIN an ON an.category = cls.category
              |LEFT JOIN tpc ON tpc.category = cls.category
              |CROSS JOIN tt
-             |ORDER BY cls.category""".stripMargin))
+             |ORDER BY cls.category""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Exact ROC AUC (Classifier.rocAuc — Mann–Whitney with midrank tie
+    // correction, doubled to stay integer): does the q195 stopword
+    // score actually RANK English docs above the rest? Ratio scores tie
+    // constantly, so the midrank flavor is the only honest one. One
+    // aggregation to the distinct-score plane, one division at the end.
+    QuerySpec(
+      "q217_roc_auc",
+      (s, dir) => {
+        val scored = Tables.documents(s, dir)
+          .select(graft.functions.ArrayMath.textStats(col("text"))
+            .as("__st"), col("lang"))
+          .select((col("__st.n_stop").cast("double") /
+            col("__st.n_tokens")).as("score"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("label"))
+        graft.ops.Classifier.rocAuc(scored, "score", "label")
+      },
+      Some(s"""WITH m AS (
+             |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             |    CAST(len(list_filter($toksSql, x -> lower(x) IN ($stops)))
+             |      AS DOUBLE) / len($toksSql) AS s
+             |  FROM documents),
+             |g AS (
+             |  SELECT s, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+             |  FROM m WHERE s IS NOT NULL GROUP BY s),
+             |c AS (
+             |  SELECT s, n, pos,
+             |    COALESCE(SUM(n) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND 1 PRECEDING), 0) AS bef
+             |  FROM g),
+             |t AS (
+             |  SELECT
+             |    COALESCE(SUM(CAST(pos AS HUGEINT)
+             |      * (2 * bef + n + 1)), 0) AS r2,
+             |    CAST(COALESCE(SUM(pos), 0) AS BIGINT) AS n_pos,
+             |    CAST(COALESCE(SUM(n - pos), 0) AS BIGINT) AS n_neg
+             |  FROM c)
+             |SELECT n_pos, n_neg,
+             |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             |    (CAST(CAST(r2 AS VARCHAR) AS DOUBLE)
+             |      - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0))
+             |    / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+             |  END AS auc
+             |FROM t""".stripMargin))
   )
 }

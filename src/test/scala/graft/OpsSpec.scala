@@ -2200,6 +2200,21 @@ class OpsSpec extends AnyFunSuite {
     assert(byId(6L) == ((null, 0L, 0L)), "null text passes through")
   }
 
+  test("rocAuc: perfect, inverted, all-tied, and the half-credit tie case") {
+    import spark.implicits._
+    def auc(rows: (Double, Long)*) = graft.ops.Classifier.rocAuc(
+      rows.toSeq.toDF("s", "y"), "s", "y").head().getDouble(2)
+    assert(auc((0.8, 1L), (0.9, 1L), (0.1, 0L), (0.2, 0L)) == 1.0)
+    assert(auc((0.8, 0L), (0.9, 0L), (0.1, 1L), (0.2, 1L)) == 0.0)
+    assert(auc((0.5, 1L), (0.5, 1L), (0.5, 0L), (0.5, 0L)) == 0.5,
+      "all-tied scores must midrank to exactly 0.5")
+    assert(auc((0.9, 1L), (0.5, 1L), (0.5, 0L), (0.1, 0L)) == 0.875,
+      "a tied pos/neg pair earns exactly half credit")
+    // single-class input: AUC undefined
+    assert(graft.ops.Classifier.rocAuc(
+      Seq((0.4, 1L), (0.6, 1L)).toDF("s", "y"), "s", "y").head().isNullAt(2))
+  }
+
   test("classificationReport: hand confusion; hallucinated and missed classes kept") {
     import spark.implicits._
     val rows = Seq.fill(3)(("a", "a")) ++ Seq(("a", "b")) ++
