@@ -285,6 +285,49 @@ object Classifier {
             col("n_neg").cast("double"))).as("auc"))
   }
 
+  /** Average precision (the PR-AUC summary) with atomic tie blocks —
+    * the sklearn step formula AP = Σ_k (R_k − R_{k−1})·P_k evaluated
+    * per DISTINCT score descending, each tied block contributing its
+    * end-of-block precision (splitting a tie arbitrarily would make
+    * the value order-dependent):
+    *
+    *   AP = Σ_blocks pos_k · (cumPos_k / cumN_k) / n_pos
+    *
+    * cum counts are exact integers off one descending cumsum on the
+    * distinct-score plane; each block term is an engine-identical
+    * double cast to DECIMAL(18,12) before the order-independent sum.
+    * The PR companion of [[rocAuc]] — preferred when positives are
+    * rare (AUC saturates, AP does not).
+    *
+    * → one row (n_pos, n_neg, average_precision); NULL when no
+    *   positives.
+    */
+  def averagePrecision(df: DataFrame, scoreCol: String,
+                       labelCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val g = df
+      .select(col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("long").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+      .groupBy("__s")
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__pos"))
+    val wDesc = W.orderBy(col("__s").desc)
+      .rowsBetween(W.unboundedPreceding, 0)
+    g.withColumn("__cumN", sum(col("__n")).over(wDesc))
+      .withColumn("__cumPos", sum(col("__pos")).over(wDesc))
+      .withColumn("__term",
+        (col("__pos").cast("double") *
+          (col("__cumPos").cast("double") / col("__cumN").cast("double")))
+          .cast("decimal(18,12)"))
+      .agg(coalesce(sum(col("__pos")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("__n") - col("__pos")), lit(0L)).as("n_neg"),
+        sum(col("__term")).as("__ap_num"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0,
+          col("__ap_num").cast("string").cast("double") /
+            col("n_pos").cast("double")).as("average_precision"))
+  }
+
   /** Per-class precision / recall / F1 + accuracy — the standard
     * classification report (the eval table every model card prints):
     * everything reduces through the confusion plane (one corpus

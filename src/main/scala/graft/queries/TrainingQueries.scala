@@ -7049,6 +7049,50 @@ object TrainingQueries {
              |      - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0))
              |    / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
              |  END AS auc
+             |FROM t""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Average precision (Classifier.averagePrecision — the PR-AUC
+    // step formula with atomic tie blocks): q217's companion for the
+    // rare-positive regime. Exact cumsums on the distinct-score plane;
+    // block terms through DECIMAL(18,12).
+    QuerySpec(
+      "q218_average_precision",
+      (s, dir) => {
+        val scored = Tables.documents(s, dir)
+          .select(graft.functions.ArrayMath.textStats(col("text"))
+            .as("__st"), col("lang"))
+          .select((col("__st.n_stop").cast("double") /
+            col("__st.n_tokens")).as("score"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("label"))
+        graft.ops.Classifier.averagePrecision(scored, "score", "label")
+      },
+      Some(s"""WITH m AS (
+             |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             |    CAST(len(list_filter($toksSql, x -> lower(x) IN ($stops)))
+             |      AS DOUBLE) / len($toksSql) AS s
+             |  FROM documents),
+             |g AS (
+             |  SELECT s, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+             |  FROM m WHERE s IS NOT NULL GROUP BY s),
+             |c AS (
+             |  SELECT s, n, pos,
+             |    SUM(n) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW) AS cn,
+             |    SUM(pos) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW) AS cp
+             |  FROM g),
+             |t AS (
+             |  SELECT CAST(COALESCE(SUM(pos), 0) AS BIGINT) AS n_pos,
+             |    CAST(COALESCE(SUM(n - pos), 0) AS BIGINT) AS n_neg,
+             |    SUM(CAST(CAST(pos AS DOUBLE)
+             |      * (CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE))
+             |      AS DECIMAL(18,12))) AS ap_num
+             |  FROM c)
+             |SELECT n_pos, n_neg,
+             |  CASE WHEN n_pos > 0 THEN
+             |    CAST(CAST(ap_num AS VARCHAR) AS DOUBLE)
+             |      / CAST(n_pos AS DOUBLE) END AS average_precision
              |FROM t""".stripMargin))
   )
 }

@@ -2215,6 +2215,18 @@ class OpsSpec extends AnyFunSuite {
       Seq((0.4, 1L), (0.6, 1L)).toDF("s", "y"), "s", "y").head().isNullAt(2))
   }
 
+  test("averagePrecision: perfect ranking, tie blocks, no-positive NULL") {
+    import spark.implicits._
+    def ap(rows: (Double, Long)*) = graft.ops.Classifier.averagePrecision(
+      rows.toSeq.toDF("s", "y"), "s", "y").head()
+    assert(ap((0.8, 1L), (0.9, 1L), (0.1, 0L), (0.2, 0L)).getDouble(2) == 1.0)
+    // blocks desc: P(0.9)=1 term 1; tie block at 0.5: P=2/3 term 2/3
+    val tied = ap((0.9, 1L), (0.5, 1L), (0.5, 0L), (0.1, 0L))
+    assert(math.abs(tied.getDouble(2) - 5.0 / 6) < 1e-12,
+      s"tie block must contribute atomically: ${tied.getDouble(2)}")
+    assert(ap((0.9, 0L), (0.1, 0L)).isNullAt(2))
+  }
+
   test("classificationReport: hand confusion; hallucinated and missed classes kept") {
     import spark.implicits._
     val rows = Seq.fill(3)(("a", "a")) ++ Seq(("a", "b")) ++
