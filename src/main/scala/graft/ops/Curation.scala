@@ -297,6 +297,42 @@ object Curation {
           col("n_tokens").cast("double")).as("epochs"))
   }
 
+  /** Filter-disparity audit — the four-fifths (80%) rule applied to a
+    * corpus gate: per group (language, source, dialect…) the gate's
+    * keep rate, its ratio to the OVERALL keep rate, and a flag for
+    * groups kept at under 80% of it. Quality filters tuned on English
+    * silently decimate other languages (the documented failure mode of
+    * classifier and heuristic gates alike); this is the one-aggregation
+    * report that catches it before training.
+    *
+    * Exact integers to the group plane, then fixed IEEE divisions —
+    * the flag compares engine-identical doubles.
+    *
+    * → (groupCol, n, n_keep, keep_rate, overall_rate, ratio,
+    *   below_four_fifths)
+    */
+  def gateDisparity(df: DataFrame, groupCol: String,
+                    keepCol: String): DataFrame = {
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col(keepCol), 1L).otherwise(0L)), lit(0L))
+          .as("n_keep"))
+      .withColumn("__nt", sum(col("n")).over(all))
+      .withColumn("__kt", sum(col("n_keep")).over(all))
+      .withColumn("keep_rate",
+        col("n_keep").cast("double") / col("n").cast("double"))
+      .withColumn("overall_rate",
+        col("__kt").cast("double") / col("__nt").cast("double"))
+      .withColumn("ratio",
+        when(col("overall_rate") > 0,
+          col("keep_rate") / col("overall_rate")))
+      .withColumn("below_four_fifths", col("ratio") < 0.8)
+      .select(col(groupCol), col("n"), col("n_keep"), col("keep_rate"),
+        col("overall_rate"), col("ratio"), col("below_four_fifths"))
+  }
+
   /** Weighted sampling WITHOUT replacement, deterministic (Efraimidis &
     * Spirakis, IPL 2006 — "A-ES"): each row gets key = ln(u)/w with u a
     * hash-derived uniform in (0,1), and the k LARGEST keys are exactly

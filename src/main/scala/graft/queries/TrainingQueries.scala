@@ -7093,6 +7093,85 @@ object TrainingQueries {
              |  CASE WHEN n_pos > 0 THEN
              |    CAST(CAST(ap_num AS VARCHAR) AS DOUBLE)
              |      / CAST(n_pos AS DOUBLE) END AS average_precision
-             |FROM t""".stripMargin))
+             |FROM t""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Quality-gate disparity audit (Curation.gateDisparity — the
+    // four-fifths rule on q117's Gopher gate, per language): filters
+    // tuned on English silently decimate other languages; this report
+    // catches it before training. The oracle replays the full gate
+    // conjunction per doc, then the group-plane rates.
+    QuerySpec(
+      "q219_gate_disparity",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val gated = graft.ops.TextOps.gopherRules(docs, "doc_id", "text",
+            minWords = 10L)
+          .select(col("doc_id"), col("keep"))
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        graft.ops.Curation.gateDisparity(gated, "lang", "keep")
+          .orderBy("lang")
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, lang, COALESCE(text, '') AS text,
+             |    trim(regexp_replace(lower(COALESCE(text, '')), '\s+', ' ',
+             |      'g')) AS nt
+             |  FROM documents
+             |), t AS (
+             |  SELECT doc_id, lang, text,
+             |    CASE WHEN LENGTH(nt) = 0 THEN []
+             |      ELSE string_split(nt, ' ') END AS toks,
+             |    string_split(text, chr(10)) AS ls
+             |  FROM b
+             |), m AS (
+             |  SELECT doc_id, lang,
+             |    CAST(len(toks) AS BIGINT) AS n_words,
+             |    CAST(len(ls) AS BIGINT) AS n_lines,
+             |    CAST(COALESCE(list_aggregate(list_transform(toks,
+             |      x -> len(x)), 'sum'), 0) AS BIGINT) AS chars,
+             |    CAST(len(text) - len(replace(text, '#', ''))
+             |      + len(text) - len(replace(text, '…', ''))
+             |      + (len(text) - len(replace(text, '...', ''))) // 3
+             |      AS BIGINT) AS symbols,
+             |    CAST(len([x FOR x IN ls IF regexp_matches(ltrim(x),
+             |      '^[-*•]')]) AS BIGINT) AS bullets,
+             |    CAST(len([x FOR x IN ls IF regexp_matches(rtrim(x),
+             |      '(\.\.\.|…)$')]) AS BIGINT) AS ells,
+             |    CAST(len([x FOR x IN toks IF regexp_matches(x, '[a-z]')])
+             |      AS BIGINT) AS alpha,
+             |    CAST(len(list_distinct(list_intersect(list_distinct(toks),
+             |      ['the','be','to','of','and','that','have','with','this',
+             |       'it']))) AS BIGINT) AS stops
+             |  FROM t
+             |), k AS (
+             |  SELECT lang,
+             |    ((n_words BETWEEN 10 AND 100000)
+             |      AND (3 * n_words <= chars AND chars <= 10 * n_words)
+             |      AND (10 * symbols <= n_words)
+             |      AND (10 * bullets <= 9 * n_lines)
+             |      AND (10 * ells <= 3 * n_lines)
+             |      AND (5 * alpha >= 4 * n_words)
+             |      AND (stops >= 2)) AS keep
+             |  FROM m),
+             |g AS (
+             |  SELECT lang, COUNT(*) AS n,
+             |    COALESCE(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 0)
+             |      AS n_keep
+             |  FROM k GROUP BY lang),
+             |f AS (
+             |  SELECT lang, n, n_keep,
+             |    CAST(n_keep AS DOUBLE) / CAST(n AS DOUBLE) AS keep_rate,
+             |    CAST(SUM(n_keep) OVER () AS DOUBLE)
+             |      / CAST(SUM(n) OVER () AS DOUBLE) AS overall_rate
+             |  FROM g),
+             |z AS (
+             |  SELECT lang, CAST(n AS BIGINT) AS n,
+             |    CAST(n_keep AS BIGINT) AS n_keep, keep_rate, overall_rate,
+             |    CASE WHEN overall_rate > 0 THEN keep_rate / overall_rate
+             |      END AS ratio
+             |  FROM f)
+             |SELECT lang, n, n_keep, keep_rate, overall_rate, ratio,
+             |  ratio < 0.8 AS below_four_fifths
+             |FROM z ORDER BY lang""".stripMargin))
   )
 }

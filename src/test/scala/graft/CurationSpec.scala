@@ -478,6 +478,21 @@ class CurationSpec extends AnyFunSuite {
     assert(post2.get(1L).contains(false), "missing shard must report ok=false")
   }
 
+  test("gateDisparity: the four-fifths rule flags the decimated group") {
+    import spark.implicits._
+    // group A: 8/10 kept; group B: 2/10 kept. overall = 10/20 = 0.5.
+    // ratios: A 1.6, B 0.4 -> only B trips the 80% rule.
+    val rows = Seq.fill(8)(("A", true)) ++ Seq.fill(2)(("A", false)) ++
+      Seq.fill(2)(("B", true)) ++ Seq.fill(8)(("B", false))
+    val got = Curation.gateDisparity(rows.toDF("g", "keep"), "g", "keep")
+      .orderBy("g").collect()
+    assert(got(0).getLong(1) == 10L && got(0).getLong(2) == 8L)
+    assert(got(0).getDouble(3) == 0.8 && got(0).getDouble(4) == 0.5)
+    assert(got(0).getDouble(5) == 1.6 && !got(0).getBoolean(6))
+    assert(got(1).getDouble(3) == 0.2 && got(1).getDouble(5) == 0.4 &&
+      got(1).getBoolean(6), s"B must trip the rule: ${got(1)}")
+  }
+
   test("weightedSample: weight-proportional inclusion, deterministic, top-k plan") {
     import spark.implicits._
     // 5000 heavy (w=100) + 5000 light (w=1) rows; a 500-row sample must be
