@@ -84,4 +84,52 @@ object Retrieval {
       .select(col("doc_id"), col("lex_rank"), col("emb_rank"), col("rrf_scaled"))
       .orderBy(col("rrf_scaled").desc, col("doc_id"))
   }
+
+  /** NDCG@k per query (Järvelin & Kekäläinen, TOIS 2002 — the graded
+    * ranking-quality standard): DCG = Σ_{i≤k} (2^rel − 1)/log2(i+1)
+    * over the SYSTEM order, normalized by the ideal (relevance-sorted)
+    * DCG. Both orders carry an explicit doc tiebreak — (score DESC,
+    * doc) and (rel DESC, doc) — so tied scores cannot make the metric
+    * run-dependent, and each per-position gain is an engine-identical
+    * double cast to DECIMAL(18,12) before the order-independent sum
+    * (the q106 discipline applied to log2 discounts).
+    *
+    * Scale shape: two query-partitioned rank windows + one aggregation
+    * — per-query candidate lists are the frame, never the corpus.
+    *
+    * → (queryCol, dcg, idcg, ndcg) — ndcg NULL when the query has no
+    *   relevant result (IDCG 0).
+    */
+  def ndcgAtK(results: DataFrame, queryCol: String, docCol: String,
+              scoreCol: String, relCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val W = org.apache.spark.sql.expressions.Window
+    val base = results.select(col(queryCol), col(docCol).as("__doc"),
+        col(scoreCol).as("__score"), col(relCol).cast("long").as("__rel"))
+      .filter(col("__rel").isNotNull)
+    val sysW = W.partitionBy(col(queryCol))
+      .orderBy(col("__score").desc, col("__doc"))
+    val idealW = W.partitionBy(col(queryCol))
+      .orderBy(col("__rel").desc, col("__doc"))
+    def gain(rank: Column) =
+      ((pow(lit(2.0), col("__rel").cast("double")) - lit(1.0)) /
+        (log(rank.cast("double") + lit(1.0)) / log(lit(2.0))))
+        .cast("decimal(18,12)")
+    base
+      .withColumn("__sr", row_number().over(sysW))
+      .withColumn("__ir", row_number().over(idealW))
+      .withColumn("__g", when(col("__sr") <= k, gain(col("__sr"))))
+      .withColumn("__ig", when(col("__ir") <= k, gain(col("__ir"))))
+      .groupBy(col(queryCol))
+      .agg(sum(col("__g")).as("__dcg"), sum(col("__ig")).as("__idcg"))
+      .select(col(queryCol),
+        coalesce(col("__dcg").cast("string").cast("double"), lit(0.0))
+          .as("dcg"),
+        coalesce(col("__idcg").cast("string").cast("double"), lit(0.0))
+          .as("idcg"),
+        when(coalesce(col("__idcg").cast("string").cast("double"),
+          lit(0.0)) > 0,
+          col("__dcg").cast("string").cast("double") /
+            col("__idcg").cast("string").cast("double")).as("ndcg"))
+  }
 }

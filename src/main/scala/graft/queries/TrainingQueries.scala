@@ -7172,6 +7172,67 @@ object TrainingQueries {
              |  FROM f)
              |SELECT lang, n, n_keep, keep_rate, overall_rate, ratio,
              |  ratio < 0.8 AS below_four_fifths
-             |FROM z ORDER BY lang""".stripMargin))
+             |FROM z ORDER BY lang""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // NDCG@10 (Retrieval.ndcgAtK — graded ranking quality with explicit
+    // doc tiebreaks in both the system and ideal orders): a planted
+    // 20-query fixture — system order = the md5-48bit hash, relevance
+    // grades from residue classes — so the metric itself is what the
+    // hash certifies. Per-position gains ride DECIMAL(18,12).
+    QuerySpec(
+      "q220_ndcg",
+      (s, dir) => {
+        val results = Tables.documents(s, dir).select(
+          (col("doc_id") % 20).as("q"), col("doc_id"),
+          conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+            .cast("long").as("score"),
+          when(col("doc_id") % 7 === 0, 2L)
+            .when(col("doc_id") % 3 === 0, 1L).otherwise(0L).as("rel"))
+        graft.ops.Retrieval.ndcgAtK(results, "q", "doc_id", "score",
+            "rel", k = 10)
+          .orderBy("q")
+      },
+      Some {
+        val h48 = (1 to 12).map { p =>
+          val pw = java.math.BigInteger.valueOf(16L).pow(12 - p)
+          s"(STRPOS('0123456789abcdef', m[$p]) - 1) * $pw"
+        }.mkString(" + ")
+        s"""WITH r AS (
+           |  SELECT doc_id % 20 AS q, doc_id,
+           |    md5(CAST(doc_id AS VARCHAR)) AS m,
+           |    CASE WHEN doc_id % 7 = 0 THEN 2
+           |      WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS rel
+           |  FROM documents),
+           |h AS (SELECT q, doc_id, CAST(($h48) AS BIGINT) AS score, rel
+           |      FROM r),
+           |rk AS (
+           |  SELECT q, rel,
+           |    ROW_NUMBER() OVER (PARTITION BY q
+           |      ORDER BY score DESC, doc_id) AS sr,
+           |    ROW_NUMBER() OVER (PARTITION BY q
+           |      ORDER BY rel DESC, doc_id) AS ir
+           |  FROM h),
+           |g AS (
+           |  SELECT q,
+           |    SUM(CASE WHEN sr <= 10 THEN
+           |      CAST((POWER(2.0, rel) - 1.0)
+           |        / (ln(CAST(sr AS DOUBLE) + 1.0) / ln(2.0))
+           |        AS DECIMAL(18,12)) END) AS dcg,
+           |    SUM(CASE WHEN ir <= 10 THEN
+           |      CAST((POWER(2.0, rel) - 1.0)
+           |        / (ln(CAST(ir AS DOUBLE) + 1.0) / ln(2.0))
+           |        AS DECIMAL(18,12)) END) AS idcg
+           |  FROM rk GROUP BY q)
+           |SELECT CAST(q AS BIGINT) AS q,
+           |  COALESCE(CAST(CAST(dcg AS VARCHAR) AS DOUBLE), 0.0) AS dcg,
+           |  COALESCE(CAST(CAST(idcg AS VARCHAR) AS DOUBLE), 0.0)
+           |    AS idcg,
+           |  CASE WHEN COALESCE(CAST(CAST(idcg AS VARCHAR) AS DOUBLE),
+           |      0.0) > 0 THEN
+           |    CAST(CAST(dcg AS VARCHAR) AS DOUBLE)
+           |      / CAST(CAST(idcg AS VARCHAR) AS DOUBLE) END AS ndcg
+           |FROM g ORDER BY q""".stripMargin
+      })
   )
 }

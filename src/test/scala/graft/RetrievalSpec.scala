@@ -166,4 +166,27 @@ class RetrievalSpec extends AnyFunSuite {
     val topK = "TakeOrderedAndProject".r.findAllIn(plan).size
     assert(topK >= 2, s"expected both rankings as top-k, got $topK\n$plan")
   }
+
+  test("ndcgAtK: hand DCG/IDCG values, perfect ranking, no-relevant NULL") {
+    import spark.implicits._
+    def run(rows: (String, String, Double, Long)*) =
+      graft.ops.Retrieval.ndcgAtK(
+        rows.toSeq.toDF("q", "doc", "score", "rel"),
+        "q", "doc", "score", "rel", k = 10).orderBy("q").collect()
+    // system ranks the WORST doc first: d3(rel0), d2(rel1), d1(rel2)
+    val bad = run(("a", "d1", 0.1, 2L), ("a", "d2", 0.5, 1L),
+      ("a", "d3", 0.9, 0L)).head
+    val dcgExp = 1.0 / (math.log(3) / math.log(2)) + 3.0 / 2.0
+    val idcgExp = 3.0 + 1.0 / (math.log(3) / math.log(2))
+    assert(math.abs(bad.getDouble(1) - dcgExp) < 1e-9, s"dcg ${bad.getDouble(1)}")
+    assert(math.abs(bad.getDouble(2) - idcgExp) < 1e-9)
+    assert(math.abs(bad.getDouble(3) - dcgExp / idcgExp) < 1e-9)
+    // perfect ranking scores exactly 1
+    val good = run(("a", "d1", 0.9, 2L), ("a", "d2", 0.5, 1L),
+      ("a", "d3", 0.1, 0L)).head
+    assert(good.getDouble(3) == 1.0)
+    // a query with no relevant docs has IDCG 0 -> NDCG undefined
+    val none = run(("a", "d1", 0.9, 0L), ("a", "d2", 0.5, 0L)).head
+    assert(none.getDouble(2) == 0.0 && none.isNullAt(3))
+  }
 }
