@@ -539,4 +539,38 @@ class PlanSpec extends AnyFunSuite {
         s"pair text must die in the flag projection, not cross the shuffle: [$in]\n$plan")
     }
   }
+
+  test("q191: LPA result plan is O(1) deep — rounds are checkpointed, not stacked") {
+    val plan = executedPlan("q191_lpa_communities")
+    // a stacked 3-round plan would carry >= 3 vote-count aggregations;
+    // the checkpointed result rebuilds at most the final round
+    val aggs = "HashAggregate".r.findAllIn(plan).size
+    assert(aggs <= 8, s"plan depth suggests stacked rounds: $aggs aggs\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q193: the CMS point-query join broadcasts the sketch side") {
+    val plan = executedPlan("q193_cms_heavy_hitters")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"sketch side must broadcast\n$plan")
+  }
+
+  test("q203/q211: co-occurrence self-joins are hash joins on user, never cartesian") {
+    Seq("q203_item_cooccurrence", "q211_association_rules").foreach { q =>
+      val plan = executedPlan(q)
+      assert(!plan.contains("CartesianProduct"),
+        s"$q must join pairs by user key\n$plan")
+    }
+  }
+
+  test("q217/q218: the score plane compresses before the rank window") {
+    Seq("q217_roc_auc", "q218_average_precision").foreach { q =>
+      val plan = executedPlan(q)
+      // the distinct-score aggregation must precede the window: the
+      // window's sort input comes from an aggregate, not the raw scan
+      assert(plan.contains("Window"), plan)
+      assert("HashAggregate".r.findAllIn(plan).size >= 2,
+        s"$q needs the per-score compaction aggregate\n$plan")
+    }
+  }
 }
