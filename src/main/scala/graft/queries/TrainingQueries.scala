@@ -7233,6 +7233,62 @@ object TrainingQueries {
            |    CAST(CAST(dcg AS VARCHAR) AS DOUBLE)
            |      / CAST(CAST(idcg AS VARCHAR) AS DOUBLE) END AS ndcg
            |FROM g ORDER BY q""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // Markov stationary distribution of the event-type chain: q177's
+    // transition counts fed to WebGraph.weightedPageRank with damping
+    // 100 — which IS the pure power iteration π_{t+1}(j) = Σ_i π_t(i)·
+    // n(i,j) div rowTot(i) in exact scaled integers (100·x div 100 = x;
+    // the teleport term vanishes). Eight synchronous steps; truncating
+    // division sheds ≤10^-12 of the mass per term, far below any
+    // ordering decision. Op composition is the point: the Markov
+    // kernel, the web ranker and the keyword ranker are ONE iteration
+    // engine.
+    QuerySpec(
+      "q221_markov_stationary",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("us"),
+          col("event_id"))
+        val trans = graft.ops.EventOps.transitions(ev, "user_id",
+          "event_type", "us", "event_id")
+        graft.ops.WebGraph.weightedPageRank(trans, "from_type", "to_type",
+            "n", iterations = 8, dampingPct = 100)
+          .orderBy(col("rank").desc, col("node"))
+      },
+      Some {
+        val head = """WITH e0 AS (
+            |  SELECT user_id, event_type AS t, epoch_us(ts) AS us,
+            |    event_id
+            |  FROM events),
+            |pr2 AS (
+            |  SELECT t AS src, LEAD(t) OVER (PARTITION BY user_id
+            |    ORDER BY us, event_id) AS dst
+            |  FROM e0),
+            |e AS (SELECT src, dst, COUNT(*) AS w FROM pr2
+            |      WHERE dst IS NOT NULL GROUP BY 1, 2),
+            |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            |ow AS (SELECT src, SUM(w) AS outw FROM e GROUP BY src),
+            |eo AS (SELECT e.src, e.dst, e.w, ow.outw
+            |       FROM e JOIN ow USING (src)),
+            |pr AS (SELECT 1000000000000 // COUNT(*) AS r0 FROM nodes),
+            |r0 AS (SELECT node, (SELECT r0 FROM pr) AS rank FROM nodes)"""
+            .stripMargin
+        val iters = (1 to 8).map { k =>
+          s""",
+             |r$k AS (
+             |  SELECT n.node, COALESCE(s.inflow, 0) AS rank
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT eo.dst AS node,
+             |      SUM(CAST(p.rank AS HUGEINT) * eo.w // eo.outw)
+             |        AS inflow
+             |    FROM eo JOIN r${k - 1} p ON p.node = eo.src
+             |    GROUP BY eo.dst) s ON s.node = n.node)""".stripMargin
+        }.mkString
+        head + iters +
+          "\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r8" +
+          "\nORDER BY rank DESC, node"
       })
   )
 }

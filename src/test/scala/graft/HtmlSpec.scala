@@ -209,6 +209,19 @@ class HtmlSpec extends AnyFunSuite {
     assert(got("c") > got("d"))
   }
 
+  test("weightedPageRank at damping 100 is the Markov power iteration") {
+    import spark.implicits._
+    // P = [[0,1],[1/2,1/2]]: stationary (1/3, 2/3)
+    val trans = Seq(("A", "B", 2L), ("B", "A", 1L), ("B", "B", 1L))
+      .toDF("f", "t", "n")
+    val got = WebGraph.weightedPageRank(trans, "f", "t", "n",
+        iterations = 20, dampingPct = 100)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ratio = got("B").toDouble / got("A").toDouble
+    assert(math.abs(ratio - 2.0) < 0.01,
+      s"stationary ratio must approach 2: $ratio ($got)")
+  }
+
   test("weightedShortestPaths: relaxation beats the hop-shortest route") {
     import spark.implicits._
     // a->b (10), b->c (10) vs direct a->c (100): the 2-hop path wins;
