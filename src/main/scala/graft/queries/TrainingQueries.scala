@@ -7289,6 +7289,59 @@ object TrainingQueries {
         head + iters +
           "\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r8" +
           "\nORDER BY rank DESC, node"
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // Sorted-neighborhood linkage (Linkage.sortedNeighborhoodPairs —
+    // Hernández & Stolfo 1995, the OTHER blocking family next to
+    // q188's equality blocking): global sort rank WITHOUT a single-task
+    // window (the contiguousIds recipe), banded windowed pairing (every
+    // pair within w−1 positions shares a block), Jaro-Winkler verify at
+    // the q188 threshold, cross-source pairs only. The oracle replays
+    // rank, window, banding-free pairing and DuckDB's independent JW.
+    QuerySpec(
+      "q222_sorted_neighborhood",
+      (s, dir) => {
+        val base = Tables.customer(s, dir)
+          .select(col("c_custkey").as("id"), col("c_name").as("name"))
+        val dirty = Tables.customer(s, dir)
+          .select((col("c_custkey") + 1000000).as("id"),
+            expr("concat(substr(c_name, 1, 16), substr(c_name, 18, 1), " +
+              "substr(c_name, 17, 1))").as("name"))
+        val pairs = graft.ops.Linkage.sortedNeighborhoodPairs(
+          base.unionByName(dirty), "id", "name", window = 5)
+        pairs
+          .withColumn("jw", round(graft.functions.ArrayMath.jaroWinkler(
+            col("key_a"), col("key_b")), 6))
+          .filter(col("jw") >= 0.95 &&
+            ((col("id_a") < 1000000) =!= (col("id_b") < 1000000)))
+          .select(col("id_a"), col("key_a").as("name_a"), col("id_b"),
+            col("key_b").as("name_b"), col("jw"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH base AS (
+             |  SELECT c_custkey AS id, c_name AS name FROM customer),
+             |dirty AS (
+             |  SELECT c_custkey + 1000000 AS id,
+             |    substr(c_name, 1, 16) || substr(c_name, 18, 1)
+             |      || substr(c_name, 17, 1) AS name
+             |  FROM customer),
+             |allr AS (SELECT * FROM base UNION ALL SELECT * FROM dirty),
+             |rk AS (
+             |  SELECT id, name,
+             |    ROW_NUMBER() OVER (ORDER BY name, id) - 1 AS r
+             |  FROM allr),
+             |p AS (
+             |  SELECT a.id AS id_a, a.name AS name_a,
+             |    b.id AS id_b, b.name AS name_b
+             |  FROM rk a JOIN rk b ON b.r > a.r AND b.r - a.r < 5),
+             |f AS (
+             |  SELECT id_a, name_a, id_b, name_b,
+             |    ROUND(jaro_winkler_similarity(name_a, name_b), 6) AS jw
+             |  FROM p)
+             |SELECT id_a, name_a, id_b, name_b, jw FROM f
+             |WHERE jw >= 0.95
+             |  AND ((id_a < 1000000) <> (id_b < 1000000))
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 }

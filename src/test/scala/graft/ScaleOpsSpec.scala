@@ -225,6 +225,23 @@ class ScaleOpsSpec extends AnyFunSuite {
       "Exchange hashpartitioning".r.findAllIn(plan).size <= 1)
   }
 
+  test("sortedNeighborhoodPairs: exactly the rank-window pairs, across block seams") {
+    import spark.implicits._
+    val rows = Seq("delta", "alpha", "echo", "bravo", "golf", "charlie",
+      "foxtrot").zipWithIndex.map { case (k, i) => (i.toLong, k) }
+    val w = 3
+    val got = graft.ops.Linkage.sortedNeighborhoodPairs(
+        rows.toDF("id", "key"), "id", "key", window = w, numPartitions = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // reference: sort by (key, id), pair everything within w-1 positions
+    val sorted = rows.sortBy(r => (r._2, r._1)).map(_._1)
+    val expected = (for {
+      i <- sorted.indices; j <- i + 1 until math.min(i + w, sorted.size)
+    } yield (sorted(i), sorted(j))).toSet
+    assert(got == expected,
+      s"missing ${expected -- got}, extra ${got -- expected}")
+  }
+
   test("weightedQuantile: weight-heavy values win; ties collapse; rational thresholds") {
     import spark.implicits._
     // median of {1(w1), 2(w1), 10(w8)} is 10 — the unweighted median is 2
