@@ -295,7 +295,10 @@ object Classifier {
     *
     * cum counts are exact integers off one descending cumsum on the
     * distinct-score plane; each block term is an engine-identical
-    * double cast to DECIMAL(18,12) before the order-independent sum.
+    * double cast to DECIMAL(28,12) before the order-independent sum
+    * (28: the term is bounded by pos_k, and a heuristic score's tie
+    * block can hold millions of positives — 18,12 would overflow to
+    * NULL and silently drop the block).
     * The PR companion of [[rocAuc]] — preferred when positives are
     * rare (AUC saturates, AP does not).
     *
@@ -318,7 +321,7 @@ object Classifier {
       .withColumn("__term",
         (col("__pos").cast("double") *
           (col("__cumPos").cast("double") / col("__cumN").cast("double")))
-          .cast("decimal(18,12)"))
+          .cast("decimal(28,12)"))
       .agg(coalesce(sum(col("__pos")), lit(0L)).as("n_pos"),
         coalesce(sum(col("__n") - col("__pos")), lit(0L)).as("n_neg"),
         sum(col("__term")).as("__ap_num"))

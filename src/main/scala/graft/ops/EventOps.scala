@@ -548,8 +548,9 @@ object EventOps {
     * counts over the 168 (weekday, hour) cells plus χ² against the
     * uniform baseline — every cell reported (absent cells at 0, their
     * term is the largest). χ² terms are engine-identical doubles summed
-    * through DECIMAL(18,6); weekday is ISO (1 = Monday) from UTC event
-    * time.
+    * through DECIMAL(28,6) — a fully concentrated 10^10-event series
+    * tops 10^12, past 18,6; weekday is ISO (1 = Monday) from UTC event
+    * time. The rejection threshold is χ² ppf(0.999, df=167) = 229.215.
     *
     * Scale shape: one aggregation to the (series × 168)-cell plane;
     * the spine join and χ² run there.
@@ -581,11 +582,11 @@ object EventOps {
       .withColumn("__term",
         (((col("n_obs").cast("double") - col("expected")) *
           (col("n_obs").cast("double") - col("expected"))) /
-          col("expected")).cast("decimal(18,6)"))
+          col("expected")).cast("decimal(28,6)"))
       .withColumn("chi2",
         sum(col("__term")).over(wT).cast("string").cast("double"))
-      // alpha = 0.001, df = 167 critical value
-      .withColumn("flat_rejected", col("chi2") > lit(235.0))
+      // chi2 ppf(0.999, df=167) = 229.2146 (incomplete-gamma inversion)
+      .withColumn("flat_rejected", col("chi2") > lit(229.215))
       .select(col(typeCol), col("weekday").cast("long").as("weekday"),
         col("hour").cast("long").as("hour"), col("n_obs"),
         col("expected"), col("chi2"), col("flat_rejected"))
@@ -717,11 +718,14 @@ object EventOps {
       s"alpha must be a rational in (0,1): $alphaNum/$alphaDen")
     require(lags >= 1 && lags <= 20, s"lags must be in [1,20], got $lags")
     val r = alphaDen - alphaNum
-    require(math.pow(alphaDen.toDouble, (lags - 1).toDouble) < 9.0e17,
-      "scaled weights must stay inside BIGINT")
-    val u = (0 until lags).map(i =>
-      math.pow(r.toDouble, i.toDouble).toLong *
-        math.pow(alphaDen.toDouble, (lags - 1 - i).toDouble).toLong)
+    // exact BigInt weights: a double pow is already inexact past 2^53,
+    // which would silently break the rational-weight contract long
+    // before the BIGINT bound
+    val uBig = (0 until lags).map(i =>
+      BigInt(r).pow(i) * BigInt(alphaDen).pow(lags - 1 - i))
+    require(uBig.forall(_ <= BigInt(Long.MaxValue)),
+      s"scaled weights overflow BIGINT: alpha=$alphaNum/$alphaDen lags=$lags")
+    val u = uBig.map(_.toLong)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(userCol)).orderBy(col(usCol), col(tieCol))
     val lagged = events.withColumn("__vd",

@@ -360,20 +360,24 @@ object Profile {
     * trips. The data-quality gate for financial/measurement columns.
     *
     * Determinism: the first significant digit comes from the INTEGER
-    * rendering of round(|v|·100) — never from a double's string form
+    * rendering of floor(|v|·100) — never from a double's string form
     * (engines disagree on scientific notation) and never from a
-    * float log10 boundary; the ×100 shift cannot change the leading
-    * digit. All 9 digits are reported (absent digits count 0 — their
-    * χ² term is the largest, skipping them understates the statistic).
-    * χ² terms are engine-identical doubles summed through
-    * DECIMAL(18,6) (order-independent); the 15.507 threshold is the
+    * float log10 boundary. FLOOR, not round: rounding can carry a
+    * value across a power of ten (9.9999 → "1000" → digit 1) or pull
+    * a sub-unit value up a digit (0.0196 → "2"); truncation cannot.
+    * All 9 digits are reported (absent digits count 0 — their χ² term
+    * is the largest, skipping them understates the statistic). χ²
+    * terms are engine-identical doubles summed through DECIMAL(28,6)
+    * (order-independent; a fully concentrated 10^10-row series tops
+    * 10^12 and would NULL out at 18,6); the 15.507 threshold is the
     * α=0.05, df=8 critical value.
     *
     * Scale shape: one aggregation to the 9-row digit plane; everything
-    * after runs there. Zero/NULL values are excluded (no first digit),
-    * as are magnitudes past 9·10^16 where |v|·100 would overflow the
-    * exact BIGINT rendering — ample for financial/count columns, and
-    * the guard is the same double comparison in any engine.
+    * after runs there. NULL values and magnitudes outside
+    * [0.01, 9·10^16) are excluded — below, the cents rendering has no
+    * significant digit; above, |v|·100 would overflow the exact BIGINT
+    * rendering. Both guards are the same double comparison in any
+    * engine.
     *
     * → (digit, n_obs, p_obs, p_exp, chi2, reject_benford) — 9 rows,
     *   chi2/verdict repeated on each.
@@ -381,7 +385,7 @@ object Profile {
   def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
     val all = org.apache.spark.sql.expressions.Window.partitionBy()
     val v = abs(col(valueCol).cast("double"))
-    val cents = when(v < 9.0e16, round(v * 100).cast("long"))
+    val cents = when(v >= 0.01 && v < 9.0e16, floor(v * 100).cast("long"))
     val counts = df.select(cents.as("__c")).filter(col("__c") > 0)
       .select(substring(col("__c").cast("string"), 1, 1).cast("int")
         .as("digit"))
@@ -399,7 +403,7 @@ object Profile {
       .withColumn("__term",
         (((col("n_obs").cast("double") - col("__e")) *
           (col("n_obs").cast("double") - col("__e"))) / col("__e"))
-          .cast("decimal(18,6)"))
+          .cast("decimal(28,6)"))
     en.withColumn("chi2",
         sum(col("__term")).over(all).cast("string").cast("double"))
       .select(col("digit").cast("long").as("digit"), col("n_obs"),

@@ -102,6 +102,17 @@ object TrainingQueries {
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
   private val toksSql = s"string_split_regex(trim(text), '\\s+')"
 
+  /** DuckDB spelling of the md5→48-bit hash (the Sketches h48 recipe):
+    * explicit hex-digit arithmetic over a column named `m` holding the
+    * md5 hex string (DuckDB has no conv()); constants are the exact
+    * powers of 16. Shared by every oracle that replays the hash
+    * (q175 KMV, q193 CMS, q206 weighted sample, q220 NDCG).
+    */
+  private val h48Sql: String = (1 to 12).map { p =>
+    val pw = java.math.BigInteger.valueOf(16L).pow(12 - p)
+    s"(STRPOS('0123456789abcdef', m[$p]) - 1) * $pw"
+  }.mkString(" + ")
+
   /** q121/q124 planted-URL fixture (Spark spelling) — synthesized per
     * doc with uppercase hosts, default ports, tracking params (one
     * uppercase), fragments, shared paths, a spam domain, and
@@ -5044,10 +5055,6 @@ object TrainingQueries {
         // 48-bit value of the first 12 md5 hex chars, as explicit
         // digit arithmetic (DuckDB has no conv()) — constants are the
         // exact powers of 16
-        val h48 = (1 to 12).map { p =>
-          val pw = java.math.BigInteger.valueOf(16L).pow(12 - p)
-          s"(STRPOS('0123456789abcdef', m[$p]) - 1) * ${pw}"
-        }.mkString(" + ")
         s"""WITH t AS (
            |  SELECT source, string_split_regex(trim(text), '\\s+') AS toks
            |  FROM documents),
@@ -5057,7 +5064,7 @@ object TrainingQueries {
            |  WHERE len(toks) >= 3),
            |d AS (SELECT DISTINCT source, gram FROM w),
            |hh AS (SELECT source, gram, md5(gram) AS m FROM d),
-           |hn AS (SELECT source, gram, CAST($h48 AS BIGINT) AS h FROM hh),
+           |hn AS (SELECT source, gram, CAST($h48Sql AS BIGINT) AS h FROM hh),
            |rk AS (
            |  SELECT source, h,
            |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, gram)
@@ -5119,10 +5126,6 @@ object TrainingQueries {
           .orderBy("g_a", "g_b")
       },
       Some {
-        val h48 = (1 to 12).map { p =>
-          val pw = java.math.BigInteger.valueOf(16L).pow(12 - p)
-          s"(STRPOS('0123456789abcdef', m[$p]) - 1) * ${pw}"
-        }.mkString(" + ")
         s"""WITH t AS (
            |  SELECT source, string_split_regex(trim(text), '\\s+') AS toks
            |  FROM documents),
@@ -5132,7 +5135,7 @@ object TrainingQueries {
            |  WHERE len(toks) >= 3),
            |d AS (SELECT DISTINCT source, gram FROM w),
            |hh AS (SELECT source, gram, md5(gram) AS m FROM d),
-           |hn AS (SELECT source, gram, CAST($h48 AS BIGINT) AS h FROM hh),
+           |hn AS (SELECT source, gram, CAST($h48Sql AS BIGINT) AS h FROM hh),
            |rk AS (
            |  SELECT source, h,
            |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, gram) AS r
@@ -5906,17 +5909,13 @@ object TrainingQueries {
           .orderBy(col("exact_n").desc, col("token"))
       },
       Some {
-        val h48 = (1 to 12).map { p =>
-          val pw = java.math.BigInteger.valueOf(16L).pow(12 - p)
-          s"(STRPOS('0123456789abcdef', m[$p]) - 1) * $pw"
-        }.mkString(" + ")
         s"""WITH t AS (SELECT unnest($toksSql) AS tok FROM documents),
            |r AS (SELECT unnest(range(4)) AS row),
            |hx AS (
            |  SELECT row, md5(CAST(row AS VARCHAR) || ':' || tok) AS m
            |  FROM t, r),
            |sk AS (
-           |  SELECT row, CAST(($h48) % 512 AS BIGINT) AS bucket,
+           |  SELECT row, CAST(($h48Sql) % 512 AS BIGINT) AS bucket,
            |    COUNT(*) AS cnt
            |  FROM hx GROUP BY 1, 2),
            |cnts AS (SELECT tok, COUNT(*) AS exact_n FROM t GROUP BY tok),
@@ -5928,7 +5927,7 @@ object TrainingQueries {
            |  FROM top, r),
            |pb AS (
            |  SELECT tok, exact_n, row,
-           |    CAST(($h48) % 512 AS BIGINT) AS bucket
+           |    CAST(($h48Sql) % 512 AS BIGINT) AS bucket
            |  FROM pm),
            |est AS (
            |  SELECT tok, exact_n, MIN(COALESCE(sk.cnt, 0)) AS est_n
@@ -6176,20 +6175,22 @@ object TrainingQueries {
     // ------------------------------------------------------------------
     // Benford first-digit audit (Profile.benfordAudit — the Nigrini
     // fraud/quality gate on financial columns): first significant digit
-    // from the INTEGER rendering of round(|v|·100) (engines disagree on
-    // double string forms; the ×100 shift cannot change the leading
-    // digit), all 9 digits reported with absent ones at 0, χ² terms
-    // summed through DECIMAL(18,6). TPC-H o_totalprice is a sum of
-    // many line items — near-Benford by construction.
+    // from the INTEGER rendering of floor(|v|·100) (engines disagree on
+    // double string forms; truncation, unlike rounding, cannot carry a
+    // value across a power of ten), all 9 digits reported with absent
+    // ones at 0, χ² terms summed through DECIMAL(28,6). TPC-H
+    // o_totalprice is a sum of many line items — near-Benford by
+    // construction.
     QuerySpec(
       "q199_benford",
       (s, dir) => graft.ops.Profile.benfordAudit(
           Tables.orders(s, dir), "o_totalprice")
         .orderBy("digit"),
       Some("""WITH c AS (
-             |  SELECT CAST(ROUND(ABS(o_totalprice) * 100) AS BIGINT)
+             |  SELECT CAST(FLOOR(ABS(o_totalprice) * 100) AS BIGINT)
              |    AS cents
-             |  FROM orders WHERE ABS(o_totalprice) < 9.0e16),
+             |  FROM orders WHERE ABS(o_totalprice) >= 0.01
+             |    AND ABS(o_totalprice) < 9.0e16),
              |dg AS (
              |  SELECT CAST(CAST(cents AS VARCHAR)[1] AS INT) AS digit,
              |    COUNT(*) AS n_obs
@@ -6207,7 +6208,7 @@ object TrainingQueries {
              |    CAST(n_obs AS DOUBLE) / CAST(tot AS DOUBLE) AS p_obs,
              |    CAST(((CAST(n_obs AS DOUBLE) - p_exp * CAST(tot AS DOUBLE))
              |      * (CAST(n_obs AS DOUBLE) - p_exp * CAST(tot AS DOUBLE)))
-             |      / (p_exp * CAST(tot AS DOUBLE)) AS DECIMAL(18,6))
+             |      / (p_exp * CAST(tot AS DOUBLE)) AS DECIMAL(28,6))
              |      AS term
              |  FROM ex)
              |SELECT CAST(digit AS BIGINT) AS digit,
@@ -6482,15 +6483,11 @@ object TrainingQueries {
           "doc_id", "n_chars", k = 50)
         .orderBy("doc_id"),
       Some {
-        val h48 = (1 to 12).map { p =>
-          val pw = java.math.BigInteger.valueOf(16L).pow(12 - p)
-          s"(STRPOS('0123456789abcdef', m[$p]) - 1) * $pw"
-        }.mkString(" + ")
         s"""WITH hh AS (
            |  SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS m
            |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
            |h AS (
-           |  SELECT doc_id, n_chars, CAST(($h48) AS DOUBLE) AS hv
+           |  SELECT doc_id, n_chars, CAST(($h48Sql) AS DOUBLE) AS hv
            |  FROM hh),
            |kk AS (
            |  SELECT doc_id, n_chars,
@@ -6857,7 +6854,7 @@ object TrainingQueries {
     // Hour-of-week seasonality (EventOps.hourOfWeekProfile — the
     // traffic-shape diagnostic, q199's χ² machinery on the 168-cell
     // weekly grid): all cells reported (absent at 0), ISO weekdays,
-    // χ² against uniform through DECIMAL(18,6) terms.
+    // χ² against uniform through DECIMAL(28,6) terms, threshold 229.215 (χ² ppf(0.999, 167)).
     QuerySpec(
       "q214_hour_of_week",
       (s, dir) => graft.ops.EventOps.hourOfWeekProfile(
@@ -6887,7 +6884,7 @@ object TrainingQueries {
              |u AS (
              |  SELECT *, CAST(((CAST(n_obs AS DOUBLE) - expected)
              |    * (CAST(n_obs AS DOUBLE) - expected)) / expected
-             |    AS DECIMAL(18,6)) AS term
+             |    AS DECIMAL(28,6)) AS term
              |  FROM t)
              |SELECT event_type, CAST(weekday AS BIGINT) AS weekday,
              |  CAST(hour AS BIGINT) AS hour, CAST(n_obs AS BIGINT)
@@ -6895,7 +6892,7 @@ object TrainingQueries {
              |  CAST(CAST(SUM(term) OVER (PARTITION BY event_type)
              |    AS VARCHAR) AS DOUBLE) AS chi2,
              |  CAST(CAST(SUM(term) OVER (PARTITION BY event_type)
-             |    AS VARCHAR) AS DOUBLE) > 235.0 AS flat_rejected
+             |    AS VARCHAR) AS DOUBLE) > 229.215 AS flat_rejected
              |FROM u ORDER BY event_type, weekday, hour""".stripMargin)),
 
     // ------------------------------------------------------------------
@@ -7087,7 +7084,7 @@ object TrainingQueries {
              |    CAST(COALESCE(SUM(n - pos), 0) AS BIGINT) AS n_neg,
              |    SUM(CAST(CAST(pos AS DOUBLE)
              |      * (CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE))
-             |      AS DECIMAL(18,12))) AS ap_num
+             |      AS DECIMAL(28,12))) AS ap_num
              |  FROM c)
              |SELECT n_pos, n_neg,
              |  CASE WHEN n_pos > 0 THEN
@@ -7194,17 +7191,13 @@ object TrainingQueries {
           .orderBy("q")
       },
       Some {
-        val h48 = (1 to 12).map { p =>
-          val pw = java.math.BigInteger.valueOf(16L).pow(12 - p)
-          s"(STRPOS('0123456789abcdef', m[$p]) - 1) * $pw"
-        }.mkString(" + ")
         s"""WITH r AS (
            |  SELECT doc_id % 20 AS q, doc_id,
            |    md5(CAST(doc_id AS VARCHAR)) AS m,
            |    CASE WHEN doc_id % 7 = 0 THEN 2
            |      WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS rel
            |  FROM documents),
-           |h AS (SELECT q, doc_id, CAST(($h48) AS BIGINT) AS score, rel
+           |h AS (SELECT q, doc_id, CAST(($h48Sql) AS BIGINT) AS score, rel
            |      FROM r),
            |rk AS (
            |  SELECT q, rel,

@@ -198,13 +198,20 @@ class ProfileSpec extends AnyFunSuite {
       s"uniform magnitudes must reject: chi2=${reject.head.getDouble(4)}")
     assert(reject.map(_.getLong(1)).forall(_ == 100L))
     // all-ones corpus: digits 2..9 still reported with n_obs = 0
-    // 1e18 is past the exact-BIGINT guard -> excluded, not an overflow
+    // 1e18 is past the exact-BIGINT guard -> excluded, not an overflow;
+    // 0.005 is below the cents domain -> excluded
     val ones = Profile.benfordAudit(
-      Seq(1.0, 10.0, 150.0, 0.0, 1.0e18).toDF("v"), "v")
+      Seq(1.0, 10.0, 150.0, 0.0, 1.0e18, 0.005).toDF("v"), "v")
       .orderBy("digit").collect()
     assert(ones.length == 9 && ones.head.getLong(1) == 3L &&
       ones.tail.forall(_.getLong(1) == 0L),
-      "zero and overflow-range values excluded, digit gaps kept")
+      "zero, sub-cent and overflow-range values excluded, digit gaps kept")
+    // FLOOR regression: rounding would misbin both of these
+    val edge = Profile.benfordAudit(Seq(9.9999, 0.0196).toDF("v"), "v")
+      .orderBy("digit").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(edge(9L) == 1L, "9.9999 must stay digit 9, not round to 1000")
+    assert(edge(1L) == 1L, "0.0196 must stay digit 1, not round to 2")
   }
 
   test("cohenKappa: textbook 2x2 value, NULL exclusion, degenerate pe=1") {
