@@ -541,6 +541,61 @@ object EventOps {
           .as("jaccard"))
   }
 
+  /** RFM customer segmentation (Hughes 1994 — the marketing-analytics
+    * classic): per user Recency (micros from last activity to the
+    * corpus horizon), Frequency (event count) and Monetary (exact
+    * DECIMAL value sum), each scored into `nBuckets` quantile buckets
+    * (5 = best: most recent / most frequent / highest value) with
+    * [[ScaleOps.rankBuckets]] — ntile-identical but never funneling
+    * the user plane through one task, deterministic because every
+    * ordering carries the user id as the final tiebreak.
+    *
+    * One corpus aggregation to the user plane; three rank-bucket
+    * passes + two user-keyed joins on that plane.
+    *
+    * → (userCol, recency_us, frequency, monetary, r_score, f_score,
+    *   m_score, rfm) — monetary as DOUBLE over the VARCHAR bridge,
+    *   rfm = r·100 + f·10 + m.
+    */
+  def rfmSegments(events: DataFrame, userCol: String, valueCol: String,
+                  usCol: String, nBuckets: Int = 5,
+                  numPartitions: Int = 8): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val perUser = events
+      .select(col(userCol), col(usCol).cast("long").as("__us"),
+        coalesce(col(valueCol).cast("double").cast("decimal(18,6)"),
+          lit(0).cast("decimal(18,6)")).as("__v"))
+      .filter(col(userCol).isNotNull && col("__us").isNotNull)
+      .groupBy(col(userCol))
+      .agg(max(col("__us")).as("__last"), count(lit(1)).as("frequency"),
+        sum(col("__v")).as("__m"))
+    val horizon = perUser.agg(max(col("__last")).as("__h"))
+    val base = perUser.crossJoin(broadcast(horizon))
+      .select(col(userCol), (col("__h") - col("__last")).as("recency_us"),
+        col("frequency"), col("__m"))
+      .localCheckpoint() // feeds three rank-bucket passes
+    // recency: LOWER is better, so rank by -recency ascending = score 5
+    // for the most recent; ties broken by user id everywhere
+    val r = ScaleOps.rankBuckets(
+      base.select(col(userCol), (-col("recency_us")).as("__k")),
+      Seq("__k", userCol), nBuckets, numPartitions, "r_score")
+      .select(col(userCol), col("r_score"))
+    val f = ScaleOps.rankBuckets(
+      base.select(col(userCol), col("frequency").as("__k")),
+      Seq("__k", userCol), nBuckets, numPartitions, "f_score")
+      .select(col(userCol), col("f_score"))
+    val m = ScaleOps.rankBuckets(
+      base.select(col(userCol), col("__m").as("__k")),
+      Seq("__k", userCol), nBuckets, numPartitions, "m_score")
+      .select(col(userCol), col("m_score"))
+    base.join(r, Seq(userCol)).join(f, Seq(userCol)).join(m, Seq(userCol))
+      .select(col(userCol), col("recency_us"), col("frequency"),
+        col("__m").cast("string").cast("double").as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .as("rfm"))
+  }
+
   /** Hour-of-week seasonality profile with a uniformity χ² — the
     * traffic-shape diagnostic (organic product traffic has strong
     * diurnal/weekly structure; scripted or backfilled traffic is flat,

@@ -7335,6 +7335,47 @@ object TrainingQueries {
              |SELECT id_a, name_a, id_b, name_b, jw FROM f
              |WHERE jw >= 0.95
              |  AND ((id_a < 1000000) <> (id_b < 1000000))
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // RFM segmentation (EventOps.rfmSegments — Hughes' marketing
+    // classic): recency/frequency/monetary per user, each scored into
+    // quintiles by rankBuckets (ntile-identical, no single-task window,
+    // user-id tiebreaks). Monetary rides DECIMAL(18,6) over the VARCHAR
+    // bridge; the oracle replays with NTILE over the same orderings.
+    QuerySpec(
+      "q223_rfm_segments",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("user_id"),
+          col("value"), unix_micros(col("ts")).as("us"))
+        graft.ops.EventOps.rfmSegments(ev, "user_id", "value", "us",
+            nBuckets = 5, numPartitions = 8)
+          .orderBy("user_id")
+      },
+      Some("""WITH pu AS (
+             |  SELECT user_id, MAX(epoch_us(ts)) AS last_us,
+             |    COUNT(*) AS frequency,
+             |    SUM(COALESCE(CAST(value AS DECIMAL(18,6)),
+             |      CAST(0 AS DECIMAL(18,6)))) AS m
+             |  FROM events GROUP BY user_id),
+             |h AS (SELECT MAX(last_us) AS hz FROM pu),
+             |b AS (SELECT user_id, hz - last_us AS recency_us,
+             |        frequency, m
+             |      FROM pu, h),
+             |sc AS (
+             |  SELECT user_id, recency_us, frequency, m,
+             |    CAST(NTILE(5) OVER (ORDER BY -recency_us, user_id)
+             |      AS BIGINT) AS r_score,
+             |    CAST(NTILE(5) OVER (ORDER BY frequency, user_id)
+             |      AS BIGINT) AS f_score,
+             |    CAST(NTILE(5) OVER (ORDER BY m, user_id)
+             |      AS BIGINT) AS m_score
+             |  FROM b)
+             |SELECT user_id, CAST(recency_us AS BIGINT) AS recency_us,
+             |  CAST(frequency AS BIGINT) AS frequency,
+             |  CAST(CAST(m AS VARCHAR) AS DOUBLE) AS monetary,
+             |  r_score, f_score, m_score,
+             |  r_score * 100 + f_score * 10 + m_score AS rfm
+             |FROM sc ORDER BY user_id""".stripMargin))
   )
 }

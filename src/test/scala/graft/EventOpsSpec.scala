@@ -122,6 +122,26 @@ class EventOpsSpec extends AnyFunSuite {
       !got(1).getBoolean(4))
   }
 
+  test("rfmSegments: monotone users land in strictly ordered quintiles") {
+    import spark.implicits._
+    // user i: i events of value 100 each, last at i*10 us -> recency,
+    // frequency and monetary all rank users 1..5 in the same order
+    val ev = (1 to 5).flatMap { i =>
+      (1 to i).map(j => (i.toLong, 100.0, (j * 10).toLong))
+    }.toDF("user_id", "value", "us")
+    val got = graft.ops.EventOps.rfmSegments(ev, "user_id", "value", "us",
+        nBuckets = 5, numPartitions = 3)
+      .orderBy("user_id").collect()
+    // user 5 is most recent, most frequent, highest total -> 555
+    assert(got(4).getLong(7) == 555L, s"u5 ${got(4)}")
+    assert(got(0).getLong(7) == 111L, s"u1 ${got(0)}")
+    // scores are permutations of 1..5 per dimension (5 users, 5 buckets)
+    Seq(4, 5, 6).foreach { c =>
+      assert(got.map(_.getLong(c)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L),
+        s"column $c must be a 1..5 permutation")
+    }
+  }
+
   test("hourOfWeekProfile: ISO weekday cells, zero-filled grid, concentration rejects") {
     import spark.implicits._
     // 2024-01-01 is a Monday; 2024-01-07 a Sunday
