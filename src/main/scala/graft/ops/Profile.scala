@@ -353,6 +353,55 @@ object Profile {
           .cast("long").as("suggested_salts"))
   }
 
+  /** Mutual information between two categorical columns (Shannon 1948;
+    * the dependence measure correlation can't see — MI catches ANY
+    * association, not just monotone): MI = Σ p(x,y)·ln(p(x,y)/(p(x)
+    * p(y))) in nats, with both marginal entropies and the uncertainty
+    * coefficient U(x|y) = MI/H(x) (Theil — the [0,1] "how much of x
+    * does knowing y explain"). The feature-selection / leakage-audit
+    * primitive: a near-1 coefficient between a feature and the label
+    * usually means the feature IS the label.
+    *
+    * Every term is one ln of a ratio of exact integer products (the
+    * PMI recipe) times an exact rational, cast to DECIMAL(18,12)
+    * before the order-independent sums. One corpus aggregation to the
+    * joint (x, y) plane; marginals, entropies and the final reduction
+    * run there.
+    *
+    * → one row (n_items, mi, h_x, h_y, u_xy) — u_xy NULL when H(x)=0.
+    */
+  def mutualInformation(df: DataFrame, xCol: String,
+                        yCol: String): DataFrame = {
+    val joint = df
+      .select(col(xCol).cast("string").as("__x"),
+        col(yCol).cast("string").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .groupBy("__x", "__y").agg(count(lit(1)).as("__n"))
+      .localCheckpoint() // shared by marginals, totals and the MI terms
+    val tot = joint.agg(sum(col("__n")).as("__N0"))
+    val mx = joint.groupBy("__x").agg(sum(col("__n")).as("__nx"))
+    val my = joint.groupBy("__y").agg(sum(col("__n")).as("__ny"))
+    def entropy(marg: DataFrame, nCol: String): DataFrame =
+      marg.crossJoin(broadcast(tot))
+        .select(((col(nCol).cast("double") / col("__N0").cast("double")) *
+          log(col(nCol).cast("double") / col("__N0").cast("double")))
+          .cast("decimal(18,12)").as("__t"))
+        .agg((-sum(col("__t"))).cast("string").cast("double").as("__h"))
+    val mi = joint.join(mx, "__x").join(my, "__y")
+      .crossJoin(broadcast(tot))
+      .select(((col("__n").cast("double") / col("__N0").cast("double")) *
+        log((col("__n").cast("double") * col("__N0").cast("double")) /
+          (col("__nx").cast("double") * col("__ny").cast("double"))))
+        .cast("decimal(18,12)").as("__t"))
+      .agg(sum(col("__t")).cast("string").cast("double").as("__mi"))
+    tot.crossJoin(mi)
+      .crossJoin(entropy(mx, "__nx").withColumnRenamed("__h", "__hx"))
+      .crossJoin(entropy(my, "__ny").withColumnRenamed("__h", "__hy"))
+      .select(col("__N0").as("n_items"), col("__mi").as("mi"),
+        col("__hx").as("h_x"), col("__hy").as("h_y"),
+        when(col("__hx") > 0, col("__mi") / col("__hx")).as("u_xy"))
+  }
+
   /** Benford's-law first-digit audit (Benford 1938; Nigrini's fraud-
     * detection staple): natural multi-scale magnitudes put digit d
     * first with probability log10(1+1/d); fabricated or truncated

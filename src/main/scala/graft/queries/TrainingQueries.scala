@@ -7376,6 +7376,49 @@ object TrainingQueries {
              |  CAST(CAST(m AS VARCHAR) AS DOUBLE) AS monetary,
              |  r_score, f_score, m_score,
              |  r_score * 100 + f_score * 10 + m_score AS rfm
-             |FROM sc ORDER BY user_id""".stripMargin))
+             |FROM sc ORDER BY user_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Mutual information event_type × hour-of-day
+    // (Profile.mutualInformation — the dependence measure correlation
+    // can't see, with Theil's uncertainty coefficient): every term one
+    // ln of exact integer products through DECIMAL(18,12), all
+    // reductions on the joint plane.
+    QuerySpec(
+      "q224_mutual_information",
+      (s, dir) => graft.ops.Profile.mutualInformation(
+        Tables.events(s, dir).select(col("event_type"),
+          hour(col("ts")).as("hr")),
+        "event_type", "hr"),
+      Some("""WITH j AS (
+             |  SELECT event_type AS x, CAST(hour(ts) AS VARCHAR) AS y,
+             |    COUNT(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |t AS (SELECT SUM(n) AS n0 FROM j),
+             |mx AS (SELECT x, SUM(n) AS nx FROM j GROUP BY x),
+             |my AS (SELECT y, SUM(n) AS ny FROM j GROUP BY y),
+             |mi AS (
+             |  SELECT CAST(CAST(SUM(CAST(
+             |    (CAST(j.n AS DOUBLE) / CAST(t.n0 AS DOUBLE))
+             |    * ln((CAST(j.n AS DOUBLE) * CAST(t.n0 AS DOUBLE))
+             |        / (CAST(mx.nx AS DOUBLE) * CAST(my.ny AS DOUBLE)))
+             |    AS DECIMAL(18,12))) AS VARCHAR) AS DOUBLE) AS mi
+             |  FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t),
+             |hx AS (
+             |  SELECT CAST(CAST(-SUM(CAST(
+             |    (CAST(nx AS DOUBLE) / CAST(t.n0 AS DOUBLE))
+             |    * ln(CAST(nx AS DOUBLE) / CAST(t.n0 AS DOUBLE))
+             |    AS DECIMAL(18,12))) AS VARCHAR) AS DOUBLE) AS h_x
+             |  FROM mx CROSS JOIN t),
+             |hy AS (
+             |  SELECT CAST(CAST(-SUM(CAST(
+             |    (CAST(ny AS DOUBLE) / CAST(t.n0 AS DOUBLE))
+             |    * ln(CAST(ny AS DOUBLE) / CAST(t.n0 AS DOUBLE))
+             |    AS DECIMAL(18,12))) AS VARCHAR) AS DOUBLE) AS h_y
+             |  FROM my CROSS JOIN t)
+             |SELECT CAST(t.n0 AS BIGINT) AS n_items, mi.mi, hx.h_x,
+             |  hy.h_y,
+             |  CASE WHEN hx.h_x > 0 THEN mi.mi / hx.h_x END AS u_xy
+             |FROM t, mi, hx, hy""".stripMargin))
   )
 }

@@ -179,6 +179,25 @@ class ProfileSpec extends AnyFunSuite {
     assert(a == b, s"corr must be bit-identical across partitionings: $a vs $b")
   }
 
+  test("mutualInformation: independence -> 0, identity -> H, hand value") {
+    import spark.implicits._
+    // independent uniform 2x2: MI exactly 0
+    val indep = (for { x <- Seq("a", "b"); y <- Seq("p", "q") }
+      yield (x, y)).flatMap(Seq.fill(10)(_))
+    val i = Profile.mutualInformation(indep.toDF("x", "y"), "x", "y").head()
+    assert(math.abs(i.getDouble(1)) < 1e-12, s"independent MI ${i.getDouble(1)}")
+    assert(i.isNullAt(4) == false && math.abs(i.getDouble(4)) < 1e-12)
+    // y == x: MI = H(x) = ln 2, uncertainty coefficient exactly ~1
+    val ident = Seq.fill(10)(("a", "a")) ++ Seq.fill(10)(("b", "b"))
+    val d = Profile.mutualInformation(ident.toDF("x", "y"), "x", "y").head()
+    assert(math.abs(d.getDouble(1) - math.log(2)) < 1e-9)
+    assert(math.abs(d.getDouble(4) - 1.0) < 1e-9, s"U ${d.getDouble(4)}")
+    // degenerate single-class x: H(x)=0 -> U undefined
+    val degen = Profile.mutualInformation(
+      Seq(("a", "p"), ("a", "q")).toDF("x", "y"), "x", "y").head()
+    assert(degen.getDouble(2) == 0.0 && degen.isNullAt(4))
+  }
+
   test("benfordAudit: powers of 2 conform, uniform magnitudes reject, zero digits present") {
     import spark.implicits._
     // leading digits of 2^i are Benford-distributed (equidistribution
