@@ -7419,6 +7419,77 @@ object TrainingQueries {
              |SELECT CAST(t.n0 AS BIGINT) AS n_items, mi.mi, hx.h_x,
              |  hy.h_y,
              |  CASE WHEN hx.h_x > 0 THEN mi.mi / hx.h_x END AS u_xy
-             |FROM t, mi, hx, hy""".stripMargin))
+             |FROM t, mi, hx, hy""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Funnel time-to-convert quantiles (q156's strict funnel composed
+    // with ScaleOps.weightedQuantile at w=1): per step the p50/p90 of
+    // t_k − t1 over converters, thresholds as cross-multiplied integer
+    // comparisons (2·cum ≥ W, 10·cum ≥ 9·W) — no float boundary, no
+    // single-task sort.
+    QuerySpec(
+      "q225_funnel_latency",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val times = graft.ops.EventOps.funnel(ev, "user_id", "event_type",
+          "us", Seq("signup", "view", "purchase"),
+          windowUs = 259200000000L)
+        val durs = times.filter(col("t2").isNotNull)
+          .select(lit(2L).as("step"), (col("t2") - col("t1")).as("dur"))
+          .unionByName(times.filter(col("t3").isNotNull)
+            .select(lit(3L).as("step"), (col("t3") - col("t1")).as("dur")))
+          .withColumn("w", lit(1L))
+          .localCheckpoint() // feeds both quantile passes
+        val p50 = graft.ops.ScaleOps.weightedQuantile(durs, Seq("step"),
+            "dur", "w", 1L, 2L)
+          .select(col("step"), col("total_w").as("n_conv"),
+            col("wq_value").as("p50_us"))
+        val p90 = graft.ops.ScaleOps.weightedQuantile(durs, Seq("step"),
+            "dur", "w", 9L, 10L)
+          .select(col("step"), col("wq_value").as("p90_us"))
+        p50.join(p90, "step").orderBy("step")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+             |), s1 AS (
+             |  SELECT user_id, MIN(us) AS t1 FROM e
+             |  WHERE event_type = 'signup' GROUP BY 1
+             |), s2 AS (
+             |  SELECT e.user_id, MIN(s1.t1) AS t1, MIN(e.us) AS t2
+             |  FROM e JOIN s1 USING (user_id)
+             |  WHERE e.event_type = 'view' AND e.us > s1.t1
+             |    AND e.us <= s1.t1 + 259200000000
+             |  GROUP BY 1
+             |), s3 AS (
+             |  SELECT e.user_id, MIN(s2.t1) AS t1, MIN(e.us) AS t3
+             |  FROM e JOIN s2 USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND e.us > s2.t2
+             |    AND e.us <= s2.t1 + 259200000000
+             |  GROUP BY 1
+             |), du AS (
+             |  SELECT 2 AS step, t2 - t1 AS dur FROM s2
+             |  UNION ALL SELECT 3, t3 - t1 FROM s3
+             |), g AS (
+             |  SELECT step, dur, COUNT(*) AS wv FROM du GROUP BY 1, 2
+             |), c AS (
+             |  SELECT step, dur,
+             |    SUM(wv) OVER (PARTITION BY step ORDER BY dur
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cum,
+             |    SUM(wv) OVER (PARTITION BY step) AS tot
+             |  FROM g
+             |), q50 AS (
+             |  SELECT step, MIN(dur) AS p50_us, MIN(tot) AS n_conv
+             |  FROM c WHERE cum * 2 >= tot GROUP BY step
+             |), q90 AS (
+             |  SELECT step, MIN(dur) AS p90_us
+             |  FROM c WHERE cum * 10 >= tot * 9 GROUP BY step)
+             |SELECT CAST(q50.step AS BIGINT) AS step,
+             |  CAST(q50.n_conv AS BIGINT) AS n_conv,
+             |  CAST(q50.p50_us AS BIGINT) AS p50_us,
+             |  CAST(q90.p90_us AS BIGINT) AS p90_us
+             |FROM q50 JOIN q90 USING (step) ORDER BY step""".stripMargin))
   )
 }
