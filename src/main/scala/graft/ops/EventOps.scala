@@ -361,6 +361,62 @@ object EventOps {
       .withColumn("is_regular", col("cv") < cvFlag)
   }
 
+  /** Per-series linear trend over daily volumes — grouped OLS of count
+    * on day index with the slope's t-statistic, the "which series are
+    * growing/decaying, and is it signal" monitor (the q208 regression
+    * recipe, grouped and with inference):
+    *
+    *   slope = cov(d, n)/var(d),  t = slope / se,
+    *   se² = (SSE/(n−2)) / Σ(d−d̄)²
+    *
+    * Exactness: day indices and counts are integers on a zero-filled
+    * spine (gap days are real zeros — dropping them biases the trend
+    * up); all five moments are exact integer/DECIMAL(38,0) sums
+    * exiting the VARCHAR bridge into a fixed IEEE sequence.
+    *
+    * → (typeCol, n_days, slope, intercept, t_stat, trending) — t/flag
+    *   NULL when var(d)=0 or n_days < 3; trending = |t| > 2.
+    */
+  def dailyTrend(events: DataFrame, typeCol: String,
+                 tsCol: String): DataFrame = {
+    val daily = events
+      .select(col(typeCol), to_date(col(tsCol)).as("__d"))
+      .filter(col("__d").isNotNull)
+      .groupBy(col(typeCol), col("__d"))
+      .agg(count(lit(1)).as("__n"))
+    val spine = daily
+      .agg(min(col("__d")).as("__lo"), max(col("__d")).as("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("__d"))
+    val series = daily.select(col(typeCol)).distinct()
+    val z = series.crossJoin(spine)
+      .join(daily, Seq(typeCol, "__d"), "left")
+      .select(col(typeCol),
+        datediff(col("__d"), lit("1970-01-01")).cast("long").as("__x"),
+        coalesce(col("__n"), lit(0L)).as("__y"))
+    val m = z.groupBy(col(typeCol)).agg(
+      count(lit(1)).as("n_days"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x").cast("decimal(38,0)") * col("__y")).as("__sxy"),
+      sum(col("__x").cast("decimal(38,0)") * col("__x")).as("__sxx"),
+      sum(col("__y").cast("decimal(38,0)") * col("__y")).as("__syy"))
+    def d(name: String) = col(name).cast("string").cast("double")
+    val nD = col("n_days").cast("double")
+    val sxD = col("__sx").cast("double")
+    val syD = col("__sy").cast("double")
+    val cov = d("__sxy") - sxD * syD / nD
+    val vx = d("__sxx") - sxD * sxD / nD
+    val vy = d("__syy") - syD * syD / nD
+    val slope = cov / vx
+    val sse = vy - slope * cov // SSE = Syy − b·Sxy (centered)
+    val se = sqrt((sse / (nD - lit(2.0))) / vx)
+    m.select(col(typeCol), col("n_days"),
+        when(vx > 0, slope).as("slope"),
+        when(vx > 0, syD / nD - slope * sxD / nD).as("intercept"),
+        when(vx > 0 && col("n_days") > 2 && sse > 0, slope / se)
+          .as("t_stat"))
+      .withColumn("trending", abs(col("t_stat")) > 2.0)
+  }
+
   /** Lead–lag cross-correlation between two event series (the
     * econometric CCF): Pearson r between x's daily count and y's daily
     * count shifted by k days, for every |k| ≤ maxLag — "does X lead

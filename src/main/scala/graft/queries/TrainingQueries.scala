@@ -7490,6 +7490,69 @@ object TrainingQueries {
              |  CAST(q50.n_conv AS BIGINT) AS n_conv,
              |  CAST(q50.p50_us AS BIGINT) AS p50_us,
              |  CAST(q90.p90_us AS BIGINT) AS p90_us
-             |FROM q50 JOIN q90 USING (step) ORDER BY step""".stripMargin))
+             |FROM q50 JOIN q90 USING (step) ORDER BY step""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Per-series daily trend with inference (EventOps.dailyTrend —
+    // grouped OLS of volume on day index + the slope's t-statistic):
+    // zero-filled spine (gap days are real zeros), exact integer
+    // moments over the VARCHAR bridge, |t| > 2 flags a real trend.
+    QuerySpec(
+      "q226_daily_trend",
+      (s, dir) => graft.ops.EventOps.dailyTrend(
+          Tables.events(s, dir), "event_type", "ts")
+        .orderBy("event_type"),
+      Some("""WITH dd AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |b AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM dd),
+             |days AS (
+             |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+             |    AS DATE) AS d FROM b),
+             |se AS (SELECT DISTINCT event_type FROM dd),
+             |z AS (
+             |  SELECT se.event_type,
+             |    CAST(days.d - DATE '1970-01-01' AS BIGINT) AS x,
+             |    CAST(COALESCE(dd.n, 0) AS BIGINT) AS y
+             |  FROM se CROSS JOIN days
+             |  LEFT JOIN dd ON dd.event_type = se.event_type
+             |    AND dd.d = days.d),
+             |m AS (
+             |  SELECT event_type, COUNT(*) AS n_days,
+             |    CAST(SUM(x) AS BIGINT) AS sx,
+             |    CAST(SUM(y) AS BIGINT) AS sy,
+             |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             |    SUM(CAST(y AS HUGEINT) * y) AS syy
+             |  FROM z GROUP BY event_type),
+             |f AS (
+             |  SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+             |    CAST(n_days AS DOUBLE) AS nd,
+             |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+             |    CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+             |        / CAST(n_days AS DOUBLE) AS cov,
+             |    CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+             |        / CAST(n_days AS DOUBLE) AS vx,
+             |    CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+             |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+             |        / CAST(n_days AS DOUBLE) AS vy
+             |  FROM m),
+             |g AS (
+             |  SELECT event_type, n_days, nd, sxd, syd, cov, vx, vy,
+             |    cov / vx AS slope,
+             |    vy - (cov / vx) * cov AS sse
+             |  FROM f)
+             |SELECT event_type, n_days,
+             |  CASE WHEN vx > 0 THEN slope END AS slope,
+             |  CASE WHEN vx > 0 THEN syd / nd - slope * sxd / nd END
+             |    AS intercept,
+             |  CASE WHEN vx > 0 AND n_days > 2 AND sse > 0 THEN
+             |    slope / sqrt((sse / (nd - 2.0)) / vx) END AS t_stat,
+             |  ABS(CASE WHEN vx > 0 AND n_days > 2 AND sse > 0 THEN
+             |    slope / sqrt((sse / (nd - 2.0)) / vx) END) > 2.0
+             |    AS trending
+             |FROM g ORDER BY event_type""".stripMargin))
   )
 }

@@ -122,6 +122,29 @@ class EventOpsSpec extends AnyFunSuite {
       !got(1).getBoolean(4))
   }
 
+  test("dailyTrend: exact slope on a planted ramp; perfect fit reports NULL t") {
+    import spark.implicits._
+    // 'up': day d has d+1 events (slope exactly 1, zero residual)
+    // 'noisy': 5,7,5,7,... around a flat mean (slope ~0, not trending)
+    val rows = (0 until 10).flatMap { d =>
+      val day = f"2024-01-${d + 1}%02d 01:00:00"
+      Seq.fill(d + 1)(("up", day)) ++
+        Seq.fill(if (d % 2 == 0) 5 else 7)(("noisy", day))
+    }
+    val got = graft.ops.EventOps.dailyTrend(
+        rows.toDF("event_type", "s")
+          .select(col("event_type"), to_timestamp(col("s")).as("ts")),
+        "event_type", "ts")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val up = got("up")
+    assert(up.getLong(1) == 10L && math.abs(up.getDouble(2) - 1.0) < 1e-9)
+    assert(up.isNullAt(4) && up.isNullAt(5),
+      "a zero-residual fit has no finite t statistic")
+    val noisy = got("noisy")
+    assert(math.abs(noisy.getDouble(2)) < 0.2, s"slope ${noisy.getDouble(2)}")
+    assert(!noisy.getBoolean(5), "oscillation must not flag as trending")
+  }
+
   test("rfmSegments: monotone users land in strictly ordered quintiles") {
     import spark.implicits._
     // user i: i events of value 100 each, last at i*10 us -> recency,
