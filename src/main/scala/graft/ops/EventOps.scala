@@ -597,6 +597,55 @@ object EventOps {
           .as("jaccard"))
   }
 
+  /** Per-user trajectory surprisal under the corpus transition model —
+    * the sequence-anomaly detector (an account whose click-path the
+    * global first-order Markov chain finds improbable is a bot, an
+    * attacker, or a UI bug): for each user, the mean negative
+    * log-likelihood of their consecutive transitions,
+    *
+    *   NLL(u) = − (1/T_u) Σ_t ln P(next_t | cur_t),
+    *   P(j|i) = n_ij / Σ_j n_ij   (global counts)
+    *
+    * Each term is ONE ln of a ratio of exact integers (the PMI recipe)
+    * cast to DECIMAL(18,12); per-user sums are order-independent and
+    * the division exits over the VARCHAR bridge. Every observed
+    * transition has a positive global count by construction (it
+    * contributes to the model), so no smoothing is needed and no
+    * ln(0) can occur.
+    *
+    * Scale shape: one lead window for the pairs, the K×K transition
+    * matrix broadcasts back onto them, one user-keyed aggregation.
+    *
+    * → (userCol, n_transitions, avg_nll) — users with no transitions
+    *   are absent.
+    */
+  def trajectorySurprisal(events: DataFrame, userCol: String,
+                          typeCol: String, usCol: String,
+                          tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col("__us"), col("__tie"))
+    val pairs = events
+      .select(col(userCol), col(typeCol).as("__from"),
+        col(usCol).cast("long").as("__us"), col(tieCol).as("__tie"))
+      .withColumn("__to", lead(col("__from"), 1).over(w))
+      .filter(col("__to").isNotNull)
+      .select(col(userCol), col("__from"), col("__to"))
+    val model = pairs.groupBy("__from", "__to")
+      .agg(count(lit(1)).as("__nij"))
+      .withColumn("__ni", sum(col("__nij")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__from"))))
+    pairs.join(broadcast(model), Seq("__from", "__to"))
+      .withColumn("__term",
+        log(col("__nij").cast("double") / col("__ni").cast("double"))
+          .cast("decimal(18,12)"))
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_transitions"),
+        (-sum(col("__term"))).as("__s"))
+      .select(col(userCol), col("n_transitions"),
+        (col("__s").cast("string").cast("double") /
+          col("n_transitions").cast("double")).as("avg_nll"))
+  }
+
   /** RFM customer segmentation (Hughes 1994 — the marketing-analytics
     * classic): per user Recency (micros from last activity to the
     * corpus horizon), Frequency (event count) and Monetary (exact

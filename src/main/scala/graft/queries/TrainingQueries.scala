@@ -7553,6 +7553,48 @@ object TrainingQueries {
              |  ABS(CASE WHEN vx > 0 AND n_days > 2 AND sse > 0 THEN
              |    slope / sqrt((sse / (nd - 2.0)) / vx) END) > 2.0
              |    AS trending
-             |FROM g ORDER BY event_type""".stripMargin))
+             |FROM g ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Trajectory surprisal (EventOps.trajectorySurprisal — per-user
+    // mean NLL under the q177 transition model): the sequence-anomaly
+    // detector. One ln of exact integer ratios per transition through
+    // DECIMAL(18,12); the K×K model broadcasts back onto the pairs.
+    QuerySpec(
+      "q227_trajectory_surprisal",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("us"),
+          col("event_id"))
+        graft.ops.EventOps.trajectorySurprisal(ev, "user_id",
+            "event_type", "us", "event_id")
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type AS t, epoch_us(ts) AS us,
+             |    event_id
+             |  FROM events),
+             |p AS (
+             |  SELECT user_id, t AS f,
+             |    LEAD(t) OVER (PARTITION BY user_id
+             |      ORDER BY us, event_id) AS nx
+             |  FROM e),
+             |pp AS (SELECT user_id, f, nx FROM p WHERE nx IS NOT NULL),
+             |m AS (
+             |  SELECT f, nx, COUNT(*) AS nij FROM pp GROUP BY 1, 2),
+             |mm AS (
+             |  SELECT f, nx, nij, SUM(nij) OVER (PARTITION BY f) AS ni
+             |  FROM m),
+             |sc AS (
+             |  SELECT pp.user_id, COUNT(*) AS n_transitions,
+             |    -SUM(CAST(ln(CAST(mm.nij AS DOUBLE)
+             |      / CAST(mm.ni AS DOUBLE)) AS DECIMAL(18,12))) AS s
+             |  FROM pp JOIN mm ON mm.f = pp.f AND mm.nx = pp.nx
+             |  GROUP BY pp.user_id)
+             |SELECT user_id, CAST(n_transitions AS BIGINT)
+             |    AS n_transitions,
+             |  CAST(CAST(s AS VARCHAR) AS DOUBLE)
+             |    / CAST(n_transitions AS DOUBLE) AS avg_nll
+             |FROM sc ORDER BY user_id""".stripMargin))
   )
 }

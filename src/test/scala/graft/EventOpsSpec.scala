@@ -122,6 +122,28 @@ class EventOpsSpec extends AnyFunSuite {
       !got(1).getBoolean(4))
   }
 
+  test("trajectorySurprisal: the off-pattern journey scores the highest NLL") {
+    import spark.implicits._
+    // u1/u2 walk the common a->b->a->b path; u3 takes the rare a->x
+    val ev = Seq(
+      (1L, "a", 0L, 1L), (1L, "b", 1L, 2L), (1L, "a", 2L, 3L),
+      (1L, "b", 3L, 4L),
+      (2L, "a", 0L, 5L), (2L, "b", 1L, 6L), (2L, "a", 2L, 7L),
+      (2L, "b", 3L, 8L),
+      (3L, "a", 0L, 9L), (3L, "x", 1L, 10L))
+      .toDF("user_id", "t", "us", "eid")
+    val got = graft.ops.EventOps.trajectorySurprisal(
+        ev, "user_id", "t", "us", "eid")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // model: P(b|a)=4/5, P(a|b)=1, P(x|a)=1/5
+    val common = -(2 * math.log(0.8) + math.log(1.0)) / 3
+    assert(got(1L)._1 == 3L && math.abs(got(1L)._2 - common) < 1e-9)
+    assert(math.abs(got(3L)._2 - (-math.log(0.2))) < 1e-9)
+    assert(got(3L)._2 > got(1L)._2 * 5,
+      s"the rare path must stand out: ${got(3L)._2} vs ${got(1L)._2}")
+  }
+
   test("dailyTrend: exact slope on a planted ramp; perfect fit reports NULL t") {
     import spark.implicits._
     // 'up': day d has d+1 events (slope exactly 1, zero residual)
