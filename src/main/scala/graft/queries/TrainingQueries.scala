@@ -7595,6 +7595,79 @@ object TrainingQueries {
              |    AS n_transitions,
              |  CAST(CAST(s AS VARCHAR) AS DOUBLE)
              |    / CAST(n_transitions AS DOUBLE) AS avg_nll
-             |FROM sc ORDER BY user_id""".stripMargin))
+             |FROM sc ORDER BY user_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Daily-series correlation matrix (explicit pivot — the q57
+    // discipline — into Profile.correlationMatrix): which event types
+    // co-move day to day. Zero-filled spine on both sides; the q77
+    // decimal-exact moment machinery does the rest.
+    QuerySpec(
+      "q228_series_correlation",
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val daily = Tables.events(s, dir)
+          .select(to_date(col("ts")).as("day"), col("event_type"))
+          .groupBy("day")
+          .pivot("event_type", types).agg(count(lit(1)))
+        val spine = daily.agg(min(col("day")).as("__lo"),
+            max(col("day")).as("__hi"))
+          .select(explode(sequence(col("__lo"), col("__hi"))).as("day"))
+        val z = spine.join(daily, Seq("day"), "left").na.fill(0L, types)
+        graft.ops.Profile.correlationMatrix(z, types)
+          .orderBy("col_x", "col_y")
+      },
+      Some {
+        val cols = Seq("click", "error", "purchase", "signup", "view")
+        val pairs = for {
+          i <- cols.indices; j <- (i + 1) until cols.size
+        } yield (cols(i), cols(j))
+        val sums = pairs.zipWithIndex.flatMap { case ((x, y), p) =>
+          def dec(e: String) = s"CAST($e AS DECIMAL(18,4))"
+          def decw(e: String) = s"CAST(${dec(e)} AS DECIMAL(19,4))"
+          Seq(
+            s"COUNT(*) AS n_$p",
+            s"SUM(${dec(x)}) AS sx_$p",
+            s"SUM(${dec(y)}) AS sy_$p",
+            s"SUM(${decw(x)} * ${decw(x)}) AS sxx_$p",
+            s"SUM(${decw(y)} * ${decw(y)}) AS syy_$p",
+            s"SUM(${decw(x)} * ${decw(y)}) AS sxy_$p")
+        }.mkString(",\n    ")
+        val branches = pairs.zipWithIndex.map { case ((x, y), p) =>
+          val n = s"CAST(n_$p AS DOUBLE)"
+          def d(pre: String) = s"CAST(${pre}_$p AS DOUBLE)"
+          val num = s"$n * ${d("sxy")} - ${d("sx")} * ${d("sy")}"
+          val den = s"sqrt($n * ${d("sxx")} - ${d("sx")} * ${d("sx")}) * " +
+            s"sqrt($n * ${d("syy")} - ${d("sy")} * ${d("sy")})"
+          s"""SELECT '$x' AS col_x, '$y' AS col_y,
+             |  CAST(n_$p AS BIGINT) AS n,
+             |  CASE WHEN ($den) = 0 THEN NULL
+             |       ELSE round(($num) / ($den), 6) END AS corr FROM sm"""
+            .stripMargin
+        }.mkString("\n  UNION ALL\n  ")
+        val pivotCols = cols.map(c =>
+          s"CAST(COALESCE(SUM(CASE WHEN d.event_type = '$c' THEN d.n END), 0) AS BIGINT) AS $c")
+          .mkString(",\n    ")
+        s"""WITH d AS (
+           |  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+           |  FROM events GROUP BY 1, 2),
+           |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+           |days AS (
+           |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+           |    AS DATE) AS day FROM b),
+           |dw AS (
+           |  SELECT days.day,
+           |    $pivotCols
+           |  FROM days LEFT JOIN d ON d.day = days.day
+           |  GROUP BY days.day),
+           |sm AS (
+           |  SELECT
+           |    $sums
+           |  FROM dw
+           |)
+           |SELECT * FROM (
+           |  $branches
+           |) ORDER BY col_x, col_y""".stripMargin
+      })
   )
 }
