@@ -505,4 +505,82 @@ object Profile {
           (col("po") - col("pe")) / (lit(1.0) - col("pe"))).as("kappa"))
     out
   }
+
+  /** Two-sample Kolmogorov–Smirnov statistic, EXACT (Smirnov 1939; the
+    * standard distribution-shift gate between two cohorts of one
+    * numeric column — "did doc length shift between crawls?" — that,
+    * unlike [[psiDrift]], needs no binning choices): D = max over the
+    * pooled values of |F̂_A(v) − F̂_B(v)|. Computed as an INTEGER
+    * maximum — max |cumA·n_B − cumB·n_A| over distinct values, divided
+    * once at the end — so the statistic is a single IEEE division of
+    * exact integers and replays bit-equal in any engine; no float
+    * accumulates across rows.
+    *
+    * Scale shape (the [[graft.ops.ScaleOps.rankBuckets]] recipe — a
+    * `SUM OVER (ORDER BY v)` with no PARTITION BY would funnel every
+    * distinct value through ONE task): per-value counts are ONE
+    * aggregation (map-side combined); the distinct-value frame is
+    * range-repartitioned so each partition owns a disjoint value range,
+    * one lightweight pass ships 2·P longs to the driver (per-partition
+    * subtotals → prefix offsets), and a second pass emits running
+    * cumulatives per partition. The max then reduces distributed; one
+    * row comes out.
+    *
+    * The verdict compares D against the large-sample α=0.05 critical
+    * value 1.358·sqrt((n_A+n_B)/(n_A·n_B)) — the coefficient is the
+    * TABULATED c(0.05) as a literal, not computed via ln (a transcendental
+    * whose last ulp engines may disagree on); sqrt is IEEE
+    * correctly-rounded everywhere, so the whole verdict replays exactly.
+    *
+    * → one row (n_a, n_b, n_values, ks_d, d_crit, reject_same_dist)
+    */
+  def ksTwoSample(df: DataFrame, groupCol: String, valueCol: String,
+                  groupA: String, groupB: String,
+                  numPartitions: Int = 32): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val counts = df
+      .select(col(groupCol).cast("string").as("__g"), col(valueCol).as("__v"))
+      .filter(col("__v").isNotNull &&
+        (col("__g") === groupA || col("__g") === groupB))
+      .groupBy("__v")
+      .agg(sum(when(col("__g") === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__g") === groupB, 1L).otherwise(0L)).as("__cb"))
+    // eager localCheckpoint: the arranged frame feeds two rdd passes
+    val arranged = counts.repartitionByRange(numPartitions, col("__v"))
+      .sortWithinPartitions("__v")
+      .localCheckpoint(true)
+    val rdd = arranged.rdd
+    val parts = rdd.mapPartitionsWithIndex((pid, it) => {
+      var a = 0L; var b = 0L
+      while (it.hasNext) { val r = it.next(); a += r.getLong(1); b += r.getLong(2) }
+      Iterator.single((pid, a, b))
+    }, preservesPartitioning = true).collect().sortBy(_._1)
+    val offA = parts.map(_._2).scanLeft(0L)(_ + _)
+    val offB = parts.map(_._3).scanLeft(0L)(_ + _)
+    val nA = offA.last
+    val nB = offB.last
+    require(nA > 0 && nB > 0,
+      s"ksTwoSample: both samples must be nonempty (n_a=$nA, n_b=$nB)")
+    val cumSchema = StructType(Seq(
+      StructField("__cumA", LongType, nullable = false),
+      StructField("__cumB", LongType, nullable = false)))
+    val cums = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var a = offA(pid); var b = offB(pid)
+      it.map { r => a += r.getLong(1); b += r.getLong(2); Row(a, b) }
+    }
+    val spark = df.sparkSession
+    val denD = lit(nA.toDouble) * lit(nB.toDouble)
+    val critC = 1.358
+    spark.createDataFrame(cums, cumSchema)
+      .agg(
+        max(abs(col("__cumA").cast("decimal(38,0)") * nB -
+          col("__cumB").cast("decimal(38,0)") * nA)).as("__dnum"),
+        count(lit(1)).as("n_values"))
+      .select(
+        lit(nA).as("n_a"), lit(nB).as("n_b"), col("n_values"),
+        (col("__dnum").cast("string").cast("double") / denD).as("ks_d"),
+        (lit(critC) * sqrt(lit((nA + nB).toDouble) / denD)).as("d_crit"))
+      .withColumn("reject_same_dist", col("ks_d") > col("d_crit"))
+  }
 }

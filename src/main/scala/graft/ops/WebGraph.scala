@@ -578,4 +578,151 @@ object WebGraph {
       hostRanks.withColumnRenamed("node", hostCol)
         .withColumnRenamed("rank", "host_rank"),
       Seq(hostCol), "left")
+
+  /** k-core of the UNDIRECTED simple graph induced by (src, dst): the
+    * maximal subgraph in which every node has degree ≥ k (Seidman 1983
+    * — the standard "dense backbone" extractor; for a host graph it
+    * separates well-linked hub hosts from the long periphery). Computed
+    * by the classic peel: repeatedly delete nodes whose degree within
+    * the SURVIVING subgraph is < k, until a fixpoint. The peel order
+    * doesn't matter (the k-core is unique), so the synchronous
+    * delete-all-underdegree-nodes round used here reaches the same set
+    * as any sequential peel.
+    *
+    * Scale shape: the undirected neighbor-set frame is built once and
+    * persisted (the loop-invariant big side — 2·|E| rows); each round
+    * is one semi-join of neighbors against the shrinking survivor set,
+    * one degree aggregation, and one filter, with the survivor frame
+    * (nodes only — the skinny side) localCheckpoint-ed so the plan
+    * stays O(1) deep across rounds. Early exit costs one count per
+    * round (bounded driver traffic, the [[pageRankConverged]]
+    * convention); rounds at the fixpoint are no-ops, so an early-exit
+    * run equals any longer replay — which is what lets a fixed-depth
+    * unrolled SQL oracle certify the fixpoint.
+    *
+    * → (node, core_degree): members of the k-core with their degree
+    *   inside the core (≥ k by construction).
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, maxRounds: Int = 200): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    // undirected simple view: each unordered pair once per direction
+    val nbr = e.select(col("src").as("node"), col("dst").as("nb"))
+      .union(e.select(col("dst").as("node"), col("src").as("nb")))
+      .distinct()
+      .persist()
+    var alive = nbr.select(col("node")).distinct().localCheckpoint()
+    var n = alive.count()
+    var round = 0
+    var done = n == 0L
+    while (!done && round < maxRounds) {
+      val deg = nbr
+        .join(alive, "node")
+        .join(alive.withColumnRenamed("node", "nb"), "nb")
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val next = deg.filter(col("deg") >= k)
+        .select(col("node")).localCheckpoint()
+      val m = next.count()
+      done = m == n // no node fell below k this round → fixpoint
+      alive = next
+      n = m
+      round += 1
+    }
+    val core = nbr
+      .join(alive, "node")
+      .join(alive.withColumnRenamed("node", "nb"), "nb")
+      .groupBy("node").agg(count(lit(1)).as("core_degree"))
+    nbr.unpersist()
+    core
+  }
+
+  /** Personalized PageRank (Haveliwala 2002; the "random walk with
+    * restart" relevance score): identical update rule to [[pageRank]]
+    * except the teleport mass lands ONLY on the seed set S instead of
+    * uniformly — rank(v) becomes the stationary visit rate of a walk
+    * that restarts at S, i.e. proximity to the seeds rather than
+    * global importance. Same EXACT scaled-integer arithmetic:
+    *
+    *   rank_0(v)   = SCALE div |S|          if v ∈ S else 0
+    *   rank_t+1(v) = [v ∈ S] · ((100−d)·(SCALE div |S|)) div 100
+    *               + (d · Σ_{u→v} (rank_t(u) div outdeg(u))) div 100
+    *
+    * Dangling mass is dropped (the [[pageRank]] convention) — ranks
+    * are proximity SCORES, not a probability simplex, and the replay
+    * is bit-exact for it.
+    *
+    * Scale shape identical to [[pageRank]]: edge⋈outdeg persisted
+    * once, one join + one agg per iteration over skinny rank frames,
+    * localCheckpoint per round. Seeds arrive as a DataFrame (not a
+    * driver-side list) so a seed set of any size — "all hosts the
+    * curator whitelisted" — stays distributed; it is deduplicated and
+    * counted once (one scalar to the driver).
+    *
+    * → (node, rank) in SCALE-scaled integer units; nodes unreachable
+    *   from the seeds score 0.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+                           dstCol: String, seeds: DataFrame,
+                           seedCol: String, iterations: Int = 8,
+                           dampingPct: Int = 85,
+                           scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1,50], got $iterations")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0,100], got $dampingPct")
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val eo = e.join(outdeg, "src").persist()
+    // seed flag joined onto the node frame once — seeds outside the
+    // graph are ignored (they have no edges to walk)
+    val seedNodes = seeds
+      .select(col(seedCol).cast("string").as("node"))
+      .filter(col("node").isNotNull)
+      .distinct()
+    val flagged = nodes
+      .join(seedNodes.withColumn("__seed", lit(true)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__seed"), lit(false)).as("__seed"))
+      .persist()
+    val nSeeds = flagged.filter(col("__seed")).count()
+    require(nSeeds > 0, "personalizedPageRank: no seed is in the graph")
+    val r0 = scale / nSeeds
+    val base = (100L - dampingPct) * r0 / 100L
+
+    var ranks = flagged.select(col("node"),
+      when(col("__seed"), lit(r0)).otherwise(lit(0L)).as("rank"))
+    var iter = 0
+    while (iter < iterations) {
+      val inflow = eo
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("rank div outdeg").as("contrib"))
+        .groupBy("dst")
+        .agg(sum("contrib").as("inflow"))
+      ranks = flagged
+        .join(inflow.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (when(col("__seed"), lit(base)).otherwise(lit(0L)) + expr(
+            s"($dampingPct * coalesce(inflow, cast(0 as bigint))) div 100"))
+            .as("rank"))
+        .localCheckpoint() // cut lineage: plan depth stays O(1), not O(k)
+      iter += 1
+    }
+    nodes.unpersist()
+    eo.unpersist()
+    flagged.unpersist()
+    ranks
+  }
 }

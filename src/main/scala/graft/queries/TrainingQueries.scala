@@ -592,6 +592,85 @@ object TrainingQueries {
       s"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r$iters" +
       "\nORDER BY rank DESC, node"
 
+  /** q229 oracle: unrolled k-core peel over the q145 link graph's
+    * UNDIRECTED simple view. Each stage keeps exactly the nodes whose
+    * degree among current survivors is ≥ k — the synchronous peel the
+    * Spark side runs to fixpoint. `rounds` stages unrolled; the k-core
+    * is a fixpoint, so any stage count ≥ rounds-to-convergence replays
+    * it exactly (each non-final round removes ≥1 of the ≤97 hosts,
+    * so 96 rounds always suffice on this fixture).
+    */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val head = "WITH " + linkEdgesCte.stripMargin +
+      """,
+        |nb AS MATERIALIZED (
+        |  SELECT DISTINCT node, nbr FROM (
+        |    SELECT src_host AS node, dst_host AS nbr FROM l
+        |    WHERE src_host <> dst_host
+        |    UNION ALL
+        |    SELECT dst_host, src_host FROM l
+        |    WHERE src_host <> dst_host)),
+        |a0 AS (SELECT DISTINCT node FROM nb)""".stripMargin
+    val iterCtes = (1 to rounds).map { r =>
+      s""",
+         |a$r AS MATERIALIZED (
+         |  SELECT nb.node FROM nb
+         |  JOIN a${r - 1} s ON s.node = nb.node
+         |  JOIN a${r - 1} t ON t.node = nb.nbr
+         |  GROUP BY nb.node HAVING COUNT(*) >= $k)""".stripMargin
+    }.mkString
+    head + iterCtes +
+      s"""
+         |SELECT nb.node, CAST(COUNT(*) AS BIGINT) AS core_degree
+         |FROM nb
+         |JOIN a$rounds s ON s.node = nb.node
+         |JOIN a$rounds t ON t.node = nb.nbr
+         |GROUP BY nb.node
+         |ORDER BY core_degree DESC, nb.node""".stripMargin
+  }
+
+  /** q230 oracle: unrolled scaled-integer PERSONALIZED PageRank over
+    * the q145 link graph — [[pagerankCtesOver]]'s replay with the
+    * teleport term paid only to the seed hosts (hosts of documents
+    * with doc_id % 31 = 0), r0 = SCALE // |seeds|.
+    */
+  private def pprOracle(iters: Int): String = {
+    val head = "WITH " + linkEdgesCte.stripMargin +
+      s""",
+         |e AS MATERIALIZED (
+         |  SELECT DISTINCT src_host AS src, dst_host AS dst FROM l),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+         |eo AS (SELECT e.src, e.dst, od.outdeg FROM e JOIN od USING (src)),
+         |sd AS MATERIALIZED (
+         |  SELECT DISTINCT 'h' || CAST(doc_id % 97 AS VARCHAR)
+         |    || '.example.org' AS node
+         |  FROM documents WHERE doc_id % 31 = 0),
+         |pr AS (SELECT 1000000000000 // COUNT(*) AS r0 FROM sd),
+         |r0 AS (
+         |  SELECT n.node,
+         |    CASE WHEN sd.node IS NULL THEN 0
+         |         ELSE (SELECT r0 FROM pr) END AS rank
+         |  FROM nodes n LEFT JOIN sd ON sd.node = n.node)""".stripMargin
+    val iterCtes = (1 to iters).map { k =>
+      s""",
+         |r$k AS (
+         |  SELECT n.node,
+         |    CASE WHEN sd.node IS NULL THEN 0
+         |         ELSE (15 * (SELECT r0 FROM pr)) // 100 END
+         |      + (85 * COALESCE(s.inflow, 0)) // 100 AS rank
+         |  FROM nodes n
+         |  LEFT JOIN sd ON sd.node = n.node
+         |  LEFT JOIN (
+         |    SELECT eo.dst AS node, SUM(p.rank // eo.outdeg) AS inflow
+         |    FROM eo JOIN r${k - 1} p ON p.node = eo.src
+         |    GROUP BY eo.dst) s ON s.node = n.node)""".stripMargin
+    }.mkString
+    head + iterCtes +
+      s"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r$iters" +
+      "\nORDER BY rank DESC, node"
+  }
+
   /** q176 oracle: unrolled max-normalized integer HITS over the q145
     * link graph — HUGEINT carries the normalization product (the Spark
     * side's DECIMAL(38,0)); each half-step tops out at exactly SCALE.
@@ -7668,6 +7747,95 @@ object TrainingQueries {
            |SELECT * FROM (
            |  $branches
            |) ORDER BY col_x, col_y""".stripMargin
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // k-core backbone of the host graph (WebGraph.kCore — Seidman's
+    // dense-subgraph extractor): peel to fixpoint on the q145 link
+    // graph's undirected simple view, k=3. The oracle unrolls 96
+    // synchronous peel rounds — past the fixpoint every round is a
+    // no-op, so the fixed-depth replay certifies the fixpoint set and
+    // in-core degrees bit-exactly.
+    QuerySpec(
+      "q229_kcore",
+      (s, dir) => {
+        val pages = Tables.documents(s, dir).select(
+          host97.as("src_host"), htmlFixture.as("html"))
+        val edges = Html.linkGraph(pages, "src_host", "html")
+        WebGraph.kCore(edges, "src_host", "dst_host", k = 3)
+          .orderBy(col("core_degree").desc, col("node"))
+      },
+      Some(kcoreOracle(3, 96))),
+
+    // ------------------------------------------------------------------
+    // Personalized PageRank (WebGraph.personalizedPageRank — random
+    // walk with restart at a curator seed set): teleport mass lands
+    // only on the hosts of doc_id%31=0 documents, so ranks measure
+    // proximity to the whitelist rather than global importance. Same
+    // exact integer arithmetic as q145; the oracle unrolls all 8
+    // seeded iterations.
+    QuerySpec(
+      "q230_personalized_pagerank",
+      (s, dir) => {
+        val pages = Tables.documents(s, dir).select(
+          host97.as("src_host"), htmlFixture.as("html"))
+        val edges = Html.linkGraph(pages, "src_host", "html")
+        val seeds = Tables.documents(s, dir)
+          .filter(col("doc_id") % 31 === 0)
+          .select(host97.as("seed_host"))
+        WebGraph.personalizedPageRank(edges, "src_host", "dst_host",
+            seeds, "seed_host", iterations = 8)
+          .orderBy(col("rank").desc, col("node"))
+      },
+      Some(pprOracle(8))),
+
+    // ------------------------------------------------------------------
+    // Two-sample Kolmogorov–Smirnov distribution-shift gate
+    // (Profile.ksTwoSample): did doc length shift between the English
+    // cohort and everything else? D is an INTEGER max — max |cumA·n_B −
+    // cumB·n_A| over the distinct-value frame, cumulated via the
+    // range-partition + per-partition-offset recipe (no partition-less
+    // window) — divided once at the end, so the statistic replays
+    // bit-exactly. Verdict vs the tabulated α=0.05 coefficient.
+    QuerySpec(
+      "q231_ks_drift",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(
+          when(col("lang") === "en", "en").otherwise("other").as("cohort"),
+          col("n_chars"))
+        graft.ops.Profile.ksTwoSample(d, "cohort", "n_chars", "en", "other")
+      },
+      Some("""WITH s AS (
+             |  SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS g,
+             |         n_chars AS v
+             |  FROM documents WHERE n_chars IS NOT NULL),
+             |c AS (
+             |  SELECT v,
+             |    SUM(CASE WHEN g = 'en' THEN 1 ELSE 0 END) AS ca,
+             |    SUM(CASE WHEN g = 'other' THEN 1 ELSE 0 END) AS cb
+             |  FROM s GROUP BY v),
+             |t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM c),
+             |cum AS (
+             |  SELECT
+             |    SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+             |    SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb
+             |  FROM c),
+             |m AS (
+             |  SELECT MAX(ABS(CAST(cuma AS HUGEINT) * (SELECT nb FROM t)
+             |    - CAST(cumb AS HUGEINT) * (SELECT na FROM t))) AS dnum,
+             |    COUNT(*) AS n_values
+             |  FROM cum)
+             |SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+             |  CAST(m.n_values AS BIGINT) AS n_values,
+             |  CAST(CAST(m.dnum AS VARCHAR) AS DOUBLE)
+             |    / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)) AS ks_d,
+             |  1.358 * sqrt(CAST(t.na + t.nb AS DOUBLE)
+             |    / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE))) AS d_crit,
+             |  CAST(CAST(m.dnum AS VARCHAR) AS DOUBLE)
+             |      / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE))
+             |    > 1.358 * sqrt(CAST(t.na + t.nb AS DOUBLE)
+             |      / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)))
+             |    AS reject_same_dist
+             |FROM t, m""".stripMargin))
   )
 }

@@ -322,6 +322,71 @@ class HtmlSpec extends AnyFunSuite {
     assert(got == refRanks(edges, iters))
   }
 
+  test("kCore: tail peels off, clique survives; k above max degree empties; loops/dups ignored") {
+    import spark.implicits._
+    // clique {a,b,c,d} with a 2-hop tail d-e-f; duplicate and reversed
+    // edges plus a self-loop must not inflate any degree
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"),
+      ("b", "c"), ("b", "d"), ("c", "d"), ("d", "e"), ("e", "f"),
+      ("a", "b"), ("f", "f")).toDF("s", "d")
+    val got = WebGraph.kCore(edges, "s", "d", k = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L),
+      s"3-core must be the clique with in-core degree 3: $got")
+    // f peels first (deg 1), THEN e (its degree drops to 1): the peel
+    // must cascade, not stop after one round
+    val got2 = WebGraph.kCore(edges, "s", "d", k = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got2.keySet == Set("a", "b", "c", "d"),
+      s"2-core cascade must drop both e and f: $got2")
+    assert(WebGraph.kCore(edges, "s", "d", k = 4).isEmpty,
+      "k above the max in-core degree must empty the core")
+  }
+
+  /** Driver-side seeded-PageRank recurrence mirror for exact compare. */
+  private def refPpr(edges: Seq[(String, String)], seeds: Set[String],
+                     iters: Int): Map[String, Long] = {
+    val e = edges.distinct
+    val nodes = e.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+    val out = e.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val scale = 1000000000000L
+    val inGraph = seeds.intersect(nodes.toSet)
+    val r0 = scale / inGraph.size
+    val base = 15L * r0 / 100L
+    var r = nodes.map(n => n -> (if (inGraph(n)) r0 else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val inflow = e.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(t => r(t._1) / out(t._1)).sum
+      }
+      r = nodes.map(n => n -> ((if (inGraph(n)) base else 0L) +
+        85L * inflow.getOrElse(n, 0L) / 100L)).toMap
+    }
+    r
+  }
+
+  test("personalizedPageRank: mass stays near the seed; exact recurrence; off-graph seeds rejected") {
+    import spark.implicits._
+    // two symmetric 2-cycles joined by s->m: with seed {s}, the far
+    // cycle {x,y} is unreachable and must score exactly 0
+    val edges = Seq(("s", "m"), ("m", "s"), ("x", "y"), ("y", "x"))
+    val got = WebGraph.personalizedPageRank(edges.toDF("s", "d"), "s", "d",
+        Seq("s").toDF("h"), "h", iterations = 6)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == refPpr(edges, Set("s"), 6), s"recurrence mismatch: $got")
+    assert(got("x") == 0L && got("y") == 0L,
+      s"nodes unreachable from the seed must score 0: $got")
+    assert(got("s") > got("m"), "the seed itself must outrank its neighbor")
+    // a seed absent from the graph is ignored; an all-absent set rejects
+    val withGhost = WebGraph.personalizedPageRank(edges.toDF("s", "d"),
+        "s", "d", Seq("s", "ghost").toDF("h"), "h", iterations = 6)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(withGhost == got, "off-graph seed must not change the walk")
+    intercept[IllegalArgumentException] {
+      WebGraph.personalizedPageRank(edges.toDF("s", "d"), "s", "d",
+        Seq("ghost").toDF("h"), "h")
+    }
+  }
+
   test("hits: star separates hubs from authorities; popular target boosts its linkers") {
     import spark.implicits._
     // star: hub fans out to 3 leaves — hub is a pure hub, leaves pure

@@ -250,4 +250,32 @@ class ProfileSpec extends AnyFunSuite {
       Seq.fill(5)(("y", "y")).toDF("a", "b"), "a", "b").head()
     assert(degen.getDouble(2) == 1.0 && degen.isNullAt(3))
   }
+
+  test("ksTwoSample: hand D on small samples; identical samples give D=0; nulls/other groups excluded") {
+    import spark.implicits._
+    // A = {1,2,3}, B = {3,4,5,6}: D peaks at v=3 (F_A=1, F_B=1/4) → 3/4.
+    // Integer max: |cumA·nB − cumB·nA| = |3·4 − 1·3| = 9 over den 12.
+    val df = (Seq(1, 2, 3).map(("a", _)) ++ Seq(3, 4, 5, 6).map(("b", _)))
+      .toDF("g", "v")
+    val r = Profile.ksTwoSample(df, "g", "v", "a", "b", numPartitions = 3)
+      .head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 4L && r.getLong(2) == 6L)
+    assert(math.abs(r.getDouble(3) - 9.0 / 12.0) < 1e-15,
+      s"ks_d ${r.getDouble(3)}")
+    assert(r.getBoolean(5) == (r.getDouble(3) > r.getDouble(4)))
+    // identical distributions → D exactly 0; a third group and NULL
+    // values must not leak into either sample
+    val same = (Seq(1, 2, 9).map(("a", _)) ++ Seq(1, 2, 9).map(("b", _)) ++
+      Seq(("c", 1000), ("a", 7)))
+      .toDF("g", "v")
+      .select(col("g"), when(col("v") === 7, lit(null)).otherwise(col("v"))
+        .as("v"))
+    val r2 = Profile.ksTwoSample(same, "g", "v", "a", "b").head()
+    assert(r2.getLong(0) == 3L && r2.getLong(1) == 3L)
+    assert(r2.getDouble(3) == 0.0 && !r2.getBoolean(5))
+    // one empty sample rejects loudly instead of dividing by zero
+    intercept[IllegalArgumentException] {
+      Profile.ksTwoSample(Seq(("a", 1)).toDF("g", "v"), "g", "v", "a", "b")
+    }
+  }
 }
