@@ -418,7 +418,11 @@ object Classifier {
     val binned = df
       .select(col(scoreCol).cast("double").as("__s"),
         col(labelCol).cast("long").as("__y"))
-      .filter(col("__s").isNotNull && col("__y").isNotNull)
+      // enforce the documented [0,1] score precondition: an out-of-range
+      // score would otherwise land in a negative (or top-clamped) bin and
+      // silently corrupt the per-bin report and the ECE
+      .filter(col("__s").isNotNull && col("__y").isNotNull &&
+        col("__s") >= 0.0 && col("__s") <= 1.0)
       .select(least(floor(col("__s") * nBins), lit(nBins - 1L)).as("bin"),
         col("__y"), col("__s").cast("decimal(18,6)").as("__sd"))
     val perBin = binned.groupBy("bin")

@@ -308,11 +308,20 @@ object Curation {
     * Exact integers to the group plane, then fixed IEEE divisions —
     * the flag compares engine-identical doubles.
     *
+    * Baseline choice: the default compares each group to the OVERALL
+    * keep rate (stable when group sizes are skewed — a tiny favored
+    * group can't condemn everyone). The EEOC four-fifths convention
+    * instead compares to the MOST-FAVORED group's rate; pass
+    * `baselineMaxGroup = true` for that reading (a dominant majority
+    * group can't drag the baseline down and hide disparity).
+    *
     * → (groupCol, n, n_keep, keep_rate, overall_rate, ratio,
-    *   below_four_fifths)
+    *   below_four_fifths) — `overall_rate` holds the chosen baseline
+    *   (max-group rate when `baselineMaxGroup`).
     */
   def gateDisparity(df: DataFrame, groupCol: String,
-                    keepCol: String): DataFrame = {
+                    keepCol: String,
+                    baselineMaxGroup: Boolean = false): DataFrame = {
     val all = org.apache.spark.sql.expressions.Window.partitionBy()
     df.filter(col(groupCol).isNotNull)
       .groupBy(col(groupCol))
@@ -324,7 +333,8 @@ object Curation {
       .withColumn("keep_rate",
         col("n_keep").cast("double") / col("n").cast("double"))
       .withColumn("overall_rate",
-        col("__kt").cast("double") / col("__nt").cast("double"))
+        if (baselineMaxGroup) max(col("keep_rate")).over(all)
+        else col("__kt").cast("double") / col("__nt").cast("double"))
       .withColumn("ratio",
         when(col("overall_rate") > 0,
           col("keep_rate") / col("overall_rate")))

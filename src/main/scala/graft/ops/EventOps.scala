@@ -614,14 +614,19 @@ object EventOps {
     * ln(0) can occur.
     *
     * Scale shape: one lead window for the pairs, the K×K transition
-    * matrix broadcasts back onto them, one user-keyed aggregation.
+    * matrix joins back onto them (broadcast by default — bounded by
+    * event-type cardinality squared; set `broadcastModel = false` for
+    * a high-cardinality type column, where K² would blow the broadcast
+    * and a shuffle join on (from, to) is the right plan), one
+    * user-keyed aggregation.
     *
     * → (userCol, n_transitions, avg_nll) — users with no transitions
     *   are absent.
     */
   def trajectorySurprisal(events: DataFrame, userCol: String,
                           typeCol: String, usCol: String,
-                          tieCol: String): DataFrame = {
+                          tieCol: String,
+                          broadcastModel: Boolean = true): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(userCol)).orderBy(col("__us"), col("__tie"))
     val pairs = events
@@ -634,7 +639,8 @@ object EventOps {
       .agg(count(lit(1)).as("__nij"))
       .withColumn("__ni", sum(col("__nij")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__from"))))
-    pairs.join(broadcast(model), Seq("__from", "__to"))
+    val maybeModel = if (broadcastModel) broadcast(model) else model
+    pairs.join(maybeModel, Seq("__from", "__to"))
       .withColumn("__term",
         log(col("__nij").cast("double") / col("__ni").cast("double"))
           .cast("decimal(18,12)"))
@@ -842,8 +848,12 @@ object EventOps {
     val rb = col("conv_b").cast("double") / nb
     val pooled = (col("conv_a") + col("conv_b")).cast("double") / (na + nb)
     val se = sqrt(pooled * (lit(1.0) - pooled) * (lit(1.0) / na + lit(1.0) / nb))
-    s.select(col("n_a"), col("conv_a"), ra.as("rate_a"),
-        col("n_b"), col("conv_b"), rb.as("rate_b"),
+    // empty-arm rates NULL, not NaN: 0.0/0.0 is NaN in Spark but NULL in
+    // ANSI engines — guard like lift/z so the report is engine-identical
+    s.select(col("n_a"), col("conv_a"),
+        when(col("n_a") > 0, ra).as("rate_a"),
+        col("n_b"), col("conv_b"),
+        when(col("n_b") > 0, rb).as("rate_b"),
         when(col("n_a") > 0 && col("n_b") > 0, ra - rb).as("lift"),
         when(col("n_a") > 0 && col("n_b") > 0 && se > 0, (ra - rb) / se)
           .as("z"))

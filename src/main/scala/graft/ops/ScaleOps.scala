@@ -454,6 +454,13 @@ object ScaleOps {
     * which the unweighted median misstates whenever length and weight
     * correlate (they always do).
     *
+    * CONTRACT: weights are INTEGRAL COUNTS (tokens, rows, bytes). The
+    * exact cross-multiplied threshold only holds over integer weights,
+    * so `weightCol` must already be an integral type — a fractional
+    * weight column is rejected loudly (it used to truncate silently,
+    * dropping w<1 rows and skewing the quantile). Scale fractional
+    * weights to a fixed-point integer upstream if needed.
+    *
     * Plan: weights pre-aggregate per (group, value) — ties collapse
     * before the window, so the running sum is over distinct values —
     * then one group-partitioned cumsum and a min over qualifying
@@ -466,6 +473,16 @@ object ScaleOps {
                        qNum: Long = 1L, qDen: Long = 2L): DataFrame = {
     require(qNum >= 0 && qDen > 0 && qNum <= qDen,
       s"quantile must be a rational in [0,1]: $qNum/$qDen")
+    df.schema(weightCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType |
+           _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"weightedQuantile requires an integral weight column; " +
+          s"'$weightCol' is $other — scale fractional weights to " +
+          "fixed-point integers upstream")
+    }
     val W = org.apache.spark.sql.expressions.Window
     val byVal = df
       .select(groupCols.map(col) :+ col(valueCol).as("__v") :+

@@ -634,10 +634,15 @@ object WebGraph {
       n = m
       round += 1
     }
+    // materialize the core-degree frame BEFORE releasing the persisted
+    // neighbor frame — unpersisting first would make the returned (lazy)
+    // DataFrame recompute the 2|E| neighbor build from scratch on its
+    // first action (the labelPropagation eager-checkpoint discipline)
     val core = nbr
       .join(alive, "node")
       .join(alive.withColumnRenamed("node", "nb"), "nb")
       .groupBy("node").agg(count(lit(1)).as("core_degree"))
+      .localCheckpoint(true)
     nbr.unpersist()
     core
   }

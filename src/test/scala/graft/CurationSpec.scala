@@ -493,6 +493,25 @@ class CurationSpec extends AnyFunSuite {
       got(1).getBoolean(6), s"B must trip the rule: ${got(1)}")
   }
 
+  test("gateDisparity: baselineMaxGroup compares against the most-favored group") {
+    import spark.implicits._
+    // A (huge, low keep) drags the overall baseline down; B is favored;
+    // C sits at 50% of B. Overall reading misses C; max-group flags it.
+    val rows = Seq.fill(16)(("A", false)) ++ Seq.fill(4)(("A", true)) ++
+      Seq.fill(4)(("B", true)) ++ Seq.fill(1)(("B", false)) ++
+      Seq.fill(2)(("C", true)) ++ Seq.fill(3)(("C", false))
+    // overall = 10/30; C's keep 0.4 vs overall -> ratio 1.2, NOT flagged
+    val byOverall = Curation.gateDisparity(rows.toDF("g", "keep"), "g", "keep")
+      .orderBy("g").collect()
+    assert(!byOverall(2).getBoolean(6), s"overall reading: ${byOverall(2)}")
+    // max-group baseline = B's 0.8; C ratio 0.5 -> flagged; A 0.25 -> flagged
+    val byMax = Curation.gateDisparity(rows.toDF("g", "keep"), "g", "keep",
+      baselineMaxGroup = true).orderBy("g").collect()
+    assert(byMax.forall(_.getDouble(4) == 0.8), "baseline must be B's rate")
+    assert(byMax(0).getBoolean(6) && !byMax(1).getBoolean(6) &&
+      byMax(2).getBoolean(6), s"EEOC reading flags A and C: ${byMax.toSeq}")
+  }
+
   test("weightedSample: weight-proportional inclusion, deterministic, top-k plan") {
     import spark.implicits._
     // 5000 heavy (w=100) + 5000 light (w=1) rows; a 500-row sample must be

@@ -328,6 +328,21 @@ class EventOpsSpec extends AnyFunSuite {
     assert(r.getBoolean(8) == (math.abs((raD - rbD) / se) > 1.96))
   }
 
+  test("abTestReport: an empty arm reports NULL rates, not NaN") {
+    import spark.implicits._
+    // one single user -> exactly one arm populated, the other empty
+    val ev = Seq((7L, "view"), (7L, "purchase")).toDF("user_id", "event_type")
+    val r = graft.ops.EventOps.abTestReport(ev, "user_id", "event_type",
+      "purchase").head()
+    val (na, nb) = (r.getLong(0), r.getLong(3))
+    assert(na + nb == 1L && (na == 0L || nb == 0L))
+    val (emptyRateIdx, fullRateIdx) = if (na == 0L) (2, 5) else (5, 2)
+    assert(r.isNullAt(emptyRateIdx),
+      s"empty arm must report NULL rate, got $r")
+    assert(r.getDouble(fullRateIdx) == 1.0)
+    assert(r.isNullAt(6) && r.isNullAt(7), "lift/z NULL with an empty arm")
+  }
+
   test("ewmaSmooth: adjusted-EWMA hand values; NULL drops from both sides") {
     import spark.implicits._
     val ev = Seq((1L, Some(1.0), 0L, 1L), (1L, Some(2.0), 10L, 2L),

@@ -2270,5 +2270,14 @@ class OpsSpec extends AnyFunSuite {
       .toDF("score", "label"))
     assert(graft.ops.Classifier.calibrationReport(withNull, "score", "label")
       .agg(sum("n")).head().getLong(0) == 5L)
+    // out-of-range scores are excluded (the [0,1] precondition enforced),
+    // never binned into a negative or clamped bin
+    val withOut = df.union(Seq((-0.2, 0L), (1.5, 1L)).toDF("score", "label"))
+    val cleaned = graft.ops.Classifier.calibrationReport(withOut, "score",
+      "label")
+    assert(cleaned.agg(sum("n")).head().getLong(0) == 5L)
+    assert(cleaned.agg(min("bin")).head().getLong(0) >= 0L)
+    cleaned.orderBy("bin").collect().foreach(r =>
+      assert(r.getDouble(6) == 0.16, "ECE unchanged by excluded rows"))
   }
 }

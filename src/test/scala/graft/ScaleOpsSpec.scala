@@ -259,5 +259,12 @@ class ScaleOpsSpec extends AnyFunSuite {
       .toDF("grp", "v", "w")
     assert(ScaleOps.weightedQuantile(t, Seq("grp"), "v", "w")
       .head().getLong(1) == 2L)
+    // fractional weights are rejected loudly (they used to truncate
+    // silently, dropping w<1 rows and skewing the quantile)
+    val frac = Seq(("g", 1L, 0.7), ("g", 2L, 1.5)).toDF("grp", "v", "w")
+    val e = intercept[IllegalArgumentException] {
+      ScaleOps.weightedQuantile(frac, Seq("grp"), "v", "w")
+    }
+    assert(e.getMessage.contains("integral"))
   }
 }
