@@ -153,6 +153,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(ArrayMath.bpeEncodeName,
         "_FUNC_(words, merges) - greedy BPE encode against 'l r' merge list"),
       exprs => BpeEncode(exprs(0), litStringArray(exprs(1)))))
+    e.injectFunction((FunctionIdentifier(ArrayMath.boundedKeyName),
+      info(ArrayMath.boundedKeyName,
+        "_FUNC_() - non-foldable constant partition key for bounded window frames"),
+      _ => BoundedKey()))
     e.injectFunction((FunctionIdentifier(ArrayMath.jaroWinklerName),
       info(ArrayMath.jaroWinklerName,
         "_FUNC_(a, b) - Jaro-Winkler similarity in [0,1], 0.7 boost threshold"),

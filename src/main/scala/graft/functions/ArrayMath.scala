@@ -289,6 +289,7 @@ object ArrayMath {
   val bpeMergeName = "graft_bpe_merge_pair"
   val bpeEncodeName = "graft_bpe_encode"
   val jaroWinklerName = "graft_jaro_winkler"
+  val boundedKeyName = "graft_bounded_key"
 
   /** Extract a foldable array<double> argument into a plain JVM array at
     * function-resolution time (the vector sibling of [[matrixLit]]).
@@ -466,6 +467,20 @@ object ArrayMath {
       exprs => BpeEncode(exprs(0), stringArrayLit(exprs(1), "merge list")))
     bind(
       jaroWinklerName, exprs => JaroWinklerSim(exprs(0), exprs(1)))
+    bind(
+      boundedKeyName, _ => BoundedKey())
+  }
+
+  /** Non-foldable constant partition key for DOCUMENTED-BOUNDED window
+    * frames (see [[BoundedKey]]): silences the WindowExec
+    * "No Partition Defined" warning only where the frame is bounded by
+    * construction, so a genuine unpartitioned-window scale smell still
+    * stands out. Registers on the frame's own session so any caller-built
+    * session works.
+    */
+  def boundedKey(df: org.apache.spark.sql.DataFrame): Column = {
+    register(df.sparkSession)
+    call_function(boundedKeyName)
   }
 
   /** Codegen'd dot product over two array<double> columns. Caller must have

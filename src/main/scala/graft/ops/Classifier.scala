@@ -266,7 +266,9 @@ object Classifier {
       .filter(col("__s").isNotNull && col("__y").isNotNull)
       .groupBy("__s")
       .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__pos"))
-    val wBefore = W.orderBy(col("__s"))
+    // distinct-score plane (documented bounded): single-partition cumsum
+    val wBefore = W.partitionBy(graft.functions.ArrayMath.boundedKey(g))
+      .orderBy(col("__s"))
       .rowsBetween(W.unboundedPreceding, -1)
     val t = g
       .withColumn("__before", coalesce(sum(col("__n")).over(wBefore), lit(0L)))
@@ -314,7 +316,9 @@ object Classifier {
       .filter(col("__s").isNotNull && col("__y").isNotNull)
       .groupBy("__s")
       .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__pos"))
-    val wDesc = W.orderBy(col("__s").desc)
+    // distinct-score plane (documented bounded): single-partition cumsum
+    val wDesc = W.partitionBy(graft.functions.ArrayMath.boundedKey(g))
+      .orderBy(col("__s").desc)
       .rowsBetween(W.unboundedPreceding, 0)
     g.withColumn("__cumN", sum(col("__n")).over(wDesc))
       .withColumn("__cumPos", sum(col("__pos")).over(wDesc))

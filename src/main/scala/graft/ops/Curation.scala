@@ -184,8 +184,10 @@ object Curation {
     }.otherwise(lit(null))
     val counts = df.groupBy(col(domainCol))
       .agg(count(lit(1)).as("__n_dom"))
+      // |domains|-bounded plane: single-partition window by construction
       .withColumn("__n_tot", sum(col("__n_dom")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(graft.functions.ArrayMath.boundedKey(df))))
     df.join(broadcast(counts), domainCol)
       .withColumn("__w", wCol)
       .filter(col("__w").isNotNull)
@@ -223,7 +225,9 @@ object Curation {
                          nBuckets: Int = 10000): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha in (0,1]")
     require(budgetFrac > 0 && budgetFrac <= 1, "budgetFrac in (0,1]")
-    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    // |domains|-bounded plane: single-partition windows by construction
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(graft.functions.ArrayMath.boundedKey(df))
     df.groupBy(col(domainCol)).agg(count(lit(1)).as("n_dom"))
       .withColumn("__pw",
         pow(col("n_dom").cast("double"), lit(alpha)).cast("decimal(28,12)"))
@@ -269,9 +273,11 @@ object Curation {
                        budget: Long, maxEpochs: Long): DataFrame = {
     require(budget > 0, s"budget must be > 0, got $budget")
     require(maxEpochs > 0, s"maxEpochs must be > 0, got $maxEpochs")
+    // |domains|-bounded plane: single-partition windows by construction
+    val bk = graft.functions.ArrayMath.boundedKey(df)
     val wOrd = org.apache.spark.sql.expressions.Window
-      .orderBy(col("capacity"), col(domainCol))
-    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+      .partitionBy(bk).orderBy(col("capacity"), col(domainCol))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(bk)
     import org.apache.spark.sql.expressions.Window.unboundedPreceding
     df.groupBy(col(domainCol))
       .agg(sum(col(tokenCol)).as("n_tokens"))
@@ -322,7 +328,9 @@ object Curation {
   def gateDisparity(df: DataFrame, groupCol: String,
                     keepCol: String,
                     baselineMaxGroup: Boolean = false): DataFrame = {
-    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    // |groups|-bounded plane: single-partition windows by construction
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(graft.functions.ArrayMath.boundedKey(df))
     df.filter(col(groupCol).isNotNull)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
@@ -394,12 +402,15 @@ object Curation {
     * → one row (n_total, n_sources, entropy, eff_sources, gini, hhi)
     */
   def mixtureDiversity(df: DataFrame, domainCol: String): DataFrame = {
-    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    // |domains|-bounded plane: single-partition windows by construction
+    val bk = graft.functions.ArrayMath.boundedKey(df)
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(bk)
     val byDom = df.filter(col(domainCol).isNotNull)
       .groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
     val ranked = byDom
       .withColumn("__i", row_number().over(
         org.apache.spark.sql.expressions.Window
+          .partitionBy(bk)
           .orderBy(col("__n"), col(domainCol))).cast("long"))
       // NOTE: "__N" would case-insensitively REPLACE "__n" in withColumn
       .withColumn("__tot", sum(col("__n")).over(all))

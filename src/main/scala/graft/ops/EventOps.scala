@@ -277,7 +277,10 @@ object EventOps {
     * → report columns + (rate, wilson_low), NULL at step 1
     */
   def funnelRates(report: DataFrame, z: Double = 1.96): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy("step")
+    // k-row report plane: bounded single-partition window by construction
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(graft.functions.ArrayMath.boundedKey(report))
+      .orderBy("step")
     report
       .withColumn("__prev", lag(col("n_users"), 1).over(w))
       .withColumn("rate",
@@ -963,12 +966,15 @@ object EventOps {
       .agg(sum(col("__death")).as("n_deaths"),
         sum(lit(1L) - col("__death")).as("n_censored"),
         count(lit(1)).as("__n_at"))
-    val wOrd = W.orderBy(col("__t"))
+    // distinct-duration plane (days-in-range-bounded): single-partition
+    // windows are by-construction bounded here
+    val bk = graft.functions.ArrayMath.boundedKey(byT)
+    val wOrd = W.partitionBy(bk).orderBy(col("__t"))
     val wPrefix = wOrd.rowsBetween(W.unboundedPreceding, 0)
     val wBefore = wOrd.rowsBetween(W.unboundedPreceding, -1)
     byT
       .withColumn("n_risk",
-        sum(col("__n_at")).over(W.partitionBy()) -
+        sum(col("__n_at")).over(W.partitionBy(bk)) -
           coalesce(sum(col("__n_at")).over(wBefore), lit(0L)))
       .withColumn("__term",
         when(col("n_deaths") < col("n_risk"),
@@ -1061,7 +1067,11 @@ object EventOps {
       .groupBy("day").agg(sum(col("__delta")).as("__delta"))
     val spine = act.agg(min(col("__d")).as("__lo"), max(col("__d")).as("__hi"))
       .select(explode(sequence(col("__lo"), col("__hi"))).as("day"))
-    val wd = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+    // calendar-day plane (days-in-range-bounded): the single-partition
+    // cumsum is by-construction bounded
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(graft.functions.ArrayMath.boundedKey(spine))
+      .orderBy(col("day"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     spine.select(col("day"), lit(0L).as("__delta"))
       .unionByName(deltas)

@@ -432,7 +432,9 @@ object Profile {
     *   chi2/verdict repeated on each.
     */
   def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
-    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    // 9-digit plane: single-partition windows by construction
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(graft.functions.ArrayMath.boundedKey(df))
     val v = abs(col(valueCol).cast("double"))
     val cents = when(v >= 0.01 && v < 9.0e16, floor(v * 100).cast("long"))
     val counts = df.select(cents.as("__c")).filter(col("__c") > 0)

@@ -33,15 +33,18 @@ object Retrieval {
   private val RrfScale = 1000000000000L
 
   /** Rank a scored frame's top `topN`: highest `scoreCol` first, `idCol`
-    * ascending on ties. The window is partition-less BY CONSTRUCTION on a
+    * ascending on ties. The window is single-partition BY CONSTRUCTION on a
     * ≤topN-row frame (the limit runs before it) — bounded, not a scale
-    * smell.
+    * smell; the [[graft.functions.BoundedKey]] partition key documents that
+    * and keeps the WindowExec warning for real smells.
     */
   private def topRanked(scored: DataFrame, idCol: String, scoreCol: String,
                         topN: Int): DataFrame = {
     val top = scored.orderBy(col(scoreCol).desc, col(idCol)).limit(topN)
     top.withColumn("rank",
-      row_number().over(Window.orderBy(col(scoreCol).desc, col(idCol))))
+      row_number().over(Window
+        .partitionBy(graft.functions.ArrayMath.boundedKey(top))
+        .orderBy(col(scoreCol).desc, col(idCol))))
   }
 
   /** Fuse a BM25 ranking of `docs` (for `queryTerms`) with a cosine

@@ -357,8 +357,10 @@ object TextOps {
       .select(explode(tokens(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("f"))
       .orderBy(col("f").desc, col("tok")).limit(topK)
+    // K-row post-limit plane: single-partition window by construction
     val ranked = counts.withColumn("rk", row_number().over(
       org.apache.spark.sql.expressions.Window
+        .partitionBy(graft.functions.ArrayMath.boundedKey(counts))
         .orderBy(col("f").desc, col("tok"))))
     val lx = log(col("rk").cast("double"))
     val ly = log(col("f").cast("double"))
@@ -876,7 +878,10 @@ object TextOps {
     val perBucket = tokRows.groupBy("bucket").agg(count(lit(1)).as("n_tok"))
     val newVocab = tokRows.groupBy("tok").agg(min("bucket").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n_new"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+    // nBuckets-row plane: single-partition cumsum bounded by construction
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(graft.functions.ArrayMath.boundedKey(perBucket))
+      .orderBy("bucket")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     perBucket.join(newVocab, Seq("bucket"), "full_outer")

@@ -567,7 +567,9 @@ object AdvancedQueries {
           .groupBy(to_date(col("o_orderdate")).as("d"))
           .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev_dec"),
             count(lit(1)).as("n"))
-        val w = Window.orderBy(col("dnum")).rangeBetween(-6, 0)
+        // daily plane (days-in-range-bounded): single-partition window
+        val w = Window.partitionBy(graft.functions.ArrayMath.boundedKey(daily))
+          .orderBy(col("dnum")).rangeBetween(-6, 0)
         daily
           .withColumn("dnum", datediff(col("d"), lit("1970-01-01")))
           .withColumn("rev_7d", sum(col("rev_dec")).over(w).cast("double"))

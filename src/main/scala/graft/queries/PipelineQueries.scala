@@ -389,11 +389,13 @@ object PipelineQueries {
           .select(explode(TextOps.tokens(TextOps.normalized(col("text")))).as("token"))
         val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
         val total = counts.agg(sum(col("n")).as("__tot"))
-        val w = Window.orderBy(col("n").desc, col("token"))
+        // vocab-bounded plane: single-partition windows by construction
+        val bk = graft.functions.ArrayMath.boundedKey(counts)
+        val w = Window.partitionBy(bk).orderBy(col("n").desc, col("token"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         counts.crossJoin(broadcast(total))
           .withColumn("rank", row_number().over(
-            Window.orderBy(col("n").desc, col("token"))))
+            Window.partitionBy(bk).orderBy(col("n").desc, col("token"))))
           .withColumn("cum_share",
             round(sum(col("n")).over(w).cast("double") / col("__tot"), 6))
           .select(col("rank"), col("token"), col("n"), col("cum_share"))

@@ -573,4 +573,26 @@ class PlanSpec extends AnyFunSuite {
         s"$q needs the per-score compaction aggregate\n$plan")
     }
   }
+
+  test("no query plan contains a partition-less window") {
+    // Every single-partition window in this engine is over a DOCUMENTED
+    // bounded frame and carries the non-foldable BoundedKey partition key
+    // (functions/BoundedKey.scala) — so an EMPTY partitionSpec in any
+    // query's physical plan is, by policy, an undeclared scale smell.
+    // This sweep keeps the WindowExec warning tail meaningful: a genuine
+    // unpartitioned window on an unbounded frame fails here first.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan
+        val bad = plan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+              if w.partitionSpec.isEmpty => w
+        }
+        if (bad.nonEmpty) Some(s"$name (${bad.size})") else None
+    }
+    assert(offenders.isEmpty,
+      s"partition-less windows in: ${offenders.mkString(", ")}")
+  }
 }
