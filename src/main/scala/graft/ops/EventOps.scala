@@ -342,6 +342,65 @@ object EventOps {
     *
     * → (userCol, n_gaps, mean_gap_us, cv, is_regular = cv < cvFlag)
     */
+  /** Gap-based batch sessionization (the classic web-analytics operator;
+    * grouping identical to Structured Streaming's
+    * `session_window(ts, gap)` — asserted streaming==batch in
+    * StreamingAggSpec): an event starts a NEW session when the same
+    * user's previous event (in (us, tie) order) is `gapUs` or more
+    * micros earlier; a gap strictly under `gapUs` keeps merging, which
+    * matches session_window's half-open [ts, ts+gap) extension rule.
+    * Session ids are DETERMINISTIC — (user, session_seq) with
+    * session_seq the running count of session starts — never UUIDs, so
+    * the result is layout-invariant and SQL-replayable.
+    *
+    * Scale shape: one lag window + one running-sum window over the SAME
+    * user partitioning (a single shuffle on the user key, shared by
+    * both specs), no self-joins; rows with NULL user or time are
+    * excluded.
+    *
+    * → input rows + (session_seq) — per event.
+    */
+  def sessionize(events: DataFrame, userCol: String, usCol: String,
+                 tieCol: String, gapUs: Long): DataFrame = {
+    require(gapUs > 0, s"gapUs must be > 0, got $gapUs")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col("__us"), col(tieCol))
+    events
+      .withColumn("__us", col(usCol).cast("long"))
+      .filter(col(userCol).isNotNull && col("__us").isNotNull)
+      .withColumn("__prev", lag(col("__us"), 1).over(w))
+      .withColumn("session_seq",
+        sum(when(col("__prev").isNull ||
+            col("__us") - col("__prev") >= gapUs, 1L).otherwise(0L))
+          .over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .drop("__us", "__prev")
+  }
+
+  /** Per-session statistics off [[sessionize]]: one aggregation keyed by
+    * (user, session_seq) — bounds, duration, event count, and the exact
+    * DECIMAL value sum exiting over the VARCHAR bridge (the repo's
+    * cross-engine double discipline).
+    *
+    * → (userCol, session_seq, start_us, end_us, duration_us, n_events,
+    *   sum_value)
+    */
+  def sessionStats(events: DataFrame, userCol: String, usCol: String,
+                   tieCol: String, valueCol: String,
+                   gapUs: Long): DataFrame =
+    sessionize(events, userCol, usCol, tieCol, gapUs)
+      .select(col(userCol), col("session_seq"),
+        col(usCol).cast("long").as("__us"),
+        coalesce(col(valueCol).cast("double").cast("decimal(18,6)"),
+          lit(0).cast("decimal(18,6)")).as("__v"))
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(min(col("__us")).as("start_us"), max(col("__us")).as("end_us"),
+        count(lit(1)).as("n_events"), sum(col("__v")).as("__sv"))
+      .select(col(userCol), col("session_seq"), col("start_us"),
+        col("end_us"), (col("end_us") - col("start_us")).as("duration_us"),
+        col("n_events"),
+        col("__sv").cast("string").cast("double").as("sum_value"))
+
   def cadenceProfile(events: DataFrame, userCol: String, usCol: String,
                      tieCol: String, cvFlag: Double = 0.1): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

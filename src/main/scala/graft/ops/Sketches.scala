@@ -155,6 +155,114 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  // --- HDR (base-2 geometric) quantile sketch ------------------------------
+  //
+  // Bucket id of a positive integer value: binary exponent (octave)
+  // e = floor(log2 v) — computed EXACTLY as length(bin(v)) − 1, never via
+  // a transcendental ln whose last ulp engines can disagree on — plus one
+  // of m linear sub-buckets within the octave:
+  //
+  //   base   = 2^e
+  //   sub    = ((v − base) · m) div base
+  //   bucket = e·m + sub
+  //
+  // Monotone in v, exact integer arithmetic end to end, replayable in any
+  // engine with bin/shifts (DuckDB included).
+
+  /** Deterministic, exactly-mergeable quantile sketch — the
+    * HDR-histogram / DDSketch family (Masson, Rim & Lee, VLDB 2019
+    * "DDSketch"; Tene's HdrHistogram), chosen over KLL/GK deliberately:
+    * KLL's randomized and GK's order-dependent compactions make
+    * merge-tree == direct-build only approximately true, which breaks
+    * this repo's oracle discipline. Geometric bucketing is a pure
+    * function of the VALUE, so the sketch of a union is exactly the
+    * bucket-wise SUM of the sketches (bit-exact, the [[AggState]]
+    * property), and the whole pipeline replays hash-identically in
+    * DuckDB. The trade: the guarantee is RELATIVE VALUE ERROR ≤ 1/m
+    * (+1 ulp of the integer grid) instead of KLL's ε·n rank error —
+    * the right bound for long-tailed length/latency distributions,
+    * where a rank-ε answer can still be numerically wild.
+    *
+    * Scale shape: ONE aggregation over the corpus with map-side
+    * combine; the state is ≤ 63·m skinny (group, bucket, cnt) rows per
+    * group REGARDLESS of corpus size. Per-day / per-partition sketches
+    * roll up with [[hdrMerge]] without rescanning history.
+    *
+    * Contract: values are POSITIVE integers < 2^56 (so `(v−base)·m`
+    * never overflows a long for m ≤ 128); rows with NULL or v < 1 are
+    * excluded, like the SQL aggregate convention.
+    *
+    * → (groupCols…, bucket, cnt)
+    */
+  def hdrSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                m: Int): DataFrame = {
+    require(m >= 2 && m <= 128, s"m must be in [2,128], got $m")
+    df.select(groupCols.map(col) :+ col(valueCol).cast("long").as("__v"): _*)
+      .filter(col("__v").isNotNull && col("__v") >= 1L &&
+        col("__v") < (1L << 56))
+      .withColumn("__e", (length(bin(col("__v"))) - 1).cast("long"))
+      .withColumn("__base", expr("shiftleft(1L, cast(__e as int))"))
+      .withColumn("bucket",
+        col("__e") * m + expr(s"((__v - __base) * $m) div __base"))
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge any number of [[hdrSketch]] states (stored + increments):
+    * bucket counts ADD — associative, commutative, and BIT-EXACT, so a
+    * tree of merges equals one direct build over the union (asserted
+    * in SketchesSpec). One shuffle of the skinny state union.
+    */
+  def hdrMerge(groupCols: Seq[String], sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "hdrMerge needs at least one sketch")
+    sketches.reduce(_ unionByName _)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(coalesce(sum(col("cnt")).cast("bigint"), lit(0L)).as("cnt"))
+  }
+
+  /** Type-1 (lower) quantile read off a sketch: the smallest bucket
+    * whose cumulative count reaches q·n — the threshold as a
+    * CROSS-MULTIPLIED integer comparison (cum·den ≥ n·num for
+    * q = num/den, the [[ScaleOps.weightedQuantile]] convention, so no
+    * float boundary can flip a verdict) — reported as the bucket's
+    * canonical lower-bound value
+    *
+    *   est = base + (sub·base) div m,   e = bucket div m, sub = bucket mod m
+    *
+    * Because bucketing is monotone, the TRUE rank-⌈q·n⌉ value x lies in
+    * the selected bucket: est ≤ x ≤ est + base/m + 1, i.e. relative
+    * value error ≤ 1/m + 1/base. All arithmetic on the ≤ 63·m-row
+    * bucket plane — the corpus is never re-read.
+    *
+    * Empty `groupCols` = one global quantile (the bucket plane is
+    * bounded by construction, hence the [[graft.functions.BoundedKey]]
+    * partition key on the cumsum window).
+    *
+    * → (groupCols…, n_total, hdr_value)
+    */
+  def hdrQuantile(sketch: DataFrame, groupCols: Seq[String], m: Int,
+                  qNum: Long = 1L, qDen: Long = 2L): DataFrame = {
+    require(m >= 2 && m <= 128, s"m must be in [2,128], got $m")
+    require(qNum >= 0 && qDen > 0 && qNum <= qDen,
+      s"quantile must be a rational in [0,1]: $qNum/$qDen")
+    val parts =
+      if (groupCols.nonEmpty) groupCols.map(col)
+      else Seq(graft.functions.ArrayMath.boundedKey(sketch))
+    val wRun = Window.partitionBy(parts: _*).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(parts: _*)
+    sketch
+      .withColumn("__cum", sum(col("cnt")).over(wRun))
+      .withColumn("__n", sum(col("cnt")).over(wAll))
+      .filter(col("__cum") * qDen >= col("__n") * qNum)
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(col("bucket")).as("__b"), max(col("__n")).as("n_total"))
+      .withColumn("__base", expr(s"shiftleft(1L, cast(__b div $m as int))"))
+      .withColumn("hdr_value",
+        col("__base") + expr(s"((__b % $m) * __base) div $m"))
+      .select(groupCols.map(col) :+ col("n_total") :+ col("hdr_value"): _*)
+  }
+
   /** Point-query a [[cmsSketch]] for a candidate key set: est(key) =
     * min over rows of the key's bucket counter (0 if the bucket is
     * empty — the key was never seen). The sketch side is depth·width

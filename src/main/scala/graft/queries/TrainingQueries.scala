@@ -7836,6 +7836,110 @@ object TrainingQueries {
              |    > 1.358 * sqrt(CAST(t.na + t.nb AS DOUBLE)
              |      / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)))
              |    AS reject_same_dist
-             |FROM t, m""".stripMargin))
+             |FROM t, m""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Mergeable quantile sketch (Sketches.hdrSketch — the HDR-histogram /
+    // DDSketch family, Masson et al. VLDB'19): per-source p50/p90/p99 of
+    // document length read off a base-2 geometric bucket sketch. The
+    // bucket id is EXACT integer arithmetic (binary exponent via
+    // length(bin(v)), never ln), the rank threshold is the
+    // cross-multiplied weightedQuantile convention, and the reported
+    // value is the bucket's canonical lower bound — so the ENTIRE
+    // estimator replays bit-for-bit in DuckDB (bin/shifts/integer div
+    // below), no band needed. Sketch state: ≤ 63·32 rows per source
+    // regardless of corpus size; per-day sketches roll up by summing
+    // counts (merge-tree == direct build asserted bit-exact in
+    // SketchesSpec).
+    QuerySpec(
+      "q232_hdr_quantiles",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("source"), col("n_chars"))
+        val sk = graft.ops.Sketches.hdrSketch(d, Seq("source"), "n_chars", 32)
+          .localCheckpoint() // bucket plane feeds three quantile reads
+        def q(num: Long, den: Long, name: String) =
+          graft.ops.Sketches.hdrQuantile(sk, Seq("source"), 32, num, den)
+            .select(col("source"), col("n_total"),
+              col("hdr_value").as(name))
+        q(1, 2, "p50_chars")
+          .join(q(9, 10, "p90_chars").drop("n_total"), "source")
+          .join(q(99, 100, "p99_chars").drop("n_total"), "source")
+          .orderBy("source")
+      },
+      Some {
+        def est(b: String) =
+          s"CAST((1::BIGINT << CAST($b // 32 AS INT)) + (($b % 32) * " +
+            s"(1::BIGINT << CAST($b // 32 AS INT))) // 32 AS BIGINT)"
+        s"""WITH v AS (
+           |  SELECT source, CAST(n_chars AS BIGINT) AS v
+           |  FROM documents WHERE n_chars >= 1),
+           |b AS (
+           |  SELECT source,
+           |    CAST(length(bin(v)) - 1 AS BIGINT) * 32
+           |      + ((v - (1::BIGINT << CAST(length(bin(v)) - 1 AS INT)))
+           |          * 32)
+           |        // (1::BIGINT << CAST(length(bin(v)) - 1 AS INT))
+           |      AS bucket
+           |  FROM v),
+           |c AS (SELECT source, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+           |r AS (
+           |  SELECT source, bucket,
+           |    SUM(cnt) OVER (PARTITION BY source ORDER BY bucket
+           |      ROWS UNBOUNDED PRECEDING) AS cum,
+           |    SUM(cnt) OVER (PARTITION BY source) AS n
+           |  FROM c),
+           |q AS (
+           |  SELECT source, MAX(n) AS n,
+           |    MIN(CASE WHEN cum * 2 >= n * 1 THEN bucket END) AS b50,
+           |    MIN(CASE WHEN cum * 10 >= n * 9 THEN bucket END) AS b90,
+           |    MIN(CASE WHEN cum * 100 >= n * 99 THEN bucket END) AS b99
+           |  FROM r GROUP BY source)
+           |SELECT source, CAST(n AS BIGINT) AS n_total,
+           |  ${est("b50")} AS p50_chars,
+           |  ${est("b90")} AS p90_chars,
+           |  ${est("b99")} AS p99_chars
+           |FROM q ORDER BY source""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // Gap-based sessionization (EventOps.sessionStats — the classic
+    // web-analytics session cut at a 30-minute inactivity gap, the same
+    // grouping Structured Streaming's session_window produces, asserted
+    // streaming==batch in StreamingAggSpec): deterministic
+    // (user, session_seq) ids off one user-partitioned lag window, then
+    // per-session bounds/counts and the exact DECIMAL value sum over
+    // the VARCHAR bridge.
+    QuerySpec(
+      "q233_sessionize",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_id"), col("value"))
+        graft.ops.EventOps.sessionStats(ev, "user_id", "us", "event_id",
+            "value", gapUs = 1800000000L)
+          .orderBy("user_id", "session_seq")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) AS us, event_id, value
+             |  FROM events WHERE user_id IS NOT NULL),
+             |l AS (
+             |  SELECT *, LAG(us) OVER (
+             |      PARTITION BY user_id ORDER BY us, event_id) AS prev
+             |  FROM e),
+             |s AS (
+             |  SELECT user_id, us, value,
+             |    SUM(CASE WHEN prev IS NULL OR us - prev >= 1800000000
+             |          THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY user_id ORDER BY us, event_id
+             |        ROWS UNBOUNDED PRECEDING) AS session_seq
+             |  FROM l)
+             |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+             |  MIN(us) AS start_us, MAX(us) AS end_us,
+             |  MAX(us) - MIN(us) AS duration_us,
+             |  CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  CAST(CAST(SUM(COALESCE(CAST(value AS DECIMAL(18,6)),
+             |      CAST(0 AS DECIMAL(18,6)))) AS VARCHAR) AS DOUBLE)
+             |    AS sum_value
+             |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -255,10 +255,73 @@ object StreamingAggregates {
       .toDF()
   }
 
+  /** Streaming rolling-distinct-users deltas — the incremental DAU/WAU/
+    * MAU lane (q192's batch semantics maintained across micro-batches):
+    * per user, keyed state holds the distinct ACTIVITY-DAY set; each
+    * micro-batch recomputes the user's coverage segments (activity days
+    * whose gap is within `windowDays` merge — exactly the batch
+    * [[graft.ops.EventOps.rollingDistinctUsers]] interval-union plan:
+    * +1 at each segment start, −1 at segment end + windowDays) and
+    * emits only the ±1 boundary-delta CHANGES versus its previous
+    * state. A day-keyed sum of every emitted delta followed by one
+    * calendar running sum reproduces the batch rolling count EXACTLY
+    * (streaming == batch on the q192 config, StreamingAggSpec) — no
+    * COUNT DISTINCT ever runs and no day is recomputed; state is one
+    * day-array per user, per-batch output is bounded by the segments
+    * the batch actually touched, not by history.
+    *
+    * → (day_num, delta) change stream, Update mode.
+    */
+  def streamingRollingDistinctDeltas(spark: SparkSession, events: DataFrame,
+                                     windowDays: Int): DataFrame = {
+    import spark.implicits._
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val ev = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id").cast("long").as("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("us"))
+      .as[RetEvent]
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (_: Long, batch: Iterator[RetEvent], state: GroupState[RetBuf]) => {
+          val prev = state.getOption.map(_.uss).getOrElse(Array.empty[Long])
+          val merged = (prev ++ batch.map(_.us)).distinct.sorted
+          state.update(RetBuf(merged))
+          // segment boundary deltas of a sorted day array — the batch
+          // op's interval-union recipe, driver-free
+          def deltas(a: Array[Long]): Map[Long, Long] =
+            if (a.isEmpty) Map.empty
+            else {
+              val m = scala.collection.mutable.Map.empty[Long, Long]
+              def add(k: Long, v: Long): Unit =
+                m.updateWith(k)(o => Some(o.getOrElse(0L) + v))
+              var segStart = a.head
+              var prevDay = a.head
+              for (d <- a.tail) {
+                if (d - prevDay > windowDays - 1) {
+                  add(segStart, 1L); add(prevDay + windowDays, -1L)
+                  segStart = d
+                }
+                prevDay = d
+              }
+              add(segStart, 1L); add(prevDay + windowDays, -1L)
+              m.toMap.filter(_._2 != 0L)
+            }
+          val oldD = deltas(prev)
+          val newD = deltas(merged)
+          (oldD.keySet ++ newD.keySet).iterator.flatMap { k =>
+            val d = newD.getOrElse(k, 0L) - oldD.getOrElse(k, 0L)
+            if (d != 0L) Iterator(DayDelta(k, d)) else Iterator.empty
+          }
+        })
+      .toDF()
+  }
+
   final case class RetEvent(user_id: Long, us: Long)
   final case class RetBuf(uss: Array[Long])
   final case class RetDelta(cohort_period: Long, period_offset: Long,
                             delta: Long)
+  final case class DayDelta(day_num: Long, delta: Long)
 
   /** Incremental cohort retention — the streaming flavor of
     * [[graft.ops.EventOps.retentionCohorts]], maintained as a DELTA

@@ -328,6 +328,37 @@ class EventOpsSpec extends AnyFunSuite {
     assert(r.getBoolean(8) == (math.abs((raD - rbD) / se) > 1.96))
   }
 
+  test("sessionize/sessionStats: hand-computed gap cuts; boundary gap starts a new session") {
+    import spark.implicits._
+    // gap = 100us. u1: events at 0, 50, 149 (gap 99 merges), 249 (gap 100
+    // cuts), 260. u2: single event. NULL user excluded.
+    val ev = Seq((Some(1L), 0L, 1L, 1.5), (Some(1L), 50L, 2L, 2.5),
+      (Some(1L), 149L, 3L, 1.0), (Some(1L), 249L, 4L, 4.0),
+      (Some(1L), 260L, 5L, 0.25), (Some(2L), 7L, 6L, 3.0),
+      (Option.empty[Long], 9L, 7L, 9.0))
+      .toDF("user_id", "us", "event_id", "value")
+    val seqs = graft.ops.EventOps.sessionize(ev, "user_id", "us",
+        "event_id", gapUs = 100L)
+      .orderBy("user_id", "us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(seqs.toSeq == Seq((1L, 0L, 1L), (1L, 50L, 1L), (1L, 149L, 1L),
+      (1L, 249L, 2L), (1L, 260L, 2L), (2L, 7L, 1L)), seqs.toSeq.toString)
+    val stats = graft.ops.EventOps.sessionStats(ev, "user_id", "us",
+        "event_id", "value", gapUs = 100L)
+      .orderBy("user_id", "session_seq").collect()
+    assert(stats.length == 3)
+    // u1 session 1: [0,149], 3 events, sum 5.0
+    assert(stats(0).getLong(2) == 0L && stats(0).getLong(3) == 149L &&
+      stats(0).getLong(4) == 149L && stats(0).getLong(5) == 3L &&
+      stats(0).getDouble(6) == 5.0)
+    // u1 session 2: [249,260], 2 events, sum 4.25
+    assert(stats(1).getLong(2) == 249L && stats(1).getLong(5) == 2L &&
+      stats(1).getDouble(6) == 4.25)
+    // u2: singleton session, duration 0
+    assert(stats(2).getLong(0) == 2L && stats(2).getLong(4) == 0L &&
+      stats(2).getLong(5) == 1L)
+  }
+
   test("abTestReport: an empty arm reports NULL rates, not NaN") {
     import spark.implicits._
     // one single user -> exactly one arm populated, the other empty

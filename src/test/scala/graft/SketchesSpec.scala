@@ -112,4 +112,57 @@ class SketchesSpec extends AnyFunSuite {
     assert(unseen >= 0L)
     sk.unpersist()
   }
+
+  test("hdrSketch: hand-computed buckets; v<1 and NULL excluded") {
+    import spark.implicits._
+    // m=4: v=1 -> e0 sub0 b0; v=2 -> e1 sub0 b4; v=3 -> e1 sub2 b6;
+    // v=4 -> e2 b8; v=5 -> e2 sub1 b9; v=7 -> e2 sub3 b11; v=8 -> e3 b12
+    val df = Seq(Some(1L), Some(2L), Some(3L), Some(4L), Some(5L),
+      Some(7L), Some(8L), Some(0L), None).toDF("v")
+      .withColumn("g", lit("g"))
+    val got = Sketches.hdrSketch(df, Seq("g"), "v", m = 4)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got == Map(0L -> 1L, 4L -> 1L, 6L -> 1L, 8L -> 1L, 9L -> 1L,
+      11L -> 1L, 12L -> 1L), s"buckets: $got")
+  }
+
+  test("hdr merge-tree == direct build, bit-exact (the AggState property)") {
+    import spark.implicits._
+    val all = spark.range(1, 5000)
+      .select(lit("g").as("g"), (col("id") * col("id") % 40000 + 1).as("v"))
+    val parts = Seq(0, 1, 2).map(i => all.filter(col("id") % 3 === i))
+    val m = 16
+    val direct = Sketches.hdrSketch(all, Seq("g"), "v", m)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    // tree: merge(merge(s0, s1), s2)
+    val s = parts.map(p => Sketches.hdrSketch(p, Seq("g"), "v", m))
+    val tree = Sketches.hdrMerge(Seq("g"),
+      Sketches.hdrMerge(Seq("g"), s(0), s(1)), s(2))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(tree == direct, "merge tree must equal direct build bit-exactly")
+  }
+
+  test("hdrQuantile: relative value error <= 1/m + 1/base vs exact") {
+    import spark.implicits._
+    val vals = (1L to 4000L).map(i => i * i % 30011L + 1L)
+    val df = vals.toDF("v").withColumn("g", lit("g"))
+    val m = 32
+    val sk = Sketches.hdrSketch(df, Seq("g"), "v", m).localCheckpoint()
+    for ((num, den) <- Seq((1L, 2L), (9L, 10L), (99L, 100L))) {
+      val est = Sketches.hdrQuantile(sk, Seq("g"), m, num, den).head()
+      assert(est.getLong(1) == vals.size.toLong)
+      val got = est.getLong(2)
+      // exact type-1 lower quantile: smallest x with rank*den >= n*num
+      val sorted = vals.sorted
+      val exact = sorted(
+        (math.ceil(num.toDouble * vals.size / den).toInt - 1).max(0))
+      assert(got <= exact, s"q=$num/$den: lower bound $got > exact $exact")
+      val relErr = (exact - got).toDouble / exact
+      assert(relErr <= 1.0 / m + 0.01,
+        s"q=$num/$den: est $got vs exact $exact, relErr $relErr")
+    }
+    // empty groupCols = one global row, same values
+    val g = Sketches.hdrQuantile(sk.drop("g"), Seq.empty, m, 1L, 2L).head()
+    assert(g.getLong(0) == vals.size.toLong)
+  }
 }

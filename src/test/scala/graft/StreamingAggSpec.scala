@@ -77,6 +77,29 @@ class StreamingAggSpec extends AnyFunSuite {
     assert(streaming.filter(col("n_events") < 1).isEmpty)
   }
 
+  test("batch sessionize == session_window grouping (same 30 min gap)") {
+    // the session_window lane groups events whose successive gap is
+    // STRICTLY under the 30 min gap; EventOps.sessionize cuts at >= gap.
+    // Same fixture, both paths batch: (user, sess_start=min ts,
+    // n_events) must agree session for session.
+    val ev = Tables.events(spark, sf)
+    val viaWindow = StreamingAggregates.userSessions(ev)
+      .select(col("user_id"), unix_micros(col("sess_start")).as("start_us"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaGap = graft.ops.EventOps.sessionStats(
+        ev.select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("value")),
+        "user_id", "us", "event_id", "value", gapUs = 30L * 60 * 1000000)
+      .select(col("user_id"), col("start_us"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaGap.nonEmpty)
+    assert(viaGap == viaWindow,
+      s"gap-based sessions must equal session_window sessions: " +
+        s"only-gap=${(viaGap -- viaWindow).take(3)} " +
+        s"only-window=${(viaWindow -- viaGap).take(3)}")
+  }
+
   test("streaming DAU: stateful dedup+count == batch rollingDistinctUsers(L=1)") {
     val streaming = runToMemory(
       StreamingAggregates.dailyActiveUsers(streamEvents), "dau_stream", "update")
@@ -232,6 +255,65 @@ class StreamingAggSpec extends AnyFunSuite {
     assert(last.exceptAll(batch).isEmpty && batch.exceptAll(last).isEmpty,
       "streaming funnel's final state must equal the batch funnel")
     assert(last.count() == batch.count() && batch.count() > 0)
+  }
+
+  test("streamingRollingDistinctDeltas: folded+cumsum == batch DAU/WAU/MAU (q192 config)") {
+    val ev = Tables.events(spark, sf)
+    val batch = graft.ops.EventOps.rollingDistinctUsersMulti(ev, "user_id",
+        "ts", Seq(1 -> "dau", 7 -> "wau", 28 -> "mau"))
+      .select(datediff(col("day"), lit("1970-01-01")).cast("long")
+        .as("day_num"), col("dau"), col("wau"), col("mau"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(batch.nonEmpty)
+    for (((w, pick), i) <- Seq(
+        (1, (t: (Long, Long, Long)) => t._1),
+        (7, (t: (Long, Long, Long)) => t._2),
+        (28, (t: (Long, Long, Long)) => t._3)).zipWithIndex) {
+      val streaming = runToMemory(
+        StreamingAggregates.streamingRollingDistinctDeltas(
+          spark, streamEvents, w), s"rolling_stream_$i", "update")
+      val deltas = streaming.groupBy("day_num")
+        .agg(sum("delta").as("d")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // one calendar cumsum over the batch day spine = the rolling count
+      var cum = 0L
+      val spine = batch.keys.toSeq.sorted
+      val missing = (deltas.keys.filter(_ < spine.head)).toSeq
+      assert(missing.isEmpty, s"delta before first activity day: $missing")
+      for (d <- spine.head to spine.last) {
+        cum += deltas.getOrElse(d, 0L)
+        assert(cum == pick(batch(d)),
+          s"W=$w day $d: streaming $cum != batch ${pick(batch(d))}")
+      }
+    }
+  }
+
+  test("streamingRollingDistinctDeltas: a merging late day retracts the old segment end") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val day = 86400000000L
+    def e(uid: Long, dayN: Long): (Long, java.sql.Timestamp) =
+      (uid, new java.sql.Timestamp(dayN * day / 1000L))
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    val src = ms.toDF().toDF("user_id", "ts")
+    val out = StreamingAggregates.streamingRollingDistinctDeltas(spark, src, 7)
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("rolling_late").start()
+    ms.addData(e(9L, 1)) // segment [1,1]: +1@1, -1@8
+    q.processAllAvailable()
+    ms.addData(e(9L, 3)) // merges to [1,3]: the -1 moves 8 -> 10
+    q.processAllAvailable()
+    ms.addData(e(9L, 20)) // disjoint new segment [20,20]
+    q.processAllAvailable()
+    q.stop()
+    val folded = spark.table("rolling_late").groupBy("day_num")
+      .agg(sum("delta").as("d")).filter(col("d") =!= 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(folded == Map(1L -> 1L, 10L -> -1L, 20L -> 1L, 27L -> -1L),
+      s"folded deltas: $folded")
   }
 
   test("streamingRetentionDeltas: folded deltas == batch retention triangle") {
