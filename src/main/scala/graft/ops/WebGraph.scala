@@ -730,4 +730,191 @@ object WebGraph {
     flagged.unpersist()
     ranks
   }
+
+  /** Undirected simple view of an edge list (each unordered pair once per
+    * direction, self-loops dropped) — the shared preprocessing of the
+    * community operators.
+    */
+  private def undirectedNbr(edges: DataFrame, srcCol: String,
+                            dstCol: String): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    e.select(col("src").as("node"), col("dst").as("nb"))
+      .union(e.select(col("dst").as("node"), col("src").as("nb")))
+      .distinct()
+  }
+
+  /** Louvain-style modularity communities — SYNCHRONIZED local moving
+    * (phase 1 of Blondel et al. 2008 "Fast unfolding of communities in
+    * large networks", parallelized with the 2-coloring anti-swap gate of
+    * distributed Louvain implementations, e.g. Ghosh et al. IPDPS'18):
+    * every node starts in its own community; each round, every node
+    * evaluates every NEIGHBOR community and WANTS the best strictly
+    * positive modularity gain — but only an INDEPENDENT SET of the
+    * wanting nodes actually moves: a node moves iff no neighbor that
+    * also wants to move has a smaller (md5-hash, id) key (the
+    * Jones–Plassmann independent-set scheduling rule, with the
+    * deterministic seedless h48 recipe as the "random" priority). No
+    * two adjacent nodes ever move in the same round, so the symmetric
+    * two-node swap that makes fully-synchronous local moving oscillate
+    * is impossible by construction, and each round at least the
+    * globally minimal wanting node moves — guaranteed progress.
+    *
+    * The gain comparison is EXACT integer arithmetic: dropping the
+    * terms common to all candidates, v prefers the community c
+    * maximizing
+    *
+    *   score(v→c) = 2m·k_{v,c} − deg_v·tot_c^{−v}
+    *
+    * (k_{v,c} = v's edges into c, tot_c^{−v} = Σ degree of c's members
+    * excluding v, m = undirected edge count) and moves iff the best
+    * neighbor community's score strictly exceeds the same formula for
+    * its CURRENT community — ties break on the smallest community id,
+    * so every round is a pure function of the previous labeling.
+    * Products ride DECIMAL(38,0) (long·long would wrap silently), so
+    * the replay is exact at any graph size.
+    *
+    * Scale shape: the undirected neighbor frame and the degree frame
+    * are loop-invariant and persisted once; each round is one
+    * neighbor⋈labels aggregation to the (node, candidate-community)
+    * plane, one |communities|-sized tot aggregation, and one labels
+    * update, all keyed joins — the labels frame localCheckpoints so the
+    * plan stays O(1) deep across rounds (the [[labelPropagation]]
+    * discipline). No driver traffic at all: rounds are fixed, not
+    * converged (a fixpoint round is a no-op, so extra rounds only cost
+    * time — which is what lets a fixed-depth unrolled SQL oracle replay
+    * the result).
+    *
+    * Phase 2 of Louvain (community coarsening) is intentionally not
+    * implemented: on the web-host graphs this engine targets, one
+    * local-moving phase recovers the planted structure, and coarsening
+    * would make the oracle non-replayable at fixed depth.
+    *
+    * → (node, community)
+    */
+  def louvainCommunities(edges: DataFrame, srcCol: String, dstCol: String,
+                         rounds: Int = 4): DataFrame = {
+    require(rounds >= 1 && rounds <= 20,
+      s"rounds must be in [1,20], got $rounds")
+    val nbr = undirectedNbr(edges, srcCol, dstCol).persist()
+    val deg = nbr.groupBy("node").agg(count(lit(1)).as("deg")).persist()
+    val m2Frame = deg.agg(sum(col("deg")).cast("decimal(38,0)").as("__m2"))
+    val dec = "decimal(19,0)"
+    var labels = deg.select(col("node"), col("node").as("comm"))
+      .localCheckpoint(true)
+    var round = 0
+    while (round < rounds) {
+      val tot = labels.join(deg, "node")
+        .groupBy(col("comm")).agg(sum(col("deg")).as("tot"))
+      val kv = nbr
+        .join(labels.select(col("node").as("nb"), col("comm").as("cand")),
+          "nb")
+        .groupBy(col("node"), col("cand"))
+        .agg(count(lit(1)).as("k"))
+      val self = labels
+        .join(deg, "node")
+        .join(tot.withColumnRenamed("comm", "__c"),
+          col("__c") === col("comm"))
+        .select(col("node"), col("comm"), col("deg"),
+          (col("tot") - col("deg")).as("__totx_cur"))
+      val scored = kv
+        .join(self, "node")
+        .crossJoin(broadcast(m2Frame)) // one row: the global 2m scalar
+        .join(tot.withColumnRenamed("comm", "cand"), "cand")
+        .withColumn("__totx",
+          col("tot") - when(col("cand") === col("comm"), col("deg"))
+            .otherwise(lit(0L)))
+        .withColumn("__score",
+          col("__m2") * col("k").cast(dec) -
+            col("deg").cast(dec) * col("__totx").cast(dec))
+      val stay = self.join(
+          kv.withColumnRenamed("cand", "comm").withColumnRenamed("k", "__kc"),
+          Seq("node", "comm"), "left")
+        .crossJoin(broadcast(m2Frame)) // one row: the global 2m scalar
+        .select(col("node"),
+          (col("__m2") * coalesce(col("__kc"), lit(0L)).cast(dec) -
+            col("deg").cast(dec) * col("__totx_cur").cast(dec)).as("__stay"))
+      val best = scored
+        .groupBy(col("node"))
+        .agg(max(col("__score")).as("__best"))
+      val winner = scored.join(best, "node")
+        .filter(col("__score") === col("__best"))
+        .groupBy(col("node"))
+        .agg(min(col("cand")).as("__to"), max(col("__score")).as("__score"))
+      val want = winner.join(stay, "node")
+        .filter(col("__score") > col("__stay"))
+        .select(col("node"), col("__to"),
+          conv(substring(md5(col("node")), 1, 12), 16, 10).cast("long")
+            .as("__h"))
+      // independent-set scheduling: a wanting node is BLOCKED when any
+      // wanting neighbor carries a smaller (hash, id) priority — movers
+      // are the hash-local-minima, never two adjacent
+      val blocked = nbr
+        .join(want.select(col("node"), col("__h")), "node")
+        .join(want.select(col("node").as("nb"), col("__h").as("__hn")),
+          "nb")
+        .filter(col("__hn") < col("__h") ||
+          (col("__hn") === col("__h") && col("nb") < col("node")))
+        .select(col("node")).distinct()
+      val moves = want.join(blocked, Seq("node"), "left_anti")
+        .select(col("node"), col("__to"))
+      labels = labels.join(moves, Seq("node"), "left")
+        .select(col("node"), coalesce(col("__to"), col("comm")).as("comm"))
+        .localCheckpoint(true) // plan depth stays O(1) across rounds
+      round += 1
+    }
+    nbr.unpersist()
+    deg.unpersist()
+    labels.select(col("node"), col("comm").as("community"))
+  }
+
+  /** EXACT modularity of a given partition (Newman & Girvan 2004),
+    * Q = Σ_c [ in_c/(2m) − (tot_c/(2m))² ] with in_c twice the
+    * intra-community edge count and tot_c the community degree sum —
+    * computed as ONE integer numerator Σ_c (2m·in_c − tot_c²) in
+    * DECIMAL(38,0) divided once by (2m)², so the score replays
+    * bit-for-bit in any engine. Communities with no internal edges
+    * still contribute their −tot² term (a labels-side aggregation, not
+    * an edge-side one).
+    *
+    * `labels`: (nodeCol, commCol) — one row per node (e.g. the
+    * [[louvainCommunities]] or [[labelPropagation]] output).
+    *
+    * → one row (n_nodes, n_edges, q_modularity)
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 labels: DataFrame, nodeCol: String,
+                 commCol: String): DataFrame = {
+    val nbr = undirectedNbr(edges, srcCol, dstCol)
+    val lab = labels.select(col(nodeCol).cast("string").as("__n"),
+      col(commCol).cast("string").as("__c"))
+    val deg = nbr.groupBy("node").agg(count(lit(1)).as("deg"))
+    val tot = lab.join(deg, col("__n") === col("node"))
+      .groupBy(col("__c")).agg(sum(col("deg")).as("tot"),
+        count(lit(1)).as("__members"))
+    val inC = nbr
+      .join(lab.select(col("__n").as("node"), col("__c").as("__c1")), "node")
+      .join(lab.select(col("__n").as("nb"), col("__c").as("__c2")), "nb")
+      .filter(col("__c1") === col("__c2"))
+      .groupBy(col("__c1").as("__c")).agg(count(lit(1)).as("in_c"))
+    val dec = "decimal(19,0)"
+    val m2 = deg.agg(sum(col("deg")).cast("decimal(38,0)").as("__m2"),
+      count(lit(1)).as("__n_nodes"))
+    tot.join(inC, Seq("__c"), "left")
+      .crossJoin(broadcast(m2)) // one row: the global 2m scalar
+      .select(
+        (col("__m2") * coalesce(col("in_c"), lit(0L)).cast(dec) -
+          col("tot").cast(dec) * col("tot").cast(dec)).as("__term"),
+        col("__m2"), col("__n_nodes"))
+      .groupBy(col("__m2"), col("__n_nodes"))
+      .agg(sum(col("__term")).as("__qnum"))
+      .select(col("__n_nodes").as("n_nodes"),
+        (col("__m2").cast("string").cast("double") / 2.0).as("n_edges"),
+        (col("__qnum").cast("string").cast("double") /
+          (col("__m2").cast("string").cast("double") *
+            col("__m2").cast("string").cast("double"))).as("q_modularity"))
+  }
 }

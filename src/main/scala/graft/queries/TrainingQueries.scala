@@ -755,6 +755,99 @@ object TrainingQueries {
          |FROM lab$iters ORDER BY node""".stripMargin
   }
 
+  /** q234 oracle: unrolled Louvain-style synchronized local moving
+    * (WebGraph.louvainCommunities' exact arithmetic — integer modularity
+    * gains 2m·k − deg·tot, independent-set move scheduling by the md5
+    * h48 priority, smallest-community tie-break) as `rounds` chained CTE
+    * blocks over the planted link graph, then the exact integer
+    * modularity Σ(2m·in_c − tot²)/(2m)² of the final labeling. Every
+    * comparison is integer and the one division crosses the VARCHAR
+    * bridge, so the replay is bit-exact.
+    */
+  private def louvainOracle(rounds: Int): String = {
+    val head = "WITH " + linkEdgesCte.stripMargin +
+      """,
+        |nb AS MATERIALIZED (
+        |  SELECT DISTINCT node, nbr FROM (
+        |    SELECT src_host AS node, dst_host AS nbr FROM l
+        |    WHERE src_host <> dst_host
+        |    UNION ALL
+        |    SELECT dst_host, src_host FROM l
+        |    WHERE src_host <> dst_host)),
+        |degc AS MATERIALIZED (
+        |  SELECT node, COUNT(*) AS deg FROM nb GROUP BY 1),
+        |m2 AS (SELECT SUM(deg) AS m2 FROM degc),
+        |lab0 AS (SELECT node, node AS comm FROM degc)""".stripMargin
+    val roundCtes = (1 to rounds).map { k =>
+      s""",
+         |tot$k AS (
+         |  SELECT v.comm, SUM(d.deg) AS tot
+         |  FROM lab${k - 1} v JOIN degc d ON d.node = v.node GROUP BY 1),
+         |kv$k AS (
+         |  SELECT nb.node, p.comm AS cand, COUNT(*) AS k
+         |  FROM nb JOIN lab${k - 1} p ON p.node = nb.nbr GROUP BY 1, 2),
+         |sc$k AS (
+         |  SELECT v.node, kv.cand,
+         |    (SELECT m2 FROM m2) * kv.k
+         |      - d.deg * (t.tot - CASE WHEN kv.cand = v.comm
+         |                              THEN d.deg ELSE 0 END) AS score
+         |  FROM lab${k - 1} v
+         |    JOIN degc d ON d.node = v.node
+         |    JOIN kv$k kv ON kv.node = v.node
+         |    JOIN tot$k t ON t.comm = kv.cand),
+         |stay$k AS (
+         |  SELECT v.node,
+         |    (SELECT m2 FROM m2) * COALESCE(kc.k, 0)
+         |      - d.deg * (t.tot - d.deg) AS stay
+         |  FROM lab${k - 1} v
+         |    JOIN degc d ON d.node = v.node
+         |    JOIN tot$k t ON t.comm = v.comm
+         |    LEFT JOIN kv$k kc ON kc.node = v.node AND kc.cand = v.comm),
+         |win$k AS (
+         |  SELECT node, cand, score FROM (
+         |    SELECT node, cand, score,
+         |      ROW_NUMBER() OVER (PARTITION BY node
+         |        ORDER BY score DESC, cand) AS r
+         |    FROM sc$k) WHERE r = 1),
+         |want$k AS MATERIALIZED (
+         |  SELECT node, cand, CAST($h48Sql AS BIGINT) AS h FROM (
+         |    SELECT w.node, w.cand, md5(w.node) AS m
+         |    FROM win$k w JOIN stay$k s ON s.node = w.node
+         |    WHERE w.score > s.stay)),
+         |blk$k AS (
+         |  SELECT DISTINCT a.node
+         |  FROM nb JOIN want$k a ON a.node = nb.node
+         |    JOIN want$k b ON b.node = nb.nbr
+         |  WHERE b.h < a.h OR (b.h = a.h AND nb.nbr < nb.node)),
+         |lab$k AS MATERIALIZED (
+         |  SELECT v.node,
+         |    CASE WHEN w.node IS NOT NULL AND blk.node IS NULL
+         |         THEN w.cand ELSE v.comm END AS comm
+         |  FROM lab${k - 1} v
+         |    LEFT JOIN want$k w ON w.node = v.node
+         |    LEFT JOIN blk$k blk ON blk.node = v.node)""".stripMargin
+    }.mkString
+    val tail =
+      s""",
+         |totq AS (SELECT v.comm, SUM(d.deg) AS tot
+         |  FROM lab$rounds v JOIN degc d ON d.node = v.node GROUP BY 1),
+         |inq AS (SELECT p1.comm, COUNT(*) AS inc
+         |  FROM nb JOIN lab$rounds p1 ON p1.node = nb.node
+         |    JOIN lab$rounds p2 ON p2.node = nb.nbr
+         |  WHERE p2.comm = p1.comm GROUP BY 1),
+         |qn AS (SELECT SUM((SELECT m2 FROM m2) * COALESCE(i.inc, 0)
+         |    - t.tot * t.tot) AS qnum
+         |  FROM totq t LEFT JOIN inq i ON i.comm = t.comm)
+         |SELECT v.node, v.comm AS community,
+         |  CAST(COUNT(*) OVER (PARTITION BY v.comm) AS BIGINT)
+         |    AS community_size,
+         |  CAST(CAST((SELECT qnum FROM qn) AS VARCHAR) AS DOUBLE)
+         |    / (CAST((SELECT m2 FROM m2) AS DOUBLE)
+         |       * CAST((SELECT m2 FROM m2) AS DOUBLE)) AS q_modularity
+         |FROM lab$rounds v ORDER BY v.node""".stripMargin
+    head + roundCtes + tail
+  }
+
   /** The q144/q145/q150 planted source host (lowercase by construction). */
   private def host97 = concat(lit("h"), (col("doc_id") % 97).cast("string"),
     lit(".example.org"))
@@ -7940,6 +8033,37 @@ object TrainingQueries {
              |  CAST(CAST(SUM(COALESCE(CAST(value AS DECIMAL(18,6)),
              |      CAST(0 AS DECIMAL(18,6)))) AS VARCHAR) AS DOUBLE)
              |    AS sum_value
-             |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Louvain-style modularity communities + exact modularity
+    // (WebGraph.louvainCommunities / modularity — Blondel et al. 2008
+    // phase-1 local moving, synchronized with Jones–Plassmann-style
+    // independent-set move scheduling so two adjacent nodes never swap;
+    // Newman–Girvan Q as one integer numerator over the VARCHAR
+    // bridge): communities of the planted host link graph after 4 exact
+    // integer-arithmetic rounds, with the final partition's modularity
+    // repeated on every row. The oracle replays all 4 rounds (gain
+    // scores, h48 priorities, blocking, tie-breaks) CTE by CTE.
+    QuerySpec(
+      "q234_louvain_communities",
+      (s, dir) => {
+        val pages = Tables.documents(s, dir).select(
+          host97.as("src_host"), htmlFixture.as("html"))
+        // extract-once: the link graph feeds both the community rounds
+        // and the modularity read
+        val edges = Html.linkGraph(pages, "src_host", "html")
+          .localCheckpoint(true)
+        val lab = graft.ops.WebGraph.louvainCommunities(
+          edges, "src_host", "dst_host", rounds = 4)
+        val q = graft.ops.WebGraph.modularity(edges, "src_host",
+            "dst_host", lab, "node", "community")
+          .select(col("q_modularity"))
+        lab.withColumn("community_size",
+            count(lit(1)).over(Window.partitionBy(col("community"))))
+          .crossJoin(broadcast(q)) // one-row modularity scalar
+          .orderBy("node")
+      },
+      Some(louvainOracle(4)))
   )
 }

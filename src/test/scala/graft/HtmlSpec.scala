@@ -343,6 +343,56 @@ class HtmlSpec extends AnyFunSuite {
       "k above the max in-core degree must empty the core")
   }
 
+  test("modularity: hand values on two bridged triangles; singletons negative") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("d", "e"),
+      ("d", "f"), ("e", "f"), ("c", "d")).toDF("s", "d")
+    // two-triangle partition: Q = 2*(6/14 - (7/14)^2) = 5/14
+    val lab2 = Seq(("a", "t1"), ("b", "t1"), ("c", "t1"),
+      ("d", "t2"), ("e", "t2"), ("f", "t2")).toDF("n", "c")
+    val q2 = WebGraph.modularity(edges, "s", "d", lab2, "n", "c").head()
+    assert(q2.getLong(0) == 6L && q2.getDouble(1) == 7.0)
+    assert(q2.getDouble(2) == 5.0 / 14.0, s"Q=${q2.getDouble(2)}")
+    // all singletons: Q = -sum(deg^2)/(2m)^2 = -34/196
+    val lab1 = Seq("a", "b", "c", "d", "e", "f").toDF("n")
+      .withColumn("c", col("n"))
+    val q1 = WebGraph.modularity(edges, "s", "d", lab1, "n", "c").head()
+    assert(q1.getDouble(2) == -34.0 / 196.0, s"Q=${q1.getDouble(2)}")
+  }
+
+  test("louvainCommunities: recovers bridged triangles and cliques at the exact optimum; layout/dup invariant") {
+    import spark.implicits._
+    // two triangles joined by one bridge; dup + reversed edges and a
+    // self-loop must not perturb any degree
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("d", "e"),
+      ("d", "f"), ("e", "f"), ("c", "d"), ("b", "a"), ("a", "b"),
+      ("f", "f")).toDF("s", "d")
+    val lab = WebGraph.louvainCommunities(edges, "s", "d", rounds = 6)
+    val m = lab.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(Set("a", "b", "c").map(m).size == 1 &&
+      Set("d", "e", "f").map(m).size == 1 && m("a") != m("d"),
+      s"must recover the two triangles: $m")
+    val q = WebGraph.modularity(edges, "s", "d", lab, "node", "community")
+      .head().getDouble(2)
+    assert(q == 5.0 / 14.0, s"optimal two-triangle Q, got $q")
+    // the synchronous rule is a pure function of the labeling: identical
+    // result on any partition layout
+    val m2 = WebGraph.louvainCommunities(edges.repartition(13), "s", "d",
+      rounds = 6).collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m2 == m, "layout must not change the communities")
+    // two K4s with one bridge: each clique one community
+    val k4a = for { s <- Seq("p", "q", "r", "s"); t <- Seq("p", "q", "r", "s")
+      if s < t } yield (s, t)
+    val k4b = for { s <- Seq("w", "x", "y", "z"); t <- Seq("w", "x", "y", "z")
+      if s < t } yield (s, t)
+    val lab4 = WebGraph.louvainCommunities(
+      (k4a ++ k4b :+ ("s" -> "w")).toDF("s", "d"), "s", "d", rounds = 6)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(Set("p", "q", "r", "s").map(lab4).size == 1 &&
+      Set("w", "x", "y", "z").map(lab4).size == 1 &&
+      lab4("p") != lab4("w"), s"K4 pair: $lab4")
+  }
+
   /** Driver-side seeded-PageRank recurrence mirror for exact compare. */
   private def refPpr(edges: Seq[(String, String)], seeds: Set[String],
                      iters: Int): Map[String, Long] = {
