@@ -585,4 +585,126 @@ object Profile {
         (lit(critC) * sqrt(lit((nA + nB).toDouble) / denD)).as("d_crit"))
       .withColumn("reject_same_dist", col("ks_d") > col("d_crit"))
   }
+
+  /** Fleiss' kappa multi-rater agreement (Fleiss, Psychol. Bull. 1971)
+    * over a LONG (item, rating) frame — the n-rater generalization of
+    * [[cohenKappa]] and the standard QA gate when ≥3 annotators label
+    * the same items (RLHF preference labels, quality tiers):
+    * κ = (P̄_o − P̄_e)/(1 − P̄_e) with
+    * P̄_o = (Σ_i Σ_k n_ik² − N·n)/(N·n·(n−1)) and
+    * P̄_e = Σ_k (Σ_i n_ik)²/(N·n)².
+    *
+    * Fleiss assumes a CONSTANT rater count per item; a ragged frame
+    * fails loudly (the check is one aggregation over the skinny
+    * per-item plane — two longs to the driver), as does n=1 (agreement
+    * is undefined with one rater).
+    *
+    * Scale shape: everything reduces through the (item, category) count
+    * plane — one corpus aggregation (map-side combined), scanned once
+    * via localCheckpoint for the per-item and per-category reductions.
+    * Both quadratic sums ride DECIMAL(38,0) (Σn_ik² can pass 2^63 when
+    * N·n² does) and exit over the VARCHAR→DOUBLE bridge; P̄_o, P̄_e and
+    * κ are then a fixed sequence of IEEE divisions any engine replays
+    * bit-exactly. Output is one row.
+    *
+    * → one row (n_items, n_raters, n_categories, po, pe, kappa);
+    *   kappa NULL when P̄_e = 1 (a single category — vacuous agreement).
+    */
+  def fleissKappa(df: DataFrame, itemCol: String,
+                  labelCol: String): DataFrame = {
+    val nik = df
+      .select(col(itemCol).cast("string").as("__i"),
+        col(labelCol).cast("string").as("__k"))
+      .filter(col("__i").isNotNull && col("__k").isNotNull)
+      .groupBy("__i", "__k").agg(count(lit(1)).as("__n"))
+      .localCheckpoint() // shared skinny plane: scan the corpus ONCE
+    val perItem = nik.groupBy("__i").agg(
+      sum(col("__n")).as("__ni"),
+      sum(col("__n").cast("decimal(38,0)") * col("__n")).as("__si"))
+    // constant-rater-count contract: bounded driver check (2 longs)
+    val shape = perItem.agg(min(col("__ni")).as("mn"),
+      max(col("__ni")).as("mx")).head()
+    val (mn, mx) = (shape.getLong(0), shape.getLong(1))
+    require(mn == mx, s"fleissKappa requires a constant rater count per " +
+      s"item; found between $mn and $mx ratings — complete or drop " +
+      "partially-rated items first")
+    require(mn >= 2, s"fleissKappa needs >= 2 raters per item (found $mn)")
+    val n = mn
+    val totals = perItem.agg(count(lit(1)).as("__N"),
+      sum(col("__si")).as("__S"))
+    val peNum = nik.groupBy("__k").agg(sum(col("__n")).as("__ck"))
+      .agg(sum(col("__ck").cast("decimal(38,0)") * col("__ck"))
+        .as("__pe_num"), count(lit(1)).as("__K"))
+    totals.crossJoin(peNum) // two 1-row frames
+      .select(col("__N").as("n_items"), lit(n).as("n_raters"),
+        col("__K").as("n_categories"),
+        ((col("__S") - col("__N").cast("decimal(38,0)") * lit(n))
+          .cast("string").cast("double") /
+          (col("__N").cast("double") * lit(n.toDouble) *
+            lit((n - 1).toDouble))).as("po"),
+        (col("__pe_num").cast("string").cast("double") /
+          (col("__N").cast("double") * lit(n.toDouble)) /
+          (col("__N").cast("double") * lit(n.toDouble))).as("pe"))
+      .select(col("n_items"), col("n_raters"), col("n_categories"),
+        col("po"), col("pe"),
+        when(col("pe") < 1.0,
+          (col("po") - col("pe")) / (lit(1.0) - col("pe"))).as("kappa"))
+  }
+
+  /** χ² test of independence + Cramér's V (Cramér 1946) between two
+    * categorical columns — the effect-size companion to
+    * [[mutualInformation]] on the same question ("is language
+    * independent of source?"): χ² = Σ_cells (o − e)²/e over the FULL
+    * K_x×K_y grid (zero cells included — their term is e, skipping
+    * them understates the statistic), V = sqrt(χ²/(N·min(K_x−1,
+    * K_y−1))) ∈ [0,1].
+    *
+    * Determinism: each cell term is (N·o − r_x·c_y)²/(N·r_x·c_y) — a
+    * single IEEE division of exact DECIMAL(38,0) integer products (the
+    * [[ksTwoSample]] cross-multiplication discipline), then summed
+    * order-independently through DECIMAL(28,6) (the [[benfordAudit]]
+    * recipe); sqrt is IEEE correctly-rounded everywhere. No float
+    * accumulates across cells.
+    *
+    * Scale shape: one corpus aggregation to the joint plane
+    * (localCheckpoint — scanned for both marginals); the full grid is
+    * the CROSS of the two marginal frames, bounded by category
+    * cardinality K_x·K_y, never by corpus size. Output is one row.
+    *
+    * → one row (n_items, k_x, k_y, chi2, dof, cramers_v); cramers_v
+    *   NULL when either side has a single category (dof = 0).
+    */
+  def cramersV(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val joint = df
+      .select(col(xCol).cast("string").as("__x"),
+        col(yCol).cast("string").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .groupBy("__x", "__y").agg(count(lit(1)).as("__n"))
+      .localCheckpoint() // shared skinny plane: scan the corpus ONCE
+    val mx = joint.groupBy("__x").agg(sum(col("__n")).as("__rx"))
+    val my = joint.groupBy("__y").agg(sum(col("__n")).as("__cy"))
+    val tot = joint.agg(sum(col("__n")).as("__N0"))
+    // full grid: category-cardinality-bounded cross of the marginals
+    val grid = mx.crossJoin(my)
+      .join(joint, Seq("__x", "__y"), "left")
+      .withColumn("__o", coalesce(col("__n"), lit(0L)))
+      .crossJoin(broadcast(tot))
+    val d38 = "decimal(38,0)"
+    val diff = col("__N0").cast(d38) * col("__o") -
+      col("__rx").cast(d38) * col("__cy")
+    val term = ((diff * diff).cast("string").cast("double") /
+      (col("__N0").cast("double") * col("__rx").cast("double") *
+        col("__cy").cast("double"))).cast("decimal(28,6)")
+    val chi = grid
+      .agg(sum(term).cast("string").cast("double").as("chi2"),
+        countDistinct(col("__x")).as("k_x"),
+        countDistinct(col("__y")).as("k_y"),
+        max(col("__N0")).as("n_items"))
+    chi.select(col("n_items"), col("k_x"), col("k_y"), col("chi2"),
+        ((col("k_x") - 1) * (col("k_y") - 1)).as("dof"),
+        when(least(col("k_x"), col("k_y")) > 1,
+          sqrt(col("chi2") / (col("n_items").cast("double") *
+            (least(col("k_x"), col("k_y")) - 1).cast("double"))))
+          .as("cramers_v"))
+  }
 }

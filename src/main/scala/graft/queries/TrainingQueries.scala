@@ -8064,6 +8064,116 @@ object TrainingQueries {
           .crossJoin(broadcast(q)) // one-row modularity scalar
           .orderBy("node")
       },
-      Some(louvainOracle(4)))
+      Some(louvainOracle(4))),
+
+    // ------------------------------------------------------------------
+    // Fleiss' kappa multi-rater agreement (Profile.fleissKappa — Fleiss
+    // 1971, the n-rater generalization of q194's Cohen kappa and the QA
+    // gate for >=3-annotator labeling): three heuristic "raters" tier
+    // each document (char-length / token-count / stopword-count
+    // terciles) into a LONG (item, rating) frame; κ corrects the mean
+    // pairwise agreement for chance from the pooled category marginals.
+    // Both quadratic sums ride DECIMAL(38,0)/HUGEINT and exit over the
+    // VARCHAR bridge; po/pe/κ are a fixed sequence of IEEE divisions
+    // both engines replay bit-exactly.
+    QuerySpec(
+      "q235_fleiss_kappa",
+      (s, dir) => {
+        val st = graft.functions.ArrayMath.textStats(col("text"))
+        val base = Tables.documents(s, dir).select(col("doc_id"),
+          col("n_chars"), st.getField("n_tokens").as("__nt"),
+          st.getField("n_stop").as("__ns"))
+        def tier(c: org.apache.spark.sql.Column, lo: Int, hi: Int) =
+          when(c < lo, "short").when(c < hi, "mid").otherwise("long")
+        val rated = base.select(col("doc_id"),
+            tier(col("n_chars"), 220, 380).as("label"))
+          .unionByName(base.select(col("doc_id"),
+            tier(col("__nt"), 40, 70).as("label")))
+          .unionByName(base.select(col("doc_id"),
+            tier(col("__ns"), 12, 20).as("label")))
+        graft.ops.Profile.fleissKappa(rated, "doc_id", "label")
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, CASE WHEN n_chars < 220 THEN 'short'
+             |    WHEN n_chars < 380 THEN 'mid' ELSE 'long' END AS k
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT doc_id, CASE WHEN len($toksSql) < 40 THEN 'short'
+             |    WHEN len($toksSql) < 70 THEN 'mid' ELSE 'long' END
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT doc_id,
+             |    CASE WHEN len(list_filter($toksSql,
+             |        x -> lower(x) IN ($stops))) < 12 THEN 'short'
+             |      WHEN len(list_filter($toksSql,
+             |        x -> lower(x) IN ($stops))) < 20 THEN 'mid'
+             |      ELSE 'long' END
+             |  FROM documents),
+             |c AS (SELECT doc_id, k, COUNT(*) AS n FROM t GROUP BY 1, 2),
+             |pi AS (SELECT doc_id, SUM(n) AS ni, SUM(n * n) AS si
+             |       FROM c GROUP BY 1),
+             |tot AS (SELECT COUNT(*) AS N, SUM(si) AS S FROM pi),
+             |ck AS (SELECT k, SUM(n) AS ckn FROM c GROUP BY 1),
+             |pe AS (SELECT SUM(ckn * ckn) AS pe_num, COUNT(*) AS K
+             |       FROM ck),
+             |sel AS (
+             |  SELECT CAST(tot.N AS BIGINT) AS n_items,
+             |    CAST(3 AS BIGINT) AS n_raters,
+             |    CAST(pe.K AS BIGINT) AS n_categories,
+             |    CAST(CAST(S - N * 3 AS VARCHAR) AS DOUBLE)
+             |      / (CAST(N AS DOUBLE) * 3.0 * 2.0) AS po,
+             |    CAST(CAST(pe_num AS VARCHAR) AS DOUBLE)
+             |      / (CAST(N AS DOUBLE) * 3.0)
+             |      / (CAST(N AS DOUBLE) * 3.0) AS pe
+             |  FROM tot, pe)
+             |SELECT n_items, n_raters, n_categories, po, pe,
+             |  CASE WHEN pe < 1.0 THEN (po - pe) / (1.0 - pe) END AS kappa
+             |FROM sel""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // χ² independence + Cramér's V (Profile.cramersV — Cramér 1946; the
+    // effect-size companion to q224's mutual information on the same
+    // "is language independent of source?" mixture audit): the full
+    // K_x×K_y grid including zero cells, each cell term one IEEE
+    // division of exact DECIMAL(38,0)/HUGEINT cross-products, summed
+    // order-independently through DECIMAL(28,6) (the q199 Benford
+    // recipe), sqrt at the end.
+    QuerySpec(
+      "q236_cramers_v",
+      (s, dir) => graft.ops.Profile.cramersV(
+        Tables.documents(s, dir), "lang", "source"),
+      Some("""WITH j AS (
+             |  SELECT lang AS x, source AS y, COUNT(*) AS n
+             |  FROM documents
+             |  WHERE lang IS NOT NULL AND source IS NOT NULL
+             |  GROUP BY 1, 2),
+             |mx AS (SELECT x, SUM(n) AS rx FROM j GROUP BY 1),
+             |my AS (SELECT y, SUM(n) AS cy FROM j GROUP BY 1),
+             |tt AS (SELECT SUM(n) AS nn FROM j),
+             |g AS (
+             |  SELECT mx.x, my.y, rx, cy, COALESCE(j.n, 0) AS o, nn
+             |  FROM mx CROSS JOIN my
+             |  LEFT JOIN j ON j.x = mx.x AND j.y = my.y, tt),
+             |term AS (
+             |  SELECT x, y, nn,
+             |    CAST(CAST((nn*o - rx*cy) * (nn*o - rx*cy) AS VARCHAR)
+             |        AS DOUBLE)
+             |      / (CAST(nn AS DOUBLE) * CAST(rx AS DOUBLE)
+             |        * CAST(cy AS DOUBLE)) AS trm
+             |  FROM g),
+             |agg AS (
+             |  SELECT
+             |    CAST(CAST(SUM(CAST(trm AS DECIMAL(28,6))) AS VARCHAR)
+             |      AS DOUBLE) AS chi2,
+             |    COUNT(DISTINCT x) AS k_x, COUNT(DISTINCT y) AS k_y,
+             |    MAX(nn) AS n_items
+             |  FROM term)
+             |SELECT CAST(n_items AS BIGINT) AS n_items,
+             |  CAST(k_x AS BIGINT) AS k_x, CAST(k_y AS BIGINT) AS k_y,
+             |  chi2, CAST((k_x - 1) * (k_y - 1) AS BIGINT) AS dof,
+             |  CASE WHEN LEAST(k_x, k_y) > 1 THEN
+             |    sqrt(chi2 / (CAST(n_items AS DOUBLE)
+             |      * CAST(LEAST(k_x, k_y) - 1 AS DOUBLE))) END AS cramers_v
+             |FROM agg""".stripMargin))
   )
 }

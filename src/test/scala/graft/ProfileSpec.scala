@@ -278,4 +278,58 @@ class ProfileSpec extends AnyFunSuite {
       Profile.ksTwoSample(Seq(("a", 1)).toDF("g", "v"), "g", "v", "a", "b")
     }
   }
+
+  test("fleissKappa: hand value, NULL exclusion, ragged/single-rater reject, degenerate pe=1") {
+    import spark.implicits._
+    // 4 items x 3 raters, 2 categories:
+    //   i1=AAA i2=AAA i3=AAB i4=BBB -> S=32, Po=20/24, Pe=80/144, k=5/8
+    val rows = Seq(
+      (1, "A"), (1, "A"), (1, "A"), (2, "A"), (2, "A"), (2, "A"),
+      (3, "A"), (3, "A"), (3, "B"), (4, "B"), (4, "B"), (4, "B"))
+    val got = Profile.fleissKappa(rows.toDF("item", "k"), "item", "k").head()
+    assert(got.getLong(0) == 4L && got.getLong(1) == 3L && got.getLong(2) == 2L)
+    assert(math.abs(got.getDouble(3) - 5.0 / 6.0) < 1e-12)
+    assert(math.abs(got.getDouble(4) - 5.0 / 9.0) < 1e-12)
+    assert(math.abs(got.getDouble(5) - 0.625) < 1e-12, s"kappa ${got.getDouble(5)}")
+    // NULL ratings are unlabeled, not a category (and must not make the
+    // frame ragged when every item loses one)
+    val withNull = (rows ++ Seq((1, null), (2, null), (3, null), (4, null)))
+      .toDF("item", "k")
+    assert(Profile.fleissKappa(withNull, "item", "k").head().getLong(0) == 4L)
+    // ragged rater counts and single-rater frames reject loudly
+    intercept[IllegalArgumentException] {
+      Profile.fleissKappa((rows ++ Seq((1, "B"))).toDF("item", "k"),
+        "item", "k").head()
+    }
+    intercept[IllegalArgumentException] {
+      Profile.fleissKappa(Seq((1, "A"), (2, "A")).toDF("item", "k"),
+        "item", "k").head()
+    }
+    // one category everywhere: pe = 1, kappa undefined (NULL)
+    val degen = Profile.fleissKappa(
+      Seq((1, "A"), (1, "A"), (2, "A"), (2, "A")).toDF("item", "k"),
+      "item", "k").head()
+    assert(degen.getDouble(4) == 1.0 && degen.isNullAt(5))
+  }
+
+  test("cramersV: perfect association V=1, independence V=0, zero cells counted, degenerate single category") {
+    import spark.implicits._
+    // x == y on a 30/70 split: chi2 = N = 100 exactly, V = 1
+    val assoc = (Seq.fill(30)(("a", "a")) ++ Seq.fill(70)(("b", "b")))
+      .toDF("x", "y")
+    val r = Profile.cramersV(assoc, "x", "y").head()
+    assert(r.getLong(0) == 100L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 100.0, s"chi2 ${r.getDouble(3)}")
+    assert(r.getLong(4) == 1L && r.getDouble(5) == 1.0)
+    // uniform 2x2: chi2 = 0, V = 0
+    val indep = (Seq.fill(25)(("a", "a")) ++ Seq.fill(25)(("a", "b")) ++
+      Seq.fill(25)(("b", "a")) ++ Seq.fill(25)(("b", "b"))).toDF("x", "y")
+    val r2 = Profile.cramersV(indep, "x", "y").head()
+    assert(r2.getDouble(3) == 0.0 && r2.getDouble(5) == 0.0)
+    // single category on one side: dof 0, V NULL; NULLs excluded
+    val degen = (Seq.fill(5)(("a", "a")) ++ Seq.fill(5)(("b", "a")) ++
+      Seq[(String, String)](("a", null))).toDF("x", "y")
+    val r3 = Profile.cramersV(degen, "x", "y").head()
+    assert(r3.getLong(0) == 10L && r3.getLong(4) == 0L && r3.isNullAt(5))
+  }
 }
