@@ -1139,4 +1139,83 @@ object EventOps {
       .join(spine, Seq("day")) // clip boundary days past the last activity
       .select(col("day"), col(outCol))
   }
+
+  /** Classical additive seasonal decomposition of the daily event-count
+    * series (the moving-average method behind STL's outer loop;
+    * Macaulay 1931, Cleveland et al. 1990 §1): value = trend + seasonal
+    * + remainder, with trend the centered `period`-day moving average,
+    * seasonal the per-period-position mean of the detrended series, and
+    * remainder the leftover — the standard "is Sunday low or is usage
+    * dropping?" disentangling pass before trend/anomaly readouts
+    * ([[dailyTrend]], [[cusumChangePoint]]) on weekly-cyclic products.
+    *
+    * Exactness: daily counts are integers on the zero-filled day spine;
+    * the trend window sum S_t stays an exact integer, so trend = S_t/p,
+    * seasonal_k = Σ(p·v_t − S_t)/(p·cnt_k) are each ONE IEEE division
+    * of exact integers, and remainder = (v − trend) − seasonal is the
+    * same fixed left-associated IEEE sequence in any engine. No float
+    * ever accumulates. The seasonal means are raw (uncentered) — the
+    * identity v = trend+seasonal+remainder then holds EXACTLY on every
+    * interior day, which a float-centered variant cannot promise.
+    * Period positions are epoch-day mod p (p=7 ⇒ a fixed weekday
+    * mapping), engine-identical integer arithmetic.
+    *
+    * Trend (hence seasonal/remainder) is NULL on the (p−1)/2 edge days
+    * where the centered window is incomplete — classical decomposition
+    * does not extrapolate.
+    *
+    * Scale shape: one aggregation to the day plane; the windows run on
+    * the calendar spine (days-in-range-bounded, [[rollingDistinctUsers]]
+    * discipline) and the seasonal means on the p-row position plane.
+    *
+    * → (day, pos, value, trend, seasonal, remainder), one row per
+    *   spine day, ordered by day.
+    */
+  def seasonalDecompose(events: DataFrame, tsCol: String,
+                        period: Int = 7): DataFrame = {
+    require(period >= 3 && period % 2 == 1 && period <= 400,
+      s"period must be odd and in [3,400], got $period")
+    val h = (period - 1) / 2
+    val daily = events
+      .select(to_date(col(tsCol)).as("day"))
+      .filter(col("day").isNotNull)
+      .groupBy("day").agg(count(lit(1)).as("__n"))
+    val spine = daily
+      .agg(min(col("day")).as("__lo"), max(col("day")).as("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("day"))
+    val z = spine.join(daily, Seq("day"), "left")
+      .select(col("day"),
+        datediff(col("day"), lit("1970-01-01")).cast("long").as("__x"),
+        coalesce(col("__n"), lit(0L)).as("value"))
+    // calendar-day plane: single-partition window bounded by days-in-range
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(graft.functions.ArrayMath.boundedKey(z))
+      .orderBy(col("__x")).rangeBetween(-h, h)
+    val t = z
+      .withColumn("__s", sum(col("value")).over(wd))
+      .withColumn("__w", count(lit(1)).over(wd))
+      .withColumn("pos", pmod(col("__x"), lit(period.toLong)))
+      // p·v − S: the detrended value as an exact integer numerator over p
+      .withColumn("__dnum",
+        when(col("__w") === period,
+          col("value") * period - col("__s")))
+    val seas = t.filter(col("__dnum").isNotNull)
+      .groupBy("pos")
+      .agg(sum(col("__dnum")).as("__snum"), count(lit(1)).as("__scnt"))
+      .withColumn("seasonal",
+        col("__snum").cast("double") /
+          (col("__scnt").cast("double") * lit(period.toDouble)))
+      .select(col("pos"), col("seasonal"))
+    t.join(broadcast(seas), Seq("pos"), "left") // p-row position plane
+      .withColumn("trend",
+        when(col("__w") === period,
+          col("__s").cast("double") / lit(period.toDouble)))
+      .select(col("day"), col("pos"), col("value"),
+        col("trend"),
+        when(col("trend").isNotNull, col("seasonal")).as("seasonal"),
+        when(col("trend").isNotNull,
+          (col("value").cast("double") - col("trend")) - col("seasonal"))
+          .as("remainder"))
+      .orderBy("day")
+  }
 }

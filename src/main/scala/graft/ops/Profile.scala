@@ -586,6 +586,43 @@ object Profile {
       .withColumn("reject_same_dist", col("ks_d") > col("d_crit"))
   }
 
+  /** Winsorization (Tukey's robust-statistics clamp; Dixon & Tukey
+    * 1968): values below the pLo quantile or above the pHi quantile are
+    * clamped to those EXACT order-statistic bounds — the standard
+    * outlier-taming transform before means/regressions on heavy-tailed
+    * columns (doc lengths, prices, latencies), preferable to trimming
+    * when row counts must be preserved.
+    *
+    * The bounds are [[graft.ops.ScaleOps.exactQuantiles]] order
+    * statistics (value at 0-based rank floor(q·(n−1)) — actual data
+    * values, no interpolation), so the clamp replays bit-exactly in any
+    * engine. NULL values stay NULL; when the column is empty the input
+    * passes through unclamped.
+    *
+    * Scale shape: the quantile pass is the rankBuckets range-partition
+    * recipe (|qs|=2 values to the driver); the clamp itself is one
+    * broadcast of a 1-row bounds frame — no shuffle of the data.
+    *
+    * → input columns + `<valueCol>_wins` (the clamped value).
+    */
+  def winsorize(df: DataFrame, valueCol: String, pLo: Double = 0.01,
+                pHi: Double = 0.99, numPartitions: Int = 32): DataFrame = {
+    require(pLo >= 0.0 && pLo < pHi && pHi <= 1.0,
+      s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val qs = ScaleOps.exactQuantiles(
+      df.select(col(valueCol)), valueCol, Seq(pLo, pHi), numPartitions)
+    val bounds = qs.agg(
+      min(when(col("q") === pLo, col("value"))).as("__lo"),
+      max(when(col("q") === pHi, col("value"))).as("__hi"))
+    val v = col(valueCol)
+    df.crossJoin(broadcast(bounds)) // 1-row bounds frame
+      .withColumn(s"${valueCol}_wins",
+        when(v.isNull, lit(null))
+          .otherwise(coalesce(least(greatest(v, col("__lo")), col("__hi")),
+            v)))
+      .drop("__lo", "__hi")
+  }
+
   /** Fleiss' kappa multi-rater agreement (Fleiss, Psychol. Bull. 1971)
     * over a LONG (item, rating) frame — the n-rater generalization of
     * [[cohenKappa]] and the standard QA gate when ≥3 annotators label

@@ -8174,6 +8174,102 @@ object TrainingQueries {
              |  CASE WHEN LEAST(k_x, k_y) > 1 THEN
              |    sqrt(chi2 / (CAST(n_items AS DOUBLE)
              |      * CAST(LEAST(k_x, k_y) - 1 AS DOUBLE))) END AS cramers_v
-             |FROM agg""".stripMargin))
+             |FROM agg""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Winsorization (Profile.winsorize — Dixon & Tukey 1968): the
+    // heavy-tail clamp at the exact [p01, p99] order statistics (q172's
+    // rank recipe — actual data values, no interpolation), read out as
+    // before/after extremes and DECIMAL-routed sums so the whole clamp
+    // hash-matches. The bounds pass ships two values to the driver; the
+    // clamp is a 1-row broadcast — the data never reshuffles.
+    QuerySpec(
+      "q237_winsorize",
+      (s, dir) => {
+        val w = graft.ops.Profile.winsorize(
+          Tables.lineitem(s, dir).select(col("l_extendedprice")),
+          "l_extendedprice", 0.01, 0.99, numPartitions = 8)
+        w.agg(count(col("l_extendedprice")).as("n_values"),
+          min(col("l_extendedprice")).as("raw_min"),
+          max(col("l_extendedprice")).as("raw_max"),
+          min(col("l_extendedprice_wins")).as("wins_min"),
+          max(col("l_extendedprice_wins")).as("wins_max"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("raw_sum"),
+          sum(col("l_extendedprice_wins").cast("decimal(18,2)"))
+            .cast("double").as("wins_sum"))
+      },
+      Some("""WITH s AS (
+             |  SELECT l_extendedprice AS v FROM lineitem
+             |  WHERE l_extendedprice IS NOT NULL),
+             |nn AS (SELECT COUNT(*) AS n FROM s),
+             |r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS rk
+             |      FROM s),
+             |b AS (SELECT
+             |    MAX(CASE WHEN rk = CAST(FLOOR(0.01 * (n - 1)) AS BIGINT)
+             |      THEN v END) AS lo,
+             |    MAX(CASE WHEN rk = CAST(FLOOR(0.99 * (n - 1)) AS BIGINT)
+             |      THEN v END) AS hi
+             |  FROM r, nn),
+             |w AS (SELECT v, LEAST(GREATEST(v, lo), hi) AS wv FROM s, b)
+             |SELECT CAST(COUNT(v) AS BIGINT) AS n_values,
+             |  MIN(v) AS raw_min, MAX(v) AS raw_max,
+             |  MIN(wv) AS wins_min, MAX(wv) AS wins_max,
+             |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS raw_sum,
+             |  CAST(SUM(CAST(wv AS DECIMAL(18,2))) AS DOUBLE) AS wins_sum
+             |FROM w""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Classical additive seasonal decomposition (EventOps.
+    // seasonalDecompose — Macaulay 1931 / the STL outer-loop recipe):
+    // daily event counts split into centered-7-day-MA trend, raw
+    // per-weekday seasonal means of the detrended series, and the
+    // remainder. Every component is one IEEE division of exact
+    // integers (trend = S/7, seasonal = Σ(7v−S)/(7·cnt)), so v =
+    // trend+seasonal+remainder holds exactly on interior days and the
+    // whole decomposition hash-matches. Windows run on the
+    // days-in-range-bounded calendar spine.
+    QuerySpec(
+      "q238_seasonal_decompose",
+      (s, dir) => graft.ops.EventOps.seasonalDecompose(
+        Tables.events(s, dir), "ts", period = 7),
+      Some("""WITH dd AS (
+             |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+             |  FROM events GROUP BY 1),
+             |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM dd),
+             |days AS (
+             |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+             |    AS DATE) AS day FROM b),
+             |z AS (
+             |  SELECT days.day,
+             |    CAST(days.day - DATE '1970-01-01' AS BIGINT) AS x,
+             |    CAST(COALESCE(dd.n, 0) AS BIGINT) AS v
+             |  FROM days LEFT JOIN dd ON dd.day = days.day),
+             |w AS (
+             |  SELECT day, x, v,
+             |    CAST(SUM(v) OVER win AS BIGINT) AS s,
+             |    COUNT(*) OVER win AS cnt,
+             |    x % 7 AS pos
+             |  FROM z
+             |  WINDOW win AS (ORDER BY x
+             |    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+             |d AS (SELECT *, CASE WHEN cnt = 7 THEN v * 7 - s END AS dnum
+             |      FROM w),
+             |se AS (
+             |  SELECT pos, CAST(SUM(dnum) AS BIGINT) AS snum,
+             |    COUNT(dnum) AS scnt
+             |  FROM d WHERE dnum IS NOT NULL GROUP BY pos),
+             |se2 AS (
+             |  SELECT pos, CAST(snum AS DOUBLE)
+             |    / (CAST(scnt AS DOUBLE) * 7.0) AS seasonal
+             |  FROM se)
+             |SELECT d.day, CAST(d.pos AS BIGINT) AS pos, d.v AS value,
+             |  CASE WHEN cnt = 7 THEN CAST(s AS DOUBLE) / 7.0 END AS trend,
+             |  CASE WHEN cnt = 7 THEN seasonal END AS seasonal,
+             |  CASE WHEN cnt = 7 THEN
+             |    (CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / 7.0) - seasonal
+             |  END AS remainder
+             |FROM d LEFT JOIN se2 USING (pos)
+             |ORDER BY day""".stripMargin))
   )
 }

@@ -503,4 +503,48 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("a", "b", 1L, 1.0), ("b", "c", 1L, 1.0)),
       s"same-us events must order by the tiebreak: ${got.toSeq}")
   }
+
+  test("seasonalDecompose: pure weekly pattern decomposes exactly; edges NULL; gap days zero-fill") {
+    import spark.implicits._
+    // 21 days starting at epoch day 18900 (≡ 0 mod 7); v_t = (t mod 7) + 1
+    // events per day → trend = 4 exactly on interior days, seasonal =
+    // pos − 3, remainder = 0 EXACTLY (the decomposition identity).
+    val rows = for {
+      t <- 0 until 21
+      k <- 0 until (t % 7) + 1
+    } yield (java.time.LocalDate.ofEpochDay(18900L + t).toString +
+      s" 0$k:30:00")
+    val ev = rows.toDF("s")
+      .select(to_timestamp(col("s")).as("ts"))
+    val got = graft.ops.EventOps.seasonalDecompose(ev, "ts", period = 7)
+      .collect()
+    assert(got.length == 21)
+    got.foreach { r =>
+      val day = r.getDate(0).toLocalDate
+      val t = (day.toEpochDay - 18900L).toInt
+      assert(r.getLong(1) == t % 7, s"pos at $day")
+      assert(r.getLong(2) == (t % 7) + 1, s"value at $day")
+      if (t < 3 || t > 17) {
+        assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5),
+          s"edge day $day must have NULL components")
+      } else {
+        assert(r.getDouble(3) == 4.0, s"trend at $day: ${r.getDouble(3)}")
+        assert(r.getDouble(4) == (t % 7 - 3).toDouble, s"seasonal at $day")
+        assert(r.getDouble(5) == 0.0, s"remainder at $day must be EXACT 0")
+      }
+    }
+    // a silent day inside the range zero-fills instead of vanishing:
+    // single event on day 0 and day 14 → 15 spine days, day 7 value 0
+    val sparse = Seq(
+      java.time.LocalDate.ofEpochDay(18900L).toString + " 01:00:00",
+      java.time.LocalDate.ofEpochDay(18914L).toString + " 01:00:00")
+      .toDF("s").select(to_timestamp(col("s")).as("ts"))
+    val sp = graft.ops.EventOps.seasonalDecompose(sparse, "ts", period = 7)
+      .collect()
+    assert(sp.length == 15)
+    assert(sp(7).getLong(2) == 0L, "gap day must zero-fill")
+    intercept[IllegalArgumentException] {
+      graft.ops.EventOps.seasonalDecompose(sparse, "ts", period = 6)
+    }
+  }
 }

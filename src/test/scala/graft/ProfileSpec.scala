@@ -279,6 +279,30 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("winsorize: clamps at exact order statistics, preserves NULLs and row count, empty passthrough") {
+    import spark.implicits._
+    // 1..100: rank floor(0.1·99)=9 → lo=10; rank floor(0.9·99)=89 → hi=90
+    val df = ((1 to 100).map(i => Some(i.toDouble)) ++ Seq(None))
+      .toDF("v")
+    val w = Profile.winsorize(df, "v", 0.1, 0.9, numPartitions = 4)
+    assert(w.count() == 101)
+    val agg = w.agg(min(col("v_wins")), max(col("v_wins")),
+      sum(when(col("v_wins").isNull, 1).otherwise(0)),
+      sum(when(col("v_wins") === col("v"), 1).otherwise(0))).head()
+    assert(agg.getDouble(0) == 10.0 && agg.getDouble(1) == 90.0)
+    assert(agg.getLong(2) == 1L, "NULL stays NULL")
+    assert(agg.getLong(3) == 81L, "values in [10,90] pass through")
+    // empty column: passthrough, no NULL-clamp poisoning
+    val empty = Seq.empty[Option[Double]].toDF("v")
+    assert(Profile.winsorize(empty, "v").count() == 0)
+    val allNull = Seq[Option[Double]](None, None).toDF("v")
+    assert(Profile.winsorize(allNull, "v").filter(col("v_wins").isNull)
+      .count() == 2)
+    intercept[IllegalArgumentException] {
+      Profile.winsorize(df, "v", 0.9, 0.1)
+    }
+  }
+
   test("fleissKappa: hand value, NULL exclusion, ragged/single-rater reject, degenerate pe=1") {
     import spark.implicits._
     // 4 items x 3 raters, 2 categories:
