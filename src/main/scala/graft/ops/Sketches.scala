@@ -285,4 +285,110 @@ object Sketches {
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  // ------------------------------------------------------------------
+  // HyperLogLog (Flajolet et al. AofA'07) — the industry-standard
+  // register sketch, completing the distinct-count family next to KMV:
+  // fixed 2^p registers per group regardless of cardinality (vs KMV's
+  // k hash rows), mergeable by register-wise MAX, standard error
+  // 1.04/sqrt(2^p). Same determinism contract as the rest of this
+  // file: md5-derived 48-bit hash, no seed, no implementation-defined
+  // layout — the registers AND the estimate replay bit-for-bit in any
+  // engine with md5 (unlike Spark's built-in HLL++ whose register
+  // encoding is private), which is what makes the sketch a cross-
+  // engine data contract.
+
+  /** Registers of a HyperLogLog sketch per group: bucket = top p bits
+    * of the 48-bit hash, rho = position of the leftmost 1-bit in the
+    * remaining 48−p bits (1-based; 48−p+1 when all zero), register =
+    * MAX(rho) per bucket. Only HIT buckets get a row (sparse — a
+    * low-cardinality group costs rows ∝ its cardinality, never 2^p);
+    * absent buckets are implicitly 0. Order-independent and
+    * layout-invariant by construction (MAX commutes).
+    *
+    * p ∈ [7,14] so the single standard bias constant
+    * α_m = 0.7213/(1 + 1.079/m) applies (Flajolet §4 gives separate
+    * constants only below m=128).
+    *
+    * → (groupCols…, bucket, rho_max)
+    */
+  def hllSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                p: Int = 9): DataFrame = {
+    require(p >= 7 && p <= 14, s"HLL needs p in [7,14], got $p")
+    val wBits = 48 - p
+    val mask = (1L << wBits) - 1L
+    val d = df
+      .select((groupCols.map(col) :+ col(valueCol)): _*)
+      .filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+
+        h48(col(valueCol).cast("string")).as("__h"): _*)
+      .withColumn("bucket", shiftright(col("__h"), wBits))
+      .withColumn("__w", col("__h").bitwiseAND(lit(mask)))
+      // leftmost-1 position via the bin() length — exact integer
+      // arithmetic, no float log2 boundary (both engines render bin()
+      // without leading zeros)
+      .withColumn("__rho",
+        when(col("__w") === 0L, lit((wBits + 1).toLong))
+          .otherwise(lit((wBits + 1).toLong) - length(bin(col("__w")))))
+    d.groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(max(col("__rho")).as("rho_max"))
+  }
+
+  /** Exact merge of [[hllSketch]]es: union, register-wise MAX — the
+    * sketch of the union (MAX is associative/commutative/idempotent,
+    * so per-partition / per-day sketches roll up bit-identically to a
+    * direct build, the [[kmvSketch]] mergeability contract).
+    */
+  def hllMerge(groupCols: Seq[String], sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "hllMerge needs at least one sketch")
+    sketches.reduce(_ unionByName _)
+      .groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(max(col("rho_max")).as("rho_max"))
+  }
+
+  /** Cardinality estimate per group off a [[hllSketch]]: the harmonic
+    * mean of the register powers, E = α_m·m²/Σ_j 2^(−M_j), with
+    * Flajolet's small-range linear-counting correction m·ln(m/V) when
+    * E ≤ 2.5m and V (= empty registers) > 0. (The large-range
+    * correction kicks in past 2^48/30 ≈ 9·10^12 distincts — beyond the
+    * 48-bit hash contract; not implemented.)
+    *
+    * Determinism: Σ 2^(−M_j) is computed as the EXACT integer
+    * Σ 2^(R−M_j) with R = 48−p+1 (≤ 2^p·2^R < 2^56 — no overflow, no
+    * float accumulation; absent registers contribute 2^R each), then
+    * the estimate is a fixed IEEE sequence over exact inputs; the ln
+    * of the linear-counting branch routes through DECIMAL(18,12) (the
+    * mutualInformation recipe).
+    *
+    * → (groupCols…, n_registers_hit, estimate)
+    */
+  def hllEstimate(sketch: DataFrame, groupCols: Seq[String],
+                  p: Int = 9): DataFrame = {
+    require(p >= 7 && p <= 14, s"HLL needs p in [7,14], got $p")
+    val m = 1L << p
+    val bigR = 48 - p + 1
+    val p2R = math.pow(2.0, bigR.toDouble) // exact power of two
+    val mD = lit(m.toDouble)
+    val agg = sketch
+      .withColumn("__t", expr(s"shiftleft(CAST(1 AS BIGINT), " +
+        s"$bigR - CAST(rho_max AS INT))"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_registers_hit"), sum(col("__t")).as("__s"))
+      // absent registers: rho 0 → 2^R each
+      .withColumn("__sAll",
+        col("__s") + (lit(m) - col("n_registers_hit")) * lit(1L << bigR))
+      .withColumn("__v", lit(m) - col("n_registers_hit"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / mD)
+    val eRaw = alpha * mD * mD * lit(p2R) / col("__sAll").cast("double")
+    agg.select(groupCols.map(col) :+ col("n_registers_hit") :+
+        when(eRaw <= lit(2.5) * mD && col("__v") > 0,
+          (mD * log(mD / col("__v").cast("double")))
+            .cast("decimal(18,12)").cast("double"))
+          .otherwise(eRaw).as("estimate"): _*)
+  }
+
+  /** One-call convenience: HLL sketch then estimate. */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  p: Int = 9): DataFrame =
+    hllEstimate(hllSketch(df, groupCols, valueCol, p), groupCols, p)
 }

@@ -8270,6 +8270,77 @@ object TrainingQueries {
              |    (CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / 7.0) - seasonal
              |  END AS remainder
              |FROM d LEFT JOIN se2 USING (pos)
-             |ORDER BY day""".stripMargin))
+             |ORDER BY day""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // HyperLogLog distinct sketch (Sketches.hllSketch/hllEstimate —
+    // Flajolet et al. 2007; the register sibling of q174's KMV,
+    // completing the sketch family): per-event-type distinct-user
+    // estimate at p=9 (512 registers, ~4.6% standard error), exact
+    // distinct alongside and a ±15% relative-error verdict in-band.
+    // Fully deterministic (md5 h48, top-9-bit bucket, bin()-length
+    // rho), so the oracle replays the REGISTERS and the harmonic-mean
+    // estimate bit-for-bit — Σ2^(R−M_j) stays an exact BIGINT, the
+    // linear-counting ln routes through DECIMAL(18,12).
+    QuerySpec(
+      "q239_hll_distinct",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val est = graft.ops.Sketches.hllDistinct(
+          ev, Seq("event_type"), "user_id", p = 9)
+        val exact = ev.filter(col("user_id").isNotNull)
+          .groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+        est.join(exact, Seq("event_type"))
+          .select(col("event_type"), col("n_registers_hit"),
+            col("estimate"), col("n_exact"),
+            (abs(col("estimate") / col("n_exact").cast("double") -
+              lit(1.0)) <= lit(0.15)).as("within_band"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH d AS (
+             |  SELECT DISTINCT event_type,
+             |    md5(CAST(user_id AS VARCHAR)) AS m
+             |  FROM events WHERE user_id IS NOT NULL),
+             |h AS (SELECT event_type, CAST($h48Sql AS BIGINT) AS h FROM d),
+             |b AS (SELECT event_type, h >> 39 AS bucket,
+             |        h & 549755813887 AS w FROM h),
+             |r AS (SELECT event_type, bucket,
+             |        CASE WHEN w = 0 THEN 40
+             |          ELSE 40 - length(bin(w)) END AS rho
+             |      FROM b),
+             |reg AS (SELECT event_type, bucket, MAX(rho) AS rho_max
+             |        FROM r GROUP BY 1, 2),
+             |ag AS (
+             |  SELECT event_type, COUNT(*) AS hit,
+             |    CAST(SUM(CAST(1 AS BIGINT) << (40 - CAST(rho_max AS INT)))
+             |      AS BIGINT) AS s
+             |  FROM reg GROUP BY 1),
+             |e AS (
+             |  SELECT event_type, hit,
+             |    s + (512 - hit) * (CAST(1 AS BIGINT) << 40) AS sall,
+             |    512 - hit AS v
+             |  FROM ag),
+             |est AS (
+             |  SELECT event_type, CAST(hit AS BIGINT) AS n_registers_hit,
+             |    CASE WHEN (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0
+             |        * 1099511627776.0 / CAST(sall AS DOUBLE)
+             |          <= 2.5 * 512.0 AND v > 0
+             |      THEN CAST(CAST(512.0 * ln(512.0 / CAST(v AS DOUBLE))
+             |        AS DECIMAL(18,12)) AS DOUBLE)
+             |      ELSE (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0
+             |        * 1099511627776.0 / CAST(sall AS DOUBLE)
+             |    END AS estimate
+             |  FROM e),
+             |ex AS (
+             |  SELECT event_type,
+             |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+             |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+             |SELECT est.event_type AS event_type, n_registers_hit,
+             |  estimate, n_exact,
+             |  ABS(estimate / CAST(n_exact AS DOUBLE) - 1.0) <= 0.15
+             |    AS within_band
+             |FROM est JOIN ex ON ex.event_type = est.event_type
+             |ORDER BY est.event_type""".stripMargin))
   )
 }

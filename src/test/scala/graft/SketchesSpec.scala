@@ -165,4 +165,34 @@ class SketchesSpec extends AnyFunSuite {
     val g = Sketches.hdrQuantile(sk.drop("g"), Seq.empty, m, 1L, 2L).head()
     assert(g.getLong(0) == vals.size.toLong)
   }
+
+  test("hll: merge-tree == direct build bit-exact; estimate within the analytic band; duplicates free") {
+    import spark.implicits._
+    val n = 20000
+    val df = (1 to n).map(i => ("g", s"user_$i")).toDF("g", "v")
+    val direct = Sketches.hllSketch(df, Seq("g"), "v", p = 9)
+    // split in thirds, sketch each, merge — must equal direct bit-exactly
+    val parts = (0 until 3).map(j => Sketches.hllSketch(
+      df.filter(col("v").substr(lit(6), lit(9)).cast("int") % 3 === j),
+      Seq("g"), "v", p = 9))
+    val merged = Sketches.hllMerge(Seq("g"), parts: _*)
+    assert(merged.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(merged).count() == 0,
+      "hllMerge must equal the direct build register-for-register")
+    // estimate within ~3 standard errors (1.04/sqrt(512) ≈ 4.6%)
+    val est = Sketches.hllEstimate(direct, Seq("g"), p = 9).head()
+    assert(math.abs(est.getDouble(2) / n - 1.0) < 0.15,
+      s"estimate ${est.getDouble(2)} vs $n")
+    // duplicate rows change nothing (register MAX is idempotent)
+    val dup = Sketches.hllSketch(df.unionAll(df), Seq("g"), "v", p = 9)
+    assert(dup.exceptAll(direct).count() == 0)
+    // small cardinality routes through linear counting and lands close
+    val small = (1 to 40).map(i => ("g", s"u$i")).toDF("g", "v")
+    val se = Sketches.hllDistinct(small, Seq("g"), "v", p = 9).head()
+    assert(math.abs(se.getDouble(2) - 40.0) < 5.0,
+      s"linear-counting estimate ${se.getDouble(2)} vs 40")
+    intercept[IllegalArgumentException] {
+      Sketches.hllSketch(df, Seq("g"), "v", p = 3)
+    }
+  }
 }
