@@ -1218,4 +1218,140 @@ object EventOps {
           .as("remainder"))
       .orderBy("day")
   }
+
+  /** Markov removal-effect attribution (Anderl et al., Int. J. Res.
+    * Marketing 2016 — the data-driven alternative to [[attribution]]'s
+    * first/last-touch heuristics): model user journeys as a first-order
+    * Markov chain over touch types with absorbing CONV/NULL states, and
+    * credit each channel by how much the chain's conversion probability
+    * drops when that channel is removed (its transitions redirected to
+    * NULL): effect_c = 1 − P_removed(c)/P_full, shares normalized over
+    * channels.
+    *
+    * Journey contract: per user, events ordered by (us, tie) up to the
+    * FIRST `convType` event (exclusive — the conversion itself is not a
+    * touch); users with a conversion end in CONV (START→CONV when no
+    * touch precedes it), others end in NULL. Repeat conversions start
+    * no second journey.
+    *
+    * Determinism (the [[graft.ops.WebGraph.pageRank]] discipline):
+    * absorption probabilities come from `iterations` fixed rounds of
+    * value iteration in SCALE-scaled integer arithmetic — x(s) ←
+    * (Σ_s' n(s,s')·x(s')) div n_out(s) with x(CONV)=SCALE, x(NULL)=0 —
+    * products through DECIMAL(38,0)/HUGEINT, so every round replays
+    * bit-exactly as an unrolled CTE. Effects and shares are single IEEE
+    * divisions of the exact scaled integers (effect numerators clamped
+    * at 0 — floor-division noise cannot produce a negative credit).
+    *
+    * Scale shape: one window pass over the (user-partitioned) journey
+    * slice builds the transition counts; everything after runs on the
+    * (channels+1) × transitions plane — bounded by touch-type
+    * cardinality squared (the [[trajectorySurprisal]] bound), never by
+    * corpus size. Each round localCheckpoints (O(1) plan depth); no
+    * driver collects beyond the sentinel-collision guard scalar.
+    *
+    * → (channel, p_conv_full, p_conv_removed, removal_effect,
+    *   attribution_share), one row per channel; removal_effect NULL
+    *   when P_full = 0, share NULL when all effects are 0.
+    */
+  def markovAttribution(events: DataFrame, userCol: String,
+                        typeCol: String, usCol: String, tieCol: String,
+                        convType: String, iterations: Int = 12,
+                        scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1,50], got $iterations")
+    require(convType != null && convType.nonEmpty, "convType required")
+    val Start = "__start__"; val Conv = "__conv__"
+    val Nul = "__null__"; val NoneTag = "__none__"
+    val sentinels = Seq(Start, Conv, Nul, NoneTag)
+    val ev = events
+      .select(col(userCol).cast("string").as("__u"),
+        col(typeCol).cast("string").as("__t"),
+        col(usCol).cast("long").as("__us"),
+        col(tieCol).cast("long").as("__tie"))
+      .filter(col("__u").isNotNull && col("__t").isNotNull &&
+        col("__us").isNotNull)
+    val conv = ev.filter(col("__t") === convType)
+      .groupBy("__u")
+      .agg(min(struct(col("__us"), col("__tie"))).as("__c"))
+    val j = ev.filter(col("__t") =!= convType)
+      .join(conv, Seq("__u"), "left")
+      .filter(col("__c").isNull ||
+        struct(col("__us"), col("__tie")) < col("__c"))
+      .localCheckpoint() // journey slice: feeds windows + channel plane
+    // sentinel-collision guard: one bounded scalar
+    require(j.filter(col("__t").isin(sentinels: _*)).isEmpty,
+      s"touch types may not collide with the sentinels $sentinels")
+    val wu = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__u")).orderBy(col("__us"), col("__tie"))
+    val seq = j.select(col("__u"), col("__t"), col("__c"),
+      row_number().over(wu).as("__rn"),
+      lag(col("__t"), 1).over(wu).as("__prev"),
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__u"))).as("__cnt"))
+    val endState = when(col("__c").isNotNull, lit(Conv)).otherwise(lit(Nul))
+    val trans = seq.filter(col("__rn") === 1)
+      .select(lit(Start).as("src"), col("__t").as("dst"))
+      .unionByName(seq.filter(col("__rn") >= 2)
+        .select(col("__prev").as("src"), col("__t").as("dst")))
+      .unionByName(seq.filter(col("__rn") === col("__cnt"))
+        .select(col("__t").as("src"), endState.as("dst")))
+      .unionByName(conv // converters with no prior touch: START→CONV
+        .join(j.select("__u").distinct(), Seq("__u"), "left_anti")
+        .select(lit(Start).as("src"), lit(Conv).as("dst")))
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    val nout = trans.groupBy("src").agg(sum(col("n")).as("nout"))
+    val channels = j.select(col("__t").as("channel")).distinct()
+    // removal dimension: each channel once, plus the intact chain —
+    // (channels+1) × transitions rows, type-cardinality-bounded
+    val tf = channels.select(col("channel").as("removed"))
+      .unionByName(channels.sparkSession.range(1)
+        .select(lit(NoneTag).as("removed")))
+      .crossJoin(trans)
+      .filter(col("src") =!= col("removed") && col("dst") =!= col("removed"))
+      .join(nout, "src") // denominators stay the FULL chain's n_out:
+      .localCheckpoint() //   mass into the removed channel flows to NULL
+    var x = tf.select(col("removed"), col("src").as("state"))
+      .distinct().withColumn("v", lit(0L)).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val xr = x.select(col("removed").as("__xr"),
+        col("state").as("__xs"), col("v"))
+      x = tf.join(xr, col("removed") === col("__xr") &&
+          col("dst") === col("__xs"), "left")
+        .withColumn("__xv",
+          when(col("dst") === Conv, lit(scale))
+            .when(col("dst") === Nul, lit(0L))
+            .otherwise(coalesce(col("v"), lit(0L))))
+        .groupBy("removed", "src")
+        .agg(sum(col("n").cast("decimal(38,0)") * col("__xv")).as("__num"),
+          max(col("nout")).as("__no"))
+        .select(col("removed"), col("src").as("state"),
+          expr("CAST((__num div __no) AS BIGINT)").as("v"))
+        .localCheckpoint() // O(1)-deep plan across rounds
+    }
+    val ps = x.filter(col("state") === Start)
+      .select(col("removed"), col("v"))
+    val pFull = ps.filter(col("removed") === NoneTag)
+      .select(col("v").as("__pf"))
+    val out = channels
+      .join(ps.withColumnRenamed("removed", "channel"), Seq("channel"),
+        "left")
+      .withColumn("__p", coalesce(col("v"), lit(0L)))
+      .crossJoin(broadcast(pFull)) // 1-row scalar frame
+      .withColumn("__eff", greatest(col("__pf") - col("__p"), lit(0L)))
+    // channel plane: single-partition window bounded by type cardinality
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(graft.functions.ArrayMath.boundedKey(out))
+    val scaleD = lit(scale.toDouble)
+    out.withColumn("__tot", sum(col("__eff")).over(wAll))
+      .select(col("channel"),
+        (col("__pf").cast("double") / scaleD).as("p_conv_full"),
+        (col("__p").cast("double") / scaleD).as("p_conv_removed"),
+        when(col("__pf") > 0,
+          col("__eff").cast("double") / col("__pf").cast("double"))
+          .as("removal_effect"),
+        when(col("__tot") > 0,
+          col("__eff").cast("double") / col("__tot").cast("double"))
+          .as("attribution_share"))
+  }
 }

@@ -764,6 +764,91 @@ object TrainingQueries {
     * comparison is integer and the one division crosses the VARCHAR
     * bridge, so the replay is bit-exact.
     */
+  /** q240 oracle: the Markov removal-effect chain unrolled CTE by CTE —
+    * journey slice (first 8 events per user), transition counts with
+    * START/CONV/NULL sentinels, the (channels+1)-way removal dimension,
+    * then k rounds of scaled-integer value iteration (HUGEINT products,
+    * `//` floor division — bit-identical to the op's DECIMAL(38,0)/div
+    * arithmetic), and the effect/share readout as single IEEE divisions.
+    */
+  private def markovOracle(k: Int): String = {
+    val iters = (1 to k).map { i =>
+      s""",
+         |x$i AS MATERIALIZED (
+         |  SELECT t.removed, t.src AS state,
+         |    CAST(SUM(CAST(t.n AS HUGEINT) *
+         |      (CASE WHEN t.dst = '__conv__' THEN 1000000000000
+         |            WHEN t.dst = '__null__' THEN 0
+         |            ELSE COALESCE(x.v, 0) END)) // MAX(t.nout) AS BIGINT)
+         |      AS v
+         |  FROM tf t LEFT JOIN x${i - 1} x
+         |    ON x.removed = t.removed AND x.state = t.dst
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString
+    s"""WITH ev AS (
+       |  SELECT u, t, us, tie FROM (
+       |    SELECT CAST(user_id AS VARCHAR) AS u, event_type AS t,
+       |      epoch_us(ts) AS us, event_id AS tie,
+       |      ROW_NUMBER() OVER (PARTITION BY user_id
+       |        ORDER BY epoch_us(ts), event_id) AS rn
+       |    FROM events) WHERE rn <= 8),
+       |cv AS (
+       |  SELECT u, us AS cus, tie AS ctie FROM (
+       |    SELECT u, us, tie,
+       |      ROW_NUMBER() OVER (PARTITION BY u ORDER BY us, tie) AS r
+       |    FROM ev WHERE t = 'purchase') WHERE r = 1),
+       |j AS (
+       |  SELECT ev.u, ev.t, ev.us, ev.tie, cv.u IS NOT NULL AS has_conv
+       |  FROM ev LEFT JOIN cv ON cv.u = ev.u
+       |  WHERE ev.t <> 'purchase' AND (cv.u IS NULL OR ev.us < cv.cus
+       |    OR (ev.us = cv.cus AND ev.tie < cv.ctie))),
+       |sq AS (
+       |  SELECT u, t, has_conv,
+       |    ROW_NUMBER() OVER (PARTITION BY u ORDER BY us, tie) AS rn,
+       |    LAG(t) OVER (PARTITION BY u ORDER BY us, tie) AS prev,
+       |    COUNT(*) OVER (PARTITION BY u) AS cnt
+       |  FROM j),
+       |tr AS (
+       |  SELECT '__start__' AS src, t AS dst FROM sq WHERE rn = 1
+       |  UNION ALL SELECT prev, t FROM sq WHERE rn >= 2
+       |  UNION ALL SELECT t,
+       |    CASE WHEN has_conv THEN '__conv__' ELSE '__null__' END
+       |  FROM sq WHERE rn = cnt
+       |  UNION ALL SELECT '__start__', '__conv__' FROM cv
+       |  WHERE u NOT IN (SELECT u FROM j)),
+       |tc AS (SELECT src, dst, COUNT(*) AS n FROM tr GROUP BY 1, 2),
+       |no AS (SELECT src, SUM(n) AS nout FROM tc GROUP BY 1),
+       |ch AS (SELECT DISTINCT t AS channel FROM j),
+       |rm AS (SELECT channel AS removed FROM ch
+       |       UNION ALL SELECT '__none__'),
+       |tf AS MATERIALIZED (
+       |  SELECT rm.removed, tc.src, tc.dst, tc.n, no.nout
+       |  FROM rm CROSS JOIN tc JOIN no ON no.src = tc.src
+       |  WHERE tc.src <> rm.removed AND tc.dst <> rm.removed),
+       |x0 AS MATERIALIZED (SELECT DISTINCT removed, src AS state,
+       |         CAST(0 AS BIGINT) AS v
+       |       FROM tf)$iters,
+       |ps AS (SELECT removed, v FROM x$k WHERE state = '__start__'),
+       |pf AS (SELECT v AS pfv FROM ps WHERE removed = '__none__'),
+       |eff AS (
+       |  SELECT ch.channel, COALESCE(ps.v, 0) AS p,
+       |    GREATEST((SELECT pfv FROM pf) - COALESCE(ps.v, 0), 0) AS e
+       |  FROM ch LEFT JOIN ps ON ps.removed = ch.channel),
+       |tot AS (SELECT SUM(e) AS te FROM eff)
+       |SELECT channel,
+       |  CAST((SELECT pfv FROM pf) AS DOUBLE) / 1000000000000.0
+       |    AS p_conv_full,
+       |  CAST(p AS DOUBLE) / 1000000000000.0 AS p_conv_removed,
+       |  CASE WHEN (SELECT pfv FROM pf) > 0 THEN
+       |    CAST(e AS DOUBLE) / CAST((SELECT pfv FROM pf) AS DOUBLE) END
+       |    AS removal_effect,
+       |  CASE WHEN (SELECT te FROM tot) > 0 THEN
+       |    CAST(e AS DOUBLE) / CAST((SELECT te FROM tot) AS DOUBLE) END
+       |    AS attribution_share
+       |FROM eff, tot
+       |ORDER BY channel""".stripMargin
+  }
+
   private def louvainOracle(rounds: Int): String = {
     val head = "WITH " + linkEdgesCte.stripMargin +
       """,
@@ -8341,6 +8426,33 @@ object TrainingQueries {
              |  ABS(estimate / CAST(n_exact AS DOUBLE) - 1.0) <= 0.15
              |    AS within_band
              |FROM est JOIN ex ON ex.event_type = est.event_type
-             |ORDER BY est.event_type""".stripMargin))
+             |ORDER BY est.event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Markov removal-effect attribution (EventOps.markovAttribution —
+    // Anderl et al. 2016; the data-driven successor to q184's
+    // first/last-touch heuristics): journeys = each user's first 8
+    // events truncated at the first 'purchase', modeled as a first-
+    // order chain with absorbing CONV/NULL; each channel credited by
+    // the drop in absorption probability when it is removed. 12 rounds
+    // of SCALE=10^12 integer value iteration (the q145 pageRank
+    // discipline — DECIMAL(38,0)/HUGEINT products, floor div), so the
+    // oracle replays every round CTE by CTE and the effects/shares are
+    // single IEEE divisions of exact scaled integers.
+    QuerySpec(
+      "q240_markov_attribution",
+      (s, dir) => {
+        val w8 = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"), col("event_id"))
+          .withColumn("__rn", row_number().over(w8))
+          .filter(col("__rn") <= 8).drop("__rn")
+        graft.ops.EventOps.markovAttribution(ev, "user_id", "event_type",
+            "us", "event_id", convType = "purchase", iterations = 12)
+          .orderBy("channel")
+      },
+      Some(markovOracle(12)))
   )
 }

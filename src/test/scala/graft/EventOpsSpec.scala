@@ -504,6 +504,46 @@ class EventOpsSpec extends AnyFunSuite {
       s"same-us events must order by the tiebreak: ${got.toSeq}")
   }
 
+  test("markovAttribution: hand-computed chain; post-conversion noise ignored; no-conversion NULLs") {
+    import spark.implicits._
+    // u1: a→conv (+post-conv noise), u2: a→b→conv, u3: b→(null), u4: conv
+    // only. Exact absorption: P_full=3/4; remove a → 3/8; remove b → 1/2.
+    val ev = Seq(
+      (1L, "a", 10L, 1L), (1L, "conv", 20L, 2L),
+      (1L, "b", 30L, 8L), (1L, "conv", 40L, 9L), // ignored: past 1st conv
+      (2L, "a", 10L, 3L), (2L, "b", 20L, 4L), (2L, "conv", 30L, 5L),
+      (3L, "b", 10L, 6L),
+      (4L, "conv", 10L, 7L))
+      .toDF("u", "t", "us", "tie")
+    val got = graft.ops.EventOps.markovAttribution(
+        ev, "u", "t", "us", "tie", convType = "conv")
+      .orderBy("channel").collect()
+    assert(got.length == 2)
+    val a = got(0); val b = got(1)
+    assert(a.getString(0) == "a" && b.getString(0) == "b")
+    assert(a.getDouble(1) == 0.75 && b.getDouble(1) == 0.75)
+    assert(a.getDouble(2) == 0.375 && b.getDouble(2) == 0.5)
+    assert(a.getDouble(3) == 0.5, s"removal_effect(a) ${a.getDouble(3)}")
+    assert(math.abs(b.getDouble(3) - 1.0 / 3.0) < 1e-15)
+    assert(a.getDouble(4) == 0.6 && b.getDouble(4) == 0.4)
+    // a chain with zero conversions: P_full = 0, effect/share NULL
+    val noConv = Seq((1L, "a", 10L, 1L), (1L, "b", 20L, 2L),
+      (2L, "b", 5L, 3L)).toDF("u", "t", "us", "tie")
+    val nc = graft.ops.EventOps.markovAttribution(
+        noConv, "u", "t", "us", "tie", convType = "conv")
+      .orderBy("channel").collect()
+    assert(nc.length == 2)
+    nc.foreach { r =>
+      assert(r.getDouble(1) == 0.0 && r.isNullAt(3) && r.isNullAt(4))
+    }
+    // sentinel-colliding touch types reject loudly
+    intercept[IllegalArgumentException] {
+      graft.ops.EventOps.markovAttribution(
+        Seq((1L, "__start__", 1L, 1L)).toDF("u", "t", "us", "tie"),
+        "u", "t", "us", "tie", convType = "conv")
+    }
+  }
+
   test("seasonalDecompose: pure weekly pattern decomposes exactly; edges NULL; gap days zero-fill") {
     import spark.implicits._
     // 21 days starting at epoch day 18900 (≡ 0 mod 7); v_t = (t mod 7) + 1
