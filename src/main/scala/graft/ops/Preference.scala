@@ -102,4 +102,93 @@ object Preference {
         round(col("n_chosen_longer").cast("double") / col("n_compared"), 6)
           .as("frac_chosen_longer"))
   }
+
+  /** Bradley–Terry preference-strength fitting (Bradley & Terry 1952)
+    * via Hunter's MM algorithm (Ann. Statist. 2004) — the model behind
+    * arena-style rankings: from pairwise outcomes, latent strengths
+    * π with P(i beats j) = π_i/(π_i+π_j). The reward-model data
+    * readout: are the preference pairs consistent, and how far apart
+    * are the items they compare?
+    *
+    *   π_i ← W_i / Σ_{j≠i} n_ij/(π_i+π_j),   then max-normalize.
+    *
+    * Determinism (the [[graft.ops.WebGraph.hits]] discipline): a fixed
+    * number of MM rounds in SCALE-scaled integer arithmetic — each
+    * term n_ij·SCALE² div (π_i+π_j), each update W_i·SCALE² div T_i,
+    * the normalization π·SCALE div max(π) — products through
+    * DECIMAL(38,0)/HUGEINT, every denominator floored at 1, so every
+    * round replays bit-exactly as an unrolled CTE. An item with zero
+    * wins lands at exactly 0; the strongest item at exactly SCALE.
+    *
+    * MM needs the comparison graph connected to identify strengths —
+    * with disconnected components each component is ranked internally
+    * and max-normalization anchors the global top only; fixed-k replay
+    * is exact either way.
+    *
+    * Scale shape: one aggregation to the (i, j) comparison plane;
+    * rounds run entirely on that plane + the item plane (two skinny
+    * joins, one aggregation, a 1-row max that broadcasts), each round
+    * localCheckpoint-ed (O(1) plan depth). No driver collects.
+    *
+    * → (item, n_wins, n_comparisons, strength_scaled, strength) ordered
+    *   by nothing — callers sort; strength = strength_scaled/SCALE.
+    */
+  def bradleyTerry(outcomes: DataFrame, winnerCol: String,
+                   loserCol: String, iterations: Int = 10,
+                   scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1,50], got $iterations")
+    val o = outcomes
+      .select(col(winnerCol).cast("string").as("__w"),
+        col(loserCol).cast("string").as("__l"))
+      .filter(col("__w").isNotNull && col("__l").isNotNull &&
+        col("__w") =!= col("__l")) // self-comparisons carry no signal
+    // symmetric comparison plane: n_ab = total games between a and b
+    val edges = o.select(col("__w").as("__a"), col("__l").as("__b"))
+      .unionByName(o.select(col("__l").as("__a"), col("__w").as("__b")))
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__n"))
+      .localCheckpoint() // loop-invariant plane
+    val wins = o.groupBy(col("__w").as("__a"))
+      .agg(count(lit(1)).as("__wins"))
+    val items = edges.groupBy("__a")
+      .agg(sum(col("__n")).as("__games"))
+      .join(wins, Seq("__a"), "left")
+      .withColumn("__wins", coalesce(col("__wins"), lit(0L)))
+      .localCheckpoint()
+    // Auxiliary precision: T terms carry 10^6 sub-unit precision and
+    // denominators floor at 10^4 scaled units (strength 10^-8 of the
+    // top — only already-vanished items are affected), which keeps
+    // every integer QUOTIENT below 2^63: Spark's `div` yields BIGINT,
+    // so a quotient past long range would overflow here while DuckDB's
+    // HUGEINT replay sailed on — the floor makes both engines exact.
+    val aux = 1000000L
+    val denFloor = 10000L
+    var p = items.select(col("__a"), lit(scale).as("__p"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val pa = p.select(col("__a"), col("__p").as("__pa"))
+      val pb = p.select(col("__a").as("__b"), col("__p").as("__pb"))
+      val t = edges.join(pa, Seq("__a")).join(pb, Seq("__b"))
+        .withColumn("__term", expr(
+          s"(CAST(__n AS DECIMAL(38,0)) * $scale * $aux) div " +
+            s"greatest(__pa + __pb, CAST($denFloor AS BIGINT))"))
+        .groupBy("__a")
+        .agg(sum(col("__term").cast("decimal(38,0)")).as("__t"))
+      val upd = items.join(t, Seq("__a"))
+        .withColumn("__pn", expr(
+          s"(CAST(__wins AS DECIMAL(38,0)) * $scale * $aux) div " +
+            s"greatest(__t, CAST(1 AS DECIMAL(38,0)))"))
+      val mx = upd.agg(max(col("__pn")).as("__mx"))
+      p = upd.crossJoin(broadcast(mx)) // 1-row normalization scalar
+        .select(col("__a"), expr(
+          s"(CAST(__pn AS DECIMAL(38,0)) * $scale) div " +
+            "greatest(__mx, CAST(1 AS BIGINT))").as("__p"))
+        .localCheckpoint() // O(1)-deep plan across rounds
+    }
+    items.join(p, Seq("__a"))
+      .select(col("__a").as("item"), col("__wins").as("n_wins"),
+        col("__games").as("n_comparisons"),
+        col("__p").as("strength_scaled"),
+        (col("__p").cast("double") / lit(scale.toDouble)).as("strength"))
+  }
 }

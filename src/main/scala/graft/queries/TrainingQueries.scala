@@ -849,6 +849,64 @@ object TrainingQueries {
        |ORDER BY channel""".stripMargin
   }
 
+  /** q241 oracle: Hunter's MM rounds unrolled CTE by CTE — the
+    * comparison plane from consecutive-doc length contests, then k
+    * rounds of T-terms (HUGEINT products, `//` floor, denominators
+    * floored at 10^4 so both engines' quotients match the op's
+    * long-safe arithmetic), update, and max-normalization.
+    */
+  private def btOracle(k: Int): String = {
+    val s = "1000000000000"
+    val iters = (1 to k).map { i =>
+      s""",
+         |t$i AS (
+         |  SELECT e.a,
+         |    SUM((CAST(e.n AS HUGEINT) * $s * 1000000)
+         |      // GREATEST(pa.p + pb.p, 10000)) AS t
+         |  FROM ed e JOIN p${i - 1} pa ON pa.a = e.a
+         |    JOIN p${i - 1} pb ON pb.a = e.b
+         |  GROUP BY 1),
+         |u$i AS (
+         |  SELECT w.a,
+         |    (CAST(w.wins AS HUGEINT) * $s * 1000000)
+         |      // GREATEST(t$i.t, 1) AS pn
+         |  FROM itw w JOIN t$i ON t$i.a = w.a),
+         |m$i AS (SELECT MAX(pn) AS mx FROM u$i),
+         |p$i AS MATERIALIZED (
+         |  SELECT a, CAST((CAST(pn AS HUGEINT) * $s)
+         |    // GREATEST((SELECT mx FROM m$i), 1) AS BIGINT) AS p
+         |  FROM u$i)""".stripMargin
+    }.mkString
+    s"""WITH pairs AS (
+       |  SELECT a.source AS s1, b.source AS s2,
+       |    a.n_chars AS c1, b.n_chars AS c2
+       |  FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
+       |  WHERE a.source <> b.source AND a.n_chars <> b.n_chars),
+       |g AS (
+       |  SELECT CASE WHEN c1 > c2 THEN s1 ELSE s2 END AS w,
+       |    CASE WHEN c1 > c2 THEN s2 ELSE s1 END AS l
+       |  FROM pairs),
+       |ed AS MATERIALIZED (
+       |  SELECT a, b, COUNT(*) AS n FROM (
+       |    SELECT w AS a, l AS b FROM g
+       |    UNION ALL SELECT l AS a, w AS b FROM g)
+       |  GROUP BY 1, 2),
+       |wi AS (SELECT w AS a, COUNT(*) AS wins FROM g GROUP BY 1),
+       |it AS (SELECT e.a, CAST(SUM(e.n) AS BIGINT) AS games
+       |       FROM ed e GROUP BY 1),
+       |itw AS MATERIALIZED (
+       |  SELECT it.a, it.games,
+       |    CAST(COALESCE(wi.wins, 0) AS BIGINT) AS wins
+       |  FROM it LEFT JOIN wi ON wi.a = it.a),
+       |p0 AS MATERIALIZED (
+       |  SELECT a, CAST($s AS BIGINT) AS p FROM itw)$iters
+       |SELECT w.a AS item, w.wins AS n_wins, w.games AS n_comparisons,
+       |  p.p AS strength_scaled,
+       |  CAST(p.p AS DOUBLE) / $s.0 AS strength
+       |FROM itw w JOIN p$k p ON p.a = w.a
+       |ORDER BY item""".stripMargin
+  }
+
   private def louvainOracle(rounds: Int): String = {
     val head = "WITH " + linkEdgesCte.stripMargin +
       """,
@@ -8453,6 +8511,38 @@ object TrainingQueries {
             "us", "event_id", convType = "purchase", iterations = 12)
           .orderBy("channel")
       },
-      Some(markovOracle(12)))
+      Some(markovOracle(12))),
+
+    // ------------------------------------------------------------------
+    // Bradley–Terry preference strengths (Preference.bradleyTerry —
+    // Bradley & Terry 1952, Hunter's MM 2004; the arena-ranking model
+    // behind RLHF reward-data analysis): consecutive documents contest
+    // on length, source of the longer doc wins → pairwise outcomes
+    // between the five sources → latent strengths with P(i beats j) =
+    // π_i/(π_i+π_j). 10 MM rounds in scaled-integer arithmetic (the
+    // HITS discipline: DECIMAL(38,0)/HUGEINT products, floor div,
+    // denominators floored at 10^4 for long-safe quotients, max-
+    // normalization each round) — the oracle replays every round CTE
+    // by CTE.
+    QuerySpec(
+      "q241_bradley_terry",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val d2 = d.select(col("doc_id").as("__id2"),
+          col("source").as("__s2"), col("n_chars").as("__c2"))
+        val games = d.join(d2, col("doc_id") + 1 === col("__id2"))
+          .filter(col("source") =!= col("__s2") &&
+            col("n_chars") =!= col("__c2"))
+          .select(
+            when(col("n_chars") > col("__c2"), col("source"))
+              .otherwise(col("__s2")).as("winner"),
+            when(col("n_chars") > col("__c2"), col("__s2"))
+              .otherwise(col("source")).as("loser"))
+        graft.ops.Preference.bradleyTerry(games, "winner", "loser",
+            iterations = 10)
+          .orderBy("item")
+      },
+      Some(btOracle(10)))
   )
 }

@@ -71,4 +71,33 @@ class PreferenceSpec extends AnyFunSuite {
     assert(n.getDouble(5) == 4.0 && n.getDouble(7) == 1.0,
       "one compared pair, chosen longer — the fraction must be 1.0, not 1/3")
   }
+
+  test("bradleyTerry: 3:1 head-to-head lands at the exact 1:1/3 solution; zero-win item at 0; junk filtered") {
+    import spark.implicits._
+    // a beats b 3:1 → BT solution π_a : π_b = 3 : 1 (max-normalized:
+    // 1 and 1/3); self-comparisons and NULL sides carry no signal
+    val o = (Seq.fill(3)(("a", "b")) ++ Seq(("b", "a"),
+      ("a", "a"), (null.asInstanceOf[String], "b")))
+      .toDF("winner", "loser")
+    val got = Preference.bradleyTerry(o, "winner", "loser")
+      .orderBy("item").collect()
+    assert(got.length == 2)
+    val a = got(0); val b = got(1)
+    assert(a.getString(0) == "a" && a.getLong(1) == 3L && a.getLong(2) == 4L)
+    assert(b.getString(0) == "b" && b.getLong(1) == 1L && b.getLong(2) == 4L)
+    assert(a.getDouble(4) == 1.0, s"top item must sit at exactly SCALE: $a")
+    assert(math.abs(b.getDouble(4) - 1.0 / 3.0) < 1e-9, s"π_b: $b")
+    // transitive sweep: the item that never wins lands at exactly 0
+    val chain = (Seq.fill(2)(("a", "b")) ++ Seq.fill(2)(("b", "c")) ++
+      Seq.fill(2)(("a", "c"))).toDF("winner", "loser")
+    val c3 = Preference.bradleyTerry(chain, "winner", "loser")
+      .orderBy("item").collect()
+    assert(c3(0).getDouble(4) == 1.0)
+    assert(c3(1).getDouble(4) > 0.0 && c3(1).getDouble(4) < 1.0)
+    assert(c3(2).getDouble(4) == 0.0 && c3(2).getLong(3) == 0L,
+      s"zero-win item must land at exactly 0: ${c3(2)}")
+    intercept[IllegalArgumentException] {
+      Preference.bradleyTerry(o, "winner", "loser", iterations = 0)
+    }
+  }
 }
