@@ -31,6 +31,22 @@ object StreamingAggregates {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming HyperLogLog register maintenance — live distinct-count
+    * sketches per group ([[graft.ops.Sketches.hllSketch]] applied to a
+    * stream): register = MAX(rho) is associative, commutative and
+    * idempotent, so micro-batch order, replays and retries cannot
+    * change the registers — complete-mode output at any trigger equals
+    * the batch sketch over the rows seen so far BIT-FOR-BIT (asserted
+    * in StreamingAggSpec), and [[graft.ops.Sketches.hllEstimate]]
+    * reads estimates off the live registers. State is bounded at
+    * groups × 2^p registers regardless of stream length — no
+    * watermark needed (unlike COUNT DISTINCT, whose state grows with
+    * cardinality).
+    */
+  def streamingHllRegisters(events: DataFrame, groupCols: Seq[String],
+                            valueCol: String, p: Int = 9): DataFrame =
+    graft.ops.Sketches.hllSketch(events, groupCols, valueCol, p)
+
   /** Event-time session windows (30 min gap) per user. */
   def userSessions(events: DataFrame): DataFrame =
     events

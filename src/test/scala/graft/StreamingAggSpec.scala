@@ -316,6 +316,39 @@ class StreamingAggSpec extends AnyFunSuite {
       s"folded deltas: $folded")
   }
 
+  test("streamingHllRegisters: complete-mode registers == batch sketch at every wave") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, String)]
+    val src = ms.toDF().toDF("g", "v")
+    val out = StreamingAggregates.streamingHllRegisters(src, Seq("g"), "v")
+    val q = out.writeStream.outputMode("complete").format("memory")
+      .queryName("hll_stream").start()
+    val wave1 = (1 to 500).map(i => ("a", s"u$i"))
+    val wave2 = (300 to 900).map(i => ("a", s"u$i")) ++
+      (1 to 50).map(i => ("b", s"x$i"))
+    def batchOf(rows: Seq[(String, String)]) =
+      graft.ops.Sketches.hllSketch(rows.toDF("g", "v"), Seq("g"), "v")
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    ms.addData(wave1: _*)
+    q.processAllAvailable()
+    assert(regs(spark.table("hll_stream")) == regs(batchOf(wave1)),
+      "after wave 1 the live registers must equal the batch sketch")
+    ms.addData(wave2: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(regs(spark.table("hll_stream")) == regs(batchOf(wave1 ++ wave2)),
+      "replayed/overlapping values must fold idempotently (MAX)")
+    // estimates read straight off the live registers
+    val est = graft.ops.Sketches.hllEstimate(
+        spark.table("hll_stream"), Seq("g")).orderBy("g").collect()
+    assert(math.abs(est(0).getDouble(2) / 900.0 - 1.0) < 0.15)
+    assert(math.abs(est(1).getDouble(2) - 50.0) < 6.0)
+  }
+
   test("streamingRetentionDeltas: folded deltas == batch retention triangle") {
     val periodUs = 604800000000L // 7 days, the q157 config
     val streaming = runToMemory(
