@@ -549,6 +549,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q240/q241: iterative chains are O(1) deep — rounds checkpointed, never stacked, no cartesians") {
+    Seq("q240_markov_attribution", "q241_bradley_terry").foreach { q =>
+      val plan = executedPlan(q)
+      assert(plan.contains("ExistingRDD"),
+        s"$q: the readout must scan checkpointed round frames, not replay " +
+          s"the iteration towers\n$plan")
+      val aggs = "HashAggregate".r.findAllIn(plan).size
+      assert(aggs <= 10, s"$q: plan depth suggests stacked rounds: $aggs\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+    }
+  }
+
   test("q193: the CMS point-query join broadcasts the sketch side") {
     val plan = executedPlan("q193_cms_heavy_hitters")
     assert(plan.contains("BroadcastHashJoin"),
