@@ -1154,9 +1154,11 @@ object EventOps {
     * seasonal_k = Σ(p·v_t − S_t)/(p·cnt_k) are each ONE IEEE division
     * of exact integers, and remainder = (v − trend) − seasonal is the
     * same fixed left-associated IEEE sequence in any engine. No float
-    * ever accumulates. The seasonal means are raw (uncentered) — the
-    * identity v = trend+seasonal+remainder then holds EXACTLY on every
-    * interior day, which a float-centered variant cannot promise.
+    * ever accumulates. The seasonal means are raw (uncentered) —
+    * remainder is by construction the EXACT leftover in that
+    * association order (recomposing trend+seasonal+remainder re-rounds
+    * and agrees to IEEE rounding error; the decomposition itself is
+    * bit-deterministic, which is what the oracle hash certifies).
     * Period positions are epoch-day mod p (p=7 ⇒ a fixed weekday
     * mapping), engine-identical integer arithmetic.
     *

@@ -807,15 +807,14 @@ object WebGraph {
       .localCheckpoint(true)
     var round = 0
     while (round < rounds) {
-      val tot = labels.join(deg, "node")
-        .groupBy(col("comm")).agg(sum(col("deg")).as("tot"))
+      val ld = labels.join(deg, "node") // shared by tot and self
+      val tot = ld.groupBy(col("comm")).agg(sum(col("deg")).as("tot"))
       val kv = nbr
         .join(labels.select(col("node").as("nb"), col("comm").as("cand")),
           "nb")
         .groupBy(col("node"), col("cand"))
         .agg(count(lit(1)).as("k"))
-      val self = labels
-        .join(deg, "node")
+      val self = ld
         .join(tot.withColumnRenamed("comm", "__c"),
           col("__c") === col("comm"))
         .select(col("node"), col("comm"), col("deg"),
@@ -837,13 +836,15 @@ object WebGraph {
         .select(col("node"),
           (col("__m2") * coalesce(col("__kc"), lit(0L)).cast(dec) -
             col("deg").cast(dec) * col("__totx_cur").cast(dec)).as("__stay"))
-      val best = scored
+      // one struct-min pass: min over (−score, cand) = max score with the
+      // min-cand tiebreak — identical selection to the max+filter+re-agg
+      // spelling the oracle replays, in a single aggregation
+      val winner = scored
         .groupBy(col("node"))
-        .agg(max(col("__score")).as("__best"))
-      val winner = scored.join(best, "node")
-        .filter(col("__score") === col("__best"))
-        .groupBy(col("node"))
-        .agg(min(col("cand")).as("__to"), max(col("__score")).as("__score"))
+        .agg(min(struct((col("__score") * -1).as("__ns"), col("cand")))
+          .as("__w"))
+        .select(col("node"), col("__w.cand").as("__to"),
+          (col("__w.__ns") * -1).as("__score"))
       val want = winner.join(stay, "node")
         .filter(col("__score") > col("__stay"))
         .select(col("node"), col("__to"),

@@ -8368,9 +8368,11 @@ object TrainingQueries {
     // daily event counts split into centered-7-day-MA trend, raw
     // per-weekday seasonal means of the detrended series, and the
     // remainder. Every component is one IEEE division of exact
-    // integers (trend = S/7, seasonal = Σ(7v−S)/(7·cnt)), so v =
-    // trend+seasonal+remainder holds exactly on interior days and the
-    // whole decomposition hash-matches. Windows run on the
+    // integers (trend = S/7, seasonal = Σ(7v−S)/(7·cnt)), remainder
+    // the exact IEEE leftover (v−trend)−seasonal — bit-deterministic
+    // end to end, so the whole decomposition hash-matches (recomposing
+    // the three re-rounds; agreement is to IEEE ulp). Windows run on
+    // the
     // days-in-range-bounded calendar spine.
     QuerySpec(
       "q238_seasonal_decompose",
