@@ -8545,6 +8545,90 @@ object TrainingQueries {
             iterations = 10)
           .orderBy("item")
       },
-      Some(btOracle(10)))
+      Some(btOracle(10))),
+
+    // ------------------------------------------------------------------
+    // Entity resolution END TO END (Linkage.blockedNameMatch →
+    // Dedup.connectedComponents — the Fellegi–Sunter two-phase plus the
+    // transitive-closure step master-data pipelines run): the q188
+    // dirty feed (transposed name digits) pools with the master,
+    // nation+digit-blocked Jaro-Winkler ≥ 0.95 pairs become edges, CC
+    // labels every record with its entity (min-id), and unmatched
+    // records stay singleton entities of size 1. The oracle replays the
+    // pairs against DuckDB's independent jaro_winkler_similarity and
+    // the closure via WITH RECURSIVE reach + MIN label (the q63
+    // recipe). Sliced to custkey%3=0 to keep the verification kernel's
+    // bench cost proportionate.
+    QuerySpec(
+      "q242_entity_resolution",
+      (s, dir) => {
+        val blkOf = (name: org.apache.spark.sql.Column,
+                     nat: org.apache.spark.sql.Column) =>
+          concat(nat.cast("string"), lit(":"), substring(name, 15, 1))
+        val cust = Tables.customer(s, dir)
+          .filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+        val base = cust.select(col("c_custkey"), col("c_name"),
+          blkOf(col("c_name"), col("c_nationkey")).as("blk"))
+        val dirty = cust
+          .select((col("c_custkey") + 1000000).as("c_custkey"),
+            expr("concat(substr(c_name, 1, 16), substr(c_name, 18, 1), " +
+              "substr(c_name, 17, 1))").as("c_name"),
+            col("c_nationkey"))
+          .select(col("c_custkey"), col("c_name"),
+            blkOf(col("c_name"), col("c_nationkey")).as("blk"))
+        val matches = graft.ops.Linkage.blockedNameMatch(
+          dirty, "c_custkey", "c_name", "blk",
+          base, "c_custkey", "c_name", "blk", minSim = 0.95)
+        val cc = graft.ops.Dedup.connectedComponents(
+          matches, "id_a", "id_b")
+        val pool = base.select(col("c_custkey").as("record_id"),
+            col("c_name").as("name"))
+          .unionByName(dirty.select(col("c_custkey").as("record_id"),
+            col("c_name").as("name")))
+        pool.join(cc.select(col("id").as("record_id"), col("component"),
+            col("cluster_size")), Seq("record_id"), "left")
+          .select(col("record_id"), col("name"),
+            coalesce(col("component"), col("record_id")).as("entity_id"),
+            coalesce(col("cluster_size"), lit(1L)).as("entity_size"))
+          .orderBy("record_id")
+      },
+      Some("""WITH RECURSIVE cust AS (
+             |  SELECT c_custkey, c_name, c_nationkey FROM customer
+             |  WHERE c_custkey % 3 = 0),
+             |dirty AS (
+             |  SELECT c_custkey + 1000000 AS c_custkey,
+             |    substr(c_name, 1, 16) || substr(c_name, 18, 1)
+             |      || substr(c_name, 17, 1) AS c_name,
+             |    c_nationkey
+             |  FROM cust),
+             |j AS (
+             |  SELECT d.c_custkey AS id_a, b.c_custkey AS id_b,
+             |    ROUND(jaro_winkler_similarity(d.c_name, b.c_name), 6)
+             |      AS jw
+             |  FROM dirty d JOIN cust b
+             |    ON b.c_nationkey = d.c_nationkey
+             |    AND substr(b.c_name, 15, 1) = substr(d.c_name, 15, 1)),
+             |e AS (SELECT id_a AS a, id_b AS b FROM j WHERE jw >= 0.95),
+             |u AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+             |reach(a, b) AS (
+             |  SELECT DISTINCT a, a FROM u
+             |  UNION
+             |  SELECT reach.a, u.b FROM reach JOIN u ON reach.b = u.a),
+             |lbl AS (SELECT a AS record_id, MIN(b) AS component
+             |        FROM reach GROUP BY a),
+             |sz AS (SELECT component, COUNT(*) AS csize
+             |       FROM lbl GROUP BY 1),
+             |pool AS (
+             |  SELECT c_custkey AS record_id, c_name AS name FROM cust
+             |  UNION ALL
+             |  SELECT c_custkey AS record_id, c_name AS name FROM dirty)
+             |SELECT p.record_id, p.name,
+             |  CAST(COALESCE(l.component, p.record_id) AS BIGINT)
+             |    AS entity_id,
+             |  CAST(COALESCE(sz.csize, 1) AS BIGINT) AS entity_size
+             |FROM pool p LEFT JOIN lbl l ON l.record_id = p.record_id
+             |  LEFT JOIN sz ON sz.component = l.component
+             |ORDER BY p.record_id""".stripMargin))
   )
 }
