@@ -688,6 +688,70 @@ object Profile {
           (col("po") - col("pe")) / (lit(1.0) - col("pe"))).as("kappa"))
   }
 
+  /** Krippendorff's alpha for nominal data (Krippendorff 1970, 2004) —
+    * the agreement coefficient that, unlike [[fleissKappa]], tolerates
+    * MISSING ratings and varying rater counts per item (the real shape
+    * of crowdsourced annotation): α = 1 − D_o/D_e over the coincidence
+    * matrix of pairable ratings. Using the nominal closed form,
+    *
+    *   D_o = Σ_u (m_u² − Σ_c n_uc²)/(m_u − 1)   (units with m_u ≥ 2)
+    *   α   = 1 − (N−1)·D_o / (N² − Σ_c n_c²)
+    *
+    * with m_u the unit's rating count, n_uc its per-category counts,
+    * N/n_c the totals over pairable units. Units with a single rating
+    * are unpairable and excluded (the standard treatment of missing
+    * data).
+    *
+    * Determinism: each unit's D_o term is ONE IEEE division of exact
+    * integers routed through DECIMAL(28,12) before the order-
+    * independent sum (the [[benfordAudit]] recipe); N²−Σn_c² rides
+    * DECIMAL(38,0) over the VARCHAR bridge; α is then a fixed IEEE
+    * sequence any engine replays bit-exactly.
+    *
+    * Scale shape: one corpus aggregation to the (unit, category) count
+    * plane (localCheckpoint — scanned for the unit terms and the
+    * category margins); output is one row.
+    *
+    * → one row (n_units, n_ratings, n_categories, d_o, alpha); alpha
+    *   NULL when D_e = 0 (a single category — agreement is vacuous)
+    *   or no unit is pairable.
+    */
+  def krippendorffAlpha(df: DataFrame, itemCol: String,
+                        labelCol: String): DataFrame = {
+    val nuc = df
+      .select(col(itemCol).cast("string").as("__u"),
+        col(labelCol).cast("string").as("__k"))
+      .filter(col("__u").isNotNull && col("__k").isNotNull)
+      .groupBy("__u", "__k").agg(count(lit(1)).as("__n"))
+      .localCheckpoint() // shared skinny plane: scan the corpus ONCE
+    val units = nuc.groupBy("__u").agg(
+        sum(col("__n")).as("__m"),
+        sum(col("__n").cast("decimal(38,0)") * col("__n")).as("__sq"))
+      .filter(col("__m") >= 2) // pairable units only
+      .localCheckpoint() // feeds the D_o terms AND the margins filter
+    val dO = units.select(
+        (((col("__m").cast("decimal(38,0)") * col("__m") - col("__sq"))
+          .cast("string").cast("double")) /
+          (col("__m") - 1).cast("double")).cast("decimal(28,12)").as("__t"))
+      .agg(coalesce(sum(col("__t")), lit(0).cast("decimal(28,12)"))
+        .cast("string").cast("double").as("__do"),
+        count(lit(1)).as("__nu"))
+    val margins = nuc.join(units.select("__u"), "__u") // pairable only
+      .groupBy("__k").agg(sum(col("__n")).as("__nc"))
+      .agg(coalesce(sum(col("__nc")), lit(0L)).as("__N"),
+        coalesce(sum(col("__nc").cast("decimal(38,0)") * col("__nc")),
+          lit(0).cast("decimal(38,0)")).as("__sqc"),
+        count(lit(1)).as("__K"))
+    dO.crossJoin(margins) // two 1-row frames
+      .select(col("__nu").as("n_units"), col("__N").as("n_ratings"),
+        col("__K").as("n_categories"), col("__do").as("d_o"),
+        when((col("__N").cast("decimal(38,0)") * col("__N")) =!= col("__sqc"),
+          lit(1.0) - ((col("__N") - 1).cast("double") * col("__do")) /
+            (col("__N").cast("decimal(38,0)") * col("__N") - col("__sqc"))
+              .cast("string").cast("double"))
+          .as("alpha"))
+  }
+
   /** χ² test of independence + Cramér's V (Cramér 1946) between two
     * categorical columns — the effect-size companion to
     * [[mutualInformation]] on the same question ("is language

@@ -8629,6 +8629,76 @@ object TrainingQueries {
              |  CAST(COALESCE(sz.csize, 1) AS BIGINT) AS entity_size
              |FROM pool p LEFT JOIN lbl l ON l.record_id = p.record_id
              |  LEFT JOIN sz ON sz.component = l.component
-             |ORDER BY p.record_id""".stripMargin))
+             |ORDER BY p.record_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Krippendorff's alpha (Profile.krippendorffAlpha — Krippendorff
+    // 1970/2004; the missing-data agreement coefficient): q235's three
+    // heuristic raters with DELIBERATE deterministic missingness (the
+    // token rater skips doc_id%7=0, the stopword rater skips
+    // doc_id%11=0) — exactly the ragged frame fleissKappa rejects.
+    // Per-unit D_o terms are one IEEE division of exact integers
+    // routed through DECIMAL(28,12); N²−Σn_c² rides DECIMAL(38,0)/
+    // HUGEINT over the VARCHAR bridge; α is a fixed IEEE sequence.
+    QuerySpec(
+      "q243_krippendorff_alpha",
+      (s, dir) => {
+        val st = graft.functions.ArrayMath.textStats(col("text"))
+        val base = Tables.documents(s, dir).select(col("doc_id"),
+          col("n_chars"), st.getField("n_tokens").as("__nt"),
+          st.getField("n_stop").as("__ns"))
+        def tier(c: org.apache.spark.sql.Column, lo: Int, hi: Int) =
+          when(c < lo, "short").when(c < hi, "mid").otherwise("long")
+        val rated = base.select(col("doc_id"),
+            tier(col("n_chars"), 220, 380).as("label"))
+          .unionByName(base.filter(col("doc_id") % 7 =!= 0)
+            .select(col("doc_id"), tier(col("__nt"), 40, 70).as("label")))
+          .unionByName(base.filter(col("doc_id") % 11 =!= 0)
+            .select(col("doc_id"), tier(col("__ns"), 12, 20).as("label")))
+        graft.ops.Profile.krippendorffAlpha(rated, "doc_id", "label")
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, CASE WHEN n_chars < 220 THEN 'short'
+             |    WHEN n_chars < 380 THEN 'mid' ELSE 'long' END AS k
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT doc_id, CASE WHEN len($toksSql) < 40 THEN 'short'
+             |    WHEN len($toksSql) < 70 THEN 'mid' ELSE 'long' END
+             |  FROM documents WHERE doc_id % 7 <> 0
+             |  UNION ALL
+             |  SELECT doc_id,
+             |    CASE WHEN len(list_filter($toksSql,
+             |        x -> lower(x) IN ($stops))) < 12 THEN 'short'
+             |      WHEN len(list_filter($toksSql,
+             |        x -> lower(x) IN ($stops))) < 20 THEN 'mid'
+             |      ELSE 'long' END
+             |  FROM documents WHERE doc_id % 11 <> 0),
+             |c AS (SELECT doc_id, k, COUNT(*) AS n FROM t GROUP BY 1, 2),
+             |un AS (
+             |  SELECT doc_id, SUM(n) AS m, SUM(n * n) AS sq
+             |  FROM c GROUP BY 1 HAVING SUM(n) >= 2),
+             |dd AS (
+             |  SELECT
+             |    CAST(CAST(COALESCE(SUM(CAST(
+             |      CAST(CAST(CAST(m AS HUGEINT) * m - sq AS VARCHAR)
+             |        AS DOUBLE) / CAST(m - 1 AS DOUBLE)
+             |      AS DECIMAL(28,12))), 0) AS VARCHAR) AS DOUBLE) AS do_,
+             |    COUNT(*) AS nu
+             |  FROM un),
+             |mg AS (
+             |  SELECT k, SUM(n) AS nc
+             |  FROM c JOIN un USING (doc_id) GROUP BY k),
+             |m2 AS (
+             |  SELECT CAST(COALESCE(SUM(nc), 0) AS BIGINT) AS N,
+             |    COALESCE(SUM(CAST(nc AS HUGEINT) * nc), 0) AS sqc,
+             |    COUNT(*) AS K
+             |  FROM mg)
+             |SELECT CAST(nu AS BIGINT) AS n_units, N AS n_ratings,
+             |  CAST(K AS BIGINT) AS n_categories, do_ AS d_o,
+             |  CASE WHEN CAST(N AS HUGEINT) * N <> sqc THEN
+             |    1.0 - (CAST(N - 1 AS DOUBLE) * do_)
+             |      / CAST(CAST(CAST(N AS HUGEINT) * N - sqc AS VARCHAR)
+             |        AS DOUBLE) END AS alpha
+             |FROM dd, m2""".stripMargin))
   )
 }

@@ -336,6 +336,31 @@ class ProfileSpec extends AnyFunSuite {
     assert(degen.getDouble(4) == 1.0 && degen.isNullAt(5))
   }
 
+  test("krippendorffAlpha: hand value with ragged/missing ratings; unanimity=1; degenerate NULL") {
+    import spark.implicits._
+    // u1: AA (term 0), u2: AB (term 2), u3: BBB (term 0), u4: A alone
+    // (unpairable, excluded) → N=7, n_A=3, n_B=4, D_o=2,
+    // α = 1 − 6·2/(49−25) = 0.5
+    val rows = Seq((1, "A"), (1, "A"), (2, "A"), (2, "B"),
+      (3, "B"), (3, "B"), (3, "B"), (4, "A"))
+    val got = Profile.krippendorffAlpha(rows.toDF("u", "k"), "u", "k").head()
+    assert(got.getLong(0) == 3L && got.getLong(1) == 7L &&
+      got.getLong(2) == 2L)
+    assert(got.getDouble(3) == 2.0, s"D_o ${got.getDouble(3)}")
+    assert(got.getDouble(4) == 0.5, s"alpha ${got.getDouble(4)}")
+    // NULL ratings are unlabeled — u2 drops to a single pairable rating
+    val withNull = Seq((1, "A"), (1, "A"), (2, "A"),
+      (2, null), (5, "B"), (5, "B"))
+    val n = Profile.krippendorffAlpha(withNull.toDF("u", "k"), "u", "k")
+      .head()
+    assert(n.getLong(0) == 2L && n.getLong(1) == 4L)
+    assert(n.getDouble(4) == 1.0, "unanimous pairable units: alpha = 1")
+    // one category everywhere: D_e = 0, alpha undefined
+    val degen = Profile.krippendorffAlpha(
+      Seq((1, "A"), (1, "A")).toDF("u", "k"), "u", "k").head()
+    assert(degen.isNullAt(4))
+  }
+
   test("cramersV: perfect association V=1, independence V=0, zero cells counted, degenerate single category") {
     import spark.implicits._
     // x == y on a 30/70 split: chi2 = N = 100 exactly, V = 1
