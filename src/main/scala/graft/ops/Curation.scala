@@ -365,6 +365,49 @@ object Curation {
     *
     * → input row + (sample_key), the k selected rows.
     */
+  /** EXACT-allocation stratified sampling (Cochran, Sampling Techniques
+    * §5 — proportional allocation): per stratum, keep exactly
+    * max(⌊N_h·fraction⌋, min(minPerStratum, N_h)) rows — the lowest
+    * md5-rank rows of the stratum — so sample sizes are deterministic
+    * NUMBERS, not Bernoulli expectations (the capability [[assignSplit]]
+    * / [[deterministicSample]] deliberately trade away for zero-shuffle
+    * assignment): an eval-set builder that needs "exactly 20% per
+    * language, at least 50 docs each" gets precisely that, stable under
+    * re-partitioning and re-runs.
+    *
+    * Determinism: the within-stratum order is (md5(id), id) — the
+    * [[sampleNegatives]] md5-uniform discipline, no rand(); the floor
+    * is the same IEEE product both engines evaluate. Rows with a NULL
+    * id are excluded (no deterministic rank exists for them); a NULL
+    * stratum forms its own stratum.
+    *
+    * Scale shape: one per-stratum window pass (shuffle keyed on the
+    * stratum — the standard groupBy skew caveat applies: a single
+    * giant stratum funnels through one task, pre-split such strata or
+    * fall back to [[deterministicSample]]); no driver traffic.
+    *
+    * → the sampled rows, original columns intact.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       fraction: Double,
+                       minPerStratum: Long = 0L): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"fraction must be in (0,1], got $fraction")
+    require(minPerStratum >= 0L,
+      s"minPerStratum must be >= 0, got $minPerStratum")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol).cast("string"))
+    val wAll = Window.partitionBy(col(stratumCol))
+    df.filter(col(idCol).isNotNull)
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__nh", count(lit(1)).over(wAll))
+      .withColumn("__take",
+        greatest(floor(col("__nh").cast("double") * fraction).cast("long"),
+          least(lit(minPerStratum), col("__nh"))))
+      .filter(col("__rk") <= col("__take"))
+      .drop("__rk", "__nh", "__take")
+  }
+
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

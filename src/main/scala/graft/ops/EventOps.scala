@@ -1221,6 +1221,68 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** Difference-in-differences readout (Card & Krueger 1994 practice;
+    * the pre-period-controlled sibling of [[abTestReport]]): per-user
+    * `metricType` event counts split at `cutoverUs` into pre/post,
+    * arms from the same deterministic md5 user bucketing, effect =
+    * (T̄_post − T̄_pre) − (C̄_post − C̄_pre) — the pre-period
+    * difference nets out persistent arm imbalance that a raw post
+    * comparison misreads as treatment effect.
+    *
+    * The user panel is fixed per arm (every user with ANY event counts
+    * in both period means — the balanced-panel convention), so the
+    * four means share denominators and the estimate is a fixed
+    * sequence of IEEE divisions of exact integer sums, engine-
+    * identical. Means are NULL (not NaN) for an empty arm.
+    *
+    * Scale shape: one aggregation to the user plane (map-side
+    * combined), one 1-row reduction. Output is one row.
+    *
+    * → (n_control, n_treatment, mean_pre_control, mean_post_control,
+    *   mean_pre_treatment, mean_post_treatment, did_effect)
+    */
+  def diffInDiff(events: DataFrame, userCol: String, typeCol: String,
+                 usCol: String, metricType: String,
+                 cutoverUs: Long): DataFrame = {
+    val perUser = events
+      .select(col(userCol).as("__u"), col(typeCol).as("__t"),
+        col(usCol).cast("long").as("__us"))
+      .filter(col("__u").isNotNull && col("__us").isNotNull)
+      .groupBy("__u")
+      .agg(
+        sum(when(col("__t") === metricType && col("__us") < cutoverUs, 1L)
+          .otherwise(0L)).as("__pre"),
+        sum(when(col("__t") === metricType && col("__us") >= cutoverUs, 1L)
+          .otherwise(0L)).as("__post"))
+      .select(Curation.hashBucket(col("__u"), 2).as("__arm"),
+        col("__pre"), col("__post"))
+    val s = perUser.agg(
+      coalesce(sum(when(col("__arm") === 0, 1L)), lit(0L)).as("n_control"),
+      coalesce(sum(when(col("__arm") === 0, col("__pre"))), lit(0L))
+        .as("__pc"),
+      coalesce(sum(when(col("__arm") === 0, col("__post"))), lit(0L))
+        .as("__qc"),
+      coalesce(sum(when(col("__arm") === 1, 1L)), lit(0L))
+        .as("n_treatment"),
+      coalesce(sum(when(col("__arm") === 1, col("__pre"))), lit(0L))
+        .as("__pt"),
+      coalesce(sum(when(col("__arm") === 1, col("__post"))), lit(0L))
+        .as("__qt"))
+    val nc = col("n_control").cast("double")
+    val nt = col("n_treatment").cast("double")
+    val mpc = col("__pc").cast("double") / nc
+    val mqc = col("__qc").cast("double") / nc
+    val mpt = col("__pt").cast("double") / nt
+    val mqt = col("__qt").cast("double") / nt
+    s.select(col("n_control"), col("n_treatment"),
+      when(col("n_control") > 0, mpc).as("mean_pre_control"),
+      when(col("n_control") > 0, mqc).as("mean_post_control"),
+      when(col("n_treatment") > 0, mpt).as("mean_pre_treatment"),
+      when(col("n_treatment") > 0, mqt).as("mean_post_treatment"),
+      when(col("n_control") > 0 && col("n_treatment") > 0,
+        (mqt - mpt) - (mqc - mpc)).as("did_effect"))
+  }
+
   /** Markov removal-effect attribution (Anderl et al., Int. J. Res.
     * Marketing 2016 — the data-driven alternative to [[attribution]]'s
     * first/last-touch heuristics): model user journeys as a first-order

@@ -8699,6 +8699,123 @@ object TrainingQueries {
              |    1.0 - (CAST(N - 1 AS DOUBLE) * do_)
              |      / CAST(CAST(CAST(N AS HUGEINT) * N - sqc AS VARCHAR)
              |        AS DOUBLE) END AS alpha
-             |FROM dd, m2""".stripMargin))
+             |FROM dd, m2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Exact-allocation stratified sampling (Curation.stratifiedSample —
+    // Cochran §5 proportional allocation): exactly
+    // max(⌊N_lang·0.2⌋, min(5, N_lang)) docs per language, the lowest
+    // md5-rank rows — deterministic SIZES, not Bernoulli expectations
+    // (the assignSplit contrast). The readout pins MEMBERSHIP, not just
+    // counts: the sampled doc_id sum is an exact integer any member
+    // swap would move. The in-band verdict asserts the allocation rule.
+    QuerySpec(
+      "q244_stratified_sample",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val samp = graft.ops.Curation.stratifiedSample(
+          d, "lang", "doc_id", 0.2, minPerStratum = 5)
+        val tot = d.filter(col("doc_id").isNotNull)
+          .groupBy("lang").agg(count(lit(1)).as("n_total"))
+        samp.groupBy("lang")
+          .agg(count(lit(1)).as("n_sampled"),
+            sum(col("doc_id")).cast("long").as("sum_sampled_ids"))
+          .join(tot, Seq("lang"))
+          .withColumn("allocation_ok",
+            col("n_sampled") === greatest(
+              floor(col("n_total").cast("double") * 0.2).cast("long"),
+              least(lit(5L), col("n_total"))))
+          .select(col("lang"), col("n_total"), col("n_sampled"),
+            col("sum_sampled_ids"), col("allocation_ok"))
+          .orderBy("lang")
+      },
+      Some("""WITH r AS (
+             |  SELECT lang, doc_id,
+             |    ROW_NUMBER() OVER (PARTITION BY lang
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)),
+             |        CAST(doc_id AS VARCHAR)) AS rk,
+             |    COUNT(*) OVER (PARTITION BY lang) AS nh
+             |  FROM documents WHERE doc_id IS NOT NULL),
+             |s AS (
+             |  SELECT lang, doc_id, nh FROM r
+             |  WHERE rk <= GREATEST(
+             |    CAST(FLOOR(CAST(nh AS DOUBLE) * 0.2) AS BIGINT),
+             |    LEAST(5, nh))),
+             |t AS (SELECT lang, COUNT(*) AS n_total FROM documents
+             |      WHERE doc_id IS NOT NULL GROUP BY 1)
+             |SELECT s.lang, CAST(t.n_total AS BIGINT) AS n_total,
+             |  CAST(COUNT(*) AS BIGINT) AS n_sampled,
+             |  CAST(SUM(s.doc_id) AS BIGINT) AS sum_sampled_ids,
+             |  COUNT(*) = GREATEST(
+             |    CAST(FLOOR(CAST(MAX(s.nh) AS DOUBLE) * 0.2) AS BIGINT),
+             |    LEAST(5, MAX(s.nh))) AS allocation_ok
+             |FROM s JOIN t ON t.lang = s.lang
+             |GROUP BY s.lang, t.n_total
+             |ORDER BY s.lang""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Difference-in-differences (EventOps.diffInDiff — the pre-period-
+    // controlled experiment readout next to q202's plain A/B): per-user
+    // purchase counts split at the 2024-01-16 cutover, md5-hash arms,
+    // effect = (T̄_post − T̄_pre) − (C̄_post − C̄_pre) netting out
+    // persistent arm imbalance. Four means over exact integer sums with
+    // shared panel denominators — a fixed IEEE sequence both engines
+    // replay.
+    QuerySpec(
+      "q245_diff_in_diff",
+      (s, dir) => graft.ops.EventOps.diffInDiff(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us")),
+        "user_id", "event_type", "us", metricType = "purchase",
+        cutoverUs = 1705363200000000L),
+      Some("""WITH pu AS (
+             |  SELECT user_id,
+             |    CAST(SUM(CASE WHEN event_type = 'purchase'
+             |      AND epoch_us(ts) < 1705363200000000
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS pre,
+             |    CAST(SUM(CASE WHEN event_type = 'purchase'
+             |      AND epoch_us(ts) >= 1705363200000000
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS post
+             |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+             |a AS (
+             |  SELECT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+             |      1, 8)) AS BIGINT) % 2 AS arm, pre, post
+             |  FROM pu),
+             |s AS (
+             |  SELECT
+             |    CAST(COALESCE(SUM(CASE WHEN arm = 0 THEN 1 END), 0)
+             |      AS BIGINT) AS n_control,
+             |    CAST(COALESCE(SUM(CASE WHEN arm = 0 THEN pre END), 0)
+             |      AS BIGINT) AS pc,
+             |    CAST(COALESCE(SUM(CASE WHEN arm = 0 THEN post END), 0)
+             |      AS BIGINT) AS qc,
+             |    CAST(COALESCE(SUM(CASE WHEN arm = 1 THEN 1 END), 0)
+             |      AS BIGINT) AS n_treatment,
+             |    CAST(COALESCE(SUM(CASE WHEN arm = 1 THEN pre END), 0)
+             |      AS BIGINT) AS pt,
+             |    CAST(COALESCE(SUM(CASE WHEN arm = 1 THEN post END), 0)
+             |      AS BIGINT) AS qt
+             |  FROM a)
+             |SELECT n_control, n_treatment,
+             |  CASE WHEN n_control > 0 THEN
+             |    CAST(pc AS DOUBLE) / CAST(n_control AS DOUBLE) END
+             |    AS mean_pre_control,
+             |  CASE WHEN n_control > 0 THEN
+             |    CAST(qc AS DOUBLE) / CAST(n_control AS DOUBLE) END
+             |    AS mean_post_control,
+             |  CASE WHEN n_treatment > 0 THEN
+             |    CAST(pt AS DOUBLE) / CAST(n_treatment AS DOUBLE) END
+             |    AS mean_pre_treatment,
+             |  CASE WHEN n_treatment > 0 THEN
+             |    CAST(qt AS DOUBLE) / CAST(n_treatment AS DOUBLE) END
+             |    AS mean_post_treatment,
+             |  CASE WHEN n_control > 0 AND n_treatment > 0 THEN
+             |    (CAST(qt AS DOUBLE) / CAST(n_treatment AS DOUBLE)
+             |      - CAST(pt AS DOUBLE) / CAST(n_treatment AS DOUBLE))
+             |    - (CAST(qc AS DOUBLE) / CAST(n_control AS DOUBLE)
+             |      - CAST(pc AS DOUBLE) / CAST(n_control AS DOUBLE))
+             |  END AS did_effect
+             |FROM s""".stripMargin))
   )
 }

@@ -512,6 +512,34 @@ class CurationSpec extends AnyFunSuite {
       byMax(2).getBoolean(6), s"EEOC reading flags A and C: ${byMax.toSeq}")
   }
 
+  test("stratifiedSample: exact per-stratum counts, min floor, layout-invariant, NULL ids excluded") {
+    import spark.implicits._
+    val df = ((1 to 10).map(i => ("A", i)) ++ (11 to 13).map(i => ("B", i)))
+      .toDF("g", "id")
+    // floor(10·0.2)=2, floor(3·0.2)=0
+    val s0 = Curation.stratifiedSample(df, "g", "id", 0.2)
+    val c0 = s0.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c0 == Map("A" -> 2L), s"got $c0")
+    // the min floor lifts B to min(2, 3) = 2
+    val s1 = Curation.stratifiedSample(df, "g", "id", 0.2, minPerStratum = 2)
+    val c1 = s1.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c1 == Map("A" -> 2L, "B" -> 2L), s"got $c1")
+    // layout-invariance: same MEMBERS under a different partitioning
+    val ids = s1.select("id").collect().map(_.getInt(0)).toSet
+    val ids7 = Curation.stratifiedSample(df.repartition(7), "g", "id",
+      0.2, minPerStratum = 2).select("id").collect().map(_.getInt(0)).toSet
+    assert(ids == ids7, s"$ids vs $ids7")
+    // NULL ids have no deterministic rank — excluded
+    val withNull = (Seq(("A", Option.empty[Int])) ++
+      (1 to 10).map(i => ("A", Some(i)))).toDF("g", "id")
+    assert(Curation.stratifiedSample(withNull, "g", "id", 1.0).count() == 10)
+    intercept[IllegalArgumentException] {
+      Curation.stratifiedSample(df, "g", "id", 0.0)
+    }
+  }
+
   test("weightedSample: weight-proportional inclusion, deterministic, top-k plan") {
     import spark.implicits._
     // 5000 heavy (w=100) + 5000 light (w=1) rows; a 500-row sample must be

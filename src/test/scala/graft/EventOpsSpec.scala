@@ -504,6 +504,40 @@ class EventOpsSpec extends AnyFunSuite {
       s"same-us events must order by the tiebreak: ${got.toSeq}")
   }
 
+  test("diffInDiff: matches a Scala reference over the same hash arms; empty-arm NULLs") {
+    import spark.implicits._
+    // per user u: u%3 pre purchases, u%4 post purchases, plus one noise
+    // event so every user is in the panel
+    val rows = (1 to 12).flatMap { u =>
+      Seq((u.toLong, "view", 50L)) ++
+        (0 until u % 3).map(i => (u.toLong, "buy", 100L + i)) ++
+        (0 until u % 4).map(i => (u.toLong, "buy", 1000L + i))
+    }
+    val got = graft.ops.EventOps.diffInDiff(
+      rows.toDF("u", "t", "us"), "u", "t", "us", "buy", cutoverUs = 500L)
+      .head()
+    // reference: same arms via Curation.hashBucket, same IEEE order
+    val arms = (1 to 12).map(_.toLong).toDF("u")
+      .select(col("u"), graft.ops.Curation.hashBucket(col("u"), 2).as("a"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def stats(arm: Long) = {
+      val us = (1 to 12).map(_.toLong).filter(arms(_) == arm)
+      (us.size.toLong, us.map(_ % 3).sum, us.map(_ % 4).sum)
+    }
+    val (ncL, pc, qc) = stats(0); val (ntL, pt, qt) = stats(1)
+    assert(got.getLong(0) == ncL && got.getLong(1) == ntL)
+    val mpc = pc.toDouble / ncL.toDouble; val mqc = qc.toDouble / ncL.toDouble
+    val mpt = pt.toDouble / ntL.toDouble; val mqt = qt.toDouble / ntL.toDouble
+    assert(got.getDouble(2) == mpc && got.getDouble(3) == mqc)
+    assert(got.getDouble(4) == mpt && got.getDouble(5) == mqt)
+    assert(got.getDouble(6) == (mqt - mpt) - (mqc - mpc))
+    // an input with a single arm reports NULL means for the missing one
+    val oneArm = rows.filter { case (u, _, _) => arms(u) == 0L }
+    val g1 = graft.ops.EventOps.diffInDiff(
+      oneArm.toDF("u", "t", "us"), "u", "t", "us", "buy", 500L).head()
+    assert(g1.getLong(1) == 0L && g1.isNullAt(4) && g1.isNullAt(6))
+  }
+
   test("markovAttribution: hand-computed chain; post-conversion noise ignored; no-conversion NULLs") {
     import spark.implicits._
     // u1: a→conv (+post-conv noise), u2: a→b→conv, u3: b→(null), u4: conv
