@@ -1283,6 +1283,88 @@ object EventOps {
         (mqt - mpt) - (mqc - mpc)).as("did_effect"))
   }
 
+  /** CUPED-adjusted A/B readout (Deng, Xu, Kohavi & Walker, WSDM'13 —
+    * "Improving the Sensitivity of Online Controlled Experiments by
+    * Utilizing Pre-Experiment Data"): the variance-reduction sibling of
+    * [[diffInDiff]] on the same panel. Per-user pre-cutover count X
+    * (the covariate) and post-cutover count Y, md5 arms; the adjusted
+    * metric is Ŷ_u = Y_u − θ·(X_u − X̄) with θ = Cov(X,Y)/Var(X)
+    * fitted on the POOLED panel (arm-independent under randomization,
+    * so the adjustment is unbiased), and the effect is the difference
+    * of adjusted arm means. Variance shrinks by the factor ρ²(X,Y) —
+    * reported so the caller can see what the covariate bought.
+    *
+    * Determinism: the five pooled moments and four arm sums are exact
+    * DECIMAL(38,0) integer sums; θ, the adjusted means, and ρ² are one
+    * fixed IEEE sequence over their bridged doubles. A constant
+    * covariate (Var X = 0) degrades gracefully: θ = 0, the readout
+    * falls back to the raw difference of means, var_reduction 0.
+    * Empty-arm means are NULL, never NaN.
+    *
+    * Scale shape: one aggregation to the user plane (map-side
+    * combined), one 1-row reduction. Output is one row.
+    *
+    * → (n_control, n_treatment, theta, var_reduction, effect_raw,
+    *   effect_cuped)
+    */
+  def cupedAb(events: DataFrame, userCol: String, typeCol: String,
+              usCol: String, metricType: String,
+              cutoverUs: Long): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val perUser = events
+      .select(col(userCol).as("__u"), col(typeCol).as("__t"),
+        col(usCol).cast("long").as("__us"))
+      .filter(col("__u").isNotNull && col("__us").isNotNull)
+      .groupBy("__u")
+      .agg(
+        sum(when(col("__t") === metricType && col("__us") < cutoverUs, 1L)
+          .otherwise(0L)).as("__x"),
+        sum(when(col("__t") === metricType && col("__us") >= cutoverUs, 1L)
+          .otherwise(0L)).as("__y"))
+      .select(Curation.hashBucket(col("__u"), 2).as("__arm"),
+        col("__x"), col("__y"))
+    val s = perUser.agg(
+      count(lit(1)).as("__n"),
+      coalesce(sum(col("__x").cast(d38)), lit(0).cast(d38)).as("__sx"),
+      coalesce(sum(col("__y").cast(d38)), lit(0).cast(d38)).as("__sy"),
+      coalesce(sum(col("__x").cast(d38) * col("__y")), lit(0).cast(d38))
+        .as("__sxy"),
+      coalesce(sum(col("__x").cast(d38) * col("__x")), lit(0).cast(d38))
+        .as("__sxx"),
+      coalesce(sum(col("__y").cast(d38) * col("__y")), lit(0).cast(d38))
+        .as("__syy"),
+      coalesce(sum(when(col("__arm") === 0, 1L)), lit(0L)).as("n_control"),
+      coalesce(sum(when(col("__arm") === 0, col("__x").cast(d38))),
+        lit(0).cast(d38)).as("__xc"),
+      coalesce(sum(when(col("__arm") === 0, col("__y").cast(d38))),
+        lit(0).cast(d38)).as("__yc"),
+      coalesce(sum(when(col("__arm") === 1, 1L)), lit(0L)).as("n_treatment"),
+      coalesce(sum(when(col("__arm") === 1, col("__x").cast(d38))),
+        lit(0).cast(d38)).as("__xt"),
+      coalesce(sum(when(col("__arm") === 1, col("__y").cast(d38))),
+        lit(0).cast(d38)).as("__yt"))
+    def d(c: String) = col(c).cast("string").cast("double")
+    val nD = col("__n").cast("double")
+    val covN = nD * d("__sxy") - d("__sx") * d("__sy") // n²·Cov(X,Y)
+    val varXN = nD * d("__sxx") - d("__sx") * d("__sx") // n²·Var(X)
+    val varYN = nD * d("__syy") - d("__sy") * d("__sy")
+    val theta = when(varXN > 0, covN / varXN).otherwise(lit(0.0))
+    val xbar = d("__sx") / nD
+    val nc = col("n_control").cast("double")
+    val nt = col("n_treatment").cast("double")
+    val adjC = d("__yc") / nc - theta * (d("__xc") / nc - xbar)
+    val adjT = d("__yt") / nt - theta * (d("__xt") / nt - xbar)
+    s.select(col("n_control"), col("n_treatment"),
+      when(col("__n") > 0, theta).as("theta"),
+      when(col("__n") > 0 && varXN > 0 && varYN > 0,
+        (covN * covN) / (varXN * varYN)).otherwise(
+        when(col("__n") > 0, lit(0.0))).as("var_reduction"),
+      when(col("n_control") > 0 && col("n_treatment") > 0,
+        d("__yt") / nt - d("__yc") / nc).as("effect_raw"),
+      when(col("n_control") > 0 && col("n_treatment") > 0, adjT - adjC)
+        .as("effect_cuped"))
+  }
+
   /** Markov removal-effect attribution (Anderl et al., Int. J. Res.
     * Marketing 2016 — the data-driven alternative to [[attribution]]'s
     * first/last-touch heuristics): model user journeys as a first-order

@@ -808,4 +808,174 @@ object Profile {
             (least(col("k_x"), col("k_y")) - 1).cast("double"))))
           .as("cramers_v"))
   }
+
+  /** Distributed EXCLUSIVE prefix sums over a value-sorted plane (the
+    * [[ksTwoSample]] two-pass recipe, factored): range-partition `plane`
+    * on `valueCol`, per-partition totals to the driver (numPartitions
+    * longs — the only driver traffic), then a per-partition running sum
+    * seeded with the partition's offset. Each output row carries, for
+    * every `sumCols` column c, `__cum_c` = the exact sum of c over all
+    * STRICTLY value-preceding rows — i.e. when the plane is per-distinct-
+    * value counts, the count of strictly smaller values. No global sort
+    * to one task, no window over an empty partitionSpec.
+    */
+  private def exclusivePrefix(plane: DataFrame, valueCol: String,
+                              sumCols: Seq[String],
+                              numPartitions: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    // eager localCheckpoint: the arranged frame feeds two rdd passes
+    val arranged = plane.repartitionByRange(numPartitions, col(valueCol))
+      .sortWithinPartitions(valueCol)
+      .localCheckpoint(true)
+    val idx = sumCols.map(arranged.schema.fieldIndex).toArray
+    val rdd = arranged.rdd
+    val totals = rdd.mapPartitionsWithIndex((pid, it) => {
+      val acc = new Array[Long](idx.length)
+      while (it.hasNext) {
+        val r = it.next(); var j = 0
+        while (j < idx.length) { acc(j) += r.getLong(idx(j)); j += 1 }
+      }
+      Iterator.single((pid, acc))
+    }, preservesPartitioning = true).collect().sortBy(_._1).map(_._2)
+    val offsets = totals.scanLeft(new Array[Long](idx.length)) { (a, t) =>
+      Array.tabulate(idx.length)(j => a(j) + t(j))
+    }
+    val outSchema = StructType(arranged.schema.fields ++
+      sumCols.map(c => StructField(s"__cum_$c", LongType, nullable = false)))
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val acc = offsets(pid).clone()
+      it.map { r =>
+        val pre = new Array[Any](idx.length); var j = 0
+        while (j < idx.length) {
+          pre(j) = acc(j); acc(j) += r.getLong(idx(j)); j += 1
+        }
+        Row.fromSeq(r.toSeq ++ pre)
+      }
+    }
+    plane.sparkSession.createDataFrame(out, outSchema)
+  }
+
+  /** Spearman rank correlation (Spearman 1904) between two numeric
+    * columns — the monotone-association measure [[correlationMatrix]]'s
+    * Pearson can't see (robust to outliers and any monotone
+    * transform): Pearson's r over midranks, with tied values taking
+    * the average of their covered ranks. DOUBLED midranks keep the
+    * rank plane integer (the [[graft.ops.Classifier.rocAuc]] trick):
+    * mr2(v) = 2·|{u < v}| + cnt(v) + 1, and scaling both variables by
+    * 2 leaves the correlation unchanged — so the five moments are
+    * exact DECIMAL(38,0) sums and ρ is one fixed IEEE sequence over
+    * exact inputs, hash-matching any engine.
+    *
+    * Rows with a NULL on either side are excluded (pairwise-complete
+    * convention). ρ is NULL when either column is constant.
+    *
+    * Scale shape: two value-counts aggregations, two [[exclusivePrefix]]
+    * passes over the DISTINCT-value planes (driver traffic =
+    * numPartitions longs each), two keyed joins rank the corpus, one
+    * moments aggregation. No global single-task sort anywhere.
+    *
+    * → one row (n, spearman_rho)
+    */
+  def spearmanCorrelation(df: DataFrame, xCol: String, yCol: String,
+                          numPartitions: Int = 32): DataFrame = {
+    val pairs = df
+      .select(col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    def midranks2(c: String, out: String): DataFrame =
+      exclusivePrefix(
+        pairs.groupBy(c).agg(count(lit(1)).as("__n")),
+        c, Seq("__n"), numPartitions)
+        .select(col(c),
+          (lit(2L) * col("__cum___n") + col("__n") + lit(1L)).as(out))
+    val ranked = pairs
+      .join(midranks2("__x", "__rx"), "__x")
+      .join(midranks2("__y", "__ry"), "__y")
+    val d38 = "decimal(38,0)"
+    val m = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(col("__rx").cast(d38)).as("__sx"),
+      sum(col("__ry").cast(d38)).as("__sy"),
+      sum(col("__rx").cast(d38) * col("__ry")).as("__sxy"),
+      sum(col("__rx").cast(d38) * col("__rx")).as("__sxx"),
+      sum(col("__ry").cast(d38) * col("__ry")).as("__syy"))
+    def d(c: String) = col(c).cast("string").cast("double")
+    val nD = col("n").cast("double")
+    val num = nD * d("__sxy") - d("__sx") * d("__sy")
+    val denx = nD * d("__sxx") - d("__sx") * d("__sx")
+    val deny = nD * d("__syy") - d("__sy") * d("__sy")
+    m.select(col("n"),
+      when(denx > 0 && deny > 0, num / sqrt(denx * deny))
+        .as("spearman_rho"))
+  }
+
+  /** Wilcoxon–Mann–Whitney rank-sum test (Mann & Whitney 1947) between
+    * two groups of a numeric column — the nonparametric A/B readout
+    * next to [[ksTwoSample]] (KS asks "same distribution?", rank-sum
+    * asks the sharper "is one group stochastically larger?") and the
+    * test behind [[graft.ops.Classifier.rocAuc]]'s statistic. Doubled
+    * midranks keep the rank sum integer:
+    *
+    *   2U_a = Σ_v na_v·(2·before_v + n_v + 1) − n_a·(n_a+1)
+    *
+    * with the tie-corrected normal approximation
+    *   Var(U) = (n_a·n_b/12)·[(n+1) − Σ(t³−t)/(n·(n−1))],
+    *   z = (2U_a − n_a·n_b) / (2·√Var(U)).
+    *
+    * Every sum is an exact DECIMAL(38,0); z and the common-language
+    * effect size U/(n_a·n_b) (= P(a>b) + ½P(a=b), exactly ROC AUC of
+    * group membership) are fixed IEEE sequences over exact inputs.
+    * NULL values are excluded; both groups must be nonempty; z is NULL
+    * when every value is tied (Var = 0).
+    *
+    * Scale shape: one aggregation to the distinct-value plane, one
+    * [[exclusivePrefix]] pass, one 1-row reduction — the corpus is
+    * scanned once.
+    *
+    * → one row (n_a, n_b, u_a, effect_size, z, reject_null at α=0.05)
+    */
+  def rankSumTest(df: DataFrame, groupCol: String, valueCol: String,
+                  groupA: String, groupB: String,
+                  numPartitions: Int = 32): DataFrame = {
+    val counts = df
+      .select(col(groupCol).cast("string").as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull &&
+        (col("__g") === groupA || col("__g") === groupB))
+      .groupBy("__v")
+      .agg(sum(when(col("__g") === groupA, 1L).otherwise(0L)).as("__na"),
+        sum(when(col("__g") === groupB, 1L).otherwise(0L)).as("__nb"))
+    val d38 = "decimal(38,0)"
+    val cum = exclusivePrefix(counts, "__v", Seq("__na", "__nb"),
+      numPartitions)
+      .withColumn("__before", col("__cum___na") + col("__cum___nb"))
+      .withColumn("__nv", col("__na") + col("__nb"))
+    val agg = cum.agg(
+      coalesce(sum(col("__na")), lit(0L)).as("n_a"),
+      coalesce(sum(col("__nb")), lit(0L)).as("n_b"),
+      coalesce(sum(col("__na").cast(d38) *
+        (lit(2L) * col("__before") + col("__nv") + lit(1L))),
+        lit(0).cast(d38)).as("__r2a"),
+      coalesce(sum(col("__nv").cast(d38) * col("__nv") * col("__nv") -
+        col("__nv")), lit(0).cast(d38)).as("__ties"))
+    def d(c: String) = col(c).cast("string").cast("double")
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val nD = naD + nbD
+    // 2U_a as exact decimal, then one bridge to double
+    val u2 = (col("__r2a") -
+      col("n_a").cast(d38) * (col("n_a") + lit(1L))).cast("string")
+      .cast("double")
+    val varU = naD * nbD / lit(12.0) *
+      ((nD + lit(1.0)) - d("__ties") / (nD * (nD - lit(1.0))))
+    val z = (u2 - naD * nbD) / (lit(2.0) * sqrt(varU))
+    agg.select(col("n_a"), col("n_b"),
+        (u2 / lit(2.0)).as("u_a"),
+        when(col("n_a") > 0 && col("n_b") > 0, u2 / (lit(2.0) * naD * nbD))
+          .as("effect_size"),
+        when(col("n_a") > 0 && col("n_b") > 0 && varU > 0, z).as("z"))
+      .withColumn("reject_null", when(col("z").isNotNull,
+        abs(col("z")) > lit(1.959963984540054)))
+  }
 }

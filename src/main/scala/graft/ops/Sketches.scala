@@ -391,4 +391,81 @@ object Sketches {
   def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   p: Int = 9): DataFrame =
     hllEstimate(hllSketch(df, groupCols, valueCol, p), groupCols, p)
+
+  /** AMS (Alon–Matias–Szegedy, STOC'96 — the Gödel-Prize frequency-
+    * moments paper) F2 sketch: per group, `counters` signed counters,
+    * each the sum of a deterministic ±1 hash sign over the rows —
+    * register_j = Σ_v f_v·s_j(v) with s_j(v) = ±1 from bit 0 of
+    * h48(j ":" v). E[register²] = F2 = Σ_v f_v², the self-join /
+    * repeated-value mass that sizes skew-sensitive shuffles (F2 is what
+    * a join on this key produces; [[kmvSketch]] is F0, [[cmsSketch]]
+    * point-estimates f_v — this completes the frequency-moment family).
+    *
+    * Mergeable EXACTLY: registers are sums, so [[amsMerge]]'s
+    * register-wise ADD gives bit-identically the sketch of the union
+    * (per-partition / per-day sketches roll up without rescan).
+    *
+    * Scale shape: the corpus compresses to the distinct-value plane in
+    * one aggregation (map-side combined); the ×counters expansion rides
+    * that skinny plane, never the corpus. Registers are exact BIGINTs
+    * (|register| ≤ group rows).
+    *
+    * → (groupCols…, counter, register)
+    */
+  def amsSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                counters: Int = 63): DataFrame = {
+    require(counters >= 1 && counters % 2 == 1,
+      s"AMS needs an odd counter count (exact integer median), got $counters")
+    val vc = df
+      .select(groupCols.map(col) :+
+        col(valueCol).cast("string").as("__v"): _*)
+      .filter(col("__v").isNotNull)
+      .groupBy(groupCols.map(col) :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__f"))
+    vc.withColumn("counter",
+        explode(lit((0 until counters).toArray)))
+      .withColumn("__s",
+        when(h48(concat(col("counter").cast("string"), lit(":"),
+          col("__v"))).bitwiseAND(lit(1L)) === 0L, lit(1L))
+          .otherwise(lit(-1L)))
+      .groupBy(groupCols.map(col) :+ col("counter"): _*)
+      .agg(sum(col("__f") * col("__s")).as("register"))
+  }
+
+  /** Exact merge of [[amsSketch]]es: union, register-wise SUM — the
+    * sketch of the concatenated inputs (sums are associative/
+    * commutative, the [[kmvSketch]]/[[hllMerge]] mergeability
+    * contract; unlike those, AMS merges disjoint MULTISET unions —
+    * re-observed values keep accumulating correctly).
+    */
+  def amsMerge(groupCols: Seq[String], sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "amsMerge needs at least one sketch")
+    sketches.reduce(_ unionByName _)
+      .groupBy((groupCols.map(col) :+ col("counter")): _*)
+      .agg(sum(col("register")).as("register"))
+  }
+
+  /** F2 estimate per group off an [[amsSketch]]: the MEDIAN of the
+    * squared registers (the AMS median-of-estimators step; `counters`
+    * is odd so the median is one exact element, rank (c+1)/2 on
+    * (register², counter) — no interpolation, no float). Squares ride
+    * DECIMAL(38,0) (register² overflows long past ~3·10^9 rows); the
+    * estimate returns as one bridged double.
+    *
+    * → (groupCols…, f2_estimate)
+    */
+  def amsEstimate(sketch: DataFrame, groupCols: Seq[String],
+                  counters: Int = 63): DataFrame = {
+    require(counters >= 1 && counters % 2 == 1,
+      s"AMS needs an odd counter count, got $counters")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__sq"), col("counter")) // bounded: `counters` rows/group
+    sketch
+      .withColumn("__sq",
+        col("register").cast("decimal(38,0)") * col("register"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === (counters + 1) / 2)
+      .select(groupCols.map(col) :+
+        col("__sq").cast("string").cast("double").as("f2_estimate"): _*)
+  }
 }

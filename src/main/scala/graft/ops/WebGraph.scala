@@ -918,4 +918,71 @@ object WebGraph {
           (col("__m2").cast("string").cast("double") *
             col("__m2").cast("string").cast("double"))).as("q_modularity"))
   }
+
+  /** Link prediction scores (Liben-Nowell & Kleinberg, CIKM'03; the
+    * Adamic–Adar measure from Adamic & Adar, Social Networks 2003) for
+    * every NON-edge pair with at least one common neighbor in the
+    * undirected graph — the "which hosts should be linked" /
+    * "candidate-duplicate entity" plane:
+    *
+    *   common_neighbors = |Γ(u) ∩ Γ(w)|                 (exact integer)
+    *   jaccard          = cn / |Γ(u) ∪ Γ(w)|            (one division)
+    *   adamic_adar      = Σ_z 1/ln(deg z)      (rare shared neighbors
+    *   resource_alloc   = Σ_z 1/deg z           weigh more than hubs)
+    *
+    * Determinism: each z-term is an engine-identical IEEE double cast
+    * to DECIMAL(28,18) before the order-independent sum (the
+    * averagePrecision recipe; shared neighbors have deg ≥ 2 so
+    * ln(deg) ≥ ln 2 — no division hazard), then one bridge back to
+    * double. Output is the global top-`topK` by (adamic_adar desc,
+    * pair) — an exact TakeOrdered, no full-result sort.
+    *
+    * Scale shape: candidates come from the neighbor self-join on the
+    * shared-neighbor key (Σ_z deg_z² pair terms — the documented cost
+    * of the measure; hub-heavy graphs should pre-cap degrees), then
+    * one (u,w) aggregation, one anti-join against the existing edge
+    * set, two broadcast-sized degree joins.
+    *
+    * → (node_a, node_b, common_neighbors, jaccard, adamic_adar,
+    *   resource_allocation), node_a < node_b
+    */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+                     topK: Int = 100): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val nbr = undirectedNbr(edges, srcCol, dstCol)
+      .localCheckpoint() // feeds candidates, degrees, and the anti-join
+    val deg = nbr.groupBy("node").agg(count(lit(1)).as("deg"))
+    val d28 = "decimal(28,18)"
+    // per shared neighbor z: one candidate term for each pair (u, w)
+    val cand = nbr.select(col("nb").as("__z"), col("node").as("node_a"))
+      .join(nbr.select(col("nb").as("__z"), col("node").as("node_b")),
+        "__z")
+      .filter(col("node_a") < col("node_b"))
+      .join(deg.select(col("node").as("__z"), col("deg").as("__dz")),
+        "__z")
+      .groupBy("node_a", "node_b")
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum((lit(1.0) / log(col("__dz").cast("double"))).cast(d28))
+          .as("__aa"),
+        sum((lit(1.0) / col("__dz").cast("double")).cast(d28)).as("__ra"))
+    val nonEdges = cand.join(
+      nbr.select(least(col("node"), col("nb")).as("node_a"),
+        greatest(col("node"), col("nb")).as("node_b")),
+      Seq("node_a", "node_b"), "left_anti")
+    nonEdges
+      .join(deg.select(col("node").as("node_a"), col("deg").as("__da")),
+        "node_a")
+      .join(deg.select(col("node").as("node_b"), col("deg").as("__db")),
+        "node_b")
+      .select(col("node_a"), col("node_b"), col("common_neighbors"),
+        (col("common_neighbors").cast("double") /
+          (col("__da") + col("__db") - col("common_neighbors"))
+            .cast("double")).as("jaccard"),
+        col("__aa").cast("string").cast("double").as("adamic_adar"),
+        col("__ra").cast("string").cast("double").as("resource_allocation"),
+        col("__aa").as("__ord"))
+      .orderBy(col("__ord").desc, col("node_a"), col("node_b"))
+      .limit(topK)
+      .drop("__ord")
+  }
 }

@@ -538,6 +538,36 @@ class EventOpsSpec extends AnyFunSuite {
     assert(g1.getLong(1) == 0L && g1.isNullAt(4) && g1.isNullAt(6))
   }
 
+  test("cupedAb: perfect covariate gives var_reduction 1; constant covariate falls back to raw") {
+    import spark.implicits._
+    // per user u: X = u%3 pre events, Y = 2X post events → Y = 2X exactly,
+    // θ = 2, ρ² = 1, and the adjusted effect nets out the arm X-imbalance
+    val rows = (1 to 12).flatMap { u =>
+      Seq((u.toLong, "view", 50L)) ++
+        (0 until u % 3).map(i => (u.toLong, "buy", 100L + i)) ++
+        (0 until 2 * (u % 3)).map(i => (u.toLong, "buy", 1000L + i))
+    }
+    val r = graft.ops.EventOps.cupedAb(
+      rows.toDF("u", "t", "us"), "u", "t", "us", "buy", cutoverUs = 500L)
+      .head()
+    assert(r.getLong(0) + r.getLong(1) == 12L)
+    assert(math.abs(r.getDouble(2) - 2.0) < 1e-12, s"theta ${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
+    // Y = 2X: adjusted means are both 2·X̄ → adjusted effect exactly nets
+    // to ~0 while the raw effect carries the arm imbalance
+    assert(math.abs(r.getDouble(5)) < 1e-12,
+      s"cuped effect ${r.getDouble(5)} should vanish when Y is determined by X")
+    // constant covariate: X = 1 for every user → θ = 0, cuped == raw
+    val const = (1 to 12).flatMap { u =>
+      Seq((u.toLong, "buy", 100L)) ++
+        (0 until u % 4).map(i => (u.toLong, "buy", 1000L + i))
+    }
+    val rc = graft.ops.EventOps.cupedAb(
+      const.toDF("u", "t", "us"), "u", "t", "us", "buy", 500L).head()
+    assert(rc.getDouble(2) == 0.0 && rc.getDouble(3) == 0.0)
+    assert(rc.getDouble(4) == rc.getDouble(5))
+  }
+
   test("markovAttribution: hand-computed chain; post-conversion noise ignored; no-conversion NULLs") {
     import spark.implicits._
     // u1: a→conv (+post-conv noise), u2: a→b→conv, u3: b→(null), u4: conv

@@ -533,4 +533,35 @@ class HtmlSpec extends AnyFunSuite {
       dir.listFiles().foreach(_.delete()); dir.delete()
     }
   }
+
+  test("linkPrediction: hand square graph, edge anti-join, top-k tiebreak") {
+    import spark.implicits._
+    // square a-b-c-d-a: the only non-edge pairs sharing neighbors are
+    // (a,c) via {b,d} and (b,d) via {a,c}; all degrees 2
+    val sq = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+    val got = WebGraph.linkPrediction(sq.toDF("s", "d"), "s", "d")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(got.keySet == Set(("a", "c"), ("b", "d")))
+    val (cn, jac, aa, ra) = got(("a", "c"))
+    assert(cn == 2L && jac == 1.0)
+    assert(math.abs(aa - 2.0 / math.log(2.0)) < 1e-12)
+    assert(math.abs(ra - 1.0) < 1e-15)
+    // adding the a-c diagonal removes (a,c) (it's now an edge) and
+    // re-weighs (b,d): shared neighbors a, c now have degree 3
+    val withDiag = sq :+ (("a", "c"))
+    val got2 = WebGraph.linkPrediction(withDiag.toDF("s", "d"), "s", "d")
+      .collect()
+    assert(got2.length == 1 &&
+      got2(0).getString(0) == "b" && got2(0).getString(1) == "d")
+    assert(math.abs(got2(0).getDouble(4) - 2.0 / math.log(3.0)) < 1e-12)
+    assert(math.abs(got2(0).getDouble(5) - 2.0 / 3.0) < 1e-15)
+    // topK=1: equal adamic_adar → (node_a, node_b) tiebreak picks (a,c);
+    // duplicate / reversed edge rows collapse first
+    val noisy = (sq ++ sq.map(_.swap)).toDF("s", "d")
+    val top = WebGraph.linkPrediction(noisy, "s", "d", topK = 1).collect()
+    assert(top.length == 1 &&
+      top(0).getString(0) == "a" && top(0).getString(1) == "c")
+  }
 }

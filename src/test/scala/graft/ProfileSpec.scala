@@ -381,4 +381,67 @@ class ProfileSpec extends AnyFunSuite {
     val r3 = Profile.cramersV(degen, "x", "y").head()
     assert(r3.getLong(0) == 10L && r3.getLong(4) == 0L && r3.isNullAt(5))
   }
+
+  test("spearmanCorrelation: exact ±1 on monotone data, tie midranks, constant NULL") {
+    import spark.implicits._
+    // any monotone transform gives EXACTLY 1.0 (identical rank vectors
+    // → num == denx == deny, so num/sqrt(num·num) is exact)
+    val mono = Seq((1.0, 1.0), (2.0, 4.0), (3.0, 9.0), (4.0, 16.0),
+      (5.0, 25.0)).toDF("x", "y")
+    assert(Profile.spearmanCorrelation(mono, "x", "y").head().getDouble(1)
+      == 1.0)
+    val anti = mono.withColumn("y", -col("y"))
+    assert(Profile.spearmanCorrelation(anti, "x", "y").head().getDouble(1)
+      == -1.0)
+    // ties: x=(1,1,2,3), y=(10,20,20,30). mr2 = 2·before + cnt + 1:
+    // x: 1→3 (midrank 1.5), 2→6, 3→8;  y: 10→2, 20→5 (midrank 2.5), 30→8
+    // → ρ = 15/18 = 0.8333…, the textbook tied-rank Spearman
+    val ties = Seq((1.0, 10.0), (1.0, 20.0), (2.0, 20.0), (3.0, 30.0))
+      .toDF("x", "y")
+    val got = Profile.spearmanCorrelation(ties, "x", "y").head()
+    assert(got.getLong(0) == 4L)
+    // reference via the same moment formula over hand midranks2
+    val rx = Seq(3.0, 3.0, 6.0, 8.0); val ry = Seq(2.0, 5.0, 5.0, 8.0)
+    val n = 4.0
+    val sx = rx.sum; val sy = ry.sum
+    val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+    val sxx = rx.map(a => a * a).sum; val syy = ry.map(a => a * a).sum
+    val expd = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(math.abs(got.getDouble(1) - expd) < 1e-12,
+      s"got ${got.getDouble(1)} vs $expd")
+    // layout invariance
+    val re = Profile.spearmanCorrelation(ties.repartition(5), "x", "y")
+      .head()
+    assert(re.getDouble(1) == got.getDouble(1))
+    // constant column → NULL; NULL pairs excluded
+    val const = Seq((1.0, Some(5.0)), (2.0, Some(5.0)),
+      (3.0, Option.empty[Double])).toDF("x", "y")
+    val rc = Profile.spearmanCorrelation(const, "x", "y").head()
+    assert(rc.getLong(0) == 2L && rc.isNullAt(1))
+  }
+
+  test("rankSumTest: textbook U, effect size == rocAuc, tie-only z NULL") {
+    import spark.implicits._
+    // A=(1,2,4), B=(3,5,6): R_a=7 → U_a=1; no ties
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 4.0), ("b", 3.0),
+      ("b", 5.0), ("b", 6.0)).toDF("g", "v")
+    val r = Profile.rankSumTest(df, "g", "v", "a", "b").head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 1.0) // U_a exactly 1
+    assert(math.abs(r.getDouble(3) - 1.0 / 9.0) < 1e-15)
+    val zExp = (2.0 * 1.0 - 9.0) / (2.0 * math.sqrt(9.0 * 7.0 / 12.0))
+    assert(math.abs(r.getDouble(4) - zExp) < 1e-12)
+    assert(!r.getBoolean(5)) // |z| ≈ 1.53 < 1.96
+    // effect size IS rocAuc with group a as positives (same statistic)
+    val auc = graft.ops.Classifier.rocAuc(
+      df.withColumn("y", when(col("g") === "a", 1).otherwise(0)),
+      "v", "y").head().getDouble(2)
+    assert(math.abs(r.getDouble(3) - auc) < 1e-15,
+      s"rank-sum effect ${r.getDouble(3)} vs AUC $auc")
+    // all-tied values: Var = 0 → z NULL, effect 1/2
+    val tied = Seq(("a", 7.0), ("a", 7.0), ("b", 7.0)).toDF("g", "v")
+    val rt = Profile.rankSumTest(tied, "g", "v", "a", "b").head()
+    assert(rt.getDouble(3) == 0.5 && rt.isNullAt(4) && rt.isNullAt(5))
+  }
 }

@@ -195,4 +195,36 @@ class SketchesSpec extends AnyFunSuite {
       Sketches.hllSketch(df, Seq("g"), "v", p = 3)
     }
   }
+
+  test("ams: merge == direct bit-exact; estimate brackets exact F2; layout-invariant") {
+    import spark.implicits._
+    // zipf-ish multiset: value i appears 200/i times — heavy F2 skew
+    val rows = (1 to 200).flatMap(i => Seq.fill(200 / i)(("g", s"v$i")))
+    val df = rows.toDF("g", "v")
+    val direct = Sketches.amsSketch(df, Seq("g"), "v", counters = 63)
+    // register count = counters exactly
+    assert(direct.count() == 63)
+    // disjoint thirds sketch-then-merge == direct (registers are sums)
+    val parts = (0 until 3).map(j => Sketches.amsSketch(
+      df.withColumn("__i", monotonically_increasing_id())
+        .filter(pmod(col("__i"), lit(3)) === j).drop("__i"),
+      Seq("g"), "v", counters = 63))
+    val merged = Sketches.amsMerge(Seq("g"), parts: _*)
+    assert(merged.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(merged).count() == 0,
+      "amsMerge must equal the direct build register-for-register")
+    // estimate: median-of-63 lands within a generous multiplicative band
+    val f2Exact = rows.groupBy(identity).map { case (_, g) =>
+      g.size.toLong * g.size }.sum.toDouble
+    val est = Sketches.amsEstimate(direct, Seq("g"), counters = 63)
+      .head().getDouble(1)
+    assert(est > f2Exact / 4 && est < f2Exact * 4,
+      s"AMS estimate $est vs exact F2 $f2Exact")
+    // layout invariance: a repartitioned input gives identical registers
+    val re = Sketches.amsSketch(df.repartition(7), Seq("g"), "v", 63)
+    assert(re.exceptAll(direct).count() == 0)
+    intercept[IllegalArgumentException] {
+      Sketches.amsSketch(df, Seq("g"), "v", counters = 10)
+    }
+  }
 }
