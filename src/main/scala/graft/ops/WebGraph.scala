@@ -931,7 +931,7 @@ object WebGraph {
     *   resource_alloc   = Σ_z 1/deg z           weigh more than hubs)
     *
     * Determinism: each z-term is an engine-identical IEEE double cast
-    * to DECIMAL(28,18) before the order-independent sum (the
+    * to DECIMAL(28,12) before the order-independent sum (the
     * averagePrecision recipe; shared neighbors have deg ≥ 2 so
     * ln(deg) ≥ ln 2 — no division hazard), then one bridge back to
     * double. Output is the global top-`topK` by (adamic_adar desc,
@@ -952,7 +952,7 @@ object WebGraph {
     val nbr = undirectedNbr(edges, srcCol, dstCol)
       .localCheckpoint() // feeds candidates, degrees, and the anti-join
     val deg = nbr.groupBy("node").agg(count(lit(1)).as("deg"))
-    val d28 = "decimal(28,18)"
+    val d28 = "decimal(28,12)"
     // per shared neighbor z: one candidate term for each pair (u, w)
     val cand = nbr.select(col("nb").as("__z"), col("node").as("node_a"))
       .join(nbr.select(col("nb").as("__z"), col("node").as("node_b")),

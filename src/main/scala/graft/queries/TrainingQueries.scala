@@ -8816,6 +8816,306 @@ object TrainingQueries {
              |    - (CAST(qc AS DOUBLE) / CAST(n_control AS DOUBLE)
              |      - CAST(pc AS DOUBLE) / CAST(n_control AS DOUBLE))
              |  END AS did_effect
-             |FROM s""".stripMargin))
+             |FROM s""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Spearman rank correlation (Profile.spearmanCorrelation): monotone
+    // association between quantity and extended price. Doubled midranks
+    // keep the rank plane integer (mr2 = 2·before + cnt + 1 =
+    // 2·RANK + cnt − 1), the five moments are exact HUGEINT/DECIMAL
+    // sums, and ρ is one shared IEEE sequence — the Spark side ranks via
+    // the distributed prefix scan, the oracle via window RANK; same
+    // numbers, no single-task global sort on the Spark side.
+    QuerySpec(
+      "q246_spearman",
+      (s, dir) => graft.ops.Profile.spearmanCorrelation(
+        Tables.lineitem(s, dir), "l_quantity", "l_extendedprice"),
+      Some("""WITH p AS (
+             |  SELECT CAST(l_quantity AS DOUBLE) AS x,
+             |         CAST(l_extendedprice AS DOUBLE) AS y
+             |  FROM lineitem
+             |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+             |r AS (
+             |  SELECT CAST(2*RANK() OVER (ORDER BY x)
+             |           + COUNT(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS rx,
+             |         CAST(2*RANK() OVER (ORDER BY y)
+             |           + COUNT(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS ry
+             |  FROM p),
+             |m AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(CAST(SUM(CAST(rx AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sx,
+             |    CAST(CAST(SUM(CAST(ry AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sy,
+             |    CAST(CAST(SUM(CAST(rx AS HUGEINT)*ry) AS VARCHAR) AS DOUBLE) AS sxy,
+             |    CAST(CAST(SUM(CAST(rx AS HUGEINT)*rx) AS VARCHAR) AS DOUBLE) AS sxx,
+             |    CAST(CAST(SUM(CAST(ry AS HUGEINT)*ry) AS VARCHAR) AS DOUBLE) AS syy
+             |  FROM r)
+             |SELECT n,
+             |  CASE WHEN CAST(n AS DOUBLE)*sxx - sx*sx > 0
+             |        AND CAST(n AS DOUBLE)*syy - sy*sy > 0 THEN
+             |    (CAST(n AS DOUBLE)*sxy - sx*sy)
+             |      / sqrt((CAST(n AS DOUBLE)*sxx - sx*sx)
+             |             * (CAST(n AS DOUBLE)*syy - sy*sy))
+             |  END AS spearman_rho
+             |FROM m""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Wilcoxon–Mann–Whitney rank-sum test (Profile.rankSumTest): are
+    // treatment-arm purchase amounts stochastically larger? The
+    // nonparametric sibling of q202's mean-based A/B — doubled-midrank
+    // U as an exact integer, tie-corrected normal z, effect size =
+    // P(a>b)+½P(=) (exactly ROC AUC of arm membership).
+    QuerySpec(
+      "q247_ranksum_ab",
+      (s, dir) => graft.ops.Profile.rankSumTest(
+        Tables.events(s, dir).filter(col("event_type") === "purchase")
+          .select(graft.ops.Curation.hashBucket(col("user_id"), 2)
+            .cast("string").as("arm"), col("value")),
+        "arm", "value", "0", "1"),
+      Some("""WITH v AS (
+             |  SELECT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+             |      1, 8)) AS BIGINT) % 2 AS arm,
+             |    CAST(value AS DOUBLE) AS val
+             |  FROM events
+             |  WHERE event_type = 'purchase' AND value IS NOT NULL
+             |    AND user_id IS NOT NULL),
+             |g AS (
+             |  SELECT val,
+             |    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS na,
+             |    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS nb
+             |  FROM v GROUP BY 1),
+             |c AS (
+             |  SELECT *, COALESCE(SUM(na + nb) OVER (ORDER BY val
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    AS bef
+             |  FROM g),
+             |a AS (
+             |  SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+             |    CAST(SUM(nb) AS BIGINT) AS n_b,
+             |    CAST(CAST(SUM(CAST(na AS HUGEINT)
+             |      * (2*bef + na + nb + 1))
+             |      - CAST(SUM(na) AS HUGEINT)*(SUM(na) + 1) AS VARCHAR)
+             |      AS DOUBLE) AS u2,
+             |    CAST(CAST(SUM(CAST(na + nb AS HUGEINT)*(na + nb)*(na + nb)
+             |      - (na + nb)) AS VARCHAR) AS DOUBLE) AS ties
+             |  FROM c),
+             |f AS (
+             |  SELECT n_a, n_b, u2 / 2.0 AS u_a,
+             |    CASE WHEN n_a > 0 AND n_b > 0 THEN
+             |      u2 / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+             |    END AS effect_size,
+             |    CASE WHEN n_a > 0 AND n_b > 0
+             |      AND CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+             |        * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+             |           - ties / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+             |             * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))
+             |        > 0 THEN
+             |      (u2 - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+             |        / (2.0 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+             |          / 12.0
+             |          * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+             |             - ties / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+             |               * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
+             |                  - 1.0)))))
+             |    END AS z
+             |  FROM a)
+             |SELECT n_a, n_b, u_a, effect_size, z,
+             |  CASE WHEN z IS NOT NULL THEN ABS(z) > 1.959963984540054 END
+             |    AS reject_null
+             |FROM f""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // AMS F2 sketch (Sketches.amsSketch/amsEstimate, Alon–Matias–Szegedy
+    // STOC'96): per event type, the second frequency moment of user_id —
+    // the self-join size that prices a shuffle on that key. The oracle
+    // replays the REGISTERS (md5 sign bits, exact integer sums) and the
+    // exact-integer median-of-squares, so the estimate itself
+    // hash-matches; f2_exact rides alongside as the honest reference.
+    QuerySpec(
+      "q248_ams_f2",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(
+          col("event_type"), col("user_id"))
+        val est = graft.ops.Sketches.amsEstimate(
+          graft.ops.Sketches.amsSketch(ev, Seq("event_type"), "user_id", 63),
+          Seq("event_type"), 63)
+        val exact = ev.filter(col("user_id").isNotNull)
+          .groupBy("event_type", "user_id").agg(count(lit(1)).as("__f"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("__f").cast("decimal(38,0)") * col("__f"))
+              .cast("string").cast("double").as("f2_exact"))
+        exact.join(est, "event_type")
+          .select(col("event_type"), col("n_users"), col("f2_exact"),
+            col("f2_estimate"))
+          .orderBy("event_type")
+      },
+      Some("""WITH vc AS (
+             |  SELECT event_type, CAST(user_id AS VARCHAR) AS v,
+             |    COUNT(*) AS f
+             |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+             |ctr AS (SELECT UNNEST(generate_series(0, 62)) AS c),
+             |reg AS (
+             |  SELECT event_type, c AS counter,
+             |    CAST(SUM(f * (CASE WHEN
+             |      CAST(('0x' || substring(md5(CAST(c AS VARCHAR) || ':' || v),
+             |        1, 12)) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END))
+             |      AS BIGINT) AS register
+             |  FROM vc CROSS JOIN ctr GROUP BY 1, 2),
+             |med AS (
+             |  SELECT event_type,
+             |    CAST(CAST(CAST(register AS HUGEINT) * register AS VARCHAR)
+             |      AS DOUBLE) AS f2_estimate,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type
+             |      ORDER BY CAST(register AS HUGEINT) * register, counter)
+             |      AS rk
+             |  FROM reg),
+             |ex AS (
+             |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+             |    CAST(CAST(SUM(CAST(f AS HUGEINT) * f) AS VARCHAR) AS DOUBLE)
+             |      AS f2_exact
+             |  FROM vc GROUP BY 1)
+             |SELECT e.event_type, e.n_users, e.f2_exact, m.f2_estimate
+             |FROM ex e JOIN med m USING (event_type)
+             |WHERE m.rk = 32 ORDER BY e.event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Link prediction (WebGraph.linkPrediction, Liben-Nowell & Kleinberg
+    // CIKM'03) on the planted host graph: top-50 non-edges by
+    // Adamic–Adar. Common-neighbor counts exact, Jaccard one division,
+    // AA/RA per-term DECIMAL(28,12) order-independent sums — the whole
+    // scored frame replays term-for-term.
+    QuerySpec(
+      "q249_link_prediction",
+      (s, dir) => {
+        val pages = Tables.documents(s, dir).select(
+          host97.as("src_host"), htmlFixture.as("html"))
+        val edges = graft.ops.Html.linkGraph(pages, "src_host", "html")
+        graft.ops.WebGraph.linkPrediction(
+          edges, "src_host", "dst_host", topK = 50)
+      },
+      Some("WITH " + linkEdgesCte.stripMargin + """,
+             |e0 AS (
+             |  SELECT DISTINCT src_host AS s, dst_host AS d FROM l
+             |  WHERE src_host IS NOT NULL AND dst_host IS NOT NULL
+             |    AND src_host <> dst_host),
+             |nbr AS (
+             |  SELECT s AS node, d AS nb FROM e0
+             |  UNION
+             |  SELECT d AS node, s AS nb FROM e0),
+             |deg AS (SELECT node, COUNT(*) AS deg FROM nbr GROUP BY 1),
+             |cand AS (
+             |  SELECT a.node AS node_a, b.node AS node_b,
+             |    CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+             |    SUM(CAST(1.0 / LN(CAST(dz.deg AS DOUBLE))
+             |      AS DECIMAL(28,12))) AS aa,
+             |    SUM(CAST(1.0 / CAST(dz.deg AS DOUBLE)
+             |      AS DECIMAL(28,12))) AS ra
+             |  FROM nbr a
+             |  JOIN nbr b ON a.nb = b.nb AND a.node < b.node
+             |  JOIN deg dz ON dz.node = a.nb
+             |  GROUP BY 1, 2),
+             |ne AS (
+             |  SELECT * FROM cand c
+             |  WHERE NOT EXISTS (SELECT 1 FROM nbr x
+             |    WHERE LEAST(x.node, x.nb) = c.node_a
+             |      AND GREATEST(x.node, x.nb) = c.node_b))
+             |SELECT ne.node_a, ne.node_b, ne.common_neighbors,
+             |  CAST(ne.common_neighbors AS DOUBLE)
+             |    / CAST(da.deg + db.deg - ne.common_neighbors AS DOUBLE)
+             |    AS jaccard,
+             |  CAST(CAST(ne.aa AS VARCHAR) AS DOUBLE) AS adamic_adar,
+             |  CAST(CAST(ne.ra AS VARCHAR) AS DOUBLE)
+             |    AS resource_allocation
+             |FROM ne
+             |JOIN deg da ON da.node = ne.node_a
+             |JOIN deg db ON db.node = ne.node_b
+             |ORDER BY ne.aa DESC, ne.node_a, ne.node_b
+             |LIMIT 50""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // CUPED-adjusted A/B (EventOps.cupedAb, Deng–Xu–Kohavi–Walker
+    // WSDM'13): q245's panel with the pre-period count as a regression
+    // covariate — θ = Cov(X,Y)/Var(X) off exact integer moments, the
+    // adjusted effect and the ρ² variance-reduction factor, all one
+    // shared IEEE sequence.
+    QuerySpec(
+      "q250_cuped_ab",
+      (s, dir) => graft.ops.EventOps.cupedAb(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us")),
+        "user_id", "event_type", "us", metricType = "purchase",
+        cutoverUs = 1705363200000000L),
+      Some("""WITH pu AS (
+             |  SELECT user_id,
+             |    CAST(SUM(CASE WHEN event_type = 'purchase'
+             |      AND epoch_us(ts) < 1705363200000000
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             |    CAST(SUM(CASE WHEN event_type = 'purchase'
+             |      AND epoch_us(ts) >= 1705363200000000
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS y
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |  GROUP BY 1),
+             |a AS (
+             |  SELECT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+             |      1, 8)) AS BIGINT) % 2 AS arm, x, y
+             |  FROM pu),
+             |s AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(CAST(COALESCE(SUM(CAST(x AS HUGEINT)), 0) AS VARCHAR)
+             |      AS DOUBLE) AS sx,
+             |    CAST(CAST(COALESCE(SUM(CAST(y AS HUGEINT)), 0) AS VARCHAR)
+             |      AS DOUBLE) AS sy,
+             |    CAST(CAST(COALESCE(SUM(CAST(x AS HUGEINT)*y), 0) AS VARCHAR)
+             |      AS DOUBLE) AS sxy,
+             |    CAST(CAST(COALESCE(SUM(CAST(x AS HUGEINT)*x), 0) AS VARCHAR)
+             |      AS DOUBLE) AS sxx,
+             |    CAST(CAST(COALESCE(SUM(CAST(y AS HUGEINT)*y), 0) AS VARCHAR)
+             |      AS DOUBLE) AS syy,
+             |    CAST(COALESCE(SUM(CASE WHEN arm = 0 THEN 1 END), 0)
+             |      AS BIGINT) AS n_control,
+             |    CAST(CAST(COALESCE(SUM(CASE WHEN arm = 0
+             |      THEN CAST(x AS HUGEINT) END), 0) AS VARCHAR) AS DOUBLE)
+             |      AS xc,
+             |    CAST(CAST(COALESCE(SUM(CASE WHEN arm = 0
+             |      THEN CAST(y AS HUGEINT) END), 0) AS VARCHAR) AS DOUBLE)
+             |      AS yc,
+             |    CAST(COALESCE(SUM(CASE WHEN arm = 1 THEN 1 END), 0)
+             |      AS BIGINT) AS n_treatment,
+             |    CAST(CAST(COALESCE(SUM(CASE WHEN arm = 1
+             |      THEN CAST(x AS HUGEINT) END), 0) AS VARCHAR) AS DOUBLE)
+             |      AS xt,
+             |    CAST(CAST(COALESCE(SUM(CASE WHEN arm = 1
+             |      THEN CAST(y AS HUGEINT) END), 0) AS VARCHAR) AS DOUBLE)
+             |      AS yt
+             |  FROM a),
+             |t AS (
+             |  SELECT *,
+             |    CAST(n AS DOUBLE)*sxy - sx*sy AS covn,
+             |    CAST(n AS DOUBLE)*sxx - sx*sx AS varxn,
+             |    CAST(n AS DOUBLE)*syy - sy*sy AS varyn,
+             |    CASE WHEN CAST(n AS DOUBLE)*sxx - sx*sx > 0 THEN
+             |      (CAST(n AS DOUBLE)*sxy - sx*sy)
+             |        / (CAST(n AS DOUBLE)*sxx - sx*sx)
+             |    ELSE 0.0 END AS theta
+             |  FROM s)
+             |SELECT n_control, n_treatment,
+             |  CASE WHEN n > 0 THEN theta END AS theta,
+             |  CASE WHEN n > 0 AND varxn > 0 AND varyn > 0 THEN
+             |    (covn * covn) / (varxn * varyn)
+             |  WHEN n > 0 THEN 0.0 END AS var_reduction,
+             |  CASE WHEN n_control > 0 AND n_treatment > 0 THEN
+             |    yt / CAST(n_treatment AS DOUBLE)
+             |      - yc / CAST(n_control AS DOUBLE)
+             |  END AS effect_raw,
+             |  CASE WHEN n_control > 0 AND n_treatment > 0 THEN
+             |    (yt / CAST(n_treatment AS DOUBLE)
+             |      - theta * (xt / CAST(n_treatment AS DOUBLE)
+             |        - sx / CAST(n AS DOUBLE)))
+             |    - (yc / CAST(n_control AS DOUBLE)
+             |      - theta * (xc / CAST(n_control AS DOUBLE)
+             |        - sx / CAST(n AS DOUBLE)))
+             |  END AS effect_cuped
+             |FROM t""".stripMargin))
   )
 }
