@@ -910,6 +910,237 @@ object Profile {
         .as("spearman_rho"))
   }
 
+  /** Kendall rank correlation τ-b (Kendall 1938; the τ-b tie correction
+    * of Kendall 1945) between two numeric columns — the
+    * concordance-probability reading of monotone association
+    * ([[spearmanCorrelation]]'s sibling; τ has the cleaner
+    * interpretation P(concordant) − P(discordant) and more robust
+    * small-sample behavior):
+    *
+    *   τ_b = (C − D) / √((n0 − n1)·(n0 − n2)),   n0 = n(n−1)/2
+    *
+    * with C/D counted on the DISTINCT (x,y)-combo plane — each
+    * ordered combo pair (a, b) with x_a < x_b contributes
+    * cnt_a·cnt_b to C when y_a < y_b, to D when y_a > y_b — and the
+    * tie terms n1/n2 off the marginal count planes. Every count is an
+    * exact DECIMAL(38,0); τ is one IEEE sequence over bridged doubles.
+    * NULL pairs are excluded; τ is NULL when either column is constant.
+    *
+    * Scale contract: the combo self-join is QUADRATIC in distinct
+    * (x,y) combos — intended for bounded planes (daily series, per-
+    * group aggregates), like the oracle any engine would run. For raw
+    * corpus columns use [[spearmanCorrelation]], whose prefix-scan
+    * stays linear.
+    *
+    * → one row (n, concordant, discordant, tau_b)
+    */
+  def kendallTau(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val combos = df
+      .select(col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .groupBy("__x", "__y").agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // feeds the pair join twice + three marginals
+    val d38 = "decimal(38,0)"
+    val a = combos.select(col("__x").as("__xa"), col("__y").as("__ya"),
+      col("__c").as("__ca"))
+    val b = combos.select(col("__x").as("__xb"), col("__y").as("__yb"),
+      col("__c").as("__cb"))
+    val cd = a.join(b, col("__xa") < col("__xb"))
+      .agg(
+        coalesce(sum(when(col("__ya") < col("__yb"),
+          col("__ca").cast(d38) * col("__cb"))), lit(0).cast(d38))
+          .as("__cc"),
+        coalesce(sum(when(col("__ya") > col("__yb"),
+          col("__ca").cast(d38) * col("__cb"))), lit(0).cast(d38))
+          .as("__dd"))
+    def tiePairs(c: String) = combos.groupBy(c)
+      .agg(sum(col("__c")).as("__m"))
+      .agg(coalesce(sum(col("__m").cast(d38) * (col("__m") - 1)),
+        lit(0).cast(d38)).as("__t2")) // 2× the tied-pair count
+    val nr = combos.agg(coalesce(sum(col("__c")), lit(0L)).as("n"))
+    def d(c: String) = col(c).cast("string").cast("double")
+    nr.crossJoin(cd)
+      .crossJoin(tiePairs("__x").withColumnRenamed("__t2", "__tx2"))
+      .crossJoin(tiePairs("__y").withColumnRenamed("__t2", "__ty2"))
+      .select(col("n"),
+        col("__cc").cast("string").cast("double").as("concordant"),
+        col("__dd").cast("string").cast("double").as("discordant"),
+        {
+          val n02 = col("n").cast("double") * (col("n").cast("double") -
+            lit(1.0)) // 2·n0
+          val den = (n02 - d("__tx2")) * (n02 - d("__ty2"))
+          when(den > 0,
+            lit(2.0) * (d("__cc") - d("__dd")) / sqrt(den)).as("tau_b")
+        })
+  }
+
+  /** Pettitt changepoint test (Pettitt, JRSS-C 1979) over an ordered
+    * series — the nonparametric "did the level shift, and WHERE?"
+    * companion to the CUSUM drift detector: for each split point t,
+    *
+    *   U_t = Σ_{i≤t} Σ_{j>t} sgn(x_i − x_j)
+    *       = Σ_{i≤t} (mr2_i − 1 − n)        (midrank identity; the
+    *                                         within-prefix pairs cancel)
+    *
+    * so the whole statistic rides the SAME doubled-midrank plane as
+    * [[spearmanCorrelation]] — no pair join, exact integers throughout.
+    * K = max_t |U_t| (t < n), the changepoint is the smallest t
+    * attaining K, and the classic approximation
+    * p ≈ 2·exp(−6K²/(n³+n²)) gates significance (α=0.05).
+    *
+    * Scale shape: one [[exclusivePrefix]] over the value plane for
+    * midranks, one keyed join, one [[exclusivePrefix]] over the order
+    * column for the prefix sums, one 1-row reduction. Fully linear; no
+    * single-task sort. Order values must be unique (a series index);
+    * NULL order/values are excluded.
+    *
+    * → one row (n, k_stat, change_at, p_value, significant)
+    */
+  def pettittTest(df: DataFrame, orderCol: String, valueCol: String,
+                  numPartitions: Int = 32): DataFrame = {
+    val rows = df
+      .select(col(orderCol).cast("double").as("__t"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__t").isNotNull && col("__v").isNotNull)
+    val mr = exclusivePrefix(
+      rows.groupBy("__v").agg(count(lit(1)).as("__n")),
+      "__v", Seq("__n"), numPartitions)
+      .select(col("__v"),
+        (lit(2L) * col("__cum___n") + col("__n") + lit(1L)).as("__mr2"))
+    // one action, three scalars: n (inside the per-row term), the
+    // unique-order contract check, and the last split point
+    val head = rows.agg(count(lit(1)), countDistinct(col("__t")),
+      max(col("__t"))).head()
+    val n1 = head.getLong(0)
+    require(n1 >= 2, s"pettittTest needs >= 2 rows, got $n1")
+    require(head.getLong(1) == n1,
+      s"pettittTest: orderCol must be unique per row " +
+        s"(${head.getLong(1)} distinct over $n1 rows)")
+    val tMax = head.getDouble(2)
+    val terms = rows.join(mr, "__v")
+      .select(col("__t"), (col("__mr2") - lit(1L + n1)).as("__s"))
+    // U_t = prefix sum of __s through t INCLUSIVE = exclusive-prefix + own
+    val u = exclusivePrefix(terms, "__t", Seq("__s"), numPartitions)
+      .select(col("__t"), (col("__cum___s") + col("__s")).as("__u"))
+      .filter(col("__t") =!= tMax) // t < n splits only
+    val best = u
+      .select(col("__t"), abs(col("__u")).as("__k"))
+      .orderBy(col("__k").desc, col("__t")).limit(1)
+    val nD = n1.toDouble
+    best.select(lit(n1).as("n"), col("__k").as("k_stat"),
+      col("__t").as("change_at"),
+      (lit(2.0) * exp(lit(-6.0) * col("__k").cast("double") *
+        col("__k").cast("double") / lit(nD * nD * nD + nD * nD)))
+        .as("p_value"))
+      .withColumn("significant", col("p_value") < lit(0.05))
+  }
+
+  /** Gini concentration coefficient (Gini 1912) of a nonnegative
+    * numeric column — the inequality summary behind "10% of users
+    * produce 90% of events" / token-ownership concentration, and the
+    * scalar companion to [[keySkew]] when sizing a shuffle:
+    *
+    *   G = (2·Σ_i i·x_(i) − (n+1)·Σx) / (n·Σx)
+    *
+    * with the rank-weighted sum computed per TIE BLOCK off the
+    * [[exclusivePrefix]] plane (a block of cnt c starting after b rows
+    * contributes v·(c·b + c(c+1)/2) — exact integers, no per-row rank
+    * materialization). Values are cast to DECIMAL(18,6) so every
+    * product is exact; G is one IEEE sequence over bridged sums.
+    * Negative values are rejected (Gini is undefined); NULLs excluded;
+    * G is NULL when the total is 0.
+    *
+    * Scale shape: one value-counts aggregation, one prefix pass, one
+    * 1-row reduction — linear, no global sort.
+    *
+    * → one row (n, total, gini)
+    */
+  def giniConcentration(df: DataFrame, valueCol: String,
+                        numPartitions: Int = 32): DataFrame = {
+    val vals = df.select(col(valueCol).cast("double")
+        .cast("decimal(18,6)").as("__v"))
+      .filter(col("__v").isNotNull)
+    val neg = vals.filter(col("__v") < 0).limit(1).count()
+    require(neg == 0, "giniConcentration: negative values are undefined")
+    val plane = vals.groupBy("__v").agg(count(lit(1)).as("__n"))
+    val d38 = "decimal(38,6)"
+    val agg = exclusivePrefix(plane, "__v", Seq("__n"), numPartitions)
+      .agg(
+        coalesce(sum(col("__n")), lit(0L)).as("n"),
+        coalesce(sum(col("__v").cast(d38) * col("__n")), lit(0).cast(d38))
+          .as("__sx"),
+        // Σ over the block of v: v·(c·b + c·(c+1)/2); doubled to stay
+        // integral: 2·term = v·c·(2b + c + 1) — the inner factors ride
+        // DECIMAL so no long product ever overflows (c·b ~ n² at scale)
+        coalesce(sum(col("__v").cast(d38) * col("__n") *
+          (lit(2L) * col("__cum___n") + col("__n") + lit(1L))),
+          lit(0).cast(d38)).as("__s2")) // = 2·Σ i·x_(i)
+    def d(c: String) = col(c).cast("string").cast("double")
+    agg.select(col("n"),
+      d("__sx").as("total"),
+      when(d("__sx") > 0,
+        (d("__s2") - (col("n").cast("double") + lit(1.0)) * d("__sx")) /
+          (col("n").cast("double") * d("__sx"))).as("gini"))
+  }
+
+  /** Theil–Sen robust slope (Theil 1950; Sen, JASA 1968) of y on x —
+    * the median of all pairwise slopes, with up to ~29% breakdown
+    * (outlier days can't drag it the way [[graft.ops.EventOps
+    * .dailyTrend]]'s OLS slope is dragged), plus the standard
+    * median-residual intercept. Determinism: each pairwise slope is
+    * one engine-identical IEEE division; the median is an EXACT order
+    * statistic — rank ⌈m/2⌉ on (slope, xa, xb) — no interpolation, so
+    * the chosen value replays bit-for-bit.
+    *
+    * Scale contract: the pair join is QUADRATIC in rows — intended
+    * for bounded planes (daily/series aggregates), the same contract
+    * as [[kendallTau]]. x-ties contribute no slope (vertical pairs
+    * are skipped, the standard convention); NULL pairs excluded.
+    *
+    * → one row (n_points, n_pairs, slope, intercept); NULLs when no
+    *   non-vertical pair exists.
+    */
+  def theilSenSlope(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val pts = df
+      .select(col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .localCheckpoint() // feeds the pair join twice + the residual pass
+    val a = pts.select(col("__x").as("__xa"), col("__y").as("__ya"))
+    val b = pts.select(col("__x").as("__xb"), col("__y").as("__yb"))
+    val slopes = a.join(b, col("__xa") < col("__xb"))
+      .select(col("__xa"), col("__xb"),
+        ((col("__yb") - col("__ya")) / (col("__xb") - col("__xa")))
+          .as("__m"))
+    val nPairs = slopes.count()
+    val nPts = pts.count()
+    if (nPairs == 0) {
+      pts.sparkSession.range(1).select(
+        lit(nPts).as("n_points"), lit(0L).as("n_pairs"),
+        lit(null).cast("double").as("slope"),
+        lit(null).cast("double").as("intercept"))
+    } else {
+      val wS = org.apache.spark.sql.expressions.Window
+        .partitionBy(graft.functions.ArrayMath.boundedKey(slopes))
+        .orderBy(col("__m"), col("__xa"), col("__xb"))
+      // bounded: the pair plane of a bounded series (documented contract)
+      val med = slopes.withColumn("__rk", row_number().over(wS))
+        .filter(col("__rk") === (nPairs + 1) / 2)
+        .select(col("__m").as("slope"))
+      val resid = pts.crossJoin(med)
+        .select(col("slope"), (col("__y") - col("slope") * col("__x"))
+          .as("__r"))
+      val wR = org.apache.spark.sql.expressions.Window
+        .partitionBy(graft.functions.ArrayMath.boundedKey(resid))
+        .orderBy(col("__r"))
+      resid.withColumn("__rk", row_number().over(wR))
+        .filter(col("__rk") === (nPts + 1) / 2)
+        .select(lit(nPts).as("n_points"), lit(nPairs).as("n_pairs"),
+          col("slope"), col("__r").as("intercept"))
+    }
+  }
+
   /** Wilcoxon–Mann–Whitney rank-sum test (Mann & Whitney 1947) between
     * two groups of a numeric column — the nonparametric A/B readout
     * next to [[ksTwoSample]] (KS asks "same distribution?", rank-sum

@@ -9116,6 +9116,192 @@ object TrainingQueries {
              |      - theta * (xc / CAST(n_control AS DOUBLE)
              |        - sx / CAST(n AS DOUBLE)))
              |  END AS effect_cuped
-             |FROM t""".stripMargin))
+             |FROM t""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Kendall τ-b (Profile.kendallTau): do days with more views also see
+    // more purchases? Concordant/discordant pair mass off the distinct
+    // (x,y)-combo plane — exact HUGEINT/DECIMAL counts, tie-corrected
+    // τ-b as one shared IEEE sequence. The quadratic combo join rides
+    // the bounded DAY plane, the intended contract.
+    QuerySpec(
+      "q251_kendall_tau",
+      (s, dir) => graft.ops.Profile.kendallTau(
+        Tables.events(s, dir)
+          .select(to_date(col("ts")).as("day"), col("event_type"))
+          .filter(col("day").isNotNull)
+          .groupBy("day")
+          .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("x"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("y")),
+        "x", "y"),
+      Some("""WITH d AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
+             |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |      AS y
+             |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+             |co AS (
+             |  SELECT CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y,
+             |    COUNT(*) AS c
+             |  FROM d GROUP BY 1, 2),
+             |cd AS (
+             |  SELECT
+             |    CAST(CAST(COALESCE(SUM(CASE WHEN a.y < b.y
+             |      THEN CAST(a.c AS HUGEINT) * b.c END), 0) AS VARCHAR)
+             |      AS DOUBLE) AS cc,
+             |    CAST(CAST(COALESCE(SUM(CASE WHEN a.y > b.y
+             |      THEN CAST(a.c AS HUGEINT) * b.c END), 0) AS VARCHAR)
+             |      AS DOUBLE) AS dd
+             |  FROM co a JOIN co b ON a.x < b.x),
+             |tx AS (
+             |  SELECT CAST(CAST(COALESCE(SUM(CAST(m AS HUGEINT) * (m - 1)),
+             |    0) AS VARCHAR) AS DOUBLE) AS t2
+             |  FROM (SELECT SUM(c) AS m FROM co GROUP BY x)),
+             |ty AS (
+             |  SELECT CAST(CAST(COALESCE(SUM(CAST(m AS HUGEINT) * (m - 1)),
+             |    0) AS VARCHAR) AS DOUBLE) AS t2
+             |  FROM (SELECT SUM(c) AS m FROM co GROUP BY y)),
+             |nn AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n FROM co)
+             |SELECT nn.n, cd.cc AS concordant, cd.dd AS discordant,
+             |  CASE WHEN (CAST(nn.n AS DOUBLE) * (CAST(nn.n AS DOUBLE) - 1.0)
+             |      - tx.t2) * (CAST(nn.n AS DOUBLE)
+             |        * (CAST(nn.n AS DOUBLE) - 1.0) - ty.t2) > 0 THEN
+             |    2.0 * (cd.cc - cd.dd)
+             |      / sqrt((CAST(nn.n AS DOUBLE) * (CAST(nn.n AS DOUBLE) - 1.0)
+             |          - tx.t2) * (CAST(nn.n AS DOUBLE)
+             |            * (CAST(nn.n AS DOUBLE) - 1.0) - ty.t2))
+             |  END AS tau_b
+             |FROM nn, cd, tx, ty""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Pettitt changepoint test (Profile.pettittTest): did the daily
+    // purchase level shift, and on which day? U_t off the doubled-
+    // midrank identity (exact integers, no pair join), K = max|U_t|,
+    // the classic 2·exp(−6K²/(n³+n²)) significance gate. Spark ranks by
+    // distributed prefix scan; the oracle replays with window cumsums.
+    QuerySpec(
+      "q252_pettitt",
+      (s, dir) => graft.ops.Profile.pettittTest(
+        Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(to_date(col("ts")).as("day"))
+          .filter(col("day").isNotNull)
+          .groupBy("day")
+          .agg(count(lit(1)).as("cnt"))
+          .select(datediff(col("day"), lit("1970-01-01")).cast("long")
+            .as("t"), col("cnt")),
+        "t", "cnt"),
+      Some("""WITH s0 AS (
+             |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+             |      AS t,
+             |    COUNT(*) AS cnt
+             |  FROM events
+             |  WHERE event_type = 'purchase' AND ts IS NOT NULL
+             |  GROUP BY 1),
+             |r AS (
+             |  SELECT CAST(t AS DOUBLE) AS t,
+             |    CAST(2*RANK() OVER (ORDER BY cnt)
+             |      + COUNT(*) OVER (PARTITION BY cnt) - 1 AS BIGINT) AS mr2,
+             |    COUNT(*) OVER () AS n
+             |  FROM s0),
+             |u AS (
+             |  SELECT t,
+             |    SUM(mr2 - 1 - n) OVER (ORDER BY t
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ut,
+             |    n, MAX(t) OVER () AS tmax
+             |  FROM r),
+             |best AS (
+             |  SELECT CAST(n AS BIGINT) AS n, ABS(ut) AS k, t
+             |  FROM u WHERE t <> tmax
+             |  ORDER BY ABS(ut) DESC, t LIMIT 1)
+             |SELECT n, CAST(k AS BIGINT) AS k_stat, t AS change_at,
+             |  2.0 * exp(-6.0 * CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+             |    / (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n))
+             |    AS p_value,
+             |  2.0 * exp(-6.0 * CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+             |    / (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n))
+             |    < 0.05 AS significant
+             |FROM best""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Gini concentration (Profile.giniConcentration): how concentrated
+    // is event volume across users? Rank-weighted sums per tie block off
+    // the prefix-scan plane — exact DECIMAL arithmetic, one IEEE
+    // readout. The scalar companion to q181's key-skew table when
+    // deciding whether a shuffle key needs salting.
+    QuerySpec(
+      "q253_gini_users",
+      (s, dir) => graft.ops.Profile.giniConcentration(
+        Tables.events(s, dir)
+          .filter(col("user_id").isNotNull)
+          .groupBy("user_id").agg(count(lit(1)).as("cnt")),
+        "cnt"),
+      Some("""WITH pu AS (
+             |  SELECT user_id, COUNT(*) AS c FROM events
+             |  WHERE user_id IS NOT NULL GROUP BY 1),
+             |pl AS (SELECT c AS v, COUNT(*) AS n FROM pu GROUP BY 1),
+             |cu AS (
+             |  SELECT v, n,
+             |    COALESCE(SUM(n) OVER (ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS bef
+             |  FROM pl),
+             |agg AS (
+             |  SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n,
+             |    CAST(CAST(COALESCE(SUM(CAST(v AS HUGEINT) * n), 0)
+             |      AS VARCHAR) AS DOUBLE) AS sx,
+             |    CAST(CAST(COALESCE(SUM(CAST(v AS HUGEINT) * n
+             |      * (2*bef + n + 1)), 0) AS VARCHAR) AS DOUBLE) AS s2
+             |  FROM cu)
+             |SELECT n, sx AS total,
+             |  CASE WHEN sx > 0 THEN
+             |    (s2 - (CAST(n AS DOUBLE) + 1.0) * sx)
+             |      / (CAST(n AS DOUBLE) * sx)
+             |  END AS gini
+             |FROM agg""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Theil–Sen robust trend (Profile.theilSenSlope): events-per-day
+    // growth slope that one anomalous day cannot drag (the robust
+    // sibling of q226's OLS). Median pair slope and median-residual
+    // intercept are EXACT order statistics on deterministic IEEE
+    // divisions — the chosen values replay bit-for-bit.
+    QuerySpec(
+      "q254_theil_sen",
+      (s, dir) => graft.ops.Profile.theilSenSlope(
+        Tables.events(s, dir)
+          .select(to_date(col("ts")).as("day"))
+          .filter(col("day").isNotNull)
+          .groupBy("day").agg(count(lit(1)).as("cnt"))
+          .select(datediff(col("day"), lit("1970-01-01")).cast("long")
+            .as("t"), col("cnt")),
+        "t", "cnt"),
+      Some("""WITH d AS (
+             |  SELECT CAST(CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+             |      AS BIGINT) AS DOUBLE) AS x,
+             |    CAST(COUNT(*) AS DOUBLE) AS y
+             |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+             |p AS (
+             |  SELECT a.x AS xa, b.x AS xb, (b.y - a.y) / (b.x - a.x) AS m
+             |  FROM d a JOIN d b ON a.x < b.x),
+             |np AS (SELECT COUNT(*) AS n_pairs FROM p),
+             |nd AS (SELECT COUNT(*) AS n_points FROM d),
+             |med AS (
+             |  SELECT m AS slope FROM (
+             |    SELECT m, ROW_NUMBER() OVER (ORDER BY m, xa, xb) AS rk
+             |    FROM p) q, np
+             |  WHERE q.rk = (np.n_pairs + 1) // 2),
+             |res AS (
+             |  SELECT med.slope, d.y - med.slope * d.x AS r
+             |  FROM d, med)
+             |SELECT CAST(nd.n_points AS BIGINT) AS n_points,
+             |  CAST(np.n_pairs AS BIGINT) AS n_pairs,
+             |  q.slope, q.r AS intercept
+             |FROM (
+             |  SELECT slope, r, ROW_NUMBER() OVER (ORDER BY r) AS rk
+             |  FROM res) q, nd, np
+             |WHERE q.rk = (nd.n_points + 1) // 2""".stripMargin))
   )
 }

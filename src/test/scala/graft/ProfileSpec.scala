@@ -421,6 +421,90 @@ class ProfileSpec extends AnyFunSuite {
     assert(rc.getLong(0) == 2L && rc.isNullAt(1))
   }
 
+  test("kendallTau: hand C/D, tie correction, constant-column NULL") {
+    import spark.implicits._
+    // x=1..5, y=(3,1,2,5,4): C=7, D=3, no ties → τ = 0.4 exactly
+    val df = Seq((1.0, 3.0), (2.0, 1.0), (3.0, 2.0), (4.0, 5.0),
+      (5.0, 4.0)).toDF("x", "y")
+    val r = Profile.kendallTau(df, "x", "y").head()
+    assert(r.getLong(0) == 5L && r.getDouble(1) == 7.0 &&
+      r.getDouble(2) == 3.0)
+    assert(r.getDouble(3) == 0.4)
+    // ties in x: x=(1,1,2), y=(1,2,3) → C=2, D=0, τ_b = 4/√24
+    val t = Profile.kendallTau(
+      Seq((1.0, 1.0), (1.0, 2.0), (2.0, 3.0)).toDF("x", "y"), "x", "y")
+      .head()
+    assert(t.getDouble(1) == 2.0 && t.getDouble(2) == 0.0)
+    assert(math.abs(t.getDouble(3) - 4.0 / math.sqrt(24.0)) < 1e-15)
+    // constant x: denominator 0 → NULL
+    val c = Profile.kendallTau(
+      Seq((1.0, 1.0), (1.0, 2.0)).toDF("x", "y"), "x", "y").head()
+    assert(c.isNullAt(3))
+  }
+
+  test("pettittTest: level shift found at the exact split; contracts enforced") {
+    import spark.implicits._
+    // 5 zeros then 5 tens: U_t = −5t for t ≤ 5 → K = 25 at t = 5
+    val df = (1 to 10).map(t => (t.toDouble, if (t <= 5) 0.0 else 10.0))
+      .toDF("t", "x")
+    val r = Profile.pettittTest(df, "t", "x").head()
+    assert(r.getLong(0) == 10L && r.getLong(1) == 25L &&
+      r.getDouble(2) == 5.0)
+    val pExp = 2.0 * math.exp(-6.0 * 625.0 / 1100.0)
+    assert(math.abs(r.getDouble(3) - pExp) < 1e-15)
+    assert(!r.getBoolean(4)) // p ≈ 0.066 — a 10-point series can't reach 0.05
+    // a longer run with the same clean shift IS significant
+    val long = (1 to 30).map(t => (t.toDouble, if (t <= 15) 0.0 else 10.0))
+      .toDF("t", "x")
+    val rl = Profile.pettittTest(long, "t", "x").head()
+    assert(rl.getLong(1) == 225L && rl.getDouble(2) == 15.0 &&
+      rl.getBoolean(4))
+    // layout invariance
+    val r7 = Profile.pettittTest(df.repartition(7), "t", "x").head()
+    assert(r7.getLong(1) == 25L && r7.getDouble(2) == 5.0)
+    // duplicate order values rejected; tiny input rejected
+    intercept[IllegalArgumentException] {
+      Profile.pettittTest(df.withColumn("t", lit(1.0)), "t", "x").head()
+    }
+    intercept[IllegalArgumentException] {
+      Profile.pettittTest(df.limit(1), "t", "x").head()
+    }
+  }
+
+  test("giniConcentration: 0 on equality, (n-1)/n on a point mass, negatives rejected") {
+    import spark.implicits._
+    val eq = Seq(7.0, 7.0, 7.0, 7.0).toDF("v")
+    val re = Profile.giniConcentration(eq, "v").head()
+    assert(re.getLong(0) == 4L && re.getDouble(1) == 28.0 &&
+      re.getDouble(2) == 0.0)
+    // one owner of everything: G = (n−1)/n = 0.75 at n=4
+    val pm = Seq(0.0, 0.0, 0.0, 1.0).toDF("v")
+    assert(Profile.giniConcentration(pm, "v").head().getDouble(2) == 0.75)
+    // layout invariance on a mixed multiset
+    val mix = Seq(1.0, 1.0, 2.0, 5.0, 5.0, 10.0).toDF("v")
+    val g1 = Profile.giniConcentration(mix, "v").head().getDouble(2)
+    val g2 = Profile.giniConcentration(mix.repartition(5), "v").head()
+      .getDouble(2)
+    assert(g1 == g2 && g1 > 0.0 && g1 < 1.0)
+    intercept[IllegalArgumentException] {
+      Profile.giniConcentration(Seq(1.0, -2.0).toDF("v"), "v").head()
+    }
+  }
+
+  test("theilSenSlope: outlier-robust exact median slope and intercept") {
+    import spark.implicits._
+    // y = 2x+1 with one wild outlier: 6 of 10 pair slopes are exactly 2
+    val df = Seq((1.0, 3.0), (2.0, 5.0), (3.0, 7.0), (4.0, 9.0),
+      (5.0, 100.0)).toDF("x", "y")
+    val r = Profile.theilSenSlope(df, "x", "y").head()
+    assert(r.getLong(0) == 5L && r.getLong(1) == 10L)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 1.0)
+    // all x equal: no non-vertical pair → NULL slope row
+    val v = Profile.theilSenSlope(
+      Seq((1.0, 1.0), (1.0, 2.0)).toDF("x", "y"), "x", "y").head()
+    assert(v.getLong(1) == 0L && v.isNullAt(2) && v.isNullAt(3))
+  }
+
   test("rankSumTest: textbook U, effect size == rocAuc, tie-only z NULL") {
     import spark.implicits._
     // A=(1,2,4), B=(3,5,6): R_a=7 → U_a=1; no ties
