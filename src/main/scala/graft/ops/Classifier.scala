@@ -445,4 +445,72 @@ object Classifier {
         (col("__gap_total").cast("string").cast("double") /
           col("__N").cast("double")).as("ece"))
   }
+
+  /** Isotonic (monotone) calibration via pool-adjacent-violators
+    * (Ayer et al. 1955; Zadrozny & Elkan, KDD'02 brought it to
+    * classifier calibration) — the nonparametric repair for the
+    * miscalibration [[calibrationReport]] diagnoses: bin the scores
+    * (the calibrationReport binning, [0,1] enforced), then fit the
+    * unique nondecreasing step function minimizing squared error to
+    * the per-bin positive rates. Platt scaling assumes a sigmoid
+    * shape; PAV assumes only monotonicity.
+    *
+    * Determinism: binning and per-bin (n, pos) are exact integers; the
+    * PAV pooling decision compares block means by CROSS-MULTIPLIED
+    * BigInt products (no FP in any pooling decision), and each fitted
+    * value is ONE IEEE division pos_block/n_block of exact longs. The
+    * same fit has the min-max closed form ĝ(i) = max_{a≤i} min_{b≥i}
+    * mean[a,b] (Robertson–Wright–Dykstra 1988 §1.2), whose attained
+    * value is the SAME two integers divided once — so an engine
+    * replaying the closed form hash-matches this PAV bit-for-bit, an
+    * algorithm-independent cross-check.
+    *
+    * Scale shape: one aggregation to the ≤nBins plane; PAV runs on the
+    * driver over that bounded plane (documented bounded driver
+    * traffic — nBins ≤ 1000 rows, the [[graft.ops.Pca]] eigensolve
+    * convention). Empty bins get no row; pooling is over PRESENT bins.
+    *
+    * → (bin, n, pos, calibrated), ascending by bin
+    */
+  def isotonicCalibration(df: DataFrame, scoreCol: String,
+                          labelCol: String, nBins: Int = 20): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000,
+      s"nBins must be in [2,1000], got $nBins")
+    val perBin = df
+      .select(col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("long").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull &&
+        col("__s") >= 0.0 && col("__s") <= 1.0)
+      .select(least(floor(col("__s") * nBins), lit(nBins - 1L)).as("bin"),
+        col("__y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("pos"))
+      .orderBy("bin")
+      .collect() // bounded: ≤ nBins rows
+    // PAV: stack of blocks; merge while the previous block's mean
+    // exceeds the new one's (strict — equal means pool to equal fits
+    // either way). Means compared as exact cross products.
+    final case class Blk(n: Long, pos: Long, bins: List[Long])
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Blk]
+    perBin.foreach { r =>
+      var cur = Blk(r.getLong(1), r.getLong(2), List(r.getLong(0)))
+      while (stack.nonEmpty &&
+        BigInt(stack.last.pos) * cur.n > BigInt(cur.pos) * stack.last.n) {
+        val prev = stack.remove(stack.length - 1)
+        cur = Blk(prev.n + cur.n, prev.pos + cur.pos, prev.bins ++ cur.bins)
+      }
+      stack += cur
+    }
+    val rows = stack.toSeq.flatMap { b =>
+      val cal = b.pos.toDouble / b.n.toDouble
+      // recover each bin's own (n, pos) for the output
+      b.bins.map { bin =>
+        val r = perBin.find(_.getLong(0) == bin).get
+        (bin, r.getLong(1), r.getLong(2), cal)
+      }
+    }.sortBy(_._1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    rows.toDF("bin", "n", "pos", "calibrated")
+  }
 }

@@ -1084,6 +1084,115 @@ object Profile {
           (col("n").cast("double") * d("__sx"))).as("gini"))
   }
 
+  /** Benjamini–Hochberg FDR correction (Benjamini & Hochberg, JRSS-B
+    * 1995) over a table of p-values — the multiple-testing gate every
+    * fleet of per-group tests ([[pettittTest]] per series, per-segment
+    * A/Bs) needs before acting on "significant" rows: with m tests,
+    * adjusted p_(i) = min_{j≥i} p_(j)·m/j, capped at 1, and a row is
+    * significant when its adjusted p ≤ α. Tied raw p-values provably
+    * receive equal adjusted values (the suffix min flattens them), so
+    * the output is tie-order-independent and replays in any engine:
+    * each term is one IEEE p·m/k, the suffix min is order-independent.
+    *
+    * Scale shape: one bounded single-partition window pass — the
+    * p-value table is tests, not data (documented bounded; the
+    * BoundedKey constant-key discipline).
+    *
+    * → input columns + (p_adjusted, significant); NULL p rows are
+    *   passed through untouched with NULL outputs.
+    */
+  def fdrCorrect(df: DataFrame, pCol: String,
+                 alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1): $alpha")
+    val W = org.apache.spark.sql.expressions.Window
+    val key = graft.functions.ArrayMath.boundedKey(df)
+    val valid = col(pCol).isNotNull
+    val wAll = W.partitionBy(key)
+    // descending scan: k = m − rn + 1; running min over the prefix of
+    // the DESC order = suffix min of the ASC order
+    val wDesc = W.partitionBy(key).orderBy(col(pCol).desc_nulls_first)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val mD = sum(when(valid, 1L).otherwise(0L)).over(wAll).cast("double")
+    val rnDesc = sum(when(valid, 1L).otherwise(0L)).over(wDesc)
+    val term = when(valid,
+      col(pCol).cast("double") * mD / (mD - rnDesc.cast("double") + 1.0))
+    df.withColumn("p_adjusted", least(min(term).over(wDesc), lit(1.0)))
+      .withColumn("p_adjusted", when(valid, col("p_adjusted")))
+      .withColumn("significant",
+        when(valid, col("p_adjusted") <= lit(alpha)))
+  }
+
+  /** Mann–Kendall trend test (Mann 1945; Kendall 1975) per group over
+    * an ordered series — "is this series monotonically trending?", the
+    * significance companion to [[theilSenSlope]]'s magnitude (the
+    * standard pairing in environmental/ops monitoring):
+    *
+    *   S = Σ_{i<j} sgn(x_j − x_i)            (by time order)
+    *   Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18
+    *   z = (S − sgn(S)) / √Var(S)            (continuity-corrected)
+    *
+    * S and both variance terms are exact DECIMAL(38,0) integers; z is
+    * one IEEE sequence over bridged doubles; the verdict gates |z| at
+    * the α=0.05 two-sided critical value (no normal CDF — the
+    * [[ksTwoSample]] critical-value convention).
+    *
+    * Scale contract: the within-group pair join is QUADRATIC in group
+    * rows — bounded-series planes only (the [[kendallTau]] contract).
+    * Order values must be unique within a group for a deterministic
+    * replay; NULL rows excluded.
+    *
+    * → (groupCols…, n, s_stat, var_s, z, trend) where trend ∈
+    *   {increasing, decreasing, none} at α=0.05
+    */
+  def mannKendallTrend(df: DataFrame, groupCols: Seq[String],
+                       orderCol: String, valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty,
+      "mannKendallTrend needs at least one group column (use a literal " +
+        "constant column for a global test)")
+    val g = groupCols.map(col)
+    val rows = df
+      .select((g :+ col(orderCol).cast("double").as("__t") :+
+        col(valueCol).cast("double").as("__x")): _*)
+      .filter(col("__t").isNotNull && col("__x").isNotNull)
+      .localCheckpoint() // feeds the pair join twice + the tie plane
+    val d38 = "decimal(38,0)"
+    val a = rows.select((g :+ col("__t").as("__ta") :+
+      col("__x").as("__xa")): _*)
+    val b = rows.toDF(rows.columns.map(c =>
+      if (c == "__t") "__tb" else if (c == "__x") "__xb" else c): _*)
+    val s = a.join(b, groupCols)
+      .filter(col("__ta") < col("__tb"))
+      .groupBy(g: _*)
+      .agg(coalesce(sum(when(col("__xb") > col("__xa"), 1L)
+        .when(col("__xb") < col("__xa"), -1L).otherwise(0L)
+        .cast(d38)), lit(0).cast(d38)).as("__s"))
+    val ties = rows.groupBy((g :+ col("__x")): _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(g: _*)
+      .agg(coalesce(sum(col("__c").cast(d38) * (col("__c") - 1) *
+        (lit(2L) * col("__c") + lit(5L))), lit(0).cast(d38)).as("__tt"),
+        sum(col("__c")).as("n"))
+    def d(c: String) = col(c).cast("string").cast("double")
+    val nD = col("n").cast("double")
+    val varS = (nD * (nD - lit(1.0)) * (lit(2.0) * nD + lit(5.0)) -
+      d("__tt")) / lit(18.0)
+    val sD = d("__s")
+    val z = when(col("__s") > 0, (sD - lit(1.0)) / sqrt(varS))
+      .when(col("__s") < 0, (sD + lit(1.0)) / sqrt(varS))
+      .otherwise(lit(0.0))
+    // anchor on the tie plane: a single-row group has no pairs at all
+    // (S = 0 by convention), and the pair join would silently drop it
+    ties.join(s, groupCols.toSeq, "left")
+      .withColumn("__s", coalesce(col("__s"), lit(0).cast(d38)))
+      .select((g :+ col("n") :+ sD.as("s_stat") :+ varS.as("var_s") :+
+        when(varS > 0, z).as("z")): _*)
+      .withColumn("trend",
+        when(col("z").isNull, lit("none"))
+          .when(col("z") > lit(1.959963984540054), lit("increasing"))
+          .when(col("z") < lit(-1.959963984540054), lit("decreasing"))
+          .otherwise(lit("none")))
+  }
+
   /** Theil–Sen robust slope (Theil 1950; Sen, JASA 1968) of y on x —
     * the median of all pairwise slopes, with up to ~29% breakdown
     * (outlier days can't drag it the way [[graft.ops.EventOps

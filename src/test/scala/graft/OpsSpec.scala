@@ -2249,6 +2249,37 @@ class OpsSpec extends AnyFunSuite {
     assert(got.values.forall(_.getDouble(7) == 5.0 / 8))
   }
 
+  test("isotonicCalibration: PAV pooling matches hand fit; full cascade; out-of-range excluded") {
+    import spark.implicits._
+    // 4 bins (width .25) with rates (0.2, 0.6, 0.4, 0.8): PAV pools the
+    // middle violation → (0.2, 0.5, 0.5, 0.8)
+    def mk(binMid: Double, n: Int, pos: Int) =
+      (0 until n).map(i => (binMid, if (i < pos) 1L else 0L))
+    val df = (mk(0.1, 5, 1) ++ mk(0.3, 5, 3) ++ mk(0.6, 5, 2) ++
+      mk(0.9, 5, 4)).toDF("s", "y")
+    val got = graft.ops.Classifier.isotonicCalibration(df, "s", "y", 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(0L -> ((5L, 1L, 0.2)), 1L -> ((5L, 3L, 0.5)),
+      2L -> ((5L, 2L, 0.5)), 3L -> ((5L, 4L, 0.8))))
+    // fully decreasing input pools to one global block
+    val dec = (mk(0.1, 10, 9) ++ mk(0.5, 10, 5) ++ mk(0.9, 10, 1))
+      .toDF("s", "y")
+    val g2 = graft.ops.Classifier.isotonicCalibration(dec, "s", "y", 4)
+      .collect()
+    assert(g2.forall(_.getDouble(3) == 0.5))
+    // out-of-range scores excluded; monotone output certified
+    val noisy = df.union(Seq((-0.5, 1L), (1.5, 1L)).toDF("s", "y"))
+    val g3 = graft.ops.Classifier.isotonicCalibration(noisy, "s", "y", 4)
+      .orderBy("bin").collect()
+    assert(g3.map(_.getLong(1)).sum == 20L)
+    assert(g3.map(_.getDouble(3)).sliding(2).forall(p =>
+      p.length < 2 || p(0) <= p(1)))
+    intercept[IllegalArgumentException] {
+      graft.ops.Classifier.isotonicCalibration(df, "s", "y", 1)
+    }
+  }
+
   test("calibrationReport: hand-computed bins, ECE, and the score=1.0 clip") {
     import spark.implicits._
     val df = Seq((0.05, 0L), (0.15, 0L), (0.15, 1L), (0.95, 1L), (1.0, 1L))

@@ -491,6 +491,63 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("fdrCorrect: textbook BH ladder, cap at 1, NULL passthrough") {
+    import spark.implicits._
+    val df = Seq(("a", Some(0.005)), ("b", Some(0.011)), ("c", Some(0.02)),
+      ("d", Some(0.04)), ("e", Some(0.1))).toDF("id", "p")
+    val got = Profile.fdrCorrect(df, "p").orderBy("id").collect()
+    val exp = Seq(0.005 * 5 / 1, 0.011 * 5 / 2, 0.02 * 5 / 3, 0.04 * 5 / 4,
+      0.1 * 5 / 5)
+    // this ladder is already its own suffix min
+    got.zip(exp).foreach { case (r, e) =>
+      assert(math.abs(r.getDouble(2) - e) < 1e-15, s"$r vs $e")
+    }
+    assert(got.map(_.getBoolean(3)).toSeq ==
+      Seq(true, true, true, true, false))
+    // a later small p pulls earlier adjusted values down (suffix min)
+    val df2 = Seq(("a", 0.04), ("b", 0.041)).toDF("id", "p")
+    val g2 = Profile.fdrCorrect(df2, "p").orderBy("id").collect()
+    assert(g2(0).getDouble(2) == 0.041 && g2(1).getDouble(2) == 0.041)
+    // NULL p rows pass through with NULL outputs and don't count in m
+    val df3 = Seq(("a", Some(0.9)), ("b", Option.empty[Double]))
+      .toDF("id", "p")
+    val g3 = Profile.fdrCorrect(df3, "p").orderBy("id").collect()
+    assert(g3(0).getDouble(2) == 0.9 && g3(1).isNullAt(2) &&
+      g3(1).isNullAt(3))
+  }
+
+  test("mannKendallTrend: monotone series flagged, constant none, ties zero variance") {
+    import spark.implicits._
+    val rows =
+      (1 to 8).map(t => ("up", t.toDouble, t.toDouble)) ++
+        (1 to 8).map(t => ("down", t.toDouble, -t.toDouble)) ++
+        (1 to 8).map(t => ("flat", t.toDouble, 7.0)) ++
+        Seq(("solo", 1.0, 5.0)) // no pairs at all: S = 0, kept in output
+    val got = Profile.mannKendallTrend(rows.toDF("g", "t", "x"),
+        Seq("g"), "t", "x")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got("up") == ((8L, 28.0, 8.0 * 7.0 * 21.0 / 18.0)))
+    assert(got("down")._2 == -28.0)
+    // flat: S = 0 and the single 8-way tie kills the variance → z NULL
+    val flat = Profile.mannKendallTrend(rows.toDF("g", "t", "x"),
+        Seq("g"), "t", "x")
+      .filter(col("g") === "flat").head()
+    assert(flat.getDouble(2) == 0.0 && flat.getDouble(3) == 0.0 &&
+      flat.isNullAt(4) && flat.getString(5) == "none")
+    val trends = Profile.mannKendallTrend(rows.toDF("g", "t", "x"),
+        Seq("g"), "t", "x")
+      .collect().map(r => r.getString(0) -> r.getString(5)).toMap
+    assert(trends == Map("up" -> "increasing", "down" -> "decreasing",
+      "flat" -> "none", "solo" -> "none"))
+    assert(got("solo") == ((1L, 0.0, 0.0)))
+    // z value: continuity-corrected 27/sqrt(var)
+    val up = Profile.mannKendallTrend(rows.toDF("g", "t", "x"),
+      Seq("g"), "t", "x").filter(col("g") === "up").head()
+    assert(math.abs(up.getDouble(4) -
+      27.0 / math.sqrt(8.0 * 7.0 * 21.0 / 18.0)) < 1e-12)
+  }
+
   test("theilSenSlope: outlier-robust exact median slope and intercept") {
     import spark.implicits._
     // y = 2x+1 with one wild outlier: 6 of 10 pair slopes are exactly 2
