@@ -48,6 +48,16 @@ object Bench {
   private def fmt(d: Double): String = BigDecimal(d)
     .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
 
+  /** Regression thresholds shared by `vsPrevJson` (naming) and the auto
+    * re-pin predicate (adjudication) — one source of truth so a tuned
+    * threshold can never name a regression that was never re-pinned.
+    */
+  private[graft] val RegressionRatio = 1.5
+  private[graft] val RegressionAbsSec = 0.3
+  private[graft] def regressed(cur: Double, prev: Double): Boolean =
+    prev > 0 && cur >= 0 && cur / prev > RegressionRatio &&
+      cur - prev > RegressionAbsSec
+
   /** The previous full sweep's per-query seconds, or None when the file
     * is absent/unreadable/old-format — a degraded prior must yield
     * `"vs_prev":null`, never a failed bench.
@@ -82,7 +92,7 @@ object Bench {
     val curC = common.map(curMap).sum
     val prevC = common.map(pm).sum
     val regs = common.map(n => (n, curMap(n), pm(n)))
-      .filter { case (_, c, p) => p > 0 && c / p > 1.5 && c - p > 0.3 }
+      .filter { case (_, c, p) => regressed(c, p) }
       .sortBy { case (_, c, p) => -(c / p) }.take(5)
       .map { case (n, c, p) =>
         "\"" + n + "\":{\"prev\":" + fmt(p) + ",\"cur\":" + fmt(c) + "}"
@@ -177,8 +187,8 @@ object Bench {
         val ok = runs.map(_._1).filter(_ >= 0)
         if (ok.isEmpty) -1.0 else ok.min
       }
-      def looksRegressed: Boolean = prevMap.flatMap(_.get(n)).exists(p =>
-        p > 0 && curMin >= 0 && curMin / p > 1.5 && curMin - p > 0.3)
+      def looksRegressed: Boolean =
+        prevMap.flatMap(_.get(n)).exists(p => regressed(curMin, p))
       var extra = 0
       while (extra < repinReps && looksRegressed) {
         runs += runNoop(n); extra += 1

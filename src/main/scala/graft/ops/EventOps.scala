@@ -1160,7 +1160,9 @@ object EventOps {
     * and agrees to IEEE rounding error; the decomposition itself is
     * bit-deterministic, which is what the oracle hash certifies).
     * Period positions are epoch-day mod p (p=7 ⇒ a fixed weekday
-    * mapping), engine-identical integer arithmetic.
+    * mapping) in the NON-NEGATIVE `pmod` convention — an oracle must
+    * spell it ((x % p) + p) % p so pre-1970 days (negative epoch-day)
+    * land on the same position in both engines.
     *
     * Trend (hence seasonal/remainder) is NULL on the (p−1)/2 edge days
     * where the centered window is incomplete — classical decomposition

@@ -661,6 +661,10 @@ object Profile {
     // constant-rater-count contract: bounded driver check (2 longs)
     val shape = perItem.agg(min(col("__ni")).as("mn"),
       max(col("__ni")).as("mx")).head()
+    // min/max over zero rows are NULL — name the empty-input contract
+    // instead of NPE-ing out of getLong (r15 ADVICE)
+    require(!shape.isNullAt(0),
+      "fleissKappa: input has no non-NULL (item, label) rows")
     val (mn, mx) = (shape.getLong(0), shape.getLong(1))
     require(mn == mx, s"fleissKappa requires a constant rater count per " +
       s"item; found between $mn and $mx ratings — complete or drop " +
@@ -928,19 +932,31 @@ object Profile {
     *
     * Scale contract: the combo self-join is QUADRATIC in distinct
     * (x,y) combos — intended for bounded planes (daily series, per-
-    * group aggregates), like the oracle any engine would run. For raw
-    * corpus columns use [[spearmanCorrelation]], whose prefix-scan
-    * stays linear.
+    * group aggregates), like the oracle any engine would run. ENFORCED
+    * at runtime (the max-df-probe house style, r15 verdict #6): the
+    * distinct-combo count must stay ≤ `maxCombos` (default 20 000 ⇒
+    * ≤ 2·10⁸ comparisons) or the call fails loudly, pointing raw-
+    * corpus columns at [[spearmanCorrelation]], whose prefix-scan
+    * stays linear. The probe costs one count over the already-
+    * checkpointed combo plane — never a second corpus scan.
     *
     * → one row (n, concordant, discordant, tau_b)
     */
-  def kendallTau(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+  def kendallTau(df: DataFrame, xCol: String, yCol: String,
+                 maxCombos: Long = 20000L): DataFrame = {
+    require(maxCombos >= 1, s"maxCombos must be positive, got $maxCombos")
     val combos = df
       .select(col(xCol).cast("double").as("__x"),
         col(yCol).cast("double").as("__y"))
       .filter(col("__x").isNotNull && col("__y").isNotNull)
       .groupBy("__x", "__y").agg(count(lit(1)).as("__c"))
       .localCheckpoint() // feeds the pair join twice + three marginals
+    val nCombos = combos.count()
+    require(nCombos <= maxCombos,
+      s"kendallTau: $nCombos distinct (x,y) combos exceed maxCombos=" +
+        s"$maxCombos — the pair join is quadratic in this plane; " +
+        "aggregate first, raise maxCombos deliberately, or use " +
+        "spearmanCorrelation (linear prefix-scan) for raw corpus columns")
     val d38 = "decimal(38,0)"
     val a = combos.select(col("__x").as("__xa"), col("__y").as("__ya"),
       col("__c").as("__ca"))
@@ -1139,7 +1155,8 @@ object Profile {
     * Scale contract: the within-group pair join is QUADRATIC in group
     * rows — bounded-series planes only (the [[kendallTau]] contract).
     * Order values must be unique within a group for a deterministic
-    * replay; NULL rows excluded.
+    * replay (ENFORCED by a bounded one-long driver check, the
+    * [[pettittTest]] convention); NULL rows excluded.
     *
     * → (groupCols…, n, s_stat, var_s, z, trend) where trend ∈
     *   {increasing, decreasing, none} at α=0.05
@@ -1155,6 +1172,26 @@ object Profile {
         col(valueCol).cast("double").as("__x")): _*)
       .filter(col("__t").isNotNull && col("__x").isNotNull)
       .localCheckpoint() // feeds the pair join twice + the tie plane
+    // unique-order contract enforced loudly (the [[pettittTest]]
+    // discipline, per r15 ADVICE): tied order values would silently
+    // drop pairs from S and make the replay labeling-dependent. The
+    // same probe also enforces the bounded-series contract before the
+    // quadratic pair join runs (the [[kendallTau]] maxCombos guard).
+    // Bounded driver check — TWO longs off the checkpointed plane.
+    val maxGroupRows = 20000L
+    val dupRow = rows.groupBy(g: _*)
+      .agg((count(lit(1)) - countDistinct(col("__t"))).as("__d"),
+        count(lit(1)).as("__n"))
+      .agg(max(col("__d")), max(col("__n"))).head()
+    require(dupRow.isNullAt(0) || dupRow.getLong(0) == 0L,
+      "mannKendallTrend: orderCol must be unique within each group " +
+        s"(found a group with ${if (dupRow.isNullAt(0)) 0L
+          else dupRow.getLong(0)} duplicated order rows)")
+    require(dupRow.isNullAt(1) || dupRow.getLong(1) <= maxGroupRows,
+      "mannKendallTrend: a group holds " +
+        s"${if (dupRow.isNullAt(1)) 0L else dupRow.getLong(1)} rows — " +
+        s"the within-group pair join is quadratic; keep groups <= " +
+        s"$maxGroupRows rows (aggregate the series first)")
     val d38 = "decimal(38,0)"
     val a = rows.select((g :+ col("__t").as("__ta") :+
       col("__x").as("__xa")): _*)
@@ -1204,18 +1241,29 @@ object Profile {
     *
     * Scale contract: the pair join is QUADRATIC in rows — intended
     * for bounded planes (daily/series aggregates), the same contract
-    * as [[kendallTau]]. x-ties contribute no slope (vertical pairs
-    * are skipped, the standard convention); NULL pairs excluded.
+    * as [[kendallTau]], and like it ENFORCED at runtime: the point
+    * count must stay ≤ `maxRows` (default 20 000) or the call fails
+    * loudly before the pair join ever runs (the probe counts the
+    * already-checkpointed point plane). x-ties contribute no slope
+    * (vertical pairs are skipped, the standard convention); NULL
+    * pairs excluded.
     *
     * → one row (n_points, n_pairs, slope, intercept); NULLs when no
     *   non-vertical pair exists.
     */
-  def theilSenSlope(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+  def theilSenSlope(df: DataFrame, xCol: String, yCol: String,
+                    maxRows: Long = 20000L): DataFrame = {
+    require(maxRows >= 1, s"maxRows must be positive, got $maxRows")
     val pts = df
       .select(col(xCol).cast("double").as("__x"),
         col(yCol).cast("double").as("__y"))
       .filter(col("__x").isNotNull && col("__y").isNotNull)
       .localCheckpoint() // feeds the pair join twice + the residual pass
+    val nPts = pts.count()
+    require(nPts <= maxRows,
+      s"theilSenSlope: $nPts points exceed maxRows=$maxRows — the " +
+        "pairwise-slope join is quadratic; aggregate to a bounded " +
+        "series first (e.g. daily means) or raise maxRows deliberately")
     val a = pts.select(col("__x").as("__xa"), col("__y").as("__ya"))
     val b = pts.select(col("__x").as("__xb"), col("__y").as("__yb"))
     val slopes = a.join(b, col("__xa") < col("__xb"))
@@ -1223,7 +1271,6 @@ object Profile {
         ((col("__yb") - col("__ya")) / (col("__xb") - col("__xa")))
           .as("__m"))
     val nPairs = slopes.count()
-    val nPts = pts.count()
     if (nPairs == 0) {
       pts.sparkSession.range(1).select(
         lit(nPts).as("n_points"), lit(0L).as("n_pairs"),

@@ -458,7 +458,14 @@ object Sketches {
                   counters: Int = 63): DataFrame = {
     require(counters >= 1 && counters % 2 == 1,
       s"AMS needs an odd counter count, got $counters")
-    val w = Window.partitionBy(groupCols.map(col): _*)
+    // empty groupCols = one global estimate: partition the bounded
+    // `counters`-row plane by a non-foldable constant key (the
+    // [[hdrQuantile]]/BoundedKey convention) rather than an
+    // empty-partitionSpec window
+    val parts =
+      if (groupCols.nonEmpty) groupCols.map(col)
+      else Seq(graft.functions.ArrayMath.boundedKey(sketch))
+    val w = Window.partitionBy(parts: _*)
       .orderBy(col("__sq"), col("counter")) // bounded: `counters` rows/group
     sketch
       .withColumn("__sq",

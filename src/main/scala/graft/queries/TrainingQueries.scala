@@ -8394,7 +8394,7 @@ object TrainingQueries {
              |  SELECT day, x, v,
              |    CAST(SUM(v) OVER win AS BIGINT) AS s,
              |    COUNT(*) OVER win AS cnt,
-             |    x % 7 AS pos
+             |    ((x % 7) + 7) % 7 AS pos
              |  FROM z
              |  WINDOW win AS (ORDER BY x
              |    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),

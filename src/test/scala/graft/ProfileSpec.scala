@@ -585,4 +585,37 @@ class ProfileSpec extends AnyFunSuite {
     val rt = Profile.rankSumTest(tied, "g", "v", "a", "b").head()
     assert(rt.getDouble(3) == 0.5 && rt.isNullAt(4) && rt.isNullAt(5))
   }
+
+  test("quadratic-contract guards reject loudly; empty fleissKappa named") {
+    import spark.implicits._
+    // kendallTau: 4 distinct combos > maxCombos=3 → loud reject
+    val k = intercept[IllegalArgumentException] {
+      Profile.kendallTau(Seq((1.0, 1.0), (2.0, 4.0), (3.0, 2.0),
+        (4.0, 3.0)).toDF("x", "y"), "x", "y", maxCombos = 3)
+    }
+    assert(k.getMessage.contains("spearmanCorrelation"))
+    // ...and the guard ignores duplicate rows (combo plane, not rows)
+    val dup = Seq((1.0, 1.0), (1.0, 1.0), (2.0, 2.0), (2.0, 2.0))
+      .toDF("x", "y")
+    assert(Profile.kendallTau(dup, "x", "y", maxCombos = 2)
+      .head().getLong(0) == 4L)
+    // theilSenSlope: 3 points > maxRows=2 → reject BEFORE the pair join
+    val t = intercept[IllegalArgumentException] {
+      Profile.theilSenSlope(Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0))
+        .toDF("x", "y"), "x", "y", maxRows = 2)
+    }
+    assert(t.getMessage.contains("quadratic"))
+    // mannKendallTrend: tied order values now rejected (r15 ADVICE)
+    val m = intercept[IllegalArgumentException] {
+      Profile.mannKendallTrend(Seq(("g", 1.0, 1.0), ("g", 1.0, 2.0),
+        ("g", 2.0, 3.0)).toDF("g", "t", "x"), Seq("g"), "t", "x").collect()
+    }
+    assert(m.getMessage.contains("unique"))
+    // fleissKappa on zero pairable rows: contract error, not an NPE
+    val e = intercept[IllegalArgumentException] {
+      Profile.fleissKappa(Seq((null.asInstanceOf[String], "A"))
+        .toDF("item", "k"), "item", "k")
+    }
+    assert(e.getMessage.contains("no non-NULL"))
+  }
 }
