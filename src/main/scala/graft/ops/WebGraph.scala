@@ -829,27 +829,31 @@ object WebGraph {
         .withColumn("__score",
           col("__m2") * col("k").cast(dec) -
             col("deg").cast(dec) * col("__totx").cast(dec))
-      val stay = self.join(
-          kv.withColumnRenamed("cand", "comm").withColumnRenamed("k", "__kc"),
-          Seq("node", "comm"), "left")
-        .crossJoin(broadcast(m2Frame)) // one row: the global 2m scalar
-        .select(col("node"),
-          (col("__m2") * coalesce(col("__kc"), lit(0L)).cast(dec) -
-            col("deg").cast(dec) * col("__totx_cur").cast(dec)).as("__stay"))
-      // one struct-min pass: min over (−score, cand) = max score with the
-      // min-cand tiebreak — identical selection to the max+filter+re-agg
-      // spelling the oracle replays, in a single aggregation
-      val winner = scored
+      // ONE aggregation yields both the winner (struct-min over
+      // (−score, cand) = max score with the min-cand tiebreak —
+      // identical selection to the max+filter+re-agg spelling the
+      // oracle replays) AND the stay score: the cand==comm row of
+      // `scored` IS the stay value when the node has a same-community
+      // neighbor (there __totx = tot − deg = __totx_cur), and the
+      // k_c=0 fallback −deg·__totx_cur needs only per-node constants
+      // already on the plane — so the former second kv⋈self "stay"
+      // join is gone (r15 verdict perf item #1)
+      val want = scored
         .groupBy(col("node"))
         .agg(min(struct((col("__score") * -1).as("__ns"), col("cand")))
-          .as("__w"))
+          .as("__w"),
+          max(when(col("cand") === col("comm"), col("__score")))
+            .as("__s0"),
+          max(col("deg")).as("__deg"),         // constant per node
+          max(col("__totx_cur")).as("__tcur")) // constant per node
+        .withColumn("__stay", coalesce(col("__s0"),
+          lit(0).cast("decimal(38,0)") -
+            col("__deg").cast(dec) * col("__tcur").cast(dec)))
+        .filter((col("__w.__ns") * -1) > col("__stay"))
         .select(col("node"), col("__w.cand").as("__to"),
-          (col("__w.__ns") * -1).as("__score"))
-      val want = winner.join(stay, "node")
-        .filter(col("__score") > col("__stay"))
-        .select(col("node"), col("__to"),
           conv(substring(md5(col("node")), 1, 12), 16, 10).cast("long")
             .as("__h"))
+        .persist() // feeds the two blocking-join sides + moves
       // independent-set scheduling: a wanting node is BLOCKED when any
       // wanting neighbor carries a smaller (hash, id) priority — movers
       // are the hash-local-minima, never two adjacent
@@ -865,11 +869,129 @@ object WebGraph {
       labels = labels.join(moves, Seq("node"), "left")
         .select(col("node"), coalesce(col("__to"), col("comm")).as("comm"))
         .localCheckpoint(true) // plan depth stays O(1) across rounds
+      want.unpersist() // the eager checkpoint above consumed it
       round += 1
     }
     nbr.unpersist()
     deg.unpersist()
     labels.select(col("node"), col("comm").as("community"))
+  }
+
+  /** Louvain PHASE 2 (Blondel et al. 2008 §2): collapse each community
+    * of a phase-1 partition into a super-node of the weighted coarse
+    * graph (inter-community edge multiplicities become weights; the
+    * intra-community mass rides each super-node's degree, K_c = Σ
+    * deg(u) over members, so coarse modularity == fine modularity by
+    * construction) and re-run synchronized local moving there. The
+    * result REFINES the input partition — every input community lands
+    * wholly inside one output community — and its modularity is
+    * non-decreasing: a coarse move is applied only on strictly
+    * positive exact-integer gain, and the no-move fixpoint returns
+    * the input partition unchanged (asserted in HtmlSpec).
+    *
+    * OPT-IN and deliberately NOT the oracle lane: coarsening depth is
+    * data-dependent, so a fixed-depth SQL oracle cannot replay it —
+    * [[louvainCommunities]] (q234) stays the replayable flavor, this
+    * is the "real 100 TB host graph" flavor layered on top (r15
+    * verdict gap #4). Determinism still holds: exact DECIMAL(38,0)
+    * gains, md5-priority independent-set scheduling, fixed rounds.
+    *
+    * Scale shape: the coarse plane is |communities| nodes — orders of
+    * magnitude below the corpus; every join is keyed, the loop
+    * localCheckpoints the skinny labels frame (O(1) plan depth), and
+    * the fine→coarse projection is one aggregation over the edge
+    * list.
+    *
+    * → (node, community): the refined partition on ORIGINAL node ids.
+    */
+  def louvainCoarsen(edges: DataFrame, srcCol: String, dstCol: String,
+                     labels: DataFrame, nodeCol: String = "node",
+                     commCol: String = "community",
+                     rounds: Int = 4): DataFrame = {
+    require(rounds >= 1 && rounds <= 20,
+      s"rounds must be in [1,20], got $rounds")
+    val nbr = undirectedNbr(edges, srcCol, dstCol)
+    val lab = labels.select(col(nodeCol).cast("string").as("node"),
+      col(commCol).cast("string").as("comm0"))
+    // coarse weighted adjacency (off-diagonal only — the diagonal mass
+    // is inside K_c and never contributes to a neighbor-community k)
+    val cNbr = nbr
+      .join(lab, "node")
+      .join(lab.select(col("node").as("nb"), col("comm0").as("__cn")),
+        "nb")
+      .filter(col("comm0") =!= col("__cn"))
+      .groupBy(col("comm0").as("node"), col("__cn").as("nb"))
+      .agg(count(lit(1)).as("w"))
+      .persist()
+    // K_c = Σ deg(u) over members == the coarse row sum incl. diagonal
+    val deg = nbr.groupBy("node").agg(count(lit(1)).as("__d"))
+      .join(lab, "node")
+      .groupBy(col("comm0").as("node"))
+      .agg(sum(col("__d")).as("deg"))
+      .persist()
+    val m2Frame = deg.agg(sum(col("deg")).cast("decimal(38,0)").as("__m2"))
+    val dec = "decimal(19,0)"
+    var cl = deg.select(col("node"), col("node").as("comm"))
+      .localCheckpoint(true)
+    var round = 0
+    while (round < rounds) {
+      val ld = cl.join(deg, "node")
+      val tot = ld.groupBy(col("comm")).agg(sum(col("deg")).as("tot"))
+      val kv = cNbr
+        .join(cl.select(col("node").as("nb"), col("comm").as("cand")),
+          "nb")
+        .groupBy(col("node"), col("cand"))
+        .agg(sum(col("w")).as("k"))
+      val self = ld
+        .join(tot.withColumnRenamed("comm", "__c"),
+          col("__c") === col("comm"))
+        .select(col("node"), col("comm"), col("deg"),
+          (col("tot") - col("deg")).as("__totx_cur"))
+      val scored = kv
+        .join(self, "node")
+        .crossJoin(broadcast(m2Frame))
+        .join(tot.withColumnRenamed("comm", "cand"), "cand")
+        .withColumn("__totx",
+          col("tot") - when(col("cand") === col("comm"), col("deg"))
+            .otherwise(lit(0L)))
+        .withColumn("__score",
+          col("__m2") * col("k").cast(dec) -
+            col("deg").cast(dec) * col("__totx").cast(dec))
+      val want = scored
+        .groupBy(col("node"))
+        .agg(min(struct((col("__score") * -1).as("__ns"), col("cand")))
+          .as("__w"),
+          max(when(col("cand") === col("comm"), col("__score")))
+            .as("__s0"),
+          max(col("deg")).as("__deg"),
+          max(col("__totx_cur")).as("__tcur"))
+        .withColumn("__stay", coalesce(col("__s0"),
+          lit(0).cast("decimal(38,0)") -
+            col("__deg").cast(dec) * col("__tcur").cast(dec)))
+        .filter((col("__w.__ns") * -1) > col("__stay"))
+        .select(col("node"), col("__w.cand").as("__to"),
+          conv(substring(md5(col("node")), 1, 12), 16, 10).cast("long")
+            .as("__h"))
+        .persist()
+      val blocked = cNbr
+        .join(want.select(col("node"), col("__h")), "node")
+        .join(want.select(col("node").as("nb"), col("__h").as("__hn")),
+          "nb")
+        .filter(col("__hn") < col("__h") ||
+          (col("__hn") === col("__h") && col("nb") < col("node")))
+        .select(col("node")).distinct()
+      val moves = want.join(blocked, Seq("node"), "left_anti")
+        .select(col("node"), col("__to"))
+      cl = cl.join(moves, Seq("node"), "left")
+        .select(col("node"), coalesce(col("__to"), col("comm")).as("comm"))
+        .localCheckpoint(true)
+      want.unpersist()
+      round += 1
+    }
+    cNbr.unpersist()
+    deg.unpersist()
+    lab.join(cl.withColumnRenamed("node", "comm0"), "comm0")
+      .select(col("node"), col("comm").as("community"))
   }
 
   /** EXACT modularity of a given partition (Newman & Girvan 2004),

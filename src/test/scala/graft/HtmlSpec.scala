@@ -393,6 +393,48 @@ class HtmlSpec extends AnyFunSuite {
       lab4("p") != lab4("w"), s"K4 pair: $lab4")
   }
 
+  test("louvainCoarsen: ring-of-cliques resolution limit — phase 2 raises modularity; refinement + fixpoint hold") {
+    import spark.implicits._
+    // ring of 10 triangles (Fortunato & Barthélemy 2007's resolution-
+    // limit fixture): phase 1 finds each triangle (Q = 0.65); merging
+    // adjacent triangles in pairs is strictly better (Q = 0.675), but
+    // only the coarse graph can see it
+    val ring = (0 until 10).flatMap { i =>
+      val (a, b, c) = (s"a$i", s"b$i", s"c$i")
+      Seq((a, b), (a, c), (b, c), (c, s"a${(i + 1) % 10}"))
+    }.toDF("s", "d")
+    val p1 = WebGraph.louvainCommunities(ring, "s", "d", rounds = 6)
+      .persist()
+    val q1 = WebGraph.modularity(ring, "s", "d", p1, "node", "community")
+      .head().getDouble(2)
+    assert(q1 == 0.65, s"phase-1 one-community-per-triangle Q, got $q1")
+    val p2 = WebGraph.louvainCoarsen(ring, "s", "d", p1, rounds = 6)
+      .persist()
+    val q2 = WebGraph.modularity(ring, "s", "d", p2, "node", "community")
+      .head().getDouble(2)
+    assert(q2 > q1, s"coarsening must raise modularity: $q1 -> $q2")
+    // refinement: every phase-1 community maps wholly into ONE phase-2
+    // community
+    val split = p1.withColumnRenamed("community", "c1")
+      .join(p2.withColumnRenamed("community", "c2"), "node")
+      .groupBy("c1").agg(countDistinct("c2").as("k"))
+      .filter(col("k") > 1).count()
+    assert(split == 0L, "phase 2 must refine, never split, phase 1")
+    // fixpoint: an already-optimal partition passes through unchanged
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("d", "e"),
+      ("d", "f"), ("e", "f"), ("c", "d")).toDF("s", "d")
+    val opt = WebGraph.louvainCommunities(edges, "s", "d", rounds = 6)
+    val again = WebGraph.louvainCoarsen(edges, "s", "d", opt, rounds = 6)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val before = opt.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // same partition (community ids may be renamed to coarse ids)
+    assert(before.groupBy(_._2).values.map(_.map(_._1).toSet).toSet ==
+      again.groupBy(_._2).values.map(_.map(_._1).toSet).toSet,
+      "no-gain fixpoint must return the partition unchanged")
+    p1.unpersist(); p2.unpersist()
+  }
+
   /** Driver-side seeded-PageRank recurrence mirror for exact compare. */
   private def refPpr(edges: Seq[(String, String)], seeds: Set[String],
                      iters: Int): Map[String, Long] = {
