@@ -10,9 +10,25 @@ import org.apache.spark.sql.SparkSession
   *     compilation is not billed to the first timed query;
   *   - the `noop` sink forces FULL materialization of every output row
   *     (`count()` would let Catalyst prune the projections being measured);
-  *   - queries run in sorted name order, THREE measured runs each, min
+  *   - queries run in sorted name order, min over the measured cold reps
   *     reported (the first run still pays plan codegen; min approximates
   *     steady-state and damps host noise);
+  *   - TIERED REPS (r15 verdict ask #2 — the min-of-3 sweep's wall time
+  *     grew linearly with the 254-query inventory): a query whose
+  *     normalized analyzed-plan hash matches the previous full sweep's
+  *     (code untouched) runs TWO cold reps and stops early when the
+  *     min-of-2 confirms the previous pin (within 15% + 50 ms — rep 1
+  *     pays codegen, so a single rep can never confirm); any query that
+  *     is NEW, TOUCHED (hash changed/missing), or UNCONFIRMED gets the
+  *     full three base reps plus the variance machinery below. Reported
+  *     mins stay comparable round-over-round because the previous pin
+  *     was produced by the same rule, and a genuinely regressed query
+  *     always fails the confirm and falls through to the full reps and
+  *     the auto re-pin protocol. Plan hashes normalize expression ids,
+  *     object addresses and the SF dir, so they are stable across JVMs
+  *     for identical code; an eager (checkpointed) query's hash covers
+  *     only its output schema — the confirm-vs-prev rule, not the hash,
+  *     is what guards those;
   *   - the cache is cleared after EVERY rep, so each rep is cold: a query
   *     that persists an intermediate frame is billed its real wall time,
   *     not warm-cache serving cost;
@@ -58,6 +74,31 @@ object Bench {
     prev > 0 && cur >= 0 && cur / prev > RegressionRatio &&
       cur - prev > RegressionAbsSec
 
+  /** Fast-tier early-stop: an unchanged-plan query's min-of-2 confirms the
+    * previous pin when within 15% + 50 ms (measured on r15 rep data: this
+    * bound stops ~92% of queries at 2 reps with +4.5% aggregate bias in
+    * the transition round and none at steady state, cutting sweep wall
+    * time 856 s → ~600 s at 254 queries).
+    */
+  private[graft] val ConfirmRatio = 1.15
+  private[graft] val ConfirmAbsSec = 0.05
+  private[graft] def confirms(cur: Double, prev: Double): Boolean =
+    prev > 0 && cur >= 0 && cur <= prev * ConfirmRatio + ConfirmAbsSec
+
+  /** Plan-identity hash for the touched-query detector: expression ids
+    * (#123), object addresses and the SF dir are run-varying noise and
+    * normalized away; everything else (operators, columns, literals,
+    * join types) is the query's code shape.
+    */
+  private[graft] def normalizedPlanHash(plan: String, sfDir: String): String = {
+    val norm = plan.replace(sfDir, "<SF>")
+      .replaceAll("#\\d+", "#")
+      .replaceAll("@[0-9a-fA-F]{6,}", "@")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(norm.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
   /** The previous full sweep's per-query seconds, or None when the file
     * is absent/unreadable/old-format — a degraded prior must yield
     * `"vs_prev":null`, never a failed bench.
@@ -79,6 +120,26 @@ object Bench {
         case _ => Map.empty[String, Double]
       }
     }.toOption.filter(_.nonEmpty)
+
+  /** The previous sweep's per-query plan hashes (absent in pre-r16
+    * artifacts → every query reads as touched → full reps, the safe
+    * degradation).
+    */
+  private[graft] def parsePrevHashes(
+      path: java.nio.file.Path): Map[String, String] =
+    if (!java.nio.file.Files.exists(path)) Map.empty
+    else scala.util.Try {
+      import org.json4s._
+      val j = org.json4s.jackson.JsonMethods.parse(new String(
+        java.nio.file.Files.readAllBytes(path),
+        java.nio.charset.StandardCharsets.UTF_8))
+      (j \ "plan_hash") match {
+        case JObject(fs) => fs.collect {
+          case (k, JString(v)) => k -> v
+        }.toMap
+        case _ => Map.empty[String, String]
+      }
+    }.getOrElse(Map.empty)
 
   /** Round-over-round comparison JSON: totals over the queries COMMON to
     * both sweeps (new queries must not read as a slowdown), plus named
@@ -120,15 +181,24 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
 
-    /** One cold rep: (wall seconds, GC millis spent during the rep). */
-    def runNoop(name: String): (Double, Long) = {
+    /** One cold rep: (wall seconds, GC millis spent during the rep,
+      * normalized plan hash — computed OUTSIDE the timed region).
+      */
+    def runNoop(name: String): (Double, Long, Option[String]) = {
       val gc0 = gcMillis()
       val t0 = System.nanoTime()
+      var hash: Option[String] = None
       val elapsed =
         try {
-          SparkEntry.queries(name)(spark, sfDir)
-            .write.mode("overwrite").format("noop").save()
-          (System.nanoTime() - t0) / 1e9
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          df.write.mode("overwrite").format("noop").save()
+          val t = (System.nanoTime() - t0) / 1e9
+          // untimed: the plan string + md5 cost milliseconds and must not
+          // be billed to the rep
+          hash = scala.util.Try(
+            normalizedPlanHash(df.queryExecution.analyzed.toString, sfDir)
+          ).toOption
+          t
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
@@ -141,7 +211,7 @@ object Bench {
       // clearing also keeps leftover caches from accumulating across the
       // 100+-query sweep
       spark.catalog.clearCache()
-      (elapsed, gcDelta)
+      (elapsed, gcDelta, hash)
     }
 
     // SPARK_GRAFT_ONLY=q59_lateral_explode,q60_... re-pins a subset with the
@@ -165,6 +235,8 @@ object Bench {
     val prevPath = java.nio.file.Paths.get("bench", "last_run.json")
     val prevMap: Option[Map[String, Double]] =
       if (only.nonEmpty) None else parsePrevQueries(prevPath)
+    val prevHashes: Map[String, String] =
+      if (only.nonEmpty) Map.empty else parsePrevHashes(prevPath)
 
     val baseReps = 3
     val maxReps = 5
@@ -172,47 +244,64 @@ object Bench {
     val spreadBound = 0.33
     val results = names.map { n =>
       val runs = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
-      runs ++= Seq.fill(baseReps)(runNoop(n))
-      def spread: Double = {
-        // rep 1 pays this query's plan codegen (only the sweep-global
-        // warm-up is untimed) — judge steady-state jitter on reps 2..n
-        val ok = runs.drop(1).map(_._1).filter(_ >= 0)
-        if (ok.size < 2 || ok.min <= 0) 0.0 else (ok.max - ok.min) / ok.min
-      }
-      while (runs.size < maxReps && spread > spreadBound) runs += runNoop(n)
-      // auto re-pin: a would-be vs_prev regression (same thresholds as
-      // vsPrevJson) gets up to `repinReps` more reps before it may be
-      // named — a contention window passes, a real regression survives
+      val first = runNoop(n)
+      runs += ((first._1, first._2))
+      val hash = first._3
+      val prevPin = prevMap.flatMap(_.get(n))
+      // fast tier: plan hash unchanged vs the previous full sweep AND a
+      // previous pin exists to confirm against
+      val fastTier = prevPin.isDefined && hash.isDefined &&
+        prevHashes.get(n) == hash
+      runs += { val r = runNoop(n); (r._1, r._2) }
       def curMin: Double = {
         val ok = runs.map(_._1).filter(_ >= 0)
         if (ok.isEmpty) -1.0 else ok.min
       }
+      val confirmed = fastTier && prevPin.exists(p => confirms(curMin, p))
+      if (!confirmed) {
+        // full methodology: third base rep + variance-driven extras
+        while (runs.size < baseReps) runs += { val r = runNoop(n); (r._1, r._2) }
+        def spread: Double = {
+          // rep 1 pays this query's plan codegen (only the sweep-global
+          // warm-up is untimed) — judge steady-state jitter on reps 2..n
+          val ok = runs.drop(1).map(_._1).filter(_ >= 0)
+          if (ok.size < 2 || ok.min <= 0) 0.0 else (ok.max - ok.min) / ok.min
+        }
+        while (runs.size < maxReps && spread > spreadBound)
+          runs += { val r = runNoop(n); (r._1, r._2) }
+      }
+      // auto re-pin: a would-be vs_prev regression (same thresholds as
+      // vsPrevJson) gets up to `repinReps` more reps before it may be
+      // named — a contention window passes, a real regression survives
       def looksRegressed: Boolean =
-        prevMap.flatMap(_.get(n)).exists(p => regressed(curMin, p))
+        prevPin.exists(p => regressed(curMin, p))
       var extra = 0
       while (extra < repinReps && looksRegressed) {
-        runs += runNoop(n); extra += 1
+        runs += { val r = runNoop(n); (r._1, r._2) }; extra += 1
       }
-      (n, curMin, runs.toSeq, extra)
+      (n, curMin, runs.toSeq, extra, confirmed, hash)
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val reps = results.map { case (k, _, rs, _) =>
+    val reps = results.map { case (k, _, rs, _, _, _) =>
       "\"" + k + "\":[" + rs.map(r => fmt(r._1)).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val gc = results.map { case (k, _, rs, _) =>
+    val gc = results.map { case (k, _, rs, _, _, _) =>
       "\"" + k + "\":[" + rs.map(_._2.toString).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val hashes = results.collect { case (k, _, _, _, _, Some(h)) =>
+      "\"" + k + "\":\"" + h + "\"" }.mkString("{", ",", "}")
+    val nFast = results.count(_._5)
     val total = results.map(_._2).filter(_ >= 0).sum
     // A -1.0 sentinel means the query RAISED on every rep. Summing only the
     // successes would report a partial run as a faster total (r10's 13
     // events-query failures read as a 2.1x "improvement") — name the failures
     // in the artifact so a partial run can never pass as a clean one.
-    val failedNames = results.collect { case (k, v, _, _) if v < 0 => k }
+    val failedNames = results.collect { case (k, v, _, _, _, _) if v < 0 => k }
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     // re-pin protocol record: which queries needed extra reps before
     // vs_prev adjudication, and how many (judge-auditable in the artifact)
-    val repinned = results.collect { case (k, _, _, e) if e > 0 =>
+    val repinned = results.collect { case (k, _, _, e, _, _) if e > 0 =>
       "\"" + k + "\":" + e }.mkString("{", ",", "}")
 
     // ---- vs_prev: round-over-round regression guard. The previous FULL
@@ -223,11 +312,11 @@ object Bench {
     // regression) AND the slowdown survived the auto re-pin reps above.
     // Parsed defensively: a missing/old-format file yields "vs_prev":null,
     // never a failed bench.
-    val curMap = results.collect { case (k, v, _, _) if v >= 0 => k -> v }.toMap
+    val curMap = results.collect { case (k, v, _, _, _, _) if v >= 0 => k -> v }.toMap
     val vsPrev = prevMap.map(pm => vsPrevJson(curMap, pm)).getOrElse("null")
 
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failedNames.size},"failed":$failedJson,"repinned":$repinned,"vs_prev":$vsPrev,"queries":$qs,"reps_sec":$reps,"gc_ms_per_rep":$gc}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failedNames.size},"failed":$failedJson,"repinned":$repinned,"n_fast_tier":$nFast,"vs_prev":$vsPrev,"queries":$qs,"reps_sec":$reps,"gc_ms_per_rep":$gc,"plan_hash":$hashes}"""
     // STDOUT gets a COMPACT line: the driver's BENCH_r{N}.json keeps only
     // the last ~2000 stdout chars, so the full 10k+ line arrived truncated
     // and its `parsed` field was null in every judged round artifact. The
@@ -236,19 +325,19 @@ object Bench {
     // per-query map, per-rep walls and GC live in bench/last_run.json.
     val okVals = results.map(_._2).filter(_ >= 0)
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
-      .map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
+      .map { case (k, v, _, _, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failedNames.size},"failed":$failedJson,"repinned":$repinned,"avg_sec":${fmt(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failedNames.size},"failed":$failedJson,"repinned":$repinned,"n_fast_tier":$nFast,"avg_sec":${fmt(
         if (okVals.nonEmpty) total / okVals.size else -1.0)},"slowest":$slowest,"vs_prev":$vsPrev,"queries_full":"bench/last_run.json"}"""
     println(compact)
     // full sweeps only: a SPARK_GRAFT_ONLY subset run must not overwrite
-    // the last complete sweep
-    if (only.isEmpty) {
-      java.nio.file.Files.createDirectories(prevPath.getParent)
-      java.nio.file.Files.write(prevPath,
-        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    }
+    // the last complete sweep (it goes to a side file for local debugging)
+    java.nio.file.Files.createDirectories(prevPath.getParent)
+    java.nio.file.Files.write(
+      if (only.isEmpty) prevPath
+      else prevPath.resolveSibling("last_subset.json"),
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

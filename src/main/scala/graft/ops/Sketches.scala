@@ -263,6 +263,116 @@ object Sketches {
       .select(groupCols.map(col) :+ col("n_total") :+ col("hdr_value"): _*)
   }
 
+  // ------------------------------------------------------------------
+  // Affine adapter onto the HDR integer grid — signed / fractional
+  // values. hdrSketch contracts to POSITIVE integers; real pipeline
+  // columns that aren't (day-over-day deltas, log-ratios, scores in
+  // [-1,1]) map onto the grid with a caller-declared affine transform
+  //
+  //   grid(v)    = floor(v · scale)            (resolution 1/scale)
+  //   shifted(v) = grid(v) − offsetGrid + 1    (≥ 1 by contract)
+  //
+  // recorded IN the sketch as meta columns, because two sketches are
+  // only the same sketch when their transforms match: base-2 geometric
+  // buckets of (v − offset) do NOT map onto buckets of (v − offset′),
+  // so [[hdrMergeSigned]] refuses a meta mismatch loudly instead of
+  // producing a silently wrong histogram. The transform must therefore
+  // be DECLARED (a domain bound the caller owns — "deltas exceed
+  // −10^6 · never", "scores live in [-1,1] at 10^-6 grain"), never
+  // derived per batch from the data.
+  //
+  // floor(v·scale) on a float64 column is bit-deterministic across
+  // engines (IEEE-754 multiply + floor), so the oracle discipline and
+  // the exact-merge property both survive the adapter.
+
+  /** [[hdrSketch]] for signed/fractional values via the affine map
+    * above. `scale` ≥ 1 sets the grid resolution (1 for integer-valued
+    * columns); `offsetGrid` is an inclusive lower bound ON THE GRID
+    * (floor(v·scale) ≥ offsetGrid for every v — violations raise
+    * in-plan via the assert_true house pattern rather than silently
+    * vanishing from the quantiles). Meta travels with the state.
+    *
+    * → (groupCols…, bucket, cnt, hdr_scale, hdr_offset_grid)
+    */
+  def hdrSketchSigned(df: DataFrame, groupCols: Seq[String],
+                      valueCol: String, m: Int, scale: Long,
+                      offsetGrid: Long): DataFrame = {
+    require(m >= 2 && m <= 128, s"m must be in [2,128], got $m")
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val shifted = df
+      .select(groupCols.map(col) :+
+        (floor(col(valueCol) * lit(scale)).cast("long") - offsetGrid + 1L)
+          .as("__v"): _*)
+      .filter(col("__v").isNotNull)
+      // in-plan contract check (ScaleOps.mergeWinners pattern): a value
+      // below the declared bound means the DECLARATION is wrong — fail
+      // the job, don't drop the row
+      .filter(coalesce(
+        assert_true(col("__v") >= 1L && col("__v") < (1L << 56),
+          concat_ws("", lit("hdrSketchSigned: floor(v*"), lit(scale),
+            lit(") out of [offsetGrid, offsetGrid+2^56) — shifted grid value "),
+            col("__v"), lit(" with offsetGrid "), lit(offsetGrid))),
+        lit(true)))
+    shifted
+      .withColumn("__e", (length(bin(col("__v"))) - 1).cast("long"))
+      .withColumn("__base", expr("shiftleft(1L, cast(__e as int))"))
+      .withColumn("bucket",
+        col("__e") * m + expr(s"((__v - __base) * $m) div __base"))
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("hdr_scale", lit(scale))
+      .withColumn("hdr_offset_grid", lit(offsetGrid))
+  }
+
+  /** Merge [[hdrSketchSigned]] states: bucket counts ADD (bit-exact,
+    * associative — merge-tree == direct build, asserted in
+    * SketchesSpec) AFTER a loud identical-meta gate: a bounded probe
+    * (≤ 2 rows collected, never the corpus) refuses to merge sketches
+    * built with different transforms.
+    */
+  def hdrMergeSigned(groupCols: Seq[String], sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "hdrMergeSigned needs at least one sketch")
+    val all = sketches.reduce(_ unionByName _)
+    val metas = all.select(col("hdr_scale"), col("hdr_offset_grid"))
+      .distinct().take(2)
+    require(metas.length == 1,
+      "hdrMergeSigned: sketches carry different affine meta " +
+        metas.map(r => s"(scale=${r.getLong(0)}, offsetGrid=${r.getLong(1)})")
+          .mkString(", ") +
+        " — base-2 buckets of (v-offset) do not map onto buckets of " +
+        "(v-offset'); rebuild with one declared transform")
+    all.groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(coalesce(sum(col("cnt")).cast("bigint"), lit(0L)).as("cnt"),
+        first(col("hdr_scale")).as("hdr_scale"),
+        first(col("hdr_offset_grid")).as("hdr_offset_grid"))
+  }
+
+  /** Quantile read-back through the inverse affine map. The grid value
+    * is [[hdrQuantile]]'s canonical lower bound; the original-domain
+    * answer is the EXACT RATIONAL (value_num / value_den):
+    *
+    *   value_num = hdr_value − 1 + offsetGrid,   value_den = scale
+    *
+    * reported as the integer pair (house cross-multiplication style —
+    * no engine-specific decimal division can flip a digit). Callers
+    * wanting a float divide once at the edge.
+    *
+    * → (groupCols…, n_total, value_num, value_den)
+    */
+  def hdrQuantileSigned(sketch: DataFrame, groupCols: Seq[String], m: Int,
+                        qNum: Long = 1L, qDen: Long = 2L): DataFrame = {
+    val base = hdrQuantile(
+      sketch.select((groupCols.map(col) :+ col("bucket") :+ col("cnt")): _*),
+      groupCols, m, qNum, qDen)
+    val meta = broadcast(
+      sketch.select(col("hdr_scale"), col("hdr_offset_grid")).distinct())
+    base.crossJoin(meta) // 1-row meta frame: bounded by the merge gate
+      .withColumn("value_num",
+        col("hdr_value") - 1L + col("hdr_offset_grid"))
+      .select(groupCols.map(col) ++ Seq(col("n_total"),
+        col("value_num"), col("hdr_scale").as("value_den")): _*)
+  }
+
   /** Point-query a [[cmsSketch]] for a candidate key set: est(key) =
     * min over rows of the key's bucket counter (0 if the bucket is
     * empty — the key was never seen). The sketch side is depth·width

@@ -1107,4 +1107,121 @@ object WebGraph {
       .limit(topK)
       .drop("__ord")
   }
+
+  /** Sampled betweenness centrality — Brandes' algorithm (Brandes, "A
+    * faster algorithm for betweenness centrality", J. Math. Sociology
+    * 2001) restricted to a FIXED DETERMINISTIC source set: the first
+    * `nSources` nodes in md5(node) order (the house unseeded-sample
+    * convention — any engine replays the same sample). Directed
+    * betweenness over unweighted shortest paths; self-loops never lie
+    * on a shortest path and are dropped.
+    *
+    * Per source s, the forward pass is a multi-source BFS computing
+    * dist and the shortest-path COUNT σ (exact integers); the backward
+    * pass accumulates Brandes' dependency level by level,
+    *
+    *   δ(v) = Σ over DAG edges v→w of  σ(v)·(SCALE + δ(w)) div σ(w)
+    *
+    * in SCALE=10^12 integers with products through DECIMAL(38,0) (the
+    * [[graft.ops.EventOps.markovAttribution]] discipline), so every
+    * level replays bit-exactly as an unrolled CTE. bc(v) = Σ_s δ_s(v),
+    * v ∉ sources' own row (endpoints excluded, Brandes' convention).
+    *
+    * Scale shape: edges normalized and persisted once; BFS state is the
+    * skinny (source, node, dist, sigma) frame — ≤ nSources·|V| rows
+    * total, frontier-joined against edges one hop at a time with
+    * per-round localCheckpoint (O(1) plan depth); the backward pass
+    * walks the SAME materialized state level by level — ≤ maxDepth
+    * keyed joins, no driver traffic (the only action is the per-round
+    * empty-frontier probe every BFS lane here pays). Source selection
+    * is a distributed top-k (TakeOrdered), never a global sort.
+    *
+    * Scale contract: σ is a path COUNT — on graphs whose shortest-path
+    * DAGs are wide, σ·SCALE must fit DECIMAL(38,0) (σ < 10^25; any
+    * overflow surfaces as a null-product failure, not a wrong answer).
+    * Cost is O(nSources · E) per depth level — size nSources to the
+    * analysis budget, not the graph.
+    *
+    * → (node, bc_scaled, betweenness) — bc_scaled the exact integer,
+    *   betweenness = bc_scaled / SCALE, one IEEE division at the edge.
+    */
+  def betweennessCentrality(edges: DataFrame, srcCol: String,
+                            dstCol: String, nSources: Int,
+                            maxDepth: Int = 16,
+                            scale: Long = 1000000000000L): DataFrame = {
+    require(nSources >= 1 && nSources <= 4096,
+      s"nSources must be in [1,4096], got $nSources")
+    require(maxDepth >= 1 && maxDepth <= 64,
+      s"maxDepth must be in [1,64], got $maxDepth")
+    val e = edges
+      .select(col(srcCol).cast("string").as("esrc"),
+        col(dstCol).cast("string").as("edst"))
+      .filter(col("esrc").isNotNull && col("edst").isNotNull &&
+        col("esrc") =!= col("edst"))
+      .distinct()
+      .persist()
+    val nodes = e.select(col("esrc").as("node"))
+      .unionByName(e.select(col("edst").as("node"))).distinct()
+      .localCheckpoint() // feeds source top-k AND the final outer join
+    val sources = nodes
+      .orderBy(md5(col("node").cast("binary")), col("node"))
+      .limit(nSources) // TakeOrdered — never a global sort
+    // forward: (s, node, dist, sigma); sigma = #shortest s→node paths
+    var visited = sources
+      .select(col("node").as("s"), col("node"), lit(0).as("dist"),
+        lit(1L).as("sigma"))
+      .localCheckpoint()
+    var frontier = visited
+    var d = 0
+    var done = false
+    while (!done && d < maxDepth) {
+      d += 1
+      val next = frontier.join(e, col("node") === col("esrc"))
+        .groupBy(col("s"), col("edst").as("node"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .join(visited.select(col("s"), col("node")), Seq("s", "node"),
+          "left_anti")
+        .select(col("s"), col("node"), lit(d).as("dist"), col("sigma"))
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.unionByName(next).localCheckpoint()
+        frontier = next
+      }
+    }
+    val depth = d // deepest populated level is depth-1 when early-exited
+    // backward: δ per (s, node), level by level from the deepest
+    var delta = visited
+      .select(col("s"), col("node"), col("sigma"), lit(0L).as("delta"))
+      .filter(col("dist") === depth) // deepest level: no successors
+      .localCheckpoint()
+    var acc = delta.select(col("s"), col("node"), col("delta"))
+    for (lvl <- (depth - 1) to 0 by -1) {
+      val cur = visited.filter(col("dist") === lvl)
+      val nextLvl = delta.select(col("s").as("__s"),
+        col("node").as("__w"), col("sigma").as("__sw"),
+        col("delta").as("__dw"))
+      delta = cur
+        .join(e, col("node") === col("esrc"), "left")
+        .join(nextLvl,
+          col("s") === col("__s") && col("edst") === col("__w"), "left")
+        .groupBy(col("s"), col("node"))
+        .agg(max(col("sigma")).as("sigma"),
+          coalesce(sum(expr(
+            s"CAST((CAST(sigma AS DECIMAL(38,0)) * (${scale}L + __dw))" +
+              " div __sw AS BIGINT)")), lit(0L)).as("delta"))
+        .localCheckpoint() // O(1)-deep plan across levels
+      acc = acc.unionByName(delta.select(col("s"), col("node"),
+        col("delta")))
+    }
+    val bc = acc.filter(col("node") =!= col("s"))
+      .groupBy("node")
+      .agg(sum(col("delta")).as("bc_scaled"))
+    e.unpersist()
+    nodes.join(bc, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("bc_scaled"), lit(0L)).as("bc_scaled"))
+      .withColumn("betweenness",
+        col("bc_scaled").cast("double") / scale.toDouble)
+  }
 }

@@ -671,6 +671,73 @@ object TrainingQueries {
       "\nORDER BY rank DESC, node"
   }
 
+  /** q256 oracle: unrolled sampled-Brandes betweenness over the q145
+    * link graph — the Spark side's exact replay: md5-order first
+    * `nSources` sources, `depth` BFS levels of (s, node, dist, sigma)
+    * (levels past the true eccentricity are empty on both sides, so any
+    * depth ≥ diameter replays exactly), then the backward dependency
+    * accumulation level by level in SCALE=10^12 integers with products
+    * through HUGEINT (the Spark side's DECIMAL(38,0)).
+    */
+  private def brandesOracle(nSources: Int, depth: Int): String = {
+    val scale = "1000000000000"
+    val head = "WITH " + linkEdgesCte.stripMargin +
+      s""",
+         |e AS MATERIALIZED (
+         |  SELECT DISTINCT src_host AS src, dst_host AS dst FROM l
+         |  WHERE src_host <> dst_host),
+         |nodes AS MATERIALIZED (
+         |  SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |srcs AS MATERIALIZED (
+         |  SELECT node FROM nodes ORDER BY md5(node), node LIMIT $nSources),
+         |f0 AS MATERIALIZED (
+         |  SELECT node AS s, node, 0 AS dist, CAST(1 AS BIGINT) AS sigma
+         |  FROM srcs),
+         |vis0 AS MATERIALIZED (SELECT * FROM f0)""".stripMargin
+    val fwd = (1 to depth).map { d =>
+      s""",
+         |f$d AS MATERIALIZED (
+         |  SELECT q.s, q.node, $d AS dist, q.sigma FROM (
+         |    SELECT f.s, e.dst AS node, SUM(f.sigma) AS sigma
+         |    FROM f${d - 1} f JOIN e ON e.src = f.node
+         |    GROUP BY f.s, e.dst) q
+         |  LEFT JOIN vis${d - 1} p ON p.s = q.s AND p.node = q.node
+         |  WHERE p.node IS NULL),
+         |vis$d AS MATERIALIZED (
+         |  SELECT * FROM vis${d - 1} UNION ALL SELECT * FROM f$d)""".stripMargin
+    }.mkString
+    val back = s""",
+         |d$depth AS MATERIALIZED (
+         |  SELECT s, node, sigma, CAST(0 AS BIGINT) AS delta
+         |  FROM vis$depth WHERE dist = $depth)""".stripMargin +
+      ((depth - 1) to 0 by -1).map { lvl =>
+        s""",
+           |d$lvl AS MATERIALIZED (
+           |  SELECT c.s, c.node, MAX(c.sigma) AS sigma,
+           |    COALESCE(SUM(CAST(CAST(c.sigma AS HUGEINT)
+           |      * ($scale + w.delta) // w.sigma AS BIGINT)), 0) AS delta
+           |  FROM (SELECT * FROM vis$depth WHERE dist = $lvl) c
+           |  LEFT JOIN e ON e.src = c.node
+           |  LEFT JOIN d${lvl + 1} w ON w.s = c.s AND w.node = e.dst
+           |  GROUP BY c.s, c.node)""".stripMargin
+      }.mkString
+    val accUnion = (0 to depth)
+      .map(l => s"SELECT s, node, delta FROM d$l")
+      .mkString("\n  UNION ALL ")
+    head + fwd + back +
+      s""",
+         |acc AS ($accUnion),
+         |bc AS (
+         |  SELECT node, SUM(delta) AS bc_scaled
+         |  FROM acc WHERE node <> s GROUP BY node)
+         |SELECT n.node,
+         |  CAST(COALESCE(bc.bc_scaled, 0) AS BIGINT) AS bc_scaled,
+         |  CAST(COALESCE(bc.bc_scaled, 0) AS DOUBLE) / $scale
+         |    AS betweenness
+         |FROM nodes n LEFT JOIN bc ON bc.node = n.node
+         |ORDER BY n.node""".stripMargin
+  }
+
   /** q176 oracle: unrolled max-normalized integer HITS over the q145
     * link graph — HUGEINT carries the normalization product (the Spark
     * side's DECIMAL(38,0)); each half-step tops out at exactly SCALE.
@@ -9302,6 +9369,117 @@ object TrainingQueries {
              |FROM (
              |  SELECT slope, r, ROW_NUMBER() OVER (ORDER BY r) AS rk
              |  FROM res) q, nd, np
-             |WHERE q.rk = (nd.n_points + 1) // 2""".stripMargin))
+             |WHERE q.rk = (nd.n_points + 1) // 2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Signed-value HDR sketch (Sketches.hdrSketchSigned — the r15
+    // verdict's affine-adapter ask): p50/p90 of SIGNED day-over-day
+    // event-count deltas per event_type, through the declared affine
+    // map grid = floor(v·1) with lower bound −128 (daily deltas at the
+    // fixture SFs live in [−115, 90]; a violation raises in-plan, never
+    // silently drops). The two date-parity shards are sketched
+    // independently and merged — the per-day rollup lane a 100 TB
+    // pipeline runs — and the merge is bit-exact vs a direct build, so
+    // the DuckDB oracle replays the direct build. Read-back reports the
+    // EXACT RATIONAL (value_num / value_den): no decimal division in
+    // either engine.
+    QuerySpec(
+      "q255_hdr_signed_deltas",
+      (s, dir) => {
+        val m = 32; val scale = 1L; val off = -128L
+        val w = Window.partitionBy("event_type").orderBy("day")
+        val deltas = Tables.events(s, dir)
+          .select(col("event_type"), to_date(col("ts")).as("day"))
+          .filter(col("day").isNotNull)
+          .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+          .withColumn("delta", col("cnt") - lag(col("cnt"), 1).over(w))
+          .filter(col("delta").isNotNull)
+          .withColumn("par",
+            pmod(datediff(col("day"), lit("1970-01-01")), lit(2)))
+        def shard(p: Int) = graft.ops.Sketches.hdrSketchSigned(
+          deltas.filter(col("par") === p), Seq("event_type"), "delta",
+          m, scale, off)
+        val sk = graft.ops.Sketches
+          .hdrMergeSigned(Seq("event_type"), shard(0), shard(1))
+          .localCheckpoint() // bucket plane feeds two quantile reads
+        def q(num: Long, den: Long, name: String) =
+          graft.ops.Sketches
+            .hdrQuantileSigned(sk, Seq("event_type"), m, num, den)
+            .select(col("event_type"), col("n_total"),
+              col("value_num").as(name), col("value_den"))
+        q(1, 2, "p50_delta_num")
+          .join(q(9, 10, "p90_delta_num").drop("n_total", "value_den"),
+            "event_type")
+          .orderBy("event_type")
+      },
+      Some {
+        def est(b: String) =
+          s"CAST((1::BIGINT << CAST($b // 32 AS INT)) + (($b % 32) * " +
+            s"(1::BIGINT << CAST($b // 32 AS INT))) // 32 AS BIGINT)"
+        s"""WITH d AS (
+           |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+           |l AS (
+           |  SELECT event_type,
+           |    c - LAG(c) OVER (PARTITION BY event_type ORDER BY day)
+           |      AS delta
+           |  FROM d),
+           |v AS (SELECT event_type, CAST(delta + 129 AS BIGINT) AS s
+           |      FROM l WHERE delta IS NOT NULL),
+           |b AS (
+           |  SELECT event_type,
+           |    CAST(length(bin(s)) - 1 AS BIGINT) * 32
+           |      + ((s - (1::BIGINT << CAST(length(bin(s)) - 1 AS INT)))
+           |          * 32)
+           |        // (1::BIGINT << CAST(length(bin(s)) - 1 AS INT))
+           |      AS bucket
+           |  FROM v),
+           |c AS (SELECT event_type, bucket, COUNT(*) AS cnt
+           |      FROM b GROUP BY 1, 2),
+           |r AS (
+           |  SELECT event_type, bucket,
+           |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+           |      ROWS UNBOUNDED PRECEDING) AS cum,
+           |    SUM(cnt) OVER (PARTITION BY event_type) AS n
+           |  FROM c),
+           |q AS (
+           |  SELECT event_type, MAX(n) AS n,
+           |    MIN(CASE WHEN cum * 2 >= n * 1 THEN bucket END) AS b50,
+           |    MIN(CASE WHEN cum * 10 >= n * 9 THEN bucket END) AS b90
+           |  FROM r GROUP BY event_type)
+           |SELECT event_type, CAST(n AS BIGINT) AS n_total,
+           |  ${est("b50")} - 129 AS p50_delta_num,
+           |  CAST(1 AS BIGINT) AS value_den,
+           |  ${est("b90")} - 129 AS p90_delta_num
+           |FROM q ORDER BY event_type""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // Sampled betweenness centrality (WebGraph.betweennessCentrality —
+    // Brandes 2001 restricted to the md5-order first-16 source sample,
+    // the r15 verdict's path-centrality ask): which hosts sit on the
+    // most shortest paths of the planted link graph? Forward
+    // multi-source BFS carries exact integer path counts σ; the
+    // backward dependency accumulation runs level by level in
+    // SCALE=10^12 integers (products through DECIMAL(38,0)/HUGEINT), so
+    // the whole estimator — sample, BFS, dependencies — replays
+    // bit-exactly as unrolled CTEs. depth 12 > the graph's diameter 9;
+    // levels past the true eccentricity are empty on both sides.
+    QuerySpec(
+      "q256_betweenness",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        def dst(a: Int, b: Int) = concat(lit("h"),
+          ((col("doc_id") * a + b) % 97).cast("string"),
+          lit(".example.org"))
+        val edges = docs.select(host97.as("src_host"),
+            dst(7, 13).as("dst_host"))
+          .unionByName(docs.filter(col("doc_id") % 3 =!= 0)
+            .select(host97.as("src_host"), dst(31, 29).as("dst_host")))
+        graft.ops.WebGraph.betweennessCentrality(edges, "src_host",
+            "dst_host", nSources = 16, maxDepth = 12)
+          .orderBy("node")
+      },
+      Some(brandesOracle(16, 12)))
   )
 }

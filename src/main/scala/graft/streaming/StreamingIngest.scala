@@ -1550,6 +1550,248 @@ object StreamingIngest {
         new org.apache.hadoop.fs.Path(targetDir), "docs").toString)
       .drop("__dbkt")
 
+  /** Streaming INCREMENTAL SESSIONIZATION on plain parquet — the state
+    * the watermarked `session_window` aggregation keeps in RocksDB,
+    * maintained instead as a serveable parquet target (the
+    * [[upsertSink]] copy-on-write pattern): sessions spanning a
+    * micro-batch boundary MERGE, closed sessions append once, and the
+    * result equals [[graft.ops.EventOps.sessionStats]] over the full
+    * history (asserted on a mid-session split in SessionSinkSpec).
+    *
+    * Layout: `open/b<bucket>/v<batchId>/` holds ONE row per user — the
+    * user's latest session (a session only closes when a LATER event
+    * arrives ≥ gapUs after it, so the last one is always open) plus the
+    * running `session_seq` counter that keeps ids deterministic across
+    * batches; `closed/v<batchId>/` is the append-only closed-session
+    * log; global `_graft_commits/<batchId>` markers fence both planes
+    * (a torn write is invisible to [[readSessionTarget]] and replays
+    * overwrite it).
+    *
+    * Per micro-batch: sessionize WITHIN the batch (one user-keyed
+    * window pass, exact DECIMAL value sums); read ONLY the touched
+    * users' buckets; merge the first batch session into the stored
+    * open session when the boundary gap is < gapUs (ids shift by one
+    * accordingly); everything but each user's last session appends to
+    * the closed log; untouched buckets are never opened. Driver
+    * traffic: the touched-bucket ids (≤ nBuckets longs) and one
+    * emptiness probe on the skinny closed frame.
+    *
+    * Ordering contract: within a batch any order (the window sorts);
+    * ACROSS batches a user's events must not time-travel — an event
+    * earlier than the stored open session's end raises in-plan
+    * (assert_true, row-level) rather than silently mis-sessionizing.
+    * Feed event-time-ordered input (e.g. a watermarked upstream);
+    * boundary TIES (same microsecond) sessionize in arrival order.
+    *
+    * Blocks until available input drains (AvailableNow). Returns
+    * batches applied (replays contribute 0).
+    */
+  def sessionSink(spark: SparkSession, stream: DataFrame, userCol: String,
+                  usCol: String, tieCol: String, valueCol: String,
+                  gapUs: Long, targetDir: String, checkpointDir: String,
+                  nBuckets: Int = 256, keepVersions: Int = 2): Long = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    require(gapUs > 0, s"gapUs must be > 0, got $gapUs")
+    require(nBuckets > 0, "nBuckets must be positive")
+    require(keepVersions >= 1, "keepVersions must be at least 1")
+    locally {
+      val (targetPath, fs) = hadoopFs(spark, targetDir)
+      checkOrWriteMarker(fs, targetPath, "_graft_session_geometry",
+        "session", s"userCol=$userCol,usCol=$usCol,tieCol=$tieCol," +
+          s"valueCol=$valueCol,gapUs=$gapUs,nBuckets=$nBuckets")
+    }
+    val applied = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (targetPath, fs) = hadoopFs(spark, targetDir)
+        val commitsDir = new org.apache.hadoop.fs.Path(targetPath, "_graft_commits")
+        val marker = new org.apache.hadoop.fs.Path(commitsDir, batchId.toString)
+        if (!fs.exists(marker)) {
+          val ev = batch.select(col(userCol).as("__u"),
+              col(usCol).cast("long").as("__eus"),
+              col(tieCol).as("__tie"),
+              coalesce(col(valueCol).cast("double").cast("decimal(18,6)"),
+                lit(0).cast("decimal(18,6)")).as("__v"))
+            .filter(col("__u").isNotNull && col("__eus").isNotNull)
+          // within-batch sessions: per (user, bseq) bounds/count and the
+          // EXACT decimal sum — state must accumulate exactly across
+          // batches, so the double cast happens only at read time
+          val wU = Window.partitionBy("__u")
+          val bsess = graft.ops.EventOps
+            .sessionize(ev, "__u", "__eus", "__tie", gapUs)
+            .groupBy(col("__u"), col("session_seq").as("__bseq"))
+            .agg(min(col("__eus")).as("__bstart"),
+              max(col("__eus")).as("__bend"),
+              count(lit(1)).as("__bn"),
+              sum(col("__v")).cast("decimal(28,6)").as("__bsum"))
+            .withColumn("__kmax", max(col("__bseq")).over(wU))
+            .withColumn(bucketCol,
+              pmod(xxhash64(col("__u")), lit(nBuckets.toLong)))
+            .persist()
+          try {
+            // ≤ nBuckets small longs — bounded driver traffic by design
+            val touched = bsess.select(bucketCol).distinct().collect()
+              .map(_.getLong(0)).toSeq
+            val openRoot = new org.apache.hadoop.fs.Path(targetPath, "open")
+            val committed = committedVersions(fs, targetPath).toSet
+            val curPaths = touched.flatMap(b =>
+              latestBucketVersion(fs, openRoot, b, committed))
+            def openShape(df: DataFrame) = df.select(col("__u"),
+              lit(0L).as("session_seq"), lit(0L).as("start_us"),
+              lit(0L).as("end_us"), lit(0L).as("n_events"),
+              lit(0).cast("decimal(28,6)").as("sum_v"), col(bucketCol))
+            val openCur =
+              if (curPaths.isEmpty) openShape(bsess).limit(0)
+              else spark.read.parquet(curPaths: _*)
+                .withColumnRenamed(userCol, "__u")
+            val batchUsers = bsess.select("__u").distinct()
+            val openCarry = openCur.join(batchUsers, Seq("__u"), "left_anti")
+            val oj = bsess.join(
+                openCur.join(batchUsers, Seq("__u"), "left_semi")
+                  .select(col("__u"), col("session_seq").as("__oseq"),
+                    col("start_us").as("__ostart"),
+                    col("end_us").as("__oend"),
+                    col("n_events").as("__on"), col("sum_v").as("__osum")),
+                Seq("__u"), "left")
+              // cross-batch ordering contract, enforced row-level
+              .filter(coalesce(
+                assert_true(col("__oend").isNull || col("__bseq") > 1 ||
+                    col("__bstart") >= col("__oend"),
+                  concat_ws("", lit("sessionSink: out-of-order event for"),
+                    lit(" user "), col("__u").cast("string"),
+                    lit(" — batch starts "), col("__bstart"),
+                    lit(" before stored open session end "),
+                    col("__oend"))),
+                lit(true)))
+              .withColumn("__mf1", when(col("__bseq") === 1,
+                col("__oend").isNotNull &&
+                  (col("__bstart") - col("__oend") < gapUs)))
+              .withColumn("__mf",
+                coalesce(max(col("__mf1")).over(wU), lit(false)))
+              .withColumn("__seq", coalesce(col("__oseq"), lit(0L)) +
+                col("__bseq") - when(col("__mf"), 1L).otherwise(0L))
+              .withColumn("__merged", col("__bseq") === 1 && col("__mf"))
+              .withColumn("__start", when(col("__merged"),
+                col("__ostart")).otherwise(col("__bstart")))
+              .withColumn("__n", when(col("__merged"),
+                col("__on") + col("__bn")).otherwise(col("__bn")))
+              .withColumn("__sum", when(col("__merged"),
+                col("__osum") + col("__bsum")).otherwise(col("__bsum"))
+                .cast("decimal(28,6)"))
+            val newOpen = openCarry.unionByName(
+              oj.filter(col("__bseq") === col("__kmax"))
+                .select(col("__u"), col("__seq").as("session_seq"),
+                  col("__start").as("start_us"),
+                  col("__bend").as("end_us"), col("__n").as("n_events"),
+                  col("__sum").as("sum_v"), col(bucketCol)))
+            val closed = oj.filter(col("__bseq") < col("__kmax"))
+              .select(col("__u"), col("__seq").as("session_seq"),
+                col("__start").as("start_us"), col("__bend").as("end_us"),
+                col("__n").as("n_events"), col("__sum").as("sum_v"))
+              .unionByName(
+                // an open session a non-merging batch closes, as stored
+                oj.filter(col("__bseq") === 1 && col("__oseq").isNotNull &&
+                    !col("__mf"))
+                  .select(col("__u"), col("__oseq").as("session_seq"),
+                    col("__ostart").as("start_us"),
+                    col("__oend").as("end_us"), col("__on").as("n_events"),
+                    col("__osum").as("sum_v")))
+            // one partitioned job rewrites the touched buckets' open rows
+            val tmp = new org.apache.hadoop.fs.Path(
+              targetPath, s"_graft_session_tmp_v$batchId")
+            newOpen.withColumnRenamed("__u", userCol)
+              .withColumn("__kbp", col(bucketCol))
+              .write.mode(SaveMode.Overwrite).partitionBy("__kbp")
+              .parquet(tmp.toString)
+            fs.globStatus(new org.apache.hadoop.fs.Path(tmp, "__kbp=*"))
+              .filter(_.isDirectory).foreach { d =>
+                val b = d.getPath.getName.stripPrefix("__kbp=")
+                val bucketDir = new org.apache.hadoop.fs.Path(openRoot, s"b$b")
+                val dest = new org.apache.hadoop.fs.Path(bucketDir, s"v$batchId")
+                fs.mkdirs(bucketDir)
+                fs.delete(dest, true) // stale uncommitted attempt, if any
+                require(fs.rename(d.getPath, dest),
+                  s"sessionSink: rename failed: ${d.getPath} -> $dest")
+              }
+            fs.delete(tmp, true)
+            // closed log: append-only, one dir per closing batch
+            if (!closed.isEmpty) {
+              val ctmp = new org.apache.hadoop.fs.Path(
+                targetPath, s"_graft_session_closed_tmp_v$batchId")
+              closed.withColumnRenamed("__u", userCol)
+                .write.mode(SaveMode.Overwrite).parquet(ctmp.toString)
+              val closedRoot = new org.apache.hadoop.fs.Path(targetPath, "closed")
+              fs.mkdirs(closedRoot)
+              val dest = new org.apache.hadoop.fs.Path(closedRoot, s"v$batchId")
+              fs.delete(dest, true) // stale uncommitted attempt, if any
+              require(fs.rename(ctmp, dest),
+                s"sessionSink: rename failed: $ctmp -> $dest")
+            }
+            fs.mkdirs(commitsDir)
+            fs.createNewFile(marker)
+            applied.incrementAndGet()
+            // retention: prune each touched OPEN bucket's committed
+            // versions (the closed log is the output — never pruned)
+            val nowCommitted = committed + batchId
+            touched.foreach { b =>
+              val bucketDir = new org.apache.hadoop.fs.Path(openRoot, s"b$b")
+              bucketVersions(fs, bucketDir).filter(nowCommitted)
+                .sorted.reverse.drop(keepVersions).foreach { old =>
+                  fs.delete(
+                    new org.apache.hadoop.fs.Path(bucketDir, s"v$old"), true)
+                }
+            }
+          } finally bsess.unpersist()
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    applied.get()
+  }
+
+  /** Serve a [[sessionSink]] target: committed closed sessions plus the
+    * latest committed open session per user, in
+    * [[graft.ops.EventOps.sessionStats]]' shape (duration and the
+    * VARCHAR-bridged double sum computed at the edge) plus `is_open`.
+    * Torn (uncommitted) version directories are invisible.
+    */
+  def readSessionTarget(spark: SparkSession, targetDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (targetPath, fs) = hadoopFs(spark, targetDir)
+    val committed = committedVersions(fs, targetPath).toSet
+    val openRoot = new org.apache.hadoop.fs.Path(targetPath, "open")
+    val openPaths = fs.globStatus(new org.apache.hadoop.fs.Path(openRoot, "b*"))
+      .filter(_.isDirectory)
+      .flatMap { b =>
+        bucketVersions(fs, b.getPath).filter(committed).maxOption
+          .map(v => new org.apache.hadoop.fs.Path(b.getPath, s"v$v").toString)
+      }
+    if (openPaths.isEmpty) throw new IllegalStateException(
+      s"no committed session state under $targetDir")
+    val open = spark.read.parquet(openPaths.toIndexedSeq: _*).drop(bucketCol)
+      .withColumn("is_open", lit(true))
+    val closedRoot = new org.apache.hadoop.fs.Path(targetPath, "closed")
+    val closedPaths =
+      if (!fs.exists(closedRoot)) Seq.empty[String]
+      else fs.listStatus(closedRoot).toSeq.filter(_.isDirectory)
+        .filter(d => scala.util.Try(
+          d.getPath.getName.stripPrefix("v").toLong).toOption
+          .exists(committed))
+        .map(_.getPath.toString)
+    val both =
+      if (closedPaths.isEmpty) open
+      else spark.read.parquet(closedPaths: _*)
+        .withColumn("is_open", lit(false)).unionByName(open)
+    both
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+      .withColumn("sum_value", col("sum_v").cast("string").cast("double"))
+      .drop("sum_v")
+  }
+
   private def committedVersions(fs: org.apache.hadoop.fs.FileSystem,
                                 statePath: org.apache.hadoop.fs.Path): Seq[Long] = {
     val commitsDir = new org.apache.hadoop.fs.Path(statePath, "_graft_commits")

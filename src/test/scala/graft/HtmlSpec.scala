@@ -606,4 +606,35 @@ class HtmlSpec extends AnyFunSuite {
     assert(top.length == 1 &&
       top(0).getString(0) == "a" && top(0).getString(1) == "c")
   }
+
+  test("betweennessCentrality: hand values on a path and a diamond; " +
+    "self-loops/dups ignored; all-sources == full Brandes") {
+    import spark.implicits._
+    val S = 1000000000000L
+    // directed path a->b->c->d (+ dup edge and a self-loop): directed
+    // betweenness b: pairs (a,c),(a,d); c: (a,d),(b,d) -> both 2
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("b", "c"),
+      ("c", "c")).toDF("s", "d")
+    val got = WebGraph.betweennessCentrality(path, "s", "d",
+        nSources = 10, maxDepth = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 0L, "b" -> 2 * S, "c" -> 2 * S, "d" -> 0L),
+      s"path betweenness: $got")
+    // diamond a->{b,c}->d: two shortest a->d paths, sigma split —
+    // b and c each carry exactly SCALE div 2
+    val diamond = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"))
+      .toDF("s", "d")
+    val got2 = WebGraph.betweennessCentrality(diamond, "s", "d",
+        nSources = 10, maxDepth = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got2 == Map("a" -> 0L, "b" -> S / 2, "c" -> S / 2, "d" -> 0L),
+      s"diamond betweenness: $got2")
+    // sub-sampled sources: a deterministic md5-order subset — every
+    // node still reported, contributions only from sampled sources
+    val one = WebGraph.betweennessCentrality(path, "s", "d",
+        nSources = 1, maxDepth = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(one.keySet == Set("a", "b", "c", "d"), s"all nodes: $one")
+    assert(one.values.forall(v => v >= 0 && v <= 2 * S), s"bounds: $one")
+  }
 }

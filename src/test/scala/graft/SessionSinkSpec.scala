@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.EventOps
+import graft.streaming.StreamingIngest
+
+/** Streaming incremental sessionization on plain parquet
+  * ([[StreamingIngest.sessionSink]]): folding micro-batches into the
+  * open/closed session planes must equal batch
+  * [[EventOps.sessionStats]] over the full history — including sessions
+  * SPANNING a batch boundary — skip replays, ignore torn version
+  * directories, and reject time-traveling events loudly.
+  */
+class SessionSinkSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val gapUs = 1000L // 1 ms gap for compact fixtures
+  private val nBuckets = 8
+
+  private def freshDirs(): (java.nio.file.Path, String, String) = (
+    java.nio.file.Files.createTempDirectory("graft-sess-in"),
+    java.nio.file.Files.createTempDirectory("graft-sess-tgt").toString,
+    java.nio.file.Files.createTempDirectory("graft-sess-ckpt").toString)
+
+  /** (user, us, event_id, value) */
+  private type Ev = (Long, Long, Long, Double)
+
+  private def wave(in: java.nio.file.Path, target: String, ckpt: String,
+                   rows: Seq[Ev]): Long = {
+    if (rows.nonEmpty)
+      rows.toDF("user_id", "us", "event_id", "value").coalesce(1)
+        .write.mode("append").parquet(in.toString)
+    StreamingIngest.sessionSink(spark,
+      spark.readStream
+        .schema("user_id BIGINT, us BIGINT, event_id BIGINT, value DOUBLE")
+        .parquet(in.toString),
+      "user_id", "us", "event_id", "value", gapUs, target, ckpt,
+      nBuckets = nBuckets, keepVersions = 2)
+  }
+
+  private def served(target: String) =
+    StreamingIngest.readSessionTarget(spark, target)
+      .select("user_id", "session_seq", "start_us", "end_us",
+        "duration_us", "n_events", "sum_value", "is_open")
+      .as[(Long, Long, Long, Long, Long, Long, Double, Boolean)]
+      .collect().sortBy(t => (t._1, t._2)).toSeq
+
+  private def batchRef(rows: Seq[Ev]) =
+    EventOps.sessionStats(
+      rows.toDF("user_id", "us", "event_id", "value"),
+      "user_id", "us", "event_id", "value", gapUs)
+      .as[(Long, Long, Long, Long, Long, Long, Double)]
+      .collect().sortBy(t => (t._1, t._2)).toSeq
+
+  test("mid-session split: streaming folds == batch sessionStats; " +
+    "boundary-spanning session merges, ids stay deterministic") {
+    val (in, target, ckpt) = freshDirs()
+    // user 1: session A (0,100,200), session B spans the batch
+    //   boundary (5000,5100 | 5200,5300), session C (20000)
+    // user 2: one session entirely in batch 1, a NEW session in batch 2
+    //   (boundary gap >= gapUs closes the open one)
+    val b1: Seq[Ev] = Seq(
+      (1L, 0L, 1L, 1.5), (1L, 100L, 2L, 2.25), (1L, 200L, 3L, 0.0),
+      (1L, 5000L, 4L, 4.0), (1L, 5100L, 5L, 1.0),
+      (2L, 0L, 6L, 10.0), (2L, 500L, 7L, 0.125))
+    val b2: Seq[Ev] = Seq(
+      (1L, 5200L, 8L, 2.0), (1L, 5300L, 9L, 3.0), (1L, 20000L, 10L, 7.0),
+      (2L, 9000L, 11L, 5.0))
+    assert(wave(in, target, ckpt, b1) == 1L)
+    assert(wave(in, target, ckpt, b2) == 1L)
+    val got = served(target)
+    val ref = batchRef(b1 ++ b2)
+    assert(got.map(t => (t._1, t._2, t._3, t._4, t._5, t._6, t._7)) == ref,
+      s"streaming $got != batch $ref")
+    // exactly each user's LAST session is open
+    val lastSeq = ref.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    got.foreach(t => assert(t._8 == (lastSeq(t._1) == t._2),
+      s"is_open wrong for $t"))
+    // replay / empty input: nothing applied, state unchanged
+    assert(wave(in, target, ckpt, Seq.empty) == 0L)
+    assert(served(target) == got)
+  }
+
+  test("single-batch parity: one wave == batch sessionStats, all open/closed flags right") {
+    val (in, target, ckpt) = freshDirs()
+    val b: Seq[Ev] = Seq(
+      (7L, 0L, 1L, 1.0), (7L, 10L, 2L, 2.0),
+      (7L, 5000L, 3L, 3.0), (8L, 42L, 4L, 0.5))
+    assert(wave(in, target, ckpt, b) == 1L)
+    val got = served(target)
+    assert(got.map(t => (t._1, t._2, t._3, t._4, t._5, t._6, t._7)) ==
+      batchRef(b))
+    // user 7's first session is closed (a later event closed it),
+    // its second and user 8's only session are open
+    assert(got.map(t => (t._1, t._2) -> t._8).toMap ==
+      Map((7L, 1L) -> false, (7L, 2L) -> true, (8L, 1L) -> true))
+  }
+
+  test("torn version directories are invisible; crashed attempts are replaced") {
+    val (in, target, ckpt) = freshDirs()
+    assert(wave(in, target, ckpt,
+      Seq((1L, 0L, 1L, 1.0), (1L, 5000L, 2L, 2.0))) == 1L)
+    val before = served(target)
+    // torn OPEN version + torn CLOSED batch dir, neither committed
+    val b = java.nio.file.Files.list(
+      java.nio.file.Paths.get(target, "open")).toArray
+      .map(_.toString).filter(_.split("/").last.startsWith("b")).head
+    val tornOpen = java.nio.file.Paths.get(b, "v999")
+    java.nio.file.Files.createDirectories(tornOpen)
+    java.nio.file.Files.writeString(tornOpen.resolve("junk.txt"), "x")
+    val tornClosed = java.nio.file.Paths.get(target, "closed", "v999")
+    java.nio.file.Files.createDirectories(tornClosed)
+    java.nio.file.Files.writeString(tornClosed.resolve("junk.txt"), "x")
+    assert(served(target) == before)
+  }
+
+  test("out-of-order cross-batch event raises instead of mis-sessionizing") {
+    val (in, target, ckpt) = freshDirs()
+    assert(wave(in, target, ckpt, Seq((1L, 10000L, 1L, 1.0))) == 1L)
+    val e = intercept[Exception] {
+      wave(in, target, ckpt, Seq((1L, 500L, 2L, 1.0)))
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("12-wave churn over many users == one batch sessionStats; " +
+    "open-bucket retention bounded") {
+    val (in, target, ckpt) = freshDirs()
+    val all = scala.collection.mutable.ArrayBuffer.empty[Ev]
+    var eid = 0L
+    var clock = 0L
+    for (w <- 1 to 12) {
+      // every wave advances the global clock; every 3rd wave jumps past
+      // the gap so sessions both span and break across batch boundaries
+      clock += (if (w % 3 == 0) 50000L else 400L)
+      val rows = (0 until 6).map { j =>
+        eid += 1
+        val u = ((w + j) % 4).toLong
+        val us = clock + j * 10L
+        (u, us, eid, (j + 1) * 0.25)
+      }.sortBy(_._2)
+      all ++= rows
+      assert(wave(in, target, ckpt, rows) == 1L)
+    }
+    val got = served(target)
+    assert(got.map(t => (t._1, t._2, t._3, t._4, t._5, t._6, t._7)) ==
+      batchRef(all.toSeq), "12-wave fold must equal one batch pass")
+    // retention: every open bucket holds <= keepVersions version dirs
+    java.nio.file.Files.list(java.nio.file.Paths.get(target, "open"))
+      .forEach { bkt =>
+        if (bkt.getFileName.toString.startsWith("b")) {
+          val n = java.nio.file.Files.list(bkt).toArray
+            .map(_.toString.split("/").last).count(_.startsWith("v"))
+          assert(n <= 2, s"bucket $bkt holds $n versions (keepVersions=2)")
+        }
+      }
+  }
+
+  test("mismatched geometry is rejected at entry") {
+    val (in, target, ckpt) = freshDirs()
+    assert(wave(in, target, ckpt, Seq((1L, 0L, 1L, 1.0))) == 1L)
+    val e = intercept[IllegalArgumentException] {
+      StreamingIngest.sessionSink(spark,
+        spark.readStream
+          .schema("user_id BIGINT, us BIGINT, event_id BIGINT, value DOUBLE")
+          .parquet(in.toString),
+        "user_id", "us", "event_id", "value", gapUs * 2, target,
+        java.nio.file.Files.createTempDirectory("graft-sess-ckpt2").toString,
+        nBuckets = nBuckets)
+    }
+    assert(e.getMessage.contains("geometry"), e.getMessage)
+  }
+}

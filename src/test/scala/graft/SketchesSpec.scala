@@ -166,6 +166,79 @@ class SketchesSpec extends AnyFunSuite {
     assert(g.getLong(0) == vals.size.toLong)
   }
 
+  test("hdrSketchSigned: identity transform reproduces hdrSketch buckets") {
+    import spark.implicits._
+    val df = Seq(1L, 2L, 3L, 4L, 5L, 7L, 8L).toDF("v")
+      .withColumn("g", lit("g"))
+    // scale=1, offsetGrid=1: shifted = v - 1 + 1 = v
+    val signed = Sketches.hdrSketchSigned(df, Seq("g"), "v", 4, 1L, 1L)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val plain = Sketches.hdrSketch(df, Seq("g"), "v", 4)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(signed == plain, s"signed $signed vs plain $plain")
+  }
+
+  test("hdrSigned: fractional+negative values — merge-tree bit-exact, " +
+    "quantile rational is a lower bound within the band") {
+    import spark.implicits._
+    // signed fractional values in [-200.0, 200.0) at 10^-3 grain
+    val vals = (1 to 4000).map(i => ((i * i) % 4000 - 2000) / 10.0)
+    val df = vals.toDF("v").withColumn("g", lit("g"))
+    val m = 32
+    val scale = 1000L
+    val off = -2000000L // floor(-200.0 * 1000)
+    val direct = Sketches.hdrSketchSigned(df, Seq("g"), "v", m, scale, off)
+    val parts = Seq(0, 1, 2).map(i =>
+      df.withColumn("__i", monotonically_increasing_id())
+        .filter(col("__i") % 3 === i).drop("__i"))
+    val tree = Sketches.hdrMergeSigned(Seq("g"),
+      Sketches.hdrMergeSigned(Seq("g"),
+        Sketches.hdrSketchSigned(parts(0), Seq("g"), "v", m, scale, off),
+        Sketches.hdrSketchSigned(parts(1), Seq("g"), "v", m, scale, off)),
+      Sketches.hdrSketchSigned(parts(2), Seq("g"), "v", m, scale, off))
+    val dSet = direct.collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val tSet = tree.collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(tSet == dSet, "signed merge tree must equal direct build")
+    val sk = direct.localCheckpoint()
+    for ((num, den) <- Seq((1L, 2L), (9L, 10L))) {
+      val est = Sketches.hdrQuantileSigned(sk, Seq("g"), m, num, den).head()
+      assert(est.getLong(1) == vals.size.toLong)
+      val rational = est.getLong(2).toDouble / est.getLong(3)
+      val sorted = vals.sorted
+      val exact = sorted(
+        (math.ceil(num.toDouble * vals.size / den).toInt - 1).max(0))
+      // lower bound within 1/m relative error ON THE SHIFTED GRID
+      assert(rational <= exact + 1e-9,
+        s"q=$num/$den: $rational not a lower bound of $exact")
+      val shiftedExact = math.floor(exact * scale) - off + 1
+      val relErr = (shiftedExact - (est.getLong(2) - off + 1)) / shiftedExact
+      assert(relErr <= 1.0 / m + 0.01,
+        s"q=$num/$den: $rational vs $exact, shifted relErr $relErr")
+    }
+    sk.unpersist()
+  }
+
+  test("hdrMergeSigned refuses a meta mismatch loudly") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 3.0).toDF("v").withColumn("g", lit("g"))
+    val a = Sketches.hdrSketchSigned(df, Seq("g"), "v", 8, 10L, -100L)
+    val b = Sketches.hdrSketchSigned(df, Seq("g"), "v", 8, 100L, -100L)
+    val e = intercept[IllegalArgumentException] {
+      Sketches.hdrMergeSigned(Seq("g"), a, b)
+    }
+    assert(e.getMessage.contains("affine meta"), e.getMessage)
+  }
+
+  test("hdrSketchSigned raises in-plan on a value below the declared bound") {
+    import spark.implicits._
+    val df = Seq(-5.0, 1.0).toDF("v").withColumn("g", lit("g"))
+    // declared bound -2 on the grid, but floor(-5.0*1) = -5 < -2
+    val e = intercept[Exception] {
+      Sketches.hdrSketchSigned(df, Seq("g"), "v", 8, 1L, -2L).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("hll: merge-tree == direct build bit-exact; estimate within the analytic band; duplicates free") {
     import spark.implicits._
     val n = 20000
