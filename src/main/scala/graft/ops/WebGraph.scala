@@ -1153,6 +1153,60 @@ object WebGraph {
       s"nSources must be in [1,4096], got $nSources")
     require(maxDepth >= 1 && maxDepth <= 64,
       s"maxDepth must be in [1,64], got $maxDepth")
+    val (e, nodes, visited, depth) =
+      sampledBfs(edges, srcCol, dstCol, nSources, maxDepth)
+    // backward: δ per (s, node), level by level from the deepest
+    var delta = visited
+      .select(col("s"), col("node"), col("sigma"), lit(0L).as("delta"))
+      .filter(col("dist") === depth) // deepest level: no successors
+      .localCheckpoint()
+    var acc = delta.select(col("s"), col("node"), col("delta"))
+    for (lvl <- (depth - 1) to 0 by -1) {
+      val cur = visited.filter(col("dist") === lvl)
+      val nextLvl = delta.select(col("s").as("__s"),
+        col("node").as("__w"), col("sigma").as("__sw"),
+        col("delta").as("__dw"))
+      delta = cur
+        .join(e, col("node") === col("esrc"), "left")
+        .join(nextLvl,
+          col("s") === col("__s") && col("edst") === col("__w"), "left")
+        .groupBy(col("s"), col("node"))
+        .agg(max(col("sigma")).as("sigma"),
+          coalesce(sum(expr(
+            s"CAST((CAST(sigma AS DECIMAL(38,0)) * (${scale}L + __dw))" +
+              " div __sw AS BIGINT)")), lit(0L)).as("delta"))
+        .localCheckpoint() // O(1)-deep plan across levels
+      acc = acc.unionByName(delta.select(col("s"), col("node"),
+        col("delta")))
+    }
+    val bc = acc.filter(col("node") =!= col("s"))
+      .groupBy("node")
+      .agg(sum(col("delta")).as("bc_scaled"))
+    e.unpersist()
+    nodes.join(bc, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("bc_scaled"), lit(0L)).as("bc_scaled"))
+      .withColumn("betweenness",
+        col("bc_scaled").cast("double") / scale.toDouble)
+  }
+
+  /** Normalized simple directed edge view, node frame, md5-order source
+    * sample, and exact multi-source BFS state — the shared kernel of
+    * [[betweennessCentrality]] and [[harmonicCloseness]]. Edges are
+    * string-cast, self-loop-free and distinct; sources are the first
+    * `nSources` nodes in md5(node) order (distributed top-k); the BFS
+    * carries the shortest-path count σ as exact integers, one
+    * frontier-against-edges join per hop with per-round localCheckpoint
+    * (O(1) plan depth; the per-round emptiness probe is the only
+    * action).
+    *
+    * Returns (edges — PERSISTED, caller unpersists; nodes;
+    * visited = (s, node, dist, sigma); depth — the first empty level
+    * when early-exited, else maxDepth).
+    */
+  private def sampledBfs(edges: DataFrame, srcCol: String, dstCol: String,
+                         nSources: Int, maxDepth: Int)
+      : (DataFrame, DataFrame, DataFrame, Int) = {
     val e = edges
       .select(col(srcCol).cast("string").as("esrc"),
         col(dstCol).cast("string").as("edst"))
@@ -1189,39 +1243,43 @@ object WebGraph {
         frontier = next
       }
     }
-    val depth = d // deepest populated level is depth-1 when early-exited
-    // backward: δ per (s, node), level by level from the deepest
-    var delta = visited
-      .select(col("s"), col("node"), col("sigma"), lit(0L).as("delta"))
-      .filter(col("dist") === depth) // deepest level: no successors
-      .localCheckpoint()
-    var acc = delta.select(col("s"), col("node"), col("delta"))
-    for (lvl <- (depth - 1) to 0 by -1) {
-      val cur = visited.filter(col("dist") === lvl)
-      val nextLvl = delta.select(col("s").as("__s"),
-        col("node").as("__w"), col("sigma").as("__sw"),
-        col("delta").as("__dw"))
-      delta = cur
-        .join(e, col("node") === col("esrc"), "left")
-        .join(nextLvl,
-          col("s") === col("__s") && col("edst") === col("__w"), "left")
-        .groupBy(col("s"), col("node"))
-        .agg(max(col("sigma")).as("sigma"),
-          coalesce(sum(expr(
-            s"CAST((CAST(sigma AS DECIMAL(38,0)) * (${scale}L + __dw))" +
-              " div __sw AS BIGINT)")), lit(0L)).as("delta"))
-        .localCheckpoint() // O(1)-deep plan across levels
-      acc = acc.unionByName(delta.select(col("s"), col("node"),
-        col("delta")))
-    }
-    val bc = acc.filter(col("node") =!= col("s"))
-      .groupBy("node")
-      .agg(sum(col("delta")).as("bc_scaled"))
+    (e, nodes, visited, d)
+  }
+
+  /** Sampled HARMONIC closeness centrality (Marchiori & Latora 2000;
+    * Boldi & Vigna's recommended closeness variant — reciprocal
+    * distances sum, so disconnection contributes 0 instead of breaking
+    * the mean): over the same fixed md5-order source sample as
+    * [[betweennessCentrality]],
+    *
+    *   h(v) = Σ over sampled sources s ≠ v reaching v of
+    *          SCALE div dist(s, v)
+    *
+    * — INBOUND harmonic centrality (how quickly the sample reaches v
+    * along edge direction), in exact floor-division integers so the
+    * whole estimator replays as the unrolled BFS CTEs. One BFS (shared
+    * kernel, σ unused), one aggregation over the skinny (s, node, dist)
+    * state, one outer join to report unreached nodes as 0.
+    *
+    * → (node, h_scaled, harmonic = h_scaled / SCALE)
+    */
+  def harmonicCloseness(edges: DataFrame, srcCol: String, dstCol: String,
+                        nSources: Int, maxDepth: Int = 16,
+                        scale: Long = 1000000000000L): DataFrame = {
+    require(nSources >= 1 && nSources <= 4096,
+      s"nSources must be in [1,4096], got $nSources")
+    require(maxDepth >= 1 && maxDepth <= 64,
+      s"maxDepth must be in [1,64], got $maxDepth")
+    val (e, nodes, visited, _) =
+      sampledBfs(edges, srcCol, dstCol, nSources, maxDepth)
+    val h = visited.filter(col("dist") > 0)
+      .select(col("node"), expr(s"${scale}L div dist").as("__t"))
+      .groupBy("node").agg(sum(col("__t")).as("h_scaled"))
     e.unpersist()
-    nodes.join(bc, Seq("node"), "left")
+    nodes.join(h, Seq("node"), "left")
       .select(col("node"),
-        coalesce(col("bc_scaled"), lit(0L)).as("bc_scaled"))
-      .withColumn("betweenness",
-        col("bc_scaled").cast("double") / scale.toDouble)
+        coalesce(col("h_scaled"), lit(0L)).as("h_scaled"))
+      .withColumn("harmonic",
+        col("h_scaled").cast("double") / scale.toDouble)
   }
 }

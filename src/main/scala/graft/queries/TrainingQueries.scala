@@ -679,8 +679,13 @@ object TrainingQueries {
     * accumulation level by level in SCALE=10^12 integers with products
     * through HUGEINT (the Spark side's DECIMAL(38,0)).
     */
-  private def brandesOracle(nSources: Int, depth: Int): String = {
-    val scale = "1000000000000"
+  /** Shared unrolled multi-source-BFS CTE chain over the q145 link
+    * graph — WebGraph.sampledBfs' exact replay (md5-order first
+    * `nSources` sources; per level: expand, anti-join visited, union) —
+    * the q256 (Brandes) and q257 (harmonic closeness) oracles both
+    * read the final `vis<depth>` state.
+    */
+  private def bfsCtes(nSources: Int, depth: Int): String = {
     val head = "WITH " + linkEdgesCte.stripMargin +
       s""",
          |e AS MATERIALIZED (
@@ -706,6 +711,11 @@ object TrainingQueries {
          |vis$d AS MATERIALIZED (
          |  SELECT * FROM vis${d - 1} UNION ALL SELECT * FROM f$d)""".stripMargin
     }.mkString
+    head + fwd
+  }
+
+  private def brandesOracle(nSources: Int, depth: Int): String = {
+    val scale = "1000000000000"
     val back = s""",
          |d$depth AS MATERIALIZED (
          |  SELECT s, node, sigma, CAST(0 AS BIGINT) AS delta
@@ -724,7 +734,7 @@ object TrainingQueries {
     val accUnion = (0 to depth)
       .map(l => s"SELECT s, node, delta FROM d$l")
       .mkString("\n  UNION ALL ")
-    head + fwd + back +
+    bfsCtes(nSources, depth) + back +
       s""",
          |acc AS ($accUnion),
          |bc AS (
@@ -9480,6 +9490,40 @@ object TrainingQueries {
             "dst_host", nSources = 16, maxDepth = 12)
           .orderBy("node")
       },
-      Some(brandesOracle(16, 12)))
+      Some(brandesOracle(16, 12))),
+
+    // ------------------------------------------------------------------
+    // Sampled harmonic closeness (WebGraph.harmonicCloseness — Marchiori
+    // & Latora 2000, the closeness variant that survives disconnection):
+    // how quickly does the md5-order 16-source sample reach each host
+    // along edge direction? Same BFS kernel as q256 (the oracle reuses
+    // the identical unrolled CTE chain), reciprocal distances summed in
+    // exact floor-division integers.
+    QuerySpec(
+      "q257_harmonic_closeness",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        def dst(a: Int, b: Int) = concat(lit("h"),
+          ((col("doc_id") * a + b) % 97).cast("string"),
+          lit(".example.org"))
+        val edges = docs.select(host97.as("src_host"),
+            dst(7, 13).as("dst_host"))
+          .unionByName(docs.filter(col("doc_id") % 3 =!= 0)
+            .select(host97.as("src_host"), dst(31, 29).as("dst_host")))
+        graft.ops.WebGraph.harmonicCloseness(edges, "src_host",
+            "dst_host", nSources = 16, maxDepth = 12)
+          .orderBy("node")
+      },
+      Some(bfsCtes(16, 12) +
+        """
+          |SELECT n.node,
+          |  CAST(COALESCE(h.h_scaled, 0) AS BIGINT) AS h_scaled,
+          |  CAST(COALESCE(h.h_scaled, 0) AS DOUBLE) / 1000000000000
+          |    AS harmonic
+          |FROM nodes n LEFT JOIN (
+          |  SELECT node, SUM(1000000000000 // dist) AS h_scaled
+          |  FROM vis12 WHERE dist > 0 GROUP BY node) h
+          |  ON h.node = n.node
+          |ORDER BY n.node""".stripMargin))
   )
 }

@@ -637,4 +637,17 @@ class HtmlSpec extends AnyFunSuite {
     assert(one.keySet == Set("a", "b", "c", "d"), s"all nodes: $one")
     assert(one.values.forall(v => v >= 0 && v <= 2 * S), s"bounds: $one")
   }
+
+  test("harmonicCloseness: hand reciprocal sums on a path; unreached nodes report 0") {
+    import spark.implicits._
+    val S = 1000000000000L
+    // directed path a->b->c->d, all 4 nodes sampled: inbound harmonic
+    // d = S + S//2 + S//3, c = S + S//2, b = S, a = 0 (nothing reaches a)
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("s", "d")
+    val got = WebGraph.harmonicCloseness(path, "s", "d",
+        nSources = 10, maxDepth = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 0L, "b" -> S, "c" -> (S + S / 2),
+      "d" -> (S + S / 2 + S / 3)), s"harmonic: $got")
+  }
 }
