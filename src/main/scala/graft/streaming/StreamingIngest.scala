@@ -1681,6 +1681,8 @@ object StreamingIngest {
               .withColumn("__sum", when(col("__merged"),
                 col("__osum") + col("__bsum")).otherwise(col("__bsum"))
                 .cast("decimal(28,6)"))
+              .persist() // feeds the open write, the closed emptiness
+                         // probe and the closed write — one computation
             val newOpen = openCarry.unionByName(
               oj.filter(col("__bseq") === col("__kmax"))
                 .select(col("__u"), col("__seq").as("session_seq"),
@@ -1733,6 +1735,7 @@ object StreamingIngest {
             fs.mkdirs(commitsDir)
             fs.createNewFile(marker)
             applied.incrementAndGet()
+            oj.unpersist()
             // retention: prune each touched OPEN bucket's committed
             // versions (the closed log is the output — never pruned)
             val nowCommitted = committed + batchId

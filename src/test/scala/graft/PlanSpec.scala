@@ -561,6 +561,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q256/q257: BFS centralities are O(1) deep — hops checkpointed, never stacked, no cartesians") {
+    Seq("q256_betweenness", "q257_harmonic_closeness").foreach { q =>
+      val plan = executedPlan(q)
+      assert(plan.contains("ExistingRDD"),
+        s"$q: the readout must scan checkpointed BFS frames, not replay " +
+          s"the per-hop join towers\n$plan")
+      val aggs = "HashAggregate".r.findAllIn(plan).size
+      assert(aggs <= 10, s"$q: plan depth suggests stacked hops: $aggs\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+    }
+  }
+
   test("q193: the CMS point-query join broadcasts the sketch side") {
     val plan = executedPlan("q193_cms_heavy_hitters")
     assert(plan.contains("BroadcastHashJoin"),
