@@ -300,6 +300,13 @@ object Sketches {
     require(m >= 2 && m <= 128, s"m must be in [2,128], got $m")
     require(scale >= 1, s"scale must be >= 1, got $scale")
     val shifted = df
+      // NaN floors to NaN and CASTS TO 0 silently — it would grid as the
+      // value offsetGrid/scale instead of failing; raise like the
+      // below-bound case (NULLs stay excluded, the SQL convention)
+      .filter(coalesce(
+        assert_true(!isnan(col(valueCol).cast("double")),
+          lit("hdrSketchSigned: NaN value — not mappable to the grid")),
+        lit(true)))
       .select(groupCols.map(col) :+
         (floor(col(valueCol) * lit(scale)).cast("long") - offsetGrid + 1L)
           .as("__v"): _*)
@@ -364,9 +371,17 @@ object Sketches {
     val base = hdrQuantile(
       sketch.select((groupCols.map(col) :+ col("bucket") :+ col("cnt")): _*),
       groupCols, m, qNum, qDen)
+    // the same loud gate as hdrMergeSigned: a hand-unioned mixed-meta
+    // frame would otherwise cross-multiply into silently wrong rows
+    val metas = sketch.select(col("hdr_scale"), col("hdr_offset_grid"))
+      .distinct().take(2)
+    require(metas.length <= 1,
+      "hdrQuantileSigned: sketch carries mixed affine meta " +
+        metas.map(r => s"(scale=${r.getLong(0)}, offsetGrid=${r.getLong(1)})")
+          .mkString(", ") + " — merge through hdrMergeSigned first")
     val meta = broadcast(
       sketch.select(col("hdr_scale"), col("hdr_offset_grid")).distinct())
-    base.crossJoin(meta) // 1-row meta frame: bounded by the merge gate
+    base.crossJoin(meta) // 1-row meta frame, gated above
       .withColumn("value_num",
         col("hdr_value") - 1L + col("hdr_offset_grid"))
       .select(groupCols.map(col) ++ Seq(col("n_total"),

@@ -239,6 +239,26 @@ class SketchesSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("hdrSigned: NaN raises instead of gridding as offset; " +
+    "mixed-meta quantile read refuses") {
+    import spark.implicits._
+    // NaN would floor->cast to 0 and silently grid as value offset/scale
+    val nan = Seq(1.0, Double.NaN).toDF("v").withColumn("g", lit("g"))
+    val e1 = intercept[Exception] {
+      Sketches.hdrSketchSigned(nan, Seq("g"), "v", 8, 1L, -2L).collect()
+    }
+    assert(e1.getMessage != null)
+    // a hand-unioned mixed-meta frame must be refused at read time too
+    val df = Seq(1.0, 2.0).toDF("v").withColumn("g", lit("g"))
+    val mixed = Sketches.hdrSketchSigned(df, Seq("g"), "v", 8, 10L, -100L)
+      .unionByName(
+        Sketches.hdrSketchSigned(df, Seq("g"), "v", 8, 100L, -100L))
+    val e2 = intercept[IllegalArgumentException] {
+      Sketches.hdrQuantileSigned(mixed, Seq("g"), 8)
+    }
+    assert(e2.getMessage.contains("mixed affine meta"), e2.getMessage)
+  }
+
   test("hll: merge-tree == direct build bit-exact; estimate within the analytic band; duplicates free") {
     import spark.implicits._
     val n = 20000
