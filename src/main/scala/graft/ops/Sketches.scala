@@ -195,7 +195,25 @@ object Sketches {
     * → (groupCols…, bucket, cnt)
     */
   def hdrSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                m: Int): DataFrame = {
+                m: Int): DataFrame =
+    hdrBucketize(df, groupCols, valueCol, m)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The PER-ROW half of [[hdrSketch]]: each surviving row mapped to its
+    * bucket id, no aggregation — a pure projection, so it also runs on a
+    * STREAMING DataFrame. Streaming sketch maintenance composes from
+    * parts that already exist: `aggStateSink(hdrBucketize(stream, …),
+    * keyCols = group :+ "bucket", …)` folds micro-batches into persisted
+    * bucket counts (the state's `n`), and counts ADD — so the fold
+    * equals a direct [[hdrSketch]] build over the full history
+    * (asserted in StreamingAggSpec) and [[hdrQuantile]] serves straight
+    * off the stored state.
+    *
+    * → (groupCols…, bucket) — one row per accepted input row.
+    */
+  def hdrBucketize(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                   m: Int): DataFrame = {
     require(m >= 2 && m <= 128, s"m must be in [2,128], got $m")
     df.select(groupCols.map(col) :+ col(valueCol).cast("long").as("__v"): _*)
       .filter(col("__v").isNotNull && col("__v") >= 1L &&
@@ -204,8 +222,7 @@ object Sketches {
       .withColumn("__base", expr("shiftleft(1L, cast(__e as int))"))
       .withColumn("bucket",
         col("__e") * m + expr(s"((__v - __base) * $m) div __base"))
-      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
-      .agg(count(lit(1)).as("cnt"))
+      .select(groupCols.map(col) :+ col("bucket"): _*)
   }
 
   /** Merge any number of [[hdrSketch]] states (stored + increments):

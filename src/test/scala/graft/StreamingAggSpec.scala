@@ -192,6 +192,42 @@ class StreamingAggSpec extends AnyFunSuite {
     assert(fin.toSeq == Seq(("a", 3L, 2.0), ("b", 2L, 3.0), ("c", 1L, 7.0)))
   }
 
+  test("streaming HDR sketch maintenance: aggStateSink over hdrBucketize == direct build; quantiles serve off stored state") {
+    import spark.implicits._
+    import graft.ops.Sketches
+    import graft.streaming.StreamingIngest
+    val m = 16
+    val in = java.nio.file.Files.createTempDirectory("graft-hdr-in")
+    val state = java.nio.file.Files.createTempDirectory("graft-hdr-st").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-hdr-ck").toString
+    def wave(rows: Seq[(String, Long)]): Long = {
+      rows.toDF("g", "v").coalesce(1).write.mode("append").parquet(in.toString)
+      StreamingIngest.aggStateSink(spark,
+        Sketches.hdrBucketize(
+          spark.readStream.schema("g STRING, v BIGINT").parquet(in.toString),
+          Seq("g"), "v", m),
+        Seq("g", "bucket"), "bucket", state, ckpt)
+    }
+    val w1 = (1L to 600L).map(i => ("g", i * i % 5000L + 1L))
+    val w2 = (601L to 1200L).map(i => ("g", i * i % 5000L + 1L))
+    assert(wave(w1) == 1L)
+    assert(wave(w2) == 1L)
+    // the stored state's n per (g, bucket) IS the sketch — register-
+    // for-register equal to a direct build over the full history
+    val served = StreamingIngest.readAggState(spark, state)
+      .select(col("g"), col("bucket"), col("n").as("cnt"))
+    val direct = Sketches.hdrSketch((w1 ++ w2).toDF("g", "v"),
+      Seq("g"), "v", m)
+    val sSet = served.collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val dSet = direct.collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(sSet == dSet, s"stored state $sSet != direct sketch $dSet")
+    // quantile reads serve straight off the stored state
+    val qs = Sketches.hdrQuantile(served, Seq("g"), m, 9L, 10L).head()
+    val qd = Sketches.hdrQuantile(direct, Seq("g"), m, 9L, 10L).head()
+    assert(qs.getLong(1) == qd.getLong(1) && qs.getLong(2) == qd.getLong(2),
+      s"served p90 ${qs} != direct ${qd}")
+  }
+
   test("aggStateSink: replays skip, torn versions are invisible") {
     import spark.implicits._
     import graft.streaming.StreamingIngest
