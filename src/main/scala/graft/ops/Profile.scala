@@ -1046,10 +1046,122 @@ object Profile {
     val nD = n1.toDouble
     best.select(lit(n1).as("n"), col("__k").as("k_stat"),
       col("__t").as("change_at"),
-      (lit(2.0) * exp(lit(-6.0) * col("__k").cast("double") *
+      // the classic approximation is a TAIL BOUND — clamp at 1 so the
+      // reported value is a p-value (small K would otherwise exceed 1)
+      least(lit(1.0), lit(2.0) * exp(lit(-6.0) * col("__k").cast("double") *
         col("__k").cast("double") / lit(nD * nD * nD + nD * nD)))
         .as("p_value"))
       .withColumn("significant", col("p_value") < lit(0.05))
+  }
+
+  /** GROUPED [[pettittTest]] — one changepoint scan PER SERIES (the
+    * monitoring sweep: "which event types / sources / hosts shifted,
+    * and when?"). Where the global flavor rides the distributed prefix
+    * scan to avoid a single-partition window, the grouped flavor has a
+    * natural partition key, so it is ONE window chain partitioned by
+    * the group columns: doubled midranks off a rank window, U_t as a
+    * running sum, the per-group argmax as a struct-max aggregation —
+    * exact integers until the one exp() readout per group.
+    *
+    * Scale contract: per-series length is bounded by the series
+    * resolution (days × groups, the [[graft.ops.EventOps]] grouped-
+    * series convention), never corpus rows — aggregate first. Order
+    * values must be unique per group (enforced in-plan); groups with a
+    * single row have no split point and are absent from the output.
+    *
+    * → (groupCols…, n, k_stat, change_at, p_value, significant)
+    */
+  def pettittTestGrouped(df: DataFrame, groupCols: Seq[String],
+                         orderCol: String, valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty,
+      "pettittTestGrouped needs group columns — use pettittTest for one series")
+    val g = groupCols.map(col)
+    import org.apache.spark.sql.expressions.Window
+    val wg = Window.partitionBy(g: _*)
+    val rows = df
+      .select(g :+ col(orderCol).cast("double").as("__t") :+
+        col(valueCol).cast("double").as("__v"): _*)
+      .filter(col("__t").isNotNull && col("__v").isNotNull)
+      // unique-order contract, in-plan (the global flavor's require)
+      .withColumn("__dup",
+        count(lit(1)).over(Window.partitionBy((g :+ col("__t")): _*)))
+      .filter(coalesce(
+        assert_true(col("__dup") === 1,
+          concat_ws("", lit("pettittTestGrouped: duplicate order value "),
+            col("__t"), lit(" within a group — orderCol must be a series index"))),
+        lit(true)))
+    val u = rows
+      .withColumn("__n", count(lit(1)).over(wg))
+      .withColumn("__mr2",
+        lit(2L) * rank().over(wg.orderBy(col("__v"))) +
+          count(lit(1)).over(Window.partitionBy((g :+ col("__v")): _*)) -
+          lit(1L))
+      .withColumn("__u", sum(col("__mr2") - 1L - col("__n"))
+        .over(wg.orderBy(col("__t"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__tmax", max(col("__t")).over(wg))
+      .filter(col("__t") =!= col("__tmax")) // t < n splits only
+    u.groupBy(g: _*)
+      .agg(max(col("__n")).as("n"),
+        max(struct(abs(col("__u")).as("k"), (-col("__t")).as("__negt")))
+          .as("__best"))
+      .select(g ++ Seq(col("n"),
+        col("__best.k").as("k_stat"),
+        (-col("__best.__negt")).as("change_at")): _*)
+      .withColumn("p_value", least(lit(1.0), lit(2.0) * exp(lit(-6.0) *
+        col("k_stat").cast("double") * col("k_stat").cast("double") /
+        (col("n").cast("double") * col("n") * col("n") +
+          col("n").cast("double") * col("n")))))
+      .withColumn("significant", col("p_value") < lit(0.05))
+  }
+
+  /** Benjamini–Hochberg FDR step-up (Benjamini & Hochberg 1995) over a
+    * frame of per-test p-values — the multiple-testing gate the
+    * experiment plane needs once [[pettittTestGrouped]] /
+    * [[rankSumTest]]-style sweeps emit one hypothesis per series: at
+    * level α = alphaNum/alphaDen, discoveries are the tests ranked
+    * 1..k* where k* = max{ i : p_(i) · m ≤ i · α } (cross-multiplied —
+    * the comparison is p·m·alphaDen ≤ i·alphaNum, no float α), plus
+    * the standard monotone adjusted p-values
+    * p_adj(i) = min(1, min_{j ≥ i} m·p_(j)/j). Ties rank by
+    * (p, keyCols…) so the order replays on any engine.
+    *
+    * Scale contract: the input is one row per HYPOTHESIS — the bounded
+    * test plane (series × metrics), never corpus rows — hence the
+    * single [[graft.functions.BoundedKey]]-keyed window (the house
+    * bounded-global-window convention). p-values outside [0,1] raise
+    * in-plan. All input columns pass through.
+    *
+    * → input columns + (bh_rank, p_adj, discovery)
+    */
+  def bhFdr(tests: DataFrame, keyCols: Seq[String], pCol: String,
+            alphaNum: Long = 1L, alphaDen: Long = 20L): DataFrame = {
+    require(keyCols.nonEmpty, "bhFdr needs tiebreak key columns")
+    require(alphaNum > 0 && alphaDen > 0 && alphaNum <= alphaDen,
+      s"alpha must be a rational in (0,1]: $alphaNum/$alphaDen")
+    import org.apache.spark.sql.expressions.Window
+    val bk = graft.functions.ArrayMath.boundedKey(tests)
+    val wAll = Window.partitionBy(bk)
+    val wRank = Window.partitionBy(bk)
+      .orderBy(col(pCol) +: keyCols.map(col): _*)
+    tests
+      .filter(coalesce(
+        assert_true(col(pCol).isNotNull && col(pCol) >= 0 && col(pCol) <= 1,
+          concat_ws("", lit("bhFdr: p-value outside [0,1]: "), col(pCol))),
+        lit(true)))
+      .withColumn("bh_rank", row_number().over(wRank).cast("long"))
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .withColumn("__pass",
+        col(pCol) * col("__m") * alphaDen <= col("bh_rank") * alphaNum)
+      .withColumn("__kmax",
+        max(when(col("__pass"), col("bh_rank"))).over(wAll))
+      .withColumn("discovery",
+        col("__kmax").isNotNull && col("bh_rank") <= col("__kmax"))
+      .withColumn("p_adj", least(lit(1.0),
+        min(col(pCol) * col("__m") / col("bh_rank"))
+          .over(Window.partitionBy(bk).orderBy(col("bh_rank").desc)
+            .rowsBetween(Window.unboundedPreceding, 0))))
+      .drop("__m", "__pass", "__kmax")
   }
 
   /** Gini concentration coefficient (Gini 1912) of a nonnegative

@@ -9294,8 +9294,8 @@ object TrainingQueries {
              |  FROM u WHERE t <> tmax
              |  ORDER BY ABS(ut) DESC, t LIMIT 1)
              |SELECT n, CAST(k AS BIGINT) AS k_stat, t AS change_at,
-             |  2.0 * exp(-6.0 * CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
-             |    / (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n))
+             |  LEAST(1.0, 2.0 * exp(-6.0 * CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+             |    / (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n)))
              |    AS p_value,
              |  2.0 * exp(-6.0 * CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
              |    / (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n))
@@ -9524,6 +9524,91 @@ object TrainingQueries {
           |  SELECT node, SUM(1000000000000 // dist) AS h_scaled
           |  FROM vis12 WHERE dist > 0 GROUP BY node) h
           |  ON h.node = n.node
-          |ORDER BY n.node""".stripMargin))
+          |ORDER BY n.node""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Changepoint sweep + multiple-testing gate (Profile.
+    // pettittTestGrouped → Profile.bhFdr — Pettitt 1979 per series,
+    // Benjamini–Hochberg 1995 across them): did ANY event type's daily
+    // volume shift, controlling the false-discovery rate across the
+    // simultaneous hypotheses at α = 1/20? Per-series scan is q252's
+    // doubled-midrank arithmetic with natural group-partitioned windows;
+    // the BH step-up is cross-multiplied (p·m·20 ≤ i·1 — no float α) and
+    // the adjusted p is the standard reverse running min, both replayed
+    // window-for-window.
+    QuerySpec(
+      "q258_changepoint_fdr",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .filter(col("event_type").isNotNull)
+          .select(col("event_type"), to_date(col("ts")).as("day"))
+          .filter(col("day").isNotNull)
+          .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+          .select(col("event_type"),
+            datediff(col("day"), lit("1970-01-01")).cast("long").as("t"),
+            col("cnt"))
+        val tests = graft.ops.Profile.pettittTestGrouped(
+          daily, Seq("event_type"), "t", "cnt")
+        // p_value / p_adj are exp()-derived doubles — Java Math.exp and
+        // DuckDB libm may differ in the last ulp, so the hash-compared
+        // result carries the exact integers and the DECISIONS (the
+        // ProfileSpec covers the p columns in-engine); the ordering and
+        // step-up still ride p internally on both sides
+        graft.ops.Profile.bhFdr(tests, Seq("event_type"), "p_value",
+            alphaNum = 1L, alphaDen = 20L)
+          .select(col("event_type"), col("n"), col("k_stat"),
+            col("change_at"), col("significant"), col("bh_rank"),
+            col("discovery"))
+          .orderBy("bh_rank")
+      },
+      Some("""WITH s0 AS (
+             |  SELECT event_type AS g,
+             |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+             |    COUNT(*) AS cnt
+             |  FROM events
+             |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+             |  GROUP BY 1, 2),
+             |r AS (
+             |  SELECT g, CAST(t AS DOUBLE) AS t,
+             |    CAST(2*RANK() OVER (PARTITION BY g ORDER BY cnt)
+             |      + COUNT(*) OVER (PARTITION BY g, cnt) - 1 AS BIGINT)
+             |      AS mr2,
+             |    COUNT(*) OVER (PARTITION BY g) AS n
+             |  FROM s0),
+             |u AS (
+             |  SELECT g, t,
+             |    SUM(mr2 - 1 - n) OVER (PARTITION BY g ORDER BY t
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ut,
+             |    n, MAX(t) OVER (PARTITION BY g) AS tmax
+             |  FROM r),
+             |best AS (
+             |  SELECT g, n, k, t FROM (
+             |    SELECT g, CAST(n AS BIGINT) AS n, ABS(ut) AS k, t,
+             |      ROW_NUMBER() OVER (PARTITION BY g
+             |        ORDER BY ABS(ut) DESC, t) AS rn
+             |    FROM u WHERE t <> tmax) q
+             |  WHERE rn = 1),
+             |p AS (
+             |  SELECT g, n, CAST(k AS BIGINT) AS k_stat, t AS change_at,
+             |    LEAST(1.0,
+             |      2.0 * exp(-6.0 * CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+             |        / (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n)))
+             |      AS p_value
+             |  FROM best),
+             |b AS (
+             |  SELECT g, n, k_stat, change_at, p_value,
+             |    p_value < 0.05 AS significant,
+             |    CAST(ROW_NUMBER() OVER (ORDER BY p_value, g) AS BIGINT)
+             |      AS bh_rank,
+             |    COUNT(*) OVER () AS m
+             |  FROM p),
+             |k AS (
+             |  SELECT *, MAX(CASE WHEN p_value * m * 20 <= bh_rank * 1
+             |    THEN bh_rank END) OVER () AS kmax
+             |  FROM b)
+             |SELECT g AS event_type, n, k_stat, change_at,
+             |  significant, bh_rank,
+             |  kmax IS NOT NULL AND bh_rank <= kmax AS discovery
+             |FROM k ORDER BY bh_rank""".stripMargin))
   )
 }

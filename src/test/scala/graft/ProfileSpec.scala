@@ -471,6 +471,57 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("pettittTestGrouped == global pettittTest per series; dup order raises") {
+    import spark.implicits._
+    // series A: the 10-point shift fixture; series B: the 30-point one
+    val df = ((1 to 10).map(t => ("A", t.toDouble,
+        if (t <= 5) 0.0 else 10.0)) ++
+      (1 to 30).map(t => ("B", t.toDouble, if (t <= 15) 0.0 else 10.0)))
+      .toDF("g", "t", "x")
+    val got = Profile.pettittTestGrouped(df, Seq("g"), "t", "x")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(5))).toMap
+    assert(got("A") == (10L, 25L, 5.0, false), s"A: ${got("A")}")
+    assert(got("B") == (30L, 225L, 15.0, true), s"B: ${got("B")}")
+    // per-group p equals the global flavor's p bit-for-bit
+    val pa = Profile.pettittTest(df.filter(col("g") === "A"), "t", "x")
+      .head().getDouble(3)
+    val pg = Profile.pettittTestGrouped(df, Seq("g"), "t", "x")
+      .filter(col("g") === "A").head().getDouble(4)
+    assert(pa == pg, s"grouped p $pg != global p $pa")
+    // duplicate order value inside ONE group raises in-plan
+    val dup = df.unionByName(Seq(("A", 5.0, 3.0)).toDF("g", "t", "x"))
+    val e = intercept[Exception] {
+      Profile.pettittTestGrouped(dup, Seq("g"), "t", "x").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("bhFdr: hand step-up, monotone adjusted p, out-of-range p raises") {
+    import spark.implicits._
+    // p = .01 .02 .04 .20 at α = .05, m = 4: thresholds i·α/m =
+    // .0125 .025 .0375 .05 → k* = 2; p_adj (reverse running min of
+    // m·p/i) = .04 .04 .0533… .20
+    val df = Seq(("t1", 0.01), ("t2", 0.02), ("t3", 0.20), ("t4", 0.04))
+      .toDF("test", "p")
+    val r = Profile.bhFdr(df, Seq("test"), "p", 1L, 20L)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(2), x.getDouble(4), x.getBoolean(3))).toMap
+    assert(r("t1")._1 == 1L && r("t2")._1 == 2L && r("t4")._1 == 3L &&
+      r("t3")._1 == 4L, s"ranks: $r")
+    assert(r("t1")._3 && r("t2")._3 && !r("t4")._3 && !r("t3")._3,
+      s"discoveries: $r")
+    assert(r("t1")._2 == 0.04 && r("t2")._2 == 0.04 &&
+      r("t3")._2 == 0.20, s"p_adj: $r")
+    assert(math.abs(r("t4")._2 - 0.04 * 4 / 3) < 1e-15, s"p_adj t4: $r")
+    // all columns pass through; p outside [0,1] raises in-plan
+    val e = intercept[Exception] {
+      Profile.bhFdr(Seq(("t", 1.5)).toDF("test", "p"),
+        Seq("test"), "p").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("giniConcentration: 0 on equality, (n-1)/n on a point mass, negatives rejected") {
     import spark.implicits._
     val eq = Seq(7.0, 7.0, 7.0, 7.0).toDF("v")
