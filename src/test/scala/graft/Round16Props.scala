@@ -155,6 +155,34 @@ object Round16Props extends Properties("Round16Ops") {
           s"q50 $rational not a lower bound of $exact (scale=$scale)")
     }
 
+  // --- BH step-up vs driver reference ---------------------------------------
+
+  property("bhFdr == driver-side Benjamini–Hochberg on arbitrary p frames") =
+    Prop.forAll(
+      Gen.choose(1, 40).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(0, 1000000).map(_ / 1000000.0)))) { ps =>
+      import spark.implicits._
+      val named = ps.zipWithIndex.map { case (p, i) => (f"t$i%03d", p) }
+      val got = graft.ops.Profile.bhFdr(
+          named.toDF("test", "p"), Seq("test"), "p", 1L, 20L)
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(4),
+          r.getBoolean(3))).toMap
+      // reference: sort by (p, name); k* = max{i : p_i*m <= i*alpha};
+      // p_adj = reverse running min of min(1, m*p_i/i)
+      val m = named.size
+      val sorted = named.sortBy(t => (t._2, t._1))
+      val kmax = (1 to m).filter(i => sorted(i - 1)._2 * m * 20 <= i * 1)
+        .lastOption.getOrElse(0)
+      val rawAdj = sorted.zipWithIndex
+        .map { case ((_, p), i0) => math.min(1.0, p * m / (i0 + 1)) }
+      val adj = rawAdj.scanRight(Double.MaxValue)(math.min).init
+      val exp = sorted.zipWithIndex.map { case ((nm, _), i0) =>
+        nm -> ((i0 + 1).toLong, adj(i0), i0 + 1 <= kmax)
+      }.toMap
+      (got == exp) :| s"ps=$ps got=$got expected=$exp"
+    }
+
   // --- incremental session sink == one batch pass under any split ----------
 
   private val eventsGen: Gen[(List[(Long, Long)], Long)] = for {
