@@ -1761,8 +1761,18 @@ object StreamingIngest {
     * [[graft.ops.EventOps.sessionStats]]' shape (duration and the
     * VARCHAR-bridged double sum computed at the edge) plus `is_open`.
     * Torn (uncommitted) version directories are invisible.
+    *
+    * `asOfUs` is the watermark-style view closure: when set, a stored
+    * open session whose inactivity gap has already PASSED at that
+    * event-time clock (`end_us + gapUs <= asOfUs`, gap read from the
+    * target's geometry marker) reports `is_open = false` — valid when
+    * the target has folded every event with time ≤ asOfUs, because the
+    * ordering contract then leaves no event that could still extend it.
+    * The stored state is untouched; a later event beyond the gap still
+    * closes the session physically with the right `session_seq`.
     */
-  def readSessionTarget(spark: SparkSession, targetDir: String): DataFrame = {
+  def readSessionTarget(spark: SparkSession, targetDir: String,
+                        asOfUs: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     val (targetPath, fs) = hadoopFs(spark, targetDir)
     val committed = committedVersions(fs, targetPath).toSet
@@ -1789,7 +1799,26 @@ object StreamingIngest {
       if (closedPaths.isEmpty) open
       else spark.read.parquet(closedPaths: _*)
         .withColumn("is_open", lit(false)).unionByName(open)
-    both
+    val gated = asOfUs match {
+      case None => both
+      case Some(asOf) =>
+        // gap from the geometry marker the sink wrote at target birth
+        val marker = new org.apache.hadoop.fs.Path(
+          targetPath, "_graft_session_geometry")
+        require(fs.exists(marker),
+          s"readSessionTarget: no session geometry under $targetDir")
+        val in = fs.open(marker)
+        val geo = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim finally in.close()
+        val gapUs = geo.split(",").collectFirst {
+          case kv if kv.startsWith("gapUs=") =>
+            kv.stripPrefix("gapUs=").toLong
+        }.getOrElse(throw new IllegalStateException(
+          s"readSessionTarget: gapUs absent from geometry [$geo]"))
+        both.withColumn("is_open",
+          col("is_open") && col("end_us") + gapUs > asOf)
+    }
+    gated
       .withColumn("duration_us", col("end_us") - col("start_us"))
       .withColumn("sum_value", col("sum_v").cast("string").cast("double"))
       .drop("sum_v")

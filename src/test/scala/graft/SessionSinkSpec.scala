@@ -159,6 +159,30 @@ class SessionSinkSpec extends AnyFunSuite {
       }
   }
 
+  test("as-of view closure: open sessions past their inactivity gap read closed") {
+    val (in, target, ckpt) = freshDirs()
+    // user 1's session ends at 5100; user 2's at 500 (gapUs = 1000)
+    assert(wave(in, target, ckpt, Seq(
+      (1L, 5000L, 1L, 1.0), (1L, 5100L, 2L, 2.0), (2L, 500L, 3L, 3.0))) == 1L)
+    def opens(asOf: Option[Long]) =
+      StreamingIngest.readSessionTarget(spark, target, asOf)
+        .filter(col("is_open")).select("user_id")
+        .as[Long].collect().toSet
+    assert(opens(None) == Set(1L, 2L), "no clock: both latest sessions open")
+    // at 5500: user 2's gap (500+1000 <= 5500) has passed, user 1's
+    // (5100+1000 > 5500) has not
+    assert(opens(Some(5500L)) == Set(1L))
+    // boundary: end + gap == asOf closes (no event can extend it)
+    assert(opens(Some(6100L)) == Set.empty[Long])
+    // the stored state is untouched — a later event still closes
+    // physically with the right session id
+    assert(wave(in, target, ckpt, Seq((1L, 99000L, 4L, 1.0))) == 1L)
+    val seqs = StreamingIngest.readSessionTarget(spark, target)
+      .filter(col("user_id") === 1L).select("session_seq", "is_open")
+      .as[(Long, Boolean)].collect().toSet
+    assert(seqs == Set((1L, false), (2L, true)), s"seqs: $seqs")
+  }
+
   test("mismatched geometry is rejected at entry") {
     val (in, target, ckpt) = freshDirs()
     assert(wave(in, target, ckpt, Seq((1L, 0L, 1L, 1.0))) == 1L)
