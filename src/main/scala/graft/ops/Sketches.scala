@@ -405,6 +405,70 @@ object Sketches {
         col("value_num"), col("hdr_scale").as("value_den")): _*)
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift gate over two [[hdrSketch]] /
+    * [[hdrSketchSigned]] states — distribution comparison WITHOUT
+    * re-scanning either corpus (the reason to keep mergeable sketches
+    * at all: yesterday's sketch vs today's, corpus A vs corpus B, at
+    * the cost of the ≤ 63·m-row bucket planes). Same estimator as
+    * [[graft.ops.Profile.ksTwoSample]], evaluated at the SKETCH
+    * RESOLUTION: both samples are identically bucketed, so
+    *
+    *   D = max over buckets |cumA·n_B − cumB·n_A| / (n_A·n_B)
+    *
+    * with the numerator an exact DECIMAL(38,0) integer (one IEEE
+    * division at the edge, the q231 discipline) and the verdict the
+    * tabulated two-sided coefficient. The grid quantizes: D here is the
+    * KS statistic of the BUCKETED distributions (a lower bound of the
+    * raw-value D, converging at rate 1/m) — the right trade when the
+    * corpora are only retained as sketches. Signed sketches must carry
+    * identical affine meta ([[hdrMergeSigned]]'s gate) — strip the meta
+    * columns before calling or pass matching sketches; only (bucket,
+    * cnt) are read.
+    *
+    * → one row (n_a, n_b, n_buckets, ks_d, d_crit, reject_same_dist)
+    */
+  def hdrKsGate(a: DataFrame, b: DataFrame,
+                coeff: Double = 1.358): DataFrame = {
+    require(coeff > 0, s"coeff must be positive, got $coeff")
+    def side(df: DataFrame, name: String) =
+      df.select(col("bucket"), col("cnt").as(name))
+        .groupBy("bucket").agg(sum(col(name)).as(name))
+    val j = side(a, "__ca").join(side(b, "__cb"), Seq("bucket"),
+        "full_outer")
+      .select(col("bucket"),
+        coalesce(col("__ca"), lit(0L)).cast("decimal(38,0)").as("__ca"),
+        coalesce(col("__cb"), lit(0L)).cast("decimal(38,0)").as("__cb"))
+    // bucket plane is ≤ 63·m rows by construction — the BoundedKey
+    // single-partition-window convention
+    val bk = graft.functions.ArrayMath.boundedKey(j)
+    val wRun = Window.partitionBy(bk).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(bk)
+    j.withColumn("__cuma", sum(col("__ca")).over(wRun))
+      .withColumn("__cumb", sum(col("__cb")).over(wRun))
+      .withColumn("__na", sum(col("__ca")).over(wAll))
+      .withColumn("__nb", sum(col("__cb")).over(wAll))
+      .groupBy()
+      .agg(max(col("__na")).as("__na"), max(col("__nb")).as("__nb"),
+        count(lit(1)).as("n_buckets"),
+        max(abs(col("__cuma") * col("__nb") - col("__cumb") * col("__na")))
+          .as("__dnum"))
+      .filter(coalesce(
+        assert_true(col("__na") > 0 && col("__nb") > 0,
+          lit("hdrKsGate: both sketches must be non-empty")),
+        lit(true)))
+      .select(col("__na").cast("bigint").as("n_a"),
+        col("__nb").cast("bigint").as("n_b"), col("n_buckets"),
+        (col("__dnum").cast("string").cast("double") /
+          (col("__na").cast("double") * col("__nb").cast("double")))
+          .as("ks_d"),
+        (lit(coeff) * sqrt((col("__na").cast("double") +
+          col("__nb").cast("double")) /
+          (col("__na").cast("double") * col("__nb").cast("double"))))
+          .as("d_crit"))
+      .withColumn("reject_same_dist", col("ks_d") > col("d_crit"))
+  }
+
   /** Point-query a [[cmsSketch]] for a candidate key set: est(key) =
     * min over rows of the key's bucket counter (0 if the bucket is
     * empty — the key was never seen). The sketch side is depth·width

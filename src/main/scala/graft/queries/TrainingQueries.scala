@@ -9609,6 +9609,73 @@ object TrainingQueries {
              |SELECT g AS event_type, n, k_stat, change_at,
              |  significant, bh_rank,
              |  kmax IS NOT NULL AND bh_rank <= kmax AS discovery
-             |FROM k ORDER BY bh_rank""".stripMargin))
+             |FROM k ORDER BY bh_rank""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Sketch-resolution distribution-drift gate (Sketches.hdrKsGate —
+    // q231's two-sample KS estimator evaluated on two mergeable HDR
+    // bucket planes instead of the raw corpora): did English document
+    // lengths drift from the rest, judged from SKETCH STATE ALONE —
+    // the comparison a 100 TB pipeline runs between yesterday's sketch
+    // and today's without re-scanning either side. D's numerator is an
+    // exact DECIMAL(38,0)/HUGEINT integer over the ≤ 63·m-row union
+    // bucket plane; one IEEE division + the tabulated α=0.05 verdict.
+    QuerySpec(
+      "q259_sketch_ks_drift",
+      (s, dir) => {
+        val m = 32
+        val d = Tables.documents(s, dir).select(
+          when(col("lang") === "en", "en").otherwise("other").as("cohort"),
+          col("n_chars"))
+        val en = graft.ops.Sketches.hdrSketch(
+          d.filter(col("cohort") === "en"), Seq.empty, "n_chars", m)
+        val rest = graft.ops.Sketches.hdrSketch(
+          d.filter(col("cohort") === "other"), Seq.empty, "n_chars", m)
+        graft.ops.Sketches.hdrKsGate(en, rest)
+      },
+      Some("""WITH v AS (
+             |  SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS g,
+             |    CAST(n_chars AS BIGINT) AS v
+             |  FROM documents WHERE n_chars >= 1),
+             |b AS (
+             |  SELECT g,
+             |    CAST(length(bin(v)) - 1 AS BIGINT) * 32
+             |      + ((v - (1::BIGINT << CAST(length(bin(v)) - 1 AS INT)))
+             |          * 32)
+             |        // (1::BIGINT << CAST(length(bin(v)) - 1 AS INT))
+             |      AS bucket
+             |  FROM v),
+             |c AS (SELECT g, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+             |p AS (
+             |  SELECT bucket,
+             |    SUM(CASE WHEN g = 'en' THEN cnt ELSE 0 END) AS ca,
+             |    SUM(CASE WHEN g = 'other' THEN cnt ELSE 0 END) AS cb
+             |  FROM c GROUP BY bucket),
+             |r AS (
+             |  SELECT bucket,
+             |    SUM(ca) OVER (ORDER BY bucket
+             |      ROWS UNBOUNDED PRECEDING) AS cuma,
+             |    SUM(cb) OVER (ORDER BY bucket
+             |      ROWS UNBOUNDED PRECEDING) AS cumb,
+             |    SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+             |  FROM p),
+             |m AS (
+             |  SELECT MAX(na) AS na, MAX(nb) AS nb,
+             |    COUNT(*) AS n_buckets,
+             |    MAX(ABS(CAST(cuma AS HUGEINT) * nb
+             |      - CAST(cumb AS HUGEINT) * na)) AS dnum
+             |  FROM r)
+             |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             |  CAST(n_buckets AS BIGINT) AS n_buckets,
+             |  CAST(CAST(dnum AS VARCHAR) AS DOUBLE)
+             |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS ks_d,
+             |  1.358 * sqrt(CAST(na + nb AS DOUBLE)
+             |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS d_crit,
+             |  CAST(CAST(dnum AS VARCHAR) AS DOUBLE)
+             |      / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+             |    > 1.358 * sqrt(CAST(na + nb AS DOUBLE)
+             |      / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+             |    AS reject_same_dist
+             |FROM m""".stripMargin))
   )
 }

@@ -259,6 +259,45 @@ class SketchesSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("mixed affine meta"), e2.getMessage)
   }
 
+  test("hdrKsGate: identical sketches give D=0; disjoint reject; " +
+    "merged-state gate == direct-build gate; empty side raises") {
+    import spark.implicits._
+    val m = 16
+    val xs = (1L to 3000L).map(i => i * i % 9000L + 1L)
+    val df = xs.toDF("v")
+    val sk = Sketches.hdrSketch(df, Seq.empty, "v", m).localCheckpoint()
+    val same = Sketches.hdrKsGate(sk, sk).head()
+    assert(same.getDouble(3) == 0.0 && !same.getBoolean(5),
+      s"identical sketches must read D=0: $same")
+    // disjoint supports: D = 1 exactly (cumA saturates before cumB starts)
+    val lo = Sketches.hdrSketch((1L to 500L).toDF("v"), Seq.empty, "v", m)
+    val hi = Sketches.hdrSketch((1000000L to 1000500L).toDF("v"),
+      Seq.empty, "v", m)
+    val dj = Sketches.hdrKsGate(lo, hi).head()
+    assert(dj.getDouble(3) == 1.0 && dj.getBoolean(5), s"disjoint: $dj")
+    // gating MERGED state == gating a direct build (the drift use-case:
+    // yesterday's sketch + today's increment, never a re-scan)
+    val parts = Seq(0, 1).map(i =>
+      df.withColumn("__i", monotonically_increasing_id())
+        .filter(col("__i") % 2 === i).drop("__i"))
+    val merged = Sketches.hdrMerge(Seq.empty,
+      Sketches.hdrSketch(parts(0), Seq.empty, "v", m),
+      Sketches.hdrSketch(parts(1), Seq.empty, "v", m))
+    val other = Sketches.hdrSketch(
+      xs.map(x => x / 2 + 1).toDF("v"), Seq.empty, "v", m)
+      .localCheckpoint()
+    val gm = Sketches.hdrKsGate(merged, other).head()
+    val gd = Sketches.hdrKsGate(sk, other).head()
+    assert(gm.getDouble(3) == gd.getDouble(3) &&
+      gm.getLong(0) == gd.getLong(0), s"merged $gm != direct $gd")
+    // an empty side is a contract error, not a NaN verdict
+    val e = intercept[Exception] {
+      Sketches.hdrKsGate(sk, sk.limit(0)).collect()
+    }
+    assert(e.getMessage != null)
+    sk.unpersist(); other.unpersist()
+  }
+
   test("hll: merge-tree == direct build bit-exact; estimate within the analytic band; duplicates free") {
     import spark.implicits._
     val n = 20000
