@@ -200,6 +200,33 @@ object Sketches {
       .groupBy(groupCols.map(col) :+ col("bucket"): _*)
       .agg(count(lit(1)).as("cnt"))
 
+  /** [[hdrSketch]] over PRE-AGGREGATED input — one row per (value,
+    * weight) with `cnt` = the weight SUM per bucket. At 100 TB the
+    * corpus is often already rolled up (value histograms, per-key
+    * counts); exploding it back to rows just to sketch would undo the
+    * aggregation. Weights must be POSITIVE integers (a count); NULL or
+    * < 1 weights raise in-plan — silently dropping mass would corrupt
+    * every quantile read. Bit-equal to [[hdrSketch]] over the exploded
+    * rows (asserted in SketchesSpec); merges/quantiles are the same
+    * functions — `cnt` is weight mass either way.
+    *
+    * → (groupCols…, bucket, cnt)
+    */
+  def hdrSketchWeighted(df: DataFrame, groupCols: Seq[String],
+                        valueCol: String, weightCol: String,
+                        m: Int): DataFrame =
+    hdrBucketize(
+      df.filter(coalesce(
+        assert_true(col(weightCol).isNotNull &&
+            col(weightCol).cast("long") >= 1L,
+          concat_ws("", lit("hdrSketchWeighted: weight must be a"),
+            lit(" positive integer count, got "), col(weightCol))),
+        lit(true)))
+        .withColumn("__w", col(weightCol).cast("long")),
+      groupCols :+ "__w", valueCol, m)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(coalesce(sum(col("__w")).cast("bigint"), lit(0L)).as("cnt"))
+
   /** The PER-ROW half of [[hdrSketch]]: each surviving row mapped to its
     * bucket id, no aggregation — a pure projection, so it also runs on a
     * STREAMING DataFrame. Streaming sketch maintenance composes from

@@ -117,6 +117,34 @@ class SessionSinkSpec extends AnyFunSuite {
     assert(served(target) == before)
   }
 
+  test("crashed-attempt leftovers (renamed but unmarked) are replaced by the committing batch") {
+    val (in, target, ckpt) = freshDirs()
+    assert(wave(in, target, ckpt, Seq((1L, 0L, 1L, 1.0))) == 1L)
+    // simulate a batch-1 attempt that renamed its version dirs in but
+    // died before the commit marker: junk must be ignored by readers
+    // and REPLACED (not nested into) by the real batch 1
+    val openB = java.nio.file.Files.list(
+      java.nio.file.Paths.get(target, "open")).toArray
+      .map(_.toString).filter(_.split("/").last.startsWith("b")).head
+    val staleOpen = java.nio.file.Paths.get(openB, "v1")
+    java.nio.file.Files.createDirectories(staleOpen)
+    java.nio.file.Files.writeString(staleOpen.resolve("junk.txt"), "x")
+    val staleClosed = java.nio.file.Paths.get(target, "closed", "v1")
+    java.nio.file.Files.createDirectories(staleClosed)
+    java.nio.file.Files.writeString(staleClosed.resolve("junk.txt"), "x")
+    val before = served(target)
+    assert(before == served(target))
+    // real batch 1: gap passed -> session 1 closes, session 2 opens
+    assert(wave(in, target, ckpt, Seq((1L, 50000L, 2L, 2.0))) == 1L)
+    val got = served(target)
+    assert(got.map(t => (t._1, t._2, t._8)) ==
+      Seq((1L, 1L, false), (1L, 2L, true)), s"after replay: $got")
+    assert(!java.nio.file.Files.exists(staleOpen.resolve("junk.txt")),
+      "crashed-attempt open leftovers must be deleted by the commit")
+    assert(!java.nio.file.Files.exists(staleClosed.resolve("junk.txt")),
+      "crashed-attempt closed leftovers must be deleted by the commit")
+  }
+
   test("out-of-order cross-batch event raises instead of mis-sessionizing") {
     val (in, target, ckpt) = freshDirs()
     assert(wave(in, target, ckpt, Seq((1L, 10000L, 1L, 1.0))) == 1L)

@@ -259,6 +259,26 @@ class SketchesSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("mixed affine meta"), e2.getMessage)
   }
 
+  test("hdrSketchWeighted(pre-agg) == hdrSketch(raw rows) bit-exact; " +
+    "bad weights raise") {
+    import spark.implicits._
+    val m = 16
+    val raw = (1L to 2000L).map(i => ("g", i * i % 700L + 1L))
+    val pre = raw.groupBy(identity).map { case ((g, v), rs) =>
+      (g, v, rs.size.toLong) }.toSeq
+    val a = Sketches.hdrSketch(raw.toDF("g", "v"), Seq("g"), "v", m)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val b = Sketches.hdrSketchWeighted(pre.toDF("g", "v", "w"),
+        Seq("g"), "v", "w", m)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(a == b, s"weighted $b != raw $a")
+    val e = intercept[Exception] {
+      Sketches.hdrSketchWeighted(Seq(("g", 5L, 0L)).toDF("g", "v", "w"),
+        Seq("g"), "v", "w", m).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("hdrKsGate: identical sketches give D=0; disjoint reject; " +
     "merged-state gate == direct-build gate; empty side raises") {
     import spark.implicits._
