@@ -581,4 +581,85 @@ object Similarity {
     if (!prev.contains(cur)) cur.unpersist()
     out
   }
+
+  /** Sign bits of a float vector packed 64-per-word into array<bigint>
+    * — BINARY (1-bit) quantization, the cheapest candidate filter in
+    * the quantization ladder (float → int8 → PQ → binary): d/64 longs
+    * per vector instead of d floats (32× smaller than float32), and
+    * Hamming distance is xor + bit_count over the words. Deterministic
+    * layout: bit (i mod 64) of word ⌊i/64⌋ is 1 iff x_i ≥ 0 (−0.0 and
+    * +0.0 both read non-negative on every engine). Built-in HOFs only —
+    * the projection stays inside codegen.
+    */
+  def signBits(vec: Column): Column = {
+    // last word index = ⌊(d−1)/64⌋ — Column `/` is double division, so
+    // route through floor (exact for any real dimension count)
+    val words = floor((size(vec).cast("double") - 1) / 64.0).cast("int")
+    transform(sequence(lit(0), words), w =>
+      aggregate(
+        sequence(w * 64, least(w * 64 + 63, size(vec) - 1)),
+        lit(0L),
+        (acc, i) => acc + when(element_at(vec, i + 1) >= 0,
+          call_function("shiftleft", lit(1L), (i - w * 64).cast("int")))
+          .otherwise(0L)))
+  }
+
+  /** Hamming distance between two [[signBits]] words arrays: Σ over
+    * words of bit_count(xor) — exact integer, codegen built-ins.
+    */
+  def hammingDistance(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+        (x, y) => call_function("bit_count", x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Binary-quantized top-k search with exact re-rank — the FAISS
+    * binary-prefilter shape on the [[hammingSearch]] ladder's cheapest
+    * rung: every (query, corpus) pair is scored by HAMMING distance on
+    * the packed sign bits (d/64-long words, xor+popcount — no float
+    * math on the scan), the best `k·rerankFactor` per query by
+    * (hamming, id) re-score EXACTLY by cosine, and the final top k
+    * rank by (cosine desc, id). Sign agreement is a monotone proxy for
+    * angle (the SimHash bound: P[bit match] = 1 − θ/π), so the
+    * shortlist misses only vectors whose angle beats their sign
+    * pattern — recall is measured against brute force in the spec, and
+    * rerankFactor buys it back.
+    *
+    * Scale shape: queries BROADCAST with precomputed words (the probe
+    * frame is queries-sized); the corpus scan carries only (id, words)
+    * — the skinny (qid, id, hamming) plane shuffles once for the
+    * per-query window; vectors re-join by id ONLY for the shortlist
+    * (≤ queries·k·rerankFactor rows). Never an all-pairs float plane.
+    *
+    * → (qIdCol, rank, idCol, hamming, cosine) — top k per query.
+    */
+  def hammingSearch(corpus: DataFrame, idCol: String, vecCol: String,
+                    queries: DataFrame, qIdCol: String, qVecCol: String,
+                    k: Int, rerankFactor: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(rerankFactor >= 1, s"rerankFactor must be >= 1, got $rerankFactor")
+    val c = corpus.select(col(idCol), signBits(col(vecCol)).as("__cw"))
+    val q = broadcast(queries
+      .select(col(qIdCol), signBits(col(qVecCol)).as("__qw")))
+    val wShort = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qIdCol)).orderBy(col("hamming"), col(idCol))
+    val short = c.crossJoin(q) // queries-sized broadcast, never shuffled
+      .withColumn("hamming", hammingDistance(col("__cw"), col("__qw")))
+      .select(col(qIdCol), col(idCol), col("hamming"))
+      .withColumn("__hr", row_number().over(wShort))
+      .filter(col("__hr") <= k * rerankFactor)
+    val cv = corpus.select(col(idCol), asDouble(col(vecCol)).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
+    val qv = broadcast(queries
+      .select(col(qIdCol), asDouble(col(qVecCol)).as("__qv"))
+      .withColumn("__qn", norm(col("__qv"))))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qIdCol)).orderBy(col("__cos").desc, col(idCol))
+    short.join(cv, idCol).join(qv, qIdCol)
+      .withColumn("__cos",
+        dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col("rank"), col(idCol), col("hamming"),
+        round(col("__cos"), 6).as("cosine"))
+  }
 }

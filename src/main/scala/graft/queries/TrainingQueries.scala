@@ -9676,6 +9676,52 @@ object TrainingQueries {
              |    > 1.358 * sqrt(CAST(na + nb AS DOUBLE)
              |      / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
              |    AS reject_same_dist
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Binary-quantized ANN with exact re-rank (Similarity.signBits /
+    // hammingSearch — the SimHash bound applied to retrieval: sign bits
+    // pack 64-per-long, 32x smaller than float32, Hamming = xor +
+    // popcount): the cheapest rung of the quantization ladder
+    // (float -> int8 -> PQ -> binary). Shortlist k*4 per query by
+    // (hamming, id) — exact integers, both engines — then exact cosine
+    // re-rank, ROUND(,6) on the reported score (the q105 convention).
+    QuerySpec(
+      "q260_binary_ann",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") % 97 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val corpus = emb.filter(col("vec_id") % 97 =!= 0)
+        Similarity.hammingSearch(corpus, "vec_id", "embedding",
+            queries, "qid", "qv", k = 5, rerankFactor = 4)
+          .orderBy("qid", "rank")
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id AS qid, embedding AS qv
+             |  FROM embeddings WHERE vec_id % 97 = 0),
+             |c AS (
+             |  SELECT vec_id, embedding AS cv
+             |  FROM embeddings WHERE vec_id % 97 != 0),
+             |h AS (
+             |  SELECT q.qid, c.vec_id,
+             |    CAST(len(list_filter(range(1, len(c.cv) + 1),
+             |      i -> (c.cv[i] >= 0) != (q.qv[i] >= 0))) AS BIGINT)
+             |      AS hamming,
+             |    list_cosine_similarity(c.cv::DOUBLE[], q.qv::DOUBLE[])
+             |      AS cos
+             |  FROM c, q),
+             |s AS (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+             |    ORDER BY hamming, vec_id) AS hr
+             |  FROM h),
+             |r AS (
+             |  SELECT qid, vec_id, hamming, cos,
+             |    ROW_NUMBER() OVER (PARTITION BY qid
+             |      ORDER BY cos DESC, vec_id) AS rank
+             |  FROM s WHERE hr <= 20)
+             |SELECT qid, CAST(rank AS INT) AS rank, vec_id, hamming,
+             |  ROUND(cos, 6) AS cosine
+             |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin))
   )
 }

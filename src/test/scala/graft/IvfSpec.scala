@@ -1179,4 +1179,73 @@ class IvfSpec extends AnyFunSuite {
       "refine must be purged even when lists came back clean")
     assert(!fsB.exists(new org.apache.hadoop.fs.Path(dirB + "/tombstones")))
   }
+
+  test("signBits: hand-packed words incl. a >64-dim second word; " +
+    "hammingDistance exact") {
+    import spark.implicits._
+    // 3 dims: signs(0.5, -1, 2) -> bits 0,2 -> word0 = 5
+    val w3 = Seq(Tuple1(Seq(0.5f, -1.0f, 2.0f))).toDF("v")
+      .select(Similarity.signBits(col("v"))).head().getSeq[Long](0)
+    assert(w3 == Seq(5L), s"3-dim words: $w3")
+    // 70 dims, only dims 1 and 69 negative: word0 = ~bit1, word1 = ~bit5
+    val v70 = (0 until 70).map(i => if (i == 1 || i == 69) -1.0f else 1.0f)
+    val w70 = Seq(Tuple1(v70)).toDF("v")
+      .select(Similarity.signBits(col("v"))).head().getSeq[Long](0)
+    assert(w70 == Seq(-1L ^ (1L << 1), (1L << 6) - 1 - (1L << 5)),
+      s"70-dim words: $w70")
+    val d = Seq((Seq(0.5f, -1.0f, 2.0f), Seq(-0.5f, -1.0f, 2.0f)))
+      .toDF("a", "b")
+      .select(Similarity.hammingDistance(
+        Similarity.signBits(col("a")), Similarity.signBits(col("b"))))
+      .head().getLong(0)
+    assert(d == 1L, s"hamming: $d")
+  }
+
+  test("hammingSearch: generous rerank == exact cosine top-k; recall " +
+    "reasonable at rerankFactor 4") {
+    import spark.implicits._
+    // deterministic 80-dim gaussian vectors (two words); corpus plants
+    // near-neighbors of each query (query + small noise) so the exact
+    // top-k is meaningful and sign patterns genuinely correlate
+    def gauss(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(80)(r.nextGaussian().toFloat)
+    }
+    val q1 = gauss(7001); val q2 = gauss(7002)
+    def near(q: Seq[Float], seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      q.map(x => x + 0.3f * r.nextGaussian().toFloat)
+    }
+    def vecOf(i: Int): Seq[Float] =
+      if (i <= 10) near(q1, i) else if (i <= 20) near(q2, i) else gauss(i)
+    val corpus = (1 to 300).map(i => (i.toLong, vecOf(i))).toDF("id", "v")
+    val queries = Seq((1001L, q1), (1002L, q2)).toDF("qid", "qv")
+    // brute-force exact cosine reference, ties by id
+    def ref(q: Seq[Float], k: Int): Seq[Long] = {
+      def dot(a: Seq[Float], b: Seq[Float]) =
+        a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      (1 to 300).map { i =>
+        val c = vecOf(i)
+        (i.toLong, dot(c, q) / (math.sqrt(dot(c, c)) * math.sqrt(dot(q, q))))
+      }.sortBy(t => (-t._2, t._1)).take(k).map(_._1)
+    }
+    // rerankFactor spanning the corpus: shortlist = everything -> the
+    // re-rank IS brute force, result must equal the exact top-k
+    val full = Similarity.hammingSearch(corpus, "id", "v", queries,
+        "qid", "qv", k = 5, rerankFactor = 60)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    assert(full(1001L) == ref(q1, 5), s"q1: ${full(1001L)}")
+    assert(full(1002L) == ref(q2, 5), s"q2: ${full(1002L)}")
+    // the cheap shortlist: recall@5 of at least 2/5 per query at
+    // rerankFactor 4 (sign agreement is a monotone angle proxy)
+    val fast = Similarity.hammingSearch(corpus, "id", "v", queries,
+        "qid", "qv", k = 5, rerankFactor = 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    assert(fast(1001L).intersect(ref(q1, 5).toSet).size >= 4,
+      s"recall q1: ${fast(1001L)}")
+    assert(fast(1002L).intersect(ref(q2, 5).toSet).size >= 4,
+      s"recall q2: ${fast(1002L)}")
+  }
 }
