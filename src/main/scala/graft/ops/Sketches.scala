@@ -625,6 +625,43 @@ object Sketches {
                   p: Int = 9): DataFrame =
     hllEstimate(hllSketch(df, groupCols, valueCol, p), groupCols, p)
 
+  /** Set-overlap estimates from TWO [[hllSketch]] register states —
+    * the counting sibling of [[hdrKsGate]]'s "compare from state
+    * alone" lane: user overlap between cohorts, vocabulary overlap
+    * between corpora, judged from retained sketches without touching
+    * either corpus. The union sketch is the register-wise MAX (exact —
+    * the sketch of the union, not an estimate of it); the intersection
+    * is inclusion–exclusion over the three estimates,
+    *
+    *   |A∩B|est = max(0, E_A + E_B − E_A∪B),  Ĵ = |A∩B|est / E_A∪B
+    *
+    * — the standard HLL overlap recipe (no MinHash needed when only
+    * register state was kept; error compounds three estimator σs, so
+    * small overlaps read noisy — [[kmvJaccardPairs]] is the tighter
+    * tool when raw values are still available). Deterministic: every
+    * input is the q239-replayable estimate arithmetic, then a fixed
+    * IEEE sequence. Empty sketches raise (an absent cohort is a
+    * contract error, not a zero).
+    *
+    * → one row (est_a, est_b, est_union, est_intersection, jaccard_est)
+    */
+  def hllOverlap(a: DataFrame, b: DataFrame, p: Int = 9): DataFrame = {
+    def est1(sk: DataFrame, name: String) =
+      hllEstimate(sk.select(col("bucket"), col("rho_max")), Seq.empty, p)
+        .select(col("estimate").as(name))
+    val u = hllMerge(Seq.empty, a, b)
+    est1(a, "est_a").crossJoin(est1(b, "est_b")) // three 1-row frames
+      .crossJoin(est1(u, "est_union"))
+      .filter(coalesce(
+        assert_true(col("est_a").isNotNull && col("est_b").isNotNull,
+          lit("hllOverlap: both sketches must be non-empty")),
+        lit(true)))
+      .withColumn("est_intersection",
+        greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union")))
+      .withColumn("jaccard_est",
+        col("est_intersection") / col("est_union"))
+  }
+
   /** AMS (Alon–Matias–Szegedy, STOC'96 — the Gödel-Prize frequency-
     * moments paper) F2 sketch: per group, `counters` signed counters,
     * each the sum of a deterministic ±1 hash sign over the rows —

@@ -9722,6 +9722,76 @@ object TrainingQueries {
              |  FROM s WHERE hr <= 20)
              |SELECT qid, CAST(rank AS INT) AS rank, vec_id, hamming,
              |  ROUND(cos, 6) AS cosine
-             |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin))
+             |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // HLL set-overlap from register state (Sketches.hllOverlap — the
+    // counting sibling of q259's drift gate): how many users do the
+    // click and purchase cohorts share, judged from two retained HLL
+    // sketches without touching the corpus? Union = register-wise MAX
+    // (exact), intersection = inclusion–exclusion over three
+    // q239-replayable estimates, one fixed IEEE sequence — the whole
+    // row replays bit-for-bit (integer harmonic sums; the
+    // linear-counting ln routes through the DECIMAL(18,12) bridge).
+    QuerySpec(
+      "q261_hll_overlap",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+        def sk(t: String) = graft.ops.Sketches.hllSketch(
+          ev.filter(col("event_type") === t).select(col("user_id")),
+          Seq.empty, "user_id", p = 9)
+        graft.ops.Sketches.hllOverlap(sk("click"), sk("purchase"), p = 9)
+      },
+      Some {
+        def reg(name: String, t: String) =
+          s"""d_$name AS (
+             |  SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS m
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND event_type = '$t'),
+             |h_$name AS (SELECT CAST($h48Sql AS BIGINT) AS h FROM d_$name),
+             |reg_$name AS (
+             |  SELECT h >> 39 AS bucket,
+             |    MAX(CASE WHEN (h & 549755813887) = 0 THEN 40
+             |      ELSE 40 - length(bin(h & 549755813887)) END) AS rho
+             |  FROM h_$name GROUP BY 1)""".stripMargin
+        def est(name: String, src: String) =
+          s"""ag_$name AS (
+             |  SELECT COUNT(*) AS hit,
+             |    CAST(SUM(CAST(1 AS BIGINT) << (40 - CAST(rho AS INT)))
+             |      AS BIGINT) AS s
+             |  FROM $src),
+             |e_$name AS (
+             |  SELECT CASE
+             |      WHEN (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0
+             |          * 1099511627776.0
+             |          / CAST(s + (512 - hit) * (CAST(1 AS BIGINT) << 40)
+             |              AS DOUBLE)
+             |          <= 2.5 * 512.0 AND 512 - hit > 0
+             |        THEN CAST(CAST(512.0 * ln(512.0
+             |          / CAST(512 - hit AS DOUBLE)) AS DECIMAL(18,12))
+             |          AS DOUBLE)
+             |      ELSE (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0
+             |        * 1099511627776.0
+             |        / CAST(s + (512 - hit) * (CAST(1 AS BIGINT) << 40)
+             |            AS DOUBLE)
+             |    END AS est
+             |  FROM ag_$name)""".stripMargin
+        s"""WITH ${reg("a", "click")},
+           |${reg("b", "purchase")},
+           |reg_u AS (
+           |  SELECT bucket, MAX(rho) AS rho FROM (
+           |    SELECT * FROM reg_a UNION ALL SELECT * FROM reg_b)
+           |  GROUP BY 1),
+           |${est("a", "reg_a")},
+           |${est("b", "reg_b")},
+           |${est("u", "reg_u")}
+           |SELECT e_a.est AS est_a, e_b.est AS est_b,
+           |  e_u.est AS est_union,
+           |  GREATEST(0.0, e_a.est + e_b.est - e_u.est)
+           |    AS est_intersection,
+           |  GREATEST(0.0, e_a.est + e_b.est - e_u.est) / e_u.est
+           |    AS jaccard_est
+           |FROM e_a, e_b, e_u""".stripMargin
+      })
   )
 }

@@ -348,6 +348,34 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("hllOverlap: identity reads J=1; disjoint reads near 0; " +
+    "half overlap lands in the band; empty side raises") {
+    import spark.implicits._
+    val p = 9
+    def sk(lo: Int, hi: Int) = Sketches.hllSketch(
+      (lo until hi).map(i => s"u$i").toDF("v")
+        .withColumn("g", lit("g")).drop("g"),
+      Seq.empty, "v", p)
+    val a = sk(0, 4000).localCheckpoint()
+    val idem = Sketches.hllOverlap(a, a, p).head()
+    assert(idem.getDouble(4) == 1.0 &&
+      idem.getDouble(3) == idem.getDouble(0),
+      s"self-overlap must be exact identity: $idem")
+    // disjoint: intersection estimate noise only
+    val dj = Sketches.hllOverlap(a, sk(10000, 14000), p).head()
+    assert(dj.getDouble(4) < 0.12, s"disjoint jaccard: $dj")
+    // half overlap: |A|=|B|=4000, |A∩B|=2000 -> J = 1/3; three
+    // compounded p=9 estimates -> generous band
+    val half = Sketches.hllOverlap(a, sk(2000, 6000), p).head()
+    assert(half.getDouble(4) > 0.18 && half.getDouble(4) < 0.5,
+      s"half-overlap jaccard: $half")
+    val e = intercept[Exception] {
+      Sketches.hllOverlap(a, a.limit(0), p).collect()
+    }
+    assert(e.getMessage != null)
+    a.unpersist()
+  }
+
   test("ams: merge == direct bit-exact; estimate brackets exact F2; layout-invariant") {
     import spark.implicits._
     // zipf-ish multiset: value i appears 200/i times — heavy F2 skew
