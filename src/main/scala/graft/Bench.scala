@@ -24,7 +24,12 @@ import org.apache.spark.sql.SparkSession
   *     mins stay comparable round-over-round because the previous pin
   *     was produced by the same rule, and a genuinely regressed query
   *     always fails the confirm and falls through to the full reps and
-  *     the auto re-pin protocol. Plan hashes normalize expression ids,
+  *     the auto re-pin protocol. A CONFIRMED query's recorded pin is
+  *     min(this round's min, previous pin) — the hash matched so both
+  *     measure identical code, and taking the min keeps the 15%+50 ms
+  *     confirm tolerance from compounding across rounds (a persistent
+  *     sub-tolerance slowdown would otherwise ratchet the pin up
+  *     without ever tripping a gate). Plan hashes normalize expression ids,
   *     object addresses and the SF dir, so they are stable across JVMs
   *     for identical code; an eager (checkpointed) query's hash covers
   *     only its output schema — the confirm-vs-prev rule, not the hash,
@@ -279,7 +284,20 @@ object Bench {
       while (extra < repinReps && looksRegressed) {
         runs += { val r = runNoop(n); (r._1, r._2) }; extra += 1
       }
-      (n, curMin, runs.toSeq, extra, confirmed, hash)
+      // RATCHET GUARD: a confirmed fast-tier query's recorded pin is
+      // min(this round's min-of-2, the previous pin). The confirm
+      // tolerance is 15% + 50 ms; if the new (slightly higher) min
+      // became the pin, a persistent sub-tolerance slowdown would
+      // compound round over round without ever tripping the confirm or
+      // the 1.5x vs_prev gate. The plan hash matched, so both mins
+      // measure IDENTICAL code — min over both rounds' reps is the
+      // steady-state min, and the pin can only ratchet DOWN for an
+      // unchanged query. A changed or regressed query never takes this
+      // branch (hash mismatch / failed confirm → full reps re-pin).
+      val pin =
+        if (confirmed && curMin >= 0) math.min(curMin, prevPin.get)
+        else curMin
+      (n, pin, runs.toSeq, extra, confirmed, hash)
     }
     val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")

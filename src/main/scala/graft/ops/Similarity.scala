@@ -592,14 +592,22 @@ object Similarity {
     * the projection stays inside codegen.
     */
   def signBits(vec: Column): Column = {
+    // guard: a NULL or zero-length vector would make the last-word
+    // index -1, sequence(0,-1) descend, and element_at(vec, 0) raise
+    // Spark's unrelated "array indices start at 1" — fail loudly with
+    // the real cause instead
+    val checked = when(coalesce(
+      assert_true(vec.isNotNull && size(vec) >= 1,
+        lit("signBits: embedding vector must be non-empty")),
+      lit(true)), vec)
     // last word index = ⌊(d−1)/64⌋ — Column `/` is double division, so
     // route through floor (exact for any real dimension count)
-    val words = floor((size(vec).cast("double") - 1) / 64.0).cast("int")
+    val words = floor((size(checked).cast("double") - 1) / 64.0).cast("int")
     transform(sequence(lit(0), words), w =>
       aggregate(
-        sequence(w * 64, least(w * 64 + 63, size(vec) - 1)),
+        sequence(w * 64, least(w * 64 + 63, size(checked) - 1)),
         lit(0L),
-        (acc, i) => acc + when(element_at(vec, i + 1) >= 0,
+        (acc, i) => acc + when(element_at(checked, i + 1) >= 0,
           call_function("shiftleft", lit(1L), (i - w * 64).cast("int")))
           .otherwise(0L)))
   }
@@ -607,10 +615,21 @@ object Similarity {
   /** Hamming distance between two [[signBits]] words arrays: Σ over
     * words of bit_count(xor) — exact integer, codegen built-ins.
     */
-  def hammingDistance(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b,
+  def hammingDistance(a: Column, b: Column): Column = {
+    // guard: zip_with pads the shorter array with NULLs, bit_count(xor)
+    // of a NULL word is NULL, and sum-style folds would skip it — a
+    // dimension mismatch would silently score the common prefix and
+    // corrupt the shortlist. Raise instead.
+    val aC = when(coalesce(
+      assert_true(size(a) === size(b),
+        concat_ws("", lit("hammingDistance: word arrays differ in "),
+          lit("length: "), size(a).cast("string"), lit(" vs "),
+          size(b).cast("string"))),
+      lit(true)), a)
+    aggregate(zip_with(aC, b,
         (x, y) => call_function("bit_count", x.bitwiseXOR(y)).cast("long")),
       lit(0L), (acc, x) => acc + x)
+  }
 
   /** Binary-quantized top-k search with exact re-rank — the FAISS
     * binary-prefilter shape on the [[hammingSearch]] ladder's cheapest
@@ -629,6 +648,14 @@ object Similarity {
     * — the skinny (qid, id, hamming) plane shuffles once for the
     * per-query window; vectors re-join by id ONLY for the shortlist
     * (≤ queries·k·rerankFactor rows). Never an all-pairs float plane.
+    *
+    * WORKLOAD FIT (the FAISS binary-flat shape): this is the ladder's
+    * SERVING rung — a bounded query batch probing a huge corpus. The
+    * shortlist window still shuffles the full |queries|×|corpus|
+    * skinny plane, so for BATCH-×-BATCH workloads (both sides corpus-
+    * scale — dedup sweeps, all-pairs linkage) use the bucketed IVF
+    * lanes ([[graft.ops.Ivf]]), which read only the probed lists and
+    * never materialize a per-pair plane.
     *
     * → (qIdCol, rank, idCol, hamming, cosine) — top k per query.
     */

@@ -218,7 +218,11 @@ object Sketches {
     hdrBucketize(
       df.filter(coalesce(
         assert_true(col(weightCol).isNotNull &&
-            col(weightCol).cast("long") >= 1L,
+            col(weightCol).cast("long") >= 1L &&
+            // integrality: a fractional weight (2.7) would otherwise
+            // pass the >= 1 gate and be silently TRUNCATED to 2 by the
+            // cast — dropping mass, which this operator must never do
+            col(weightCol) === col(weightCol).cast("long"),
           concat_ws("", lit("hdrSketchWeighted: weight must be a"),
             lit(" positive integer count, got "), col(weightCol))),
         lit(true)))

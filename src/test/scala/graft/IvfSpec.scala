@@ -1199,6 +1199,18 @@ class IvfSpec extends AnyFunSuite {
         Similarity.signBits(col("a")), Similarity.signBits(col("b"))))
       .head().getLong(0)
     assert(d == 1L, s"hamming: $d")
+    // empty vector raises the NAMED error, not "array indices start at 1"
+    val ee = intercept[Exception] {
+      Seq(Tuple1(Seq.empty[Float])).toDF("v")
+        .select(Similarity.signBits(col("v"))).collect()
+    }
+    assert(ee.getMessage.contains("non-empty"), ee.getMessage)
+    // mismatched word-array lengths raise instead of scoring the prefix
+    val em = intercept[Exception] {
+      Seq((Seq(1L, 2L), Seq(1L))).toDF("a", "b")
+        .select(Similarity.hammingDistance(col("a"), col("b"))).collect()
+    }
+    assert(em.getMessage.contains("differ in"), em.getMessage)
   }
 
   test("hammingSearch: generous rerank == exact cosine top-k; recall " +

@@ -277,6 +277,18 @@ class SketchesSpec extends AnyFunSuite {
         Seq("g"), "v", "w", m).collect()
     }
     assert(e.getMessage != null)
+    // fractional weight must RAISE, not silently truncate 2.7 -> 2
+    // (that would drop mass — the one thing the docstring forbids)
+    val ef = intercept[Exception] {
+      Sketches.hdrSketchWeighted(Seq(("g", 5L, 2.7)).toDF("g", "v", "w"),
+        Seq("g"), "v", "w", m).collect()
+    }
+    assert(ef.getMessage != null)
+    // integral DOUBLE weight is fine (lossless cast)
+    val ok = Sketches.hdrSketchWeighted(
+      Seq(("g", 5L, 3.0)).toDF("g", "v", "w"), Seq("g"), "v", "w", m)
+      .collect()
+    assert(ok.map(_.getLong(2)).sum == 3L, ok.mkString(","))
   }
 
   test("hdrKsGate: identical sketches give D=0; disjoint reject; " +
