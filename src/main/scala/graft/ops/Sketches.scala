@@ -749,4 +749,218 @@ object Sketches {
       .select(groupCols.map(col) :+
         col("__sq").cast("string").cast("double").as("f2_estimate"): _*)
   }
+
+  // --- top-k heavy-hitters summary (mergeable, deterministic) --------------
+  //
+  // The frequent-items member of the sketch family ("what are the top
+  // URLs/tokens/keys, and did they shift?" — the most common drift
+  // question after distinct-count and quantiles). Misra–Gries (1982)
+  // and SpaceSaving (Metwally et al. ICDT'05) keep bounded counter
+  // sets, but their classical forms decrement/evict as elements ARRIVE
+  // — the surviving counter VALUES depend on processing and merge
+  // order, so two runs over different partitionings of the same bag
+  // disagree bit-for-bit, which breaks this repo's oracle discipline
+  // (no engine-independent SQL can replay a partition-dependent
+  // state). This is the ORDER-FREE formulation of the same summary,
+  // the "top-k with residual thresholds" shape mergeable-summaries
+  // theory reduces MG to (Agarwal, Cormode, Huang, Phillips, Wei, Yi —
+  // PODS'12 "Mergeable Summaries"): a LEAF summary is the exact top-k
+  // of one bounded slice (a day, a source, a micro-batch) plus two
+  // scalars (total mass, largest dropped count), and MERGE is pure
+  // counter ADDITION — associative, commutative, bit-exact, so a tree
+  // of merges equals a flat merge exactly and the whole pipeline
+  // replays in DuckDB.
+  //
+  // State layout (uniform skinny rows, ≤ leaves·k + 1 per group):
+  //   item rows:  (groupCols…, item, cnt, tseen)
+  //     cnt   = Σ exact counts over leaves where the item was KEPT
+  //     tseen = Σ of those leaves' thresholds
+  //   meta row:   (groupCols…, item = NULL, cnt = N, tseen = T)
+  //     N = Σ leaf total occurrences,  T = Σ leaf thresholds
+  // A leaf's threshold t = the (k+1)-th largest count (0 when nothing
+  // was dropped): every dropped item's count is ≤ t by construction.
+  // Deterministic bounds carried in-band at read time:
+  //   lb(x) = cnt                  (true count can only be larger)
+  //   ub(x) = cnt + (T − tseen)    (absent leaves contribute ≤ t each)
+  //   absent items: c(x) ≤ T      (dropped in EVERY leaf)
+
+  /** Build the summary. Without `leafCols` the input is ONE leaf (the
+    * exact top-k — useful alone, or as the increment a streaming wave
+    * contributes); with `leafCols` (e.g. a day or source column) each
+    * leaf is summarized exactly and the leaves are merged — the
+    * incremental-rollup shape, bit-identical to [[topkMerge]] of the
+    * per-leaf builds, so per-day states roll up without rescanning
+    * history.
+    *
+    * Scale shape: ONE aggregation to the exact (group, leaf, item)
+    * count plane (map-side combined — the same shuffle an exact top-k
+    * pays), then windows over per-(group, leaf) planes and a skinny
+    * state merge. Items render as strings (layout-invariant, the
+    * [[kmvSketch]] convention); NULL items are excluded. Ties break by
+    * (count desc, item asc) everywhere — deterministic, replayable.
+    *
+    * → (groupCols…, item, cnt, tseen) + one item-NULL meta row per group
+    */
+  def topkSketch(df: DataFrame, groupCols: Seq[String], itemCol: String,
+                 k: Int, leafCols: Seq[String] = Seq.empty): DataFrame = {
+    require(k >= 1, s"topkSketch needs k >= 1, got $k")
+    val gl = groupCols ++ leafCols
+    val counts = df
+      .select(gl.map(col) :+ col(itemCol).cast("string").as("__i"): _*)
+      .filter(col("__i").isNotNull)
+      .groupBy(gl.map(col) :+ col("__i"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val parts =
+      if (gl.nonEmpty) gl.map(col)
+      else Seq(graft.functions.ArrayMath.boundedKey(counts))
+    val w = Window.partitionBy(parts: _*)
+      .orderBy(col("__c").desc, col("__i"))
+    val wAll = Window.partitionBy(parts: _*)
+    val ranked = counts
+      .withColumn("__r", row_number().over(w))
+      // leaf threshold = the (k+1)-th largest count — the LARGEST
+      // dropped count, 0 when the leaf kept everything
+      .withColumn("__t", coalesce(
+        max(when(col("__r") === k + 1, col("__c"))).over(wAll), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    val kept = ranked.filter(col("__r") <= k)
+      .select(gl.map(col) :+ col("__i").as("item") :+
+        col("__c").as("cnt") :+ col("__t").as("tseen"): _*)
+    val meta = ranked.filter(col("__r") === 1) // one row per (group, leaf)
+      .select(gl.map(col) :+ lit(null).cast("string").as("item") :+
+        col("__n").as("cnt") :+ col("__t").as("tseen"): _*)
+    val leaves = kept.unionByName(meta)
+    if (leafCols.isEmpty) leaves
+    else leaves // merge across leaves: pure counter addition
+      .groupBy(groupCols.map(col) :+ col("item"): _*)
+      .agg(coalesce(sum(col("cnt")).cast("bigint"), lit(0L)).as("cnt"),
+        coalesce(sum(col("tseen")).cast("bigint"), lit(0L)).as("tseen"))
+  }
+
+  /** Exact merge of [[topkSketch]] states: union, per-(group, item)
+    * counter ADDITION (the meta rows fold the same way — NULL groups as
+    * its own key). Associative and commutative, so any merge tree over
+    * the same leaves is bit-identical to a flat merge (asserted in
+    * SketchesSpec) — per-day / per-source / per-wave states roll up
+    * without rescanning history. One shuffle of the skinny state union.
+    */
+  def topkMerge(groupCols: Seq[String], sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "topkMerge needs at least one sketch")
+    sketches.reduce(_ unionByName _)
+      .groupBy(groupCols.map(col) :+ col("item"): _*)
+      .agg(coalesce(sum(col("cnt")).cast("bigint"), lit(0L)).as("cnt"),
+        coalesce(sum(col("tseen")).cast("bigint"), lit(0L)).as("tseen"))
+  }
+
+  /** Heavy-hitters read off a [[topkSketch]] state, the deterministic
+    * frequency bounds IN-BAND: per group the top `k` state items by
+    * (cnt_lb desc, item asc) with
+    *
+    *   cnt_lb ≤ true count ≤ cnt_ub = cnt_lb + (T − tseen)
+    *
+    * and `absent_bound` = T carried on every row: ANY item not in the
+    * underlying state (dropped in every leaf) has true count ≤ T, so an
+    * item is GUARANTEED top-of-corpus whenever its cnt_lb beats every
+    * other item's cnt_ub and T. All arithmetic on the ≤ leaves·k-row
+    * state plane — the corpus is never re-read. Empty groupCols = one
+    * global read (bounded plane, [[graft.functions.BoundedKey]] window
+    * key). Raises on a state with no meta row (not a [[topkSketch]]).
+    *
+    * → (groupCols…, rank, item, cnt_lb, cnt_ub, n_total, absent_bound)
+    */
+  def topkHeavyHitters(sketch: DataFrame, groupCols: Seq[String],
+                       k: Int): DataFrame = {
+    require(k >= 1, s"topkHeavyHitters needs k >= 1, got $k")
+    val meta = sketch.filter(col("item").isNull)
+      .select(groupCols.map(col) :+ col("cnt").as("__N") :+
+        col("tseen").as("__T"): _*)
+    val items = sketch.filter(col("item").isNotNull)
+    val joined =
+      if (groupCols.nonEmpty) items.join(meta, groupCols)
+      else items.crossJoin(broadcast(meta)) // exactly one global meta row
+    val parts =
+      if (groupCols.nonEmpty) groupCols.map(col)
+      else Seq(graft.functions.ArrayMath.boundedKey(joined))
+    val w = Window.partitionBy(parts: _*)
+      .orderBy(col("cnt").desc, col("item"))
+    joined
+      .filter(coalesce(
+        assert_true(col("__N").isNotNull,
+          lit("topkHeavyHitters: state has no meta row — not a topkSketch")),
+        lit(true)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(groupCols.map(col) :+ col("rank") :+ col("item") :+
+        col("cnt").as("cnt_lb") :+
+        (col("cnt") + col("__T") - col("tseen")).as("cnt_ub") :+
+        col("__N").as("n_total") :+ col("__T").as("absent_bound"): _*)
+  }
+
+  /** Re-truncation for long-lived states (years of daily leaves grow
+    * the state ~leaves·k rows/group): keep the `k` best items by
+    * (cnt desc, item asc), fold every dropped item into the absent
+    * bound — the new meta T' = max(T, max dropped ub), so both
+    * guarantees SURVIVE compaction (kept items' ub can only loosen,
+    * dropped items are covered by "absent ⇒ ≤ T'"). Lossy by design —
+    * the one step that is NOT bit-neutral to merge trees — so it is
+    * explicit and opt-in, never applied inside [[topkMerge]].
+    */
+  def topkCompact(sketch: DataFrame, groupCols: Seq[String],
+                  k: Int): DataFrame = {
+    require(k >= 1, s"topkCompact needs k >= 1, got $k")
+    val meta = sketch.filter(col("item").isNull)
+      .select(groupCols.map(col) :+ col("cnt").as("__N") :+
+        col("tseen").as("__T"): _*)
+    val items = sketch.filter(col("item").isNotNull)
+    val joined =
+      if (groupCols.nonEmpty) items.join(meta, groupCols)
+      else items.crossJoin(broadcast(meta))
+    val parts =
+      if (groupCols.nonEmpty) groupCols.map(col)
+      else Seq(graft.functions.ArrayMath.boundedKey(joined))
+    val w = Window.partitionBy(parts: _*)
+      .orderBy(col("cnt").desc, col("item"))
+    val wAll = Window.partitionBy(parts: _*)
+    val ranked = joined
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__ub", col("cnt") + col("__T") - col("tseen"))
+      .withColumn("__tNew", greatest(col("__T"), coalesce(
+        max(when(col("__r") > k, col("__ub"))).over(wAll), lit(0L))))
+    val kept = ranked.filter(col("__r") <= k)
+      .select(groupCols.map(col) :+ col("item") :+ col("cnt") :+
+        // keep ub invariant under the T bump: tseen' = tseen + (T'−T)
+        (col("tseen") + col("__tNew") - col("__T")).as("tseen"): _*)
+    val newMeta = ranked.filter(col("__r") === 1)
+      .select(groupCols.map(col) :+ lit(null).cast("string").as("item") :+
+        col("__N").as("cnt") :+ col("__tNew").as("tseen"): _*)
+    kept.unionByName(newMeta)
+  }
+
+  /** The streaming half: explode a [[topkSketch]] state into REGISTER
+    * rows (groupCols…, item, reg, v) with reg ∈ {cnt, tseen} — every
+    * register merges by SUM, so
+    * `aggStateSink(topkRegisters(topkSketch(batch…)), keyCols =
+    * group :+ item :+ reg, valueCol = "v", scale = 0)` folds micro-
+    * batch leaves into persisted state whose `sum_v` per key equals a
+    * batch [[topkMerge]] of the same leaves register-for-register
+    * (asserted in StreamingAggSpec); [[topkFromRegisters]] rebuilds the
+    * servable state.
+    */
+  def topkRegisters(sketch: DataFrame, groupCols: Seq[String]): DataFrame =
+    sketch.select(groupCols.map(col) :+ col("item") :+
+        map(lit("cnt"), col("cnt"), lit("tseen"), col("tseen")).as("__m"): _*)
+      .select(groupCols.map(col) :+ col("item") :+
+        explode(col("__m")).as(Seq("reg", "v")): _*)
+
+  /** Rebuild a [[topkSketch]] state frame from persisted register rows
+    * (the aggStateSink read path: key columns + `sum_v`).
+    */
+  def topkFromRegisters(state: DataFrame, groupCols: Seq[String],
+                        valueCol: String = "sum_v"): DataFrame =
+    state.groupBy(groupCols.map(col) :+ col("item"): _*)
+      .agg(
+        coalesce(sum(when(col("reg") === "cnt", col(valueCol)))
+          .cast("bigint"), lit(0L)).as("cnt"),
+        coalesce(sum(when(col("reg") === "tseen", col(valueCol)))
+          .cast("bigint"), lit(0L)).as("tseen"))
 }

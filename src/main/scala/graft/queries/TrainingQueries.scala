@@ -9792,6 +9792,69 @@ object TrainingQueries {
            |  GREATEST(0.0, e_a.est + e_b.est - e_u.est) / e_u.est
            |    AS jaccard_est
            |FROM e_a, e_b, e_u""".stripMargin
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // Top-k token heavy hitters from MERGED per-source summaries
+    // (Sketches.topkSketch / topkHeavyHitters — the frequent-items
+    // member of the sketch family, the order-free mergeable
+    // Misra–Gries formulation of Agarwal et al. PODS'12): each source's
+    // exact top-20 tokens + (total, largest-dropped) scalars become a
+    // leaf state; leaves merge by pure counter ADDITION; the read
+    // reports the global top-10 with the deterministic frequency
+    // bounds IN-BAND (cnt_lb ≤ true ≤ cnt_ub; any item absent from the
+    // state has count ≤ absent_bound). The oracle replays leaf build,
+    // threshold, NULL-item meta rows, merge and the bounded read —
+    // exact integers end to end.
+    QuerySpec(
+      "q262_topk_heavy_hitters",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val toks = docs.select(col("source"),
+          explode(split(TextOps.normalized(col("text")), " ")).as("tok"))
+          .filter(length(col("tok")) > 0)
+        val sk = graft.ops.Sketches.topkSketch(
+          toks, Seq.empty, "tok", k = 20, leafCols = Seq("source"))
+        graft.ops.Sketches.topkHeavyHitters(sk, Seq.empty, k = 10)
+          .orderBy("rank")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT source,
+              |    unnest(string_split($normSql, ' ')) AS tok
+              |  FROM documents
+              |), tf AS (SELECT source, tok FROM t WHERE len(tok) > 0),
+              |c AS (
+              |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+              |  FROM tf GROUP BY 1, 2),
+              |r AS (
+              |  SELECT source, tok, c,
+              |    ROW_NUMBER() OVER (PARTITION BY source
+              |      ORDER BY c DESC, tok) AS rn
+              |  FROM c),
+              |lt AS (
+              |  SELECT source,
+              |    COALESCE(MAX(CASE WHEN rn = 21 THEN c END), 0) AS t,
+              |    CAST(SUM(c) AS BIGINT) AS n
+              |  FROM r GROUP BY source),
+              |kept AS (
+              |  SELECT r.tok AS item, r.c AS cnt, lt.t AS tseen
+              |  FROM r JOIN lt ON lt.source = r.source WHERE rn <= 20),
+              |meta AS (
+              |  SELECT CAST(NULL AS VARCHAR) AS item, n AS cnt, t AS tseen
+              |  FROM lt),
+              |st AS (
+              |  SELECT item, CAST(SUM(cnt) AS BIGINT) AS cnt,
+              |    CAST(SUM(tseen) AS BIGINT) AS tseen
+              |  FROM (SELECT * FROM kept UNION ALL SELECT * FROM meta)
+              |  GROUP BY item),
+              |m AS (SELECT cnt AS nn, tseen AS tt FROM st WHERE item IS NULL),
+              |hh AS (
+              |  SELECT item, cnt, tseen,
+              |    ROW_NUMBER() OVER (ORDER BY cnt DESC, item) AS rank
+              |  FROM st WHERE item IS NOT NULL)
+              |SELECT CAST(rank AS INT) AS rank, item, cnt AS cnt_lb,
+              |  cnt + (m.tt - tseen) AS cnt_ub, m.nn AS n_total,
+              |  m.tt AS absent_bound
+              |FROM hh, m WHERE rank <= 10 ORDER BY rank""".stripMargin))
   )
 }

@@ -1394,6 +1394,77 @@ object StreamingIngest {
     }
   }
 
+  /** Streaming top-k heavy-hitters maintenance: fold each micro-batch
+    * into a persisted [[graft.ops.Sketches.topkSketch]] register state
+    * — the frequent-items sibling of the [[aggStateSink]]+hdrBucketize
+    * HDR lane. The sketch build needs windows over the batch's exact
+    * count plane, which a streaming query plan cannot express, so each
+    * batch is summarized INSIDE foreachBatch (batch context — the same
+    * place [[aggStateSink]] runs `AggState.build`) to a bounded LEAF
+    * (≤ k item rows + 1 meta row per group), exploded to registers
+    * (group…, item, reg ∈ {cnt, tseen}, v), and merged into the stored
+    * state by register SUM — exactly [[graft.ops.Sketches.topkMerge]],
+    * so the stored state equals a batch merge of the same per-wave
+    * leaves register-for-register (asserted in StreamingAggSpec).
+    * Versioned directories + commit markers give the [[aggStateSink]]
+    * crash-safe exactly-once contract verbatim. Serve with
+    * [[graft.ops.Sketches.topkFromRegisters]](readAggState(...)) →
+    * `topkHeavyHitters`.
+    *
+    * State cost: ∝ waves·k rows per group, NEVER history; run
+    * [[graft.ops.Sketches.topkCompact]] offline when a long-lived
+    * deployment's state outgrows its serving budget.
+    *
+    * Returns the number of batches applied (not counting replays).
+    */
+  def topkStateSink(spark: SparkSession, stream: DataFrame,
+                    groupCols: Seq[String], itemCol: String, k: Int,
+                    stateDir: String, checkpointDir: String,
+                    keepVersions: Int = 2): Long = {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Sketches
+    require(k >= 1, s"topkStateSink needs k >= 1, got $k")
+    require(keepVersions >= 1, "keepVersions must be at least 1")
+    val keyCols = groupCols ++ Seq("item", "reg")
+    val applied = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (statePath, fs) = hadoopFs(spark, stateDir)
+        val commitsDir = new org.apache.hadoop.fs.Path(statePath, "_graft_commits")
+        val marker = new org.apache.hadoop.fs.Path(commitsDir, batchId.toString)
+        if (!fs.exists(marker)) {
+          val leaf = Sketches.topkRegisters(
+            Sketches.topkSketch(batch, groupCols, itemCol, k), groupCols)
+            .withColumn("v", col("v").cast("bigint"))
+          val merged = latestCommittedVersion(fs, statePath) match {
+            case Some(ver) =>
+              val current = spark.read.parquet(
+                new org.apache.hadoop.fs.Path(statePath, s"v$ver").toString)
+              current.unionByName(leaf)
+                .groupBy(keyCols.map(col): _*)
+                .agg(coalesce(sum(col("v")).cast("bigint"), lit(0L)).as("v"))
+            case None => leaf
+          }
+          merged.write.mode(SaveMode.Overwrite)
+            .parquet(new org.apache.hadoop.fs.Path(statePath, s"v$batchId").toString)
+          fs.mkdirs(commitsDir)
+          fs.createNewFile(marker)
+          applied.incrementAndGet()
+          committedVersions(fs, statePath).sorted.reverse.drop(keepVersions)
+            .foreach { old =>
+              fs.delete(new org.apache.hadoop.fs.Path(statePath, s"v$old"), true)
+              fs.delete(new org.apache.hadoop.fs.Path(commitsDir, old.toString), false)
+            }
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    applied.get()
+  }
+
   /** The latest COMMITTED aggregate state written by [[aggStateSink]]
     * (uncommitted / torn version directories are ignored). Feed the
     * result to `AggState.finalizeState` for serving metrics.

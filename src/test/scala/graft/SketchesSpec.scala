@@ -291,6 +291,134 @@ class SketchesSpec extends AnyFunSuite {
     assert(ok.map(_.getLong(2)).sum == 3L, ok.mkString(","))
   }
 
+  // --- top-k heavy-hitters summary ----------------------------------------
+
+  private def topkState(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (Option(r.getString(0)).getOrElse("<meta>"),
+      r.getLong(1), r.getLong(2))).toSet
+
+  test("topkSketch: hand-computed leaf state, thresholds, meta") {
+    import spark.implicits._
+    // one leaf, k=2: counts a:4 b:3 c:2 d:1 -> keep a,b; t = c's count 2;
+    // meta N=10 T=2
+    val df = (Seq.fill(4)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c") ++
+      Seq("d")).toDF("item0")
+    val sk = Sketches.topkSketch(df, Seq.empty, "item0", k = 2)
+      .select("item", "cnt", "tseen")
+    assert(topkState(sk) == Set(("a", 4L, 2L), ("b", 3L, 2L),
+      ("<meta>", 10L, 2L)), topkState(sk))
+    // nothing dropped -> threshold 0
+    val sk4 = Sketches.topkSketch(df, Seq.empty, "item0", k = 4)
+      .select("item", "cnt", "tseen")
+    assert(topkState(sk4) == Set(("a", 4L, 0L), ("b", 3L, 0L),
+      ("c", 2L, 0L), ("d", 1L, 0L), ("<meta>", 10L, 0L)), topkState(sk4))
+  }
+
+  test("topkSketch: merge-tree == flat merge == leaf-split build, " +
+    "bit-identical; bounds sound vs exact counts") {
+    import spark.implicits._
+    val k = 8
+    // three skewed leaves with different hot items per leaf
+    def leaf(seed: Int, hot: String): Seq[(String, String)] =
+      (1 to 900).map { i =>
+        val z = (seed * 7919 + i * i) % 100
+        val it = if (z < 40) hot else if (z < 70) s"w${z % 12}"
+          else s"rare${(seed * 1000 + i) % 300}"
+        (s"d$seed", it)
+      }
+    val l1 = leaf(1, "alpha"); val l2 = leaf(2, "beta"); val l3 = leaf(3, "alpha")
+    val all = (l1 ++ l2 ++ l3).toDF("day", "w")
+    val sA = Sketches.topkSketch(l1.toDF("day", "w"), Seq.empty, "w", k)
+    val sB = Sketches.topkSketch(l2.toDF("day", "w"), Seq.empty, "w", k)
+    val sC = Sketches.topkSketch(l3.toDF("day", "w"), Seq.empty, "w", k)
+    val t1 = Sketches.topkMerge(Seq.empty,
+      Sketches.topkMerge(Seq.empty, sA, sB), sC)
+    val t2 = Sketches.topkMerge(Seq.empty, sA,
+      Sketches.topkMerge(Seq.empty, sB, sC))
+    val flat = Sketches.topkMerge(Seq.empty, sA, sB, sC)
+    val split = Sketches.topkSketch(all, Seq.empty, "w", k,
+      leafCols = Seq("day"))
+    val ref = topkState(flat.select("item", "cnt", "tseen"))
+    assert(topkState(t1.select("item", "cnt", "tseen")) == ref, "tree1")
+    assert(topkState(t2.select("item", "cnt", "tseen")) == ref, "tree2")
+    assert(topkState(split.select("item", "cnt", "tseen")) == ref, "split")
+    // bounds: lb <= true <= ub for every reported item; absent <= T
+    val exact = all.groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hh = Sketches.topkHeavyHitters(flat, Seq.empty, k).collect()
+    assert(hh.nonEmpty)
+    var absentBound = 0L
+    val reported = hh.map { r =>
+      val (item, lb, ub) = (r.getString(1), r.getLong(2), r.getLong(3))
+      val c = exact(item)
+      assert(lb <= c && c <= ub, s"$item: true $c outside [$lb,$ub]")
+      absentBound = r.getLong(5)
+      item
+    }.toSet
+    val stateItems = flat.filter(col("item").isNotNull)
+      .collect().map(_.getString(0)).toSet
+    exact.foreach { case (it, c) =>
+      if (!stateItems.contains(it))
+        assert(c <= absentBound, s"absent $it count $c > bound $absentBound")
+    }
+    // the true #1 item must be reported (its count dwarfs every bound)
+    val trueTop = exact.maxBy { case (i, c) => (c, i) }._1
+    assert(reported.contains(trueTop), s"true top $trueTop not reported")
+  }
+
+  test("topkSketch grouped + topkCompact keeps both guarantees") {
+    import spark.implicits._
+    val k = 4
+    val rows = (1 to 2000).map { i =>
+      val g = if (i % 2 == 0) "g1" else "g2"
+      val z = (i * i) % 50
+      val it = if (z < 20) s"hot${z % 3}" else s"cold${i % 97}"
+      (g, if (i % 5 == 0) "d1" else "d2", it)
+    }
+    val df = rows.toDF("g", "day", "w")
+    val sk = Sketches.topkSketch(df, Seq("g"), "w", k, leafCols = Seq("day"))
+    val compact = Sketches.topkCompact(sk, Seq("g"), 2)
+    // compaction: <= 2 item rows + 1 meta row per group
+    val perG = compact.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perG.values.forall(_ <= 3), perG.toString)
+    val exact = df.groupBy("g", "w").count().collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val hh = Sketches.topkHeavyHitters(compact, Seq("g"), 2).collect()
+    val bounds = scala.collection.mutable.Map.empty[String, Long]
+    val present = hh.map { r =>
+      val (g, item, lb, ub) = (r.getString(0), r.getString(2),
+        r.getLong(3), r.getLong(4))
+      val c = exact((g, item))
+      assert(lb <= c && c <= ub, s"($g,$item): true $c outside [$lb,$ub]")
+      bounds(g) = r.getLong(6)
+      (g, item)
+    }.toSet
+    val stateItems = compact.filter(col("item").isNotNull)
+      .select("g", "item").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    exact.foreach { case ((g, it), c) =>
+      if (!stateItems.contains((g, it)))
+        assert(c <= bounds(g), s"absent ($g,$it) count $c > T ${bounds(g)}")
+    }
+    assert(present.nonEmpty)
+  }
+
+  test("topkRegisters/topkFromRegisters round-trip bit-exactly") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => ("g" + (i % 2), "w" + (i * i % 23)))
+      .toDF("g", "w")
+    val sk = Sketches.topkSketch(df, Seq("g"), "w", 5)
+    val back = Sketches.topkFromRegisters(
+      Sketches.topkRegisters(sk, Seq("g")).withColumnRenamed("v", "sum_v"),
+      Seq("g"))
+    def st(d: org.apache.spark.sql.DataFrame) = d.collect().map(r =>
+      (r.getString(0), Option(r.getString(1)), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(st(sk.select("g", "item", "cnt", "tseen")) ==
+      st(back.select("g", "item", "cnt", "tseen")))
+  }
+
   test("hdrKsGate: identical sketches give D=0; disjoint reject; " +
     "merged-state gate == direct-build gate; empty side raises") {
     import spark.implicits._

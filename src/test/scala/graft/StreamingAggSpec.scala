@@ -228,6 +228,50 @@ class StreamingAggSpec extends AnyFunSuite {
       s"served p90 ${qs} != direct ${qd}")
   }
 
+  test("streaming top-k heavy-hitters: topkStateSink over waves == batch " +
+    "topkMerge of the same per-wave leaves, register-for-register") {
+    import spark.implicits._
+    import graft.ops.Sketches
+    import graft.streaming.StreamingIngest
+    val k = 4
+    val in = java.nio.file.Files.createTempDirectory("graft-tk-in")
+    val state = java.nio.file.Files.createTempDirectory("graft-tk-st").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tk-ck").toString
+    def wave(rows: Seq[(String, String)]): Long = {
+      rows.toDF("g", "w").coalesce(1).write.mode("append").parquet(in.toString)
+      StreamingIngest.topkStateSink(spark,
+        spark.readStream.schema("g STRING, w STRING").parquet(in.toString),
+        Seq("g"), "w", k, state, ckpt)
+    }
+    def mk(seed: Int, hot: String): Seq[(String, String)] =
+      (1 to 400).map { i =>
+        val z = (seed * 31 + i * i) % 100
+        ("g", if (z < 45) hot else s"w${(seed * 100 + i) % 60}")
+      }
+    val w1 = mk(1, "alpha"); val w2 = mk(2, "beta")
+    assert(wave(w1) == 1L)
+    assert(wave(w2) == 1L)
+    val served = Sketches.topkFromRegisters(
+      StreamingIngest.readAggState(spark, state)
+        .withColumnRenamed("v", "sum_v"), Seq("g"))
+    val batch = Sketches.topkMerge(Seq("g"),
+      Sketches.topkSketch(w1.toDF("g", "w"), Seq("g"), "w", k),
+      Sketches.topkSketch(w2.toDF("g", "w"), Seq("g"), "w", k))
+    def st(d: org.apache.spark.sql.DataFrame) =
+      d.select("g", "item", "cnt", "tseen").collect().map(r =>
+        (r.getString(0), Option(r.getString(1)), r.getLong(2), r.getLong(3)))
+        .toSet
+    assert(st(served) == st(batch),
+      s"streaming state ${st(served)} != batch merge ${st(batch)}")
+    // heavy-hitter read serves straight off the stored state
+    val hs = Sketches.topkHeavyHitters(served, Seq("g"), 2)
+      .collect().map(r => (r.getInt(1), r.getString(2))).toSet
+    val hb = Sketches.topkHeavyHitters(batch, Seq("g"), 2)
+      .collect().map(r => (r.getInt(1), r.getString(2))).toSet
+    assert(hs == hb && hs.map(_._2).intersect(Set("alpha", "beta")).size == 2,
+      s"served $hs batch $hb")
+  }
+
   test("aggStateSink: replays skip, torn versions are invisible") {
     import spark.implicits._
     import graft.streaming.StreamingIngest
