@@ -500,6 +500,86 @@ object Sketches {
       .withColumn("reject_same_dist", col("ks_d") > col("d_crit"))
   }
 
+  /** Population-stability / Jensen–Shannon drift score from two
+    * [[hdrSketch]] bucket planes — the SCORED sibling of [[hdrKsGate]]
+    * (KS answers "same distribution?"; PSI is the industry-standard
+    * drift MAGNITUDE real feature pipelines alarm on, with the
+    * conventional <0.1 stable / 0.1–0.25 moderate / >0.25 shifted
+    * bands). Both scores are closed-form folds over the persisted
+    * ≤ 63·m-row union bucket plane — yesterday's sketch vs today's,
+    * no corpus re-scan:
+    *
+    *   PSI = Σ_b (p_b − q_b) · ln(p_b / q_b)
+    *   JS  = ½ Σ_b [ p_b·ln(2p_b/(p_b+q_b)) + q_b·ln(2q_b/(p_b+q_b)) ]
+    *
+    * with Laplace-smoothed proportions p_b = (ca+1)/(n_a+B),
+    * q_b = (cb+1)/(n_b+B) over the B union buckets — the standard
+    * empty-bucket convention (raw PSI is undefined on a bucket one
+    * side never hit, which on sketch planes happens constantly), and
+    * an EXACT one: every input to every ln is a ratio of exact
+    * integers, so identical sketches read PSI = JS = 0.0 exactly
+    * (every ln(1) term is 0).
+    *
+    * Determinism (the q109 discipline): each term is ONE ln over a
+    * fixed IEEE ratio of exact integer-derived doubles, cast to
+    * DECIMAL(18,12) and summed as decimals (order-independent), then
+    * bridged to double via the string route — replays bit-for-bit in
+    * DuckDB. JS is bounded by ln 2 ≈ 0.693; PSI of heavy drift on a
+    * 63·m plane stays ≪ 10^6, inside DECIMAL(18,12)'s integer digits.
+    *
+    * → one row (n_a, n_b, n_buckets, psi, js_divergence, drift_alert)
+    */
+  def hdrPsiGate(a: DataFrame, b: DataFrame,
+                 psiAlert: Double = 0.2): DataFrame = {
+    require(psiAlert > 0, s"psiAlert must be positive, got $psiAlert")
+    def side(df: DataFrame, name: String) =
+      df.select(col("bucket"), col("cnt").as(name))
+        .groupBy("bucket").agg(sum(col(name)).as(name))
+    val j = side(a, "__ca").join(side(b, "__cb"), Seq("bucket"),
+        "full_outer")
+      .select(col("bucket"),
+        coalesce(col("__ca"), lit(0L)).cast("bigint").as("__ca"),
+        coalesce(col("__cb"), lit(0L)).cast("bigint").as("__cb"))
+    val bk = graft.functions.ArrayMath.boundedKey(j)
+    val wAll = Window.partitionBy(bk)
+    val withTotals = j
+      .withColumn("__na", sum(col("__ca")).over(wAll))
+      .withColumn("__nb", sum(col("__cb")).over(wAll))
+      .withColumn("__bc", count(lit(1)).over(wAll))
+    // smoothed proportions — every operand an exact integer rendered
+    // once to double, then a FIXED IEEE sequence (same in DuckDB)
+    val x = (col("__ca") + 1L).cast("double") /
+      (col("__na") + col("__bc")).cast("double")
+    val y = (col("__cb") + 1L).cast("double") /
+      (col("__nb") + col("__bc")).cast("double")
+    // ln(p/q) over the integer-product ratio (exact operands) rather
+    // than ln(x)-ln(y) (two libm calls compound ulps)
+    val lnPq = log(
+      ((col("__ca") + 1L).cast("double") *
+        (col("__nb") + col("__bc")).cast("double")) /
+      ((col("__cb") + 1L).cast("double") *
+        (col("__na") + col("__bc")).cast("double")))
+    val psiTerm = ((x - y) * lnPq).cast("decimal(18,12)")
+    val jsTerm = ((x * log(lit(2.0) * x / (x + y)) +
+      y * log(lit(2.0) * y / (x + y))) * lit(0.5)).cast("decimal(18,12)")
+    withTotals
+      .withColumn("__psi_t", psiTerm)
+      .withColumn("__js_t", jsTerm)
+      .groupBy()
+      .agg(max(col("__na")).as("__na"), max(col("__nb")).as("__nb"),
+        count(lit(1)).as("n_buckets"),
+        sum(col("__psi_t")).as("__psi"), sum(col("__js_t")).as("__js"))
+      .filter(coalesce(
+        assert_true(col("__na") > 0 && col("__nb") > 0,
+          lit("hdrPsiGate: both sketches must be non-empty")),
+        lit(true)))
+      .select(col("__na").cast("bigint").as("n_a"),
+        col("__nb").cast("bigint").as("n_b"), col("n_buckets"),
+        col("__psi").cast("string").cast("double").as("psi"),
+        col("__js").cast("string").cast("double").as("js_divergence"))
+      .withColumn("drift_alert", col("psi") > lit(psiAlert))
+  }
+
   /** Point-query a [[cmsSketch]] for a candidate key set: est(key) =
     * min over rows of the key's bucket counter (0 if the bucket is
     * empty — the key was never seen). The sketch side is depth·width

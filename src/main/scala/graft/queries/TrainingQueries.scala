@@ -9855,6 +9855,86 @@ object TrainingQueries {
               |SELECT CAST(rank AS INT) AS rank, item, cnt AS cnt_lb,
               |  cnt + (m.tt - tseen) AS cnt_ub, m.nn AS n_total,
               |  m.tt AS absent_bound
-              |FROM hh, m WHERE rank <= 10 ORDER BY rank""".stripMargin))
+              |FROM hh, m WHERE rank <= 10 ORDER BY rank""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // PSI / Jensen-Shannon drift score from HDR bucket state
+    // (Sketches.hdrPsiGate — the scored sibling of q259's KS verdict):
+    // how FAR did English document lengths drift from the rest, judged
+    // from two persisted sketch planes with the industry-standard PSI
+    // bands (>0.25 = shifted). Laplace-smoothed proportions over the
+    // union bucket plane keep every ln input an exact-integer ratio;
+    // each term routes through DECIMAL(18,12) (the q109 ln discipline)
+    // so the decimal sums — and the bridged doubles — replay
+    // bit-for-bit.
+    QuerySpec(
+      "q263_sketch_psi_drift",
+      (s, dir) => {
+        val m = 32
+        val d = Tables.documents(s, dir).select(
+          when(col("lang") === "en", "en").otherwise("other").as("cohort"),
+          col("n_chars"))
+        val en = graft.ops.Sketches.hdrSketch(
+          d.filter(col("cohort") === "en"), Seq.empty, "n_chars", m)
+        val rest = graft.ops.Sketches.hdrSketch(
+          d.filter(col("cohort") === "other"), Seq.empty, "n_chars", m)
+        graft.ops.Sketches.hdrPsiGate(en, rest, psiAlert = 0.2)
+      },
+      Some("""WITH v AS (
+             |  SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS g,
+             |    CAST(n_chars AS BIGINT) AS v
+             |  FROM documents WHERE n_chars >= 1),
+             |b AS (
+             |  SELECT g,
+             |    CAST(length(bin(v)) - 1 AS BIGINT) * 32
+             |      + ((v - (1::BIGINT << CAST(length(bin(v)) - 1 AS INT)))
+             |          * 32)
+             |        // (1::BIGINT << CAST(length(bin(v)) - 1 AS INT))
+             |      AS bucket
+             |  FROM v),
+             |c AS (SELECT g, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+             |p AS (
+             |  SELECT bucket,
+             |    CAST(SUM(CASE WHEN g = 'en' THEN cnt ELSE 0 END)
+             |      AS BIGINT) AS ca,
+             |    CAST(SUM(CASE WHEN g = 'other' THEN cnt ELSE 0 END)
+             |      AS BIGINT) AS cb
+             |  FROM c GROUP BY bucket),
+             |r AS (
+             |  SELECT bucket, ca, cb,
+             |    CAST(SUM(ca) OVER () AS BIGINT) AS na,
+             |    CAST(SUM(cb) OVER () AS BIGINT) AS nb,
+             |    CAST(COUNT(*) OVER () AS BIGINT) AS bc
+             |  FROM p),
+             |t AS (
+             |  SELECT na, nb, bc,
+             |    CAST((CAST(ca + 1 AS DOUBLE) / CAST(na + bc AS DOUBLE)
+             |        - CAST(cb + 1 AS DOUBLE) / CAST(nb + bc AS DOUBLE))
+             |      * ln((CAST(ca + 1 AS DOUBLE) * CAST(nb + bc AS DOUBLE))
+             |        / (CAST(cb + 1 AS DOUBLE) * CAST(na + bc AS DOUBLE)))
+             |      AS DECIMAL(18,12)) AS psi_t,
+             |    CAST((CAST(ca + 1 AS DOUBLE) / CAST(na + bc AS DOUBLE)
+             |        * ln(2.0 * (CAST(ca + 1 AS DOUBLE)
+             |            / CAST(na + bc AS DOUBLE))
+             |          / (CAST(ca + 1 AS DOUBLE) / CAST(na + bc AS DOUBLE)
+             |            + CAST(cb + 1 AS DOUBLE) / CAST(nb + bc AS DOUBLE)))
+             |      + CAST(cb + 1 AS DOUBLE) / CAST(nb + bc AS DOUBLE)
+             |        * ln(2.0 * (CAST(cb + 1 AS DOUBLE)
+             |            / CAST(nb + bc AS DOUBLE))
+             |          / (CAST(ca + 1 AS DOUBLE) / CAST(na + bc AS DOUBLE)
+             |            + CAST(cb + 1 AS DOUBLE) / CAST(nb + bc AS DOUBLE))))
+             |      * 0.5 AS DECIMAL(18,12)) AS js_t
+             |  FROM r),
+             |m AS (
+             |  SELECT MAX(na) AS na, MAX(nb) AS nb,
+             |    COUNT(*) AS n_buckets,
+             |    SUM(psi_t) AS psi_s, SUM(js_t) AS js_s
+             |  FROM t)
+             |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             |  CAST(n_buckets AS BIGINT) AS n_buckets,
+             |  CAST(CAST(psi_s AS VARCHAR) AS DOUBLE) AS psi,
+             |  CAST(CAST(js_s AS VARCHAR) AS DOUBLE) AS js_divergence,
+             |  CAST(CAST(psi_s AS VARCHAR) AS DOUBLE) > 0.2 AS drift_alert
+             |FROM m""".stripMargin))
   )
 }

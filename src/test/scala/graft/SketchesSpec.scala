@@ -291,6 +291,41 @@ class SketchesSpec extends AnyFunSuite {
     assert(ok.map(_.getLong(2)).sum == 3L, ok.mkString(","))
   }
 
+  test("hdrPsiGate: identical sketches read exactly 0; planted shift " +
+    "alerts; merged-state gate == direct-build gate; empty side raises") {
+    import spark.implicits._
+    val m = 16
+    val xs = (1L to 3000L).map(i => i * i % 9000L + 1L)
+    val sk = Sketches.hdrSketch(xs.toDF("v"), Seq.empty, "v", m)
+      .localCheckpoint()
+    val same = Sketches.hdrPsiGate(sk, sk).head()
+    assert(same.getDouble(3) == 0.0 && same.getDouble(4) == 0.0 &&
+      !same.getBoolean(5), s"identical sketches must read 0: $same")
+    // planted shift: values 4x larger on side B -> strong alert; JS
+    // bounded by ln 2
+    val shifted = Sketches.hdrSketch(xs.map(v => v * 4L).toDF("v"),
+      Seq.empty, "v", m)
+    val drift = Sketches.hdrPsiGate(sk, shifted).head()
+    assert(drift.getDouble(3) > 0.25 && drift.getBoolean(5),
+      s"4x shift must alert: $drift")
+    assert(drift.getDouble(4) > 0.0 && drift.getDouble(4) < math.log(2.0),
+      s"JS must be in (0, ln2): $drift")
+    // state-plane contract: gate over MERGED per-day sketches equals
+    // the gate over a direct build of the union
+    val d1 = xs.take(1500); val d2 = xs.drop(1500)
+    val merged = Sketches.hdrMerge(Seq.empty,
+      Sketches.hdrSketch(d1.toDF("v"), Seq.empty, "v", m),
+      Sketches.hdrSketch(d2.toDF("v"), Seq.empty, "v", m))
+    val gm = Sketches.hdrPsiGate(merged, shifted).head()
+    assert(gm.getDouble(3) == drift.getDouble(3) &&
+      gm.getDouble(4) == drift.getDouble(4),
+      s"merged-state gate $gm != direct $drift")
+    val e = intercept[Exception] {
+      Sketches.hdrPsiGate(sk, sk.filter(lit(false))).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   // --- top-k heavy-hitters summary ----------------------------------------
 
   private def topkState(df: org.apache.spark.sql.DataFrame) =
