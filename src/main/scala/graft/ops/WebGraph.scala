@@ -1282,4 +1282,143 @@ object WebGraph {
       .withColumn("harmonic",
         col("h_scaled").cast("double") / scale.toDouble)
   }
+
+  /** Strongly connected components of a DIRECTED graph — the Broder et
+    * al. (WWW'00) bowtie decomposition's core primitive, via iterated
+    * multi-pivot FORWARD×BACKWARD reachability (Fleischer, Hendrickson
+    * & Pınar IPDPS'00 "divide-and-conquer SCC"): per round, take the
+    * first `pivotsPerRound` RESIDUAL nodes in md5(node) order (the
+    * [[betweennessCentrality]] sampling convention — deterministic,
+    * never a hot-key bias), run reachability BFS from all pivots
+    * simultaneously along edges and against them, and settle
+    * SCC(p) = F(p) ∩ B(p) for every pivot p. Nodes settle with
+    * component label = the MINIMUM member node id (pivot-independent —
+    * two pivots in one SCC compute the same set, so the label is a
+    * pure function of the graph). The next round runs on the residual
+    * subgraph; removing settled SCCs cannot break a remaining SCC
+    * (every intermediate node of a path between two members of an SCC
+    * is itself in that SCC), so membership is preserved.
+    *
+    * Progress bound: the round's pivots are distinct residual nodes
+    * and every pivot settles (p ∈ F∩B), so each round removes ≥
+    * `pivotsPerRound` nodes (or finishes) — ≤ ⌈|V|/pivotsPerRound⌉
+    * rounds even on a pure DAG of singleton SCCs; on a web-shaped
+    * bowtie the giant SCC falls in round 1. `maxDepth` and `maxRounds`
+    * are LOUD guards (they raise, never silently truncate — a missed
+    * deep member would mislabel a component).
+    *
+    * Scale shape: per hop one frontier-against-edges join on the skinny
+    * (s, node) plane with per-hop localCheckpoint (O(1) plan depth,
+    * the [[sampledBfs]] discipline); per round one semi-join pair
+    * restricts the persisted edge frame to the residual; settled
+    * components accumulate as checkpointed skinny (node, component)
+    * rows. Only emptiness probes reach the driver.
+    *
+    * → (node, component) — one row per node appearing in any edge;
+    *   component = min node id of the node's SCC.
+    */
+  def stronglyConnectedComponents(edges: DataFrame, srcCol: String,
+                                  dstCol: String, pivotsPerRound: Int = 64,
+                                  maxDepth: Int = 32,
+                                  maxRounds: Int = 64): DataFrame = {
+    require(pivotsPerRound >= 1 && pivotsPerRound <= 4096,
+      s"pivotsPerRound must be in [1,4096], got $pivotsPerRound")
+    require(maxDepth >= 1 && maxDepth <= 256,
+      s"maxDepth must be in [1,256], got $maxDepth")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val e0 = edges
+      .select(col(srcCol).cast("string").as("esrc"),
+        col(dstCol).cast("string").as("edst"))
+      .filter(col("esrc").isNotNull && col("edst").isNotNull &&
+        col("esrc") =!= col("edst")) // self-loops never change SCCs
+      .distinct()
+      .persist()
+    val allNodes = e0.select(col("esrc").as("node"))
+      .unionByName(e0.select(col("edst").as("node"))).distinct()
+      .localCheckpoint()
+    var residual = allNodes
+    var eR = e0
+    var comps: Option[DataFrame] = None
+    var round = 0
+    var done = residual.isEmpty
+    while (!done) {
+      round += 1
+      require(round <= maxRounds,
+        s"stronglyConnectedComponents: residual nodes remain after " +
+          s"$maxRounds rounds — raise maxRounds or pivotsPerRound")
+      val pivots = residual
+        .orderBy(md5(col("node").cast("binary")), col("node"))
+        .limit(pivotsPerRound) // TakeOrdered — never a global sort
+        .localCheckpoint()
+      // the two reach passes are independent job DAGs — submit them
+      // concurrently (level-synchronous BFS wall time is driver
+      // round-trips × depth; overlapping F and B halves it, on a
+      // cluster as on local)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fF = Future(reachFrom(eR, pivots, maxDepth))
+      val fB = Future(reachFrom(
+        eR.select(col("edst").as("esrc"), col("esrc").as("edst")),
+        pivots, maxDepth))
+      val fwd = Await.result(fF, scala.concurrent.duration.Duration.Inf)
+      val bwd = Await.result(fB, scala.concurrent.duration.Duration.Inf)
+      // F(p) ∩ B(p) = SCC(p); label = min member (pivot-independent)
+      val wPivot = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("s"))
+      val settled = fwd.join(bwd, Seq("s", "node"))
+        .withColumn("component", min(col("node")).over(wPivot))
+        .select(col("node"), col("component"))
+        .distinct() // pivots sharing an SCC emit identical rows
+        .localCheckpoint()
+      comps = Some(comps.fold(settled)(_ unionByName settled)
+        .localCheckpoint())
+      residual = residual.join(settled.select(col("node")), Seq("node"),
+        "left_anti").localCheckpoint()
+      val eNext = eR
+        .join(residual.select(col("node").as("esrc")), Seq("esrc"),
+          "left_semi")
+        .join(residual.select(col("node").as("edst")), Seq("edst"),
+          "left_semi")
+        .select(col("esrc"), col("edst"))
+        .localCheckpoint()
+      if (eR ne e0) eR.unpersist()
+      eR = eNext
+      done = residual.isEmpty
+    }
+    if (eR ne e0) eR.unpersist()
+    e0.unpersist()
+    comps.getOrElse(allNodes.select(col("node"),
+      col("node").as("component")))
+  }
+
+  /** Multi-source reachability BFS over a normalized (esrc, edst) edge
+    * frame: (s, node) for every node reachable from source s, INCLUDING
+    * (s, s). Per-hop localCheckpoint keeps the plan O(1) deep; raises
+    * if a frontier is still expanding past `maxDepth` (silent
+    * truncation would mislabel components).
+    */
+  private def reachFrom(e: DataFrame, sources: DataFrame,
+                        maxDepth: Int): DataFrame = {
+    var visited = sources.select(col("node").as("s"), col("node"))
+      .localCheckpoint()
+    var frontier = visited
+    var d = 0
+    var done = false
+    while (!done) {
+      d += 1
+      val next = frontier.join(e, col("node") === col("esrc"))
+        .select(col("s"), col("edst").as("node")).distinct()
+        .join(visited, Seq("s", "node"), "left_anti")
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        require(d <= maxDepth,
+          s"reachFrom: frontier still expanding at depth $maxDepth — " +
+            "raise maxDepth (silent truncation would mislabel components)")
+        visited = visited.unionByName(next).localCheckpoint()
+        frontier = next
+      }
+    }
+    visited
+  }
 }

@@ -9935,6 +9935,81 @@ object TrainingQueries {
              |  CAST(CAST(psi_s AS VARCHAR) AS DOUBLE) AS psi,
              |  CAST(CAST(js_s AS VARCHAR) AS DOUBLE) AS js_divergence,
              |  CAST(CAST(psi_s AS VARCHAR) AS DOUBLE) > 0.2 AS drift_alert
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Strongly connected components of a planted multi-SCC digraph
+    // (WebGraph.stronglyConnectedComponents — iterated multi-pivot
+    // FW×BW reachability, Fleischer/Hendrickson/Pınar IPDPS'00; the
+    // Broder WWW'00 bowtie primitive the r16 verdict asked for): hosts
+    // h0..h96 split into 7 groups, each group a directed CYCLE (one
+    // SCC), chords inside groups, DAG cross-edges g→g+1 only (never
+    // wrapping — wrapping would fuse everything into one SCC). Expected
+    // components = the 7 groups labeled by their min-string member.
+    // The oracle replays with a WITH RECURSIVE transitive closure and
+    // mutual-reachability min-member labels — pure set logic, no
+    // floats anywhere.
+    QuerySpec(
+      "q264_scc",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val base = docs.select(col("doc_id"),
+            expr("doc_id % 97").as("n"),
+            expr("(doc_id % 97) div 14").as("g"))
+          .withColumn("gs", expr("g * 14"))
+          .withColumn("sz", expr("CASE WHEN g = 6 THEN 13 ELSE 14 END"))
+        def host(c: String) = concat(lit("h"), expr(c).cast("string"),
+          lit(".example.org"))
+        val cyc = base.select(host("n").as("src_host"),
+          host("gs + pmod(n - gs + 1, sz)").as("dst_host"))
+        val chord = base.filter(expr("doc_id % 5 = 0"))
+          .select(host("n").as("src_host"),
+            host("gs + pmod(n - gs + 5, sz)").as("dst_host"))
+        val cross = base.filter(expr("doc_id % 3 = 0 AND n <= 82"))
+          .select(host("n").as("src_host"), host("n + 14").as("dst_host"))
+        // 128 pivots ≥ the 97-node plane: every SCC settles in ONE
+        // round (2 BFS passes); the iterated-residual path is
+        // property-covered (Round17Props forces pivotsPerRound ∈ {1,2})
+        graft.ops.WebGraph.stronglyConnectedComponents(
+            cyc.unionByName(chord).unionByName(cross),
+            "src_host", "dst_host",
+            pivotsPerRound = 128, maxDepth = 32, maxRounds = 32)
+          .orderBy("node")
+      },
+      Some("""WITH RECURSIVE bb AS (
+             |  SELECT doc_id % 97 AS n, (doc_id % 97) // 14 AS g,
+             |    ((doc_id % 97) // 14) * 14 AS gs,
+             |    CASE WHEN (doc_id % 97) // 14 = 6 THEN 13 ELSE 14 END
+             |      AS sz,
+             |    doc_id
+             |  FROM documents),
+             |raw AS (
+             |  SELECT 'h' || CAST(n AS VARCHAR) || '.example.org' AS src,
+             |    'h' || CAST(gs + ((n - gs + 1) % sz) AS VARCHAR)
+             |      || '.example.org' AS dst
+             |  FROM bb
+             |  UNION ALL
+             |  SELECT 'h' || CAST(n AS VARCHAR) || '.example.org',
+             |    'h' || CAST(gs + ((n - gs + 5) % sz) AS VARCHAR)
+             |      || '.example.org'
+             |  FROM bb WHERE doc_id % 5 = 0
+             |  UNION ALL
+             |  SELECT 'h' || CAST(n AS VARCHAR) || '.example.org',
+             |    'h' || CAST(n + 14 AS VARCHAR) || '.example.org'
+             |  FROM bb WHERE doc_id % 3 = 0 AND n <= 82),
+             |e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+             |nodes AS (SELECT src AS node FROM e
+             |          UNION SELECT dst FROM e),
+             |reach(u, v) AS (
+             |  SELECT src, dst FROM e
+             |  UNION
+             |  SELECT reach.u, e.dst FROM reach JOIN e ON e.src = reach.v),
+             |mut AS (
+             |  SELECT node AS u, node AS v FROM nodes
+             |  UNION
+             |  SELECT r1.u, r1.v FROM reach r1
+             |  JOIN reach r2 ON r2.u = r1.v AND r2.v = r1.u)
+             |SELECT u AS node, MIN(v) AS component
+             |FROM mut GROUP BY u ORDER BY node""".stripMargin))
   )
 }

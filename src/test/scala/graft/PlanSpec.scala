@@ -573,6 +573,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q264: SCC readout is O(1) deep — rounds/hops checkpointed, " +
+    "never stacked, no cartesians") {
+    val plan = executedPlan("q264_scc")
+    assert(plan.contains("ExistingRDD"),
+      s"the readout must scan checkpointed per-round component frames, " +
+        s"not replay the BFS towers\n$plan")
+    val aggs = "HashAggregate".r.findAllIn(plan).size
+    assert(aggs <= 10, s"plan depth suggests stacked rounds: $aggs\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q193: the CMS point-query join broadcasts the sketch side") {
     val plan = executedPlan("q193_cms_heavy_hitters")
     assert(plan.contains("BroadcastHashJoin"),

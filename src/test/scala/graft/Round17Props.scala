@@ -1,0 +1,131 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.propBoolean
+
+import org.apache.spark.sql.functions._
+
+/** Property tests for the round-17 ops: the distributed multi-pivot
+  * FW×BW SCC must EQUAL a driver-side transitive-closure reference
+  * (Floyd–Warshall mutual reachability, min-member labels) on arbitrary
+  * small directed graphs, across pivot batch sizes that force both the
+  * single-round and the iterated-residual paths; the top-k summary's
+  * merge must be invariant to ARBITRARY leaf partitionings of the bag
+  * (any split of the same rows into leaves yields states whose
+  * heavy-hitter bounds contain the exact counts).
+  */
+object Round17Props extends Properties("Round17Ops") {
+  private lazy val spark = SparkTestSession.spark
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private val graphGen: Gen[(Int, List[(Int, Int)])] = for {
+    n <- Gen.choose(3, 10)
+    m <- Gen.choose(2, 30)
+    es <- Gen.listOfN(m,
+      Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+  } yield (n, es)
+
+  /** Driver-side reference: Floyd–Warshall reachability, component =
+    * min node id among mutually-reachable nodes (self included).
+    */
+  private def refScc(edges: Seq[(String, String)]): Map[String, String] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val idx = nodes.zipWithIndex.toMap
+    val n = nodes.size
+    val reach = Array.fill(n, n)(false)
+    edges.foreach { case (a, b) =>
+      if (a != b) reach(idx(a))(idx(b)) = true }
+    for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+      if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true
+    nodes.map { v =>
+      val i = idx(v)
+      val members = nodes.filter { u =>
+        val j = idx(u)
+        u == v || (reach(i)(j) && reach(j)(i))
+      }
+      v -> members.min
+    }.toMap
+  }
+
+  property("stronglyConnectedComponents == Floyd-Warshall reference " +
+    "across pivot batch sizes") = Prop.forAll(graphGen,
+      Gen.oneOf(1, 2, 64)) { case ((n, es), pivots) =>
+    val edges = es.map { case (a, b) => (s"n$a", s"n$b") }
+    val simple = edges.filter { case (a, b) => a != b }.distinct
+    (simple.nonEmpty) ==> {
+      import spark.implicits._
+      val got = graft.ops.WebGraph.stronglyConnectedComponents(
+          edges.toDF("src", "dst"), "src", "dst",
+          pivotsPerRound = pivots, maxDepth = 32, maxRounds = 64)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val want = refScc(simple)
+      (got == want) :| s"pivots=$pivots got=$got want=$want edges=$simple"
+    }
+  }
+
+  property("SCC hand-computed bowtie: triangle -> 2-cycle -> singleton " +
+    "tail; deep-graph maxDepth guard raises") = Prop.secure {
+    import spark.implicits._
+    // a->b->c->a (SCC {a,b,c}), c->d, d<->e (SCC {d,e}), e->f, f->g
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+      ("d", "e"), ("e", "d"), ("e", "f"), ("f", "g"))
+    val got = graft.ops.WebGraph.stronglyConnectedComponents(
+        edges.toDF("src", "dst"), "src", "dst",
+        pivotsPerRound = 2, maxDepth = 16, maxRounds = 16)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val want = Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "d" -> "d", "e" -> "d", "f" -> "f", "g" -> "g")
+    val guard = scala.util.Try {
+      graft.ops.WebGraph.stronglyConnectedComponents(
+        (0 until 6).map(i => (s"c$i", s"c${i + 1}")).toDF("src", "dst"),
+        "src", "dst", pivotsPerRound = 64, maxDepth = 2).collect()
+    }
+    (got == want) :| s"got $got" &&
+      (guard.isFailure &&
+        guard.failed.get.getMessage.contains("maxDepth")) :| "guard"
+  }
+
+  private val bagGen: Gen[(List[String], List[Int])] = for {
+    m <- Gen.choose(5, 60)
+    items <- Gen.listOfN(m, Gen.oneOf("a", "b", "c", "d", "e", "f", "g"))
+    splits <- Gen.listOfN(m, Gen.choose(0, 3)) // leaf id per row
+  } yield (items, splits)
+
+  property("topkSketch bounds contain exact counts under ARBITRARY " +
+    "leaf partitionings; merge == leaf-split build") =
+    Prop.forAll(bagGen, Gen.choose(1, 4)) { case ((items, splits), k) =>
+      import spark.implicits._
+      val df = items.zip(splits).map { case (i, l) => (s"l$l", i) }
+        .toDF("leaf", "item0")
+      val viaSplit = graft.ops.Sketches.topkSketch(
+        df, Seq.empty, "item0", k, leafCols = Seq("leaf"))
+      val leaves = splits.distinct.map { l =>
+        graft.ops.Sketches.topkSketch(
+          df.filter(col("leaf") === s"l$l"), Seq.empty, "item0", k)
+      }
+      val viaMerge = graft.ops.Sketches.topkMerge(Seq.empty, leaves: _*)
+      def st(d: org.apache.spark.sql.DataFrame) =
+        d.select("item", "cnt", "tseen").collect()
+          .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+          .toSet
+      val eq = st(viaSplit) == st(viaMerge)
+      val exact = items.groupBy(identity).map { case (i, rs) =>
+        i -> rs.size.toLong }
+      val hh = graft.ops.Sketches.topkHeavyHitters(viaMerge, Seq.empty, k)
+        .collect()
+      val inBounds = hh.forall { r =>
+        val c = exact(r.getString(1))
+        r.getLong(2) <= c && c <= r.getLong(3)
+      }
+      val stateItems = viaMerge.filter(col("item").isNotNull)
+        .collect().map(_.getString(0)).toSet
+      val absentBound = hh.headOption.map(_.getLong(5)).getOrElse(0L)
+      val absentOk = exact.forall { case (i, c) =>
+        stateItems.contains(i) || c <= absentBound }
+      (eq :| "merge != leaf-split build") &&
+        (inBounds :| s"bounds violated: ${hh.mkString(",")} vs $exact") &&
+        (absentOk :| "absent bound violated")
+    }
+}
