@@ -796,11 +796,44 @@ object WebGraph {
     * → (node, community)
     */
   def louvainCommunities(edges: DataFrame, srcCol: String, dstCol: String,
-                         rounds: Int = 4): DataFrame = {
+                         rounds: Int = 4,
+                         weightCol: Option[String] = None): DataFrame = {
     require(rounds >= 1 && rounds <= 20,
       s"rounds must be in [1,20], got $rounds")
-    val nbr = undirectedNbr(edges, srcCol, dstCol).persist()
-    val deg = nbr.groupBy("node").agg(count(lit(1)).as("deg")).persist()
+    // weighted flavor (r16 verdict gap #4): k_v, k_{v,c}, tot and 2m
+    // become weighted sums — the coarse phase (louvainCoarsen) always
+    // was weighted, this closes phase 1. Weights must be POSITIVE
+    // INTEGERS (the hdrSketchWeighted contract — exact DECIMAL gain
+    // arithmetic survives, fractional weights raise in-plan, never
+    // truncate); parallel (src,dst) rows ADD their weights. The default
+    // path keeps the historic simple-graph semantics (distinct pairs,
+    // weight 1) value-for-value — q234's oracle hash is unchanged.
+    val nbr = (weightCol match {
+      case None => undirectedNbr(edges, srcCol, dstCol)
+        .withColumn("w", lit(1L))
+      case Some(wc) =>
+        val e = edges
+          .select(col(srcCol).cast("string").as("src"),
+            col(dstCol).cast("string").as("dst"), col(wc).as("__w0"))
+          .filter(col("src").isNotNull && col("dst").isNotNull &&
+            col("src") =!= col("dst"))
+          .filter(coalesce(
+            assert_true(col("__w0").isNotNull &&
+                col("__w0").cast("long") >= 1L &&
+                col("__w0") === col("__w0").cast("long"),
+              concat_ws("", lit("louvainCommunities: edge weight must"),
+                lit(" be a positive integer, got "), col("__w0"))),
+            lit(true)))
+          .withColumn("__w0", col("__w0").cast("long"))
+        e.select(col("src").as("node"), col("dst").as("nb"), col("__w0"))
+          .union(e.select(col("dst").as("node"), col("src").as("nb"),
+            col("__w0")))
+          .groupBy("node", "nb")
+          .agg(sum(col("__w0")).as("w"))
+    }).persist()
+    val deg = nbr.groupBy("node")
+      .agg(coalesce(sum(col("w")).cast("bigint"), lit(0L)).as("deg"))
+      .persist()
     val m2Frame = deg.agg(sum(col("deg")).cast("decimal(38,0)").as("__m2"))
     val dec = "decimal(19,0)"
     var labels = deg.select(col("node"), col("node").as("comm"))
@@ -813,7 +846,7 @@ object WebGraph {
         .join(labels.select(col("node").as("nb"), col("comm").as("cand")),
           "nb")
         .groupBy(col("node"), col("cand"))
-        .agg(count(lit(1)).as("k"))
+        .agg(coalesce(sum(col("w")).cast("bigint"), lit(0L)).as("k"))
       val self = ld
         .join(tot.withColumnRenamed("comm", "__c"),
           col("__c") === col("comm"))

@@ -393,6 +393,49 @@ class HtmlSpec extends AnyFunSuite {
       lab4("p") != lab4("w"), s"K4 pair: $lab4")
   }
 
+  test("louvainCommunities weighted: heavy pairs beat the uniform ring; " +
+    "parallel weights ADD; w=1 == default path; fractional raises") {
+    import spark.implicits._
+    // ring of 6 with alternating heavy (9) and light (1) edges: the
+    // weighted optimum pairs each heavy couple; uniform weights see
+    // only a plain 6-ring
+    val ring = Seq(("n0", "n1", 9L), ("n1", "n2", 1L), ("n2", "n3", 9L),
+      ("n3", "n4", 1L), ("n4", "n5", 9L), ("n5", "n0", 1L))
+      .toDF("s", "d", "w")
+    val lab = WebGraph.louvainCommunities(ring, "s", "d", rounds = 6,
+        weightCol = Some("w"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(lab("n0") == lab("n1") && lab("n2") == lab("n3") &&
+      lab("n4") == lab("n5") &&
+      Set(lab("n0"), lab("n2"), lab("n4")).size == 3,
+      s"weighted ring must pair the heavy couples: $lab")
+    // parallel edges add their weights: 4+5 on each heavy pair == 9
+    val split = ring.filter(col("w") === 1L)
+      .unionByName(Seq(("n0", "n1", 4L), ("n1", "n0", 5L),
+        ("n2", "n3", 4L), ("n3", "n2", 5L), ("n4", "n5", 4L),
+        ("n5", "n4", 5L)).toDF("s", "d", "w"))
+    val lab2 = WebGraph.louvainCommunities(split, "s", "d", rounds = 6,
+        weightCol = Some("w"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(lab2 == lab, s"parallel weights must add: $lab2 vs $lab")
+    // weight-1 flavor == the default simple-graph path, value for value
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("d", "e"),
+      ("d", "f"), ("e", "f"), ("c", "d")).toDF("s", "d")
+    val mDef = WebGraph.louvainCommunities(edges, "s", "d", rounds = 6)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val mW1 = WebGraph.louvainCommunities(edges.withColumn("w", lit(1L)),
+        "s", "d", rounds = 6, weightCol = Some("w"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(mW1 == mDef, s"w=1 must equal the default path: $mW1 vs $mDef")
+    // fractional weight raises instead of truncating
+    val e = intercept[Exception] {
+      WebGraph.louvainCommunities(
+        Seq(("a", "b", 2.5)).toDF("s", "d", "w"), "s", "d", rounds = 1,
+        weightCol = Some("w")).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("louvainCoarsen: ring-of-cliques resolution limit — phase 2 raises modularity; refinement + fixpoint hold") {
     import spark.implicits._
     // ring of 10 triangles (Fortunato & Barthélemy 2007's resolution-
