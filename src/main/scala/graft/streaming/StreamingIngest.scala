@@ -1827,6 +1827,116 @@ object StreamingIngest {
     applied.get()
   }
 
+  /** Offline compactor for a [[sessionSink]] target's CLOSED plane —
+    * the r16 verdict gap: the closed log gains one `closed/v<batchId>`
+    * directory per closing wave, so a many-wave deployment accumulates
+    * small files that tax every read. This folds ALL committed closed
+    * directories into one consolidated directory (named after the
+    * largest folded id, which is already commit-fenced), sized to
+    * `targetFileBytes` — the [[compactDedupTarget]] maintenance shape
+    * with a PLAN MANIFEST making torn compactions recoverable:
+    *
+    *   1. consolidated rows → `_graft_session_closed_ctmp` (invisible);
+    *   2. plan manifest `_graft_session_compact_plan` records
+    *      dest + sources (the recovery pivot — written only after the
+    *      tmp is complete, so roll-FORWARD is always safe once it
+    *      exists);
+    *   3. sources rename aside to `_graft_compact_old_closed_v*`
+    *      (underscore-invisible to the reader's v-dir scan);
+    *   4. tmp renames to `closed/v<dest>`; trash + plan delete.
+    *
+    * A crash anywhere re-runs to a consistent state: plan + dest
+    * present → finish cleanup; plan + tmp present, dest absent → roll
+    * forward (finish 3–4); plan without tmp → roll back (restore
+    * sources). Reads after recovery are ROW-IDENTICAL to the
+    * uncompacted target and a second run is a no-op (both asserted in
+    * SessionSinkSpec). Like [[compactDedupTarget]], run it while the
+    * sink is quiescent — it is offline maintenance, not a concurrent
+    * writer.
+    *
+    * Returns the number of closed directories folded (0 = nothing to
+    * do).
+    */
+  def compactSessionTarget(spark: SparkSession, targetDir: String,
+                           targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val (targetPath, fs) = hadoopFs(spark, targetDir)
+    if (!fs.exists(targetPath)) return 0
+    val closedRoot = new org.apache.hadoop.fs.Path(targetPath, "closed")
+    val plan = new org.apache.hadoop.fs.Path(
+      targetPath, "_graft_session_compact_plan")
+    val tmp = new org.apache.hadoop.fs.Path(
+      targetPath, "_graft_session_closed_ctmp")
+    def trashOf(v: Long) = new org.apache.hadoop.fs.Path(
+      closedRoot, s"_graft_compact_old_closed_v$v")
+    // ---- recovery from a torn previous run ------------------------------
+    if (fs.exists(plan)) {
+      val in = fs.open(plan)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim finally in.close()
+      val dest = txt.split(";")(0).stripPrefix("dest=").toLong
+      val srcs = txt.split(";")(1).stripPrefix("src=")
+        .split(",").filter(_.nonEmpty).map(_.toLong)
+      val destDir = new org.apache.hadoop.fs.Path(closedRoot, s"v$dest")
+      if (fs.exists(destDir) && !fs.exists(tmp)) {
+        // swap completed — finish the cleanup
+        srcs.foreach(v => fs.delete(trashOf(v), true))
+      } else if (fs.exists(tmp)) {
+        // tmp complete (plan is written only after) — roll forward
+        srcs.foreach { v =>
+          val orig = new org.apache.hadoop.fs.Path(closedRoot, s"v$v")
+          if (fs.exists(orig)) require(fs.rename(orig, trashOf(v)),
+            s"compactSessionTarget: recovery rename failed: $orig")
+        }
+        require(fs.rename(tmp, destDir),
+          s"compactSessionTarget: recovery rename failed: $tmp -> $destDir")
+        srcs.foreach(v => fs.delete(trashOf(v), true))
+      } else {
+        // no tmp, no dest — roll back to the originals
+        srcs.foreach { v =>
+          val t = trashOf(v)
+          if (fs.exists(t)) require(fs.rename(t,
+            new org.apache.hadoop.fs.Path(closedRoot, s"v$v")),
+            s"compactSessionTarget: rollback rename failed: $t")
+        }
+      }
+      fs.delete(plan, false)
+    }
+    // ---- the compaction itself ------------------------------------------
+    if (!fs.exists(closedRoot)) return 0
+    val committed = committedVersions(fs, targetPath).toSet
+    val srcDirs = fs.listStatus(closedRoot).toSeq.filter(_.isDirectory)
+      .flatMap { d =>
+        scala.util.Try(d.getPath.getName.stripPrefix("v").toLong).toOption
+          .filter(committed).map(v => (v, d))
+      }.sortBy(_._1)
+    if (srcDirs.size <= 1) return 0
+    val dest = srcDirs.map(_._1).max
+    val dataBytes = srcDirs.map(_._2).flatMap(d =>
+      fs.listStatus(d.getPath).filter(st => st.isFile &&
+        !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".")).map(_.getLen)).sum
+    val wantFiles = math.max(1L,
+      (dataBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(srcDirs.map(_._2.getPath.toString): _*)
+      .coalesce(wantFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false)
+    val out = fs.create(plan, true)
+    try out.write(
+      (s"dest=$dest;src=${srcDirs.map(_._1).mkString(",")}").getBytes("UTF-8"))
+    finally out.close()
+    srcDirs.foreach { case (v, d) =>
+      require(fs.rename(d.getPath, trashOf(v)),
+        s"compactSessionTarget: rename failed: ${d.getPath}")
+    }
+    require(fs.rename(tmp,
+      new org.apache.hadoop.fs.Path(closedRoot, s"v$dest")),
+      s"compactSessionTarget: rename failed: $tmp")
+    srcDirs.foreach { case (v, _) => fs.delete(trashOf(v), true) }
+    fs.delete(plan, false)
+    srcDirs.size
+  }
+
   /** Serve a [[sessionSink]] target: committed closed sessions plus the
     * latest committed open session per user, in
     * [[graft.ops.EventOps.sessionStats]]' shape (duration and the

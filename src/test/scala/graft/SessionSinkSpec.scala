@@ -145,6 +145,65 @@ class SessionSinkSpec extends AnyFunSuite {
       "crashed-attempt closed leftovers must be deleted by the commit")
   }
 
+  test("compactSessionTarget: folds the closed plane row-identically; " +
+    "idempotent; torn mid-swap compaction rolls forward on the next run") {
+    val (in, target, ckpt) = freshDirs()
+    // 4 waves 10ms apart: every wave from the 2nd on closes each user's
+    // previous session -> 3 closed/v* dirs accumulate
+    val allRows = (0 until 4).map { w =>
+      (1L to 5L).map(u => (u, w * 10000L, w * 100L + u, 1.0)): Seq[Ev]
+    }
+    allRows.foreach(rows => assert(wave(in, target, ckpt, rows) == 1L))
+    def closedVDirs() = java.nio.file.Files.list(
+      java.nio.file.Paths.get(target, "closed")).toArray
+      .map(_.toString.split("/").last).filter(_.startsWith("v")).sorted
+    val before = served(target)
+    val n0 = closedVDirs().length
+    assert(n0 == 3, s"fixture must accumulate closed dirs: ${closedVDirs().toSeq}")
+    assert(StreamingIngest.compactSessionTarget(spark, target) == 3)
+    assert(closedVDirs().length == 1, closedVDirs().toSeq.toString)
+    assert(served(target) == before, "compaction must be row-identical")
+    // idempotent: a second run is a no-op
+    assert(StreamingIngest.compactSessionTarget(spark, target) == 0)
+    assert(served(target) == before)
+    // two more waves re-grow the plane, then a TORN compaction: tmp
+    // written, plan recorded, one source renamed aside — crash before
+    // the swap finished
+    assert(wave(in, target, ckpt,
+      (1L to 5L).map(u => (u, 40000L, 400L + u, 1.0))) == 1L)
+    assert(wave(in, target, ckpt,
+      (1L to 5L).map(u => (u, 50000L, 500L + u, 1.0))) == 1L)
+    val before2 = served(target)
+    val vs = closedVDirs().map(_.stripPrefix("v").toLong).sorted
+    assert(vs.length == 3, vs.toSeq.toString)
+    val tmp = java.nio.file.Paths.get(target, "_graft_session_closed_ctmp")
+    spark.read.parquet(vs.map(v => s"$target/closed/v$v"): _*)
+      .coalesce(1).write.parquet(tmp.toString)
+    java.nio.file.Files.deleteIfExists(tmp.resolve("_SUCCESS"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(target, "_graft_session_compact_plan"),
+      s"dest=${vs.max};src=${vs.mkString(",")}")
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(target, "closed", s"v${vs.min}"),
+      java.nio.file.Paths.get(target, "closed",
+        s"_graft_compact_old_closed_v${vs.min}"))
+    // the next run recovers (rolls the recorded plan forward), then has
+    // nothing further to fold
+    assert(StreamingIngest.compactSessionTarget(spark, target) == 0)
+    assert(closedVDirs().length == 1, closedVDirs().toSeq.toString)
+    assert(served(target) == before2,
+      "post-recovery reads must be row-identical")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(target, "_graft_session_compact_plan")))
+    assert(!java.nio.file.Files.exists(tmp))
+    // streaming == batch on the compacted target
+    assert(served(target)
+      .map(t => (t._1, t._2, t._3, t._4, t._5, t._6, t._7)) ==
+      batchRef(allRows.flatten ++
+        (1L to 5L).map(u => (u, 40000L, 400L + u, 1.0)) ++
+        (1L to 5L).map(u => (u, 50000L, 500L + u, 1.0))))
+  }
+
   test("out-of-order cross-batch event raises instead of mis-sessionizing") {
     val (in, target, ckpt) = freshDirs()
     assert(wave(in, target, ckpt, Seq((1L, 10000L, 1L, 1.0))) == 1L)
