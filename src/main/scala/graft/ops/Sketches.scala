@@ -1016,6 +1016,81 @@ object Sketches {
     kept.unionByName(newMeta)
   }
 
+  /** "Did the top keys SHIFT?" — the frequent-items drift read
+    * completing the state-only comparison trio ([[hdrKsGate]] same
+    * distribution?, [[hdrPsiGate]] how far?, this: WHICH heavy items
+    * moved): full-outer-compare the top-k reads of two [[topkSketch]]
+    * states (yesterday vs today, cohort A vs cohort B) with the
+    * deterministic bounds carried from BOTH sides. An item absent from
+    * a side's top-k keeps that side's evidence honest: bounds fall
+    * back to [0, side's absent_bound] when the item is missing from
+    * the side's STATE entirely (it may still be anything up to T), or
+    * to its state row's bounds when it merely missed the top-k cut.
+    * `status` is the a→b transition: entered (b's top-k only), left
+    * (a's only), stayed (both).
+    *
+    * All arithmetic on the two bounded state planes — no corpus
+    * re-scan; deterministic ties everywhere, so the whole comparison
+    * replays in DuckDB.
+    *
+    * → (groupCols…, item, status, rank_a, rank_b,
+    *    cnt_lb_a, cnt_ub_a, cnt_lb_b, cnt_ub_b)
+    */
+  def topkShift(a: DataFrame, b: DataFrame, groupCols: Seq[String],
+                k: Int): DataFrame = {
+    require(k >= 1, s"topkShift needs k >= 1, got $k")
+    def side(s: DataFrame, tag: String) = {
+      // the meta row as a 1-row-per-group (or 1-row global) frame: the
+      // GLOBAL spelling aggregates so an EMPTY state still yields one
+      // all-NULL row — the in-plan contract assert below can then fire
+      // (a crossJoin against a zero-row meta would silently empty the
+      // whole comparison instead)
+      val metaRows = s.filter(col("item").isNull)
+      val meta =
+        if (groupCols.nonEmpty) metaRows
+          .select(groupCols.map(col) :+ col("cnt").as(s"__n_$tag") :+
+            col("tseen").as(s"__t_$tag"): _*)
+        else metaRows.agg(max(col("cnt")).as(s"__n_$tag"),
+          max(col("tseen")).as(s"__t_$tag"))
+      def withMeta(df: DataFrame, how: String) =
+        if (groupCols.nonEmpty) df.join(meta, groupCols, how)
+        else df.crossJoin(broadcast(meta))
+      // state-level bounds for items that missed the top-k CUT but are
+      // in the state — their evidence is their state row, not [0, T]
+      val bounds = withMeta(s.filter(col("item").isNotNull), "inner")
+        .select(groupCols.map(col) :+ col("item") :+
+          col("cnt").as(s"cnt_lb_$tag") :+
+          (col("cnt") + col(s"__t_$tag") - col("tseen"))
+            .as(s"cnt_ub_$tag"): _*)
+      val ranks = topkHeavyHitters(s, groupCols, k)
+        .select(groupCols.map(col) :+ col("item") :+
+          col("rank").as(s"rank_$tag"): _*)
+      (ranks, bounds, withMeta(_: DataFrame, "left"))
+    }
+    val (ra, ba, withMetaA) = side(a, "a")
+    val (rb, bb, withMetaB) = side(b, "b")
+    val keys = groupCols :+ "item"
+    val joined = withMetaB(withMetaA(
+      ra.join(rb, keys, "full_outer")
+        .join(ba, keys, "left").join(bb, keys, "left")))
+    joined
+      .filter(coalesce(
+        assert_true(col("__n_a").isNotNull && col("__n_b").isNotNull,
+          lit("topkShift: both states need a meta row for every " +
+            "compared group — not a topkSketch, or an absent cohort")),
+        lit(true)))
+      .select(groupCols.map(col) ++ Seq(
+        col("item"),
+        when(col("rank_a").isNull, lit("entered"))
+          .when(col("rank_b").isNull, lit("left"))
+          .otherwise(lit("stayed")).as("status"),
+        col("rank_a"), col("rank_b"),
+        coalesce(col("cnt_lb_a"), lit(0L)).as("cnt_lb_a"),
+        coalesce(col("cnt_ub_a"), col("__t_a"), lit(0L)).as("cnt_ub_a"),
+        coalesce(col("cnt_lb_b"), lit(0L)).as("cnt_lb_b"),
+        coalesce(col("cnt_ub_b"), col("__t_b"), lit(0L)).as("cnt_ub_b")): _*)
+  }
+
   /** The streaming half: explode a [[topkSketch]] state into REGISTER
     * rows (groupCols…, item, reg, v) with reg ∈ {cnt, tseen} — every
     * register merges by SUM, so

@@ -1424,6 +1424,124 @@ object WebGraph {
       col("node").as("component")))
   }
 
+  /** Bowtie decomposition of a directed graph (Broder, Kumar, Maghoul,
+    * Raghavan, Rajagopalan, Stata, Tomkins & Wiener, WWW'00 "Graph
+    * structure in the web"): classify every node relative to the
+    * LARGEST strongly connected component —
+    *
+    *   core          the giant SCC itself (ties on size break to the
+    *                 smallest component label — deterministic)
+    *   in            reaches the core, not in it
+    *   out           reachable from the core, not in it
+    *   tubes         on a core-FREE path from IN to OUT
+    *   tendrils      hang off IN or lead into OUT core-free, not both
+    *   disconnected  none of the above
+    *
+    * Built on [[stronglyConnectedComponents]] + three set-reachability
+    * passes: F(core)/B(core) over the full graph (submitted as
+    * concurrent job DAGs), then forward-from-IN / backward-from-OUT
+    * over the CORE-EXCLUDED subgraph (the "without passage through the
+    * SCC" clause of the paper's tendril definition). Every pass is the
+    * [[reachFrom]] level-synchronous BFS shape with per-hop
+    * localCheckpoint and the loud maxDepth guard; everything else is
+    * skinny set algebra (semi/anti joins on the node plane).
+    *
+    * → (node, component, region)
+    */
+  def bowtieDecomposition(edges: DataFrame, srcCol: String, dstCol: String,
+                          pivotsPerRound: Int = 64, maxDepth: Int = 32,
+                          maxRounds: Int = 64): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val e0 = edges
+      .select(col(srcCol).cast("string").as("esrc"),
+        col(dstCol).cast("string").as("edst"))
+      .filter(col("esrc").isNotNull && col("edst").isNotNull &&
+        col("esrc") =!= col("edst"))
+      .distinct()
+      .persist()
+    val nodes = e0.select(col("esrc").as("node"))
+      .unionByName(e0.select(col("edst").as("node"))).distinct()
+      .localCheckpoint()
+    val comps = stronglyConnectedComponents(edges, srcCol, dstCol,
+      pivotsPerRound, maxDepth, maxRounds).localCheckpoint(true)
+    val giant = comps.groupBy("component").agg(count(lit(1)).as("__sz"))
+      .orderBy(col("__sz").desc, col("component")) // TakeOrdered, 1 row
+      .limit(1)
+      .select(col("component").as("__giant"))
+    val core = comps.join(broadcast(giant),
+        col("component") === col("__giant"))
+      .select(col("node")).localCheckpoint(true)
+    val rev = e0.select(col("edst").as("esrc"), col("esrc").as("edst"))
+    val fF = Future(setReach(e0, core, maxDepth))
+    val fB = Future(setReach(rev, core, maxDepth))
+    val fwd = Await.result(fF, Duration.Inf)
+    val bwd = Await.result(fB, Duration.Inf)
+    val outR = fwd.join(core, Seq("node"), "left_anti").localCheckpoint(true)
+    val inR = bwd.join(core, Seq("node"), "left_anti").localCheckpoint(true)
+    val settled = core.unionByName(inR).unionByName(outR)
+    val rem = nodes.join(settled, Seq("node"), "left_anti")
+      .localCheckpoint(true)
+    // the core-excluded subgraph: "without passage through the SCC"
+    val eNC = e0
+      .join(core.select(col("node").as("esrc")), Seq("esrc"), "left_anti")
+      .join(core.select(col("node").as("edst")), Seq("edst"), "left_anti")
+      .select(col("esrc"), col("edst")).localCheckpoint(true)
+    val revNC = eNC.select(col("edst").as("esrc"), col("esrc").as("edst"))
+    val fFrom = Future(setReach(eNC, inR, maxDepth))
+    val fTo = Future(setReach(revNC, outR, maxDepth))
+    val fromIn = Await.result(fFrom, Duration.Inf)
+      .join(rem, Seq("node"), "left_semi").localCheckpoint(true)
+    val toOut = Await.result(fTo, Duration.Inf)
+      .join(rem, Seq("node"), "left_semi").localCheckpoint(true)
+    val tubes = fromIn.join(toOut, Seq("node"), "left_semi")
+    val tendrils = fromIn.unionByName(toOut).distinct()
+      .join(tubes, Seq("node"), "left_anti")
+    val disconnected = rem
+      .join(fromIn.unionByName(toOut).distinct(), Seq("node"), "left_anti")
+    val regions = core.withColumn("region", lit("core"))
+      .unionByName(inR.withColumn("region", lit("in")))
+      .unionByName(outR.withColumn("region", lit("out")))
+      .unionByName(tubes.withColumn("region", lit("tubes")))
+      .unionByName(tendrils.withColumn("region", lit("tendrils")))
+      .unionByName(disconnected.withColumn("region", lit("disconnected")))
+    val out = comps.join(regions, "node")
+      .select(col("node"), col("component"), col("region"))
+    e0.unpersist()
+    out
+  }
+
+  /** Single-SET reachability over a normalized (esrc, edst) edge frame:
+    * every node reachable from ANY source node, sources included. The
+    * [[reachFrom]] discipline without the per-source column — per-hop
+    * localCheckpoint, loud maxDepth guard, empty source set returns
+    * empty.
+    */
+  private def setReach(e: DataFrame, sources: DataFrame,
+                       maxDepth: Int): DataFrame = {
+    var visited = sources.select(col("node")).distinct().localCheckpoint()
+    var frontier = visited
+    var d = 0
+    var done = frontier.isEmpty
+    while (!done) {
+      d += 1
+      val next = frontier.join(e, col("node") === col("esrc"))
+        .select(col("edst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        require(d <= maxDepth,
+          s"setReach: frontier still expanding at depth $maxDepth — " +
+            "raise maxDepth (silent truncation would mislabel regions)")
+        visited = visited.unionByName(next).localCheckpoint()
+        frontier = next
+      }
+    }
+    visited
+  }
+
   /** Multi-source reachability BFS over a normalized (esrc, edst) edge
     * frame: (s, node) for every node reachable from source s, INCLUDING
     * (s, s). Per-hop localCheckpoint keeps the plan O(1) deep; raises

@@ -10010,6 +10010,249 @@ object TrainingQueries {
              |  SELECT r1.u, r1.v FROM reach r1
              |  JOIN reach r2 ON r2.u = r1.v AND r2.v = r1.u)
              |SELECT u AS node, MIN(v) AS component
-             |FROM mut GROUP BY u ORDER BY node""".stripMargin))
+             |FROM mut GROUP BY u ORDER BY node""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Heavy-hitter SHIFT between cohorts (Sketches.topkShift — the
+    // frequent-items drift read completing the state-only trio: q259
+    // "same distribution?", q263 "how far?", this "WHICH heavy items
+    // moved?"): compare the top-10 tokens of the English cohort vs the
+    // rest, judged from two retained topkSketch states with the
+    // deterministic bounds honest on BOTH sides (an item missing from a
+    // side's state reads [0, that side's absent bound]). The oracle
+    // replays both per-source leaf builds, both merges, both bounded
+    // reads and the full-outer status join.
+    QuerySpec(
+      "q265_topk_shift",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val toks = docs.select(col("lang"), col("source"),
+          explode(split(TextOps.normalized(col("text")), " ")).as("tok"))
+          .filter(length(col("tok")) > 0)
+        val sa = graft.ops.Sketches.topkSketch(
+          toks.filter(col("lang") === "en"), Seq.empty, "tok", 20,
+          leafCols = Seq("source"))
+        val sb = graft.ops.Sketches.topkSketch(
+          toks.filter(col("lang") =!= "en"), Seq.empty, "tok", 20,
+          leafCols = Seq("source"))
+        graft.ops.Sketches.topkShift(sa, sb, Seq.empty, k = 10)
+          .orderBy("item")
+      },
+      Some {
+        def state(tag: String, where: String, k: Int) =
+          s"""t_$tag AS (
+             |  SELECT source,
+             |    unnest(string_split($normSql, ' ')) AS tok
+             |  FROM documents WHERE $where),
+             |tf_$tag AS (
+             |  SELECT source, tok FROM t_$tag WHERE len(tok) > 0),
+             |c_$tag AS (
+             |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM tf_$tag GROUP BY 1, 2),
+             |r_$tag AS (
+             |  SELECT source, tok, c,
+             |    ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY c DESC, tok) AS rn
+             |  FROM c_$tag),
+             |lt_$tag AS (
+             |  SELECT source,
+             |    COALESCE(MAX(CASE WHEN rn = ${k + 1} THEN c END), 0) AS t,
+             |    CAST(SUM(c) AS BIGINT) AS n
+             |  FROM r_$tag GROUP BY source),
+             |st_$tag AS (
+             |  SELECT item, CAST(SUM(cnt) AS BIGINT) AS cnt,
+             |    CAST(SUM(tseen) AS BIGINT) AS tseen
+             |  FROM (
+             |    SELECT r.tok AS item, r.c AS cnt, lt.t AS tseen
+             |    FROM r_$tag r JOIN lt_$tag lt ON lt.source = r.source
+             |    WHERE rn <= $k
+             |    UNION ALL
+             |    SELECT CAST(NULL AS VARCHAR), n, t FROM lt_$tag)
+             |  GROUP BY item),
+             |m_$tag AS (
+             |  SELECT cnt AS nn, tseen AS tt FROM st_$tag
+             |  WHERE item IS NULL),
+             |it_$tag AS (
+             |  SELECT item, cnt, tseen FROM st_$tag
+             |  WHERE item IS NOT NULL),
+             |hh_$tag AS (
+             |  SELECT item, ROW_NUMBER() OVER (ORDER BY cnt DESC, item)
+             |    AS rank
+             |  FROM it_$tag)""".stripMargin
+        s"""WITH ${state("a", "lang = 'en'", 20)},
+           |${state("b", "lang != 'en'", 20)}
+           |SELECT COALESCE(ha.item, hb.item) AS item,
+           |  CASE WHEN ha.item IS NULL THEN 'entered'
+           |    WHEN hb.item IS NULL THEN 'left'
+           |    ELSE 'stayed' END AS status,
+           |  CAST(ha.rank AS INT) AS rank_a,
+           |  CAST(hb.rank AS INT) AS rank_b,
+           |  CAST(COALESCE(ia.cnt, 0) AS BIGINT) AS cnt_lb_a,
+           |  CAST(COALESCE(ia.cnt + m_a.tt - ia.tseen, m_a.tt, 0)
+           |    AS BIGINT) AS cnt_ub_a,
+           |  CAST(COALESCE(ib.cnt, 0) AS BIGINT) AS cnt_lb_b,
+           |  CAST(COALESCE(ib.cnt + m_b.tt - ib.tseen, m_b.tt, 0)
+           |    AS BIGINT) AS cnt_ub_b
+           |FROM (SELECT * FROM hh_a WHERE rank <= 10) ha
+           |FULL OUTER JOIN (SELECT * FROM hh_b WHERE rank <= 10) hb
+           |  ON hb.item = ha.item
+           |LEFT JOIN it_a ia ON ia.item = COALESCE(ha.item, hb.item)
+           |LEFT JOIN it_b ib ON ib.item = COALESCE(ha.item, hb.item)
+           |CROSS JOIN m_a CROSS JOIN m_b
+           |ORDER BY item""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // Bowtie decomposition of a planted web digraph
+    // (WebGraph.bowtieDecomposition — Broder et al. WWW'00 "Graph
+    // structure in the web", THE canonical crawl-corpus macro-structure
+    // report): nodes h0..h49 planted so every region is non-empty —
+    // 10-node core cycle, IN chain feeding it, OUT chain leaving it, a
+    // tendril shelf off IN, a core-free IN→OUT tube shelf, and
+    // disconnected 2-cycles. The oracle replays SCC (recursive
+    // closure), giant selection, F/B reach, and the core-excluded
+    // second closure for the tendril/tube clause — pure set logic.
+    // Bench note: ~7.5 s at any SF — the priced cost of a multi-PHASE
+    // decomposition (one SCC + four reach passes, each level-
+    // synchronous); on the fixed-size planted graph the wall time is
+    // ~70 driver round-trips of tiny jobs, not data — at real corpus
+    // scale the same job count carries the data, so the shape holds.
+    QuerySpec(
+      "q266_bowtie",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val base = docs.select(expr("doc_id % 50").as("n")).distinct()
+        def host(c: String) = concat(lit("h"), expr(c).cast("string"),
+          lit(".example.org"))
+        def part(whereSql: String, srcSql: String, dstSql: String) =
+          base.filter(expr(whereSql))
+            .select(host(srcSql).as("src_host"), host(dstSql).as("dst_host"))
+        val edges = Seq(
+          part("n <= 9", "n", "pmod(n + 1, 10)"),          // core cycle
+          part("n <= 9", "n", "pmod(n + 3, 10)"),          // core chord
+                                           // (diameter 4, not 9 — BFS
+                                           // wall time tracks depth)
+          part("n between 10 and 19", "n", "n - 10"),      // IN -> core
+          part("n between 20 and 29", "n - 20", "n"),      // core -> OUT
+          part("n between 30 and 34", "n - 20", "n"),      // IN -> tendril
+          part("n between 35 and 39", "n - 25", "n"),      // IN -> tube
+          part("n between 35 and 39", "n", "n - 15"),      // tube -> OUT
+          part("n between 40 and 49 and n % 2 = 0", "n", "n + 1"),
+          part("n between 40 and 49 and n % 2 = 1", "n", "n - 1")
+        ).reduce(_ unionByName _)
+        graft.ops.WebGraph.bowtieDecomposition(edges, "src_host",
+            "dst_host", pivotsPerRound = 64, maxDepth = 32,
+            maxRounds = 32)
+          .orderBy("node")
+      },
+      Some("""WITH RECURSIVE bb AS (
+             |  SELECT DISTINCT doc_id % 50 AS n FROM documents),
+             |raw AS (
+             |  SELECT n AS s, (n + 1) % 10 AS d FROM bb WHERE n <= 9
+             |  UNION ALL SELECT n, (n + 3) % 10 FROM bb WHERE n <= 9
+             |  UNION ALL SELECT n, n - 10 FROM bb
+             |    WHERE n BETWEEN 10 AND 19
+             |  UNION ALL SELECT n - 20, n FROM bb
+             |    WHERE n BETWEEN 20 AND 29
+             |  UNION ALL SELECT n - 20, n FROM bb
+             |    WHERE n BETWEEN 30 AND 34
+             |  UNION ALL SELECT n - 25, n FROM bb
+             |    WHERE n BETWEEN 35 AND 39
+             |  UNION ALL SELECT n, n - 15 FROM bb
+             |    WHERE n BETWEEN 35 AND 39
+             |  UNION ALL SELECT n, n + 1 FROM bb
+             |    WHERE n BETWEEN 40 AND 49 AND n % 2 = 0
+             |  UNION ALL SELECT n, n - 1 FROM bb
+             |    WHERE n BETWEEN 40 AND 49 AND n % 2 = 1),
+             |e AS MATERIALIZED (
+             |  SELECT DISTINCT
+             |    'h' || CAST(s AS VARCHAR) || '.example.org' AS src,
+             |    'h' || CAST(d AS VARCHAR) || '.example.org' AS dst
+             |  FROM raw WHERE s <> d),
+             |-- inside WITH RECURSIVE, a MEMBER CTE's top-level UNION
+             |-- does NOT dedup (DuckDB compiles member setops via the
+             |-- recursive machinery) — dedup via DISTINCT-over-UNION-ALL
+             |-- subqueries, and MATERIALIZE the multi-referenced planes
+             |-- so the closure is evaluated once
+             |nodes AS MATERIALIZED (
+             |  SELECT DISTINCT node FROM (
+             |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e) t),
+             |reach(u, v) AS (
+             |  SELECT src, dst FROM e
+             |  UNION
+             |  SELECT reach.u, e.dst FROM reach JOIN e ON e.src = reach.v),
+             |reachm AS MATERIALIZED (SELECT u, v FROM reach),
+             |comp AS MATERIALIZED (
+             |  SELECT u AS node, MIN(v) AS component FROM (
+             |    SELECT node AS u, node AS v FROM nodes
+             |    UNION ALL
+             |    SELECT r1.u, r1.v FROM reachm r1
+             |    JOIN reachm r2 ON r2.u = r1.v AND r2.v = r1.u) t
+             |  GROUP BY u),
+             |giant AS (
+             |  SELECT component FROM comp GROUP BY component
+             |  ORDER BY COUNT(*) DESC, component LIMIT 1),
+             |core AS MATERIALIZED (
+             |  SELECT node FROM comp
+             |  WHERE component = (SELECT component FROM giant)),
+             |fwd AS (
+             |  SELECT DISTINCT node FROM (
+             |    SELECT node FROM core
+             |    UNION ALL
+             |    SELECT v AS node FROM reachm
+             |    WHERE u IN (SELECT node FROM core)) t),
+             |bwd AS (
+             |  SELECT DISTINCT node FROM (
+             |    SELECT node FROM core
+             |    UNION ALL
+             |    SELECT u AS node FROM reachm
+             |    WHERE v IN (SELECT node FROM core)) t),
+             |outr AS MATERIALIZED (
+             |  SELECT node FROM fwd
+             |  WHERE node NOT IN (SELECT node FROM core)),
+             |inr AS MATERIALIZED (
+             |  SELECT node FROM bwd
+             |  WHERE node NOT IN (SELECT node FROM core)),
+             |enc AS MATERIALIZED (
+             |  SELECT src, dst FROM e
+             |  WHERE src NOT IN (SELECT node FROM core)
+             |    AND dst NOT IN (SELECT node FROM core)),
+             |reachnc(u, v) AS (
+             |  SELECT src, dst FROM enc
+             |  UNION
+             |  SELECT reachnc.u, enc.dst FROM reachnc
+             |  JOIN enc ON enc.src = reachnc.v),
+             |reachncm AS MATERIALIZED (SELECT u, v FROM reachnc),
+             |rem AS MATERIALIZED (
+             |  SELECT node FROM nodes
+             |  WHERE node NOT IN (SELECT node FROM core)
+             |    AND node NOT IN (SELECT node FROM inr)
+             |    AND node NOT IN (SELECT node FROM outr)),
+             |fromin AS MATERIALIZED (
+             |  SELECT DISTINCT v AS node FROM reachncm
+             |  WHERE u IN (SELECT node FROM inr)
+             |    AND v IN (SELECT node FROM rem)),
+             |toout AS MATERIALIZED (
+             |  SELECT DISTINCT u AS node FROM reachncm
+             |  WHERE v IN (SELECT node FROM outr)
+             |    AND u IN (SELECT node FROM rem)),
+             |tubes AS MATERIALIZED (
+             |  SELECT node FROM fromin
+             |  WHERE node IN (SELECT node FROM toout)),
+             |regions AS (
+             |  SELECT node, 'core' AS region FROM core
+             |  UNION ALL SELECT node, 'in' FROM inr
+             |  UNION ALL SELECT node, 'out' FROM outr
+             |  UNION ALL SELECT node, 'tubes' FROM tubes
+             |  UNION ALL SELECT node, 'tendrils' FROM (
+             |    SELECT node FROM fromin
+             |    UNION ALL SELECT node FROM toout) tt
+             |    WHERE node NOT IN (SELECT node FROM tubes)
+             |  UNION ALL SELECT node, 'disconnected' FROM rem
+             |    WHERE node NOT IN (SELECT node FROM fromin)
+             |      AND node NOT IN (SELECT node FROM toout))
+             |SELECT c.node, c.component, r.region
+             |FROM comp c JOIN regions r ON r.node = c.node
+             |ORDER BY c.node""".stripMargin))
   )
 }

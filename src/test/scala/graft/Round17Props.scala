@@ -87,6 +87,35 @@ object Round17Props extends Properties("Round17Ops") {
         guard.failed.get.getMessage.contains("maxDepth")) :| "guard"
   }
 
+  property("bowtieDecomposition: hand-computed classic bowtie — core/in/" +
+    "out/tubes/tendrils/disconnected all exercised") = Prop.secure {
+    import spark.implicits._
+    // core: c0->c1->c2->c0; in-chain: i0->i1->c0; out-chain: c1->o1->o2;
+    // tendril t1 hangs off i1; tube u1: i0->u1->o2 (core-free IN->OUT);
+    // disconnected pair x1<->x2
+    val edges = Seq(("c0", "c1"), ("c1", "c2"), ("c2", "c0"),
+      ("i0", "i1"), ("i1", "c0"), ("c1", "o1"), ("o1", "o2"),
+      ("i1", "t1"), ("i0", "u1"), ("u1", "o2"),
+      ("x1", "x2"), ("x2", "x1"))
+    val got = graft.ops.WebGraph.bowtieDecomposition(
+        edges.toDF("src", "dst"), "src", "dst",
+        pivotsPerRound = 3, maxDepth = 16, maxRounds = 16)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    val want = Map(
+      "c0" -> "core", "c1" -> "core", "c2" -> "core",
+      "i0" -> "in", "i1" -> "in", "o1" -> "out", "o2" -> "out",
+      "t1" -> "tendrils", "u1" -> "tubes",
+      "x1" -> "disconnected", "x2" -> "disconnected")
+    val regionsOk = got.view.mapValues(_._2).toMap == want
+    // component labels: giant SCC labeled by its min member, the
+    // disconnected 2-cycle by its own min member, singletons by self
+    val compOk = got("c1")._1 == "c0" && got("x2")._1 == "x1" &&
+      got("t1")._1 == "t1"
+    (regionsOk :| s"regions: ${got.view.mapValues(_._2).toMap}") &&
+      (compOk :| s"components: ${got.view.mapValues(_._1).toMap}")
+  }
+
   private val bagGen: Gen[(List[String], List[Int])] = for {
     m <- Gen.choose(5, 60)
     items <- Gen.listOfN(m, Gen.oneOf("a", "b", "c", "d", "e", "f", "g"))

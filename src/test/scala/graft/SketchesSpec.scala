@@ -439,6 +439,39 @@ class SketchesSpec extends AnyFunSuite {
     assert(present.nonEmpty)
   }
 
+  test("topkShift: entered/left/stayed with honest bounds from both " +
+    "sides; absent-from-state items fall back to [0, T]; empty side raises") {
+    import spark.implicits._
+    // side A: a:5 b:4 c:3 d:2 (k=2 keeps a,b; t = c's 3)
+    // side B: c:6 a:4 x:1     (k=2 keeps c,a; t = x's 1)
+    val bagA = Seq.fill(5)("a") ++ Seq.fill(4)("b") ++ Seq.fill(3)("c") ++
+      Seq.fill(2)("d")
+    val bagB = Seq.fill(6)("c") ++ Seq.fill(4)("a") ++ Seq("x")
+    val sa = Sketches.topkSketch(bagA.toDF("w"), Seq.empty, "w", 2)
+    val sb = Sketches.topkSketch(bagB.toDF("w"), Seq.empty, "w", 2)
+    val got = Sketches.topkShift(sa, sb, Seq.empty, 2).collect()
+      .map(r => r.getString(0) -> ((r.getString(1),
+        Option(r.get(2)).map(_.toString.toInt),
+        Option(r.get(3)).map(_.toString.toInt),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    // a: rank 1 in A (lb 5 ub 5+3-3=5), rank 2 in B (lb 4 ub 4)
+    assert(got("a") == (("stayed", Some(1), Some(2), 5L, 5L, 4L, 4L)),
+      got("a").toString)
+    // b: left — in A's top-k (lb 4), absent from B's STATE -> [0, t_b=1]
+    assert(got("b") == (("left", Some(2), None, 4L, 4L, 0L, 1L)),
+      got("b").toString)
+    // c: entered — absent from A's top-k but IN A's state? no: k=2 kept
+    // a,b only, c is A's threshold item (dropped) -> [0, t_a=3]
+    assert(got("c") == (("entered", None, Some(1), 0L, 3L, 6L, 6L)),
+      got("c").toString)
+    assert(got.keySet == Set("a", "b", "c"), got.keySet.toString)
+    // empty side raises the named contract error
+    val e = intercept[Exception] {
+      Sketches.topkShift(sa, sb.filter(lit(false)), Seq.empty, 2).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("topkRegisters/topkFromRegisters round-trip bit-exactly") {
     import spark.implicits._
     val df = (1 to 500).map(i => ("g" + (i % 2), "w" + (i * i % 23)))
