@@ -1512,6 +1512,77 @@ object WebGraph {
     out
   }
 
+  /** Condensation of a directed graph by an SCC labeling (the quotient
+    * DAG — Cormen et al. §22.5; for web graphs, the component-level
+    * view the bowtie report summarizes): one row per ordered pair of
+    * DISTINCT components with the number of distinct underlying simple
+    * edges between them. Feed [[stronglyConnectedComponents]]' output;
+    * the result is acyclic by the definition of SCCs. Two keyed joins
+    * of the skinny (node, component) plane onto the distinct edge
+    * list + one aggregation — no iteration, no windows.
+    *
+    * → (src_component, dst_component, n_edges)
+    */
+  def sccCondense(edges: DataFrame, srcCol: String, dstCol: String,
+                  comps: DataFrame, nodeCol: String = "node",
+                  compCol: String = "component"): DataFrame = {
+    val e0 = edges
+      .select(col(srcCol).cast("string").as("esrc"),
+        col(dstCol).cast("string").as("edst"))
+      .filter(col("esrc").isNotNull && col("edst").isNotNull &&
+        col("esrc") =!= col("edst"))
+      .distinct()
+    val lab = comps.select(col(nodeCol).cast("string").as("__n"),
+      col(compCol).cast("string").as("__c"))
+    e0
+      .join(lab.select(col("__n").as("esrc"),
+        col("__c").as("src_component")), "esrc")
+      .join(lab.select(col("__n").as("edst"),
+        col("__c").as("dst_component")), "edst")
+      .filter(col("src_component") =!= col("dst_component"))
+      .groupBy("src_component", "dst_component")
+      .agg(count(lit(1)).as("n_edges"))
+  }
+
+  /** Power-law degree-exponent MLE (Clauset, Shalizi & Newman, SIAM
+    * Review 2009 §3.5 — the estimator behind every "is this web graph
+    * scale-free?" report): over the undirected degree distribution's
+    * tail d ≥ dMin,
+    *
+    *   α̂ = 1 + n / Σ_i ln( d_i / (dMin − ½) ),   σ = (α̂ − 1)/√n
+    *
+    * (the discrete-data half-offset form, eq. 3.7). Determinism: each
+    * ln input is the exact integer ratio 2·d_i / (2·dMin − 1), the
+    * terms route through DECIMAL(18,12) and sum as decimals (the q109
+    * ln discipline), and the two divisions bridge via the string
+    * route — the whole row replays bit-for-bit in DuckDB. One degree
+    * aggregation + one bounded fold; raises if the tail is empty.
+    *
+    * → one row (n_tail, d_min, alpha, sigma)
+    */
+  def powerLawAlpha(edges: DataFrame, srcCol: String, dstCol: String,
+                    dMin: Long = 2L): DataFrame = {
+    require(dMin >= 1, s"dMin must be >= 1, got $dMin")
+    val deg = undirectedNbr(edges, srcCol, dstCol)
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= dMin)
+    deg
+      .select((log((col("deg") * 2L).cast("double") /
+          lit((2L * dMin - 1L).toDouble)))
+        .cast("decimal(18,12)").as("__t"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_tail"), sum(col("__t")).as("__s"))
+      .filter(coalesce(
+        assert_true(col("n_tail") > 0,
+          lit(s"powerLawAlpha: no node has degree >= $dMin")),
+        lit(true)))
+      .select(col("n_tail"), lit(dMin).as("d_min"),
+        (lit(1.0) + col("n_tail").cast("double") /
+          col("__s").cast("string").cast("double")).as("alpha"))
+      .withColumn("sigma",
+        (col("alpha") - lit(1.0)) / sqrt(col("n_tail").cast("double")))
+  }
+
   /** Single-SET reachability over a normalized (esrc, edst) edge frame:
     * every node reachable from ANY source node, sources included. The
     * [[reachFrom]] discipline without the per-source column — per-hop

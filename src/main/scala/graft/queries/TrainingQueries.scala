@@ -10253,6 +10253,131 @@ object TrainingQueries {
              |      AND node NOT IN (SELECT node FROM toout))
              |SELECT c.node, c.component, r.region
              |FROM comp c JOIN regions r ON r.node = c.node
-             |ORDER BY c.node""".stripMargin))
+             |ORDER BY c.node""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // SCC condensation — the quotient DAG over q264's planted multi-SCC
+    // digraph (WebGraph.sccCondense): which component feeds which, and
+    // by how many distinct edges — the component-level view a crawl
+    // planner schedules from. Two keyed joins + one aggregation; the
+    // oracle reuses the recursive-closure component labels and replays
+    // the condensation as plain joins.
+    QuerySpec(
+      "q267_scc_condense",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val base = docs.select(col("doc_id"),
+            expr("doc_id % 97").as("n"),
+            expr("(doc_id % 97) div 14").as("g"))
+          .withColumn("gs", expr("g * 14"))
+          .withColumn("sz", expr("CASE WHEN g = 6 THEN 13 ELSE 14 END"))
+        def host(c: String) = concat(lit("h"), expr(c).cast("string"),
+          lit(".example.org"))
+        val cyc = base.select(host("n").as("src_host"),
+          host("gs + pmod(n - gs + 1, sz)").as("dst_host"))
+        val chord = base.filter(expr("doc_id % 5 = 0"))
+          .select(host("n").as("src_host"),
+            host("gs + pmod(n - gs + 5, sz)").as("dst_host"))
+        val cross = base.filter(expr("doc_id % 3 = 0 AND n <= 82"))
+          .select(host("n").as("src_host"), host("n + 14").as("dst_host"))
+        val edges = cyc.unionByName(chord).unionByName(cross)
+        val comps = graft.ops.WebGraph.stronglyConnectedComponents(
+          edges, "src_host", "dst_host",
+          pivotsPerRound = 128, maxDepth = 32, maxRounds = 32)
+        graft.ops.WebGraph.sccCondense(edges, "src_host", "dst_host",
+            comps)
+          .orderBy("src_component", "dst_component")
+      },
+      Some("""WITH RECURSIVE bb AS (
+             |  SELECT doc_id % 97 AS n, (doc_id % 97) // 14 AS g,
+             |    ((doc_id % 97) // 14) * 14 AS gs,
+             |    CASE WHEN (doc_id % 97) // 14 = 6 THEN 13 ELSE 14 END
+             |      AS sz,
+             |    doc_id
+             |  FROM documents),
+             |raw AS (
+             |  SELECT 'h' || CAST(n AS VARCHAR) || '.example.org' AS src,
+             |    'h' || CAST(gs + ((n - gs + 1) % sz) AS VARCHAR)
+             |      || '.example.org' AS dst
+             |  FROM bb
+             |  UNION ALL
+             |  SELECT 'h' || CAST(n AS VARCHAR) || '.example.org',
+             |    'h' || CAST(gs + ((n - gs + 5) % sz) AS VARCHAR)
+             |      || '.example.org'
+             |  FROM bb WHERE doc_id % 5 = 0
+             |  UNION ALL
+             |  SELECT 'h' || CAST(n AS VARCHAR) || '.example.org',
+             |    'h' || CAST(n + 14 AS VARCHAR) || '.example.org'
+             |  FROM bb WHERE doc_id % 3 = 0 AND n <= 82),
+             |e AS MATERIALIZED (
+             |  SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+             |nodes AS MATERIALIZED (
+             |  SELECT DISTINCT node FROM (
+             |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e) t),
+             |reach(u, v) AS (
+             |  SELECT src, dst FROM e
+             |  UNION
+             |  SELECT reach.u, e.dst FROM reach JOIN e ON e.src = reach.v),
+             |reachm AS MATERIALIZED (SELECT u, v FROM reach),
+             |comp AS MATERIALIZED (
+             |  SELECT u AS node, MIN(v) AS component FROM (
+             |    SELECT node AS u, node AS v FROM nodes
+             |    UNION ALL
+             |    SELECT r1.u, r1.v FROM reachm r1
+             |    JOIN reachm r2 ON r2.u = r1.v AND r2.v = r1.u) t
+             |  GROUP BY u)
+             |SELECT cs.component AS src_component,
+             |  cd.component AS dst_component,
+             |  CAST(COUNT(*) AS BIGINT) AS n_edges
+             |FROM e
+             |JOIN comp cs ON cs.node = e.src
+             |JOIN comp cd ON cd.node = e.dst
+             |WHERE cs.component <> cd.component
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Power-law degree-exponent MLE over the planted link graph
+    // (WebGraph.powerLawAlpha — Clauset, Shalizi & Newman, SIAM Review
+    // 2009 eq. 3.7, the "is this graph scale-free?" estimator): α̂ =
+    // 1 + n/Σ ln(d_i/(dMin−½)) with σ = (α̂−1)/√n over the undirected
+    // degree tail d ≥ 2. Every ln input is the exact integer ratio
+    // 2d_i/(2·dMin−1); terms route through DECIMAL(18,12); the two
+    // divisions bridge via VARCHAR — bit-exact replay.
+    QuerySpec(
+      "q268_power_law_alpha",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        def dst(a: Int, b: Int) = concat(lit("h"),
+          ((col("doc_id") * a + b) % 97).cast("string"),
+          lit(".example.org"))
+        val edges = docs.select(host97.as("src_host"),
+            dst(7, 13).as("dst_host"))
+          .unionByName(docs.filter(col("doc_id") % 3 =!= 0)
+            .select(host97.as("src_host"), dst(31, 29).as("dst_host")))
+        graft.ops.WebGraph.powerLawAlpha(edges, "src_host", "dst_host",
+          dMin = 2L)
+      },
+      Some("WITH " + linkEdgesCte.stripMargin + """,
+             |nb AS (
+             |  SELECT DISTINCT node, nbr FROM (
+             |    SELECT src_host AS node, dst_host AS nbr FROM l
+             |    WHERE src_host <> dst_host
+             |    UNION ALL
+             |    SELECT dst_host, src_host FROM l
+             |    WHERE src_host <> dst_host) t),
+             |deg AS (SELECT node, COUNT(*) AS deg FROM nb GROUP BY 1),
+             |t AS (
+             |  SELECT CAST(ln(CAST(deg * 2 AS DOUBLE) / 3.0)
+             |    AS DECIMAL(18,12)) AS t
+             |  FROM deg WHERE deg >= 2),
+             |m AS (SELECT COUNT(*) AS n, SUM(t) AS s FROM t)
+             |SELECT CAST(n AS BIGINT) AS n_tail,
+             |  CAST(2 AS BIGINT) AS d_min,
+             |  1.0 + CAST(n AS DOUBLE)
+             |    / CAST(CAST(s AS VARCHAR) AS DOUBLE) AS alpha,
+             |  ((1.0 + CAST(n AS DOUBLE)
+             |    / CAST(CAST(s AS VARCHAR) AS DOUBLE)) - 1.0)
+             |    / sqrt(CAST(n AS DOUBLE)) AS sigma
+             |FROM m""".stripMargin))
   )
 }

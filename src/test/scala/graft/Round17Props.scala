@@ -116,6 +116,32 @@ object Round17Props extends Properties("Round17Ops") {
       (compOk :| s"components: ${got.view.mapValues(_._1).toMap}")
   }
 
+  property("sccCondense: quotient DAG of the hand bowtie; powerLawAlpha " +
+    "matches the closed form on a path graph") = Prop.secure {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+      ("d", "e"), ("e", "d"), ("e", "f"), ("f", "g"))
+    val df = edges.toDF("src", "dst")
+    val comps = graft.ops.WebGraph.stronglyConnectedComponents(
+      df, "src", "dst", pivotsPerRound = 64, maxDepth = 16)
+    val cond = graft.ops.WebGraph.sccCondense(df, "src", "dst", comps)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val condOk = cond == Set(("a", "d", 1L), ("d", "f", 1L),
+      ("f", "g", 1L))
+    // path a-b-c-d-e: degrees 1,2,2,2,1; tail d>=2 has n=3 with
+    // alpha = 1 + 3 / (3 ln(4/3)) = 1 + 1/ln(4/3)
+    val path = Seq(("p1", "p2"), ("p2", "p3"), ("p3", "p4"), ("p4", "p5"))
+    val row = graft.ops.WebGraph.powerLawAlpha(
+      path.toDF("src", "dst"), "src", "dst", dMin = 2L).head()
+    val want = 1.0 + 1.0 / math.log(4.0 / 3.0)
+    val alphaOk = row.getLong(0) == 3L &&
+      math.abs(row.getDouble(2) - want) < 1e-9 &&
+      math.abs(row.getDouble(3) - (row.getDouble(2) - 1.0) /
+        math.sqrt(3.0)) < 1e-12
+    (condOk :| s"condensed: $cond") && (alphaOk :| s"alpha row: $row")
+  }
+
   private val bagGen: Gen[(List[String], List[Int])] = for {
     m <- Gen.choose(5, 60)
     items <- Gen.listOfN(m, Gen.oneOf("a", "b", "c", "d", "e", "f", "g"))
