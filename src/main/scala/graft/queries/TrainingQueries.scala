@@ -984,6 +984,96 @@ object TrainingQueries {
        |ORDER BY item""".stripMargin
   }
 
+  /** q269 oracle: the WEIGHTED flavor of [[louvainOracle]] — identical
+    * synchronized local moving, with k_v, k_{v,c}, tot and 2m as
+    * weighted sums over the planted integer-weighted edge list
+    * (parallel (src,dst) rows ADD, matching
+    * `louvainCommunities(weightCol)`). Integer arithmetic end to end.
+    */
+  private def louvainOracleWeighted(rounds: Int): String = {
+    val head =
+      """WITH lw AS (
+        |  SELECT 'h' || CAST(doc_id % 97 AS VARCHAR) || '.example.org'
+        |           AS src_host,
+        |         'h' || CAST((doc_id*7 + 13) % 97 AS VARCHAR)
+        |           || '.example.org' AS dst_host,
+        |         CAST(doc_id % 3 + 1 AS BIGINT) AS w
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'h' || CAST(doc_id % 97 AS VARCHAR) || '.example.org',
+        |         'h' || CAST((doc_id*31 + 29) % 97 AS VARCHAR)
+        |           || '.example.org',
+        |         CAST(doc_id % 5 + 1 AS BIGINT)
+        |  FROM documents WHERE doc_id % 3 != 0
+        |),
+        |nb AS MATERIALIZED (
+        |  SELECT node, nbr, CAST(SUM(w) AS BIGINT) AS w FROM (
+        |    SELECT src_host AS node, dst_host AS nbr, w FROM lw
+        |    WHERE src_host <> dst_host
+        |    UNION ALL
+        |    SELECT dst_host, src_host, w FROM lw
+        |    WHERE src_host <> dst_host) t
+        |  GROUP BY 1, 2),
+        |degc AS MATERIALIZED (
+        |  SELECT node, CAST(SUM(w) AS BIGINT) AS deg FROM nb GROUP BY 1),
+        |m2 AS (SELECT SUM(deg) AS m2 FROM degc),
+        |lab0 AS (SELECT node, node AS comm FROM degc)""".stripMargin
+    val roundCtes = (1 to rounds).map { k =>
+      s""",
+         |tot$k AS (
+         |  SELECT v.comm, SUM(d.deg) AS tot
+         |  FROM lab${k - 1} v JOIN degc d ON d.node = v.node GROUP BY 1),
+         |kv$k AS (
+         |  SELECT nb.node, p.comm AS cand, CAST(SUM(nb.w) AS BIGINT) AS k
+         |  FROM nb JOIN lab${k - 1} p ON p.node = nb.nbr GROUP BY 1, 2),
+         |sc$k AS (
+         |  SELECT v.node, kv.cand,
+         |    (SELECT m2 FROM m2) * kv.k
+         |      - d.deg * (t.tot - CASE WHEN kv.cand = v.comm
+         |                              THEN d.deg ELSE 0 END) AS score
+         |  FROM lab${k - 1} v
+         |    JOIN degc d ON d.node = v.node
+         |    JOIN kv$k kv ON kv.node = v.node
+         |    JOIN tot$k t ON t.comm = kv.cand),
+         |stay$k AS (
+         |  SELECT v.node,
+         |    (SELECT m2 FROM m2) * COALESCE(kc.k, 0)
+         |      - d.deg * (t.tot - d.deg) AS stay
+         |  FROM lab${k - 1} v
+         |    JOIN degc d ON d.node = v.node
+         |    JOIN tot$k t ON t.comm = v.comm
+         |    LEFT JOIN kv$k kc ON kc.node = v.node AND kc.cand = v.comm),
+         |win$k AS (
+         |  SELECT node, cand, score FROM (
+         |    SELECT node, cand, score,
+         |      ROW_NUMBER() OVER (PARTITION BY node
+         |        ORDER BY score DESC, cand) AS r
+         |    FROM sc$k) WHERE r = 1),
+         |want$k AS MATERIALIZED (
+         |  SELECT node, cand, CAST($h48Sql AS BIGINT) AS h FROM (
+         |    SELECT w.node, w.cand, md5(w.node) AS m
+         |    FROM win$k w JOIN stay$k s ON s.node = w.node
+         |    WHERE w.score > s.stay)),
+         |blk$k AS (
+         |  SELECT DISTINCT a.node
+         |  FROM nb JOIN want$k a ON a.node = nb.node
+         |    JOIN want$k b ON b.node = nb.nbr
+         |  WHERE b.h < a.h OR (b.h = a.h AND nb.nbr < nb.node)),
+         |lab$k AS MATERIALIZED (
+         |  SELECT v.node,
+         |    CASE WHEN w.node IS NOT NULL AND blk.node IS NULL
+         |         THEN w.cand ELSE v.comm END AS comm
+         |  FROM lab${k - 1} v
+         |    LEFT JOIN want$k w ON w.node = v.node
+         |    LEFT JOIN blk$k blk ON blk.node = v.node)""".stripMargin
+    }.mkString
+    val tail =
+      s"""
+         |SELECT node, comm AS community FROM lab$rounds
+         |ORDER BY node""".stripMargin
+    head + roundCtes + tail
+  }
+
   private def louvainOracle(rounds: Int): String = {
     val head = "WITH " + linkEdgesCte.stripMargin +
       """,
@@ -10378,6 +10468,33 @@ object TrainingQueries {
              |  ((1.0 + CAST(n AS DOUBLE)
              |    / CAST(CAST(s AS VARCHAR) AS DOUBLE)) - 1.0)
              |    / sqrt(CAST(n AS DOUBLE)) AS sigma
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // WEIGHTED Louvain communities (louvainCommunities(weightCol) — the
+    // r16 verdict's weighted-phase-1 ask, now with its own oracle):
+    // integer-weighted planted link graph (weights 1+doc_id%3 and
+    // 1+doc_id%5, parallel rows ADD), weighted degrees/k/tot/2m in the
+    // same synchronized local-moving recurrence as q234. The oracle
+    // unrolls all 4 rounds with weighted sums — bit-exact integer
+    // replay, the q234 machinery with three CTEs reweighted.
+    QuerySpec(
+      "q269_louvain_weighted",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        def dst(a: Int, b: Int) = concat(lit("h"),
+          ((col("doc_id") * a + b) % 97).cast("string"),
+          lit(".example.org"))
+        val edges = docs.select(host97.as("src_host"),
+            dst(7, 13).as("dst_host"),
+            (col("doc_id") % 3 + 1).as("w"))
+          .unionByName(docs.filter(col("doc_id") % 3 =!= 0)
+            .select(host97.as("src_host"), dst(31, 29).as("dst_host"),
+              (col("doc_id") % 5 + 1).as("w")))
+        graft.ops.WebGraph.louvainCommunities(edges, "src_host",
+            "dst_host", rounds = 4, weightCol = Some("w"))
+          .orderBy("node")
+      },
+      Some(louvainOracleWeighted(4)))
   )
 }
