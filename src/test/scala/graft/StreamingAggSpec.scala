@@ -226,6 +226,24 @@ class StreamingAggSpec extends AnyFunSuite {
     val qd = Sketches.hdrQuantile(direct, Seq("g"), m, 9L, 10L).head()
     assert(qs.getLong(1) == qd.getLong(1) && qs.getLong(2) == qd.getLong(2),
       s"served p90 ${qs} != direct ${qd}")
+    // the drift gates too: KS and PSI against a shifted cohort read
+    // IDENTICALLY off the streaming-maintained state and the direct
+    // build — the yesterday-sketch vs today-sketch serving shape
+    val servedG = served.select(col("bucket"), col("cnt"))
+    val directG = direct.select(col("bucket"), col("cnt"))
+    val shifted = Sketches.hdrSketch(
+      (w1 ++ w2).map { case (g, v) => (g, v * 3L) }.toDF("g", "v"),
+      Seq.empty, "v", m).localCheckpoint()
+    val ksS = Sketches.hdrKsGate(servedG, shifted).head()
+    val ksD = Sketches.hdrKsGate(directG, shifted).head()
+    assert(ksS.getDouble(3) == ksD.getDouble(3) &&
+      ksS.getBoolean(5) == ksD.getBoolean(5),
+      s"KS off stored state $ksS != direct $ksD")
+    val psiS = Sketches.hdrPsiGate(servedG, shifted).head()
+    val psiD = Sketches.hdrPsiGate(directG, shifted).head()
+    assert(psiS.getDouble(3) == psiD.getDouble(3) &&
+      psiS.getDouble(4) == psiD.getDouble(4),
+      s"PSI off stored state $psiS != direct $psiD")
   }
 
   test("streaming top-k heavy-hitters: topkStateSink over waves == batch " +
