@@ -500,6 +500,84 @@ object Sketches {
       .withColumn("reject_same_dist", col("ks_d") > col("d_crit"))
   }
 
+  /** Earth-mover (1-Wasserstein) distance from two [[hdrSketch]]
+    * bucket planes — the MASS-TRANSPORT member of the state-only drift
+    * trio ([[hdrKsGate]] = max CDF deviation, [[hdrPsiGate]] =
+    * relative-likelihood score, this = how far the mass moved, in the
+    * VALUE's own units): for the piecewise-constant sketch-resolution
+    * CDFs,
+    *
+    *   W1 = ∫ |F_a(x) − F_b(x)| dx
+    *      = Σ_i |F_a(v_i) − F_b(v_i)| · (v_{i+1} − v_i)
+    *
+    * over the sorted union bucket plane, with v_i the bucket's
+    * canonical lower-bound value (the [[hdrQuantile]] estimator:
+    * base + (sub·base) div m — exact integers). The numerator
+    * Σ |cumA·nB − cumB·nA|·Δv is EXACT DECIMAL(38,0) arithmetic; one
+    * IEEE division by nA·nB at the edge (VARCHAR-bridged), so the row
+    * replays bit-for-bit in DuckDB. `emd_norm` = W1 / (v_last −
+    * v_first) — the span-normalized [0,1] score for alarm thresholds
+    * that must not depend on the value's units. Identical sketches
+    * read exactly 0. One window pass over the ≤ 63·m-row union plane;
+    * the corpora are never re-read.
+    *
+    * → one row (n_a, n_b, n_buckets, emd, emd_norm)
+    */
+  def hdrEmdGate(a: DataFrame, b: DataFrame, m: Int): DataFrame = {
+    require(m >= 2 && m <= 128, s"m must be in [2,128], got $m")
+    def side(df: DataFrame, name: String) =
+      df.select(col("bucket"), col("cnt").as(name))
+        .groupBy("bucket").agg(sum(col(name)).as(name))
+    val j = side(a, "__ca").join(side(b, "__cb"), Seq("bucket"),
+        "full_outer")
+      .select(col("bucket"),
+        coalesce(col("__ca"), lit(0L)).cast("decimal(38,0)").as("__ca"),
+        coalesce(col("__cb"), lit(0L)).cast("decimal(38,0)").as("__cb"))
+      // canonical lower-bound value of the bucket (exact integers)
+      .withColumn("__v", expr(
+        s"shiftleft(1L, cast(bucket div $m as int)) + " +
+          s"((bucket % $m) * shiftleft(1L, cast(bucket div $m as int)))" +
+          s" div $m"))
+    val bk = graft.functions.ArrayMath.boundedKey(j)
+    val wRun = Window.partitionBy(bk).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wLead = Window.partitionBy(bk).orderBy(col("bucket"))
+    val wAll = Window.partitionBy(bk)
+    j.withColumn("__cuma", sum(col("__ca")).over(wRun))
+      .withColumn("__cumb", sum(col("__cb")).over(wRun))
+      .withColumn("__na", sum(col("__ca")).over(wAll))
+      .withColumn("__nb", sum(col("__cb")).over(wAll))
+      // the deviation after bucket i persists until the NEXT hit
+      // bucket's value; the last row's lead is itself (Δv = 0 — and
+      // its deviation is |nA·nB − nB·nA| = 0 anyway)
+      .withColumn("__dv",
+        coalesce(lead(col("__v"), 1).over(wLead), col("__v")) - col("__v"))
+      .withColumn("__t",
+        abs(col("__cuma") * col("__nb") - col("__cumb") * col("__na")) *
+          col("__dv").cast("decimal(38,0)"))
+      .withColumn("__vmin", min(col("__v")).over(wAll))
+      .withColumn("__vmax", max(col("__v")).over(wAll))
+      .groupBy()
+      .agg(max(col("__na")).as("__na"), max(col("__nb")).as("__nb"),
+        count(lit(1)).as("n_buckets"), sum(col("__t")).as("__s"),
+        max(col("__vmax") - col("__vmin")).as("__span"))
+      .filter(coalesce(
+        assert_true(col("__na") > 0 && col("__nb") > 0,
+          lit("hdrEmdGate: both sketches must be non-empty")),
+        lit(true)))
+      .select(col("__na").cast("bigint").as("n_a"),
+        col("__nb").cast("bigint").as("n_b"), col("n_buckets"),
+        (col("__s").cast("string").cast("double") /
+          (col("__na").cast("bigint").cast("double") *
+            col("__nb").cast("bigint").cast("double"))).as("emd"),
+        when(col("__span") > 0,
+          col("__s").cast("string").cast("double") /
+            (col("__na").cast("bigint").cast("double") *
+              col("__nb").cast("bigint").cast("double") *
+              col("__span").cast("bigint").cast("double")))
+          .otherwise(lit(0.0)).as("emd_norm"))
+  }
+
   /** Population-stability / Jensen–Shannon drift score from two
     * [[hdrSketch]] bucket planes — the SCORED sibling of [[hdrKsGate]]
     * (KS answers "same distribution?"; PSI is the industry-standard

@@ -10495,6 +10495,84 @@ object TrainingQueries {
             "dst_host", rounds = 4, weightCol = Some("w"))
           .orderBy("node")
       },
-      Some(louvainOracleWeighted(4)))
+      Some(louvainOracleWeighted(4))),
+
+    // ------------------------------------------------------------------
+    // Earth-mover drift distance from HDR state (Sketches.hdrEmdGate —
+    // the mass-transport member completing the state-only drift trio:
+    // q259 KS = max CDF deviation, q263 PSI = relative score, this =
+    // how far the mass moved in the value's own units): W1 between the
+    // English and non-English document-length sketches, piecewise-
+    // constant CDFs over the canonical bucket lower-bound values. The
+    // numerator Σ|cumA·nB − cumB·nA|·Δv is exact HUGEINT/DECIMAL(38,0)
+    // integer arithmetic; two IEEE divisions bridge via VARCHAR.
+    QuerySpec(
+      "q270_sketch_emd_drift",
+      (s, dir) => {
+        val m = 32
+        val d = Tables.documents(s, dir).select(
+          when(col("lang") === "en", "en").otherwise("other").as("cohort"),
+          col("n_chars"))
+        val en = graft.ops.Sketches.hdrSketch(
+          d.filter(col("cohort") === "en"), Seq.empty, "n_chars", m)
+        val rest = graft.ops.Sketches.hdrSketch(
+          d.filter(col("cohort") === "other"), Seq.empty, "n_chars", m)
+        graft.ops.Sketches.hdrEmdGate(en, rest, m)
+      },
+      Some("""WITH v AS (
+             |  SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS g,
+             |    CAST(n_chars AS BIGINT) AS v
+             |  FROM documents WHERE n_chars >= 1),
+             |b AS (
+             |  SELECT g,
+             |    CAST(length(bin(v)) - 1 AS BIGINT) * 32
+             |      + ((v - (1::BIGINT << CAST(length(bin(v)) - 1 AS INT)))
+             |          * 32)
+             |        // (1::BIGINT << CAST(length(bin(v)) - 1 AS INT))
+             |      AS bucket
+             |  FROM v),
+             |c AS (SELECT g, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+             |p AS (
+             |  SELECT bucket,
+             |    CAST(SUM(CASE WHEN g = 'en' THEN cnt ELSE 0 END)
+             |      AS BIGINT) AS ca,
+             |    CAST(SUM(CASE WHEN g = 'other' THEN cnt ELSE 0 END)
+             |      AS BIGINT) AS cb,
+             |    CAST((1::BIGINT << CAST(bucket // 32 AS INT))
+             |      + ((bucket % 32)
+             |         * (1::BIGINT << CAST(bucket // 32 AS INT))) // 32
+             |      AS BIGINT) AS val
+             |  FROM c GROUP BY bucket),
+             |r AS (
+             |  SELECT bucket, val,
+             |    SUM(ca) OVER (ORDER BY bucket
+             |      ROWS UNBOUNDED PRECEDING) AS cuma,
+             |    SUM(cb) OVER (ORDER BY bucket
+             |      ROWS UNBOUNDED PRECEDING) AS cumb,
+             |    CAST(SUM(ca) OVER () AS BIGINT) AS na,
+             |    CAST(SUM(cb) OVER () AS BIGINT) AS nb,
+             |    COALESCE(LEAD(val) OVER (ORDER BY bucket), val) - val
+             |      AS dv
+             |  FROM p),
+             |t AS (
+             |  SELECT na, nb, val,
+             |    ABS(CAST(cuma AS HUGEINT) * nb
+             |      - CAST(cumb AS HUGEINT) * na) * dv AS t
+             |  FROM r),
+             |m AS (
+             |  SELECT MAX(na) AS na, MAX(nb) AS nb,
+             |    COUNT(*) AS n_buckets, SUM(t) AS s,
+             |    MAX(val) - MIN(val) AS span
+             |  FROM t)
+             |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             |  CAST(n_buckets AS BIGINT) AS n_buckets,
+             |  CAST(CAST(s AS VARCHAR) AS DOUBLE)
+             |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS emd,
+             |  CASE WHEN span > 0 THEN
+             |    CAST(CAST(s AS VARCHAR) AS DOUBLE)
+             |      / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+             |         * CAST(span AS DOUBLE))
+             |    ELSE 0.0 END AS emd_norm
+             |FROM m""".stripMargin))
   )
 }

@@ -326,6 +326,44 @@ class SketchesSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("hdrEmdGate: identical sketches read exactly 0; two point masses " +
+    "read exactly their value distance; merged == direct; empty raises") {
+    import spark.implicits._
+    val m = 16
+    val xs = (1L to 3000L).map(i => i * i % 9000L + 1L)
+    val sk = Sketches.hdrSketch(xs.toDF("v"), Seq.empty, "v", m)
+      .localCheckpoint()
+    val same = Sketches.hdrEmdGate(sk, sk, m).head()
+    assert(same.getDouble(3) == 0.0 && same.getDouble(4) == 0.0,
+      s"identical sketches must read W1=0: $same")
+    // point masses at 100 and 200: both are exact bucket lower bounds
+    // at m=16, so W1 == 100 and the span-normalized score == 1
+    val pa = Sketches.hdrSketch(Seq.fill(10)(100L).toDF("v"),
+      Seq.empty, "v", m)
+    val pb = Sketches.hdrSketch(Seq.fill(7)(200L).toDF("v"),
+      Seq.empty, "v", m)
+    val pm = Sketches.hdrEmdGate(pa, pb, m).head()
+    assert(pm.getDouble(3) == 100.0 && pm.getDouble(4) == 1.0,
+      s"point masses must read exact transport: $pm")
+    // state-plane contract: gate over MERGED per-day sketches == direct
+    val d1 = xs.take(1500); val d2 = xs.drop(1500)
+    val merged = Sketches.hdrMerge(Seq.empty,
+      Sketches.hdrSketch(d1.toDF("v"), Seq.empty, "v", m),
+      Sketches.hdrSketch(d2.toDF("v"), Seq.empty, "v", m))
+    val shifted = Sketches.hdrSketch(xs.map(_ * 2L).toDF("v"),
+      Seq.empty, "v", m)
+    val gm = Sketches.hdrEmdGate(merged, shifted, m).head()
+    val gd = Sketches.hdrEmdGate(sk, shifted, m).head()
+    assert(gm.getDouble(3) == gd.getDouble(3) &&
+      gm.getDouble(4) == gd.getDouble(4),
+      s"merged-state gate $gm != direct $gd")
+    assert(gd.getDouble(3) > 0.0, s"2x shift must move mass: $gd")
+    val e = intercept[Exception] {
+      Sketches.hdrEmdGate(sk, sk.filter(lit(false)), m).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   // --- top-k heavy-hitters summary ----------------------------------------
 
   private def topkState(df: org.apache.spark.sql.DataFrame) =
