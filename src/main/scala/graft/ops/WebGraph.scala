@@ -1583,6 +1583,78 @@ object WebGraph {
         (col("alpha") - lit(1.0)) / sqrt(col("n_tail").cast("double")))
   }
 
+  /** Degree assortativity of the undirected graph (Newman, PRL 2002
+    * "Assortative mixing in networks" — do hubs link to hubs?): the
+    * Pearson correlation of endpoint degrees over the distinct
+    * undirected edge set, computed as ONE exact integer ratio. With
+    * S1 = Σ_e j·k, S2 = Σ_e (j+k), S3 = Σ_e (j²+k²) over the M edges
+    * (j, k = endpoint degrees),
+    *
+    *   r = (4·M·S1 − S2²) / (2·M·S3 − S2²)
+    *
+    * — both sides exact DECIMAL(38,0) (the Louvain gain discipline),
+    * one VARCHAR-bridged division at the edge, so the row replays
+    * bit-for-bit. Cost: one degree aggregation + one keyed join of the
+    * skinny degree frame onto the edge plane. A regular graph has zero
+    * denominator — reported as NULL (no degree variance, correlation
+    * undefined), never a division blow-up.
+    *
+    * → one row (n_edges, assortativity)
+    */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame = {
+    val nbr = undirectedNbr(edges, srcCol, dstCol)
+    val deg = nbr.groupBy("node").agg(count(lit(1)).as("deg"))
+    // each undirected edge ONCE: the canonical (node < nb) half
+    val e1 = nbr.filter(col("node") < col("nb"))
+      .join(deg.select(col("node"), col("deg").as("__j")), "node")
+      .join(deg.select(col("node").as("nb"), col("deg").as("__k")), "nb")
+    val dec = "decimal(38,0)"
+    e1.select(
+        col("__j").cast(dec).as("__j"), col("__k").cast(dec).as("__k"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("__j") * col("__k")).as("__s1"),
+        sum(col("__j") + col("__k")).as("__s2"),
+        sum(col("__j") * col("__j") + col("__k") * col("__k")).as("__s3"))
+      .withColumn("__num", col("n_edges").cast(dec) * 4 * col("__s1") -
+        col("__s2") * col("__s2"))
+      .withColumn("__den", col("n_edges").cast(dec) * 2 * col("__s3") -
+        col("__s2") * col("__s2"))
+      .select(col("n_edges"),
+        when(col("__den") =!= 0,
+          col("__num").cast("string").cast("double") /
+            col("__den").cast("string").cast("double"))
+          .as("assortativity"))
+  }
+
+  /** Edge reciprocity of the directed graph (Garlaschelli & Loffredo,
+    * PRL 2004; the classic crawl-graph diagnostic — what fraction of
+    * links are returned?): over the distinct simple directed edge set,
+    * the share with the reverse edge also present. One self-join of
+    * the skinny edge plane; exact integers, one bridged division.
+    *
+    * → one row (n_edges, n_reciprocal, reciprocity)
+    */
+  def reciprocity(edges: DataFrame, srcCol: String,
+                  dstCol: String): DataFrame = {
+    val e0 = edges
+      .select(col(srcCol).cast("string").as("esrc"),
+        col(dstCol).cast("string").as("edst"))
+      .filter(col("esrc").isNotNull && col("edst").isNotNull &&
+        col("esrc") =!= col("edst"))
+      .distinct()
+    val rev = e0.select(col("edst").as("esrc"), col("esrc").as("edst"))
+    e0.join(rev, Seq("esrc", "edst"), "left_semi")
+      .agg(count(lit(1)).as("n_reciprocal"))
+      .crossJoin(broadcast(e0.agg(count(lit(1)).as("n_edges"))))
+      .select(col("n_edges"), col("n_reciprocal"),
+        when(col("n_edges") > 0,
+          col("n_reciprocal").cast("double") /
+            col("n_edges").cast("double"))
+          .otherwise(lit(0.0)).as("reciprocity"))
+  }
+
   /** Single-SET reachability over a normalized (esrc, edst) edge frame:
     * every node reachable from ANY source node, sources included. The
     * [[reachFrom]] discipline without the per-source column — per-hop

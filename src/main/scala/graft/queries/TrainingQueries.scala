@@ -10573,6 +10573,90 @@ object TrainingQueries {
              |      / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
              |         * CAST(span AS DOUBLE))
              |    ELSE 0.0 END AS emd_norm
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Degree assortativity (WebGraph.degreeAssortativity — Newman PRL
+    // 2002: do hubs link to hubs?) over the planted link graph, as ONE
+    // exact integer ratio (4·M·S1 − S2²)/(2·M·S3 − S2²) with the sums
+    // through DECIMAL(38,0)/HUGEINT and a single VARCHAR-bridged
+    // division — the standard macro diagnostic next to q268's α.
+    QuerySpec(
+      "q271_assortativity",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        def dst(a: Int, b: Int) = concat(lit("h"),
+          ((col("doc_id") * a + b) % 97).cast("string"),
+          lit(".example.org"))
+        val edges = docs.select(host97.as("src_host"),
+            dst(7, 13).as("dst_host"))
+          .unionByName(docs.filter(col("doc_id") % 3 =!= 0)
+            .select(host97.as("src_host"), dst(31, 29).as("dst_host")))
+        graft.ops.WebGraph.degreeAssortativity(edges, "src_host",
+          "dst_host")
+      },
+      Some("WITH " + linkEdgesCte.stripMargin + """,
+             |nb AS (
+             |  SELECT DISTINCT node, nbr FROM (
+             |    SELECT src_host AS node, dst_host AS nbr FROM l
+             |    WHERE src_host <> dst_host
+             |    UNION ALL
+             |    SELECT dst_host, src_host FROM l
+             |    WHERE src_host <> dst_host) t),
+             |deg AS (SELECT node, COUNT(*) AS deg FROM nb GROUP BY 1),
+             |e1 AS (
+             |  SELECT dj.deg AS j, dk.deg AS k
+             |  FROM nb
+             |  JOIN deg dj ON dj.node = nb.node
+             |  JOIN deg dk ON dk.node = nb.nbr
+             |  WHERE nb.node < nb.nbr),
+             |m AS (
+             |  SELECT COUNT(*) AS m,
+             |    SUM(CAST(j AS HUGEINT) * k) AS s1,
+             |    SUM(CAST(j AS HUGEINT) + k) AS s2,
+             |    SUM(CAST(j AS HUGEINT) * j + CAST(k AS HUGEINT) * k)
+             |      AS s3
+             |  FROM e1)
+             |SELECT CAST(m AS BIGINT) AS n_edges,
+             |  CASE WHEN 2 * m * s3 - s2 * s2 != 0 THEN
+             |    CAST(CAST(4 * m * s1 - s2 * s2 AS VARCHAR) AS DOUBLE)
+             |      / CAST(CAST(2 * m * s3 - s2 * s2 AS VARCHAR)
+             |        AS DOUBLE)
+             |  END AS assortativity
+             |FROM m""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Edge reciprocity (WebGraph.reciprocity — Garlaschelli & Loffredo
+    // PRL 2004): what fraction of the planted crawl graph's links are
+    // returned? One self-join of the distinct simple edge plane, exact
+    // integers, one division.
+    QuerySpec(
+      "q272_reciprocity",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        def dst(a: Int, b: Int) = concat(lit("h"),
+          ((col("doc_id") * a + b) % 97).cast("string"),
+          lit(".example.org"))
+        val edges = docs.select(host97.as("src_host"),
+            dst(7, 13).as("dst_host"))
+          .unionByName(docs.filter(col("doc_id") % 3 =!= 0)
+            .select(host97.as("src_host"), dst(31, 29).as("dst_host")))
+        graft.ops.WebGraph.reciprocity(edges, "src_host", "dst_host")
+      },
+      Some("WITH " + linkEdgesCte.stripMargin + """,
+             |e AS (
+             |  SELECT DISTINCT src_host AS s, dst_host AS d FROM l
+             |  WHERE src_host <> dst_host),
+             |r AS (
+             |  SELECT COUNT(*) AS n_rec FROM e
+             |  WHERE EXISTS (SELECT 1 FROM e e2
+             |    WHERE e2.s = e.d AND e2.d = e.s)),
+             |n AS (SELECT COUNT(*) AS n_edges FROM e)
+             |SELECT CAST(n_edges AS BIGINT) AS n_edges,
+             |  CAST(n_rec AS BIGINT) AS n_reciprocal,
+             |  CASE WHEN n_edges > 0
+             |    THEN CAST(n_rec AS DOUBLE) / CAST(n_edges AS DOUBLE)
+             |    ELSE 0.0 END AS reciprocity
+             |FROM n, r""".stripMargin))
   )
 }

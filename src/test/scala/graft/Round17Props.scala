@@ -142,6 +142,26 @@ object Round17Props extends Properties("Round17Ops") {
     (condOk :| s"condensed: $cond") && (alphaOk :| s"alpha row: $row")
   }
 
+  property("degreeAssortativity: star K1,3 reads exactly -1; regular " +
+    "ring reads NULL; reciprocity hand graph reads 2/3") = Prop.secure {
+    import spark.implicits._
+    val star = Seq(("c", "x1"), ("c", "x2"), ("c", "x3")).toDF("s", "d")
+    val rs = graft.ops.WebGraph.degreeAssortativity(star, "s", "d").head()
+    val starOk = rs.getLong(0) == 3L && rs.getDouble(1) == -1.0
+    // 4-ring is 2-regular: zero degree variance -> NULL, not a blow-up
+    val ring = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+      .toDF("s", "d")
+    val rr = graft.ops.WebGraph.degreeAssortativity(ring, "s", "d").head()
+    val ringOk = rr.getLong(0) == 4L && rr.isNullAt(1)
+    // a<->b reciprocal, a->c not: 2 of 3 directed edges returned
+    val dir = Seq(("a", "b"), ("b", "a"), ("a", "c")).toDF("s", "d")
+    val rc = graft.ops.WebGraph.reciprocity(dir, "s", "d").head()
+    val recOk = rc.getLong(0) == 3L && rc.getLong(1) == 2L &&
+      rc.getDouble(2) == 2.0 / 3.0
+    (starOk :| s"star: $rs") && (ringOk :| s"ring: $rr") &&
+      (recOk :| s"reciprocity: $rc")
+  }
+
   private val bagGen: Gen[(List[String], List[Int])] = for {
     m <- Gen.choose(5, 60)
     items <- Gen.listOfN(m, Gen.oneOf("a", "b", "c", "d", "e", "f", "g"))
