@@ -500,6 +500,47 @@ object Sketches {
       .withColumn("reject_same_dist", col("ks_d") > col("d_crit"))
   }
 
+  /** The canonical value formula of a bucket id (the [[hdrQuantile]]
+    * estimator): base + (sub·base) div m with e = b div m, sub =
+    * b mod m — exact integer SQL, shared by the quantile, EMD and
+    * histogram reads so the three can never drift.
+    */
+  private def bucketValueSql(b: String, m: Int): String =
+    s"shiftleft(1L, cast(($b) div $m as int)) + " +
+      s"((($b) % $m) * shiftleft(1L, cast(($b) div $m as int))) div $m"
+
+  /** Histogram serving read off an [[hdrSketch]] state — the dashboard
+    * projection (per bucket: exact value range, count, running count,
+    * cumulative share). `value_hi` is the NEXT bucket id's canonical
+    * value (bucket m−1 of an octave rolls to 2·base — the geometric
+    * grid is gapless), so ranges tile the support exactly. All
+    * arithmetic on the ≤ 63·m-row state plane; the one division per
+    * row is over exact integers < 2^53 (deterministic IEEE, both
+    * engines).
+    *
+    * → (groupCols…, bucket, value_lo, value_hi, cnt, cum_cnt, cum_pct)
+    */
+  def hdrHistogram(sketch: DataFrame, groupCols: Seq[String],
+                   m: Int): DataFrame = {
+    require(m >= 2 && m <= 128, s"m must be in [2,128], got $m")
+    val parts =
+      if (groupCols.nonEmpty) groupCols.map(col)
+      else Seq(graft.functions.ArrayMath.boundedKey(sketch))
+    val wRun = Window.partitionBy(parts: _*).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(parts: _*)
+    sketch
+      .withColumn("value_lo", expr(bucketValueSql("bucket", m)))
+      .withColumn("value_hi", expr(bucketValueSql("bucket + 1", m)))
+      .withColumn("cum_cnt", sum(col("cnt")).over(wRun))
+      .withColumn("__n", sum(col("cnt")).over(wAll))
+      .select(groupCols.map(col) ++ Seq(col("bucket"), col("value_lo"),
+        col("value_hi"), col("cnt"),
+        col("cum_cnt").cast("bigint").as("cum_cnt"),
+        (col("cum_cnt").cast("double") / col("__n").cast("double"))
+          .as("cum_pct")): _*)
+  }
+
   /** Earth-mover (1-Wasserstein) distance from two [[hdrSketch]]
     * bucket planes — the MASS-TRANSPORT member of the state-only drift
     * trio ([[hdrKsGate]] = max CDF deviation, [[hdrPsiGate]] =
@@ -534,10 +575,7 @@ object Sketches {
         coalesce(col("__ca"), lit(0L)).cast("decimal(38,0)").as("__ca"),
         coalesce(col("__cb"), lit(0L)).cast("decimal(38,0)").as("__cb"))
       // canonical lower-bound value of the bucket (exact integers)
-      .withColumn("__v", expr(
-        s"shiftleft(1L, cast(bucket div $m as int)) + " +
-          s"((bucket % $m) * shiftleft(1L, cast(bucket div $m as int)))" +
-          s" div $m"))
+      .withColumn("__v", expr(bucketValueSql("bucket", m)))
     val bk = graft.functions.ArrayMath.boundedKey(j)
     val wRun = Window.partitionBy(bk).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, 0)

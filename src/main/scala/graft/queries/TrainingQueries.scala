@@ -10657,6 +10657,112 @@ object TrainingQueries {
              |  CASE WHEN n_edges > 0
              |    THEN CAST(n_rec AS DOUBLE) / CAST(n_edges AS DOUBLE)
              |    ELSE 0.0 END AS reciprocity
-             |FROM n, r""".stripMargin))
+             |FROM n, r""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // GROUPED heavy hitters (the per-group path of Sketches.topkSketch
+    // — q262 exercises the leaf-merged global path; this oracles the
+    // grouped one): top-5 tokens PER LANGUAGE with the deterministic
+    // bounds in-band, one single-leaf state per language (exact top-k,
+    // thresholds 0-or-(k+1)-th), read back per group.
+    QuerySpec(
+      "q273_topk_grouped",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val toks = docs.select(col("lang"),
+          explode(split(TextOps.normalized(col("text")), " ")).as("tok"))
+          .filter(length(col("tok")) > 0)
+        val sk = graft.ops.Sketches.topkSketch(
+          toks, Seq("lang"), "tok", k = 8)
+        graft.ops.Sketches.topkHeavyHitters(sk, Seq("lang"), k = 5)
+          .orderBy("lang", "rank")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT lang,
+              |    unnest(string_split($normSql, ' ')) AS tok
+              |  FROM documents
+              |), tf AS (SELECT lang, tok FROM t WHERE len(tok) > 0),
+              |c AS (
+              |  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+              |  FROM tf GROUP BY 1, 2),
+              |r AS (
+              |  SELECT lang, tok, c,
+              |    ROW_NUMBER() OVER (PARTITION BY lang
+              |      ORDER BY c DESC, tok) AS rn
+              |  FROM c),
+              |lt AS (
+              |  SELECT lang,
+              |    COALESCE(MAX(CASE WHEN rn = 9 THEN c END), 0) AS t,
+              |    CAST(SUM(c) AS BIGINT) AS n
+              |  FROM r GROUP BY lang),
+              |kept AS (
+              |  SELECT r.lang, r.tok AS item, r.c AS cnt, lt.t AS tseen
+              |  FROM r JOIN lt ON lt.lang = r.lang WHERE rn <= 8),
+              |hh AS (
+              |  SELECT lang, item, cnt, tseen,
+              |    ROW_NUMBER() OVER (PARTITION BY lang
+              |      ORDER BY cnt DESC, item) AS rank
+              |  FROM kept)
+              |SELECT h.lang, CAST(h.rank AS INT) AS rank, h.item,
+              |  h.cnt AS cnt_lb,
+              |  CAST(h.cnt + lt.t - h.tseen AS BIGINT) AS cnt_ub,
+              |  lt.n AS n_total, lt.t AS absent_bound
+              |FROM hh h JOIN lt ON lt.lang = h.lang
+              |WHERE h.rank <= 5
+              |ORDER BY h.lang, h.rank""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Histogram serving read off HDR state (Sketches.hdrHistogram —
+    // the dashboard projection over the persisted bucket plane):
+    // per-language document-length histogram with exact tiling value
+    // ranges (value_hi = the next bucket id's canonical value, octave
+    // roll included), running counts and cumulative shares. All
+    // arithmetic on the skinny state; the corpus is never re-read.
+    QuerySpec(
+      "q274_hdr_histogram",
+      (s, dir) => {
+        val m = 8
+        val docs = Tables.documents(s, dir)
+        val sk = graft.ops.Sketches.hdrSketch(
+          docs.select(col("lang"), col("n_chars")),
+          Seq("lang"), "n_chars", m)
+        graft.ops.Sketches.hdrHistogram(sk, Seq("lang"), m)
+          .orderBy("lang", "bucket")
+      },
+      Some("""WITH v AS (
+             |  SELECT lang, CAST(n_chars AS BIGINT) AS v
+             |  FROM documents WHERE n_chars >= 1),
+             |b AS (
+             |  SELECT lang,
+             |    CAST(length(bin(v)) - 1 AS BIGINT) * 8
+             |      + ((v - (1::BIGINT << CAST(length(bin(v)) - 1 AS INT)))
+             |          * 8)
+             |        // (1::BIGINT << CAST(length(bin(v)) - 1 AS INT))
+             |      AS bucket
+             |  FROM v),
+             |c AS (
+             |  SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM b GROUP BY 1, 2),
+             |h AS (
+             |  SELECT lang, bucket,
+             |    CAST((1::BIGINT << CAST(bucket // 8 AS INT))
+             |      + ((bucket % 8)
+             |         * (1::BIGINT << CAST(bucket // 8 AS INT))) // 8
+             |      AS BIGINT) AS value_lo,
+             |    CAST((1::BIGINT << CAST((bucket + 1) // 8 AS INT))
+             |      + (((bucket + 1) % 8)
+             |         * (1::BIGINT << CAST((bucket + 1) // 8 AS INT))) // 8
+             |      AS BIGINT) AS value_hi,
+             |    cnt,
+             |    CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY bucket
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt,
+             |    CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY bucket
+             |        ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             |      / CAST(SUM(cnt) OVER (PARTITION BY lang) AS DOUBLE)
+             |      AS cum_pct
+             |  FROM c)
+             |SELECT lang, bucket, value_lo, value_hi, cnt, cum_cnt,
+             |  cum_pct
+             |FROM h ORDER BY lang, bucket""".stripMargin))
   )
 }
