@@ -513,7 +513,11 @@ object Sketches {
     * projection (per bucket: exact value range, count, running count,
     * cumulative share). `value_hi` is the NEXT bucket id's canonical
     * value (bucket m−1 of an octave rolls to 2·base — the geometric
-    * grid is gapless), so ranges tile the support exactly. All
+    * grid is gapless), so ranges tile the OCCUPIED grid exactly: only
+    * buckets present in the state emit rows, and a gap between one
+    * row's value_hi and the next row's value_lo is a run of zero-count
+    * buckets (densify downstream if a renderer needs contiguous
+    * rows). All
     * arithmetic on the ≤ 63·m-row state plane; the one division per
     * row is over exact integers < 2^53 (deterministic IEEE, both
     * engines).
@@ -602,6 +606,21 @@ object Sketches {
       .filter(coalesce(
         assert_true(col("__na") > 0 && col("__nb") > 0,
           lit("hdrEmdGate: both sketches must be non-empty")),
+        lit(true)))
+      // every |cumA·nB − cumB·nA|·Δv term and their sum are bounded by
+      // nA·nB·span; past DECIMAL(38,0) the non-ANSI product would go
+      // NULL and sum() would silently DROP mass — raise loudly instead
+      // (log-space check with a 0.1-decade safety margin; conservative
+      // is fine, understated-without-error is not)
+      .filter(coalesce(
+        assert_true(
+          log10(col("__na").cast("double")) +
+            log10(col("__nb").cast("double")) +
+            log10(greatest(col("__span").cast("double"), lit(1.0))) <
+            lit(37.9),
+          lit("hdrEmdGate: n_a*n_b*span exceeds DECIMAL(38,0) " +
+            "headroom — the exact numerator would overflow; gate " +
+            "narrower windows or downsample one side")),
         lit(true)))
       .select(col("__na").cast("bigint").as("n_a"),
         col("__nb").cast("bigint").as("n_b"), col("n_buckets"),

@@ -1316,6 +1316,140 @@ object WebGraph {
         col("h_scaled").cast("double") / scale.toDouble)
   }
 
+  /** HyperBall neighborhood function (Boldi & Vigna, "In-Core
+    * Computation of Geometric Centralities with HyperBall", ICDMW'13;
+    * the HyperANF successor — the standard web-graph distance summary
+    * "how many (source, reachable-node) pairs lie within t hops?"):
+    * maintain one [[graft.ops.Sketches.hllSketch]] register plane per
+    * node, seeded with the node's own id, and per round fold each
+    * node's plane with its OUT-neighbors' planes by register-wise MAX
+    * (max-merge of HLL sketches = the sketch of the union, so after t
+    * rounds node v's counter is EXACTLY the sketch of its radius-t
+    * out-ball B_t(v) — by induction over B_t(v) = {v} ∪ ⋃_{v→w}
+    * B_{t−1}(w)). N(t) = Σ_v estimate(B_t(v)).
+    *
+    * Stopping rule (the paper's): iterate until NO register changes.
+    * The register dynamics c_t = f(c_{t−1}) are monotone, so an
+    * unchanged round is a true fixpoint — registers can never change
+    * again even where exact balls still grow (the sketch of the growth
+    * collides into existing registers for good). Change detection is
+    * exact and cheap: rows are only added and rho_max only grows, so
+    * (Σ rho_max, row count) moves iff any register moved — one scalar
+    * probe per round. Raises LOUDLY if still changing at `maxT`
+    * (silent truncation would understate the diameter).
+    *
+    * Determinism: the register plane is the md5-based [[Sketches]]
+    * contract, per-node estimates are the q239-replayable arithmetic,
+    * and N(t) sums them as DECIMAL(27,12) (order-independent) bridged
+    * to double via the string route — the whole table replays
+    * bit-for-bit from an exact closure in DuckDB.
+    *
+    * Scale shape: the plane is ≤ |V|·2^p rows but SPARSE — a node's
+    * rows ∝ its ball cardinality until ~2^p saturation, so the cheap
+    * fringe stays cheap; per round one edge-keyed join + one
+    * (node, bucket) aggregation with map-side combine, localCheckpoint
+    * per round (O(1) plan depth); the corpus is never re-read. This is
+    * the state HyperANF runs at web scale — registers, never reach
+    * sets.
+    *
+    * → (t, nf_est), one row per round 0..T where T is the register
+    *   fixpoint; nf_est is non-decreasing in t (up to the documented
+    *   linear-counting branch boundary of [[Sketches.hllEstimate]]).
+    */
+  def neighborhoodFunction(edges: DataFrame, srcCol: String,
+                           dstCol: String, maxT: Int = 64,
+                           p: Int = 9): DataFrame = {
+    require(maxT >= 1 && maxT <= 256, s"maxT must be in [1,256], got $maxT")
+    val e = edges
+      .select(col(srcCol).cast("string").as("esrc"),
+        col(dstCol).cast("string").as("edst"))
+      .filter(col("esrc").isNotNull && col("edst").isNotNull &&
+        col("esrc") =!= col("edst")) // v ∈ B_t(v) already
+      .distinct()
+      .persist()
+    val nodes = e.select(col("esrc").as("node"))
+      .unionByName(e.select(col("edst").as("node"))).distinct()
+    var c = graft.ops.Sketches.hllSketch(nodes, Seq("node"), "node", p)
+      .localCheckpoint()
+    def probe(df: DataFrame): (Long, Long) = {
+      val r = df.groupBy()
+        .agg(sum(col("rho_max")).cast("bigint"), count(lit(1))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    def nfRow(t: Int, cc: DataFrame): DataFrame =
+      graft.ops.Sketches.hllEstimate(cc, Seq("node"), p)
+        .groupBy()
+        .agg(sum(col("estimate").cast("decimal(27,12)")).as("__s"))
+        .select(lit(t).as("t"),
+          col("__s").cast("string").cast("double").as("nf_est"))
+        .localCheckpoint()
+    val rows = scala.collection.mutable.ArrayBuffer(nfRow(0, c))
+    var prev = probe(c)
+    var t = 0
+    var done = false
+    while (!done) {
+      t += 1
+      val grown = e.join(c.withColumnRenamed("node", "__dn"),
+          col("edst") === col("__dn"))
+        .select(col("esrc").as("node"), col("bucket"), col("rho_max"))
+        .unionByName(c)
+        .groupBy("node", "bucket").agg(max(col("rho_max")).as("rho_max"))
+        .localCheckpoint()
+      val cur = probe(grown)
+      if (cur == prev) done = true // true fixpoint — monotone dynamics
+      else {
+        require(t <= maxT,
+          s"neighborhoodFunction: registers still changing at maxT=" +
+            s"$maxT — raise maxT (truncating understates the diameter)")
+        rows += nfRow(t, grown)
+        c.unpersist()
+        c = grown
+        prev = cur
+      }
+    }
+    e.unpersist()
+    rows.reduce(_ unionByName _)
+  }
+
+  /** Effective diameter at fraction `q` off a [[neighborhoodFunction]]
+    * table (Boldi–Vigna's serving read; q=0.9 is the standard "90%
+    * effective diameter"): the interpolated hop count at which the
+    * neighborhood function first reaches q·N(T),
+    *
+    *   eff = (t−1) + (q·N(T) − N(t−1)) / (N(t) − N(t−1))
+    *
+    * at the smallest qualifying t (0 if N(0) already qualifies; falls
+    * back to exactly t if the interpolation step is degenerate at a
+    * linear-counting branch boundary). One window pass over the ≤
+    * maxT-row table; every operand is the table's own string-bridged
+    * doubles, so the row replays bit-for-bit.
+    *
+    * → one row (effective_diameter, t_hit, nf_final)
+    */
+  def effectiveDiameter(nf: DataFrame, q: Double = 0.9): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"q must be in (0,1), got $q")
+    val bk = graft.functions.ArrayMath.boundedKey(nf)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(bk)
+    val wOrd = org.apache.spark.sql.expressions.Window.partitionBy(bk)
+      .orderBy(col("t"))
+    nf
+      .withColumn("__nfF", expr("max_by(nf_est, t)").over(wAll))
+      .withColumn("__thr", lit(q) * col("__nfF"))
+      .withColumn("__prev", lag(col("nf_est"), 1).over(wOrd))
+      .filter(col("nf_est") >= col("__thr"))
+      .withColumn("__rn", row_number().over(wOrd))
+      .filter(col("__rn") === 1)
+      .select(
+        when(col("__prev").isNull, col("t").cast("double"))
+          .when(col("nf_est") - col("__prev") <= lit(0.0),
+            col("t").cast("double"))
+          .otherwise((col("t") - 1).cast("double") +
+            (col("__thr") - col("__prev")) /
+              (col("nf_est") - col("__prev")))
+          .as("effective_diameter"),
+        col("t").as("t_hit"), col("__nfF").as("nf_final"))
+  }
+
   /** Strongly connected components of a DIRECTED graph — the Broder et
     * al. (WWW'00) bowtie decomposition's core primitive, via iterated
     * multi-pivot FORWARD×BACKWARD reachability (Fleischer, Hendrickson
@@ -1332,23 +1466,42 @@ object WebGraph {
     * (every intermediate node of a path between two members of an SCC
     * is itself in that SCC), so membership is preserved.
     *
-    * Progress bound: the round's pivots are distinct residual nodes
-    * and every pivot settles (p ∈ F∩B), so each round removes ≥
-    * `pivotsPerRound` nodes (or finishes) — ≤ ⌈|V|/pivotsPerRound⌉
-    * rounds even on a pure DAG of singleton SCCs; on a web-shaped
-    * bowtie the giant SCC falls in round 1. `maxDepth` and `maxRounds`
-    * are LOUD guards (they raise, never silently truncate — a missed
-    * deep member would mislabel a component).
+    * TRIM (Slota, Rajamanickam & Madduri IPDPS'14 "BFS and
+    * coloring-based parallel SCC"; McLendon, Hendrickson, Plimpton &
+    * Rauchwerger JPDC'05): before each pivot round, repeatedly
+    * bulk-settle every residual node whose RESIDUAL in-degree or
+    * out-degree is zero — such a node is on no residual cycle, so its
+    * SCC is the singleton {itself} (settled-SCC removal preserves
+    * remaining SCCs, see below, so the label is final). Each trim wave
+    * is one anti-join pair on the skinny node plane + one edge
+    * restriction; waves iterate to a fixpoint. On a web-shaped graph —
+    * where most non-core nodes are singleton-SCC tendrils/IN/OUT
+    * (Broder WWW'00) — trim settles that majority in O(effective
+    * depth) cheap waves instead of O(|V|/pivotsPerRound) BFS rounds,
+    * which is the difference between completing and raising
+    * `maxRounds` on a real crawl graph.
+    *
+    * Progress bound: every trim wave settles ≥ 1 node or exits; the
+    * round's pivots are distinct residual nodes and every pivot
+    * settles (p ∈ F∩B), so each pivot round removes ≥
+    * `pivotsPerRound` nodes (or finishes). After trim the residual is
+    * edge-covered in both directions, so `maxRounds` only bounds
+    * rounds over genuinely cyclic structure. `maxDepth` and
+    * `maxRounds` are LOUD guards (they raise, never silently
+    * truncate — a missed deep member would mislabel a component).
     *
     * Scale shape: per hop one frontier-against-edges join on the skinny
     * (s, node) plane with per-hop localCheckpoint (O(1) plan depth,
     * the [[sampledBfs]] discipline); per round one semi-join pair
-    * restricts the persisted edge frame to the residual; settled
-    * components accumulate as checkpointed skinny (node, component)
-    * rows. Only emptiness probes reach the driver.
+    * restricts the persisted edge frame to the residual; per trim wave
+    * one anti-join pair + one (small-side, broadcastable) edge
+    * restriction; settled components accumulate as checkpointed skinny
+    * (node, component) rows. Only emptiness probes reach the driver.
     *
-    * → (node, component) — one row per node appearing in any edge;
-    *   component = min node id of the node's SCC.
+    * → (node, component) — one row per node appearing in any
+    *   NON-self-loop edge (self-loops never change SCCs and are
+    *   dropped up front, so a node whose only edges are self-loops
+    *   gets no row); component = min node id of the node's SCC.
     */
   def stronglyConnectedComponents(edges: DataFrame, srcCol: String,
                                   dstCol: String, pivotsPerRound: Int = 64,
@@ -1373,7 +1526,48 @@ object WebGraph {
     var eR = e0
     var comps: Option[DataFrame] = None
     var round = 0
+    // Trim to fixpoint: settle every residual node with residual
+    // in-degree or out-degree 0 as the singleton SCC {itself}. Each
+    // wave peels one acyclic layer; on web-shaped graphs the fixpoint
+    // lands in O(effective depth) waves and settles the singleton
+    // majority without a single BFS. Always terminates: every
+    // non-final wave removes >= 1 node.
+    def trim(): Unit = {
+      val waves = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      var trimming = true
+      while (trimming) {
+        val zeroDeg = residual
+          .join(eR.select(col("esrc").as("node")), Seq("node"), "left_anti")
+          .unionByName(residual
+            .join(eR.select(col("edst").as("node")), Seq("node"),
+              "left_anti"))
+          .distinct()
+          .localCheckpoint()
+        if (zeroDeg.isEmpty) trimming = false
+        else {
+          waves += zeroDeg
+          residual = residual.join(zeroDeg, Seq("node"), "left_anti")
+            .localCheckpoint()
+          val eNext = eR // anti vs the (small) wave, not semi vs residual
+            .join(zeroDeg.select(col("node").as("esrc")), Seq("esrc"),
+              "left_anti")
+            .join(zeroDeg.select(col("node").as("edst")), Seq("edst"),
+              "left_anti")
+            .select(col("esrc"), col("edst"))
+            .localCheckpoint()
+          if (eR ne e0) eR.unpersist()
+          eR = eNext
+        }
+      }
+      if (waves.nonEmpty) {
+        val settled = waves.reduce(_ unionByName _)
+          .select(col("node"), col("node").as("component"))
+        comps = Some(comps.fold(settled)(_ unionByName settled)
+          .localCheckpoint())
+      }
+    }
     var done = residual.isEmpty
+    if (!done) { trim(); done = residual.isEmpty }
     while (!done) {
       round += 1
       require(round <= maxRounds,
@@ -1416,6 +1610,7 @@ object WebGraph {
         .localCheckpoint()
       if (eR ne e0) eR.unpersist()
       eR = eNext
+      trim() // the settled SCCs' removal exposes a fresh acyclic fringe
       done = residual.isEmpty
     }
     if (eR ne e0) eR.unpersist()
@@ -1446,7 +1641,9 @@ object WebGraph {
     * localCheckpoint and the loud maxDepth guard; everything else is
     * skinny set algebra (semi/anti joins on the node plane).
     *
-    * → (node, component, region)
+    * → (node, component, region) — one row per node appearing in any
+    *   non-self-loop edge (the [[stronglyConnectedComponents]] node
+    *   universe).
     */
   def bowtieDecomposition(edges: DataFrame, srcCol: String, dstCol: String,
                           pivotsPerRound: Int = 64, maxDepth: Int = 32,
@@ -1517,9 +1714,11 @@ object WebGraph {
     * view the bowtie report summarizes): one row per ordered pair of
     * DISTINCT components with the number of distinct underlying simple
     * edges between them. Feed [[stronglyConnectedComponents]]' output;
-    * the result is acyclic by the definition of SCCs. Two keyed joins
-    * of the skinny (node, component) plane onto the distinct edge
-    * list + one aggregation — no iteration, no windows.
+    * the result is acyclic by the definition of SCCs. Self-loops are
+    * dropped with the same rule as the SCC pass (they connect no two
+    * components). Two keyed joins of the skinny (node, component)
+    * plane onto the distinct edge list + one aggregation — no
+    * iteration, no windows.
     *
     * → (src_component, dst_component, n_edges)
     */

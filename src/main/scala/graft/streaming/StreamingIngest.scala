@@ -1873,33 +1873,44 @@ object StreamingIngest {
       val in = fs.open(plan)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
         .mkString.trim finally in.close()
-      val dest = txt.split(";")(0).stripPrefix("dest=").toLong
-      val srcs = txt.split(";")(1).stripPrefix("src=")
-        .split(",").filter(_.nonEmpty).map(_.toLong)
-      val destDir = new org.apache.hadoop.fs.Path(closedRoot, s"v$dest")
-      if (fs.exists(destDir) && !fs.exists(tmp)) {
-        // swap completed — finish the cleanup
-        srcs.foreach(v => fs.delete(trashOf(v), true))
-      } else if (fs.exists(tmp)) {
-        // tmp complete (plan is written only after) — roll forward
-        srcs.foreach { v =>
-          val orig = new org.apache.hadoop.fs.Path(closedRoot, s"v$v")
-          if (fs.exists(orig)) require(fs.rename(orig, trashOf(v)),
-            s"compactSessionTarget: recovery rename failed: $orig")
-        }
-        require(fs.rename(tmp, destDir),
-          s"compactSessionTarget: recovery rename failed: $tmp -> $destDir")
-        srcs.foreach(v => fs.delete(trashOf(v), true))
-      } else {
-        // no tmp, no dest — roll back to the originals
-        srcs.foreach { v =>
-          val t = trashOf(v)
-          if (fs.exists(t)) require(fs.rename(t,
-            new org.apache.hadoop.fs.Path(closedRoot, s"v$v")),
-            s"compactSessionTarget: rollback rename failed: $t")
-        }
+      scala.util.Try {
+        val dest = txt.split(";")(0).stripPrefix("dest=").toLong
+        val srcs = txt.split(";")(1).stripPrefix("src=")
+          .split(",").filter(_.nonEmpty).map(_.toLong)
+        (dest, srcs)
+      } match {
+        case scala.util.Failure(_) =>
+          // an unparseable plan means the plan write itself tore —
+          // renames only ever start AFTER a plan closes, so the closed
+          // dirs are intact and the state is 'no plan in flight'
+          fs.delete(plan, false)
+        case scala.util.Success((dest, srcs)) =>
+          val destDir = new org.apache.hadoop.fs.Path(closedRoot, s"v$dest")
+          if (fs.exists(destDir) && !fs.exists(tmp)) {
+            // swap completed — finish the cleanup
+            srcs.foreach(v => fs.delete(trashOf(v), true))
+          } else if (fs.exists(tmp)) {
+            // tmp complete (plan is written only after) — roll forward
+            srcs.foreach { v =>
+              val orig = new org.apache.hadoop.fs.Path(closedRoot, s"v$v")
+              if (fs.exists(orig)) require(fs.rename(orig, trashOf(v)),
+                s"compactSessionTarget: recovery rename failed: $orig")
+            }
+            require(fs.rename(tmp, destDir),
+              s"compactSessionTarget: recovery rename failed: " +
+                s"$tmp -> $destDir")
+            srcs.foreach(v => fs.delete(trashOf(v), true))
+          } else {
+            // no tmp, no dest — roll back to the originals
+            srcs.foreach { v =>
+              val t = trashOf(v)
+              if (fs.exists(t)) require(fs.rename(t,
+                new org.apache.hadoop.fs.Path(closedRoot, s"v$v")),
+                s"compactSessionTarget: rollback rename failed: $t")
+            }
+          }
+          fs.delete(plan, false)
       }
-      fs.delete(plan, false)
     }
     // ---- the compaction itself ------------------------------------------
     if (!fs.exists(closedRoot)) return 0
@@ -1921,10 +1932,16 @@ object StreamingIngest {
       .coalesce(wantFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false)
-    val out = fs.create(plan, true)
+    // plan goes live by RENAME (the same atomicity primitive the swap
+    // relies on) — a crash mid-write leaves only the inert .inprogress
+    val planTmp = new org.apache.hadoop.fs.Path(
+      targetPath, "_graft_session_compact_plan.inprogress")
+    val out = fs.create(planTmp, true)
     try out.write(
       (s"dest=$dest;src=${srcDirs.map(_._1).mkString(",")}").getBytes("UTF-8"))
     finally out.close()
+    require(fs.rename(planTmp, plan),
+      s"compactSessionTarget: plan rename failed: $planTmp -> $plan")
     srcDirs.foreach { case (v, d) =>
       require(fs.rename(d.getPath, trashOf(v)),
         s"compactSessionTarget: rename failed: ${d.getPath}")

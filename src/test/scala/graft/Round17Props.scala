@@ -77,9 +77,13 @@ object Round17Props extends Properties("Round17Ops") {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     val want = Map("a" -> "a", "b" -> "a", "c" -> "a",
       "d" -> "d", "e" -> "d", "f" -> "f", "g" -> "g")
+    // a deep CYCLE: trim settles nothing (every node is on the cycle),
+    // so the pivot BFS must expand past maxDepth and raise (a chain
+    // would now be fully settled by trim waves before any BFS)
     val guard = scala.util.Try {
       graft.ops.WebGraph.stronglyConnectedComponents(
-        (0 until 6).map(i => (s"c$i", s"c${i + 1}")).toDF("src", "dst"),
+        ((0 until 6).map(i => (s"c$i", s"c${i + 1}")) :+ ("c6", "c0"))
+          .toDF("src", "dst"),
         "src", "dst", pivotsPerRound = 64, maxDepth = 2).collect()
     }
     (got == want) :| s"got $got" &&

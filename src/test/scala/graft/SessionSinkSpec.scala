@@ -204,6 +204,30 @@ class SessionSinkSpec extends AnyFunSuite {
         (1L to 5L).map(u => (u, 50000L, 500L + u, 1.0))))
   }
 
+  test("compactSessionTarget: a TORN PLAN (crash mid-plan-write) heals " +
+    "as no-plan — the next run deletes it and compacts normally") {
+    val (in, target, ckpt) = freshDirs()
+    val allRows = (0 until 3).map { w =>
+      (1L to 5L).map(u => (u, w * 10000L, w * 100L + u, 1.0)): Seq[Ev]
+    }
+    allRows.foreach(rows => assert(wave(in, target, ckpt, rows) == 1L))
+    val before = served(target)
+    // a plan whose write tore mid-stream: src= segment truncated — the
+    // old parse (split(";")(1).toLong) threw here on EVERY run, wedging
+    // the compactor for good
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(target, "_graft_session_compact_plan"),
+      "dest=4;sr")
+    assert(StreamingIngest.compactSessionTarget(spark, target) == 2,
+      "torn plan must heal as no-plan and the compaction proceed")
+    assert(served(target) == before, "reads must stay row-identical")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(target, "_graft_session_compact_plan")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      target, "_graft_session_compact_plan.inprogress")),
+      "the atomic-write temp must not linger")
+  }
+
   test("out-of-order cross-batch event raises instead of mis-sessionizing") {
     val (in, target, ckpt) = freshDirs()
     assert(wave(in, target, ckpt, Seq((1L, 10000L, 1L, 1.0))) == 1L)

@@ -364,6 +364,22 @@ class SketchesSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("hdrEmdGate: counts whose exact numerator would overflow " +
+    "DECIMAL(38,0) raise loudly instead of silently dropping mass") {
+    import spark.implicits._
+    // n_a = n_b = 9e18 -> log10(na)+log10(nb) = 37.9+ even at span 1;
+    // without the guard the per-bucket decimal product goes NULL and
+    // sum() skips it (understated emd, no error)
+    val big = Seq((10L, 9000000000000000000L)).toDF("bucket", "cnt")
+    val e = intercept[Exception] {
+      Sketches.hdrEmdGate(big, big, 16).collect()
+    }
+    assert(e.getMessage.contains("headroom"), e.getMessage)
+    // same shape with sane counts still reads 0 (identical sketches)
+    val ok = Seq((10L, 1000000L)).toDF("bucket", "cnt")
+    assert(Sketches.hdrEmdGate(ok, ok, 16).head().getDouble(3) == 0.0)
+  }
+
   // --- top-k heavy-hitters summary ----------------------------------------
 
   private def topkState(df: org.apache.spark.sql.DataFrame) =
