@@ -1316,6 +1316,43 @@ object WebGraph {
         col("h_scaled").cast("double") / scale.toDouble)
   }
 
+  /** EXACT (sampled-source) neighborhood function — the ground-truth
+    * sibling of [[neighborhoodFunction]]: N(t) = number of
+    * (source, node) pairs with dist ≤ t, over the first `nSources`
+    * nodes in md5(node) order (the [[betweennessCentrality]] sampling
+    * convention; exact when nSources ≥ |V|). One [[sampledBfs]] plus
+    * one aggregation + running-sum window over the ≤ maxDepth-row
+    * distribution. This is the moderate-scale tool — the per-source
+    * reach state is O(sample·|V|) rows; at web scale run the sketch
+    * sibling instead. Raises if the BFS is still expanding at
+    * `maxDepth` (truncation would understate the tail).
+    *
+    * → (t, n_pairs) for each observed hop 0..D, n_pairs cumulative.
+    */
+  def distanceDistribution(edges: DataFrame, srcCol: String,
+                           dstCol: String, nSources: Int = 4096,
+                           maxDepth: Int = 32): DataFrame = {
+    require(nSources >= 1 && nSources <= 4096,
+      s"nSources must be in [1,4096], got $nSources")
+    require(maxDepth >= 1 && maxDepth <= 64,
+      s"maxDepth must be in [1,64], got $maxDepth")
+    val (e, _, visited, d) =
+      sampledBfs(edges, srcCol, dstCol, nSources, maxDepth)
+    e.unpersist()
+    require(d < maxDepth,
+      s"distanceDistribution: BFS reached maxDepth=$maxDepth — raise " +
+        "maxDepth (truncation would understate the tail)")
+    val byT = visited.groupBy(col("dist").as("t"))
+      .agg(count(lit(1)).as("__c"))
+    val bk = graft.functions.ArrayMath.boundedKey(byT)
+    val wRun = org.apache.spark.sql.expressions.Window.partitionBy(bk)
+      .orderBy(col("t"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    byT.withColumn("n_pairs", sum(col("__c")).over(wRun))
+      .select(col("t"), col("n_pairs"))
+  }
+
   /** HyperBall neighborhood function (Boldi & Vigna, "In-Core
     * Computation of Geometric Centralities with HyperBall", ICDMW'13;
     * the HyperANF successor — the standard web-graph distance summary

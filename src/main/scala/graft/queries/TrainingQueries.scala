@@ -10763,6 +10763,201 @@ object TrainingQueries {
              |  FROM c)
              |SELECT lang, bucket, value_lo, value_hi, cnt, cum_cnt,
              |  cum_pct
-             |FROM h ORDER BY lang, bucket""".stripMargin))
+             |FROM h ORDER BY lang, bucket""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // HyperBall neighborhood function (WebGraph.neighborhoodFunction —
+    // Boldi & Vigna ICDMW'13; the r17 verdict's named extension gap):
+    // per-node HLL register planes folded by register-MAX per BFS
+    // round over a planted 96-node double-expander (i → 2i+1, 3i+2
+    // mod 97; node 96's edges are all self-loops, so it is outside the
+    // node universe), run to the register fixpoint, each round's
+    // N(t) = Σ_v estimate(B_t(v)) as an order-independent DECIMAL sum.
+    // Exact N(t) from distanceDistribution alongside and a ±15%
+    // in-band verdict. The oracle replays the closure (bounded-depth
+    // recursive CTE), the q239-certified register/estimate arithmetic
+    // per (source, t), and the same Σrho fixpoint filter — the
+    // register dynamics are monotone, so a stalled Σrho can never
+    // regrow and both engines emit exactly t = 0..T_fixpoint.
+    QuerySpec(
+      "q275_neighborhood_function",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        def host(c: String) = concat(lit("h"), expr(c).cast("string"),
+          lit(".example.org"))
+        val base = docs.select(expr("doc_id % 97").as("n")).distinct()
+        val e = base.select(host("n").as("src_host"),
+            host("pmod(2*n+1, 97)").as("dst_host"))
+          .unionByName(base.select(host("n").as("src_host"),
+            host("pmod(3*n+2, 97)").as("dst_host")))
+        val nf = graft.ops.WebGraph.neighborhoodFunction(
+          e, "src_host", "dst_host", maxT = 16, p = 9)
+        val ex = graft.ops.WebGraph.distanceDistribution(
+          e, "src_host", "dst_host", nSources = 4096, maxDepth = 16)
+        nf.join(ex.withColumnRenamed("n_pairs", "n_exact"), Seq("t"))
+          .select(col("t"), col("nf_est"), col("n_exact"),
+            (abs(col("nf_est") / col("n_exact").cast("double") -
+              lit(1.0)) <= lit(0.15)).as("within_band"))
+          .orderBy("t")
+      },
+      Some(s"""WITH RECURSIVE
+             |bb AS (SELECT DISTINCT doc_id % 97 AS n FROM documents),
+             |raw AS (
+             |  SELECT 'h' || CAST(n AS VARCHAR) || '.example.org' AS src,
+             |    'h' || CAST((2*n+1) % 97 AS VARCHAR) || '.example.org'
+             |      AS dst
+             |  FROM bb
+             |  UNION ALL
+             |  SELECT 'h' || CAST(n AS VARCHAR) || '.example.org',
+             |    'h' || CAST((3*n+2) % 97 AS VARCHAR) || '.example.org'
+             |  FROM bb),
+             |e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+             |nodes AS (SELECT DISTINCT node FROM
+             |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e) u),
+             |reach(s, v, d) AS (
+             |  SELECT node, node, 0 FROM nodes
+             |  UNION
+             |  SELECT reach.s, e.dst, reach.d + 1
+             |  FROM reach JOIN e ON e.src = reach.v WHERE reach.d < 16),
+             |reachm AS MATERIALIZED (SELECT * FROM reach),
+             |md AS (SELECT s, v, MIN(d) AS d FROM reachm GROUP BY 1, 2),
+             |ts AS (SELECT DISTINCT d AS t FROM md),
+             |hb AS (SELECT s, d, CAST($h48Sql AS BIGINT) AS h
+             |       FROM (SELECT s, d, md5(v) AS m FROM md) q),
+             |hr AS (SELECT s, d, h >> 39 AS bucket,
+             |         CASE WHEN (h & 549755813887) = 0 THEN 40
+             |           ELSE 40 - length(bin(h & 549755813887)) END AS rho
+             |       FROM hb),
+             |reg AS (SELECT ts.t, hr.s, hr.bucket, MAX(hr.rho) AS rho_max
+             |        FROM ts JOIN hr ON hr.d <= ts.t GROUP BY 1, 2, 3),
+             |rs AS (SELECT t, SUM(rho_max) AS rho_sum FROM reg
+             |       GROUP BY 1),
+             |keep AS (SELECT t FROM (
+             |    SELECT t, rho_sum, LAG(rho_sum) OVER (ORDER BY t)
+             |      AS prev FROM rs) x
+             |  WHERE prev IS NULL OR rho_sum > prev),
+             |ag AS (SELECT t, s, COUNT(*) AS hit,
+             |    CAST(SUM(CAST(1 AS BIGINT)
+             |      << (40 - CAST(rho_max AS INT))) AS BIGINT) AS sm
+             |  FROM reg WHERE t IN (SELECT t FROM keep) GROUP BY 1, 2),
+             |ee AS (SELECT t, s, hit,
+             |    sm + (512 - hit) * (CAST(1 AS BIGINT) << 40) AS sall,
+             |    512 - hit AS ve
+             |  FROM ag),
+             |es AS (SELECT t, s,
+             |    CASE WHEN (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0
+             |        * 512.0 * 1099511627776.0 / CAST(sall AS DOUBLE)
+             |          <= 2.5 * 512.0 AND ve > 0
+             |      THEN CAST(CAST(512.0 * ln(512.0 / CAST(ve AS DOUBLE))
+             |        AS DECIMAL(18,12)) AS DOUBLE)
+             |      ELSE (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0
+             |        * 1099511627776.0 / CAST(sall AS DOUBLE)
+             |    END AS est
+             |  FROM ee),
+             |nf AS (SELECT t,
+             |    CAST(CAST(SUM(CAST(est AS DECIMAL(27,12))) AS VARCHAR)
+             |      AS DOUBLE) AS nf_est
+             |  FROM es GROUP BY 1),
+             |ex AS (SELECT ts.t, CAST(COUNT(*) AS BIGINT) AS n_exact
+             |       FROM ts JOIN md ON md.d <= ts.t GROUP BY 1)
+             |SELECT CAST(nf.t AS INT) AS t, nf.nf_est, ex.n_exact,
+             |  ABS(nf.nf_est / CAST(ex.n_exact AS DOUBLE) - 1.0) <= 0.15
+             |    AS within_band
+             |FROM nf JOIN ex ON ex.t = nf.t
+             |ORDER BY t""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // 90% effective diameter (WebGraph.effectiveDiameter — the
+    // Boldi-Vigna serving read off the q275 neighborhood function):
+    // interpolated hop count where N(t) first reaches 0.9·N(T). The
+    // oracle replays the full q275 register table, then the same
+    // max_by/lag/threshold arithmetic — every operand string-bridged,
+    // so the single row is bit-equal.
+    QuerySpec(
+      "q276_effective_diameter",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        def host(c: String) = concat(lit("h"), expr(c).cast("string"),
+          lit(".example.org"))
+        val base = docs.select(expr("doc_id % 97").as("n")).distinct()
+        val e = base.select(host("n").as("src_host"),
+            host("pmod(2*n+1, 97)").as("dst_host"))
+          .unionByName(base.select(host("n").as("src_host"),
+            host("pmod(3*n+2, 97)").as("dst_host")))
+        val nf = graft.ops.WebGraph.neighborhoodFunction(
+          e, "src_host", "dst_host", maxT = 16, p = 9)
+        graft.ops.WebGraph.effectiveDiameter(nf, q = 0.9)
+      },
+      Some(s"""WITH RECURSIVE
+             |bb AS (SELECT DISTINCT doc_id % 97 AS n FROM documents),
+             |raw AS (
+             |  SELECT 'h' || CAST(n AS VARCHAR) || '.example.org' AS src,
+             |    'h' || CAST((2*n+1) % 97 AS VARCHAR) || '.example.org'
+             |      AS dst
+             |  FROM bb
+             |  UNION ALL
+             |  SELECT 'h' || CAST(n AS VARCHAR) || '.example.org',
+             |    'h' || CAST((3*n+2) % 97 AS VARCHAR) || '.example.org'
+             |  FROM bb),
+             |e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+             |nodes AS (SELECT DISTINCT node FROM
+             |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e) u),
+             |reach(s, v, d) AS (
+             |  SELECT node, node, 0 FROM nodes
+             |  UNION
+             |  SELECT reach.s, e.dst, reach.d + 1
+             |  FROM reach JOIN e ON e.src = reach.v WHERE reach.d < 16),
+             |reachm AS MATERIALIZED (SELECT * FROM reach),
+             |md AS (SELECT s, v, MIN(d) AS d FROM reachm GROUP BY 1, 2),
+             |ts AS (SELECT DISTINCT d AS t FROM md),
+             |hb AS (SELECT s, d, CAST($h48Sql AS BIGINT) AS h
+             |       FROM (SELECT s, d, md5(v) AS m FROM md) q),
+             |hr AS (SELECT s, d, h >> 39 AS bucket,
+             |         CASE WHEN (h & 549755813887) = 0 THEN 40
+             |           ELSE 40 - length(bin(h & 549755813887)) END AS rho
+             |       FROM hb),
+             |reg AS (SELECT ts.t, hr.s, hr.bucket, MAX(hr.rho) AS rho_max
+             |        FROM ts JOIN hr ON hr.d <= ts.t GROUP BY 1, 2, 3),
+             |rs AS (SELECT t, SUM(rho_max) AS rho_sum FROM reg
+             |       GROUP BY 1),
+             |keep AS (SELECT t FROM (
+             |    SELECT t, rho_sum, LAG(rho_sum) OVER (ORDER BY t)
+             |      AS prev FROM rs) x
+             |  WHERE prev IS NULL OR rho_sum > prev),
+             |ag AS (SELECT t, s, COUNT(*) AS hit,
+             |    CAST(SUM(CAST(1 AS BIGINT)
+             |      << (40 - CAST(rho_max AS INT))) AS BIGINT) AS sm
+             |  FROM reg WHERE t IN (SELECT t FROM keep) GROUP BY 1, 2),
+             |ee AS (SELECT t, s, hit,
+             |    sm + (512 - hit) * (CAST(1 AS BIGINT) << 40) AS sall,
+             |    512 - hit AS ve
+             |  FROM ag),
+             |es AS (SELECT t, s,
+             |    CASE WHEN (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0
+             |        * 512.0 * 1099511627776.0 / CAST(sall AS DOUBLE)
+             |          <= 2.5 * 512.0 AND ve > 0
+             |      THEN CAST(CAST(512.0 * ln(512.0 / CAST(ve AS DOUBLE))
+             |        AS DECIMAL(18,12)) AS DOUBLE)
+             |      ELSE (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0
+             |        * 1099511627776.0 / CAST(sall AS DOUBLE)
+             |    END AS est
+             |  FROM ee),
+             |nf AS (SELECT t,
+             |    CAST(CAST(SUM(CAST(est AS DECIMAL(27,12))) AS VARCHAR)
+             |      AS DOUBLE) AS nf_est
+             |  FROM es GROUP BY 1),
+             |fin AS (SELECT max_by(nf_est, t) AS nff FROM nf),
+             |cand AS (SELECT nf.t, nf.nf_est,
+             |    LAG(nf.nf_est) OVER (ORDER BY nf.t) AS prev,
+             |    0.9 * fin.nff AS thr, fin.nff AS nff
+             |  FROM nf, fin),
+             |hit AS (SELECT * FROM cand WHERE nf_est >= thr
+             |        ORDER BY t LIMIT 1)
+             |SELECT CASE WHEN prev IS NULL THEN CAST(t AS DOUBLE)
+             |    WHEN nf_est - prev <= 0.0 THEN CAST(t AS DOUBLE)
+             |    ELSE CAST(t - 1 AS DOUBLE) + (thr - prev)
+             |      / (nf_est - prev) END AS effective_diameter,
+             |  CAST(t AS INT) AS t_hit, nff AS nf_final
+             |FROM hit""".stripMargin))
   )
 }
