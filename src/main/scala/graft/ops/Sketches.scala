@@ -545,6 +545,44 @@ object Sketches {
           .as("cum_pct")): _*)
   }
 
+  /** Time-windowed serving read off a PER-DAY [[hdrSketch]] state — the
+    * missing piece between the state sinks (which fold all-time) and
+    * the drift gates (which compare two states the caller must have
+    * kept): keep one leaf per day (`hdrSketch(df, groupCols :+ dayCol,
+    * …)`, or a streaming sink keyed the same way) and read any "last N
+    * days as of the frontier" window by folding ONLY that window's
+    * leaves. Because bucket-count merge is lossless, the window read is
+    * BIT-EQUAL to a direct [[hdrSketch]] build over the window's rows
+    * (oracle-certified) — feed it straight to [[hdrKsGate]] /
+    * [[hdrPsiGate]] / [[hdrEmdGate]] / [[hdrQuantile]].
+    *
+    * Window = days in (maxDay − endOffset − lastN, maxDay − endOffset],
+    * with maxDay the state's GLOBAL day frontier — so
+    * (lastN, 0) vs (lastN, lastN) is the standard "this window vs the
+    * prior window" drift pair, with no dates hard-coded at call sites.
+    *
+    * State cost: days · ≤ 63·m rows per group; retention is one filter
+    * dropping days older than the largest window served (leaves are
+    * independent — eviction never touches surviving reads).
+    *
+    * → (groupCols…, bucket, cnt)
+    */
+  def hdrWindowRead(state: DataFrame, groupCols: Seq[String],
+                    dayCol: String, lastN: Int,
+                    endOffset: Int = 0): DataFrame = {
+    require(lastN >= 1, s"lastN must be >= 1, got $lastN")
+    require(endOffset >= 0, s"endOffset must be >= 0, got $endOffset")
+    val bk = graft.functions.ArrayMath.boundedKey(state)
+    val wAll = Window.partitionBy(bk)
+    state
+      .withColumn("__hi",
+        max(col(dayCol)).over(wAll) - lit(endOffset.toLong))
+      .filter(col(dayCol) > col("__hi") - lit(lastN.toLong) &&
+        col(dayCol) <= col("__hi"))
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(coalesce(sum(col("cnt")).cast("bigint"), lit(0L)).as("cnt"))
+  }
+
   /** Earth-mover (1-Wasserstein) distance from two [[hdrSketch]]
     * bucket planes — the MASS-TRANSPORT member of the state-only drift
     * trio ([[hdrKsGate]] = max CDF deviation, [[hdrPsiGate]] =
@@ -1149,6 +1187,43 @@ object Sketches {
       .select(groupCols.map(col) :+ lit(null).cast("string").as("item") :+
         col("__N").as("cnt") :+ col("__tNew").as("tseen"): _*)
     kept.unionByName(newMeta)
+  }
+
+  /** Time-windowed serving read off a PER-DAY [[topkSketch]] state —
+    * the [[hdrWindowRead]] sibling for the frequent-items plane: keep
+    * one leaf per day (`topkSketch(df, groupCols :+ dayCol, item, k)`,
+    * or [[topkRegisters]] state keyed the same way) and fold ONLY the
+    * window's leaves by the [[topkMerge]] counter addition (meta rows
+    * fold alongside — NULL item is its own group). The result is
+    * EXACTLY `topkSketch(window rows, groupCols, item, k,
+    * leafCols = Seq(dayCol))` — the per-day-leaf build over the
+    * window, with the same deterministic in-band bounds
+    * (oracle-certified) — servable by [[topkHeavyHitters]] /
+    * [[topkShift]] for "this week's heavy items vs last week's".
+    *
+    * Window semantics and state cost follow [[hdrWindowRead]]: days in
+    * (maxDay − endOffset − lastN, maxDay − endOffset] against the
+    * state's global day frontier; days · ≤ (k+1) rows per group;
+    * retention = drop expired days (then [[topkCompact]] per surviving
+    * day if k was widened).
+    *
+    * → (groupCols…, item, cnt, tseen)
+    */
+  def topkWindowRead(state: DataFrame, groupCols: Seq[String],
+                     dayCol: String, lastN: Int,
+                     endOffset: Int = 0): DataFrame = {
+    require(lastN >= 1, s"lastN must be >= 1, got $lastN")
+    require(endOffset >= 0, s"endOffset must be >= 0, got $endOffset")
+    val bk = graft.functions.ArrayMath.boundedKey(state)
+    val wAll = Window.partitionBy(bk)
+    state
+      .withColumn("__hi",
+        max(col(dayCol)).over(wAll) - lit(endOffset.toLong))
+      .filter(col(dayCol) > col("__hi") - lit(lastN.toLong) &&
+        col(dayCol) <= col("__hi"))
+      .groupBy(groupCols.map(col) :+ col("item"): _*)
+      .agg(coalesce(sum(col("cnt")).cast("bigint"), lit(0L)).as("cnt"),
+        coalesce(sum(col("tseen")).cast("bigint"), lit(0L)).as("tseen"))
   }
 
   /** "Did the top keys SHIFT?" — the frequent-items drift read

@@ -10958,6 +10958,179 @@ object TrainingQueries {
              |    ELSE CAST(t - 1 AS DOUBLE) + (thr - prev)
              |      / (nf_est - prev) END AS effective_diameter,
              |  CAST(t AS INT) AS t_hit, nff AS nf_final
-             |FROM hit""".stripMargin))
+             |FROM hit""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Time-windowed drift serving off per-day HDR leaves
+    // (Sketches.hdrWindowRead → hdrPsiGate — the r17 verdict's "last N
+    // days vs prior N days" gap: the state sinks fold all-time, the
+    // gates compare states the caller had to keep; this keeps ONE leaf
+    // per day and folds only the window's leaves at read time): PSI/JS
+    // drift of the event-payload-size distribution, last 10 days vs
+    // the prior 10, both windows read from the SAME per-day state
+    // against its own day frontier — no dates hard-coded. Because
+    // bucket-count merge is lossless the window read is bit-equal to a
+    // direct build on the window's rows, which is exactly what the
+    // oracle does: it builds each window straight from raw rows and
+    // replays the q263 PSI arithmetic — hash equality IS the
+    // window-read == direct-build proof.
+    QuerySpec(
+      "q277_hdr_window_drift",
+      (s, dir) => {
+        val m = 8
+        val ev = Tables.events(s, dir)
+          .select(expr("(ts_ns div 1000) div 86400000000").as("day"),
+            length(col("props")).as("psize"))
+        val st = graft.ops.Sketches.hdrSketch(ev, Seq("day"), "psize", m)
+        val recent = graft.ops.Sketches.hdrWindowRead(
+          st, Seq.empty, "day", lastN = 10, endOffset = 0)
+        val prior = graft.ops.Sketches.hdrWindowRead(
+          st, Seq.empty, "day", lastN = 10, endOffset = 10)
+        graft.ops.Sketches.hdrPsiGate(recent, prior, psiAlert = 0.2)
+      },
+      Some("""WITH d AS (
+             |  SELECT epoch_us(ts) // 86400000000 AS day,
+             |    CAST(len(props) AS BIGINT) AS v
+             |  FROM events WHERE props IS NOT NULL AND len(props) >= 1),
+             |mx AS (SELECT MAX(day) AS maxd FROM d),
+             |w AS (
+             |  SELECT CASE WHEN day > maxd - 10 THEN 'a' ELSE 'b' END
+             |    AS g, v
+             |  FROM d, mx WHERE day > maxd - 20),
+             |b AS (
+             |  SELECT g,
+             |    CAST(length(bin(v)) - 1 AS BIGINT) * 8
+             |      + ((v - (1::BIGINT << CAST(length(bin(v)) - 1 AS INT)))
+             |          * 8)
+             |        // (1::BIGINT << CAST(length(bin(v)) - 1 AS INT))
+             |      AS bucket
+             |  FROM w),
+             |c AS (SELECT g, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+             |p AS (
+             |  SELECT bucket,
+             |    CAST(SUM(CASE WHEN g = 'a' THEN cnt ELSE 0 END)
+             |      AS BIGINT) AS ca,
+             |    CAST(SUM(CASE WHEN g = 'b' THEN cnt ELSE 0 END)
+             |      AS BIGINT) AS cb
+             |  FROM c GROUP BY bucket),
+             |r AS (
+             |  SELECT bucket, ca, cb,
+             |    CAST(SUM(ca) OVER () AS BIGINT) AS na,
+             |    CAST(SUM(cb) OVER () AS BIGINT) AS nb,
+             |    CAST(COUNT(*) OVER () AS BIGINT) AS bc
+             |  FROM p),
+             |t AS (
+             |  SELECT na, nb, bc,
+             |    CAST((CAST(ca + 1 AS DOUBLE) / CAST(na + bc AS DOUBLE)
+             |        - CAST(cb + 1 AS DOUBLE) / CAST(nb + bc AS DOUBLE))
+             |      * ln((CAST(ca + 1 AS DOUBLE) * CAST(nb + bc AS DOUBLE))
+             |        / (CAST(cb + 1 AS DOUBLE) * CAST(na + bc AS DOUBLE)))
+             |      AS DECIMAL(18,12)) AS psi_t,
+             |    CAST((CAST(ca + 1 AS DOUBLE) / CAST(na + bc AS DOUBLE)
+             |        * ln(2.0 * (CAST(ca + 1 AS DOUBLE)
+             |            / CAST(na + bc AS DOUBLE))
+             |          / (CAST(ca + 1 AS DOUBLE) / CAST(na + bc AS DOUBLE)
+             |            + CAST(cb + 1 AS DOUBLE) / CAST(nb + bc AS DOUBLE)))
+             |      + CAST(cb + 1 AS DOUBLE) / CAST(nb + bc AS DOUBLE)
+             |        * ln(2.0 * (CAST(cb + 1 AS DOUBLE)
+             |            / CAST(nb + bc AS DOUBLE))
+             |          / (CAST(ca + 1 AS DOUBLE) / CAST(na + bc AS DOUBLE)
+             |            + CAST(cb + 1 AS DOUBLE) / CAST(nb + bc AS DOUBLE))))
+             |      * 0.5 AS DECIMAL(18,12)) AS js_t
+             |  FROM r),
+             |m AS (
+             |  SELECT MAX(na) AS na, MAX(nb) AS nb,
+             |    COUNT(*) AS n_buckets,
+             |    SUM(psi_t) AS psi_s, SUM(js_t) AS js_s
+             |  FROM t)
+             |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             |  CAST(n_buckets AS BIGINT) AS n_buckets,
+             |  CAST(CAST(psi_s AS VARCHAR) AS DOUBLE) AS psi,
+             |  CAST(CAST(js_s AS VARCHAR) AS DOUBLE) AS js_divergence,
+             |  CAST(CAST(psi_s AS VARCHAR) AS DOUBLE) > 0.2 AS drift_alert
+             |FROM m""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Time-windowed heavy-hitter shift off per-day top-k leaves
+    // (Sketches.topkWindowRead → topkShift — the frequent-items half of
+    // the windowed drift story): WHICH heavy users moved between the
+    // last 10 days and the prior 10, both windows folded at read time
+    // from the same per-day k=20 leaf state (counter addition — exactly
+    // the leafCols build on the window's rows, bounds stay honest).
+    // The oracle replays the per-day leaf builds, both window folds and
+    // the full q265 bounded shift read.
+    QuerySpec(
+      "q278_topk_window_shift",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(expr("(ts_ns div 1000) div 86400000000").as("day"),
+            col("user_id"))
+        val st = graft.ops.Sketches.topkSketch(
+          ev, Seq("day"), "user_id", 20)
+        val recent = graft.ops.Sketches.topkWindowRead(
+          st, Seq.empty, "day", lastN = 10, endOffset = 0)
+        val prior = graft.ops.Sketches.topkWindowRead(
+          st, Seq.empty, "day", lastN = 10, endOffset = 10)
+        graft.ops.Sketches.topkShift(recent, prior, Seq.empty, k = 10)
+          .orderBy("item")
+      },
+      Some {
+        def fold(tag: String, where: String) =
+          s"""st_$tag AS (
+             |  SELECT item, CAST(SUM(cnt) AS BIGINT) AS cnt,
+             |    CAST(SUM(tseen) AS BIGINT) AS tseen
+             |  FROM leaf, mx WHERE $where GROUP BY item),
+             |m_$tag AS (
+             |  SELECT cnt AS nn, tseen AS tt FROM st_$tag
+             |  WHERE item IS NULL),
+             |it_$tag AS (
+             |  SELECT item, cnt, tseen FROM st_$tag
+             |  WHERE item IS NOT NULL),
+             |hh_$tag AS (
+             |  SELECT item, ROW_NUMBER() OVER (ORDER BY cnt DESC, item)
+             |    AS rank
+             |  FROM it_$tag)""".stripMargin
+        s"""WITH d AS (
+           |  SELECT epoch_us(ts) // 86400000000 AS day,
+           |    CAST(user_id AS VARCHAR) AS item
+           |  FROM events WHERE user_id IS NOT NULL),
+           |mx AS (SELECT MAX(day) AS maxd FROM d),
+           |c AS (SELECT day, item, CAST(COUNT(*) AS BIGINT) AS c
+           |      FROM d GROUP BY 1, 2),
+           |r AS (SELECT day, item, c,
+           |        ROW_NUMBER() OVER (PARTITION BY day
+           |          ORDER BY c DESC, item) AS rn
+           |      FROM c),
+           |lt AS (SELECT day,
+           |         COALESCE(MAX(CASE WHEN rn = 21 THEN c END), 0) AS t,
+           |         CAST(SUM(c) AS BIGINT) AS n
+           |       FROM r GROUP BY day),
+           |leaf AS (
+           |  SELECT r.day, r.item, r.c AS cnt, lt.t AS tseen
+           |  FROM r JOIN lt ON lt.day = r.day WHERE rn <= 20
+           |  UNION ALL
+           |  SELECT day, CAST(NULL AS VARCHAR), n, t FROM lt),
+           |${fold("a", "day > maxd - 10")},
+           |${fold("b", "day > maxd - 20 AND day <= maxd - 10")}
+           |SELECT COALESCE(ha.item, hb.item) AS item,
+           |  CASE WHEN ha.item IS NULL THEN 'entered'
+           |    WHEN hb.item IS NULL THEN 'left'
+           |    ELSE 'stayed' END AS status,
+           |  CAST(ha.rank AS INT) AS rank_a,
+           |  CAST(hb.rank AS INT) AS rank_b,
+           |  CAST(COALESCE(ia.cnt, 0) AS BIGINT) AS cnt_lb_a,
+           |  CAST(COALESCE(ia.cnt + m_a.tt - ia.tseen, m_a.tt, 0)
+           |    AS BIGINT) AS cnt_ub_a,
+           |  CAST(COALESCE(ib.cnt, 0) AS BIGINT) AS cnt_lb_b,
+           |  CAST(COALESCE(ib.cnt + m_b.tt - ib.tseen, m_b.tt, 0)
+           |    AS BIGINT) AS cnt_ub_b
+           |FROM (SELECT * FROM hh_a WHERE rank <= 10) ha
+           |FULL OUTER JOIN (SELECT * FROM hh_b WHERE rank <= 10) hb
+           |  ON hb.item = ha.item
+           |LEFT JOIN it_a ia ON ia.item = COALESCE(ha.item, hb.item)
+           |LEFT JOIN it_b ib ON ib.item = COALESCE(ha.item, hb.item)
+           |CROSS JOIN m_a CROSS JOIN m_b
+           |ORDER BY item""".stripMargin
+      })
   )
 }

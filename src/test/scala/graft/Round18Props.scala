@@ -102,6 +102,51 @@ object Round18Props extends Properties("Round18Ops") {
         s"eff=$eff want=$want tHit=$tHit"
   }
 
+  property("windowed drift serving: hdrWindowRead == direct build on " +
+    "the window's rows; topkWindowRead == the leafCols build; evicting " +
+    "expired days changes neither") = Prop.forAll(Gen.choose(1, 5)) {
+    shift =>
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Sketches
+    val rows = for {
+      d <- 1 to 25; i <- 1 to (d % 5) + 2
+    } yield (d.toLong, ((i * d + shift) % 7 + 1).toLong,
+      s"u${(i + d + shift) % 4}")
+    val df = rows.toDF("day", "v", "u")
+    def hdrSet(x: org.apache.spark.sql.DataFrame) =
+      x.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def tkSet(x: org.apache.spark.sql.DataFrame) =
+      x.select("item", "cnt", "tseen").collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+        .toSet
+    val hdrState = Sketches.hdrSketch(df, Seq("day"), "v", 8)
+    val tkState = Sketches.topkSketch(df, Seq("day"), "u", 2)
+    // frontier = day 25: recent window (18, 25], prior (11, 18]
+    val checks = Seq((7, 0, 18L, 25L), (7, 7, 11L, 18L)).map {
+      case (n, off, lo, hi) =>
+        val winRows = df.filter(col("day") > lo && col("day") <= hi)
+        val hdrOk = hdrSet(Sketches.hdrWindowRead(
+            hdrState, Seq.empty, "day", n, off)) ==
+          hdrSet(Sketches.hdrSketch(winRows, Seq.empty, "v", 8))
+        val tkOk = tkSet(Sketches.topkWindowRead(
+            tkState, Seq.empty, "day", n, off)) ==
+          tkSet(Sketches.topkSketch(winRows, Seq.empty, "u", 2,
+            leafCols = Seq("day")))
+        hdrOk && tkOk
+    }
+    // eviction: days outside every served window (<= 11) drop freely
+    val evOk = hdrSet(Sketches.hdrWindowRead(
+        hdrState.filter(col("day") > 11L), Seq.empty, "day", 7, 7)) ==
+      hdrSet(Sketches.hdrWindowRead(hdrState, Seq.empty, "day", 7, 7)) &&
+      tkSet(Sketches.topkWindowRead(
+        tkState.filter(col("day") > 11L), Seq.empty, "day", 7, 7)) ==
+      tkSet(Sketches.topkWindowRead(tkState, Seq.empty, "day", 7, 7))
+    checks(0) :| "recent window == direct build" &&
+      checks(1) :| "prior window == direct build" &&
+      evOk :| "eviction of expired days is invisible to window reads"
+  }
+
   property("SCC trim changes no labels: trimmed-path result == pivot-" +
     "only-sized result == Floyd-Warshall reference on random graphs " +
     "with dangling tails") = Prop.forAll(

@@ -290,6 +290,43 @@ class StreamingAggSpec extends AnyFunSuite {
       s"served $hs batch $hb")
   }
 
+  test("windowed serving off streamed per-day topk leaves: " +
+    "topkStateSink keyed by day + topkWindowRead == batch leafCols " +
+    "build on the window's rows") {
+    import spark.implicits._
+    import graft.ops.Sketches
+    import graft.streaming.StreamingIngest
+    val k = 3
+    val in = java.nio.file.Files.createTempDirectory("graft-tkw-in")
+    val state = java.nio.file.Files.createTempDirectory("graft-tkw-st").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tkw-ck").toString
+    def wave(rows: Seq[(Long, String)]): Long = {
+      rows.toDF("day", "w").coalesce(1).write.mode("append")
+        .parquet(in.toString)
+      StreamingIngest.topkStateSink(spark,
+        spark.readStream.schema("day LONG, w STRING").parquet(in.toString),
+        Seq("day"), "w", k, state, ckpt)
+    }
+    def mk(day: Long, seed: Int): Seq[(Long, String)] =
+      (1 to 120).map(i => (day, s"w${(seed * 13 + i * i) % 9}"))
+    // two waves can land on the SAME day — leaves must still fold per day
+    val all = Seq(mk(1L, 1), mk(2L, 2), mk(2L, 3), mk(3L, 4), mk(4L, 5))
+    all.foreach(rows => assert(wave(rows) == 1L))
+    val perDay = Sketches.topkFromRegisters(
+      StreamingIngest.readAggState(spark, state)
+        .withColumnRenamed("v", "sum_v"), Seq("day"))
+    // window = days (2, 4] off the stored frontier (day 4)
+    val served = Sketches.topkWindowRead(perDay, Seq.empty, "day", 2, 0)
+    val winRows = all.flatten.filter(r => r._1 > 2L && r._1 <= 4L)
+    val direct = Sketches.topkSketch(winRows.toDF("day", "w"),
+      Seq.empty, "w", k, leafCols = Seq("day"))
+    def st(d: org.apache.spark.sql.DataFrame) =
+      d.select("item", "cnt", "tseen").collect().map(r =>
+        (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+    assert(st(served) == st(direct),
+      s"windowed stream state ${st(served)} != batch ${st(direct)}")
+  }
+
   test("aggStateSink: replays skip, torn versions are invisible") {
     import spark.implicits._
     import graft.streaming.StreamingIngest
