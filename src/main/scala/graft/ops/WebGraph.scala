@@ -1757,27 +1757,58 @@ object WebGraph {
     * plane onto the distinct edge list + one aggregation — no
     * iteration, no windows.
     *
-    * → (src_component, dst_component, n_edges)
+    * With `weightCol` (crawl planners want EDGE MASS between
+    * components, not just distinct-edge counts): weights must be
+    * POSITIVE INTEGERS (the [[louvainCommunities]] contract — raise,
+    * never truncate), parallel (src, dst) rows ADD their weights
+    * before the quotient aggregation, and the output gains a `weight`
+    * column = the summed mass between the two components. The default
+    * path is bit-identical to the historic unweighted output (q267's
+    * oracle hash unchanged).
+    *
+    * → (src_component, dst_component, n_edges[, weight])
     */
   def sccCondense(edges: DataFrame, srcCol: String, dstCol: String,
                   comps: DataFrame, nodeCol: String = "node",
-                  compCol: String = "component"): DataFrame = {
-    val e0 = edges
-      .select(col(srcCol).cast("string").as("esrc"),
-        col(dstCol).cast("string").as("edst"))
-      .filter(col("esrc").isNotNull && col("edst").isNotNull &&
-        col("esrc") =!= col("edst"))
-      .distinct()
+                  compCol: String = "component",
+                  weightCol: Option[String] = None): DataFrame = {
+    val e0 = weightCol match {
+      case None => edges
+        .select(col(srcCol).cast("string").as("esrc"),
+          col(dstCol).cast("string").as("edst"))
+        .filter(col("esrc").isNotNull && col("edst").isNotNull &&
+          col("esrc") =!= col("edst"))
+        .distinct()
+      case Some(wc) => edges
+        .select(col(srcCol).cast("string").as("esrc"),
+          col(dstCol).cast("string").as("edst"), col(wc).as("__w0"))
+        .filter(col("esrc").isNotNull && col("edst").isNotNull &&
+          col("esrc") =!= col("edst"))
+        .filter(coalesce(
+          assert_true(col("__w0").isNotNull &&
+              col("__w0").cast("long") >= 1L &&
+              col("__w0") === col("__w0").cast("long"),
+            concat_ws("", lit("sccCondense: edge weight must be a"),
+              lit(" positive integer, got "), col("__w0"))),
+          lit(true)))
+        .groupBy("esrc", "edst") // parallel rows ADD their weights
+        .agg(coalesce(sum(col("__w0").cast("long")).cast("bigint"),
+          lit(0L)).as("__w"))
+    }
     val lab = comps.select(col(nodeCol).cast("string").as("__n"),
       col(compCol).cast("string").as("__c"))
-    e0
+    val joined = e0
       .join(lab.select(col("__n").as("esrc"),
         col("__c").as("src_component")), "esrc")
       .join(lab.select(col("__n").as("edst"),
         col("__c").as("dst_component")), "edst")
       .filter(col("src_component") =!= col("dst_component"))
       .groupBy("src_component", "dst_component")
-      .agg(count(lit(1)).as("n_edges"))
+    weightCol match {
+      case None => joined.agg(count(lit(1)).as("n_edges"))
+      case Some(_) => joined.agg(count(lit(1)).as("n_edges"),
+        coalesce(sum(col("__w")).cast("bigint"), lit(0L)).as("weight"))
+    }
   }
 
   /** Power-law degree-exponent MLE (Clauset, Shalizi & Newman, SIAM

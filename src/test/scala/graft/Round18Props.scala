@@ -147,6 +147,36 @@ object Round18Props extends Properties("Round18Ops") {
       evOk :| "eviction of expired days is invisible to window reads"
   }
 
+  property("sccCondense weighted passthrough: parallel edge weights ADD " +
+    "into the quotient mass, hand-computed; fractional weights raise") =
+    Prop.secure {
+    import spark.implicits._
+    // SCCs: {a,b,c} -> 'a', {d,e} -> 'd', {f} -> 'f'; cross mass:
+    // c->d 3 plus a parallel c->d 2 (adds to 5), e->f 7, a->f 1
+    val edges = Seq(
+      ("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L),
+      ("d", "e", 1L), ("e", "d", 1L),
+      ("c", "d", 3L), ("c", "d", 2L), ("e", "f", 7L), ("a", "f", 1L))
+    val df = edges.toDF("src", "dst", "w")
+    val comps = graft.ops.WebGraph.stronglyConnectedComponents(
+      df, "src", "dst", pivotsPerRound = 64, maxDepth = 16)
+    val got = graft.ops.WebGraph.sccCondense(df, "src", "dst", comps,
+        weightCol = Some("w"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    val want = Set(("a", "d", 1L, 5L), ("d", "f", 1L, 7L),
+      ("a", "f", 1L, 1L))
+    val bad = scala.util.Try {
+      graft.ops.WebGraph.sccCondense(
+        Seq(("x", "y", 2.5)).toDF("src", "dst", "w"), "src", "dst",
+        Seq(("x", "x"), ("y", "y")).toDF("node", "component"),
+        weightCol = Some("w")).collect()
+    }
+    (got == want) :| s"quotient $got" &&
+      (bad.isFailure && bad.failed.get.getMessage != null) :|
+        "fractional weight must raise"
+  }
+
   property("SCC trim changes no labels: trimmed-path result == pivot-" +
     "only-sized result == Floyd-Warshall reference on random graphs " +
     "with dangling tails") = Prop.forAll(
