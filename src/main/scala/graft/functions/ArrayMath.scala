@@ -288,6 +288,7 @@ object ArrayMath {
   val matVecName = "graft_mat_vec_affine"
   val bpeMergeName = "graft_bpe_merge_pair"
   val bpeEncodeName = "graft_bpe_encode"
+  val unigramEncodeName = "graft_unigram_encode"
   val jaroWinklerName = "graft_jaro_winkler"
   val boundedKeyName = "graft_bounded_key"
 
@@ -465,6 +466,10 @@ object ArrayMath {
     bind(
       bpeEncodeName,
       exprs => BpeEncode(exprs(0), stringArrayLit(exprs(1), "merge list")))
+    bind(
+      unigramEncodeName,
+      exprs => UnigramEncode(exprs(0),
+        stringArrayLit(exprs(1), "unigram vocabulary")))
     bind(
       jaroWinklerName, exprs => JaroWinklerSim(exprs(0), exprs(1)))
     bind(
@@ -691,6 +696,14 @@ object ArrayMath {
   def bpeEncode(words: Column, merges: Array[String]): Column =
     call_function(bpeEncodeName, words,
       org.apache.spark.sql.functions.typedLit(merges.toSeq))
+
+  /** Viterbi unigram-LM encode of a word array against a trained
+    * vocabulary (each entry "piece scaledScore"); scores ride as one
+    * reference object (see [[UnigramEncode]]).
+    */
+  def unigramEncode(words: Column, vocab: Array[String]): Column =
+    call_function(unigramEncodeName, words,
+      org.apache.spark.sql.functions.typedLit(vocab.toSeq))
 
   /** Codegen'd Bloom membership probe of a bigint hash column against
     * serialized filter bits (see [[BloomMightContain]]). `bits` is

@@ -113,6 +113,92 @@ object TrainingQueries {
     s"(STRPOS('0123456789abcdef', m[$p]) - 1) * $pw"
   }.mkString(" + ")
 
+  /** DuckDB replay of the q279 unigram-LM trainer (Kudo ACL'18 hard-EM,
+    * the [[graft.ops.Unigram]] algorithm verbatim): planted 6-word
+    * corpus, substring seed (all singles + top-10 multis), then per EM
+    * round one recursive-CTE Viterbi (enumerate segmentations, best by
+    * score DESC / path ASC — equal to the trainer's DP, see q279),
+    * word-weighted piece counts with the single-char floor, prune to 5
+    * multis, exact DECIMAL(18,12) ln re-score. Shared by q279 (model
+    * table) and q280 (encode under the final scores).
+    */
+  private val unigramTrainCtes: String = {
+    def emRound(r: Int, prev: String) =
+      s"""vm_$r AS (
+         |  SELECT s.w, s.st, s.en, s.piece, v.score
+         |  FROM sub s JOIN $prev v ON v.piece = s.piece),
+         |seg_$r(w, pos, score, path) AS (
+         |  SELECT w, 0, CAST(0 AS DECIMAL(18,12)), '' FROM words
+         |  UNION ALL
+         |  SELECT g.w, v.en, CAST(g.score + v.score AS DECIMAL(18,12)),
+         |    CASE WHEN g.path = '' THEN v.piece
+         |         ELSE g.path || ' ' || v.piece END
+         |  FROM seg_$r g JOIN vm_$r v ON v.w = g.w AND v.st = g.pos + 1),
+         |best_$r AS (
+         |  SELECT w, path FROM (
+         |    SELECT g.w, g.path, ROW_NUMBER() OVER (PARTITION BY g.w
+         |        ORDER BY g.score DESC, g.path) AS rn
+         |    FROM seg_$r g WHERE g.pos = len(g.w)) x
+         |  WHERE rn = 1),
+         |vc_$r AS (
+         |  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS vc
+         |  FROM (SELECT ww.cnt, unnest(string_split(b.path, ' ')) AS piece
+         |        FROM best_$r b JOIN words ww ON ww.w = b.w) t
+         |  GROUP BY piece),
+         |cn_$r AS (
+         |  SELECT v.piece,
+         |    CASE WHEN len(v.piece) = 1
+         |      THEN greatest(COALESCE(c.vc, 0), 1)
+         |      ELSE COALESCE(c.vc, 0) END AS pcnt
+         |  FROM $prev v LEFT JOIN vc_$r c ON c.piece = v.piece),
+         |kp_$r AS (
+         |  SELECT piece, pcnt FROM (
+         |    SELECT piece, pcnt,
+         |      ROW_NUMBER() OVER (PARTITION BY (len(piece) > 1)
+         |        ORDER BY pcnt DESC, piece) AS rk
+         |    FROM cn_$r WHERE pcnt > 0) x
+         |  WHERE len(piece) = 1 OR rk <= 5),
+         |sc_$r AS (
+         |  SELECT piece, pcnt,
+         |    CAST(ln(CAST(pcnt AS DOUBLE)
+         |      / CAST(SUM(pcnt) OVER () AS DOUBLE)) AS DECIMAL(18,12))
+         |      AS score
+         |  FROM kp_$r)""".stripMargin
+    s"""base AS (
+       |  SELECT ['banana','bandana','ananas','nana','band','dana']
+       |    [CAST(doc_id % 6 AS INT) + 1] AS w
+       |  FROM documents),
+       |words AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+       |          FROM base GROUP BY w),
+       |st0 AS (SELECT w, cnt,
+       |          unnest(generate_series(1, len(w))) AS st
+       |        FROM words),
+       |sub0 AS (SELECT w, cnt, st,
+       |           unnest(generate_series(1, least(3, len(w) - st + 1)))
+       |             AS ln
+       |         FROM st0),
+       |sub AS (SELECT w, st, st + ln - 1 AS en,
+       |          substring(w, st, ln) AS piece, cnt
+       |        FROM sub0),
+       |seedc AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS pcnt
+       |          FROM sub GROUP BY piece),
+       |kp_0 AS (
+       |  SELECT piece, pcnt FROM (
+       |    SELECT piece, pcnt,
+       |      ROW_NUMBER() OVER (PARTITION BY (len(piece) > 1)
+       |        ORDER BY pcnt DESC, piece) AS rk
+       |    FROM seedc) x
+       |  WHERE len(piece) = 1 OR rk <= 10),
+       |sc_0 AS (
+       |  SELECT piece, pcnt,
+       |    CAST(ln(CAST(pcnt AS DOUBLE)
+       |      / CAST(SUM(pcnt) OVER () AS DOUBLE)) AS DECIMAL(18,12))
+       |      AS score
+       |  FROM kp_0),
+       |${emRound(1, "sc_0")},
+       |${emRound(2, "sc_1")}""".stripMargin
+  }
+
   /** q121/q124 planted-URL fixture (Spark spelling) — synthesized per
     * doc with uppercase hosts, default ports, tracking params (one
     * uppercase), fragments, shared paths, a spam domain, and
@@ -11131,6 +11217,79 @@ object TrainingQueries {
            |LEFT JOIN it_b ib ON ib.item = COALESCE(ha.item, hb.item)
            |CROSS JOIN m_a CROSS JOIN m_b
            |ORDER BY item""".stripMargin
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // Unigram-LM tokenizer trainer (Unigram.train — Kudo ACL'18, the
+    // SentencePiece family; the r17 verdict's named tokenizer gap):
+    // frequent-substring seed + 2 hard-EM rounds (Viterbi E-step — every
+    // statistic an exact integer, scores exact DECIMAL(18,12) ln ratios)
+    // over a planted 6-word corpus drawn per doc_id. The oracle replays
+    // the seed, BOTH EM rounds and the pruning; its Viterbi enumerates
+    // all segmentations with ONE recursive CTE and picks per word the
+    // (score DESC, path ASC) best — equal to the trainer's per-position
+    // DP because appending a common suffix preserves string order, so
+    // local tie-breaks compose to the global one.
+    QuerySpec(
+      "q279_unigram_train",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val words = docs.select(element_at(
+          typedLit(Seq("banana", "bandana", "ananas", "nana", "band",
+            "dana")),
+          (col("doc_id") % 6 + 1).cast("int")).as("text"))
+        val model = graft.ops.Unigram.train(words, "text",
+          vocabSize = 10, maxPieceLen = 3, seedFactor = 2, emRounds = 2)
+        graft.ops.Unigram.modelDf(words, model)
+          .select(col("piece"), col("cnt"),
+            col("score").cast("string").cast("double").as("score"))
+          .orderBy(col("cnt").desc, col("piece"))
+      },
+      Some(s"""WITH RECURSIVE
+             |${unigramTrainCtes}
+             |SELECT piece, pcnt AS cnt,
+             |  CAST(CAST(score AS VARCHAR) AS DOUBLE) AS score
+             |FROM sc_2 ORDER BY cnt DESC, piece""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Unigram Viterbi ENCODE under the q279 model
+    // (Unigram.encode → the graft_unigram_encode codegen expression,
+    // scores as exact 10^12-scaled longs): every distinct fixture word
+    // segmented under the trained scores. The oracle re-trains and runs
+    // one more recursive-CTE Viterbi under the FINAL scores — so the
+    // row hash certifies the codegen kernel against the pure-SQL
+    // segmentation, tie rule included.
+    QuerySpec(
+      "q280_unigram_encode",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val words = docs.select(element_at(
+          typedLit(Seq("banana", "bandana", "ananas", "nana", "band",
+            "dana")),
+          (col("doc_id") % 6 + 1).cast("int")).as("text"))
+        val model = graft.ops.Unigram.train(words, "text",
+          vocabSize = 10, maxPieceLen = 3, seedFactor = 2, emRounds = 2)
+        graft.ops.Unigram.encode(words.distinct(), "text", model)
+          .select(col("text").as("w"),
+            array_join(col("unigram_tokens"), " ").as("toks"))
+          .orderBy("w")
+      },
+      Some(s"""WITH RECURSIVE
+             |${unigramTrainCtes},
+             |vm_3 AS (
+             |  SELECT s.w, s.st, s.en, s.piece, v.score
+             |  FROM sub s JOIN sc_2 v ON v.piece = s.piece),
+             |seg_3(w, pos, score, path) AS (
+             |  SELECT w, 0, CAST(0 AS DECIMAL(18,12)), '' FROM words
+             |  UNION ALL
+             |  SELECT g.w, v.en, CAST(g.score + v.score AS DECIMAL(18,12)),
+             |    CASE WHEN g.path = '' THEN v.piece
+             |         ELSE g.path || ' ' || v.piece END
+             |  FROM seg_3 g JOIN vm_3 v ON v.w = g.w AND v.st = g.pos + 1)
+             |SELECT w, path AS toks FROM (
+             |  SELECT g.w, g.path, ROW_NUMBER() OVER (PARTITION BY g.w
+             |      ORDER BY g.score DESC, g.path) AS rn
+             |  FROM seg_3 g WHERE g.pos = len(g.w)) x
+             |WHERE rn = 1 ORDER BY w""".stripMargin))
   )
 }

@@ -177,6 +177,43 @@ object Round18Props extends Properties("Round18Ops") {
         "fractional weight must raise"
   }
 
+  property("Unigram trainer: hand-computed corpus (seed, Viterbi-EM " +
+    "counts, floors, scores); encode == trainer segmentation; OOV " +
+    "byte-fallback; training is layout-invariant") = Prop.secure {
+    import spark.implicits._
+    // corpus: 'ab' x3, 'cd' x1 -> charset {a,b,c,d}, vocabSize 6 keeps
+    // both multis. EM: 'ab' segments as [ab] (ln(3/12) beats 2*ln(3/12)),
+    // 'cd' as [cd]; counts ab=3, cd=1, singles floor at 1; round-2 total
+    // = 8 -> scores ln(3/8) and ln(1/8)
+    val docs = Seq("ab ab cd", "ab").toDF("text")
+    val model = graft.ops.Unigram.train(docs, "text", vocabSize = 6,
+      maxPieceLen = 2, seedFactor = 4, emRounds = 2)
+    val got = model.map(p => (p.piece, p.cnt, p.score.doubleValue)).toSet
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-9
+    val cntOk = model.map(p => p.piece -> p.cnt).toMap ==
+      Map("ab" -> 3L, "cd" -> 1L, "a" -> 1L, "b" -> 1L, "c" -> 1L,
+        "d" -> 1L)
+    val scoreOk = model.forall { p =>
+      val want = if (p.piece == "ab") math.log(3.0 / 8.0)
+      else math.log(1.0 / 8.0)
+      close(p.score.doubleValue, want)
+    }
+    // encode: trained pieces win, OOV chars fall back to single tokens
+    val enc = graft.ops.Unigram.encode(
+        Seq("ab cd abcd xq").toDF("text"), "text", model)
+      .select("unigram_tokens").head().getSeq[String](0).toList
+    val encOk = enc == List("ab", "cd", "ab", "cd", "x", "q")
+    // layout invariance: 7-way repartition trains the identical model
+    val model7 = graft.ops.Unigram.train(docs.repartition(7), "text",
+      vocabSize = 6, maxPieceLen = 2, seedFactor = 4, emRounds = 2)
+    val layoutOk = model7.map(p => (p.piece, p.cnt, p.score)) ==
+      model.map(p => (p.piece, p.cnt, p.score))
+    cntOk :| s"counts ${model.map(p => p.piece -> p.cnt)}" &&
+      scoreOk :| s"scores $got" &&
+      encOk :| s"encode $enc" &&
+      layoutOk :| "layout invariance"
+  }
+
   property("SCC trim changes no labels: trimmed-path result == pivot-" +
     "only-sized result == Floyd-Warshall reference on random graphs " +
     "with dangling tails") = Prop.forAll(
