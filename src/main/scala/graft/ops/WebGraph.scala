@@ -1573,15 +1573,19 @@ object WebGraph {
       val waves = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       var trimming = true
       while (trimming) {
-        val zeroDeg = residual
+        // probe BEFORE checkpointing: the last wave of every trim is
+        // empty by definition (and on cycle-dominated graphs every
+        // wave is), so the common case pays one take(1)-style probe,
+        // not a materialization job
+        val zeroDegPlan = residual
           .join(eR.select(col("esrc").as("node")), Seq("node"), "left_anti")
           .unionByName(residual
             .join(eR.select(col("edst").as("node")), Seq("node"),
               "left_anti"))
           .distinct()
-          .localCheckpoint()
-        if (zeroDeg.isEmpty) trimming = false
+        if (zeroDegPlan.isEmpty) trimming = false
         else {
+          val zeroDeg = zeroDegPlan.localCheckpoint()
           waves += zeroDeg
           residual = residual.join(zeroDeg, Seq("node"), "left_anti")
             .localCheckpoint()
@@ -1647,8 +1651,10 @@ object WebGraph {
         .localCheckpoint()
       if (eR ne e0) eR.unpersist()
       eR = eNext
-      trim() // the settled SCCs' removal exposes a fresh acyclic fringe
       done = residual.isEmpty
+      // the settled SCCs' removal exposes a fresh acyclic fringe — but
+      // skip the probe when the pivots already finished the graph
+      if (!done) { trim(); done = residual.isEmpty }
     }
     if (eR ne e0) eR.unpersist()
     e0.unpersist()
