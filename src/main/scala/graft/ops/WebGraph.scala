@@ -1448,6 +1448,112 @@ object WebGraph {
     rows.reduce(_ unionByName _)
   }
 
+  /** Per-node HyperBall ball-size table — the register plane behind
+    * [[neighborhoodFunction]] served per node: (node, t, ball_est)
+    * with ball_est the HLL estimate of |B_t(node)| at every round up
+    * to the register fixpoint. `reverse = true` grows balls along
+    * REVERSED edges (B_t(v) = nodes that REACH v within t) — the
+    * orientation centrality reads want. Same iteration, same loud
+    * `maxT` guard, same determinism contract as the aggregate read;
+    * the per-round projection adds one |V|-row checkpoint per round.
+    *
+    * → (node, t, ball_est), rounds 0..T (register fixpoint)
+    */
+  def hyperballSizes(edges: DataFrame, srcCol: String, dstCol: String,
+                     maxT: Int = 64, p: Int = 9,
+                     reverse: Boolean = false): DataFrame = {
+    require(maxT >= 1 && maxT <= 256, s"maxT must be in [1,256], got $maxT")
+    val e0 = edges
+      .select(col(srcCol).cast("string").as("esrc"),
+        col(dstCol).cast("string").as("edst"))
+      .filter(col("esrc").isNotNull && col("edst").isNotNull &&
+        col("esrc") =!= col("edst"))
+      .distinct()
+    val e = (if (reverse) e0.select(col("edst").as("esrc"),
+        col("esrc").as("edst"))
+      else e0).persist()
+    val nodes = e.select(col("esrc").as("node"))
+      .unionByName(e.select(col("edst").as("node"))).distinct()
+    var c = graft.ops.Sketches.hllSketch(nodes, Seq("node"), "node", p)
+      .localCheckpoint()
+    def probe(df: DataFrame): (Long, Long) = {
+      val r = df.groupBy()
+        .agg(sum(col("rho_max")).cast("bigint"), count(lit(1))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    def estRows(t: Int, cc: DataFrame): DataFrame =
+      graft.ops.Sketches.hllEstimate(cc, Seq("node"), p)
+        .select(col("node"), lit(t).as("t"),
+          col("estimate").as("ball_est"))
+        .localCheckpoint()
+    val rows = scala.collection.mutable.ArrayBuffer(estRows(0, c))
+    var prev = probe(c)
+    var t = 0
+    var done = false
+    while (!done) {
+      t += 1
+      val grown = e.join(c.withColumnRenamed("node", "__dn"),
+          col("edst") === col("__dn"))
+        .select(col("esrc").as("node"), col("bucket"), col("rho_max"))
+        .unionByName(c)
+        .groupBy("node", "bucket").agg(max(col("rho_max")).as("rho_max"))
+        .localCheckpoint()
+      val cur = probe(grown)
+      if (cur == prev) done = true
+      else {
+        require(t <= maxT,
+          s"hyperballSizes: registers still changing at maxT=$maxT — " +
+            "raise maxT (truncating understates distances)")
+        rows += estRows(t, grown)
+        c.unpersist()
+        c = grown
+        prev = cur
+      }
+    }
+    e.unpersist()
+    rows.reduce(_ unionByName _)
+  }
+
+  /** HyperBall HARMONIC centrality (Boldi & Vigna ICDMW'13 — the
+    * paper's headline application: "In-Core Computation of Geometric
+    * Centralities with HyperBall"): for every node, Σ_{u≠v reaching v}
+    * 1/d(u, v), estimated from the INBOUND per-node ball sizes as
+    *
+    *   H(v) = Σ_{t≥1} (|B_t(v)| − |B_{t−1}(v)|) / t
+    *
+    * — the shell at distance t weighs 1/t, with shell sizes read off
+    * the [[hyperballSizes]] register estimates instead of exact reach
+    * sets (the web-scale trade: O(|V|·2^p) register state vs O(|V|²)
+    * closure). Each shell term is one IEEE subtraction and division
+    * over the table's deterministic estimates, summed as
+    * DECIMAL(27,12) (order-independent) and bridged via the string
+    * route — the read replays bit-for-bit. Negative shell estimates
+    * (the linear-counting branch boundary can tick a ball estimate
+    * DOWN a hair) clamp to 0 — a shell cannot have negative mass.
+    *
+    * Exact sibling: [[harmonicCloseness]] (sampled-source BFS). The
+    * q281 oracle certifies this estimate in-band against it.
+    *
+    * → (node, harmonic_est)
+    */
+  def hyperballHarmonic(edges: DataFrame, srcCol: String, dstCol: String,
+                        maxT: Int = 64, p: Int = 9): DataFrame = {
+    val sizes = hyperballSizes(edges, srcCol, dstCol, maxT, p,
+      reverse = true)
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("t"))
+    sizes
+      .withColumn("__prev", lag(col("ball_est"), 1).over(wOrd))
+      .filter(col("t") >= 1)
+      .select(col("node"),
+        (greatest(col("ball_est") - col("__prev"), lit(0.0)) /
+          col("t").cast("double")).cast("decimal(27,12)").as("__h"))
+      .groupBy("node")
+      .agg(sum(col("__h")).as("__hs"))
+      .select(col("node"),
+        col("__hs").cast("string").cast("double").as("harmonic_est"))
+  }
+
   /** Effective diameter at fraction `q` off a [[neighborhoodFunction]]
     * table (Boldi–Vigna's serving read; q=0.9 is the standard "90%
     * effective diameter"): the interpolated hop count at which the

@@ -11290,6 +11290,113 @@ object TrainingQueries {
              |  SELECT g.w, g.path, ROW_NUMBER() OVER (PARTITION BY g.w
              |      ORDER BY g.score DESC, g.path) AS rn
              |  FROM seg_3 g WHERE g.pos = len(g.w)) x
-             |WHERE rn = 1 ORDER BY w""".stripMargin))
+             |WHERE rn = 1 ORDER BY w""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // HyperBall HARMONIC centrality (WebGraph.hyperballHarmonic —
+    // Boldi-Vigna ICDMW'13's headline application): per-node
+    // Σ_{u reaching v} 1/d(u,v) estimated from INBOUND register-plane
+    // shell sizes, H(v) = Σ_t (|B_t|−|B_{t−1}|)/t, on the q275
+    // expander; exact sampled-BFS harmonicCloseness alongside with a
+    // ±10% per-node verdict (per-node HLL shells are noisier than the
+    // q275 corpus-level sums — the certified trade for O(|V|·2^p)
+    // state instead of O(|V|²) closure). The oracle reuses the q275
+    // closure keyed by TARGET node, replays the register estimates at
+    // every depth (frozen registers make post-fixpoint shells exactly
+    // 0, so no fixpoint filter is needed), the clamped shell sums and
+    // the exact floor-div harmonic.
+    QuerySpec(
+      "q281_hyperball_harmonic",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        def host(c: String) = concat(lit("h"), expr(c).cast("string"),
+          lit(".example.org"))
+        val base = docs.select(expr("doc_id % 97").as("n")).distinct()
+        val e = base.select(host("n").as("src_host"),
+            host("pmod(2*n+1, 97)").as("dst_host"))
+          .unionByName(base.select(host("n").as("src_host"),
+            host("pmod(3*n+2, 97)").as("dst_host")))
+        val est = graft.ops.WebGraph.hyperballHarmonic(
+          e, "src_host", "dst_host", maxT = 16, p = 9)
+        val exact = graft.ops.WebGraph.harmonicCloseness(
+          e, "src_host", "dst_host", nSources = 4096, maxDepth = 16)
+        est.join(exact.select(col("node"), col("harmonic")), Seq("node"))
+          .select(col("node"), col("harmonic_est"),
+            col("harmonic").as("harmonic_exact"),
+            when(col("harmonic") === 0.0, col("harmonic_est") === 0.0)
+              .otherwise(abs(col("harmonic_est") / col("harmonic") -
+                lit(1.0)) <= lit(0.10)).as("within_band"))
+          .orderBy("node")
+      },
+      Some(s"""WITH RECURSIVE
+             |bb AS (SELECT DISTINCT doc_id % 97 AS n FROM documents),
+             |raw AS (
+             |  SELECT 'h' || CAST(n AS VARCHAR) || '.example.org' AS src,
+             |    'h' || CAST((2*n+1) % 97 AS VARCHAR) || '.example.org'
+             |      AS dst
+             |  FROM bb
+             |  UNION ALL
+             |  SELECT 'h' || CAST(n AS VARCHAR) || '.example.org',
+             |    'h' || CAST((3*n+2) % 97 AS VARCHAR) || '.example.org'
+             |  FROM bb),
+             |e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+             |nodes AS (SELECT DISTINCT node FROM
+             |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e) u),
+             |reach(s, v, d) AS (
+             |  SELECT node, node, 0 FROM nodes
+             |  UNION
+             |  SELECT reach.s, e.dst, reach.d + 1
+             |  FROM reach JOIN e ON e.src = reach.v WHERE reach.d < 16),
+             |reachm AS MATERIALIZED (SELECT * FROM reach),
+             |md AS (SELECT s, v, MIN(d) AS d FROM reachm GROUP BY 1, 2),
+             |ts AS (SELECT DISTINCT d AS t FROM md),
+             |hb AS (SELECT v, d, CAST($h48Sql AS BIGINT) AS h
+             |       FROM (SELECT v, d, md5(s) AS m FROM md) q),
+             |hr AS (SELECT v, d, h >> 39 AS bucket,
+             |         CASE WHEN (h & 549755813887) = 0 THEN 40
+             |           ELSE 40 - length(bin(h & 549755813887)) END AS rho
+             |       FROM hb),
+             |reg AS (SELECT ts.t, hr.v, hr.bucket, MAX(hr.rho) AS rho_max
+             |        FROM ts JOIN hr ON hr.d <= ts.t GROUP BY 1, 2, 3),
+             |ag AS (SELECT t, v, COUNT(*) AS hit,
+             |    CAST(SUM(CAST(1 AS BIGINT)
+             |      << (40 - CAST(rho_max AS INT))) AS BIGINT) AS sm
+             |  FROM reg GROUP BY 1, 2),
+             |ee AS (SELECT t, v, hit,
+             |    sm + (512 - hit) * (CAST(1 AS BIGINT) << 40) AS sall,
+             |    512 - hit AS ve
+             |  FROM ag),
+             |es AS (SELECT t, v,
+             |    CASE WHEN (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0
+             |        * 512.0 * 1099511627776.0 / CAST(sall AS DOUBLE)
+             |          <= 2.5 * 512.0 AND ve > 0
+             |      THEN CAST(CAST(512.0 * ln(512.0 / CAST(ve AS DOUBLE))
+             |        AS DECIMAL(18,12)) AS DOUBLE)
+             |      ELSE (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0
+             |        * 1099511627776.0 / CAST(sall AS DOUBLE)
+             |    END AS est
+             |  FROM ee),
+             |sh AS (SELECT v,
+             |    CAST(greatest(est - LAG(est) OVER (PARTITION BY v
+             |        ORDER BY t), 0.0) / CAST(t AS DOUBLE)
+             |      AS DECIMAL(27,12)) AS term, t
+             |  FROM es),
+             |he AS (SELECT v,
+             |    CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE) AS harmonic_est
+             |  FROM sh WHERE t >= 1 GROUP BY v),
+             |hx AS (SELECT md.v,
+             |    CAST(SUM(1000000000000 // d) AS BIGINT) AS h_scaled
+             |  FROM md WHERE d >= 1 GROUP BY md.v),
+             |ex AS (SELECT n.node,
+             |    CAST(COALESCE(hx.h_scaled, 0) AS DOUBLE)
+             |      / 1000000000000.0 AS harmonic_exact
+             |  FROM nodes n LEFT JOIN hx ON hx.v = n.node)
+             |SELECT ex.node, he.harmonic_est, ex.harmonic_exact,
+             |  CASE WHEN ex.harmonic_exact = 0.0
+             |    THEN he.harmonic_est = 0.0
+             |    ELSE ABS(he.harmonic_est / ex.harmonic_exact - 1.0)
+             |      <= 0.10 END AS within_band
+             |FROM ex JOIN he ON he.v = ex.node
+             |ORDER BY ex.node""".stripMargin))
   )
 }
