@@ -11397,6 +11397,69 @@ object TrainingQueries {
              |    ELSE ABS(he.harmonic_est / ex.harmonic_exact - 1.0)
              |      <= 0.10 END AS within_band
              |FROM ex JOIN he ON he.v = ex.node
-             |ORDER BY ex.node""".stripMargin))
+             |ORDER BY ex.node""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Tokenizer fertility / compression report (the metric tokenizer
+    // choices are actually made on — pieces per word and characters per
+    // piece, corpus-weighted): the q279 unigram model applied to the
+    // full planted corpus via the codegen Viterbi kernel, folded to ONE
+    // exact-integer row + two IEEE divisions of exact integers. The oracle
+    // replays training, the per-word-type Viterbi (recursive CTE), and
+    // re-weights by word counts — certifying the codegen encode's
+    // aggregate behavior, not just per-word paths.
+    QuerySpec(
+      "q282_tokenizer_fertility",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val words = docs.select(element_at(
+          typedLit(Seq("banana", "bandana", "ananas", "nana", "band",
+            "dana")),
+          (col("doc_id") % 6 + 1).cast("int")).as("text"))
+        val model = graft.ops.Unigram.train(words, "text",
+          vocabSize = 10, maxPieceLen = 3, seedFactor = 2, emRounds = 2)
+        graft.ops.Unigram.encode(words, "text", model)
+          .select(length(col("text")).cast("bigint").as("__chars"),
+            size(col("unigram_tokens")).cast("bigint").as("__toks"))
+          .groupBy()
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("__toks")).as("n_tokens"),
+            sum(col("__chars")).as("n_chars"))
+          .select(col("n_words"), col("n_tokens"), col("n_chars"),
+            (col("n_tokens").cast("double") /
+              col("n_words").cast("double")).as("tokens_per_word"),
+            (col("n_chars").cast("double") /
+              col("n_tokens").cast("double")).as("chars_per_token"))
+      },
+      Some(s"""WITH RECURSIVE
+             |${unigramTrainCtes},
+             |vm_3 AS (
+             |  SELECT s.w, s.st, s.en, s.piece, v.score
+             |  FROM sub s JOIN sc_2 v ON v.piece = s.piece),
+             |seg_3(w, pos, score, path) AS (
+             |  SELECT w, 0, CAST(0 AS DECIMAL(18,12)), '' FROM words
+             |  UNION ALL
+             |  SELECT g.w, v.en, CAST(g.score + v.score AS DECIMAL(18,12)),
+             |    CASE WHEN g.path = '' THEN v.piece
+             |         ELSE g.path || ' ' || v.piece END
+             |  FROM seg_3 g JOIN vm_3 v ON v.w = g.w AND v.st = g.pos + 1),
+             |enc AS (
+             |  SELECT w, path FROM (
+             |    SELECT g.w, g.path, ROW_NUMBER() OVER (PARTITION BY g.w
+             |        ORDER BY g.score DESC, g.path) AS rn
+             |    FROM seg_3 g WHERE g.pos = len(g.w)) x
+             |  WHERE rn = 1),
+             |m AS (
+             |  SELECT CAST(SUM(ww.cnt) AS BIGINT) AS n_words,
+             |    CAST(SUM(ww.cnt * len(string_split(e.path, ' ')))
+             |      AS BIGINT) AS n_tokens,
+             |    CAST(SUM(ww.cnt * len(ww.w)) AS BIGINT) AS n_chars
+             |  FROM enc e JOIN words ww ON ww.w = e.w)
+             |SELECT n_words, n_tokens, n_chars,
+             |  CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)
+             |    AS tokens_per_word,
+             |  CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             |    AS chars_per_token
+             |FROM m""".stripMargin))
   )
 }
