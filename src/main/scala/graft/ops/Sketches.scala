@@ -852,29 +852,48 @@ object Sketches {
     *
     * → (groupCols…, n_registers_hit, estimate)
     */
-  def hllEstimate(sketch: DataFrame, groupCols: Seq[String],
-                  p: Int = 9): DataFrame = {
-    require(p >= 7 && p <= 14, s"HLL needs p in [7,14], got $p")
+  /** 2^(R−M_j) per register row — the exact-integer register power the
+    * estimate sums; ONE spelling shared by [[hllEstimate]] and the
+    * fused HyperBall reads in [[graft.ops.WebGraph]].
+    */
+  private[ops] def hllShiftT(p: Int): org.apache.spark.sql.Column =
+    expr(s"shiftleft(CAST(1 AS BIGINT), ${48 - p + 1} " +
+      "- CAST(rho_max AS INT))")
+
+  /** The q239-certified estimate from a per-group register aggregation
+    * (`hit` = registers hit, `sumT` = Σ 2^(R−M_j) over them): harmonic
+    * mean with Flajolet's linear-counting small-range branch, the ln
+    * DECIMAL(18,12)-routed. ONE spelling shared by [[hllEstimate]] and
+    * the fused HyperBall reads — the two can never drift.
+    */
+  private[ops] def hllEstimateExpr(hit: org.apache.spark.sql.Column,
+                                   sumT: org.apache.spark.sql.Column,
+                                   p: Int): org.apache.spark.sql.Column = {
     val m = 1L << p
     val bigR = 48 - p + 1
     val p2R = math.pow(2.0, bigR.toDouble) // exact power of two
     val mD = lit(m.toDouble)
-    val agg = sketch
-      .withColumn("__t", expr(s"shiftleft(CAST(1 AS BIGINT), " +
-        s"$bigR - CAST(rho_max AS INT))"))
+    // absent registers: rho 0 → 2^R each
+    val sAll = sumT + (lit(m) - hit) * lit(1L << bigR)
+    val v = lit(m) - hit
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / mD)
+    val eRaw = alpha * mD * mD * lit(p2R) / sAll.cast("double")
+    when(eRaw <= lit(2.5) * mD && v > 0,
+      (mD * log(mD / v.cast("double")))
+        .cast("decimal(18,12)").cast("double"))
+      .otherwise(eRaw)
+  }
+
+  def hllEstimate(sketch: DataFrame, groupCols: Seq[String],
+                  p: Int = 9): DataFrame = {
+    require(p >= 7 && p <= 14, s"HLL needs p in [7,14], got $p")
+    sketch
+      .withColumn("__t", hllShiftT(p))
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_registers_hit"), sum(col("__t")).as("__s"))
-      // absent registers: rho 0 → 2^R each
-      .withColumn("__sAll",
-        col("__s") + (lit(m) - col("n_registers_hit")) * lit(1L << bigR))
-      .withColumn("__v", lit(m) - col("n_registers_hit"))
-    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / mD)
-    val eRaw = alpha * mD * mD * lit(p2R) / col("__sAll").cast("double")
-    agg.select(groupCols.map(col) :+ col("n_registers_hit") :+
-        when(eRaw <= lit(2.5) * mD && col("__v") > 0,
-          (mD * log(mD / col("__v").cast("double")))
-            .cast("decimal(18,12)").cast("double"))
-          .otherwise(eRaw).as("estimate"): _*)
+      .select(groupCols.map(col) :+ col("n_registers_hit") :+
+        hllEstimateExpr(col("n_registers_hit"), col("__s"), p)
+          .as("estimate"): _*)
   }
 
   /** One-call convenience: HLL sketch then estimate. */

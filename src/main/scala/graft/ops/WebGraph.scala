@@ -1408,20 +1408,34 @@ object WebGraph {
       .unionByName(e.select(col("edst").as("node"))).distinct()
     var c = graft.ops.Sketches.hllSketch(nodes, Seq("node"), "node", p)
       .localCheckpoint()
-    def probe(df: DataFrame): (Long, Long) = {
-      val r = df.groupBy()
-        .agg(sum(col("rho_max")).cast("bigint"), count(lit(1))).head()
-      (r.getLong(0), r.getLong(1))
-    }
-    def nfRow(t: Int, cc: DataFrame): DataFrame =
-      graft.ops.Sketches.hllEstimate(cc, Seq("node"), p)
+    // ONE action per round reads the fixpoint probe AND the round's
+    // N(t): per-node register aggregation, then a global fold of the
+    // q239-certified estimate (DECIMAL(27,12), order-independent) plus
+    // the exact (Σ rho_max, register rows) change detector — level-
+    // synchronous graph rounds are driver-latency bound, so fusing the
+    // two reads cuts a third of the wall time
+    def roundRead(cc: DataFrame): (java.math.BigDecimal, Long, Long) = {
+      val r = cc
+        .withColumn("__t", graft.ops.Sketches.hllShiftT(p))
+        .groupBy("node")
+        .agg(count(lit(1)).as("__hit"), sum(col("__t")).as("__s"),
+          sum(col("rho_max")).as("__rho"))
         .groupBy()
-        .agg(sum(col("estimate").cast("decimal(27,12)")).as("__s"))
-        .select(lit(t).as("t"),
-          col("__s").cast("string").cast("double").as("nf_est"))
-        .localCheckpoint()
-    val rows = scala.collection.mutable.ArrayBuffer(nfRow(0, c))
-    var prev = probe(c)
+        .agg(sum(graft.ops.Sketches
+            .hllEstimateExpr(col("__hit"), col("__s"), p)
+            .cast("decimal(27,12)")).as("__nf"),
+          sum(col("__rho")).cast("bigint").as("__rhoTot"),
+          sum(col("__hit")).cast("bigint").as("__rows"))
+        .head()
+      (r.getDecimal(0), r.getLong(1), r.getLong(2))
+    }
+    val first = roundRead(c)
+    // decimal-to-double via the string route, on the driver — the same
+    // bridge the in-plan cast performs (plain-notation toString at
+    // scale 12, then the IEEE parse)
+    val rows = scala.collection.mutable.ArrayBuffer(
+      (0, first._1.toString.toDouble))
+    var prev = (first._2, first._3)
     var t = 0
     var done = false
     while (!done) {
@@ -1432,20 +1446,23 @@ object WebGraph {
         .unionByName(c)
         .groupBy("node", "bucket").agg(max(col("rho_max")).as("rho_max"))
         .localCheckpoint()
-      val cur = probe(grown)
+      val read = roundRead(grown)
+      val cur = (read._2, read._3)
       if (cur == prev) done = true // true fixpoint — monotone dynamics
       else {
         require(t <= maxT,
           s"neighborhoodFunction: registers still changing at maxT=" +
             s"$maxT — raise maxT (truncating understates the diameter)")
-        rows += nfRow(t, grown)
+        rows += ((t, read._1.toString.toDouble))
         c.unpersist()
         c = grown
         prev = cur
       }
     }
     e.unpersist()
-    rows.reduce(_ unionByName _)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    rows.toSeq.toDF("t", "nf_est")
   }
 
   /** Per-node HyperBall ball-size table — the register plane behind
@@ -1476,18 +1493,29 @@ object WebGraph {
       .unionByName(e.select(col("edst").as("node"))).distinct()
     var c = graft.ops.Sketches.hllSketch(nodes, Seq("node"), "node", p)
       .localCheckpoint()
-    def probe(df: DataFrame): (Long, Long) = {
-      val r = df.groupBy()
-        .agg(sum(col("rho_max")).cast("bigint"), count(lit(1))).head()
+    // the per-node serving rows carry the exact change-detector sums
+    // alongside the estimate, so the fixpoint probe is one trivial
+    // aggregation of the already-checkpointed skinny frame instead of
+    // a second scan of the register plane
+    def estRows(t: Int, cc: DataFrame): DataFrame =
+      cc.withColumn("__t", graft.ops.Sketches.hllShiftT(p))
+        .groupBy("node")
+        .agg(count(lit(1)).as("__hit"), sum(col("__t")).as("__s"),
+          sum(col("rho_max")).as("__rho"))
+        .select(col("node"), lit(t).as("t"),
+          graft.ops.Sketches.hllEstimateExpr(col("__hit"), col("__s"), p)
+            .as("ball_est"),
+          col("__rho"), col("__hit"))
+        .localCheckpoint()
+    def probe(er: DataFrame): (Long, Long) = {
+      val r = er.groupBy()
+        .agg(sum(col("__rho")).cast("bigint"),
+          sum(col("__hit")).cast("bigint")).head()
       (r.getLong(0), r.getLong(1))
     }
-    def estRows(t: Int, cc: DataFrame): DataFrame =
-      graft.ops.Sketches.hllEstimate(cc, Seq("node"), p)
-        .select(col("node"), lit(t).as("t"),
-          col("estimate").as("ball_est"))
-        .localCheckpoint()
-    val rows = scala.collection.mutable.ArrayBuffer(estRows(0, c))
-    var prev = probe(c)
+    val first = estRows(0, c)
+    val rows = scala.collection.mutable.ArrayBuffer(first)
+    var prev = probe(first)
     var t = 0
     var done = false
     while (!done) {
@@ -1498,13 +1526,14 @@ object WebGraph {
         .unionByName(c)
         .groupBy("node", "bucket").agg(max(col("rho_max")).as("rho_max"))
         .localCheckpoint()
-      val cur = probe(grown)
+      val er = estRows(t, grown)
+      val cur = probe(er)
       if (cur == prev) done = true
       else {
         require(t <= maxT,
           s"hyperballSizes: registers still changing at maxT=$maxT — " +
             "raise maxT (truncating understates distances)")
-        rows += estRows(t, grown)
+        rows += er
         c.unpersist()
         c = grown
         prev = cur
@@ -1512,6 +1541,7 @@ object WebGraph {
     }
     e.unpersist()
     rows.reduce(_ unionByName _)
+      .select(col("node"), col("t"), col("ball_est"))
   }
 
   /** HyperBall HARMONIC centrality (Boldi & Vigna ICDMW'13 — the
