@@ -1353,6 +1353,79 @@ object WebGraph {
       .select(col("t"), col("n_pairs"))
   }
 
+  /** EXACT (sampled-source) per-node distance moments — the per-node
+    * sibling of [[distanceDistribution]] and the ground truth for the
+    * HyperBall closeness reads: for every node, how many of the
+    * sampled sources reach it (INBOUND, self included at distance 0)
+    * and their total distance. One [[sampledBfs]] + one aggregation of
+    * the (source, node, dist) plane by node; exact when nSources ≥
+    * |V|; the same moderate-scale caveat and loud maxDepth guard as
+    * [[distanceDistribution]].
+    *
+    * → (node, n_reached, total_dist)
+    */
+  def distanceMoments(edges: DataFrame, srcCol: String, dstCol: String,
+                      nSources: Int = 4096,
+                      maxDepth: Int = 32): DataFrame = {
+    require(nSources >= 1 && nSources <= 4096,
+      s"nSources must be in [1,4096], got $nSources")
+    require(maxDepth >= 1 && maxDepth <= 64,
+      s"maxDepth must be in [1,64], got $maxDepth")
+    val (e, _, visited, d) =
+      sampledBfs(edges, srcCol, dstCol, nSources, maxDepth)
+    e.unpersist()
+    require(d < maxDepth,
+      s"distanceMoments: BFS reached maxDepth=$maxDepth — raise " +
+        "maxDepth (truncation would understate the moments)")
+    visited.groupBy("node")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(col("dist")).cast("bigint").as("total_dist"))
+  }
+
+  /** HyperBall CLOSENESS family (Boldi & Vigna ICDMW'13; Lin,
+    * "Foundations of Social Research" 1976): per node, off the INBOUND
+    * register shells of [[hyperballSizes]],
+    *
+    *   R(v) = |B_T(v)|        (estimated reachable-source count)
+    *   S(v) = Σ_t t·shell_t   (estimated total distance)
+    *   Lin(v) = (R−1)² / S    (0 when S = 0)
+    *
+    * — Lin's index is the closeness variant that does not reward tiny
+    * reachable sets (plain 1/S does), the web-scale companion of
+    * [[hyperballHarmonic]]. Same determinism contract: clamped IEEE
+    * shells over the replayable estimates, DECIMAL(27,12) sums,
+    * string-bridged doubles, one fixed IEEE sequence for the index.
+    * Exact sibling: [[distanceMoments]] (q283 certifies in-band).
+    *
+    * → (node, reach_est, total_dist_est, lin_est)
+    */
+  def hyperballCloseness(edges: DataFrame, srcCol: String,
+                         dstCol: String, maxT: Int = 64,
+                         p: Int = 9): DataFrame = {
+    val sizes = hyperballSizes(edges, srcCol, dstCol, maxT, p,
+      reverse = true)
+    val wNode = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node"))
+    val wOrd = wNode.orderBy(col("t"))
+    sizes
+      .withColumn("__prev", lag(col("ball_est"), 1).over(wOrd))
+      .withColumn("__reach", expr("max_by(ball_est, t)").over(wNode))
+      .filter(col("t") >= 1)
+      .select(col("node"), col("__reach"),
+        (greatest(col("ball_est") - col("__prev"), lit(0.0)) *
+          col("t").cast("double")).cast("decimal(27,12)").as("__s"))
+      .groupBy("node")
+      .agg(max(col("__reach")).as("reach_est"),
+        sum(col("__s")).as("__ss"))
+      .select(col("node"), col("reach_est"),
+        col("__ss").cast("string").cast("double").as("total_dist_est"))
+      .withColumn("lin_est",
+        when(col("total_dist_est") > 0.0,
+          (col("reach_est") - 1.0) * (col("reach_est") - 1.0) /
+            col("total_dist_est"))
+          .otherwise(lit(0.0)))
+  }
+
   /** HyperBall neighborhood function (Boldi & Vigna, "In-Core
     * Computation of Geometric Centralities with HyperBall", ICDMW'13;
     * the HyperANF successor — the standard web-graph distance summary

@@ -11460,6 +11460,218 @@ object TrainingQueries {
              |    AS tokens_per_word,
              |  CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
              |    AS chars_per_token
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // HyperBall closeness / Lin's index (WebGraph.hyperballCloseness —
+    // the Boldi-Vigna centrality trio's third member after q275 N(t)
+    // and q281 harmonic): per-node inbound reach, total distance
+    // Σ t·shell_t, and Lin's (R−1)²/S off the register shells, judged
+    // in-band against the exact per-node distanceMoments (±15% on the
+    // compounded index; the reach and totals read within a few
+    // percent). The oracle reuses the q281 register chain and the
+    // exact closure moments.
+    QuerySpec(
+      "q283_hyperball_closeness",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        def host(c: String) = concat(lit("h"), expr(c).cast("string"),
+          lit(".example.org"))
+        val base = docs.select(expr("doc_id % 97").as("n")).distinct()
+        val e = base.select(host("n").as("src_host"),
+            host("pmod(2*n+1, 97)").as("dst_host"))
+          .unionByName(base.select(host("n").as("src_host"),
+            host("pmod(3*n+2, 97)").as("dst_host")))
+        val est = graft.ops.WebGraph.hyperballCloseness(
+          e, "src_host", "dst_host", maxT = 16, p = 9)
+        val ex = graft.ops.WebGraph.distanceMoments(
+          e, "src_host", "dst_host", nSources = 4096, maxDepth = 16)
+        est.join(ex, Seq("node"))
+          .select(col("node"), col("reach_est"), col("total_dist_est"),
+            col("lin_est"), col("n_reached"), col("total_dist"),
+            when(col("total_dist") > 0L,
+              (col("n_reached") - 1L).cast("double") *
+                (col("n_reached") - 1L).cast("double") /
+                col("total_dist").cast("double"))
+              .otherwise(lit(0.0)).as("lin_exact"))
+          .withColumn("within_band",
+            when(col("lin_exact") === 0.0, col("lin_est") === 0.0)
+              .otherwise(abs(col("lin_est") / col("lin_exact") -
+                lit(1.0)) <= lit(0.15)))
+          .orderBy("node")
+      },
+      Some(s"""WITH RECURSIVE
+             |bb AS (SELECT DISTINCT doc_id % 97 AS n FROM documents),
+             |raw AS (
+             |  SELECT 'h' || CAST(n AS VARCHAR) || '.example.org' AS src,
+             |    'h' || CAST((2*n+1) % 97 AS VARCHAR) || '.example.org'
+             |      AS dst
+             |  FROM bb
+             |  UNION ALL
+             |  SELECT 'h' || CAST(n AS VARCHAR) || '.example.org',
+             |    'h' || CAST((3*n+2) % 97 AS VARCHAR) || '.example.org'
+             |  FROM bb),
+             |e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+             |nodes AS (SELECT DISTINCT node FROM
+             |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e) u),
+             |reach(s, v, d) AS (
+             |  SELECT node, node, 0 FROM nodes
+             |  UNION
+             |  SELECT reach.s, e.dst, reach.d + 1
+             |  FROM reach JOIN e ON e.src = reach.v WHERE reach.d < 16),
+             |reachm AS MATERIALIZED (SELECT * FROM reach),
+             |md AS (SELECT s, v, MIN(d) AS d FROM reachm GROUP BY 1, 2),
+             |ts AS (SELECT DISTINCT d AS t FROM md),
+             |hb AS (SELECT v, d, CAST($h48Sql AS BIGINT) AS h
+             |       FROM (SELECT v, d, md5(s) AS m FROM md) q),
+             |hr AS (SELECT v, d, h >> 39 AS bucket,
+             |         CASE WHEN (h & 549755813887) = 0 THEN 40
+             |           ELSE 40 - length(bin(h & 549755813887)) END AS rho
+             |       FROM hb),
+             |reg AS (SELECT ts.t, hr.v, hr.bucket, MAX(hr.rho) AS rho_max
+             |        FROM ts JOIN hr ON hr.d <= ts.t GROUP BY 1, 2, 3),
+             |ag AS (SELECT t, v, COUNT(*) AS hit,
+             |    CAST(SUM(CAST(1 AS BIGINT)
+             |      << (40 - CAST(rho_max AS INT))) AS BIGINT) AS sm
+             |  FROM reg GROUP BY 1, 2),
+             |ee AS (SELECT t, v, hit,
+             |    sm + (512 - hit) * (CAST(1 AS BIGINT) << 40) AS sall,
+             |    512 - hit AS ve
+             |  FROM ag),
+             |es AS (SELECT t, v,
+             |    CASE WHEN (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0
+             |        * 512.0 * 1099511627776.0 / CAST(sall AS DOUBLE)
+             |          <= 2.5 * 512.0 AND ve > 0
+             |      THEN CAST(CAST(512.0 * ln(512.0 / CAST(ve AS DOUBLE))
+             |        AS DECIMAL(18,12)) AS DOUBLE)
+             |      ELSE (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0
+             |        * 1099511627776.0 / CAST(sall AS DOUBLE)
+             |    END AS est
+             |  FROM ee),
+             |sh AS (SELECT v, t,
+             |    CAST(greatest(est - LAG(est) OVER (PARTITION BY v
+             |        ORDER BY t), 0.0) * CAST(t AS DOUBLE)
+             |      AS DECIMAL(27,12)) AS term,
+             |    max_by(est, t) OVER (PARTITION BY v) AS reach
+             |  FROM es),
+             |he AS (SELECT v, MAX(reach) AS reach_est,
+             |    CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE)
+             |      AS total_dist_est
+             |  FROM sh WHERE t >= 1 GROUP BY v),
+             |hx AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n_reached,
+             |    CAST(SUM(d) AS BIGINT) AS total_dist
+             |  FROM md GROUP BY v)
+             |SELECT hx.v AS node, he.reach_est, he.total_dist_est,
+             |  CASE WHEN he.total_dist_est > 0.0
+             |    THEN (he.reach_est - 1.0) * (he.reach_est - 1.0)
+             |      / he.total_dist_est
+             |    ELSE 0.0 END AS lin_est,
+             |  hx.n_reached, hx.total_dist,
+             |  CASE WHEN hx.total_dist > 0
+             |    THEN CAST(hx.n_reached - 1 AS DOUBLE)
+             |      * CAST(hx.n_reached - 1 AS DOUBLE)
+             |      / CAST(hx.total_dist AS DOUBLE)
+             |    ELSE 0.0 END AS lin_exact,
+             |  CASE WHEN (CASE WHEN hx.total_dist > 0
+             |      THEN CAST(hx.n_reached - 1 AS DOUBLE)
+             |        * CAST(hx.n_reached - 1 AS DOUBLE)
+             |        / CAST(hx.total_dist AS DOUBLE) ELSE 0.0 END) = 0.0
+             |    THEN (CASE WHEN he.total_dist_est > 0.0
+             |      THEN (he.reach_est - 1.0) * (he.reach_est - 1.0)
+             |        / he.total_dist_est ELSE 0.0 END) = 0.0
+             |    ELSE ABS((CASE WHEN he.total_dist_est > 0.0
+             |      THEN (he.reach_est - 1.0) * (he.reach_est - 1.0)
+             |        / he.total_dist_est ELSE 0.0 END)
+             |      / (CAST(hx.n_reached - 1 AS DOUBLE)
+             |        * CAST(hx.n_reached - 1 AS DOUBLE)
+             |        / CAST(hx.total_dist AS DOUBLE)) - 1.0) <= 0.15
+             |  END AS within_band
+             |FROM hx JOIN he ON he.v = hx.v
+             |ORDER BY node""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // WEIGHTED SCC condensation (sccCondense(weightCol) — the crawl
+    // planner's view: edge MASS between components, not just distinct
+    // link counts): the q267 planted 7-SCC digraph with every raw doc
+    // row carrying weight 1, so parallel rows ADD and each quotient
+    // edge's weight is its total doc multiplicity — data-driven at
+    // every SF. The oracle reuses the q267 closure and aggregates the
+    // RAW (pre-distinct) rows for the mass.
+    QuerySpec(
+      "q284_weighted_condense",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val base = docs.select(col("doc_id"),
+            expr("doc_id % 97").as("n"),
+            expr("(doc_id % 97) div 14").as("g"))
+          .withColumn("gs", expr("g * 14"))
+          .withColumn("sz", expr("CASE WHEN g = 6 THEN 13 ELSE 14 END"))
+        def host(c: String) = concat(lit("h"), expr(c).cast("string"),
+          lit(".example.org"))
+        val cyc = base.select(host("n").as("src_host"),
+          host("gs + pmod(n - gs + 1, sz)").as("dst_host"))
+        val chord = base.filter(expr("doc_id % 5 = 0"))
+          .select(host("n").as("src_host"),
+            host("gs + pmod(n - gs + 5, sz)").as("dst_host"))
+        val cross = base.filter(expr("doc_id % 3 = 0 AND n <= 82"))
+          .select(host("n").as("src_host"), host("n + 14").as("dst_host"))
+        val edges = cyc.unionByName(chord).unionByName(cross)
+          .withColumn("w", lit(1L))
+        val comps = graft.ops.WebGraph.stronglyConnectedComponents(
+          edges, "src_host", "dst_host",
+          pivotsPerRound = 128, maxDepth = 32, maxRounds = 32)
+        graft.ops.WebGraph.sccCondense(edges, "src_host", "dst_host",
+            comps, weightCol = Some("w"))
+          .orderBy("src_component", "dst_component")
+      },
+      Some("""WITH RECURSIVE bb AS (
+             |  SELECT doc_id % 97 AS n, (doc_id % 97) // 14 AS g,
+             |    ((doc_id % 97) // 14) * 14 AS gs,
+             |    CASE WHEN (doc_id % 97) // 14 = 6 THEN 13 ELSE 14 END
+             |      AS sz,
+             |    doc_id
+             |  FROM documents),
+             |raw AS (
+             |  SELECT 'h' || CAST(n AS VARCHAR) || '.example.org' AS src,
+             |    'h' || CAST(gs + ((n - gs + 1) % sz) AS VARCHAR)
+             |      || '.example.org' AS dst
+             |  FROM bb
+             |  UNION ALL
+             |  SELECT 'h' || CAST(n AS VARCHAR) || '.example.org',
+             |    'h' || CAST(gs + ((n - gs + 5) % sz) AS VARCHAR)
+             |      || '.example.org'
+             |  FROM bb WHERE doc_id % 5 = 0
+             |  UNION ALL
+             |  SELECT 'h' || CAST(n AS VARCHAR) || '.example.org',
+             |    'h' || CAST(n + 14 AS VARCHAR) || '.example.org'
+             |  FROM bb WHERE doc_id % 3 = 0 AND n <= 82),
+             |ew AS MATERIALIZED (
+             |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+             |  FROM raw WHERE src <> dst GROUP BY 1, 2),
+             |e AS MATERIALIZED (SELECT src, dst FROM ew),
+             |nodes AS MATERIALIZED (
+             |  SELECT DISTINCT node FROM (
+             |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e) t),
+             |reach(u, v) AS (
+             |  SELECT src, dst FROM e
+             |  UNION
+             |  SELECT reach.u, e.dst FROM reach JOIN e ON e.src = reach.v),
+             |reachm AS MATERIALIZED (SELECT u, v FROM reach),
+             |comp AS MATERIALIZED (
+             |  SELECT u AS node, MIN(v) AS component FROM (
+             |    SELECT node AS u, node AS v FROM nodes
+             |    UNION ALL
+             |    SELECT r1.u, r1.v FROM reachm r1
+             |    JOIN reachm r2 ON r2.u = r1.v AND r2.v = r1.u) t
+             |  GROUP BY u)
+             |SELECT cs.component AS src_component,
+             |  cd.component AS dst_component,
+             |  CAST(COUNT(*) AS BIGINT) AS n_edges,
+             |  CAST(SUM(ew.w) AS BIGINT) AS weight
+             |FROM ew
+             |JOIN comp cs ON cs.node = ew.src
+             |JOIN comp cd ON cd.node = ew.dst
+             |WHERE cs.component <> cd.component
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -94,12 +94,28 @@ object Round18Props extends Properties("Round18Ops") {
       case Some(pv) if nfHit - pv <= 0.0 => tHit.toDouble
       case Some(pv) => (tHit - 1).toDouble + (thr - pv) / (nfHit - pv)
     }
+    // closeness family off the same registers: Lin's (R-1)^2/S per
+    // node vs driver-exact inbound moments
+    val lin = graft.ops.WebGraph.hyperballCloseness(
+        edges.toDF("src", "dst"), "src", "dst", maxT = 32, p = 9)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val linOk = nodes.forall { v =>
+      val reach = nodes.count(u => balls(u).contains(v))
+      val total = nodes.flatMap(u => balls(u).get(v)).sum
+      val exact = if (total > 0) (reach - 1.0) * (reach - 1.0) / total
+                  else 0.0
+      val (_, _, est) = lin(v)
+      if (exact == 0.0) est == 0.0
+      else math.abs(est / exact - 1.0) <= 0.15
+    }
     tOk :| s"t range: ${nf.map(_._1).toSeq} maxDist=$maxDist" &&
       bandOk :| s"band: ${nf.map { case (t, e) =>
         (t, e, exactN(t)) }.toSeq}" &&
       (eff.getDouble(0) == want && eff.getInt(1) == tHit &&
         eff.getDouble(2) == nfFinal) :|
-        s"eff=$eff want=$want tHit=$tHit"
+        s"eff=$eff want=$want tHit=$tHit" &&
+      linOk :| s"lin closeness in band: $lin"
   }
 
   property("windowed drift serving: hdrWindowRead == direct build on " +
