@@ -933,4 +933,83 @@ object Curation {
           col("n_bytes") <=> col("a_bytes") &&
           col("content_hash") <=> col("a_hash")).as("ok"))
   }
+
+  /** DoReMi-style domain reweighting (Xie et al., NeurIPS 2023 "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    * the exponentiated-gradient / Group-DRO iterate over per-domain
+    * excess losses. Per step t the domain weights are the softmax of the
+    * cumulative scaled excess loss
+    *
+    *   S_d(t) = η · Σ_{s ≤ t} max(excess_d(s), 0)
+    *
+    * and the returned mixture is DoReMi's final output: the AVERAGE of
+    * the per-step softmax iterates α_t (smoothing constant c = 0 — the
+    * paper's uniform-smoothing mix is one affine step the caller can
+    * apply). Rows sharing a (domain, step) cell are summed; a domain
+    * absent at a step contributes zero excess that step but keeps its
+    * carried potential inside every softmax (the grid is densified).
+    *
+    * Exactness: excess is clipped/summed in DECIMAL(28,12); η must be
+    * exactly representable at ≤ 2 decimal digits (0.25, 0.5, 1 — the
+    * paper's regime) so the per-cell scaled excess is an exact
+    * DECIMAL(22,14) and every cumulative S an exact decimal sum; each
+    * softmax is max-stabilized (exp operands ≤ 0, so exp ∈ (0,1]) with
+    * the exp/div results cast to DECIMAL(18,12) — the q106/q109
+    * cross-engine recipe: bit-equal terms, then only order-independent
+    * decimal sums.
+    *
+    * Scale shape: ONE aggregation over the corpus to the
+    * |domains|·|steps| cell plane (mixture runs have ~10–100 domains and
+    * the proxy run's step count — a skinny ≤1e8-row frame at the far
+    * extreme), then windows partitioned by domain (cumsum) and by step
+    * (softmax). No driver-side iteration: the whole EG trajectory is two
+    * window passes.
+    *
+    * → one row per domain: (domainCol, excess_total, weight_avg,
+    *   weight_final) — weight_avg is the DoReMi mixture, weight_final
+    *   the last iterate.
+    */
+  def domainReweight(losses: DataFrame, domainCol: String, stepCol: String,
+                     excessCol: String, eta: Double = 0.25): DataFrame = {
+    require(eta > 0, s"eta must be > 0, got $eta")
+    val etaBd = java.math.BigDecimal.valueOf(eta)
+    require(etaBd.stripTrailingZeros.scale <= 2,
+      s"eta must be exactly representable at <= 2 decimal digits, got $eta")
+    val zero = lit(java.math.BigDecimal.ZERO).cast("decimal(18,12)")
+    val clipped = greatest(col(excessCol).cast("decimal(18,12)"), zero)
+    val cells = losses
+      .groupBy(col(domainCol), col(stepCol))
+      .agg(sum(clipped).cast("decimal(28,12)").as("__ex"),
+        // fold η in per cell: (18,12)·(≤3,≤2) stays exact at 14 dp
+        sum((clipped * lit(etaBd)).cast("decimal(22,14)"))
+          .cast("decimal(30,14)").as("__exs"))
+    // densify: every domain carries its potential through every step
+    val domains = cells.select(col(domainCol)).distinct()
+    val steps = cells.select(col(stepCol)).distinct()
+    val grid = domains.crossJoin(broadcast(steps))
+      .join(cells, Seq(domainCol, stepCol), "left")
+      .withColumn("__ex", coalesce(col("__ex"),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(28,12)")))
+      .withColumn("__exs", coalesce(col("__exs"),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(30,14)")))
+    val wCum = Window.partitionBy(col(domainCol)).orderBy(col(stepCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wStep = Window.partitionBy(col(stepCol))
+    val scored = grid
+      .withColumn("__s", sum(col("__exs")).over(wCum))
+      .withColumn("__mx", max(col("__s")).over(wStep))
+      .withColumn("__ez",
+        exp((col("__s") - col("__mx")).cast("double")).cast("decimal(18,12)"))
+      .withColumn("__z", sum(col("__ez")).over(wStep))
+      .withColumn("__alpha",
+        (col("__ez").cast("double") / col("__z").cast("double"))
+          .cast("decimal(18,12)"))
+    scored.groupBy(col(domainCol))
+      .agg(
+        sum(col("__ex")).cast("double").as("excess_total"),
+        (sum(col("__alpha")).cast("double") /
+          count(lit(1)).cast("double")).as("weight_avg"),
+        max_by(col("__alpha"), col(stepCol)).cast("double")
+          .as("weight_final"))
+  }
 }

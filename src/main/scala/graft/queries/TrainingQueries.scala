@@ -11672,6 +11672,73 @@ object TrainingQueries {
              |JOIN comp cs ON cs.node = ew.src
              |JOIN comp cd ON cd.node = ew.dst
              |WHERE cs.component <> cd.component
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // DoReMi domain reweighting (Curation.domainReweight — Xie et al.
+    // NeurIPS'23 exponentiated-gradient / Group-DRO over per-domain
+    // excess losses): 5 domains × 7 steps derived from doc_id, per-row
+    // excess an exact 10-dp rational k/1024 so every cumulative
+    // potential is an exact decimal sum, η = 1/4. The oracle replays
+    // the whole trajectory — cell sums, grid densification, per-domain
+    // cumsum, per-step max-stabilized softmax — with the q106/q109
+    // DECIMAL(18,12) exp/div recipe and VARCHAR-routed wide-decimal →
+    // double reads.
+    QuerySpec(
+      "q285_doremi_reweight",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val losses = docs.select(
+          concat(lit("d"), expr("CAST(doc_id % 5 AS STRING)")).as("domain"),
+          expr("doc_id % 7").as("step"),
+          expr("CAST(doc_id % 13 AS DOUBLE) / 1024.0").as("excess"))
+        Curation.domainReweight(losses, "domain", "step", "excess",
+            eta = 0.25)
+          .orderBy("domain")
+      },
+      Some("""WITH cells AS (
+             |  SELECT 'd' || CAST(doc_id % 5 AS VARCHAR) AS domain,
+             |    doc_id % 7 AS step,
+             |    CAST(SUM(CAST(GREATEST(CAST(doc_id % 13 AS DOUBLE)
+             |        / 1024.0, 0.0) AS DECIMAL(18,12)))
+             |      AS DECIMAL(28,12)) AS ex,
+             |    CAST(SUM(CAST(CAST(GREATEST(CAST(doc_id % 13 AS DOUBLE)
+             |          / 1024.0, 0.0) AS DECIMAL(18,12))
+             |        * CAST(0.25 AS DECIMAL(3,2)) AS DECIMAL(22,14)))
+             |      AS DECIMAL(30,14)) AS exs
+             |  FROM documents GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT d.domain, st.step,
+             |    COALESCE(c.ex, CAST(0 AS DECIMAL(28,12))) AS ex,
+             |    COALESCE(c.exs, CAST(0 AS DECIMAL(30,14))) AS exs
+             |  FROM (SELECT DISTINCT domain FROM cells) d
+             |  CROSS JOIN (SELECT DISTINCT step FROM cells) st
+             |  LEFT JOIN cells c ON c.domain = d.domain
+             |    AND c.step = st.step),
+             |cum AS (
+             |  SELECT domain, step, ex,
+             |    SUM(exs) OVER (PARTITION BY domain ORDER BY step
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+             |  FROM grid),
+             |sf AS (
+             |  SELECT domain, step, ex,
+             |    CAST(exp(CAST(s - MAX(s) OVER (PARTITION BY step)
+             |      AS DOUBLE)) AS DECIMAL(18,12)) AS ez
+             |  FROM cum),
+             |za AS (
+             |  SELECT domain, step, ex, ez,
+             |    SUM(ez) OVER (PARTITION BY step) AS z
+             |  FROM sf),
+             |al AS (
+             |  SELECT domain, step, ex,
+             |    CAST(CAST(ez AS DOUBLE) / CAST(z AS DOUBLE)
+             |      AS DECIMAL(18,12)) AS alpha
+             |  FROM za)
+             |SELECT domain,
+             |  CAST(CAST(SUM(ex) AS VARCHAR) AS DOUBLE) AS excess_total,
+             |  CAST(CAST(SUM(alpha) AS VARCHAR) AS DOUBLE)
+             |    / CAST(COUNT(*) AS DOUBLE) AS weight_avg,
+             |  CAST(max_by(alpha, step) AS DOUBLE) AS weight_final
+             |FROM al GROUP BY domain ORDER BY domain""".stripMargin))
   )
 }

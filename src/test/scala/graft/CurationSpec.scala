@@ -581,4 +581,45 @@ class CurationSpec extends AnyFunSuite {
     val expH = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
     assert(math.abs(sk._3 - expH) < 1e-9, s"entropy ${sk._3} vs $expH")
   }
+
+  test("domainReweight: DoReMi EG iterates on a hand-computed trajectory") {
+    import spark.implicits._
+    // A: excess 2 at step 1, 2+2 at step 3 (two rows — cell summation);
+    // B: excess 4 at step 2. η = 0.5 → potentials
+    //   S_A = (1, 1, 3), S_B = (0, 2, 2)
+    // softmax gaps are all ±1 or 0 → α = σ(±1) or 0.5 per step.
+    val losses = Seq(
+      ("A", 1L, 2.0), ("A", 3L, 2.0), ("A", 3L, 2.0),
+      ("B", 2L, 4.0)).toDF("domain", "step", "excess")
+    val out = Curation.domainReweight(losses, "domain", "step", "excess",
+        eta = 0.5).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val sig1 = 1.0 / (1.0 + math.exp(-1.0)) // σ(1) = 0.731058578630…
+    assert(out("A")._1 == 6.0 && out("B")._1 == 4.0)
+    assert(math.abs(out("A")._2 - (sig1 + (1 - sig1) + sig1) / 3) < 1e-9)
+    assert(math.abs(out("B")._2 - ((1 - sig1) + sig1 + (1 - sig1)) / 3) < 1e-9)
+    assert(math.abs(out("A")._3 - sig1) < 1e-9)
+    assert(math.abs(out("B")._3 - (1 - sig1)) < 1e-9)
+    // per-step softmax: the mixture always sums to 1
+    assert(math.abs(out("A")._2 + out("B")._2 - 1.0) < 1e-9)
+
+    // uniform excess → exactly uniform weights (exp(0) = 1 exactly)
+    val unif = Seq(("A", 1L, 1.0), ("B", 1L, 1.0), ("A", 2L, 3.0),
+      ("B", 2L, 3.0)).toDF("domain", "step", "excess")
+    val u = Curation.domainReweight(unif, "domain", "step", "excess")
+      .collect().map(r => (r.getDouble(2), r.getDouble(3)))
+    assert(u.forall { case (a, f) => a == 0.5 && f == 0.5 })
+
+    // negative excess clips to 0 (Group-DRO never down-weights on
+    // better-than-reference loss); a clipped-to-zero trajectory is flat
+    val neg = Seq(("A", 1L, -5.0), ("B", 1L, 0.0)).toDF(
+      "domain", "step", "excess")
+    val n = Curation.domainReweight(neg, "domain", "step", "excess")
+      .collect().map(r => r.getDouble(2))
+    assert(n.forall(_ == 0.5))
+
+    require(scala.util.Try(Curation.domainReweight(losses, "domain",
+      "step", "excess", eta = 0.125)).isFailure, "eta precision guard")
+  }
 }
