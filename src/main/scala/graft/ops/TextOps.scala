@@ -659,6 +659,88 @@ object TextOps {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("avg_nll"))
   }
 
+  /** Interpolated Kneser–Ney bigram LM scoring (Kneser & Ney, ICASSP
+    * 1995; the Chen & Goodman 1998 interpolated form) — the standard LM
+    * family behind KenLM-style quality filters, next to
+    * [[bigramLmNll]]'s add-one CCNet flavor. With absolute discount
+    * D = discountNum/discountDen and train statistics
+    *
+    *   c12 = c(w1 w2),  c1 = c(w1 ·),  N1(w1·) = |{w : c(w1 w) > 0}|,
+    *   N1(·w2) = |{v : c(v w2) > 0}|,  Ncc = |{(v,w) : c(v w) > 0}|
+    *
+    * each scored bigram's probability is
+    *
+    *   P(w2|w1) = max(c12 − D, 0)/c1 + D·N1(w1·)/c1 · Pcont(w2)
+    *   Pcont(w2) = (N1(·w2) + 1) / (Ncc + V + 1)
+    *
+    * (continuation probability add-one smoothed over the V-word train
+    * vocabulary plus an OOV bucket, so unseen words keep positive mass);
+    * an UNSEEN left context backs off to Pcont(w2) alone. Each nll term
+    * is ln(den) − ln(num) of the single-fraction spelling
+    *
+    *   num = max(Dd·c12 − Dn, 0)·(Ncc+V+1) + Dn·N1(w1·)·(N1(·w2)+1)
+    *   den = Dd·c1·(Ncc+V+1)
+    *
+    * — both EXACT BIGINTs (num > 0 always: a seen context has
+    * N1(w1·) ≥ 1), so every term is one ln of a ratio of exact integers
+    * cast to DECIMAL(18,12) — the q106/PMI cross-engine parity recipe.
+    * BIGINT headroom: num ≤ Dd·c12·(Ncc+V+1) needs c12·Ncc ≲ 2.3e18 —
+    * fine through ~1e9-type train corpora; beyond that route the
+    * products through DECIMAL(38,0) at a plan-width cost.
+    *
+    * Output and scale shape follow [[bigramLmNll]] verbatim: train is
+    * two aggregations to vocab-plane frames that AQE broadcasts, scoring
+    * never shuffles except the final skinny per-doc aggregation;
+    * (idCol, n_bigrams, avg_nll), <2-token docs score NULL.
+    */
+  def knBigramNll(docs: DataFrame, idCol: String, textCol: String,
+                  train: DataFrame, trainTextCol: String,
+                  discountNum: Int = 3, discountDen: Int = 4): DataFrame = {
+    require(discountNum > 0 && discountNum < discountDen,
+      s"discount must be in (0,1), got $discountNum/$discountDen")
+    val dn = lit(discountNum.toLong)
+    val dd = lit(discountDen.toLong)
+    def bigramsOf(d: DataFrame, cols: Seq[Column], tcol: String): DataFrame = {
+      val t = d.select(cols :+ tokens(normalized(col(tcol))).as("__t"): _*)
+        .filter(size(col("__t")) >= 2)
+      t.select(cols :+ explode(transform(
+        sequence(lit(1), size(col("__t")) - 1),
+        i => struct(element_at(col("__t"), i).as("w1"),
+          element_at(col("__t"), i + lit(1)).as("w2")))).as("__bg"): _*)
+        .select(cols :+ col("__bg.w1").as("__w1") :+ col("__bg.w2").as("__w2"): _*)
+    }
+    val bg = bigramsOf(train, Nil, trainTextCol)
+      .groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__c12"))
+    val left = bg.groupBy(col("__w1"))
+      .agg(sum(col("__c12")).as("__c1"), count(lit(1)).as("__n1l"))
+    val rightTypes = bg.groupBy(col("__w2")).agg(count(lit(1)).as("__n1r"))
+    val globals = bg.agg(count(lit(1)).as("__ncc")).crossJoin(
+      train.select(explode(tokens(normalized(col(trainTextCol)))).as("__w"))
+        .agg(countDistinct(col("__w")).as("__v"))) // 1 row
+    val nsm = col("__ncc") + col("__v") + lit(1L)
+    val n1r1 = coalesce(col("__n1r"), lit(0L)) + lit(1L)
+    val num = when(col("__c1").isNull, n1r1)
+      .otherwise(
+        greatest(dd * coalesce(col("__c12"), lit(0L)) - dn, lit(0L)) * nsm +
+          dn * col("__n1l") * n1r1)
+    val den = when(col("__c1").isNull, nsm).otherwise(dd * col("__c1") * nsm)
+    val nllTerm = (log(den.cast("double")) - log(num.cast("double")))
+      .cast("decimal(18,12)")
+    val scored = bigramsOf(docs, Seq(col(idCol)), textCol)
+      .join(bg, Seq("__w1", "__w2"), "left")
+      .join(left, Seq("__w1"), "left")
+      .join(rightTypes, Seq("__w2"), "left")
+      .crossJoin(broadcast(globals))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(nllTerm).as("__s"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__s").cast("double") / col("n_bigrams").cast("double"), 6)
+          .as("avg_nll"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("avg_nll"))
+  }
+
   /** CORPUS-LEVEL boilerplate line removal — the C4/RefinedWeb line-dedup
     * rule (Raffel et al. JMLR'20 §2.2 drops repeated three-sentence
     * spans; RefinedWeb/Gopher run the same idea at line granularity):

@@ -11739,6 +11739,77 @@ object TrainingQueries {
              |  CAST(CAST(SUM(alpha) AS VARCHAR) AS DOUBLE)
              |    / CAST(COUNT(*) AS DOUBLE) AS weight_avg,
              |  CAST(max_by(alpha, step) AS DOUBLE) AS weight_final
-             |FROM al GROUP BY domain ORDER BY domain""".stripMargin))
+             |FROM al GROUP BY domain ORDER BY domain""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Kneser-Ney LM perplexity gate (TextOps.knBigramNll — Kneser & Ney
+    // ICASSP'95, interpolated per Chen & Goodman'98; the KenLM-family
+    // sibling of q109's add-one CCNet gate): trained on the doc_id%3=0
+    // third of the corpus, scoring ALL documents so the unseen-bigram /
+    // unseen-context backoff paths carry real traffic. D = 3/4. Full
+    // oracle: every nll term is ln(den)−ln(num) of exact-BIGINT
+    // single-fraction KN probabilities (num/den spelled in the scaladoc)
+    // cast to DECIMAL(18,12) — the q106/q109 recipe.
+    QuerySpec(
+      "q286_kneser_ney",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextOps.knBigramNll(docs, "doc_id", "text",
+            docs.filter(expr("doc_id % 3 = 0")), "text")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tr AS (
+              |  SELECT string_split($normSql, ' ') AS toks
+              |  FROM documents WHERE doc_id % 3 = 0
+              |), trb AS (
+              |  SELECT unnest([toks[i] FOR i IN range(1, len(toks))]) AS w1,
+              |    unnest([toks[i+1] FOR i IN range(1, len(toks))]) AS w2
+              |  FROM tr WHERE len(toks) >= 2
+              |), bg AS (
+              |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+              |  FROM trb GROUP BY 1, 2
+              |), lc AS (
+              |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+              |    CAST(COUNT(*) AS BIGINT) AS n1l
+              |  FROM bg GROUP BY 1
+              |), rc AS (
+              |  SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1r FROM bg GROUP BY 1
+              |), g AS (
+              |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM bg)
+              |      + (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) FROM (
+              |          SELECT unnest(string_split($normSql, ' ')) AS w
+              |          FROM documents WHERE doc_id % 3 = 0))
+              |      + 1 AS nsm
+              |), t AS (
+              |  SELECT doc_id, string_split($normSql, ' ') AS toks
+              |  FROM documents
+              |), bgd AS (
+              |  SELECT doc_id,
+              |    unnest([toks[i] FOR i IN range(1, len(toks))]) AS w1,
+              |    unnest([toks[i+1] FOR i IN range(1, len(toks))]) AS w2
+              |  FROM t WHERE len(toks) >= 2
+              |), sc AS (
+              |  SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+              |    SUM(CAST(
+              |      ln(CAST(CASE WHEN lc.c1 IS NULL THEN g.nsm
+              |        ELSE 4 * lc.c1 * g.nsm END AS DOUBLE))
+              |      - ln(CAST(CASE WHEN lc.c1 IS NULL
+              |          THEN COALESCE(rc.n1r, 0) + 1
+              |        ELSE GREATEST(4 * COALESCE(bg.c12, 0) - 3, 0) * g.nsm
+              |          + 3 * lc.n1l * (COALESCE(rc.n1r, 0) + 1)
+              |        END AS DOUBLE))
+              |      AS DECIMAL(18,12))) AS s
+              |  FROM bgd d
+              |  LEFT JOIN bg ON bg.w1 = d.w1 AND bg.w2 = d.w2
+              |  LEFT JOIN lc ON lc.w1 = d.w1
+              |  LEFT JOIN rc ON rc.w2 = d.w2
+              |  CROSS JOIN g
+              |  GROUP BY d.doc_id
+              |)
+              |SELECT doc.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+              |  ROUND(CAST(CAST(sc.s AS VARCHAR) AS DOUBLE)
+              |    / CAST(sc.n_bigrams AS DOUBLE), 6) AS avg_nll
+              |FROM documents doc LEFT JOIN sc ON sc.doc_id = doc.doc_id
+              |ORDER BY doc.doc_id""".stripMargin))
   )
 }

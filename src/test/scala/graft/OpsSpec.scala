@@ -1343,6 +1343,39 @@ class OpsSpec extends AnyFunSuite {
       s"gibberish nll $gibScore not in worst decile ($worse of ${scored.length} score >= it)")
   }
 
+  test("knBigramNll: hand-computed Kneser-Ney probabilities, OOV backoff") {
+    import spark.implicits._
+    // train "a b a b a c": bg ab:2 ba:2 ac:1; c1(a)=3 c1(b)=2;
+    // N1(a·)=2 N1(b·)=1; N1(·a)=1 N1(·b)=1 N1(·c)=1; Ncc=3 V=3 → nsm=7
+    val train = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val score = Seq((20L, "a b c"), (21L, "z a"), (22L, "q q"),
+      (23L, "solo")).toDF("doc_id", "text")
+    val out = TextOps.knBigramNll(score, "doc_id", "text", train, "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))).toMap
+    def r12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // (a,b): num = max(4·2−3,0)·7 + 3·2·2 = 47, den = 4·3·7 = 84
+    //        (P = 1.25/3 + 0.75·(2/3)·(2/7) = 47/84)
+    // (b,c): num = 0 + 3·1·2 = 6, den = 4·2·7 = 56 (pure backoff mass)
+    val t1 = r12(math.log(84.0) - math.log(47.0))
+    val t2 = r12(math.log(56.0) - math.log(6.0))
+    assert(out(20L) == ((2L, r6((t1 + t2) / 2))))
+    // unseen context z → Pcont(a) = (1+1)/7
+    assert(out(21L) == ((1L, r6(r12(math.log(7.0) - math.log(2.0))))))
+    // fully OOV bigram → Pcont(q) = 1/7 (the add-one OOV bucket)
+    assert(out(22L) == ((1L, r6(r12(math.log(7.0) - math.log(1.0))))))
+    assert(out(23L)._1 == 0L && out(23L)._2.isNaN)
+    // ordering: the seen-bigram term beats the unseen-context backoff,
+    // which beats full OOV (Pcont: 47/84 > 2/7 > 1/7)
+    assert(t1 < out(21L)._2 && out(21L)._2 < out(22L)._2)
+    // discount guard
+    assert(scala.util.Try(TextOps.knBigramNll(score, "doc_id", "text",
+      train, "text", discountNum = 4, discountDen = 4)).isFailure)
+  }
+
   test("gopherRules: each rule trips on its planted violation, clean prose keeps") {
     import spark.implicits._
     val clean = "the quick brown fox jumps over that lazy dog and it runs " +
