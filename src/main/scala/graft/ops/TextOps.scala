@@ -741,6 +741,91 @@ object TextOps {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("avg_nll"))
   }
 
+  /** Sentence-level BLEU-4 (Papineni et al., ACL 2002) between a
+    * candidate and a reference text column on the SAME row — the
+    * benchmark-overlap metric an eval-decontamination pass scores
+    * suspected (candidate, source) pairs with, next to the exact
+    * n-gram containment gates. Per n ∈ 1..4, modified precision
+    * p_n = clipped matches / candidate n-gram count (each candidate
+    * n-gram's matches clipped at its reference count), and
+    *
+    *   BLEU = BP · exp(¼ Σ_n ln p_n),  BP = min(1, e^{1 − r/c})
+    *
+    * with NO smoothing: any p_n = 0 (including a candidate shorter
+    * than 4 tokens) scores 0 — the strict sacrebleu default.
+    *
+    * Exactness: every match/total count is an exact integer computed
+    * with per-row array expressions; each ln p_n = ln m − ln t routes
+    * through DECIMAL(18,12), their ¼-scaled sum is an exact decimal,
+    * and BP's exponent is one IEEE division — the q106/q109 recipe, so
+    * the DuckDB oracle replays BLEU bit-for-bit.
+    *
+    * Scale shape: ZERO shuffle — candidate and reference live on the
+    * same row, so clipping/counting is whole-stage-codegen'd
+    * higher-order array functions (cost O(distinct·len) per row), and
+    * the operator is a pure projection at any corpus size.
+    *
+    * → (idCol, cand_len, ref_len, p1..p4 — NULL when the candidate has
+    *   no n-grams of that order — brevity_penalty, bleu); a NULL
+    *   candidate or reference scores NULL.
+    */
+  def bleuScore(pairs: DataFrame, idCol: String, candCol: String,
+                refCol: String): DataFrame = {
+    def toks(c: Column): Column =
+      filter(tokens(normalized(c)), t => t =!= lit(""))
+    def grams(t: Column, n: Int): Column =
+      when(size(t) >= n, transform(
+        sequence(lit(1), size(t) - (n - 1)),
+        // \u0001 separator (chr(1) in the oracle) cannot collide with
+        // whitespace-split tokens
+        i => concat_ws("",
+          (0 until n).map(j => element_at(t, i + lit(j))): _*)))
+        .otherwise(array().cast("array<string>"))
+    val base = pairs.select(col(idCol), toks(col(candCol)).as("__ct"),
+      toks(col(refCol)).as("__rt"))
+    val withGrams = (1 to 4).foldLeft(base) { (d, n) =>
+      d.withColumn(s"__cg$n", grams(col("__ct"), n))
+        .withColumn(s"__rg$n", grams(col("__rt"), n))
+    }
+    val counted = (1 to 4).foldLeft(withGrams) { (d, n) =>
+      val cg = col(s"__cg$n"); val rg = col(s"__rg$n")
+      d.withColumn(s"__m$n", aggregate(array_distinct(cg), lit(0L),
+          (acc, g) => acc + least(
+            size(filter(cg, x => x === g)),
+            size(filter(rg, x => x === g))).cast("long")))
+        .withColumn(s"__t$n", size(cg).cast("long"))
+    }
+    val anyZero = (1 to 4)
+      .map(n => col(s"__m$n") === 0L || col(s"__t$n") === 0L)
+      .reduce(_ || _)
+    val lnSum = (1 to 4).map { n =>
+      (log(col(s"__m$n").cast("double")) - log(col(s"__t$n").cast("double")))
+        .cast("decimal(18,12)")
+    }.reduce(_ + _)
+    val cLen = size(col("__ct")).cast("long")
+    val rLen = size(col("__rt")).cast("long")
+    val lnBp = least(lit(0.0),
+      lit(1.0) - rLen.cast("double") / cLen.cast("double"))
+    val quarter = lit(new java.math.BigDecimal("0.25"))
+    counted
+      .withColumn("cand_len", cLen).withColumn("ref_len", rLen)
+      .select(
+        Seq(col(idCol), col("cand_len"), col("ref_len")) ++
+        (1 to 4).map(n => when(col(s"__t$n") > 0L,
+          col(s"__m$n").cast("double") / col(s"__t$n").cast("double"))
+          .as(s"p$n")) ++
+        Seq(
+          when(col("cand_len") > 0L,
+            exp(lnBp).cast("decimal(18,12)").cast("double"))
+            .as("brevity_penalty"),
+          when(col("__ct").isNull || col("__rt").isNull,
+            lit(null).cast("double"))
+            .when(col("cand_len") === 0L || anyZero, lit(0.0))
+            .otherwise(
+              exp((lnSum * quarter).cast("double") + lnBp)
+                .cast("decimal(18,12)").cast("double")).as("bleu")): _*)
+  }
+
   /** CORPUS-LEVEL boilerplate line removal — the C4/RefinedWeb line-dedup
     * rule (Raffel et al. JMLR'20 §2.2 drops repeated three-sentence
     * spans; RefinedWeb/Gopher run the same idea at line granularity):

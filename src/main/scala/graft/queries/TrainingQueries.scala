@@ -11810,6 +11810,94 @@ object TrainingQueries {
               |  ROUND(CAST(CAST(sc.s AS VARCHAR) AS DOUBLE)
               |    / CAST(sc.n_bigrams AS DOUBLE), 6) AS avg_nll
               |FROM documents doc LEFT JOIN sc ON sc.doc_id = doc.doc_id
-              |ORDER BY doc.doc_id""".stripMargin))
+              |ORDER BY doc.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Sentence-level BLEU-4 (TextOps.bleuScore — Papineni et al.
+    // ACL'02, strict sacrebleu zeros, no smoothing): every document
+    // scored against its 5-block anchor document (doc_id − doc_id%5),
+    // so identical pairs (BLEU = 1), partially-overlapping and
+    // zero-4-gram pairs all carry traffic. Zero-shuffle per-row array
+    // arithmetic on the Spark side; the oracle replays clipped
+    // modified precisions by unnest-count-join and the ln/DECIMAL
+    // recipe for the geometric mean and brevity penalty.
+    QuerySpec(
+      "q287_bleu_pairs",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"),
+          col("text"))
+        val anchors = docs.select(col("doc_id").as("a_id"),
+          col("text").as("ref_text"))
+        val pairs = docs.withColumn("a_id", expr("doc_id - doc_id % 5"))
+          .join(anchors, Seq("a_id"))
+        TextOps.bleuScore(pairs, "doc_id", "text", "ref_text")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (
+              |  SELECT doc_id,
+              |    list_filter(string_split($normSql, ' '),
+              |      t -> t <> '') AS toks
+              |  FROM documents),
+              |pr AS (
+              |  SELECT c.doc_id, c.toks AS ct, r.toks AS rt
+              |  FROM d c JOIN d r ON r.doc_id = c.doc_id - (c.doc_id % 5)),
+              |g AS (
+              |  SELECT doc_id, n, len(ct) AS cl, len(rt) AS rl,
+              |    CASE WHEN len(ct) >= n THEN
+              |      [array_to_string(ct[i:i+n-1], chr(1))
+              |        FOR i IN range(1, len(ct)-n+2)] ELSE [] END AS cg,
+              |    CASE WHEN len(rt) >= n THEN
+              |      [array_to_string(rt[i:i+n-1], chr(1))
+              |        FOR i IN range(1, len(rt)-n+2)] ELSE [] END AS rg
+              |  FROM pr, (SELECT unnest([1, 2, 3, 4]) AS n)),
+              |cgr AS (
+              |  SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS c
+              |  FROM (SELECT doc_id, n, unnest(cg) AS gram FROM g)
+              |  GROUP BY 1, 2, 3),
+              |rgr AS (
+              |  SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS c
+              |  FROM (SELECT doc_id, n, unnest(rg) AS gram FROM g)
+              |  GROUP BY 1, 2, 3),
+              |mm AS (
+              |  SELECT cgr.doc_id, cgr.n,
+              |    CAST(SUM(LEAST(cgr.c, COALESCE(rgr.c, 0))) AS BIGINT) AS m
+              |  FROM cgr LEFT JOIN rgr ON rgr.doc_id = cgr.doc_id
+              |    AND rgr.n = cgr.n AND rgr.gram = cgr.gram
+              |  GROUP BY 1, 2),
+              |per AS (
+              |  SELECT g.doc_id, g.n, g.cl, g.rl,
+              |    CAST(len(g.cg) AS BIGINT) AS t, COALESCE(mm.m, 0) AS m
+              |  FROM g LEFT JOIN mm ON mm.doc_id = g.doc_id
+              |    AND mm.n = g.n),
+              |fin AS (
+              |  SELECT doc_id, MAX(cl) AS cand_len, MAX(rl) AS ref_len,
+              |    MAX(CASE WHEN n=1 AND t>0
+              |      THEN CAST(m AS DOUBLE)/CAST(t AS DOUBLE) END) AS p1,
+              |    MAX(CASE WHEN n=2 AND t>0
+              |      THEN CAST(m AS DOUBLE)/CAST(t AS DOUBLE) END) AS p2,
+              |    MAX(CASE WHEN n=3 AND t>0
+              |      THEN CAST(m AS DOUBLE)/CAST(t AS DOUBLE) END) AS p3,
+              |    MAX(CASE WHEN n=4 AND t>0
+              |      THEN CAST(m AS DOUBLE)/CAST(t AS DOUBLE) END) AS p4,
+              |    BOOL_OR(m = 0 OR t = 0) AS anyzero,
+              |    CAST(SUM(CASE WHEN m > 0 AND t > 0 THEN
+              |        CAST(ln(CAST(m AS DOUBLE))
+              |          - ln(CAST(t AS DOUBLE)) AS DECIMAL(18,12))
+              |      END) AS DECIMAL(20,12))
+              |      * CAST(0.25 AS DECIMAL(3,2)) AS lnq
+              |  FROM per GROUP BY doc_id)
+              |SELECT doc_id, cand_len, ref_len, p1, p2, p3, p4,
+              |  CASE WHEN cand_len > 0 THEN
+              |    CAST(CAST(exp(LEAST(0.0, 1.0 - CAST(ref_len AS DOUBLE)
+              |      / CAST(cand_len AS DOUBLE))) AS DECIMAL(18,12))
+              |      AS DOUBLE) END AS brevity_penalty,
+              |  CASE WHEN cand_len IS NULL OR ref_len IS NULL THEN NULL
+              |    WHEN cand_len = 0 OR anyzero THEN 0.0
+              |    ELSE CAST(CAST(exp(
+              |      CAST(CAST(lnq AS VARCHAR) AS DOUBLE)
+              |      + LEAST(0.0, 1.0 - CAST(ref_len AS DOUBLE)
+              |        / CAST(cand_len AS DOUBLE)))
+              |      AS DECIMAL(18,12)) AS DOUBLE) END AS bleu
+              |FROM fin ORDER BY doc_id""".stripMargin))
   )
 }

@@ -1376,6 +1376,48 @@ class OpsSpec extends AnyFunSuite {
       train, "text", discountNum = 4, discountDen = 4)).isFailure)
   }
 
+  test("bleuScore: hand-computed precisions, BP, strict-zero and null paths") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, "the cat is on the mat here", "the cat is on the mat"),
+      (2L, "the cat is on the mat", "the cat is on the mat"),
+      (3L, "the cat the cat on the mat", "the cat is on the mat"),
+      (4L, "the cat", "the cat is on the mat"),
+      (5L, null.asInstanceOf[String], "the cat"),
+      (6L, "", "the cat"))
+      .toDF("doc_id", "cand", "ref")
+    val out = TextOps.bleuScore(pairs, "doc_id", "cand", "ref").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def d(r: org.apache.spark.sql.Row, i: Int) =
+      if (r.isNullAt(i)) Double.NaN else r.getDouble(i)
+    // doc 1: p = 6/7, 5/6, 4/5, 3/4 → BLEU = (3/7)^(1/4), BP = 1 (c > r)
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 7L && r1.getLong(2) == 6L)
+    assert(d(r1, 3) == 6.0 / 7 && d(r1, 4) == 5.0 / 6 &&
+      d(r1, 5) == 4.0 / 5 && d(r1, 6) == 3.0 / 4)
+    assert(d(r1, 7) == 1.0)
+    assert(math.abs(d(r1, 8) - math.pow(3.0 / 7, 0.25)) < 1e-9)
+    // doc 2: identical pair → all precisions 1, BLEU exactly 1
+    val r2 = out(2L)
+    assert((3 to 6).forall(d(r2, _) == 1.0) && d(r2, 7) == 1.0 &&
+      d(r2, 8) == 1.0)
+    // doc 3: clipping (p1 = 5/7: 'the'×3 clips at 2) and a zero 4-gram
+    // precision → strict BLEU 0
+    val r3 = out(3L)
+    assert(d(r3, 3) == 5.0 / 7 && d(r3, 4) == 3.0 / 6 && d(r3, 5) == 1.0 / 5)
+    assert(d(r3, 6) == 0.0 && d(r3, 8) == 0.0)
+    // doc 4: 2-token candidate → p3/p4 undefined (NULL), BLEU 0,
+    // BP = e^{1-6/2} rounded at 12 dp
+    val r4 = out(4L)
+    assert(d(r4, 5).isNaN && d(r4, 6).isNaN && d(r4, 8) == 0.0)
+    val bp4 = BigDecimal(math.exp(1.0 - 6.0 / 2))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(d(r4, 7) == bp4)
+    // doc 5: null candidate → NULL bleu; doc 6: empty candidate → 0
+    assert(d(out(5L), 8).isNaN)
+    assert(out(6L).getLong(1) == 0L && d(out(6L), 8) == 0.0)
+  }
+
   test("gopherRules: each rule trips on its planted violation, clean prose keeps") {
     import spark.implicits._
     val clean = "the quick brown fox jumps over that lazy dog and it runs " +
