@@ -1477,4 +1477,87 @@ object Profile {
       .withColumn("reject_null", when(col("z").isNotNull,
         abs(col("z")) > lit(1.959963984540054)))
   }
+
+  /** Dawid–Skene annotator-label aggregation, hard-EM flavor (Dawid &
+    * Skene, JRSS-C 1979; the label-quality step every RLHF /
+    * classifier-training pipeline runs after [[fleissKappa]] says the
+    * raters disagree): infer each item's latent true label by
+    * iterating { estimate per-annotator confusion matrices from the
+    * current assignments; re-assign each item to the class maximizing
+    * the add-one-smoothed log-likelihood }. Hard (Viterbi-style) EM —
+    * the [[graft.ops.Unigram]] trainer's discipline — keeps EVERY
+    * statistic an exact integer: confusion counts c(j,k,l), their
+    * row totals n(j,k), class priors n(k), so each score
+    *
+    *   score(i,k) = ln(n(k)+1) − ln(N+K)
+    *              + Σ_{(j,l)∈i} [ ln(c(j,k,l)+1) − ln(n(j,k)+K) ]
+    *
+    * is a sum of ln-of-exact-integer terms routed through
+    * DECIMAL(18,12) (the q106/q109 recipe) — bit-replayable, with ties
+    * broken toward the smaller class label. Initialization is majority
+    * vote (ties likewise). K = the observed label alphabet.
+    *
+    * Scale shape per round: ONE join of the annotation table with the
+    * current N-row assignment plane, aggregated to the (J·K·L)-bounded
+    * confusion plane (broadcast), then annotations × K score rows
+    * aggregated back to (item, class) — 2 shuffles a round, `rounds`
+    * fixed and small (the paper's EM converges in a handful), no
+    * driver-side data.
+    *
+    * → one row per item: (itemCol, label_mv — the majority-vote init —
+    *   label_ds, n_annotations).
+    */
+  def dawidSkene(ann: DataFrame, itemCol: String, annotatorCol: String,
+                 labelCol: String, rounds: Int = 2): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"rounds in [1,8], got $rounds")
+    val a = ann.select(col(itemCol).as("__i"),
+        col(annotatorCol).cast("string").as("__j"),
+        col(labelCol).cast("string").as("__l"))
+      .filter(col("__i").isNotNull && col("__j").isNotNull &&
+        col("__l").isNotNull)
+      .localCheckpoint() // scanned 2× per round: pin the skinny plane
+    val classes = a.select(col("__l").as("__k")).distinct()
+    val globals = classes.agg(count(lit(1)).as("__kn")).crossJoin(
+      a.select(col("__i")).distinct().agg(count(lit(1)).as("__n"))) // 1 row
+    val wPick = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__i")).orderBy(col("__rank"))
+    val mv = a.groupBy(col("__i"), col("__l")).agg(count(lit(1)).as("__c"))
+      .withColumn("__rank", struct((-col("__c")).as("a"), col("__l").as("b")))
+      .withColumn("__rn", row_number().over(wPick))
+      .filter(col("__rn") === 1)
+      .select(col("__i"), col("__l").as("__k"))
+    def lnRatio(num: Column, den: Column): Column =
+      (log(num.cast("double")) - log(den.cast("double")))
+        .cast("decimal(18,12)")
+    val fin = (1 to rounds).foldLeft(mv) { (assign, _) =>
+      val conf = a.join(assign, Seq("__i"))
+        .groupBy(col("__j"), col("__k"), col("__l"))
+        .agg(count(lit(1)).as("__c"))
+      val njk = conf.groupBy(col("__j"), col("__k"))
+        .agg(sum(col("__c")).as("__njk"))
+      val prior = assign.groupBy(col("__k")).agg(count(lit(1)).as("__nk"))
+      a.crossJoin(broadcast(classes))
+        .join(broadcast(conf), Seq("__j", "__k", "__l"), "left")
+        .join(broadcast(njk), Seq("__j", "__k"), "left")
+        .crossJoin(broadcast(globals))
+        .groupBy(col("__i"), col("__k"))
+        .agg(sum(lnRatio(coalesce(col("__c"), lit(0L)) + 1L,
+          coalesce(col("__njk"), lit(0L)) + col("__kn"))).as("__s"))
+        .join(broadcast(prior), Seq("__k"), "left")
+        .crossJoin(broadcast(globals))
+        .withColumn("__score", col("__s") +
+          lnRatio(coalesce(col("__nk"), lit(0L)) + 1L, col("__n") + col("__kn")))
+        .withColumn("__rank",
+          struct((-col("__score")).as("a"), col("__k").as("b")))
+        .withColumn("__rn", row_number().over(wPick))
+        .filter(col("__rn") === 1)
+        .select(col("__i"), col("__k"))
+    }
+    val nAnn = a.groupBy(col("__i")).agg(count(lit(1)).as("n_annotations"))
+    mv.select(col("__i"), col("__k").as("label_mv"))
+      .join(fin.select(col("__i"), col("__k").as("label_ds")), Seq("__i"))
+      .join(nAnn, Seq("__i"))
+      .select(col("__i").as(itemCol), col("label_mv"), col("label_ds"),
+        col("n_annotations"))
+  }
 }

@@ -113,6 +113,39 @@ object TrainingQueries {
     s"(STRPOS('0123456789abcdef', m[$p]) - 1) * $pw"
   }.mkString(" + ")
 
+  /** One Dawid–Skene hard-EM round as DuckDB CTEs (the q288 oracle —
+    * [[graft.ops.Profile.dawidSkene]] verbatim): confusion counts off the
+    * `prev` assignment, add-one-smoothed ln-of-exact-integer scores
+    * through DECIMAL(18,12), argmax with ties toward the smaller class.
+    * Expects `ann(i, j, l)`, `cls(k)`, `g(kn, n)` CTEs in scope.
+    */
+  private def dsRoundSql(prev: String, idx: Int): String =
+    s"""conf_$idx AS (
+       |  SELECT a.j, m.k, a.l, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM ann a JOIN $prev m ON m.i = a.i GROUP BY 1, 2, 3),
+       |njk_$idx AS (
+       |  SELECT j, k, CAST(SUM(c) AS BIGINT) AS njk
+       |  FROM conf_$idx GROUP BY 1, 2),
+       |pr_$idx AS (
+       |  SELECT k, CAST(COUNT(*) AS BIGINT) AS nk FROM $prev GROUP BY 1),
+       |sc_$idx AS (
+       |  SELECT a.i, c.k,
+       |    SUM(CAST(ln(CAST(COALESCE(cf.c, 0) + 1 AS DOUBLE))
+       |      - ln(CAST(COALESCE(nj.njk, 0) + g.kn AS DOUBLE))
+       |      AS DECIMAL(18,12))) AS s
+       |  FROM ann a CROSS JOIN cls c
+       |  LEFT JOIN conf_$idx cf ON cf.j = a.j AND cf.k = c.k
+       |    AND cf.l = a.l
+       |  LEFT JOIN njk_$idx nj ON nj.j = a.j AND nj.k = c.k
+       |  CROSS JOIN g GROUP BY 1, 2),
+       |as_$idx AS (SELECT i, k FROM (
+       |  SELECT s.i, s.k, ROW_NUMBER() OVER (PARTITION BY s.i ORDER BY
+       |      s.s + CAST(ln(CAST(COALESCE(p.nk, 0) + 1 AS DOUBLE))
+       |        - ln(CAST(g.n + g.kn AS DOUBLE)) AS DECIMAL(18,12)) DESC,
+       |      s.k) AS rn
+       |  FROM sc_$idx s LEFT JOIN pr_$idx p ON p.k = s.k CROSS JOIN g)
+       |  WHERE rn = 1)""".stripMargin
+
   /** DuckDB replay of the q279 unigram-LM trainer (Kudo ACL'18 hard-EM,
     * the [[graft.ops.Unigram]] algorithm verbatim): planted 6-word
     * corpus, substring seed (all singles + top-10 multis), then per EM
@@ -11898,6 +11931,61 @@ object TrainingQueries {
               |      + LEAST(0.0, 1.0 - CAST(ref_len AS DOUBLE)
               |        / CAST(cand_len AS DOUBLE)))
               |      AS DECIMAL(18,12)) AS DOUBLE) END AS bleu
-              |FROM fin ORDER BY doc_id""".stripMargin))
+              |FROM fin ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Dawid-Skene annotator aggregation (Profile.dawidSkene — Dawid &
+    // Skene JRSS-C'79, hard-EM): 5 synthetic raters over every document
+    // (3 honest, one always-'c0', one wrong on every 4th item), 2 EM
+    // rounds. The oracle replays the WHOLE trainer — majority-vote
+    // init with ties toward the smaller label, then per round the
+    // confusion/prior counts and the add-one ln-of-exact-integer
+    // scores through DECIMAL(18,12) — so every assignment matches
+    // bit-for-bit.
+    QuerySpec(
+      "q288_dawid_skene",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"))
+        val spine = s.range(0, 5).select(col("id").as("j"))
+        val ann = docs.crossJoin(broadcast(spine)).select(
+          col("doc_id"),
+          concat(lit("a"), col("j").cast("string")).as("rater"),
+          expr("""CASE WHEN j = 3 THEN 'c0'
+                  WHEN j = 4 THEN concat('c', CAST((doc_id % 3 +
+                    CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) % 3
+                    AS STRING))
+                  ELSE concat('c', CAST(doc_id % 3 AS STRING))
+                  END""").as("label"))
+        graft.ops.Profile.dawidSkene(ann, "doc_id", "rater", "label",
+            rounds = 2)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ann AS (
+              |  SELECT doc_id AS i, 'a' || CAST(j AS VARCHAR) AS j,
+              |    CASE WHEN j = 3 THEN 'c0'
+              |      WHEN j = 4 THEN 'c' || CAST((doc_id % 3 +
+              |        CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) % 3
+              |        AS VARCHAR)
+              |      ELSE 'c' || CAST(doc_id % 3 AS VARCHAR) END AS l
+              |  FROM documents
+              |  CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS j)),
+              |cls AS (SELECT DISTINCT l AS k FROM ann),
+              |g AS (
+              |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cls) AS kn,
+              |    (SELECT CAST(COUNT(DISTINCT i) AS BIGINT) FROM ann)
+              |      AS n),
+              |as_0 AS (SELECT i, l AS k FROM (
+              |  SELECT i, l, ROW_NUMBER() OVER (PARTITION BY i
+              |      ORDER BY COUNT(*) DESC, l) AS rn
+              |  FROM ann GROUP BY i, l) WHERE rn = 1),
+              |${dsRoundSql("as_0", 1)},
+              |${dsRoundSql("as_1", 2)}
+              |SELECT m.i AS doc_id, m.k AS label_mv, f.k AS label_ds,
+              |  na.n_annotations
+              |FROM as_0 m
+              |JOIN as_2 f ON f.i = m.i
+              |JOIN (SELECT i, CAST(COUNT(*) AS BIGINT) AS n_annotations
+              |      FROM ann GROUP BY i) na ON na.i = m.i
+              |ORDER BY doc_id""".stripMargin))
   )
 }

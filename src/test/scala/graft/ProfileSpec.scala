@@ -669,4 +669,36 @@ class ProfileSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("no non-NULL"))
   }
+
+  test("dawidSkene: EM rescues tie-broken items via learned annotator quality") {
+    import spark.implicits._
+    // A, B honest; C, D always answer x; E honest but only rates i1/i2.
+    // i1-i4 true y, i5-i9 true x. Majority vote: i1/i2 = y (E breaks the
+    // tie), i3/i4 = TIE → 'x' (smaller label — WRONG). Round-1 EM learns
+    // from the fully-annotated items that C/D answer x on y-items while
+    // A/B are reliable: score(i3, y) = ln(3/11)+4·ln(3/4) = ln(243/2816)
+    // beats score(i3, x) = ln(8/11)+2·ln(3/9)+2·ln(8/9) = ln(512/8019),
+    // so DS flips i3/i4 to y.
+    val good = (1L to 4L).flatMap(i => Seq(("A", i, "y"), ("B", i, "y"),
+      ("C", i, "x"), ("D", i, "x")))
+    val e = Seq(("E", 1L, "y"), ("E", 2L, "y"))
+    val xs = (5L to 9L).flatMap(i =>
+      Seq("A", "B", "C", "D").map(j => (j, i, "x")))
+    val ann = (good ++ e ++ xs).toDF("rater", "item", "label")
+    val out = Profile.dawidSkene(ann, "item", "rater", "label", rounds = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("y", "y", 5L)) && out(2L) == (("y", "y", 5L)))
+    assert(out(3L) == (("x", "y", 4L)), s"i3: ${out(3L)}")
+    assert(out(4L) == (("x", "y", 4L)))
+    (5L to 9L).foreach(i => assert(out(i) == (("x", "x", 4L))))
+    // unanimous annotations are a fixpoint
+    val unanimous = Seq(("A", 1L, "p"), ("B", 1L, "p"), ("A", 2L, "q"),
+      ("B", 2L, "q")).toDF("rater", "item", "label")
+    val u = Profile.dawidSkene(unanimous, "item", "rater", "label")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(u == Map(1L -> "p", 2L -> "q"))
+    assert(scala.util.Try(Profile.dawidSkene(ann, "item", "rater", "label",
+      rounds = 0)).isFailure)
+  }
 }
