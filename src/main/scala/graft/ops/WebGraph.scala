@@ -2137,6 +2137,74 @@ object WebGraph {
           .otherwise(lit(0.0)).as("reciprocity"))
   }
 
+  /** Deterministic uniform random-walk corpus (Perozzi et al., KDD 2014
+    * "DeepWalk"; the p=q=1 case of Grover & Leskovec's node2vec) — the
+    * walk-sentence generator feeding skip-gram graph-embedding
+    * training. `walksPerNode` walks start at every node with at least
+    * one out-edge; at step t walk w at node v moves to the out-neighbor
+    * of rank
+    *
+    *   h48(md5(walk_id ∥ '|' ∥ t)) mod outdeg(v)
+    *
+    * where neighbors rank by dst order — REPRODUCIBLE across engines,
+    * runs, partitionings and cluster sizes (the [[graft.ops.Curation.hashBucket]]
+    * rationale: no rand(), so re-running the pipeline regenerates the
+    * identical corpus), and the oracle replays every hop. A walk
+    * reaching a sink (no out-edges) simply ends early.
+    *
+    * Scale shape: the ranked-neighbor table (edge plane + one window)
+    * is built ONCE and reused; each of the `walkLen` rounds is one
+    * hash-partitioned join of the (|V|·walksPerNode)-row frontier with
+    * it — level-synchronous like the BFS kernels, per-round
+    * localCheckpoint so the plan stays one-hop deep. Skew rides the
+    * join key = current node: walks concentrate on hub nodes the way
+    * PageRank mass does, the standard AQE skew-join case.
+    *
+    * → (walk_id, step, node): step 0 is the start node.
+    */
+  def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
+                  walksPerNode: Int = 1, walkLen: Int = 8): DataFrame = {
+    require(walksPerNode >= 1 && walksPerNode <= 64,
+      s"walksPerNode in [1,64], got $walksPerNode")
+    require(walkLen >= 1 && walkLen <= 64, s"walkLen in [1,64], got $walkLen")
+    val e = edges
+      .select(col(srcCol).cast("string").as("__s"),
+        col(dstCol).cast("string").as("__d"))
+      .filter(col("__s").isNotNull && col("__d").isNotNull &&
+        col("__s") =!= col("__d"))
+      .distinct()
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__s")).orderBy(col("__d"))
+    val wDeg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__s"))
+    val nbr = e.withColumn("__r", row_number().over(wRank).cast("long"))
+      .withColumn("__deg", count(lit(1)).over(wDeg).cast("long"))
+      .localCheckpoint() // reused every round
+    val spine = edges.sparkSession.range(walksPerNode)
+      .select(col("id").as("__w"))
+    val starts = e.select(col("__s").as("__v")).distinct()
+      .crossJoin(broadcast(spine))
+      .select(concat(col("__v"), lit("#"), col("__w")).as("walk_id"),
+        col("__v"))
+    var frontier = starts.select(col("walk_id"), col("__v").as("__cur"))
+      .localCheckpoint()
+    var acc = frontier
+      .select(col("walk_id"), lit(0L).as("step"), col("__cur").as("node"))
+    for (t <- 1 to walkLen) {
+      // 48-bit md5 prefix (the Sketches h48 recipe) mod out-degree
+      val pick = conv(substring(md5(concat(col("walk_id"), lit(s"|$t"))),
+        1, 12), 16, 10).cast("long") % col("__deg")
+      frontier = frontier
+        .join(nbr, frontier("__cur") === nbr("__s"))
+        .filter(col("__r") === pick + lit(1L))
+        .select(col("walk_id"), col("__d").as("__cur"))
+        .localCheckpoint()
+      acc = acc.unionByName(frontier.select(col("walk_id"),
+        lit(t.toLong).as("step"), col("__cur").as("node")))
+    }
+    acc
+  }
+
   /** Single-SET reachability over a normalized (esrc, edst) edge frame:
     * every node reachable from ANY source node, sources included. The
     * [[reachFrom]] discipline without the per-source column — per-hop

@@ -113,6 +113,16 @@ object TrainingQueries {
     s"(STRPOS('0123456789abcdef', m[$p]) - 1) * $pw"
   }.mkString(" + ")
 
+  /** [[h48Sql]] over an arbitrary md5-hex expression instead of a staged
+    * column `m` — for contexts that cannot interpose a subquery stage
+    * (the q289 recursive walk CTE). The md5 is re-evaluated per hex
+    * digit; fine on skinny planes, stage it through `m` elsewhere.
+    */
+  private def h48InlineSql(md5Expr: String): String = (1 to 12).map { p =>
+    val pw = java.math.BigInteger.valueOf(16L).pow(12 - p)
+    s"(STRPOS('0123456789abcdef', ($md5Expr)[$p]) - 1) * $pw"
+  }.mkString(" + ")
+
   /** One Dawid–Skene hard-EM round as DuckDB CTEs (the q288 oracle —
     * [[graft.ops.Profile.dawidSkene]] verbatim): confusion counts off the
     * `prev` assignment, add-one-smoothed ln-of-exact-integer scores
@@ -11986,6 +11996,62 @@ object TrainingQueries {
               |JOIN as_2 f ON f.i = m.i
               |JOIN (SELECT i, CAST(COUNT(*) AS BIGINT) AS n_annotations
               |      FROM ann GROUP BY i) na ON na.i = m.i
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Deterministic random-walk corpus (WebGraph.randomWalks — Perozzi
+    // et al. KDD'14 DeepWalk, uniform/node2vec p=q=1): 2 walks of
+    // length 8 from every host of the q283 planted digraph, each hop
+    // picked by h48(md5(walk_id|t)) mod outdeg over dst-ranked
+    // neighbors — no rand(), so the DuckDB oracle replays every hop of
+    // every walk through one recursive CTE with the inline h48 recipe.
+    QuerySpec(
+      "q289_random_walks",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        def host(c: String) = concat(lit("h"), expr(c).cast("string"),
+          lit(".example.org"))
+        val base = docs.select(expr("doc_id % 97").as("n")).distinct()
+        val e = base.select(host("n").as("src_host"),
+            host("pmod(2*n+1, 97)").as("dst_host"))
+          .unionByName(base.select(host("n").as("src_host"),
+            host("pmod(3*n+2, 97)").as("dst_host")))
+        graft.ops.WebGraph.randomWalks(e, "src_host", "dst_host",
+            walksPerNode = 2, walkLen = 8)
+          .orderBy("walk_id", "step")
+      },
+      Some(s"""WITH RECURSIVE
+             |bb AS (SELECT DISTINCT doc_id % 97 AS n FROM documents),
+             |raw AS (
+             |  SELECT 'h' || CAST(n AS VARCHAR) || '.example.org' AS src,
+             |    'h' || CAST((2*n+1) % 97 AS VARCHAR) || '.example.org'
+             |      AS dst
+             |  FROM bb
+             |  UNION ALL
+             |  SELECT 'h' || CAST(n AS VARCHAR) || '.example.org',
+             |    'h' || CAST((3*n+2) % 97 AS VARCHAR) || '.example.org'
+             |  FROM bb),
+             |e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+             |nb AS (
+             |  SELECT src, dst,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst)
+             |      AS BIGINT) AS r,
+             |    CAST(COUNT(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+             |  FROM e),
+             |starts AS (
+             |  SELECT v || '#' || CAST(w AS VARCHAR) AS wid, v
+             |  FROM (SELECT DISTINCT src AS v FROM e)
+             |  CROSS JOIN (SELECT unnest([0, 1]) AS w)),
+             |walk(wid, t, v) AS (
+             |  SELECT wid, 0, v FROM starts
+             |  UNION ALL
+             |  SELECT walk.wid, walk.t + 1, nb.dst
+             |  FROM walk JOIN nb ON nb.src = walk.v
+             |  WHERE walk.t < 8
+             |    AND nb.r = (${h48InlineSql(
+                   "md5(walk.wid || '|' || CAST(walk.t + 1 AS VARCHAR))")})
+             |      % nb.deg + 1)
+             |SELECT wid AS walk_id, CAST(t AS BIGINT) AS step, v AS node
+             |FROM walk ORDER BY walk_id, step""".stripMargin))
   )
 }

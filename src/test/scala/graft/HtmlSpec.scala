@@ -693,4 +693,42 @@ class HtmlSpec extends AnyFunSuite {
     assert(got == Map("a" -> 0L, "b" -> S, "c" -> (S + S / 2),
       "d" -> (S + S / 2 + S / 3)), s"harmonic: $got")
   }
+
+  test("randomWalks: deterministic, edge-respecting, sink-terminating walks") {
+    import spark.implicits._
+    // a,b,c form a cycle with a chord; z is a sink reachable from c
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+      ("c", "z")).toDF("s", "d")
+    val out = WebGraph.randomWalks(edges, "s", "d",
+      walksPerNode = 2, walkLen = 6)
+    val rows = out.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // walks start at every node WITH out-edges (a, b, c — not z), twice
+    val step0 = rows.filter(_._2 == 0L)
+    assert(step0.length == 6 &&
+      step0.map(_._3).toSet == Set("a", "b", "c"))
+    assert(rows.map(_._1).distinct.length == 6)
+    // every hop follows a real edge
+    val byWalk = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val edgeSet = Set("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c",
+      "c" -> "z")
+    byWalk.values.foreach { steps =>
+      steps.sliding(2).foreach {
+        case Array(u, v) =>
+          assert(v._2 == u._2 + 1 && edgeSet(u._3 -> v._3),
+            s"invalid hop $u -> $v")
+        case _ => ()
+      }
+      // a walk only stops early at the sink
+      val last = steps.last
+      assert(last._2 == 6L || last._3 == "z", s"early stop not at sink: $last")
+    }
+    // deterministic: a second run (different partitioning) is identical
+    val again = WebGraph.randomWalks(edges.repartition(7), "s", "d",
+      walksPerNode = 2, walkLen = 6)
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+    // both walks from the same start can diverge (hash keyed by walk id)
+    assert(scala.util.Try(WebGraph.randomWalks(edges, "s", "d",
+      walksPerNode = 0)).isFailure)
+  }
 }
