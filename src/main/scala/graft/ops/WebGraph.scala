@@ -647,6 +647,75 @@ object WebGraph {
     core
   }
 
+  /** k-truss decomposition (Cohen 2008 "Trusses: cohesive subgraphs
+    * for social network analysis") — the triangle-grade sibling of
+    * [[kCore]]: iteratively delete every undirected edge supported by
+    * fewer than k−2 triangles until a fixpoint; what survives is the
+    * k-truss, the standard "strong community scaffold" cut a crawl
+    * curator takes above the k-core (every truss edge sits in ≥ k−2
+    * triangles INSIDE the truss, so it prunes barely-attached hubs the
+    * core keeps).
+    *
+    * Exact by construction: supports are integer triangle counts per
+    * round; deletions cascade deterministically, so a DuckDB oracle
+    * replaying R ≥ #rounds peels lands on the identical fixpoint (extra
+    * replay rounds are no-ops).
+    *
+    * Scale shape: per round ONE triangle join — canonical (a<b) edges
+    * joined twice against the undirected adjacency, keyed (a,·) then
+    * (b,c): the standard support computation, map-side combined to the
+    * edge plane — then one filter; edge frames are localCheckpoint-ed
+    * per round ([[kCore]] discipline), the loud `maxRounds` guard
+    * raises instead of looping. Peel rounds on real graphs are few
+    * (each round must delete ≥ 1 edge to continue).
+    *
+    * → surviving canonical edges (node_a < node_b, support) with their
+    *   within-truss triangle support.
+    */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String,
+             k: Int, maxRounds: Int = 64): DataFrame = {
+    require(k >= 3, s"k must be >= 3 (k-2 triangles per edge), got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val e0 = edges
+      .select(col(srcCol).cast("string").as("__s"),
+        col(dstCol).cast("string").as("__d"))
+      .filter(col("__s").isNotNull && col("__d").isNotNull &&
+        col("__s") =!= col("__d"))
+      .select(least(col("__s"), col("__d")).as("a"),
+        greatest(col("__s"), col("__d")).as("b"))
+      .distinct()
+    def support(canon: DataFrame): DataFrame = {
+      val und = canon.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(canon.select(col("b").as("u"), col("a").as("v")))
+      canon
+        .join(und.select(col("u").as("a"), col("v").as("c")), Seq("a"))
+        .join(und.select(col("u").as("b"), col("v").as("c")),
+          Seq("b", "c"), "left_semi")
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("__sup"))
+    }
+    var cur = e0.localCheckpoint()
+    var n = cur.count()
+    var round = 0
+    var done = n == 0L
+    var sup = cur.limit(0).withColumn("__sup", lit(0L)) // empty shape
+    while (!done) {
+      require(round < maxRounds,
+        s"kTruss did not converge within maxRounds=$maxRounds")
+      sup = support(cur).localCheckpoint()
+      val next = sup.filter(col("__sup") >= lit((k - 2).toLong))
+        .select(col("a"), col("b")).localCheckpoint()
+      val m = next.count()
+      done = m == n || m == 0L
+      cur = next
+      n = m
+      round += 1
+    }
+    // at the fixpoint the last computed supports describe the survivors
+    cur.join(sup, Seq("a", "b"))
+      .select(col("a").as("node_a"), col("b").as("node_b"),
+        col("__sup").cast("long").as("support"))
+  }
+
   /** Personalized PageRank (Haveliwala 2002; the "random walk with
     * restart" relevance score): identical update rule to [[pageRank]]
     * except the teleport mass lands ONLY on the seed set S instead of

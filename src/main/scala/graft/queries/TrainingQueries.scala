@@ -156,6 +156,25 @@ object TrainingQueries {
        |  FROM sc_$idx s LEFT JOIN pr_$idx p ON p.k = s.k CROSS JOIN g)
        |  WHERE rn = 1)""".stripMargin
 
+  /** One k-truss peel round as DuckDB CTEs (the q290 oracle —
+    * [[graft.ops.WebGraph.kTruss]] verbatim): per-edge triangle support
+    * over the surviving canonical edge set `prev`, then the < kMin
+    * deletion. Replaying more rounds than the fixpoint needs is a no-op
+    * by construction.
+    */
+  private def ktRoundSql(prev: String, idx: Int, kMin: Int): String =
+    s"""sup_$idx AS MATERIALIZED (
+       |  SELECT e.a, e.b, CAST(COUNT(*) AS BIGINT) AS sup
+       |  FROM $prev e
+       |  JOIN (SELECT a AS u, b AS v FROM $prev
+       |        UNION ALL SELECT b, a FROM $prev) u1 ON u1.u = e.a
+       |  JOIN (SELECT a AS u, b AS v FROM $prev
+       |        UNION ALL SELECT b, a FROM $prev) u2
+       |    ON u2.u = e.b AND u2.v = u1.v
+       |  GROUP BY 1, 2),
+       |e_$idx AS MATERIALIZED (
+       |  SELECT a, b FROM sup_$idx WHERE sup >= $kMin)""".stripMargin
+
   /** DuckDB replay of the q279 unigram-LM trainer (Kudo ACL'18 hard-EM,
     * the [[graft.ops.Unigram]] algorithm verbatim): planted 6-word
     * corpus, substring seed (all singles + top-10 multis), then per EM
@@ -12052,6 +12071,60 @@ object TrainingQueries {
                    "md5(walk.wid || '|' || CAST(walk.t + 1 AS VARCHAR))")})
              |      % nb.deg + 1)
              |SELECT wid AS walk_id, CAST(t AS BIGINT) AS step, v AS node
-             |FROM walk ORDER BY walk_id, step""".stripMargin))
+             |FROM walk ORDER BY walk_id, step""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // k-truss decomposition (WebGraph.kTruss — Cohen 2008; the
+    // triangle-grade sibling of q234's community lanes): a planted K8
+    // clique embedded in a 60-node ring+chord scaffold. At k=4 the
+    // chords die round 1 (support 1), the ring unravels round 2, and
+    // ONLY the clique survives — every edge at support 6. The oracle
+    // unrolls 6 peel rounds (a fixpoint replay is a no-op) and reads
+    // the final supports; the op's loud maxRounds guard certifies the
+    // fixpoint arrived.
+    QuerySpec(
+      "q290_ktruss",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        def host(c: String) = concat(lit("v"), expr(c).cast("string"))
+        val base = docs.select(expr("doc_id % 60").as("n")).distinct()
+        val cl8 = base.filter(expr("n < 8")).select(col("n").as("m1"))
+          .crossJoin(base.filter(expr("n < 8")).select(col("n").as("m2")))
+          .filter(expr("m1 < m2"))
+          .select(host("m1").as("sa"), host("m2").as("sb"))
+        val ring = base.select(host("n").as("sa"),
+          host("pmod(n + 1, 60)").as("sb"))
+        val chord = base.select(host("n").as("sa"),
+          host("pmod(n + 2, 60)").as("sb"))
+        val edges = cl8.unionByName(ring).unionByName(chord)
+        graft.ops.WebGraph.kTruss(edges, "sa", "sb", k = 4,
+            maxRounds = 8)
+          .orderBy("node_a", "node_b")
+      },
+      Some(s"""WITH bb AS (SELECT DISTINCT doc_id % 60 AS n
+             |  FROM documents),
+             |raw AS (
+             |  SELECT 'v' || CAST(c1.n AS VARCHAR) AS s,
+             |    'v' || CAST(c2.n AS VARCHAR) AS d
+             |  FROM bb c1 CROSS JOIN bb c2
+             |  WHERE c1.n < 8 AND c2.n < 8 AND c1.n < c2.n
+             |  UNION ALL
+             |  SELECT 'v' || CAST(n AS VARCHAR),
+             |    'v' || CAST((n + 1) % 60 AS VARCHAR) FROM bb
+             |  UNION ALL
+             |  SELECT 'v' || CAST(n AS VARCHAR),
+             |    'v' || CAST((n + 2) % 60 AS VARCHAR) FROM bb),
+             |e_0 AS MATERIALIZED (
+             |  SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
+             |  FROM raw WHERE s <> d),
+             |${ktRoundSql("e_0", 1, 2)},
+             |${ktRoundSql("e_1", 2, 2)},
+             |${ktRoundSql("e_2", 3, 2)},
+             |${ktRoundSql("e_3", 4, 2)},
+             |${ktRoundSql("e_4", 5, 2)},
+             |${ktRoundSql("e_5", 6, 2)},
+             |${ktRoundSql("e_6", 7, 2)}
+             |SELECT a AS node_a, b AS node_b, sup AS support
+             |FROM sup_7 WHERE sup >= 2 ORDER BY 1, 2""".stripMargin))
   )
 }

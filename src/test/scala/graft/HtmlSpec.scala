@@ -694,6 +694,33 @@ class HtmlSpec extends AnyFunSuite {
       "d" -> (S + S / 2 + S / 3)), s"harmonic: $got")
   }
 
+  test("kTruss: clique survives with exact supports, weak scaffolding cascades away") {
+    import spark.implicits._
+    // K5 on v0..v4 + a pendant path v4-x1-x2 + a lone triangle t1t2t3
+    val k5 = for (i <- 0 until 5; j <- i + 1 until 5)
+      yield (s"v$i", s"v$j")
+    val extras = Seq(("v4", "x1"), ("x1", "x2"),
+      ("t1", "t2"), ("t2", "t3"), ("t3", "t1"))
+    val edges = (k5 ++ extras).toDF("s", "d")
+    // k=4: only the K5 survives, every edge in 3 triangles
+    val t4 = WebGraph.kTruss(edges, "s", "d", k = 4).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(t4.length == 10 && t4.forall(_._3 == 3L), s"k4: ${t4.toSeq}")
+    assert(t4.map(t => (t._1, t._2)).toSet == k5.toSet)
+    // k=3: the lone triangle also survives (support 1); the path never
+    assert(WebGraph.kTruss(edges, "s", "d", k = 3).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet ==
+      (k5 ++ Seq(("t1", "t2"), ("t2", "t3"), ("t1", "t3"))).toSet)
+    // cascade: ring+chord unravels COMPLETELY at k=4 (chords die round
+    // 1 with support 1, ring edges then lose both common neighbors)
+    val ring = (0 until 10).flatMap(n => Seq(
+      (s"r$n", s"r${(n + 1) % 10}"), (s"r$n", s"r${(n + 2) % 10}")))
+    assert(WebGraph.kTruss(ring.toDF("s", "d"), "s", "d", k = 4).isEmpty)
+    assert(scala.util.Try(WebGraph.kTruss(edges, "s", "d", k = 2)).isFailure)
+    assert(scala.util.Try(WebGraph.kTruss(ring.toDF("s", "d"), "s", "d",
+      k = 4, maxRounds = 1)).isFailure, "loud non-convergence guard")
+  }
+
   test("randomWalks: deterministic, edge-respecting, sink-terminating walks") {
     import spark.implicits._
     // a,b,c form a cycle with a chord; z is a sink reachable from c
