@@ -377,6 +377,68 @@ object Similarity {
     df.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** SemDeDup drop set with the PAPER's keep-rule (Abbas et al. 2023
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", §2): cluster the embeddings (spherical k-means via
+    * [[Ivf.buildIndex]]), find within-cluster pairs with cosine ≥
+    * `minCosine`, and in each pair drop the item with the HIGHER cosine
+    * to its cluster centroid — keeping the low-centroid-similarity
+    * exemplar retains the cluster's diverse outskirts, which the paper
+    * measures as the better-training-data choice versus
+    * [[dropSemanticDuplicates]]' id-based rule. Ties (exact clones)
+    * drop the larger id.
+    *
+    * Scale shape — the SemDeDup argument itself: candidate work is
+    * Σ_c |c|² over clusters instead of N², with k from the √N policy
+    * when unset; pairs shuffle on cluster id only, centroid cosines are
+    * one native dot against the plan-carried k×dim matrix. Exact clones
+    * always co-cluster (assignment is a pure function of the vector),
+    * so identical-duplicate recall is 1.0 by construction.
+    *
+    * → one row per dropping pair: (id_drop, id_keep, cosine rounded 6,
+    *   cc_drop, cc_keep — the centroid cosines that decided). An item
+    *   can appear as id_drop under several keepers; anti-join on the
+    *   distinct id_drop set ([[semDeDup]]).
+    */
+  def semDeDupDrops(df: DataFrame, idCol: String, vecCol: String,
+                    nClusters: Int = 0, minCosine: Double = 0.95,
+                    iters: Int = 3, seed: Long = 42L): DataFrame = {
+    val k = if (nClusters > 0) nClusters else Ivf.ivfPolicy(df.count())._1
+    val idx = Ivf.buildIndex(df, idCol, vecCol, k, iters, seed)
+    val cm = typedLit(idx.centroids.sortBy(_._1).map(_._2.toSeq).toSeq)
+    val lists = idx.assigned
+      .select(col("__cid"), col(idCol), col("__vn"),
+        dot(col("__vn"), element_at(cm, col("__cid") + 1)).as("__cc"))
+    val pairs = lists
+      .select(col("__cid"), col(idCol).as("__ia"), col("__vn").as("__va"),
+        col("__cc").as("__ca"))
+      .join(lists.select(col("__cid"), col(idCol).as("__ib"),
+        col("__vn").as("__vb"), col("__cc").as("__cb")), "__cid")
+      .filter(col("__ia") < col("__ib"))
+      .withColumn("__cos", dot(col("__va"), col("__vb")))
+      .filter(col("__cos") >= minCosine)
+    val dropA = col("__ca") > col("__cb") ||
+      (col("__ca") === col("__cb") && col("__ia") > col("__ib"))
+    pairs.select(
+      when(dropA, col("__ia")).otherwise(col("__ib")).as("id_drop"),
+      when(dropA, col("__ib")).otherwise(col("__ia")).as("id_keep"),
+      round(col("__cos"), 6).as("cosine"),
+      when(dropA, col("__ca")).otherwise(col("__cb")).as("cc_drop"),
+      when(dropA, col("__cb")).otherwise(col("__ca")).as("cc_keep"))
+  }
+
+  /** Survivors under [[semDeDupDrops]]: one anti-join on the distinct
+    * drop set — the SemDeDup-curated corpus.
+    */
+  def semDeDup(df: DataFrame, idCol: String, vecCol: String,
+               nClusters: Int = 0, minCosine: Double = 0.95,
+               iters: Int = 3, seed: Long = 42L): DataFrame = {
+    val drops = semDeDupDrops(df, idCol, vecCol, nClusters, minCosine,
+      iters, seed)
+      .select(col("id_drop").as(idCol)).distinct()
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-space decontamination — the paraphrase-robust counterpart
     * of n-gram decontamination ([[Curation.contaminatedDocs]], q66): a
     * corpus row is CONTAMINATED when its max cosine against the

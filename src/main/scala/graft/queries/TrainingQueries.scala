@@ -12125,6 +12125,34 @@ object TrainingQueries {
              |${ktRoundSql("e_5", 6, 2)},
              |${ktRoundSql("e_6", 7, 2)}
              |SELECT a AS node_a, b AS node_b, sup AS support
-             |FROM sup_7 WHERE sup >= 2 ORDER BY 1, 2""".stripMargin))
+             |FROM sup_7 WHERE sup >= 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // SemDeDup with the paper's keep-rule (Similarity.semDeDupDrops —
+    // Abbas et al. 2023): every 50th embedding gets an EXACT clone at
+    // vec_id+100000. Identical vectors co-cluster by construction
+    // (assignment is a pure function of the vector) and tie on centroid
+    // cosine, so the drop set is fully deterministic — exactly the
+    // planted clones, each dropped in favor of its original — and the
+    // random fixture pairs sit far below the 0.95 gate (max corpus
+    // cosine ≈ 0.6). FULL oracle: DuckDB re-plants the clones; the
+    // keep-rule's asymmetric branch is spec-certified (IvfSpec) on
+    // hand-placed geometry.
+    QuerySpec(
+      "q291_semdedup",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+          col("embedding"))
+        val clones = emb.filter(expr("vec_id % 50 = 0"))
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+        Similarity.semDeDupDrops(emb.unionByName(clones), "vec_id",
+            "embedding", nClusters = 16, minCosine = 0.95)
+          .select(col("id_drop"), col("id_keep"), col("cosine"))
+          .orderBy("id_drop")
+      },
+      Some("""SELECT vec_id + 100000 AS id_drop, vec_id AS id_keep,
+             |  1.0 AS cosine
+             |FROM embeddings WHERE vec_id % 50 = 0
+             |ORDER BY id_drop""".stripMargin))
   )
 }

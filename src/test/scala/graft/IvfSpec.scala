@@ -1025,6 +1025,38 @@ class IvfSpec extends AnyFunSuite {
     assert(survivors.size == 520 - pairs.map(_._2).size)
   }
 
+  test("semDeDupDrops: the paper's keep-rule retains the far-from-centroid exemplar") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    // one cluster of three mutual near-dups at 0°, 12°, 20° plus an
+    // unrelated 90° vector. k=1 → centroid = normalized mean of ALL FOUR
+    // ≈ 28.0°, so centroid cosines rank v3 (8.0° away) > v2 (16.0°) >
+    // v1 (28.0°). Pairs all clear 0.9 (cos 20° = 0.94): (v1,v2) drops
+    // v2, (v2,v3) drops v3, (v1,v3) drops v3 → ONLY v1, the
+    // cluster-edge exemplar, survives the dup group; v4 is untouched
+    // (its pairs sit at cos 70°..90° < 0.9).
+    def v(deg: Double) = Seq(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val corpus = Seq((1L, v(0)), (2L, v(12)), (3L, v(20)), (4L, v(90)))
+      .toDF("vec_id", "embedding")
+    val drops = Similarity.semDeDupDrops(corpus, "vec_id", "embedding",
+      nClusters = 1, minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(drops == Set((2L, 1L), (3L, 2L), (3L, 1L)), s"drops: $drops")
+    val kept = Similarity.semDeDup(corpus, "vec_id", "embedding",
+      nClusters = 1, minCosine = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L), s"kept: $kept")
+    // exact clones tie on centroid cosine → the larger id drops, and
+    // co-clustering is guaranteed (assignment is a function of the vector)
+    val clones = corpus.unionByName(
+      Seq((101L, v(0)), (104L, v(90))).toDF("vec_id", "embedding"))
+    val cd = Similarity.semDeDupDrops(clones, "vec_id", "embedding",
+      nClusters = 2, minCosine = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cd == Set((101L, 1L), (104L, 4L)), s"clone drops: $cd")
+  }
+
   test("semantic dedup stress floor: moderate-similarity recall documented") {
     // at the q31 stress threshold (0.4 — NOT near-duplicates, just
     // moderately similar random vectors) cross-cluster splits are expected;
