@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Model-based quality filtering — the classifier gate of GPT-3
@@ -512,5 +513,75 @@ object Classifier {
     val spark = df.sparkSession
     import spark.implicits._
     rows.toDF("bin", "n", "pos", "calibrated")
+  }
+
+  /** Split-conformal prediction thresholds (Vovk et al. 2005;
+    * Angelopoulos & Bates 2021 §1 — the distribution-free selective-
+    * prediction calibration a classifier gate runs before acting on
+    * its scores): per group (Mondrian conformal — e.g. per language or
+    * per label) the threshold is the k-th smallest calibration
+    * nonconformity score with
+    *
+    *   k = ⌈(n+1)·(1−α)⌉
+    *
+    * which guarantees ≥ 1−α coverage on exchangeable test points. α
+    * arrives as the exact rational alphaNum/alphaDen so k is pure
+    * integer arithmetic: k = ((n+1)·(alphaDen−alphaNum) + alphaDen−1)
+    * div alphaDen; the threshold itself is an order statistic — a
+    * VALUE from the data, never an interpolation — so the whole
+    * operator replays exactly in any engine. k > n (too little
+    * calibration data for the requested α) reports a NULL threshold
+    * with finite_threshold = false: the honest "predict everything"
+    * verdict, never a silent clamp.
+    *
+    * Scale shape: one per-group window pass (the
+    * [[graft.ops.Curation.stratifiedSample]] shape — per-group rank +
+    * count, shuffle keyed on the group); one row out per group.
+    *
+    * → (groupCol, n_cal, k, qhat, finite_threshold, coverage_level =
+    *   k/(n+1), the exact guaranteed level)
+    */
+  def conformalThresholds(cal: DataFrame, groupCol: String,
+                          scoreCol: String, alphaNum: Int,
+                          alphaDen: Int): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen,
+      s"alpha must be in (0,1): got $alphaNum/$alphaDen")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__s"))
+    val wAll = Window.partitionBy(col(groupCol))
+    cal.filter(col(scoreCol).isNotNull)
+      .select(col(groupCol), col(scoreCol).cast("double").as("__s"))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll).cast("long"))
+      .withColumn("__k", expr( // integral div: `/` on longs is double
+        s"CAST(((__n + 1) * ${alphaDen - alphaNum} + ${alphaDen - 1})" +
+          s" DIV $alphaDen AS BIGINT)"))
+      .filter(col("__rn") === least(col("__k"), col("__n")))
+      .select(col(groupCol), col("__n").as("n_cal"), col("__k").as("k"),
+        when(col("__k") <= col("__n"), col("__s")).as("qhat"),
+        (col("__k") <= col("__n")).as("finite_threshold"),
+        (col("__k").cast("double") / (col("__n") + 1L).cast("double"))
+          .as("coverage_level"))
+  }
+
+  /** Empirical coverage of [[conformalThresholds]] on a held-out test
+    * frame: per group, the fraction of test scores ≤ qhat (an infinite
+    * threshold covers everything). The validation read the conformal
+    * guarantee is checked with.
+    *
+    * → (groupCol, n_test, n_covered, coverage)
+    */
+  def conformalCoverage(test: DataFrame, groupCol: String,
+                        scoreCol: String, thresholds: DataFrame): DataFrame = {
+    test.filter(col(scoreCol).isNotNull)
+      .select(col(groupCol), col(scoreCol).cast("double").as("__s"))
+      .join(broadcast(thresholds.select(col(groupCol), col("qhat"),
+        col("finite_threshold"))), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(!col("finite_threshold") || col("__s") <= col("qhat"),
+          1L).otherwise(0L)).as("n_covered"))
+      .select(col(groupCol), col("n_test"), col("n_covered"),
+        (col("n_covered").cast("double") / col("n_test").cast("double"))
+          .as("coverage"))
   }
 }

@@ -12153,6 +12153,60 @@ object TrainingQueries {
       Some("""SELECT vec_id + 100000 AS id_drop, vec_id AS id_keep,
              |  1.0 AS cosine
              |FROM embeddings WHERE vec_id % 50 = 0
-             |ORDER BY id_drop""".stripMargin))
+             |ORDER BY id_drop""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Split-conformal calibration (Classifier.conformalThresholds /
+    // conformalCoverage — Vovk et al. 2005; Angelopoulos & Bates'21):
+    // Mondrian per-group thresholds at α = 1/10 from the even-doc_id
+    // calibration split, empirical coverage read on the odd-doc_id test
+    // split. k is pure integer arithmetic and qhat an order statistic,
+    // so the oracle replays both frames exactly.
+    QuerySpec(
+      "q292_conformal",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"),
+          concat(lit("g"), expr("CAST(doc_id % 3 AS STRING)")).as("grp"),
+          expr("CAST(doc_id % 101 AS DOUBLE) / 8.0").as("s"))
+        val cal = docs.filter(expr("doc_id % 2 = 0"))
+        val test = docs.filter(expr("doc_id % 2 = 1"))
+        val th = graft.ops.Classifier.conformalThresholds(cal, "grp", "s",
+          alphaNum = 1, alphaDen = 10)
+        th.join(graft.ops.Classifier.conformalCoverage(test, "grp", "s",
+            th), Seq("grp"))
+          .orderBy("grp")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, 'g' || CAST(doc_id % 3 AS VARCHAR) AS grp,
+             |    CAST(doc_id % 101 AS DOUBLE) / 8.0 AS s
+             |  FROM documents),
+             |r AS (
+             |  SELECT grp, s,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY s)
+             |      AS BIGINT) AS rn,
+             |    CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+             |  FROM d WHERE doc_id % 2 = 0),
+             |th AS (
+             |  SELECT grp, n AS n_cal,
+             |    CAST(((n+1) * 9 + 9) // 10 AS BIGINT) AS k,
+             |    CASE WHEN ((n+1) * 9 + 9) // 10 <= n THEN s END AS qhat,
+             |    ((n+1) * 9 + 9) // 10 <= n AS finite_threshold,
+             |    CAST(((n+1) * 9 + 9) // 10 AS DOUBLE)
+             |      / CAST(n + 1 AS DOUBLE) AS coverage_level
+             |  FROM r WHERE rn = LEAST(((n+1) * 9 + 9) // 10, n)),
+             |cov AS (
+             |  SELECT d.grp, CAST(COUNT(*) AS BIGINT) AS n_test,
+             |    CAST(SUM(CASE WHEN NOT th.finite_threshold
+             |      OR d.s <= th.qhat THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_covered
+             |  FROM d JOIN th ON th.grp = d.grp
+             |  WHERE d.doc_id % 2 = 1
+             |  GROUP BY 1)
+             |SELECT th.grp, th.n_cal, th.k, th.qhat, th.finite_threshold,
+             |  th.coverage_level, cov.n_test, cov.n_covered,
+             |  CAST(cov.n_covered AS DOUBLE) / CAST(cov.n_test AS DOUBLE)
+             |    AS coverage
+             |FROM th JOIN cov ON cov.grp = th.grp
+             |ORDER BY th.grp""".stripMargin))
   )
 }

@@ -1376,6 +1376,39 @@ class OpsSpec extends AnyFunSuite {
       train, "text", discountNum = 4, discountDen = 4)).isFailure)
   }
 
+  test("conformalThresholds: exact order-statistic rank, honest infinite threshold") {
+    import spark.implicits._
+    import graft.ops.Classifier
+    val cal = (1 to 10).map(i => ("g", i.toDouble)).toDF("grp", "s")
+    def th(aN: Int, aD: Int) =
+      Classifier.conformalThresholds(cal, "grp", "s", aN, aD).head()
+    // n=10, α=0.1: k = ⌈11·0.9⌉ = 10 → qhat = 10th smallest = 10.0
+    val t1 = th(1, 10)
+    assert(t1.getLong(1) == 10L && t1.getLong(2) == 10L &&
+      t1.getDouble(3) == 10.0 && t1.getBoolean(4) &&
+      t1.getDouble(5) == 10.0 / 11)
+    // α=0.2: k = ⌈11·0.8⌉ = 9 → qhat = 9.0
+    assert(th(2, 10).getLong(2) == 9L && th(2, 10).getDouble(3) == 9.0)
+    // α=0.05: k = ⌈11·0.95⌉ = 11 > n → NULL threshold, finite = false
+    val t3 = th(1, 20)
+    assert(t3.getLong(2) == 11L && t3.isNullAt(3) && !t3.getBoolean(4))
+    // coverage: threshold 9.0 covers 9 of 20 test scores; an infinite
+    // threshold covers all of them
+    val test20 = (1 to 20).map(i => ("g", i.toDouble)).toDF("grp", "s")
+    val cov = Classifier.conformalCoverage(test20, "grp", "s",
+      Classifier.conformalThresholds(cal, "grp", "s", 2, 10)).head()
+    assert(cov.getLong(1) == 20L && cov.getLong(2) == 9L &&
+      cov.getDouble(3) == 0.45)
+    val covInf = Classifier.conformalCoverage(test20, "grp", "s",
+      Classifier.conformalThresholds(cal, "grp", "s", 1, 20)).head()
+    assert(covInf.getLong(2) == 20L && covInf.getDouble(3) == 1.0)
+    assert(scala.util.Try(
+      Classifier.conformalThresholds(cal, "grp", "s", 0, 10)).isFailure)
+    // the guarantee itself: on exchangeable data coverage ≥ 1−α — exact
+    // here because test ⊇ cal ranks: 10 of 11 ≥ 0.9 at the same scale
+    assert(th(1, 10).getDouble(5) >= 0.9)
+  }
+
   test("bleuScore: hand-computed precisions, BP, strict-zero and null paths") {
     import spark.implicits._
     val pairs = Seq(
