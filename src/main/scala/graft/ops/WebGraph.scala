@@ -133,6 +133,81 @@ object WebGraph {
     (ranks, iter)
   }
 
+  /** Truncated Katz centrality (Katz, Psychometrika 1953) — the
+    * walk-counting prestige score next to [[pageRank]]: each node's
+    * score sums α^ℓ-attenuated walk counts into it,
+    *
+    *   katz_0(v)   = SCALE
+    *   katz_t+1(v) = SCALE + (αNum · Σ_{u→v} katz_t(u)) div αDen
+    *
+    * truncated at `iterations` terms, in EXACT scaled-integer
+    * arithmetic (the [[pageRank]] determinism discipline — BIGINT
+    * `div`, no float anywhere). Unlike PageRank there is NO out-degree
+    * normalization: a node pointed to by many well-connected nodes
+    * scores high even if those nodes also point elsewhere — the
+    * hub-prestige semantics crawl planners use beside rank.
+    *
+    * OVERFLOW CONTRACT (loud, never silent): truncated Katz grows like
+    * (α·indegree)^t, so the op measures max in-degree up front and
+    * requires αNum·maxInDeg ≤ 7·αDen; with iterations ≤ 8, αDen ≤ 100
+    * and scale ≤ 1e9 every partial value then fits BIGINT with
+    * headroom (max score ≤ scale·(7⁹−1)/6 < 7e15, scaled inflow
+    * < 5e18). A graph/α pair outside the bound raises with the bound
+    * named — pick a smaller α for hub-heavy graphs.
+    *
+    * Scale shape identical to [[pageRank]]: edges distinct-ed and
+    * persisted once, per-iteration one join keyed on src + one
+    * aggregation keyed on dst over skinny rank frames,
+    * localCheckpoint per round, one scalar (max in-degree) to the
+    * driver up front.
+    *
+    * → (node, katz) in SCALE-scaled integer units.
+    */
+  def katzCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+                     alphaNum: Int = 1, alphaDen: Int = 4,
+                     iterations: Int = 8,
+                     scale: Long = 1000000000L): DataFrame = {
+    require(alphaNum >= 1 && alphaNum < alphaDen && alphaDen <= 100,
+      s"alpha must be in (0,1) with alphaDen <= 100, got $alphaNum/$alphaDen")
+    require(iterations >= 1 && iterations <= 8,
+      s"iterations must be in [1,8], got $iterations")
+    require(scale >= 1L && scale <= 1000000000L,
+      s"scale must be in [1,1e9], got $scale")
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val maxInDeg = e.groupBy("dst").agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).head().getLong(0) // one scalar to the driver
+    require(alphaNum.toLong * maxInDeg <= 7L * alphaDen,
+      s"katzCentrality overflow bound: alphaNum*maxInDeg = " +
+        s"${alphaNum.toLong * maxInDeg} exceeds 7*alphaDen = " +
+        s"${7L * alphaDen} — truncated Katz grows like " +
+        s"(alpha*indegree)^t; choose a smaller alpha for this graph")
+    var ranks = nodes.select(col("node"), lit(scale).as("katz"))
+    for (_ <- 1 to iterations) {
+      val inflow = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst"))
+        .agg(sum(col("katz")).as("inflow"))
+      ranks = nodes
+        .join(inflow.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(scale) + expr(
+            s"($alphaNum * coalesce(inflow, cast(0 as bigint)))" +
+              s" div $alphaDen")).as("katz"))
+        .localCheckpoint() // plan depth stays O(1), not O(iterations)
+    }
+    e.unpersist()
+    ranks
+  }
+
   /** HITS hubs & authorities (Kleinberg, JACM 1999) over a (src, dst)
     * edge list, in EXACT max-normalized scaled-integer arithmetic (the
     * [[pageRank]] determinism discipline):

@@ -12207,6 +12207,126 @@ object TrainingQueries {
              |  CAST(cov.n_covered AS DOUBLE) / CAST(cov.n_test AS DOUBLE)
              |    AS coverage
              |FROM th JOIN cov ON cov.grp = th.grp
-             |ORDER BY th.grp""".stripMargin))
+             |ORDER BY th.grp""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Perceptual image near-dup fingerprints (Multimodal.pngAHash →
+    // Dedup.hamming64Degrees): genuinely-decoded 8×8 aHash over the
+    // q110/q112 gradient fixtures (24 distinct images, so every doc has
+    // exact-clone neighbors), degrees off the skew-proof distinct-
+    // signature banding. FULL oracle: DuckDB replays the resize mapping,
+    // the cross-multiplied above-mean bits, the signed 64-bit pack, and
+    // brute-force hamming degrees.
+    QuerySpec(
+      "q293_image_ahash",
+      (s, dir) => {
+        val p = Tables.documents(s, dir)
+          .select(col("doc_id"), (col("doc_id") % 24).cast("int").as("m"))
+          .select(col("doc_id"),
+            (col("m") % 5 + 4).cast("int").as("__w"),
+            ((col("m") * 3) % 6 + 3).cast("int").as("__h"),
+            ((col("m") * 37) % 256).cast("int").as("__r0"),
+            ((col("m") * 59) % 256).cast("int").as("__g0"),
+            ((col("m") * 83) % 256).cast("int").as("__b0"))
+        val hashes = p.select(col("doc_id").as("media_id"),
+          Multimodal.pngAHash(Multimodal.pngGradientBytes(col("__w"),
+            col("__h"), col("__r0"), col("__g0"), col("__b0")))
+            .as("ahash"))
+        val deg = Dedup.hamming64Degrees(hashes, "media_id", "ahash",
+          maxDistance = 3)
+        hashes.join(deg, Seq("media_id"), "left")
+          .select(col("media_id"), col("ahash"),
+            coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"))
+          .orderBy("media_id")
+      },
+      Some("""WITH pp AS (
+             |  SELECT doc_id, doc_id % 24 AS m FROM documents),
+             |prm AS (
+             |  SELECT DISTINCT m, m % 5 + 4 AS w, (m*3) % 6 + 3 AS h,
+             |    (m*37) % 256 AS r0, (m*59) % 256 AS g0,
+             |    (m*83) % 256 AS b0
+             |  FROM pp),
+             |px AS (
+             |  SELECT m, y.range * 8 + x.range AS i,
+             |    CAST(((r0 + (x.range * w) // 8 + (y.range * h) // 8)
+             |        % 256)
+             |      + ((g0 + (x.range * w) // 8 + (y.range * h) // 8)
+             |        % 256)
+             |      + ((b0 + (x.range * w) // 8 + (y.range * h) // 8)
+             |        % 256) AS BIGINT) AS g
+             |  FROM prm CROSS JOIN range(0, 8) x CROSS JOIN range(0, 8) y),
+             |tot AS (
+             |  SELECT m, CAST(SUM(g) AS BIGINT) AS t FROM px GROUP BY 1),
+             |hs AS (
+             |  SELECT px.m, CAST(SUM(CASE WHEN px.g * 64 > tot.t THEN
+             |      CASE WHEN px.i = 0 THEN -9223372036854775807 - 1
+             |        ELSE (CAST(1 AS BIGINT) << CAST(63 - px.i AS INT))
+             |      END ELSE 0 END) AS BIGINT) AS ahash
+             |  FROM px JOIN tot ON tot.m = px.m GROUP BY 1),
+             |dh AS MATERIALIZED (
+             |  SELECT pp.doc_id, hs.ahash
+             |  FROM pp JOIN hs ON hs.m = pp.m),
+             |deg AS (
+             |  SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS nd
+             |  FROM dh a JOIN dh b ON b.doc_id <> a.doc_id
+             |    AND bit_count(xor(a.ahash, b.ahash)) <= 3
+             |  GROUP BY 1)
+             |SELECT dh.doc_id AS media_id, dh.ahash,
+             |  COALESCE(deg.nd, 0) AS n_near_dups
+             |FROM dh LEFT JOIN deg ON deg.doc_id = dh.doc_id
+             |ORDER BY media_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Truncated Katz centrality (WebGraph.katzCentrality — Katz 1953):
+    // α = 1/4 over the q283 planted digraph (in-degrees ≈ 2, far
+    // inside the loud αNum·maxInDeg ≤ 7·αDen overflow bound), 6
+    // attenuated-walk terms in exact scaled-integer arithmetic. The
+    // oracle unrolls the 6 rounds with the q145 pagerank-CTE shape —
+    // BIGINT // division, no normalization.
+    QuerySpec(
+      "q294_katz",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        def host(c: String) = concat(lit("h"), expr(c).cast("string"),
+          lit(".example.org"))
+        val base = docs.select(expr("doc_id % 97").as("n")).distinct()
+        val e = base.select(host("n").as("src_host"),
+            host("pmod(2*n+1, 97)").as("dst_host"))
+          .unionByName(base.select(host("n").as("src_host"),
+            host("pmod(3*n+2, 97)").as("dst_host")))
+        graft.ops.WebGraph.katzCentrality(e, "src_host", "dst_host",
+            alphaNum = 1, alphaDen = 4, iterations = 6)
+          .orderBy("node")
+      },
+      Some {
+        val head = s"""WITH bb AS (
+          |  SELECT DISTINCT doc_id % 97 AS n FROM documents),
+          |raw AS (
+          |  SELECT 'h' || CAST(n AS VARCHAR) || '.example.org' AS src,
+          |    'h' || CAST((2*n+1) % 97 AS VARCHAR) || '.example.org'
+          |      AS dst
+          |  FROM bb
+          |  UNION ALL
+          |  SELECT 'h' || CAST(n AS VARCHAR) || '.example.org',
+          |    'h' || CAST((3*n+2) % 97 AS VARCHAR) || '.example.org'
+          |  FROM bb),
+          |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw),
+          |nodes AS MATERIALIZED (
+          |  SELECT src AS node FROM e UNION SELECT dst FROM e),
+          |kz0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS katz
+          |        FROM nodes)""".stripMargin
+        val rounds = (1 to 6).map { k =>
+          s""",
+             |kz$k AS MATERIALIZED (
+             |  SELECT n.node, CAST(1000000000
+             |    + (1 * COALESCE(s.infl, 0)) // 4 AS BIGINT) AS katz
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT e.dst AS node, SUM(p.katz) AS infl
+             |    FROM e JOIN kz${k - 1} p ON p.node = e.src
+             |    GROUP BY e.dst) s ON s.node = n.node)""".stripMargin
+        }.mkString
+        head + rounds +
+          "\nSELECT node, katz FROM kz6 ORDER BY node"
+      })
   )
 }

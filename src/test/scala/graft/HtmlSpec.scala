@@ -694,6 +694,31 @@ class HtmlSpec extends AnyFunSuite {
       "d" -> (S + S / 2 + S / 3)), s"harmonic: $got")
   }
 
+  test("katzCentrality: hand-computed attenuated walk counts; loud overflow bound") {
+    import spark.implicits._
+    // a→c, b→c, c→d with α=1/2, scale=100:
+    //   iter1: c = 100 + (100+100)/2 = 200, d = 100 + 100/2 = 150
+    //   iter2: c = 200 (inflow unchanged), d = 100 + 200/2 = 200
+    val edges = Seq(("a", "c"), ("b", "c"), ("c", "d")).toDF("s", "d")
+    val got = WebGraph.katzCentrality(edges, "s", "d", alphaNum = 1,
+        alphaDen = 2, iterations = 2, scale = 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 100L, "b" -> 100L, "c" -> 200L, "d" -> 200L),
+      s"katz: $got")
+    // α·maxInDeg over the bound raises with the bound named
+    val star = (1 to 15).map(i => (s"s$i", "hub")).toDF("s", "d")
+    val e = intercept[IllegalArgumentException] {
+      WebGraph.katzCentrality(star, "s", "d", alphaNum = 1, alphaDen = 2)
+    }
+    assert(e.getMessage.contains("overflow bound"))
+    // the same graph passes with a smaller α, hub strictly on top
+    val ok = WebGraph.katzCentrality(star, "s", "d", alphaNum = 1,
+        alphaDen = 25, iterations = 4, scale = 1000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ok("hub") == 1000L + 15L * 1000L / 25L &&
+      ok.filterNot(_._1 == "hub").values.forall(_ == 1000L))
+  }
+
   test("kTruss: clique survives with exact supports, weak scaffolding cascades away") {
     import spark.implicits._
     // K5 on v0..v4 + a pendant path v4-x1-x2 + a lone triangle t1t2t3

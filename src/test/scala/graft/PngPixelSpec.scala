@@ -197,4 +197,36 @@ class PngPixelSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1)"), s"expected a WholeStageCodegen span\n$plan")
   }
+
+  test("pngAHash: hand-computed bit pattern, clone equality, NULL passthrough") {
+    import spark.implicits._
+    // 8x8 gradient with r0=g0=b0=0: resize is identity, gray3(x,y) =
+    // 3(x+y), total = 1344, bit(i = 8y+x) set iff 192(x+y) > 1344,
+    // i.e. x+y > 7 -- the lower-right anti-diagonal triangle.
+    val expected = (0 until 64).filter(i => (i % 8) + (i / 8) > 7)
+      .map(i => 1L << (63 - i)).sum
+    val df = Seq((1, 8, 8, 0), (2, 8, 8, 0), (3, 8, 8, 7)).toDF(
+      "id", "w", "h", "c0")
+    val got = df.select(col("id"), Multimodal.pngAHash(
+        Multimodal.pngGradientBytes(col("w"), col("h"), col("c0"),
+          col("c0"), col("c0"))).as("ahash"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got(1) == expected, s"ahash ${got(1).toBinaryString}")
+    // identical parameters -> identical hash; a +7 offset shifts all
+    // grays equally (no wrap at these values) -> the SAME hash
+    assert(got(2) == got(1) && got(3) == got(1))
+    // undecodable payload -> NULL
+    val bad = Seq(Tuple1(Array[Byte](1, 2, 3))).toDF("b")
+      .select(Multimodal.pngAHash(col("b")).as("h")).head()
+    assert(bad.isNullAt(0))
+    // composes with the banded hamming machinery: 3 items, all within
+    // distance 0 of each other -> degree 2 each
+    val deg = graft.ops.Dedup.hamming64Degrees(
+      df.select(col("id"), Multimodal.pngAHash(
+        Multimodal.pngGradientBytes(col("w"), col("h"), col("c0"),
+          col("c0"), col("c0"))).as("ahash")),
+      "id", "ahash", maxDistance = 3)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(deg == Map(1 -> 2L, 2 -> 2L, 3 -> 2L), s"degrees: $deg")
+  }
 }
