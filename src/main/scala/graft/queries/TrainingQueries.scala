@@ -156,6 +156,53 @@ object TrainingQueries {
        |  FROM sc_$idx s LEFT JOIN pr_$idx p ON p.k = s.k CROSS JOIN g)
        |  WHERE rn = 1)""".stripMargin
 
+  /** One WordPiece training round as DuckDB CTEs (the q295/q296
+    * oracles — [[graft.ops.Wordpiece.train]] verbatim): current symbol
+    * and pair counts off the `prev` delimited-vocab CTE, the
+    * 10^18-scaled floored likelihood argmax with (pc desc, l, r) ties,
+    * then the greedy left-to-right fuse via trailing-delimiter
+    * replace() (non-overlapping left-to-right replacement IS the
+    * bpeMergePair rewrite on the `sym|sym|…|` spelling).
+    */
+  private def wpRoundSql(prev: String, idx: Int): String =
+    s"""sym_$idx AS MATERIALIZED (
+       |  SELECT s, CAST(SUM(cnt) AS BIGINT) AS sc FROM (
+       |    SELECT unnest(list_filter(string_split(v, '|'),
+       |      x -> x <> '')) AS s, cnt
+       |    FROM $prev) GROUP BY s),
+       |pr_$idx AS MATERIALIZED (
+       |  SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS pc FROM (
+       |    SELECT cnt, unnest(toks[1:len(toks)-1]) AS l,
+       |      unnest(toks[2:len(toks)]) AS r
+       |    FROM (SELECT cnt, list_filter(string_split(v, '|'),
+       |            x -> x <> '') AS toks FROM $prev)
+       |    WHERE len(toks) >= 2)
+       |  GROUP BY l, r),
+       |mg_$idx AS MATERIALIZED (
+       |  SELECT l, r, pc,
+       |    CAST((pc::HUGEINT * 1000000000000000000)
+       |      // (sl.sc::HUGEINT * sr.sc::HUGEINT) AS BIGINT) AS score
+       |  FROM pr_$idx JOIN sym_$idx sl ON sl.s = pr_$idx.l
+       |  JOIN sym_$idx sr ON sr.s = pr_$idx.r
+       |  ORDER BY score DESC, pc DESC, l, r LIMIT 1),
+       |v_$idx AS MATERIALIZED (
+       |  SELECT replace(p.v, m.l || '|' || m.r || '|', m.l || m.r || '|')
+       |    AS v, p.cnt
+       |  FROM $prev p CROSS JOIN mg_$idx m)""".stripMargin
+
+  /** Shared head for the WordPiece oracles: word histogram over the
+    * corpus and the char-delimited initial vocab plane.
+    */
+  private val wpHeadSql: String =
+    s"""wc AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(string_split($normSql, ' ')) AS w
+       |    FROM documents) t
+       |  WHERE w <> '' GROUP BY w),
+       |v_0 AS MATERIALIZED (
+       |  SELECT regexp_replace(w, '(.)', '\\1|', 'g') AS v, cnt
+       |  FROM wc)""".stripMargin
+
   /** One k-truss peel round as DuckDB CTEs (the q290 oracle —
     * [[graft.ops.WebGraph.kTruss]] verbatim): per-edge triangle support
     * over the surviving canonical edge set `prev`, then the < kMin
@@ -12327,6 +12374,109 @@ object TrainingQueries {
         }.mkString
         head + rounds +
           "\nSELECT node, katz FROM kz6 ORDER BY node"
+      }),
+
+    // ------------------------------------------------------------------
+    // WordPiece trainer (Wordpiece.train — Schuster & Nakajima
+    // ICASSP'12, the BERT tokenizer; completes the tokenizer trio next
+    // to q100's BPE and q279's unigram-LM): 4 likelihood-ranked merges
+    // over the corpus word histogram, selection on the 10^18-scaled
+    // FLOORED integer ratio count(lr)·10^18 div (count(l)·count(r))
+    // with (pc desc, l, r) ties — exact decimal/HUGEINT both sides.
+    // FULL oracle: every round's symbol counts, pair counts, argmax
+    // and greedy fuse replayed (the trailing-delimiter replace() IS
+    // the left-to-right merge rewrite).
+    QuerySpec(
+      "q295_wordpiece_train",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.ops.Wordpiece.mergesDf(docs,
+            graft.ops.Wordpiece.train(docs, "text", numMerges = 4))
+          .orderBy("rank")
+      },
+      Some {
+        "WITH " + wpHeadSql + "," +
+          (1 to 4).map(k => wpRoundSql(s"v_${k - 1}", k))
+            .mkString(",\n") +
+          """
+            |SELECT rank, l AS "left", r AS "right", score AS score_scaled,
+            |  pc AS pair_count
+            |FROM (SELECT 0 AS rank, l, r, score, pc FROM mg_1
+            |      UNION ALL SELECT 1, l, r, score, pc FROM mg_2
+            |      UNION ALL SELECT 2, l, r, score, pc FROM mg_3
+            |      UNION ALL SELECT 3, l, r, score, pc FROM mg_4)
+            |ORDER BY rank""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // WordPiece encode (Wordpiece.encodeWords): greedy longest-match
+    // inference with ## continuation rendering and honest [UNK], over
+    // the corpus's top-200 words (count desc, word — deterministic)
+    // against the q295-trained vocabulary. The oracle replays training,
+    // builds the same char+merge vocabulary, and walks the greedy
+    // longest-match as a recursive CTE (the max-length scalar probe per
+    // position).
+    QuerySpec(
+      "q296_wordpiece_encode",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val merges = graft.ops.Wordpiece.train(docs, "text", numMerges = 4)
+        val vocab = graft.ops.Wordpiece.vocabOf(docs, "text", merges)
+        val words = docs.select(explode(TextOps.tokens(
+            TextOps.normalized(col("text")))).as("w"))
+          .filter(length(col("w")) > 0 && length(col("w")) <= 40)
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("w")).limit(200)
+        graft.ops.Wordpiece.encodeWords(words, "w", "pieces", vocab,
+            maxPieces = 48)
+          .select(col("w").as("word"),
+            concat_ws(" ", col("pieces")).as("pieces"),
+            size(col("pieces")).cast("long").as("n_pieces"))
+          .orderBy("word")
+      },
+      Some {
+        "WITH RECURSIVE " + wpHeadSql + "," +
+          (1 to 4).map(k => wpRoundSql(s"v_${k - 1}", k))
+            .mkString(",\n") +
+          s""",
+            |voc AS MATERIALIZED (
+            |  SELECT DISTINCT piece FROM (
+            |    SELECT unnest(list_filter(string_split(w, ''),
+            |      x -> x <> '')) AS piece FROM wc
+            |    UNION SELECT l || r FROM mg_1
+            |    UNION SELECT l || r FROM mg_2
+            |    UNION SELECT l || r FROM mg_3
+            |    UNION SELECT l || r FROM mg_4)),
+            |words AS MATERIALIZED (
+            |  SELECT w FROM wc WHERE len(w) <= 40
+            |  ORDER BY cnt DESC, w LIMIT 200),
+            |bm AS MATERIALIZED (
+            |  SELECT t.w, t.pos, MAX(len(v.piece)) AS bl
+            |  FROM (SELECT w, CAST(r.range AS INT) AS pos
+            |        FROM words, range(1, 41) r) t
+            |  JOIN voc v ON substr(t.w, t.pos, len(v.piece)) = v.piece
+            |  GROUP BY t.w, t.pos),
+            |enc(w, pos, toks, bad) AS (
+            |  SELECT w, 1, '', false FROM words
+            |  UNION ALL
+            |  SELECT e.w,
+            |    CASE WHEN bm.bl IS NULL THEN len(e.w) + 1
+            |      ELSE e.pos + bm.bl END,
+            |    CASE WHEN bm.bl IS NULL THEN e.toks
+            |      WHEN e.pos = 1 THEN substr(e.w, e.pos, bm.bl)
+            |      ELSE e.toks || ' ##' || substr(e.w, e.pos, bm.bl) END,
+            |    bm.bl IS NULL
+            |  FROM enc e LEFT JOIN bm ON bm.w = e.w AND bm.pos = e.pos
+            |  WHERE e.pos <= len(e.w) AND NOT e.bad),
+            |fin AS (
+            |  SELECT w, toks, bad FROM enc
+            |  WHERE bad OR pos = len(w) + 1)
+            |SELECT w AS word,
+            |  CASE WHEN bad THEN '[UNK]' ELSE toks END AS pieces,
+            |  CASE WHEN bad THEN 1
+            |    ELSE CAST(len(string_split(toks, ' ')) AS BIGINT)
+            |  END AS n_pieces
+            |FROM fin ORDER BY word""".stripMargin
       })
   )
 }

@@ -202,4 +202,43 @@ class BpeSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"))
     assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined, plan)
   }
+
+  test("Wordpiece.train: likelihood-ranked merges on the classic corpus") {
+    import spark.implicits._
+    import graft.ops.Wordpiece
+    // hug×10 pug×5 pun×12 bun×4 hugs×5 (the standard WordPiece
+    // walkthrough): counts h15 u36 g20 p17 n16 b4 s5.
+    //   merge 1: (g,s) — 5/(20·5) = 1/20 beats every 1/36 pair
+    //   merge 2: all remaining pairs tie at exactly 1/36 → pc desc
+    //            picks (p,u) at 17
+    //   merge 3: (h,u)/(u,g)/(b,u)/(u,gs) tie at 1/19 → pc 15 tie →
+    //            lexicographic picks (h,u)
+    val corpus = (Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++
+      Seq.fill(12)("pun") ++ Seq.fill(4)("bun") ++ Seq.fill(5)("hugs"))
+      .toDF("text")
+    val m = Wordpiece.train(corpus, "text", numMerges = 3)
+    assert(m.map(x => (x.left, x.right, x.pairCount)) ==
+      Seq(("g", "s", 5L), ("p", "u", 17L), ("h", "u", 15L)), s"merges: $m")
+    assert(m(0).scoreScaled == 1000000000000000000L / 20L)
+    assert(m(1).scoreScaled == 1000000000000000000L / 36L)
+    assert(m(2).scoreScaled == 1000000000000000000L / 19L)
+
+    // greedy longest-match encode with ## rendering and honest [UNK]
+    val vocab = Wordpiece.vocabOf(corpus, "text", m)
+    assert(vocab.contains("gs") && vocab.contains("pu") &&
+      vocab.contains("hu"))
+    val words = Seq("hugs", "pun", "bug", "qux", "h").toDF("w")
+    val enc = Wordpiece.encodeWords(words, "w", "pieces", vocab)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(enc("hugs") == Seq("hu", "##gs"), s"hugs: ${enc("hugs")}")
+    assert(enc("pun") == Seq("pu", "##n"))
+    assert(enc("bug") == Seq("b", "##u", "##g"))
+    assert(enc("qux") == Seq("[UNK]")) // 'q' is not in the alphabet
+    assert(enc("h") == Seq("h"))
+    // a word exceeding maxPieces reports [UNK], never a silent truncation
+    val long = Seq("hhhhh").toDF("w")
+    val capped = Wordpiece.encodeWords(long, "w", "p", vocab, maxPieces = 3)
+      .head().getSeq[String](1)
+    assert(capped == Seq("[UNK]"), s"capped: $capped")
+  }
 }
