@@ -754,16 +754,22 @@ object TextOps {
     * with NO smoothing: any p_n = 0 (including a candidate shorter
     * than 4 tokens) scores 0 — the strict sacrebleu default.
     *
-    * Exactness: every match/total count is an exact integer computed
-    * with per-row array expressions; each ln p_n = ln m − ln t routes
-    * through DECIMAL(18,12), their ¼-scaled sum is an exact decimal,
-    * and BP's exponent is one IEEE division — the q106/q109 recipe, so
-    * the DuckDB oracle replays BLEU bit-for-bit.
+    * Exactness: every match/total count is an exact integer (explode
+    * → count → clip-join — nothing float touches a count); each
+    * ln p_n = ln m − ln t routes through DECIMAL(18,12), their
+    * ¼-scaled sum is an exact decimal, and BP's exponent is one IEEE
+    * division — the q106/q109 recipe, so the DuckDB oracle replays
+    * BLEU bit-for-bit.
     *
-    * Scale shape: ZERO shuffle — candidate and reference live on the
-    * same row, so clipping/counting is whole-stage-codegen'd
-    * higher-order array functions (cost O(distinct·len) per row), and
-    * the operator is a pure projection at any corpus size.
+    * Scale shape: gram counting is ONE explode + aggregation per side
+    * keyed (id, n, gram) — map-side combine collapses each row's
+    * repeats before the exchange — then a co-partitioned clip join
+    * and two same-key rollups back to the id plane; everything stays
+    * in whole-stage codegen (an earlier per-row higher-order-function
+    * formulation was shuffle-free but paid O(len²) INTERPRETED lambda
+    * evals per row — 10× slower at fixture scale and no better at
+    * 100 TB, where the skinny gram shuffle is the right trade).
+    * `idCol` must uniquely identify rows.
     *
     * → (idCol, cand_len, ref_len, p1..p4 — NULL when the candidate has
     *   no n-grams of that order — brevity_penalty, bleu); a NULL
@@ -783,17 +789,30 @@ object TextOps {
         .otherwise(array().cast("array<string>"))
     val base = pairs.select(col(idCol), toks(col(candCol)).as("__ct"),
       toks(col(refCol)).as("__rt"))
-    val withGrams = (1 to 4).foldLeft(base) { (d, n) =>
-      d.withColumn(s"__cg$n", grams(col("__ct"), n))
-        .withColumn(s"__rg$n", grams(col("__rt"), n))
-    }
-    val counted = (1 to 4).foldLeft(withGrams) { (d, n) =>
-      val cg = col(s"__cg$n"); val rg = col(s"__rg$n")
-      d.withColumn(s"__m$n", aggregate(array_distinct(cg), lit(0L),
-          (acc, g) => acc + least(
-            size(filter(cg, x => x === g)),
-            size(filter(rg, x => x === g))).cast("long")))
-        .withColumn(s"__t$n", size(cg).cast("long"))
+    // long-form gram counts: one scan per side, two explodes, map-side
+    // combined aggregation keyed (id, n, gram)
+    def gramCounts(tc: String, outCnt: String) = base
+      .select(col(idCol), explode(array((1 to 4).map(n =>
+        struct(lit(n).as("n"), grams(col(tc), n).as("gs"))): _*)).as("__x"))
+      .select(col(idCol), col("__x.n").as("__n"),
+        explode(col("__x.gs")).as("__g"))
+      .groupBy(col(idCol), col("__n"), col("__g"))
+      .agg(count(lit(1)).as(outCnt))
+    val per = gramCounts("__ct", "__c")
+      .join(gramCounts("__rt", "__rc"), Seq(idCol, "__n", "__g"), "left")
+      .groupBy(col(idCol), col("__n"))
+      .agg(sum(least(col("__c"), coalesce(col("__rc"), lit(0L)))).as("__m"),
+        sum(col("__c")).as("__t"))
+    val pivoted = per.groupBy(col(idCol)).agg(
+      max(when(col("__n") === 1, col("__m"))).as("__m1"),
+      (2 to 4).map(n =>
+        max(when(col("__n") === n, col("__m"))).as(s"__m$n")) ++
+        (1 to 4).map(n =>
+          max(when(col("__n") === n, col("__t"))).as(s"__t$n")): _*)
+    val counted = (1 to 4).foldLeft(
+      base.join(pivoted, Seq(idCol), "left")) { (d, n) =>
+      d.withColumn(s"__m$n", coalesce(col(s"__m$n"), lit(0L)))
+        .withColumn(s"__t$n", coalesce(col(s"__t$n"), lit(0L)))
     }
     val anyZero = (1 to 4)
       .map(n => col(s"__m$n") === 0L || col(s"__t$n") === 0L)
