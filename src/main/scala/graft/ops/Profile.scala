@@ -1478,6 +1478,52 @@ object Profile {
         abs(col("z")) > lit(1.959963984540054)))
   }
 
+  /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala et
+    * al. 2007) — the privacy gate a training-data release runs over its
+    * metadata columns before shipping: group rows into equivalence
+    * classes on the quasi-identifier columns and report whether every
+    * class holds ≥ k rows (k-anonymity) and, when a sensitive column is
+    * named, ≥ l distinct sensitive values (l-diversity). NULL
+    * quasi-identifier values form their own class (NULL is itself a
+    * quasi-identifier); rows with a NULL sensitive value count toward
+    * class size but not toward its diversity.
+    *
+    * Everything is exact integer counting — one aggregation to the
+    * equivalence-class plane (map-side combined; the class plane is
+    * bounded by the quasi-identifier domain product, the whole premise
+    * of the audit), one rollup to a single report row. Replays exactly
+    * in any engine.
+    *
+    * → one row: (n_rows, n_classes, min_class_size, n_rows_below_k,
+    *   k_anonymous, min_l, n_rows_below_l, l_diverse) — the l_* columns
+    *   NULL when no sensitive column is given.
+    */
+  def kAnonymityReport(df: DataFrame, quasiCols: Seq[String], k: Long,
+                       sensitiveCol: Option[String] = None,
+                       l: Long = 2L): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(l >= 1, s"l must be >= 1, got $l")
+    val classes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        sensitiveCol.map(s => countDistinct(col(s)).as("__l"))
+          .getOrElse(lit(null).cast("long").as("__l")))
+    classes.agg(
+      sum(col("__n")).as("n_rows"),
+      count(lit(1)).as("n_classes"),
+      min(col("__n")).as("min_class_size"),
+      coalesce(sum(when(col("__n") < k, col("__n"))), lit(0L))
+        .as("n_rows_below_k"),
+      (min(col("__n")) >= k).as("k_anonymous"),
+      sensitiveCol.map(_ => min(col("__l")))
+        .getOrElse(lit(null).cast("long")).as("min_l"),
+      sensitiveCol.map(_ =>
+        coalesce(sum(when(col("__l") < l, col("__n"))), lit(0L)))
+        .getOrElse(lit(null).cast("long")).as("n_rows_below_l"),
+      sensitiveCol.map(_ => min(col("__l")) >= l)
+        .getOrElse(lit(null).cast("boolean")).as("l_diverse"))
+  }
+
   /** Dawid–Skene annotator-label aggregation, hard-EM flavor (Dawid &
     * Skene, JRSS-C 1979; the label-quality step every RLHF /
     * classifier-training pipeline runs after [[fleissKappa]] says the

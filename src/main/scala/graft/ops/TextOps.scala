@@ -153,6 +153,46 @@ object TextOps {
           .otherwise("unknown"))
   }
 
+  /** Per-document Unicode-script distribution — the multilingual
+    * curation signal next to [[langId]] (which only votes on marker
+    * stopwords): exact character counts per major script (Latin,
+    * Cyrillic, Han, Arabic), digits and whitespace, plus the dominant
+    * script. Script classes are disjoint, so `n_other` (punctuation,
+    * symbols, other scripts) is an exact remainder. The count spelling
+    * is the [[gopherRules]] occurrences trick — length minus length
+    * after regexp_replace — in the Java/RE2 common-semantics subset
+    * (`\p{IsLatin}` here, `\p{Latin}` in the oracle: same classes), so
+    * the whole report replays exactly. Pure projection, zero shuffle.
+    *
+    * → (idCol, n_chars, n_latin, n_cyrillic, n_han, n_arabic, n_digit,
+    *   n_space, n_other, dominant_script — 'none' for empty/NULL text,
+    *   ties toward the lexicographically larger script name, the
+    *   [[langId]] convention)
+    */
+  def scriptProfile(df: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val raw = coalesce(col(textCol), lit(""))
+    def cnt(re: String): Column =
+      (length(raw) - length(regexp_replace(raw, re, ""))).cast("long")
+    val counts = Seq(
+      "latin" -> cnt("\\p{IsLatin}"),
+      "cyrillic" -> cnt("\\p{IsCyrillic}"),
+      "han" -> cnt("\\p{IsHan}"),
+      "arabic" -> cnt("\\p{IsArabic}"))
+    val digits = cnt("[0-9]")
+    val spaces = cnt("\\s")
+    val total = length(raw).cast("long")
+    val other = total - counts.map(_._2).reduce(_ + _) - digits - spaces
+    val dominant = when(counts.map(_._2).reduce(_ + _) === 0L, lit("none"))
+      .otherwise(greatest(counts.map { case (n, c) =>
+        struct(c.as("n"), lit(n).as("s")) }: _*).getField("s"))
+    df.select(col(idCol), total.as("n_chars"),
+      counts(0)._2.as("n_latin"), counts(1)._2.as("n_cyrillic"),
+      counts(2)._2.as("n_han"), counts(3)._2.as("n_arabic"),
+      digits.as("n_digit"), spaces.as("n_space"), other.as("n_other"),
+      dominant.as("dominant_script"))
+  }
+
   // --- PII redaction -------------------------------------------------------
 
   /** Patterns restricted to syntax shared by Java regex (Spark) and RE2

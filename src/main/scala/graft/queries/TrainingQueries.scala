@@ -12377,6 +12377,82 @@ object TrainingQueries {
       }),
 
     // ------------------------------------------------------------------
+    // k-anonymity / l-diversity audit (Profile.kAnonymityReport —
+    // Sweeney'02 / Machanavajjhala'07): quasi-identifiers (lang,
+    // source, n_chars%7), sensitive = doc_id%5, k=3, l=2 — one
+    // aggregation to the equivalence-class plane, exact integer
+    // counting throughout.
+    QuerySpec(
+      "q297_k_anonymity",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("lang"),
+          col("source"), expr("n_chars % 7").as("nb"),
+          expr("CAST(doc_id % 5 AS STRING)").as("diag"))
+        graft.ops.Profile.kAnonymityReport(docs,
+          Seq("lang", "source", "nb"), k = 3,
+          sensitiveCol = Some("diag"), l = 2)
+      },
+      Some("""WITH cls AS (
+             |  SELECT lang, source, n_chars % 7 AS nb,
+             |    CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(COUNT(DISTINCT CAST(doc_id % 5 AS VARCHAR))
+             |      AS BIGINT) AS l
+             |  FROM documents GROUP BY 1, 2, 3)
+             |SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+             |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+             |  MIN(n) AS min_class_size,
+             |  CAST(COALESCE(SUM(CASE WHEN n < 3 THEN n END), 0)
+             |    AS BIGINT) AS n_rows_below_k,
+             |  MIN(n) >= 3 AS k_anonymous,
+             |  MIN(l) AS min_l,
+             |  CAST(COALESCE(SUM(CASE WHEN l < 2 THEN n END), 0)
+             |    AS BIGINT) AS n_rows_below_l,
+             |  MIN(l) >= 2 AS l_diverse
+             |FROM cls""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Unicode-script distribution (TextOps.scriptProfile): exact
+    // per-script character counts and the dominant script per document
+    // — the multilingual curation signal beside q33's langId. Java
+    // \p{IsLatin} and RE2 \p{Latin} name the same script classes, so
+    // the oracle replays every count.
+    QuerySpec(
+      "q298_script_profile",
+      (s, dir) =>
+        TextOps.scriptProfile(Tables.documents(s, dir), "doc_id", "text")
+          .orderBy("doc_id"),
+      Some("""WITH c AS (
+             |  SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+             |n AS (
+             |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_chars,
+             |    CAST(len(t) - len(regexp_replace(t, '\p{Latin}', '',
+             |      'g')) AS BIGINT) AS n_latin,
+             |    CAST(len(t) - len(regexp_replace(t, '\p{Cyrillic}', '',
+             |      'g')) AS BIGINT) AS n_cyrillic,
+             |    CAST(len(t) - len(regexp_replace(t, '\p{Han}', '',
+             |      'g')) AS BIGINT) AS n_han,
+             |    CAST(len(t) - len(regexp_replace(t, '\p{Arabic}', '',
+             |      'g')) AS BIGINT) AS n_arabic,
+             |    CAST(len(t) - len(regexp_replace(t, '[0-9]', '',
+             |      'g')) AS BIGINT) AS n_digit,
+             |    CAST(len(t) - len(regexp_replace(t, '\s', '',
+             |      'g')) AS BIGINT) AS n_space
+             |  FROM c)
+             |SELECT doc_id, n_chars, n_latin, n_cyrillic, n_han,
+             |  n_arabic, n_digit, n_space,
+             |  n_chars - n_latin - n_cyrillic - n_han - n_arabic
+             |    - n_digit - n_space AS n_other,
+             |  CASE WHEN n_latin + n_cyrillic + n_han + n_arabic = 0
+             |    THEN 'none'
+             |    ELSE (SELECT s FROM (
+             |      SELECT unnest(['latin', 'cyrillic', 'han', 'arabic'])
+             |        AS s,
+             |      unnest([n_latin, n_cyrillic, n_han, n_arabic]) AS v)
+             |      ORDER BY v DESC, s DESC LIMIT 1)
+             |  END AS dominant_script
+             |FROM n ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // WordPiece trainer (Wordpiece.train — Schuster & Nakajima
     // ICASSP'12, the BERT tokenizer; completes the tokenizer trio next
     // to q100's BPE and q279's unigram-LM): 4 likelihood-ranked merges

@@ -1376,6 +1376,30 @@ class OpsSpec extends AnyFunSuite {
       train, "text", discountNum = 4, discountDen = 4)).isFailure)
   }
 
+  test("scriptProfile: exact per-script counts, dominant script, empty/NULL text") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "hello мир 北京 123!"),
+      (2L, "مرحبا"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String]),
+      (5L, "ab аб")) // latin 2 vs cyrillic 2 → tie → 'latin' > 'cyrillic'
+      .toDF("id", "text")
+    val out = TextOps.scriptProfile(rows, "id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    // "hello мир 北京 123!": latin 5, cyrillic 3, han 2, digits 3,
+    // spaces 3, other 1 ('!'), total 17
+    assert(r1.getLong(1) == 17L && r1.getLong(2) == 5L &&
+      r1.getLong(3) == 3L && r1.getLong(4) == 2L && r1.getLong(5) == 0L &&
+      r1.getLong(6) == 3L && r1.getLong(7) == 3L && r1.getLong(8) == 1L)
+    assert(r1.getString(9) == "latin")
+    assert(out(2L).getString(9) == "arabic" && out(2L).getLong(5) == 5L)
+    assert(out(3L).getString(9) == "none" && out(3L).getLong(1) == 0L)
+    assert(out(4L).getString(9) == "none")
+    assert(out(5L).getString(9) == "latin") // tie → lexicographically larger
+  }
+
   test("conformalThresholds: exact order-statistic rank, honest infinite threshold") {
     import spark.implicits._
     import graft.ops.Classifier

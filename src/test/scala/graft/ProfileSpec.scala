@@ -670,6 +670,31 @@ class ProfileSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no non-NULL"))
   }
 
+  test("kAnonymityReport: exact class counting, l-diversity, NULL classes") {
+    import spark.implicits._
+    // classes on (zip, age): (a,1)×3 {x,y}, (a,2)×2 {x,x}, (b,1)×1 {z},
+    // (NULL,1)×2 {x,z} — NULL is its own class
+    val rows = Seq(
+      ("a", 1, "x"), ("a", 1, "y"), ("a", 1, "x"),
+      ("a", 2, "x"), ("a", 2, "x"),
+      ("b", 1, "z"),
+      (null.asInstanceOf[String], 1, "x"), (null.asInstanceOf[String], 1, "z"))
+      .toDF("zip", "age", "diag")
+    val r = Profile.kAnonymityReport(rows, Seq("zip", "age"), k = 2,
+      sensitiveCol = Some("diag"), l = 2).head()
+    assert(r.getLong(0) == 8L && r.getLong(1) == 4L) // n_rows, n_classes
+    assert(r.getLong(2) == 1L && r.getLong(3) == 1L) // min size, rows below k
+    assert(!r.getBoolean(4))                          // (b,1) breaks k=2
+    assert(r.getLong(5) == 1L && r.getLong(6) == 3L)  // min_l; (a,2)+(b,1) rows
+    assert(!r.getBoolean(7))
+    // k=1, l=1 always holds; no sensitive column → NULL l columns
+    val ok = Profile.kAnonymityReport(rows, Seq("zip", "age"), k = 1).head()
+    assert(ok.getBoolean(4) && ok.isNullAt(5) && ok.isNullAt(6) &&
+      ok.isNullAt(7))
+    assert(scala.util.Try(
+      Profile.kAnonymityReport(rows, Seq(), k = 2)).isFailure)
+  }
+
   test("dawidSkene: EM rescues tie-broken items via learned annotator quality") {
     import spark.implicits._
     // A, B honest; C, D always answer x; E honest but only rates i1/i2.
