@@ -32,7 +32,7 @@ import graft.functions.ArrayMath
   * column stats instead. q99 pins the eigen sum to an independently
   * DECIMAL-replayed trace, so a numerics regression fails the oracle.
   */
-object Pca {
+object Pca extends Serializable {
 
   /** Fitted model: `mean` (length d), `eigenvalues` of the SAMPLE
     * covariance, descending (length d), `components` — the matching
@@ -195,5 +195,123 @@ object Pca {
       sweep += 1
     }
     (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** A Frequent Directions sketch: ≤ ell rows whose Gram matrix BᵀB
+    * satisfies 0 ⪯ AᵀA − BᵀB ⪯ (‖A‖_F²/ell)·I over the sketched rows A.
+    */
+  final case class FdSketch(ell: Int, d: Int, rows: Array[Array[Double]],
+                            frob2: Double, n: Long) {
+    /** diag(BᵀB) — the per-dimension second-moment estimate. */
+    def gramDiag: Array[Double] = {
+      val g = new Array[Double](d)
+      rows.foreach { r =>
+        var i = 0
+        while (i < d) { g(i) += r(i) * r(i); i += 1 }
+      }
+      g
+    }
+  }
+
+  /** Frequent Directions matrix sketch (Liberty, KDD 2013; Ghashami,
+    * Liberty, Phillips & Woodruff, SIAM J. Comput. 2016) — the
+    * deterministic mergeable low-rank summary of a tall matrix: stream
+    * rows into a 2·ell-row buffer; when full, eigendecompose the
+    * buffer's Gram matrix and SHRINK — subtract the (ell+1)-th largest
+    * eigenvalue from every direction and keep the surviving ≤ ell rows.
+    * Every shrink removes ≥ ell·δ of Frobenius mass while charging each
+    * direction ≤ δ, so the total spectral loss telescopes to
+    *
+    *   0 ⪯ AᵀA − BᵀB ⪯ (‖A‖_F²/ell)·I
+    *
+    * under ANY insertion/merge order — which is exactly what makes it
+    * the streaming/distributed alternative to [[fit]]'s exact one-pass
+    * moments when d is too wide for the d²/2 accumulator (FD carries
+    * 2·ell·d doubles instead).
+    *
+    * Scale shape: ONE treeAggregate pass; each executor keeps a
+    * 2·ell×d buffer, pays one d×d Jacobi per ell inserted rows, and
+    * partials MERGE by row-append + shrink (the guarantee is
+    * order-free, so tree depth and partitioning don't matter). Only
+    * the final ≤ ell×d matrix reaches the driver. The OUTPUT is not
+    * bit-deterministic across partitionings (each order walks a
+    * different shrink path) — the GUARANTEE is; certify consumers
+    * against the bound, not the bytes (the q299 verdict shape).
+    */
+  def frequentDirections(df: DataFrame, vecCol: String,
+                         ell: Int): FdSketch = {
+    require(ell >= 2 && ell <= 512, s"ell must be in [2,512], got $ell")
+    val vecs = df.select(Similarity.asDouble(col(vecCol)).as("__v"))
+      .where(col("__v").isNotNull)
+      .rdd.map(_.getSeq[Double](0).toArray)
+    val head = vecs.take(1)
+    require(head.nonEmpty, "frequentDirections: no non-null vectors")
+    val d = head(0).length
+    val cap = 2 * ell
+    def shrink(buf: Array[Array[Double]], used: Int): Int = {
+      val g = Array.ofDim[Double](d, d)
+      var r = 0
+      while (r < used) {
+        val x = buf(r)
+        var i = 0
+        while (i < d) {
+          val xi = x(i)
+          if (xi != 0.0) {
+            var j = 0
+            while (j < d) { g(i)(j) += xi * x(j); j += 1 }
+          }
+          i += 1
+        }
+        r += 1
+      }
+      val (vals, vecsM) = jacobiEigen(g)
+      val order = vals.indices.sortBy(k => -vals(k))
+      val delta =
+        if (order.length > ell) math.max(vals(order(ell)), 0.0) else 0.0
+      var w = 0
+      var oi = 0
+      val keep = math.min(ell, order.length)
+      while (oi < keep) {
+        val k = order(oi)
+        val lam = vals(k) - delta
+        if (lam > 1e-12) {
+          val s = math.sqrt(lam)
+          var i = 0
+          while (i < d) { buf(w)(i) = s * vecsM(i)(k); i += 1 }
+          w += 1
+        }
+        oi += 1
+      }
+      var z = w
+      while (z < used) { java.util.Arrays.fill(buf(z), 0.0); z += 1 }
+      w
+    }
+    type Acc = (Array[Array[Double]], Int, Double, Long)
+    val zero: Acc = (Array.ofDim[Double](cap, d), 0, 0.0, 0L)
+    val (buf, used0, frob2, n) = vecs.treeAggregate(zero)(
+      seqOp = { case ((b, used, f2, cnt), x) =>
+        require(x.length == d,
+          s"ragged embedding: expected length $d, got ${x.length}")
+        var u = used
+        if (u == cap) u = shrink(b, u)
+        Array.copy(x, 0, b(u), 0, d)
+        var nf = f2
+        var i = 0
+        while (i < d) { nf += x(i) * x(i); i += 1 }
+        (b, u + 1, nf, cnt + 1L)
+      },
+      combOp = { case ((b1, u1, f1, n1), (b2, u2, f2, n2)) =>
+        var u = u1
+        var r = 0
+        while (r < u2) {
+          if (u == cap) u = shrink(b1, u)
+          Array.copy(b2(r), 0, b1(u), 0, d)
+          u += 1
+          r += 1
+        }
+        (b1, u, f1 + f2, n1 + n2)
+      })
+    val finalUsed = if (used0 > ell) shrink(buf, used0) else used0
+    FdSketch(ell, d, buf.take(finalUsed).map(_.clone()), frob2, n)
   }
 }

@@ -12453,6 +12453,51 @@ object TrainingQueries {
              |FROM n ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // Frequent Directions matrix sketch (Pca.frequentDirections —
+    // Liberty KDD'13 / Ghashami et al. SICOMP'16): the mergeable
+    // deterministic low-rank Gram summary, ell=16 over the 64-dim
+    // embeddings. The sketch bytes are partition-order dependent; the
+    // GUARANTEE is not — so the oracle-visible frame is the exact
+    // decimal-routed diag(AᵀA) plus the in-band per-dimension verdict
+    // 0 ≤ ataᵢᵢ − btbᵢᵢ ≤ ‖A‖F²/ell (the q99/q47 banded pattern; the
+    // bound itself is spec-certified under repartitioning in PcaSpec).
+    QuerySpec(
+      "q299_frequent_directions",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+          col("embedding"))
+        val sk = graft.ops.Pca.frequentDirections(emb, "embedding",
+          ell = 16)
+        val bound = sk.frob2 / sk.ell
+        import s.implicits._
+        val btbDf = sk.gramDiag.toSeq.zipWithIndex
+          .map { case (v, i) => (i.toLong, v) }.toDF("dim", "__btb")
+        Tables.embeddings(s, dir)
+          .select(posexplode(col("embedding")).as(Seq("dim", "__x")))
+          .select(col("dim").cast("long").as("dim"),
+            (col("__x").cast("double") * col("__x").cast("double"))
+              .cast("decimal(28,12)").as("__x2"))
+          .groupBy("dim").agg(sum(col("__x2")).as("__ata"))
+          .join(broadcast(btbDf), Seq("dim"))
+          .select(col("dim"), col("__ata").cast("double").as("ata_diag"),
+            (col("__ata").cast("double") - col("__btb") >= lit(-1e-6) &&
+              col("__ata").cast("double") - col("__btb") <=
+                lit(bound * (1 + 1e-9) + 1e-6)).as("within_bound"))
+          .orderBy("dim")
+      },
+      Some("""WITH x AS (
+             |  SELECT unnest(embedding::DOUBLE[]) AS v,
+             |    unnest(range(len(embedding))) AS dim
+             |  FROM embeddings),
+             |a AS (
+             |  SELECT CAST(dim AS BIGINT) AS dim,
+             |    SUM(CAST(v * v AS DECIMAL(28,12))) AS s
+             |  FROM x GROUP BY 1)
+             |SELECT dim, CAST(CAST(s AS VARCHAR) AS DOUBLE) AS ata_diag,
+             |  TRUE AS within_bound
+             |FROM a ORDER BY dim""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // WordPiece trainer (Wordpiece.train — Schuster & Nakajima
     // ICASSP'12, the BERT tokenizer; completes the tokenizer trio next
     // to q100's BPE and q279's unigram-LM): 4 likelihood-ranked merges

@@ -111,4 +111,43 @@ class PcaSpec extends AnyFunSuite {
     assert(e.getMessage.contains("ragged") ||
       (e.getCause != null && e.getCause.getMessage.contains("ragged")))
   }
+
+  test("frequentDirections: exact under capacity, FD bound under any partitioning") {
+    import spark.implicits._
+    import graft.ops.Pca
+    // deterministic structured vectors, d=8
+    def vec(i: Int): Seq[Double] = (0 until 8).map(j =>
+      ((i * (j + 3)) % 11 - 5).toDouble / 4.0 + (if (j == i % 8) 2.0 else 0.0))
+    def ata(rows: Seq[Seq[Double]]): Array[Double] = {
+      val g = new Array[Double](8)
+      rows.foreach(r => (0 until 8).foreach(j => g(j) += r(j) * r(j)))
+      g
+    }
+    // 1) n <= ell: no shrink ever fires → BᵀB == AᵀA up to float order
+    val small = (1 to 10).map(i => Tuple1(vec(i))).toDF("v")
+    val skS = Pca.frequentDirections(small, "v", ell = 16)
+    val exact = ata((1 to 10).map(vec))
+    assert(skS.n == 10L && skS.rows.length == 10)
+    skS.gramDiag.zip(exact).foreach { case (b, a) =>
+      assert(math.abs(b - a) < 1e-9, s"$b vs $a") }
+    // 2) shrink regime: 400 rows, ell=4 → per-direction loss in
+    //    [0, frob2/ell] — the FD guarantee — under both partitionings
+    val rows = (1 to 400).map(vec)
+    val big = rows.map(Tuple1(_)).toDF("v")
+    val exactBig = ata(rows)
+    for (df <- Seq(big, big.repartition(7))) {
+      val sk = Pca.frequentDirections(df, "v", ell = 4)
+      assert(sk.n == 400L && sk.rows.length <= 4)
+      val bound = sk.frob2 / sk.ell
+      sk.gramDiag.zip(exactBig).foreach { case (b, a) =>
+        val gap = a - b
+        assert(gap >= -1e-6 && gap <= bound + 1e-6,
+          s"FD bound violated: gap $gap bound $bound")
+      }
+      // the sketch is genuinely lossy here (shrinks fired)
+      assert(sk.gramDiag.sum < exactBig.sum)
+    }
+    assert(scala.util.Try(
+      Pca.frequentDirections(small, "v", ell = 1)).isFailure)
+  }
 }
