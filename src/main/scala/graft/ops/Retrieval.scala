@@ -135,4 +135,75 @@ object Retrieval {
           col("__dcg").cast("string").cast("double") /
             col("__idcg").cast("string").cast("double")).as("ndcg"))
   }
+
+  /** Maximal Marginal Relevance diversification (Carbonell & Goldstein,
+    * SIGIR 1998) — the standard redundancy-aware re-ranker over a
+    * retrieved candidate list: greedily pick, k times per query,
+    *
+    *   argmax over remaining candidates of
+    *     λ·relevance − (1−λ)·max cosine to the already-selected set
+    *
+    * so near-duplicate hits stop crowding out coverage — the serving-
+    * side complement of the SemDeDup/near-dup corpus lanes. λ arrives
+    * as the exact rational lambdaNum/lambdaDen; the pick compares the
+    * ROUNDED (6 dp) score with ties toward the smaller id — the
+    * [[hybridRrf]] cross-engine rank discipline — so an engine
+    * replaying the same cosines replays every pick. Round 1 has an
+    * empty selected set: pure relevance.
+    *
+    * Scale shape: candidates arrive PRE-CUT (top-N per query — the
+    * [[topRanked]]/ANN serving shapes), so every round works on the
+    * bounded candidates×selected plane: one join keyed on the query +
+    * one per-query window, k ≤ 16 rounds, per-round localCheckpoint.
+    * Nothing corpus-scale moves.
+    *
+    * → (queryCol, rank 1..k, idCol, mmr_score) — fewer than k rows per
+    *   query when candidates run out.
+    */
+  def mmrSelect(cands: DataFrame, queryCol: String, idCol: String,
+                relCol: String, vecCol: String, k: Int,
+                lambdaNum: Int = 1, lambdaDen: Int = 2): DataFrame = {
+    require(k >= 1 && k <= 16, s"k must be in [1,16], got $k")
+    require(lambdaDen > 0 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
+      s"lambda must be in [0,1], got $lambdaNum/$lambdaDen")
+    val lam = lambdaNum.toDouble / lambdaDen
+    val oneMinus = (lambdaDen - lambdaNum).toDouble / lambdaDen
+    val base = cands.select(col(queryCol).as("__q"), col(idCol).as("__id"),
+        col(relCol).cast("double").as("__rel"),
+        Similarity.asDouble(col(vecCol)).as("__v"))
+      .filter(col("__v").isNotNull)
+      .localCheckpoint() // bounded candidate plane, reused every round
+    val wPick = Window.partitionBy(col("__q"))
+      .orderBy(col("__score").desc, col("__id"))
+    var selected: DataFrame = null
+    for (r <- 1 to k) {
+      val rem =
+        if (r == 1) base
+        else base.join(selected.select(col("__q"), col("__id")),
+          Seq("__q", "__id"), "left_anti")
+      val scored =
+        if (r == 1) rem.withColumn("__mx", lit(0.0))
+        else {
+          val mx = rem
+            .join(selected.select(col("__q"), col("__v").as("__sv")),
+              Seq("__q"))
+            .select(col("__q"), col("__id"),
+              Similarity.cosine(col("__v"), col("__sv")).as("__c"))
+            .groupBy(col("__q"), col("__id")).agg(max(col("__c")).as("__mx"))
+          rem.join(mx, Seq("__q", "__id"), "left")
+            .withColumn("__mx", coalesce(col("__mx"), lit(0.0)))
+        }
+      val pick = scored
+        .withColumn("__score",
+          round(lit(lam) * col("__rel") - lit(oneMinus) * col("__mx"), 6))
+        .withColumn("__rn", row_number().over(wPick))
+        .filter(col("__rn") === 1)
+        .select(col("__q"), col("__id"), col("__v"), lit(r).as("rank"),
+          col("__score"))
+        .localCheckpoint() // plan depth stays O(1) per round
+      selected = if (r == 1) pick else selected.unionByName(pick)
+    }
+    selected.select(col("__q").as(queryCol), col("rank"),
+      col("__id").as(idCol), col("__score").as("mmr_score"))
+  }
 }

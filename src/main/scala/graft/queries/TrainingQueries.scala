@@ -203,6 +203,37 @@ object TrainingQueries {
        |  SELECT regexp_replace(w, '(.)', '\\1|', 'g') AS v, cnt
        |  FROM wc)""".stripMargin
 
+  /** One MMR pick round as DuckDB CTEs (the q300 oracle —
+    * [[graft.ops.Retrieval.mmrSelect]] verbatim, λ = 1/2): remaining
+    * candidates, max cosine to the selected set, the 6-dp-rounded
+    * score argmax with id ties. Expects `cand(q, id, rel, v)` and
+    * `sel_${idx-1}` in scope.
+    */
+  private def mmrRoundSql(idx: Int): String = {
+    val prev = s"sel_${idx - 1}"
+    s"""rem_$idx AS MATERIALIZED (
+       |  SELECT c.q, c.id, c.rel, c.v FROM cand c
+       |  WHERE NOT EXISTS (SELECT 1 FROM $prev s
+       |    WHERE s.q = c.q AND s.id = c.id)),
+       |mx_$idx AS MATERIALIZED (
+       |  SELECT r.q, r.id,
+       |    MAX(list_cosine_similarity(r.v, s.v)) AS mxc
+       |  FROM rem_$idx r JOIN $prev s ON s.q = r.q GROUP BY 1, 2),
+       |pk_$idx AS MATERIALIZED (
+       |  SELECT q, id, v, score FROM (
+       |    SELECT r.q, r.id, r.v,
+       |      ROUND(0.5 * r.rel - 0.5 * COALESCE(m.mxc, 0.0), 6) AS score,
+       |      ROW_NUMBER() OVER (PARTITION BY r.q ORDER BY
+       |        ROUND(0.5 * r.rel - 0.5 * COALESCE(m.mxc, 0.0), 6) DESC,
+       |        r.id) AS rn
+       |    FROM rem_$idx r LEFT JOIN mx_$idx m
+       |      ON m.q = r.q AND m.id = r.id) t
+       |  WHERE rn = 1),
+       |sel_$idx AS MATERIALIZED (
+       |  SELECT q, id, v FROM $prev
+       |  UNION ALL SELECT q, id, v FROM pk_$idx)""".stripMargin
+  }
+
   /** One k-truss peel round as DuckDB CTEs (the q290 oracle —
     * [[graft.ops.WebGraph.kTruss]] verbatim): per-edge triangle support
     * over the surviving canonical edge set `prev`, then the < kMin
@@ -12496,6 +12527,59 @@ object TrainingQueries {
              |SELECT dim, CAST(CAST(s AS VARCHAR) AS DOUBLE) AS ata_diag,
              |  TRUE AS within_bound
              |FROM a ORDER BY dim""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // MMR diversification (Retrieval.mmrSelect — Carbonell & Goldstein
+    // SIGIR'98, λ=1/2): per query (4 stored vectors) the top-20 cosine
+    // candidates re-ranked by greedy relevance-minus-redundancy, 5
+    // picks. Rounded-6 scores with id ties make every pick
+    // deterministic; the oracle replays the candidate cut and all 5
+    // greedy rounds.
+    QuerySpec(
+      "q300_mmr_diversify",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+          col("embedding"))
+        val queries = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("__qid"), col("embedding").as("__qv"))
+        val w = Window.partitionBy(col("__qid"))
+          .orderBy(col("__rel").desc, col("vec_id"))
+        val cand = emb.crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("__qid"))
+          .withColumn("__rel",
+            round(Similarity.cosine(col("embedding"), col("__qv")), 6))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= 20)
+          .select(col("__qid").as("query_id"), col("vec_id"),
+            col("__rel").as("rel"), col("embedding"))
+        graft.ops.Retrieval.mmrSelect(cand, "query_id", "vec_id", "rel",
+            "embedding", k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some {
+        val head = """WITH cand AS MATERIALIZED (
+          |  SELECT q, id, rel, v FROM (
+          |    SELECT qe.vec_id AS q, e.vec_id AS id,
+          |      ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+          |        qe.embedding::DOUBLE[]), 6) AS rel,
+          |      e.embedding::DOUBLE[] AS v,
+          |      ROW_NUMBER() OVER (PARTITION BY qe.vec_id ORDER BY
+          |        ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+          |          qe.embedding::DOUBLE[]), 6) DESC, e.vec_id) AS rn
+          |    FROM embeddings e, embeddings qe
+          |    WHERE qe.vec_id < 4 AND e.vec_id <> qe.vec_id) t
+          |  WHERE rn <= 20),
+          |sel_0 AS (SELECT q, id, v FROM cand WHERE 1 = 0)""".stripMargin
+        head + ",\n" + (1 to 5).map(mmrRoundSql).mkString(",\n") +
+          """
+            |SELECT q AS query_id, rank, id AS vec_id, score AS mmr_score
+            |FROM (SELECT q, 1 AS rank, id, score FROM pk_1
+            |  UNION ALL SELECT q, 2, id, score FROM pk_2
+            |  UNION ALL SELECT q, 3, id, score FROM pk_3
+            |  UNION ALL SELECT q, 4, id, score FROM pk_4
+            |  UNION ALL SELECT q, 5, id, score FROM pk_5) u
+            |ORDER BY query_id, rank""".stripMargin
+      }),
 
     // ------------------------------------------------------------------
     // WordPiece trainer (Wordpiece.train — Schuster & Nakajima

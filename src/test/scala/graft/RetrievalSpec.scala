@@ -189,4 +189,31 @@ class RetrievalSpec extends AnyFunSuite {
     val none = run(("a", "d1", 0.9, 0L), ("a", "d2", 0.5, 0L)).head
     assert(none.getDouble(2) == 0.0 && none.isNullAt(3))
   }
+
+  test("mmrSelect: diversity beats redundant relevance; λ=1 is pure relevance") {
+    import spark.implicits._
+    // b is an exact duplicate direction of a with slightly lower
+    // relevance; c is orthogonal with much lower relevance.
+    val cands = Seq(
+      ("q1", "a", 1.0, Seq(1.0, 0.0)),
+      ("q1", "b", 0.98, Seq(1.0, 0.0)),
+      ("q1", "c", 0.5, Seq(0.0, 1.0)))
+      .toDF("query", "id", "rel", "vec")
+    def run(k: Int, lNum: Int = 1, lDen: Int = 2) =
+      graft.ops.Retrieval.mmrSelect(cands, "query", "id", "rel", "vec",
+        k, lNum, lDen).collect()
+        .map(r => (r.getInt(1), r.getString(2), r.getDouble(3)))
+        .sortBy(_._1)
+    // λ=1/2: round 1 picks a (0.5); round 2: b scores 0.49−0.5 = −0.01,
+    // c scores 0.25 → c wins despite half the relevance; round 3: b.
+    val m3 = run(3)
+    assert(m3.map(_._2).toSeq == Seq("a", "c", "b"), s"picks: ${m3.toSeq}")
+    assert(m3(0)._3 == 0.5 && m3(1)._3 == 0.25 && m3(2)._3 == -0.01)
+    // λ=1: pure relevance order a, b, c
+    assert(run(3, 1, 1).map(_._2).toSeq == Seq("a", "b", "c"))
+    // k beyond the candidate count: emits what exists
+    assert(run(5).length == 3)
+    assert(scala.util.Try(graft.ops.Retrieval.mmrSelect(cands, "query",
+      "id", "rel", "vec", k = 0)).isFailure)
+  }
 }
