@@ -584,6 +584,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q289/q290: walk and truss readouts are O(1) deep — rounds checkpointed, no cartesians") {
+    Seq("q289_random_walks", "q290_ktruss").foreach { q =>
+      val plan = executedPlan(q)
+      assert(plan.contains("ExistingRDD"),
+        s"$q: the readout must scan checkpointed round frames, not replay " +
+          s"the per-round join towers\n$plan")
+      val aggs = "HashAggregate".r.findAllIn(plan).size
+      assert(aggs <= 10, s"$q: plan depth suggests stacked rounds: $aggs\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+    }
+  }
+
+  test("q300: MMR rounds are O(1) deep and the candidate cut is a windowed top-k") {
+    val plan = executedPlan("q300_mmr_diversify")
+    assert(plan.contains("ExistingRDD"),
+      s"the readout must scan checkpointed per-round picks\n$plan")
+    val aggs = "HashAggregate".r.findAllIn(plan).size
+    assert(aggs <= 12, s"plan depth suggests stacked rounds: $aggs\n$plan")
+  }
+
   test("q193: the CMS point-query join broadcasts the sketch side") {
     val plan = executedPlan("q193_cms_heavy_hitters")
     assert(plan.contains("BroadcastHashJoin"),
