@@ -193,6 +193,104 @@ object TextOps {
       dominant.as("dominant_script"))
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003
+    * — the MOSS algorithm): the positional document fingerprints with
+    * the COVERAGE GUARANTEE [[rollingFingerprint]] (one global min)
+    * cannot give — in every window of `w` consecutive k-gram hashes,
+    * select the minimum (rightmost on ties), so any shared substring of
+    * length ≥ w + k − 1 between two documents is certain to share a
+    * selected fingerprint. Hashes are the 48-bit md5 prefix (the
+    * Sketches h48 recipe) so the whole selection replays exactly in
+    * SQL.
+    *
+    * Scale shape: one explode to the (id, pos, hash) plane, the
+    * per-window minimum as ONE codegen'd frame-bounded window function
+    * (ROWS BETWEEN CURRENT AND w−1 FOLLOWING, shuffle keyed on the
+    * document id), then the rightmost-occurrence resolution as a
+    * doc-local equality join bounded by w — never a per-row
+    * interpreted lambda loop. Fingerprint count per document is
+    * ≈ 2·len/w (the paper's density), so downstream near-dup joins on
+    * fp_hash ride skinny planes.
+    *
+    * → (idCol, fp_pos — 1-based k-gram position, fp_hash) distinct,
+    *   one-to-many per document; documents shorter than w + k − 1
+    *   chars emit nothing (no full window exists).
+    */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 8, w: Int = 4): DataFrame = {
+    require(k >= 2 && k <= 64, s"k must be in [2,64], got $k")
+    require(w >= 2 && w <= 64, s"w must be in [2,64], got $w")
+    // explode POSITIONS and substring outside any lambda — no
+    // interpreted HOF, no per-element re-evaluation of the
+    // normalization regex (the [[charShingles]] cost-note trap); the
+    // whole plane stays in codegen
+    val occ = df
+      .select(col(idCol), normalized(col(textCol)).as("__t"))
+      .select(col(idCol), col("__t"),
+        posexplode(indices1(length(col("__t")) - (k - 1)))
+          .as(Seq("__d", "__p")))
+      .select(col(idCol), col("__p").cast("long").as("__p"),
+        conv(substring(md5(call_function("substring", col("__t"),
+          col("__p").cast("int"), lit(k))), 1, 12), 16, 10).cast("long")
+          .as("__h"))
+    val wWin = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val wCount = Window.partitionBy(col(idCol))
+    val wins = occ
+      .withColumn("__n", count(lit(1)).over(wCount))
+      .withColumn("__wmin", min(col("__h")).over(wWin))
+      .filter(col("__p") <= col("__n") - (w - 1)) // full windows only
+      .select(col(idCol), col("__p").as("__i"), col("__wmin"))
+    // resolve the rightmost occurrence of each window's min: join keyed
+    // on (id, hash) — never id alone, which would be quadratic per doc
+    val occ2 = occ.select(col(idCol), col("__p"),
+      col("__h").as("__wmin"))
+    wins
+      .join(occ2, Seq(idCol, "__wmin"))
+      .filter(col("__p") >= col("__i") && col("__p") <= col("__i") + (w - 1))
+      .groupBy(col(idCol), col("__i"), col("__wmin"))
+      .agg(max(col("__p")).as("fp_pos")) // rightmost min in the window
+      .select(col(idCol), col("fp_pos"), col("__wmin").as("fp_hash"))
+      .distinct()
+  }
+
+  /** Per-document character-distribution Shannon entropy (nats) — the
+    * classic gibberish/degeneracy signal beside [[zipfFit]] and the
+    * Gopher gates: natural text sits near 3–4 nats, single-character
+    * spam near 0, uniform random bytes near ln(alphabet). Computed as
+    *
+    *   H = ln(n) − (Σ c·ln c)/n
+    *
+    * over exact per-character counts c, each c·ln c one ln of an exact
+    * integer routed through DECIMAL(18,12) before the order-independent
+    * sum (the q106/q109 recipe) — bit-replayable. One explode + one
+    * (id, char) aggregation with map-side combine, then the id rollup.
+    *
+    * → (idCol, n_chars, distinct_chars, entropy) — empty/NULL text
+    *   reports 0 chars and NULL entropy.
+    */
+  def charEntropy(df: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val counts = df
+      .select(col(idCol),
+        explode(filter(split(coalesce(col(textCol), lit("")), ""),
+          c => c =!= lit(""))).as("__c"))
+      .groupBy(col(idCol), col("__c")).agg(count(lit(1)).as("__n"))
+    val per = counts.groupBy(col(idCol))
+      .agg(sum(col("__n")).as("n_chars"),
+        count(lit(1)).as("distinct_chars"),
+        sum((col("__n").cast("double") * log(col("__n").cast("double")))
+          .cast("decimal(18,12)")).as("__s"))
+      .select(col(idCol), col("n_chars"), col("distinct_chars"),
+        round(log(col("n_chars").cast("double")) -
+          col("__s").cast("double") / col("n_chars").cast("double"), 6)
+          .as("entropy"))
+    df.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("distinct_chars"), lit(0L)).as("distinct_chars"),
+        col("entropy"))
+  }
+
   // --- PII redaction -------------------------------------------------------
 
   /** Patterns restricted to syntax shared by Java regex (Spark) and RE2

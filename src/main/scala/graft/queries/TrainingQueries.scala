@@ -12582,6 +12582,74 @@ object TrainingQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Character-distribution entropy (TextOps.charEntropy): the classic
+    // gibberish/degeneracy gate — H = ln n − (Σ c·ln c)/n over exact
+    // per-character counts, every c·ln c DECIMAL(18,12)-routed.
+    QuerySpec(
+      "q301_char_entropy",
+      (s, dir) =>
+        TextOps.charEntropy(Tables.documents(s, dir), "doc_id", "text")
+          .orderBy("doc_id"),
+      Some("""WITH ch AS (
+             |  SELECT doc_id, unnest(list_filter(
+             |    string_split(COALESCE(text, ''), ''), x -> x <> '')) AS c
+             |  FROM documents),
+             |cc AS (
+             |  SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM ch GROUP BY 1, 2),
+             |per AS (
+             |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_chars,
+             |    CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+             |    SUM(CAST(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))
+             |      AS DECIMAL(18,12))) AS s
+             |  FROM cc GROUP BY 1)
+             |SELECT d.doc_id, COALESCE(per.n_chars, 0) AS n_chars,
+             |  COALESCE(per.distinct_chars, 0) AS distinct_chars,
+             |  ROUND(ln(CAST(per.n_chars AS DOUBLE))
+             |    - CAST(CAST(per.s AS VARCHAR) AS DOUBLE)
+             |      / CAST(per.n_chars AS DOUBLE), 6) AS entropy
+             |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Winnowing fingerprints (TextOps.winnowingFingerprints —
+    // Schleimer, Wilkerson & Aiken SIGMOD'03, the MOSS algorithm):
+    // k=8 char-gram md5-h48 hashes, window w=4, rightmost-min
+    // selection — positional fingerprints with the shared-substring
+    // coverage guarantee. The oracle replays hashes, the windowed
+    // minima and the rightmost resolution exactly.
+    QuerySpec(
+      "q302_winnowing",
+      (s, dir) =>
+        TextOps.winnowingFingerprints(Tables.documents(s, dir), "doc_id",
+            "text", k = 8, w = 4)
+          .orderBy("doc_id", "fp_pos"),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, $normSql AS t FROM documents),
+              |occ AS MATERIALIZED (
+              |  SELECT doc_id, CAST(p AS BIGINT) AS p,
+              |    CAST($h48Sql AS BIGINT) AS h
+              |  FROM (
+              |    SELECT doc_id, p, md5(substr(t, CAST(p AS INT), 8)) AS m
+              |    FROM (SELECT doc_id, t,
+              |            unnest(range(1, len(t) - 6)) AS p
+              |          FROM t WHERE len(t) >= 8) q0) q1),
+              |wins AS MATERIALIZED (
+              |  SELECT doc_id, p AS i,
+              |    MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+              |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+              |    COUNT(*) OVER (PARTITION BY doc_id) AS n
+              |  FROM occ),
+              |sel AS (
+              |  SELECT w.doc_id, w.i, w.wmin, MAX(o.p) AS fp_pos
+              |  FROM (SELECT doc_id, i, wmin FROM wins WHERE i <= n - 3) w
+              |  JOIN occ o ON o.doc_id = w.doc_id AND o.h = w.wmin
+              |    AND o.p BETWEEN w.i AND w.i + 3
+              |  GROUP BY 1, 2, 3)
+              |SELECT DISTINCT doc_id, fp_pos, wmin AS fp_hash
+              |FROM sel ORDER BY doc_id, fp_pos""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // WordPiece trainer (Wordpiece.train — Schuster & Nakajima
     // ICASSP'12, the BERT tokenizer; completes the tokenizer trio next
     // to q100's BPE and q279's unigram-LM): 4 likelihood-ranked merges

@@ -1376,6 +1376,63 @@ class OpsSpec extends AnyFunSuite {
       train, "text", discountNum = 4, discountDen = 4)).isFailure)
   }
 
+  test("charEntropy: closed-form values, degenerate and empty docs") {
+    import spark.implicits._
+    val rows = Seq((1L, "aaaa"), (2L, "aabb"), (3L, ""),
+      (4L, null.asInstanceOf[String]), (5L, "abcd")).toDF("id", "text")
+    val out = TextOps.charEntropy(rows, "id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L).getLong(1) == 4L && out(1L).getLong(2) == 1L &&
+      out(1L).getDouble(3) == 0.0)
+    assert(out(2L).getDouble(3) == r6(math.log(2))) // ln4 − (2·2ln2)/4
+    assert(out(3L).getLong(1) == 0L && out(3L).isNullAt(3))
+    assert(out(4L).getLong(1) == 0L && out(4L).isNullAt(3))
+    assert(out(5L).getDouble(3) == r6(math.log(4))) // uniform over 4
+  }
+
+  test("winnowing: every window covered, rightmost-min selection, shared-substring guarantee") {
+    import spark.implicits._
+    val d1 = "the quick brown fox jumps over the lazy dog again and again"
+    val d2 = "a completely different text that jumps over the lazy dog too"
+    val rows = Seq((1L, d1), (2L, d2), (3L, "short")).toDF("id", "text")
+    val k = 8; val w = 4
+    val fps = TextOps.winnowingFingerprints(rows, "id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // brute-force reference with the same md5-h48 hash
+    def h48(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(12)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def winnow(text: String): Set[(Long, Long)] = {
+      val t = text.toLowerCase.replaceAll("\\s+", " ").trim
+      val hs = (1 to t.length - k + 1)
+        .map(p => p.toLong -> h48(t.substring(p - 1, p - 1 + k)))
+      (1 to hs.length - w + 1).map { i =>
+        hs.slice(i - 1, i - 1 + w)
+          .reduceLeft((a, b) => if (b._2 < a._2 ||
+            (b._2 == a._2 && b._1 > a._1)) b else a)
+      }.toSet
+    }
+    assert(fps.filter(_._1 == 1L).map(t => (t._2, t._3)).toSet == winnow(d1))
+    assert(fps.filter(_._1 == 2L).map(t => (t._2, t._3)).toSet == winnow(d2))
+    // coverage guarantee: every full window holds a selected position
+    val sel1 = fps.filter(_._1 == 1L).map(_._2).toSet
+    val n1 = d1.trim.replaceAll("\\s+", " ").length - k + 1
+    (1 to n1 - w + 1).foreach(i =>
+      assert((i until i + w).exists(p => sel1(p.toLong)), s"window $i"))
+    // both docs share 'jumps over the lazy dog' (≥ w+k−1 chars) →
+    // they must share a fingerprint hash
+    val h1 = fps.filter(_._1 == 1L).map(_._3).toSet
+    val h2 = fps.filter(_._1 == 2L).map(_._3).toSet
+    assert(h1.intersect(h2).nonEmpty)
+    // a doc shorter than k+w−1 emits nothing
+    assert(!fps.exists(_._1 == 3L))
+  }
+
   test("scriptProfile: exact per-script counts, dominant script, empty/NULL text") {
     import spark.implicits._
     val rows = Seq(
