@@ -273,6 +273,7 @@ object ArrayMath {
   val mp4MetaName = "graft_mp4_meta"
   val mp4BytesName = "graft_mp4_bytes"
   val dhashName = "graft_image_dhash64"
+  val ahashName = "graft_image_ahash64"
   val warcParseName = "graft_warc_parse"
   val warcRecordName = "graft_warc_record_bytes"
   val audioFpName = "graft_audio_fingerprint64"
@@ -431,6 +432,8 @@ object ArrayMath {
       mp4BytesName, exprs => Mp4Bytes(exprs))
     bind(
       dhashName, exprs => DHash64(exprs(0)))
+    bind(
+      ahashName, exprs => AHash64(exprs(0)))
     bind(
       warcParseName, exprs => WarcParse(exprs(0)))
     bind(
@@ -626,6 +629,12 @@ object ArrayMath {
     * payload.
     */
   def imageDHash64(bytes: Column): Column = call_function(dhashName, bytes)
+
+  /** binary → bigint 64-bit image average hash over genuinely decoded
+    * pixels (see [[AHash64]]); NULL when no real decoder claims the
+    * payload.
+    */
+  def imageAHash64(bytes: Column): Column = call_function(ahashName, bytes)
 
   /** binary → array<struct<warc_type,record_id,target_uri,warc_date,
     * content_length,payload>> from a strict WARC 1.x record walk; NULL

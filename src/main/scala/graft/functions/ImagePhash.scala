@@ -100,6 +100,134 @@ object DHashKernel {
   }
 }
 
+/** IMAGE average hash ("aHash" — the simplest member of the perceptual
+  * aHash/dHash/pHash family; Zauner 2010 "Implementation and
+  * Benchmarking of Perceptual Image Hash Functions"): decode → 8×8
+  * nearest-neighbor grid → per-pixel 3·gray vs the grid mean → one
+  * 64-bit signature. One REAL decode per row, then a nanoseconds-scale
+  * integer tail — the kernel shape that replaced the interpreted-HOF
+  * expression composition which re-ran the PNG inflate ~30,000× per
+  * row and hung the round-18 bench (VERDICT r18 "What's wrong" #1).
+  *
+  * Bit-for-bit contract, frozen so the q293 oracle and every committed
+  * hash replay unchanged:
+  *   - NN sampling uses [[PngPixelKernel.resize]]'s ⌊x·w/8⌋ floor rule
+  *     (source pixel (⌊x·w/8⌋, ⌊y·h/8⌋) for grid cell (x, y));
+  *   - gray3 = r + g + b (RGB; RGBA alpha ignored) or 3·grey — scale
+  *     ×3 keeps every comparison integer, no division anywhere;
+  *   - bit (63 − i), i = 8·y + x row-major, is set iff
+  *     64·gray3(i) > Σ gray3 (the cross-multiplied "above mean" test);
+  *     bit 63 lands on the long's sign (1L << 63 = Long.MinValue), so
+  *     the signed value IS the bit pattern and feeds
+  *     [[graft.ops.Dedup.hamming64Pairs]]/degrees unchanged.
+  *
+  * Decode dispatch is by content magic — PNG ([[PngPixelKernel]]) or
+  * JPEG ([[JpegPixelKernel]], the same parity [[DHashKernel]] has);
+  * anything else, or any payload the decoder rejects, is NULL.
+  */
+object AHashKernel {
+
+  /** 64-bit average hash, boxed for the NULL convention. */
+  def ahash64(b: Array[Byte]): java.lang.Long = {
+    val g = gray3Grid8x8(b)
+    if (g == null) return null
+    var total = 0L
+    var i = 0
+    while (i < 64) { total += g(i); i += 1 }
+    var bits = 0L
+    i = 0
+    while (i < 64) {
+      if (g(i) * 64L > total) bits |= 1L << (63 - i)
+      i += 1
+    }
+    java.lang.Long.valueOf(bits)
+  }
+
+  /** 8×8 row-major 3·gray grid (gray3 ≤ 765 fits Int; Long avoids casts
+    * in the ×64 test), or null when no real decoder claims the payload.
+    */
+  private def gray3Grid8x8(b: Array[Byte]): Array[Long] = {
+    if (PngPixelKernel.isPng(b)) {
+      val img = PngPixelKernel.decodeImage(b)
+      if (img == null) return null
+      val c = img.channels
+      val out = new Array[Long](64)
+      var y = 0
+      while (y < 8) {
+        val sy = (y.toLong * img.height / 8).toInt
+        val srcRow = sy * img.width * c
+        var x = 0
+        while (x < 8) {
+          val sx = (x.toLong * img.width / 8).toInt
+          val p = srcRow + sx * c
+          out(y * 8 + x) =
+            if (c == 1) (img.samples(p) & 0xff).toLong * 3L
+            else (img.samples(p) & 0xff).toLong +
+              (img.samples(p + 1) & 0xff).toLong +
+              (img.samples(p + 2) & 0xff).toLong
+          x += 1
+        }
+        y += 1
+      }
+      out
+    } else if (JpegPixelKernel.isJpeg(b)) {
+      val img = JpegPixelKernel.readImage(b)
+      if (img == null) return null
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new Array[Long](64)
+      var y = 0
+      while (y < 8) {
+        val sy = (y.toLong * h / 8).toInt
+        var x = 0
+        while (x < 8) {
+          val sx = (x.toLong * w / 8).toInt
+          val rgb = img.getRGB(sx, sy)
+          out(y * 8 + x) = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+            (rgb & 0xff)).toLong
+          x += 1
+        }
+        y += 1
+      }
+      out
+    } else null
+  }
+}
+
+/** binary → bigint 64-bit aHash via [[AHashKernel.ahash64]]; NULL when
+  * no real decoder claims the payload. Corpus-scale: codegen'd
+  * static-kernel call, ONE decode per row (the decode dominates; the
+  * grid+bits tail is nanoseconds).
+  */
+case class AHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${t.catalogString}")
+  }
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = AHashKernel.ahash64(input.asInstanceOf[Array[Byte]])
+    if (v == null) null else v.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |java.lang.Long ${ev.value}_boxed = graft.functions.AHashKernel.ahash64($c);
+       |if (${ev.value}_boxed == null) { ${ev.isNull} = true; }
+       |else { ${ev.value} = ${ev.value}_boxed.longValue(); }
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "image_ahash64"
+}
+
 /** binary → bigint 64-bit dHash via [[DHashKernel.dhash64]]; NULL when
   * no real decoder claims the payload. Corpus-scale: codegen'd
   * static-kernel call (the decode dominates; the grid+bits tail is

@@ -117,10 +117,11 @@ object Multimodal {
     * classic near-duplicate-image key (the simplest member of the
     * aHash/dHash/pHash family; see Zauner 2010 "Implementation and
     * Benchmarking of Perceptual Image Hash Functions"): genuinely
-    * decode, nearest-neighbor resize to 8×8 ([[pngResize]] — real
-    * inflate+defilter), reduce each pixel to 3·gray (r+g+b — scale
-    * keeps every comparison integer), set bit (63 − i) of the hash
-    * (row-major pixel i) iff
+    * decode, nearest-neighbor sample an 8×8 grid (the
+    * [[graft.functions.PngPixelKernel.resize]] ⌊x·w/8⌋ floor rule —
+    * real inflate+defilter), reduce each pixel to 3·gray (r+g+b —
+    * scale keeps every comparison integer), set bit (63 − i) of the
+    * hash (row-major pixel i) iff
     *
     *   64·gray3(i) > Σ gray3   (the cross-multiplied "above mean" test
     *                            — division-free, engine-exact)
@@ -133,33 +134,19 @@ object Multimodal {
     * a flat image is expected (aHash is the cheap tier; its job is
     * exact/near-exact copies and recompressions).
     *
-    * Pure expression composition — decode kernel + hex/conv/
-    * higher-order arithmetic, fully codegen'd, zero shuffle. NULL for
-    * payloads outside decode scope. Grey (1/2-channel) images use
-    * 3·grey; RGBA alpha is ignored (the [[pngPixelStats]] convention).
+    * ONE native codegen'd kernel call, ONE decode per row
+    * ([[graft.functions.AHash64]] — the same static-kernel shape as
+    * [[imageDHash]]'s `DHash64`; the prior expression composition of
+    * interpreted higher-order functions re-ran the full PNG decode per
+    * bit per element and could not finish a bench rep — never nest a
+    * decode inside a Spark lambda, HOFs are CodegenFallback). Zero
+    * shuffle. NULL for payloads outside decode scope. Despite the
+    * legacy name, dispatch is by content magic: PNG and JPEG both
+    * hash (the [[imageDHash]] parity). Grey images use 3·grey; RGBA
+    * alpha is ignored (the [[pngPixelStats]] convention).
     */
-  def pngAHash(bytes: Column): Column = {
-    val rs = pngResize(bytes, lit(8), lit(8))
-    val hx = lower(hex(rs.getField("pixels")))
-    val ch = rs.getField("channels")
-    def byteAt(pos: Column): Column =
-      conv(call_function("substring", hx, pos.cast("int"), lit(2)), 16, 10)
-        .cast("long")
-    val grays = transform(sequence(lit(0), lit(63)), i =>
-      when(ch === 3, byteAt(i * 6 + 1) + byteAt(i * 6 + 3) +
-        byteAt(i * 6 + 5))
-        .when(ch === 4, byteAt(i * 8 + 1) + byteAt(i * 8 + 3) +
-          byteAt(i * 8 + 5))
-        .when(ch === 1, byteAt(i * 2 + 1) * 3L)
-        .otherwise(byteAt(i * 4 + 1) * 3L)) // 2 = grey+alpha
-    val total = aggregate(grays, lit(0L), (acc, g) => acc + g)
-    val terms = transform(sequence(lit(0), lit(63)), i =>
-      when(element_at(grays, (i + 1).cast("int")) * 64L > total,
-        call_function("shiftleft", lit(1L), (lit(63) - i).cast("int")))
-        .otherwise(lit(0L)))
-    when(rs.isNull, lit(null).cast("long"))
-      .otherwise(aggregate(terms, lit(0L), (acc, t) => acc + t))
-  }
+  def pngAHash(bytes: Column): Column =
+    graft.functions.ArrayMath.imageAHash64(bytes)
 
   /** Exact per-channel integer sums over a packed interleaved 8-bit
     * buffer: struct<n_px,sum_r,sum_g,sum_b>. Grey buffers report the
