@@ -79,6 +79,77 @@ object Bench {
     prev > 0 && cur >= 0 && cur / prev > RegressionRatio &&
       cur - prev > RegressionAbsSec
 
+  /** Timed-out rep sentinel — distinct from the −1.0 raised-on-every-rep
+    * failure marker so the artifact names the two differently (r18: one
+    * lane that could not finish a rep consumed the driver's whole bench
+    * budget and invalidated the artifact for 81 healthy lanes behind it).
+    */
+  private[graft] val TimedOutSentinel = -2.0
+
+  /** One rep under a wall-clock circuit breaker: the lane body (plan
+    * construction AND the noop write — iterative lanes launch jobs from
+    * both) runs on a daemon thread inside its own job group with
+    * `interruptOnCancel`; past `timeoutMs` the group is cancelled (kills
+    * executor-side hangs), then the thread interrupted (driver-side
+    * hangs), and the rep records [[TimedOutSentinel]] while the sweep
+    * CONTINUES on the still-healthy SparkContext. Returns (wall seconds
+    * or a negative sentinel, normalized plan hash when the rep
+    * completed).
+    */
+  private[graft] def boundedRep(spark: SparkSession, name: String,
+      sfDir: String, timeoutMs: Long)(
+      build: () => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
+    val group = s"graft-bench-rep-$name"
+    val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+    @volatile var hash: Option[String] = None
+    // stays the sentinel unless the body lands a value — an abandoned
+    // (unkillable driver-side) thread still yields a parseable artifact
+    @volatile var elapsed: Double = TimedOutSentinel
+    val t0 = System.nanoTime()
+    val body = new Thread(() => {
+      val v =
+        try {
+          // job-group properties are thread-local: set INSIDE the body
+          // thread so the cancel targets exactly this rep's jobs
+          spark.sparkContext.setJobGroup(group, s"bench rep: $name",
+            interruptOnCancel = true)
+          val df = build()
+          df.write.mode("overwrite").format("noop").save()
+          val t = (System.nanoTime() - t0) / 1e9
+          // untimed: the plan string + md5 cost milliseconds and must not
+          // be billed to the rep
+          hash = scala.util.Try(
+            normalizedPlanHash(df.queryExecution.analyzed.toString, sfDir)
+          ).toOption
+          t
+        } catch {
+          case e: Throwable =>
+            if (timedOut.get) TimedOutSentinel
+            else {
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              -1.0
+            }
+        } finally spark.sparkContext.clearJobGroup()
+      elapsed = v
+    }, s"bench-rep-$name")
+    body.setDaemon(true)
+    body.start()
+    body.join(timeoutMs)
+    if (body.isAlive) {
+      timedOut.set(true)
+      System.err.println(
+        s"[bench] $name rep exceeded ${timeoutMs / 1000}s — cancelling " +
+          "its job group and continuing the sweep")
+      scala.util.Try(spark.sparkContext.cancelJobGroup(group))
+      body.join(30000)
+      if (body.isAlive) { // driver-side hang: interrupt, then abandon
+        body.interrupt()
+        body.join(30000)
+      }
+    }
+    (elapsed, hash)
+  }
+
   /** Fast-tier early-stop: an unchanged-plan query's min-of-2 confirms the
     * previous pin when within 15% + 50 ms (measured on r15 rep data: this
     * bound stops ~92% of queries at 2 reps with +4.5% aggregate bias in
@@ -186,28 +257,21 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
 
-    /** One cold rep: (wall seconds, GC millis spent during the rep,
-      * normalized plan hash — computed OUTSIDE the timed region).
+    // per-rep wall-clock circuit breaker (r18: lane q293 sat 41 min in
+    // its first rep and starved the 81 lanes after it — one bad lane must
+    // cost one bad ROW, not the artifact). 120 s default is >10x the
+    // slowest healthy lane's solo pin.
+    val repTimeoutMs = sys.env.get("SPARK_GRAFT_REP_TIMEOUT_SEC")
+      .map(_.trim.toLong * 1000L).getOrElse(120000L)
+
+    /** One cold rep under the circuit breaker: (wall seconds or negative
+      * sentinel, GC millis spent during the rep, normalized plan hash —
+      * computed OUTSIDE the timed region).
       */
     def runNoop(name: String): (Double, Long, Option[String]) = {
       val gc0 = gcMillis()
-      val t0 = System.nanoTime()
-      var hash: Option[String] = None
-      val elapsed =
-        try {
-          val df = SparkEntry.queries(name)(spark, sfDir)
-          df.write.mode("overwrite").format("noop").save()
-          val t = (System.nanoTime() - t0) / 1e9
-          // untimed: the plan string + md5 cost milliseconds and must not
-          // be billed to the rep
-          hash = scala.util.Try(
-            normalizedPlanHash(df.queryExecution.analyzed.toString, sfDir)
-          ).toOption
-          t
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1.0
-        }
+      val (elapsed, hash) = boundedRep(spark, name, sfDir, repTimeoutMs)(
+        () => SparkEntry.queries(name)(spark, sfDir))
       val gcDelta = gcMillis() - gc0
       // every rep runs COLD (clear is untimed): a query that persist()s an
       // intermediate frame (e.g. q113's weights diamond) would otherwise
@@ -253,26 +317,32 @@ object Bench {
       runs += ((first._1, first._2))
       val hash = first._3
       val prevPin = prevMap.flatMap(_.get(n))
+      // a timed-out rep already cost `repTimeoutMs`; further reps of the
+      // same lane would starve the sweep again — one rep, sentinel pin
+      def timedOut: Boolean = runs.exists(_._1 == TimedOutSentinel)
       // fast tier: plan hash unchanged vs the previous full sweep AND a
       // previous pin exists to confirm against
       val fastTier = prevPin.isDefined && hash.isDefined &&
         prevHashes.get(n) == hash
-      runs += { val r = runNoop(n); (r._1, r._2) }
+      if (!timedOut) runs += { val r = runNoop(n); (r._1, r._2) }
       def curMin: Double = {
         val ok = runs.map(_._1).filter(_ >= 0)
-        if (ok.isEmpty) -1.0 else ok.min
+        if (ok.nonEmpty) ok.min
+        else if (timedOut) TimedOutSentinel
+        else -1.0
       }
       val confirmed = fastTier && prevPin.exists(p => confirms(curMin, p))
-      if (!confirmed) {
+      if (!confirmed && !timedOut) {
         // full methodology: third base rep + variance-driven extras
-        while (runs.size < baseReps) runs += { val r = runNoop(n); (r._1, r._2) }
+        while (runs.size < baseReps && !timedOut)
+          runs += { val r = runNoop(n); (r._1, r._2) }
         def spread: Double = {
           // rep 1 pays this query's plan codegen (only the sweep-global
           // warm-up is untimed) — judge steady-state jitter on reps 2..n
           val ok = runs.drop(1).map(_._1).filter(_ >= 0)
           if (ok.size < 2 || ok.min <= 0) 0.0 else (ok.max - ok.min) / ok.min
         }
-        while (runs.size < maxReps && spread > spreadBound)
+        while (runs.size < maxReps && !timedOut && spread > spreadBound)
           runs += { val r = runNoop(n); (r._1, r._2) }
       }
       // auto re-pin: a would-be vs_prev regression (same thresholds as
@@ -281,7 +351,7 @@ object Bench {
       def looksRegressed: Boolean =
         prevPin.exists(p => regressed(curMin, p))
       var extra = 0
-      while (extra < repinReps && looksRegressed) {
+      while (extra < repinReps && !timedOut && looksRegressed) {
         runs += { val r = runNoop(n); (r._1, r._2) }; extra += 1
       }
       // RATCHET GUARD: a confirmed fast-tier query's recorded pin is
@@ -317,6 +387,12 @@ object Bench {
     // in the artifact so a partial run can never pass as a clean one.
     val failedNames = results.collect { case (k, v, _, _, _, _) if v < 0 => k }
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // −2.0 = circuit-breaker sentinel: named separately from raised
+    // failures so the artifact distinguishes "too slow to measure" from
+    // "broken" (both are red, neither can pass as a clean sweep)
+    val timedOutNames = results.collect {
+      case (k, v, _, _, _, _) if v == TimedOutSentinel => k }
+    val timedOutJson = timedOutNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     // re-pin protocol record: which queries needed extra reps before
     // vs_prev adjudication, and how many (judge-auditable in the artifact)
     val repinned = results.collect { case (k, _, _, e, _, _) if e > 0 =>
@@ -334,7 +410,7 @@ object Bench {
     val vsPrev = prevMap.map(pm => vsPrevJson(curMap, pm)).getOrElse("null")
 
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failedNames.size},"failed":$failedJson,"repinned":$repinned,"n_fast_tier":$nFast,"vs_prev":$vsPrev,"queries":$qs,"reps_sec":$reps,"gc_ms_per_rep":$gc,"plan_hash":$hashes}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failedNames.size},"failed":$failedJson,"n_timed_out":${timedOutNames.size},"timed_out":$timedOutJson,"repinned":$repinned,"n_fast_tier":$nFast,"vs_prev":$vsPrev,"queries":$qs,"reps_sec":$reps,"gc_ms_per_rep":$gc,"plan_hash":$hashes}"""
     // STDOUT gets a COMPACT line: the driver's BENCH_r{N}.json keeps only
     // the last ~2000 stdout chars, so the full 10k+ line arrived truncated
     // and its `parsed` field was null in every judged round artifact. The
@@ -346,7 +422,7 @@ object Bench {
       .map { case (k, v, _, _, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failedNames.size},"failed":$failedJson,"repinned":$repinned,"n_fast_tier":$nFast,"avg_sec":${fmt(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failedNames.size},"failed":$failedJson,"n_timed_out":${timedOutNames.size},"timed_out":$timedOutJson,"repinned":$repinned,"n_fast_tier":$nFast,"avg_sec":${fmt(
         if (okVals.nonEmpty) total / okVals.size else -1.0)},"slowest":$slowest,"vs_prev":$vsPrev,"queries_full":"bench/last_run.json"}"""
     println(compact)
     // full sweeps only: a SPARK_GRAFT_ONLY subset run must not overwrite

@@ -55,4 +55,33 @@ class BenchVsPrevSpec extends AnyFunSuite {
     assert((j \ "n_common") == JInt(0))
     assert((j \ "ratio") == JDouble(-1.0))
   }
+
+  test("boundedRep circuit breaker: a planted slow lane times out and the " +
+    "sweep survives on the same SparkContext") {
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    // a deliberately pathological lane: an unpruned cartesian whose full
+    // materialization is minutes of work — the r18 q293 failure mode
+    val t0 = System.nanoTime()
+    val (slow, slowHash) = Bench.boundedRep(spark, "planted_slow", "/none",
+      timeoutMs = 2000)(() =>
+      spark.range(2000000).select(col("id").as("a"))
+        .crossJoin(spark.range(2000000).select(col("id").as("b")))
+        .select((col("a") * 31 + col("b")).as("v")))
+    val wall = (System.nanoTime() - t0) / 1e9
+    assert(slow == Bench.TimedOutSentinel,
+      s"expected the -2.0 timed-out sentinel, got $slow")
+    assert(slowHash.isEmpty, "a timed-out rep must not record a plan hash")
+    // the breaker must fire near the deadline, not after the lane finishes
+    assert(wall < 60, s"circuit breaker took ${wall}s to fire")
+    // the context survived: a healthy rep on the SAME session still lands
+    val (ok, okHash) = Bench.boundedRep(spark, "healthy", "/none",
+      timeoutMs = 120000)(() => spark.range(1000).select(col("id")))
+    assert(ok >= 0, s"post-timeout rep failed: $ok")
+    assert(okHash.nonEmpty)
+    // a raising lane still reads as -1.0, distinct from the timeout
+    val (bad, _) = Bench.boundedRep(spark, "raising", "/none",
+      timeoutMs = 120000)(() => sys.error("boom"))
+    assert(bad == -1.0)
+  }
 }
