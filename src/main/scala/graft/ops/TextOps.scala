@@ -822,9 +822,11 @@ object TextOps {
     * — both EXACT BIGINTs (num > 0 always: a seen context has
     * N1(w1·) ≥ 1), so every term is one ln of a ratio of exact integers
     * cast to DECIMAL(18,12) — the q106/PMI cross-engine parity recipe.
-    * BIGINT headroom: num ≤ Dd·c12·(Ncc+V+1) needs c12·Ncc ≲ 2.3e18 —
-    * fine through ~1e9-type train corpora; beyond that route the
-    * products through DECIMAL(38,0) at a plan-width cost.
+    * BIGINT headroom is GUARDED, not assumed: one up-front scalar
+    * aggregate measures max(c1), Ncc and V on the actual train corpus
+    * and raises loudly when Dd·max(c1)·(Ncc+V+1) + Dn·V·(V+1) would
+    * leave int64 (≈1e9-scale corpora are fine; past the bound, shrink
+    * or sample the LM — a silent wrap would score garbage NLLs).
     *
     * Output and scale shape follow [[bigramLmNll]] verbatim: train is
     * two aggregations to vocab-plane frames that AQE broadcasts, scoring
@@ -852,10 +854,29 @@ object TextOps {
     val left = bg.groupBy(col("__w1"))
       .agg(sum(col("__c12")).as("__c1"), count(lit(1)).as("__n1l"))
     val rightTypes = bg.groupBy(col("__w2")).agg(count(lit(1)).as("__n1r"))
-    val globals = bg.agg(count(lit(1)).as("__ncc")).crossJoin(
-      train.select(explode(tokens(normalized(col(trainTextCol)))).as("__w"))
-        .agg(countDistinct(col("__w")).as("__v"))) // 1 row
-    val nsm = col("__ncc") + col("__v") + lit(1L)
+    // ONE up-front scalar action measures the actual train corpus so the
+    // exact-BIGINT single-fraction spelling can raise LOUDLY instead of
+    // overflowing silently (the katzCentrality convention): the largest
+    // products are den = Dd·c1·(Ncc+V+1) and num's Dn·N1(w1·)·(N1(·w2)+1)
+    // ≤ Dn·V·(V+1), both bounded here in BigInt. The same row carries
+    // Ncc and V, which then enter the plan as LITERALS — the 1-row
+    // broadcast crossJoin the lazy spelling needed disappears.
+    val g = left.agg(coalesce(max(col("__c1")), lit(0L)).as("__mc1"))
+      .crossJoin(bg.agg(count(lit(1)).as("__ncc")))
+      .crossJoin(
+        train.select(explode(tokens(normalized(col(trainTextCol)))).as("__w"))
+          .agg(countDistinct(col("__w")).as("__v")))
+      .head() // one scalar row to the driver
+    val maxC1 = g.getLong(0); val nccVal = g.getLong(1); val vVal = g.getLong(2)
+    val nsmBig = BigInt(nccVal) + vVal + 1
+    val worst = BigInt(discountDen) * maxC1 * nsmBig +
+      BigInt(discountNum) * vVal * (BigInt(vVal) + 1)
+    require(worst <= Long.MaxValue,
+      s"knBigramNll overflow bound: Dd*max(c1)*(Ncc+V+1) + Dn*V*(V+1) = " +
+        s"$worst exceeds int64 (max c1 = $maxC1, Ncc = $nccVal, V = $vVal) " +
+        "— the exact-BIGINT probability fraction would wrap silently; " +
+        "shrink the train corpus or score against a sampled LM")
+    val nsm = lit(nccVal + vVal + 1L)
     val n1r1 = coalesce(col("__n1r"), lit(0L)) + lit(1L)
     val num = when(col("__c1").isNull, n1r1)
       .otherwise(
@@ -868,7 +889,6 @@ object TextOps {
       .join(bg, Seq("__w1", "__w2"), "left")
       .join(left, Seq("__w1"), "left")
       .join(rightTypes, Seq("__w2"), "left")
-      .crossJoin(broadcast(globals))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum(nllTerm).as("__s"))
       .select(col(idCol), col("n_bigrams"),
@@ -922,7 +942,7 @@ object TextOps {
         sequence(lit(1), size(t) - (n - 1)),
         // \u0001 separator (chr(1) in the oracle) cannot collide with
         // whitespace-split tokens
-        i => concat_ws("",
+        i => concat_ws("\u0001",
           (0 until n).map(j => element_at(t, i + lit(j))): _*)))
         .otherwise(array().cast("array<string>"))
     val base = pairs.select(col(idCol), toks(col(candCol)).as("__ct"),

@@ -162,19 +162,22 @@ object TrainingQueries {
     * 10^18-scaled floored likelihood argmax with (pc desc, l, r) ties,
     * then the greedy left-to-right fuse via trailing-delimiter
     * replace() (non-overlapping left-to-right replacement IS the
-    * bpeMergePair rewrite on the `sym|sym|…|` spelling).
+    * bpeMergePair rewrite on the chr(1)-delimited `sym␁sym␁…␁`
+    * spelling — a control character, so a corpus token containing a
+    * literal '|' can never split a symbol; see the bleuScore
+    * separator convention).
     */
   private def wpRoundSql(prev: String, idx: Int): String =
     s"""sym_$idx AS MATERIALIZED (
        |  SELECT s, CAST(SUM(cnt) AS BIGINT) AS sc FROM (
-       |    SELECT unnest(list_filter(string_split(v, '|'),
+       |    SELECT unnest(list_filter(string_split(v, chr(1)),
        |      x -> x <> '')) AS s, cnt
        |    FROM $prev) GROUP BY s),
        |pr_$idx AS MATERIALIZED (
        |  SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS pc FROM (
        |    SELECT cnt, unnest(toks[1:len(toks)-1]) AS l,
        |      unnest(toks[2:len(toks)]) AS r
-       |    FROM (SELECT cnt, list_filter(string_split(v, '|'),
+       |    FROM (SELECT cnt, list_filter(string_split(v, chr(1)),
        |            x -> x <> '') AS toks FROM $prev)
        |    WHERE len(toks) >= 2)
        |  GROUP BY l, r),
@@ -186,7 +189,8 @@ object TrainingQueries {
        |  JOIN sym_$idx sr ON sr.s = pr_$idx.r
        |  ORDER BY score DESC, pc DESC, l, r LIMIT 1),
        |v_$idx AS MATERIALIZED (
-       |  SELECT replace(p.v, m.l || '|' || m.r || '|', m.l || m.r || '|')
+       |  SELECT replace(p.v, m.l || chr(1) || m.r || chr(1),
+       |      m.l || m.r || chr(1))
        |    AS v, p.cnt
        |  FROM $prev p CROSS JOIN mg_$idx m)""".stripMargin
 
@@ -200,7 +204,7 @@ object TrainingQueries {
        |    FROM documents) t
        |  WHERE w <> '' GROUP BY w),
        |v_0 AS MATERIALIZED (
-       |  SELECT regexp_replace(w, '(.)', '\\1|', 'g') AS v, cnt
+       |  SELECT regexp_replace(w, '(.)', '\\1' || chr(1), 'g') AS v, cnt
        |  FROM wc)""".stripMargin
 
   /** One MMR pick round as DuckDB CTEs (the q300 oracle —
