@@ -1397,30 +1397,40 @@ object WebGraph {
     val sources = nodes
       .orderBy(md5(col("node").cast("binary")), col("node"))
       .limit(nSources) // TakeOrdered — never a global sort
-    // forward: (s, node, dist, sigma); sigma = #shortest s→node paths
-    var visited = sources
+    // forward: (s, node, dist, sigma); sigma = #shortest s→node paths.
+    // ONE job per BFS level: the frontier count rides the level's own
+    // checkpoint job as an observed metric (no isEmpty probe), and the
+    // visited set is the UNION of the per-level checkpointed leaves
+    // (never re-checkpointed — the r18 shape rewrote the whole growing
+    // set every round, O(D·|visited|) writes; a union of ≤ maxDepth
+    // leaves scans the same rows once per anti-join with no extra jobs)
+    val level0 = sources
       .select(col("node").as("s"), col("node"), lit(0).as("dist"),
         lit(1L).as("sigma"))
       .localCheckpoint()
-    var frontier = visited
+    var levels = List(level0)
+    var frontier = level0
     var d = 0
     var done = false
     while (!done && d < maxDepth) {
       d += 1
-      val next = frontier.join(e, col("node") === col("esrc"))
+      val visitedAll = levels.map(_.select(col("s"), col("node")))
+        .reduce(_ unionByName _)
+      val nextPre = frontier.join(e, col("node") === col("esrc"))
         .groupBy(col("s"), col("edst").as("node"))
         .agg(sum(col("sigma")).as("sigma"))
-        .join(visited.select(col("s"), col("node")), Seq("s", "node"),
-          "left_anti")
+        .join(visitedAll, Seq("s", "node"), "left_anti")
         .select(col("s"), col("node"), lit(d).as("dist"), col("sigma"))
-        .localCheckpoint()
-      if (next.isEmpty) done = true
+        .observe("bfs_level", count(lit(1)).cast("bigint").as("__n"))
+      val next = nextPre.localCheckpoint()
+      if (nextPre.queryExecution.observedMetrics("bfs_level")
+          .getLong(0) == 0L) done = true
       else {
-        visited = visited.unionByName(next).localCheckpoint()
+        levels ::= next
         frontier = next
       }
     }
-    (e, nodes, visited, d)
+    (e, nodes, levels.reduce(_ unionByName _), d)
   }
 
   /** Sampled HARMONIC closeness centrality (Marchiori & Latora 2000;
@@ -1587,10 +1597,11 @@ object WebGraph {
     * unchanged round is a true fixpoint — registers can never change
     * again even where exact balls still grow (the sketch of the growth
     * collides into existing registers for good). Change detection is
-    * exact and cheap: rows are only added and rho_max only grows, so
-    * (Σ rho_max, row count) moves iff any register moved — one scalar
-    * probe per round. Raises LOUDLY if still changing at `maxT`
-    * (silent truncation would understate the diameter).
+    * exact and FREE: rows are only added and rho_max only grows, so
+    * (Σ rho_max, row count) moves iff any register moved — read as
+    * observed metrics off the round's own checkpoint job, no probe
+    * job. Raises LOUDLY if still changing at `maxT` (silent truncation
+    * would understate the diameter).
     *
     * Determinism: the register plane is the md5-based [[Sketches]]
     * contract, per-node estimates are the q239-replayable arithmetic,
@@ -1623,54 +1634,56 @@ object WebGraph {
       .persist()
     val nodes = e.select(col("esrc").as("node"))
       .unionByName(e.select(col("edst").as("node"))).distinct()
-    var c = graft.ops.Sketches.hllSketch(nodes, Seq("node"), "node", p)
-      .localCheckpoint()
-    // ONE action per round reads the fixpoint probe AND the round's
-    // N(t): per-node register aggregation, then a global fold of the
-    // q239-certified estimate (DECIMAL(27,12), order-independent) plus
-    // the exact (Σ rho_max, register rows) change detector — level-
-    // synchronous graph rounds are driver-latency bound, so fusing the
-    // two reads cuts a third of the wall time
-    def roundRead(cc: DataFrame): (java.math.BigDecimal, Long, Long) = {
-      val r = cc
-        .withColumn("__t", graft.ops.Sketches.hllShiftT(p))
-        .groupBy("node")
-        .agg(count(lit(1)).as("__hit"), sum(col("__t")).as("__s"),
-          sum(col("rho_max")).as("__rho"))
-        .groupBy()
-        .agg(sum(graft.ops.Sketches
-            .hllEstimateExpr(col("__hit"), col("__s"), p)
-            .cast("decimal(27,12)")).as("__nf"),
-          sum(col("__rho")).cast("bigint").as("__rhoTot"),
-          sum(col("__hit")).cast("bigint").as("__rows"))
-        .head()
-      (r.getDecimal(0), r.getLong(1), r.getLong(2))
+    // the exact change detector (Σ rho_max, register rows) rides each
+    // round's checkpoint job as OBSERVED metrics — rows are only added
+    // and rho_max only grows, so the pair moves iff any register moved,
+    // and reading it costs no extra job; the N(t) read then runs only
+    // for CHANGED rounds (level-synchronous graph rounds are driver-
+    // latency bound, so job count is the wall time)
+    def detect(cc: DataFrame): DataFrame = cc.observe("hb_probe",
+      sum(col("rho_max")).cast("bigint").as("__rho"),
+      count(lit(1)).cast("bigint").as("__rows"))
+    def detected(cc: DataFrame): (Long, Long) = {
+      val m = cc.queryExecution.observedMetrics("hb_probe")
+      (m.getLong(0), m.getLong(1))
     }
-    val first = roundRead(c)
+    val c0 = detect(graft.ops.Sketches.hllSketch(nodes, Seq("node"),
+      "node", p))
+    var c = c0.localCheckpoint()
+    // per-node register aggregation, then a global fold of the
+    // q239-certified estimate (DECIMAL(27,12), order-independent)
+    def roundRead(cc: DataFrame): java.math.BigDecimal = cc
+      .withColumn("__t", graft.ops.Sketches.hllShiftT(p))
+      .groupBy("node")
+      .agg(count(lit(1)).as("__hit"), sum(col("__t")).as("__s"))
+      .groupBy()
+      .agg(sum(graft.ops.Sketches
+          .hllEstimateExpr(col("__hit"), col("__s"), p)
+          .cast("decimal(27,12)")).as("__nf"))
+      .head().getDecimal(0)
     // decimal-to-double via the string route, on the driver — the same
     // bridge the in-plan cast performs (plain-notation toString at
     // scale 12, then the IEEE parse)
     val rows = scala.collection.mutable.ArrayBuffer(
-      (0, first._1.toString.toDouble))
-    var prev = (first._2, first._3)
+      (0, roundRead(c).toString.toDouble))
+    var prev = detected(c0)
     var t = 0
     var done = false
     while (!done) {
       t += 1
-      val grown = e.join(c.withColumnRenamed("node", "__dn"),
+      val grownPre = detect(e.join(c.withColumnRenamed("node", "__dn"),
           col("edst") === col("__dn"))
         .select(col("esrc").as("node"), col("bucket"), col("rho_max"))
         .unionByName(c)
-        .groupBy("node", "bucket").agg(max(col("rho_max")).as("rho_max"))
-        .localCheckpoint()
-      val read = roundRead(grown)
-      val cur = (read._2, read._3)
+        .groupBy("node", "bucket").agg(max(col("rho_max")).as("rho_max")))
+      val grown = grownPre.localCheckpoint()
+      val cur = detected(grownPre)
       if (cur == prev) done = true // true fixpoint — monotone dynamics
       else {
         require(t <= maxT,
           s"neighborhoodFunction: registers still changing at maxT=" +
             s"$maxT — raise maxT (truncating understates the diameter)")
-        rows += ((t, read._1.toString.toDouble))
+        rows += ((t, roundRead(grown).toString.toDouble))
         c.unpersist()
         c = grown
         prev = cur
@@ -1708,49 +1721,50 @@ object WebGraph {
       else e0).persist()
     val nodes = e.select(col("esrc").as("node"))
       .unionByName(e.select(col("edst").as("node"))).distinct()
-    var c = graft.ops.Sketches.hllSketch(nodes, Seq("node"), "node", p)
-      .localCheckpoint()
-    // the per-node serving rows carry the exact change-detector sums
-    // alongside the estimate, so the fixpoint probe is one trivial
-    // aggregation of the already-checkpointed skinny frame instead of
-    // a second scan of the register plane
+    // the exact change detector (Σ rho_max, register rows) rides the
+    // checkpoint job as OBSERVED metrics — rows are only added and
+    // rho_max only grows, so the pair moves iff any register moved, and
+    // reading it costs no extra job (level-synchronous rounds are
+    // driver-latency bound: job COUNT is the wall time; the r18 shape
+    // paid a separate probe aggregation per round AND built the serving
+    // rows for the fixpoint round it then discarded)
+    def detect(cc: DataFrame): DataFrame = cc.observe("hb_probe",
+      sum(col("rho_max")).cast("bigint").as("__rho"),
+      count(lit(1)).cast("bigint").as("__rows"))
+    def detected(cc: DataFrame): (Long, Long) = {
+      val m = cc.queryExecution.observedMetrics("hb_probe")
+      (m.getLong(0), m.getLong(1))
+    }
+    val c0 = detect(graft.ops.Sketches.hllSketch(nodes, Seq("node"),
+      "node", p))
+    var c = c0.localCheckpoint()
     def estRows(t: Int, cc: DataFrame): DataFrame =
       cc.withColumn("__t", graft.ops.Sketches.hllShiftT(p))
         .groupBy("node")
-        .agg(count(lit(1)).as("__hit"), sum(col("__t")).as("__s"),
-          sum(col("rho_max")).as("__rho"))
+        .agg(count(lit(1)).as("__hit"), sum(col("__t")).as("__s"))
         .select(col("node"), lit(t).as("t"),
           graft.ops.Sketches.hllEstimateExpr(col("__hit"), col("__s"), p)
-            .as("ball_est"),
-          col("__rho"), col("__hit"))
+            .as("ball_est"))
         .localCheckpoint()
-    def probe(er: DataFrame): (Long, Long) = {
-      val r = er.groupBy()
-        .agg(sum(col("__rho")).cast("bigint"),
-          sum(col("__hit")).cast("bigint")).head()
-      (r.getLong(0), r.getLong(1))
-    }
-    val first = estRows(0, c)
-    val rows = scala.collection.mutable.ArrayBuffer(first)
-    var prev = probe(first)
+    val rows = scala.collection.mutable.ArrayBuffer(estRows(0, c))
+    var prev = detected(c0)
     var t = 0
     var done = false
     while (!done) {
       t += 1
-      val grown = e.join(c.withColumnRenamed("node", "__dn"),
+      val grownPre = detect(e.join(c.withColumnRenamed("node", "__dn"),
           col("edst") === col("__dn"))
         .select(col("esrc").as("node"), col("bucket"), col("rho_max"))
         .unionByName(c)
-        .groupBy("node", "bucket").agg(max(col("rho_max")).as("rho_max"))
-        .localCheckpoint()
-      val er = estRows(t, grown)
-      val cur = probe(er)
-      if (cur == prev) done = true
+        .groupBy("node", "bucket").agg(max(col("rho_max")).as("rho_max")))
+      val grown = grownPre.localCheckpoint()
+      val cur = detected(grownPre)
+      if (cur == prev) done = true // true fixpoint — monotone dynamics
       else {
         require(t <= maxT,
           s"hyperballSizes: registers still changing at maxT=$maxT — " +
             "raise maxT (truncating understates distances)")
-        rows += er
+        rows += estRows(t, grown) // serving rows only for CHANGED rounds
         c.unpersist()
         c = grown
         prev = cur

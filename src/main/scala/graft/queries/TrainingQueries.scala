@@ -11020,10 +11020,17 @@ object TrainingQueries {
             host("pmod(2*n+1, 97)").as("dst_host"))
           .unionByName(base.select(host("n").as("src_host"),
             host("pmod(3*n+2, 97)").as("dst_host")))
-        val nf = graft.ops.WebGraph.neighborhoodFunction(
-          e, "src_host", "dst_host", maxT = 16, p = 9)
-        val ex = graft.ops.WebGraph.distanceDistribution(
-          e, "src_host", "dst_host", nSources = 4096, maxDepth = 16)
+        // overlap the two independent driver loops (the q281 pattern)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fNf = Future(graft.ops.WebGraph.neighborhoodFunction(
+          e, "src_host", "dst_host", maxT = 16, p = 9))
+        val fEx = Future(graft.ops.WebGraph.distanceDistribution(
+          e, "src_host", "dst_host", nSources = 4096, maxDepth = 16))
+        val nf = Await.result(fNf,
+          scala.concurrent.duration.Duration.Inf)
+        val ex = Await.result(fEx,
+          scala.concurrent.duration.Duration.Inf)
         nf.join(ex.withColumnRenamed("n_pairs", "n_exact"), Seq("t"))
           .select(col("t"), col("nf_est"), col("n_exact"),
             (abs(col("nf_est") / col("n_exact").cast("double") -
@@ -11460,10 +11467,20 @@ object TrainingQueries {
             host("pmod(2*n+1, 97)").as("dst_host"))
           .unionByName(base.select(host("n").as("src_host"),
             host("pmod(3*n+2, 97)").as("dst_host")))
-        val est = graft.ops.WebGraph.hyperballHarmonic(
-          e, "src_host", "dst_host", maxT = 16, p = 9)
-        val exact = graft.ops.WebGraph.harmonicCloseness(
-          e, "src_host", "dst_host", nSources = 4096, maxDepth = 16)
+        // the register iteration and the exact-BFS verdict are
+        // independent level-synchronous driver loops — overlap their
+        // construction on two threads (the SCC fwd/bwd reach pattern)
+        // so one latency chain hides behind the other
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fEst = Future(graft.ops.WebGraph.hyperballHarmonic(
+          e, "src_host", "dst_host", maxT = 16, p = 9))
+        val fExact = Future(graft.ops.WebGraph.harmonicCloseness(
+          e, "src_host", "dst_host", nSources = 4096, maxDepth = 16))
+        val est = Await.result(fEst,
+          scala.concurrent.duration.Duration.Inf)
+        val exact = Await.result(fExact,
+          scala.concurrent.duration.Duration.Inf)
         est.join(exact.select(col("node"), col("harmonic")), Seq("node"))
           .select(col("node"), col("harmonic_est"),
             col("harmonic").as("harmonic_exact"),
@@ -11626,10 +11643,17 @@ object TrainingQueries {
             host("pmod(2*n+1, 97)").as("dst_host"))
           .unionByName(base.select(host("n").as("src_host"),
             host("pmod(3*n+2, 97)").as("dst_host")))
-        val est = graft.ops.WebGraph.hyperballCloseness(
-          e, "src_host", "dst_host", maxT = 16, p = 9)
-        val ex = graft.ops.WebGraph.distanceMoments(
-          e, "src_host", "dst_host", nSources = 4096, maxDepth = 16)
+        // overlap the two independent driver loops (the q281 pattern)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fEst = Future(graft.ops.WebGraph.hyperballCloseness(
+          e, "src_host", "dst_host", maxT = 16, p = 9))
+        val fEx = Future(graft.ops.WebGraph.distanceMoments(
+          e, "src_host", "dst_host", nSources = 4096, maxDepth = 16))
+        val est = Await.result(fEst,
+          scala.concurrent.duration.Duration.Inf)
+        val ex = Await.result(fEx,
+          scala.concurrent.duration.Duration.Inf)
         est.join(ex, Seq("node"))
           .select(col("node"), col("reach_est"), col("total_dist_est"),
             col("lin_est"), col("n_reached"), col("total_dist"),
