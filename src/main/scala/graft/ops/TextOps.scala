@@ -1003,6 +1003,284 @@ object TextOps {
                 .cast("decimal(18,12)").cast("double")).as("bleu")): _*)
   }
 
+  /** chrF — character n-gram F-score (Popović, WMT 2015; the
+    * tokenization-free MT/eval overlap metric sacrebleu ships beside
+    * BLEU, robust where word-level BLEU is brittle on morphology and
+    * whitespace): over (candidate, reference) pairs on the SAME row,
+    * character n-grams n ∈ 1..`maxN` are extracted from the normalized
+    * text with ALL whitespace removed (the metric's definition), and
+    *
+    *   P_n = clipped matches / cand n-grams   (0 when cand has none)
+    *   R_n = clipped matches / ref n-grams    (0 when ref has none)
+    *   chrP = (Σ_n P_n)/maxN,  chrR = (Σ_n R_n)/maxN
+    *   chrF_β = (1+β²)·chrP·chrR / (β²·chrP + chrR)   (0 when both 0)
+    *
+    * with β = 2 (the paper's recall-weighted default). Determinism:
+    * every match/total count is an exact integer (explode → count →
+    * clip-join, the [[bleuScore]] machinery); each P_n/R_n is ONE IEEE
+    * division routed through DECIMAL(18,12) before the order-
+    * independent sum; the /maxN and the F fold are a fixed IEEE
+    * sequence — the whole score replays bit-for-bit in SQL.
+    *
+    * Scale shape follows [[bleuScore]] verbatim: one explode +
+    * aggregation per side keyed (id, n, gram) with map-side combine,
+    * a co-partitioned clip join, two same-key rollups back to the id
+    * plane. `idCol` must uniquely identify rows.
+    *
+    * → (idCol, cand_nchars, ref_nchars, chr_p, chr_r, chrf2); a NULL
+    *   candidate or reference scores NULL.
+    */
+  def chrF(pairs: DataFrame, idCol: String, candCol: String,
+           refCol: String, maxN: Int = 6, beta: Int = 2): DataFrame = {
+    require(maxN >= 1 && maxN <= 10, s"maxN must be in [1,10], got $maxN")
+    require(beta >= 1 && beta <= 10, s"beta must be in [1,10], got $beta")
+    // whitespace removed entirely — chrF is defined on the character
+    // stream, not on tokens
+    def chars(c: Column): Column =
+      regexp_replace(normalized(c), "\\s+", "")
+    // the character-stream pair frame feeds THREE consumers (both gram
+    // planes + the final id join) — materialize it once so the upstream
+    // normalization regexes don't run per branch; size is the scored
+    // pair set (chrF scores eval segments, not whole corpora)
+    val base = pairs.select(col(idCol), chars(col(candCol)).as("__cs"),
+      chars(col(refCol)).as("__rs"))
+      .localCheckpoint()
+    // gram extraction by POSITION explode + codegen substring — never a
+    // transform() lambda (Spark HOFs are CodegenFallback; the q287/q302
+    // lesson: the interpreted shape measured ~4× slower here). Both
+    // sides ride ONE side-tagged plane into ONE (id, n, gram)
+    // aggregation — the clip needs cand and ref counts on the same row,
+    // and a conditional-sum pivot gets them with a single shuffle where
+    // a per-side count + full join would pay three
+    def gramSide(tc: String, side: Int) = base
+      .select(col(idCol), col(tc),
+        explode(sequence(lit(1), lit(maxN))).as("__n"))
+      .select(col(idCol), col("__n"), lit(side).as("__side"),
+        col(tc).as("__t"),
+        explode(indices1(length(col(tc)) - (col("__n") - 1))).as("__p"))
+      .select(col(idCol), col("__n"), col("__side"),
+        call_function("substring", col("__t"), col("__p"), col("__n"))
+          .as("__g"))
+    val per = gramSide("__cs", 0).unionByName(gramSide("__rs", 1))
+      // ONE id-keyed exchange up front: hash-partitioning on the id
+      // satisfies the clustered distribution of ALL THREE downstream
+      // aggregations ((id,n,g) → (id,n) → (id)), so the gram plane
+      // shuffles once instead of three times
+      .repartition(col(idCol))
+      .groupBy(col(idCol), col("__n"), col("__g"))
+      .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__c"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__rc"))
+      .groupBy(col(idCol), col("__n"))
+      .agg(sum(least(col("__c"), col("__rc"))).as("__m"),
+        sum(col("__c")).as("__tc"),
+        sum(col("__rc")).as("__tr"))
+    // per-order precision/recall: one IEEE division each, decimal-cast
+    // before the order-independent per-id sum
+    val rolled = per
+      .select(col(idCol),
+        when(col("__tc") > 0L, col("__m").cast("double") /
+          col("__tc").cast("double")).otherwise(lit(0.0))
+          .cast("decimal(18,12)").as("__p"),
+        when(col("__tr") > 0L, col("__m").cast("double") /
+          col("__tr").cast("double")).otherwise(lit(0.0))
+          .cast("decimal(18,12)").as("__r"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__p")).as("__ps"), sum(col("__r")).as("__rs2"))
+    val b2 = (beta * beta).toDouble
+    val chrP = col("__ps").cast("double") / maxN.toDouble
+    val chrR = col("__rs2").cast("double") / maxN.toDouble
+    base.join(rolled, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__cs").isNotNull, length(col("__cs")).cast("long"))
+          .as("cand_nchars"),
+        when(col("__rs").isNotNull, length(col("__rs")).cast("long"))
+          .as("ref_nchars"),
+        when(col("__cs").isNull || col("__rs").isNull,
+          lit(null).cast("double"))
+          .otherwise(coalesce(chrP, lit(0.0))).as("chr_p"),
+        when(col("__cs").isNull || col("__rs").isNull,
+          lit(null).cast("double"))
+          .otherwise(coalesce(chrR, lit(0.0))).as("chr_r"))
+      .withColumn("chrf2",
+        when(col("chr_p").isNull, lit(null).cast("double"))
+          .when(lit(b2) * col("chr_p") + col("chr_r") === 0.0, lit(0.0))
+          .otherwise((lit(1.0 + b2) * col("chr_p") * col("chr_r")) /
+            (lit(b2) * col("chr_p") + col("chr_r"))))
+  }
+
+  /** Simple Good–Turing frequency table (Good, Biometrika 1953; the
+    * raw Turing estimator of Gale & Sampson, JQL 1995 §2 — the
+    * frequency-of-frequencies view LM smoothing, coverage estimation
+    * and OOV-mass accounting all start from): over the corpus unigram
+    * counts, for every observed count r,
+    *
+    *   N_r   = number of word types seen exactly r times
+    *   r*    = (r+1) · N_{r+1} / N_r   (the adjusted count; NULL where
+    *                                    N_{r+1} = 0 — the raw estimator
+    *                                    is undefined there, never 0)
+    *   p_gt  = r* / N                  (per-type Good–Turing mass)
+    *
+    * plus the unseen-mass row everything else is relative to: p0 =
+    * N_1 / N (the Turing estimate of total probability of unseen
+    * types) is readable off the r = 1 row. Exactness: N_r and the
+    * numerator (r+1)·N_{r+1} are exact BIGINTs; r* and p_gt are a
+    * FIXED IEEE division sequence over them — bit-replayable in SQL.
+    *
+    * Scale shape: one explode → (word) count → (r) count — two
+    * map-side-combined aggregations, output ≤ max(r) rows.
+    *
+    * → (r, n_r, r_star, p_gt) ordered by r.
+    */
+  def goodTuring(docs: DataFrame, textCol: String): DataFrame = {
+    val wc = docs
+      .select(explode(filter(tokens(normalized(col(textCol))),
+        t => t =!= lit(""))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__r"))
+    val fof = wc.groupBy(col("__r").as("r"))
+      .agg(count(lit(1)).as("n_r"))
+    val nTot = wc.agg(sum(col("__r")).cast("bigint").as("__n")) // 1 row
+    val nxt = fof.select((col("r") - 1L).as("r"),
+      (col("r") * col("n_r")).as("__num")) // (r+1)·N_{r+1} keyed at r
+    fof.join(nxt, Seq("r"), "left")
+      .crossJoin(broadcast(nTot))
+      .select(col("r"), col("n_r"),
+        (col("__num").cast("double") / col("n_r").cast("double"))
+          .as("r_star"),
+        (col("__num").cast("double") / col("n_r").cast("double") /
+          col("__n").cast("double")).as("p_gt"))
+      .orderBy("r")
+  }
+
+  /** Vocabulary-richness estimators off the rare-type counts (Chao,
+    * Scand. J. Statistics 1984 — the bias-corrected Chao1 lower bound
+    * on true vocabulary size; Good's sample coverage, Biometrika 1953
+    * — both standard corpus-profiling reads next to [[heapsLaw]] /
+    * zipfFit): per group,
+    *
+    *   chao1    = V + f1·(f1−1) / (2·(f2+1))   (bias-corrected — defined
+    *                                            even when f2 = 0)
+    *   coverage = 1 − f1/N                      (Good's estimate of the
+    *                                            seen-mass fraction)
+    *
+    * where V = observed types, f1/f2 = singleton/doubleton type counts,
+    * N = tokens. All counts exact BIGINTs; chao1/coverage are one fixed
+    * IEEE division each — bit-replayable.
+    *
+    * → (groupCol, n_tokens, v_obs, f1, f2, chao1, coverage).
+    */
+  def vocabRichness(docs: DataFrame, groupCol: String,
+                    textCol: String): DataFrame = {
+    val wc = docs
+      .select(col(groupCol),
+        explode(filter(tokens(normalized(col(textCol))),
+          t => t =!= lit(""))).as("__w"))
+      .groupBy(col(groupCol), col("__w")).agg(count(lit(1)).as("__r"))
+    wc.groupBy(col(groupCol))
+      .agg(sum(col("__r")).cast("bigint").as("n_tokens"),
+        count(lit(1)).as("v_obs"),
+        sum(when(col("__r") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("__r") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col(groupCol), col("n_tokens"), col("v_obs"), col("f1"),
+        col("f2"),
+        (col("v_obs").cast("double") +
+          (col("f1") * (col("f1") - 1L)).cast("double") /
+            (lit(2L) * (col("f2") + 1L)).cast("double")).as("chao1"),
+        (lit(1.0) - col("f1").cast("double") /
+          col("n_tokens").cast("double")).as("coverage"))
+  }
+
+  /** Jensen–Shannon divergence between per-group unigram distributions
+    * (Lin, IEEE Trans. IT 1991 — the symmetric, bounded [0, ln 2]
+    * corpus-drift measure data-mixing and domain-shift monitors read):
+    * for every unordered group pair (a, b), JSD(p‖q) with p, q the
+    * groups' word distributions, via the entropy identity
+    *
+    *   JSD = H(m) − (H(p) + H(q))/2,   m = (p + q)/2
+    *
+    * where every entropy is computed from EXACT integer counts: with
+    * c/d the per-word counts and Na/Nb the token totals, the midpoint
+    * mass is proportional to M = c·Nb + d·Na (an exact BIGINT), so
+    *
+    *   H(m) = ln(2·Na·Nb) − (Σ M·ln M)/(2·Na·Nb)
+    *   H(p) = ln(Na) − (Σ c·ln c)/Na          (and H(q) likewise)
+    *
+    * — every transcendental is one ln of an exact integer, each term
+    * routed through DECIMAL(38,12) before the order-independent sum
+    * (the [[charEntropy]] recipe, widened: M·ln M reaches ~1e14 at
+    * corpus scale and would overflow the (18,12) shape), so the whole
+    * table replays bit-for-bit in SQL.
+    *
+    * Scale shape: one (group, word) count with map-side combine; the
+    * pair plane is the (word × group) grid self-joined on word —
+    * |W|·G(G−1)/2 rows, linear in vocabulary for the handful of
+    * corpus sources the measure is defined over (G² is the semantics:
+    * every pair gets a number).
+    *
+    * → (group_a, group_b, n_a, n_b, jsd) — jsd in nats, rounded to
+    *   6 dp; one row per unordered pair, group_a < group_b.
+    */
+  def jensenShannonDivergence(docs: DataFrame, groupCol: String,
+                              textCol: String): DataFrame = {
+    val wc = docs
+      .select(col(groupCol).cast("string").as("__g"),
+        explode(filter(tokens(normalized(col(textCol))),
+          t => t =!= lit(""))).as("__w"))
+      .groupBy(col("__g"), col("__w")).agg(count(lit(1)).as("__c"))
+    // per-group totals and Σ c·ln c (exact-integer entropies)
+    val gsum = wc.groupBy(col("__g"))
+      .agg(sum(col("__c")).cast("bigint").as("__n"),
+        sum((col("__c").cast("double") * log(col("__c").cast("double")))
+          .cast("decimal(38,12)")).as("__s"))
+    // loud int64 guard (the knBigramNll convention): the midpoint mass
+    // M = c·Nb + d·Na must not wrap — one scalar aggregate measures the
+    // actual corpus instead of assuming it
+    val g0 = wc.agg(coalesce(max(col("__c")), lit(0L)).as("__mc"))
+      .crossJoin(wc.groupBy(col("__g")).agg(sum(col("__c")).as("__gn"))
+        .agg(coalesce(max(col("__gn")), lit(0L)).cast("bigint").as("__mn")))
+      .head()
+    require(BigInt(g0.getLong(0)) * g0.getLong(1) * 2 <= Long.MaxValue,
+      s"jensenShannonDivergence overflow bound: 2·max(c)·max(N) = " +
+        s"${BigInt(g0.getLong(0)) * g0.getLong(1) * 2} exceeds int64 — " +
+        "the midpoint mass c·Nb + d·Na would wrap silently; shard the " +
+        "corpus or route M through DECIMAL(38,0)")
+    // (word × group) grid → pair plane keyed on the word
+    val grid = wc.select(col("__w")).distinct()
+      .crossJoin(gsum.select(col("__g")))
+      .join(wc, Seq("__g", "__w"), "left")
+      .select(col("__g"), col("__w"), coalesce(col("__c"), lit(0L)).as("__c"))
+    val a = grid.select(col("__g").as("__ga"), col("__w"),
+      col("__c").as("__ca"))
+    val b = grid.select(col("__g").as("__gb"), col("__w"),
+      col("__c").as("__cb"))
+    val pairsTot = gsum.select(col("__g").as("__ga"), col("__n").as("__na"),
+        col("__s").as("__sa"))
+      .crossJoin(gsum.select(col("__g").as("__gb"), col("__n").as("__nb"),
+        col("__s").as("__sb")))
+      .filter(col("__ga") < col("__gb"))
+    val mSum = a.join(b, Seq("__w")).filter(col("__ga") < col("__gb"))
+      .filter(col("__ca") > 0L || col("__cb") > 0L)
+      .join(pairsTot.select(col("__ga"), col("__gb"), col("__na"),
+        col("__nb")), Seq("__ga", "__gb"))
+      .select(col("__ga"), col("__gb"),
+        (col("__ca") * col("__nb") + col("__cb") * col("__na")).as("__m"))
+      .select(col("__ga"), col("__gb"),
+        (col("__m").cast("double") * log(col("__m").cast("double")))
+          .cast("decimal(38,12)").as("__t"))
+      .groupBy(col("__ga"), col("__gb"))
+      .agg(sum(col("__t")).as("__ms"))
+    val twoN = lit(2.0) * col("__na").cast("double") *
+      col("__nb").cast("double")
+    val hM = log(twoN) - col("__ms").cast("double") / twoN
+    val hP = log(col("__na").cast("double")) -
+      col("__sa").cast("double") / col("__na").cast("double")
+    val hQ = log(col("__nb").cast("double")) -
+      col("__sb").cast("double") / col("__nb").cast("double")
+    pairsTot.join(mSum, Seq("__ga", "__gb"))
+      .select(col("__ga").as("group_a"), col("__gb").as("group_b"),
+        col("__na").as("n_a"), col("__nb").as("n_b"),
+        round(hM - (hP + hQ) / 2.0, 6).as("jsd"))
+  }
+
   /** CORPUS-LEVEL boilerplate line removal — the C4/RefinedWeb line-dedup
     * rule (Raffel et al. JMLR'20 §2.2 drops repeated three-sentence
     * spans; RefinedWeb/Gopher run the same idea at line granularity):

@@ -12778,6 +12778,249 @@ object TrainingQueries {
             |    ELSE CAST(len(string_split(toks, ' ')) AS BIGINT)
             |  END AS n_pieces
             |FROM fin ORDER BY word""".stripMargin
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // Simple Good-Turing frequency table (TextOps.goodTuring — Good
+    // 1953; Gale & Sampson 1995 raw Turing estimator): frequency-of-
+    // frequencies over the corpus unigram counts, r* = (r+1)N_{r+1}/N_r
+    // (NULL where undefined), p_gt = r*/N. FULL oracle: both counting
+    // levels and the fixed IEEE division sequence replay exactly.
+    QuerySpec(
+      "q303_good_turing",
+      (s, dir) =>
+        TextOps.goodTuring(Tables.documents(s, dir), "text"),
+      Some(s"""WITH wc AS (
+              |  SELECT w, CAST(COUNT(*) AS BIGINT) AS r FROM (
+              |    SELECT unnest(list_filter(string_split($normSql, ' '),
+              |      x -> x <> '')) AS w
+              |    FROM documents) t GROUP BY w),
+              |fof AS (
+              |  SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r
+              |  FROM wc GROUP BY r),
+              |tot AS (SELECT CAST(SUM(r) AS BIGINT) AS n FROM wc),
+              |nxt AS (SELECT r - 1 AS r, r * n_r AS num FROM fof)
+              |SELECT fof.r, fof.n_r,
+              |  CAST(nxt.num AS DOUBLE) / CAST(fof.n_r AS DOUBLE)
+              |    AS r_star,
+              |  CAST(nxt.num AS DOUBLE) / CAST(fof.n_r AS DOUBLE)
+              |    / CAST(tot.n AS DOUBLE) AS p_gt
+              |FROM fof LEFT JOIN nxt ON nxt.r = fof.r CROSS JOIN tot
+              |ORDER BY fof.r""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Chao1 vocabulary richness + Good's coverage (TextOps.vocabRichness
+    // — Chao 1984 bias-corrected lower bound; Good 1953 coverage): per
+    // language, off exact singleton/doubleton type counts. FULL oracle.
+    QuerySpec(
+      "q304_vocab_richness",
+      (s, dir) =>
+        TextOps.vocabRichness(Tables.documents(s, dir), "lang", "text")
+          .orderBy("lang"),
+      Some(s"""WITH wc AS (
+              |  SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS r FROM (
+              |    SELECT lang, unnest(list_filter(
+              |      string_split($normSql, ' '), x -> x <> '')) AS w
+              |    FROM documents) t GROUP BY lang, w),
+              |ag AS (
+              |  SELECT lang, CAST(SUM(r) AS BIGINT) AS n_tokens,
+              |    CAST(COUNT(*) AS BIGINT) AS v_obs,
+              |    CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS f1,
+              |    CAST(SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS f2
+              |  FROM wc GROUP BY lang)
+              |SELECT lang, n_tokens, v_obs, f1, f2,
+              |  CAST(v_obs AS DOUBLE) + CAST(f1 * (f1 - 1) AS DOUBLE)
+              |    / CAST(2 * (f2 + 1) AS DOUBLE) AS chao1,
+              |  1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+              |    AS coverage
+              |FROM ag ORDER BY lang""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // chrF character n-gram F-score (TextOps.chrF — Popović WMT'15,
+    // β = 2, n = 1..6, whitespace removed): the q287 anchor pairing, so
+    // identical, partial and disjoint pairs all carry traffic; scored
+    // on the first 256 normalized chars — chrF is a SEGMENT metric, and
+    // uncapped 2k-char documents made this the heaviest lane in the
+    // inventory (15.1 s solo sf0.1; capped: see BASELINE.md pin). FULL
+    // oracle: clipped char-n-gram counts by unnest-count-full-join, the
+    // per-order IEEE divisions through DECIMAL(18,12) order-independent
+    // sums, and the fixed F-fold.
+    QuerySpec(
+      "q305_chrf_pairs",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"),
+          substring(TextOps.normalized(col("text")), 1, 256).as("seg"))
+        val anchors = docs.select(col("doc_id").as("a_id"),
+          col("seg").as("ref_seg"))
+        val pairs = docs.withColumn("a_id", expr("doc_id - doc_id % 5"))
+          .join(anchors, Seq("a_id"))
+        TextOps.chrF(pairs, "doc_id", "seg", "ref_seg")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (
+              |  SELECT doc_id,
+              |    regexp_replace(substr($normSql, 1, 256),
+              |      '\\s+', '', 'g') AS cs
+              |  FROM documents),
+              |pr AS (
+              |  SELECT c.doc_id, c.cs, r.cs AS rs
+              |  FROM d c JOIN d r ON r.doc_id = c.doc_id - (c.doc_id % 5)),
+              |g AS (
+              |  SELECT doc_id, n,
+              |    CASE WHEN len(cs) >= n THEN
+              |      [substr(cs, i, n) FOR i IN range(1, len(cs)-n+2)]
+              |      ELSE [] END AS cg,
+              |    CASE WHEN len(rs) >= n THEN
+              |      [substr(rs, i, n) FOR i IN range(1, len(rs)-n+2)]
+              |      ELSE [] END AS rg
+              |  FROM pr, (SELECT unnest([1, 2, 3, 4, 5, 6]) AS n)),
+              |cgr AS (
+              |  SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS c
+              |  FROM (SELECT doc_id, n, unnest(cg) AS gram FROM g)
+              |  GROUP BY 1, 2, 3),
+              |rgr AS (
+              |  SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS c
+              |  FROM (SELECT doc_id, n, unnest(rg) AS gram FROM g)
+              |  GROUP BY 1, 2, 3),
+              |j AS (
+              |  SELECT COALESCE(cgr.doc_id, rgr.doc_id) AS doc_id,
+              |    COALESCE(cgr.n, rgr.n) AS n,
+              |    LEAST(COALESCE(cgr.c, 0), COALESCE(rgr.c, 0)) AS m,
+              |    COALESCE(cgr.c, 0) AS tc, COALESCE(rgr.c, 0) AS tr
+              |  FROM cgr FULL JOIN rgr ON rgr.doc_id = cgr.doc_id
+              |    AND rgr.n = cgr.n AND rgr.gram = cgr.gram),
+              |per AS (
+              |  SELECT doc_id, n, CAST(SUM(m) AS BIGINT) AS m,
+              |    CAST(SUM(tc) AS BIGINT) AS tc,
+              |    CAST(SUM(tr) AS BIGINT) AS tr
+              |  FROM j GROUP BY 1, 2),
+              |rolled AS (
+              |  SELECT doc_id,
+              |    SUM(CAST(CASE WHEN tc > 0 THEN
+              |      CAST(m AS DOUBLE) / CAST(tc AS DOUBLE) ELSE 0.0 END
+              |      AS DECIMAL(18,12))) AS ps,
+              |    SUM(CAST(CASE WHEN tr > 0 THEN
+              |      CAST(m AS DOUBLE) / CAST(tr AS DOUBLE) ELSE 0.0 END
+              |      AS DECIMAL(18,12))) AS rs2
+              |  FROM per GROUP BY doc_id),
+              |fin AS (
+              |  SELECT p.doc_id,
+              |    CAST(len(p.cs) AS BIGINT) AS cand_nchars,
+              |    CAST(len(p.rs) AS BIGINT) AS ref_nchars,
+              |    COALESCE(CAST(r.ps AS DOUBLE) / 6.0, 0.0) AS chr_p,
+              |    COALESCE(CAST(r.rs2 AS DOUBLE) / 6.0, 0.0) AS chr_r
+              |  FROM pr p LEFT JOIN rolled r ON r.doc_id = p.doc_id)
+              |SELECT doc_id, cand_nchars, ref_nchars, chr_p, chr_r,
+              |  CASE WHEN 4.0 * chr_p + chr_r = 0.0 THEN 0.0
+              |    ELSE (5.0 * chr_p * chr_r) / (4.0 * chr_p + chr_r)
+              |  END AS chrf2
+              |FROM fin ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Jensen-Shannon divergence between per-language unigram
+    // distributions (TextOps.jensenShannonDivergence — Lin 1991): the
+    // corpus-drift read via the entropy identity, every transcendental
+    // one ln of an exact integer through DECIMAL(38,12). FULL oracle:
+    // the grid, the midpoint masses and the fixed IEEE fold replay.
+    QuerySpec(
+      "q306_jsd_langs",
+      (s, dir) =>
+        TextOps.jensenShannonDivergence(Tables.documents(s, dir), "lang",
+            "text")
+          .orderBy("group_a", "group_b"),
+      Some(s"""WITH wc AS (
+              |  SELECT lang AS g, w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+              |    SELECT lang, unnest(list_filter(
+              |      string_split($normSql, ' '), x -> x <> '')) AS w
+              |    FROM documents) t GROUP BY 1, 2),
+              |gsum AS (
+              |  SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+              |    SUM(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+              |      AS DECIMAL(38,12))) AS s
+              |  FROM wc GROUP BY g),
+              |grid AS (
+              |  SELECT gs.g, ws.w, COALESCE(wc.c, 0) AS c
+              |  FROM (SELECT DISTINCT w FROM wc) ws
+              |  CROSS JOIN (SELECT g FROM gsum) gs
+              |  LEFT JOIN wc ON wc.g = gs.g AND wc.w = ws.w),
+              |pt AS (
+              |  SELECT a.g AS ga, b.g AS gb, a.n AS na, b.n AS nb,
+              |    a.s AS sa, b.s AS sb
+              |  FROM gsum a CROSS JOIN gsum b WHERE a.g < b.g),
+              |ms AS (
+              |  SELECT ga, gb,
+              |    SUM(CAST(CAST(m AS DOUBLE) * ln(CAST(m AS DOUBLE))
+              |      AS DECIMAL(38,12))) AS msum
+              |  FROM (
+              |    SELECT a.g AS ga, b.g AS gb,
+              |      (a.c * pt.nb + b.c * pt.na) AS m
+              |    FROM grid a JOIN grid b ON b.w = a.w AND a.g < b.g
+              |    JOIN pt ON pt.ga = a.g AND pt.gb = b.g
+              |    WHERE a.c > 0 OR b.c > 0) q
+              |  GROUP BY 1, 2)
+              |SELECT pt.ga AS group_a, pt.gb AS group_b,
+              |  pt.na AS n_a, pt.nb AS n_b,
+              |  ROUND((ln(2.0 * CAST(pt.na AS DOUBLE)
+              |      * CAST(pt.nb AS DOUBLE))
+              |    - CAST(ms.msum AS DOUBLE) / (2.0 * CAST(pt.na AS DOUBLE)
+              |      * CAST(pt.nb AS DOUBLE)))
+              |    - ((ln(CAST(pt.na AS DOUBLE))
+              |        - CAST(pt.sa AS DOUBLE) / CAST(pt.na AS DOUBLE))
+              |      + (ln(CAST(pt.nb AS DOUBLE))
+              |        - CAST(pt.sb AS DOUBLE) / CAST(pt.nb AS DOUBLE)))
+              |      / 2.0, 6) AS jsd
+              |FROM pt JOIN ms ON ms.ga = pt.ga AND ms.gb = pt.gb
+              |ORDER BY group_a, group_b""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Edit-distance near-dup gate (Levenshtein 1966; Spark's codegen'd
+    // levenshtein builtin vs DuckDB's levenshtein — the exactness tier
+    // under the MinHash/SimHash sketches for short-text dedup): the
+    // q287 anchor pairing on the first 120 normalized chars (bounding
+    // the O(n·m) DP per row), normalized similarity, 0.8 gate.
+    QuerySpec(
+      "q307_edit_distance_pairs",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"),
+          substring(TextOps.normalized(col("text")), 1, 120).as("__t"))
+        val anchors = docs.select(col("doc_id").as("a_id"),
+          col("__t").as("__rt"))
+        docs.withColumn("a_id", expr("doc_id - doc_id % 5"))
+          .join(anchors, Seq("a_id"))
+          .select(col("doc_id"),
+            length(col("__t")).cast("long").as("len_a"),
+            length(col("__rt")).cast("long").as("len_b"),
+            levenshtein(col("__t"), col("__rt")).cast("long")
+              .as("edit_distance"))
+          .withColumn("similarity", round(
+            when(greatest(col("len_a"), col("len_b")) === 0L, lit(1.0))
+              .otherwise(lit(1.0) - col("edit_distance").cast("double") /
+                greatest(col("len_a"), col("len_b")).cast("double")), 6))
+          .withColumn("is_near_dup", col("similarity") >= 0.8)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, substr($normSql, 1, 120) AS t
+              |  FROM documents),
+              |pr AS (
+              |  SELECT c.doc_id, c.t AS ta, r.t AS tb
+              |  FROM d c JOIN d r ON r.doc_id = c.doc_id - (c.doc_id % 5)),
+              |sc AS (
+              |  SELECT doc_id, CAST(len(ta) AS BIGINT) AS len_a,
+              |    CAST(len(tb) AS BIGINT) AS len_b,
+              |    CAST(levenshtein(ta, tb) AS BIGINT) AS edit_distance
+              |  FROM pr)
+              |SELECT doc_id, len_a, len_b, edit_distance,
+              |  ROUND(CASE WHEN GREATEST(len_a, len_b) = 0 THEN 1.0
+              |    ELSE 1.0 - CAST(edit_distance AS DOUBLE)
+              |      / CAST(GREATEST(len_a, len_b) AS DOUBLE) END, 6)
+              |    AS similarity,
+              |  ROUND(CASE WHEN GREATEST(len_a, len_b) = 0 THEN 1.0
+              |    ELSE 1.0 - CAST(edit_distance AS DOUBLE)
+              |      / CAST(GREATEST(len_a, len_b) AS DOUBLE) END, 6)
+              |    >= 0.8 AS is_near_dup
+              |FROM sc ORDER BY doc_id""".stripMargin))
   )
 }
