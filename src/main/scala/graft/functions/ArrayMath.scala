@@ -274,6 +274,7 @@ object ArrayMath {
   val mp4BytesName = "graft_mp4_bytes"
   val dhashName = "graft_image_dhash64"
   val ahashName = "graft_image_ahash64"
+  val lcsLenName = "graft_lcs_len"
   val warcParseName = "graft_warc_parse"
   val warcRecordName = "graft_warc_record_bytes"
   val audioFpName = "graft_audio_fingerprint64"
@@ -434,6 +435,8 @@ object ArrayMath {
       dhashName, exprs => DHash64(exprs(0)))
     bind(
       ahashName, exprs => AHash64(exprs(0)))
+    bind(
+      lcsLenName, exprs => LcsLen(exprs(0), exprs(1)))
     bind(
       warcParseName, exprs => WarcParse(exprs(0)))
     bind(
@@ -635,6 +638,11 @@ object ArrayMath {
     * payload.
     */
   def imageAHash64(bytes: Column): Column = call_function(ahashName, bytes)
+
+  /** (array<string>, array<string>) → int longest-common-subsequence
+    * length (see [[LcsLen]]); NULL when either array is NULL.
+    */
+  def lcsLen(a: Column, b: Column): Column = call_function(lcsLenName, a, b)
 
   /** binary → array<struct<warc_type,record_id,target_uri,warc_date,
     * content_length,payload>> from a strict WARC 1.x record walk; NULL

@@ -1108,6 +1108,57 @@ object TextOps {
             (lit(b2) * col("chr_p") + col("chr_r"))))
   }
 
+  /** ROUGE-L (Lin, ACL 2004 WS "ROUGE: A Package for Automatic
+    * Evaluation of Summaries") — the LCS-based recall-oriented overlap
+    * metric completing the eval trio beside [[bleuScore]] and [[chrF]]:
+    * over (candidate, reference) pairs on the SAME row,
+    *
+    *   P = LCS/|cand|,  R = LCS/|ref|,  F1 = 2·P·R/(P+R)  (0 when both 0)
+    *
+    * with LCS the token-level longest common subsequence computed ONCE
+    * per row by the native codegen kernel
+    * [[graft.functions.LcsKernel]] (quadratic DP — a lambda spelling
+    * would be the interpreted-HOF trap). Token windows are BOUNDED at
+    * `maxTokens` per side (the q296 convention), so per-row work is
+    * O(maxTokens²) = O(1) at corpus scale. Zero shuffle. P/R/F1 are a
+    * fixed IEEE sequence over exact integers — SQL-replayable (the
+    * oracle unrolls the DP as anti-diagonal recursive CTEs).
+    *
+    * → (idCol, cand_len, ref_len, lcs_len, rouge_l_p, rouge_l_r,
+    *   rouge_l_f1); a NULL candidate or reference scores NULL.
+    */
+  def rougeL(pairs: DataFrame, idCol: String, candCol: String,
+             refCol: String, maxTokens: Int = 40): DataFrame = {
+    require(maxTokens >= 1 && maxTokens <= 512,
+      s"maxTokens must be in [1,512], got $maxTokens")
+    def toks(c: Column): Column =
+      slice(filter(tokens(normalized(c)), t => t =!= lit("")), 1, maxTokens)
+    val base = pairs.select(col(idCol), toks(col(candCol)).as("__ct"),
+      toks(col(refCol)).as("__rt"))
+    val lcs = graft.functions.ArrayMath.lcsLen(col("__ct"), col("__rt"))
+    base
+      .withColumn("cand_len", size(col("__ct")).cast("long"))
+      .withColumn("ref_len", size(col("__rt")).cast("long"))
+      .withColumn("lcs_len", lcs.cast("long"))
+      .withColumn("rouge_l_p",
+        when(col("lcs_len").isNull, lit(null).cast("double"))
+          .when(col("cand_len") === 0L, lit(0.0))
+          .otherwise(col("lcs_len").cast("double") /
+            col("cand_len").cast("double")))
+      .withColumn("rouge_l_r",
+        when(col("lcs_len").isNull, lit(null).cast("double"))
+          .when(col("ref_len") === 0L, lit(0.0))
+          .otherwise(col("lcs_len").cast("double") /
+            col("ref_len").cast("double")))
+      .withColumn("rouge_l_f1",
+        when(col("rouge_l_p").isNull, lit(null).cast("double"))
+          .when(col("rouge_l_p") + col("rouge_l_r") === 0.0, lit(0.0))
+          .otherwise(lit(2.0) * col("rouge_l_p") * col("rouge_l_r") /
+            (col("rouge_l_p") + col("rouge_l_r"))))
+      .select(col(idCol), col("cand_len"), col("ref_len"), col("lcs_len"),
+        col("rouge_l_p"), col("rouge_l_r"), col("rouge_l_f1"))
+  }
+
   /** Simple Good–Turing frequency table (Good, Biometrika 1953; the
     * raw Turing estimator of Gale & Sampson, JQL 1995 §2 — the
     * frequency-of-frequencies view LM smoothing, coverage estimation

@@ -13021,6 +13021,90 @@ object TrainingQueries {
               |    ELSE 1.0 - CAST(edit_distance AS DOUBLE)
               |      / CAST(GREATEST(len_a, len_b) AS DOUBLE) END, 6)
               |    >= 0.8 AS is_near_dup
-              |FROM sc ORDER BY doc_id""".stripMargin))
+              |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // ROUGE-L (TextOps.rougeL — Lin ACL'04 WS; the LCS-based eval metric
+    // completing the BLEU/chrF trio): the q287 anchor pairing on the
+    // first 40 tokens per side, LCS by the native codegen DP kernel
+    // (functions/LcsLen.scala — one O(n·m) pass per row, never a
+    // lambda). FULL oracle: the DP replays as anti-diagonal recursive
+    // CTEs (two diagonals carried per round — DuckDB's recursive term
+    // only sees the previous iteration), then the fixed IEEE P/R/F1.
+    QuerySpec(
+      "q308_rouge_l",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"),
+          col("text"))
+        val anchors = docs.select(col("doc_id").as("a_id"),
+          col("text").as("ref_text"))
+        val pairs = docs.withColumn("a_id", expr("doc_id - doc_id % 5"))
+          .join(anchors, Seq("a_id"))
+        TextOps.rougeL(pairs, "doc_id", "text", "ref_text",
+            maxTokens = 40)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE d0 AS (
+              |  SELECT doc_id,
+              |    (list_filter(string_split($normSql, ' '),
+              |      x -> x <> ''))[1:40] AS toks
+              |  FROM documents),
+              |prn AS (
+              |  SELECT c.doc_id, c.toks AS ct, r.toks AS rt,
+              |    len(c.toks) AS n, len(r.toks) AS m
+              |  FROM d0 c JOIN d0 r
+              |    ON r.doc_id = c.doc_id - (c.doc_id % 5)),
+              |lc(doc_id, i, j, v, age, d) AS (
+              |  SELECT doc_id, 0, 0, 0, 0, 0 FROM prn
+              |  UNION ALL
+              |  SELECT * FROM (
+              |    SELECT l.doc_id AS doc_id, l.i AS i, l.j AS j,
+              |      l.v AS v, 1 AS age, l.d + 1 AS d
+              |    FROM lc l JOIN prn p ON p.doc_id = l.doc_id
+              |    WHERE l.age = 0 AND l.d < p.n + p.m
+              |    UNION ALL
+              |    SELECT c.doc_id AS doc_id, c.i AS i, c.j AS j,
+              |      CASE WHEN c.i = 0 OR c.j = 0 THEN 0
+              |        ELSE GREATEST(lft.v, up.v, dg.v +
+              |          CASE WHEN list_extract(c.ct, c.i)
+              |              = list_extract(c.rt, c.j)
+              |            THEN 1 ELSE 0 END) END AS v,
+              |      0 AS age, c.d1 AS d
+              |    FROM (
+              |      SELECT p.doc_id, p.ct, p.rt, cur.d + 1 AS d1,
+              |        CAST(r.range AS INT) AS i,
+              |        cur.d + 1 - CAST(r.range AS INT) AS j
+              |      FROM (SELECT DISTINCT doc_id, d FROM lc
+              |            WHERE age = 0) cur
+              |      JOIN prn p ON p.doc_id = cur.doc_id, range(0, 41) r
+              |      WHERE cur.d < p.n + p.m
+              |        AND r.range BETWEEN GREATEST(0, cur.d + 1 - p.m)
+              |          AND LEAST(p.n, cur.d + 1)
+              |    ) c
+              |    LEFT JOIN lc lft ON lft.doc_id = c.doc_id
+              |      AND lft.age = 0 AND lft.i = c.i - 1 AND lft.j = c.j
+              |    LEFT JOIN lc up ON up.doc_id = c.doc_id
+              |      AND up.age = 0 AND up.i = c.i AND up.j = c.j - 1
+              |    LEFT JOIN lc dg ON dg.doc_id = c.doc_id
+              |      AND dg.age = 1 AND dg.i = c.i - 1 AND dg.j = c.j - 1
+              |  ) nxt),
+              |fin AS (
+              |  SELECT l.doc_id, CAST(p.n AS BIGINT) AS cand_len,
+              |    CAST(p.m AS BIGINT) AS ref_len,
+              |    CAST(l.v AS BIGINT) AS lcs_len,
+              |    CASE WHEN p.n = 0 THEN 0.0
+              |      ELSE CAST(l.v AS DOUBLE) / CAST(p.n AS DOUBLE)
+              |    END AS rouge_l_p,
+              |    CASE WHEN p.m = 0 THEN 0.0
+              |      ELSE CAST(l.v AS DOUBLE) / CAST(p.m AS DOUBLE)
+              |    END AS rouge_l_r
+              |  FROM lc l JOIN prn p ON p.doc_id = l.doc_id
+              |  WHERE l.i = p.n AND l.j = p.m AND l.age = 0)
+              |SELECT doc_id, cand_len, ref_len, lcs_len, rouge_l_p,
+              |  rouge_l_r,
+              |  CASE WHEN rouge_l_p + rouge_l_r = 0.0 THEN 0.0
+              |    ELSE 2.0 * rouge_l_p * rouge_l_r
+              |      / (rouge_l_p + rouge_l_r) END AS rouge_l_f1
+              |FROM fin ORDER BY doc_id""".stripMargin))
   )
 }

@@ -74,6 +74,37 @@ class Round19Props extends AnyFunSuite {
     assert(got.values.forall(v => v >= 0.0 && v <= math.log(2.0) + 1e-9))
   }
 
+  test("rougeL: hand-computed LCS, P/R/F1, empty and clone edges") {
+    import spark.implicits._
+    val df = Seq(
+      (1, "a b c d", "a c d"),      // LCS=3: P=3/4 R=1 F1=2*(3/4)/(7/4)=6/7
+      (2, "x", "y"),                // LCS=0 -> all 0
+      (3, "a a b", "a b a"),        // LCS=2
+      (4, "same text here", "same text here"), // clone -> 1/1/1
+      (5, "", "a b")                // empty cand: P=0 R=0 F1=0
+    ).toDF("id", "cand", "ref")
+    val got = TextOps.rougeL(df, "id", "cand", "ref")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    assert(got(1) == ((3L, 0.75, 1.0, 2.0 * 0.75 * 1.0 / 1.75)))
+    assert(got(2) == ((0L, 0.0, 0.0, 0.0)))
+    assert(got(3)._1 == 2L)
+    assert(got(4) == ((3L, 1.0, 1.0, 1.0)))
+    assert(got(5) == ((0L, 0.0, 0.0, 0.0)))
+    // the kernel participates in whole-stage codegen on a non-local scan
+    val plan = spark.range(8).select(
+      graft.functions.ArrayMath.lcsLen(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.concat_ws(" ",
+            org.apache.spark.sql.functions.col("id"),
+            org.apache.spark.sql.functions.lit("a b")), " "),
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.lit("a b c"), " ")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"expected WholeStageCodegen\n$plan")
+  }
+
   test("chrF layout invariance: repartitioned input scores identically") {
     import spark.implicits._
     val df = (1 to 40).map(i =>
