@@ -1398,39 +1398,36 @@ object WebGraph {
       .orderBy(md5(col("node").cast("binary")), col("node"))
       .limit(nSources) // TakeOrdered — never a global sort
     // forward: (s, node, dist, sigma); sigma = #shortest s→node paths.
-    // ONE job per BFS level: the frontier count rides the level's own
-    // checkpoint job as an observed metric (no isEmpty probe), and the
-    // visited set is the UNION of the per-level checkpointed leaves
-    // (never re-checkpointed — the r18 shape rewrote the whole growing
-    // set every round, O(D·|visited|) writes; a union of ≤ maxDepth
-    // leaves scans the same rows once per anti-join with no extra jobs)
-    val level0 = sources
+    // This loop is deliberately the measured shape: a union-of-level-
+    // leaves visited set (tried in r19 to avoid the per-level rewrite)
+    // made every downstream scan pay the D-leaf partition fan-out —
+    // q256's backward sweep measured 2.2× slower — and an observed-
+    // metric frontier probe adjudicated within host noise of the
+    // isEmpty job it replaced. Measurements beat theory; the compact
+    // rewritten frame wins for the heavy consumers.
+    var visited = sources
       .select(col("node").as("s"), col("node"), lit(0).as("dist"),
         lit(1L).as("sigma"))
       .localCheckpoint()
-    var levels = List(level0)
-    var frontier = level0
+    var frontier = visited
     var d = 0
     var done = false
     while (!done && d < maxDepth) {
       d += 1
-      val visitedAll = levels.map(_.select(col("s"), col("node")))
-        .reduce(_ unionByName _)
-      val nextPre = frontier.join(e, col("node") === col("esrc"))
+      val next = frontier.join(e, col("node") === col("esrc"))
         .groupBy(col("s"), col("edst").as("node"))
         .agg(sum(col("sigma")).as("sigma"))
-        .join(visitedAll, Seq("s", "node"), "left_anti")
+        .join(visited.select(col("s"), col("node")), Seq("s", "node"),
+          "left_anti")
         .select(col("s"), col("node"), lit(d).as("dist"), col("sigma"))
-        .observe("bfs_level", count(lit(1)).cast("bigint").as("__n"))
-      val next = nextPre.localCheckpoint()
-      if (nextPre.queryExecution.observedMetrics("bfs_level")
-          .getLong(0) == 0L) done = true
+        .localCheckpoint()
+      if (next.isEmpty) done = true
       else {
-        levels ::= next
+        visited = visited.unionByName(next).localCheckpoint()
         frontier = next
       }
     }
-    (e, nodes, levels.reduce(_ unionByName _), d)
+    (e, nodes, visited, d)
   }
 
   /** Sampled HARMONIC closeness centrality (Marchiori & Latora 2000;
