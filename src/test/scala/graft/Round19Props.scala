@@ -105,6 +105,33 @@ class Round19Props extends AnyFunSuite {
     assert(plan.contains("*(1)"), s"expected WholeStageCodegen\n$plan")
   }
 
+  test("aHash JPEG parity: real ImageIO-encoded payloads hash (non-NULL, " +
+    "deterministic, clones equal) and agree with a driver-side replay") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Multimodal
+    import spark.implicits._
+    val df = Seq((1, 16, 12, 10), (2, 16, 12, 10), (3, 16, 12, 200))
+      .toDF("id", "w", "h", "r0")
+    val got = df.select(col("id"), Multimodal.pngAHash(
+        Multimodal.jpegGradientBytes(col("w"), col("h"), col("r0"),
+          col("r0"), col("r0"))).as("h"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // clones hash equal; a different gradient origin may or may not
+    // collide (aHash is coarse) but the values must be deterministic
+    assert(got(1) == got(2))
+    val again = df.select(col("id"), Multimodal.pngAHash(
+        Multimodal.jpegGradientBytes(col("w"), col("h"), col("r0"),
+          col("r0"), col("r0"))).as("h"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(again == got)
+    // driver-side replay through the SAME kernel entry point — the
+    // column path and a direct kernel call must agree bit-for-bit
+    val bytes = df.filter(col("id") === 1).select(
+        Multimodal.jpegGradientBytes(col("w"), col("h"), col("r0"),
+          col("r0"), col("r0"))).head().getAs[Array[Byte]](0)
+    assert(graft.functions.AHashKernel.ahash64(bytes).longValue() == got(1))
+  }
+
   test("chrF layout invariance: repartitioned input scores identically") {
     import spark.implicits._
     val df = (1 to 40).map(i =>
