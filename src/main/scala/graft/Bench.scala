@@ -385,7 +385,10 @@ object Bench {
     // successes would report a partial run as a faster total (r10's 13
     // events-query failures read as a 2.1x "improvement") — name the failures
     // in the artifact so a partial run can never pass as a clean one.
-    val failedNames = results.collect { case (k, v, _, _, _, _) if v < 0 => k }
+    // timed-out lanes are named separately below — keep the two sets
+    // disjoint so n_failed diffs cleanly across rounds
+    val failedNames = results.collect {
+      case (k, v, _, _, _, _) if v < 0 && v != TimedOutSentinel => k }
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     // −2.0 = circuit-breaker sentinel: named separately from raised
     // failures so the artifact distinguishes "too slow to measure" from

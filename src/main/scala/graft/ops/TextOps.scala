@@ -1442,6 +1442,91 @@ object TextOps {
           .as("n_dropped"))
   }
 
+  /** Sentence segmentation — the deterministic rule-based splitter the
+    * corpus-dedup lanes and their SQL oracles share: a unit boundary is
+    * any whitespace run that follows sentence-final punctuation
+    * ([.!?]). RE2-based engines have no lookbehind, so the boundary is
+    * rewritten to a control char first, then split — punctuation stays
+    * with its sentence, and the consumed inter-sentence whitespace is
+    * re-rendered as a single space at reassembly.
+    */
+  def sentenceUnits(c: Column): Column =
+    split(regexp_replace(c, "([.!?])\\s+", "$1\u0001"), "\u0001")
+
+  /** Corpus-level keep-first SENTENCE dedup — the C4 recipe (Raffel et
+    * al. 2020, JMLR 21(140) §2.2: of any span occurring more than once
+    * in the corpus, all but one occurrence is removed). Units come from
+    * [[sentenceUnits]]; semantics and plan in [[dedupUnitsKeepFirst]].
+    */
+  def sentenceDedupCorpus(df: DataFrame, idCol: String,
+                          textCol: String): DataFrame =
+    dedupUnitsKeepFirst(df, idCol, sentenceUnits(col(textCol)), " ")
+
+  /** Corpus-level keep-first LINE/PARAGRAPH dedup — the CCNet (Wenzek
+    * et al. 2020, paragraph hashes) / FineWeb (line-level) recipe: the
+    * unit is a newline-delimited block. Blank lines are preserved
+    * everywhere — they are document structure, and dedup must not
+    * reflow the text around them.
+    */
+  def lineDedupCorpus(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    dedupUnitsKeepFirst(df, idCol, split(col(textCol), "\n"), "\n")
+
+  /** Shared core of [[sentenceDedupCorpus]]/[[lineDedupCorpus]]: hash
+    * each trimmed unit and strip every occurrence EXCEPT the
+    * corpus-global first — "first" = smallest (doc id, unit position),
+    * a total order, so the output is partitioning-independent and
+    * SQL-replayable. Blank units all survive (structure, not content).
+    * Documents reassemble in unit order.
+    *
+    * Plan shape at 100 TB: one explode (linear in corpus units); the
+    * keeper table is groupBy(md5) → min(struct(id, pos)) — map-side
+    * partial aggregation collapses even a boilerplate unit repeated
+    * across billions of docs to one row per map partition before the
+    * shuffle, so duplicate skew cannot hot-spot a task (a row_number
+    * window keyed by the hash would put every occurrence of the hot
+    * unit in ONE task); the join back carries only the 16-byte digest
+    * plus the keeper struct, and AQE's skew join splits the probe side
+    * under residual skew. Unit text never rides the dedup shuffle —
+    * only the final per-doc reassembly, keyed by doc id (balanced).
+    *
+    * → (idCol, cleaned_text, n_units, n_dropped); NULL text stays NULL.
+    */
+  private def dedupUnitsKeepFirst(df: DataFrame, idCol: String,
+      unitsExpr: Column, sep: String): DataFrame = {
+    val parts = df.select(col(idCol), unitsExpr.as("__parts"))
+    val units = parts
+      .select(col(idCol), posexplode(col("__parts")).as(Seq("__i", "__u")))
+      .withColumn("__t", trim(col("__u")))
+    val nonBlank = units.filter(col("__t") =!= "")
+      .withColumn("__k", md5(col("__t")))
+    val keeper = nonBlank.groupBy("__k")
+      .agg(min(struct(col(idCol), col("__i"))).as("__first"))
+    val kept = nonBlank.join(keeper, Seq("__k"))
+      .filter(struct(col(idCol), col("__i")) === col("__first"))
+      .select(col(idCol), col("__i"), col("__u"))
+      .unionByName(units.filter(col("__t") === "")
+        .select(col(idCol), col("__i"), col("__u")))
+    val rebuilt = kept.groupBy(idCol)
+      .agg(count(lit(1)).as("__n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__i"), col("__u")))),
+            x => x.getField("__u")), sep).as("__cleaned"))
+    parts
+      .select(col(idCol), col("__parts").isNull.as("__nullText"),
+        coalesce(size(col("__parts")), lit(0)).cast("long").as("n_units"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__nullText"), lit(null).cast("string"))
+          .otherwise(coalesce(col("__cleaned"), lit(""))).as("cleaned_text"),
+        when(col("__nullText"), lit(0L)).otherwise(col("n_units"))
+          .as("n_units"),
+        when(col("__nullText"), lit(0L))
+          .otherwise(col("n_units") - coalesce(col("__n_kept"), lit(0L)))
+          .as("n_dropped"))
+  }
+
   /** Corpus-wide duplicated-span marking — the token-window flavor of
     * ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training Data
     * Makes Language Models Better", arXiv:2107.06499; suffix arrays

@@ -1986,10 +1986,10 @@ object WebGraph {
       // concurrently (level-synchronous BFS wall time is driver
       // round-trips × depth; overlapping F and B halves it, on a
       // cluster as on local)
-      import scala.concurrent.{Await, Future}
+      import scala.concurrent.Await
       import scala.concurrent.ExecutionContext.Implicits.global
-      val fF = Future(reachFrom(eR, pivots, maxDepth))
-      val fB = Future(reachFrom(
+      val fF = Par.grouped(reachFrom(eR, pivots, maxDepth))
+      val fB = Par.grouped(reachFrom(
         eR.select(col("edst").as("esrc"), col("esrc").as("edst")),
         pivots, maxDepth))
       val fwd = Await.result(fF, scala.concurrent.duration.Duration.Inf)
@@ -2055,7 +2055,7 @@ object WebGraph {
   def bowtieDecomposition(edges: DataFrame, srcCol: String, dstCol: String,
                           pivotsPerRound: Int = 64, maxDepth: Int = 32,
                           maxRounds: Int = 64): DataFrame = {
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.Await
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
     val e0 = edges
@@ -2078,8 +2078,8 @@ object WebGraph {
         col("component") === col("__giant"))
       .select(col("node")).localCheckpoint(true)
     val rev = e0.select(col("edst").as("esrc"), col("esrc").as("edst"))
-    val fF = Future(setReach(e0, core, maxDepth))
-    val fB = Future(setReach(rev, core, maxDepth))
+    val fF = Par.grouped(setReach(e0, core, maxDepth))
+    val fB = Par.grouped(setReach(rev, core, maxDepth))
     val fwd = Await.result(fF, Duration.Inf)
     val bwd = Await.result(fB, Duration.Inf)
     val outR = fwd.join(core, Seq("node"), "left_anti").localCheckpoint(true)
@@ -2093,8 +2093,8 @@ object WebGraph {
       .join(core.select(col("node").as("edst")), Seq("edst"), "left_anti")
       .select(col("esrc"), col("edst")).localCheckpoint(true)
     val revNC = eNC.select(col("edst").as("esrc"), col("esrc").as("edst"))
-    val fFrom = Future(setReach(eNC, inR, maxDepth))
-    val fTo = Future(setReach(revNC, outR, maxDepth))
+    val fFrom = Par.grouped(setReach(eNC, inR, maxDepth))
+    val fTo = Par.grouped(setReach(revNC, outR, maxDepth))
     val fromIn = Await.result(fFrom, Duration.Inf)
       .join(rem, Seq("node"), "left_semi").localCheckpoint(true)
     val toOut = Await.result(fTo, Duration.Inf)

@@ -11021,11 +11021,11 @@ object TrainingQueries {
           .unionByName(base.select(host("n").as("src_host"),
             host("pmod(3*n+2, 97)").as("dst_host")))
         // overlap the two independent driver loops (the q281 pattern)
-        import scala.concurrent.{Await, Future}
+        import scala.concurrent.Await
         import scala.concurrent.ExecutionContext.Implicits.global
-        val fNf = Future(graft.ops.WebGraph.neighborhoodFunction(
+        val fNf = graft.ops.Par.grouped(graft.ops.WebGraph.neighborhoodFunction(
           e, "src_host", "dst_host", maxT = 16, p = 9))
-        val fEx = Future(graft.ops.WebGraph.distanceDistribution(
+        val fEx = graft.ops.Par.grouped(graft.ops.WebGraph.distanceDistribution(
           e, "src_host", "dst_host", nSources = 4096, maxDepth = 16))
         val nf = Await.result(fNf,
           scala.concurrent.duration.Duration.Inf)
@@ -11471,11 +11471,11 @@ object TrainingQueries {
         // independent level-synchronous driver loops — overlap their
         // construction on two threads (the SCC fwd/bwd reach pattern)
         // so one latency chain hides behind the other
-        import scala.concurrent.{Await, Future}
+        import scala.concurrent.Await
         import scala.concurrent.ExecutionContext.Implicits.global
-        val fEst = Future(graft.ops.WebGraph.hyperballHarmonic(
+        val fEst = graft.ops.Par.grouped(graft.ops.WebGraph.hyperballHarmonic(
           e, "src_host", "dst_host", maxT = 16, p = 9))
-        val fExact = Future(graft.ops.WebGraph.harmonicCloseness(
+        val fExact = graft.ops.Par.grouped(graft.ops.WebGraph.harmonicCloseness(
           e, "src_host", "dst_host", nSources = 4096, maxDepth = 16))
         val est = Await.result(fEst,
           scala.concurrent.duration.Duration.Inf)
@@ -11644,11 +11644,11 @@ object TrainingQueries {
           .unionByName(base.select(host("n").as("src_host"),
             host("pmod(3*n+2, 97)").as("dst_host")))
         // overlap the two independent driver loops (the q281 pattern)
-        import scala.concurrent.{Await, Future}
+        import scala.concurrent.Await
         import scala.concurrent.ExecutionContext.Implicits.global
-        val fEst = Future(graft.ops.WebGraph.hyperballCloseness(
+        val fEst = graft.ops.Par.grouped(graft.ops.WebGraph.hyperballCloseness(
           e, "src_host", "dst_host", maxT = 16, p = 9))
-        val fEx = Future(graft.ops.WebGraph.distanceMoments(
+        val fEx = graft.ops.Par.grouped(graft.ops.WebGraph.distanceMoments(
           e, "src_host", "dst_host", nSources = 4096, maxDepth = 16))
         val est = Await.result(fEst,
           scala.concurrent.duration.Duration.Inf)

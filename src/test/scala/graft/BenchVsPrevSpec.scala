@@ -72,8 +72,10 @@ class BenchVsPrevSpec extends AnyFunSuite {
     assert(slow == Bench.TimedOutSentinel,
       s"expected the -2.0 timed-out sentinel, got $slow")
     assert(slowHash.isEmpty, "a timed-out rep must not record a plan hash")
-    // the breaker must fire near the deadline, not after the lane finishes
-    assert(wall < 60, s"circuit breaker took ${wall}s to fire")
+    // the breaker must fire near the deadline, not after the lane finishes;
+    // its worst bounded path is join(2s) + cancel + join(30s) + interrupt +
+    // join(30s) ≈ 62s, so the bound sits above that, not at a round 60
+    assert(wall < 70, s"circuit breaker took ${wall}s to fire")
     // the context survived: a healthy rep on the SAME session still lands
     val (ok, okHash) = Bench.boundedRep(spark, "healthy", "/none",
       timeoutMs = 120000)(() => spark.range(1000).select(col("id")))
