@@ -13105,6 +13105,112 @@ object TrainingQueries {
               |  CASE WHEN rouge_l_p + rouge_l_r = 0.0 THEN 0.0
               |    ELSE 2.0 * rouge_l_p * rouge_l_r
               |      / (rouge_l_p + rouge_l_r) END AS rouge_l_f1
-              |FROM fin ORDER BY doc_id""".stripMargin))
+              |FROM fin ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Corpus-level keep-first SENTENCE dedup (TextOps.sentenceDedupCorpus
+    // — the C4 recipe, Raffel et al. 2020 JMLR 21(140) §2.2: every
+    // repeated span keeps exactly one occurrence corpus-wide). The
+    // fixture corpus has no punctuation, so the lane plants sentence
+    // structure deterministically: a group-shared preamble (dup across
+    // ~71 docs → survives only in the first doc of each group), a
+    // near-unique body from the doc's own text, a footer shared by ALL
+    // 500 docs (survives exactly once, in doc 0), and a unique tail.
+    // The oracle replays the splitter (RE2 has no lookbehind — the
+    // boundary rewrites to chr(1) first), the md5-keyed keep-first rule
+    // as a row_number window, and the space-joined reassembly; any
+    // drift in unit order, keep rule, or separator hash-mismatches.
+    QuerySpec(
+      "q309_sentence_dedup",
+      (s, dir) => {
+        val src = Tables.documents(s, dir).select(col("doc_id"),
+          concat(
+            lit("Shared preamble for group "),
+            (col("doc_id") % 7).cast("string"), lit(". "),
+            substring(col("text"), 1, 80), lit(". "),
+            lit("All documents share this footer! Doc "),
+            col("doc_id").cast("string"),
+            lit(" keeps a unique tail.")).as("text"))
+        TextOps.sentenceDedupCorpus(src, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH src AS (
+             |  SELECT doc_id,
+             |    'Shared preamble for group ' || CAST(doc_id % 7 AS VARCHAR)
+             |      || '. ' || substr(text, 1, 80) || '. '
+             |      || 'All documents share this footer! Doc '
+             |      || CAST(doc_id AS VARCHAR) || ' keeps a unique tail.'
+             |      AS text
+             |  FROM documents),
+             |p AS (SELECT doc_id,
+             |        string_split(regexp_replace(text, '([.!?])\s+',
+             |          '\1' || chr(1), 'g'), chr(1)) AS parts
+             |      FROM src),
+             |l AS (SELECT doc_id, parts, unnest(range(len(parts))) AS i
+             |      FROM p),
+             |t AS (SELECT doc_id, i, parts[CAST(i+1 AS INT)] AS u,
+             |             trim(parts[CAST(i+1 AS INT)]) AS tl FROM l),
+             |k AS (SELECT doc_id, i, u,
+             |        CASE WHEN tl = '' THEN TRUE
+             |          ELSE row_number() OVER (PARTITION BY md5(tl)
+             |            ORDER BY doc_id, i) = 1 END AS keep
+             |      FROM t),
+             |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+             |               string_agg(u, ' ' ORDER BY i) AS cleaned
+             |        FROM k WHERE keep GROUP BY doc_id),
+             |n AS (SELECT doc_id, len(parts) AS n_units FROM p)
+             |SELECT n.doc_id, COALESCE(agg.cleaned, '') AS cleaned_text,
+             |  CAST(n.n_units AS BIGINT) AS n_units,
+             |  CAST(n.n_units - COALESCE(agg.n_kept, 0) AS BIGINT)
+             |    AS n_dropped
+             |FROM n LEFT JOIN agg ON agg.doc_id = n.doc_id
+             |ORDER BY n.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Corpus-level keep-first LINE/PARAGRAPH dedup (TextOps.
+    // lineDedupCorpus — the CCNet paragraph-hash / FineWeb line-dedup
+    // recipe): newline-delimited units, same keep-first rule. The plant
+    // includes a BLANK line between body and footer — blanks are
+    // structure and must all survive, pinning that dedup does not
+    // reflow documents (the reassembly keeps the empty unit and both
+    // newlines around it).
+    QuerySpec(
+      "q310_line_dedup",
+      (s, dir) => {
+        val src = Tables.documents(s, dir).select(col("doc_id"),
+          concat(
+            lit("shared header "), (col("doc_id") % 5).cast("string"),
+            lit("\n"), substring(col("text"), 1, 120), lit("\n\n"),
+            lit("common footer line")).as("text"))
+        TextOps.lineDedupCorpus(src, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH src AS (
+             |  SELECT doc_id,
+             |    'shared header ' || CAST(doc_id % 5 AS VARCHAR) || chr(10)
+             |      || substr(text, 1, 120) || chr(10) || chr(10)
+             |      || 'common footer line' AS text
+             |  FROM documents),
+             |p AS (SELECT doc_id, string_split(text, chr(10)) AS parts
+             |      FROM src),
+             |l AS (SELECT doc_id, parts, unnest(range(len(parts))) AS i
+             |      FROM p),
+             |t AS (SELECT doc_id, i, parts[CAST(i+1 AS INT)] AS u,
+             |             trim(parts[CAST(i+1 AS INT)]) AS tl FROM l),
+             |k AS (SELECT doc_id, i, u,
+             |        CASE WHEN tl = '' THEN TRUE
+             |          ELSE row_number() OVER (PARTITION BY md5(tl)
+             |            ORDER BY doc_id, i) = 1 END AS keep
+             |      FROM t),
+             |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+             |               string_agg(u, chr(10) ORDER BY i) AS cleaned
+             |        FROM k WHERE keep GROUP BY doc_id),
+             |n AS (SELECT doc_id, len(parts) AS n_units FROM p)
+             |SELECT n.doc_id, COALESCE(agg.cleaned, '') AS cleaned_text,
+             |  CAST(n.n_units AS BIGINT) AS n_units,
+             |  CAST(n.n_units - COALESCE(agg.n_kept, 0) AS BIGINT)
+             |    AS n_dropped
+             |FROM n LEFT JOIN agg ON agg.doc_id = n.doc_id
+             |ORDER BY n.doc_id""".stripMargin))
   )
 }

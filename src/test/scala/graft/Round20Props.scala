@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TextOps
+
+/** Round-20 operator properties: corpus-level keep-first sentence/line
+  * dedup (the C4/CCNet/FineWeb recipe) — keep-first totality, structure
+  * preservation, and NULL handling against hand-built corpora.
+  */
+class Round20Props extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("sentenceDedupCorpus: repeated sentence keeps only its global " +
+    "first occurrence; first = smallest (id, position)") {
+    import spark.implicits._
+    val docs = Seq(
+      (2L, "Dup one. Unique two."),
+      (1L, "Solo here! Dup one. Dup one."),
+      (3L, "Dup one.")).toDF("doc_id", "text")
+    val got = TextOps.sentenceDedupCorpus(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    // "Dup one." first occurs at (1, 1) — doc 1 keeps ONE copy (its
+    // second occurrence at (1,2) is a later duplicate), docs 2 and 3
+    // lose theirs entirely
+    assert(got(0) == ((1L, "Solo here! Dup one.", 3L, 1L)))
+    assert(got(1) == ((2L, "Unique two.", 2L, 1L)))
+    assert(got(2) == ((3L, "", 1L, 1L)))
+  }
+
+  test("sentenceUnits keeps punctuation with its sentence and does not " +
+    "split without following whitespace (abbrev-like '3.14' stays whole)") {
+    import spark.implicits._
+    val parts = Seq("Pi is 3.14 roughly. Yes!  Indeed?No split")
+      .toDF("text")
+      .select(TextOps.sentenceUnits(org.apache.spark.sql.functions.col("text")))
+      .collect().head.getSeq[String](0)
+    assert(parts == Seq("Pi is 3.14 roughly.", "Yes!", "Indeed?No split"))
+  }
+
+  test("lineDedupCorpus preserves blank lines and within-doc order; " +
+    "NULL text stays NULL; repeated line survives once corpus-wide") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "header\nbody ten\n\nfooter"),
+      (11L, "header\nbody eleven\n\nfooter"),
+      (12L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextOps.lineDedupCorpus(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    assert(got(0) == ((10L, "header\nbody ten\n\nfooter", 4L, 0L)))
+    // doc 11 loses header+footer but KEEPS the blank line between its
+    // surviving body and nothing — structure is not reflowed
+    assert(got(1) == ((11L, "body eleven\n", 4L, 2L)))
+    assert(got(2) == ((12L, null, 0L, 0L)))
+  }
+
+  test("lineDedupCorpus trims for identity but preserves original " +
+    "spelling of the kept occurrence") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "  padded line  \nrest"),
+      (2L, "padded line\nother")).toDF("doc_id", "text")
+    val got = TextOps.lineDedupCorpus(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got(0).getString(1) == "  padded line  \nrest")
+    assert(got(1).getString(1) == "other")
+  }
+}
