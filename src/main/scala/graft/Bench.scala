@@ -166,13 +166,38 @@ object Bench {
     * normalized away; everything else (operators, columns, literals,
     * join types) is the query's code shape.
     */
-  private[graft] def normalizedPlanHash(plan: String, sfDir: String): String = {
-    val norm = plan.replace(sfDir, "<SF>")
-      .replaceAll("#\\d+", "#")
-      .replaceAll("@[0-9a-fA-F]{6,}", "@")
+  private[graft] def normalizedPlanHash(plan: String, sfDir: String): String =
+    md5Hex(normalizePlan(plan, sfDir))
+
+  private[graft] def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
-      .digest(norm.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
+
+  private[graft] def normalizePlan(plan: String, sfDir: String): String = {
+    plan.replace(sfDir, "<SF>")
+      .replaceAll("#\\d+", "#")
+      // JVM lambda class names (typed-Dataset closures render into the
+      // analyzed plan, e.g. MapPartitions Multimodal$$Lambda$123/0x7f...)
+      // carry a classload-order counter + per-JVM address — run-varying
+      // noise, the one instability of 308 lanes in r19 (q119's
+      // mapPartitions). Strip both forms (JDK 8 `$$Lambda$N`, 9+ adds
+      // `/0xADDR`).
+      .replaceAll("\\$\\$Lambda\\$?\\d*(/0x[0-9a-fA-F]+|/\\d+)?", "\\$\\$Lambda")
+      .replaceAll("@[0-9a-fA-F]{6,}", "@")
+      // higher-order-function lambda variables are named from a global
+      // JVM counter (`lambda x_119#`, `lambda y_21#`) — the counter value
+      // depends on how many HOF plans the session built before this one,
+      // which made all 60 transform/aggregate lanes re-hash between sweep
+      // and audit
+      .replaceAll("\\b([a-z])_\\d+#", "$1_#")
+      // recursive-CTE plan ids are global counters too (CTERelationDef 4,
+      // UnionLoop 0) — strip the number, keep the operator
+      .replaceAll("\\b(CTERelationDef|CTERelationRef|UnionLoop|UnionLoopRef) \\d+",
+        "$1 ")
+      // generated 12-hex suffixes (scratch dirs, temp-view tags) are
+      // run-varying ids, never semantics
+      .replaceAll("_[0-9a-f]{12}\\b", "_<ID>")
   }
 
   /** The previous full sweep's per-query seconds, or None when the file

@@ -48,6 +48,33 @@ class BenchVsPrevSpec extends AnyFunSuite {
     assert((j \ "regressions" \ "q2" \ "cur") == JDouble(2.0))
   }
 
+  test("normalizedPlanHash strips run-varying noise: expression ids, " +
+    "object addresses, and JVM lambda class counters (the q119 " +
+    "mapPartitions instability)") {
+    def h(s: String) = Bench.normalizedPlanHash(s, "/data/sf0.1")
+    // same plan shape, different run: expr ids, addresses, lambda ids
+    val a = "MapPartitions graft.ops.Multimodal$$Lambda$3862/0x00007f0a2c3d4e40@4b67cf4d, obj#412: x#413 /data/sf0.1"
+    val b = "MapPartitions graft.ops.Multimodal$$Lambda$17/0x00000008012c5440@deadbeef, obj#9: x#10 /data/sf0.1"
+    assert(h(a) == h(b), "lambda counter/address must normalize away")
+    // JDK-8 style without the /0x segment normalizes to the same hash
+    val c = "MapPartitions graft.ops.Multimodal$$Lambda$99@cafebabe, obj#1: x#2 /data/sf0.1"
+    assert(h(a) == h(c))
+    // but a genuinely different operator still hashes differently
+    val d = "MapPartitions graft.ops.Other$$Lambda$99@cafebabe, obj#1: x#2 /data/sf0.1"
+    assert(h(a) != h(d))
+    // HOF lambda variable names carry a global counter (x_119) that the
+    // exprId strip misses; generated 12-hex suffixes (temp-view tags,
+    // scratch dirs) are per-call ids — both normalize away
+    val e1 = "transform(v#3, lambdafunction(lambda x_119#, lambda x_119#)) View graft_docs_21c1d5ec2644 /data/sf0.1"
+    val e2 = "transform(v#9, lambdafunction(lambda x_507#, lambda x_507#)) View graft_docs_6e6daded6add /data/sf0.1"
+    assert(h(e1) == h(e2), "lambda var counter and view tag must normalize")
+    // two-arg lambda vars (y_N) and recursive-CTE plan ids are global
+    // counters too
+    val f1 = "aggregate(a#1, 0, lambdafunction((lambda x_3#L + lambda y_21#), lambda x_3#L, lambda y_21#)) CTERelationDef 0, false UnionLoop 0 /data/sf0.1"
+    val f2 = "aggregate(a#7, 0, lambdafunction((lambda x_88#L + lambda y_46#), lambda x_88#L, lambda y_46#)) CTERelationDef 4, false UnionLoop 2 /data/sf0.1"
+    assert(h(f1) == h(f2), "y-var counter and CTE ids must normalize")
+  }
+
   test("vsPrevJson with zero overlap reports ratio -1 instead of dividing") {
     val j = org.json4s.jackson.JsonMethods.parse(
       Bench.vsPrevJson(Map("a" -> 1.0), Map("b" -> 1.0)))
