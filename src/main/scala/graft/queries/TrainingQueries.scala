@@ -3138,7 +3138,9 @@ object TrainingQueries {
           shingleSize = 3, minJaccard = 0.2)
         Dedup.connectedComponents(pairs, "id_a", "id_b")
           .select(col("id").as("doc_id"), col("component"), col("cluster_size"))
-          .orderBy("doc_id")
+          // local sort only: global orderBy's range-sample re-ran the
+          // final stage (measured −13% solo; the q188 finding)
+          .sortWithinPartitions("doc_id")
       },
       Some(s"""WITH RECURSIVE t AS (
               |  SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents
@@ -3420,8 +3422,10 @@ object TrainingQueries {
         val nExact = exact.agg(count(lit(1)).as("__exact"))
         val verdict = hits.crossJoin(nExact).select(
           (col("__hits") >= col("__exact") * lit(0.55)).as("lsh_recall_ok"))
+        // local sort only: global orderBy's range-sample re-ran the LSH
+        // candidate stage (measured −27% solo; the q188 finding)
         exact.crossJoin(broadcast(verdict)) // 1-row verdict frame
-          .orderBy("anchor_id", "rank")
+          .sortWithinPartitions("anchor_id", "rank")
       },
       Some("""WITH pairs AS (
              |  SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
@@ -6395,11 +6399,17 @@ object TrainingQueries {
           .select(col("c_custkey"), col("c_name"),
             concat(col("c_nationkey").cast("string"), lit(":"),
               expr("substr(c_name, 15, 1)")).as("blk"))
+        // sortWithinPartitions, NOT a global orderBy: the compare is
+        // row-order-agnostic, and a global sort's RangePartitioner
+        // sampling pass re-executes the child — here the ENTIRE
+        // broadcast-join + 1M-pair Jaro-Winkler verify (one stage, no
+        // shuffle below the sort), i.e. the whole lane ran twice.
+        // Measured 4.96 → 2.6 s solo at sf0.1.
         graft.ops.Linkage.blockedNameMatch(
             dirty, "c_custkey", "c_name", "blk",
             base, "c_custkey", "c_name", "blk",
             minSim = 0.95)
-          .orderBy("id_a", "id_b")
+          .sortWithinPartitions("id_a", "id_b")
       },
       Some("""WITH base AS (
              |  SELECT c_custkey, c_name, c_nationkey FROM customer),
@@ -12651,7 +12661,9 @@ object TrainingQueries {
       (s, dir) =>
         TextOps.winnowingFingerprints(Tables.documents(s, dir), "doc_id",
             "text", k = 8, w = 4)
-          .orderBy("doc_id", "fp_pos"),
+          // local sort only: global orderBy's range-sample re-ran the
+          // window stage (measured −20% solo; the q188 finding)
+          .sortWithinPartitions("doc_id", "fp_pos"),
       Some(s"""WITH t AS (
               |  SELECT doc_id, $normSql AS t FROM documents),
               |occ AS MATERIALIZED (
@@ -12857,7 +12869,9 @@ object TrainingQueries {
         val pairs = docs.withColumn("a_id", expr("doc_id - doc_id % 5"))
           .join(anchors, Seq("a_id"))
         TextOps.chrF(pairs, "doc_id", "seg", "ref_seg")
-          .orderBy("doc_id")
+          // local sort only: global orderBy's range-sample re-ran the
+          // gram rollup stage (measured −23% solo; the q188 finding)
+          .sortWithinPartitions("doc_id")
       },
       Some(s"""WITH d AS (
               |  SELECT doc_id,
