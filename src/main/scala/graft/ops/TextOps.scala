@@ -1681,4 +1681,85 @@ object TextOps {
               sp.getField("span_end") - sp.getField("span_start")),
           lit(0L)).as("dup_tokens"))
   }
+
+  /** True when every char of `c` is Latin-1 encodable (code point ≤
+    * 0xFF) — the precondition for the [[mojibakeRepair]] round-trip
+    * (Spark 4's `encode` RAISES on unmappable chars rather than
+    * replacing them, so the gate must run BEFORE the encode).
+    */
+  private def latin1Encodable(c: Column): Column =
+    c.rlike("^[\\x00-\\xff]*$")
+
+  /** The mojibake transform itself — UTF-8 bytes re-read as Latin-1
+    * ("cafÃ©" from "café"), i.e. the BUG [[mojibakeRepair]] undoes.
+    * Public for tests and the q311 lane's synthetic corpus (the
+    * testdata documents are pure ASCII, so the lane plants diacritics
+    * and garbles them with the real mechanism, not a lookup table).
+    * `encode(_, UTF-8)` never fails and every byte is a valid Latin-1
+    * char, so this is total.
+    */
+  def latin1Garble(c: Column): Column =
+    decode(encode(c, "UTF-8"), "ISO-8859-1")
+
+  /** Count of mojibake marker chars in `c` — the Latin-1 renderings of
+    * UTF-8 lead bytes: Ã (0xC3, 2-byte sequences U+00C0..U+00FF), Â
+    * (0xC2, U+0080..U+00BF incl. NBSP), â (0xE2, the 3-byte general
+    * punctuation block: curly quotes, dashes, ellipsis). One
+    * `translate` per marker, no allocation beyond the stripped copy;
+    * the ftfy heuristic's cheap first stage.
+    */
+  def mojibakeMarkers(c: Column): Column =
+    (length(c) - length(translate(c, "Ã", ""))) +
+      (length(c) - length(translate(c, "Â", ""))) +
+      (length(c) - length(translate(c, "â", "")))
+
+  /** Mojibake detection + repair — the encoding-fix pass every public
+    * pretraining recipe runs before anything else (ftfy; C4 and CCNet
+    * normalize encodings at ingest). Targets the dominant real-world
+    * corruption: valid UTF-8 bytes decoded once as Latin-1/cp1252
+    * ("café" → "cafÃ©"). Repair is the exact inverse performed with
+    * Spark's own codecs — re-encode the garbled text as Latin-1 (a
+    * per-char byte map) and reinterpret the bytes as UTF-8 — applied
+    * only under a triple gate that makes the op safe on mixed corpora:
+    *
+    *   1. every char is Latin-1 encodable (else the text cannot be
+    *      the Latin-1 reading of anything — CJK etc. passes through);
+    *   2. the recovered bytes are valid UTF-8 (`try_validate_utf8` —
+    *      legitimate accented Latin-1 text like "naïve café" fails
+    *      here and is left alone: its bytes are not UTF-8);
+    *   3. the repair strictly shrinks the text (a true un-garble
+    *      always merges ≥2 chars into 1; equality means pure ASCII).
+    *
+    * A string that passes all three IS the Latin-1 reading of valid
+    * non-trivial UTF-8 — the false-positive ("Ã©" meant literally) is
+    * exactly the case no decoder can distinguish, and the gate keeps
+    * the fix total and idempotent (the repaired text re-enters gate 3
+    * as pure-or-shorter and stops). Score columns carry the
+    * [[mojibakeMarkers]] density for threshold-based curation.
+    *
+    * Scale shape: a pure per-row projection — no shuffle, no state;
+    * every expression (regexp gate, codec round-trip, translate
+    * counts) is a codegen built-in, so the op rides whole-stage
+    * codegen inside whatever scan contains it.
+    *
+    * → (idCol, fixed_text, was_fixed, n_markers, mojibake_per_100,
+    *    markers_after); NULL text stays NULL (was_fixed false,
+    *    counts 0).
+    */
+  def mojibakeRepair(df: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val g = col(textCol)
+    val cand = encode(g, "ISO-8859-1").cast("string")
+    val gated = latin1Encodable(g) &&
+      try_validate_utf8(cand).isNotNull && length(cand) < length(g)
+    df.select(col(idCol),
+        when(g.isNull, lit(null).cast("string"))
+          .when(gated, cand).otherwise(g).as("fixed_text"),
+        coalesce(gated, lit(false)).as("was_fixed"),
+        coalesce(mojibakeMarkers(g), lit(0)).cast("long").as("n_markers"),
+        coalesce(mojibakeMarkers(g).cast("double") * 100.0 /
+          greatest(length(g), lit(1)), lit(0.0)).as("mojibake_per_100"))
+      .withColumn("markers_after",
+        coalesce(mojibakeMarkers(col("fixed_text")), lit(0)).cast("long"))
+  }
 }

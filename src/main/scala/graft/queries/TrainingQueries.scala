@@ -13225,6 +13225,73 @@ object TrainingQueries {
              |  CAST(n.n_units - COALESCE(agg.n_kept, 0) AS BIGINT)
              |    AS n_dropped
              |FROM n LEFT JOIN agg ON agg.doc_id = n.doc_id
-             |ORDER BY n.doc_id""".stripMargin))
+             |ORDER BY n.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Mojibake detection + repair (TextOps.mojibakeRepair — the ftfy
+    // encoding-fix pass every public pretraining recipe runs at
+    // ingest). The testdata corpus is pure ASCII, so the lane plants
+    // diacritics (é, ã, U+2019 curly quote — one 2-byte and one 3-byte
+    // UTF-8 class) and garbles them with the REAL mechanism
+    // (TextOps.latin1Garble: UTF-8 bytes re-read as Latin-1), then
+    // repairs via the codec round-trip under the triple gate. The
+    // oracle replays garble and repair as literal replace chains —
+    // exact for this corpus because the planted chars are the only
+    // non-ASCII content — plus the marker counts and the shrink gate;
+    // `recovered` pins byte-exact recovery of every planted doc.
+    QuerySpec(
+      "q311_mojibake_repair",
+      (s, dir) => {
+        val t1 = replace(replace(replace(col("text"),
+          lit("value"), lit("valué")),
+          lit("table"), lit("tãble")),
+          lit("data"), lit("da’ta"))
+        val src = Tables.documents(s, dir)
+          .select(col("doc_id"), t1.as("clean"),
+            TextOps.latin1Garble(t1).as("text"))
+        TextOps.mojibakeRepair(src, "doc_id", "text")
+          .join(broadcast(src.select(col("doc_id"), col("clean"))),
+            Seq("doc_id"))
+          .select(col("doc_id"), col("fixed_text"), col("was_fixed"),
+            col("n_markers"), col("mojibake_per_100"),
+            col("markers_after"),
+            (col("fixed_text") === col("clean")).as("recovered"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH src AS (
+             |  SELECT doc_id,
+             |    replace(replace(replace(text, 'value', 'valué'),
+             |      'table', 'tãble'), 'data', 'da’ta') AS clean
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, clean,
+             |    replace(replace(replace(clean, 'é', 'Ã©'),
+             |      'ã', 'Ã£'), '’', 'â' || chr(128) || chr(153)) AS gt
+             |  FROM src),
+             |m AS (
+             |  SELECT doc_id, clean, gt,
+             |    (length(gt) - length(replace(gt, 'Ã', '')))
+             |      + (length(gt) - length(replace(gt, 'Â', '')))
+             |      + (length(gt) - length(replace(gt, 'â', '')))
+             |      AS n_markers,
+             |    replace(replace(replace(gt, 'Ã©', 'é'), 'Ã£', 'ã'),
+             |      'â' || chr(128) || chr(153), '’') AS fx
+             |  FROM g),
+             |f AS (
+             |  SELECT doc_id, clean, gt, n_markers,
+             |    CASE WHEN length(fx) < length(gt) THEN fx ELSE gt END
+             |      AS ft,
+             |    length(fx) < length(gt) AS was_fixed
+             |  FROM m)
+             |SELECT doc_id, ft AS fixed_text, was_fixed,
+             |  CAST(COALESCE(n_markers, 0) AS BIGINT) AS n_markers,
+             |  COALESCE(CAST(n_markers * 100 AS DOUBLE)
+             |    / greatest(length(gt), 1), 0.0) AS mojibake_per_100,
+             |  CAST(COALESCE((length(ft) - length(replace(ft, 'Ã', '')))
+             |    + (length(ft) - length(replace(ft, 'Â', '')))
+             |    + (length(ft) - length(replace(ft, 'â', ''))), 0)
+             |    AS BIGINT) AS markers_after,
+             |  ft = clean AS recovered
+             |FROM f ORDER BY doc_id""".stripMargin))
   )
 }

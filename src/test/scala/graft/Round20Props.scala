@@ -70,4 +70,63 @@ class Round20Props extends AnyFunSuite {
     assert(got(0).getString(1) == "  padded line  \nrest")
     assert(got(1).getString(1) == "other")
   }
+
+  test("mojibakeRepair: latin1Garble round-trips 2-byte and 3-byte " +
+    "UTF-8 classes back to the original") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val clean = "café — la niña’s résumé…"
+    val docs = Seq((1L, clean)).toDF("doc_id", "clean")
+      .select(col("doc_id"), TextOps.latin1Garble(col("clean")).as("text"))
+    val garbled = docs.collect().head.getString(1)
+    assert(garbled.contains("Ã©") && garbled.contains("â"))
+    assert(garbled.length > clean.length)
+    val r = TextOps.mojibakeRepair(docs, "doc_id", "text").collect().head
+    assert(r.getString(1) == clean)
+    assert(r.getBoolean(2))
+    assert(r.getLong(3) > 0L && r.getLong(5) == 0L)
+  }
+
+  test("mojibakeRepair: legitimate accented text, CJK, ASCII and NULL " +
+    "all pass through untouched (the triple gate)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "naïve café"),      // legit latin-1: bytes are not UTF-8
+      (2L, "wide 中文 text"),   // not latin-1 encodable
+      (3L, "plain ascii"),     // round-trip is identity, shrink gate
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextOps.mojibakeRepair(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got(0).getString(1) == "naïve café" && !got(0).getBoolean(2))
+    assert(got(1).getString(1) == "wide 中文 text" && !got(1).getBoolean(2))
+    assert(got(2).getString(1) == "plain ascii" && !got(2).getBoolean(2))
+    assert(got(3).isNullAt(1) && !got(3).getBoolean(2) &&
+      got(3).getLong(3) == 0L)
+  }
+
+  test("mojibakeRepair is idempotent: a repaired corpus re-enters the " +
+    "gate and nothing changes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "café’s — fine"), (2L, "ascii"))
+      .toDF("doc_id", "clean")
+      .select(col("doc_id"), TextOps.latin1Garble(col("clean")).as("text"))
+    val once = TextOps.mojibakeRepair(docs, "doc_id", "text")
+      .select(col("doc_id"), col("fixed_text").as("text"))
+    val twice = TextOps.mojibakeRepair(once, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(twice(0).getString(1) == "café’s — fine" &&
+      !twice(0).getBoolean(2))
+    assert(twice(1).getString(1) == "ascii" && !twice(1).getBoolean(2))
+  }
+
+  test("mojibakeMarkers counts the three lead chars exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // Ã twice, Â once, â once → 4; markers inside otherwise-clean text
+    val n = Seq("xÃ©yÃ£zÂ wâq").toDF("t")
+      .select(TextOps.mojibakeMarkers(col("t"))).collect().head.getInt(0)
+    assert(n == 4)
+  }
 }
