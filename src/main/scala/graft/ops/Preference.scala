@@ -127,7 +127,8 @@ object Preference {
     *
     * Scale shape: one aggregation to the (i, j) comparison plane;
     * rounds run entirely on that plane + the item plane (two skinny
-    * joins, one aggregation, a 1-row max that broadcasts), each round
+    * joins, one aggregation; the 1-row normalization max rides the
+    * round's checkpoint job as an observed metric), each round
     * localCheckpoint-ed (O(1) plan depth). No driver collects.
     *
     * → (item, n_wins, n_comparisons, strength_scaled, strength) ordered
@@ -178,12 +179,19 @@ object Preference {
         .withColumn("__pn", expr(
           s"(CAST(__wins AS DECIMAL(38,0)) * $scale * $aux) div " +
             s"greatest(__t, CAST(1 AS DECIMAL(38,0)))"))
-      val mx = upd.agg(max(col("__pn")).as("__mx"))
-      p = upd.crossJoin(broadcast(mx)) // 1-row normalization scalar
-        .select(col("__a"), expr(
-          s"(CAST(__pn AS DECIMAL(38,0)) * $scale) div " +
-            "greatest(__mx, CAST(1 AS BIGINT))").as("__p"))
-        .localCheckpoint() // O(1)-deep plan across rounds
+      // the 1-row normalization max rides the checkpoint job as an
+      // OBSERVED metric (the WebGraph.hits discipline) and divides as a
+      // literal — the broadcast-max spelling executed `upd`'s two joins
+      // + aggregation TWICE per round; greatest(mx, 1) folds on the
+      // driver (and covers the empty-frame null max the same way the
+      // in-plan greatest did). Same div, bit-identical values.
+      val pre = upd.select(col("__a"), col("__pn"))
+        .observe("bt_mx", max(col("__pn")).as("__mx"))
+      val chk = pre.localCheckpoint() // O(1)-deep plan across rounds
+      val mxRow = pre.queryExecution.observedMetrics("bt_mx")
+      val mx = if (mxRow.isNullAt(0)) 1L else math.max(mxRow.getLong(0), 1L)
+      p = chk.select(col("__a"), expr(
+        s"(CAST(__pn AS DECIMAL(38,0)) * $scale) div ${mx}L").as("__p"))
     }
     items.join(p, Seq("__a"))
       .select(col("__a").as("item"), col("__wins").as("n_wins"),

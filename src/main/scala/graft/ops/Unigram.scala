@@ -38,13 +38,17 @@ import graft.functions.ArrayMath
   * Scale shape (the [[Bpe]] contract): ONE corpus-scale pass total (the
   * word-type histogram); seeding, scoring, Viterbi and pruning all run
   * on the word-TYPE plane (|types| · maxWordLen · maxPieceLen candidate
-  * rows, independent of corpus size). The Viterbi is a bounded loop of
-  * ≤ maxWordLen position steps per EM round — each one join + one
-  * window on the skinny DP plane, localCheckpoint-ed (O(1) plan depth);
-  * words longer than `maxWordLen` are excluded from TRAINING statistics
-  * (the SentencePiece max-length convention; [[encode]] still handles
-  * any length). Driver traffic: two bounded scalars (charset size, max
-  * word length) plus the final ≤ vocabSize-row model collect.
+  * rows, independent of corpus size). The Viterbi E-step is ONE
+  * projection + one aggregation per EM round: each word type is
+  * segmented by the same codegen kernel [[encode]] ships
+  * ([[graft.functions.UnigramEncode]] — per-position DP, ties to the
+  * lexicographically smallest piece path, spec-asserted equal to the
+  * former DataFrame DP), the round's model riding the plan as one
+  * bounded reference object. Words longer than `maxWordLen` are
+  * excluded from TRAINING statistics (the SentencePiece max-length
+  * convention; [[encode]] still handles any length). Driver traffic:
+  * one bounded scalar (charset size) plus one model-bounded collect
+  * per EM round and the final ≤ vocabSize-row model collect.
   *
   * Encoding is a pure projection: one codegen-span call per row into
   * [[graft.functions.UnigramEncode]], the vocabulary riding the plan as
@@ -100,10 +104,16 @@ object Unigram {
       .select(col("w"), col("cnt"), col("st"),
         (col("st") + col("ln") - 1).as("en"),
         expr("substring(w, st, ln)").as("piece"))
-    val seedCounts = substrs.groupBy("piece")
+    // charset size rides the seed checkpoint job as an OBSERVED metric
+    // (the WebGraph hb_probe discipline) — no separate count job
+    val seedPre = substrs.groupBy("piece")
       .agg(sum(col("cnt")).cast("bigint").as("pcnt"))
-      .localCheckpoint()
-    val nSingles = seedCounts.filter(length(col("piece")) === 1).count()
+      .observe("unigram_seed",
+        count(when(length(col("piece")) === 1, 1)).cast("bigint")
+          .as("__n1"))
+    val seedCounts = seedPre.localCheckpoint()
+    val nSingles =
+      seedPre.queryExecution.observedMetrics("unigram_seed").getLong(0)
     require(vocabSize > nSingles,
       s"vocabSize=$vocabSize must exceed the $nSingles-char charset " +
         "(single-char pieces are never dropped)")
@@ -113,7 +123,6 @@ object Unigram {
         .orderBy(col("pcnt").desc, col("piece")) // TakeOrdered
         .limit(targetMulti * seedFactor))
       .localCheckpoint()
-    val lMax = wordCounts.agg(max(length(col("w")))).head().getInt(0)
     // ln(count/total) as exact DECIMAL(18,12) per piece
     def scored(v: DataFrame): DataFrame = {
       val wAll = Window.partitionBy(ArrayMath.boundedKey(v))
@@ -127,43 +136,26 @@ object Unigram {
     var model: DataFrame = scored(vocab).localCheckpoint()
     while (round < emRounds) {
       round += 1
-      val cands = substrs
-        .join(model.select(col("piece"), col("score")), "piece")
-        .localCheckpoint()
-      // Viterbi over word types: dp(w, pos) = best (score, path) of a
-      // segmentation of w[1..pos]; ties -> lexicographically smallest
-      // piece path (single-char pieces are always in the vocabulary,
-      // so every position is reachable)
-      var dp = wordCounts
-        .select(col("w"), lit(0).as("pos"),
-          expr("CAST(0 AS DECIMAL(18,12))").as("score"),
-          lit("").as("path"))
-        .localCheckpoint()
-      var p = 0
-      while (p < lMax) {
-        p += 1
-        val prev = dp.select(col("w"), (col("pos") + 1).as("st"),
-          col("score").as("__ps"), col("path").as("__pth"))
-        val stepBest = cands.filter(col("en") === p)
-          .join(prev, Seq("w", "st"))
-          .select(col("w"),
-            (col("__ps") + col("score")).cast("decimal(18,12)")
-              .as("score"),
-            when(col("__pth") === "", col("piece"))
-              .otherwise(concat(col("__pth"), lit(" "), col("piece")))
-              .as("path"))
-          .withColumn("__rn", row_number().over(Window.partitionBy("w")
-            .orderBy(col("score").desc, col("path"))))
-          .filter(col("__rn") === 1)
-          .select(col("w"), lit(p).as("pos"), col("score"), col("path"))
-        dp = dp.unionByName(stepBest).localCheckpoint()
-      }
+      // Viterbi over word types via the SAME codegen kernel encode()
+      // ships ([[graft.functions.UnigramEncode]] — byte-for-byte the
+      // (score DESC, path ASC) per-position rule of the former DataFrame
+      // DP, spec-asserted equal): the model is bounded (charset +
+      // targetMulti·seedFactor rows), so it rides the plan as one
+      // reference object instead of paying maxWordLen join+window+
+      // checkpoint driver round-trips per EM round. Every training char
+      // is a vocabulary single (never dropped), so the kernel's unknown-
+      // char floor can never fire here. Wire order is the final model
+      // collect's (pcnt DESC, piece) — deterministic, and immaterial to
+      // the kernel (distinct pieces, order-independent score map).
+      val wire = model.orderBy(col("pcnt").desc, col("piece")).collect()
+        .map(r => r.getString(0) + " " +
+          r.getDecimal(2).movePointRight(12).longValueExact())
       // hard-EM count: pieces of each word's best segmentation, word-
       // count weighted; singles floor at 1, unused multis drop, the
       // rest prune to the target
-      val viterbiCounts = dp.join(wordCounts, "w")
-        .filter(col("pos") === length(col("w")))
-        .select(col("cnt"), explode(split(col("path"), " ")).as("piece"))
+      val viterbiCounts = wordCounts
+        .select(col("cnt"), explode(ArrayMath.unigramEncode(
+          array(col("w")), wire)).as("piece"))
         .groupBy("piece").agg(sum(col("cnt")).cast("bigint").as("__vc"))
       val counted = model.select(col("piece"))
         .join(viterbiCounts, Seq("piece"), "left")

@@ -224,8 +224,9 @@ object WebGraph {
     *
     * Same scale shape as [[pageRank]]: edges distinct-ed once and
     * persisted, per-iteration work = two skinny joins + two
-    * aggregations + two one-row max aggregates that broadcast;
-    * hub/auth frames localCheckpoint so the plan stays O(1) deep.
+    * aggregations, the two one-row normalization maxes riding the
+    * half-step checkpoint jobs as observed metrics; hub/auth frames
+    * localCheckpoint so the plan stays O(1) deep.
     *
     * @return (node, hub, auth) in SCALE-scaled integer units
     */
@@ -246,14 +247,21 @@ object WebGraph {
     require(!e.isEmpty, "hits: empty graph")
 
     // normalize a raw (node, v) frame: (v * SCALE) div max(v), decimal
-    // product so the multiply cannot overflow
+    // product so the multiply cannot overflow. The max rides the
+    // checkpoint job as an OBSERVED metric (the HyperBall hb_probe
+    // discipline) and divides as a literal — the former broadcast-max
+    // spelling executed `raw`'s whole plan TWICE per half-step (once
+    // under the broadcast's aggregation, once under the crossJoin), so
+    // this halves the per-iteration work; same DECIMAL(38,0) product,
+    // same div, bit-identical values.
     def normalized(raw: DataFrame, vCol: String, outCol: String): DataFrame = {
-      val mx = raw.agg(max(col(vCol)).as("__mx"))
-      raw.crossJoin(broadcast(mx))
-        .select(col("node"),
-          expr(s"CAST(CAST($vCol AS DECIMAL(38,0)) * ${scale}L " +
-            s"AS DECIMAL(38,0)) div __mx").as(outCol))
-        .localCheckpoint() // O(1)-deep plan across iterations
+      val pre = raw.observe("hits_mx",
+        max(col(vCol)).cast("bigint").as("__mx"))
+      val chk = pre.localCheckpoint() // O(1)-deep plan across iterations
+      val mx = pre.queryExecution.observedMetrics("hits_mx").getLong(0)
+      chk.select(col("node"),
+        expr(s"CAST(CAST($vCol AS DECIMAL(38,0)) * ${scale}L " +
+          s"AS DECIMAL(38,0)) div ${mx}L").as(outCol))
     }
 
     var hub = nodes.select(col("node"), lit(scale).as("hub"))
@@ -1661,9 +1669,21 @@ object WebGraph {
     // decimal-to-double via the string route, on the driver — the same
     // bridge the in-plan cast performs (plain-notation toString at
     // scale 12, then the IEEE parse)
-    val rows = scala.collection.mutable.ArrayBuffer(
-      (0, roundRead(c).toString.toDouble))
+    import scala.concurrent.Await
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     var prev = detected(c0)
+    // the N(t) read of the last CHANGED round rides CONCURRENTLY with
+    // the next round's grow/checkpoint job (Par.grouped — the SCC
+    // fwd/bwd overlap discipline): level-synchronous rounds are
+    // driver-latency bound, so hiding the per-round read job under the
+    // grow job removes one of the two job round-trips per round. Both
+    // jobs only READ the checkpointed register plane; the harvested
+    // value is identical to the sequential read's.
+    val cInit = c // snapshot: Par.grouped bodies are BY-NAME, `c` is a var
+    var readFut = Par.grouped(roundRead(cInit))
+    var readT = 0
     var t = 0
     var done = false
     while (!done) {
@@ -1675,13 +1695,16 @@ object WebGraph {
         .groupBy("node", "bucket").agg(max(col("rho_max")).as("rho_max")))
       val grown = grownPre.localCheckpoint()
       val cur = detected(grownPre)
+      rows += ((readT,
+        Await.result(readFut, Duration.Inf).toString.toDouble))
       if (cur == prev) done = true // true fixpoint — monotone dynamics
       else {
         require(t <= maxT,
           s"neighborhoodFunction: registers still changing at maxT=" +
             s"$maxT — raise maxT (truncating understates the diameter)")
-        rows += ((t, roundRead(grown).toString.toDouble))
-        c.unpersist()
+        readFut = Par.grouped(roundRead(grown))
+        readT = t
+        c.unpersist() // its read was harvested above
         c = grown
         prev = cur
       }
@@ -1743,7 +1766,18 @@ object WebGraph {
           graft.ops.Sketches.hllEstimateExpr(col("__hit"), col("__s"), p)
             .as("ball_est"))
         .localCheckpoint()
-    val rows = scala.collection.mutable.ArrayBuffer(estRows(0, c))
+    // the serving-row materialization of the last CHANGED round rides
+    // CONCURRENTLY with the next round's grow/checkpoint job
+    // (Par.grouped — the SCC fwd/bwd overlap discipline): rounds are
+    // driver-latency bound, so hiding the per-round estRows job under
+    // the grow job removes one of the two job round-trips per round.
+    // Both jobs only READ the checkpointed register plane.
+    import scala.concurrent.Await
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val rows = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val cInit = c // snapshot: Par.grouped bodies are BY-NAME, `c` is a var
+    var estFut = Par.grouped(estRows(0, cInit))
     var prev = detected(c0)
     var t = 0
     var done = false
@@ -1756,13 +1790,18 @@ object WebGraph {
         .groupBy("node", "bucket").agg(max(col("rho_max")).as("rho_max")))
       val grown = grownPre.localCheckpoint()
       val cur = detected(grownPre)
+      rows += Await.result(estFut, Duration.Inf)
       if (cur == prev) done = true // true fixpoint — monotone dynamics
       else {
         require(t <= maxT,
           s"hyperballSizes: registers still changing at maxT=$maxT — " +
             "raise maxT (truncating understates distances)")
-        rows += estRows(t, grown) // serving rows only for CHANGED rounds
-        c.unpersist()
+        // snapshot the loop counter: Par.grouped takes its body BY-NAME,
+        // so a direct `estRows(t, …)` would read `t` on the pooled
+        // thread and race the main loop's increment (mislabeled rounds)
+        val tRead = t
+        estFut = Par.grouped(estRows(tRead, grown)) // CHANGED rounds only
+        c.unpersist() // its serving rows were harvested above
         c = grown
         prev = cur
       }

@@ -129,4 +129,39 @@ class Round20Props extends AnyFunSuite {
       .select(TextOps.mojibakeMarkers(col("t"))).collect().head.getInt(0)
     assert(n == 4)
   }
+
+  // ---- round-20 optimization internals ----------------------------------
+
+  test("Unigram trainer E-step via the codegen kernel: an exact score " +
+    "tie breaks to the lexicographically smaller piece path, visible " +
+    "in the Viterbi counts") {
+    import spark.implicits._
+    // Seed counts over words {abc, ab, bc} (maxPieceLen 2): a=2 b=3 c=2
+    // ab=2 bc=2, total 11. Viterbi("abc"): [ab c] and [a bc] both score
+    // exactly 2*ln(2/11) and beat [a b c]; "a bc" < "ab c" byte-wise, so
+    // bc — not ab — must take the count from "abc". A tie broken the
+    // other way would leave counts ab=2, bc=1.
+    val docs = Seq("abc", "ab", "bc").toDF("text")
+    val model = graft.ops.Unigram.train(docs, "text", vocabSize = 5,
+      maxPieceLen = 2, seedFactor = 4, emRounds = 1)
+    val cnt = model.map(p => p.piece -> p.cnt).toMap
+    assert(cnt == Map("bc" -> 2L, "ab" -> 1L, "a" -> 1L, "b" -> 1L,
+      "c" -> 1L), s"got $cnt")
+  }
+
+  test("hyperballSizes with the overlapped round read: round labels " +
+    "stay contiguous 0..T with exactly one row per (node, t)") {
+    import spark.implicits._
+    // 4-node path a->b->c->d: a's out-ball grows through round 3, so the
+    // register fixpoint lands at T=3. The overlapped estRows future must
+    // label each round with ITS OWN t (the by-name race this test pins
+    // mislabeled rounds as t+1: duplicate labels, a gap in 0..T).
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("s", "d")
+    val sz = graft.ops.WebGraph.hyperballSizes(edges, "s", "d")
+    val rows = sz.collect().map(r => (r.getString(0), r.getInt(1)))
+    val ts = rows.map(_._2).distinct.sorted.toSeq
+    assert(ts == (0 to 3).toSeq, s"rounds $ts")
+    assert(rows.length == rows.distinct.length, "duplicate (node, t) row")
+    assert(rows.count(_._2 == 0) == 4, "every node has a round-0 row")
+  }
 }
