@@ -253,6 +253,16 @@ object Bench {
       .intersect(pm.filter(_._2 >= 0).keySet).toSeq.sorted
     val curC = common.map(curMap).sum
     val prevC = common.map(pm).sum
+    // host-factor estimate: MEDIAN per-lane cur/prev ratio over the
+    // common lanes. The median is robust to the handful of genuinely
+    // changed lanes, so a sweep on a 1.3x-loaded host reads ~1.3 here
+    // while its named regressions read much higher — the artifact
+    // carries its own host-vs-code adjudication signal instead of
+    // leaning on a later quiet-window A/B (r20 carry item #4).
+    val ratios = common.collect {
+      case n if pm(n) > 0 => curMap(n) / pm(n)
+    }.sorted
+    val hf = if (ratios.isEmpty) -1.0 else ratios(ratios.size / 2)
     val regs = common.map(n => (n, curMap(n), pm(n)))
       .filter { case (_, c, p) => regressed(c, p) }
       .sortBy { case (_, c, p) => -(c / p) }.take(5)
@@ -261,7 +271,8 @@ object Bench {
       }.mkString("{", ",", "}")
     s"""{"n_common":${common.size},"prev_total_common":${fmt(prevC)},""" +
       s""""cur_total_common":${fmt(curC)},"ratio":${fmt(
-        if (prevC > 0) curC / prevC else -1.0)},"regressions":$regs}"""
+        if (prevC > 0) curC / prevC else -1.0)},"host_factor_median":${fmt(
+        hf)},"regressions":$regs}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -131,12 +131,15 @@ object Bpe {
             ArrayMath.bpeMergePair(col("syms"), lit(l), lit(r)))
         }
         sinceCheckpoint += batch.length
-        // flatten lineage every few applied merges: a checkpoint is a full
-        // materialization job, while re-running a few stacked merge
-        // projections inside the next aggregation is nearly free —
-        // halves the job count of a long sequential training run
-        vocab = if (sinceCheckpoint >= 4) { sinceCheckpoint = 0; next.localCheckpoint() }
-          else next
+        // flatten lineage every few applied merges: re-running a few
+        // stacked merge projections inside the next aggregation is
+        // nearly free. The checkpoint is LAZY — its materialization
+        // folds into the next round's candidate aggregation (the first
+        // full-scan consumer) instead of paying a standalone job, so a
+        // sequential run costs exactly one driver round-trip per merge
+        vocab = if (sinceCheckpoint >= 4) {
+          sinceCheckpoint = 0; next.localCheckpoint(false)
+        } else next
       }
     }
     (merges.result(), rounds)

@@ -232,10 +232,16 @@ object Dedup {
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
-      edges = smallStar(largeStar(edges)).localCheckpoint(true)
-      val r = edges.select(xxhash64(col("u"), col("v")).as("h"))
-        .agg(count(lit(1)), expr("bit_xor(h)")).head()
-      val sig = (r.getLong(0), r.getLong(1))
+      // the convergence signature (row count, bit_xor of edge hashes)
+      // rides the round's checkpoint job as OBSERVED metrics (the
+      // WebGraph hb_probe discipline) — the former separate probe job
+      // cost one driver round-trip per round
+      val pre = smallStar(largeStar(edges))
+        .observe("cc_probe", count(lit(1)).as("__n"),
+          expr("bit_xor(xxhash64(u, v))").as("__x"))
+      edges = pre.localCheckpoint(true)
+      val m = pre.queryExecution.observedMetrics("cc_probe")
+      val sig = (m.getLong(0), m.getLong(1))
       done = sig == prev
       prev = sig
       iter += 1
@@ -746,8 +752,11 @@ object Dedup {
           Seq("container_id"), "left_semi")
         .select(col("contained_id").as("id")).distinct()
         .localCheckpoint(true)
-      droppedAcc = Some(droppedAcc.fold(dropped)(
-        _.union(dropped).localCheckpoint(true)))
+      // plain union: the accumulator is only read once after the loop,
+      // and its leaves are the per-round checkpointed `dropped` frames —
+      // a flat union of ≤ maxIter LogicalRDDs needs no materialization
+      // job of its own (one driver round-trip per round removed)
+      droppedAcc = Some(droppedAcc.fold(dropped)(_.union(dropped)))
       // decided docs (this round's survivors AND dropped) leave the edge
       // set: dropped containers can justify nothing, dropped containeds
       // are settled, survivor containeds (none, by construction) too

@@ -1360,6 +1360,13 @@ object WebGraph {
           coalesce(sum(expr(
             s"CAST((CAST(sigma AS DECIMAL(38,0)) * (${scale}L + __dw))" +
               " div __sw AS BIGINT)")), lit(0L)).as("delta"))
+        // EAGER on purpose: these per-level checkpoints are the only
+        // actions of the backward sweep, so they are what keeps the
+        // materialization INSIDE the window where `e` is persisted. A
+        // lazy spelling (tried this session, −2% local) defers the whole
+        // sweep past e.unpersist() into the caller's action, which would
+        // recompute the edge distinct per level — depth× extra shuffles
+        // at cluster scale for a local round-trip saving.
         .localCheckpoint() // O(1)-deep plan across levels
       acc = acc.unionByName(delta.select(col("s"), col("node"),
         col("delta")))
@@ -1431,7 +1438,13 @@ object WebGraph {
         .localCheckpoint()
       if (next.isEmpty) done = true
       else {
-        visited = visited.unionByName(next).localCheckpoint()
+        // LAZY checkpoint: the union's standalone materialization job
+        // folds into the next hop's anti-join (its first full-scan
+        // consumer — lineage is still cut, blocks still pin), removing
+        // one driver round-trip per hop. The loop always exits with
+        // `visited` materialized: the hop that reads the empty frontier
+        // scanned it.
+        visited = visited.unionByName(next).localCheckpoint(false)
         frontier = next
       }
     }
@@ -1976,19 +1989,26 @@ object WebGraph {
       val waves = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       var trimming = true
       while (trimming) {
-        // probe BEFORE checkpointing: the last wave of every trim is
-        // empty by definition (and on cycle-dominated graphs every
-        // wave is), so the common case pays one take(1)-style probe,
-        // not a materialization job
-        val zeroDegPlan = residual
+        // the emptiness probe rides the wave's OWN checkpoint job as an
+        // observed row count (the hb_probe discipline): the former
+        // probe-then-checkpoint spelling executed the anti-join pair
+        // TWICE per non-empty wave (a take(1) probe over the
+        // unmaterialized plan, then the full materialization) — on
+        // web-shaped graphs most waves are non-empty, so this halves
+        // trim's plan executions. The terminal empty wave costs one
+        // (empty) materialization, the same full scan its take(1)
+        // probe paid.
+        val zeroDegPre = residual
           .join(eR.select(col("esrc").as("node")), Seq("node"), "left_anti")
           .unionByName(residual
             .join(eR.select(col("edst").as("node")), Seq("node"),
               "left_anti"))
           .distinct()
-        if (zeroDegPlan.isEmpty) trimming = false
+          .observe("trim_probe", count(lit(1)).cast("bigint").as("__n"))
+        val zeroDeg = zeroDegPre.localCheckpoint()
+        if (zeroDegPre.queryExecution.observedMetrics("trim_probe")
+            .getLong(0) == 0L) trimming = false
         else {
-          val zeroDeg = zeroDegPlan.localCheckpoint()
           waves += zeroDeg
           residual = residual.join(zeroDeg, Seq("node"), "left_anti")
             .localCheckpoint()
@@ -2422,7 +2442,10 @@ object WebGraph {
         require(d <= maxDepth,
           s"setReach: frontier still expanding at depth $maxDepth — " +
             "raise maxDepth (silent truncation would mislabel regions)")
-        visited = visited.unionByName(next).localCheckpoint()
+        // lazy: the union materializes inside the next hop's anti-join
+        // (the sampledBfs discipline) — one round-trip per hop removed;
+        // the loop always exits with `visited` materialized
+        visited = visited.unionByName(next).localCheckpoint(false)
         frontier = next
       }
     }
@@ -2453,7 +2476,9 @@ object WebGraph {
         require(d <= maxDepth,
           s"reachFrom: frontier still expanding at depth $maxDepth — " +
             "raise maxDepth (silent truncation would mislabel components)")
-        visited = visited.unionByName(next).localCheckpoint()
+        // lazy: materializes inside the next hop's anti-join (the
+        // sampledBfs discipline) — one round-trip per hop removed
+        visited = visited.unionByName(next).localCheckpoint(false)
         frontier = next
       }
     }

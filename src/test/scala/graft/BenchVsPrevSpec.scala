@@ -46,6 +46,25 @@ class BenchVsPrevSpec extends AnyFunSuite {
     assert(regs == List("q2"), s"expected only q2 named, got $regs")
     assert((j \ "regressions" \ "q2" \ "prev") == JDouble(0.5))
     assert((j \ "regressions" \ "q2" \ "cur") == JDouble(2.0))
+    // host-factor median over common ratios {1.0, 4.0, 5.0} -> 4.0: the
+    // median rides above the unchanged lane but is NOT the max — with a
+    // majority of unchanged lanes (the real sweep shape) it reads the
+    // host window while true regressions sit far above it
+    assert((j \ "host_factor_median") == JDouble(4.0))
+  }
+
+  test("host_factor_median reads the host window on a mostly-unchanged " +
+    "sweep and stays -1 with no usable prior") {
+    import org.json4s._
+    // 4 of 5 lanes uniformly 1.3x (host), one lane 6x (code): median 1.3
+    val prev = Map("a" -> 1.0, "b" -> 2.0, "c" -> 0.5, "d" -> 4.0,
+      "e" -> 1.0)
+    val cur = prev.map { case (k, v) => k -> v * 1.3 } + ("e" -> 6.0)
+    val j = org.json4s.jackson.JsonMethods.parse(Bench.vsPrevJson(cur, prev))
+    assert((j \ "host_factor_median") == JDouble(1.3))
+    val j0 = org.json4s.jackson.JsonMethods.parse(
+      Bench.vsPrevJson(Map("a" -> 1.0), Map("b" -> 1.0)))
+    assert((j0 \ "host_factor_median") == JDouble(-1.0))
   }
 
   test("normalizedPlanHash strips run-varying noise: expression ids, " +
