@@ -24,12 +24,17 @@ import org.apache.spark.sql.SparkSession
   *     mins stay comparable round-over-round because the previous pin
   *     was produced by the same rule, and a genuinely regressed query
   *     always fails the confirm and falls through to the full reps and
-  *     the auto re-pin protocol. A CONFIRMED query's recorded pin is
-  *     min(this round's min, previous pin) — the hash matched so both
-  *     measure identical code, and taking the min keeps the 15%+50 ms
-  *     confirm tolerance from compounding across rounds (a persistent
-  *     sub-tolerance slowdown would otherwise ratchet the pin up
-  *     without ever tripping a gate). Plan hashes normalize expression ids,
+  *     the auto re-pin protocol. THE REPORTED NUMBER IS ALWAYS THIS
+  *     RUN'S MIN-OF-REPS (r20 verdict #1: the old rule reported
+  *     min(cur, committed pin) for confirmed lanes, which re-emitted
+  *     historical minima in the judged artifact — a one-way ratchet
+  *     that overstated round-over-round gains). The accumulated
+  *     low-water marks survive as the separate `pins` diagnostic map;
+  *     they gate only HOW MANY reps a lane runs (the fast-tier
+  *     confirm), never what is reported. The pin file is keyed by
+  *     (cpus, sf) so confirm/accumulation never cross configurations
+  *     (r20 verdict #1: the driver's 8-core run confirmed against and
+  *     then overwrote 32-core pins). Plan hashes normalize expression ids,
   *     object addresses and the SF dir, so they are stable across JVMs
   *     for identical code; an eager (checkpointed) query's hash covers
   *     only its output schema — the confirm-vs-prev rule, not the hash,
@@ -200,6 +205,16 @@ object Bench {
       .replaceAll("_[0-9a-f]{12}\\b", "_<ID>")
   }
 
+  /** Pin-file name keyed by configuration: fast-tier confirm and pin
+    * accumulation must never cross (cpus, sf) — an 8-core sweep confirming
+    * 32-core minima corrupts both the scaling read and the pin history.
+    */
+  private[graft] def pinFileName(cpus: String, sfDir: String): String = {
+    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    s"last_run_c${cpus}_$sfName.json"
+  }
+
   /** The previous full sweep's per-query seconds, or None when the file
     * is absent/unreadable/old-format — a degraded prior must yield
     * `"vs_prev":null`, never a failed bench.
@@ -221,6 +236,31 @@ object Bench {
         case _ => Map.empty[String, Double]
       }
     }.toOption.filter(_.nonEmpty)
+
+  /** The accumulated per-config low-water marks (`pins` in the full
+    * artifact; falls back to `queries` for a file written before the
+    * pins/queries split so the first keyed sweep still gets a fast tier).
+    * Diagnostic + rep-count gating only — never reported as a time.
+    */
+  private[graft] def parsePrevPins(
+      path: java.nio.file.Path): Map[String, Double] =
+    if (!java.nio.file.Files.exists(path)) Map.empty
+    else scala.util.Try {
+      import org.json4s._
+      val j = org.json4s.jackson.JsonMethods.parse(new String(
+        java.nio.file.Files.readAllBytes(path),
+        java.nio.charset.StandardCharsets.UTF_8))
+      def asMap(v: JValue): Map[String, Double] = v match {
+        case JObject(fs) => fs.collect {
+          case (k, JDouble(x)) => k -> x
+          case (k, JDecimal(x)) => k -> x.toDouble
+          case (k, JInt(x)) => k -> x.toDouble
+        }.toMap
+        case _ => Map.empty[String, Double]
+      }
+      val pins = asMap(j \ "pins")
+      if (pins.nonEmpty) pins else asMap(j \ "queries")
+    }.getOrElse(Map.empty)
 
   /** The previous sweep's per-query plan hashes (absent in pre-r16
     * artifacts → every query reads as touched → full reps, the safe
@@ -336,10 +376,14 @@ object Bench {
     runNoop(names.head) // warm-up, untimed
 
     // prev sweep read BEFORE this sweep both overwrites it and uses it for
-    // the auto re-pin below
-    val prevPath = java.nio.file.Paths.get("bench", "last_run.json")
+    // the auto re-pin below. The file is keyed by (cpus, sf): a sweep at a
+    // different core count or SF sees no prior (full reps, no vs_prev)
+    // instead of confirming against another configuration's numbers.
+    val prevPath = java.nio.file.Paths.get("bench", pinFileName(cpus, sfDir))
     val prevMap: Option[Map[String, Double]] =
       if (only.nonEmpty) None else parsePrevQueries(prevPath)
+    val prevPins: Map[String, Double] =
+      if (only.nonEmpty) Map.empty else parsePrevPins(prevPath)
     val prevHashes: Map[String, String] =
       if (only.nonEmpty) Map.empty else parsePrevHashes(prevPath)
 
@@ -352,13 +396,18 @@ object Bench {
       val first = runNoop(n)
       runs += ((first._1, first._2))
       val hash = first._3
-      val prevPin = prevMap.flatMap(_.get(n))
+      // last run's measured value (vs_prev naming / auto re-pin reference)
+      val prevRun = prevMap.flatMap(_.get(n)).filter(_ >= 0)
+      // accumulated low-water mark for this (cpus, sf) — rep-count gating
+      // and the `pins` diagnostic only, never reported as a time
+      val prevPin = prevPins.get(n).filter(_ >= 0)
       // a timed-out rep already cost `repTimeoutMs`; further reps of the
       // same lane would starve the sweep again — one rep, sentinel pin
       def timedOut: Boolean = runs.exists(_._1 == TimedOutSentinel)
       // fast tier: plan hash unchanged vs the previous full sweep AND a
-      // previous pin exists to confirm against
-      val fastTier = prevPin.isDefined && hash.isDefined &&
+      // reference exists to confirm against
+      val confirmRef = (prevPin.toSeq ++ prevRun.toSeq).minOption
+      val fastTier = confirmRef.isDefined && hash.isDefined &&
         prevHashes.get(n) == hash
       if (!timedOut) runs += { val r = runNoop(n); (r._1, r._2) }
       def curMin: Double = {
@@ -367,7 +416,10 @@ object Bench {
         else if (timedOut) TimedOutSentinel
         else -1.0
       }
-      val confirmed = fastTier && prevPin.exists(p => confirms(curMin, p))
+      // confirm against the LOWEST known reference: a quiet-host sweep
+      // stops at 2 reps; a noisy-host or regressed sweep falls through to
+      // full reps and reports its honest (higher) this-run number
+      val confirmed = fastTier && confirmRef.exists(p => confirms(curMin, p))
       if (!confirmed && !timedOut) {
         // full methodology: third base rep + variance-driven extras
         while (runs.size < baseReps && !timedOut)
@@ -385,37 +437,33 @@ object Bench {
       // vsPrevJson) gets up to `repinReps` more reps before it may be
       // named — a contention window passes, a real regression survives
       def looksRegressed: Boolean =
-        prevPin.exists(p => regressed(curMin, p))
+        prevRun.exists(p => regressed(curMin, p))
       var extra = 0
       while (extra < repinReps && !timedOut && looksRegressed) {
         runs += { val r = runNoop(n); (r._1, r._2) }; extra += 1
       }
-      // RATCHET GUARD: a confirmed fast-tier query's recorded pin is
-      // min(this round's min-of-2, the previous pin). The confirm
-      // tolerance is 15% + 50 ms; if the new (slightly higher) min
-      // became the pin, a persistent sub-tolerance slowdown would
-      // compound round over round without ever tripping the confirm or
-      // the 1.5x vs_prev gate. The plan hash matched, so both mins
-      // measure IDENTICAL code — min over both rounds' reps is the
-      // steady-state min, and the pin can only ratchet DOWN for an
-      // unchanged query. A changed or regressed query never takes this
-      // branch (hash mismatch / failed confirm → full reps re-pin).
+      // REPORTED VALUE = THIS RUN'S MIN-OF-REPS, unconditionally (r20
+      // verdict #1). The accumulated low-water mark goes to the separate
+      // `pins` diagnostic: for an unchanged lane it can only ratchet
+      // down; a failed/timed-out rep carries the previous pin forward.
       val pin =
-        if (confirmed && curMin >= 0) math.min(curMin, prevPin.get)
-        else curMin
-      (n, pin, runs.toSeq, extra, confirmed, hash)
+        if (curMin >= 0) math.min(curMin, prevPin.getOrElse(curMin))
+        else prevPin.getOrElse(curMin)
+      (n, curMin, pin, runs.toSeq, extra, confirmed, hash)
     }
-    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val reps = results.map { case (k, _, rs, _, _, _) =>
+    val pinsJson = results.map { case (k, _, p, _, _, _, _) =>
+      "\"" + k + "\":" + fmt(p) }.mkString("{", ",", "}")
+    val reps = results.map { case (k, _, _, rs, _, _, _) =>
       "\"" + k + "\":[" + rs.map(r => fmt(r._1)).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val gc = results.map { case (k, _, rs, _, _, _) =>
+    val gc = results.map { case (k, _, _, rs, _, _, _) =>
       "\"" + k + "\":[" + rs.map(_._2.toString).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val hashes = results.collect { case (k, _, _, _, _, Some(h)) =>
+    val hashes = results.collect { case (k, _, _, _, _, _, Some(h)) =>
       "\"" + k + "\":\"" + h + "\"" }.mkString("{", ",", "}")
-    val nFast = results.count(_._5)
+    val nFast = results.count(_._6)
     val total = results.map(_._2).filter(_ >= 0).sum
     // A -1.0 sentinel means the query RAISED on every rep. Summing only the
     // successes would report a partial run as a faster total (r10's 13
@@ -424,17 +472,17 @@ object Bench {
     // timed-out lanes are named separately below — keep the two sets
     // disjoint so n_failed diffs cleanly across rounds
     val failedNames = results.collect {
-      case (k, v, _, _, _, _) if v < 0 && v != TimedOutSentinel => k }
+      case (k, v, _, _, _, _, _) if v < 0 && v != TimedOutSentinel => k }
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     // −2.0 = circuit-breaker sentinel: named separately from raised
     // failures so the artifact distinguishes "too slow to measure" from
     // "broken" (both are red, neither can pass as a clean sweep)
     val timedOutNames = results.collect {
-      case (k, v, _, _, _, _) if v == TimedOutSentinel => k }
+      case (k, v, _, _, _, _, _) if v == TimedOutSentinel => k }
     val timedOutJson = timedOutNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     // re-pin protocol record: which queries needed extra reps before
     // vs_prev adjudication, and how many (judge-auditable in the artifact)
-    val repinned = results.collect { case (k, _, _, e, _, _) if e > 0 =>
+    val repinned = results.collect { case (k, _, _, _, e, _, _) if e > 0 =>
       "\"" + k + "\":" + e }.mkString("{", ",", "}")
 
     // ---- vs_prev: round-over-round regression guard. The previous FULL
@@ -445,24 +493,43 @@ object Bench {
     // regression) AND the slowdown survived the auto re-pin reps above.
     // Parsed defensively: a missing/old-format file yields "vs_prev":null,
     // never a failed bench.
-    val curMap = results.collect { case (k, v, _, _, _, _) if v >= 0 => k -> v }.toMap
+    val curMap = results.collect { case (k, v, _, _, _, _, _) if v >= 0 => k -> v }.toMap
     val vsPrev = prevMap.map(pm => vsPrevJson(curMap, pm)).getOrElse("null")
 
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failedNames.size},"failed":$failedJson,"n_timed_out":${timedOutNames.size},"timed_out":$timedOutJson,"repinned":$repinned,"n_fast_tier":$nFast,"vs_prev":$vsPrev,"queries":$qs,"reps_sec":$reps,"gc_ms_per_rep":$gc,"plan_hash":$hashes}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"n_queries":${results.size},"n_failed":${failedNames.size},"failed":$failedJson,"n_timed_out":${timedOutNames.size},"timed_out":$timedOutJson,"repinned":$repinned,"n_fast_tier":$nFast,"vs_prev":$vsPrev,"queries":$qs,"pins":$pinsJson,"reps_sec":$reps,"gc_ms_per_rep":$gc,"plan_hash":$hashes}"""
     // STDOUT gets a COMPACT line: the driver's BENCH_r{N}.json keeps only
     // the last ~2000 stdout chars, so the full 10k+ line arrived truncated
     // and its `parsed` field was null in every judged round artifact. The
-    // compact line (total, failures, slowest-10, vs_prev — well under the
-    // window even with sbt's trailing status line) parses; the full
-    // per-query map, per-rep walls and GC live in bench/last_run.json.
+    // compact line (total, failures, slowest-10, deltas_vs_prev, vs_prev)
+    // parses; the full per-query map, accumulated pins, per-rep walls and
+    // GC live in the keyed pin file named by `queries_full`.
     val okVals = results.map(_._2).filter(_ >= 0)
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
-      .map { case (k, v, _, _, _, _) => "\"" + k + "\":" + fmt(v) }
+      .map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failedNames.size},"failed":$failedJson,"n_timed_out":${timedOutNames.size},"timed_out":$timedOutJson,"repinned":$repinned,"n_fast_tier":$nFast,"avg_sec":${fmt(
-        if (okVals.nonEmpty) total / okVals.size else -1.0)},"slowest":$slowest,"vs_prev":$vsPrev,"queries_full":"bench/last_run.json"}"""
+    // per-query visibility for the driver (r20 verdict #2): the lanes that
+    // actually CHANGED vs the previous sweep, largest absolute delta
+    // first, trimmed so the whole compact line stays inside the driver's
+    // ~2000-char stdout window (slowest-10 covers the heavy lanes; this
+    // map covers the movers).
+    def compactLine(deltas: String) =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"n_queries":${results.size},"n_failed":${failedNames.size},"failed":$failedJson,"n_timed_out":${timedOutNames.size},"timed_out":$timedOutJson,"repinned":$repinned,"n_fast_tier":$nFast,"avg_sec":${fmt(
+        if (okVals.nonEmpty) total / okVals.size else -1.0)},"slowest":$slowest,"deltas_vs_prev":$deltas,"vs_prev":$vsPrev,"queries_full":"bench/${pinFileName(cpus, sfDir)}"}"""
+    val changed = prevMap.map { pm =>
+      curMap.keySet.intersect(pm.keySet).toSeq
+        .map(n => (n, curMap(n), pm(n)))
+        .filter { case (_, c, p) =>
+          p > 0 && math.abs(c - p) > 0.15 && (c > p * 1.3 || c < p / 1.3) }
+        .sortBy { case (_, c, p) => -math.abs(c - p) }
+    }.getOrElse(Seq.empty)
+    def deltasJson(k: Int): String = changed.take(k).map { case (n, c, p) =>
+      "\"" + n + "\":{\"prev\":" + fmt(p) + ",\"cur\":" + fmt(c) + "}"
+    }.mkString("{", ",", "}")
+    val compact = (math.min(changed.size, 12) to 0 by -1).iterator
+      .map(k => compactLine(deltasJson(k)))
+      .find(_.length <= 1800)
+      .getOrElse(compactLine("{}"))
     println(compact)
     // full sweeps only: a SPARK_GRAFT_ONLY subset run must not overwrite
     // the last complete sweep (it goes to a side file for local debugging)

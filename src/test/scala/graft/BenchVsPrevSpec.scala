@@ -24,6 +24,29 @@ class BenchVsPrevSpec extends AnyFunSuite {
     assert(Bench.parsePrevQueries(f).isEmpty)
   }
 
+  test("pin file is keyed by (cpus, sf) so configurations never cross") {
+    assert(Bench.pinFileName("32", "/root/testdata/sf0.1") ==
+      "last_run_c32_sf0.1.json")
+    assert(Bench.pinFileName("8", "/root/testdata/sf0.1") ==
+      "last_run_c8_sf0.1.json")
+    assert(Bench.pinFileName("32", "/root/testdata/sf0.01") !=
+      Bench.pinFileName("32", "/root/testdata/sf0.1"))
+  }
+
+  test("parsePrevPins prefers the pins map, falls back to queries, and " +
+    "degrades to empty") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-pins")
+    val f = dir.resolve("last_run_c32_sf0.1.json")
+    java.nio.file.Files.writeString(f,
+      """{"queries":{"q1":1.5,"q2":2.5},"pins":{"q1":1.0,"q2":2.0}}""")
+    assert(Bench.parsePrevPins(f) == Map("q1" -> 1.0, "q2" -> 2.0))
+    java.nio.file.Files.writeString(f, """{"queries":{"q1":1.5}}""")
+    assert(Bench.parsePrevPins(f) == Map("q1" -> 1.5))
+    assert(Bench.parsePrevPins(dir.resolve("absent.json")).isEmpty)
+    java.nio.file.Files.writeString(f, "{not json")
+    assert(Bench.parsePrevPins(f).isEmpty)
+  }
+
   test("vsPrevJson compares common queries only and names real regressions") {
     import org.json4s._
     val cur = Map(
