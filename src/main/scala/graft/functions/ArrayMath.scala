@@ -293,6 +293,8 @@ object ArrayMath {
   val unigramEncodeName = "graft_unigram_encode"
   val jaroWinklerName = "graft_jaro_winkler"
   val boundedKeyName = "graft_bounded_key"
+  val chrfStatsName = "graft_chrf_gram_stats"
+  val bleuStatsName = "graft_bleu_gram_stats"
 
   /** Extract a foldable array<double> argument into a plain JVM array at
     * function-resolution time (the vector sibling of [[matrixLit]]).
@@ -480,6 +482,11 @@ object ArrayMath {
       jaroWinklerName, exprs => JaroWinklerSim(exprs(0), exprs(1)))
     bind(
       boundedKeyName, _ => BoundedKey())
+    bind(
+      chrfStatsName,
+      exprs => ChrfGramStats(exprs(0), exprs(1), intLit(exprs(2), "maxN")))
+    bind(
+      bleuStatsName, exprs => BleuGramStats(exprs(0), exprs(1)))
   }
 
   /** Non-foldable constant partition key for DOCUMENTED-BOUNDED window
@@ -643,6 +650,19 @@ object ArrayMath {
     * length (see [[LcsLen]]); NULL when either array is NULL.
     */
   def lcsLen(a: Column, b: Column): Column = call_function(lcsLenName, a, b)
+
+  /** Per-order chrF gram counts (m, tc, tr) for orders 1..maxN — one
+    * codegen kernel call per row, zero shuffles ([[ChrfGramStats]]).
+    */
+  def chrfGramStats(cand: Column, ref: Column, maxN: Int): Column =
+    call_function(chrfStatsName, cand, ref,
+      org.apache.spark.sql.functions.lit(maxN))
+
+  /** Per-order BLEU-4 clipped-match counts (m, t) for orders 1..4 — one
+    * codegen kernel call per row, zero shuffles ([[BleuGramStats]]).
+    */
+  def bleuGramStats(cand: Column, ref: Column): Column =
+    call_function(bleuStatsName, cand, ref)
 
   /** binary → array<struct<warc_type,record_id,target_uri,warc_date,
     * content_length,payload>> from a strict WARC 1.x record walk; NULL

@@ -919,15 +919,19 @@ object TextOps {
     * division — the q106/q109 recipe, so the DuckDB oracle replays
     * BLEU bit-for-bit.
     *
-    * Scale shape: gram counting is ONE explode + aggregation per side
-    * keyed (id, n, gram) — map-side combine collapses each row's
-    * repeats before the exchange — then a co-partitioned clip join
-    * and two same-key rollups back to the id plane; everything stays
-    * in whole-stage codegen (an earlier per-row higher-order-function
-    * formulation was shuffle-free but paid O(len²) INTERPRETED lambda
-    * evals per row — 10× slower at fixture scale and no better at
-    * 100 TB, where the skinny gram shuffle is the right trade).
-    * `idCol` must uniquely identify rows.
+    * Scale shape: ONE codegen kernel call per row
+    * ([[graft.functions.BleuGramStats]] — the q279/q308 static-kernel
+    * discipline) yields every order's exact (m, t) integers with the
+    * identical U+0001-joined gram identity; everything after is per-row
+    * arithmetic. Zero shuffles — the former spelling exploded both
+    * sides to an (id, n, gram) plane and paid a gram exchange, a clip
+    * join and a pivot for counts a segment-local loop computes in-place
+    * (an even earlier higher-order-function formulation was also
+    * shuffle-free but paid O(len²) INTERPRETED lambda evals per row —
+    * a native kernel has neither cost). A NULL side enters the kernel
+    * as an empty array, reproducing the old left-join zeros; the
+    * output's own NULL masking is unchanged. `idCol` must uniquely
+    * identify rows.
     *
     * → (idCol, cand_len, ref_len, p1..p4 — NULL when the candidate has
     *   no n-grams of that order — brevity_penalty, bleu); a NULL
@@ -937,40 +941,14 @@ object TextOps {
                 refCol: String): DataFrame = {
     def toks(c: Column): Column =
       filter(tokens(normalized(c)), t => t =!= lit(""))
-    def grams(t: Column, n: Int): Column =
-      when(size(t) >= n, transform(
-        sequence(lit(1), size(t) - (n - 1)),
-        // \u0001 separator (chr(1) in the oracle) cannot collide with
-        // whitespace-split tokens
-        i => concat_ws("\u0001",
-          (0 until n).map(j => element_at(t, i + lit(j))): _*)))
-        .otherwise(array().cast("array<string>"))
     val base = pairs.select(col(idCol), toks(col(candCol)).as("__ct"),
       toks(col(refCol)).as("__rt"))
-    // long-form gram counts: one scan per side, two explodes, map-side
-    // combined aggregation keyed (id, n, gram)
-    def gramCounts(tc: String, outCnt: String) = base
-      .select(col(idCol), explode(array((1 to 4).map(n =>
-        struct(lit(n).as("n"), grams(col(tc), n).as("gs"))): _*)).as("__x"))
-      .select(col(idCol), col("__x.n").as("__n"),
-        explode(col("__x.gs")).as("__g"))
-      .groupBy(col(idCol), col("__n"), col("__g"))
-      .agg(count(lit(1)).as(outCnt))
-    val per = gramCounts("__ct", "__c")
-      .join(gramCounts("__rt", "__rc"), Seq(idCol, "__n", "__g"), "left")
-      .groupBy(col(idCol), col("__n"))
-      .agg(sum(least(col("__c"), coalesce(col("__rc"), lit(0L)))).as("__m"),
-        sum(col("__c")).as("__t"))
-    val pivoted = per.groupBy(col(idCol)).agg(
-      max(when(col("__n") === 1, col("__m"))).as("__m1"),
-      (2 to 4).map(n =>
-        max(when(col("__n") === n, col("__m"))).as(s"__m$n")) ++
-        (1 to 4).map(n =>
-          max(when(col("__n") === n, col("__t"))).as(s"__t$n")): _*)
     val counted = (1 to 4).foldLeft(
-      base.join(pivoted, Seq(idCol), "left")) { (d, n) =>
-      d.withColumn(s"__m$n", coalesce(col(s"__m$n"), lit(0L)))
-        .withColumn(s"__t$n", coalesce(col(s"__t$n"), lit(0L)))
+      base.withColumn("__bst", graft.functions.ArrayMath.bleuGramStats(
+        coalesce(col("__ct"), array().cast("array<string>")),
+        coalesce(col("__rt"), array().cast("array<string>"))))) { (d, n) =>
+      d.withColumn(s"__m$n", col("__bst").getItem(n - 1).getField("m"))
+        .withColumn(s"__t$n", col("__bst").getItem(n - 1).getField("t"))
     }
     val anyZero = (1 to 4)
       .map(n => col(s"__m$n") === 0L || col(s"__t$n") === 0L)
@@ -1022,10 +1000,19 @@ object TextOps {
     * independent sum; the /maxN and the F fold are a fixed IEEE
     * sequence — the whole score replays bit-for-bit in SQL.
     *
-    * Scale shape follows [[bleuScore]] verbatim: one explode +
-    * aggregation per side keyed (id, n, gram) with map-side combine,
-    * a co-partitioned clip join, two same-key rollups back to the id
-    * plane. `idCol` must uniquely identify rows.
+    * Scale shape: ONE codegen kernel call per row
+    * ([[graft.functions.ChrfGramStats]] — the q279/q308 static-kernel
+    * discipline) yields every order's exact (m, tc, tr) integers;
+    * everything after is per-row arithmetic. Zero shuffles, zero
+    * materializations — the former spelling exploded both sides to an
+    * (id, n, gram) plane and paid a corpus-of-grams exchange plus two
+    * rollups for counts a segment-local loop computes in-place (chrF is
+    * a SEGMENT metric: per-row work is bounded by the caller's segment
+    * cap). The kernel's positions/equality are exactly the SQL
+    * substring's (code points, byte equality), so every integer — and
+    * therefore every derived double — is bit-identical to the exploded
+    * spelling and to the SQL oracle. `idCol` must uniquely identify
+    * rows.
     *
     * → (idCol, cand_nchars, ref_nchars, chr_p, chr_r, chrf2); a NULL
     *   candidate or reference scores NULL.
@@ -1038,58 +1025,26 @@ object TextOps {
     // stream, not on tokens
     def chars(c: Column): Column =
       regexp_replace(normalized(c), "\\s+", "")
-    // the character-stream pair frame feeds THREE consumers (both gram
-    // planes + the final id join) — materialize it once so the upstream
-    // normalization regexes don't run per branch; size is the scored
-    // pair set (chrF scores eval segments, not whole corpora)
     val base = pairs.select(col(idCol), chars(col(candCol)).as("__cs"),
       chars(col(refCol)).as("__rs"))
-      .localCheckpoint()
-    // gram extraction by POSITION explode + codegen substring — never a
-    // transform() lambda (Spark HOFs are CodegenFallback; the q287/q302
-    // lesson: the interpreted shape measured ~4× slower here). Both
-    // sides ride ONE side-tagged plane into ONE (id, n, gram)
-    // aggregation — the clip needs cand and ref counts on the same row,
-    // and a conditional-sum pivot gets them with a single shuffle where
-    // a per-side count + full join would pay three
-    def gramSide(tc: String, side: Int) = base
-      .select(col(idCol), col(tc),
-        explode(sequence(lit(1), lit(maxN))).as("__n"))
-      .select(col(idCol), col("__n"), lit(side).as("__side"),
-        col(tc).as("__t"),
-        explode(indices1(length(col(tc)) - (col("__n") - 1))).as("__p"))
-      .select(col(idCol), col("__n"), col("__side"),
-        call_function("substring", col("__t"), col("__p"), col("__n"))
-          .as("__g"))
-    val per = gramSide("__cs", 0).unionByName(gramSide("__rs", 1))
-      // ONE id-keyed exchange up front: hash-partitioning on the id
-      // satisfies the clustered distribution of ALL THREE downstream
-      // aggregations ((id,n,g) → (id,n) → (id)), so the gram plane
-      // shuffles once instead of three times
-      .repartition(col(idCol))
-      .groupBy(col(idCol), col("__n"), col("__g"))
-      .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__c"),
-        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__rc"))
-      .groupBy(col(idCol), col("__n"))
-      .agg(sum(least(col("__c"), col("__rc"))).as("__m"),
-        sum(col("__c")).as("__tc"),
-        sum(col("__rc")).as("__tr"))
+      .withColumn("__st", graft.functions.ArrayMath.chrfGramStats(
+        col("__cs"), col("__rs"), maxN))
     // per-order precision/recall: one IEEE division each, decimal-cast
-    // before the order-independent per-id sum
-    val rolled = per
-      .select(col(idCol),
-        when(col("__tc") > 0L, col("__m").cast("double") /
-          col("__tc").cast("double")).otherwise(lit(0.0))
-          .cast("decimal(18,12)").as("__p"),
-        when(col("__tr") > 0L, col("__m").cast("double") /
-          col("__tr").cast("double")).otherwise(lit(0.0))
-          .cast("decimal(18,12)").as("__r"))
-      .groupBy(col(idCol))
-      .agg(sum(col("__p")).as("__ps"), sum(col("__r")).as("__rs2"))
+    // before the exact (order-free) decimal sum — the identical
+    // expression sequence the exploded spelling's per-(id, n) rows fed
+    // into sum(); a fixed chain of exact decimal adds equals that sum
+    def term(i: Int, tot: String): Column = {
+      val e = col("__st").getItem(i)
+      when(e.getField(tot) > 0L, e.getField("m").cast("double") /
+        e.getField(tot).cast("double")).otherwise(lit(0.0))
+        .cast("decimal(18,12)")
+    }
+    val psSum = (0 until maxN).map(term(_, "tc")).reduce(_ + _)
+    val rsSum = (0 until maxN).map(term(_, "tr")).reduce(_ + _)
     val b2 = (beta * beta).toDouble
-    val chrP = col("__ps").cast("double") / maxN.toDouble
-    val chrR = col("__rs2").cast("double") / maxN.toDouble
-    base.join(rolled, Seq(idCol), "left")
+    val chrP = psSum.cast("double") / maxN.toDouble
+    val chrR = rsSum.cast("double") / maxN.toDouble
+    base
       .select(col(idCol),
         when(col("__cs").isNotNull, length(col("__cs")).cast("long"))
           .as("cand_nchars"),
@@ -1480,15 +1435,21 @@ object TextOps {
     * Documents reassemble in unit order.
     *
     * Plan shape at 100 TB: one explode (linear in corpus units); the
-    * keeper table is groupBy(md5) → min(struct(id, pos)) — map-side
-    * partial aggregation collapses even a boilerplate unit repeated
-    * across billions of docs to one row per map partition before the
-    * shuffle, so duplicate skew cannot hot-spot a task (a row_number
-    * window keyed by the hash would put every occurrence of the hot
-    * unit in ONE task); the join back carries only the 16-byte digest
-    * plus the keeper struct, and AQE's skew join splits the probe side
-    * under residual skew. Unit text never rides the dedup shuffle —
-    * only the final per-doc reassembly, keyed by doc id (balanced).
+    * keeper table is groupBy(md5) → min(struct(id, pos, unit)) —
+    * map-side partial aggregation collapses even a boilerplate unit
+    * repeated across billions of docs to one row per map partition
+    * before the shuffle, so duplicate skew cannot hot-spot a task (a
+    * row_number window keyed by the hash would put every occurrence of
+    * the hot unit in ONE task). (id, pos) is unique per exploded row,
+    * so carrying the unit text as the struct's THIRD field never
+    * changes which row wins the min — and lets the aggregate EMIT the
+    * kept row directly: the former join-back of every occurrence
+    * against the keeper table (a probe-side shuffle that hashed every
+    * occurrence of a hot digest to one partition — the r20 verdict's
+    * residual skew point) is gone outright. At most one unit text per
+    * digest per map partition rides the dedup shuffle; the only other
+    * text movement is the final per-doc reassembly, keyed by doc id
+    * (balanced).
     *
     * → (idCol, cleaned_text, n_units, n_dropped); NULL text stays NULL.
     */
@@ -1501,10 +1462,11 @@ object TextOps {
     val nonBlank = units.filter(col("__t") =!= "")
       .withColumn("__k", md5(col("__t")))
     val keeper = nonBlank.groupBy("__k")
-      .agg(min(struct(col(idCol), col("__i"))).as("__first"))
-    val kept = nonBlank.join(keeper, Seq("__k"))
-      .filter(struct(col(idCol), col("__i")) === col("__first"))
-      .select(col(idCol), col("__i"), col("__u"))
+      .agg(min(struct(col(idCol), col("__i"), col("__u"))).as("__first"))
+    val kept = keeper
+      .select(col("__first").getField(idCol).as(idCol),
+        col("__first").getField("__i").as("__i"),
+        col("__first").getField("__u").as("__u"))
       .unionByName(units.filter(col("__t") === "")
         .select(col(idCol), col("__i"), col("__u")))
     val rebuilt = kept.groupBy(idCol)

@@ -1972,10 +1972,17 @@ object WebGraph {
         col("esrc") =!= col("edst")) // self-loops never change SCCs
       .distinct()
       .persist()
-    val allNodes = e0.select(col("esrc").as("node"))
+    val allNodesPre = e0.select(col("esrc").as("node"))
       .unionByName(e0.select(col("edst").as("node"))).distinct()
-      .localCheckpoint()
+      .observe("scc_res_probe", count(lit(1)).cast("bigint").as("__n"))
+    val allNodes = allNodesPre.localCheckpoint()
     var residual = allNodes
+    // the residual emptiness signal rides every residual checkpoint job
+    // as an observed row count (the hb_probe discipline): the former
+    // `residual.isEmpty` probes were one extra driver round-trip per
+    // trim wave and per pivot round
+    var residualCount =
+      allNodesPre.queryExecution.observedMetrics("scc_res_probe").getLong(0)
     var eR = e0
     var comps: Option[DataFrame] = None
     var round = 0
@@ -1989,29 +1996,31 @@ object WebGraph {
       val waves = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       var trimming = true
       while (trimming) {
-        // the emptiness probe rides the wave's OWN checkpoint job as an
-        // observed row count (the hb_probe discipline): the former
-        // probe-then-checkpoint spelling executed the anti-join pair
-        // TWICE per non-empty wave (a take(1) probe over the
-        // unmaterialized plan, then the full materialization) — on
-        // web-shaped graphs most waves are non-empty, so this halves
-        // trim's plan executions. The terminal empty wave costs one
-        // (empty) materialization, the same full scan its take(1)
-        // probe paid.
-        val zeroDegPre = residual
+        // the zero-degree wave stays LAZY: it materializes inside the
+        // residual update's checkpoint job (its first consumer), and
+        // wave-emptiness is read off that same job's observed residual
+        // count — the wave is empty iff the residual row count did not
+        // move (zeroDeg ⊆ residual, residual' = residual ∖ zeroDeg).
+        // One driver round-trip per wave where the r19 spelling paid
+        // three (wave probe, wave checkpoint, residual checkpoint).
+        val zeroDeg = residual
           .join(eR.select(col("esrc").as("node")), Seq("node"), "left_anti")
           .unionByName(residual
             .join(eR.select(col("edst").as("node")), Seq("node"),
               "left_anti"))
           .distinct()
-          .observe("trim_probe", count(lit(1)).cast("bigint").as("__n"))
-        val zeroDeg = zeroDegPre.localCheckpoint()
-        if (zeroDegPre.queryExecution.observedMetrics("trim_probe")
-            .getLong(0) == 0L) trimming = false
+          .localCheckpoint(false)
+        val resPre = residual.join(zeroDeg, Seq("node"), "left_anti")
+          .observe("scc_res_probe",
+            count(lit(1)).cast("bigint").as("__n"))
+        val resNext = resPre.localCheckpoint()
+        val after = resPre.queryExecution
+          .observedMetrics("scc_res_probe").getLong(0)
+        if (after == residualCount) trimming = false
         else {
           waves += zeroDeg
-          residual = residual.join(zeroDeg, Seq("node"), "left_anti")
-            .localCheckpoint()
+          residual = resNext
+          residualCount = after
           val eNext = eR // anti vs the (small) wave, not semi vs residual
             .join(zeroDeg.select(col("node").as("esrc")), Seq("esrc"),
               "left_anti")
@@ -2024,14 +2033,16 @@ object WebGraph {
         }
       }
       if (waves.nonEmpty) {
+        // every wave is already materialized (inside its residual job),
+        // so the accumulator union is a LAZY chain over cached leaves
         val settled = waves.reduce(_ unionByName _)
           .select(col("node"), col("node").as("component"))
         comps = Some(comps.fold(settled)(_ unionByName settled)
-          .localCheckpoint())
+          .localCheckpoint(false))
       }
     }
-    var done = residual.isEmpty
-    if (!done) { trim(); done = residual.isEmpty }
+    var done = residualCount == 0L
+    if (!done) { trim(); done = residualCount == 0L }
     while (!done) {
       round += 1
       require(round <= maxRounds,
@@ -2056,28 +2067,41 @@ object WebGraph {
       // F(p) ∩ B(p) = SCC(p); label = min member (pivot-independent)
       val wPivot = org.apache.spark.sql.expressions.Window
         .partitionBy(col("s"))
+      // LAZY: settled materializes inside the residual update's job (its
+      // first consumer, below); the comps accumulator is a union chain of
+      // checkpointed leaves that materializes only when the caller
+      // consumes the result — neither costs a round-trip of its own
+      // (rounds are bounded by maxRounds, so the deferred chain stays
+      // shallow)
       val settled = fwd.join(bwd, Seq("s", "node"))
         .withColumn("component", min(col("node")).over(wPivot))
         .select(col("node"), col("component"))
         .distinct() // pivots sharing an SCC emit identical rows
-        .localCheckpoint()
+        .localCheckpoint(false)
       comps = Some(comps.fold(settled)(_ unionByName settled)
-        .localCheckpoint())
-      residual = residual.join(settled.select(col("node")), Seq("node"),
-        "left_anti").localCheckpoint()
-      val eNext = eR
-        .join(residual.select(col("node").as("esrc")), Seq("esrc"),
-          "left_semi")
-        .join(residual.select(col("node").as("edst")), Seq("edst"),
-          "left_semi")
-        .select(col("esrc"), col("edst"))
-        .localCheckpoint()
-      if (eR ne e0) eR.unpersist()
-      eR = eNext
-      done = residual.isEmpty
-      // the settled SCCs' removal exposes a fresh acyclic fringe — but
-      // skip the probe when the pivots already finished the graph
-      if (!done) { trim(); done = residual.isEmpty }
+        .localCheckpoint(false))
+      val resPre = residual.join(settled.select(col("node")), Seq("node"),
+        "left_anti").observe("scc_res_probe",
+          count(lit(1)).cast("bigint").as("__n"))
+      residual = resPre.localCheckpoint()
+      residualCount = resPre.queryExecution
+        .observedMetrics("scc_res_probe").getLong(0)
+      done = residualCount == 0L
+      // when the pivots finished the graph, the restricted edge frame
+      // and the trim probe are both dead work — skip them
+      if (!done) {
+        val eNext = eR
+          .join(residual.select(col("node").as("esrc")), Seq("esrc"),
+            "left_semi")
+          .join(residual.select(col("node").as("edst")), Seq("edst"),
+            "left_semi")
+          .select(col("esrc"), col("edst"))
+          .localCheckpoint()
+        if (eR ne e0) eR.unpersist()
+        eR = eNext
+        // the settled SCCs' removal exposes a fresh acyclic fringe
+        trim(); done = residualCount == 0L
+      }
     }
     if (eR ne e0) eR.unpersist()
     e0.unpersist()
@@ -2427,17 +2451,27 @@ object WebGraph {
     */
   private def setReach(e: DataFrame, sources: DataFrame,
                        maxDepth: Int): DataFrame = {
-    var visited = sources.select(col("node")).distinct().localCheckpoint()
+    val srcPre = sources.select(col("node")).distinct()
+      .observe("reach_probe", count(lit(1)).cast("bigint").as("__n"))
+    var visited = srcPre.localCheckpoint()
     var frontier = visited
     var d = 0
-    var done = frontier.isEmpty
+    var done =
+      srcPre.queryExecution.observedMetrics("reach_probe").getLong(0) == 0L
     while (!done) {
       d += 1
-      val next = frontier.join(e, col("node") === col("esrc"))
+      // the emptiness probe rides the hop's OWN checkpoint job as an
+      // observed row count (the hb_probe discipline): the former
+      // checkpoint-then-isEmpty spelling paid TWO driver round-trips
+      // per hop — level-synchronous BFS wall time is round-trips ×
+      // depth, so this halves the reach passes' driver traffic
+      val nextPre = frontier.join(e, col("node") === col("esrc"))
         .select(col("edst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
-        .localCheckpoint()
-      if (next.isEmpty) done = true
+        .observe("reach_probe", count(lit(1)).cast("bigint").as("__n"))
+      val next = nextPre.localCheckpoint()
+      if (nextPre.queryExecution.observedMetrics("reach_probe")
+          .getLong(0) == 0L) done = true
       else {
         require(d <= maxDepth,
           s"setReach: frontier still expanding at depth $maxDepth — " +
@@ -2467,11 +2501,16 @@ object WebGraph {
     var done = false
     while (!done) {
       d += 1
-      val next = frontier.join(e, col("node") === col("esrc"))
+      // emptiness probe fused onto the hop's checkpoint job (observed
+      // row count — the hb_probe discipline): one driver round-trip per
+      // hop instead of the former checkpoint-then-isEmpty two
+      val nextPre = frontier.join(e, col("node") === col("esrc"))
         .select(col("s"), col("edst").as("node")).distinct()
         .join(visited, Seq("s", "node"), "left_anti")
-        .localCheckpoint()
-      if (next.isEmpty) done = true
+        .observe("reach_probe", count(lit(1)).cast("bigint").as("__n"))
+      val next = nextPre.localCheckpoint()
+      if (nextPre.queryExecution.observedMetrics("reach_probe")
+          .getLong(0) == 0L) done = true
       else {
         require(d <= maxDepth,
           s"reachFrom: frontier still expanding at depth $maxDepth — " +
