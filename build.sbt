@@ -32,3 +32,46 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// ---- Parallel forked test groups -------------------------------------
+// One sequential forked JVM ran the 636-test suite in ~25 min wall
+// (suite bodies sum to ~14 min) — over the round driver's test budget
+// (r20 verdict item 3). Suites share nothing across JVMs (per-JVM
+// SparkTestSession with a temp warehouse, temp dirs everywhere), so
+// they split into N forked JVMs bin-packed by measured suite weight
+// (r21 duration run). N=6 at local[4] per session = 24 cores peak,
+// ~20 GB peak heap — well inside the 32-core/128 GB sandbox.
+val testGroupCount = 6
+// measured seconds per suite (r21 -oD run); unlisted suites default
+// small — exact staleness only skews balance, never correctness
+val testSuiteWeights: Map[String, Int] = Map(
+  "graft.IvfSpec" -> 135, "graft.HtmlSpec" -> 107,
+  "graft.NearDupSinkSpec" -> 82, "graft.OpsSpec" -> 76,
+  "graft.RetrievalSpec" -> 55, "graft.SessionSinkSpec" -> 49,
+  "graft.StreamingAggSpec" -> 47, "graft.SketchesSpec" -> 38,
+  "graft.StreamingDedupSpec" -> 35, "graft.PlanSpec" -> 34,
+  "graft.ProfileSpec" -> 29, "graft.EventOpsSpec" -> 24,
+  "graft.SignatureSinkSpec" -> 20, "graft.UpsertSinkSpec" -> 15,
+  "graft.CurationSpec" -> 15, "graft.BpeSpec" -> 12,
+  "graft.RobotsSpec" -> 10)
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val jo = (Test / javaOptions).value.toVector
+  val bins = Array.fill(testGroupCount)(
+    (scala.collection.mutable.Buffer.empty[TestDefinition], 0L))
+  tests.sortBy(t => (-testSuiteWeights.getOrElse(t.name, 5), t.name))
+    .foreach { t =>
+      val i = bins.zipWithIndex.minBy(_._1._2)._2
+      bins(i) = (bins(i)._1 += t,
+        bins(i)._2 + testSuiteWeights.getOrElse(t.name, 5))
+    }
+  bins.toSeq.zipWithIndex.map { case ((ts, _), i) =>
+    Tests.Group(s"g$i", ts.toSeq,
+      Tests.SubProcess(ForkOptions().withRunJVMOptions(jo)))
+  }
+}
+// the default limit runs forked groups one at a time — lift it to the
+// group count (and keep the global task cap at the core count)
+Global / concurrentRestrictions := Seq(
+  Tags.limitAll(java.lang.Runtime.getRuntime.availableProcessors),
+  Tags.limit(Tags.ForkedTestGroup, testGroupCount))

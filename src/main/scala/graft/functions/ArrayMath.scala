@@ -295,6 +295,7 @@ object ArrayMath {
   val boundedKeyName = "graft_bounded_key"
   val chrfStatsName = "graft_chrf_gram_stats"
   val bleuStatsName = "graft_bleu_gram_stats"
+  val winnowName = "graft_winnow_fingerprints"
 
   /** Extract a foldable array<double> argument into a plain JVM array at
     * function-resolution time (the vector sibling of [[matrixLit]]).
@@ -487,6 +488,10 @@ object ArrayMath {
       exprs => ChrfGramStats(exprs(0), exprs(1), intLit(exprs(2), "maxN")))
     bind(
       bleuStatsName, exprs => BleuGramStats(exprs(0), exprs(1)))
+    bind(
+      winnowName,
+      exprs => WinnowFingerprints(exprs(0), intLit(exprs(1), "k"),
+        intLit(exprs(2), "w")))
   }
 
   /** Non-foldable constant partition key for DOCUMENTED-BOUNDED window
@@ -663,6 +668,14 @@ object ArrayMath {
     */
   def bleuGramStats(cand: Column, ref: Column): Column =
     call_function(bleuStatsName, cand, ref)
+
+  /** Winnowing fingerprint selection for a whole document — one codegen
+    * kernel call per row, zero shuffles ([[WinnowFingerprints]]).
+    */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    call_function(winnowName, text,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(w))
 
   /** binary → array<struct<warc_type,record_id,target_uri,warc_date,
     * content_length,payload>> from a strict WARC 1.x record walk; NULL

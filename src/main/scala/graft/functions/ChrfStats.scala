@@ -74,9 +74,10 @@ object ChrfKernel {
   }
 
   /** Byte offset of every code point boundary, plus the end sentinel —
-    * the same character positions SQL `substring` addresses.
+    * the same character positions SQL `substring` addresses. Shared
+    * with the other per-row text kernels ([[WinnowKernel]]).
     */
-  private def codePointOffsets(b: Array[Byte]): Array[Int] = {
+  private[functions] def codePointOffsets(b: Array[Byte]): Array[Int] = {
     // count first (UTF-8 continuation bytes are 10xxxxxx)
     var chars = 0
     var i = 0

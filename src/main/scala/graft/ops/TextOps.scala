@@ -203,19 +203,20 @@ object TextOps {
     * Sketches h48 recipe) so the whole selection replays exactly in
     * SQL.
     *
-    * Scale shape: one explode to the (id, pos, hash) plane — the hash
-    * computed ONCE per position — then the per-window rightmost
-    * minimum as ONE frame-bounded window aggregate (min_by over
-    * (hash, −pos), ROWS BETWEEN CURRENT AND w−1 FOLLOWING, shuffle
-    * keyed on the document id; full windows gated by count over the
-    * SAME frame, so one Window pass total), then distinct — never a
-    * per-row interpreted lambda loop, and no re-materialization of
-    * the hash plane for a tie-resolution self-join (the r18 spelling
-    * paid the md5 plane twice plus a (id, hash) join + rollup; this
-    * one-pass form measured 3.1× faster at bench scale — 11.1 → 3.6 s
-    * solo sf0.1 — values byte-identical). Fingerprint count per document is ≈ 2·len/w
-    * (the paper's density), so downstream near-dup joins on fp_hash
-    * ride skinny planes.
+    * Scale shape: ONE codegen kernel call per row
+    * ([[graft.functions.WinnowFingerprints]] — the q305/q287
+    * static-kernel discipline): winnowing is per-document by
+    * definition (windows never cross documents), so the whole
+    * hash-plane + id-partitioned window + distinct pipeline this
+    * replaces — itself 3.1× faster than the r18 two-pass spelling —
+    * was shuffle overhead around a per-row O(len) loop. The kernel's
+    * hash is exactly `conv(substring(md5(gram), 1, 12), 16, 10)` over
+    * the code-point k-gram, its selection the identical
+    * (hash asc, pos desc) rightmost window minimum, its dedupe the old
+    * `.distinct()` — values byte-identical (oracle hash re-verified).
+    * Fingerprint count per document is ≈ 2·len/w (the paper's
+    * density), so downstream near-dup joins on fp_hash ride skinny
+    * planes.
     *
     * → (idCol, fp_pos — 1-based k-gram position, fp_hash) distinct,
     *   one-to-many per document; documents shorter than w + k − 1
@@ -225,33 +226,11 @@ object TextOps {
                             k: Int = 8, w: Int = 4): DataFrame = {
     require(k >= 2 && k <= 64, s"k must be in [2,64], got $k")
     require(w >= 2 && w <= 64, s"w must be in [2,64], got $w")
-    // explode POSITIONS and substring outside any lambda — no
-    // interpreted HOF, no per-element re-evaluation of the
-    // normalization regex (the [[charShingles]] cost-note trap); the
-    // whole plane stays in codegen
-    val occ = df
-      .select(col(idCol), normalized(col(textCol)).as("__t"))
-      .select(col(idCol), col("__t"),
-        posexplode(indices1(length(col("__t")) - (k - 1)))
-          .as(Seq("__d", "__p")))
-      .select(col(idCol), col("__p").cast("long").as("__p"),
-        conv(substring(md5(call_function("substring", col("__t"),
-          col("__p").cast("int"), lit(k))), 1, 12), 16, 10).cast("long")
-          .as("__h"))
-    val wWin = Window.partitionBy(col(idCol)).orderBy(col("__p"))
-      .rowsBetween(Window.currentRow, w - 1)
-    // min_by over (hash, −pos) IS "window minimum, rightmost on ties" —
-    // one aggregate carries both the winning position and its hash, so
-    // no tie-resolution join is needed; count over the SAME frame gates
-    // full windows without a second partition pass
-    occ
-      .withColumn("__sel", min_by(struct(col("__p"), col("__h")),
-        struct(col("__h"), (-col("__p")).as("__np"))).over(wWin))
-      .withColumn("__wn", count(lit(1)).over(wWin))
-      .filter(col("__wn") === w) // full windows only
-      .select(col(idCol), col("__sel.__p").as("fp_pos"),
-        col("__sel.__h").as("fp_hash"))
-      .distinct()
+    df.select(col(idCol),
+        explode(graft.functions.ArrayMath.winnowFingerprints(
+          normalized(col(textCol)), k, w)).as("__fp"))
+      .select(col(idCol), col("__fp.fp_pos").as("fp_pos"),
+        col("__fp.fp_hash").as("fp_hash"))
   }
 
   /** Per-document character-distribution Shannon entropy (nats) — the

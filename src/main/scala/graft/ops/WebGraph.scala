@@ -988,11 +988,15 @@ object WebGraph {
       .persist()
     val m2Frame = deg.agg(sum(col("deg")).cast("decimal(38,0)").as("__m2"))
     val dec = "decimal(19,0)"
-    var labels = deg.select(col("node"), col("node").as("comm"))
+    // the node degree rides INSIDE the labels frame: it is loop-invariant
+    // per node, and carrying it spares every round the labels⋈deg join
+    // (two exchange instances — `ld` fed two lazy subtrees) for the cost
+    // of one long column in the skinny checkpointed frame
+    var labels = deg.select(col("node"), col("node").as("comm"), col("deg"))
       .localCheckpoint(true)
     var round = 0
     while (round < rounds) {
-      val ld = labels.join(deg, "node") // shared by tot and self
+      val ld = labels // (node, comm, deg) — shared by tot and self
       val tot = ld.groupBy(col("comm")).agg(sum(col("deg")).as("tot"))
       val kv = nbr
         .join(labels.select(col("node").as("nb"), col("comm").as("cand")),
@@ -1052,7 +1056,8 @@ object WebGraph {
       val moves = want.join(blocked, Seq("node"), "left_anti")
         .select(col("node"), col("__to"))
       labels = labels.join(moves, Seq("node"), "left")
-        .select(col("node"), coalesce(col("__to"), col("comm")).as("comm"))
+        .select(col("node"), coalesce(col("__to"), col("comm")).as("comm"),
+          col("deg"))
         .localCheckpoint(true) // plan depth stays O(1) across rounds
       want.unpersist() // the eager checkpoint above consumed it
       round += 1
@@ -1116,11 +1121,13 @@ object WebGraph {
       .persist()
     val m2Frame = deg.agg(sum(col("deg")).cast("decimal(38,0)").as("__m2"))
     val dec = "decimal(19,0)"
-    var cl = deg.select(col("node"), col("node").as("comm"))
+    // coarse-node degree rides inside the labels frame (loop-invariant) —
+    // see louvainCommunities
+    var cl = deg.select(col("node"), col("node").as("comm"), col("deg"))
       .localCheckpoint(true)
     var round = 0
     while (round < rounds) {
-      val ld = cl.join(deg, "node")
+      val ld = cl // (node, comm, deg)
       val tot = ld.groupBy(col("comm")).agg(sum(col("deg")).as("tot"))
       val kv = cNbr
         .join(cl.select(col("node").as("nb"), col("comm").as("cand")),
@@ -1168,14 +1175,15 @@ object WebGraph {
       val moves = want.join(blocked, Seq("node"), "left_anti")
         .select(col("node"), col("__to"))
       cl = cl.join(moves, Seq("node"), "left")
-        .select(col("node"), coalesce(col("__to"), col("comm")).as("comm"))
+        .select(col("node"), coalesce(col("__to"), col("comm")).as("comm"),
+          col("deg"))
         .localCheckpoint(true)
       want.unpersist()
       round += 1
     }
     cNbr.unpersist()
     deg.unpersist()
-    lab.join(cl.withColumnRenamed("node", "comm0"), "comm0")
+    lab.join(cl.select(col("node").as("comm0"), col("comm")), "comm0")
       .select(col("node"), col("comm").as("community"))
   }
 
@@ -2055,12 +2063,16 @@ object WebGraph {
       // the two reach passes are independent job DAGs — submit them
       // concurrently (level-synchronous BFS wall time is driver
       // round-trips × depth; overlapping F and B halves it, on a
-      // cluster as on local)
+      // cluster as on local). Both run over the shortcut-accelerated
+      // plane — identical reach sets in about half the hops; trim and
+      // the edge restrictions keep using the TRUE edges (degrees and
+      // adjacency must not see shortcuts).
       import scala.concurrent.Await
       import scala.concurrent.ExecutionContext.Implicits.global
-      val fF = Par.grouped(reachFrom(eR, pivots, maxDepth))
+      val eAcc = accelerated(eR)
+      val fF = Par.grouped(reachFrom(eAcc, pivots, maxDepth))
       val fB = Par.grouped(reachFrom(
-        eR.select(col("edst").as("esrc"), col("esrc").as("edst")),
+        eAcc.select(col("edst").as("esrc"), col("esrc").as("edst")),
         pivots, maxDepth))
       val fwd = Await.result(fF, scala.concurrent.duration.Duration.Inf)
       val bwd = Await.result(fB, scala.concurrent.duration.Duration.Inf)
@@ -2160,8 +2172,12 @@ object WebGraph {
     val core = comps.join(broadcast(giant),
         col("component") === col("__giant"))
       .select(col("node")).localCheckpoint(true)
-    val rev = e0.select(col("edst").as("esrc"), col("esrc").as("edst"))
-    val fF = Par.grouped(setReach(e0, core, maxDepth))
+    // shortcut-accelerated planes for the four reach passes (identical
+    // reach sets, about half the hops — see [[accelerated]]); the
+    // region set algebra keeps using the true edges
+    val eAcc0 = accelerated(e0)
+    val rev = eAcc0.select(col("edst").as("esrc"), col("esrc").as("edst"))
+    val fF = Par.grouped(setReach(eAcc0, core, maxDepth))
     val fB = Par.grouped(setReach(rev, core, maxDepth))
     val fwd = Await.result(fF, Duration.Inf)
     val bwd = Await.result(fB, Duration.Inf)
@@ -2175,8 +2191,9 @@ object WebGraph {
       .join(core.select(col("node").as("esrc")), Seq("esrc"), "left_anti")
       .join(core.select(col("node").as("edst")), Seq("edst"), "left_anti")
       .select(col("esrc"), col("edst")).localCheckpoint(true)
-    val revNC = eNC.select(col("edst").as("esrc"), col("esrc").as("edst"))
-    val fFrom = Par.grouped(setReach(eNC, inR, maxDepth))
+    val eAccNC = accelerated(eNC)
+    val revNC = eAccNC.select(col("edst").as("esrc"), col("esrc").as("edst"))
+    val fFrom = Par.grouped(setReach(eAccNC, inR, maxDepth))
     val fTo = Par.grouped(setReach(revNC, outR, maxDepth))
     val fromIn = Await.result(fFrom, Duration.Inf)
       .join(rem, Seq("node"), "left_semi").localCheckpoint(true)
@@ -2442,6 +2459,45 @@ object WebGraph {
     }
     acc
   }
+
+  /** Bounded-degree 2-hop shortcut edges: for every middle node, join
+    * at most `k` in-edges with at most `k` out-edges (hash-ranked with
+    * the deterministic seedless md5 recipe, so the selection is a pure
+    * function of the edge set). Every shortcut is inside the transitive
+    * closure, so a level-synchronous reach over e ∪ shortcuts computes
+    * EXACTLY the reach sets of e — in roughly half the rounds wherever
+    * the shortcut budget covers the middle nodes (always at the
+    * planted-graph degrees; at web scale the k² cap keeps the
+    * augmentation ≤ k²·|V| rows, immune to hub in×out blow-up, and a
+    * partially-covered hub still only costs rounds, never correctness).
+    * Rounds are the wall-clock of the reach family — each hop is a
+    * fixed ladder of stage round-trips — so halving rounds halves the
+    * lane (guide §1.2: fix the distributed algorithm first).
+    */
+  private def shortcutEdges(e: DataFrame, k: Int): DataFrame = {
+    val h = md5(concat(col("esrc"), lit(" "), col("edst")))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("edst").orderBy(h, col("esrc"))
+    val wOut = org.apache.spark.sql.expressions.Window
+      .partitionBy("esrc").orderBy(h, col("edst"))
+    val ins = e.withColumn("__r", row_number().over(wIn))
+      .filter(col("__r") <= k)
+      .select(col("edst").as("__mid"), col("esrc"))
+    val outs = e.withColumn("__r", row_number().over(wOut))
+      .filter(col("__r") <= k)
+      .select(col("esrc").as("__mid"), col("edst"))
+    ins.join(outs, "__mid")
+      .select(col("esrc"), col("edst"))
+      .filter(col("esrc") =!= col("edst"))
+  }
+
+  /** A reach-equivalent accelerated edge plane: the edges plus their
+    * bounded 2-hop shortcuts, materialized once (the plane feeds
+    * concurrent forward/backward passes). Duplicate edges are fine —
+    * every hop distincts its frontier.
+    */
+  private def accelerated(e: DataFrame, k: Int = 4): DataFrame =
+    e.unionByName(shortcutEdges(e, k)).localCheckpoint()
 
   /** Single-SET reachability over a normalized (esrc, edst) edge frame:
     * every node reachable from ANY source node, sources included. The
