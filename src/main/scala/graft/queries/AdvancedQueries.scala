@@ -171,7 +171,7 @@ object AdvancedQueries {
         graft.ops.AsOfJoin.backward(purchases, signups, "user_id",
           "ts_us", "signup_us", Seq("signup_us"))
           .select(col("event_id"), col("user_id"), col("ts_us"), col("signup_us"))
-          .orderBy("event_id")
+          .sortWithinPartitions("event_id")
       },
       Some("""SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
              |  epoch_us(s.ts) AS signup_us
@@ -201,7 +201,7 @@ object AdvancedQueries {
           .select(col("event_id"), col("user_id"), col("ts_us"),
             col("purchase_us"),
             (col("purchase_us") - col("ts_us")).as("us_to_convert"))
-          .orderBy("event_id")
+          .sortWithinPartitions("event_id")
       },
       Some("""SELECT g.event_id, g.user_id, epoch_us(g.ts) AS ts_us,
              |  epoch_us(p.ts) AS purchase_us,
@@ -241,7 +241,7 @@ object AdvancedQueries {
             lead(col("o_orderkey"), 1).over(w).as("next_order"),
             ntile(4).over(w).as("quartile"),
             first(col("o_orderkey")).over(w).as("first_order"))
-          .orderBy("o_custkey", "o_orderkey")
+          .sortWithinPartitions("o_custkey", "o_orderkey")
       },
       Some("""SELECT o_custkey, o_orderkey,
              |  LAG(o_orderkey, 1) OVER w AS prev_order,
@@ -354,7 +354,7 @@ object AdvancedQueries {
           .select(col("s_suppkey"),
             coalesce(col("__n"), lit(0L)).as("n_returned"),
             coalesce(col("__value"), lit(0.0)).as("returned_value"))
-          .orderBy("s_suppkey")
+          .sortWithinPartitions("s_suppkey")
       },
       Some("""WITH returns AS (
              |  SELECT l_suppkey, COUNT(*) AS n,
@@ -457,7 +457,7 @@ object AdvancedQueries {
             round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
             round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
             count(lit(1)).as("n"))
-          .orderBy("o_orderpriority"),
+          .sortWithinPartitions("o_orderpriority"),
       Some("""SELECT o_orderpriority,
              |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
              |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
@@ -778,7 +778,7 @@ object AdvancedQueries {
             lit(256)).cast("long").as("bd"))
         o.withColumn("z",
             graft.ops.ScaleOps.zorderValue(Seq(col("bx"), col("bd")), 8))
-          .orderBy("o_orderkey")
+          .sortWithinPartitions("o_orderkey")
       },
       Some {
         val terms = (for { j <- 0 to 1; i <- 0 until 8 } yield {

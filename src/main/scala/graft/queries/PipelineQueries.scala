@@ -92,7 +92,7 @@ object PipelineQueries {
           Tables.documents(s, dir)
             .select(col("doc_id"), TextOps.normalized(col("text")).as("text")),
           "doc_id", "text", delim = " ", maxDocFrac = 0.78)
-          .orderBy("doc_id"),
+          .sortWithinPartitions("doc_id"),
       Some(s"""WITH docs AS (
               |  SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents
               |), dfreq AS (
@@ -135,7 +135,7 @@ object PipelineQueries {
             Seq(e.as("n_emails"), i.as("n_ips"), p.as("n_phones"),
               TextOps.redactPii(col("__pii")).as("text_redacted"))
           }: _*)
-          .orderBy("doc_id"),
+          .sortWithinPartitions("doc_id"),
       Some(s"""WITH planted AS (
               |  SELECT doc_id,
               |    concat(
@@ -170,7 +170,7 @@ object PipelineQueries {
           .select(col("doc_id"),
             TextOps.dupTokenFraction(col("text")).as("dup_token_frac"),
             TextOps.topNgramFraction(col("text"), 2).as("top_bigram_frac"))
-          .orderBy("doc_id"),
+          .sortWithinPartitions("doc_id"),
       Some(s"""WITH t AS (
               |  SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents
               |), b AS (
@@ -532,7 +532,7 @@ object PipelineQueries {
           .select(col("id_a"), col("id_b"),
             (least(col("a_end"), col("b_end")) -
               greatest(col("a_start"), col("b_start"))).as("overlap_us"))
-          .orderBy("id_a", "id_b")
+          .sortWithinPartitions("id_a", "id_b")
       },
       Some("""WITH w AS (
              |  SELECT event_id AS id, epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS e
@@ -552,7 +552,7 @@ object PipelineQueries {
       (s, dir) =>
         Curation.chunkDocuments(Tables.documents(s, dir), "doc_id", "text",
           chunkTokens = 32, overlap = 8)
-          .orderBy("doc_id", "chunk_id"),
+          .sortWithinPartitions("doc_id", "chunk_id"),
       Some(s"""WITH t AS (
               |  SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents
               |), st AS (

@@ -84,7 +84,7 @@ object RelationalQueries {
         Tables.orders(s, dir)
           .filter(col("o_totalprice") > 150000.0)
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-          .orderBy("o_orderkey"),
+          .sortWithinPartitions("o_orderkey"),
       Some("""SELECT o_orderkey, o_custkey, o_totalprice
              |FROM orders WHERE o_totalprice > 150000.0
              |ORDER BY o_orderkey""".stripMargin)),
@@ -213,7 +213,7 @@ object RelationalQueries {
             round(sum(col("o_totalprice"))
               .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
               .as("running_spend"))
-          .orderBy("o_custkey", "rn")
+          .sortWithinPartitions("o_custkey", "rn")
       },
       Some("""SELECT o_custkey, o_orderkey, o_totalprice,
              |  ROW_NUMBER() OVER w AS rn,
@@ -293,7 +293,7 @@ object RelationalQueries {
             col("l_orderkey"), col("l_linenumber"),
             col("l_quantity").cast("long").as("qty_int"),
             (col("l_extendedprice") / 1000.0).cast("long").as("price_k"))
-          .orderBy("l_orderkey", "l_linenumber"),
+          .sortWithinPartitions("l_orderkey", "l_linenumber"),
       Some("""SELECT l_orderkey, l_linenumber,
              |  CAST(TRUNC(l_quantity) AS BIGINT) AS qty_int,
              |  CAST(TRUNC(l_extendedprice/1000.0) AS BIGINT) AS price_k
@@ -401,7 +401,7 @@ object RelationalQueries {
           .agg(count(lit(1)).as("n_events"),
             min(col("ts_us")).as("sess_start_us"),
             max(col("ts_us")).as("sess_end_us"))
-          .orderBy("user_id", "session_id")
+          .sortWithinPartitions("user_id", "session_id")
       },
       Some("""WITH g AS (
              |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,

@@ -79,7 +79,10 @@ object TrainingQueries {
       .crossJoin(broadcast(verdict)) // 1-row verdict frame
       .select(col("query_id"), col("rank"), col("vec_id"),
         round(col("__cos"), 6).as("cosine"), col(verdictCol))
-      .orderBy("query_id", "rank")
+      // local sort only: a global orderBy's range-sample re-ran the
+      // post-exchange rank/verdict subtree (the q188/r21-SortAb finding;
+      // the harness compare is row-order-agnostic)
+      .sortWithinPartitions("query_id", "rank")
   }
 
   /** DuckDB side of [[annWithExactVerdict]]: exact top-`exactK` per query
@@ -1537,7 +1540,7 @@ object TrainingQueries {
               when(col("__st.n_punct").cast("double") / col("__nc") <= 0.2, 1.0).otherwise(0.0) * 0.2 +
               when((col("__st.tok_chars").cast("double") / col("__st.n_tokens")).between(2.0, 12.0), 1.0).otherwise(0.0) * 0.2,
               2).as("quality"))
-          .orderBy("doc_id"),
+          .sortWithinPartitions("doc_id"),
       Some(s"""WITH m AS (
               |  SELECT doc_id, text, $toksSql AS toks,
               |    LENGTH(text) AS n_chars,
@@ -1865,7 +1868,7 @@ object TrainingQueries {
       (s, dir) =>
         Similarity.cosineNearDupPairsExact(Tables.embeddings(s, dir), "vec_id", "embedding",
           minCosine = 0.4)
-          .orderBy("id_a", "id_b"),
+          .sortWithinPartitions("id_a", "id_b"),
       Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              |  ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
              |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -1978,7 +1981,7 @@ object TrainingQueries {
             (col("approx_p50") >= element_at(col("__band"), 1) &&
               col("approx_p50") <= element_at(col("__band"), 2))
               .as("p50_within_rank_band"))
-          .orderBy("event_type")
+          .sortWithinPartitions("event_type")
       },
       Some("""SELECT event_type,
              |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
@@ -2071,7 +2074,7 @@ object TrainingQueries {
             round(col("__m.mean_r"), 6).as("mean_r"),
             round(col("__m.mean_g"), 6).as("mean_g"),
             round(col("__m.mean_b"), 6).as("mean_b"))
-          .orderBy("media_id")
+          .sortWithinPartitions("media_id")
       },
       Some("""WITH p AS (
              |  SELECT doc_id, doc_id % 7 + 2 AS w, (doc_id * 3) % 6 + 2 AS h,
@@ -2123,7 +2126,7 @@ object TrainingQueries {
           .select(col("media_id"), col("width"), col("height"),
             col("__st.n_px").as("n_px"), col("__st.sum_r").as("sum_r"),
             col("__st.sum_g").as("sum_g"), col("__st.sum_b").as("sum_b"))
-          .orderBy("media_id")
+          .sortWithinPartitions("media_id")
       },
       Some("""WITH p AS (
              |  SELECT doc_id, doc_id % 9 + 4 AS w, (doc_id * 3) % 8 + 4 AS h,
@@ -2544,7 +2547,7 @@ object TrainingQueries {
                   .cast("float")
                 && f(5) === lit(0f) && f(6) === lit(0f) && f(7) === lit(0f))
               .as("f3_ok"))
-          .orderBy("media_id")
+          .sortWithinPartitions("media_id")
       },
       Some("""SELECT doc_id AS media_id,
              |  CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
@@ -2635,7 +2638,7 @@ object TrainingQueries {
     QuerySpec(
       "q121_url_curation",
       (s, dir) =>
-        urlPlaneDf(Tables.documents(s, dir), cap = 20).orderBy("doc_id"),
+        urlPlaneDf(Tables.documents(s, dir), cap = 20).sortWithinPartitions("doc_id"),
       Some(("""WITH """ + urlFixtureCte + """, """ + urlPlaneCte + """
              |SELECT eb.doc_id, eb.url_canon, eb.host, eb.domain, eb.blocked,
              |  CAST(s1r.url_rank AS BIGINT) AS url_rank,
@@ -2729,7 +2732,7 @@ object TrainingQueries {
           .select(col("doc_id"),
             UrlOps.hostOf(col("url")).as("host"),
             UrlOps.registrableDomain(col("url")).as("domain"))
-          .orderBy("doc_id")
+          .sortWithinPartitions("doc_id")
       },
       Some(("""WITH """ + urlFixtureCte + """, c AS (
              |  SELECT doc_id,
@@ -2907,7 +2910,7 @@ object TrainingQueries {
             col("delay_den").cast("long").as("delay_den"),
             col("dispose").cast("long").as("dispose"),
             col("blend").cast("long").as("blend"))
-          .orderBy("media_id", "frame_idx")
+          .sortWithinPartitions("media_id", "frame_idx")
       },
       Some("""SELECT doc_id AS media_id,
              |  CAST(doc_id % 10 + 24 AS BIGINT) AS width,
@@ -3727,7 +3730,7 @@ object TrainingQueries {
       "q67_tfidf_top_terms",
       (s, dir) =>
         TextOps.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 5)
-          .orderBy("doc_id", "term"),
+          .sortWithinPartitions("doc_id", "term"),
       Some(s"""WITH t AS (
               |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS term FROM documents
               |), tf AS (
@@ -3883,7 +3886,7 @@ object TrainingQueries {
         Similarity.semanticContamination(
           emb.filter(col("vec_id") >= 50L), "vec_id", "embedding",
           emb.filter(col("vec_id") < 50L), "embedding", minCosine = 0.4)
-          .orderBy("vec_id")
+          .sortWithinPartitions("vec_id")
       },
       Some("""WITH ev AS (
              |  SELECT embedding FROM embeddings WHERE vec_id < 50
@@ -4238,7 +4241,7 @@ object TrainingQueries {
             col("sample_idx").cast("long").as("sample_idx"),
             col("sample_size").cast("long").as("sample_size"),
             col("sample_delta").cast("long").as("sample_delta"))
-          .orderBy("media_id", "sample_idx")
+          .sortWithinPartitions("media_id", "sample_idx")
       },
       Some("""WITH e AS (
              |  SELECT doc_id, doc_id % 17 AS seed, doc_id % 5 + 1 AS n,
@@ -4294,7 +4297,7 @@ object TrainingQueries {
           .select(col("media_id"),
             expr("dhash & 4294967295").as("dhash_lo"),
             expr("(dhash >> 32) & 4294967295").as("dhash_hi"))
-          .orderBy("media_id")
+          .sortWithinPartitions("media_id")
       },
       Some("""WITH p AS (
              |  SELECT doc_id, doc_id % 24 + 12 AS w, (doc_id*3) % 24 + 12 AS h,
@@ -4645,7 +4648,7 @@ object TrainingQueries {
           .select(col("doc_id"), col("title"), col("text"),
             size(split(col("text"), "\n")).cast("long").as("n_lines"),
             length(col("text")).cast("long").as("n_chars"))
-          .orderBy("doc_id")
+          .sortWithinPartitions("doc_id")
       },
       Some(htmlTextCtes + """
              |SELECT doc_id,
@@ -4716,7 +4719,7 @@ object TrainingQueries {
         Robots.robotsRules(robots, "doc_id", "robots")
           .select(col("doc_id"), col("pos").cast("long").as("pos"),
             col("agent"), col("directive"), col("value"))
-          .orderBy("doc_id", "pos", "agent")
+          .sortWithinPartitions("doc_id", "pos", "agent")
       },
       Some("""WITH a2 AS (
              |  SELECT 'graftbot' AS agent UNION ALL SELECT 'extrabot'
@@ -4975,7 +4978,7 @@ object TrainingQueries {
         Robots.sitemapEntries(maps, "xml", keepCols = Seq("doc_id"))
           .select(col("doc_id"), col("entry_idx").cast("long").as("entry_idx"),
             col("loc"), col("lastmod"))
-          .orderBy("doc_id", "entry_idx")
+          .sortWithinPartitions("doc_id", "entry_idx")
       },
       Some("""WITH r AS (
              |  SELECT doc_id, 0 AS entry_idx,
@@ -5111,7 +5114,7 @@ object TrainingQueries {
             keepCols = Seq("doc_id"))
           .select(col("doc_id"), col("turn_idx").cast("long").as("turn_idx"),
             col("role"), col("content"))
-          .orderBy("doc_id", "turn_idx")
+          .sortWithinPartitions("doc_id", "turn_idx")
       },
       Some("WITH " + chatTurnsCte.stripMargin + """
              |SELECT doc_id, CAST(turn_idx AS BIGINT) AS turn_idx, role,
@@ -5136,7 +5139,7 @@ object TrainingQueries {
               keepCols = Seq("doc_id")), "doc_id")
           .select(col("doc_id"), col("turn_idx").cast("long").as("turn_idx"),
             col("role"), col("span_start"), col("span_end"), col("loss"))
-          .orderBy("doc_id", "turn_idx")
+          .sortWithinPartitions("doc_id", "turn_idx")
       },
       Some("WITH " + chatTurnsCte.stripMargin + """,
              |c AS (
@@ -5361,7 +5364,7 @@ object TrainingQueries {
           .select(col("doc_id"), col("text"),
             size(split(col("text"), "\n")).cast("long").as("n_lines"),
             length(col("text")).cast("long").as("n_chars"))
-          .orderBy("doc_id")
+          .sortWithinPartitions("doc_id")
       },
       Some("""WITH raw AS (
              |  SELECT doc_id,
@@ -5406,7 +5409,7 @@ object TrainingQueries {
           .select(col("doc_id"), col("link_idx").cast("long").as("link_idx"),
             col("l.text").as("text"), col("l.url").as("url"),
             col("l.is_image").as("is_image"))
-          .orderBy("doc_id", "link_idx")
+          .sortWithinPartitions("doc_id", "link_idx")
       },
       Some("""SELECT doc_id, CAST(0 AS BIGINT) AS link_idx,
              |  'link ' || CAST(doc_id % 3 AS VARCHAR) AS text,
@@ -5968,7 +5971,7 @@ object TrainingQueries {
           host97.as("src_host"), htmlFixture.as("html"))
         val edges = Html.linkGraph(pages, "src_host", "html")
         graft.ops.WebGraph.triangleStats(edges, "src_host", "dst_host")
-          .orderBy("node")
+          .sortWithinPartitions("node")
       },
       Some("WITH " + linkEdgesCte.stripMargin + """,
              |und AS MATERIALIZED (
@@ -6184,7 +6187,7 @@ object TrainingQueries {
               col("c_name"), col("c_mktsegment")))
         graft.ops.ScaleOps.scd2Apply(history0, v2, Seq("c_custkey"),
             effAt = 100L)
-          .orderBy("c_custkey", "eff_from")
+          .sortWithinPartitions("c_custkey", "eff_from")
       },
       Some("""WITH base AS (
              |  SELECT c_custkey, c_name, c_mktsegment FROM customer),
@@ -6225,7 +6228,7 @@ object TrainingQueries {
         graft.ops.EventOps.attribution(ev, "user_id", "event_type",
             "us", "event_id", Seq("click", "view"), "purchase",
             lookbackUs = 86400000000L)
-          .orderBy("user_id", "conv_us", "conv_tie")
+          .sortWithinPartitions("user_id", "conv_us", "conv_tie")
       },
       Some("""WITH e AS (
              |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
@@ -6315,7 +6318,7 @@ object TrainingQueries {
             unix_micros(col("ts")).as("us"), col("event_id"))
         graft.ops.EventOps.timeWeightedAvg(ev, "user_id", "value",
             "us", "event_id")
-          .orderBy("user_id")
+          .sortWithinPartitions("user_id")
       },
       Some("""WITH e AS (
              |  SELECT user_id, value, epoch_us(ts) AS us, event_id
@@ -6351,7 +6354,7 @@ object TrainingQueries {
             round(min(col("value")), 4).as("min_out"),
             round(max(col("value")), 4).as("max_out"),
             min(col("med")).as("med"), min(col("mad")).as("mad"))
-          .orderBy("event_type")
+          .sortWithinPartitions("event_type")
       },
       Some("""WITH st AS (
              |  SELECT event_type,
@@ -6808,7 +6811,7 @@ object TrainingQueries {
           unix_micros(col("ts")).as("us"), col("event_id"))
         graft.ops.EventOps.cadenceProfile(ev, "user_id", "us", "event_id")
           .filter(col("n_gaps") >= 5)
-          .orderBy("user_id")
+          .sortWithinPartitions("user_id")
       },
       Some("""WITH e AS (
              |  SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
@@ -6956,7 +6959,7 @@ object TrainingQueries {
             "event_id", alphaNum = 1, alphaDen = 4, lags = 8)
           .select(col("user_id"), col("us"), col("event_id"),
             col("value"), col("ewma"))
-          .orderBy("user_id", "us", "event_id")
+          .sortWithinPartitions("user_id", "us", "event_id")
       },
       Some {
         val u = (0 until 8).map(i =>
@@ -7581,7 +7584,7 @@ object TrainingQueries {
       "q214_hour_of_week",
       (s, dir) => graft.ops.EventOps.hourOfWeekProfile(
           Tables.events(s, dir), "event_type", "ts")
-        .orderBy("event_type", "weekday", "hour"),
+        .sortWithinPartitions("event_type", "weekday", "hour"),
       Some("""WITH c AS (
              |  SELECT event_type, isodow(ts) AS weekday, hour(ts) AS hour,
              |    COUNT(*) AS n
@@ -7626,7 +7629,7 @@ object TrainingQueries {
       "q215_readability",
       (s, dir) => graft.ops.TextOps.readability(
           Tables.documents(s, dir), "doc_id", "text")
-        .orderBy("doc_id"),
+        .sortWithinPartitions("doc_id"),
       Some(s"""SELECT doc_id,
              |  CAST(len($toksSql) AS BIGINT) AS n_words,
              |  CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
@@ -8290,7 +8293,7 @@ object TrainingQueries {
           col("event_id"))
         graft.ops.EventOps.trajectorySurprisal(ev, "user_id",
             "event_type", "us", "event_id")
-          .orderBy("user_id")
+          .sortWithinPartitions("user_id")
       },
       Some("""WITH e AS (
              |  SELECT user_id, event_type AS t, epoch_us(ts) AS us,
@@ -8560,7 +8563,7 @@ object TrainingQueries {
             col("event_id"), col("value"))
         graft.ops.EventOps.sessionStats(ev, "user_id", "us", "event_id",
             "value", gapUs = 1800000000L)
-          .orderBy("user_id", "session_seq")
+          .sortWithinPartitions("user_id", "session_seq")
       },
       Some("""WITH e AS (
              |  SELECT user_id, epoch_us(ts) AS us, event_id, value
@@ -12353,7 +12356,7 @@ object TrainingQueries {
         hashes.join(deg, Seq("media_id"), "left")
           .select(col("media_id"), col("ahash"),
             coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"))
-          .orderBy("media_id")
+          .sortWithinPartitions("media_id")
       },
       Some("""WITH pp AS (
              |  SELECT doc_id, doc_id % 24 AS m FROM documents),
@@ -12489,7 +12492,7 @@ object TrainingQueries {
       "q298_script_profile",
       (s, dir) =>
         TextOps.scriptProfile(Tables.documents(s, dir), "doc_id", "text")
-          .orderBy("doc_id"),
+          .sortWithinPartitions("doc_id"),
       Some("""WITH c AS (
              |  SELECT doc_id, COALESCE(text, '') AS t FROM documents),
              |n AS (
@@ -13056,7 +13059,7 @@ object TrainingQueries {
           .join(anchors, Seq("a_id"))
         TextOps.rougeL(pairs, "doc_id", "text", "ref_text",
             maxTokens = 40)
-          .orderBy("doc_id")
+          .sortWithinPartitions("doc_id")
       },
       Some(s"""WITH RECURSIVE d0 AS (
               |  SELECT doc_id,
@@ -13146,7 +13149,7 @@ object TrainingQueries {
             col("doc_id").cast("string"),
             lit(" keeps a unique tail.")).as("text"))
         TextOps.sentenceDedupCorpus(src, "doc_id", "text")
-          .orderBy("doc_id")
+          .sortWithinPartitions("doc_id")
       },
       Some("""WITH src AS (
              |  SELECT doc_id,
@@ -13197,7 +13200,7 @@ object TrainingQueries {
             lit("\n"), substring(col("text"), 1, 120), lit("\n\n"),
             lit("common footer line")).as("text"))
         TextOps.lineDedupCorpus(src, "doc_id", "text")
-          .orderBy("doc_id")
+          .sortWithinPartitions("doc_id")
       },
       Some("""WITH src AS (
              |  SELECT doc_id,
@@ -13256,7 +13259,7 @@ object TrainingQueries {
             col("n_markers"), col("mojibake_per_100"),
             col("markers_after"),
             (col("fixed_text") === col("clean")).as("recovered"))
-          .orderBy("doc_id")
+          .sortWithinPartitions("doc_id")
       },
       Some("""WITH src AS (
              |  SELECT doc_id,
