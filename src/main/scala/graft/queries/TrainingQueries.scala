@@ -2357,7 +2357,7 @@ object TrainingQueries {
               <= 4.0).as("mean_g_ok"),
             (abs(col("__m.mean_b") - closed(col("__b0"), col("__w"), col("__h")))
               <= 4.0).as("mean_b_ok"))
-          .orderBy("media_id")
+          .sortWithinPartitions("media_id")
       },
       Some("""SELECT doc_id AS media_id,
              |  CAST(doc_id % 9 + 8 AS BIGINT) AS width,
@@ -2377,7 +2377,7 @@ object TrainingQueries {
       (s, dir) => {
         graft.ops.TextOps.gopherRules(Tables.documents(s, dir),
           "doc_id", "text", minWords = 10L)
-          .orderBy("doc_id")
+          .sortWithinPartitions("doc_id")
       },
       Some("""WITH b AS (
              |  SELECT doc_id, COALESCE(text, '') AS text,
@@ -2690,7 +2690,7 @@ object TrainingQueries {
         graft.ops.Dedup.containmentPairs(Tables.documents(s, dir),
           "doc_id", "text", shingleSize = 3, minContainment = 0.5,
           skewGuard = Some(true))
-          .orderBy("contained_id", "container_id"),
+          .sortWithinPartitions("contained_id", "container_id"),
       Some(s"""WITH t AS (
               |  SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents
               |), sh AS (
@@ -4906,7 +4906,7 @@ object TrainingQueries {
             Html.htmlToText(col("payload").cast("string")).as("text"))
           .select(col("target_uri"), col("host"), col("title"), col("text"),
             TextOps.tokenCount(col("text")).as("n_tokens"))
-          .orderBy("target_uri")
+          .sortWithinPartitions("target_uri")
       },
       Some(htmlTextCtes + """
              |SELECT 'https://h' || CAST(doc_id % 97 AS VARCHAR) ||
@@ -12012,7 +12012,7 @@ object TrainingQueries {
         val pairs = docs.withColumn("a_id", expr("doc_id - doc_id % 5"))
           .join(anchors, Seq("a_id"))
         TextOps.bleuScore(pairs, "doc_id", "text", "ref_text")
-          .orderBy("doc_id")
+          .sortWithinPartitions("doc_id")
       },
       Some(s"""WITH d AS (
               |  SELECT doc_id,
@@ -12267,7 +12267,7 @@ object TrainingQueries {
         Similarity.semDeDupDrops(emb.unionByName(clones), "vec_id",
             "embedding", nClusters = 16, minCosine = 0.95)
           .select(col("id_drop"), col("id_keep"), col("cosine"))
-          .orderBy("id_drop")
+          .sortWithinPartitions("id_drop")
       },
       Some("""SELECT vec_id + 100000 AS id_drop, vec_id AS id_keep,
              |  1.0 AS cosine
@@ -13016,7 +13016,7 @@ object TrainingQueries {
               .otherwise(lit(1.0) - col("edit_distance").cast("double") /
                 greatest(col("len_a"), col("len_b")).cast("double")), 6))
           .withColumn("is_near_dup", col("similarity") >= 0.8)
-          .orderBy("doc_id")
+          .sortWithinPartitions("doc_id")
       },
       Some(s"""WITH d AS (
               |  SELECT doc_id, substr($normSql, 1, 120) AS t
